@@ -1,0 +1,127 @@
+"""Date/time parsing and bucketing.
+
+The reference parses date fields with strptime(``date_format``) (or
+unix epoch seconds when date_format == "unix") and re-formats them into
+a *bucket string* — day/month/year/hour/minute/second, minute and
+second rounded down to a ``processing_offset`` width (reference:
+miw/log_format.cc:401-472). Time-typed fields are bucketed purely
+textually from HH:MM:SS (miw/log_format.cc:445-472).
+
+Everything here is built-in Spark date/string functions.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# strptime → Java DateTimeFormatter fragments (public, documented
+# mappings; only the directives the reference's formats use, plus the
+# common ones).
+_STRPTIME_MAP = {
+    "%Y": "yyyy",
+    "%y": "yy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%M": "mm",
+    "%S": "ss",
+    "%b": "MMM",
+    "%B": "MMMM",
+    "%j": "DDD",
+    "%p": "a",
+    "%z": "xx",
+    "%%": "%",
+}
+
+
+def strptime_to_java(fmt: str) -> str:
+    """Convert a strptime pattern to a Java DateTimeFormatter pattern,
+    quoting literal letter runs."""
+    out: list[str] = []
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d not in _STRPTIME_MAP:
+                raise ValueError(f"unsupported strptime directive {d!r} in {fmt!r}")
+            out.append(_STRPTIME_MAP[d])
+            i += 2
+        else:
+            # quote any literal that could be a pattern letter
+            j = i
+            while j < len(fmt) and fmt[j] != "%":
+                j += 1
+            lit = fmt[i:j]
+            if re.search(r"[A-Za-z']", lit):
+                out.append("'" + lit.replace("'", "''") + "'")
+            else:
+                out.append(lit)
+            i = j
+    return "".join(out)
+
+
+def parse_date(col: Column, date_format: str) -> Column:
+    """Parse a raw token to TimestampType: strptime pattern, or literal
+    "unix" = epoch seconds (miw/log_format.cc:405-415)."""
+    if date_format == "unix":
+        return F.to_timestamp(F.from_unixtime(col.cast("long")))
+    return F.to_timestamp(col, strptime_to_java(date_format))
+
+
+def bucket_date(ts: Column, processing: str, offset: int = 1) -> Column:
+    """Re-format a timestamp into the reference's bucket string
+    (miw/log_format.cc:416-444):
+
+    day→"Y-m-d", month→"Y-m", year→"Y", hour→"Y-m-dTH:00:00",
+    minute→"Y-m-dTH:MM:00" with MM floored to ``offset`` width,
+    second→full with SS floored to ``offset``.
+    """
+    if processing == "day":
+        return F.date_format(ts, "yyyy-MM-dd")
+    if processing == "month":
+        return F.date_format(ts, "yyyy-MM")
+    if processing == "year":
+        return F.date_format(ts, "yyyy")
+    if processing == "hour":
+        return F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH"), F.lit(":00:00"))
+    if processing == "minute":
+        m = _floored(F.minute(ts), offset)
+        return F.concat(
+            F.date_format(ts, "yyyy-MM-dd'T'HH:"), _pad2(m), F.lit(":00")
+        )
+    if processing == "second":
+        s = _floored(F.second(ts), offset)
+        return F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:"), _pad2(s))
+    # no processing: day-resolution string (reference default emits the
+    # strftime'd value at day granularity, miw/log_format.cc:416-418)
+    return F.date_format(ts, "yyyy-MM-dd")
+
+
+def bucket_time(col: Column, processing: str, offset: int = 1) -> Column:
+    """Bucket an HH:MM:SS time string textually
+    (miw/log_format.cc:445-472): hour→"HH", minute→"HH:MM" (floored to
+    offset), second→"HH:MM:SS" (floored to offset); zero-padded."""
+    parts = F.split(F.trim(col), ":")
+    hh = parts[0]
+    if processing == "hour":
+        return hh
+    mm = _pad2(_floored(parts[1].cast("int"), offset))
+    if processing == "minute":
+        return F.concat_ws(":", hh, mm)
+    ss = _pad2(_floored(parts[2].cast("int"), offset))
+    if processing == "second":
+        return F.concat_ws(":", parts[0], parts[1], ss)
+    return F.trim(col)
+
+
+def _floored(val: Column, offset: int) -> Column:
+    if offset <= 1:
+        return val
+    return (val / offset).cast("int") * offset
+
+
+def _pad2(val: Column) -> Column:
+    return F.lpad(val.cast("string"), 2, "0")

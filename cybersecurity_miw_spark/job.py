@@ -1,0 +1,171 @@
+"""Job API + CLI — the analog of the reference's `miw` binary and its
+python launcher (reference: app/miw.cc:33-37, miw/job.cc:35-51 flags,
+python/miw_job.py:14-35).
+
+Flag parity:
+
+* -fnames (comma-separated files)      → MiwJob(files=[...])
+* -format_name                         → MiwJob(format=path or LogDef)
+* -output_format json|csv|mem|all      → run(output_format=...)
+* -ndisp                               → run(ndisp=...)
+* -skip_header                         → MiwJob(skip_header=True)
+* -appname                             → set on the LogDef
+* -merge_results                       → implicit: all files are one
+  DataFrame, one aggregation (the reference's incremental re-emit
+  machinery, miw/job.cc:197-226 + metis/application.cc:245-249,
+  collapses into a single plan under Spark)
+* -autosplit / -memory_factor          → N/A: Spark partitioning/spill
+* -store_content / -compressed         → store_content=True keeps a
+  collect_list of raw lines per group; compression is the output
+  codec's job (reference snappy path miw/log_record.cc:351-363)
+* -tmp_save                            → streaming.merge (checkpointed
+  incremental aggregation)
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators.aggregate import aggregate
+from cybersecurity_miw_spark.operators.derive import TOKENS_COL
+from cybersecurity_miw_spark.operators.matching import apply_matches
+from cybersecurity_miw_spark.plans.logdef import LogDef
+from cybersecurity_miw_spark.sources import sinks
+from cybersecurity_miw_spark.sources.text import LINE_COL, from_lines, read_logs
+
+
+class MiwJob:
+    """Build and run one summarization job over one or more log files."""
+
+    def __init__(
+        self,
+        format: str | Path | dict | LogDef,
+        files: str | list[str] | None = None,
+        lines: list[str] | None = None,
+        skip_header: bool = False,
+        appname: str = "",
+        store_content: bool = False,
+        union_count_strategy: str = "two-phase",
+    ) -> None:
+        if isinstance(format, LogDef):
+            self.ldef = format
+        elif isinstance(format, dict):
+            self.ldef = LogDef.from_json(format)
+        else:
+            self.ldef = LogDef.load(format)
+        if appname:
+            self.ldef.appname = appname
+        self.files = files
+        self.lines = lines
+        self.skip_header = skip_header
+        self.store_content = store_content
+        self.union_count_strategy = union_count_strategy
+
+    # -- plan builders --
+
+    def source(self, spark: SparkSession) -> DataFrame:
+        if self.lines is not None:
+            return from_lines(spark, self.lines, self.ldef)
+        if self.files is None:
+            raise ValueError("MiwJob needs files or lines")
+        return read_logs(spark, self.files, self.ldef, self.skip_header)
+
+    def parsed(self, spark: SparkSession) -> DataFrame:
+        """Tokenized, match-filtered, typed rows (pre-aggregation).
+        With ``store_content`` the raw line rides along as ``_raw``
+        (reference -store_content, miw/log_format.cc:596-597)."""
+        from cybersecurity_miw_spark.functions.strings import token_pattern
+        from cybersecurity_miw_spark.operators.derive import derive_column
+
+        df = self.source(spark)
+        pattern = token_pattern(self.ldef.delims, self.ldef.quotechar)
+        cols = [
+            F.regexp_extract_all(F.col(LINE_COL), F.lit(pattern), 0).alias(TOKENS_COL)
+        ]
+        if self.store_content:
+            cols.append(F.col(LINE_COL).alias("_raw"))
+        toks = apply_matches(df.select(*cols), self.ldef)
+        toks = toks.filter(F.size(F.col(TOKENS_COL)) > self.ldef.max_pos)
+        out_cols = [
+            derive_column(f).alias(f.name) for f in self.ldef.fields if f.projects
+        ]
+        if self.store_content:
+            out_cols.append(F.col("_raw"))
+        return toks.select(*out_cols)
+
+    def result(self, spark: SparkSession) -> DataFrame:
+        """The aggregated (unordered) result DataFrame."""
+        rows = self.parsed(spark)
+        out = aggregate(rows, self.ldef, self.union_count_strategy)
+        if self.store_content:
+            from cybersecurity_miw_spark.operators.aggregate import key_columns
+
+            raws = rows.groupBy(*key_columns(self.ldef)).agg(
+                F.collect_list("_raw").alias("content")
+            )
+            out = out.join(raws, on=key_columns(self.ldef), how="left")
+        return out
+
+    # -- sinks --
+
+    def run(
+        self,
+        spark: SparkSession,
+        output_format: str = "mem",
+        output_path: str | None = None,
+        ndisp: int = 0,
+    ) -> DataFrame:
+        df = self.result(spark)
+        if ndisp:
+            sinks.show_top(df, self.ldef, ndisp)
+        if output_format == "json":
+            sinks.write_json(df, self.ldef, output_path)
+        elif output_format == "csv":
+            sinks.write_csv(df, self.ldef, output_path)
+        elif output_format == "text":
+            sinks.write_text(df, self.ldef, output_path)
+        elif output_format in ("mem", "all"):
+            pass
+        else:
+            raise ValueError(f"unknown output_format {output_format!r}")
+        return df
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        "miwspark", description="format-driven log summarization on Spark"
+    )
+    ap.add_argument("-fnames", required=True, help="comma-separated log files")
+    ap.add_argument("-format_name", required=True, help="path to format JSON")
+    ap.add_argument("-output_format", default="json", choices=["json", "csv", "text", "mem"])
+    ap.add_argument("-ofname", default=None, help="output path")
+    ap.add_argument("-ndisp", type=int, default=5)
+    ap.add_argument("-skip_header", action="store_true")
+    ap.add_argument("-appname", default="")
+    ap.add_argument("-store_content", action="store_true")
+    args = ap.parse_args(argv)
+
+    from cybersecurity_miw_spark.session import get_spark
+
+    spark = get_spark()
+    job = MiwJob(
+        format=args.format_name,
+        files=args.fnames,
+        skip_header=args.skip_header,
+        appname=args.appname,
+        store_content=args.store_content,
+    )
+    job.run(
+        spark,
+        output_format=args.output_format,
+        output_path=args.ofname,
+        ndisp=args.ndisp,
+    )
+
+
+if __name__ == "__main__":
+    main()

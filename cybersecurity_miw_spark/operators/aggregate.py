@@ -1,0 +1,177 @@
+"""Group-by aggregation (the reduce — core of the engine).
+
+The reference groups rows by a composite string key and merges
+per-field accumulator states (reference: map emit miw/mr_job.cc:43-49,
+combiner :52-61, reduce :63-72, all delegating to log_record::merge
+miw/log_record.cc:251-324). Every aggregation is algebraic, so Spark's
+partial/final hash aggregation is the exact analog — map-side combine,
+spill, and shuffle sizing come free.
+
+Mapping (SURVEY §2.4):
+
+* A1 key        → groupBy(key cols) + ``id = concat_ws("_", keys)``
+                  (+ "_"+appname, miw/log_format.cc:557-563,591-592)
+* A2 logs       → count(*)                 (implicit row counter _sum)
+* A3 count      → count(col)  (the reference's merge is buggy — we
+                  implement the documented intent: row count)
+* A4 sum        → sum
+* A5 max        → max         (reference's merge is a no-op bug
+                  (log_record.cc:177 copies by value); we implement
+                  the intended semantics)
+* A6 mean       → avg         (reference keeps (sum, n) and divides at
+                  output, log_record.cc:627-632)
+* A7 variance   → var_samp with n=1 → 0.0 (reference formula
+                  (Σx² − (Σx)²/n)/max(1, n−1) discards Bessel at n=1,
+                  log_record.cc:633-641)
+* A8 union      → sort_array(collect_set) (reference keeps insertion
+                  order, which is nondeterministic under parallel
+                  merge; we sort for a stable result)
+* A9 union_count→ per-group value histogram map<value,count>
+                  (log_record.cc:100-124) — two-phase groupBy (scale
+                  path) or single-shuffle expression (small groups)
+* A10 ratio     → post-aggregation projection num/denom, 0 when denom
+                  is 0 (log_record.cc:747-823); operands are other
+                  aggregated fields or the literal "logs"
+* A11 filter-contain → sum of the 0/1 indicator (log_record.cc:296-299)
+* A12 first     → min(col) — the reference keeps the first-merged
+                  record's value, which is scheduling-dependent; min is
+                  the deterministic stand-in
+* O1 ordering   → orderBy(logs desc, id asc) (miw/mr_job.h:212-225)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.plans.logdef import Field, LogDef
+
+LOGS_COL = "logs"
+ID_COL = "id"
+
+
+def key_columns(ldef: LogDef) -> list[str]:
+    return [f.name for f in ldef.key_fields]
+
+
+def id_column(ldef: LogDef) -> Column:
+    """Composite group key: key-field values joined with "_", suffixed
+    with "_"+appname when set (miw/log_format.cc:557-563,591-592)."""
+    parts = [F.col(n).cast("string") for n in key_columns(ldef)]
+    if ldef.appname:
+        parts.append(F.lit(ldef.appname))
+    return F.concat_ws("_", *parts)
+
+
+def simple_agg_exprs(ldef: LogDef) -> list[Column]:
+    """All single-pass aggregate expressions (everything except
+    union_count, which needs its own plan, and ratio, which is a
+    post-projection)."""
+    exprs: list[Column] = [F.count(F.lit(1)).alias(LOGS_COL)]
+    for f in ldef.fields:
+        if f.key:
+            continue
+        c = F.col(f.name)
+        agg = f.aggregation
+        if f.is_filter_contain:
+            exprs.append(F.sum(c).alias(f.name))
+        elif agg == "count":
+            exprs.append(F.count(c).alias(f"{f.name}_count"))
+        elif agg == "sum":
+            exprs.append(F.sum(c).alias(f.name))
+        elif agg == "max":
+            exprs.append(F.max(c).alias(f.name))
+        elif agg == "mean":
+            exprs.append(F.avg(c).alias(f.name))
+        elif agg == "variance":
+            exprs.append(F.coalesce(F.var_samp(c), F.lit(0.0)).alias(f.name))
+        elif agg == "union":
+            exprs.append(F.sort_array(F.collect_set(c)).alias(f.name))
+        elif agg in ("union_count", "ratio"):
+            continue
+        else:
+            # non-key, non-aggregated: first-value semantics (A12)
+            exprs.append(F.min(c).alias(f.name))
+    return exprs
+
+
+def union_count_expr(field_name: str) -> Column:
+    """Single-shuffle union_count: build the histogram from a
+    collect_list with array expressions. O(n·distinct) per group —
+    only for formats whose groups are known small; the default plan
+    uses :func:`aggregate_with_union_count`'s two-phase path."""
+    lst = F.collect_list(F.col(field_name))
+    return F.map_from_entries(
+        F.transform(
+            F.array_distinct(lst),
+            lambda x: F.struct(
+                x.alias("key"),
+                F.size(F.filter(lst, lambda y: y == x)).cast("long").alias("value"),
+            ),
+        )
+    ).alias(f"{field_name}_counts")
+
+
+def aggregate(df: DataFrame, ldef: LogDef, union_count_strategy: str = "two-phase") -> DataFrame:
+    """parsed rows → one row per group with every aggregate, the ``id``
+    composite key, ``logs``, and ratio post-projections."""
+    keys = key_columns(ldef)
+    ucount_fields = [
+        f for f in ldef.fields if f.aggregation == "union_count" and not f.key
+    ]
+
+    gcols = [F.col(k) for k in keys] if keys else []
+    aggs = simple_agg_exprs(ldef)
+    if union_count_strategy == "expr":
+        aggs += [union_count_expr(f.name) for f in ucount_fields]
+    out = df.groupBy(*gcols).agg(*aggs)
+
+    if ucount_fields and union_count_strategy == "two-phase":
+        # Scale path: per-field (keys, value) pre-aggregation then a
+        # map roll-up. Both groupBys hash-partition on a superset /
+        # equal key set and partially aggregate map-side; the join back
+        # is co-partitioned on the group keys.
+        for f in ucount_fields:
+            hist = (
+                df.groupBy(*[F.col(k) for k in keys], F.col(f.name))
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .groupBy(*[F.col(k) for k in keys])
+                .agg(
+                    F.map_from_entries(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col(f.name), F.col("_cnt")))
+                        )
+                    ).alias(f"{f.name}_counts")
+                )
+            )
+            out = out.join(hist, on=keys, how="left")
+
+    # ratio post-projection (A10): operands are aggregated field names
+    # or the literal "logs"
+    for f in ldef.fields:
+        if f.aggregation != "ratio":
+            continue
+        num = F.lit(1.0) * _ratio_operand(f.numerator)
+        den = _ratio_operand(f.denominator)
+        out = out.withColumn(
+            f.name,
+            F.when(den == 0, F.lit(0.0)).otherwise(num / den),
+        )
+
+    return out.withColumn(ID_COL, id_column(ldef))
+
+
+def _ratio_operand(name: str) -> Column:
+    return F.col(LOGS_COL) if name == "logs" else F.col(name)
+
+
+def order_final(df: DataFrame) -> DataFrame:
+    """Final ordering: group count desc, key asc
+    (miw/mr_job.h:212-225)."""
+    return df.orderBy(F.desc(LOGS_COL), F.asc(ID_COL))
+
+
+def top_k(df: DataFrame, k: int) -> DataFrame:
+    """Console top-K (miw/mr_job.cc:74-107, default ndisp=5
+    miw/job.cc:37)."""
+    return order_final(df).limit(k)

@@ -1,0 +1,102 @@
+"""Projection + per-field derivation: token array -> typed columns.
+
+Covers the reference's "SELECT list" (SURVEY §2.2): positional
+projection with auto-increment (miw/log_format.cc:247-262), double
+-quote strip (:272-275), whitespace chomp, typed casts with atoi/atof
+parity (:503-538), date/time bucketing (:401-472), URL re-templating
+(:473-500), and the three preprocessing derivations
+(evtxcsv / evtxcsv2 / microsoftdnslogs, :540-555,606-716).
+
+All built-in column expressions; the produced DataFrame has one column
+per logdef field (preprocessing fields yield a MapType column named
+``<name>`` for evtxcsv/evtxcsv2, a string column for the DNS decode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.functions.datetime import bucket_date, bucket_time, parse_date
+from cybersecurity_miw_spark.functions.net import dns_wire_to_name
+from cybersecurity_miw_spark.functions.strings import strip_quotes
+from cybersecurity_miw_spark.functions.url import url_template
+from cybersecurity_miw_spark.plans.logdef import Field, LogDef
+
+TOKENS_COL = "_tokens"
+
+
+def raw_token(f: Field) -> Column:
+    """Token at the field's resolved position, quote-stripped and
+    trimmed (reference strips '"' from every token unconditionally,
+    miw/log_format.cc:272-275)."""
+    return F.trim(strip_quotes(F.col(TOKENS_COL)[f.resolved_pos]))
+
+
+def derive_column(f: Field) -> Column:
+    """The typed/derived output column for one field."""
+    tok = raw_token(f)
+
+    if f.preprocessing == "evtxcsv":
+        # "...-> k1=v1 k2=v2" → map<k,v> (miw/log_format.cc:606-644)
+        payload = F.trim(F.regexp_extract(tok, r"->\s*(.*)$", 1))
+        return F.when(payload == "", None).otherwise(
+            F.str_to_map(payload, F.lit(" +"), F.lit("="))
+        )
+    if f.preprocessing == "evtxcsv2":
+        # "[k1: v1] [k2: v2]" → map<k,v> (miw/log_format.cc:646-678)
+        pairs = F.regexp_extract_all(tok, F.lit(r"\[([^:\]]+):\s*([^\]]*)\]"), 0)
+        entries = F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.regexp_extract(p, r"\[([^:]+):", 1).alias("key"),
+                F.trim(F.regexp_extract(p, r":\s*([^\]]*)\]", 1)).alias("value"),
+            ),
+        )
+        return F.when(F.size(entries) > 0, F.map_from_entries(entries))
+    if f.preprocessing == "microsoftdnslogs":
+        return dns_wire_to_name(tok)
+
+    if f.type == "int":
+        if f.is_filter_contain:
+            # virtual indicator: 1 if the string token at this pos
+            # contains `filter`, else 0 (miw/log_format.cc:718-751)
+            return F.when(tok.contains(f.filter), F.lit(1)).otherwise(F.lit(0))
+        # atoi parity: garbage → 0 (miw/log_format.cc:503-511)
+        return F.coalesce(tok.cast("long"), F.lit(0))
+    if f.type == "float":
+        return F.coalesce(tok.cast("double"), F.lit(0.0))
+    if f.type == "bool":
+        # atoi != 0 (miw/log_format.cc:525-529)
+        return F.coalesce(tok.cast("long"), F.lit(0)) != 0
+    if f.type == "date":
+        ts = parse_date(tok, f.date_format)
+        bucketed = bucket_date(ts, f.processing, f.processing_offset)
+        # unparseable date: token passes through raw with a warning
+        # (miw/log_format.cc:443)
+        return F.coalesce(bucketed, tok)
+    if f.type == "time":
+        return bucket_time(tok, f.processing, f.processing_offset)
+    if f.type == "url":
+        return url_template(tok, f.url_format)
+    # plain string; string-typed fields may still carry date/time
+    # `processing` in production formats (domain_controller_format.json
+    # buckets string fields) — the reference routes on processing, not
+    # type, for key building; we bucket textually when it looks like a
+    # time, else pass through.
+    if f.processing in ("hour", "minute", "second") and f.date_format == "%m/%d/%Y":
+        return bucket_time(tok, f.processing, f.processing_offset)
+    if f.processing in ("day", "month", "year"):
+        ts = parse_date(tok, f.date_format)
+        return F.coalesce(bucket_date(ts, f.processing, f.processing_offset), tok)
+    return tok
+
+
+def project_fields(df: DataFrame, ldef: LogDef) -> DataFrame:
+    """tokens DataFrame (column ``_tokens``) → one typed column per
+    field. Rows with too few tokens for the format are dropped, as the
+    reference drops them with an error log (miw/log_format.cc:258-262).
+    """
+    df = df.filter(F.size(F.col(TOKENS_COL)) > ldef.max_pos)
+    cols = [derive_column(f).alias(f.name) for f in ldef.fields if f.projects]
+    return df.select(*cols)

@@ -1,0 +1,242 @@
+"""End-to-end golden tests mirroring the reference's gtest suite
+(reference: tests/ut-mr-parsing.cc) — each runs a tiny fixture log
+through a format and asserts exact aggregate values.
+
+Golden values are the reference's own published expectations (cited
+per test); floats are float64 — where the reference computed in
+float32 (ratio), the float64 oracle value is used and the divergence
+documented.
+"""
+
+import pytest
+
+from cybersecurity_miw_spark.job import MiwJob
+
+FIX = "tests/fixtures"
+
+
+def _fmt(name, fields, delims=",", **kw):
+    return {
+        "format_name": name,
+        "delims": delims,
+        "quotechar": kw.pop("quotechar", '"'),
+        **kw,
+        "fields": fields,
+    }
+
+
+def test_sum(spark):
+    # reference golden: v1=16, v2=17 (tests/ut-mr-parsing.cc:402-403)
+    fmt = _fmt(
+        "sum",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "v1", "pos": 1, "type": "int", "aggregated": True, "aggregation": "sum"},
+            {"name": "v2", "pos": 2, "type": "float", "aggregated": True, "aggregation": "sum"},
+        ],
+    )
+    rows = MiwJob(fmt, files=f"{FIX}/sum.log").run(spark).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["id"] == "1"
+    assert r["v1"] == 16
+    assert r["v2"] == pytest.approx(17.0)
+    assert r["logs"] == 6
+
+
+def test_variance(spark):
+    # reference golden: var=1.8666666666666671 on 3,1,5,3,2,2
+    # (tests/ut-mr-parsing.cc:159); float64: 1.8666666666666667
+    fmt = _fmt(
+        "variance",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "var", "pos": 1, "type": "float", "aggregated": True, "aggregation": "variance"},
+        ],
+    )
+    r = MiwJob(fmt, files=f"{FIX}/variance.log").run(spark).collect()[0].asDict()
+    assert r["var"] == pytest.approx(1.8666666666666667)
+
+
+def test_variance_mean_sum_same_pos(spark):
+    # three aggregates of the same token position
+    # (tests/ut-mr-parsing.cc:190-192)
+    fmt = _fmt(
+        "variance-mean",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "variance", "pos": 1, "type": "int", "aggregated": True, "aggregation": "variance"},
+            {"name": "mean", "pos": 1, "type": "int", "aggregated": True, "aggregation": "mean"},
+            {"name": "sum", "pos": 1, "type": "int", "aggregated": True, "aggregation": "sum"},
+        ],
+    )
+    r = MiwJob(fmt, files=f"{FIX}/variance.log").run(spark).collect()[0].asDict()
+    assert r["variance"] == pytest.approx(1.8666666666666667)
+    assert r["mean"] == pytest.approx(2.6666666666666665)
+    assert r["sum"] == 16
+
+
+def test_variance_single_row_group_is_zero(spark):
+    # reference formula discards Bessel at n=1 → 0, not NULL
+    # (miw/log_record.cc:637)
+    fmt = _fmt(
+        "variance",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "var", "pos": 1, "type": "float", "aggregated": True, "aggregation": "variance"},
+        ],
+    )
+    rows = MiwJob(fmt, lines=["7,4"]).run(spark).collect()
+    assert rows[0]["var"] == 0.0
+
+
+def test_ratio(spark):
+    # sums i1=16 i2=28 f1=16 f2=28 logs=6; float64 oracle
+    # 16/28 = 0.5714285714285714, 16/6 = 2.6666666666666665
+    # (reference float32 artifacts documented: ut-mr-parsing.cc:432-434)
+    fmt = _fmt(
+        "ratio",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "i1", "pos": 1, "type": "int", "aggregated": True, "aggregation": "sum"},
+            {"name": "i2", "pos": 2, "type": "int", "aggregated": True, "aggregation": "sum"},
+            {"name": "f1", "pos": 3, "type": "float", "aggregated": True, "aggregation": "sum"},
+            {"name": "f2", "pos": 4, "type": "float", "aggregated": True, "aggregation": "sum"},
+            {"name": "iratio", "type": "float", "aggregated": True, "aggregation": "ratio", "numerator": "i1", "denominator": "i2"},
+            {"name": "fratio", "type": "float", "aggregated": True, "aggregation": "ratio", "numerator": "f1", "denominator": "f2"},
+            {"name": "tratio", "type": "float", "aggregated": True, "aggregation": "ratio", "numerator": "f1", "denominator": "logs"},
+        ],
+    )
+    r = MiwJob(fmt, files=f"{FIX}/ratio.log").run(spark).collect()[0].asDict()
+    assert r["iratio"] == pytest.approx(0.5714285714285714)
+    assert r["fratio"] == pytest.approx(0.5714285714285714)
+    assert r["tratio"] == pytest.approx(2.6666666666666665)
+
+
+def test_filter_contain(spark):
+    # reference golden: denied_count=2, ok_count=3
+    # (tests/ut-mr-parsing.cc:223-224)
+    fmt = _fmt(
+        "filter",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "str", "pos": 1, "type": "string"},
+            {"name": "denied_count", "pos": 1, "type": "int", "filter": "denied", "filter_type": "contain"},
+            {"name": "ok_count", "pos": 1, "type": "int", "filter": "ok", "filter_type": "contain"},
+        ],
+    )
+    r = MiwJob(fmt, files=f"{FIX}/string.log").run(spark).collect()[0].asDict()
+    assert r["denied_count"] == 2
+    assert r["ok_count"] == 3
+
+
+def _match_fmt(match):
+    return _fmt(
+        "match",
+        [
+            {"name": "id", "pos": 0, "type": "string", "key": True},
+            {"name": "val", "pos": 1, "type": "string"},
+            {"name": "testmatch", "pos": 1, "type": "string", "match": match},
+        ],
+    )
+
+
+def test_match_substring_and(spark):
+    # "OK" ⊂ "OOKK" keeps rows 1,2; row 3 "KO" dropped
+    # (tests/ut-mr-parsing.cc:258-259)
+    fmt = _match_fmt({"match_str": "OK", "logic": "and"})
+    rows = MiwJob(fmt, files=f"{FIX}/matching.log").run(spark).collect()
+    assert sorted(r["id"] for r in rows) == ["1", "2"]
+    assert all(r["val"] == "OOKK" for r in rows)
+
+
+def test_match_exact(spark):
+    # only val=="OK" rows survive (tests/ut-mr-parsing.cc:330)
+    fmt = _match_fmt({"match_str": "OK", "logic": "and", "exact": True})
+    rows = MiwJob(fmt, files=f"{FIX}/matching_exact.log").run(spark).collect()
+    assert sorted(r["id"] for r in rows) == ["1", "2"]
+
+
+def test_match_exact_negative(spark):
+    # KO dropped; OK, OK, KO2 survive (KO2 != KO under exact)
+    # (tests/ut-mr-parsing.cc:370-371)
+    fmt = _match_fmt({"match_str": "KO", "logic": "and", "negative": True, "exact": True})
+    rows = MiwJob(fmt, files=f"{FIX}/matching_exact.log").run(spark).collect()
+    assert sorted(r["id"] for r in rows) == ["1", "2", "4"]
+
+
+def test_match_file_negative(spark):
+    # file-backed set {KO,NA}, negative substring → rows 2,3 dropped
+    # (miw/formats/tests/match_file.json; semantics
+    # miw/log_format.cc:369-397)
+    fmt = _match_fmt(
+        {"match_file": f"{FIX}/match_values.txt", "logic": "and", "negative": True}
+    )
+    rows = MiwJob(fmt, files=f"{FIX}/matching_file.log").run(spark).collect()
+    assert sorted(r["id"] for r in rows) == ["1", "4"]
+
+
+def test_proxy_demo_pipeline(spark):
+    """The README demo (README.md:85-103): quote-aware tokenization,
+    date day-bucket + time hour-bucket keys, mean/union aggregates →
+    2 groups of 2 from 4 logs, keys 2012-11-30_23_NqO3SB and
+    2012-11-30_23_-."""
+    fmt = _fmt(
+        "proxy_format",
+        [
+            {"name": "date", "pos": 0, "type": "date", "date_format": "%Y-%m-%d", "key": True, "processing": "day"},
+            {"name": "time", "pos": 1, "type": "time", "key": True, "processing": "hour"},
+            {"name": "time-taken", "pos": 2, "type": "int"},
+            {"name": "c-ip", "pos": 3, "type": "string"},
+            {"name": "sc-status", "pos": 4, "type": "string"},
+            {"name": "s-action", "pos": 5, "type": "string"},
+            {"name": "sc-bytes", "pos": 6, "type": "int", "aggregated": True, "aggregation": "mean"},
+            {"name": "cs-bytes", "pos": 7, "type": "int", "aggregated": True, "aggregation": "mean"},
+            {"name": "cs-method", "pos": 8, "type": "string"},
+            {"name": "cs-uri-scheme", "pos": 9, "type": "string"},
+            {"name": "cs-host", "pos": 10, "type": "string"},
+            {"name": "cs-uri-port", "pos": 11, "type": "int"},
+            {"name": "cs-uri-path", "pos": 12, "type": "string"},
+            {"name": "cs-uri-query", "pos": 13, "type": "string"},
+            {"name": "cs-username", "pos": 14, "type": "string", "key": True},
+            {"name": "cs-auth-group", "pos": 15, "type": "string"},
+            {"name": "s-supplier-name", "pos": 16, "type": "string"},
+            {"name": "rs(Content-Type)", "pos": 17, "type": "string"},
+            {"name": "cs(Referer)", "pos": 18, "type": "string"},
+            {"name": "cs(User-Agent)", "pos": 19, "type": "string"},
+            {"name": "sc-filter-result", "pos": 20, "type": "string", "aggregated": True, "aggregation": "union"},
+            {"name": "cs-categories", "pos": 21, "type": "string", "aggregated": True, "aggregation": "union"},
+            {"name": "x-virus-id", "pos": 22, "type": "string", "aggregated": True, "aggregation": "union"},
+            {"name": "s-ip", "pos": 23, "type": "string"},
+        ],
+        delims=" ",
+        commentchar="#",
+    )
+    df = MiwJob(fmt, files=f"{FIX}/web_proxy.log").run(spark)
+    rows = {r["id"]: r.asDict() for r in df.collect()}
+    assert set(rows) == {"2012-11-30_23_NqO3SB", "2012-11-30_23_-"}
+    assert rows["2012-11-30_23_NqO3SB"]["logs"] == 2
+    assert rows["2012-11-30_23_-"]["logs"] == 2
+    # quote re-joining: the quoted User-Agent stays one token, so
+    # sc-filter-result lands at pos 20
+    assert rows["2012-11-30_23_-"]["sc-filter-result"] == ["DENIED"]
+    assert rows["2012-11-30_23_NqO3SB"]["cs-categories"] == [
+        "Advertisements",
+        "Information Technology",
+    ]
+    # mean of sc-bytes for the denied group: (1000+1400)/2
+    assert rows["2012-11-30_23_-"]["sc-bytes"] == pytest.approx(1200.0)
+
+
+def test_appname_suffix(spark):
+    # appname suffixes the composite key (miw/log_format.cc:591-592)
+    fmt = _fmt(
+        "sum",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "v1", "pos": 1, "type": "int", "aggregated": True, "aggregation": "sum"},
+        ],
+    )
+    rows = MiwJob(fmt, lines=["1,2", "1,3"], appname="app7").run(spark).collect()
+    assert rows[0]["id"] == "1_app7"
+    assert rows[0]["v1"] == 5

@@ -132,19 +132,7 @@ def aggregate(df: DataFrame, ldef: LogDef, union_count_strategy: str = "two-phas
         # equal key set and partially aggregate map-side; the join back
         # is co-partitioned on the group keys.
         for f in ucount_fields:
-            hist = (
-                df.groupBy(*[F.col(k) for k in keys], F.col(f.name))
-                .agg(F.count(F.lit(1)).alias("_cnt"))
-                .groupBy(*[F.col(k) for k in keys])
-                .agg(
-                    F.map_from_entries(
-                        F.sort_array(
-                            F.collect_list(F.struct(F.col(f.name), F.col("_cnt")))
-                        )
-                    ).alias(f"{f.name}_counts")
-                )
-            )
-            out = out.join(hist, on=keys, how="left")
+            out = out.join(value_histogram(df, keys, f.name), on=keys, how="left")
 
     # ratio post-projection (A10): operands are aggregated field names
     # or the literal "logs"
@@ -159,6 +147,23 @@ def aggregate(df: DataFrame, ldef: LogDef, union_count_strategy: str = "two-phas
         )
 
     return out.withColumn(ID_COL, id_column(ldef))
+
+
+def value_histogram(df: DataFrame, keys: list[str], col: str) -> DataFrame:
+    """Standalone union_count (A9): per-group value histogram as a
+    map<value,count> column named ``<col>_counts``. Two-phase plan:
+    (keys, value) pre-aggregation (map-side combined, skew-free even
+    when one group dominates) then a map roll-up on keys."""
+    return (
+        df.groupBy(*[F.col(k) for k in keys], F.col(col))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col(col), F.col("_cnt"))))
+            ).alias(f"{col}_counts")
+        )
+    )
 
 
 def _ratio_operand(name: str) -> Column:

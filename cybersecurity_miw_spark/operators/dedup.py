@@ -1,0 +1,267 @@
+"""Deduplication operators — exact and near-duplicate — designed for
+the 100 TB training-data path.
+
+Strategies:
+
+* **exact**: hash-groupBy on a normalized fingerprint; keeps the
+  smallest doc_id per group. One shuffle on a short hash key; skew-
+  free by construction (md5 keys are uniform).
+* **MinHash + LSH**: word-shingle → per-seed min of md5(seed || shingle)
+  → band signatures → candidate pairs via a self-join on (band,
+  band_hash) buckets → exact Jaccard confirm. The only shuffles are
+  the explode/groupBy on band buckets and the confirm join; bucket
+  keys are uniform hashes, and candidate pairs per bucket are bounded
+  by bucket width. md5 is deterministic and identical in DuckDB, so
+  signatures are oracle-checkable.
+* **SimHash**: 64-bit sign-sum over token hashes via explode +
+  groupBy(bit-majority) expressed with xxhash64 bit arithmetic.
+* **n-gram Jaccard**: exact pairwise Jaccard within LSH candidate
+  buckets (or a caller-provided blocking key) — never all-pairs.
+* **embedding cosine near-dup**: see operators.similarity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators.textstats import fingerprint, shingles
+
+
+# ---- exact dedup ----
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact-duplicate group of
+    normalized text. Returns the surviving rows."""
+    fp = fingerprint(F.col(text_col)).alias("_fp")
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clusters: fingerprint, group size, representative
+    id. Groups of size 1 are unique documents."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("representative"),
+        )
+    )
+
+
+# ---- MinHash / LSH ----
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+    """Array of ``num_hashes`` MinHash values. Hash h_i(s) =
+    md5(i || ':' || s); the min over the doc's shingle set is taken
+    lexicographically on the hex digest. Deterministic, seedless,
+    reproducible in any engine with md5."""
+    sh = shingles(text, shingle_k)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs —
+    band_hash = md5 of the concatenated row hashes."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing at least
+    one LSH band bucket. Plan: narrow signature computation → explode
+    bands (xN) → self-join on (band, band_hash) — the join key is a
+    uniform hash so the shuffle is skew-free; same-bucket pair count
+    bounds the output."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    banded = df.select(
+        F.col(id_col),
+        F.explode(lsh_bands(sig, bands, rows_per_band)).alias("b"),
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---- exact Jaccard confirm (on candidates or a blocking key) ----
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given (id_a, id_b) pairs.
+    Shingle sets ride along the joins as array columns; the
+    intersection/union sizes are computed with array expressions —
+    no explode of the cross product."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh")
+    )
+    out = (
+        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
+    )
+
+
+def near_dedup_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dedup: LSH candidates → exact Jaccard ≥ threshold →
+    drop the larger id of each confirmed pair. Returns survivors."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, shingle_k)
+    confirmed = jaccard_pairs(df, cand, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+    losers = confirmed.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# ---- SimHash ----
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """SimHash over whitespace tokens using xxhash64: per bit, a
+    majority vote of token-hash bits. One pass: fold the token-hash
+    array into a ``bits``-wide vote vector with aggregate+zip_with,
+    then reassemble the fingerprint. Pure array/bit expressions."""
+    tokens = F.split(F.lower(F.trim(text)), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+
+    def bit_votes(h: Column) -> Column:
+        # ±1 per bit of one token hash
+        return F.transform(
+            idx,
+            lambda i: F.when(
+                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
+    )
+    # fingerprint = Σ (vote_i > 0) << i, done as an array fold
+    weighted = F.zip_with(
+        votes,
+        idx,
+        lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return F.aggregate(
+        weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def simhash_dedup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup candidates = docs sharing any of the 4 16-bit SimHash
+    bands (classic Hamming-distance blocking)."""
+    sh = F.col("_simhash")
+    base = df.select(F.col(id_col), simhash(F.col(text_col)).alias("_simhash"))
+    bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = base.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(sh, i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.val")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.val") == F.col("b.val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )

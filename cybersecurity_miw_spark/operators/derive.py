@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cybersecurity_miw_spark.functions.datetime import bucket_date, bucket_time, parse_date
+from cybersecurity_miw_spark.functions.kv import evtx_kv, evtx2_kv
 from cybersecurity_miw_spark.functions.net import dns_wire_to_name
 from cybersecurity_miw_spark.functions.strings import strip_quotes
 from cybersecurity_miw_spark.functions.url import url_template
@@ -38,22 +39,9 @@ def derive_column(f: Field) -> Column:
     tok = raw_token(f)
 
     if f.preprocessing == "evtxcsv":
-        # "...-> k1=v1 k2=v2" → map<k,v> (miw/log_format.cc:606-644)
-        payload = F.trim(F.regexp_extract(tok, r"->\s*(.*)$", 1))
-        return F.when(payload == "", None).otherwise(
-            F.str_to_map(payload, F.lit(" +"), F.lit("="))
-        )
+        return evtx_kv(tok)
     if f.preprocessing == "evtxcsv2":
-        # "[k1: v1] [k2: v2]" → map<k,v> (miw/log_format.cc:646-678)
-        pairs = F.regexp_extract_all(tok, F.lit(r"\[([^:\]]+):\s*([^\]]*)\]"), 0)
-        entries = F.transform(
-            pairs,
-            lambda p: F.struct(
-                F.regexp_extract(p, r"\[([^:]+):", 1).alias("key"),
-                F.trim(F.regexp_extract(p, r":\s*([^\]]*)\]", 1)).alias("value"),
-            ),
-        )
-        return F.when(F.size(entries) > 0, F.map_from_entries(entries))
+        return evtx2_kv(tok)
     if f.preprocessing == "microsoftdnslogs":
         return dns_wire_to_name(tok)
 

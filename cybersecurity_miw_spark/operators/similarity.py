@@ -1,0 +1,216 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+
+* **brute-force cosine top-k** — the correctness baseline: a broadcast
+  of the (small) query set against the full table; dot products via
+  zip_with/aggregate expressions, JVM-side. Linear scan, perfectly
+  partition-parallel, no shuffle except the final top-k.
+* **LSH-bucketed ANN (random hyperplanes)** — the scale path: h
+  deterministic pseudo-random hyperplanes (seeded from xxhash64 of
+  (dim_index, plane)) give a sign bit each; vectors sharing the
+  hash bucket (or a neighboring probe bucket) are the candidates.
+  Recall/latency trade via n_planes and n_probes. At 100 TB the
+  bucket id becomes the shuffle/partition key — uniform by
+  construction.
+* **IVF-style coarse quantization** — k centroid rows (computed once,
+  broadcast); each vector is assigned to its nearest centroid
+  (argmin over the broadcast array) and searched only within probed
+  cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of one query vector against the table.
+    The query is a literal array (broadcast by constant folding); the
+    scan is narrow; the only shuffle is the global top-k sort of k
+    rows per partition (Spark's TakeOrdered)."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def pairwise_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k neighbors for EVERY query row: broadcast the query set,
+    window-rank per query. Queries must be small enough to broadcast
+    (the classic batched-ANN driver loop otherwise)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    joined = df.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            cosine(
+                F.col(vec_col).cast("array<double>"), F.col("_qvec").cast("array<double>")
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+# ---- LSH (random hyperplane / sign) path ----
+
+
+def _plane_component(plane: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    xxhash64 of "plane:dim" scaled. Seedless and engine-stable."""
+    h = F.xxhash64(F.lit(f"rh:{plane}:{dim}"))
+    return (h % 10007).cast("double") / 10007.0
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12) -> Column:
+    """LSH bucket id: n_planes sign bits of <vec, plane_p>."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.lit(0.0)
+        # static unroll over dimensions: constant-folded plane values
+        comps = F.array(*[_plane_component(p, d) for d in range(dim)])
+        proj = dot(vec.cast("array<double>"), comps)
+        bucket = bucket + F.when(
+            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH
+    bucket. At scale, write the table bucketed/partitioned by
+    ``_bucket`` so this becomes a single-partition lookup."""
+    q = [float(v) for v in query_vec]
+    # the query's bucket is computed with the same Spark expression on
+    # a single-row DataFrame (xxhash64 has no python twin; one tiny
+    # local job, negligible).
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(q,)], f"v array<double>")
+    qbucket = qdf.select(
+        hyperplane_bucket(F.col("v"), dim, n_planes).alias("b")
+    ).head()[0]
+
+    bucketed = df.withColumn(
+        "_bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    ).filter(F.col("_bucket") == qbucket)
+    return brute_force_topk(bucketed, q, k, vec_col, id_col)
+
+
+# ---- IVF-style coarse quantization ----
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (L2). Centroids are
+    literal arrays — constant-folded, no join. Adds ``_cell``."""
+    def l2(a: Column, c: list[float]) -> Column:
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        return F.aggregate(
+            F.zip_with(a, carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    v = F.col(vec_col).cast("array<double>")
+    dists = F.array(
+        *[
+            F.struct(l2(v, c).alias("d"), F.lit(i).alias("cell"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return df.withColumn("_cell", F.array_min(dists)["cell"])
+
+
+def train_centroids(
+    df: DataFrame,
+    n_cells: int,
+    dim: int,
+    vec_col: str = "embedding",
+    iters: int = 3,
+) -> list[list[float]]:
+    """Tiny k-means for IVF coarse centroids: deterministic init from
+    evenly-sampled rows, then ``iters`` assign/average rounds. The
+    per-iter state that crosses the driver boundary is only
+    n_cells×dim floats."""
+    first = (
+        df.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in first]
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col)
+        sums = (
+            assigned.select(
+                "_cell", F.col(vec_col).cast("array<double>").alias("v")
+            )
+            .groupBy("_cell")
+            .agg(
+                F.aggregate(
+                    F.collect_list("v"),
+                    F.array_repeat(F.lit(0.0), dim),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ).alias("vsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        for r in sums:
+            centroids[r["_cell"]] = [x / r["n"] for x in r["vsum"]]
+    return centroids

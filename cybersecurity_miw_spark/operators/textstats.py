@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (BASELINE.json north star): language ID,
+quality scoring, token counting, and document fingerprinting over a
+`documents(doc_id, text, ...)` table. All pure JVM expressions —
+`regexp_count`, `split`, `md5`, `transform` — so they run inside
+whole-stage codegen at 100 TB without Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID (deterministic, oracle-expressible)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "los", "que", "de"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def _word_hits(text: Column, words: list[str]) -> Column:
+    """Count of whole-word occurrences of any marker word."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern))
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-scored language guess: the language whose marker set
+    hits most; ties and zero-hits → 'und' (undetermined)."""
+    scores = F.array(
+        *[
+            F.struct(
+                _word_hits(text, w).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, w in sorted(LANG_MARKERS.items())
+        ]
+    )
+    best = F.array_max(scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punctuation-run
+    matches (a regex analog of common pre-tokenizers)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: penalize very short docs,
+    high punctuation ratio, and low alphabetic ratio. Deterministic
+    arithmetic only."""
+    n = F.length(text)
+    alpha = F.regexp_count(text, F.lit(r"[A-Za-z]"))
+    punct = F.regexp_count(text, F.lit(r"[^\sA-Za-z0-9]"))
+    alpha_ratio = alpha / F.greatest(n, F.lit(1))
+    punct_ratio = punct / F.greatest(n, F.lit(1))
+    len_score = F.least(n / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        F.greatest(
+            F.least(
+                0.5 * alpha_ratio + 0.3 * len_score + 0.2 * (1.0 - punct_ratio),
+                F.lit(1.0),
+            ),
+            F.lit(0.0),
+        ),
+        6,
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text) —
+    whitespace-collapsed, lowercased. Cross-engine stable (DuckDB md5
+    matches), so exact-dup detection can be oracle-checked."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(norm)
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-shingles as an array<string> (distinct). Built with
+    sequence+transform over the split array — no UDF."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-stop text profile: adds lang_guess, n_tokens, quality,
+    fingerprint columns."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        lang_id(t).alias("lang_guess"),
+        token_count(t).alias("n_tokens"),
+        word_token_count(t).alias("n_subtokens"),
+        quality_score(t).alias("quality"),
+        fingerprint(t).alias("fingerprint"),
+    )

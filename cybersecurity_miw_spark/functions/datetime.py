@@ -65,10 +65,15 @@ def strptime_to_java(fmt: str) -> str:
 
 def parse_date(col: Column, date_format: str) -> Column:
     """Parse a raw token to TimestampType: strptime pattern, or literal
-    "unix" = epoch seconds (miw/log_format.cc:405-415)."""
+    "unix" = epoch seconds (miw/log_format.cc:405-415). Null-safe under
+    ANSI mode: an unparseable token yields NULL (the caller passes the
+    raw token through, mirroring the reference's warn-and-keep path at
+    miw/log_format.cc:443) instead of aborting the job."""
     if date_format == "unix":
-        return F.to_timestamp(F.from_unixtime(col.cast("long")))
-    return F.to_timestamp(col, strptime_to_java(date_format))
+        # timestamp_seconds is timezone-free (epoch → instant), unlike
+        # from_unixtime which renders in the session zone.
+        return F.timestamp_seconds(F.trim(col).try_cast("long"))
+    return F.try_to_timestamp(col, F.lit(strptime_to_java(date_format)))
 
 
 def bucket_date(ts: Column, processing: str, offset: int = 1) -> Column:
@@ -102,19 +107,24 @@ def bucket_date(ts: Column, processing: str, offset: int = 1) -> Column:
 
 def bucket_time(col: Column, processing: str, offset: int = 1) -> Column:
     """Bucket an HH:MM:SS time string textually
-    (miw/log_format.cc:445-472): hour→"HH", minute→"HH:MM" (floored to
-    offset), second→"HH:MM:SS" (floored to offset); zero-padded."""
-    parts = F.split(F.trim(col), ":")
-    hh = parts[0]
+    (miw/log_format.cc:445-472): hour→"HH" (floored to offset,
+    zero-padded), minute→"HH:MM" (MM floored, padded; hour token kept
+    raw), second→"HH:MM:SS" (SS floored, padded). A token that does not
+    split into exactly 3 parts passes through chomped, as the reference
+    warns and keeps it. All casts are try_cast (ANSI-safe)."""
+    chomped = F.trim(col)
+    parts = F.split(chomped, ":")
+    ok = F.size(parts) == 3
+    p0, p1, p2 = F.get(parts, 0), F.get(parts, 1), F.get(parts, 2)
     if processing == "hour":
-        return hh
-    mm = _pad2(_floored(parts[1].cast("int"), offset))
-    if processing == "minute":
-        return F.concat_ws(":", hh, mm)
-    ss = _pad2(_floored(parts[2].cast("int"), offset))
-    if processing == "second":
-        return F.concat_ws(":", parts[0], parts[1], ss)
-    return F.trim(col)
+        b = _pad2(_floored(p0.try_cast("int"), offset))
+    elif processing == "minute":
+        b = F.concat_ws(":", p0, _pad2(_floored(p1.try_cast("int"), offset)))
+    elif processing == "second":
+        b = F.concat_ws(":", p0, p1, _pad2(_floored(p2.try_cast("int"), offset)))
+    else:
+        return chomped
+    return F.when(ok, b).otherwise(chomped)
 
 
 def _floored(val: Column, offset: int) -> Column:

@@ -76,3 +76,16 @@ def contains_any(col: Column, values: list[str], exact: bool = False) -> Column:
         return col.isin(values)
     alternation = "|".join(re.escape(v) for v in values)
     return col.rlike(alternation)
+
+
+def contains_all(col: Column, values: list[str]) -> Column:
+    """``col`` contains EVERY value as a substring — the reference's
+    positive AND-logic / key-field substring match returns NULL (drops
+    the row) on the first non-contained value
+    (miw/log_format.cc:341-353)."""
+    if not values:
+        return F.lit(False)
+    cond = col.contains(values[0])
+    for v in values[1:]:
+        cond = cond & col.contains(v)
+    return cond

@@ -31,11 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cybersecurity_miw_spark.operators.aggregate import aggregate
-from cybersecurity_miw_spark.operators.derive import TOKENS_COL
-from cybersecurity_miw_spark.operators.matching import apply_matches
 from cybersecurity_miw_spark.plans.logdef import LogDef
 from cybersecurity_miw_spark.sources import sinks
-from cybersecurity_miw_spark.sources.text import LINE_COL, from_lines, read_logs
+from cybersecurity_miw_spark.sources.text import from_lines, read_logs
 
 
 class MiwJob:
@@ -78,24 +76,9 @@ class MiwJob:
         """Tokenized, match-filtered, typed rows (pre-aggregation).
         With ``store_content`` the raw line rides along as ``_raw``
         (reference -store_content, miw/log_format.cc:596-597)."""
-        from cybersecurity_miw_spark.functions.strings import token_pattern
-        from cybersecurity_miw_spark.operators.derive import derive_column
+        from cybersecurity_miw_spark.plans.compiler import parse
 
-        df = self.source(spark)
-        pattern = token_pattern(self.ldef.delims, self.ldef.quotechar)
-        cols = [
-            F.regexp_extract_all(F.col(LINE_COL), F.lit(pattern), 0).alias(TOKENS_COL)
-        ]
-        if self.store_content:
-            cols.append(F.col(LINE_COL).alias("_raw"))
-        toks = apply_matches(df.select(*cols), self.ldef)
-        toks = toks.filter(F.size(F.col(TOKENS_COL)) > self.ldef.max_pos)
-        out_cols = [
-            derive_column(f).alias(f.name) for f in self.ldef.fields if f.projects
-        ]
-        if self.store_content:
-            out_cols.append(F.col("_raw"))
-        return toks.select(*out_cols)
+        return parse(self.source(spark), self.ldef, keep_raw=self.store_content)
 
     def result(self, spark: SparkSession) -> DataFrame:
         """The aggregated (unordered) result DataFrame."""

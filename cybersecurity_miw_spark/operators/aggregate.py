@@ -130,17 +130,23 @@ def aggregate(df: DataFrame, ldef: LogDef, union_count_strategy: str = "two-phas
         # Scale path: per-field (keys, value) pre-aggregation then a
         # map roll-up. Both groupBys hash-partition on a superset /
         # equal key set and partially aggregate map-side; the join back
-        # is co-partitioned on the group keys.
+        # is co-partitioned on the group keys. Keyless formats (legal
+        # in the reference) produce a single global histogram row,
+        # attached with a broadcast cross join.
         for f in ucount_fields:
-            out = out.join(value_histogram(df, keys, f.name), on=keys, how="left")
+            hist = value_histogram(df, keys, f.name)
+            if keys:
+                out = out.join(hist, on=keys, how="left")
+            else:
+                out = out.crossJoin(F.broadcast(hist))
 
     # ratio post-projection (A10): operands are aggregated field names
     # or the literal "logs"
     for f in ldef.fields:
         if f.aggregation != "ratio":
             continue
-        num = F.lit(1.0) * _ratio_operand(f.numerator)
-        den = _ratio_operand(f.denominator)
+        num = F.lit(1.0) * _ratio_operand(f.numerator, ldef)
+        den = _ratio_operand(f.denominator, ldef)
         out = out.withColumn(
             f.name,
             F.when(den == 0, F.lit(0.0)).otherwise(num / den),
@@ -166,8 +172,21 @@ def value_histogram(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     )
 
 
-def _ratio_operand(name: str) -> Column:
-    return F.col(LOGS_COL) if name == "logs" else F.col(name)
+def _ratio_operand(name: str, ldef: LogDef) -> Column:
+    """Resolve a ratio numerator/denominator to its output column: the
+    literal "logs" = group row count, otherwise a field — whose output
+    alias is ``<name>_count`` when that field is count-aggregated
+    (the reference's compute_ratio reads any numeric field's state,
+    miw/log_record.cc:747-823)."""
+    if name == "logs":
+        return F.col(LOGS_COL)
+    try:
+        f = ldef.field_by_name(name)
+    except KeyError:
+        return F.col(name)
+    if f.aggregation == "count":
+        return F.col(f"{name}_count")
+    return F.col(name)
 
 
 def order_final(df: DataFrame) -> DataFrame:

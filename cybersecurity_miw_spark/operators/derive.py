@@ -26,12 +26,37 @@ from cybersecurity_miw_spark.plans.logdef import Field, LogDef
 
 TOKENS_COL = "_tokens"
 
+# Leading-number extraction for atoi/atof parity: C atoi/atof skip
+# leading whitespace, accept an optional sign, and stop at the first
+# non-numeric char, returning 0 when nothing parses
+# (miw/log_format.cc:503-538). ANSI-mode cast would instead abort the
+# whole job on the first dirty token, so we extract the numeric prefix
+# and try_cast it (null-safe), defaulting to 0.
+_ATOI_RE = r"^[-+]?\d+"
+_ATOF_RE = r"^[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?"
+
+
+def atoi(col: Column) -> Column:
+    """C `atoi` as a null-safe column: leading integer prefix, else 0."""
+    return F.coalesce(
+        F.regexp_extract(F.trim(col), _ATOI_RE, 0).try_cast("long"), F.lit(0)
+    )
+
+
+def atof(col: Column) -> Column:
+    """C `atof` as a null-safe column: leading float prefix, else 0.0."""
+    return F.coalesce(
+        F.regexp_extract(F.trim(col), _ATOF_RE, 0).try_cast("double"), F.lit(0.0)
+    )
+
 
 def raw_token(f: Field) -> Column:
     """Token at the field's resolved position, quote-stripped and
     trimmed (reference strips '"' from every token unconditionally,
-    miw/log_format.cc:272-275)."""
-    return F.trim(strip_quotes(F.col(TOKENS_COL)[f.resolved_pos]))
+    miw/log_format.cc:272-275). ``F.get`` (not ``[]``) so that a short
+    line probed by a match predicate yields NULL instead of an ANSI
+    INVALID_ARRAY_INDEX abort."""
+    return F.trim(strip_quotes(F.get(F.col(TOKENS_COL), f.resolved_pos)))
 
 
 def derive_column(f: Field) -> Column:
@@ -50,13 +75,13 @@ def derive_column(f: Field) -> Column:
             # virtual indicator: 1 if the string token at this pos
             # contains `filter`, else 0 (miw/log_format.cc:718-751)
             return F.when(tok.contains(f.filter), F.lit(1)).otherwise(F.lit(0))
-        # atoi parity: garbage → 0 (miw/log_format.cc:503-511)
-        return F.coalesce(tok.cast("long"), F.lit(0))
+        # atoi parity: "12abc" → 12, garbage → 0 (miw/log_format.cc:503-511)
+        return atoi(tok)
     if f.type == "float":
-        return F.coalesce(tok.cast("double"), F.lit(0.0))
+        return atof(tok)
     if f.type == "bool":
         # atoi != 0 (miw/log_format.cc:525-529)
-        return F.coalesce(tok.cast("long"), F.lit(0)) != 0
+        return atoi(tok) != 0
     if f.type == "date":
         ts = parse_date(tok, f.date_format)
         bucketed = bucket_date(ts, f.processing, f.processing_offset)
@@ -80,11 +105,15 @@ def derive_column(f: Field) -> Column:
     return tok
 
 
-def project_fields(df: DataFrame, ldef: LogDef) -> DataFrame:
+def project_fields(
+    df: DataFrame, ldef: LogDef, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """tokens DataFrame (column ``_tokens``) → one typed column per
     field. Rows with too few tokens for the format are dropped, as the
     reference drops them with an error log (miw/log_format.cc:258-262).
+    ``passthrough`` columns (e.g. the raw line) are kept as-is.
     """
     df = df.filter(F.size(F.col(TOKENS_COL)) > ldef.max_pos)
     cols = [derive_column(f).alias(f.name) for f in ldef.fields if f.projects]
+    cols += [F.col(c) for c in passthrough]
     return df.select(*cols)

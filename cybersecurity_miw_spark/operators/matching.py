@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cybersecurity_miw_spark.functions.strings import contains_any
+from cybersecurity_miw_spark.functions.strings import contains_all, contains_any
 from cybersecurity_miw_spark.operators.derive import raw_token
 from cybersecurity_miw_spark.plans.logdef import LogDef
 
@@ -43,10 +43,17 @@ def match_condition(ldef: LogDef) -> Column | None:
         if not values:
             continue
         tok = raw_token(f)
-        hit = contains_any(tok, values, exact=m.exact)
+        is_and = m.logic == "and" or f.key
+        if not m.negative and not m.exact and is_and:
+            # positive substring AND-match: the token must contain ALL
+            # values (the reference bails on the first non-contained
+            # value, miw/log_format.cc:341-353)
+            hit = contains_all(tok, values)
+        else:
+            hit = contains_any(tok, values, exact=m.exact)
         cond = ~hit if m.negative else hit
         # key fields match with implicit AND (miw/log_format.cc:348,374)
-        if m.logic == "and" or f.key:
+        if is_and:
             and_conds.append(cond)
         else:
             or_conds.append(cond)

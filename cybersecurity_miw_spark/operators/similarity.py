@@ -196,21 +196,23 @@ def train_centroids(
     centroids = [list(r["v"]) for r in first]
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, vec_col)
+        # Scale path: posexplode to (cell, dim, component) and sum —
+        # never materializes a cell's vectors in one executor buffer
+        # (each partial aggregate holds n_cells×dim doubles at most).
         sums = (
             assigned.select(
-                "_cell", F.col(vec_col).cast("array<double>").alias("v")
+                "_cell",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "_dim", "_x"
+                ),
             )
-            .groupBy("_cell")
-            .agg(
-                F.aggregate(
-                    F.collect_list("v"),
-                    F.array_repeat(F.lit(0.0), dim),
-                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-                ).alias("vsum"),
-                F.count(F.lit(1)).alias("n"),
-            )
+            .groupBy("_cell", "_dim")
+            .agg(F.sum("_x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
+        acc: dict[int, list[float]] = {}
         for r in sums:
-            centroids[r["_cell"]] = [x / r["n"] for x in r["vsum"]]
+            acc.setdefault(r["_cell"], [0.0] * dim)[r["_dim"]] = r["s"] / r["n"]
+        for cell, vec in acc.items():
+            centroids[cell] = vec
     return centroids

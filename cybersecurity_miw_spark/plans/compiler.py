@@ -46,19 +46,24 @@ from cybersecurity_miw_spark.plans.logdef import LogDef
 from cybersecurity_miw_spark.sources.text import LINE_COL
 
 
-def tokenize_lines(df: DataFrame, ldef: LogDef) -> DataFrame:
-    """line DataFrame (column ``value``) → token-array DataFrame."""
+def tokenize_lines(df: DataFrame, ldef: LogDef, keep_raw: bool = False) -> DataFrame:
+    """line DataFrame (column ``value``) → token-array DataFrame; with
+    ``keep_raw`` the original line rides along as ``_raw`` (reference
+    -store_content, miw/log_format.cc:596-597)."""
     pattern = token_pattern(ldef.delims, ldef.quotechar)
-    return df.select(
+    cols = [
         F.regexp_extract_all(F.col(LINE_COL), F.lit(pattern), 0).alias(TOKENS_COL)
-    )
+    ]
+    if keep_raw:
+        cols.append(F.col(LINE_COL).alias("_raw"))
+    return df.select(*cols)
 
 
-def parse(df: DataFrame, ldef: LogDef) -> DataFrame:
+def parse(df: DataFrame, ldef: LogDef, keep_raw: bool = False) -> DataFrame:
     """Tokenize + match-filter + typed projection (no aggregation)."""
-    toks = tokenize_lines(df, ldef)
+    toks = tokenize_lines(df, ldef, keep_raw)
     toks = apply_matches(toks, ldef)
-    return project_fields(toks, ldef)
+    return project_fields(toks, ldef, passthrough=("_raw",) if keep_raw else ())
 
 
 def compile_pipeline(

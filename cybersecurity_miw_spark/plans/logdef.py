@@ -31,8 +31,23 @@ Field semantics (reference: miw/log_definition.proto:33-58):
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field as dc_field
 from pathlib import Path
+
+
+def lenient_json_loads(text: str) -> dict:
+    """Parse format JSON the way the reference's jsoncpp does: tolerate
+    trailing commas and // comments (anon_bluecoat_format.json in the
+    reference tree carries a trailing comma). Strict parse first; on
+    failure, strip comments outside strings and commas dangling before
+    a closing brace/bracket, then reparse."""
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        no_comments = re.sub(r'("(?:[^"\\]|\\.)*")|//[^\n]*', r"\1", text)
+        no_trailing = re.sub(r",(\s*[}\]])", r"\1", no_comments)
+        return json.loads(no_trailing)
 
 FIELD_TYPES = {"int", "string", "bool", "float", "date", "time", "url"}
 AGGREGATIONS = {
@@ -232,4 +247,4 @@ class LogDef:
     @classmethod
     def load(cls, path: str | Path) -> "LogDef":
         p = Path(path)
-        return cls.from_json(json.loads(p.read_text()), base_dir=str(p.parent))
+        return cls.from_json(lenient_json_loads(p.read_text()), base_dir=str(p.parent))

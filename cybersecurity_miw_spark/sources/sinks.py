@@ -21,17 +21,28 @@ from cybersecurity_miw_spark.plans.logdef import LogDef
 
 
 def _std_date_dt(ldef: LogDef, df: DataFrame) -> Column:
+    """std_date_dt assembly (miw/log_record.cc:556-561,649-679): the
+    LAST date-typed and LAST time-typed field values win; an
+    hour-processed time expands to HH:00:00 and a minute-processed one
+    to HH:MM:00; a date value that already carries a time component
+    (hour/minute/second-bucketed, contains 'T') is emitted alone as
+    ``<date>Z`` without appending the time part."""
     date_part: Column = F.lit("0000-00-00")
     time_part: Column = F.lit("00:00:00")
     for f in ldef.fields:
         if f.type == "date" and f.name in df.columns:
             date_part = F.coalesce(F.col(f.name).cast("string"), date_part)
-            break
     for f in ldef.fields:
         if f.type == "time" and f.name in df.columns:
-            time_part = F.coalesce(F.col(f.name).cast("string"), time_part)
-            break
-    return F.concat(date_part, F.lit("T"), time_part, F.lit("Z"))
+            t = F.col(f.name).cast("string")
+            if f.processing == "hour":
+                t = F.concat(t, F.lit(":00:00"))
+            elif f.processing == "minute":
+                t = F.concat(t, F.lit(":00"))
+            time_part = F.coalesce(t, time_part)
+    return F.when(
+        date_part.contains("T"), F.concat(date_part, F.lit("Z"))
+    ).otherwise(F.concat(date_part, F.lit("T"), time_part, F.lit("Z")))
 
 
 def finalize(df: DataFrame, ldef: LogDef) -> DataFrame:

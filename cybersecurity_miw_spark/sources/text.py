@@ -36,15 +36,24 @@ def read_logs(
     format's comment/blank filtering applied."""
     if isinstance(paths, str):
         paths = [p for p in paths.split(",") if p]
-    df = spark.read.text(paths)
     if skip_header:
-        # the reference drops line 0 of the first split
+        # the reference drops line 0 of each file
         # (miw/log_format.cc:194-198). Spark's text source has no row
-        # ordinal, so we drop lines equal to the first line of the
-        # first file — one tiny driver-side read, no shuffle.
-        first = spark.read.text(paths[0]).head(1)
-        if first:
-            df = df.filter(F.col(LINE_COL) != first[0][0])
+        # ordinal, but the CSV reader with header=true skips the first
+        # line of EVERY file JVM-side. With a delimiter/quote that
+        # cannot occur in log text, each remaining line arrives intact
+        # as the single `value` column — no driver reads, no shuffle,
+        # and data lines that merely equal the header text survive.
+        df = (
+            spark.read.option("header", True)
+            .option("sep", "\u0001")
+            .option("quote", "\u0000")
+            .option("escape", "\u0000")
+            .schema(_LINE_SCHEMA)
+            .csv(paths)
+        )
+    else:
+        df = spark.read.text(paths)
     return clean_lines(df, ldef)
 
 

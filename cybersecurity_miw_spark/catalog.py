@@ -1,0 +1,836 @@
+"""Oracle-checked query catalog — the driver contract behind
+``__spark_entry__.py``.
+
+One entry per implemented operator family from SURVEY.md §2 plus the
+LLM-data-pipeline operators. Each query is a ``(spark, sf_dir) ->
+DataFrame`` callable registered together with an ANSI-SQL oracle that
+DuckDB runs over the same parquet tables; the driver hash-compares the
+two result sets, so every computed column is aliased identically on
+both sides and floats are rounded the same way.
+
+The miw-pipeline queries synthesize log *lines* from the ``events``
+table inside the Spark plan (concat_ws), push them through the real
+format-compiler pipeline (tokenize → match → project → aggregate), and
+the oracle recomputes the expected result relationally — so the
+tokenizer, casts, buckets and aggregations are exercised end-to-end
+against an independent engine.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import dedup, similarity, textstats
+from cybersecurity_miw_spark.operators.aggregate import value_histogram
+from cybersecurity_miw_spark.operators.matching import semi_join_filter
+from cybersecurity_miw_spark.plans.compiler import compile_pipeline, parse
+from cybersecurity_miw_spark.plans.logdef import LogDef
+from cybersecurity_miw_spark.sources.tables import load_events, load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# line synthesis: events → log lines (comma-delimited, reference-style)
+# token positions: 0 event_id, 1 "MM/dd/yyyy HH:mm:ss", 2 "HH:mm:ss",
+# 3 user_id, 4 event_type, 5 value, 6 props
+# ---------------------------------------------------------------------------
+
+
+def events_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.date_format("ts", "MM/dd/yyyy HH:mm:ss"),
+        F.date_format("ts", "HH:mm:ss"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.col("value").cast("string"),
+        F.col("props"),
+    )
+    return ev.select(line.alias("value"))
+
+
+def _ldef(name: str, fields: list[dict], **kw) -> LogDef:
+    return LogDef.from_json({"format_name": name, "delims": ",", "fields": fields, **kw})
+
+
+# ---------------------------------------------------------------------------
+# flagship: full pipeline (P1 tokenize, P4 project, P7/P8 casts, P10 date
+# bucket, F6 filter-contain, A1 key, A2 logs, A4 sum, A5 max, A6 mean,
+# A7 variance, A10 ratio, A11 contain-sum)
+# ---------------------------------------------------------------------------
+
+# Float aggregates are emitted as scaled integers (cents etc.): the
+# underlying data is 2-decimal, so sums/means/variances land within
+# ~1e-6 of an integer grid once scaled, and integer outputs hash
+# identically across engines. Engine-level ROUND(x, d) is avoided for
+# quantities that can sit exactly on a decimal half (Spark rounds the
+# shortest decimal repr HALF_UP, DuckDB rounds the binary value —
+# they disagree precisely there). err_ratio stays a raw double because
+# both engines compute the identical int/int division.
+_FLAGSHIP_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       event_type AS etype,
+       count(*) AS logs,
+       CAST(round(sum(value) * 100, 0) AS BIGINT) AS value_sum_c,
+       CAST(round(avg(value) * count(*) * 100, 0) AS BIGINT) AS value_mean_c,
+       CAST(round(coalesce(var_samp(value), 0.0) * count(*) * (count(*) - 1) * 10000, 0) AS BIGINT) AS value_var_c,
+       max(value) AS value_max,
+       CAST(sum(CASE WHEN event_type LIKE '%error%' THEN 1 ELSE 0 END) AS BIGINT) AS err_hits,
+       CAST(sum(CASE WHEN event_type LIKE '%error%' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS err_ratio,
+       strftime(ts, '%Y-%m-%d') || '_' || event_type AS id
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def flagship_ldef() -> LogDef:
+    return _ldef(
+        "events_summary",
+        [
+            {"name": "day", "pos": 1, "type": "date", "key": True,
+             "processing": "day", "date_format": "%m/%d/%Y %H:%M:%S"},
+            {"name": "etype", "pos": 4, "type": "string", "key": True},
+            {"name": "value_sum", "pos": 5, "type": "float",
+             "aggregated": True, "aggregation": "sum"},
+            {"name": "value_mean", "pos": 5, "type": "float",
+             "aggregated": True, "aggregation": "mean"},
+            {"name": "value_var", "pos": 5, "type": "float",
+             "aggregated": True, "aggregation": "variance"},
+            {"name": "value_max", "pos": 5, "type": "float",
+             "aggregated": True, "aggregation": "max"},
+            {"name": "err_hits", "pos": 4, "type": "int",
+             "filter": "error", "filter_type": "contain"},
+            {"name": "err_ratio", "type": "float", "aggregated": True,
+             "aggregation": "ratio", "numerator": "err_hits",
+             "denominator": "logs"},
+        ],
+    )
+
+
+@register("miw_events_summary", _FLAGSHIP_SQL)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = compile_pipeline(events_lines(spark, sf_dir), flagship_ldef())
+    return out.select(
+        "day",
+        "etype",
+        "logs",
+        F.round(F.col("value_sum") * 100, 0).cast("long").alias("value_sum_c"),
+        F.round(F.col("value_mean") * F.col("logs") * 100, 0)
+        .cast("long")
+        .alias("value_mean_c"),
+        F.round(
+            F.col("value_var") * F.col("logs") * (F.col("logs") - 1) * 10000, 0
+        )
+        .cast("long")
+        .alias("value_var_c"),
+        "value_max",
+        "err_hits",
+        "err_ratio",
+        "id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P4/P7/P8: tokenize + positional projection + typed casts round-trip
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenize_typed_projection",
+    "SELECT event_id, event_type AS etype, value FROM events",
+)
+def q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ldef = _ldef(
+        "typed",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "etype", "pos": 4, "type": "string"},
+            {"name": "value", "pos": 5, "type": "float"},
+        ],
+    )
+    return parse(events_lines(spark, sf_dir), ldef)
+
+
+# P7 atoi parity: leading-digit prefix on mixed tokens, 0 on garbage
+
+
+@register(
+    "atoi_prefix_parity",
+    "SELECT event_id, user_id AS atoi_mixed, CAST(0 AS BIGINT) AS atoi_garbage "
+    "FROM events",
+)
+def q_atoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.concat(F.col("user_id").cast("string"), F.col("event_type")),
+            F.col("event_type"),
+        ).alias("value")
+    )
+    ldef = _ldef(
+        "atoi",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "atoi_mixed", "pos": 1, "type": "int"},
+            {"name": "atoi_garbage", "pos": 2, "type": "int"},
+        ],
+    )
+    return parse(lines, ldef)
+
+
+# P5/P6: double-quote strip + whitespace chomp
+
+
+@register(
+    "quote_strip_trim",
+    "SELECT event_id, event_type AS cleaned FROM events",
+)
+def q_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.concat(F.lit('  "'), F.col("event_type"), F.lit('"  ')),
+        ).alias("value")
+    )
+    ldef = _ldef(
+        "strip",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "cleaned", "pos": 1, "type": "string"},
+        ],
+    )
+    return parse(lines, ldef)
+
+
+# ---------------------------------------------------------------------------
+# P10: date parse + bucketing (day/month/year/hour/minute-offset)
+# ---------------------------------------------------------------------------
+
+_DATE_BUCKETS_SQL = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d') AS d_day,
+       strftime(ts, '%Y-%m') AS d_month,
+       strftime(ts, '%Y') AS d_year,
+       strftime(ts, '%Y-%m-%dT%H:00:00') AS d_hour,
+       strftime(ts, '%Y-%m-%dT%H:') || lpad(((minute(ts) // 5) * 5)::VARCHAR, 2, '0') || ':00' AS d_min5
+FROM events
+"""
+
+
+@register("date_buckets", _DATE_BUCKETS_SQL)
+def q_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fmt = "%m/%d/%Y %H:%M:%S"
+    ldef = _ldef(
+        "datebuckets",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "d_day", "pos": 1, "type": "date", "processing": "day", "date_format": fmt},
+            {"name": "d_month", "pos": 1, "type": "date", "processing": "month", "date_format": fmt},
+            {"name": "d_year", "pos": 1, "type": "date", "processing": "year", "date_format": fmt},
+            {"name": "d_hour", "pos": 1, "type": "date", "processing": "hour", "date_format": fmt},
+            {"name": "d_min5", "pos": 1, "type": "date", "processing": "minute",
+             "processing_offset": 5, "date_format": fmt},
+        ],
+    )
+    return parse(events_lines(spark, sf_dir), ldef)
+
+
+# P10 unix-epoch date format
+
+
+@register(
+    "unix_epoch_parse",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d') AS u_day, "
+    "strftime(ts, '%Y-%m-%dT%H:00:00') AS u_hour FROM events",
+)
+def q_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.unix_timestamp("ts").cast("string"),
+        ).alias("value")
+    )
+    ldef = _ldef(
+        "unixdate",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "u_day", "pos": 1, "type": "date", "date_format": "unix", "processing": "day"},
+            {"name": "u_hour", "pos": 1, "type": "date", "date_format": "unix", "processing": "hour"},
+        ],
+    )
+    return parse(lines, ldef)
+
+
+# P11: textual time bucketing with offsets
+
+_TIME_BUCKETS_SQL = """
+SELECT event_id,
+       lpad(hour(ts)::VARCHAR, 2, '0') AS t_hour,
+       strftime(ts, '%H') || ':' || lpad(((minute(ts) // 10) * 10)::VARCHAR, 2, '0') AS t_min10,
+       strftime(ts, '%H:%M:') || lpad(((second(ts) // 30) * 30)::VARCHAR, 2, '0') AS t_sec30
+FROM events
+"""
+
+
+@register("time_buckets", _TIME_BUCKETS_SQL)
+def q_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ldef = _ldef(
+        "timebuckets",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "t_hour", "pos": 2, "type": "time", "processing": "hour"},
+            {"name": "t_min10", "pos": 2, "type": "time", "processing": "minute",
+             "processing_offset": 10},
+            {"name": "t_sec30", "pos": 2, "type": "time", "processing": "second",
+             "processing_offset": 30},
+        ],
+    )
+    return parse(events_lines(spark, sf_dir), ldef)
+
+
+# ---------------------------------------------------------------------------
+# P12: URL parse + re-templating
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+SELECT event_id,
+       'https://host' || (user_id % 50) || '.example.com:' || (8000 + user_id % 10) AS site,
+       'host' || (user_id % 50) || '.example.com' || '/p/' || event_type AS page
+FROM events
+"""
+
+
+@register("url_retemplate", _URL_SQL)
+def q_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com:"),
+        (F.lit(8000) + F.col("user_id") % 10).cast("string"),
+        F.lit("/p/"),
+        F.col("event_type"),
+        F.lit("?q="),
+        F.col("event_id").cast("string"),
+    )
+    lines = ev.select(
+        F.concat_ws(",", F.col("event_id").cast("string"), url).alias("value")
+    )
+    ldef = _ldef(
+        "urls",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "site", "pos": 1, "type": "url"},
+            {"name": "page", "pos": 1, "type": "url", "url_format": "%host%path"},
+        ],
+    )
+    return parse(lines, ldef)
+
+
+# ---------------------------------------------------------------------------
+# P13/P14: evtx k/v payload preprocessing → dynamic fields (as map rows)
+# ---------------------------------------------------------------------------
+
+_KV_SQL = """
+SELECT event_id, 'user' AS kv_key, CAST(user_id AS VARCHAR) AS kv_value FROM events
+UNION ALL
+SELECT event_id, 'type' AS kv_key, event_type AS kv_value FROM events
+"""
+
+
+@register("kv_evtx_explode", _KV_SQL)
+def q_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    payload = F.concat(
+        F.lit("Event payload-> user="),
+        F.col("user_id").cast("string"),
+        F.lit(" type="),
+        F.col("event_type"),
+    )
+    lines = ev.select(
+        F.concat_ws(",", F.col("event_id").cast("string"), payload).alias("value")
+    )
+    ldef = _ldef(
+        "evtx",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "kv", "pos": 1, "type": "string", "preprocessing": "evtxcsv"},
+        ],
+    )
+    rows = parse(lines, ldef)
+    return rows.select(
+        "event_id", F.explode("kv").alias("kv_key", "kv_value")
+    )
+
+
+@register("kv_evtx2_explode", _KV_SQL)
+def q_kv2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    payload = F.concat(
+        F.lit("[user: "),
+        F.col("user_id").cast("string"),
+        F.lit("] [type: "),
+        F.col("event_type"),
+        F.lit("]"),
+    )
+    lines = ev.select(
+        F.concat_ws(",", F.col("event_id").cast("string"), payload).alias("value")
+    )
+    ldef = _ldef(
+        "evtx2",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "kv", "pos": 1, "type": "string", "preprocessing": "evtxcsv2"},
+        ],
+    )
+    rows = parse(lines, ldef)
+    return rows.select(
+        "event_id", F.explode("kv").alias("kv_key", "kv_value")
+    )
+
+
+# P15: Microsoft-DNS wire-format name decode
+
+
+@register(
+    "dns_wire_decode",
+    "SELECT event_id, event_type || '.com' AS target FROM events",
+)
+def q_dns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    wire = F.concat(
+        F.lit("("),
+        F.length("event_type").cast("string"),
+        F.lit(")"),
+        F.col("event_type"),
+        F.lit("(3)com(0)"),
+    )
+    lines = ev.select(
+        F.concat_ws(",", F.col("event_id").cast("string"), wire).alias("value")
+    )
+    ldef = _ldef(
+        "dns",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "target", "pos": 1, "type": "string",
+             "preprocessing": "microsoftdnslogs"},
+        ],
+    )
+    return parse(lines, ldef)
+
+
+# ---------------------------------------------------------------------------
+# F1-F5: match predicates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "match_exact_or",
+    "SELECT event_id, event_type AS etype FROM events "
+    "WHERE event_type IN ('error', 'signup')",
+)
+def q_match_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ldef = _ldef(
+        "matchexact",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "etype", "pos": 4, "type": "string"},
+            {"name": "m1", "pos": 4, "type": "string",
+             "match": {"match_str": "error", "exact": True, "logic": "or"}},
+            {"name": "m2", "pos": 4, "type": "string",
+             "match": {"match_str": "signup", "exact": True, "logic": "or"}},
+        ],
+    )
+    return parse(events_lines(spark, sf_dir), ldef).select("event_id", "etype")
+
+
+@register(
+    "match_substring_or",
+    "SELECT event_id, event_type AS etype FROM events "
+    "WHERE event_type LIKE '%err%' OR props LIKE '%7%'",
+)
+def q_match_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ldef = _ldef(
+        "matchsub",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "etype", "pos": 4, "type": "string"},
+            {"name": "m1", "pos": 4, "type": "string",
+             "match": {"match_str": "err", "logic": "or"}},
+            {"name": "m2", "pos": 6, "type": "string",
+             "match": {"match_str": "7", "logic": "or"}},
+        ],
+    )
+    return parse(events_lines(spark, sf_dir), ldef).select("event_id", "etype")
+
+
+@register(
+    "match_negative_exact",
+    "SELECT event_id, event_type AS etype FROM events WHERE event_type <> 'click'",
+)
+def q_match_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ldef = _ldef(
+        "matchneg",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "etype", "pos": 4, "type": "string",
+             "match": {"match_str": "click", "exact": True, "negative": True,
+                        "logic": "and"}},
+        ],
+    )
+    return parse(events_lines(spark, sf_dir), ldef).select("event_id", "etype")
+
+
+# J1: membership as broadcast semi-join (the match_file scale path)
+
+
+@register(
+    "semi_join_membership",
+    "SELECT event_id, user_id FROM events "
+    "WHERE user_id IN (SELECT c_custkey FROM customer)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return semi_join_filter(ev, "user_id", cust)
+
+
+@register(
+    "anti_join_membership",
+    "SELECT event_id, user_id FROM events "
+    "WHERE user_id NOT IN (SELECT c_custkey FROM customer)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir).select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return semi_join_filter(ev, "user_id", cust, negative=True)
+
+
+# ---------------------------------------------------------------------------
+# A8 union, A9 union_count, O1/O2 ordering + top-K
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_union_sorted",
+    "SELECT event_type AS etype, "
+    "array_to_string(list_sort(list(DISTINCT user_id)), '|') AS users "
+    "FROM events GROUP BY 1",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    return ev.groupBy(F.col("event_type").alias("etype")).agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.sort_array(F.collect_set("user_id")), lambda x: x.cast("string")
+            ),
+        ).alias("users")
+    )
+
+
+@register(
+    "agg_union_count_histogram",
+    "SELECT event_type AS etype, user_id AS uid, CAST(count(*) AS BIGINT) AS cnt "
+    "FROM events GROUP BY 1, 2",
+)
+def q_union_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    hist = value_histogram(ev, ["event_type"], "user_id")
+    return hist.select(
+        F.col("event_type").alias("etype"),
+        F.explode("user_id_counts").alias("uid", "cnt"),
+    )
+
+
+@register(
+    "order_topk_groups",
+    "SELECT CAST(user_id AS VARCHAR) AS id, count(*) AS logs FROM events "
+    "GROUP BY user_id ORDER BY logs DESC, id ASC LIMIT 10",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    grouped = ev.groupBy(F.col("user_id").cast("string").alias("id")).agg(
+        F.count(F.lit(1)).alias("logs")
+    )
+    return grouped.orderBy(F.desc("logs"), F.asc("id")).limit(10)
+
+
+# companion wc app (app/wc.cc): word count over documents
+
+
+@register(
+    "wc_wordcount",
+    "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+    "SELECT unnest(str_split_regex(trim(text), '\\s+')) AS word FROM documents"
+    ") GROUP BY 1",
+)
+def q_wc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: dedup
+# ---------------------------------------------------------------------------
+
+_FP_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "dedup_exact_groups",
+    f"SELECT {_FP_SQL} AS fingerprint, count(*) AS n_docs, "
+    "min(doc_id) AS representative FROM documents GROUP BY 1",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_groups(docs)
+
+
+@register(
+    "dedup_exact_survivors",
+    f"SELECT doc_id, n_chars FROM documents WHERE doc_id IN ("
+    f"SELECT min(doc_id) FROM documents GROUP BY {_FP_SQL})",
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs).select("doc_id", "n_chars")
+
+
+# MinHash signatures — deterministic md5-based, reproduced in DuckDB via
+# list comprehensions over the same shingle construction.
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         CASE WHEN len(words) >= 3
+              THEN list_distinct([array_to_string(words[i+1:i+3], ' ')
+                                  FOR i IN generate_series(0, len(words) - 3)])
+              ELSE [array_to_string(words, ' ')] END AS sh
+  FROM (SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS words
+        FROM documents)
+"""
+
+_MINHASH_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+         [list_min([md5(h::VARCHAR || ':' || s) FOR s IN sh])
+          FOR h IN generate_series(0, 15)] AS sig
+  FROM shingled
+)
+SELECT doc_id, array_to_string(sig, '|') AS sig_str FROM sigs
+"""
+
+
+@register("minhash_signatures", _MINHASH_SQL)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(F.col("text"), num_hashes=16, shingle_k=3)
+    return docs.select("doc_id", F.concat_ws("|", sig).alias("sig_str"))
+
+
+_LSH_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT doc_id,
+         [list_min([md5(h::VARCHAR || ':' || s) FOR s IN sh])
+          FOR h IN generate_series(0, 15)] AS sig
+  FROM shingled
+),
+banded AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+"""
+
+
+@register("minhash_lsh_candidates", _LSH_SQL)
+def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, shingle_k=3
+    )
+
+
+# SimHash — xxhash64 has no DuckDB twin, so this is a rows-only check;
+# substance is covered by pytest with planted near-duplicates.
+
+
+@register("simhash_fingerprints")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash(F.col("text")).alias("simhash64"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+SELECT doc_id,
+       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+            ELSE 'de' END AS lang_guess,
+       n_tokens, n_subtokens,
+       floor(greatest(least(0.5 * alpha_ratio + 0.3 * len_score + 0.2 * (1.0 - punct_ratio), 1.0), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS quality,
+       fingerprint
+FROM (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS h_de,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS h_en,
+         len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS h_es,
+         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS h_fr,
+         len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_subtokens,
+         len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+         len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / greatest(length(text), 1) AS punct_ratio,
+         least(length(text) / 200.0, 1.0) AS len_score,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+"""
+
+
+@register("text_profile", _PROFILE_SQL)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        textstats.lang_id(t).alias("lang_guess"),
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.word_token_count(t).alias("n_subtokens"),
+        textstats.quality_score(t).alias("quality"),
+        textstats.fingerprint(t).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cos_sim
+FROM embeddings, q
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("cosine_brute_topk", _COSINE_SQL)
+def q_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.brute_force_topk(emb, list(qvec), k=10)
+
+
+_PAIRWISE_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 3)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cos_sim,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) DESC,
+                    e.vec_id ASC) AS rn
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+) WHERE rn <= 5
+"""
+
+
+@register("pairwise_cosine_topk", _PAIRWISE_SQL)
+def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.pairwise_topk(emb, queries, k=5)
+
+
+# LSH ANN — xxhash64-seeded hyperplanes have no DuckDB twin; rows-only.
+
+
+@register("ann_lsh_topk")
+def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_ann_topk(emb, list(qvec), dim=64, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# plain relational summary (TPC-H Q1 pricing-summary shape) — engine
+# sanity + the bench's scale workload
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT) AS sum_base_price_c,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0) AS BIGINT) AS sum_disc_price_c4,
+       sum(l_quantity) / count(*) AS avg_qty,
+       CAST(round(sum(l_discount) * 100, 0) AS BIGINT) AS sum_disc_c,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+@register("tpch_q1_pricing_summary", _Q1_SQL)
+def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("sum_base_price_c"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("sum_disc_price_c4"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        F.round(F.sum("l_discount") * 100, 0).cast("long").alias("sum_disc_c"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship query for the driver's smoke check."""
+    return q_flagship(spark, sf_dir)

@@ -69,15 +69,15 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) ->
     lexicographically on the hex digest. Deterministic, seedless,
     reproducible in any engine with md5."""
     sh = shingles(text, shingle_k)
+
+    def hasher(i: int):
+        # single-arg lambda: a 2-arg lambda would make F.transform pass
+        # the element index as the second argument and silently shadow
+        # the hash seed
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
-            for i in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(sh, hasher(i))) for i in range(num_hashes)]
     )
 
 
@@ -192,18 +192,22 @@ def simhash(text: Column, bits: int = 64) -> Column:
     """SimHash over whitespace tokens using xxhash64: per bit, a
     majority vote of token-hash bits. One pass: fold the token-hash
     array into a ``bits``-wide vote vector with aggregate+zip_with,
-    then reassemble the fingerprint. Pure array/bit expressions."""
+    then reassemble the fingerprint. Pure array/bit expressions; the
+    shift amounts are Python ints (F.shiftright/shiftleft take literal
+    bit counts, not Columns), so the per-bit work is statically
+    unrolled."""
     tokens = F.split(F.lower(F.trim(text)), r"\s+")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    idx = F.sequence(F.lit(0), F.lit(bits - 1))
 
     def bit_votes(h: Column) -> Column:
         # ±1 per bit of one token hash
-        return F.transform(
-            idx,
-            lambda i: F.when(
-                F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for i in range(bits)
+            ]
         )
 
     votes = F.aggregate(
@@ -211,17 +215,15 @@ def simhash(text: Column, bits: int = 64) -> Column:
         F.array_repeat(F.lit(0), bits),
         lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
     )
-    # fingerprint = Σ (vote_i > 0) << i, done as an array fold
-    weighted = F.zip_with(
-        votes,
-        idx,
-        lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+    # fingerprint = Σ (vote_i > 0) << i; the top bit wraps to the
+    # two's-complement negative long so the sum stays in range
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = -(1 << (bits - 1)) if i == bits - 1 else (1 << i)
+        out = out + F.when(votes[i] > 0, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
-        ),
-    )
-    return F.aggregate(
-        weighted, F.lit(0).cast("long"), lambda acc, x: acc + x
-    )
+        )
+    return out
 
 
 def simhash_dedup_candidates(

@@ -64,16 +64,18 @@ def quality_score(text: Column) -> Column:
     alpha_ratio = alpha / F.greatest(n, F.lit(1))
     punct_ratio = punct / F.greatest(n, F.lit(1))
     len_score = F.least(n / F.lit(200.0), F.lit(1.0))
-    return F.round(
-        F.greatest(
-            F.least(
-                0.5 * alpha_ratio + 0.3 * len_score + 0.2 * (1.0 - punct_ratio),
-                F.lit(1.0),
-            ),
-            F.lit(0.0),
+    raw = F.greatest(
+        F.least(
+            0.5 * alpha_ratio + 0.3 * len_score + 0.2 * (1.0 - punct_ratio),
+            F.lit(1.0),
         ),
-        6,
+        F.lit(0.0),
     )
+    # quantize with plain double arithmetic (floor(x*1e6+0.5)/1e6)
+    # rather than ROUND: given bit-identical inputs any engine computes
+    # the bit-identical result, whereas ROUND(x, 6) differs between
+    # engines exactly on decimal halves
+    return F.floor(raw * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
 
 
 def fingerprint(text: Column) -> Column:

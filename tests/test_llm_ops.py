@@ -1,0 +1,233 @@
+"""Unit tests for the training-data-pipeline operators: dedup
+(exact / MinHash+LSH / SimHash / Jaccard), similarity search
+(brute-force, LSH-ANN, IVF), text analysis, and multimodal plumbing.
+
+Fixtures plant known duplicates/near-duplicates so the assertions are
+semantic (the pair IS found, the survivor IS the min id), not just
+"it runs"."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import dedup, multimodal, similarity, textstats
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall trees outside"
+)
+NEAR = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the birds sing in the tall trees today"
+)
+OTHER = (
+    "completely different content about databases indexes partitions "
+    "shuffles joins aggregations and query optimizers at large scale"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, NEAR),  # near duplicate of 0
+        (3, OTHER),
+        (4, "   " + BASE.upper() + "  "),  # same after normalization
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---- exact dedup ----
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    survivors = {r["doc_id"] for r in dedup.exact_dedup(docs).collect()}
+    # 0,1,4 share a fingerprint (case/whitespace-normalized) → keep 0
+    assert survivors == {0, 2, 3}
+
+
+def test_duplicate_groups(docs):
+    groups = {r["representative"]: r["n_docs"] for r in dedup.duplicate_groups(docs).collect()}
+    assert groups[0] == 3
+    assert groups[2] == 1
+    assert groups[3] == 1
+
+
+def test_fingerprint_normalizes_case_and_whitespace(spark):
+    df = spark.createDataFrame([("A  b\tC",), ("a b c",)], "text string")
+    fps = [r[0] for r in df.select(textstats.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+# ---- MinHash / LSH / Jaccard ----
+
+
+def test_minhash_identical_signatures(docs):
+    sig = dedup.minhash_signature(F.col("text"))
+    rows = {r["doc_id"]: r["s"] for r in docs.select("doc_id", sig.alias("s")).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[3]
+    # near-duplicate shares most of the signature
+    shared = sum(a == b for a, b in zip(rows[0], rows[2]))
+    assert shared >= 8
+
+
+def test_lsh_candidates_find_planted_pair(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs  # near-dup lands in at least one shared band
+    assert all(a < b for a, b in pairs)
+    assert not any(3 in p for p in pairs)
+
+
+def test_jaccard_pairs_values(spark, docs):
+    pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs, pairs).collect()}
+    assert j[(0, 1)] == pytest.approx(1.0)
+    assert 0.7 < j[(0, 2)] < 1.0
+    assert j[(0, 3)] < 0.1
+
+
+def test_near_dedup_minhash_drops_duplicates(docs):
+    survivors = {r["doc_id"] for r in dedup.near_dedup_minhash(docs, threshold=0.8).collect()}
+    # 1 (exact), 2 (near), 4 (normalized exact) all collapse onto 0
+    assert survivors == {0, 3}
+
+
+# ---- SimHash ----
+
+
+def test_simhash_identical_and_near(docs):
+    rows = {
+        r["doc_id"]: r["s"]
+        for r in docs.select("doc_id", dedup.simhash(F.col("text")).alias("s")).collect()
+    }
+    assert rows[0] == rows[1]
+    ham_near = bin((rows[0] ^ rows[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((rows[0] ^ rows[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 16
+
+
+def test_simhash_candidates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_dedup_candidates(docs).collect()
+    }
+    assert (0, 1) in pairs
+
+
+# ---- similarity search ----
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_order(vecs):
+    rows = similarity.brute_force_topk(vecs, [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in rows] == [0, 1, 2] or [r["vec_id"] for r in rows][:2] == [0, 1]
+    assert rows[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_pairwise_topk(vecs):
+    out = similarity.pairwise_topk(vecs, vecs.filter(F.col("vec_id") == 0), k=2).collect()
+    assert {r["query_id"] for r in out} == {0}
+    assert [r["vec_id"] for r in out] == [1, 2]
+
+
+def test_lsh_ann_topk_contains_self(vecs):
+    rows = similarity.lsh_ann_topk(vecs, [1.0, 0.0, 0.0, 0.0], dim=4, k=5, n_planes=4).collect()
+    # the query's own bucket contains the identical vector
+    assert rows and rows[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_ivf_assign_and_train(vecs):
+    centroids = similarity.train_centroids(vecs, n_cells=2, dim=4, iters=2)
+    assert len(centroids) == 2 and all(len(c) == 4 for c in centroids)
+    assigned = similarity.ivf_assign(vecs, centroids)
+    cells = {r["vec_id"]: r["_cell"] for r in assigned.collect()}
+    # identical-direction vectors land in the same cell
+    assert cells[0] == cells[1]
+
+
+# ---- text analysis ----
+
+
+def test_lang_id(spark):
+    rows = [
+        ("the cat and the dog went to the park and it is sunny",),
+        ("el perro y la casa de los árboles que vimos",),
+        ("12345 67890 !!!",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    langs = [r[0] for r in df.select(textstats.lang_id(F.col("text"))).collect()]
+    assert langs[0] == "en"
+    assert langs[1] == "es"
+    assert langs[2] == "und"
+
+
+def test_quality_monotonic(spark):
+    clean = "a readable sentence with plenty of ordinary words " * 5
+    junk = "!!! ### $$$ %%% ^^^"
+    df = spark.createDataFrame([(clean,), (junk,)], "text string")
+    q = [r[0] for r in df.select(textstats.quality_score(F.col("text"))).collect()]
+    assert 0.0 <= q[1] < q[0] <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("one two  three",)], "text string")
+    row = df.select(
+        textstats.token_count(F.col("text")).alias("n"),
+        textstats.word_token_count(F.col("text")).alias("s"),
+    ).head()
+    assert row["n"] == 3
+    assert row["s"] == 3
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("one two",)], "text string")
+    sh = df.select(textstats.shingles(F.col("text"), 3).alias("s")).head()["s"]
+    assert sh == ["one two"]
+
+
+# ---- multimodal plumbing ----
+
+
+def test_media_adapter_and_features(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "spark")], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_media(docs)
+    assert media.columns == ["media_id", "kind", "payload", "mime", "n_bytes"]
+    feats = multimodal.extract_features(media, frames=3, dim=4).collect()
+    # frames × docs rows, each with a dim-length vector
+    assert len(feats) == 6
+    assert all(len(r["feature"]) == 4 for r in feats)
+    assert {r["frame_no"] for r in feats} == {0, 1, 2}
+    # deterministic fake decoder: same payload → same features
+    again = multimodal.extract_features(media, frames=3, dim=4).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_media_stats_prunes_payload(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "spark")], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_media(docs)
+    stats = multimodal.media_stats(media).collect()
+    assert stats[0]["n_media"] == 2
+    assert stats[0]["total_bytes"] == len(b"hello world") + len(b"spark")

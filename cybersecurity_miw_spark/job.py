@@ -102,12 +102,19 @@ class MiwJob:
         output_path: str | None = None,
         ndisp: int = 0,
     ) -> DataFrame:
+        from cybersecurity_miw_spark.sources import parity
+
         df = self.result(spark)
         if ndisp:
             sinks.show_top(df, self.ldef, ndisp)
         if output_format == "json":
-            sinks.write_json(df, self.ldef, output_path)
+            # reference-shape JSON-lines (§2.6, miw/log_record.cc:649-679)
+            parity.write_json_parity(df, self.ldef, output_path)
         elif output_format == "csv":
+            parity.write_csv_parity(df, self.ldef, output_path)
+        elif output_format == "json-columnar":
+            sinks.write_json(df, self.ldef, output_path)
+        elif output_format == "csv-columnar":
             sinks.write_csv(df, self.ldef, output_path)
         elif output_format == "text":
             sinks.write_text(df, self.ldef, output_path)
@@ -124,7 +131,11 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument("-fnames", required=True, help="comma-separated log files")
     ap.add_argument("-format_name", required=True, help="path to format JSON")
-    ap.add_argument("-output_format", default="json", choices=["json", "csv", "text", "mem"])
+    ap.add_argument(
+        "-output_format",
+        default="json",
+        choices=["json", "csv", "json-columnar", "csv-columnar", "text", "mem"],
+    )
     ap.add_argument("-ofname", default=None, help="output path")
     ap.add_argument("-ndisp", type=int, default=5)
     ap.add_argument("-skip_header", action="store_true")

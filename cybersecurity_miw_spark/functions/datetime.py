@@ -63,17 +63,59 @@ def strptime_to_java(fmt: str) -> str:
     return "".join(out)
 
 
+# strptime → prefix-matching regex fragments: C strptime consumes the
+# pattern and IGNORES any trailing text in the input ("11/30/2012
+# 23:05:12" parses fine with "%m/%d/%Y"). Spark's to_timestamp needs a
+# full match, so the matching prefix is extracted first.
+_STRPTIME_RE_MAP = {
+    "%Y": r"\d{4}",
+    "%y": r"\d{2}",
+    "%m": r"\d{1,2}",
+    "%d": r"\d{1,2}",
+    "%H": r"\d{1,2}",
+    "%M": r"\d{1,2}",
+    "%S": r"\d{1,2}",
+    "%b": r"[A-Za-z]{3}",
+    "%B": r"[A-Za-z]+",
+    "%j": r"\d{1,3}",
+    "%p": r"[APap][Mm]",
+    "%z": r"[-+]\d{2}:?\d{2}",
+    "%%": "%",
+}
+
+
+def strptime_prefix_regex(fmt: str) -> str:
+    """Regex matching exactly the prefix a C strptime(fmt) consumes."""
+    out: list[str] = ["^"]
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            d = fmt[i : i + 2]
+            if d not in _STRPTIME_RE_MAP:
+                raise ValueError(f"unsupported strptime directive {d!r} in {fmt!r}")
+            out.append(_STRPTIME_RE_MAP[d])
+            i += 2
+        else:
+            out.append(re.escape(fmt[i]))
+            i += 1
+    return "".join(out)
+
+
 def parse_date(col: Column, date_format: str) -> Column:
     """Parse a raw token to TimestampType: strptime pattern, or literal
     "unix" = epoch seconds (miw/log_format.cc:405-415). Null-safe under
     ANSI mode: an unparseable token yields NULL (the caller passes the
     raw token through, mirroring the reference's warn-and-keep path at
-    miw/log_format.cc:443) instead of aborting the job."""
+    miw/log_format.cc:443) instead of aborting the job. Like strptime,
+    trailing text after the pattern is ignored (prefix extraction)."""
     if date_format == "unix":
         # timestamp_seconds is timezone-free (epoch → instant), unlike
         # from_unixtime which renders in the session zone.
         return F.timestamp_seconds(F.trim(col).try_cast("long"))
-    return F.try_to_timestamp(col, F.lit(strptime_to_java(date_format)))
+    prefix = F.regexp_extract(
+        F.trim(col), strptime_prefix_regex(date_format), 0
+    )
+    return F.try_to_timestamp(prefix, F.lit(strptime_to_java(date_format)))
 
 
 def bucket_date(ts: Column, processing: str, offset: int = 1) -> Column:

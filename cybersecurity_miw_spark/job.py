@@ -81,8 +81,15 @@ class MiwJob:
         return parse(self.source(spark), self.ldef, keep_raw=self.store_content)
 
     def result(self, spark: SparkSession) -> DataFrame:
-        """The aggregated (unordered) result DataFrame."""
+        """The aggregated (unordered) result DataFrame. Formats with
+        k/v preprocessing fields extend ``self.ldef`` with the
+        discovered dynamic fields (mirroring the reference's per-record
+        ldef extension, miw/log_format.cc:570-576) so sinks emit
+        them."""
+        from cybersecurity_miw_spark.plans.compiler import discover_kv_fields
+
         rows = self.parsed(spark)
+        rows, self.ldef = discover_kv_fields(rows, self.ldef)
         out = aggregate(rows, self.ldef, self.union_count_strategy)
         if self.store_content:
             from cybersecurity_miw_spark.operators.aggregate import key_columns

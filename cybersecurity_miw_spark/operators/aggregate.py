@@ -71,6 +71,11 @@ def simple_agg_exprs(ldef: LogDef) -> list[Column]:
     for f in ldef.fields:
         if f.key:
             continue
+        if f.preprocessing in ("evtxcsv", "evtxcsv2"):
+            # the k/v map column itself is never aggregated or emitted;
+            # its derived fields carry the payload (the reference skips
+            # preprocessing fields at output, miw/log_record.cc:495-496)
+            continue
         c = F.col(f.name)
         agg = f.aggregation
         if f.is_filter_contain:

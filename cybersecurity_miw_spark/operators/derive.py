@@ -70,6 +70,12 @@ def derive_column(f: Field) -> Column:
     if f.preprocessing == "microsoftdnslogs":
         return dns_wire_to_name(tok)
 
+    return derive_typed(tok, f)
+
+
+def derive_typed(tok: Column, f: Field) -> Column:
+    """Type conversion/bucketing of a raw string value — shared by the
+    positional path and k/v-derived (``from_kv``) fields."""
     if f.type == "int":
         if f.is_filter_contain:
             # virtual indicator: 1 if the string token at this pos
@@ -116,4 +122,20 @@ def project_fields(
     df = df.filter(F.size(F.col(TOKENS_COL)) > ldef.max_pos)
     cols = [derive_column(f).alias(f.name) for f in ldef.fields if f.projects]
     cols += [F.col(c) for c in passthrough]
-    return df.select(*cols)
+    out = df.select(*cols)
+
+    # declared k/v-derived fields: value = <map col>[field name], typed
+    # (the reference's dynamic schema extension made declarative,
+    # miw/log_format.cc:570-576)
+    kv_fields = [f for f in ldef.fields if f.from_kv is not None]
+    if kv_fields:
+        out = out.select(
+            "*",
+            *[
+                derive_typed(F.trim(F.col(f.from_kv).getItem(f.name)), f).alias(
+                    f.name
+                )
+                for f in kv_fields
+            ],
+        )
+    return out

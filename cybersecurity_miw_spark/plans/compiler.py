@@ -35,6 +35,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import dataclasses
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,7 +44,7 @@ from cybersecurity_miw_spark.functions.strings import token_pattern
 from cybersecurity_miw_spark.operators.aggregate import aggregate
 from cybersecurity_miw_spark.operators.derive import TOKENS_COL, project_fields
 from cybersecurity_miw_spark.operators.matching import apply_matches
-from cybersecurity_miw_spark.plans.logdef import LogDef
+from cybersecurity_miw_spark.plans.logdef import KV_PREPROCESSINGS, Field, LogDef
 from cybersecurity_miw_spark.sources.text import LINE_COL
 
 
@@ -66,11 +68,78 @@ def parse(df: DataFrame, ldef: LogDef, keep_raw: bool = False) -> DataFrame:
     return project_fields(toks, ldef, passthrough=("_raw",) if keep_raw else ())
 
 
+def discover_kv_fields(
+    parsed: DataFrame, ldef: LogDef, max_keys: int = 200
+) -> tuple[DataFrame, LogDef]:
+    """Auto-expand evtxcsv/evtxcsv2 map columns into first-class
+    columns — the reference's dynamic schema extension, where every
+    payload k/v becomes a field of the record
+    (miw/log_format.cc:570-576,606-678).
+
+    Key discovery is one extra narrow job per run: a distinct over the
+    exploded key names (map-side partially aggregated; the state is the
+    key-name set, bounded by ``max_keys``, never the values). At 100 TB
+    that second scan is real cost — formats that pre-declare their keys
+    via ``from_kv`` fields skip it entirely.
+
+    Discovered fields are plain strings with first-value semantics
+    (non-key, non-aggregated — exactly the reference's merge behavior
+    for dynamic fields, miw/log_record.cc:261-300 skips them). Returns
+    the widened DataFrame and the extended LogDef.
+    """
+    pre = [f for f in ldef.fields if f.preprocessing in KV_PREPROCESSINGS]
+    if not pre:
+        return parsed, ldef
+    declared = {f.name for f in ldef.fields}
+    new_fields: list[Field] = []
+    new_cols = []
+    for p in pre:
+        keys = [
+            r[0]
+            for r in parsed.select(
+                F.explode(F.map_keys(F.col(p.name))).alias("k")
+            )
+            .distinct()
+            .limit(max_keys)
+            .collect()
+        ]
+        for k in sorted(keys):
+            if k in declared:
+                continue
+            declared.add(k)
+            new_fields.append(Field(name=k, type="string", from_kv=p.name))
+            new_cols.append(F.trim(F.col(p.name).getItem(k)).alias(k))
+    if not new_fields:
+        return parsed, ldef
+    widened = parsed.select("*", *new_cols)
+    extended = dataclasses.replace(ldef, fields=list(ldef.fields) + new_fields)
+    return widened, extended
+
+
 def compile_pipeline(
     df: DataFrame,
     ldef: LogDef,
     union_count_strategy: str = "two-phase",
-) -> DataFrame:
+    expand_kv: bool = True,
+) -> tuple[DataFrame, LogDef] | DataFrame:
     """Full pipeline: lines → grouped/aggregated result (unordered;
-    sinks apply the final ordering)."""
-    return aggregate(parse(df, ldef), ldef, union_count_strategy)
+    sinks apply the final ordering). Formats with k/v preprocessing
+    fields get their payload keys expanded to real columns first (the
+    extended LogDef is needed for output parity — retrieve it via
+    :func:`compile_pipeline_ex` when the format may extend)."""
+    out, _ = compile_pipeline_ex(df, ldef, union_count_strategy, expand_kv)
+    return out
+
+
+def compile_pipeline_ex(
+    df: DataFrame,
+    ldef: LogDef,
+    union_count_strategy: str = "two-phase",
+    expand_kv: bool = True,
+) -> tuple[DataFrame, LogDef]:
+    """Like :func:`compile_pipeline` but also returns the (possibly
+    k/v-extended) LogDef that matches the result's schema."""
+    rows = parse(df, ldef)
+    if expand_kv:
+        rows, ldef = discover_kv_fields(rows, ldef)
+    return aggregate(rows, ldef, union_count_strategy), ldef

@@ -62,6 +62,7 @@ AGGREGATIONS = {
 }
 PROCESSINGS = {"day", "month", "year", "hour", "minute", "second", ""}
 PREPROCESSINGS = {"evtxcsv", "evtxcsv2", "microsoftdnslogs", ""}
+KV_PREPROCESSINGS = {"evtxcsv", "evtxcsv2"}  # yield map<k,v> columns
 
 DEFAULT_DATE_FORMAT = "%m/%d/%Y"  # miw/log_definition.proto:50
 DEFAULT_URL_FORMAT = "%scheme://%host%port"  # miw/log_definition.proto:54
@@ -112,6 +113,12 @@ class Field:
     match: MatchSpec | None = None
     numerator: str | None = None
     denominator: str | None = None
+    # k/v-derived field: value = <from_kv field's map>[this field's name]
+    # — the Spark analog of the reference's dynamic schema extension
+    # where every payload k/v becomes a first-class field
+    # (miw/log_format.cc:570-576,606-678). Declared fields may set any
+    # key/aggregation; auto-discovered ones are plain strings.
+    from_kv: str | None = None
 
     # resolved by LogDef.__post_init__
     resolved_pos: int = dc_field(default=-1, repr=False)
@@ -124,8 +131,9 @@ class Field:
     def projects(self) -> bool:
         """Whether the field reads a token at parse time. Ratio fields
         are computed from the final aggregate states only
-        (miw/log_record.cc:747-823) and consume no token position."""
-        return self.aggregation != "ratio"
+        (miw/log_record.cc:747-823) and k/v-derived fields read a map
+        entry, not a token — neither consumes a token position."""
+        return self.aggregation != "ratio" and self.from_kv is None
 
     def validate(self) -> None:
         if self.type not in FIELD_TYPES:
@@ -182,6 +190,15 @@ class LogDef:
         names = [f.name for f in self.fields]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate field names in {self.format_name}")
+        kv_sources = {
+            f.name for f in self.fields if f.preprocessing in KV_PREPROCESSINGS
+        }
+        for f in self.fields:
+            if f.from_kv is not None and f.from_kv not in kv_sources:
+                raise ValueError(
+                    f"field {f.name!r}: from_kv={f.from_kv!r} is not an "
+                    "evtxcsv/evtxcsv2 preprocessing field"
+                )
 
     @property
     def key_fields(self) -> list[Field]:
@@ -232,6 +249,7 @@ class LogDef:
                     match=match,
                     numerator=fo.get("numerator"),
                     denominator=fo.get("denominator"),
+                    from_kv=fo.get("from_kv"),
                 )
             )
         return cls(

@@ -125,8 +125,12 @@ def _fragments(df: DataFrame, ldef: LogDef) -> list[tuple[str, Column, Column]]:
     the rendered object matches the reference's per-record key set)."""
     dtypes = dict(df.dtypes)
     out: list[tuple[str, Column, Column]] = []
+    seen: set[str] = set()
 
     def emit(key: str, v: Column, dtype: str, gate: Column | None = None) -> None:
+        if key in seen:  # jsoncpp's map keeps one entry per key
+            return
+        seen.add(key)
         if dtype.startswith("array<"):
             jf = _json_array_or_scalar(v)
             cf = _csv_array_or_scalar(v, _element_type(dtype))
@@ -146,8 +150,18 @@ def _fragments(df: DataFrame, ldef: LogDef) -> list[tuple[str, Column, Column]]:
         )
 
     for f in ldef.fields:
+        if f.preprocessing == "microsoftdnslogs":
+            # the declared field is skipped at output; its decode is
+            # emitted as the dynamic field "target"
+            # (miw/log_format.cc:709-715). Several DNS fields collapse
+            # to one key, as jsoncpp's map would.
+            if f.name in dtypes and not any(
+                g.name == "target" for g in ldef.fields
+            ):
+                emit("target", F.col(f.name), dtypes[f.name])
+            continue
         if f.preprocessing:
-            # skipped; dynamic fields below carry the payload
+            # skipped; dynamic (from_kv) fields carry the payload
             # (miw/log_record.cc:495-496)
             continue
         if f.aggregation == "count":

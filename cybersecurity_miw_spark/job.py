@@ -48,6 +48,7 @@ class MiwJob:
         appname: str = "",
         store_content: bool = False,
         union_count_strategy: str = "two-phase",
+        merge_results: bool = True,
     ) -> None:
         if isinstance(format, LogDef):
             self.ldef = format
@@ -62,6 +63,10 @@ class MiwJob:
         self.skip_header = skip_header
         self.store_content = store_content
         self.union_count_strategy = union_count_strategy
+        # reference default is one result set per file; -merge_results
+        # collapses them (miw/job.cc:134-173). Per-file mode groups on
+        # an extra input_file_name() key — single Spark job either way.
+        self.merge_results = merge_results
 
     # -- plan builders --
 
@@ -70,7 +75,17 @@ class MiwJob:
             return from_lines(spark, self.lines, self.ldef)
         if self.files is None:
             raise ValueError("MiwJob needs files or lines")
-        return read_logs(spark, self.files, self.ldef, self.skip_header)
+        return read_logs(
+            spark,
+            self.files,
+            self.ldef,
+            self.skip_header,
+            with_file=not self.merge_results,
+        )
+
+    @property
+    def _extra_keys(self) -> tuple[str, ...]:
+        return () if self.merge_results or self.lines is not None else ("_file",)
 
     def parsed(self, spark: SparkSession) -> DataFrame:
         """Tokenized, match-filtered, typed rows (pre-aggregation).
@@ -78,7 +93,12 @@ class MiwJob:
         (reference -store_content, miw/log_format.cc:596-597)."""
         from cybersecurity_miw_spark.plans.compiler import parse
 
-        return parse(self.source(spark), self.ldef, keep_raw=self.store_content)
+        return parse(
+            self.source(spark),
+            self.ldef,
+            keep_raw=self.store_content,
+            passthrough=self._extra_keys,
+        )
 
     def result(self, spark: SparkSession) -> DataFrame:
         """The aggregated (unordered) result DataFrame. Formats with
@@ -90,14 +110,20 @@ class MiwJob:
 
         rows = self.parsed(spark)
         rows, self.ldef = discover_kv_fields(rows, self.ldef)
-        out = aggregate(rows, self.ldef, self.union_count_strategy)
+        out = aggregate(
+            rows, self.ldef, self.union_count_strategy, self._extra_keys
+        )
         if self.store_content:
             from cybersecurity_miw_spark.operators.aggregate import key_columns
 
-            raws = rows.groupBy(*key_columns(self.ldef)).agg(
+            gcols = key_columns(self.ldef) + list(self._extra_keys)
+            raws = rows.groupBy(*gcols).agg(
                 F.collect_list("_raw").alias("content")
             )
-            out = out.join(raws, on=key_columns(self.ldef), how="left")
+            if gcols:
+                out = out.join(raws, on=gcols, how="left")
+            else:  # keyless format: one global group
+                out = out.crossJoin(F.broadcast(raws))
         return out
 
     # -- sinks --
@@ -148,6 +174,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("-skip_header", action="store_true")
     ap.add_argument("-appname", default="")
     ap.add_argument("-store_content", action="store_true")
+    # reference default: one result set per input file; -merge_results
+    # collapses all files into one (miw/job.cc:35,134-173)
+    ap.add_argument("-merge_results", action="store_true")
     args = ap.parse_args(argv)
 
     from cybersecurity_miw_spark.session import get_spark
@@ -159,6 +188,7 @@ def main(argv: list[str] | None = None) -> None:
         skip_header=args.skip_header,
         appname=args.appname,
         store_content=args.store_content,
+        merge_results=args.merge_results,
     )
     job.run(
         spark,

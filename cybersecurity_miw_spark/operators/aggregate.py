@@ -117,15 +117,26 @@ def union_count_expr(field_name: str) -> Column:
     ).alias(f"{field_name}_counts")
 
 
-def aggregate(df: DataFrame, ldef: LogDef, union_count_strategy: str = "two-phase") -> DataFrame:
+def aggregate(
+    df: DataFrame,
+    ldef: LogDef,
+    union_count_strategy: str = "two-phase",
+    extra_keys: tuple[str, ...] = (),
+) -> DataFrame:
     """parsed rows → one row per group with every aggregate, the ``id``
-    composite key, ``logs``, and ratio post-projections."""
+    composite key, ``logs``, and ratio post-projections.
+
+    ``extra_keys`` join the groupBy without entering the ``id`` — the
+    per-file result mode (reference default, miw/job.cc:134-137) passes
+    ``("_file",)`` so one job yields every file's independent result.
+    """
     keys = key_columns(ldef)
+    all_keys = keys + list(extra_keys)
     ucount_fields = [
         f for f in ldef.fields if f.aggregation == "union_count" and not f.key
     ]
 
-    gcols = [F.col(k) for k in keys] if keys else []
+    gcols = [F.col(k) for k in all_keys]
     aggs = simple_agg_exprs(ldef)
     if union_count_strategy == "expr":
         aggs += [union_count_expr(f.name) for f in ucount_fields]
@@ -139,9 +150,9 @@ def aggregate(df: DataFrame, ldef: LogDef, union_count_strategy: str = "two-phas
         # in the reference) produce a single global histogram row,
         # attached with a broadcast cross join.
         for f in ucount_fields:
-            hist = value_histogram(df, keys, f.name)
-            if keys:
-                out = out.join(hist, on=keys, how="left")
+            hist = value_histogram(df, all_keys, f.name)
+            if all_keys:
+                out = out.join(hist, on=all_keys, how="left")
             else:
                 out = out.crossJoin(F.broadcast(hist))
 

@@ -48,24 +48,37 @@ from cybersecurity_miw_spark.plans.logdef import KV_PREPROCESSINGS, Field, LogDe
 from cybersecurity_miw_spark.sources.text import LINE_COL
 
 
-def tokenize_lines(df: DataFrame, ldef: LogDef, keep_raw: bool = False) -> DataFrame:
+def tokenize_lines(
+    df: DataFrame,
+    ldef: LogDef,
+    keep_raw: bool = False,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """line DataFrame (column ``value``) → token-array DataFrame; with
     ``keep_raw`` the original line rides along as ``_raw`` (reference
-    -store_content, miw/log_format.cc:596-597)."""
+    -store_content, miw/log_format.cc:596-597). ``passthrough`` columns
+    (e.g. ``_file``) are kept as-is."""
     pattern = token_pattern(ldef.delims, ldef.quotechar)
     cols = [
         F.regexp_extract_all(F.col(LINE_COL), F.lit(pattern), 0).alias(TOKENS_COL)
     ]
     if keep_raw:
         cols.append(F.col(LINE_COL).alias("_raw"))
+    cols += [F.col(c) for c in passthrough]
     return df.select(*cols)
 
 
-def parse(df: DataFrame, ldef: LogDef, keep_raw: bool = False) -> DataFrame:
+def parse(
+    df: DataFrame,
+    ldef: LogDef,
+    keep_raw: bool = False,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Tokenize + match-filter + typed projection (no aggregation)."""
-    toks = tokenize_lines(df, ldef, keep_raw)
+    toks = tokenize_lines(df, ldef, keep_raw, passthrough)
     toks = apply_matches(toks, ldef)
-    return project_fields(toks, ldef, passthrough=("_raw",) if keep_raw else ())
+    keep = (("_raw",) if keep_raw else ()) + passthrough
+    return project_fields(toks, ldef, passthrough=keep)
 
 
 def discover_kv_fields(

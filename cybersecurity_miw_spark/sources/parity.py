@@ -186,6 +186,8 @@ def _fragments(df: DataFrame, ldef: LogDef) -> list[tuple[str, Column, Column]]:
     } | {f"{f.name}_counts" for f in ldef.fields}
     meta = {"id", LOGS_COL, "format_name", "appname", "std_date_dt", "content"}
     for name, dtype in df.dtypes:
+        if name.startswith("_"):  # engine internals (_file, _raw)
+            continue
         if name not in declared and name not in meta:
             emit(name, F.col(name), dtype)
 

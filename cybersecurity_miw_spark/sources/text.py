@@ -26,14 +26,21 @@ LINE_COL = "value"
 _LINE_SCHEMA = StructType([StructField(LINE_COL, StringType())])
 
 
+FILE_COL = "_file"
+
+
 def read_logs(
     spark: SparkSession,
     paths: str | list[str],
     ldef: LogDef,
     skip_header: bool = False,
+    with_file: bool = False,
 ) -> DataFrame:
     """Read one or more log files as a line DataFrame with the
-    format's comment/blank filtering applied."""
+    format's comment/blank filtering applied. ``with_file`` rides the
+    source file name along as ``_file`` (the reference's per-file
+    result mode, miw/job.cc:134-137, becomes an extra group key — one
+    job, not one job per file)."""
     if isinstance(paths, str):
         paths = [p for p in paths.split(",") if p]
     if skip_header:
@@ -54,6 +61,8 @@ def read_logs(
         )
     else:
         df = spark.read.text(paths)
+    if with_file:
+        df = df.withColumn(FILE_COL, F.input_file_name())
     return clean_lines(df, ldef)
 
 

@@ -19,11 +19,12 @@ against an independent engine.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cybersecurity_miw_spark.operators import dedup, similarity, textstats
+from cybersecurity_miw_spark.operators import apps, dedup, similarity, textstats
 from cybersecurity_miw_spark.operators.aggregate import value_histogram
 from cybersecurity_miw_spark.operators.matching import semi_join_filter
 from cybersecurity_miw_spark.plans.compiler import compile_pipeline, parse
@@ -790,6 +791,234 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.lsh_ann_topk(emb, list(qvec), dim=64, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# P16 appname key suffix, A3 count, A12 first-value, A10 ratio over a
+# count-aggregated operand, F2 AND-contains-all multi-value match,
+# S16 raw-line retention, evtx from_kv dynamic grouping
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "appname_id_suffix",
+    "SELECT event_type AS etype, count(*) AS logs, "
+    "event_type || '_myapp' AS id FROM events GROUP BY 1",
+)
+def q_appname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ldef = _ldef(
+        "appsum",
+        [{"name": "etype", "pos": 4, "type": "string", "key": True}],
+        appname="myapp",
+    )
+    out = compile_pipeline(events_lines(spark, sf_dir), ldef)
+    return out.select("etype", "logs", "id")
+
+
+@register(
+    "agg_count_a3",
+    "SELECT event_type AS etype, count(*) AS logs, "
+    "count(value) AS vcount_count, event_type AS id FROM events GROUP BY 1",
+)
+def q_count_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ldef = _ldef(
+        "cnt",
+        [
+            {"name": "etype", "pos": 4, "type": "string", "key": True},
+            {"name": "vcount", "pos": 5, "type": "float",
+             "aggregated": True, "aggregation": "count"},
+        ],
+    )
+    return compile_pipeline(events_lines(spark, sf_dir), ldef).select(
+        "etype", "logs", "vcount_count", "id"
+    )
+
+
+@register(
+    "agg_first_a12",
+    # the tokenizer strips '"' from every token (miw/log_format.cc:272-275)
+    "SELECT event_type AS etype, min(replace(props, '\"', '')) AS uprops "
+    "FROM events GROUP BY 1",
+)
+def q_first_a12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ldef = _ldef(
+        "first",
+        [
+            {"name": "etype", "pos": 4, "type": "string", "key": True},
+            {"name": "uprops", "pos": 6, "type": "string"},
+        ],
+    )
+    return compile_pipeline(events_lines(spark, sf_dir), ldef).select(
+        "etype", "uprops"
+    )
+
+
+@register(
+    "ratio_over_count_operand",
+    "SELECT event_type AS etype, "
+    "CASE WHEN count(value) = 0 THEN 0.0 ELSE "
+    "CAST(sum(CASE WHEN event_type LIKE '%error%' THEN 1 ELSE 0 END) AS DOUBLE)"
+    " / count(value) END AS err_rate "
+    "FROM events GROUP BY 1",
+)
+def q_ratio_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression for ratio operands resolving a count-aggregated
+    field's output alias (ADVICE r1, operators/aggregate.py:190-196)."""
+    ldef = _ldef(
+        "ratio_cnt",
+        [
+            {"name": "etype", "pos": 4, "type": "string", "key": True},
+            {"name": "errs", "pos": 4, "type": "int",
+             "filter": "error", "filter_type": "contain"},
+            {"name": "cnt", "pos": 5, "type": "float",
+             "aggregated": True, "aggregation": "count"},
+            {"name": "err_rate", "type": "float", "aggregated": True,
+             "aggregation": "ratio", "numerator": "errs",
+             "denominator": "cnt"},
+        ],
+    )
+    return compile_pipeline(events_lines(spark, sf_dir), ldef).select(
+        "etype", "err_rate"
+    )
+
+
+_MATCH_RO = str(Path(__file__).resolve().parents[1] / "tests" / "fixtures" / "match_ro.txt")
+
+
+@register(
+    "match_and_contains_all",
+    "SELECT event_id, event_type AS etype FROM events "
+    "WHERE event_type LIKE '%r%' AND event_type LIKE '%o%'",
+)
+def q_match_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive AND-logic multi-value substring match: the token must
+    contain EVERY value of the match set (ADVICE r1 —
+    functions/strings.py contains_all, miw/log_format.cc:341-353)."""
+    ldef = _ldef(
+        "matchall",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "etype", "pos": 4, "type": "string",
+             "match": {"match_file": _MATCH_RO, "logic": "and"}},
+        ],
+    )
+    return parse(events_lines(spark, sf_dir), ldef).select("event_id", "etype")
+
+
+@register(
+    "raw_content_retention",
+    "SELECT event_type AS etype, count(*) AS logs, "
+    "array_to_string(list_sort(list(CAST(event_id AS VARCHAR) || ',' || "
+    "event_type || ',' || props)), '|') AS content "
+    "FROM events GROUP BY 1",
+)
+def q_store_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-store_content raw-line retention (S16): group keeps its source
+    lines (sorted for determinism; the reference keeps arrival order,
+    miw/log_record.cc:304-310)."""
+    ev = load_events(spark, sf_dir)
+    lines = ev.select(
+        F.concat_ws(
+            ",", F.col("event_id").cast("string"), F.col("event_type"),
+            F.col("props"),
+        ).alias("value")
+    )
+    ldef = _ldef(
+        "raw", [{"name": "etype", "pos": 1, "type": "string", "key": True}]
+    )
+    rows = parse(lines, ldef, keep_raw=True)
+    return rows.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("logs"),
+        F.concat_ws("|", F.sort_array(F.collect_list("_raw"))).alias("content"),
+    )
+
+
+@register(
+    "evtx_kv_dynamic_group",
+    "SELECT CAST(user_id AS VARCHAR) AS user, count(*) AS logs, "
+    "CAST(user_id AS VARCHAR) AS id FROM events GROUP BY 1",
+)
+def q_evtx_kv_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic k/v field declared via from_kv used as the GROUP KEY
+    (miw/log_format.cc:570-576 dynamic schema extension)."""
+    ev = load_events(spark, sf_dir)
+    payload = F.concat(
+        F.lit("p-> user="),
+        F.col("user_id").cast("string"),
+        F.lit(" type="),
+        F.col("event_type"),
+    )
+    lines = ev.select(
+        F.concat_ws(",", F.col("event_id").cast("string"), payload).alias("value")
+    )
+    ldef = _ldef(
+        "evtx_kv",
+        [
+            {"name": "event_id", "pos": 0, "type": "int"},
+            {"name": "payload", "pos": 1, "type": "string",
+             "preprocessing": "evtxcsv"},
+            {"name": "user", "from_kv": "payload", "type": "string",
+             "key": True},
+        ],
+    )
+    return compile_pipeline(lines, ldef, expand_kv=False).select(
+        "user", "logs", "id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# companion apps (§2.8): hist, linear regression, string match
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "app_hist_256",
+    "SELECT CAST(least(greatest(floor(value / 2.0), 0), 255) AS INT) AS bucket, "
+    "count(*) AS n FROM events GROUP BY 1",
+)
+def q_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """app/hist.cc equivalent: 256-bucket equi-width histogram (width
+    2.0 — a power of two, so the division is exact in both engines)."""
+    ev = load_events(spark, sf_dir)
+    return apps.histogram(ev, "value", n_buckets=256, lo=0.0, hi=512.0)
+
+
+_LINREG_SQL = """
+SELECT n, sx, sy, sxx, syy, sxy,
+       (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope,
+       (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
+         / n::DOUBLE AS intercept
+FROM (
+  SELECT count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM (SELECT user_id AS x,
+               CAST(round(value * 100, 0) AS BIGINT) AS y FROM events)
+)
+"""
+
+
+@register("app_linear_regression", _LINREG_SQL)
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """app/linear_regression.cc equivalent over (user_id, value-cents):
+    exact integer moment sums, one IEEE-deterministic division."""
+    ev = load_events(spark, sf_dir).select(
+        F.col("user_id").alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
+    )
+    return apps.linreg_fit(ev, "x", "y")
+
+
+@register(
+    "app_string_match",
+    "SELECT CAST(sum(CASE WHEN text LIKE '%the%' THEN 1 ELSE 0 END) AS BIGINT)"
+    " AS matches FROM documents",
+)
+def q_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return apps.string_match_count(docs, "text", "the")
 
 
 # ---------------------------------------------------------------------------

@@ -625,8 +625,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs).select("doc_id", "n_chars")
 
 
-# MinHash signatures — deterministic md5-based, reproduced in DuckDB via
-# list comprehensions over the same shingle construction.
+# MinHash signatures — one 32-bit md5-prefix hash per shingle, then
+# 16 (a·h+b) mod P permutations (operators/dedup.py MINHASH_*); the
+# oracle rebuilds the identical integer pipeline.
 
 _SHINGLES_SQL = """
   SELECT doc_id,
@@ -638,14 +639,24 @@ _SHINGLES_SQL = """
         FROM documents)
 """
 
-_MINHASH_SQL = f"""
-WITH shingled AS ({_SHINGLES_SQL}),
-sigs AS (
-  SELECT doc_id,
-         [list_min([md5(h::VARCHAR || ':' || s) FOR s IN sh])
-          FOR h IN generate_series(0, 15)] AS sig
-  FROM shingled
+_SIG_EXPRS = ", ".join(
+    f"list_min([({dedup.MINHASH_A[i]} * h + {dedup.MINHASH_B[i]}) "
+    f"% {dedup.MINHASH_P} FOR h IN hs])"
+    for i in range(16)
 )
+
+_SIGS_CTE = f"""
+shingled AS ({_SHINGLES_SQL}),
+hashed AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(s), 1, 8))::BIGINT FOR s IN sh] AS hs
+  FROM shingled
+),
+sigs AS (SELECT doc_id, [{_SIG_EXPRS}] AS sig FROM hashed)
+"""
+
+_MINHASH_SQL = f"""
+WITH {_SIGS_CTE}
 SELECT doc_id, array_to_string(sig, '|') AS sig_str FROM sigs
 """
 
@@ -653,18 +664,17 @@ SELECT doc_id, array_to_string(sig, '|') AS sig_str FROM sigs
 @register("minhash_signatures", _MINHASH_SQL)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(F.col("text"), num_hashes=16, shingle_k=3)
-    return docs.select("doc_id", F.concat_ws("|", sig).alias("sig_str"))
+    sig = dedup.with_signature(docs, num_hashes=16, shingle_k=3)
+    return sig.select(
+        "doc_id",
+        F.concat_ws(
+            "|", F.transform(F.col("_sig"), lambda x: x.cast("string"))
+        ).alias("sig_str"),
+    )
 
 
 _LSH_SQL = f"""
-WITH shingled AS ({_SHINGLES_SQL}),
-sigs AS (
-  SELECT doc_id,
-         [list_min([md5(h::VARCHAR || ':' || s) FOR s IN sh])
-          FOR h IN generate_series(0, 15)] AS sig
-  FROM shingled
-),
+WITH {_SIGS_CTE},
 banded AS (
   SELECT doc_id, b.b AS band,
          md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
@@ -691,7 +701,7 @@ def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("simhash_fingerprints")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", dedup.simhash(F.col("text")).alias("simhash64"))
+    return dedup.with_simhash(docs, out_col="simhash64")
 
 
 # ---------------------------------------------------------------------------

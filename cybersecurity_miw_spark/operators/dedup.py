@@ -22,10 +22,33 @@ Strategies:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cybersecurity_miw_spark.operators.textstats import fingerprint, shingles
+from cybersecurity_miw_spark.operators.textstats import (
+    fingerprint,
+    shingles,
+    with_shingles,
+)
+
+# MinHash permutation family h_i(x) = (a_i·x + b_i) mod P over the
+# 32-bit md5 prefix of each shingle: P is the smallest prime > 2^32
+# and a_i, b_i < 2^31, so a_i·x + b_i < 2^31·2^32 + 2^31 < 2^63 — the
+# arithmetic is exact int64 in every engine (no overflow, no wrap
+# divergence). The constants are fixed, seedless, and md5-derived so
+# any engine can re-derive them.
+MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def _mh_const(tag: str, i: int) -> int:
+    v = int(hashlib.md5(f"{tag}:{i}".encode()).hexdigest()[:8], 16)
+    return (v % 2147483647) + 1  # in [1, 2^31 - 1], never 0
+
+
+MINHASH_A = [_mh_const("a", i) for i in range(64)]
+MINHASH_B = [_mh_const("b", i) for i in range(64)]
 
 
 # ---- exact dedup ----
@@ -64,33 +87,60 @@ def duplicate_groups(
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
-    """Array of ``num_hashes`` MinHash values. Hash h_i(s) =
-    md5(i || ':' || s); the min over the doc's shingle set is taken
-    lexicographically on the hex digest. Deterministic, seedless,
-    reproducible in any engine with md5."""
+    """Array of ``num_hashes`` MinHash values (int64). Each shingle is
+    hashed ONCE (32-bit md5 prefix); the ``num_hashes`` permutations
+    are (a_i·h + b_i) mod P integer ops — ~16× less hashing than the
+    md5-per-seed variant this replaces (5.8 s → sub-second at sf0.1).
+    Deterministic, seedless, reproducible in any engine with md5 and
+    int64 (the DuckDB oracle recomputes it exactly)."""
     return signature_from_shingles(shingles(text, shingle_k), num_hashes)
 
 
+def shingle_hash32(s: Column) -> Column:
+    """32-bit integer hash of a shingle: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
 def signature_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as ONE fold over the shingle array: for each
-    shingle, hash it under every seed and fold with element-wise least.
-    The shingle array is evaluated once per row (an earlier version
-    built ``num_hashes`` independent array_min(transform(sh, ...))
-    expressions, which re-evaluated the whole shingle construction per
-    seed — 16× the work, measured 46 s vs ~3 s at sf0.1)."""
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    # "￿" sorts after every md5 hex digest
-    start = F.array_repeat(F.lit("￿"), num_hashes)
+    """MinHash signature as ONE fold over the shingle array: hash each
+    shingle once, apply all permutations, fold with element-wise least.
+    (An earlier version built ``num_hashes`` independent
+    array_min(transform(sh, ...)) expressions, re-evaluating the whole
+    shingle construction per seed — 16× the work, 46 s vs ~3 s at
+    sf0.1; md5-per-seed was another ~6×.)"""
+    a = F.array(*[F.lit(MINHASH_A[i]) for i in range(num_hashes)])
+    b = F.array(*[F.lit(MINHASH_B[i]) for i in range(num_hashes)])
+    start = F.array_repeat(F.lit(MINHASH_P).cast("long"), num_hashes)
     return F.aggregate(
         sh,
         start,
         lambda acc, s: F.zip_with(
             acc,
-            F.transform(
-                seeds, lambda h: F.md5(F.concat(h.cast("string"), F.lit(":"), s))
-            ),
-            lambda a, b: F.least(a, b),
+            _permutes(shingle_hash32(s), a, b),
+            lambda x, y: F.least(x, y),
         ),
+    )
+
+
+def _permutes(h: Column, a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda ai, bi: (ai * h + bi) % MINHASH_P)
+
+
+def with_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    out_col: str = "_sig",
+) -> DataFrame:
+    """id + MinHash signature with the words/shingle stages staged as
+    their own projections (single split, single fold — the DataFrame
+    analog of :func:`minhash_signature`)."""
+    sh = with_shingles(df, text_col, shingle_k, "_sh", keep=(id_col,))
+    return sh.select(
+        F.col(id_col),
+        signature_from_shingles(F.col("_sh"), num_hashes).alias(out_col),
     )
 
 
@@ -103,7 +153,11 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws(
-                        "|", *[sig[b * rows_per_band + r] for r in range(rows_per_band)]
+                        "|",
+                        *[
+                            sig[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
                     )
                 ).alias("band_hash"),
             )
@@ -126,13 +180,10 @@ def minhash_lsh_candidates(
     uniform hash so the shuffle is skew-free; same-bucket pair count
     bounds the output."""
     rows_per_band = num_hashes // bands
-    # materialize the signature as its own projection so the banding
-    # expressions reference a computed column instead of re-evaluating
-    # the (expensive) signature fold per band element
-    with_sig = df.select(
-        F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, shingle_k).alias("_sig"),
-    )
+    # stage words → shingles → signature as separate projections so
+    # the text split and the signature fold each evaluate exactly once
+    # (see textstats.with_shingles)
+    with_sig = with_signature(df, text_col, id_col, num_hashes, shingle_k)
     banded = with_sig.select(
         F.col(id_col),
         F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
@@ -169,9 +220,7 @@ def jaccard_pairs(
     Shingle sets ride along the joins as array columns; the
     intersection/union sizes are computed with array expressions —
     no explode of the cross product."""
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), shingle_k).alias("_sh")
-    )
+    sh = with_shingles(df, text_col, shingle_k, "_sh", keep=(id_col,))
     out = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_sh_b"), "id_b")
@@ -245,6 +294,39 @@ def simhash(text: Column, bits: int = 64) -> Column:
     return out
 
 
+def with_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    out_col: str = "_simhash",
+) -> DataFrame:
+    """SimHash as explode → xxhash64 → groupBy(id) with one SUM per
+    bit, then fingerprint reassembly. Same result as :func:`simhash`
+    (vote_i > 0 ⟺ 2·Σbit_i > n) but every stage is vectorized
+    whole-stage codegen instead of interpreted array lambdas —
+    measured 4.4 s → 1.6 s at sf0.1. The shuffle is id → 65 longs per
+    doc after map-side partial aggregation, negligible at any scale."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "_tok"
+        ),
+    ).select(F.col(id_col), F.xxhash64("_tok").alias("_h"))
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(bits)
+    ]
+    g = toks.groupBy(id_col).agg(*aggs)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        weight = -(1 << (bits - 1)) if i == bits - 1 else (1 << i)
+        fp = fp + F.when(
+            2 * F.col(f"_b{i}") > F.col("_n"), F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select(F.col(id_col), fp.alias(out_col))
+
+
 def simhash_dedup_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -254,7 +336,7 @@ def simhash_dedup_candidates(
     """Near-dup candidates = docs sharing any of the 4 16-bit SimHash
     bands (classic Hamming-distance blocking)."""
     sh = F.col("_simhash")
-    base = df.select(F.col(id_col), simhash(F.col(text_col)).alias("_simhash"))
+    base = with_simhash(df, text_col, id_col)
     bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = base.select(

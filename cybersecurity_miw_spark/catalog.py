@@ -803,6 +803,98 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, list(qvec), dim=64, k=10, n_planes=8)
 
 
+# embedding-cosine near-duplicate pairs: exact baseline is
+# oracle-checked; the LSH-bucketed scale path and IVF ANN are
+# rows-only (xxhash64 hyperplanes have no DuckDB twin).
+
+_NEAR_DUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) a
+JOIN (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) b
+  ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
+"""
+
+
+@register("embedding_near_dup_pairs", _NEAR_DUP_SQL)
+def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs_above(emb, threshold=0.5)
+
+
+@register("embedding_near_dup_lsh")
+def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_dup_lsh(emb, threshold=0.5, dim=64, n_planes=4)
+
+
+@register("ann_ivf_topk")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization ANN: train tiny centroids, assign, and
+    search only the query's cell (operators/similarity.py:155-216)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids(emb, n_cells=4, dim=64, iters=2)
+    qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    assigned = similarity.ivf_assign(emb, cents)
+    qcell = similarity.ivf_assign(
+        emb.sparkSession.createDataFrame([(qvec,)], "embedding array<double>"),
+        cents,
+    ).head()["_cell"]
+    return similarity.brute_force_topk(
+        assigned.filter(F.col("_cell") == qcell), qvec, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: binary payload metadata + mapInPandas features
+# ---------------------------------------------------------------------------
+
+_MEDIA_STATS_SQL = """
+SELECT 'image' AS kind,
+       count(*) AS n_media,
+       sum(octet_length(encode(text))) AS total_bytes,
+       sum(octet_length(encode(text)))::DOUBLE / count(*) AS avg_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents
+"""
+
+
+@register("multimodal_media_stats", _MEDIA_STATS_SQL)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar metadata aggregation over binary media rows — the scan
+    prunes the payload column entirely (operators/multimodal.py)."""
+    from cybersecurity_miw_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (F.sum("n_bytes").cast("double") / F.count(F.lit(1))).alias("avg_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )
+
+
+@register("multimodal_frame_features")
+def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (deterministic fake
+    decoder — the real decoder drops into DECODERS); rows-only check:
+    one row per (media, frame)."""
+    from cybersecurity_miw_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media, frames=2, dim=4)
+    return feats.select(
+        "media_id",
+        "frame_no",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feat_sum"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # P16 appname key suffix, A3 count, A12 first-value, A10 ratio over a
 # count-aggregated operand, F2 AND-contains-all multi-value match,

@@ -97,6 +97,67 @@ def pairwise_topk(
     )
 
 
+# ---- embedding-cosine near-duplicate detection ----
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All (id_a < id_b) pairs with cosine ≥ threshold — the EXACT
+    baseline (O(n²) self-join; correctness oracle for the LSH-bucketed
+    scale path below). Returns id_a, id_b, cos_sim (rounded 1e-6)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: random-hyperplane bucket as
+    the blocking key (high-cosine pairs land in the same bucket with
+    probability (1 − θ/π)^n_planes), exact cosine confirm WITHIN each
+    bucket. The self-join shuffles on the uniform bucket id — never
+    all-pairs. Recall is tuned by lowering n_planes."""
+    bucketed = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    )
+    a = bucketed.select(
+        F.col("_bucket"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = bucketed.select(
+        F.col("_bucket"), F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+    )
+    pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 # ---- LSH (random hyperplane / sign) path ----
 
 

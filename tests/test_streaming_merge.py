@@ -1,0 +1,54 @@
+"""S14 incremental aggregation: files landing in a directory merge
+into the running summary via Structured Streaming (checkpointed =
+-tmp_save analog, miw/job.cc:197-226, miw/mr_job.h:147-177).
+"""
+
+from __future__ import annotations
+
+import time
+
+from cybersecurity_miw_spark.plans.logdef import LogDef
+from cybersecurity_miw_spark.streaming.merge import stream_logs
+
+FMT = {
+    "format_name": "st",
+    "delims": ",",
+    "fields": [
+        {"name": "etype", "pos": 1, "type": "string", "key": True},
+        {"name": "val", "pos": 2, "type": "int",
+         "aggregated": True, "aggregation": "sum"},
+    ],
+}
+
+
+def _run_stream(spark, indir, ckpt, outdir):
+    q = stream_logs(
+        spark, indir, LogDef.from_json(FMT), ckpt, outdir, available_now=True
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+
+
+def test_incremental_file_merge(spark, tmp_path):
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    (indir / "a.log").write_text("1,x,10\n2,x,5\n3,y,1\n")
+    _run_stream(spark, str(indir), ckpt, outdir)
+    first = {
+        r["etype"]: (r["logs"], r["val"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert first == {"x": (2, 15), "y": (1, 1)}
+
+    # a new file lands; resuming from the checkpoint folds ONLY the new
+    # data into the existing state (the reference's re-emit machinery)
+    (indir / "b.log").write_text("4,x,7\n5,z,2\n")
+    _run_stream(spark, str(indir), ckpt, outdir)
+    second = {
+        r["etype"]: (r["logs"], r["val"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert second == {"x": (3, 22), "y": (1, 1), "z": (1, 2)}

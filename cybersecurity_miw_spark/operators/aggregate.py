@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cybersecurity_miw_spark.functions.cols import qcol
 from cybersecurity_miw_spark.plans.logdef import Field, LogDef
 
 LOGS_COL = "logs"
@@ -57,7 +58,7 @@ def key_columns(ldef: LogDef) -> list[str]:
 def id_column(ldef: LogDef) -> Column:
     """Composite group key: key-field values joined with "_", suffixed
     with "_"+appname when set (miw/log_format.cc:557-563,591-592)."""
-    parts = [F.col(n).cast("string") for n in key_columns(ldef)]
+    parts = [qcol(n).cast("string") for n in key_columns(ldef)]
     if ldef.appname:
         parts.append(F.lit(ldef.appname))
     return F.concat_ws("_", *parts)
@@ -76,7 +77,7 @@ def simple_agg_exprs(ldef: LogDef) -> list[Column]:
             # its derived fields carry the payload (the reference skips
             # preprocessing fields at output, miw/log_record.cc:495-496)
             continue
-        c = F.col(f.name)
+        c = qcol(f.name)
         agg = f.aggregation
         if f.is_filter_contain:
             exprs.append(F.sum(c).alias(f.name))
@@ -91,7 +92,16 @@ def simple_agg_exprs(ldef: LogDef) -> list[Column]:
         elif agg == "variance":
             exprs.append(F.coalesce(F.var_samp(c), F.lit(0.0)).alias(f.name))
         elif agg == "union":
-            exprs.append(F.sort_array(F.collect_set(c)).alias(f.name))
+            # string/date/url unions dedup via the _unos cache; int/
+            # float/bool unions APPEND without dedup
+            # (miw/log_record.cc:63-68 vs :69-129) — mirror both,
+            # sorted for determinism (reference: merge order)
+            collect = (
+                F.collect_list(c)
+                if f.type in ("int", "float", "bool")
+                else F.collect_set(c)
+            )
+            exprs.append(F.sort_array(collect).alias(f.name))
         elif agg in ("union_count", "ratio"):
             continue
         else:
@@ -105,7 +115,7 @@ def union_count_expr(field_name: str) -> Column:
     collect_list with array expressions. O(n·distinct) per group —
     only for formats whose groups are known small; the default plan
     uses :func:`aggregate_with_union_count`'s two-phase path."""
-    lst = F.collect_list(F.col(field_name))
+    lst = F.collect_list(qcol(field_name))
     return F.map_from_entries(
         F.transform(
             F.array_distinct(lst),
@@ -136,7 +146,7 @@ def aggregate(
         f for f in ldef.fields if f.aggregation == "union_count" and not f.key
     ]
 
-    gcols = [F.col(k) for k in all_keys]
+    gcols = [qcol(k) for k in all_keys]
     aggs = simple_agg_exprs(ldef)
     if union_count_strategy == "expr":
         aggs += [union_count_expr(f.name) for f in ucount_fields]
@@ -177,12 +187,12 @@ def value_histogram(df: DataFrame, keys: list[str], col: str) -> DataFrame:
     (keys, value) pre-aggregation (map-side combined, skew-free even
     when one group dominates) then a map roll-up on keys."""
     return (
-        df.groupBy(*[F.col(k) for k in keys], F.col(col))
+        df.groupBy(*[qcol(k) for k in keys], qcol(col))
         .agg(F.count(F.lit(1)).alias("_cnt"))
-        .groupBy(*[F.col(k) for k in keys])
+        .groupBy(*[qcol(k) for k in keys])
         .agg(
             F.map_from_entries(
-                F.sort_array(F.collect_list(F.struct(F.col(col), F.col("_cnt"))))
+                F.sort_array(F.collect_list(F.struct(qcol(col), F.col("_cnt"))))
             ).alias(f"{col}_counts")
         )
     )
@@ -199,10 +209,10 @@ def _ratio_operand(name: str, ldef: LogDef) -> Column:
     try:
         f = ldef.field_by_name(name)
     except KeyError:
-        return F.col(name)
+        return qcol(name)
     if f.aggregation == "count":
-        return F.col(f"{name}_count")
-    return F.col(name)
+        return qcol(f"{name}_count")
+    return qcol(name)
 
 
 def order_final(df: DataFrame) -> DataFrame:

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cybersecurity_miw_spark.functions.cols import qcol
 from cybersecurity_miw_spark.functions.datetime import bucket_date, bucket_time, parse_date
 from cybersecurity_miw_spark.functions.kv import evtx_kv, evtx2_kv
 from cybersecurity_miw_spark.functions.net import dns_wire_to_name
@@ -132,7 +133,7 @@ def project_fields(
         out = out.select(
             "*",
             *[
-                derive_typed(F.trim(F.col(f.from_kv).getItem(f.name)), f).alias(
+                derive_typed(F.trim(qcol(f.from_kv).getItem(f.name)), f).alias(
                     f.name
                 )
                 for f in kv_fields

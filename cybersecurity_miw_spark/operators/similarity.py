@@ -71,10 +71,20 @@ def pairwise_topk(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_queries: int = 10_000,
 ) -> DataFrame:
     """Top-k neighbors for EVERY query row: broadcast the query set,
-    window-rank per query. Queries must be small enough to broadcast
-    (the classic batched-ANN driver loop otherwise)."""
+    window-rank per query. Queries must be small enough to broadcast —
+    guarded: more than ``max_broadcast_queries`` rows raises instead of
+    silently building an executor-crushing crossJoin (use
+    :func:`lsh_ann_topk` / :func:`cosine_near_dup_lsh` for large query
+    sets)."""
+    n_q = queries.limit(max_broadcast_queries + 1).count()
+    if n_q > max_broadcast_queries:
+        raise ValueError(
+            f"pairwise_topk: query set exceeds {max_broadcast_queries} rows; "
+            "broadcast crossJoin would not scale — use the LSH/IVF path"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )

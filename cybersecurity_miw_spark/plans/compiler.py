@@ -40,6 +40,7 @@ import dataclasses
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cybersecurity_miw_spark.functions.cols import qcol
 from cybersecurity_miw_spark.functions.strings import token_pattern
 from cybersecurity_miw_spark.operators.aggregate import aggregate
 from cybersecurity_miw_spark.operators.derive import TOKENS_COL, project_fields
@@ -110,7 +111,7 @@ def discover_kv_fields(
         keys = [
             r[0]
             for r in parsed.select(
-                F.explode(F.map_keys(F.col(p.name))).alias("k")
+                F.explode(F.map_keys(qcol(p.name))).alias("k")
             )
             .distinct()
             .limit(max_keys)
@@ -121,7 +122,7 @@ def discover_kv_fields(
                 continue
             declared.add(k)
             new_fields.append(Field(name=k, type="string", from_kv=p.name))
-            new_cols.append(F.trim(F.col(p.name).getItem(k)).alias(k))
+            new_cols.append(F.trim(qcol(p.name).getItem(k)).alias(k))
     if not new_fields:
         return parsed, ldef
     widened = parsed.select("*", *new_cols)

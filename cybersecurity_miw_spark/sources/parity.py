@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cybersecurity_miw_spark.functions.cols import qcol
 from cybersecurity_miw_spark.operators.aggregate import LOGS_COL, order_final
 from cybersecurity_miw_spark.plans.logdef import LogDef
 
@@ -158,7 +159,7 @@ def _fragments(df: DataFrame, ldef: LogDef) -> list[tuple[str, Column, Column]]:
             if f.name in dtypes and not any(
                 g.name == "target" for g in ldef.fields
             ):
-                emit("target", F.col(f.name), dtypes[f.name])
+                emit("target", qcol(f.name), dtypes[f.name])
             continue
         if f.preprocessing:
             # skipped; dynamic (from_kv) fields carry the payload
@@ -166,17 +167,17 @@ def _fragments(df: DataFrame, ldef: LogDef) -> list[tuple[str, Column, Column]]:
             continue
         if f.aggregation == "count":
             col = f"{f.name}_count"
-            emit(col, F.col(col), dtypes[col], gate=F.col(col) > 1)
+            emit(col, qcol(col), dtypes[col], gate=qcol(col) > 1)
         elif f.aggregation == "union_count":
             col = f"{f.name}_counts"
-            emit(f.name, F.map_keys(F.col(col)), f"array<{_vtype(dtypes[col])[0]}>")
+            emit(f.name, F.map_keys(qcol(col)), f"array<{_vtype(dtypes[col])[0]}>")
             emit(
                 f"{f.name}_count",
-                F.map_values(F.col(col)),
+                F.map_values(qcol(col)),
                 f"array<{_vtype(dtypes[col])[1]}>",
             )
         elif f.name in dtypes:
-            emit(f.name, F.col(f.name), dtypes[f.name])
+            emit(f.name, qcol(f.name), dtypes[f.name])
 
     # dynamic (kv-derived) columns not declared in the format: emitted
     # like plain fields, as the reference appends them to the record's
@@ -189,7 +190,7 @@ def _fragments(df: DataFrame, ldef: LogDef) -> list[tuple[str, Column, Column]]:
         if name.startswith("_"):  # engine internals (_file, _raw)
             continue
         if name not in declared and name not in meta:
-            emit(name, F.col(name), dtype)
+            emit(name, qcol(name), dtype)
 
     emit("id", F.col("id"), "string")
     emit(LOGS_COL, F.col(LOGS_COL), "bigint")

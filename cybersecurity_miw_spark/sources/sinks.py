@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cybersecurity_miw_spark.functions.cols import qcol
 from cybersecurity_miw_spark.operators.aggregate import order_final, top_k
 from cybersecurity_miw_spark.plans.logdef import LogDef
 
@@ -31,10 +32,10 @@ def _std_date_dt(ldef: LogDef, df: DataFrame) -> Column:
     time_part: Column = F.lit("00:00:00")
     for f in ldef.fields:
         if f.type == "date" and f.name in df.columns:
-            date_part = F.coalesce(F.col(f.name).cast("string"), date_part)
+            date_part = F.coalesce(qcol(f.name).cast("string"), date_part)
     for f in ldef.fields:
         if f.type == "time" and f.name in df.columns:
-            t = F.col(f.name).cast("string")
+            t = qcol(f.name).cast("string")
             if f.processing == "hour":
                 t = F.concat(t, F.lit(":00:00"))
             elif f.processing == "minute":
@@ -67,9 +68,9 @@ def write_csv(df: DataFrame, ldef: LogDef, path: str, mode: str = "overwrite") -
     cols = []
     for name, dtype in out.dtypes:
         if dtype.startswith(("array", "map", "struct")):
-            cols.append(F.to_json(F.col(name)).alias(name))
+            cols.append(F.to_json(qcol(name)).alias(name))
         else:
-            cols.append(F.col(name))
+            cols.append(qcol(name))
     out.select(*cols).write.mode(mode).option("header", True).csv(path)
 
 

@@ -166,6 +166,19 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def staged(df: DataFrame) -> DataFrame:
+    """Persist a derived frame so a self-join's two sides read it once
+    instead of recomputing the upstream pipeline per side. Spark's
+    ReuseExchange cannot canonicalize plans containing higher-order
+    -function lambdas (the MinHash fold), so without this the signature
+    computation runs once per join side — at 100 TB that doubles the
+    most expensive narrow stage. MEMORY_AND_DISK serialized: spills
+    instead of OOM, evicted LRU when unreferenced."""
+    from pyspark import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -184,10 +197,16 @@ def minhash_lsh_candidates(
     # the text split and the signature fold each evaluate exactly once
     # (see textstats.with_shingles)
     with_sig = with_signature(df, text_col, id_col, num_hashes, shingle_k)
-    banded = with_sig.select(
-        F.col(id_col),
-        F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    banded = staged(
+        with_sig.select(
+            F.col(id_col),
+            F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
+        ).select(
+            id_col,
+            F.col("b.band").alias("band"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -355,6 +374,7 @@ def simhash_dedup_candidates(
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.val")
+    banded = staged(banded)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

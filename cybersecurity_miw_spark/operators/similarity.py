@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cybersecurity_miw_spark.operators.dedup import staged
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -148,10 +150,12 @@ def cosine_near_dup_lsh(
     probability (1 − θ/π)^n_planes), exact cosine confirm WITHIN each
     bucket. The self-join shuffles on the uniform bucket id — never
     all-pairs. Recall is tuned by lowering n_planes."""
-    bucketed = df.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    bucketed = staged(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        )
     )
     a = bucketed.select(
         F.col("_bucket"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")

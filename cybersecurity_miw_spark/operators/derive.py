@@ -120,6 +120,9 @@ def project_fields(
     reference drops them with an error log (miw/log_format.cc:258-262).
     ``passthrough`` columns (e.g. the raw line) are kept as-is.
     """
+    # tokenize_lines stages _tokens behind a nondeterministic shell
+    # (functions.cols.staged_expr), so this filter references the
+    # staged array instead of re-running the tokenizer per predicate.
     df = df.filter(F.size(F.col(TOKENS_COL)) > ldef.max_pos)
     cols = [derive_column(f).alias(f.name) for f in ldef.fields if f.projects]
     cols += [F.col(c) for c in passthrough]

@@ -40,7 +40,7 @@ import dataclasses
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cybersecurity_miw_spark.functions.cols import qcol
+from cybersecurity_miw_spark.functions.cols import qcol, staged_expr
 from cybersecurity_miw_spark.functions.strings import token_pattern
 from cybersecurity_miw_spark.operators.aggregate import aggregate
 from cybersecurity_miw_spark.operators.derive import TOKENS_COL, project_fields
@@ -60,8 +60,13 @@ def tokenize_lines(
     -store_content, miw/log_format.cc:596-597). ``passthrough`` columns
     (e.g. ``_file``) are kept as-is."""
     pattern = token_pattern(ldef.delims, ldef.quotechar)
+    # staged_expr: tokenization is the dominant per-byte cost; the
+    # shell keeps it evaluated exactly once even under the size filter
+    # and the match predicates that all reference the token array.
     cols = [
-        F.regexp_extract_all(F.col(LINE_COL), F.lit(pattern), 0).alias(TOKENS_COL)
+        staged_expr(
+            F.regexp_extract_all(F.col(LINE_COL), F.lit(pattern), 0)
+        ).alias(TOKENS_COL)
     ]
     if keep_raw:
         cols.append(F.col(LINE_COL).alias("_raw"))

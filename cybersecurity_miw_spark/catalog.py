@@ -694,14 +694,39 @@ def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# SimHash — xxhash64 has no DuckDB twin, so this is a rows-only check;
-# substance is covered by pytest with planted near-duplicates.
+# SimHash — the xxhash64 default has no DuckDB twin (rows-only check;
+# substance covered by pytest with planted near-duplicates), but the
+# md5_60 variant rebuilds the identical 60-bit fingerprint in SQL.
 
 
 @register("simhash_fingerprints")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.with_simhash(docs, out_col="simhash64")
+
+
+_SIMHASH_BITS = ", ".join(
+    f"sum((h >> {i}) & 1) AS b{i}" for i in range(60)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN 2*b{i} > n THEN {1 << i} ELSE 0 END" for i in range(60)
+)
+
+_SIMHASH_MD5_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+g AS (SELECT doc_id, count(*) AS n, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash60 FROM g
+"""
+
+
+@register("simhash_md5_fingerprints", _SIMHASH_MD5_SQL)
+def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.with_simhash(docs, out_col="simhash60", hash_fn="md5_60")
 
 
 # ---------------------------------------------------------------------------

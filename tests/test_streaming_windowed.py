@@ -1,0 +1,83 @@
+"""Event-time streaming: watermarked windows emit exactly-once on
+watermark passage; applyInPandasWithState keeps durable per-key state
+across restarts.
+"""
+
+from __future__ import annotations
+
+import time
+
+from cybersecurity_miw_spark.streaming.windowed import (
+    running_user_profile,
+    windowed_counts,
+)
+
+
+def _await(q):
+    q.awaitTermination(120)
+    time.sleep(0.2)
+
+
+def test_windowed_counts_watermark_append(spark, tmp_path):
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    # two event types inside the 10:00-11:00 window
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:05:00,7,click,1.5\n"
+        "2,2026-01-01T10:20:00,7,click,2.5\n"
+        "3,2026-01-01T10:40:00,8,view,1.0\n"
+    )
+    _await(windowed_counts(spark, str(indir), ckpt, outdir))
+
+    # append mode: the window is still open (watermark hasn't passed
+    # 11:00), so nothing is final yet
+    try:
+        n0 = len(spark.read.parquet(outdir).collect())
+    except Exception:
+        n0 = 0  # sink may not exist before the first append
+    assert n0 == 0
+
+    # an event far past the window end advances the watermark
+    # (12:00 - 30min > 11:00) and finalizes the first window
+    (indir / "b.log").write_text("4,2026-01-01T12:00:00,7,click,9.0\n")
+    _await(windowed_counts(spark, str(indir), ckpt, outdir))
+
+    rows = {
+        (r["etype"]): (r["n_events"], r["value_sum"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert rows == {"click": (2, 4.0), "view": (1, 1.0)}
+
+
+def test_running_user_profile_state_survives_restart(spark, tmp_path):
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:00:00,7,click,1.0\n"
+        "2,2026-01-01T10:01:00,7,click,3.0\n"
+        "3,2026-01-01T10:02:00,8,view,5.0\n"
+    )
+    _await(running_user_profile(spark, str(indir), ckpt, outdir))
+    first = {
+        r["user_id"]: (r["n_events"], r["value_sum"], r["value_max"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert first == {7: (2, 4.0, 3.0), 8: (1, 5.0, 5.0)}
+
+    # new file, new run: checkpointed state accumulates (not recomputed
+    # from scratch), proving the state store round-trip
+    (indir / "b.log").write_text("4,2026-01-01T11:00:00,7,click,10.0\n")
+    _await(running_user_profile(spark, str(indir), ckpt, outdir))
+    second = {
+        r["user_id"]: (r["n_events"], r["value_sum"], r["value_max"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    # update-mode batch emits only user 7 (the touched key); the sink
+    # overwrite keeps the latest batch — user 7's totals include run 1
+    assert second[7] == (3, 14.0, 10.0)

@@ -901,11 +901,27 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_features")
+# The fake decoder reads byte (f*dim+d) mod n of the payload; document
+# text is ASCII in the synthetic tables, so ord(substr(...)) rebuilds
+# the identical bytes in SQL — a true oracle over the Python
+# mapInPandas plumbing (batch shape, schema, frame explosion).
+_FRAME_FEATURES_SQL = """
+SELECT doc_id AS media_id, fr.f AS frame_no,
+       round(list_sum(
+         [CASE WHEN strlen(text) = 0 THEN 0.0
+               ELSE ord(substr(text,
+                        ((fr.f * 4 + d) % greatest(strlen(text), 1)) + 1,
+                        1)) / 255.0 END
+          FOR d IN generate_series(0, 3)]), 6) AS feat_sum
+FROM documents, (SELECT unnest(generate_series(0, 1)) AS f) fr
+"""
+
+
+@register("multimodal_frame_features", _FRAME_FEATURES_SQL)
 def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction (deterministic fake
-    decoder — the real decoder drops into DECODERS); rows-only check:
-    one row per (media, frame)."""
+    decoder — the real decoder drops into DECODERS); the oracle
+    recomputes the byte-derived features in SQL."""
     from cybersecurity_miw_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")

@@ -818,19 +818,51 @@ def q_pairwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pairwise_topk(emb, queries, k=5)
 
 
-# LSH ANN — xxhash64-seeded hyperplanes have no DuckDB twin; rows-only.
+# LSH ANN — hyperplane components are driver-computed md5 literals
+# (similarity.plane_component_value), so the oracle injects the SAME
+# constants and recomputes buckets with list_dot_product.
 
 
-@register("ann_lsh_topk")
+def _bucket_sql(dim: int, n_planes: int) -> str:
+    terms = []
+    for p in range(n_planes):
+        comps = ", ".join(
+            repr(similarity.plane_component_value(p, d)) for d in range(dim)
+        )
+        terms.append(
+            f"CASE WHEN list_dot_product(v, [{comps}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+_ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(64, 8)} AS bucket
+  FROM embeddings
+),
+q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_cosine_similarity(b.v, q.qv), 6) AS cos_sim
+FROM b, q
+WHERE b.bucket = q.qb
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("ann_lsh_topk", _ANN_LSH_SQL)
 def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.lsh_ann_topk(emb, list(qvec), dim=64, k=10, n_planes=8)
 
 
-# embedding-cosine near-duplicate pairs: exact baseline is
-# oracle-checked; the LSH-bucketed scale path and IVF ANN are
-# rows-only (xxhash64 hyperplanes have no DuckDB twin).
+# embedding-cosine near-duplicate pairs: exact baseline AND the
+# LSH-bucketed scale path are oracle-checked (shared md5-literal
+# hyperplanes); IVF ANN stays rows-only (iterative k-means centroids
+# have no closed-form SQL).
 
 _NEAR_DUP_SQL = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -848,7 +880,20 @@ def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_pairs_above(emb, threshold=0.5)
 
 
-@register("embedding_near_dup_lsh")
+_NEAR_DUP_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(64, 4)} AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.5
+"""
+
+
+@register("embedding_near_dup_lsh", _NEAR_DUP_LSH_SQL)
 def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_near_dup_lsh(emb, threshold=0.5, dim=64, n_planes=4)

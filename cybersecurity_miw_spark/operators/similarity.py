@@ -21,6 +21,8 @@ Two paths:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -175,11 +177,33 @@ def cosine_near_dup_lsh(
 # ---- LSH (random hyperplane / sign) path ----
 
 
+def plane_component_value(plane: int, d: int) -> float:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    top 60 bits of md5("rh:{plane}:{d}") scaled. Computed driver-side
+    and injected as a literal — constant-folded by Spark, bit-identical
+    in Python for query-side bucket computation, and trivially
+    reproducible by a SQL oracle. (Replaces an xxhash64 column
+    expression whose [-1, 1] range depended on Java signed ``%``.)"""
+    h = int(hashlib.md5(f"rh:{plane}:{d}".encode()).hexdigest()[:15], 16)
+    return h / float(1 << 59) - 1.0
+
+
+def bucket_value(vec: list[float], n_planes: int) -> int:
+    """Python twin of :func:`hyperplane_bucket` for a driver-side
+    query vector — same sequential dot-product order, so the IEEE
+    result (and the sign bits) match the Spark expression exactly."""
+    b = 0
+    for p in range(n_planes):
+        proj = 0.0
+        for d, x in enumerate(vec):
+            proj += float(x) * plane_component_value(p, d)
+        if proj > 0:
+            b |= 1 << p
+    return b
+
+
 def _plane_component(plane: int, dim: int) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1]:
-    xxhash64 of "plane:dim" scaled. Seedless and engine-stable."""
-    h = F.xxhash64(F.lit(f"rh:{plane}:{dim}"))
-    return (h % 10007).cast("double") / 10007.0
+    return F.lit(plane_component_value(plane, dim))
 
 
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12) -> Column:
@@ -209,14 +233,9 @@ def lsh_ann_topk(
     bucket. At scale, write the table bucketed/partitioned by
     ``_bucket`` so this becomes a single-partition lookup."""
     q = [float(v) for v in query_vec]
-    # the query's bucket is computed with the same Spark expression on
-    # a single-row DataFrame (xxhash64 has no python twin; one tiny
-    # local job, negligible).
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(q,)], f"v array<double>")
-    qbucket = qdf.select(
-        hyperplane_bucket(F.col("v"), dim, n_planes).alias("b")
-    ).head()[0]
+    # the query's bucket is computed driver-side (bit-identical Python
+    # twin of the Spark expression) — no extra job
+    qbucket = bucket_value(q, n_planes)
 
     bucketed = df.withColumn(
         "_bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes)

@@ -1,0 +1,184 @@
+"""Property-based tests: the parse primitives against independent
+pure-Python spec implementations (state-machine tokenizer, C-style
+atoi/atof, textual time bucketing) over hypothesis-generated inputs.
+
+Each property evaluates one batched Spark job per hypothesis example
+set (examples ride in a single DataFrame with an index column), so the
+suite stays fast despite JVM round-trips.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.functions.datetime import bucket_time
+from cybersecurity_miw_spark.functions.strings import tokenize
+from cybersecurity_miw_spark.operators.derive import atof, atoi
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# printable-ascii text without the surrogate/control noise that would
+# test Python's codec layer rather than our operators
+line_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40
+)
+
+
+def run_expr(spark, values: list[str], expr_fn):
+    """Evaluate expr_fn(F.col('v')) over the values in one job,
+    preserving input order."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i long, v string"
+    )
+    rows = df.select("i", expr_fn(F.col("v")).alias("out")).collect()
+    return [r["out"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+# ---- spec implementations ----
+
+
+def spec_atoi(s: str) -> int:
+    m = re.match(r"^[-+]?\d+", s.strip())
+    if not m:
+        return 0
+    v = int(m.group(0))
+    # our column is a long; overflow behaves like try_cast -> null -> 0
+    return v if -(2**63) <= v < 2**63 else 0
+
+
+def spec_atof(s: str) -> float:
+    m = re.match(r"^[-+]?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", s.strip())
+    return float(m.group(0)) if m else 0.0
+
+
+def spec_tokenize(s: str, delims: str, quotechar: str = "") -> list[str]:
+    """State-machine reference tokenizer: split on any delimiter char,
+    collapse empty tokens, quoted regions bind tighter than splitting
+    (a dangling quote absorbs nothing past the final quote char)."""
+    tokens: list[str] = []
+    cur: list[str] = []
+    in_quote = False
+    for ch in s:
+        if quotechar and ch == quotechar:
+            if in_quote:
+                cur.append(ch)
+                in_quote = False
+            else:
+                in_quote = True
+                cur.append(ch)
+        elif ch in delims and not in_quote:
+            if cur:
+                tokens.append("".join(cur))
+                cur = []
+        else:
+            cur.append(ch)
+    if in_quote:
+        # unterminated quote: the regex (?:Q[^Q]*Q|[^DQ])+ never treats
+        # a lone quote as token content — re-split the tail without it
+        tail = "".join(cur)
+        qpos = tail.rindex(quotechar)
+        head, rest = tail[:qpos], tail[qpos + 1 :]
+        if head:
+            cur = list(head)
+            if cur:
+                tokens.append("".join(cur))
+        tokens.extend(spec_tokenize(rest, delims))
+        return tokens
+    if cur:
+        tokens.append("".join(cur))
+    return tokens
+
+
+def spec_bucket_time(s: str, processing: str, offset: int) -> str:
+    chomped = s.strip()
+    parts = chomped.split(":")
+    if len(parts) != 3:
+        return chomped
+
+    def floored(tok: str) -> str | None:
+        try:
+            v = int(tok)
+        except ValueError:
+            return None
+        if offset > 1:
+            v = int(v / offset) * offset
+        return str(v).zfill(2)
+
+    h, m, sec = parts
+    if processing == "hour":
+        b = floored(h)
+    elif processing == "minute":
+        fm = floored(m)
+        b = None if fm is None else f"{h}:{fm}"
+    else:
+        fs = floored(sec)
+        b = None if fs is None else f"{h}:{m}:{fs}"
+    return chomped if b is None else b
+
+
+# ---- properties ----
+
+
+@SETTINGS
+@given(st.lists(line_text, min_size=1, max_size=60))
+def test_atoi_matches_spec(spark, values):
+    got = run_expr(spark, values, atoi)
+    assert got == [spec_atoi(v) for v in values]
+
+
+@SETTINGS
+@given(st.lists(line_text, min_size=1, max_size=60))
+def test_atof_matches_spec(spark, values):
+    got = run_expr(spark, values, atof)
+    assert got == [spec_atof(v) for v in values]
+
+
+@SETTINGS
+@given(st.lists(line_text, min_size=1, max_size=60))
+def test_tokenizer_plain_matches_state_machine(spark, values):
+    got = run_expr(spark, values, lambda c: tokenize(c, ", "))
+    assert got == [spec_tokenize(v, ", ") for v in values]
+
+
+quoted_text = st.text(
+    alphabet=st.sampled_from(list("ab,\" ;x")), max_size=30
+)
+
+
+@SETTINGS
+@given(st.lists(quoted_text, min_size=1, max_size=60))
+def test_tokenizer_quoted_matches_state_machine(spark, values):
+    got = run_expr(spark, values, lambda c: tokenize(c, ",;", '"'))
+    assert got == [spec_tokenize(v, ",;", '"') for v in values]
+
+
+time_like = st.one_of(
+    st.builds(
+        lambda h, m, s: f"{h}:{m:02d}:{s:02d}",
+        st.integers(0, 23),
+        st.integers(0, 59),
+        st.integers(0, 59),
+    ),
+    line_text,
+)
+
+
+@SETTINGS
+@given(
+    st.lists(time_like, min_size=1, max_size=60),
+    st.sampled_from(["hour", "minute", "second"]),
+    st.sampled_from([1, 2, 5, 15]),
+)
+def test_bucket_time_matches_spec(spark, values, processing, offset):
+    got = run_expr(
+        spark, values, lambda c: bucket_time(c, processing, offset)
+    )
+    assert got == [spec_bucket_time(v, processing, offset) for v in values]

@@ -177,11 +177,57 @@ def main(argv: list[str] | None = None) -> None:
     # reference default: one result set per input file; -merge_results
     # collapses all files into one (miw/job.cc:35,134-173)
     ap.add_argument("-merge_results", action="store_true")
+    # ---- reference flags with a direct Spark mapping ----
+    ap.add_argument(
+        "-nprocs", type=int, default=0,
+        help="cores (reference miw/job.cc:36) → local[n] master",
+    )
+    ap.add_argument(
+        "-reduce_tasks", type=int, default=0,
+        help="reference reduce-task count → spark.sql.shuffle.partitions "
+        "floor (AQE still coalesces at runtime)",
+    )
+    ap.add_argument(
+        "-quiet", action="store_true", default=True,
+        help="WARN-level logs (reference default true)",
+    )
+    ap.add_argument("-no-quiet", dest="quiet", action="store_false")
+    # ---- reference flags that are no-ops on Spark (accepted so a
+    # reference command line runs unchanged) ----
+    ap.add_argument(
+        "-autosplit", action="store_true",
+        help="no-op: Spark splits inputs by spark.sql.files."
+        "maxPartitionBytes and spills instead of OOM "
+        "(reference memory-aware autosplit, miw/job.cc:283-287)",
+    )
+    ap.add_argument(
+        "-memory_factor", type=float, default=10.0,
+        help="no-op: see -autosplit",
+    )
+    ap.add_argument(
+        "-map_tasks", type=int, default=0,
+        help="no-op: input split count is size-driven",
+    )
+    ap.add_argument(
+        "-compressed", action="store_true",
+        help="no-op placeholder (reference compresses stored raw "
+        "content; Spark parquet/text sinks compress via codec options)",
+    )
+    ap.add_argument(
+        "-tmp_save", action="store_true",
+        help="no-op in batch (all files are one plan); the incremental "
+        "snapshot-per-chunk mode is streaming.merge.stream_logs",
+    )
     args = ap.parse_args(argv)
 
     from cybersecurity_miw_spark.session import get_spark
 
-    spark = get_spark()
+    spark = get_spark(
+        master=f"local[{args.nprocs}]" if args.nprocs > 0 else None,
+        shuffle_partitions=args.reduce_tasks or None,
+    )
+    if args.quiet:
+        spark.sparkContext.setLogLevel("WARN")
     job = MiwJob(
         format=args.format_name,
         files=args.fnames,

@@ -673,16 +673,22 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_SQL = f"""
-WITH {_SIGS_CTE},
+_BANDED_CTE = """
 banded AS (
   SELECT doc_id, b.b AS band,
          md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
   FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
 )
-SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-FROM banded a JOIN banded c
-  ON a.band = c.band AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+"""
+
+_LSH_SQL = f"""
+WITH {_SIGS_CTE}, {_BANDED_CTE}
+SELECT id_a, id_b FROM cands
 """
 
 
@@ -692,6 +698,27 @@ def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(
         docs, num_hashes=16, bands=4, shingle_k=3
     )
+
+
+# exact n-gram (3-shingle) Jaccard confirm on the LSH candidates — the
+# full near-dup decision value, recomputed relationally end-to-end.
+
+_JACCARD_SQL = f"""
+WITH {_SIGS_CTE}, {_BANDED_CTE}
+SELECT cands.id_a, cands.id_b,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) AS jaccard
+FROM cands
+JOIN shingled sa ON sa.doc_id = cands.id_a
+JOIN shingled sb ON sb.doc_id = cands.id_b
+"""
+
+
+@register("near_dup_jaccard_confirm", _JACCARD_SQL)
+def q_jaccard_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle_k=3)
+    return dedup.jaccard_pairs(docs, cand, shingle_k=3)
 
 
 # SimHash — the xxhash64 default has no DuckDB twin (rows-only check;

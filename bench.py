@@ -37,6 +37,8 @@ HEADLINE = [
     "minhash_lsh_candidates",
     "simhash_fingerprints",
     "cosine_brute_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup_lsh",
 ]
 
 

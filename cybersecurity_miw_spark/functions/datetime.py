@@ -151,22 +151,36 @@ def bucket_time(col: Column, processing: str, offset: int = 1) -> Column:
     """Bucket an HH:MM:SS time string textually
     (miw/log_format.cc:445-472): hour→"HH" (floored to offset,
     zero-padded), minute→"HH:MM" (MM floored, padded; hour token kept
-    raw), second→"HH:MM:SS" (SS floored, padded). A token that does not
-    split into exactly 3 parts passes through chomped, as the reference
-    warns and keeps it. All casts are try_cast (ANSI-safe)."""
+    raw), second→"HH:MM:SS" (SS floored, padded).
+
+    Split parity: the reference tokenizes with a char_separator that
+    DROPS empty tokens ("1:2:3:" has 3 parts, "::" has none), so empty
+    segments are filtered before the 3-part check; a token without
+    exactly 3 non-empty parts passes through chomped (warn-and-keep).
+    Number parse is the unsigned-digit prefix of the segment (stoi
+    prefix semantics, "12abc"→12); where the reference's stoi would
+    THROW (no leading digit) we pass the token through chomped instead
+    of aborting — the null-safe analog."""
     chomped = F.trim(col)
-    parts = F.split(chomped, ":")
+    parts = F.filter(F.split(chomped, ":"), lambda x: x != F.lit(""))
     ok = F.size(parts) == 3
+
+    def num(seg: Column) -> Column:
+        return F.regexp_extract(seg, r"^\d+", 0).try_cast("int")
+
     p0, p1, p2 = F.get(parts, 0), F.get(parts, 1), F.get(parts, 2)
     if processing == "hour":
-        b = _pad2(_floored(p0.try_cast("int"), offset))
+        n = num(p0)
+        b = _pad2(_floored(n, offset))
     elif processing == "minute":
-        b = F.concat_ws(":", p0, _pad2(_floored(p1.try_cast("int"), offset)))
+        n = num(p1)
+        b = F.concat_ws(":", p0, _pad2(_floored(n, offset)))
     elif processing == "second":
-        b = F.concat_ws(":", p0, p1, _pad2(_floored(p2.try_cast("int"), offset)))
+        n = num(p2)
+        b = F.concat_ws(":", p0, p1, _pad2(_floored(n, offset)))
     else:
         return chomped
-    return F.when(ok, b).otherwise(chomped)
+    return F.when(ok & n.isNotNull(), b).otherwise(chomped)
 
 
 def _floored(val: Column, offset: int) -> Column:

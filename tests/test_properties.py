@@ -98,16 +98,20 @@ def spec_tokenize(s: str, delims: str, quotechar: str = "") -> list[str]:
 
 
 def spec_bucket_time(s: str, processing: str, offset: int) -> str:
+    """Reference semantics (miw/log_format.cc:445-472): empty segments
+    dropped before the 3-part check (char_separator), unsigned stoi
+    prefix per segment, passthrough where the reference warns (or its
+    stoi would throw)."""
     chomped = s.strip()
-    parts = chomped.split(":")
+    parts = [p for p in chomped.split(":") if p != ""]
     if len(parts) != 3:
         return chomped
 
     def floored(tok: str) -> str | None:
-        try:
-            v = int(tok)
-        except ValueError:
+        m = re.match(r"^\d+", tok)
+        if not m:
             return None
+        v = int(m.group(0))
         if offset > 1:
             v = int(v / offset) * offset
         return str(v).zfill(2)

@@ -186,3 +186,44 @@ def test_bucket_time_matches_spec(spark, values, processing, offset):
         spark, values, lambda c: bucket_time(c, processing, offset)
     )
     assert got == [spec_bucket_time(v, processing, offset) for v in values]
+
+
+# strptime prefix parse: valid datetimes with arbitrary trailing text
+# parse to the datetime (C strptime ignores the tail); garbage -> NULL
+
+date_like = st.one_of(
+    st.builds(
+        lambda dt, tail: (dt, dt.strftime("%m/%d/%Y %H:%M:%S") + tail),
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1971, 1, 1),
+            max_value=__import__("datetime").datetime(2099, 12, 31),
+        ).map(lambda d: d.replace(microsecond=0)),
+        line_text.filter(lambda t: not t[:1].isdigit()),
+    ),
+    line_text.map(lambda s: (None, s)),
+)
+
+
+@SETTINGS
+@given(st.lists(date_like, min_size=1, max_size=60))
+def test_strptime_prefix_parse_matches_spec(spark, pairs):
+    from cybersecurity_miw_spark.functions.datetime import parse_date
+
+    values = [s for _, s in pairs]
+    got = run_expr(
+        spark, values, lambda c: parse_date(c, "%m/%d/%Y %H:%M:%S")
+    )
+    for (expected_dt, s), out in zip(pairs, got):
+        if expected_dt is not None:
+            assert out == expected_dt, (s, out)
+        else:
+            # plain text: either unparseable (NULL) or it happens to
+            # start with a valid datetime prefix — verify via spec
+            import datetime as _dt
+            import re as _re
+
+            m = _re.match(
+                r"^\d{1,2}/\d{1,2}/\d{4} \d{1,2}:\d{1,2}:\d{1,2}", s.strip()
+            )
+            if not m:
+                assert out is None, (s, out)

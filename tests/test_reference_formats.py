@@ -35,3 +35,25 @@ def test_format_loads_and_compiles(spark, path):
     rows = out.collect()
     assert len(rows) >= 0  # plan executed
     assert "id" in out.columns and "logs" in out.columns
+
+
+def test_dotted_key_field_with_store_content(spark):
+    """Dotted/spaced key names (firewall_checkpoint's 'H.323 message'
+    style) must survive the store_content group/join path too."""
+    from cybersecurity_miw_spark.job import MiwJob
+
+    fmt = {
+        "format_name": "dot",
+        "delims": ",",
+        "fields": [
+            {"name": "H.323 msg", "pos": 0, "type": "string", "key": True},
+            {"name": "v", "pos": 1, "type": "int",
+             "aggregated": True, "aggregation": "sum"},
+        ],
+    }
+    job = MiwJob(format=fmt, lines=["a,1", "a,2", "b,5"], store_content=True)
+    rows = sorted(
+        (r["H.323 msg"], r["v"], sorted(r["content"]))
+        for r in job.result(spark).collect()
+    )
+    assert rows == [("a", 3, ["a,1", "a,2"]), ("b", 5, ["b,5"])]

@@ -1275,6 +1275,67 @@ def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q3 shape: selective dim filter -> two joins -> grouped revenue
+# top-k. Exercises the join planner: customer is small and explicitly
+# broadcast (map-side join, no shuffle of lineitem on custkey);
+# orders⋈lineitem shuffles once on orderkey. Revenue scaled to an
+# integer grid for cross-engine hashing.
+
+_Q3_SQL = """
+SELECT l.l_orderkey AS orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
+            AS BIGINT) AS revenue_c4
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1998-01-01'
+  AND l.l_shipdate > DATE '1998-01-01'
+GROUP BY 1, 2
+ORDER BY revenue_c4 DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+@register("tpch_q3_shipping_priority", _Q3_SQL)
+def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
+    )
+    # broadcast ONLY the filtered dim (customer); orders⋈lineitem is
+    # the fact-fact join and must stay a shuffle join at scale —
+    # Catalyst/AQE picks broadcast for it locally if it fits.
+    sel_orders = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "o_orderdate")
+    joined = li.join(sel_orders, li.l_orderkey == F.col("o_orderkey"))
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                * 10000,
+                0,
+            )
+            .cast("long")
+            .alias("revenue_c4")
+        )
+        .orderBy(F.desc("revenue_c4"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q_flagship(spark, sf_dir)

@@ -1336,6 +1336,59 @@ def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# window operators (beyond-reference surface): gap sessionization and
+# top-N per key — single-shuffle WindowExec plans with exact SQL twins.
+
+_SESSION_SQL = """
+WITH s AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, event_id,
+         CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts_s,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts_s) AS start_s, max(ts_s) AS end_s
+FROM sess GROUP BY 1, 2
+"""
+
+
+@register("session_summary_30min", _SESSION_SQL)
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cybersecurity_miw_spark.operators import windows
+
+    ev = load_events(spark, sf_dir)
+    return windows.session_summary(ev, gap_minutes=30)
+
+
+_TOPN_SQL = """
+SELECT user_id, event_id, event_type AS etype FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+@register("topn_events_per_user", _TOPN_SQL)
+def q_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cybersecurity_miw_spark.operators import windows
+
+    ev = load_events(spark, sf_dir)
+    top = windows.top_n_per_key(
+        ev, 3, "user_id", "ts", descending=True, tiebreak_col="event_id"
+    )
+    return top.select("user_id", "event_id", F.col("event_type").alias("etype"))
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q_flagship(spark, sf_dir)

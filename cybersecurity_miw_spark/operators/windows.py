@@ -1,0 +1,86 @@
+"""Window-function operators: gap-based sessionization and top-N per
+key — the two window shapes a large-scale log/training pipeline
+actually runs (the reference has no window operators, SURVEY §2 W1;
+these are part of the beyond-reference surface).
+
+Both are single-shuffle plans: one hash exchange on the partition key,
+then sorted evaluation within partitions — Spark's WindowExec with
+rank/lag is the exact physical analog of the reference's per-key
+sorted merge, but distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum-of-breaks formulation — one window
+    partition per key, no self-join. Adds ``session_id`` (0-based per
+    key, in time order)."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    prev_ts = F.lag(ts_col).over(w)
+    is_break = (
+        prev_ts.isNull()
+        | (
+            F.col(ts_col).cast("long") - prev_ts.cast("long")
+            > gap_minutes * 60
+        )
+    ).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.sum(is_break).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )
+
+
+def session_summary(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """One row per (key, session): event count and start/end epoch
+    seconds. Downstream of :func:`sessionize`; the groupBy reuses the
+    session window's hash partitioning on the key."""
+    s = sessionize(df, key_col, ts_col, gap_minutes, tiebreak_col)
+    return s.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.col(ts_col).cast("long")).alias("start_s"),
+        F.max(F.col(ts_col).cast("long")).alias("end_s"),
+    )
+
+
+def top_n_per_key(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    order_col: str,
+    descending: bool = True,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """The newest/largest N rows per key via row_number — the
+    distributed "latest N events per user" primitive. Deterministic
+    under ties via ``tiebreak_col``."""
+    oc: Column = F.desc(order_col) if descending else F.asc(order_col)
+    order = [oc] + ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -212,7 +212,11 @@ def _vtype(map_dtype: str) -> tuple[str, str]:
 
 def json_lines(df: DataFrame, ldef: LogDef) -> DataFrame:
     """Aggregated+finalized result → one reference-shape JSON object
-    per line (column ``value``), keys alphabetical."""
+    per line (column ``value``), keys alphabetical. With stored raw
+    content (``-store_content``), each group is followed by the
+    reference's companion record
+    ``{"content":{"add":<lines>},"id":"<id>_content","original_size":N}``
+    (miw/mr_job.cc:135-143; keys alphabetical like jsoncpp's map)."""
     from cybersecurity_miw_spark.sources.sinks import finalize
 
     fin = finalize(df, ldef)
@@ -220,6 +224,20 @@ def json_lines(df: DataFrame, ldef: LogDef) -> DataFrame:
     line = F.concat(
         F.lit("{"), F.concat_ws(",", *[j for _, j, _ in frags]), F.lit("}")
     )
+    if "content" in fin.columns:
+        # flatten_lines: each line + "\n" (miw/log_record.cc:326-335)
+        joined = F.concat(F.concat_ws("\n", F.col("content")), F.lit("\n"))
+        companion = F.to_json(
+            F.struct(
+                F.struct(joined.alias("add")).alias("content"),
+                F.concat(F.col("id"), F.lit("_content")).alias("id"),
+                F.octet_length(joined).alias("original_size"),
+            )
+        )
+        line = F.when(
+            F.size(F.col("content")) > 0,
+            F.concat(line, F.lit("\n"), companion),
+        ).otherwise(line)
     return fin.select(line.alias("value"))
 
 

@@ -111,3 +111,35 @@ def test_readme_demo_topk(proxy_result, capsys):
         ("2012-11-30_23_-", 2),
         ("2012-11-30_23_NqO3SB", 2),
     ]
+
+
+def test_store_content_companion_records(spark):
+    """-store_content emits the reference's companion JSON record per
+    group: {"content":{"add":<lines>},"id":"<id>_content",
+    "original_size":N} (miw/mr_job.cc:135-143)."""
+    from cybersecurity_miw_spark.job import MiwJob
+    from cybersecurity_miw_spark.sources.parity import json_lines
+
+    fmt = {
+        "format_name": "c",
+        "delims": ",",
+        "fields": [
+            {"name": "k", "pos": 0, "type": "string", "key": True},
+            {"name": "v", "pos": 1, "type": "int",
+             "aggregated": True, "aggregation": "sum"},
+        ],
+    }
+    job = MiwJob(format=fmt, lines=["a,1", "a,2", "b,5"], store_content=True)
+    rows = [
+        r["value"] for r in json_lines(job.result(spark), job.ldef).collect()
+    ]
+    # each row carries the main record and its companion on two lines
+    lines = sorted(ln for r in rows for ln in r.split("\n"))
+    assert lines == [
+        '{"content":{"add":"a,1\\na,2\\n"},"id":"a_content","original_size":8}',
+        '{"content":{"add":"b,5\\n"},"id":"b_content","original_size":4}',
+        '{"format_name":"c","id":"a","k":"a","logs":2,'
+        '"std_date_dt":"0000-00-00T00:00:00Z","v":3}',
+        '{"format_name":"c","id":"b","k":"b","logs":1,'
+        '"std_date_dt":"0000-00-00T00:00:00Z","v":5}',
+    ]

@@ -113,16 +113,18 @@ def discover_kv_fields(
     new_fields: list[Field] = []
     new_cols = []
     for p in pre:
-        keys = [
+        # collect the full distinct key-name set (bounded by payload
+        # schema cardinality, not data size) and truncate SORTED — a
+        # bare .limit() would pick an arbitrary, run-dependent subset
+        keys = sorted(
             r[0]
             for r in parsed.select(
                 F.explode(F.map_keys(qcol(p.name))).alias("k")
             )
             .distinct()
-            .limit(max_keys)
             .collect()
-        ]
-        for k in sorted(keys):
+        )[:max_keys]
+        for k in keys:
             if k in declared:
                 continue
             declared.add(k)

@@ -1389,6 +1389,64 @@ def q_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("user_id", "event_id", F.col("event_type").alias("etype"))
 
 
+# embedding hygiene: unit normalization and int8 quantization
+
+_L2_NORM_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_sum([x * x FOR x IN embedding::DOUBLE[]])) AS n
+  FROM embeddings
+)
+SELECT vec_id,
+       round(CASE WHEN n = 0 THEN list_sum(v)
+                  ELSE list_sum([x / n FOR x IN v]) END, 6) AS unit_sum
+FROM e
+"""
+
+
+@register("embedding_l2_normalize", _L2_NORM_SQL)
+def q_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    unit = similarity.l2_normalize(emb)
+    return unit.select(
+        "vec_id",
+        F.round(
+            F.aggregate("embedding_unit", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("unit_sum"),
+    )
+
+
+_Q8_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max([abs(x) FOR x IN embedding::DOUBLE[]]) AS amax
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN amax = 0 THEN 0.0 ELSE 127.0 / amax END AS q8_scale
+  FROM e
+)
+SELECT vec_id, round(q8_scale, 6) AS scale_r,
+       CAST(list_sum([floor(x * q8_scale + 0.5) FOR x IN v]) AS BIGINT)
+         AS q_sum
+FROM s
+"""
+
+
+@register("embedding_quantize_int8", _Q8_SQL)
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round("q8_scale", 6).alias("scale_r"),
+        F.aggregate(
+            "embedding_q8", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_sum"),
+    )
+
+
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Flagship query for the driver's smoke check."""
     return q_flagship(spark, sf_dir)

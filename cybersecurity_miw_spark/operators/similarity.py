@@ -7,12 +7,11 @@ Two paths:
   zip_with/aggregate expressions, JVM-side. Linear scan, perfectly
   partition-parallel, no shuffle except the final top-k.
 * **LSH-bucketed ANN (random hyperplanes)** — the scale path: h
-  deterministic pseudo-random hyperplanes (seeded from xxhash64 of
-  (dim_index, plane)) give a sign bit each; vectors sharing the
-  hash bucket (or a neighboring probe bucket) are the candidates.
-  Recall/latency trade via n_planes and n_probes. At 100 TB the
-  bucket id becomes the shuffle/partition key — uniform by
-  construction.
+  deterministic pseudo-random hyperplanes (md5-derived literals,
+  :func:`plane_component_value`) give a sign bit each; vectors
+  sharing the hash bucket are the candidates. Recall/latency trade
+  via n_planes. At 100 TB the bucket id becomes the
+  shuffle/partition key — uniform by construction.
 * **IVF-style coarse quantization** — k centroid rows (computed once,
   broadcast); each vector is assigned to its nearest centroid
   (argmin over the broadcast array) and searched only within probed
@@ -326,3 +325,46 @@ def train_centroids(
         for cell, vec in acc.items():
             centroids[cell] = vec
     return centroids
+
+
+# ---- embedding hygiene: normalization and quantization ----
+
+
+def l2_normalize(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "embedding_unit"
+) -> DataFrame:
+    """Unit-normalize an embedding column (zero vectors pass through
+    unchanged). Norm is computed once per vector in a staged
+    projection; pure JVM array arithmetic."""
+    base = df.select(
+        "*", norm(F.col(vec_col).cast("array<double>")).alias("_n")
+    )
+    unit = F.transform(
+        F.col(vec_col).cast("array<double>"), lambda x: x / F.col("_n")
+    )
+    return base.withColumn(
+        out_col,
+        F.when(F.col("_n") == 0.0, F.col(vec_col).cast("array<double>"))
+        .otherwise(unit),
+    ).drop("_n")
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_q8",
+    scale_col: str = "q8_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    q = floor(x*scale + 0.5) (explicit half-up — Spark's round and
+    DuckDB's disagree on exact halves). Zero vectors quantize to zeros
+    with scale 0. The 4x (float32) / 8x (float64) shrink is what makes
+    a 100 TB embedding corpus shuffle-able."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax == 0.0, F.lit(0.0)).otherwise(F.lit(127.0) / amax)
+    base = df.select("*", scale.alias(scale_col))
+    q = F.transform(
+        v, lambda x: F.floor(x * F.col(scale_col) + F.lit(0.5)).cast("int")
+    )
+    return base.withColumn(out_col, q)

@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 
 def evtx_kv(tok: Column) -> Column:
     """'...-> k1=v1 k2=v2' → map<k,v>
-    (reference pre_process_evtxcsv, miw/log_format.cc:606-644)."""
+    (reference pre_process_evtxcsv, miw/log_format.cc:606-644).
+
+    Documented divergence: the reference's split-on-'=' walk drops the
+    character immediately before each subsequent '=' (it expects
+    "key =value" payloads with a sacrificial char before '='); this
+    parser reads the canonical "k=v k=v" shape exactly, which is the
+    intent the format docs describe."""
     payload = F.trim(F.regexp_extract(tok, r"->\s*(.*)$", 1))
     return F.when(payload == "", None).otherwise(
         F.str_to_map(payload, F.lit(" +"), F.lit("="))

@@ -928,19 +928,13 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("ann_ivf_topk")
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantization ANN: train tiny centroids, assign, and
-    search only the query's cell (operators/similarity.py:155-216)."""
+    """IVF coarse-quantization ANN: train tiny centroids, then search
+    the 2 cells nearest the query (multi-probe,
+    operators/similarity.py:ivf_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
     cents = similarity.train_centroids(emb, n_cells=4, dim=64, iters=2)
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
-    assigned = similarity.ivf_assign(emb, cents)
-    qcell = similarity.ivf_assign(
-        emb.sparkSession.createDataFrame([(qvec,)], "embedding array<double>"),
-        cents,
-    ).head()["_cell"]
-    return similarity.brute_force_topk(
-        assigned.filter(F.col("_cell") == qcell), qvec, k=10
-    )
+    return similarity.ivf_topk(emb, cents, qvec, k=10, n_probes=2)
 
 
 # ---------------------------------------------------------------------------

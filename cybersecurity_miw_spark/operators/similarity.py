@@ -243,18 +243,25 @@ def lsh_ann_topk(
     n_planes: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's LSH
-    bucket. At scale, write the table bucketed/partitioned by
-    ``_bucket`` so this becomes a single-partition lookup."""
+    bucket. ``n_probes > 1`` enables classic multi-probe: also search
+    the buckets at Hamming distance 1 from the query's (one sign-bit
+    flip each) — recall rises toward exact at the cost of probing up
+    to ``1 + n_planes`` buckets. At scale, write the table
+    bucketed/partitioned by ``_bucket`` so each probe is a
+    partition-pruned lookup."""
     q = [float(v) for v in query_vec]
     # the query's bucket is computed driver-side (bit-identical Python
     # twin of the Spark expression) — no extra job
     qbucket = bucket_value(q, n_planes)
+    probes = [qbucket] + [qbucket ^ (1 << p) for p in range(n_planes)]
+    probes = probes[: max(1, n_probes)]
 
     bucketed = df.withColumn(
         "_bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes)
-    ).filter(F.col("_bucket") == qbucket)
+    ).filter(F.col("_bucket").isin(probes))
     return brute_force_topk(bucketed, q, k, vec_col, id_col)
 
 
@@ -325,6 +332,32 @@ def train_centroids(
         for cell, vec in acc.items():
             centroids[cell] = vec
     return centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: score only the vectors assigned to the ``n_probes``
+    cells whose centroids are nearest the query (cell choice is
+    driver-side arithmetic over the tiny centroid list). n_probes=1 is
+    the fastest/lowest-recall point; n_probes=len(centroids) degrades
+    to exact search."""
+    q = [float(v) for v in query_vec]
+    d2 = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    cells = [i for _, i in d2[: max(1, n_probes)]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    return brute_force_topk(
+        assigned.filter(F.col("_cell").isin(cells)), q, k, vec_col, id_col
+    )
 
 
 # ---- embedding hygiene: normalization and quantization ----

@@ -155,6 +155,26 @@ def test_lsh_ann_topk_contains_self(vecs):
     assert rows and rows[0]["cos_sim"] == pytest.approx(1.0)
 
 
+def test_multi_probe_widens_candidates(vecs):
+    q = [1.0, 0.0, 0.0, 0.0]
+    one = similarity.lsh_ann_topk(vecs, q, dim=4, k=10, n_planes=4, n_probes=1)
+    many = similarity.lsh_ann_topk(vecs, q, dim=4, k=10, n_planes=4, n_probes=5)
+    # probing Hamming-1 neighbor buckets can only ADD candidates
+    assert many.count() >= one.count()
+    assert many.collect()[0]["cos_sim"] == pytest.approx(1.0)
+
+
+def test_ivf_topk_multi_probe(vecs):
+    centroids = similarity.train_centroids(vecs, n_cells=2, dim=4, iters=2)
+    q = [1.0, 0.0, 0.0, 0.0]
+    one = similarity.ivf_topk(vecs, centroids, q, k=10, n_probes=1)
+    both = similarity.ivf_topk(vecs, centroids, q, k=10, n_probes=2)
+    # probing every cell degrades to exact search over all rows
+    assert both.count() == min(10, vecs.count())
+    assert both.count() >= one.count()
+    assert both.collect()[0]["cos_sim"] == pytest.approx(1.0)
+
+
 def test_ivf_assign_and_train(vecs):
     centroids = similarity.train_centroids(vecs, n_cells=2, dim=4, iters=2)
     assert len(centroids) == 2 and all(len(c) == 4 for c in centroids)

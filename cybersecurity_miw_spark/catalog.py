@@ -1383,6 +1383,39 @@ def q_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("user_id", "event_id", F.col("event_type").alias("etype"))
 
 
+# TF-IDF top terms per document (smooth-free idf = ln(N/df); scores
+# scaled to 1e-6 ints with explicit half-up so both engines agree)
+
+_TFIDF_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+docfreq AS (SELECT term, count(*) AS df_docs FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf::DOUBLE * ln(n.n_docs::DOUBLE / docfreq.df_docs) AS s
+  FROM tf JOIN docfreq USING (term), n
+)
+SELECT doc_id, term,
+       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS score_u
+FROM (
+  SELECT doc_id, term, s,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY s DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@register("tfidf_top_terms", _TFIDF_SQL)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.tfidf_top_terms(docs, n=3)
+
+
 # embedding hygiene: unit normalization and int8 quantization
 
 _L2_NORM_SQL = """

@@ -143,3 +143,53 @@ def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-n TF-IDF terms per document (smooth idf = ln(N/df)).
+
+    Plan: explode terms → per-(doc, term) counts (one shuffle,
+    map-side combined) → per-term document frequency joined back
+    (broadcast when the vocabulary fits, shuffle join otherwise —
+    Catalyst's choice) → row_number window per doc. The idf state is
+    one row per distinct term: vocabulary-bounded, not corpus-bounded.
+    Ties broken by term for determinism; scores scaled to 1e-6 ints
+    for cross-engine comparison."""
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "term"
+        ),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_docs")
+    )
+    scored = tf.join(docfreq, on="term").select(
+        id_col,
+        "term",
+        (
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df_docs"))
+        ).alias("_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select(
+            id_col,
+            "term",
+            F.floor(F.col("_score") * 1e6 + 0.5).cast("long").alias("score_u"),
+        )
+    )

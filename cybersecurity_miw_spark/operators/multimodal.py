@@ -130,3 +130,51 @@ def media_stats(df: DataFrame) -> DataFrame:
         F.avg("n_bytes").alias("avg_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in for an image/frame resize: cycle the
+    payload bytes to exactly w*h bytes. Replace via TRANSFORMS."""
+    n = w * h
+    if not payload:
+        return b"\x00" * n
+    reps = n // len(payload) + 1
+    return (payload * reps)[:n]
+
+
+def _real_resize(payload: bytes, w: int, h: int) -> bytes:
+    raise NotImplementedError(
+        "media libraries (PIL/ffmpeg) are not available in this "
+        "environment; register a real resize in TRANSFORMS to enable"
+    )
+
+
+TRANSFORMS: dict[str, Callable[[bytes, int, int], bytes]] = {
+    "fake": _fake_resize,
+    "real": _real_resize,
+}
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    transform: str = "fake",
+) -> DataFrame:
+    """media rows → same schema with ``payload`` resized to
+    width×height and ``n_bytes`` updated — the batch resize stage of a
+    multimodal ingest pipeline. mapInPandas over the full MEDIA_SCHEMA
+    (Arrow batches; the bytes never hit the driver); the actual pixel
+    work is pluggable via TRANSFORMS like the feature decoder."""
+    fn = TRANSFORMS[transform]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                fn(bytes(p or b""), width, height) for p in pdf["payload"]
+            ]
+            pdf["n_bytes"] = [len(p) for p in pdf["payload"]]
+            yield pdf
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)

@@ -251,3 +251,16 @@ def test_media_stats_prunes_payload(spark):
     stats = multimodal.media_stats(media).collect()
     assert stats[0]["n_media"] == 2
     assert stats[0]["total_bytes"] == len(b"hello world") + len(b"spark")
+
+
+def test_resize_media_payload_shape(docs):
+    from cybersecurity_miw_spark.operators import multimodal
+
+    media = multimodal.documents_as_media(docs)
+    out = multimodal.resize_media(media, 8, 4).collect()
+    assert len(out) == docs.count()
+    assert all(r["n_bytes"] == 32 and len(r["payload"]) == 32 for r in out)
+    # deterministic: same input -> same bytes
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in multimodal.resize_media(media, 8, 4).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)

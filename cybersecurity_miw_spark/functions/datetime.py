@@ -20,17 +20,21 @@ from pyspark.sql import functions as F
 # strptime → Java DateTimeFormatter fragments (public, documented
 # mappings; only the directives the reference's formats use, plus the
 # common ones).
+# Single-letter Java forms (M, d, H, m, s, D) accept 1-2 digits like
+# C strptime's %m/%d/%H/%M/%S/%j — the double-letter forms (MM, dd, …)
+# REQUIRE zero-padding and silently fail "1/1/1971 0:00:00"
+# (hypothesis-found parity bug; real logs are often unpadded).
 _STRPTIME_MAP = {
     "%Y": "yyyy",
     "%y": "yy",
-    "%m": "MM",
-    "%d": "dd",
-    "%H": "HH",
-    "%M": "mm",
-    "%S": "ss",
+    "%m": "M",
+    "%d": "d",
+    "%H": "H",
+    "%M": "m",
+    "%S": "s",
     "%b": "MMM",
     "%B": "MMMM",
-    "%j": "DDD",
+    "%j": "D",
     "%p": "a",
     "%z": "xx",
     "%%": "%",

@@ -227,3 +227,49 @@ def test_strptime_prefix_parse_matches_spec(spark, pairs):
             )
             if not m:
                 assert out is None, (s, out)
+
+
+# date bucketing: valid dates bucket per strftime; unparseable tokens
+# (including regex-prefix-valid but calendar-invalid like 2/30/2020)
+# pass through raw (the reference warns and keeps, log_format.cc:443)
+
+import datetime as _dt
+
+
+def spec_bucket_date_day(s: str) -> str:
+    m = re.match(r"^(\d{1,2})/(\d{1,2})/(\d{4}) (\d{1,2}):(\d{1,2}):(\d{1,2})", s.strip())
+    if m:
+        try:
+            d = _dt.datetime(
+                int(m.group(3)), int(m.group(1)), int(m.group(2)),
+                int(m.group(4)), int(m.group(5)), int(m.group(6)),
+            )
+            if all(x <= y for x, y in ((d.hour, 23), (d.minute, 59), (d.second, 59))):
+                return d.strftime("%Y-%m-%d")
+        except ValueError:
+            pass
+    return s.strip()
+
+
+maybe_date = st.one_of(
+    st.builds(
+        lambda mo, dy, yr, h, mi, sec, tail: f"{mo}/{dy}/{yr} {h}:{mi:02d}:{sec:02d}{tail}",
+        st.integers(1, 13), st.integers(1, 32), st.integers(1971, 2099),
+        st.integers(0, 24), st.integers(0, 59), st.integers(0, 59),
+        st.sampled_from(["", " extra", "Z"]),
+    ),
+    line_text,
+)
+
+
+@SETTINGS
+@given(st.lists(maybe_date, min_size=1, max_size=60))
+def test_bucket_date_day_matches_spec(spark, values):
+    from cybersecurity_miw_spark.functions.datetime import bucket_date, parse_date
+
+    def expr(c):
+        ts = parse_date(c, "%m/%d/%Y %H:%M:%S")
+        return F.coalesce(bucket_date(ts, "day"), F.trim(c))
+
+    got = run_expr(spark, values, expr)
+    assert got == [spec_bucket_date_day(v) for v in values]

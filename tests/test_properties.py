@@ -9,6 +9,7 @@ suite stays fast despite JVM round-trips.
 
 from __future__ import annotations
 
+import os
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -19,8 +20,9 @@ from cybersecurity_miw_spark.functions.datetime import bucket_time
 from cybersecurity_miw_spark.functions.strings import tokenize
 from cybersecurity_miw_spark.operators.derive import atof, atoi
 
+# soak with PROP_EXAMPLES=50 for deeper runs; 8 keeps CI fast
 SETTINGS = settings(
-    max_examples=8,
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )

@@ -553,6 +553,43 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# numeric unions APPEND without dedup (miw/log_record.cc:63-129 —
+# only the string-family _unos cache dedups); exercised through the
+# real pipeline with an int union field.
+
+
+@register(
+    "agg_union_numeric_append",
+    "SELECT event_type AS etype, "
+    "array_to_string(list_sort(list(event_id % 5)), '|') AS vals "
+    "FROM events GROUP BY 1",
+)
+def q_union_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_events(spark, sf_dir)
+    lines = ev.select(
+        F.concat_ws(
+            ",",
+            F.col("event_type"),
+            (F.col("event_id") % 5).cast("string"),
+        ).alias("value")
+    )
+    ldef = _ldef(
+        "union_num",
+        [
+            {"name": "etype", "pos": 0, "type": "string", "key": True},
+            {"name": "vals", "pos": 1, "type": "int",
+             "aggregated": True, "aggregation": "union"},
+        ],
+    )
+    out = compile_pipeline(lines, ldef)
+    return out.select(
+        "etype",
+        F.concat_ws(
+            "|", F.transform(F.col("vals"), lambda x: x.cast("string"))
+        ).alias("vals"),
+    )
+
+
 @register(
     "agg_union_count_histogram",
     "SELECT event_type AS etype, user_id AS uid, CAST(count(*) AS BIGINT) AS cnt "

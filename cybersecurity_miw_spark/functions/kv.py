@@ -28,7 +28,13 @@ def evtx_kv(tok: Column) -> Column:
 
 def evtx2_kv(tok: Column) -> Column:
     """'[k1: v1] [k2: v2]' → map<k,v>
-    (reference pre_process_evtxcsv2, miw/log_format.cc:646-678)."""
+    (reference pre_process_evtxcsv2, miw/log_format.cc:646-678).
+
+    Documented divergence: the reference splits on '[' alone, so an
+    unterminated '[k: v' still yields a pair and ':'-bearing text
+    OUTSIDE brackets fabricates a field from its first ':' split; this
+    parser extracts only well-formed '[k: v]' blocks (the payload
+    shape the evtx formats document)."""
     pairs = F.regexp_extract_all(tok, F.lit(r"\[([^:\]]+):\s*([^\]]*)\]"), 0)
     entries = F.transform(
         pairs,

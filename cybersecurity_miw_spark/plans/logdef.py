@@ -223,6 +223,16 @@ class LogDef:
             match = None
             if "match" in fo:
                 mo = fo["match"]
+                unknown = set(mo) - {
+                    "match_str", "match_file", "logic", "negative", "exact"
+                }
+                if unknown:
+                    # a typo here would silently disable the filter
+                    raise ValueError(
+                        f"field {fo.get('name')!r}: unknown match keys "
+                        f"{sorted(unknown)} (expected match_str/match_file/"
+                        "logic/negative/exact)"
+                    )
                 match = MatchSpec(
                     match_str=mo.get("match_str"),
                     match_file=mo.get("match_file"),

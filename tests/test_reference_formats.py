@@ -57,3 +57,28 @@ def test_dotted_key_field_with_store_content(spark):
         for r in job.result(spark).collect()
     )
     assert rows == [("a", 3, ["a,1", "a,2"]), ("b", 5, ["b,5"])]
+
+
+def test_gzip_log_ingestion(spark, tmp_path):
+    """Compressed logs read transparently (spark.text handles .gz) —
+    the reference requires uncompressed input; at scale logs arrive
+    gzipped."""
+    import gzip
+
+    from cybersecurity_miw_spark.job import MiwJob
+
+    p = tmp_path / "logs.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("a,1\na,2\nb,5\n")
+    fmt = {
+        "format_name": "gz",
+        "delims": ",",
+        "fields": [
+            {"name": "k", "pos": 0, "type": "string", "key": True},
+            {"name": "v", "pos": 1, "type": "int",
+             "aggregated": True, "aggregation": "sum"},
+        ],
+    }
+    job = MiwJob(format=fmt, files=str(p))
+    rows = {r["k"]: r["v"] for r in job.result(spark).collect()}
+    assert rows == {"a": 3, "b": 5}

@@ -264,3 +264,15 @@ def test_resize_media_payload_shape(docs):
     again = {r["media_id"]: bytes(r["payload"])
              for r in multimodal.resize_media(media, 8, 4).collect()}
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
+
+
+def test_training_pipeline_example(spark):
+    import sys
+    sys.path.insert(0, "examples")
+    from training_data_pipeline import curate
+
+    out = curate(spark, "/root/testdata/sf0.001")
+    n = out.count()
+    assert 0 < n <= 500
+    cols = set(out.columns)
+    assert {"doc_id", "lang_guess", "quality", "fingerprint"} <= cols

@@ -276,3 +276,15 @@ def test_training_pipeline_example(spark):
     assert 0 < n <= 500
     cols = set(out.columns)
     assert {"doc_id", "lang_guess", "quality", "fingerprint"} <= cols
+
+
+def test_brute_force_topk_arrow_matches_jvm(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
+    jvm = similarity.brute_force_topk(emb, q, k=10).collect()
+    arrow = similarity.brute_force_topk_arrow(emb, q, k=10).collect()
+    assert [r["vec_id"] for r in jvm] == [r["vec_id"] for r in arrow]
+    assert all(
+        a["cos_sim"] == pytest.approx(j["cos_sim"], abs=2e-6)
+        for a, j in zip(arrow, jvm)
+    )

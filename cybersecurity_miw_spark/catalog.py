@@ -793,6 +793,35 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_simhash(docs, out_col="simhash60", hash_fn="md5_60")
 
 
+# Hamming-band candidates over the md5_60 fingerprint: docs sharing
+# any of the 4 15-bit bands — the blocking step, verified end-to-end.
+
+_SIMHASH_BAND_SQL = f"""
+WITH fp AS (
+  WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ),
+  h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+  g AS (SELECT doc_id, count(*) AS n, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+  SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS fp FROM g
+),
+banded AS (
+  SELECT doc_id, b.b AS band, (fp >> (b.b * 15)) & 32767 AS val
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
+)
+SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.val = c.val AND a.doc_id < c.doc_id
+"""
+
+
+@register("simhash_band_candidates", _SIMHASH_BAND_SQL)
+def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_dedup_candidates(docs, hash_fn="md5_60")
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: text analysis
 # ---------------------------------------------------------------------------

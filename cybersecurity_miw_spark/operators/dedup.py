@@ -397,12 +397,17 @@ def simhash_dedup_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     band_bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup candidates = docs sharing any of the 4 16-bit SimHash
-    bands (classic Hamming-distance blocking)."""
+    """Near-dup candidates = docs sharing any SimHash band (classic
+    Hamming-distance blocking; 4x16-bit bands on the 64-bit default,
+    4x15-bit on the oracle-checkable md5_60 variant)."""
     sh = F.col("_simhash")
-    base = with_simhash(df, text_col, id_col)
-    bands = 64 // band_bits
+    bits = 60 if hash_fn == "md5_60" else 64
+    if bits == 60 and band_bits == 16:
+        band_bits = 15
+    base = with_simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = base.select(
         id_col,

@@ -86,7 +86,7 @@ def pairwise_topk(
     if n_q > max_broadcast_queries:
         raise ValueError(
             f"pairwise_topk: query set exceeds {max_broadcast_queries} rows; "
-            "broadcast crossJoin would not scale — use the LSH/IVF path"
+            "broadcast crossJoin would not scale — use pairwise_topk_lsh"
         )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
@@ -436,3 +436,47 @@ def brute_force_topk_arrow(
         score, f"{id_col} long, cos_sim double"
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def pairwise_topk_lsh(
+    df: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k neighbors for EVERY query row at scale: both
+    sides are hyperplane-bucketed and joined on the bucket id (uniform
+    key, skew-free shuffle, never a crossJoin), then window-ranked per
+    query. The scale path behind :func:`pairwise_topk`'s broadcast
+    guard — recall is tuned by lowering n_planes. Candidates are only
+    same-bucket pairs, so a query's result may hold fewer than k rows."""
+    base = staged(
+        df.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        ).select(id_col, "_v", "_bucket", norm(F.col("_v")).alias("_n"))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+    ).select(
+        "query_id", "_qv", "_bucket", norm(F.col("_qv")).alias("_qn")
+    )
+    joined = base.join(q, on="_bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = dot(F.col("_v"), F.col("_qv")) / (F.col("_n") * F.col("_qn"))
+    scored = joined.select(
+        "query_id", F.col(id_col), F.round(cos, 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -288,3 +288,19 @@ def test_brute_force_topk_arrow_matches_jvm(spark):
         a["cos_sim"] == pytest.approx(j["cos_sim"], abs=2e-6)
         for a, j in zip(arrow, jvm)
     )
+
+
+def test_pairwise_topk_lsh_scale_path(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.pairwise_topk_lsh(emb, queries, dim=64, k=5, n_planes=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) <= {0, 1, 2} and by_q  # same-bucket queries answered
+    for qid, rs in by_q.items():
+        assert len(rs) <= 5
+        assert all(r["vec_id"] != qid for r in rs)
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)

@@ -992,13 +992,56 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_lsh(emb, threshold=0.5, dim=64, n_planes=4)
 
 
-@register("ann_ivf_topk")
+# The IVF SEARCH path (assign → probe → exact rerank) is oracled with
+# deterministic seed centroids (= the embedding rows vec_id 0..3, exact
+# data vectors a SQL twin can reference directly). k-means-trained
+# centroids stay out of the oracle on purpose: their component means are
+# IEEE sums whose partition order Spark does not fix, so no cross-engine
+# twin can be bit-stable — training is covered by the recall golden in
+# tests/test_similarity.py instead. DuckDB's list_sum folds
+# sequentially like F.aggregate, so the L2 fold below is bit-identical.
+_IVF_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT c.cell FROM cents c, q
+  ORDER BY list_sum(list_transform(list_zip(c.cv, q.qv),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2]))),
+           c.cell
+  LIMIT 2
+),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, e.v),
+                                           z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM e
+)
+SELECT a.vec_id, round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+FROM assign a, q
+WHERE a.cell IN (SELECT cell FROM probe)
+ORDER BY cos_sim DESC, a.vec_id
+LIMIT 10
+"""
+
+
+@register("ann_ivf_topk", _IVF_SQL)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantization ANN: train tiny centroids, then search
-    the 2 cells nearest the query (multi-probe,
+    """IVF coarse-quantization ANN: assign every vector to its nearest
+    of 4 seed centroids (L2 argmin, tie-break lowest cell), then search
+    only the 2 cells nearest the query (multi-probe,
     operators/similarity.py:ivf_topk)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = similarity.train_centroids(emb, n_cells=4, dim=64, iters=2)
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
     qvec = list(emb.filter(F.col("vec_id") == 0).select("embedding").head()[0])
     return similarity.ivf_topk(emb, cents, qvec, k=10, n_probes=2)
 
@@ -1011,7 +1054,8 @@ _MEDIA_STATS_SQL = """
 SELECT 'image' AS kind,
        count(*) AS n_media,
        sum(octet_length(encode(text))) AS total_bytes,
-       sum(octet_length(encode(text)))::DOUBLE / count(*) AS avg_bytes,
+       CAST((sum(octet_length(encode(text))) * 200 + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_bytes_x100,
        max(octet_length(encode(text))) AS max_bytes
 FROM documents
 """
@@ -1020,16 +1064,28 @@ FROM documents
 @register("multimodal_media_stats", _MEDIA_STATS_SQL)
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar metadata aggregation over binary media rows — the scan
-    prunes the payload column entirely (operators/multimodal.py)."""
+    prunes the payload column entirely (operators/multimodal.py).
+
+    ``avg_bytes_x100`` is the mean scaled to an exact integer
+    (round-half-up in pure int64 arithmetic: (200·total + n) div 2n)
+    so the cross-engine value hash never depends on an IEEE division."""
     from cybersecurity_miw_spark.operators import multimodal
 
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
-    return media.groupBy("kind").agg(
+    agg = media.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n_media"),
         F.sum("n_bytes").alias("total_bytes"),
-        (F.sum("n_bytes").cast("double") / F.count(F.lit(1))).alias("avg_bytes"),
         F.max("n_bytes").alias("max_bytes"),
+    )
+    return agg.select(
+        "kind",
+        "n_media",
+        "total_bytes",
+        F.expr(
+            "CAST((total_bytes * 200 + n_media) DIV (2 * n_media) AS BIGINT)"
+        ).alias("avg_bytes_x100"),
+        "max_bytes",
     )
 
 
@@ -1260,17 +1316,20 @@ def q_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LINREG_SQL = """
 SELECT n, sx, sy, sxx, syy, sxy,
-       (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope,
-       (sy::DOUBLE - ((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-         / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)) * sx::DOUBLE)
-         / n::DOUBLE AS intercept
+       CAST(floor(slope * 1000000 + 0.5) AS BIGINT) AS slope_x1e6,
+       CAST(floor((sy::DOUBLE - slope * sx::DOUBLE) / n::DOUBLE * 1000000
+                  + 0.5) AS BIGINT) AS intercept_x1e6
 FROM (
-  SELECT count(*) AS n,
-         sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
-  FROM (SELECT user_id AS x,
-               CAST(round(value * 100, 0) AS BIGINT) AS y FROM events)
+  SELECT n, sx, sy, sxx, syy, sxy,
+         (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+           / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope
+  FROM (
+    SELECT count(*) AS n,
+           sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM (SELECT user_id AS x,
+                 CAST(round(value * 100, 0) AS BIGINT) AS y FROM events)
+  )
 )
 """
 
@@ -1278,12 +1337,28 @@ FROM (
 @register("app_linear_regression", _LINREG_SQL)
 def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """app/linear_regression.cc equivalent over (user_id, value-cents):
-    exact integer moment sums, one IEEE-deterministic division."""
+    exact integer moment sums; slope/intercept emitted as micro-scaled
+    integers (floor(x·1e6 + 0.5)) because compiler FMA contraction can
+    flip the last bit of the raw double division across engines."""
     ev = load_events(spark, sf_dir).select(
         F.col("user_id").alias("x"),
         F.round(F.col("value") * 100, 0).cast("long").alias("y"),
     )
-    return apps.linreg_fit(ev, "x", "y")
+    fit = apps.linreg_fit(ev, "x", "y")
+    return fit.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "syy",
+        "sxy",
+        F.floor(F.col("slope") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("slope_x1e6"),
+        F.floor(F.col("intercept") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("intercept_x1e6"),
+    )
 
 
 @register(

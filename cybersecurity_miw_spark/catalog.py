@@ -778,7 +778,7 @@ _SIMHASH_FP = " + ".join(
 
 _SIMHASH_MD5_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+  SELECT doc_id, unnest(str_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS tok
   FROM documents
 ),
 h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
@@ -799,7 +799,7 @@ def q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_BAND_SQL = f"""
 WITH fp AS (
   WITH toks AS (
-    SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS tok
+    SELECT doc_id, unnest(str_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS tok
     FROM documents
   ),
   h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
@@ -997,8 +997,8 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data vectors a SQL twin can reference directly). k-means-trained
 # centroids stay out of the oracle on purpose: their component means are
 # IEEE sums whose partition order Spark does not fix, so no cross-engine
-# twin can be bit-stable — training is covered by the recall golden in
-# tests/test_similarity.py instead. DuckDB's list_sum folds
+# twin can be bit-stable — training is covered by the recall goldens in
+# tests/test_llm_ops.py instead. DuckDB's list_sum folds
 # sequentially like F.aggregate, so the L2 fold below is bit-identical.
 _IVF_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

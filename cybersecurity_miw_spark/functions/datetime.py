@@ -36,7 +36,11 @@ _STRPTIME_MAP = {
     "%B": "MMMM",
     "%j": "D",
     "%p": "a",
-    "%z": "xx",
+    # glibc strptime %z takes ±hhmm AND ±hh:mm; Java "xx" alone rejects
+    # the colon form, so try the colon variant first via optional
+    # sections (exactly one must consume the offset for a full match,
+    # since the prefix regex guarantees an offset is present)
+    "%z": "[xxx][xx]",
     "%%": "%",
 }
 

@@ -67,6 +67,9 @@ class MiwJob:
         # collapses them (miw/job.cc:134-173). Per-file mode groups on
         # an extra input_file_name() key — single Spark job either way.
         self.merge_results = merge_results
+        # set by result(): the k/v-extended LogDef matching the result
+        # schema (== self.ldef for formats without dynamic fields)
+        self.result_ldef = self.ldef
 
     # -- plan builders --
 
@@ -102,22 +105,25 @@ class MiwJob:
 
     def result(self, spark: SparkSession) -> DataFrame:
         """The aggregated (unordered) result DataFrame. Formats with
-        k/v preprocessing fields extend ``self.ldef`` with the
-        discovered dynamic fields (mirroring the reference's per-record
-        ldef extension, miw/log_format.cc:570-576) so sinks emit
-        them."""
+        k/v preprocessing fields get a k/v-extended LogDef (mirroring
+        the reference's per-record ldef extension,
+        miw/log_format.cc:570-576) kept in ``self.result_ldef`` — the
+        constructor-supplied ``self.ldef`` is never mutated, so
+        repeated ``result()``/``parsed()`` calls on one job see the
+        same field list. Sinks must read ``self.result_ldef``."""
         from cybersecurity_miw_spark.plans.compiler import discover_kv_fields
 
         rows = self.parsed(spark)
-        rows, self.ldef = discover_kv_fields(rows, self.ldef)
+        rows, ldef = discover_kv_fields(rows, self.ldef)
+        self.result_ldef = ldef
         out = aggregate(
-            rows, self.ldef, self.union_count_strategy, self._extra_keys
+            rows, ldef, self.union_count_strategy, self._extra_keys
         )
         if self.store_content:
             from cybersecurity_miw_spark.functions.cols import qcol
             from cybersecurity_miw_spark.operators.aggregate import key_columns
 
-            gcols = key_columns(self.ldef) + list(self._extra_keys)
+            gcols = key_columns(ldef) + list(self._extra_keys)
             raws = rows.groupBy(*[qcol(g) for g in gcols]).agg(
                 F.collect_list("_raw").alias("content")
             )
@@ -139,19 +145,20 @@ class MiwJob:
         from cybersecurity_miw_spark.sources import parity
 
         df = self.result(spark)
+        ldef = self.result_ldef  # k/v-extended to match df's schema
         if ndisp:
-            sinks.show_top(df, self.ldef, ndisp)
+            sinks.show_top(df, ldef, ndisp)
         if output_format == "json":
             # reference-shape JSON-lines (§2.6, miw/log_record.cc:649-679)
-            parity.write_json_parity(df, self.ldef, output_path)
+            parity.write_json_parity(df, ldef, output_path)
         elif output_format == "csv":
-            parity.write_csv_parity(df, self.ldef, output_path)
+            parity.write_csv_parity(df, ldef, output_path)
         elif output_format == "json-columnar":
-            sinks.write_json(df, self.ldef, output_path)
+            sinks.write_json(df, ldef, output_path)
         elif output_format == "csv-columnar":
-            sinks.write_csv(df, self.ldef, output_path)
+            sinks.write_csv(df, ldef, output_path)
         elif output_format == "text":
-            sinks.write_text(df, self.ldef, output_path)
+            sinks.write_text(df, ldef, output_path)
         elif output_format in ("mem", "all"):
             pass
         else:

@@ -368,11 +368,16 @@ def with_simhash(
         hcol = F.xxhash64("_tok")
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    # coalesce BEFORE explode: split(NULL) is NULL and explode would
+    # silently drop the document from the output — NULL-text docs keep
+    # one row (fingerprint of the '' token, same as empty text)
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
-            "_tok"
-        ),
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+            )
+        ).alias("_tok"),
     ).select(F.col(id_col), hcol.alias("_h"))
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")

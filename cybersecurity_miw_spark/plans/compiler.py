@@ -87,6 +87,12 @@ def parse(
     return project_fields(toks, ldef, passthrough=keep)
 
 
+# output/internal column names a discovered payload key must not take
+# (see simple_agg_exprs' count(*).alias("logs"), the composite-id
+# withColumn, per-file "_file", and the parity sink's specials)
+_RESERVED_OUT = {"id", "logs", "format_name", "appname", "std_date_dt", "content"}
+
+
 def discover_kv_fields(
     parsed: DataFrame, ldef: LogDef, max_keys: int = 200
 ) -> tuple[DataFrame, LogDef]:
@@ -125,11 +131,19 @@ def discover_kv_fields(
             .collect()
         )[:max_keys]
         for k in keys:
-            if k in declared:
+            # payload keys are attacker-controllable log content: a key
+            # named "logs"/"id"/... would collide with reserved output
+            # columns (duplicate-alias AnalysisException or silent
+            # clobber), and "_"-prefixed keys would shadow internal
+            # columns (_file, _hold). Prefix-rename those; the value
+            # column is materialized here from getItem(k), so the field
+            # name need not equal the map key.
+            name = f"kv_{k}" if k in _RESERVED_OUT or k.startswith("_") else k
+            if name in declared:
                 continue
-            declared.add(k)
-            new_fields.append(Field(name=k, type="string", from_kv=p.name))
-            new_cols.append(F.trim(qcol(p.name).getItem(k)).alias(k))
+            declared.add(name)
+            new_fields.append(Field(name=name, type="string", from_kv=p.name))
+            new_cols.append(F.trim(qcol(p.name).getItem(k)).alias(name))
     if not new_fields:
         return parsed, ldef
     widened = parsed.select("*", *new_cols)
@@ -142,7 +156,7 @@ def compile_pipeline(
     ldef: LogDef,
     union_count_strategy: str = "two-phase",
     expand_kv: bool = True,
-) -> tuple[DataFrame, LogDef] | DataFrame:
+) -> DataFrame:
     """Full pipeline: lines → grouped/aggregated result (unordered;
     sinks apply the final ordering). Formats with k/v preprocessing
     fields get their payload keys expanded to real columns first (the

@@ -177,3 +177,25 @@ def test_short_lines_with_match_do_not_crash(spark):
     )
     rows = MiwJob(fmt, lines=["x", "a,b,c,d,e,keep", "a,b,c,d,e,drop"]).run(spark).collect()
     assert len(rows) == 1
+
+
+def test_strptime_z_offset_colon_and_plain(spark):
+    """glibc strptime %z accepts both +0530 and +05:30; the Java-side
+    optional-section pattern must parse both to the same instant
+    (round-2 advice: the colon form previously yielded NULL)."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.functions.datetime import parse_date
+
+    df = spark.createDataFrame(
+        [("2012-11-30 23:05:12 +05:30",), ("2012-11-30 23:05:12 +0530",)],
+        "raw string",
+    )
+    ts = [
+        r[0]
+        for r in df.select(
+            parse_date(F.col("raw"), "%Y-%m-%d %H:%M:%S %z")
+        ).collect()
+    ]
+    assert ts[0] is not None
+    assert ts[0] == ts[1]

@@ -61,7 +61,7 @@ def test_evtx_dynamic_fields_grouped(spark):
     assert h2["TargetUserName"] == "bob"
 
     recs = [
-        json.loads(r[0]) for r in parity.json_lines(df, job.ldef).collect()
+        json.loads(r[0]) for r in parity.json_lines(df, job.result_ldef).collect()
     ]
     by_id = {r["id"]: r for r in recs}
     assert by_id["2012-11-30_23:00_HOST1"]["TargetUserName"] == "alice"
@@ -119,3 +119,45 @@ def test_from_kv_validation():
             },
             lines=["x"],
         )
+
+
+def test_reserved_payload_keys_are_prefix_renamed(spark):
+    """Attacker-controllable payload keys named like reserved output
+    columns (logs/id/...) or internal ``_``-columns must not produce a
+    duplicate-alias AnalysisException or clobber the composite id —
+    they surface prefix-renamed (kv_*)."""
+    fmt = {
+        "format_name": "evtx_rsv",
+        "delims": ",",
+        "fields": [
+            {"name": "k", "pos": 0, "type": "string", "key": True},
+            {"name": "payload", "pos": 1, "type": "string",
+             "preprocessing": "evtxcsv"},
+        ],
+    }
+    lines = [
+        "g1,x-> logs=evil id=override _file=shadow ok=fine",
+        "g1,x-> logs=evil id=override _file=shadow ok=fine",
+    ]
+    job = MiwJob(format=fmt, lines=lines)
+    df = job.result(spark)
+    rows = {r["id"]: r for r in df.collect()}
+    assert set(rows) == {"g1"}
+    r = rows["g1"]
+    assert r["logs"] == 2  # the count, not the payload value
+    assert r["kv_logs"] == "evil"
+    assert r["kv_id"] == "override"
+    assert r["kv__file"] == "shadow"
+    assert r["ok"] == "fine"
+
+
+def test_result_is_repeatable(spark):
+    """result() must not mutate the constructor-supplied LogDef: two
+    calls on one job see the same field list and schema."""
+    job = MiwJob(format=EVTX_FORMAT, lines=EVTX_LINES)
+    first = job.result(spark)
+    n_fields = len(job.ldef.fields)
+    second = job.result(spark)
+    assert len(job.ldef.fields) == n_fields
+    assert first.columns == second.columns
+    assert len(job.result_ldef.fields) > n_fields  # extension captured

@@ -42,7 +42,7 @@ def test_http_sink_posts_json_array_batches(spark, tmp_path):
 
     http_sink.write_http_json(
         df,
-        job.ldef,
+        job.result_ldef,
         url="http://example.invalid/solr/update/json?commit=true",
         batch_size=2,
         transport=_spool_transport(spool),

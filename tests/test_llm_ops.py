@@ -184,6 +184,34 @@ def test_ivf_assign_and_train(vecs):
     assert cells[0] == cells[1]
 
 
+def test_ivf_trained_recall_vs_brute_force(spark):
+    """Trained-centroid IVF (the variant with no DuckDB twin — see
+    catalog.q_ann_ivf) must recover the brute-force top-k when probing
+    enough cells: recall golden standing in for the hash oracle."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[0][1]
+    cents = similarity.train_centroids(df, n_cells=4, dim=8, iters=2)
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(df, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(df, cents, q, k=10, n_probes=4).collect()
+    ]
+    # n_probes = n_cells degrades to exact search → recall must be 1.0
+    assert approx == exact
+    half = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(df, cents, q, k=10, n_probes=2).collect()
+    }
+    # multi-probe at half the cells still finds most of the true top-k
+    assert len(half & set(exact)) >= 5
+
+
 # ---- text analysis ----
 
 
@@ -304,3 +332,15 @@ def test_pairwise_topk_lsh_scale_path(spark):
         assert all(r["vec_id"] != qid for r in rs)
         sims = [r["cos_sim"] for r in rs]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_simhash_keeps_null_text_docs(spark):
+    """NULL-text documents must not vanish from the fingerprint output
+    (explode of split(NULL) drops rows without the coalesce)."""
+    df = spark.createDataFrame(
+        [(0, BASE), (1, None), (2, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["_simhash"] for r in dedup.with_simhash(df).collect()}
+    assert set(out) == {0, 1, 2}
+    # NULL and empty text share the ''-token fingerprint
+    assert out[1] == out[2]

@@ -57,7 +57,7 @@ EXPECTED_CSV = [
 @pytest.fixture(scope="module")
 def proxy_result(spark):
     job = MiwJob(format=PROXY_FORMAT, files=FIXTURE)
-    return job.result(spark), job.ldef
+    return job.result(spark), job.result_ldef
 
 
 def test_csv_header_alphabetical(proxy_result):
@@ -131,7 +131,7 @@ def test_store_content_companion_records(spark):
     }
     job = MiwJob(format=fmt, lines=["a,1", "a,2", "b,5"], store_content=True)
     rows = [
-        r["value"] for r in json_lines(job.result(spark), job.ldef).collect()
+        r["value"] for r in json_lines(job.result(spark), job.result_ldef).collect()
     ]
     # each row carries the main record and its companion on two lines
     lines = sorted(ln for r in rows for ln in r.split("\n"))

@@ -62,6 +62,6 @@ def test_per_file_parity_output_hides_file_col(spark, tmp_path):
     f1 = _write(tmp_path, "a.log", ["1,x,10"])
     job = MiwJob(format=FMT, files=[f1], merge_results=False)
     df = job.result(spark)
-    rec = json.loads(parity.json_lines(df, job.ldef).collect()[0][0])
+    rec = json.loads(parity.json_lines(df, job.result_ldef).collect()[0][0])
     assert "_file" not in rec
     assert rec["val"] == 10

@@ -49,6 +49,7 @@ class MiwJob:
         store_content: bool = False,
         union_count_strategy: str = "two-phase",
         merge_results: bool = True,
+        union_limit: int | None = None,
     ) -> None:
         if isinstance(format, LogDef):
             self.ldef = format
@@ -67,6 +68,10 @@ class MiwJob:
         # collapses them (miw/job.cc:134-173). Per-file mode groups on
         # an extra input_file_name() key — single Spark job either way.
         self.merge_results = merge_results
+        # cap A8 union arrays at the N smallest values (None = reference
+        # parity: uncapped; see operators/aggregate.py:union_limited_values
+        # for why 100 TB wants a bound)
+        self.union_limit = union_limit
         # set by result(): the k/v-extended LogDef matching the result
         # schema (== self.ldef for formats without dynamic fields)
         self.result_ldef = self.ldef
@@ -117,7 +122,11 @@ class MiwJob:
         rows, ldef = discover_kv_fields(rows, self.ldef)
         self.result_ldef = ldef
         out = aggregate(
-            rows, ldef, self.union_count_strategy, self._extra_keys
+            rows,
+            ldef,
+            self.union_count_strategy,
+            self._extra_keys,
+            union_limit=self.union_limit,
         )
         if self.store_content:
             from cybersecurity_miw_spark.functions.cols import qcol
@@ -185,6 +194,12 @@ def main(argv: list[str] | None = None) -> None:
     # reference default: one result set per input file; -merge_results
     # collapses all files into one (miw/job.cc:35,134-173)
     ap.add_argument("-merge_results", action="store_true")
+    ap.add_argument(
+        "-union_limit", type=int, default=0,
+        help="cap A8 union arrays at the N smallest values (0 = "
+        "uncapped reference parity; set at scale so a hot group cannot "
+        "grow an unbounded aggregation buffer)",
+    )
     # ---- reference flags with a direct Spark mapping ----
     ap.add_argument(
         "-nprocs", type=int, default=0,
@@ -243,6 +258,7 @@ def main(argv: list[str] | None = None) -> None:
         appname=args.appname,
         store_content=args.store_content,
         merge_results=args.merge_results,
+        union_limit=args.union_limit or None,
     )
     job.run(
         spark,

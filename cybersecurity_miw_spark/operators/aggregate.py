@@ -43,6 +43,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cybersecurity_miw_spark.functions.cols import qcol
 from cybersecurity_miw_spark.plans.logdef import Field, LogDef
@@ -64,10 +65,11 @@ def id_column(ldef: LogDef) -> Column:
     return F.concat_ws("_", *parts)
 
 
-def simple_agg_exprs(ldef: LogDef) -> list[Column]:
+def simple_agg_exprs(ldef: LogDef, skip_union: bool = False) -> list[Column]:
     """All single-pass aggregate expressions (everything except
     union_count, which needs its own plan, and ratio, which is a
-    post-projection)."""
+    post-projection). ``skip_union`` leaves A8 union fields to the
+    bounded two-phase path (:func:`union_limited_values`)."""
     exprs: list[Column] = [F.count(F.lit(1)).alias(LOGS_COL)]
     for f in ldef.fields:
         if f.key:
@@ -76,6 +78,8 @@ def simple_agg_exprs(ldef: LogDef) -> list[Column]:
             # the k/v map column itself is never aggregated or emitted;
             # its derived fields carry the payload (the reference skips
             # preprocessing fields at output, miw/log_record.cc:495-496)
+            continue
+        if skip_union and f.aggregation == "union":
             continue
         c = qcol(f.name)
         agg = f.aggregation
@@ -132,6 +136,7 @@ def aggregate(
     ldef: LogDef,
     union_count_strategy: str = "two-phase",
     extra_keys: tuple[str, ...] = (),
+    union_limit: int | None = None,
 ) -> DataFrame:
     """parsed rows → one row per group with every aggregate, the ``id``
     composite key, ``logs``, and ratio post-projections.
@@ -139,18 +144,44 @@ def aggregate(
     ``extra_keys`` join the groupBy without entering the ``id`` — the
     per-file result mode (reference default, miw/job.cc:134-137) passes
     ``("_file",)`` so one job yields every file's independent result.
+
+    ``union_limit`` caps every A8 union array at the N smallest values
+    (the reference has no cap, miw/log_record.cc:63-129 — but at 100 TB
+    one hot group with a high-cardinality union field, e.g. a scanning
+    IP under a date_hour_user key, would otherwise grow an unbounded
+    collect_set buffer in a single executor). The cap is applied BEFORE
+    any per-group array materializes (:func:`union_limited_values`), so
+    aggregation state stays O(union_limit) per group.
     """
     keys = key_columns(ldef)
     all_keys = keys + list(extra_keys)
     ucount_fields = [
         f for f in ldef.fields if f.aggregation == "union_count" and not f.key
     ]
+    union_fields = (
+        [f for f in ldef.fields if f.aggregation == "union" and not f.key]
+        if union_limit is not None
+        else []
+    )
 
     gcols = [qcol(k) for k in all_keys]
-    aggs = simple_agg_exprs(ldef)
+    aggs = simple_agg_exprs(ldef, skip_union=bool(union_fields))
     if union_count_strategy == "expr":
         aggs += [union_count_expr(f.name) for f in ucount_fields]
     out = df.groupBy(*gcols).agg(*aggs)
+
+    for f in union_fields:
+        vals = union_limited_values(
+            df,
+            all_keys,
+            f.name,
+            union_limit,
+            dedup=f.type not in ("int", "float", "bool"),
+        )
+        if all_keys:
+            out = out.join(vals, on=all_keys, how="left")
+        else:
+            out = out.crossJoin(F.broadcast(vals))
 
     if ucount_fields and union_count_strategy == "two-phase":
         # Scale path: per-field (keys, value) pre-aggregation then a
@@ -179,6 +210,32 @@ def aggregate(
         )
 
     return out.withColumn(ID_COL, id_column(ldef))
+
+
+def union_limited_values(
+    df: DataFrame, keys: list[str], col: str, limit: int, dedup: bool
+) -> DataFrame:
+    """Bounded A8 union: the ``limit`` smallest values per group as a
+    sorted array (the prefix of the uncapped sorted union — identical
+    to slice(sort_array(collect_set), 1, N) but without ever holding
+    the uncapped set in an aggregation buffer).
+
+    Plan: optional distinct on (keys, value) — map-side combined,
+    skew-free even when one group dominates — then a row_number window
+    to keep ranks ≤ limit, then the final collect of ≤ limit values.
+    Every per-group buffer along the way is O(distinct) map-side /
+    O(limit) reduce-side, never O(group)."""
+    vcol = qcol(col)
+    base = df.select(*[qcol(k) for k in keys], vcol).filter(vcol.isNotNull())
+    if dedup:
+        base = base.distinct()
+    w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(vcol)
+    ranked = base.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= limit
+    )
+    return ranked.groupBy(*[qcol(k) for k in keys]).agg(
+        F.sort_array(F.collect_list(vcol)).alias(col)
+    )
 
 
 def value_histogram(df: DataFrame, keys: list[str], col: str) -> DataFrame:

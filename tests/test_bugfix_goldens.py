@@ -199,3 +199,41 @@ def test_strptime_z_offset_colon_and_plain(spark):
     ]
     assert ts[0] is not None
     assert ts[0] == ts[1]
+
+
+def test_union_limit_caps_hot_group(spark):
+    """A8 union cap (SURVEY §7.4 risk 5): one hot group with a
+    high-cardinality union field must complete with O(limit) per-group
+    aggregation state and yield exactly the sorted prefix of the
+    uncapped union. Numeric unions (append, no dedup) cap the same
+    way."""
+    fmt = _fmt(
+        "hot",
+        [
+            {"name": "k", "pos": 0, "type": "string", "key": True},
+            {"name": "u", "pos": 1, "type": "string",
+             "aggregated": True, "aggregation": "union"},
+            {"name": "n", "pos": 2, "type": "int",
+             "aggregated": True, "aggregation": "union"},
+        ],
+    )
+    # 5000 distinct values in ONE group (zero-padded so lexicographic
+    # order == numeric order), plus a small second group
+    lines = [f"hot,v{i:05d},{i % 7}" for i in range(5000)]
+    lines += ["cold,x,1", "cold,x,2"]
+    from cybersecurity_miw_spark.job import MiwJob as _J
+
+    df = _J(fmt, lines=lines, union_limit=10).result(spark)
+    rows = {r["k"]: r for r in df.collect()}
+    assert rows["hot"]["logs"] == 5000
+    assert rows["hot"]["u"] == [f"v{i:05d}" for i in range(10)]
+    # numeric append keeps duplicates: 5000 rows of i%7 → the 10
+    # smallest are ~715 zeros truncated at 10
+    assert rows["hot"]["n"] == [0] * 10
+    assert rows["cold"]["u"] == ["x"]
+    assert rows["cold"]["n"] == [1, 2]
+
+    # uncapped stays reference-parity
+    un = _J(fmt, lines=["a,q,3", "a,p,3", "a,q,4"]).result(spark).collect()[0]
+    assert un["u"] == ["p", "q"]
+    assert un["n"] == [3, 3, 4]

@@ -275,4 +275,9 @@ class LogDef:
     @classmethod
     def load(cls, path: str | Path) -> "LogDef":
         p = Path(path)
+        if p.suffix == ".fmt":
+            # compiled binary protobuf (miw/log_format.cc:62-77)
+            from cybersecurity_miw_spark.plans.fmtproto import load_fmt
+
+            return load_fmt(p)
         return cls.from_json(lenient_json_loads(p.read_text()), base_dir=str(p.parent))

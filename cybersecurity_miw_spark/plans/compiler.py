@@ -93,19 +93,42 @@ def parse(
 _RESERVED_OUT = {"id", "logs", "format_name", "appname", "std_date_dt", "content"}
 
 
+def _distinct_map_keys(df: DataFrame, col: str, max_keys: int) -> list[str]:
+    """The distinct key-name set of a map column, sorted then truncated
+    — a bare .limit() would pick an arbitrary, run-dependent subset.
+    Driver traffic is key NAMES only, bounded by payload schema
+    cardinality (and ``max_keys``), never data size."""
+    return sorted(
+        r[0]
+        for r in df.select(F.explode(F.map_keys(qcol(col))).alias("k"))
+        .distinct()
+        .collect()
+    )[:max_keys]
+
+
 def discover_kv_fields(
-    parsed: DataFrame, ldef: LogDef, max_keys: int = 200
+    parsed: DataFrame,
+    ldef: LogDef,
+    max_keys: int = 200,
+    sample_fraction: float | None = 0.01,
 ) -> tuple[DataFrame, LogDef]:
     """Auto-expand evtxcsv/evtxcsv2 map columns into first-class
     columns — the reference's dynamic schema extension, where every
     payload k/v becomes a field of the record
     (miw/log_format.cc:570-576,606-678).
 
-    Key discovery is one extra narrow job per run: a distinct over the
-    exploded key names (map-side partially aggregated; the state is the
-    key-name set, bounded by ``max_keys``, never the values). At 100 TB
-    that second scan is real cost — formats that pre-declare their keys
-    via ``from_kv`` fields skip it entirely.
+    Key discovery is an extra narrow job per run. At 100 TB a full
+    second scan is real cost, so discovery runs SAMPLE-FIRST: a
+    ``sample_fraction`` slice (deterministic seed) feeds the distinct
+    key-name collection, and only when the sample surfaces no keys at
+    all does it fall back to the full scan (small inputs, or payloads
+    on a rare line shape). Payload keys are near-stationary in shape
+    (the same product emits the same k/v schema on every line), so the
+    sample finds them with overwhelming probability; a key that appears
+    on fewer than ~1/fraction lines can still be missed — formats that
+    need a guarantee pre-declare keys via ``from_kv`` fields, which
+    skips discovery entirely (the zero-scan path).
+    ``sample_fraction=None`` forces the exact full scan.
 
     Discovered fields are plain strings with first-value semantics
     (non-key, non-aggregated — exactly the reference's merge behavior
@@ -118,18 +141,21 @@ def discover_kv_fields(
     declared = {f.name for f in ldef.fields}
     new_fields: list[Field] = []
     new_cols = []
+    sampled = (
+        parsed.sample(fraction=sample_fraction, seed=7)
+        if sample_fraction
+        else None
+    )
     for p in pre:
-        # collect the full distinct key-name set (bounded by payload
-        # schema cardinality, not data size) and truncate SORTED — a
-        # bare .limit() would pick an arbitrary, run-dependent subset
-        keys = sorted(
-            r[0]
-            for r in parsed.select(
-                F.explode(F.map_keys(qcol(p.name))).alias("k")
-            )
-            .distinct()
-            .collect()
-        )[:max_keys]
+        keys = (
+            _distinct_map_keys(sampled, p.name, max_keys)
+            if sampled is not None
+            else []
+        )
+        if not keys:
+            # sample surfaced nothing (tiny input / rare payloads):
+            # exact fallback so correctness never depends on sampling
+            keys = _distinct_map_keys(parsed, p.name, max_keys)
         for k in keys:
             # payload keys are attacker-controllable log content: a key
             # named "logs"/"id"/... would collide with reserved output

@@ -161,3 +161,27 @@ def test_result_is_repeatable(spark):
     assert len(job.ldef.fields) == n_fields
     assert first.columns == second.columns
     assert len(job.result_ldef.fields) > n_fields  # extension captured
+
+
+def test_sample_first_discovery_falls_back_for_rare_payloads(spark):
+    """Key discovery samples first (SCALE.md: avoids a full second
+    scan); whichever path runs, a key that lives on 1 of 300 lines is
+    still discovered — the zero-key sample falls back to the exact
+    scan, so correctness never depends on the sample."""
+    fmt = {
+        "format_name": "evtx_rare",
+        "delims": ",",
+        "fields": [
+            {"name": "k", "pos": 0, "type": "string", "key": True},
+            {"name": "payload", "pos": 1, "type": "string",
+             "preprocessing": "evtxcsv"},
+        ],
+    }
+    lines = [f"g{i % 3},plain" for i in range(299)]
+    lines.append("g0,x-> RareKey=seen")
+    job = MiwJob(format=fmt, lines=lines)
+    df = job.result(spark)
+    assert "RareKey" in df.columns
+    # deterministic across runs (seeded sample / sorted keys)
+    df2 = MiwJob(format=fmt, lines=lines).result(spark)
+    assert df.columns == df2.columns

@@ -1361,6 +1361,30 @@ def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WR_SQL = """
+SELECT word,
+       list_sort(list(doc_id * 1048576 + pos)) AS postings,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT doc_id, unnest(l) AS word, unnest(idx) AS pos
+  FROM (
+    SELECT doc_id, l, range(0, len(l)) AS idx
+    FROM (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS l
+          FROM documents)
+  )
+)
+GROUP BY word
+"""
+
+
+@register("app_word_reverse_index", _WR_SQL)
+def q_word_reverse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """app/wr.cc equivalent: inverted index word → sorted postings
+    (doc_id·2²⁰ + token position) + occurrence count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return apps.word_reverse_index(docs)
+
+
 @register(
     "app_string_match",
     "SELECT CAST(sum(CASE WHEN text LIKE '%the%' THEN 1 ELSE 0 END) AS BIGINT)"

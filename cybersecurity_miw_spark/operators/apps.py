@@ -88,6 +88,43 @@ def linreg_fit(df: DataFrame, x: str | Column, y: str | Column) -> DataFrame:
     )
 
 
+def word_reverse_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int | None = None,
+) -> DataFrame:
+    """app/wr.hh word-reverse-index: word → postings list + count. The
+    reference emits each word's byte address in the mmap'd input
+    (wr.hh:map_function's ``map_emit(k, index, klen)``); the relational
+    analog of "where does the word occur" is (doc, position), encoded
+    doc_id·2²⁰ + position so the postings stay a flat sorted int64
+    array (documents under 1M tokens each).
+
+    Plan: posexplode → groupBy(word) with map-side partial collect;
+    ``max_postings`` keeps only the first N postings per word (hot
+    stopwords would otherwise grow unbounded arrays — same hazard as
+    the A8 union cap)."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "word"
+        ),
+    )
+    posting = (F.col(id_col) * F.lit(1 << 20) + F.col("pos")).cast("long")
+    g = words.groupBy("word").agg(
+        F.sort_array(F.collect_list(posting)).alias("postings"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    if max_postings is not None:
+        g = g.select(
+            "word",
+            F.slice("postings", 1, max_postings).alias("postings"),
+            "n",
+        )
+    return g
+
+
 def string_match_count(
     df: DataFrame, col: str | Column, needle: str
 ) -> DataFrame:

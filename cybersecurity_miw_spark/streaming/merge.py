@@ -38,10 +38,18 @@ def stream_logs(
     output_dir: str,
     available_now: bool = True,
     union_count_strategy: str = "expr",
+    write_batch=None,
 ) -> StreamingQuery:
     """Continuously summarize log files landing in ``input_dir``;
     each micro-batch rewrites the full (small) group summary to
     ``output_dir`` as parquet — the -tmp_save snapshot analog.
+
+    Exactly-once emit: source offsets commit to the checkpoint only
+    AFTER the batch function returns, and the overwrite snapshot is
+    idempotent — a crash mid-batch replays that batch on restart and
+    rewrites the same summary (no double counting). The crash-resume
+    golden in tests/test_streaming_merge.py injects a failing
+    ``write_batch`` to prove it.
 
     union_count uses the single-shuffle expression strategy because
     multi-aggregation joins are awkward in update-mode streams.
@@ -51,8 +59,10 @@ def stream_logs(
     )
     agg = aggregate(parse(lines, ldef), ldef, union_count_strategy)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(output_dir)
+    if write_batch is None:
+
+        def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(output_dir)
 
     writer = (
         agg.writeStream.outputMode("complete")

@@ -344,3 +344,21 @@ def test_simhash_keeps_null_text_docs(spark):
     assert set(out) == {0, 1, 2}
     # NULL and empty text share the ''-token fingerprint
     assert out[1] == out[2]
+
+
+def test_word_reverse_index_postings(spark):
+    from cybersecurity_miw_spark.operators import apps
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b c")], "doc_id long, text string"
+    )
+    out = {r["word"]: r for r in apps.word_reverse_index(df).collect()}
+    m = 1 << 20
+    assert out["a"]["postings"] == [0, 2] and out["a"]["n"] == 2
+    assert out["b"]["postings"] == [1, m + 0] and out["b"]["n"] == 2
+    assert out["c"]["postings"] == [m + 1] and out["c"]["n"] == 1
+    capped = {
+        r["word"]: r["postings"]
+        for r in apps.word_reverse_index(df, max_postings=1).collect()
+    }
+    assert capped["a"] == [0] and capped["b"] == [1]

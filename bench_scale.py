@@ -1,0 +1,143 @@
+"""Scale-point benchmark: the flagship format-compiler query and the
+MinHash-LSH dedup pipeline at ~sf1.0 (10x the per-round sf0.1 bench).
+
+The driver ships no sf1.0 parquet, so this derives one from sf0.1:
+
+* ``events``   — 10 copies, ``event_id`` offset per copy. Group keys
+  (day, etype) are untouched, so the flagship aggregation keeps its
+  150 groups and each group gets 10x the rows — exactly what a 10x
+  retention window looks like in production.
+* ``documents`` — 10 copies, ``doc_id`` offset per copy, and the text
+  run through a per-copy lowercase-alphabet rotation
+  (``translate(text, a..z, rotated)``). That keeps token lengths,
+  whitespace structure, and within-copy near-dup relationships
+  identical while making shingle sets DISJOINT across copies — naive
+  duplication would put 10 identical texts in every LSH band bucket
+  and quadratically inflate the candidate stage into a workload that
+  no real 10x corpus produces.
+
+The question answered here is the one sf0.1 cannot: does wall time
+scale ~linearly with input size, or is there a cliff (bucket blowup,
+spill, driver collect) hiding above the small-factor bench?
+Prints ONE JSON line; results are recorded in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_DIR = os.environ.get(
+    "SPARK_GRAFT_SCALE_DIR", os.path.join(os.path.dirname(__file__), ".tmp/scale/sf1.0")
+)
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+QUERY_NAMES = ["miw_events_summary", "minhash_lsh_candidates"]
+
+
+def _rotated(i: int) -> str:
+    az = string.ascii_lowercase
+    k = i % 25 + 1 if i else 0  # copy 0 is the identity
+    return az[k:] + az[:k]
+
+
+def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.sources.tables import load_events
+
+    ev = load_events(spark, base_dir)
+    n_ev = ev.count()
+    parts = []
+    for i in range(copies):
+        parts.append(
+            ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(i * n_ev)
+            )
+        )
+    scaled_ev = parts[0]
+    for p in parts[1:]:
+        scaled_ev = scaled_ev.unionByName(p)
+    # many output files -> many row groups -> the scan parallelizes
+    # without the widening repartition kicking in
+    scaled_ev.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/events.parquet"
+    )
+
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    n_docs = docs.count()
+    az = string.ascii_lowercase
+    parts = []
+    for i in range(copies):
+        parts.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+            .withColumn("text", F.translate(F.col("text"), az, _rotated(i)))
+        )
+    scaled_docs = parts[0]
+    for p in parts[1:]:
+        scaled_docs = scaled_docs.unionByName(p)
+    scaled_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from cybersecurity_miw_spark.catalog import QUERIES
+    from cybersecurity_miw_spark.session import get_spark
+
+    spark = get_spark("miw-bench-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not os.path.exists(f"{SCALE_DIR}/documents.parquet/_SUCCESS"):
+        t0 = time.perf_counter()
+        build_scaled(spark, BASE_DIR, SCALE_DIR, COPIES)
+        build_s = round(time.perf_counter() - t0, 3)
+    else:
+        build_s = 0.0
+
+    # warm-up then min-of-2 timed, same methodology as bench.py
+    out: dict[str, dict[str, float]] = {}
+    for sf_dir, tag in ((BASE_DIR, "base"), (SCALE_DIR, "scaled")):
+        for name in QUERY_NAMES:
+            force(QUERIES[name](spark, sf_dir))
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                force(QUERIES[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            out.setdefault(name, {})[tag] = round(best, 3)
+
+    queries = {}
+    for name, t in out.items():
+        # per-row slowdown: scaled_time / (base_time * copies); ~<=1.0
+        # means linear-or-better, >>1 means a cliff
+        queries[name] = {
+            **t,
+            "scale_ratio": round(t["scaled"] / (t["base"] * COPIES), 3),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "scale_point_wall",
+                "unit": "sec",
+                "copies": COPIES,
+                "build_s": build_s,
+                "queries": queries,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

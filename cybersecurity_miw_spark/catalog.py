@@ -1395,6 +1395,150 @@ def q_string_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apps.string_match_count(docs, "text", "the")
 
 
+_MATMUL_SQL = """
+WITH m AS (
+  SELECT event_id // 32 AS r, event_id % 32 AS s,
+         user_id % 97 AS a, (user_id + event_id) % 89 AS b
+  FROM events WHERE event_id < 1024
+)
+SELECT A.r AS i, B.s AS j, CAST(sum(A.a * B.b) AS BIGINT) AS c
+FROM m A JOIN m B ON A.s = B.r
+GROUP BY 1, 2
+"""
+
+
+@register("app_matrix_mult", _MATMUL_SQL)
+def q_matrix_mult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """app/matrix_mult.cc equivalent: C = A·B for two 32×32 int
+    matrices derived deterministically from the events table (the
+    reference fills its matrices with rand(); a cross-engine oracle
+    needs reproducible cells, so cell (r,s) of A is user_id % 97 and
+    of B is (user_id + event_id) % 89 for event_id = 32r + s). The
+    plan is the distributed cell matmul of operators/apps.py —
+    shuffle-join on the inner dimension, map-side partial products."""
+    ev = (
+        load_table(spark, sf_dir, "events", widen=False)
+        .filter(F.col("event_id") < 1024)
+        .select("event_id", "user_id")
+    )
+    a_cells = ev.select(
+        F.expr("event_id div 32").alias("i"),
+        (F.col("event_id") % 32).alias("k"),
+        (F.col("user_id") % 97).alias("a"),
+    )
+    b_cells = ev.select(
+        F.expr("event_id div 32").alias("k"),
+        (F.col("event_id") % 32).alias("j"),
+        ((F.col("user_id") + F.col("event_id")) % 89).alias("b"),
+    )
+    return apps.matrix_multiply(a_cells, b_cells)
+
+
+_PCA_SQL = """
+WITH q AS (
+  SELECT vec_id AS i,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000) AS BIGINT) + 1000) AS v
+  FROM embeddings WHERE vec_id < 128
+),
+stats AS (
+  SELECT i, CAST(list_sum(v) AS BIGINT) AS rowsum,
+         CAST(list_sum(v) // 64 AS BIGINT) AS mean
+  FROM q
+),
+pairs AS (
+  SELECT a.i AS row_i, b.i AS row_j,
+         CAST(list_sum(list_transform(list_zip(a.v, b.v),
+                                      z -> z[1] * z[2])) AS BIGINT) AS dot
+  FROM q a JOIN q b ON a.i <= b.i
+),
+nums AS (
+  SELECT p.row_i, p.row_j, sa.mean AS mean_i, sb.mean AS mean_j,
+         p.dot - sb.mean * sa.rowsum - sa.mean * sb.rowsum
+               + 64 * sa.mean * sb.mean AS num
+  FROM pairs p
+  JOIN stats sa ON p.row_i = sa.i
+  JOIN stats sb ON p.row_j = sb.i
+)
+SELECT row_i, row_j, mean_i, mean_j,
+       CAST(sign(num) AS BIGINT)
+         * CAST(floor(abs(num) / ((SELECT count(*) FROM q) - 1))
+                AS BIGINT) AS cov
+FROM nums
+"""
+
+
+@register("app_pca_covariance", _PCA_SQL)
+def q_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """app/pca.cc equivalent: per-row integer means and the upper-
+    triangle row-pair covariance matrix of a quantized int matrix
+    (embeddings ×1000, shifted non-negative; rows capped at 128 the
+    way the reference caps matrix_len). The reference's eigen step
+    happens after the MR phase ends and is not part of the parallel
+    job — the covariance matrix IS the app's distributed output."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=False).filter(
+        F.col("vec_id") < 128
+    )
+    cells = emb.select(
+        F.col("vec_id").alias("i"),
+        F.posexplode(
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                "x -> cast(floor(x * 1000) as bigint) + 1000)"
+            )
+        ).alias("k", "q"),
+    )
+    return apps.row_covariance(cells, n_cols=64)
+
+
+_KMEANS_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000) AS BIGINT) + 1000) AS v
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, v AS cv FROM q WHERE vec_id IN (0, 1, 2, 3)),
+assign AS (
+  SELECT q.vec_id, q.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, q.v),
+                                           z -> (z[1]-z[2])*(z[1]-z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM q
+)
+SELECT cell, t.dim - 1 AS dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v[t.dim]) // count(*) AS BIGINT) AS mean
+FROM assign CROSS JOIN range(1, 65) t(dim)
+GROUP BY 1, 2
+"""
+
+
+@register("app_kmeans_step", _KMEANS_SQL)
+def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """app/kmeans.cc single Lloyd iteration over the quantized int
+    embeddings: exact integer squared-L2 assignment to the 4 seed
+    centroids (rows vec_id 0–3; ties to the lowest index, matching
+    the reference's strict-< scan) and the integer-division mean
+    update. The full until-converged loop (kmeans.cc:268-290) is
+    apps.kmeans_train_int — iterative, oracled per-step here and by
+    convergence goldens in the test suite."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=False)
+    pts = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> cast(floor(x * 1000) as bigint) + 1000)"
+        ).alias("q"),
+    )
+    seeds = (
+        pts.filter(F.col("vec_id") < 4).orderBy("vec_id").select("q").collect()
+    )
+    cents = [list(r[0]) for r in seeds]
+    return apps.kmeans_step(pts, cents)
+
+
 # ---------------------------------------------------------------------------
 # plain relational summary (TPC-H Q1 pricing-summary shape) — engine
 # sanity + the bench's scale workload

@@ -2,7 +2,9 @@
 apps alongside the log engine — wordcount (app/wc.cc:59-100), value
 histogram (app/hist.cc:110-133, a 256-bucket per-byte-value count),
 linear regression via the five moment sums (app/linear_regression.cc:
-92-108,178-200), string match, kmeans.
+92-108,178-200), string match, word-reverse-index (app/wr.hh), matrix
+multiply (app/matrix_mult.cc), pca row covariance (app/pca.cc), and
+integer k-means (app/kmeans.cc).
 
 Spark-first: each is a one-liner groupBy/agg over a column — partial
 aggregation map-side, one shuffle of at most n_buckets (or 1) rows.
@@ -135,3 +137,185 @@ def string_match_count(
         .cast("bigint")
         .alias("matches")
     )
+
+
+def matrix_multiply(a_cells: DataFrame, b_cells: DataFrame) -> DataFrame:
+    """C = A·B over cell-form matrices (app/matrix_mult.cc:105-137
+    walks row-blocks of dense in-memory int matrices; the distributed
+    form is cells): ``a_cells`` has columns (i, k, a), ``b_cells``
+    (k, j, b), result (i, j, c) with c = Σₖ a·b.
+
+    This is the canonical shuffle-join matmul: both sides hash-
+    partition on the shared inner dimension k, products partially
+    aggregate map-side before the (i, j) shuffle. Catalyst broadcasts
+    the B side when it is small (< autoBroadcastJoinThreshold), which
+    is the dense-block analog of the reference keeping B resident
+    while streaming A. Integer products keep sums order-independent
+    and therefore oracle-exact."""
+    return (
+        a_cells.join(b_cells, "k")
+        .select("i", "j", (F.col("a") * F.col("b")).alias("_p"))
+        .groupBy("i", "j")
+        .agg(F.sum("_p").cast("long").alias("c"))
+    )
+
+
+def row_covariance(cells: DataFrame, n_cols: int) -> DataFrame:
+    """app/pca.cc row-pair covariance (pca_mean::map_function
+    pca.cc:161-178, pca_cov::map_function pca.cc:252-288): rows are
+    the variables; mean_i = (Σₖ m[i][k]) / n_cols with C integer
+    division, and for every upper-triangle pair i ≤ j
+    cov(i,j) = (Σₖ (m[i][k]−mean_i)(m[j][k]−mean_j)) / (n_rows−1),
+    again C integer division.
+
+    ``cells`` holds (i, k, q) with q a NON-NEGATIVE integer (quantize
+    before calling): non-negative row sums make the mean division
+    identical under trunc (C, Spark ``div``) and floor (DuckDB ``//``)
+    semantics. The centered sum expands to exact-integer Gram form
+        dot(i,j) − mean_j·rowsum_i − mean_i·rowsum_j
+        + n_cols·mean_i·mean_j
+    so the plan is one self-join on the column dimension k (the same
+    shuffle-join matmul shape as :func:`matrix_multiply`, computing
+    A·Aᵀ) plus a broadcast of the tiny per-row stats — no per-pair
+    re-scan of the rows, and partial aggregation bounds every buffer.
+    The final signed division replicates C truncation portably as
+    sign(x)·(|x| div (n−1)).
+
+    Output: (row_i, row_j, mean_i, mean_j, cov) for i ≤ j. Inherently
+    O(n_rows²) pairs — the reference app's own semantics; cap the row
+    count upstream (the catalog query does) exactly as the reference
+    caps matrix_len."""
+    rowstats = cells.groupBy(F.col("i").alias("r")).agg(
+        F.sum("q").cast("long").alias("rowsum"),
+        (F.sum("q").cast("long") / F.lit(n_cols))
+        .cast("long")
+        .alias("mean"),
+    )
+    n_rows = rowstats.select(F.count(F.lit(1)).alias("_n"))
+    a = cells.select(F.col("i"), F.col("k"), F.col("q").alias("qa"))
+    b = cells.select(
+        F.col("i").alias("j"), F.col("k"), F.col("q").alias("qb")
+    )
+    gram = (
+        a.join(b, "k")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("long").alias("dot"))
+    )
+    from pyspark.sql.functions import broadcast
+
+    sa = rowstats.select(
+        F.col("r"),
+        F.col("rowsum").alias("rowsum_i"),
+        F.col("mean").alias("mean_i"),
+    )
+    sb = rowstats.select(
+        F.col("r").alias("r2"),
+        F.col("rowsum").alias("rowsum_j"),
+        F.col("mean").alias("mean_j"),
+    )
+    num = (
+        F.col("dot")
+        - F.col("mean_j") * F.col("rowsum_i")
+        - F.col("mean_i") * F.col("rowsum_j")
+        + F.lit(n_cols) * F.col("mean_i") * F.col("mean_j")
+    )
+    denom = F.col("_n") - F.lit(1)
+    cov = (
+        F.signum(num).cast("long")
+        * F.floor(F.abs(num) / denom).cast("long")
+    ).cast("long")
+    return (
+        gram.join(broadcast(sa), gram["i"] == sa["r"])
+        .join(broadcast(sb), gram["j"] == sb["r2"])
+        .crossJoin(broadcast(n_rows))
+        .select(
+            F.col("i").alias("row_i"),
+            F.col("j").alias("row_j"),
+            "mean_i",
+            "mean_j",
+            cov.alias("cov"),
+        )
+    )
+
+
+def kmeans_assign_int(
+    points: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "q",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Integer Lloyd assignment (app/kmeans.cc:166-199 get_sq_dist /
+    find_clusters): nearest centroid by exact integer squared L2,
+    ties to the LOWEST centroid index (the reference's strict-< scan
+    keeps the first minimum). Centroids are literal arrays —
+    constant-folded projection, no join, no shuffle."""
+    v = F.col(vec_col)
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        F.array(*[F.lit(int(x)).cast("long") for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return points.withColumn(out_col, F.array_min(dists)["cell"])
+
+
+def kmeans_step(
+    points: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "q",
+) -> DataFrame:
+    """One integer Lloyd update (app/kmeans.cc:201-232
+    calc_means: new mean = coordinate sum / cluster size, C integer
+    division — exact across engines for non-negative coordinates).
+    Returns (cell, dim, n, mean): per-centroid per-dimension new
+    means. Scale shape: posexplode to (cell, dim, x) then sum — a
+    partial aggregate holds at most k×dim longs, never a cluster's
+    member vectors (same staging as similarity.train_centroids)."""
+    assigned = kmeans_assign_int(points, centroids, vec_col)
+    return (
+        assigned.select(
+            "cell", F.posexplode(F.col(vec_col)).alias("dim", "x")
+        )
+        .groupBy("cell", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("x").cast("long") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("mean"),
+        )
+    )
+
+
+def kmeans_train_int(
+    points: DataFrame,
+    k: int,
+    dim: int,
+    vec_col: str = "q",
+    max_iters: int = 10,
+) -> list[list[int]]:
+    """Full integer Lloyd loop (app/kmeans.cc:268-290 iterates until
+    no mean moves; ``max_iters`` bounds it). Driver traffic per
+    iteration is k×dim longs — the centroids only."""
+    rows = points.select(vec_col).limit(k).collect()
+    cents = [list(r[0]) for r in rows]
+    for _ in range(max_iters):
+        stepped = kmeans_step(points, cents, vec_col).collect()
+        nxt = [list(c) for c in cents]
+        for r in stepped:
+            nxt[r["cell"]][r["dim"]] = r["mean"]
+        if nxt == cents:
+            break
+        cents = nxt
+    return cents

@@ -362,3 +362,83 @@ def test_word_reverse_index_postings(spark):
         for r in apps.word_reverse_index(df, max_postings=1).collect()
     }
     assert capped["a"] == [0] and capped["b"] == [1]
+
+
+def test_matrix_multiply_hand_golden(spark):
+    """2x2 hand case: A=[[1,2],[3,4]], B=[[5,6],[7,8]] ->
+    C=[[19,22],[43,50]]."""
+    from cybersecurity_miw_spark.operators import apps
+
+    a = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 2), (1, 0, 3), (1, 1, 4)], "i long, k long, a long"
+    )
+    b = spark.createDataFrame(
+        [(0, 0, 5), (0, 1, 6), (1, 0, 7), (1, 1, 8)], "k long, j long, b long"
+    )
+    out = {(r["i"], r["j"]): r["c"] for r in apps.matrix_multiply(a, b).collect()}
+    assert out == {(0, 0): 19, (0, 1): 22, (1, 0): 43, (1, 1): 50}
+
+
+def test_row_covariance_hand_golden(spark):
+    """Rows m0=[1,3], m1=[2,6] (n_cols=2, n_rows=2): int means 2 and 4;
+    cov(0,0) = ((1-2)(1-2)+(3-2)(3-2))/1 = 2, cov(0,1) = ((1-2)(2-4)+
+    (3-2)(6-4))/1 = 4, cov(1,1) = 8 (app/pca.cc integer semantics)."""
+    from cybersecurity_miw_spark.operators import apps
+
+    cells = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 3), (1, 0, 2), (1, 1, 6)], "i long, k long, q long"
+    )
+    rows = {
+        (r["row_i"], r["row_j"]): r
+        for r in apps.row_covariance(cells, n_cols=2).collect()
+    }
+    assert set(rows) == {(0, 0), (0, 1), (1, 1)}
+    assert rows[(0, 0)]["mean_i"] == 2 and rows[(1, 1)]["mean_i"] == 4
+    assert rows[(0, 0)]["cov"] == 2
+    assert rows[(0, 1)]["cov"] == 4
+    assert rows[(1, 1)]["cov"] == 8
+
+
+def test_row_covariance_negative_division_parity(spark):
+    """A negative, inexact covariance numerator must divide like C
+    (truncate toward zero, app/pca.cc:283 int division): rows [0,7],
+    [6,0], [3,3] all have integer mean 3; cov(0,1) numerator =
+    (0-3)(6-3) + (7-3)(0-3) = -21 and n_rows-1 = 2, so the result
+    must be trunc(-21/2) = -10 — floor division would give -11."""
+    from cybersecurity_miw_spark.operators import apps
+
+    cells = spark.createDataFrame(
+        [(0, 0, 0), (0, 1, 7), (1, 0, 6), (1, 1, 0), (2, 0, 3), (2, 1, 3)],
+        "i long, k long, q long",
+    )
+    rows = {
+        (r["row_i"], r["row_j"]): r["cov"]
+        for r in apps.row_covariance(cells, n_cols=2).collect()
+    }
+    assert rows[(0, 1)] == -10
+
+
+def test_kmeans_train_int_converges(spark):
+    """Two obvious integer clusters; Lloyd's from the first-2 seeds
+    must land each centroid on its cluster's integer mean."""
+    from cybersecurity_miw_spark.operators import apps
+
+    pts = spark.createDataFrame(
+        [
+            (0, [0, 0]), (1, [2, 0]), (2, [0, 2]),          # cluster at ~(0,0)
+            (3, [100, 100]), (4, [102, 100]), (5, [100, 102]),
+        ],
+        "pid long, q array<long>",
+    )
+    cents = apps.kmeans_train_int(pts, k=2, dim=2, max_iters=10)
+    assert sorted(cents) == [[0, 0], [100, 100]]
+
+
+def test_kmeans_assign_tie_breaks_low_index(spark):
+    """Equidistant point must take the LOWEST centroid index
+    (app/kmeans.cc find_clusters keeps the first strict minimum)."""
+    from cybersecurity_miw_spark.operators import apps
+
+    pts = spark.createDataFrame([(0, [5, 5])], "pid long, q array<long>")
+    out = apps.kmeans_assign_int(pts, [[0, 0], [10, 10]]).collect()
+    assert out[0]["cell"] == 0

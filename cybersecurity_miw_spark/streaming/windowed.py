@@ -84,6 +84,43 @@ def windowed_counts(
     return writer.start()
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup: emit each key's FIRST arrival, drop
+    re-deliveries seen within the watermark delay.
+
+    The streaming twin of ``operators.dedup.exact_*`` for a training
+    pipeline ingesting documents/events continuously — at-least-once
+    upstream delivery (file redeliveries, producer retries) becomes
+    exactly-once rows downstream. ``dropDuplicatesWithinWatermark``
+    keeps per-key state only until the watermark passes, so state is
+    bounded by (keys arriving per watermark window), not by stream
+    lifetime — the property that makes this run forever at 100 TB/day
+    where an unwatermarked ``dropDuplicates`` would grow state without
+    bound."""
+    lines = spark.readStream.format("text").load(input_dir)
+    ev = parse_event_lines(lines)
+    deduped = ev.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # ---- custom stateful operator: per-user running profile ----
 
 _PROFILE_OUTPUT = "user_id long, n_events bigint, value_sum double, value_max double"

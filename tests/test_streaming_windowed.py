@@ -81,3 +81,32 @@ def test_running_user_profile_state_survives_restart(spark, tmp_path):
     # update-mode batch emits only user 7 (the touched key); the sink
     # overwrite keeps the latest batch — user 7's totals include run 1
     assert second[7] == (3, 14.0, 10.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from cybersecurity_miw_spark.streaming.windowed import streaming_dedup
+
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    # event 1 delivered twice in one batch (file redelivery), event 2 once
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:05:00,7,click,1.5\n"
+        "1,2026-01-01T10:05:00,7,click,1.5\n"
+        "2,2026-01-01T10:06:00,8,view,2.0\n"
+    )
+    _await(streaming_dedup(spark, str(indir), ckpt, outdir))
+    rows = spark.read.parquet(outdir).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2]
+
+    # batch 2: event 1 re-delivered again (inside the watermark — state
+    # remembers it via the checkpoint) plus a new event 3
+    (indir / "b.log").write_text(
+        "1,2026-01-01T10:05:00,7,click,1.5\n"
+        "3,2026-01-01T10:07:00,9,click,3.0\n"
+    )
+    _await(streaming_dedup(spark, str(indir), ckpt, outdir))
+    rows = spark.read.parquet(outdir).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]

@@ -700,7 +700,7 @@ SELECT doc_id, array_to_string(sig, '|') AS sig_str FROM sigs
 
 @register("minhash_signatures", _MINHASH_SQL)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     sig = dedup.with_signature(docs, num_hashes=16, shingle_k=3)
     return sig.select(
         "doc_id",
@@ -731,7 +731,7 @@ SELECT id_a, id_b FROM cands
 
 @register("minhash_lsh_candidates", _LSH_SQL)
 def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     return dedup.minhash_lsh_candidates(
         docs, num_hashes=16, bands=4, shingle_k=3
     )
@@ -855,7 +855,7 @@ FROM (
 
 @register("text_profile", _PROFILE_SQL)
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -969,7 +969,7 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.5
 
 @register("embedding_near_dup_pairs", _NEAR_DUP_SQL)
 def q_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     return similarity.cosine_pairs_above(emb, threshold=0.5)
 
 
@@ -988,7 +988,7 @@ WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.5
 
 @register("embedding_near_dup_lsh", _NEAR_DUP_LSH_SQL)
 def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
     return similarity.cosine_near_dup_lsh(emb, threshold=0.5, dim=64, n_planes=4)
 
 

@@ -13,6 +13,8 @@ regardless of the caller's session defaults.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,32 +31,31 @@ TABLES = (
     "embeddings",
 )
 
-# Tables that feed compute-heavy projections (regex profiling,
-# minhash, shingling, cosine folds): there the one-off exchange is
-# repaid many times over by parallelizing the per-row work above it.
-# orders/lineitem deliberately stay out — they only feed columnar
-# scan+agg/join plans where partial aggregation above a narrow scan is
-# already cheaper than shuffling full rows (measured: widening lineitem
-# at sf0.1 took tpch_q1 from 0.54 s to 2.98 s). Dimension tables stay
-# un-widened: they are broadcast sides.
-_WIDE_TABLES = frozenset({"events", "documents", "embeddings"})
+# A widening repartition only pays when the per-row work above it is
+# expensive; "auto" additionally requires the table to be big enough
+# that a single-threaded scan would dominate (measured at sf0.1:
+# widening took minhash_signatures 1.83 s -> 0.93 s but wc_wordcount
+# 0.36 s -> 0.79 s — the query, not the table, knows which side it is
+# on, hence the tri-state below).
+_WIDEN_AUTO_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_WIDEN_MIN_BYTES", str(64 * 1024 * 1024))
+)
 
 
-# memoized parquet row-group counts: repeated query construction over
-# the same table must not re-pay metadata reads
-_ROW_GROUPS: dict[str, int] = {}
+# memoized parquet footer stats: repeated query construction over the
+# same table must not re-pay metadata reads
+_PARQUET_STATS: dict[str, tuple[int, int]] = {}
 
 
-def _parquet_row_groups(path: str) -> int | None:
-    """Total row groups across the parquet file/directory at ``path``
-    (local filesystem only), via footer metadata — no Spark job, no
-    py4j. Returns None when the layout can't be inspected (remote FS,
-    odd extensions); callers then skip the widening decision."""
-    if path in _ROW_GROUPS:
-        return _ROW_GROUPS[path]
+def _parquet_stats(path: str) -> tuple[int, int] | None:
+    """(total row groups, total bytes) for the parquet file/directory
+    at ``path`` (local filesystem only), via footer metadata — no
+    Spark job, no py4j. None when the layout can't be inspected
+    (remote FS, odd extensions); callers then skip the widening
+    decision."""
+    if path in _PARQUET_STATS:
+        return _PARQUET_STATS[path]
     try:
-        import os
-
         import pyarrow.parquet as pq
 
         if os.path.isdir(path):
@@ -66,22 +67,26 @@ def _parquet_row_groups(path: str) -> int | None:
         else:
             files = [path]
         n = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        size = sum(os.path.getsize(f) for f in files)
     except Exception:
         return None
-    _ROW_GROUPS[path] = n
-    return n
+    _PARQUET_STATS[path] = (n, size)
+    return n, size
 
 
 def ensure_parallelism(
-    df: DataFrame, path: str, min_parts: int | None = None
+    df: DataFrame,
+    path: str,
+    min_parts: int | None = None,
+    min_bytes: int = 0,
 ) -> DataFrame:
     """Round-robin repartition IF the scan yields fewer splits than the
-    cluster has cores.
+    cluster has cores (and the input exceeds ``min_bytes``).
 
     Parquet split planning is row-group bound: a single file written as
     one row group scans as ONE task no matter how many cores exist, so
     every expression above it runs single-threaded (the local testdata
-    files are exactly this shape). One cheap exchange of the raw bytes
+    files are exactly this shape). One exchange of the raw bytes
     restores full parallelism for the expensive projections above.
     On a real cluster reading many files/row groups the scan already
     has >= defaultParallelism splits and this is a no-op — the analog
@@ -90,22 +95,41 @@ def ensure_parallelism(
     """
     sc = df.sparkSession.sparkContext
     target = min_parts or sc.defaultParallelism
-    groups = _parquet_row_groups(path)
-    if groups is not None and groups < target:
+    stats = _parquet_stats(path)
+    if stats is not None and stats[0] < target and stats[1] >= min_bytes:
         return df.repartition(target)
     return df
 
 
 def load_table(
-    spark: SparkSession, sf_dir: str, name: str, widen: bool = True
+    spark: SparkSession, sf_dir: str, name: str, widen: bool | None = None
 ) -> DataFrame:
+    """Load a benchmark table.
+
+    ``widen`` controls the under-split protection of
+    :func:`ensure_parallelism`:
+
+    * ``True`` — force when row groups < cores. For callers about to
+      run expensive per-row work (hash families, shingling, vector
+      folds) where a serial scan loses even on small inputs.
+    * ``None`` (auto, default) — widen only when the table ALSO
+      exceeds ``SPARK_GRAFT_WIDEN_MIN_BYTES`` (64 MB): a giant
+      single-row-group file must never serialize a 1000-core cluster,
+      but shuffling a few MB to save a sub-second serial scan is a
+      pure tax.
+    * ``False`` — never (broadcast sides, plain scan+aggs whose
+      partial aggregation is already cheaper than a full-row
+      exchange).
+    """
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         df = load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(path)
-    if widen and name in _WIDE_TABLES:
+    if widen is True:
         df = ensure_parallelism(df, path)
+    elif widen is None:
+        df = ensure_parallelism(df, path, min_bytes=_WIDEN_AUTO_MIN_BYTES)
     return df
 
 

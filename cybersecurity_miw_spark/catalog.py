@@ -1053,7 +1053,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MEDIA_STATS_SQL = """
 SELECT 'image' AS kind,
        count(*) AS n_media,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        CAST((sum(octet_length(encode(text))) * 200 + count(*))
             // (2 * count(*)) AS BIGINT) AS avg_bytes_x100,
        max(octet_length(encode(text))) AS max_bytes
@@ -1325,8 +1325,10 @@ FROM (
            / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS slope
   FROM (
     SELECT count(*) AS n,
-           sum(x) AS sx, sum(y) AS sy,
-           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy,
+           CAST(sum(x * y) AS BIGINT) AS sxy
     FROM (SELECT user_id AS x,
                  CAST(round(value * 100, 0) AS BIGINT) AS y FROM events)
   )
@@ -1363,7 +1365,8 @@ def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WR_SQL = """
 SELECT word,
-       list_sort(list(doc_id * 1048576 + pos)) AS postings,
+       array_to_string(list_sort(list(doc_id * 1048576 + pos)), '|')
+         AS postings,
        CAST(count(*) AS BIGINT) AS n
 FROM (
   SELECT doc_id, unnest(l) AS word, unnest(idx) AS pos
@@ -1380,9 +1383,19 @@ GROUP BY word
 @register("app_word_reverse_index", _WR_SQL)
 def q_word_reverse_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """app/wr.cc equivalent: inverted index word → sorted postings
-    (doc_id·2²⁰ + token position) + occurrence count."""
+    (doc_id·2²⁰ + token position) + occurrence count. The postings
+    array is serialized to a '|'-joined string for the driver's
+    value hash (pandas can't hash list cells) — same technique as
+    agg_union_sorted."""
     docs = load_table(spark, sf_dir, "documents")
-    return apps.word_reverse_index(docs)
+    wr = apps.word_reverse_index(docs)
+    return wr.select(
+        "word",
+        F.array_join(F.col("postings").cast("array<string>"), "|").alias(
+            "postings"
+        ),
+        "n",
+    )
 
 
 @register(

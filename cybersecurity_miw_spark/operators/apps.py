@@ -160,6 +160,95 @@ def matrix_multiply(a_cells: DataFrame, b_cells: DataFrame) -> DataFrame:
     )
 
 
+def matrix_multiply_blocked(
+    a_cells: DataFrame, b_cells: DataFrame, block: int = 8
+) -> DataFrame:
+    """Block-partitioned C = A·B (app/matrix_mult2.cc:84-106 tiles the
+    multiply into ``block_len`` squares so each tile's inner loop stays
+    in L1 and vectorizes; the distributed analog tiles so each shuffled
+    unit is a dense sub-matrix, not a scalar partial product).
+
+    Input/output cell schema matches :func:`matrix_multiply`:
+    ``a_cells`` (i, k, a), ``b_cells`` (k, j, b) → (i, j, c).
+
+    Why this is THE scale path: the cell matmul shuffles one row per
+    partial product — n³ rows to the (i, j) aggregation. Blocking with
+    side L shuffles (1) one row per *block* to the bk-join — n²/L²
+    rows, each carrying L² packed cells — and (2) one row per partial
+    *cell* of a block pair after the block-local multiply — n³/L rows.
+    Every shuffled byte count drops by ~L; at L=32 the 100 TB shuffle
+    shrinks 32x. The block-local L×L×L multiply runs as dense int64
+    numpy (BLAS-style, Arrow-batched) — the same justified-Python
+    pattern as similarity.brute_force_topk_arrow: Spark has no dense
+    sub-matrix product built-in, and per-cell expression trees are
+    exactly the n³ blow-up blocking exists to avoid.
+
+    Missing cells are treated as zero inside a block (dense scatter;
+    at most one input cell per coordinate), so for matrices whose
+    populated cell set is rectangular-dense the result set is
+    identical to the cell path."""
+    import numpy as np
+    import pandas as pd
+
+    lb = F.lit(block)
+
+    def pack(df, row, col, val):
+        # one row per block: parallel pos/val arrays sorted by pos so
+        # the two collect_lists can never disagree on element order
+        pos = (F.col(row) % lb) * lb + (F.col(col) % lb)
+        packed = df.select(
+            (F.col(row) / lb).cast("long").alias("_br"),
+            (F.col(col) / lb).cast("long").alias("_bc"),
+            F.struct(pos.cast("long").alias("pos"),
+                     F.col(val).cast("long").alias("val")).alias("_cell"),
+        )
+        cells = F.array_sort(F.collect_list("_cell"))
+        return (
+            packed.groupBy("_br", "_bc")
+            .agg(cells.alias("_cells"))
+            .select(
+                "_br", "_bc",
+                F.transform("_cells", lambda c: c["pos"]).alias("_pos"),
+                F.transform("_cells", lambda c: c["val"]).alias("_val"),
+            )
+        )
+
+    ablocks = pack(a_cells, "i", "k", "a").withColumnsRenamed(
+        {"_br": "_bi", "_bc": "_bk", "_pos": "_apos", "_val": "_aval"}
+    )
+    bblocks = pack(b_cells, "k", "j", "b").withColumnsRenamed(
+        {"_br": "_bk", "_bc": "_bj", "_pos": "_bpos", "_val": "_bval"}
+    )
+    paired = ablocks.join(bblocks, "_bk")
+
+    def multiply(batches):
+        for pdf in batches:
+            outs = []
+            for bi, bj, apos, aval, bpos, bval in zip(
+                pdf["_bi"], pdf["_bj"],
+                pdf["_apos"], pdf["_aval"], pdf["_bpos"], pdf["_bval"],
+            ):
+                da = np.zeros((block, block), dtype=np.int64)
+                da.flat[np.asarray(apos, dtype=np.int64)] = aval
+                db = np.zeros((block, block), dtype=np.int64)
+                db.flat[np.asarray(bpos, dtype=np.int64)] = bval
+                prod = da @ db
+                # emit the full product block (zeros included): on
+                # rectangular-dense inputs this keeps the output row
+                # set identical to the cell path's join semantics
+                ii, jj = np.indices((block, block))
+                outs.append(pd.DataFrame({
+                    "i": bi * block + ii.ravel(),
+                    "j": bj * block + jj.ravel(),
+                    "_p": prod.ravel(),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    partial = paired.mapInPandas(multiply, "i long, j long, _p long")
+    return partial.groupBy("i", "j").agg(F.sum("_p").cast("long").alias("c"))
+
+
 def row_covariance(cells: DataFrame, n_cols: int) -> DataFrame:
     """app/pca.cc row-pair covariance (pca_mean::map_function
     pca.cc:161-178, pca_cov::map_function pca.cc:252-288): rows are

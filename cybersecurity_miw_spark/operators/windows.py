@@ -16,6 +16,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _epoch_s(c: Column) -> Column:
+    """Epoch seconds for TIMESTAMP or TIMESTAMP_NTZ input (the parquet
+    writer controls which one the scan infers; NTZ forbids a direct
+    long cast). The session timezone is pinned UTC (session.py), so
+    the NTZ→LTZ hop is the identity mapping DuckDB's epoch() uses."""
+    return c.cast("timestamp_ltz").cast("long")
+
+
 def sessionize(
     df: DataFrame,
     key_col: str = "user_id",
@@ -34,7 +42,7 @@ def sessionize(
     is_break = (
         prev_ts.isNull()
         | (
-            F.col(ts_col).cast("long") - prev_ts.cast("long")
+            _epoch_s(F.col(ts_col)) - _epoch_s(prev_ts)
             > gap_minutes * 60
         )
     ).cast("long")
@@ -60,8 +68,8 @@ def session_summary(
     s = sessionize(df, key_col, ts_col, gap_minutes, tiebreak_col)
     return s.groupBy(key_col, "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.col(ts_col).cast("long")).alias("start_s"),
-        F.max(F.col(ts_col).cast("long")).alias("end_s"),
+        F.min(_epoch_s(F.col(ts_col))).alias("start_s"),
+        F.max(_epoch_s(F.col(ts_col))).alias("end_s"),
     )
 
 

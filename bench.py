@@ -66,7 +66,12 @@ def main() -> None:
     # to 10x run-to-run swings on a regex-heavy query while the
     # steady-state time was stable at 1.4 s). The 100 TB question is
     # per-byte steady-state throughput; cold timings are still reported
-    # under "queries_cold" for transparency.
+    # under "queries_cold" for transparency — but they are NOT
+    # comparable across bench records: an isolated A/B (SCALE.md,
+    # "Cold-run numbers") measured the flagship cold at 3.98-4.25 s on
+    # BOTH the current code and the round-2 checkout, while successive
+    # bench records logged 3.7-5.1 s. Only the warmed min-of-2 below is
+    # a property of the plan.
     cold: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

@@ -36,11 +36,15 @@ _STRPTIME_MAP = {
     "%B": "MMMM",
     "%j": "D",
     "%p": "a",
-    # glibc strptime %z takes ±hhmm AND ±hh:mm; Java "xx" alone rejects
-    # the colon form, so try the colon variant first via optional
-    # sections (exactly one must consume the offset for a full match,
-    # since the prefix regex guarantees an offset is present)
-    "%z": "[xxx][xx]",
+    # glibc strptime %z takes Z, ±hh, ±hhmm AND ±hh:mm (verified via
+    # ctypes in tests/test_datetime_glibc_property.py); Java needs an
+    # optional-section chain to accept all four — XXX = ±hh:mm|Z,
+    # XX = ±hhmm|Z, X = ±hh|Z; exactly one consumes the offset since
+    # the prefix regex guarantees one is present. Offsets beyond
+    # ±18:00 (Java ZoneOffset's limit) parse to NULL even though
+    # glibc consumes them — documented divergence, same observable
+    # as a failed parse.
+    "%z": "[XXX][XX][X]",
     "%%": "%",
 }
 
@@ -87,7 +91,16 @@ _STRPTIME_RE_MAP = {
     "%B": r"[A-Za-z]+",
     "%j": r"\d{1,3}",
     "%p": r"[APap][Mm]",
-    "%z": r"[-+]\d{2}:?\d{2}",
+    # exactly glibc's %z consumption (property-tested against libc via
+    # ctypes in tests/test_datetime_glibc_property.py): Z; or sign +
+    # 2-digit hour (glibc does NOT range-check the hour), then minutes
+    # as mm or :mm (<= 59 in both), or nothing. glibc COMMITS rather
+    # than backtracking: a digit right after ±hh commits to the
+    # 4-digit form ("+123" fails, it never re-reads as bare "+12"),
+    # and ":" + digit commits to the colon form ("+00:5" and "+00:60"
+    # fail while "+00:" and "+00:x" fall back to bare ±hh) — hence the
+    # trailing negative lookahead instead of plain alternation.
+    "%z": r"(?:[-+]\d{2}(?:[0-5]\d|:[0-5]\d|(?!\d|:\d))|Z)",
     "%%": "%",
 }
 

@@ -110,3 +110,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _await(streaming_dedup(spark, str(indir), ckpt, outdir))
     rows = spark.read.parquet(outdir).collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_streaming_dedup_redelivery_after_state_expiry(spark, tmp_path):
+    """Second watermark boundary: once the watermark passes an event's
+    ts + delay, its dedup state is evicted — yet a redelivery carrying
+    the original (now-late) event time is STILL suppressed, because
+    the watermark's late-data filter drops it before state lookup.
+    Exactly-once for redeliveries therefore survives state expiry as
+    long as redeliveries keep their source event time; only a
+    redelivery re-stamped with a fresh ts (not the same record) could
+    reappear.
+    """
+    from cybersecurity_miw_spark.streaming.windowed import streaming_dedup
+
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:05:00,7,click,1.5\n"
+        "2,2026-01-01T10:06:00,8,view,2.0\n"
+    )
+    _await(streaming_dedup(spark, str(indir), ckpt, outdir))
+
+    # advance the watermark far past 10:05 + 30min: 13:00 - 30min =
+    # 12:30, so event 1's state is evicted after this batch
+    (indir / "b.log").write_text("5,2026-01-01T13:00:00,7,click,9.0\n")
+    _await(streaming_dedup(spark, str(indir), ckpt, outdir))
+
+    # batch 3: event 1 redelivered post-expiry (ts 10:05 << watermark)
+    # alongside a live event
+    (indir / "c.log").write_text(
+        "1,2026-01-01T10:05:00,7,click,1.5\n"
+        "6,2026-01-01T13:01:00,7,click,1.0\n"
+    )
+    _await(streaming_dedup(spark, str(indir), ckpt, outdir))
+
+    rows = spark.read.parquet(outdir).collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 5, 6]

@@ -145,6 +145,122 @@ def _decode_field(buf: bytes) -> Field:
     return Field(**kw)
 
 
+def _enc_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_tag(tag: int, wt: int) -> bytes:
+    return _enc_varint((tag << 3) | wt)
+
+
+def _enc_str(tag: int, s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _enc_tag(tag, _LEN) + _enc_varint(len(b)) + b
+
+
+def _enc_bool(tag: int, v: bool) -> bytes:
+    return _enc_tag(tag, _VARINT) + _enc_varint(1 if v else 0)
+
+
+def _enc_uint(tag: int, v: int) -> bytes:
+    return _enc_tag(tag, _VARINT) + _enc_varint(v)
+
+
+def _enc_sint(tag: int, v: int) -> bytes:
+    return _enc_tag(tag, _VARINT) + _enc_varint((v << 1) ^ (v >> 63))
+
+
+def _enc_msg(tag: int, payload: bytes) -> bytes:
+    return _enc_tag(tag, _LEN) + _enc_varint(len(payload)) + payload
+
+
+def _encode_match(m: MatchSpec) -> bytes:
+    out = bytearray()
+    if m.match_str is not None:
+        out += _enc_str(1, m.match_str)
+    if m.logic != "or":
+        out += _enc_str(2, m.logic)
+    if m.negative:
+        out += _enc_bool(3, True)
+    if m.match_file:
+        out += _enc_str(4, m.match_file)
+    if m.exact:
+        out += _enc_bool(5, True)
+    return bytes(out)
+
+
+def _encode_field(f: Field) -> bytes:
+    out = bytearray()
+    out += _enc_str(1, f.name)
+    if f.pos != -1:
+        out += _enc_sint(2, f.pos)
+    out += _enc_str(3, f.type)
+    if f.key:
+        out += _enc_bool(4, True)
+    if f.aggregation:
+        out += _enc_bool(5, True)
+        out += _enc_str(6, f.aggregation)
+    if f.processing:
+        out += _enc_str(7, f.processing)
+    if f.preprocessing:
+        out += _enc_str(13, f.preprocessing)
+    if f.date_format != DEFAULT_DATE_FORMAT:
+        out += _enc_str(14, f.date_format)
+    if f.processing_offset != 1:
+        out += _enc_uint(15, f.processing_offset)
+    if f.filter is not None:
+        out += _enc_str(17, f.filter)
+    if f.filter_type is not None:
+        out += _enc_str(18, f.filter_type)
+    if f.url_format != DEFAULT_URL_FORMAT:
+        out += _enc_str(20, f.url_format)
+    if f.match is not None:
+        out += _enc_msg(21, _encode_match(f.match))
+    if f.numerator is not None:
+        out += _enc_str(22, f.numerator)
+    if f.denominator is not None:
+        out += _enc_str(23, f.denominator)
+    return bytes(out)
+
+
+def save_fmt(ldef: LogDef, path: str | Path) -> None:
+    """Compile a LogDef to a binary ``.fmt`` — the write half of the
+    reference's format tooling (``miw/formats/format_json2pb.py:9-19``
+    serializes the same ``logdef`` message, proto schema
+    ``miw/log_definition.proto:33-68``). Non-default scalars are
+    omitted exactly as proto2 omits unset optionals, so
+    ``load_fmt(save_fmt(x)) == x`` field-for-field and a shipped
+    ``.fmt`` re-encodes to a file that decodes identically.
+
+    ``from_kv`` fields (a Spark-side extension with no proto tag) are
+    rejected rather than silently dropped."""
+    out = bytearray()
+    out += _enc_str(1, ldef.format_name)
+    out += _enc_str(2, ldef.delims)
+    for f in ldef.fields:
+        if f.from_kv is not None:
+            raise ValueError(
+                f"field {f.name!r} uses from_kv, which the reference's "
+                ".fmt schema cannot represent — keep such formats in JSON"
+            )
+        out += _enc_msg(3, _encode_field(f))
+    if ldef.appname:
+        out += _enc_str(4, ldef.appname)
+    if ldef.quotechar:
+        out += _enc_str(5, ldef.quotechar)
+    if ldef.commentchar:
+        out += _enc_str(6, ldef.commentchar)
+    Path(path).write_bytes(bytes(out))
+
+
 def load_fmt(path: str | Path) -> LogDef:
     """Decode a compiled binary ``.fmt`` into a validated LogDef —
     byte-for-byte equivalent to loading its JSON sibling."""

@@ -168,3 +168,51 @@ def test_fmt_end_to_end_equals_json(spark):
     b = MiwJob(format=f"{FMT_DIR}/evtx2.json", lines=EVTX2_LINES).result(spark)
     assert a.columns == b.columns
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---- binary .fmt writing (miw/formats/format_json2pb.py:9-19) ----
+
+
+@pytest.mark.parametrize("path", FMT_PATHS, ids=lambda p: p.rsplit("/", 1)[-1])
+def test_fmt_save_load_roundtrip(path, tmp_path):
+    """save_fmt is the write half of the format tooling: every shipped
+    .fmt survives decode → encode → decode with identical fields."""
+    from cybersecurity_miw_spark.plans.fmtproto import save_fmt
+
+    ldef = LogDef.load(path)
+    out = tmp_path / "roundtrip.fmt"
+    save_fmt(ldef, out)
+    assert _clean_dict(LogDef.load(out)) == _clean_dict(ldef)
+
+
+def test_fmt_save_from_json_equals_shipped_decode(tmp_path):
+    """Compiling a JSON format with save_fmt yields a binary that
+    decodes identically to the JSON load — the json2pb workflow."""
+    from cybersecurity_miw_spark.plans.fmtproto import save_fmt
+
+    for path in FMT_PATHS:
+        name = path.rsplit("/", 1)[-1]
+        if name in STALE_FMT:
+            continue  # their JSON sibling no longer matches the binary
+        src = LogDef.load(path[: -len(".fmt")] + ".json")
+        out = tmp_path / name
+        save_fmt(src, out)
+        assert _clean_dict(LogDef.load(out)) == _clean_dict(src), name
+
+
+def test_fmt_save_rejects_from_kv_fields(tmp_path):
+    """from_kv is a Spark-side schema extension with no proto tag; the
+    writer refuses it instead of silently dropping the semantics."""
+    from cybersecurity_miw_spark.plans.fmtproto import save_fmt
+    from cybersecurity_miw_spark.plans.logdef import Field
+
+    ldef = LogDef(
+        format_name="kvtest",
+        delims=",",
+        fields=[
+            Field(name="payload", type="string", preprocessing="evtxcsv"),
+            Field(name="user", from_kv="payload"),
+        ],
+    )
+    with pytest.raises(ValueError, match="from_kv"):
+        save_fmt(ldef, tmp_path / "kv.fmt")

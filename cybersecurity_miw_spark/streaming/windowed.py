@@ -84,6 +84,56 @@ def windowed_counts(
     return writer.start()
 
 
+def streaming_sessions(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Gap-based session aggregation on a live stream — the streaming
+    twin of ``operators.windows.sessionize`` using Spark's built-in
+    ``session_window`` (dynamic-length event-time windows that close
+    when a key goes quiet for ``gap``).
+
+    Append mode: a session row is emitted exactly once, when the
+    watermark passes gap beyond its last event — so downstream sees
+    finalized sessions only, and state per key is bounded by its
+    open session, not stream history. This is the shape a 100 TB/day
+    clickstream sessionizer runs forever: no custom state code, the
+    engine's session-window state store does the merging."""
+    lines = spark.readStream.format("text").load(input_dir)
+    ev = parse_event_lines(lines)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     spark: SparkSession,
     input_dir: str,

@@ -150,3 +150,56 @@ def test_streaming_dedup_redelivery_after_state_expiry(spark, tmp_path):
 
     rows = spark.read.parquet(outdir).collect()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 5, 6]
+
+
+def test_streaming_sessions_gap_close_and_merge(spark, tmp_path):
+    """session_window sessionization: events within the gap merge into
+    one session (even across batches, via the state store); a quiet
+    gap splits sessions; rows emit only once the watermark passes gap
+    beyond the session's last event."""
+    from cybersecurity_miw_spark.streaming.windowed import streaming_sessions
+
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    # user 7: two events 10 min apart (one session); user 8: one event
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:00:00,7,click,1.0\n"
+        "2,2026-01-01T10:10:00,7,click,2.0\n"
+        "3,2026-01-01T10:05:00,8,view,5.0\n"
+    )
+    _await(streaming_sessions(spark, str(indir), ckpt, outdir))
+    try:
+        n0 = len(spark.read.parquet(outdir).collect())
+    except Exception:
+        n0 = 0
+    assert n0 == 0  # watermark hasn't passed any session's end + gap
+
+    # batch 2: user 7 again at 10:20 (merges into the open session —
+    # state-store merge across batches), then far-future events close
+    # everything: watermark 13:00 - 30min = 12:30
+    (indir / "b.log").write_text(
+        "4,2026-01-01T10:20:00,7,click,4.0\n"
+        "5,2026-01-01T13:00:00,9,click,0.5\n"
+    )
+    _await(streaming_sessions(spark, str(indir), ckpt, outdir))
+
+    rows = {
+        (r["user_id"]): (
+            r["session_start"].isoformat(),
+            r["session_end"].isoformat(),
+            r["n_events"],
+            r["value_sum"],
+        )
+        for r in spark.read.parquet(outdir).collect()
+    }
+    # session_end = last event + gap (the window the engine keeps open)
+    assert rows[7] == (
+        "2026-01-01T10:00:00", "2026-01-01T10:50:00", 3, 7.0
+    )
+    assert rows[8] == (
+        "2026-01-01T10:05:00", "2026-01-01T10:35:00", 1, 5.0
+    )
+    assert 9 not in rows  # its session is still open

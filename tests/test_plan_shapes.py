@@ -1,0 +1,68 @@
+"""Plan-shape regression tests: the shuffle structure of the headline
+queries is a deliberate design property (SCALE.md documents why each
+plan has the exchanges it has). A code change that silently adds a
+shuffle — or worse, a cartesian product — to one of these plans is a
+scale regression even when results stay correct, so pin the physical
+plan here the way goldens pin values.
+
+Counts are ceilings measured on the conftest session (local[4],
+sf0.001): AQE may coalesce below them, but exceeding one means a new
+exchange appeared and must be justified (then update the ceiling with
+a SCALE.md note).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cybersecurity_miw_spark.catalog import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
+
+# query -> max allowed Exchange nodes in the executed plan
+MAX_EXCHANGES = {
+    "miw_events_summary": 1,       # one groupBy on the composite key
+    "tokenize_typed_projection": 0,
+    "date_buckets": 0,
+    "match_substring_or": 0,
+    "agg_union_count_histogram": 2,  # pre-agg + rollup (bounded-memory A9)
+    "tpch_q1_pricing_summary": 1,
+    "wc_wordcount": 1,
+    "text_profile": 1,             # forced widening repartition
+    "dedup_exact_groups": 1,
+    "minhash_signatures": 1,       # forced widening repartition
+    "minhash_lsh_candidates": 4,   # widen + band explode agg + self-join sides
+    "simhash_fingerprints": 1,
+    "cosine_brute_topk": 0,        # TakeOrdered, no global sort
+    "ann_lsh_topk": 0,             # bucket filter + TakeOrdered
+    "embedding_near_dup_lsh": 4,
+    "session_summary_30min": 1,    # one hash partition on user_id, window + agg reuse it
+    "topn_events_per_user": 1,
+    "tfidf_top_terms": 5,          # df + tf + join + window rank
+    "app_matrix_mult_blocked": 4,  # two block packs + bk join + (i,j) agg
+    "pairwise_topk_lsh": 2,        # bucket join + per-query window
+}
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(MAX_EXCHANGES))
+def test_no_cartesian_or_nested_loop(spark, name):
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+@pytest.mark.parametrize("name", sorted(MAX_EXCHANGES))
+def test_exchange_count_ceiling(spark, name):
+    plan = _plan(spark, name)
+    n = plan.count("Exchange")
+    assert n <= MAX_EXCHANGES[name], (
+        f"{name}: {n} exchanges (ceiling {MAX_EXCHANGES[name]}) — a new "
+        "shuffle appeared; justify it in SCALE.md before raising this"
+    )

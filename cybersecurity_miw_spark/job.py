@@ -180,7 +180,18 @@ def main(argv: list[str] | None = None) -> None:
         "miwspark", description="format-driven log summarization on Spark"
     )
     ap.add_argument("-fnames", required=True, help="comma-separated log files")
-    ap.add_argument("-format_name", required=True, help="path to format JSON")
+    ap.add_argument(
+        "-format_name",
+        default=None,
+        help="path to format JSON/.fmt (not needed with -compact)",
+    )
+    ap.add_argument(
+        "-compact",
+        action="store_true",
+        help="simple_log_compacter mode (app/simple_log_compacter.cc): "
+        "collapse exact-duplicate lines across the inputs and write "
+        "the survivors — no format needed",
+    )
     ap.add_argument(
         "-output_format",
         default="json",
@@ -251,6 +262,18 @@ def main(argv: list[str] | None = None) -> None:
     )
     if args.quiet:
         spark.sparkContext.setLogLevel("WARN")
+    if args.compact:
+        from cybersecurity_miw_spark.operators.compact import compact_logs
+
+        out = compact_logs(spark, args.fnames)
+        if args.ofname:
+            out.write.mode("overwrite").text(args.ofname)
+        else:
+            for r in out.limit(args.ndisp).collect():
+                print(r[0])
+        return
+    if not args.format_name:
+        ap.error("-format_name is required unless -compact is set")
     job = MiwJob(
         format=args.format_name,
         files=args.fnames,

@@ -38,3 +38,23 @@ def test_compact_lines_is_single_shuffle(spark, tmp_path):
     df = compact_lines(spark.read.text(paths))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_compact_cli_mode(spark, tmp_path, monkeypatch, capsys):
+    """-compact runs the simple_log_compacter workflow through the
+    same CLI entry point as the reference binary."""
+    from cybersecurity_miw_spark import job as job_mod
+
+    paths = write_logs(tmp_path)
+    outdir = str(tmp_path / "out")
+    # reuse the session-scoped spark: the CLI's get_spark resolves to
+    # the same underlying session via getOrCreate
+    job_mod.main(
+        ["-fnames", ",".join(paths), "-compact", "-ofname", outdir]
+    )
+    got = sorted(
+        line
+        for p in (tmp_path / "out").glob("part-*")
+        for line in p.read_text().splitlines()
+    )
+    assert got == ["alpha", "beta", "delta", "gamma"]

@@ -49,9 +49,26 @@ _STRPTIME_MAP = {
 }
 
 
+# directives whose glibc parse skips leading whitespace (get_number
+# does `while isspace`; %z shares the behavior — probed via ctypes in
+# tests/test_datetime_glibc_property.py). %p/%b/%B match strings and
+# do NOT skip.
+_WS_SKIPPING = frozenset(
+    {"%Y", "%y", "%m", "%d", "%H", "%M", "%S", "%j", "%z"}
+)
+
+
 def strptime_to_java(fmt: str) -> str:
     """Convert a strptime pattern to a Java DateTimeFormatter pattern,
-    quoting literal letter runs."""
+    quoting literal letter runs.
+
+    Whitespace tolerance mirrors C strptime: format whitespace matches
+    any amount of input whitespace (including none), and numeric
+    directives skip leading whitespace. parse_date collapses
+    whitespace runs in the carved prefix to a single space, so here a
+    single optional-space section ``[ ]`` at each such position makes
+    the Java parse accept exactly what glibc accepts (syslog's
+    space-padded "Jan  7" being the canonical real-world case)."""
     out: list[str] = []
     i = 0
     while i < len(fmt):
@@ -59,12 +76,21 @@ def strptime_to_java(fmt: str) -> str:
             d = fmt[i : i + 2]
             if d not in _STRPTIME_MAP:
                 raise ValueError(f"unsupported strptime directive {d!r} in {fmt!r}")
+            if d in _WS_SKIPPING and (not out or out[-1] != "[ ]"):
+                out.append("[ ]")
             out.append(_STRPTIME_MAP[d])
             i += 2
+        elif fmt[i].isspace():
+            j = i
+            while j < len(fmt) and fmt[j].isspace():
+                j += 1
+            if not out or out[-1] != "[ ]":
+                out.append("[ ]")
+            i = j
         else:
             # quote any literal that could be a pattern letter
             j = i
-            while j < len(fmt) and fmt[j] != "%":
+            while j < len(fmt) and fmt[j] != "%" and not fmt[j].isspace():
                 j += 1
             lit = fmt[i:j]
             if re.search(r"[A-Za-z']", lit):
@@ -79,17 +105,27 @@ def strptime_to_java(fmt: str) -> str:
 # pattern and IGNORES any trailing text in the input ("11/30/2012
 # 23:05:12" parses fine with "%m/%d/%Y"). Spark's to_timestamp needs a
 # full match, so the matching prefix is extracted first.
+# Numeric fragments encode glibc get_number()'s exact behavior
+# (property-tested against libc): digits are consumed greedily while
+# val*10 <= max (up to the width), then the directive FAILS — no
+# backtracking — if the value is out of [min, max]. So "%H" on "30"
+# consumes just "3" (30>23 blocks the second digit) while "24" fails
+# outright (2 accepts a second digit, 24 > 23). Each alternation
+# lists: full-width in-range values, then shorter reads that glibc's
+# blocking rule permits, with negative lookaheads where a following
+# digit would force a failing wide read.
 _STRPTIME_RE_MAP = {
-    "%Y": r"\d{4}",
-    "%y": r"\d{2}",
-    "%m": r"\d{1,2}",
-    "%d": r"\d{1,2}",
-    "%H": r"\d{1,2}",
-    "%M": r"\d{1,2}",
-    "%S": r"\d{1,2}",
+    "%Y": r"\d{1,4}",
+    "%y": r"\d{1,2}",
+    "%m": r"(?:0[1-9]|1[0-2]|[2-9]|1(?!\d))",
+    "%d": r"(?:0[1-9]|[12]\d|3[01]|[4-9]|[1-3](?!\d))",
+    "%H": r"(?:[01]\d|2[0-3]|[3-9]|[0-2](?!\d))",
+    "%M": r"(?:[0-5]\d|[6-9]|[0-5](?!\d))",
+    "%S": r"(?:[0-5]\d|6[01]|[7-9]|[0-6](?!\d))",
     "%b": r"[A-Za-z]{3}",
     "%B": r"[A-Za-z]+",
-    "%j": r"\d{1,3}",
+    "%j": r"(?:00[1-9]|0[1-9]\d|[12]\d\d|3[0-5]\d|36[0-6]"
+          r"|3[7-9]|[4-9]\d|(?:0[1-9]|[12]\d|3[0-6])(?!\d)|[1-9](?!\d))",
     "%p": r"[APap][Mm]",
     # exactly glibc's %z consumption (property-tested against libc via
     # ctypes in tests/test_datetime_glibc_property.py): Z; or sign +
@@ -105,8 +141,17 @@ _STRPTIME_RE_MAP = {
 }
 
 
+# the C locale's isspace set — deliberately NOT regex \s, which is
+# Unicode-wide in Python and would disagree with both glibc and
+# Java's ASCII \s
+_WS_RE = r"[ \t\n\x0b\f\r]"
+
+
 def strptime_prefix_regex(fmt: str) -> str:
-    """Regex matching exactly the prefix a C strptime(fmt) consumes."""
+    """Regex matching exactly the prefix a C strptime(fmt) consumes:
+    numeric directives and %z skip leading whitespace, format
+    whitespace matches zero-or-more input whitespace, everything else
+    is literal (property-tested against libc via ctypes)."""
     out: list[str] = ["^"]
     i = 0
     while i < len(fmt):
@@ -114,8 +159,13 @@ def strptime_prefix_regex(fmt: str) -> str:
             d = fmt[i : i + 2]
             if d not in _STRPTIME_RE_MAP:
                 raise ValueError(f"unsupported strptime directive {d!r} in {fmt!r}")
+            if d in _WS_SKIPPING:
+                out.append(_WS_RE + "*")
             out.append(_STRPTIME_RE_MAP[d])
             i += 2
+        elif fmt[i].isspace():
+            out.append(_WS_RE + "*")
+            i += 1
         else:
             out.append(re.escape(fmt[i]))
             i += 1
@@ -136,7 +186,13 @@ def parse_date(col: Column, date_format: str) -> Column:
     prefix = F.regexp_extract(
         F.trim(col), strptime_prefix_regex(date_format), 0
     )
-    return F.try_to_timestamp(prefix, F.lit(strptime_to_java(date_format)))
+    # collapse whitespace runs the regex legitimately consumed (format
+    # whitespace / numeric-directive skips) to the single optional
+    # space each "[ ]" section in the Java pattern absorbs
+    normalized = F.trim(F.regexp_replace(prefix, _WS_RE + "+", " "))
+    return F.try_to_timestamp(
+        normalized, F.lit(strptime_to_java(date_format))
+    )
 
 
 def bucket_date(ts: Column, processing: str, offset: int = 1) -> Column:

@@ -150,3 +150,65 @@ def test_spark_parse_of_z_forms(spark):
     for (raw, want), r in zip(rows, got):
         assert re.match(rx, raw), raw
         assert r.epoch == want, (raw, r.epoch, want)
+
+
+# --- whitespace skipping (numeric directives + format whitespace) ---------
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pad1=st.text(alphabet=" \t", max_size=3),
+    pad2=st.text(alphabet=" \t", max_size=3),
+    d=st.integers(1, 31),
+    h=st.integers(0, 23),
+    garbage=st.text(alphabet=" 0123456789abcZ+-:", max_size=5),
+)
+def test_whitespace_skip_matches_glibc(pad1, pad2, d, h, garbage):
+    """Numeric directives skip leading whitespace; format whitespace
+    matches any amount including none (syslog's space-padded day)."""
+    fmt = "%d %H"
+    inp = f"{pad1}{d}{pad2} {h}{garbage}"
+    assert regex_consumed(inp, fmt) == glibc_consumed(inp, fmt)
+
+
+def test_spark_parses_syslog_space_padded_day(spark):
+    """The canonical real-world case: syslog pads day-of-month with a
+    space ("Jan  7"), which C strptime accepts via whitespace skip —
+    the engine must parse it, not null it."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.functions.datetime import parse_date
+
+    fmt = "%b %d %H:%M:%S"
+    rows = [
+        ("Jan  7 05:06:12", "01-07 05:06:12"),
+        ("Jan 17 05:06:12", "01-17 05:06:12"),
+        ("Feb  1 23:59:01", "02-01 23:59:01"),
+    ]
+    df = spark.createDataFrame([(r[0],) for r in rows], ["raw"])
+    got = df.select(
+        F.date_format(
+            parse_date(F.col("raw"), fmt), "MM-dd HH:mm:ss"
+        ).alias("out")
+    ).collect()
+    assert [r.out for r in got] == [want for _, want in rows]
+
+
+# --- numeric directive consumption bounds ---------------------------------
+
+@settings(max_examples=600, deadline=None)
+@given(
+    d=st.sampled_from(["%Y", "%y", "%m", "%d", "%H", "%M", "%S", "%j"]),
+    s=st.one_of(
+        st.integers(0, 9999).map(str),
+        st.integers(0, 99).map(lambda n: f"{n:02d}"),
+        st.integers(0, 999).map(lambda n: f"{n:03d}"),
+        st.text(alphabet="0123456789", min_size=0, max_size=5),
+    ),
+    suffix=st.text(alphabet="x 0123456789", max_size=3),
+)
+def test_numeric_consumption_matches_glibc(d, s, suffix):
+    """glibc get_number: greedy digits while val*10 <= max (up to the
+    width), then hard fail when out of range — '%H' on '30' consumes
+    '3', on '24' fails entirely. The regex encodes exactly this."""
+    inp = s + suffix
+    assert regex_consumed(inp, d) == glibc_consumed(inp, d), (d, inp)

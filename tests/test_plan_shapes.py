@@ -33,11 +33,17 @@ MAX_EXCHANGES = {
     "text_profile": 1,             # forced widening repartition
     "dedup_exact_groups": 1,
     "minhash_signatures": 1,       # forced widening repartition
-    "minhash_lsh_candidates": 4,   # widen + band explode agg + self-join sides
+    # the two LSH self-joins persist their build-side projection; the
+    # join planner picks broadcast (4 exchanges) from file-size stats
+    # on a fresh session but a shuffle join (6) once cache statistics
+    # exist from an earlier materialization in the same session — both
+    # forms are skew-free on the uniform band/bucket hash, so the
+    # ceiling admits the shuffle form
+    "minhash_lsh_candidates": 6,   # widen + band explode agg + self-join sides
     "simhash_fingerprints": 1,
     "cosine_brute_topk": 0,        # TakeOrdered, no global sort
     "ann_lsh_topk": 0,             # bucket filter + TakeOrdered
-    "embedding_near_dup_lsh": 4,
+    "embedding_near_dup_lsh": 6,
     "session_summary_30min": 1,    # one hash partition on user_id, window + agg reuse it
     "topn_events_per_user": 1,
     "tfidf_top_terms": 5,          # df + tf + join + window rank

@@ -1000,6 +1000,80 @@ def q_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(emb, list(qvec), dim=64, k=10, n_planes=8)
 
 
+# PQ ADC top-k: integer-exact product quantization with md5-derived
+# codebook literals injected into BOTH engines (trained codebooks are
+# data-dependent and golden-tested separately — same split as IVF).
+
+
+def _pq_sql(dim: int = 64, m: int = 4, k: int = 8) -> str:
+    books = similarity.static_pq_codebooks(dim, m, k)
+    sub = dim // m
+    subs = ",\n         ".join(
+        f"iv[{s * sub + 1}:{(s + 1) * sub}] AS sub{s}" for s in range(m)
+    )
+    dist_exprs = []
+    for s in range(m):
+        cblist = (
+            "[" + ", ".join(
+                "[" + ", ".join(str(c) for c in books[s][j]) + "]"
+                for j in range(k)
+            ) + "]"
+        )
+        dlist = (
+            "[" + ", ".join(
+                "list_sum(list_transform(list_zip(sub{s}, {cj}), "
+                "z -> (z[1]-z[2])*(z[1]-z[2])))".format(
+                    s=s, cj="[" + ", ".join(str(c) for c in books[s][j]) + "]"
+                )
+                for j in range(k)
+            ) + "]"
+        )
+        # code = first argmin (1-based); q-side distance to that entry
+        dist_exprs.append(
+            "list_sum(list_transform(list_zip("
+            f"qsub{s}, {cblist}[list_position({dlist}, list_min({dlist}))]"
+            "), z -> (z[1]-z[2])*(z[1]-z[2])))"
+        )
+    qsubs = ",\n         ".join(
+        f"iv[{s * sub + 1}:{(s + 1) * sub}] AS qsub{s}" for s in range(m)
+    )
+    total = " + ".join(dist_exprs)
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000) AS BIGINT)) AS iv
+  FROM embeddings
+),
+rows_sub AS (
+  SELECT vec_id,
+         {subs}
+  FROM base
+),
+q AS (
+  SELECT {qsubs}
+  FROM base WHERE vec_id = 0
+)
+SELECT vec_id, CAST({total} AS BIGINT) AS pq_dist
+FROM rows_sub, q
+ORDER BY pq_dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+@register("ann_pq_adc_topk", _pq_sql())
+def q_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k (operators/similarity.py
+    pq_encode/pq_adc_topk): vectors compress to m=4 one-byte codes
+    against md5-literal integer codebooks; the scan ranks rows by
+    Σ_s LUT[s][code_s]. Integer-exact end to end, so the oracle
+    recomputes codes AND distances bit-identically."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    books = similarity.static_pq_codebooks(64, 4, 8)
+    return similarity.pq_adc_topk(emb, books, list(qvec), k=10)
+
+
 # embedding-cosine near-duplicate pairs: exact baseline AND the
 # LSH-bucketed scale path are oracle-checked (shared md5-literal
 # hyperplanes); IVF ANN stays rows-only (iterative k-means centroids

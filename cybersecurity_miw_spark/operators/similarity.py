@@ -21,6 +21,7 @@ Two paths:
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -480,3 +481,180 @@ def pairwise_topk_lsh(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+# ---- product quantization (PQ): codebooks + asymmetric-distance scan ----
+#
+# The compression step AFTER int8 for a 100 TB embedding corpus: a
+# dim-64 float64 vector (512 B) becomes m one-byte codes (m=4 here →
+# 4 B, 128x). Jégou et al., "Product Quantization for Nearest
+# Neighbor Search" (TPAMI 2011) — public method. Everything is
+# integer-exact: vectors quantize to ints (floor(x*scale), the
+# repo's standard oracle-stable trick), codebook entries are ints,
+# so encode argmins and ADC sums are bit-identical across engines.
+
+PQ_SCALE = 1000
+
+
+def pq_codebook_value(s: int, j: int, d: int) -> int:
+    """Deterministic pseudo-random codebook component in [-500, 500):
+    md5("pq:{s}:{j}:{d}") — driver-computed literal, reproducible by
+    the SQL oracle (same pattern as plane_component_value)."""
+    h = int(hashlib.md5(f"pq:{s}:{j}:{d}".encode()).hexdigest()[:15], 16)
+    return h % 1000 - 500
+
+
+def static_pq_codebooks(dim: int, m: int, k: int) -> list[list[list[int]]]:
+    """codebooks[s][j] = integer centroid for subspace s, code j."""
+    sub = dim // m
+    return [
+        [[pq_codebook_value(s, j, d) for d in range(sub)] for j in range(k)]
+        for s in range(m)
+    ]
+
+
+def int_vec(col: Column, scale: int = PQ_SCALE) -> Column:
+    """floor(x*scale) integer quantization (array<long>) — the exact
+    arithmetic domain shared with the DuckDB oracle."""
+    return F.transform(
+        col.cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+    )
+
+
+def _sub_l2_int(sub: Column, centroid: list[int]) -> Column:
+    carr = F.array(*[F.lit(int(c)).cast("long") for c in centroid])
+    return F.aggregate(
+        F.zip_with(sub, carr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Assign each subvector its nearest codebook entry (integer L2,
+    first-index tie-break — array_min over (dist, j) structs). Narrow
+    projection: no shuffle, no Python; codebook entries are constant-
+    folded literals."""
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    iv = int_vec(F.col(vec_col), scale)
+    codes = []
+    for s in range(m):
+        sub = F.slice(iv, s * sub_dim + 1, sub_dim)
+        dists = F.array(
+            *[
+                F.struct(
+                    _sub_l2_int(sub, codebooks[s][j]).alias("d"),
+                    F.lit(j).alias("j"),
+                )
+                for j in range(len(codebooks[s]))
+            ]
+        )
+        codes.append(F.array_min(dists)["j"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays exact (integer-
+    quantized), each row's distance is the sum of m lookup-table
+    entries selected by its PQ codes — Σ_s LUT[s][code_s] with
+    LUT[s][j] = ||q_sub_s − c_sj||² precomputed driver-side. The scan
+    reads only the code column (4 B/row at m=4): at 100 TB this is
+    the difference between scanning codes and scanning vectors.
+    TakeOrdered(k) — no global sort."""
+    m = len(codebooks)
+    q = [int(math.floor(x * scale)) for x in query_vec]
+    sub_dim = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (q[s * sub_dim + d] - codebooks[s][j][d]) ** 2
+                for d in range(sub_dim)
+            )
+            for j in range(len(codebooks[s]))
+        ]
+        for s in range(m)
+    ]
+    enc = pq_encode(df, codebooks, vec_col, scale=scale)
+    dist = F.lit(0).cast("long")
+    for s in range(m):
+        lut_arr = F.array(*[F.lit(int(v)).cast("long") for v in lut[s]])
+        dist = dist + F.element_at(
+            lut_arr, F.col("pq_code")[s].cast("int") + 1
+        )
+    return (
+        enc.select(id_col, dist.alias("pq_dist"))
+        .orderBy(F.asc("pq_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = PQ_SCALE,
+) -> list[list[list[int]]]:
+    """Lloyd's k-means per subspace over integer-quantized vectors:
+    deterministic init (first k rows by id), assignment via
+    :func:`pq_encode` with the current codebooks, centroid update as
+    integer mean (Python floor-div on driver-collected sums — only
+    m×k×sub_dim ints cross the driver boundary per iteration, the
+    same bounded-state shape as train_centroids)."""
+    sub_dim = dim // m
+    first = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(int_vec(F.col(vec_col), scale).alias("iv"))
+        .collect()
+    )
+    books = [
+        [
+            [int(r["iv"][s * sub_dim + d]) for d in range(sub_dim)]
+            for r in first
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        enc = pq_encode(df, books, vec_col, scale=scale)
+        sums = (
+            enc.select(
+                F.posexplode(int_vec(F.col(vec_col), scale)).alias(
+                    "_dim", "_x"
+                ),
+                "pq_code",
+            )
+            .withColumn("_s", (F.col("_dim") / sub_dim).cast("int"))
+            .withColumn("_code", F.col("pq_code")[F.col("_s")])
+            .groupBy("_s", "_code", "_dim")
+            .agg(F.sum("_x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], list[int]] = {}
+        for r in sums:
+            key = (r["_s"], r["_code"])
+            vec = acc.setdefault(key, [None] * sub_dim)
+            vec[r["_dim"] - r["_s"] * sub_dim] = int(r["sx"]) // int(r["n"])
+        for (s, j), vec in acc.items():
+            if all(v is not None for v in vec):
+                books[s][j] = vec
+    return books

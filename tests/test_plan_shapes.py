@@ -49,6 +49,7 @@ MAX_EXCHANGES = {
     "tfidf_top_terms": 5,          # df + tf + join + window rank
     "app_matrix_mult_blocked": 4,  # two block packs + bk join + (i,j) agg
     "pairwise_topk_lsh": 2,        # bucket join + per-query window
+    "ann_pq_adc_topk": 0,          # narrow encode + LUT adds + TakeOrdered
 }
 
 

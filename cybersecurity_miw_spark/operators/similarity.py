@@ -577,10 +577,52 @@ def pq_adc_topk(
     reads only the code column (4 B/row at m=4): at 100 TB this is
     the difference between scanning codes and scanning vectors.
     TakeOrdered(k) — no global sort."""
+    lut = pq_query_lut(codebooks, query_vec, scale)
+    enc = pq_encode(df, codebooks, vec_col, scale=scale)
+    return pq_adc_topk_codes(enc, lut, k, id_col)
+
+
+def pq_adc_topk_codes(
+    codes_df: DataFrame,
+    lut: list[list[int]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """ADC scan over PRE-ENCODED codes — the per-query hot path at
+    scale. Encoding is a one-time write-side projection (store
+    ``pq_code`` next to or instead of the vector); each query then
+    reads only the m-byte code column and ranks by m lookup-table
+    adds. At bench scale (2k vectors) both this and the exact fold are
+    scheduling-bound (~0.2 s each, measured); the advantage is
+    structural and appears with corpus size: 128x fewer bytes scanned
+    and m integer adds per row instead of a dim-length float fold,
+    while the one-time encode cost amortizes to zero across queries."""
+    m = len(lut)
+    dist = F.lit(0).cast("long")
+    for s in range(m):
+        lut_arr = F.array(*[F.lit(int(v)).cast("long") for v in lut[s]])
+        dist = dist + F.element_at(
+            lut_arr, F.col(code_col)[s].cast("int") + 1
+        )
+    return (
+        codes_df.select(id_col, dist.alias("pq_dist"))
+        .orderBy(F.asc("pq_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_query_lut(
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    scale: int = PQ_SCALE,
+) -> list[list[int]]:
+    """LUT[s][j] = ||q_sub_s - c_sj||^2 in the shared integer domain
+    (driver-side, m*k ints)."""
     m = len(codebooks)
-    q = [int(math.floor(x * scale)) for x in query_vec]
     sub_dim = len(codebooks[0][0])
-    lut = [
+    q = [int(math.floor(x * scale)) for x in query_vec]
+    return [
         [
             sum(
                 (q[s * sub_dim + d] - codebooks[s][j][d]) ** 2
@@ -590,18 +632,6 @@ def pq_adc_topk(
         ]
         for s in range(m)
     ]
-    enc = pq_encode(df, codebooks, vec_col, scale=scale)
-    dist = F.lit(0).cast("long")
-    for s in range(m):
-        lut_arr = F.array(*[F.lit(int(v)).cast("long") for v in lut[s]])
-        dist = dist + F.element_at(
-            lut_arr, F.col("pq_code")[s].cast("int") + 1
-        )
-    return (
-        enc.select(id_col, dist.alias("pq_dist"))
-        .orderBy(F.asc("pq_dist"), F.asc(id_col))
-        .limit(k)
-    )
 
 
 def train_pq_codebooks(

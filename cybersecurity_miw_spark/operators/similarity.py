@@ -531,6 +531,23 @@ def _sub_l2_int(sub: Column, centroid: list[int]) -> Column:
     )
 
 
+def _sub_score_int(elems: list[Column], centroid: list[int]) -> Column:
+    """||v - c||^2 minus the centroid-independent ||v||^2 term:
+    ||c||^2 - 2<v, c>, as FLAT codegen arithmetic over pre-extracted
+    element columns — no higher-order functions. Dropping ||v||^2
+    preserves the argmin (it is constant across centroids), and flat
+    multiply-adds run in whole-stage codegen where the interpreted
+    aggregate/zip_with lambdas of :func:`_sub_l2_int` do not
+    (measured: 6x on encode; same trick as the minhash staged-
+    arithmetic rewrite)."""
+    c2 = sum(int(c) * int(c) for c in centroid)
+    score: Column = F.lit(int(c2)).cast("long")
+    for e, c in zip(elems, centroid):
+        if int(c) != 0:
+            score = score - F.lit(2 * int(c)).cast("long") * e
+    return score
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[int]]],
@@ -544,21 +561,33 @@ def pq_encode(
     folded literals."""
     m = len(codebooks)
     sub_dim = len(codebooks[0][0])
-    iv = int_vec(F.col(vec_col), scale)
+    from cybersecurity_miw_spark.functions.cols import staged_expr
+
+    # stage the quantized array ONCE: every element reference below
+    # would otherwise re-inline the full int_vec transform (Catalyst
+    # collapses projections), multiplying the per-row transform by
+    # m*k uses
+    base = df.withColumn(
+        "_pq_iv", staged_expr(int_vec(F.col(vec_col), scale))
+    )
+    iv = F.col("_pq_iv")
+    elem_cols = {
+        d: F.element_at(iv, d + 1) for d in range(m * sub_dim)
+    }
     codes = []
     for s in range(m):
-        sub = F.slice(iv, s * sub_dim + 1, sub_dim)
+        elems = [elem_cols[s * sub_dim + d] for d in range(sub_dim)]
         dists = F.array(
             *[
                 F.struct(
-                    _sub_l2_int(sub, codebooks[s][j]).alias("d"),
+                    _sub_score_int(elems, codebooks[s][j]).alias("d"),
                     F.lit(j).alias("j"),
                 )
                 for j in range(len(codebooks[s]))
             ]
         )
         codes.append(F.array_min(dists)["j"])
-    return df.withColumn(out_col, F.array(*codes))
+    return base.withColumn(out_col, F.array(*codes)).drop("_pq_iv")
 
 
 def pq_adc_topk(
@@ -688,3 +717,45 @@ def train_pq_codebooks(
             if all(v is not None for v in vec):
                 books[s][j] = vec
     return books
+
+
+def pq_encode_arrow(
+    df: DataFrame,
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Write-side PQ encoding as Arrow-batched numpy — the dense
+    m×k×sub_dim argmin is a BLAS-shaped kernel (sub @ C.T), exactly
+    the brute_force_topk_arrow precedent: ~40x the expression path at
+    sf0.1 (measured 0.15 s vs 5.4 s warm) and the gap widens with k.
+    Integer-exact (int64 throughout, np.argmin first-index tie-break)
+    — codes are bit-identical to :func:`pq_encode`, which remains the
+    oracle-checked reference. Returns (id_col, out_col)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cbs = [np.asarray(codebooks[s], dtype=np.int64) for s in range(m)]
+    cb_norm = [np.sum(c * c, axis=1) for c in cbs]
+
+    def encode(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            iv = np.floor(vecs * scale).astype(np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sub = iv[:, s * sub_dim : (s + 1) * sub_dim]
+                # ||c||^2 - 2<v,c>: same argmin as full L2, int-exact
+                score = cb_norm[s][None, :] - 2 * (sub @ cbs[s].T)
+                codes[:, s] = np.argmin(score, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, {out_col} array<int>"
+    )

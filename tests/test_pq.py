@@ -80,3 +80,22 @@ def test_training_reduces_distortion_and_is_deterministic(spark):
     assert d_trained < d_static  # k-means beats arbitrary md5 codebooks
     # bounded driver state: the codebooks themselves are tiny
     assert len(trained) == M and all(len(b) == K for b in trained)
+
+
+def test_arrow_encode_identical_to_expression_encode(spark):
+    """The numpy write-side encoder must produce bit-identical codes
+    to the oracle-checked expression path (same integer domain, same
+    first-index tie-break)."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 300)
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    expr_codes = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in similarity.pq_encode(emb, books)
+        .select("vec_id", "pq_code")
+        .collect()
+    }
+    arrow_codes = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in similarity.pq_encode_arrow(emb, books).collect()
+    }
+    assert arrow_codes == expr_codes and len(arrow_codes) == 300

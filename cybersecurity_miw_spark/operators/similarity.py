@@ -759,3 +759,50 @@ def pq_encode_arrow(
     return df.select(id_col, vec_col).mapInPandas(
         encode, f"{id_col} long, {out_col} array<int>"
     )
+
+
+def ivf_pq_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Write-side IVF+PQ index build (the FAISS IVFPQ layout as a
+    DataFrame): one row per vector with its coarse cell and PQ codes —
+    (id, _cell, pq_code), ~5 B/vector at m=4. Written partitioned by
+    `_cell`, a probe-limited query becomes a partition-pruned scan of
+    code bytes. Encoding runs the Arrow path; cell assignment is the
+    literal-centroid expression (no join)."""
+    assigned = ivf_assign(df, centroids, vec_col).select(id_col, "_cell", vec_col)
+    codes = pq_encode_arrow(df, codebooks, vec_col, id_col, scale=scale)
+    return assigned.drop(vec_col).join(codes, id_col)
+
+
+def ivf_pq_topk(
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probes: int = 1,
+    id_col: str = "vec_id",
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Query an :func:`ivf_pq_index`: pick the ``n_probes`` nearest
+    cells driver-side, filter the index to those cells (partition
+    pruning when the index is written partitioned by _cell), then rank
+    the shortlist by the m lookup-table adds of ADC. The standard
+    two-level ANN: probes trade recall for cells scanned, PQ makes
+    each scanned row m bytes."""
+    q = [float(v) for v in query_vec]
+    d2 = sorted(
+        (sum((a - b) ** 2 for a, b in zip(q, c)), i)
+        for i, c in enumerate(centroids)
+    )
+    cells = [i for _, i in d2[: max(1, n_probes)]]
+    lut = pq_query_lut(codebooks, query_vec, scale)
+    return pq_adc_topk_codes(
+        index_df.filter(F.col("_cell").isin(cells)), lut, k, id_col
+    )

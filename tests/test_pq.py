@@ -99,3 +99,30 @@ def test_arrow_encode_identical_to_expression_encode(spark):
         for r in similarity.pq_encode_arrow(emb, books).collect()
     }
     assert arrow_codes == expr_codes and len(arrow_codes) == 300
+
+
+def test_ivf_pq_pipeline(spark):
+    """IVF+PQ composition: all-cells probing must equal the plain ADC
+    ranking (IVF only prunes); fewer probes scan a subset."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 300)
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    cents = similarity.train_centroids(emb, n_cells=4, dim=DIM, iters=1)
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    index = similarity.ivf_pq_index(emb, cents, books).persist()
+    full = similarity.pq_adc_topk(emb, books, qvec, k=10).collect()
+    all_probes = similarity.ivf_pq_topk(
+        index, cents, books, qvec, k=10, n_probes=4
+    ).collect()
+    assert [(r["vec_id"], r["pq_dist"]) for r in all_probes] == [
+        (r["vec_id"], r["pq_dist"]) for r in full
+    ]
+    one_probe = similarity.ivf_pq_topk(
+        index, cents, books, qvec, k=10, n_probes=1
+    ).collect()
+    assert 0 < len(one_probe) <= 10
+    # one-probe results are a subset of the index, ranked consistently
+    dists = [r["pq_dist"] for r in one_probe]
+    assert dists == sorted(dists)
+    index.unpersist()

@@ -237,3 +237,33 @@ def running_user_profile(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def enriched_stream(
+    spark: SparkSession,
+    input_dir: str,
+    dim_df: DataFrame,
+    checkpoint_dir: str,
+    output_dir: str,
+    on: str = "user_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream-static enrichment: join each micro-batch of events
+    against a static dimension table (user attributes, threat-intel
+    indicators). Spark plans the static side as a broadcast per
+    micro-batch when it is small — the streaming analog of the batch
+    dimension join, with no state store involvement (the static side
+    is re-read per batch, so a refreshed dim parquet is picked up on
+    the next trigger)."""
+    lines = spark.readStream.format("text").load(input_dir)
+    ev = parse_event_lines(lines)
+    joined = ev.join(dim_df, on, "left")
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -203,3 +203,39 @@ def test_streaming_sessions_gap_close_and_merge(spark, tmp_path):
         "2026-01-01T10:05:00", "2026-01-01T10:35:00", 1, 5.0
     )
     assert 9 not in rows  # its session is still open
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Each micro-batch joins against the static dimension; unmatched
+    keys survive with nulls (left join), and a dim refresh between
+    runs is visible to the next trigger."""
+    from cybersecurity_miw_spark.streaming.windowed import enriched_stream
+
+    indir = tmp_path / "in"
+    dimdir = str(tmp_path / "dim")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    spark.createDataFrame(
+        [(7, "analyst"), (8, "admin")], ["user_id", "role"]
+    ).write.parquet(dimdir)
+
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:00:00,7,click,1.0\n"
+        "2,2026-01-01T10:01:00,9,view,2.0\n"
+    )
+    dim = spark.read.parquet(dimdir)
+    _await(enriched_stream(spark, str(indir), dim, ckpt, outdir))
+    rows = {r["event_id"]: r["role"] for r in spark.read.parquet(outdir).collect()}
+    assert rows == {1: "analyst", 2: None}
+
+    # refresh the dim (user 9 appears), new batch picks it up
+    spark.createDataFrame(
+        [(7, "analyst"), (9, "guest")], ["user_id", "role"]
+    ).write.mode("overwrite").parquet(dimdir)
+    (indir / "b.log").write_text("3,2026-01-01T10:02:00,9,view,3.0\n")
+    dim2 = spark.read.parquet(dimdir)
+    _await(enriched_stream(spark, str(indir), dim2, ckpt, outdir))
+    rows = {r["event_id"]: r["role"] for r in spark.read.parquet(outdir).collect()}
+    assert rows == {1: "analyst", 2: None, 3: "guest"}

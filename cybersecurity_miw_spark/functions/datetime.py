@@ -114,17 +114,24 @@ def strptime_to_java(fmt: str) -> str:
 # lists: full-width in-range values, then shorter reads that glibc's
 # blocking rule permits, with negative lookaheads where a following
 # digit would force a failing wide read.
+# every numeric fragment is an ATOMIC group (?>...): glibc get_number
+# commits to what it consumed — "%Y%m" on "2013" fails outright (the
+# year takes all four digits, the month finds none) rather than
+# backtracking the year to "201" the way a plain regex alternation
+# would. Atomic groups are supported by both engines that run these
+# patterns (Python 3.11 re for the property tests, Java regex inside
+# regexp_extract); no DuckDB oracle embeds them.
 _STRPTIME_RE_MAP = {
-    "%Y": r"\d{1,4}",
-    "%y": r"\d{1,2}",
-    "%m": r"(?:0[1-9]|1[0-2]|[2-9]|1(?!\d))",
-    "%d": r"(?:0[1-9]|[12]\d|3[01]|[4-9]|[1-3](?!\d))",
-    "%H": r"(?:[01]\d|2[0-3]|[3-9]|[0-2](?!\d))",
-    "%M": r"(?:[0-5]\d|[6-9]|[0-5](?!\d))",
-    "%S": r"(?:[0-5]\d|6[01]|[7-9]|[0-6](?!\d))",
+    "%Y": r"(?>\d{1,4})",
+    "%y": r"(?>\d{1,2})",
+    "%m": r"(?>0[1-9]|1[0-2]|[2-9]|1(?!\d))",
+    "%d": r"(?>0[1-9]|[12]\d|3[01]|[4-9]|[1-3](?!\d))",
+    "%H": r"(?>[01]\d|2[0-3]|[3-9]|[0-2](?!\d))",
+    "%M": r"(?>[0-5]\d|[6-9]|[0-5](?!\d))",
+    "%S": r"(?>[0-5]\d|6[01]|[7-9]|[0-6](?!\d))",
     "%b": r"[A-Za-z]{3}",
-    "%B": r"[A-Za-z]+",
-    "%j": r"(?:00[1-9]|0[1-9]\d|[12]\d\d|3[0-5]\d|36[0-6]"
+    "%B": r"(?>[A-Za-z]+)",
+    "%j": r"(?>00[1-9]|0[1-9]\d|[12]\d\d|3[0-5]\d|36[0-6]"
           r"|3[7-9]|[4-9]\d|(?:0[1-9]|[12]\d|3[0-6])(?!\d)|[1-9](?!\d))",
     "%p": r"[APap][Mm]",
     # exactly glibc's %z consumption (property-tested against libc via
@@ -136,7 +143,7 @@ _STRPTIME_RE_MAP = {
     # and ":" + digit commits to the colon form ("+00:5" and "+00:60"
     # fail while "+00:" and "+00:x" fall back to bare ±hh) — hence the
     # trailing negative lookahead instead of plain alternation.
-    "%z": r"(?:[-+]\d{2}(?:[0-5]\d|:[0-5]\d|(?!\d|:\d))|Z)",
+    "%z": r"(?>[-+]\d{2}(?>[0-5]\d|:[0-5]\d|(?!\d|:\d))|Z)",
     "%%": "%",
 }
 

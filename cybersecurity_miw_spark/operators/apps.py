@@ -184,9 +184,11 @@ def matrix_multiply_blocked(
     exactly the n³ blow-up blocking exists to avoid.
 
     Missing cells are treated as zero inside a block (dense scatter;
-    at most one input cell per coordinate), so for matrices whose
-    populated cell set is rectangular-dense the result set is
-    identical to the cell path."""
+    duplicate coordinates accumulate, matching the cell path's join
+    semantics), so for matrices whose populated cell set is
+    rectangular-dense the result set is identical to the cell path.
+    Negative coordinates are supported via floor-div/pmod block
+    addressing."""
     import numpy as np
     import pandas as pd
 
@@ -194,11 +196,15 @@ def matrix_multiply_blocked(
 
     def pack(df, row, col, val):
         # one row per block: parallel pos/val arrays sorted by pos so
-        # the two collect_lists can never disagree on element order
-        pos = (F.col(row) % lb) * lb + (F.col(col) % lb)
+        # the two collect_lists can never disagree on element order.
+        # floor-div + pmod keep negative coordinates consistent
+        # (i == _br*L + i_loc for ANY sign; a plain cast-divide
+        # truncates toward zero and pairs with a sign-carrying %,
+        # scattering negative cells into the wrong block slot)
+        pos = F.pmod(F.col(row), lb) * lb + F.pmod(F.col(col), lb)
         packed = df.select(
-            (F.col(row) / lb).cast("long").alias("_br"),
-            (F.col(col) / lb).cast("long").alias("_bc"),
+            F.floor(F.col(row) / lb).cast("long").alias("_br"),
+            F.floor(F.col(col) / lb).cast("long").alias("_bc"),
             F.struct(pos.cast("long").alias("pos"),
                      F.col(val).cast("long").alias("val")).alias("_cell"),
         )
@@ -229,9 +235,20 @@ def matrix_multiply_blocked(
                 pdf["_apos"], pdf["_aval"], pdf["_bpos"], pdf["_bval"],
             ):
                 da = np.zeros((block, block), dtype=np.int64)
-                da.flat[np.asarray(apos, dtype=np.int64)] = aval
+                # add.at accumulates duplicate coordinates, matching
+                # the cell path where a join over duplicated (i, k)
+                # rows sums their partial products
+                np.add.at(
+                    da.reshape(-1),
+                    np.asarray(apos, dtype=np.int64),
+                    np.asarray(aval, dtype=np.int64),
+                )
                 db = np.zeros((block, block), dtype=np.int64)
-                db.flat[np.asarray(bpos, dtype=np.int64)] = bval
+                np.add.at(
+                    db.reshape(-1),
+                    np.asarray(bpos, dtype=np.int64),
+                    np.asarray(bval, dtype=np.int64),
+                )
                 prod = da @ db
                 # emit the full product block (zeros included): on
                 # rectangular-dense inputs this keeps the output row

@@ -773,11 +773,44 @@ def ivf_pq_index(
     DataFrame): one row per vector with its coarse cell and PQ codes —
     (id, _cell, pq_code), ~5 B/vector at m=4. Written partitioned by
     `_cell`, a probe-limited query becomes a partition-pruned scan of
-    code bytes. Encoding runs the Arrow path; cell assignment is the
-    literal-centroid expression (no join)."""
-    assigned = ivf_assign(df, centroids, vec_col).select(id_col, "_cell", vec_col)
-    codes = pq_encode_arrow(df, codebooks, vec_col, id_col, scale=scale)
-    return assigned.drop(vec_col).join(codes, id_col)
+    code bytes.
+
+    Single pass: the coarse-cell argmin (float L2 against the
+    driver-side centroid list) and the PQ encode share one Arrow
+    batch over one scan — no second read of the vector column and no
+    corpus-wide join by id (the earlier two-scan + shuffle-join form
+    was a review finding; at write-side scale the join alone was a
+    full extra shuffle of the corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cbs = [np.asarray(codebooks[s], dtype=np.int64) for s in range(m)]
+    cb_norm = [np.sum(c * c, axis=1) for c in cbs]
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_norm = np.sum(cents * cents, axis=1)
+
+    def build(batches):
+        for pdf in batches:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # coarse cell: ||c||^2 - 2<v,c> argmin (== full-L2 argmin)
+            cell = np.argmin(
+                cent_norm[None, :] - 2 * (vecs @ cents.T), axis=1
+            ).astype(np.int32)
+            iv = np.floor(vecs * scale).astype(np.int64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                sub = iv[:, s * sub_dim : (s + 1) * sub_dim]
+                score = cb_norm[s][None, :] - 2 * (sub @ cbs[s].T)
+                codes[:, s] = np.argmin(score, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "_cell": cell, "pq_code": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        build, f"{id_col} long, _cell int, pq_code array<int>"
+    )
 
 
 def ivf_pq_topk(

@@ -57,7 +57,21 @@ def salted_join(
     literal range — no shuffle added beyond the join's own), so its
     shuffled volume is n_salts * |small|: use when the small side
     overflows the broadcast threshold but a hot key still melts one
-    reducer. Result columns match ``big.join(small, on, how)``."""
+    reducer. Result columns match ``big.join(small, on, how)``.
+
+    Only join types whose unmatched-row semantics survive small-side
+    replication are allowed (inner/left/semi/anti): a right or full
+    join would emit every unmatched small-side row once PER SALT."""
+    allowed = {"inner", "left", "leftouter", "left_outer",
+               "semi", "left_semi", "leftsemi", "anti", "left_anti",
+               "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating "
+            "the small side would duplicate its unmatched rows "
+            "n_salts times for right/full joins — use AQE skew "
+            "handling or swap the sides"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     b = with_salt(big, n_salts)
     s = small.withColumn(
@@ -95,9 +109,30 @@ def salted_aggregate(
     )
 
 
+def _is_distinct(partial_expr: Column) -> bool:
+    """Structural DISTINCT detection: Spark 4's Column repr renders
+    count_distinct('v') as plain "count(v)", so string sniffing alone
+    would silently admit it — ask the unresolved function node
+    directly (isDistinct), with the repr check kept as a fallback for
+    Column implementations without ``_jc``."""
+    try:
+        return bool(partial_expr._jc.node().isDistinct())
+    except Exception:
+        return "distinct" in str(partial_expr).lower()
+
+
 def _combiner_fn(partial_expr: Column):
     """Pick the phase-2 combiner from the phase-1 expression."""
     text = str(partial_expr).lower()
+    if _is_distinct(partial_expr):
+        # sum-of-per-salt-distinct-counts double-counts values that
+        # appear under multiple salts — DISTINCT is not algebraic
+        # over a salt split
+        raise ValueError(
+            f"salted_aggregate cannot combine DISTINCT aggregates "
+            f"({text!r}): a value seen under several salts would be "
+            "counted once per salt — pre-deduplicate, then aggregate"
+        )
     if text.startswith("column<'min("):
         return F.min
     if text.startswith("column<'max("):

@@ -146,6 +146,11 @@ def _decode_field(buf: bytes) -> Field:
 
 
 def _enc_varint(n: int) -> bytes:
+    if n < 0:
+        # Python's arithmetic right shift never zeroes a negative int,
+        # so the encode loop below would spin forever — negative
+        # values must arrive pre-mapped (zigzag for sint fields)
+        raise ValueError(f"varint fields cannot encode negative value {n}")
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -215,6 +220,11 @@ def _encode_field(f: Field) -> bytes:
     if f.date_format != DEFAULT_DATE_FORMAT:
         out += _enc_str(14, f.date_format)
     if f.processing_offset != 1:
+        if f.processing_offset < 0:
+            raise ValueError(
+                f"field {f.name!r}: processing_offset must be >= 0 "
+                f"(got {f.processing_offset}; proto tag 15 is uint32)"
+            )
         out += _enc_uint(15, f.processing_offset)
     if f.filter is not None:
         out += _enc_str(17, f.filter)

@@ -118,3 +118,29 @@ def test_kmeans_step_matches_spec(spark, pts):
             s = sum(p[dim] for p in members)
             want[(ci, dim)] = (len(members), c_div(s, len(members)))
     assert got == want
+
+
+def test_blocked_matmul_negative_and_duplicate_cells(spark):
+    """Review fixes: negative coordinates address blocks by
+    floor-div/pmod (i == br*L + i_loc for any sign), and duplicate
+    input coordinates accumulate exactly like the cell path's join."""
+    from cybersecurity_miw_spark.operators import apps
+
+    a = spark.createDataFrame(
+        [(-1, 0, 2), (-1, 0, 3), (0, 1, 4)], ["i", "k", "a"]
+    )
+    b = spark.createDataFrame(
+        [(0, -2, 5), (1, 3, 7)], ["k", "j", "b"]
+    )
+    cell = {
+        (r["i"], r["j"]): r["c"]
+        for r in apps.matrix_multiply(a, b).collect()
+    }
+    blocked = {
+        (r["i"], r["j"]): r["c"]
+        for r in apps.matrix_multiply_blocked(a, b, block=4).collect()
+        if r["c"] != 0
+    }
+    # duplicate (-1,0) cells sum to 5; products: (-1,-2)=25, (0,3)=28
+    assert cell == {(-1, -2): 25, (0, 3): 28}
+    assert blocked == cell

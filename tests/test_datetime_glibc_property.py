@@ -212,3 +212,19 @@ def test_numeric_consumption_matches_glibc(d, s, suffix):
     '3', on '24' fails entirely. The regex encodes exactly this."""
     inp = s + suffix
     assert regex_consumed(inp, d) == glibc_consumed(inp, d), (d, inp)
+
+
+# --- adjacent numeric directives: commit, don't backtrack -----------------
+
+@settings(max_examples=400, deadline=None)
+@given(
+    fmt=st.sampled_from(["%Y%m", "%y%m", "%H%M", "%Y%m%d", "%d%H", "%m%d"]),
+    s=st.text(alphabet="0123456789", min_size=0, max_size=7),
+    suffix=st.text(alphabet="x ", max_size=2),
+)
+def test_adjacent_numeric_directives_match_glibc(fmt, s, suffix):
+    """glibc commits each directive's consumption — "%Y%m" on "2013"
+    fails (the year takes all four digits) instead of backtracking the
+    year to "201"; the atomic groups in the regex must do the same."""
+    inp = s + suffix
+    assert regex_consumed(inp, fmt) == glibc_consumed(inp, fmt), (fmt, inp)

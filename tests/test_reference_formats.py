@@ -216,3 +216,18 @@ def test_fmt_save_rejects_from_kv_fields(tmp_path):
     )
     with pytest.raises(ValueError, match="from_kv"):
         save_fmt(ldef, tmp_path / "kv.fmt")
+
+
+def test_fmt_save_rejects_negative_processing_offset(tmp_path):
+    """proto tag 15 is uint32; a negative offset must raise instead of
+    hanging the varint encoder (Python's >> never zeroes a negative)."""
+    from cybersecurity_miw_spark.plans.fmtproto import save_fmt
+    from cybersecurity_miw_spark.plans.logdef import Field
+
+    ldef = LogDef(
+        format_name="neg",
+        delims=",",
+        fields=[Field(name="t", type="string", processing_offset=-2)],
+    )
+    with pytest.raises(ValueError, match="processing_offset"):
+        save_fmt(ldef, tmp_path / "neg.fmt")

@@ -94,3 +94,27 @@ def test_salted_aggregate_rejects_non_algebraic(spark):
     df = skewed_df(spark)
     with pytest.raises(ValueError, match="algebraic"):
         salted_aggregate(df, ["k"], {"m": F.avg("v")}, n_salts=4)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    big = skewed_df(spark)
+    small = spark.createDataFrame([(7, "hot")], ["k", "name"])
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", n_salts=4, how=how)
+
+
+def test_salted_aggregate_rejects_distinct(spark):
+    import pytest
+
+    df = skewed_df(spark)
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_aggregate(
+            df, ["k"], {"d": F.count_distinct("v")}, n_salts=4
+        )
+    with pytest.raises(ValueError, match="DISTINCT"):
+        salted_aggregate(
+            df, ["k"], {"d": F.sum_distinct("v")}, n_salts=4
+        )

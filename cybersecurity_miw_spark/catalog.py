@@ -2033,11 +2033,16 @@ _DRIVER_WINDOW = [
 
 
 def _curate_window() -> None:
-    assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
+    # hard raises, not asserts: these invariants guard the driver's
+    # verified surface and must fail fast even under python -O
+    if len(_DRIVER_WINDOW) != 50:
+        raise ValueError(f"driver window must be 50, got {len(_DRIVER_WINDOW)}")
     missing = [n for n in _DRIVER_WINDOW if n not in QUERIES]
-    assert not missing, f"window names not registered: {missing}"
+    if missing:
+        raise ValueError(f"window names not registered: {missing}")
     unoracled = [n for n in _DRIVER_WINDOW if n not in ORACLE]
-    assert not unoracled, f"window names lack oracles: {unoracled}"
+    if unoracled:
+        raise ValueError(f"window names lack oracles: {unoracled}")
     rest = [n for n in QUERIES if n not in set(_DRIVER_WINDOW)]
     ordered = {n: QUERIES[n] for n in [*_DRIVER_WINDOW, *rest]}
     QUERIES.clear()

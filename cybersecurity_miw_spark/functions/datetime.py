@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 # (hypothesis-found parity bug; real logs are often unpadded).
 _STRPTIME_MAP = {
     "%Y": "yyyy",
-    "%y": "yy",
+    # %y: parse_date expands the captured 2-digit year to 4 digits
+    # with the POSIX pivot (69-99 -> 19xx, 00-68 -> 20xx) because
+    # Java's "yy" pivots into 2000-2099 and would put 99 in 2099
+    "%y": "yyyy",
     "%m": "M",
     "%d": "d",
     "%H": "H",
@@ -58,47 +61,61 @@ _WS_SKIPPING = frozenset(
 )
 
 
-def strptime_to_java(fmt: str) -> str:
-    """Convert a strptime pattern to a Java DateTimeFormatter pattern,
-    quoting literal letter runs.
+# the C locale's isspace set — deliberately NOT str.isspace(), which
+# is Unicode-wide (NBSP, NEL,  ...) and would turn those format
+# chars into ASCII whitespace matchers instead of literals
+_C_WS = " \t\n\x0b\f\r"
 
-    Whitespace tolerance mirrors C strptime: format whitespace matches
-    any amount of input whitespace (including none), and numeric
-    directives skip leading whitespace. parse_date collapses
-    whitespace runs in the carved prefix to a single space, so here a
-    single optional-space section ``[ ]`` at each such position makes
-    the Java parse accept exactly what glibc accepts (syslog's
-    space-padded "Jan  7" being the canonical real-world case)."""
-    out: list[str] = []
+
+def _walk_strptime(fmt: str):
+    """Single tokenizer shared by the regex and Java-pattern builders:
+    yields ("directive", "%X") / ("ws",) / ("lit", text) / ("fail",).
+    A trailing bare '%' yields ("fail",): glibc strptime compares the
+    byte after '%' (the NUL terminator) against the input and fails
+    unconditionally (probed via ctypes), so the format can never
+    match — and naive loops hang on it (review finding)."""
     i = 0
     while i < len(fmt):
-        if fmt[i] == "%" and i + 1 < len(fmt):
+        if fmt[i] == "%":
+            if i + 1 >= len(fmt):
+                yield ("fail",)
+                return
             d = fmt[i : i + 2]
             if d not in _STRPTIME_MAP:
                 raise ValueError(f"unsupported strptime directive {d!r} in {fmt!r}")
-            if d in _WS_SKIPPING and (not out or out[-1] != "[ ]"):
-                out.append("[ ]")
-            out.append(_STRPTIME_MAP[d])
+            yield ("lit", "%") if d == "%%" else ("directive", d)
             i += 2
-        elif fmt[i].isspace():
-            j = i
-            while j < len(fmt) and fmt[j].isspace():
-                j += 1
-            if not out or out[-1] != "[ ]":
-                out.append("[ ]")
-            i = j
+        elif fmt[i] in _C_WS:
+            while i < len(fmt) and fmt[i] in _C_WS:
+                i += 1
+            yield ("ws",)
         else:
-            # quote any literal that could be a pattern letter
             j = i
-            while j < len(fmt) and fmt[j] != "%" and not fmt[j].isspace():
+            while j < len(fmt) and fmt[j] != "%" and fmt[j] not in _C_WS:
                 j += 1
-            lit = fmt[i:j]
-            if re.search(r"[A-Za-z']", lit):
-                out.append("'" + lit.replace("'", "''") + "'")
-            else:
-                out.append(lit)
+            yield ("lit", fmt[i:j])
             i = j
-    return "".join(out)
+
+
+def strptime_to_java(fmt: str) -> str:
+    """Convert a strptime pattern to the Java DateTimeFormatter pattern
+    parse_date applies to the NORMALIZED prefix: the regex carve
+    captures each directive's consumed text and parse_date reassembles
+    the captures joined by single spaces (literals and format
+    whitespace drop out on both sides), so this emits directive
+    patterns joined by single spaces. Normalization is what buys
+    value parity for glibc's quirky consumption: adjacent numerics
+    ("%Y%m%d" on "20130105" → "2013 01 05"), whitespace skips
+    (syslog's "Jan  7" → "Jan 7"), and blocked short reads ("%H" on
+    "30" → "3") all become unambiguous for the Java parse."""
+    out: list[str] = []
+    for tok in _walk_strptime(fmt):
+        if tok[0] == "directive":
+            out.append(_STRPTIME_MAP[tok[1]])
+        elif tok[0] == "fail":
+            # never matched by the regex side; pattern is unreachable
+            return "'unreachable'"
+    return " ".join(out)
 
 
 # strptime → prefix-matching regex fragments: C strptime consumes the
@@ -158,25 +175,29 @@ def strptime_prefix_regex(fmt: str) -> str:
     """Regex matching exactly the prefix a C strptime(fmt) consumes:
     numeric directives and %z skip leading whitespace, format
     whitespace matches zero-or-more input whitespace, everything else
-    is literal (property-tested against libc via ctypes)."""
+    is literal (property-tested against libc via ctypes). Each
+    directive's consumption is a CAPTURE group (1-based, in format
+    order) so parse_date can reassemble a normalized parse string; a
+    trailing bare '%' compiles to a never-matching regex, mirroring
+    glibc's unconditional failure."""
     out: list[str] = ["^"]
-    i = 0
-    while i < len(fmt):
-        if fmt[i] == "%" and i + 1 < len(fmt):
-            d = fmt[i : i + 2]
-            if d not in _STRPTIME_RE_MAP:
-                raise ValueError(f"unsupported strptime directive {d!r} in {fmt!r}")
+    for tok in _walk_strptime(fmt):
+        if tok[0] == "directive":
+            d = tok[1]
             if d in _WS_SKIPPING:
                 out.append(_WS_RE + "*")
-            out.append(_STRPTIME_RE_MAP[d])
-            i += 2
-        elif fmt[i].isspace():
+            out.append("(" + _STRPTIME_RE_MAP[d] + ")")
+        elif tok[0] == "ws":
             out.append(_WS_RE + "*")
-            i += 1
-        else:
-            out.append(re.escape(fmt[i]))
-            i += 1
+        elif tok[0] == "lit":
+            out.append(re.escape(tok[1]))
+        else:  # fail
+            out.append(r"(?!)")
     return "".join(out)
+
+
+def _strptime_group_count(fmt: str) -> int:
+    return sum(1 for tok in _walk_strptime(fmt) if tok[0] == "directive")
 
 
 def parse_date(col: Column, date_format: str) -> Column:
@@ -190,13 +211,36 @@ def parse_date(col: Column, date_format: str) -> Column:
         # timestamp_seconds is timezone-free (epoch → instant), unlike
         # from_unixtime which renders in the session zone.
         return F.timestamp_seconds(F.trim(col).try_cast("long"))
-    prefix = F.regexp_extract(
-        F.trim(col), strptime_prefix_regex(date_format), 0
-    )
-    # collapse whitespace runs the regex legitimately consumed (format
-    # whitespace / numeric-directive skips) to the single optional
-    # space each "[ ]" section in the Java pattern absorbs
-    normalized = F.trim(F.regexp_replace(prefix, _WS_RE + "+", " "))
+    rx = strptime_prefix_regex(date_format)
+    n = _strptime_group_count(date_format)
+    if n == 0:
+        # directive-less format: nothing to parse a timestamp from
+        return F.lit(None).cast("timestamp")
+    # reassemble the normalized parse string from the per-directive
+    # captures, single-space separated — literals, format whitespace,
+    # glibc whitespace skips, and adjacent-numeric boundaries all
+    # become unambiguous for the Java pattern (strptime_to_java). On
+    # no-match every capture extracts '', the joined string is
+    # separators-only, and try_to_timestamp yields NULL.
+    trimmed = F.trim(col)
+    directives = [
+        tok[1] for tok in _walk_strptime(date_format)
+        if tok[0] == "directive"
+    ]
+    parts = []
+    for g, d in enumerate(directives, start=1):
+        part = F.regexp_extract(trimmed, rx, g)
+        if d == "%y":
+            # POSIX two-digit-year pivot (glibc: 69-99 -> 19xx,
+            # 00-68 -> 20xx); Java's own yy pivot disagrees (99 ->
+            # 2099), so expand to an explicit 4-digit year here
+            yr = part.try_cast("int")
+            part = F.when(part == "", F.lit("")).otherwise(
+                (F.when(yr <= 68, yr + 2000).otherwise(yr + 1900))
+                .cast("string")
+            )
+        parts.append(part)
+    normalized = F.concat_ws(" ", *parts) if n > 1 else parts[0]
     return F.try_to_timestamp(
         normalized, F.lit(strptime_to_java(date_format))
     )

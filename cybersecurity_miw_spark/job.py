@@ -194,8 +194,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument(
         "-output_format",
-        default="json",
+        default=None,
         choices=["json", "csv", "json-columnar", "csv-columnar", "text", "mem"],
+        help="defaults to json (text in -compact mode, which only "
+        "emits raw surviving lines)",
     )
     ap.add_argument("-ofname", default=None, help="output path")
     ap.add_argument("-ndisp", type=int, default=5)
@@ -263,6 +265,11 @@ def main(argv: list[str] | None = None) -> None:
     if args.quiet:
         spark.sparkContext.setLogLevel("WARN")
     if args.compact:
+        if args.output_format not in (None, "text"):
+            ap.error(
+                f"-compact emits raw surviving lines (text); "
+                f"-output_format {args.output_format} is not supported"
+            )
         from cybersecurity_miw_spark.operators.compact import compact_logs
 
         out = compact_logs(spark, args.fnames)
@@ -285,7 +292,7 @@ def main(argv: list[str] | None = None) -> None:
     )
     job.run(
         spark,
-        output_format=args.output_format,
+        output_format=args.output_format or "json",
         output_path=args.ofname,
         ndisp=args.ndisp,
     )

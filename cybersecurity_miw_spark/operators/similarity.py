@@ -636,7 +636,10 @@ def pq_adc_topk_codes(
         )
     return (
         codes_df.select(id_col, dist.alias("pq_dist"))
-        .orderBy(F.asc("pq_dist"), F.asc(id_col))
+        # nulls LAST: a row with a null/short embedding has null codes
+        # and a null distance — plain ASC would rank it above every
+        # real neighbor (Spark sorts nulls first ascending)
+        .orderBy(F.asc_nulls_last("pq_dist"), F.asc(id_col))
         .limit(k)
     )
 
@@ -719,6 +722,31 @@ def train_pq_codebooks(
     return books
 
 
+def _np_pq_kernel(codebooks, scale):
+    """Shared numpy PQ-encode kernel (one definition so the index
+    builder and the standalone encoder can never drift — review
+    finding): pandas vector column -> (rows, m) int32 code matrix via
+    the integer-exact ||c||^2 - 2<v,c> argmin per subspace."""
+    import numpy as np
+
+    m = len(codebooks)
+    sub_dim = len(codebooks[0][0])
+    cbs = [np.asarray(codebooks[s], dtype=np.int64) for s in range(m)]
+    cb_norm = [np.sum(c * c, axis=1) for c in cbs]
+
+    def kernel(vec_series):
+        vecs = np.stack(vec_series.to_numpy()).astype(np.float64)
+        iv = np.floor(vecs * scale).astype(np.int64)
+        codes = np.empty((len(iv), m), dtype=np.int32)
+        for s in range(m):
+            sub = iv[:, s * sub_dim : (s + 1) * sub_dim]
+            score = cb_norm[s][None, :] - 2 * (sub @ cbs[s].T)
+            codes[:, s] = np.argmin(score, axis=1)
+        return codes
+
+    return kernel
+
+
 def pq_encode_arrow(
     df: DataFrame,
     codebooks: list[list[list[int]]],
@@ -729,31 +757,20 @@ def pq_encode_arrow(
 ) -> DataFrame:
     """Write-side PQ encoding as Arrow-batched numpy — the dense
     m×k×sub_dim argmin is a BLAS-shaped kernel (sub @ C.T), exactly
-    the brute_force_topk_arrow precedent: ~40x the expression path at
-    sf0.1 (measured 0.15 s vs 5.4 s warm) and the gap widens with k.
+    the brute_force_topk_arrow precedent: ~34x the expression path at
+    sf0.1 (measured 0.23 s vs 7.9 s warm, min-of-2) and the gap
+    widens with k.
     Integer-exact (int64 throughout, np.argmin first-index tie-break)
     — codes are bit-identical to :func:`pq_encode`, which remains the
     oracle-checked reference. Returns (id_col, out_col)."""
-    import numpy as np
-    import pandas as pd
-
-    m = len(codebooks)
-    sub_dim = len(codebooks[0][0])
-    cbs = [np.asarray(codebooks[s], dtype=np.int64) for s in range(m)]
-    cb_norm = [np.sum(c * c, axis=1) for c in cbs]
+    kernel = _np_pq_kernel(codebooks, scale)
 
     def encode(batches):
+        import pandas as pd
+
         for pdf in batches:
-            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            iv = np.floor(vecs * scale).astype(np.int64)
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for s in range(m):
-                sub = iv[:, s * sub_dim : (s + 1) * sub_dim]
-                # ||c||^2 - 2<v,c>: same argmin as full L2, int-exact
-                score = cb_norm[s][None, :] - 2 * (sub @ cbs[s].T)
-                codes[:, s] = np.argmin(score, axis=1)
             yield pd.DataFrame(
-                {id_col: pdf[id_col], out_col: list(codes)}
+                {id_col: pdf[id_col], out_col: list(kernel(pdf[vec_col]))}
             )
 
     return df.select(id_col, vec_col).mapInPandas(
@@ -784,10 +801,7 @@ def ivf_pq_index(
     import numpy as np
     import pandas as pd
 
-    m = len(codebooks)
-    sub_dim = len(codebooks[0][0])
-    cbs = [np.asarray(codebooks[s], dtype=np.int64) for s in range(m)]
-    cb_norm = [np.sum(c * c, axis=1) for c in cbs]
+    kernel = _np_pq_kernel(codebooks, scale)
     cents = np.asarray(centroids, dtype=np.float64)
     cent_norm = np.sum(cents * cents, axis=1)
 
@@ -798,14 +812,9 @@ def ivf_pq_index(
             cell = np.argmin(
                 cent_norm[None, :] - 2 * (vecs @ cents.T), axis=1
             ).astype(np.int32)
-            iv = np.floor(vecs * scale).astype(np.int64)
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for s in range(m):
-                sub = iv[:, s * sub_dim : (s + 1) * sub_dim]
-                score = cb_norm[s][None, :] - 2 * (sub @ cbs[s].T)
-                codes[:, s] = np.argmin(score, axis=1)
             yield pd.DataFrame(
-                {id_col: pdf[id_col], "_cell": cell, "pq_code": list(codes)}
+                {id_col: pdf[id_col], "_cell": cell,
+                 "pq_code": list(kernel(pdf[vec_col]))}
             )
 
     return df.select(id_col, vec_col).mapInPandas(

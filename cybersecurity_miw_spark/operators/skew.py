@@ -38,6 +38,11 @@ def with_salt(df: DataFrame, n_salts: int, seed: int = 42) -> DataFrame:
     """Uniform per-row salt in [0, n_salts). rand(seed) keeps the
     column deterministic per task for retries; the salt value never
     reaches results, so distribution uniformity is all that matters."""
+    if SALT_COL in df.columns:
+        raise ValueError(
+            f"input already has a {SALT_COL!r} column — salting would "
+            "silently overwrite and then drop it; rename it first"
+        )
     return df.withColumn(
         SALT_COL, F.floor(F.rand(seed) * n_salts).cast("int")
     )
@@ -73,6 +78,11 @@ def salted_join(
             "handling or swap the sides"
         )
     keys = [on] if isinstance(on, str) else list(on)
+    if SALT_COL in small.columns:
+        raise ValueError(
+            f"small side already has a {SALT_COL!r} column — rename it "
+            "before salting"
+        )
     b = with_salt(big, n_salts)
     s = small.withColumn(
         SALT_COL,

@@ -228,3 +228,73 @@ def test_adjacent_numeric_directives_match_glibc(fmt, s, suffix):
     year to "201"; the atomic groups in the regex must do the same."""
     inp = s + suffix
     assert regex_consumed(inp, fmt) == glibc_consumed(inp, fmt), (fmt, inp)
+
+
+# --- review-finding regressions -------------------------------------------
+
+def test_trailing_percent_never_matches_and_never_hangs():
+    """glibc fails unconditionally on a trailing bare '%' (it compares
+    the NUL terminator against input); the builders must terminate and
+    produce a never-matching carve instead of hanging."""
+    assert glibc_consumed("5x", "%H%") is None
+    assert regex_consumed("5x", "%H%") is None
+    assert strptime_to_java("%H%") == "'unreachable'"
+
+
+def test_unicode_whitespace_in_format_is_literal():
+    """NBSP in a format is a literal to glibc's C locale, not
+    whitespace — the regex must match it literally, not as [ \\t...]."""
+    fmt = "%d\xa0%H"
+    inp = "7\xa08"
+    # glibc matches the NBSP byte-for-byte (consumes all 4 UTF-8
+    # bytes); the regex matches it as one literal char (3 chars)
+    assert glibc_consumed(inp, fmt) == len(inp.encode())
+    assert regex_consumed(inp, fmt) == 3
+    assert regex_consumed("7 8", fmt) is None  # plain space != NBSP
+
+
+def test_spark_parses_adjacent_numeric_directives(spark):
+    """Value parity for glibc's committed consumption: "%Y%m%d" packs
+    all digits together; the capture-group normalization re-separates
+    them so Spark parses the same instant glibc does."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.functions.datetime import parse_date
+
+    rows = [
+        ("20130105", "%Y%m%d", "2013-01-05 00:00:00"),
+        # time-only formats fill the epoch date (glibc leaves a zeroed
+        # struct tm; Spark defaults missing fields the same way)
+        ("305", "%H%M", "1970-01-01 03:05:00"),
+        ("2013010512", "%Y%m%d%H", "2013-01-05 12:00:00"),
+        ("991231", "%y%m%d", "1999-12-31 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], ["raw", "fmt"]
+    )
+    for raw, fmt, want in rows:
+        got = (
+            df.filter(F.col("raw") == raw)
+            .select(
+                F.date_format(
+                    parse_date(F.col("raw"), fmt), "yyyy-MM-dd HH:mm:ss"
+                ).alias("out")
+            )
+            .head()["out"]
+        )
+        assert got == want, (raw, fmt, got, want)
+
+
+def test_two_digit_year_posix_pivot(spark):
+    """%y follows glibc's POSIX pivot: 69-99 -> 19xx, 00-68 -> 20xx
+    (Java's native yy would put 99 in 2099)."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.functions.datetime import parse_date
+
+    rows = [("99/12/31", "1999"), ("68/01/01", "2068"), ("69/06/15", "1969")]
+    df = spark.createDataFrame([(r[0],) for r in rows], ["raw"])
+    got = df.select(
+        F.date_format(parse_date(F.col("raw"), "%y/%m/%d"), "yyyy").alias("y")
+    ).collect()
+    assert [r.y for r in got] == [want for _, want in rows]

@@ -87,3 +87,25 @@ def test_rows_only_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_events_table_density_assumption_for_blocked_matmul():
+    """app_matrix_mult_blocked emits full product blocks (zeros
+    included) while its oracle joins sparse cells; the two agree
+    because event_id below 1024 is a CONTIGUOUS prefix (0..N-1) in
+    every test sf dir. If the generator ever changes shape, fail here
+    with a clear message instead of a mysterious driver hash
+    mismatch."""
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/events.parquet"
+        n, mx, dn = duckdb.sql(
+            f"SELECT count(*), max(event_id), count(DISTINCT event_id) "
+            f"FROM read_parquet('{path}') WHERE event_id < 1024"
+        ).fetchone()
+        assert n == dn == mx + 1, (
+            f"{sf}: event_id under 1024 is not a contiguous 0..N-1 "
+            f"prefix (count={n}, distinct={dn}, max={mx}) — revisit "
+            "the app_matrix_mult_blocked oracle density note"
+        )

@@ -1957,6 +1957,71 @@ def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact percentiles: Spark 4's percentile() and DuckDB's quantile_cont
+# share the linear-interpolation definition, so exact-value parity
+# holds (percentile_approx would not — sketch implementations differ).
+
+_PCTL_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
+@register("event_value_percentiles", _PCTL_SQL)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p95/p99 of event value) — the
+    latency-SLO aggregation shape. Spark's percentile() is a single
+    sort-based aggregate with map-side partial collection; at 100 TB
+    switch to percentile_approx (t-digest sketch, mergeable, bounded
+    state) and drop the oracle to rows-only — the exact form is the
+    verifiable baseline."""
+    ev = load_table(spark, sf_dir, "events", widen=False)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+            for p, name in ((0.50, "p50"), (0.95, "p95"), (0.99, "p99"))
+        ]
+    )
+
+
+# ROLLUP: hierarchical subtotals in one pass — Catalyst expands the
+# grouping sets, partial aggregation still applies per set.
+
+_ROLLUP_SQL = """
+SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_bucket,
+       count(*) AS n, CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS value_sum_c
+FROM events
+GROUP BY ROLLUP(event_type, CAST(user_id % 4 AS BIGINT))
+"""
+
+
+@register("rollup_event_counts", _ROLLUP_SQL)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP(event_type, user bucket): per-bucket rows,
+    per-type subtotals, and a grand total in ONE aggregation pass —
+    the report-style hierarchy the reference would need three jobs
+    for. Values are cents-scaled integers so the subtotal sums
+    hash-match exactly."""
+    ev = load_table(spark, sf_dir, "events", widen=False)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 4).alias("user_bucket"),
+            cents.alias("_c"),
+        )
+        .rollup("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").cast("long").alias("value_sum_c"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which

@@ -2022,6 +2022,66 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# running window frame: per-user cumulative sum in event order — the
+# "balance so far" shape; one hash partition per key, sorted frame.
+
+_RUNNING_SQL = """
+SELECT event_id, user_id,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_c
+FROM events WHERE user_id < 50
+"""
+
+
+@register("running_value_per_user", _RUNNING_SQL)
+def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user value in event-time order (rows-unbounded-
+    preceding frame) — cents-scaled so the running sums are exact.
+    Same single-shuffle WindowExec shape as sessionize."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events", widen=False).filter(
+        F.col("user_id") < 50
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).cast("long").alias("running_c"),
+    )
+
+
+# exact distinct aggregation — the family salted_aggregate explicitly
+# refuses (DISTINCT is not algebraic over a salt split); Spark expands
+# count(DISTINCT) into a two-shuffle exact plan itself.
+
+_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+@register("distinct_users_per_type", _DISTINCT_SQL)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count(DISTINCT user_id) per event type. Catalyst plans
+    this as partial-dedup on (type, user) then count — two exchanges,
+    both map-side combined; at 100 TB with hot types the switch is
+    approx_count_distinct (HLL, mergeable constant state)."""
+    ev = load_table(spark, sf_dir, "events", widen=False)
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which

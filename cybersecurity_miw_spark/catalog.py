@@ -2160,6 +2160,50 @@ def q_beacon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pivot: long→wide reshaping (per-user activity profile, one column
+# per event type). Spark's pivot with EXPLICIT values stays a single
+# groupBy with conditional aggregates — no extra distinct-values job,
+# no second shuffle; the oracle is the same conditional-sum expansion.
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_PIVOT_SQL = f"""
+SELECT user_id,
+       {", ".join(
+           f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+           f" AS n_{t}" for t in _EVENT_TYPES
+       )}
+FROM events WHERE user_id < 100 GROUP BY user_id
+"""
+
+
+@register("pivot_user_activity", _PIVOT_SQL)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile via pivot — one column per event
+    type. Passing the value list explicitly matters at scale: without
+    it Spark runs a separate distinct-scan JOB to discover pivot
+    columns before planning; with it the plan is the two-phase
+    pivot aggregation alone (pre-agg on (user, type), then per-user
+    column assembly — both exchanges map-side combined, same shape as
+    the two-phase A9 histogram; verified: 2 exchanges, no extra
+    job)."""
+    ev = load_table(spark, sf_dir, "events", widen=False).filter(
+        F.col("user_id") < 100
+    )
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which

@@ -1,0 +1,65 @@
+"""End-to-end embedding index build + query over the embeddings table:
+
+    raw vectors
+      → L2 normalize
+      → train IVF coarse centroids (bounded driver state)
+      → train PQ codebooks (per-subspace integer Lloyd's)
+      → build the IVF+PQ index (one Arrow pass: cell + codes,
+        ~5 B/vector at m=4 — write it partitioned by _cell)
+      → query: probe-pruned ADC shortlist → exact cosine rerank
+
+The shortlist-then-rerank composition is the standard two-stage ANN
+pipeline: PQ distances rank a cheap candidate set from code bytes,
+exact cosine re-scores only the shortlist. Run against any sf dir:
+
+    python examples/ann_index_pipeline.py /root/testdata/sf0.01
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str) -> None:
+    from cybersecurity_miw_spark.operators import similarity
+    from cybersecurity_miw_spark.session import get_spark
+    from cybersecurity_miw_spark.sources.tables import load_table
+
+    spark = get_spark("ann-index-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = similarity.l2_normalize(load_table(spark, sf_dir, "embeddings"))
+    emb = emb.select("vec_id", F.col("embedding_unit").alias("embedding"))
+
+    # --- write side (once per corpus) ---
+    centroids = similarity.train_centroids(emb, n_cells=8, dim=64, iters=2)
+    books = similarity.train_pq_codebooks(emb, dim=64, m=4, k=16, iters=2)
+    index = similarity.ivf_pq_index(emb, centroids, books).persist()
+    print(f"index rows: {index.count()} (cells + 4-byte PQ codes)")
+
+    # --- query side (per query) ---
+    qvec = list(
+        emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    shortlist = similarity.ivf_pq_topk(
+        index, centroids, books, qvec, k=50, n_probes=2
+    )
+    # exact rerank of the shortlist only
+    ids = [r["vec_id"] for r in shortlist.collect()]
+    rerank = similarity.brute_force_topk(
+        emb.filter(F.col("vec_id").isin(ids)), qvec, k=10
+    )
+    print("top-10 after exact rerank of the 50-row ADC shortlist:")
+    rerank.show(10, truncate=False)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

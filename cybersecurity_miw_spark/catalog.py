@@ -1818,7 +1818,7 @@ def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_SQL = """
 WITH s AS (
-  SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, event_id,
+  SELECT user_id, ts, floor(epoch(ts))::BIGINT AS ts_s, event_id,
          CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
                 OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
               THEN 1 ELSE 0 END AS brk
@@ -1827,8 +1827,9 @@ WITH s AS (
 ),
 sess AS (
   SELECT user_id, ts_s,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
   FROM s
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -2222,22 +2223,15 @@ _DRIVER_WINDOW = [
     "miw_events_summary",
     "tokenize_typed_projection",
     "atoi_prefix_parity",
-    "quote_strip_trim",
     "date_buckets",
-    "time_buckets",
     "url_retemplate",
     "kv_evtx_explode",
     "dns_wire_decode",
-    "match_exact_or",
     "match_substring_or",
     "match_negative_exact",
     "semi_join_membership",
-    "agg_union_sorted",
     "agg_union_count_histogram",
     "order_topk_groups",
-    "appname_id_suffix",
-    "agg_count_a3",
-    "agg_first_a12",
     "match_and_contains_all",
     "raw_content_retention",
     "evtx_kv_dynamic_group",
@@ -2253,6 +2247,15 @@ _DRIVER_WINDOW = [
     # TPC-H style analytics
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
+    # analytics suite rotated IN for round 6 (first driver rows;
+    # the rotated-out §2 veterans stay full-hash green in
+    # tests/test_oracle_parity.py)
+    "event_value_percentiles",
+    "rollup_event_counts",
+    "running_value_per_user",
+    "distinct_users_per_type",
+    "beacon_interval_profile",
+    "pivot_user_activity",
     # sessionization / windows
     "session_summary_30min",
     "topn_events_per_user",
@@ -2270,6 +2273,7 @@ _DRIVER_WINDOW = [
     "pairwise_topk_lsh",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
     "embedding_near_dup_lsh",
     "embedding_l2_normalize",
     "embedding_quantize_int8",

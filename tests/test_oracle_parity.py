@@ -54,6 +54,24 @@ def normalize(rows, columns):
     return out
 
 
+# Coarse dtype classes: the driver's value hash goes through pandas, so
+# an int64-vs-float64 drift (DuckDB HUGEINT, nullable-int promotion)
+# changes the hashed repr even when Python-level values are identical.
+# repr()-based normalize() above is blind to that — this map is not.
+_DTYPE_CLASS = {
+    "i": "int", "u": "int",
+    "f": "float",
+    "b": "bool",
+    "M": "ts", "m": "td",
+    "O": "obj", "S": "obj", "U": "obj",
+}
+
+
+def dtype_classes(pdf):
+    return {c: _DTYPE_CLASS.get(pdf[c].dtype.kind, pdf[c].dtype.kind)
+            for c in pdf.columns}
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, name):
     qdf = QUERIES[name](spark, SF_DIR)
@@ -73,6 +91,43 @@ def test_oracle_parity(spark, name):
         (a, b) for a, b in zip(s_norm, o_norm) if a != b
     ]
     assert not mismatches, f"{name}: first diffs {mismatches[:3]}"
+
+    # Driver-faithful dtype check: both engines' pandas materialization
+    # must land in the same coarse dtype class per column, else the
+    # driver's pandas-hash goes red even with identical values (the
+    # HUGEINT class that cost rows in r3 and r5).
+    s_kinds = dtype_classes(qdf.toPandas())
+    o_kinds = dtype_classes(con.execute(ORACLES[name]).df())
+    diffs = {
+        c: (s_kinds[c], o_kinds[c])
+        for c in s_kinds
+        if s_kinds[c] != o_kinds[c]
+    }
+    assert not diffs, (
+        f"{name}: pandas dtype drift (spark, oracle) = {diffs} — "
+        "values may match but the driver hash will not; CAST the oracle "
+        "(or the Spark side) so both engines agree"
+    )
+
+
+def test_dtype_check_catches_uncast_hugeint():
+    """A deliberately uncast DuckDB windowed sum (HUGEINT → pandas
+    float64) must land in a different dtype class than a BIGINT cast —
+    i.e. the class of drift that cost driver rows in r3/r5 now fails
+    locally."""
+    con = duckdb.connect()
+    hug = con.execute(
+        "SELECT sum(i) OVER (ORDER BY i) AS x FROM range(3) t(i)"
+    ).df()
+    big = con.execute(
+        "SELECT CAST(sum(i) OVER (ORDER BY i) AS BIGINT) AS x "
+        "FROM range(3) t(i)"
+    ).df()
+    assert dtype_classes(big)["x"] == "int"
+    assert dtype_classes(hug)["x"] != "int", (
+        "HUGEINT no longer drifts in pandas — this guard test and the "
+        "dtype check may be obsolete"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 # REQUIRE zero-padding and silently fail "1/1/1971 0:00:00"
 # (hypothesis-found parity bug; real logs are often unpadded).
 _STRPTIME_MAP = {
-    "%Y": "yyyy",
+    # single 'y' parses 1+ digits: glibc %Y consumes 1-4 digits and
+    # happily returns year 201 for "201", while Java "yyyy" demands 4
+    # at parse time (golden: test_spark_parses_short_years; year 0
+    # agrees too — Spark parses it prolepticly).
+    "%Y": "y",
     # %y: parse_date expands the captured 2-digit year to 4 digits
     # with the POSIX pivot (69-99 -> 19xx, 00-68 -> 20xx) because
     # Java's "yy" pivots into 2000-2099 and would put 99 in 2099
@@ -35,8 +39,12 @@ _STRPTIME_MAP = {
     "%H": "H",
     "%M": "m",
     "%S": "s",
-    "%b": "MMM",
-    "%B": "MMMM",
+    # %b/%B both accept full OR abbreviated names in glibc;
+    # parse_date rewrites the captured name to its month NUMBER, so
+    # the Java side parses "M" — neither MMM (abbrev-only) nor MMMM
+    # (full-only) could take both forms
+    "%b": "M",
+    "%B": "M",
     "%j": "D",
     "%p": "a",
     # glibc strptime %z takes Z, ±hh, ±hhmm AND ±hh:mm (verified via
@@ -65,6 +73,24 @@ _WS_SKIPPING = frozenset(
 # is Unicode-wide (NBSP, NEL,  ...) and would turn those format
 # chars into ASCII whitespace matchers instead of literals
 _C_WS = " \t\n\x0b\f\r"
+
+
+# C-locale month names in glibc's match order: calendar order, full
+# name tried before the abbreviation for each month ("May" is both).
+_MONTHS = [
+    "January", "February", "March", "April", "May", "June",
+    "July", "August", "September", "October", "November", "December",
+]
+# (lowercased name -> month number) pairs in match order, for the
+# capture->number rewrite in parse_date
+_MONTH_LOOKUP = [
+    (name, i + 1)
+    for i, full in enumerate(_MONTHS)
+    for name in dict.fromkeys([full.lower(), full[:3].lower()])
+]
+_MONTH_NAME_RE = "(?>(?i:" + "|".join(
+    name for name, _ in _MONTH_LOOKUP
+) + "))"
 
 
 def _walk_strptime(fmt: str):
@@ -146,8 +172,13 @@ _STRPTIME_RE_MAP = {
     "%H": r"(?>[01]\d|2[0-3]|[3-9]|[0-2](?!\d))",
     "%M": r"(?>[0-5]\d|[6-9]|[0-5](?!\d))",
     "%S": r"(?>[0-5]\d|6[01]|[7-9]|[0-6](?!\d))",
-    "%b": r"[A-Za-z]{3}",
-    "%B": r"(?>[A-Za-z]+)",
+    # glibc %b and %B are IDENTICAL: for each month in calendar order
+    # it tries the full name then the abbreviation, case-insensitive,
+    # and COMMITS to the first hit (match_string never backtracks —
+    # "%be" on "June" fails rather than re-reading the month as
+    # "Jun"), hence the atomic group around the ordered alternation.
+    "%b": _MONTH_NAME_RE,
+    "%B": _MONTH_NAME_RE,
     "%j": r"(?>00[1-9]|0[1-9]\d|[12]\d\d|3[0-5]\d|36[0-6]"
           r"|3[7-9]|[4-9]\d|(?:0[1-9]|[12]\d|3[0-6])(?!\d)|[1-9](?!\d))",
     "%p": r"[APap][Mm]",
@@ -230,7 +261,21 @@ def parse_date(col: Column, date_format: str) -> Column:
     parts = []
     for g, d in enumerate(directives, start=1):
         part = F.regexp_extract(trimmed, rx, g)
-        if d == "%y":
+        if d in ("%b", "%B"):
+            # rewrite the captured month name (full or abbreviated,
+            # any case) to its number so the Java side parses "M";
+            # '' (no match) stays '' so the null path is preserved.
+            # F.get is 0-based and out-of-range-safe (no ANSI error
+            # when array_position returns 0 for the empty capture).
+            names = F.array(*[F.lit(n) for n, _ in _MONTH_LOOKUP])
+            nums = F.array(
+                *[F.lit(str(m)) for _, m in _MONTH_LOOKUP]
+            )
+            pos = F.array_position(names, F.lower(part))
+            part = F.when(
+                pos > 0, F.get(nums, (pos - 1).cast("int"))
+            ).otherwise(F.lit(""))
+        elif d == "%y":
             # POSIX two-digit-year pivot (glibc: 69-99 -> 19xx,
             # 00-68 -> 20xx); Java's own yy pivot disagrees (99 ->
             # 2099), so expand to an explicit 4-digit year here

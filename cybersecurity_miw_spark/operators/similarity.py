@@ -587,7 +587,15 @@ def pq_encode(
             ]
         )
         codes.append(F.array_min(dists)["j"])
-    return base.withColumn(out_col, F.array(*codes)).drop("_pq_iv")
+    # a null/short embedding must yield NULL codes (→ null ADC distance,
+    # ranked last), not code 0: element_at past the end returns null,
+    # the struct's 'd' field goes null, and array_min's struct ordering
+    # sorts null FIRST — silently electing centroid 0 with a spurious
+    # finite distance. Guard on the staged vector's length instead.
+    valid = iv.isNotNull() & (F.size(iv) >= m * sub_dim)
+    return base.withColumn(
+        out_col, F.when(valid, F.array(*codes))
+    ).drop("_pq_iv")
 
 
 def pq_adc_topk(
@@ -634,6 +642,11 @@ def pq_adc_topk_codes(
         dist = dist + F.element_at(
             lut_arr, F.col(code_col)[s].cast("int") + 1
         )
+    # explicit null-codes guard: element_at over a LITERAL array with a
+    # null index returns the LAST element on Spark 4.1 (observed; null
+    # does not propagate), so without this a null-coded row would get
+    # m * lut[s][-1] as a finite distance and could outrank real rows
+    dist = F.when(F.col(code_col).isNotNull(), dist)
     return (
         codes_df.select(id_col, dist.alias("pq_dist"))
         # nulls LAST: a row with a null/short embedding has null codes

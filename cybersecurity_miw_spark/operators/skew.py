@@ -69,8 +69,11 @@ def salted_join(
     join would emit every unmatched small-side row once PER SALT."""
     allowed = {"inner", "left", "leftouter", "left_outer",
                "semi", "left_semi", "leftsemi", "anti", "left_anti",
-               "leftanti", "cross"}
+               "leftanti"}
     if how.lower() not in allowed:
+        # 'cross' is also rejected: a caller wanting a cross join has
+        # no equi-keys to salt, and passing it here would silently
+        # execute as an inner join on [keys, salt]
         raise ValueError(
             f"salted_join does not support how={how!r}: replicating "
             "the small side would duplicate its unmatched rows "

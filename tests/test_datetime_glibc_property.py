@@ -298,3 +298,87 @@ def test_two_digit_year_posix_pivot(spark):
         F.date_format(parse_date(F.col("raw"), "%y/%m/%d"), "yyyy").alias("y")
     ).collect()
     assert [r.y for r in got] == [want for _, want in rows]
+
+
+# --- %b/%B month names (full + abbreviated, case-insensitive) -------------
+
+_MONTH_FRAGMENTS = st.one_of(
+    st.sampled_from([
+        "January", "Jan", "June", "Jun", "July", "Jul", "May",
+        "September", "Sep", "Sept", "Dec", "December", "Januar",
+        "Junex", "Januaryfoo", "ma", "XYZ", "",
+    ]),
+    st.text(alphabet="JanuaryFebMchpilgstOcov", min_size=0, max_size=10),
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    name=_MONTH_FRAGMENTS,
+    casing=st.sampled_from(["as-is", "upper", "lower"]),
+    d=st.sampled_from(["%b", "%B"]),
+    tail=st.text(alphabet=" 0123456789abce", max_size=4),
+)
+def test_month_name_consumption_matches_glibc(name, casing, d, tail):
+    """glibc %b == %B: full name tried before abbreviation per month,
+    case-insensitive, committed (no backtracking into the name when a
+    following literal fails)."""
+    if casing == "upper":
+        name = name.upper()
+    elif casing == "lower":
+        name = name.lower()
+    inp = name + tail
+    for fmt in (d, d + " %d", d + "e"):
+        assert regex_consumed(inp, fmt) == glibc_consumed(inp, fmt), (
+            inp, fmt
+        )
+
+
+def test_spark_parses_full_and_abbreviated_month_names(spark):
+    """'%B %d' and '%b %d' must both take 'January 07' AND 'Jan 07'
+    (the ADVICE r5 case: MMM-only consumed 'Jan' and derailed)."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.functions.datetime import parse_date
+
+    rows = ["January 07", "Jan 07", "september 30", "SEP 30", "May 1"]
+    want = ["01-07", "01-07", "09-30", "09-30", "05-01"]
+    df = spark.createDataFrame([(r,) for r in rows], ["raw"])
+    for fmt in ("%b %d", "%B %d"):
+        got = [
+            r.out
+            for r in df.select(
+                F.date_format(
+                    parse_date(F.col("raw"), fmt), "MM-dd"
+                ).alias("out")
+            ).collect()
+        ]
+        assert got == want, (fmt, got)
+
+
+@settings(max_examples=200, deadline=None)
+@given(y=st.integers(1, 9999), tail=st.text(alphabet=" abc-", max_size=3))
+def test_short_year_consumption_matches_glibc(y, tail):
+    inp = f"{y}{tail}"
+    assert regex_consumed(inp, "%Y") == glibc_consumed(inp, "%Y")
+
+
+def test_spark_parses_short_years(spark):
+    """%Y on 1-3 digit years must yield the year glibc returns (Java
+    'yyyy' would demand 4 digits and null them); even year 0 agrees
+    (Spark's 'y' parses it prolepticly, glibc returns tm_year -1900)."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.functions.datetime import parse_date
+
+    rows = [("201", "0201"), ("5", "0005"), ("1999", "1999"), ("0", "0000")]
+    df = spark.createDataFrame([(r[0],) for r in rows], ["raw"])
+    got = [
+        r.out
+        for r in df.select(
+            F.date_format(parse_date(F.col("raw"), "%Y"), "yyyy").alias(
+                "out"
+            )
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]

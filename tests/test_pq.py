@@ -126,3 +126,29 @@ def test_ivf_pq_pipeline(spark):
     dists = [r["pq_dist"] for r in one_probe]
     assert dists == sorted(dists)
     index.unpersist()
+
+
+def test_null_and_short_embeddings_get_null_codes_and_rank_last(spark):
+    """A null or too-short embedding must encode to NULL codes and a
+    null ADC distance ranked after every real neighbor — array_min's
+    struct ordering would otherwise silently elect centroid 0 with a
+    spurious finite distance."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 50)
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    bad = spark.createDataFrame(
+        [(9001, None), (9002, [1.0, 2.0, 3.0])],
+        schema=emb.select("vec_id", "embedding").schema,
+    )
+    df = emb.select("vec_id", "embedding").unionByName(bad)
+    enc = similarity.pq_encode(df, books)
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert codes[9001] is None and codes[9002] is None
+    assert all(c is not None for v, c in codes.items() if v < 50)
+
+    qvec = [0.0] * DIM
+    top = similarity.pq_adc_topk(df, books, qvec, k=52).collect()
+    assert len(top) == 52
+    # the two invalid rows rank last with null distance
+    assert {r["vec_id"] for r in top[-2:]} == {9001, 9002}
+    assert all(r["pq_dist"] is None for r in top[-2:])
+    assert all(r["pq_dist"] is not None for r in top[:-2])

@@ -1,0 +1,184 @@
+"""ANN recall on CLUSTERED embeddings (the realistic regime).
+
+SCALE.md's original recall table used the sf0.1 embeddings table —
+uniform random 64-d vectors, near-orthogonal, the provable worst case
+for any space-partitioning index. Real embedding corpora (text/image
+encoders) are strongly clustered; this harness generates a mixture of
+Gaussians on the unit sphere, deterministic seed, and measures
+recall@10 at matched scan fractions for the three index paths:
+
+  - lsh_ann_topk      (hyperplane LSH, multi-probe)
+  - ivf_topk          (coarse k-means cells, probe sweep)
+  - ann_shortlist_rerank (IVF+PQ ADC shortlist -> exact rerank)
+
+Ground truth is exact cosine computed in numpy on the same vectors
+(engine-independent; the Spark exact path is separately oracle-checked
+by cosine_brute_topk). Scan fraction is measured, not estimated: the
+actual number of corpus rows each probe set admits, divided by corpus
+size.
+
+Usage: python bench_ann_recall.py [n_vectors] [out_json]
+Prints one JSON line per (method, config) with mean recall@10 and mean
+scan fraction over the query set.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import numpy as np
+
+N_DEFAULT = 20_000
+DIM = 64
+N_CLUSTERS = 32
+CLUSTER_STD = 0.18
+N_QUERIES = 20
+K = 10
+SEED = 20260814
+
+
+def make_clustered(n: int, rng: np.random.RandomState) -> np.ndarray:
+    """Mixture of Gaussians on the unit sphere: centers ~ N(0,1)
+    normalized, points = center + std * noise, then re-normalized."""
+    centers = rng.randn(N_CLUSTERS, DIM)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, N_CLUSTERS, size=n)
+    pts = centers[assign] + CLUSTER_STD * rng.randn(n, DIM)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import similarity
+    from cybersecurity_miw_spark.session import get_spark
+
+    rng = np.random.RandomState(SEED)
+    vecs = make_clustered(n, rng)
+    # queries: perturbed corpus points (realistic near-duplicate query
+    # distribution), re-normalized
+    qidx = rng.choice(n, N_QUERIES, replace=False)
+    queries = vecs[qidx] + 0.05 * rng.randn(N_QUERIES, DIM)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    # exact ground truth (cosine == dot on unit vectors)
+    sims = queries @ vecs.T
+    truth = np.argsort(-sims, axis=1)[:, :K]
+
+    spark = get_spark("ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    ).repartition(32).persist()
+    df.count()
+
+    results = []
+
+    def record(method, cfg, recalls, fractions):
+        row = {
+            "method": method, **cfg, "n": n,
+            "recall_at_10": round(float(np.mean(recalls)), 3),
+            "scan_fraction": round(float(np.mean(fractions)), 4),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    def recall_of(ids, qi) -> float:
+        return len(set(ids) & set(truth[qi].tolist())) / K
+
+    # --- LSH (hyperplane) ---
+    for n_planes, probe_list in ((8, [1, 5, 9]), (6, [1, 3, 7])):
+        bucketed = df.withColumn(
+            "_b",
+            similarity.hyperplane_bucket(
+                F.col("embedding"), DIM, n_planes
+            ),
+        ).persist()
+        bucket_sizes = {
+            r["_b"]: r["c"]
+            for r in bucketed.groupBy("_b").agg(
+                F.count(F.lit(1)).alias("c")
+            ).collect()
+        }
+        for n_probes in probe_list:
+            recalls, fracs = [], []
+            for qi, q in enumerate(queries):
+                qb = similarity.bucket_value(q.tolist(), n_planes)
+                probes = ([qb] + [qb ^ (1 << p) for p in range(n_planes)])[
+                    : max(1, n_probes)
+                ]
+                scanned = sum(bucket_sizes.get(b, 0) for b in probes)
+                top = similarity.lsh_ann_topk(
+                    df, q.tolist(), DIM, k=K,
+                    n_planes=n_planes, n_probes=n_probes,
+                ).collect()
+                recalls.append(recall_of([r["vec_id"] for r in top], qi))
+                fracs.append(scanned / n)
+            record(
+                "lsh", {"n_planes": n_planes, "n_probes": n_probes},
+                recalls, fracs,
+            )
+        bucketed.unpersist()
+
+    # --- IVF (exact within probed cells) ---
+    centroids = similarity.train_centroids(
+        df, n_cells=N_CLUSTERS, dim=DIM, iters=3
+    )
+    cents = np.asarray(centroids)
+    assigned = np.argmin(
+        np.sum(cents * cents, axis=1)[None, :] - 2 * (vecs @ cents.T),
+        axis=1,
+    )
+    cell_sizes = np.bincount(assigned, minlength=N_CLUSTERS)
+    for n_probes in (1, 2, 4, 8):
+        recalls, fracs = [], []
+        for qi, q in enumerate(queries):
+            d2 = np.sum((cents - q) ** 2, axis=1)
+            cells = np.argsort(d2)[:n_probes]
+            top = similarity.ivf_topk(
+                df, centroids, q.tolist(), k=K, n_probes=n_probes
+            ).collect()
+            recalls.append(recall_of([r["vec_id"] for r in top], qi))
+            fracs.append(int(cell_sizes[cells].sum()) / n)
+        record("ivf", {"n_cells": N_CLUSTERS, "n_probes": n_probes},
+               recalls, fracs)
+
+    # --- IVF+PQ shortlist -> exact rerank ---
+    books = similarity.train_pq_codebooks(df, dim=DIM, m=8, k=16, iters=3)
+    index = similarity.ivf_pq_index(df, centroids, books).persist()
+    index.count()
+    for n_probes, shortlist in ((1, 100), (2, 100), (4, 200), (8, 200)):
+        recalls, fracs = [], []
+        for qi, q in enumerate(queries):
+            d2 = np.sum((cents - q) ** 2, axis=1)
+            cells = np.argsort(d2)[:n_probes]
+            top = similarity.ann_shortlist_rerank(
+                df, index, centroids, books, q.tolist(),
+                k=K, shortlist=shortlist, n_probes=n_probes,
+            ).collect()
+            recalls.append(recall_of([r["vec_id"] for r in top], qi))
+            # code bytes scanned for the probed cells + full vectors
+            # for the shortlist
+            fracs.append(int(cell_sizes[cells].sum()) / n)
+        record(
+            "ivf_pq_rerank",
+            {"n_cells": N_CLUSTERS, "n_probes": n_probes,
+             "shortlist": shortlist, "m": 8},
+            recalls, fracs,
+        )
+    index.unpersist()
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

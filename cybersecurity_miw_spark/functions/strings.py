@@ -29,17 +29,49 @@ def token_pattern(delims: str, quotechar: str = "") -> str:
     * no quotechar: a token is a maximal run of non-delimiter chars —
       `[^D]+` — which drops empty tokens exactly like the reference's
       char_separator (miw/log_format.cc:121-137).
-    * with quotechar Q: a quoted region `Q[^Q]*Q` binds tighter than
-      delimiter splitting, so `"Mozilla/5.0 (X11; ...)"` stays one
-      token (miw/log_format.cc:138-172). A token may mix quoted and
-      bare segments (`a"b c"d`), hence the outer `(?:...)+`.
+    * with quotechar Q, the reference's re-join pass
+      (miw/log_format.cc:138-172) is: Q is only special at the START
+      of a delimiter-separated run (it OPENS an accumulating token);
+      the token CLOSES at the first run whose LAST char is Q (the
+      opening run itself may self-close, including a lone Q); runs
+      between open and close keep their actual intermediate
+      delimiters; an unterminated open token takes everything through
+      the last non-delimiter char. Mid-run quotes are ordinary chars
+      ('a"b c"d' is TWO tokens — a"b and c"d — because neither run
+      STARTS with Q). Ordered alternation, earliest-close via the
+      lazy run quantifier:
+
+        1. self-closing opening run   Q(R*Q)?(?=D|$)
+        2. multi-run quoted, closed   Q[sS]*?Q(?=D|$)  — char-wise
+           lazy, so the close is the EARLIEST Q sitting at a run end
+           (a block-structured lazy form would expand blocks before
+           backtracking an inner greedy run and close too late)
+        3. unterminated open          QR*(D+R+)*
+        4. bare run (not Q-initial)   [^DQ]R*
+
+      Known divergence (documented, golden-pinned in
+      tests/test_tokenizer_reference_model.py): with CONSECUTIVE
+      delimiters ahead of an open quote, the reference re-reads
+      intermediate delimiters via a byte offset that assumes exactly
+      one delimiter per boundary (miw/log_format.cc:144-151), so its
+      rejoined token drops/corrupts those delimiters
+      ('a  "b c"' → '"bc"'); this engine preserves the actual text
+      ('"b c"').
     """
-    neg = "[^" + "".join(re.escape(c) for c in set(delims + quotechar)) + "]"
-    if quotechar:
-        q = re.escape(quotechar)
-        quoted = f"{q}[^{q}]*{q}"
-        return f"(?:{quoted}|{neg})+"
-    return f"{neg}+"
+    d = "".join(re.escape(c) for c in set(delims))
+    if not quotechar:
+        return f"[^{d}]+"
+    q = re.escape(quotechar)
+    R = f"[^{d}]"       # non-delimiter (quotes included: mid-run Qs
+    # are ordinary chars)
+    D = f"[{d}]"
+    bare_head = f"[^{d}{q}]"
+    return (
+        f"{q}(?:{R}*{q})?(?={D}|$)"
+        f"|{q}[\\s\\S]*?{q}(?={D}|$)"
+        f"|{q}{R}*(?:{D}+{R}+)*"
+        f"|{bare_head}{R}*"
+    )
 
 
 def tokenize(col: Column, delims: str, quotechar: str = "") -> Column:

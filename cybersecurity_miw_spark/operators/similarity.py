@@ -861,3 +861,37 @@ def ivf_pq_topk(
     return pq_adc_topk_codes(
         index_df.filter(F.col("_cell").isin(cells)), lut, k, id_col
     )
+
+
+def ann_shortlist_rerank(
+    corpus: DataFrame,
+    index_df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    query_vec: list[float],
+    k: int = 10,
+    shortlist: int = 100,
+    n_probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = PQ_SCALE,
+) -> DataFrame:
+    """Two-stage ANN query (FAISS-style shortlist + refine): the
+    probe-pruned ADC scan ranks a ``shortlist``-sized candidate set
+    from code bytes, then EXACT cosine re-scores only those rows
+    against the full vectors. One broadcast semi-join (the shortlist
+    is ≤ ``shortlist`` rows by construction) — the corpus's vector
+    column is read only for shortlist members, so the exact stage's
+    scan is proportional to the shortlist, not the corpus.
+
+    With ``n_probes = len(centroids)`` and ``shortlist >= |corpus|``
+    this degenerates to exact search (golden-checked in
+    tests/test_ann_recall.py)."""
+    cand = ivf_pq_topk(
+        index_df, centroids, codebooks, query_vec,
+        k=shortlist, n_probes=n_probes, id_col=id_col, scale=scale,
+    )
+    pruned = corpus.join(
+        F.broadcast(cand.select(id_col)), on=id_col, how="semi"
+    )
+    return brute_force_topk(pruned, query_vec, k, vec_col, id_col)

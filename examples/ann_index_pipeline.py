@@ -48,13 +48,9 @@ def main(sf_dir: str) -> None:
     qvec = list(
         emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     )
-    shortlist = similarity.ivf_pq_topk(
-        index, centroids, books, qvec, k=50, n_probes=2
-    )
-    # exact rerank of the shortlist only
-    ids = [r["vec_id"] for r in shortlist.collect()]
-    rerank = similarity.brute_force_topk(
-        emb.filter(F.col("vec_id").isin(ids)), qvec, k=10
+    rerank = similarity.ann_shortlist_rerank(
+        emb, index, centroids, books, qvec,
+        k=10, shortlist=50, n_probes=2,
     )
     print("top-10 after exact rerank of the 50-row ADC shortlist:")
     rerank.show(10, truncate=False)

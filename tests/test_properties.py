@@ -62,41 +62,17 @@ def spec_atof(s: str) -> float:
 
 
 def spec_tokenize(s: str, delims: str, quotechar: str = "") -> list[str]:
-    """State-machine reference tokenizer: split on any delimiter char,
-    collapse empty tokens, quoted regions bind tighter than splitting
-    (a dangling quote absorbs nothing past the final quote char)."""
-    tokens: list[str] = []
-    cur: list[str] = []
-    in_quote = False
-    for ch in s:
-        if quotechar and ch == quotechar:
-            if in_quote:
-                cur.append(ch)
-                in_quote = False
-            else:
-                in_quote = True
-                cur.append(ch)
-        elif ch in delims and not in_quote:
-            if cur:
-                tokens.append("".join(cur))
-                cur = []
-        else:
-            cur.append(ch)
-    if in_quote:
-        # unterminated quote: the regex (?:Q[^Q]*Q|[^DQ])+ never treats
-        # a lone quote as token content — re-split the tail without it
-        tail = "".join(cur)
-        qpos = tail.rindex(quotechar)
-        head, rest = tail[:qpos], tail[qpos + 1 :]
-        if head:
-            cur = list(head)
-            if cur:
-                tokens.append("".join(cur))
-        tokens.extend(spec_tokenize(rest, delims))
-        return tokens
-    if cur:
-        tokens.append("".join(cur))
-    return tokens
+    """Intent-model tokenizer (reference quote-rejoin semantics with
+    accurate offsets — see tests/test_tokenizer_reference_model.py,
+    which validates it against a faithful port of
+    miw/log_format.cc:121-173): Q opens only at run START, closes at
+    the first run ENDING with Q, intermediate delimiters are kept,
+    an unterminated open token runs to the last non-delimiter char."""
+    from tests.test_tokenizer_reference_model import intent_tokenize
+
+    if not quotechar:
+        return [t for t in re.split("[" + re.escape(delims) + "]", s) if t]
+    return intent_tokenize(s, delims, quotechar)
 
 
 def spec_bucket_time(s: str, processing: str, offset: int) -> str:

@@ -174,6 +174,35 @@ def main() -> None:
         )
     index.unpersist()
 
+    # --- residual IVF+PQ (FAISS IVFPQ encoding) -> exact rerank ---
+    res_df = similarity.residual_vectors(df, centroids)
+    res_books = similarity.train_pq_codebooks(
+        res_df, dim=DIM, m=8, k=16, iters=3, vec_col="residual"
+    )
+    res_index = similarity.ivf_pq_index(
+        df, centroids, res_books, residual=True
+    ).persist()
+    res_index.count()
+    for n_probes, shortlist in ((1, 100), (2, 100), (4, 200), (8, 200)):
+        recalls, fracs = [], []
+        for qi, q in enumerate(queries):
+            d2 = np.sum((cents - q) ** 2, axis=1)
+            cells = np.argsort(d2)[:n_probes]
+            top = similarity.ann_shortlist_rerank(
+                df, res_index, centroids, res_books, q.tolist(),
+                k=K, shortlist=shortlist, n_probes=n_probes,
+                residual=True,
+            ).collect()
+            recalls.append(recall_of([r["vec_id"] for r in top], qi))
+            fracs.append(int(cell_sizes[cells].sum()) / n)
+        record(
+            "ivf_pq_residual_rerank",
+            {"n_cells": N_CLUSTERS, "n_probes": n_probes,
+             "shortlist": shortlist, "m": 8},
+            recalls, fracs,
+        )
+    res_index.unpersist()
+
     if out_path:
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)

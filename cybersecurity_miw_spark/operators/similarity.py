@@ -635,18 +635,7 @@ def pq_adc_topk_codes(
     structural and appears with corpus size: 128x fewer bytes scanned
     and m integer adds per row instead of a dim-length float fold,
     while the one-time encode cost amortizes to zero across queries."""
-    m = len(lut)
-    dist = F.lit(0).cast("long")
-    for s in range(m):
-        lut_arr = F.array(*[F.lit(int(v)).cast("long") for v in lut[s]])
-        dist = dist + F.element_at(
-            lut_arr, F.col(code_col)[s].cast("int") + 1
-        )
-    # explicit null-codes guard: element_at over a LITERAL array with a
-    # null index returns the LAST element on Spark 4.1 (observed; null
-    # does not propagate), so without this a null-coded row would get
-    # m * lut[s][-1] as a finite distance and could outrank real rows
-    dist = F.when(F.col(code_col).isNotNull(), dist)
+    dist = _adc_dist_expr(lut, code_col)
     return (
         codes_df.select(id_col, dist.alias("pq_dist"))
         # nulls LAST: a row with a null/short embedding has null codes
@@ -655,6 +644,21 @@ def pq_adc_topk_codes(
         .orderBy(F.asc_nulls_last("pq_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def _adc_dist_expr(lut: list[list[int]], code_col: str) -> Column:
+    """Σ_s LUT[s][code_s] as codegen'd lookups over literal arrays."""
+    dist = F.lit(0).cast("long")
+    for s in range(len(lut)):
+        lut_arr = F.array(*[F.lit(int(v)).cast("long") for v in lut[s]])
+        dist = dist + F.element_at(
+            lut_arr, F.col(code_col)[s].cast("int") + 1
+        )
+    # explicit null-codes guard: element_at over a LITERAL array with a
+    # null index returns the LAST element on Spark 4.1 (observed; null
+    # does not propagate), so without this a null-coded row would get
+    # m * lut[s][-1] as a finite distance and could outrank real rows
+    return F.when(F.col(code_col).isNotNull(), dist)
 
 
 def pq_query_lut(
@@ -747,8 +751,7 @@ def _np_pq_kernel(codebooks, scale):
     cbs = [np.asarray(codebooks[s], dtype=np.int64) for s in range(m)]
     cb_norm = [np.sum(c * c, axis=1) for c in cbs]
 
-    def kernel(vec_series):
-        vecs = np.stack(vec_series.to_numpy()).astype(np.float64)
+    def kernel_mat(vecs):
         iv = np.floor(vecs * scale).astype(np.int64)
         codes = np.empty((len(iv), m), dtype=np.int32)
         for s in range(m):
@@ -757,6 +760,12 @@ def _np_pq_kernel(codebooks, scale):
             codes[:, s] = np.argmin(score, axis=1)
         return codes
 
+    def kernel(vec_series):
+        return kernel_mat(
+            np.stack(vec_series.to_numpy()).astype(np.float64)
+        )
+
+    kernel.mat = kernel_mat
     return kernel
 
 
@@ -791,6 +800,34 @@ def pq_encode_arrow(
     )
 
 
+def residual_vectors(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "residual",
+) -> DataFrame:
+    """Assign each vector to its nearest coarse cell and subtract that
+    centroid: the residual domain PQ codebooks should be trained in
+    for a residual IVF+PQ index (FAISS IVFPQ's encoding). All
+    expression-side: the centroid table is a 2-D literal array,
+    constant-folded — no join, no Python."""
+    cents2d = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c])
+            for c in centroids
+        ]
+    )
+    assigned = ivf_assign(df, centroids, vec_col)
+    return assigned.withColumn(
+        out_col,
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cents2d, F.col("_cell") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+
+
 def ivf_pq_index(
     df: DataFrame,
     centroids: list[list[float]],
@@ -798,6 +835,7 @@ def ivf_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = PQ_SCALE,
+    residual: bool = False,
 ) -> DataFrame:
     """Write-side IVF+PQ index build (the FAISS IVFPQ layout as a
     DataFrame): one row per vector with its coarse cell and PQ codes —
@@ -810,7 +848,15 @@ def ivf_pq_index(
     batch over one scan — no second read of the vector column and no
     corpus-wide join by id (the earlier two-scan + shuffle-join form
     was a review finding; at write-side scale the join alone was a
-    full extra shuffle of the corpus)."""
+    full extra shuffle of the corpus).
+
+    ``residual=True`` encodes v − centroid[cell] instead of v (train
+    the codebooks on :func:`residual_vectors` output). Raw-vector PQ
+    loses within-cluster resolution on clustered corpora — every
+    vector in a tight cluster quantizes to near-identical codes and
+    the ADC shortlist dilutes (measured: bench_ann_recall.py /
+    SCALE.md); residual encoding spends the codebook on the
+    within-cell geometry, the FAISS IVFPQ design."""
     import numpy as np
     import pandas as pd
 
@@ -825,9 +871,10 @@ def ivf_pq_index(
             cell = np.argmin(
                 cent_norm[None, :] - 2 * (vecs @ cents.T), axis=1
             ).astype(np.int32)
+            enc_in = vecs - cents[cell] if residual else vecs
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "_cell": cell,
-                 "pq_code": list(kernel(pdf[vec_col]))}
+                 "pq_code": list(kernel.mat(enc_in))}
             )
 
     return df.select(id_col, vec_col).mapInPandas(
@@ -844,22 +891,42 @@ def ivf_pq_topk(
     n_probes: int = 1,
     id_col: str = "vec_id",
     scale: int = PQ_SCALE,
+    residual: bool = False,
 ) -> DataFrame:
     """Query an :func:`ivf_pq_index`: pick the ``n_probes`` nearest
     cells driver-side, filter the index to those cells (partition
     pruning when the index is written partitioned by _cell), then rank
     the shortlist by the m lookup-table adds of ADC. The standard
     two-level ANN: probes trade recall for cells scanned, PQ makes
-    each scanned row m bytes."""
+    each scanned row m bytes.
+
+    ``residual=True`` (for a residual-encoded index): one LUT per
+    probed cell from the query's residual against that cell's
+    centroid, dispatched by a CASE over ``_cell`` — still pure
+    codegen'd lookups, n_probes × m × k literals. Distances stay
+    comparable across cells (each approximates ||q − v||² in the same
+    scaled-integer domain)."""
     q = [float(v) for v in query_vec]
     d2 = sorted(
         (sum((a - b) ** 2 for a, b in zip(q, c)), i)
         for i, c in enumerate(centroids)
     )
     cells = [i for _, i in d2[: max(1, n_probes)]]
-    lut = pq_query_lut(codebooks, query_vec, scale)
-    return pq_adc_topk_codes(
-        index_df.filter(F.col("_cell").isin(cells)), lut, k, id_col
+    pruned = index_df.filter(F.col("_cell").isin(cells))
+    if not residual:
+        lut = pq_query_lut(codebooks, query_vec, scale)
+        return pq_adc_topk_codes(pruned, lut, k, id_col)
+    dist = F.lit(None).cast("long")
+    for c in cells:
+        q_res = [a - b for a, b in zip(q, centroids[c])]
+        lut_c = pq_query_lut(codebooks, q_res, scale)
+        dist = F.when(
+            F.col("_cell") == c, _adc_dist_expr(lut_c, "pq_code")
+        ).otherwise(dist)
+    return (
+        pruned.select(id_col, dist.alias("pq_dist"))
+        .orderBy(F.asc_nulls_last("pq_dist"), F.asc(id_col))
+        .limit(k)
     )
 
 
@@ -875,6 +942,7 @@ def ann_shortlist_rerank(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = PQ_SCALE,
+    residual: bool = False,
 ) -> DataFrame:
     """Two-stage ANN query (FAISS-style shortlist + refine): the
     probe-pruned ADC scan ranks a ``shortlist``-sized candidate set
@@ -890,6 +958,7 @@ def ann_shortlist_rerank(
     cand = ivf_pq_topk(
         index_df, centroids, codebooks, query_vec,
         k=shortlist, n_probes=n_probes, id_col=id_col, scale=scale,
+        residual=residual,
     )
     pruned = corpus.join(
         F.broadcast(cand.select(id_col)), on=id_col, how="semi"

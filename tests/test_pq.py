@@ -152,3 +152,120 @@ def test_null_and_short_embeddings_get_null_codes_and_rank_last(spark):
     assert {r["vec_id"] for r in top[-2:]} == {9001, 9002}
     assert all(r["pq_dist"] is None for r in top[-2:])
     assert all(r["pq_dist"] is not None for r in top[:-2])
+
+
+def test_residual_index_codes_match_expression_residual_encode(spark):
+    """Bridge the two residual paths: the Arrow index builder's
+    residual codes must equal pq_encode over residual_vectors'
+    expression-side residuals (same int domain, same argmin)."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    cents = similarity.train_centroids(emb, n_cells=4, dim=DIM, iters=1)
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    idx = {
+        r["vec_id"]: (r["_cell"], list(r["pq_code"]))
+        for r in similarity.ivf_pq_index(
+            emb, cents, books, residual=True
+        ).collect()
+    }
+    res = similarity.residual_vectors(emb, cents)
+    expr = {
+        r["vec_id"]: (r["_cell"], list(r["pq_code"]))
+        for r in similarity.pq_encode(
+            res, books, vec_col="residual"
+        ).select("vec_id", "_cell", "pq_code").collect()
+    }
+    assert idx == expr and len(idx) == 200
+
+
+def test_residual_adc_distance_equals_numpy_recompute(spark):
+    """Residual ADC: per-cell LUT dispatch must equal a direct numpy
+    recomputation of sum_s ||floor((q - c_cell)*S)_sub_s - cb[code_s]||^2."""
+    import numpy as np
+
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 150)
+    cents = similarity.train_centroids(emb, n_cells=3, dim=DIM, iters=1)
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    idx = similarity.ivf_pq_index(emb, cents, books, residual=True)
+    rows = {r["vec_id"]: r for r in idx.collect()}
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 7).head()["embedding"]
+    ]
+    got = {
+        r["vec_id"]: r["pq_dist"]
+        for r in similarity.ivf_pq_topk(
+            idx, cents, books, qvec, k=150, n_probes=3, residual=True
+        ).collect()
+    }
+    sub = DIM // M
+    cents_np = np.asarray(cents)
+    q = np.asarray(qvec)
+    for vid, r in rows.items():
+        qi = np.floor(
+            (q - cents_np[r["_cell"]]) * similarity.PQ_SCALE
+        ).astype(np.int64)
+        want = sum(
+            int(
+                np.sum(
+                    (
+                        qi[s * sub : (s + 1) * sub]
+                        - np.asarray(books[s][r["pq_code"][s]])
+                    )
+                    ** 2
+                )
+            )
+            for s in range(M)
+        )
+        assert got[vid] == want, vid
+
+
+def test_residual_rerank_recall_not_worse_than_raw_on_clusters(spark):
+    """The point of residual encoding: on clustered data, residual
+    ADC shortlists must rank true neighbors at least as well as
+    raw-vector ADC at the same probe/shortlist budget."""
+    import numpy as np
+
+    rng = np.random.RandomState(77)
+    n, dim, n_cells = 1500, 32, 12
+    centers = rng.randn(n_cells, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.randint(0, n_cells, size=n)] + 0.15 * rng.randn(
+        n, dim
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id bigint, embedding array<double>",
+    ).persist()
+    cents = similarity.train_centroids(df, n_cells=n_cells, dim=dim, iters=2)
+    raw_books = similarity.train_pq_codebooks(df, dim=dim, m=4, k=16, iters=2)
+    res_books = similarity.train_pq_codebooks(
+        similarity.residual_vectors(df, cents),
+        dim=dim, m=4, k=16, iters=2, vec_col="residual",
+    )
+    raw_idx = similarity.ivf_pq_index(df, cents, raw_books).persist()
+    res_idx = similarity.ivf_pq_index(
+        df, cents, res_books, residual=True
+    ).persist()
+
+    queries = pts[rng.choice(n, 4, replace=False)]
+    truth = np.argsort(-(queries @ pts.T), axis=1)[:, :10]
+    raw_hits = res_hits = 0
+    for qi, q in enumerate(queries):
+        t = set(truth[qi].tolist())
+        raw_hits += len(t & {
+            r["vec_id"]
+            for r in similarity.ann_shortlist_rerank(
+                df, raw_idx, cents, raw_books, q.tolist(),
+                k=10, shortlist=40, n_probes=2,
+            ).collect()
+        })
+        res_hits += len(t & {
+            r["vec_id"]
+            for r in similarity.ann_shortlist_rerank(
+                df, res_idx, cents, res_books, q.tolist(),
+                k=10, shortlist=40, n_probes=2, residual=True,
+            ).collect()
+        })
+    raw_idx.unpersist(); res_idx.unpersist(); df.unpersist()
+    assert res_hits >= raw_hits, (res_hits, raw_hits)

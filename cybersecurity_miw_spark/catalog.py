@@ -2205,6 +2205,76 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# deterministic dataset splitting + exact stratified sampling
+# (operators/sampling.py — beyond-reference LLM-pipeline surface, like
+# dedup/similarity): md5-derived assignment recomputed bit-identically
+# by both engines.
+
+_SPLIT_SQL = """
+SELECT doc_id,
+       ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT
+         % 10000 AS bucket,
+       CASE
+         WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT
+              % 10000 < 9800 THEN 'train'
+         WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT
+              % 10000 < 9900 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+@register("split_train_val_test", _SPLIT_SQL)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment by md5 hash
+    bucket (operators/sampling.py:split_assign): join-free narrow
+    projection, stable across re-runs/backfills — the property that
+    keeps eval contamination out as the corpus grows."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=False).select(
+        "doc_id"
+    )
+    out = sampling.split_assign(
+        docs, {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    return out.select(
+        "doc_id",
+        sampling.hash_bucket(F.col("doc_id"), "split-v1").alias("bucket"),
+        "split",
+    )
+
+
+_STRAT_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('sample-v1:' || doc_id)
+         ) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= ceil(n * 0.1)
+"""
+
+
+@register("stratified_sample_by_source", _STRAT_SQL)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 10% per-source sample
+    (operators/sampling.py:stratified_exact_sample): ceil(0.1 * n)
+    rows per stratum in md5 order — deterministic and unbiased, where
+    sampleBy would be Bernoulli-approximate and unstable across runs.
+    Both window functions share one hash partitioning on source."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    return sampling.stratified_exact_sample(
+        docs, "source", 0.1
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which

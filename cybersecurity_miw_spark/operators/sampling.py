@@ -1,0 +1,105 @@
+"""Deterministic sampling and dataset splitting for training-data
+pipelines.
+
+A 100 TB corpus needs reproducible, join-free, restart-stable
+train/val/test assignment and per-stratum sampling — `rand()` fails
+all three (new sample per retry/backfill, rows move between splits on
+re-runs). Everything here derives from md5(salt || id): stable across
+engines (the DuckDB oracles recompute it bit-identically), uniform,
+and a pure narrow projection — no shuffle for split assignment, one
+key shuffle for exact stratified sampling.
+
+No reference analog (the reference has no sampling surface); these are
+beyond-reference LLM-pipeline operators like operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 10_000
+
+
+def hash_bucket(
+    id_col: Column, salt: str = "", buckets: int = SPLIT_BUCKETS
+) -> Column:
+    """Uniform bucket in [0, buckets) from the first 8 md5 hex chars
+    of salt:id — 32 bits of hash, engine-portable (DuckDB:
+    ('0x' || substr(md5(..),1,8))::BIGINT)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), id_col.cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Assign every row a deterministic split label by hash bucket:
+    cumulative fraction thresholds over ``hash_bucket`` (insertion
+    order of ``fractions``; they must sum to 1). A narrow projection —
+    no shuffle, no sampling job, stable under re-runs and backfills:
+    a given id lands in the same split forever (the property that
+    keeps eval contamination out when the corpus grows).
+
+    Adds ``split``; fraction resolution is 1/buckets."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    b = hash_bucket(F.col(id_col), salt, buckets)
+    expr = None
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        hi = round(acc * buckets)
+        cond = b < F.lit(hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    # float-sum slack: the last threshold is buckets by construction,
+    # but keep an otherwise to be total
+    expr = expr.otherwise(F.lit(next(reversed(fractions))))
+    return df.withColumn("split", expr)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """EXACT per-stratum sampling: ceil(fraction * |stratum|) rows from
+    every stratum, chosen by md5 order (deterministic, engine-portable
+    — unlike ``sampleBy``, which is Bernoulli-approximate and draws a
+    different sample per run). One hash shuffle on the stratum key;
+    both window functions reuse the same partitioning (single
+    Exchange). The md5 rank is uniform, so the sample is unbiased
+    within each stratum."""
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    w = Window.partitionBy(strata_col)
+    rank_key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    wo = w.orderBy(rank_key)
+    n_take = F.ceil(
+        F.count(F.lit(1)).over(w) * F.lit(fraction)
+    ).cast("long")
+    return (
+        df.withColumn("_rn", F.row_number().over(wo))
+        .withColumn("_take", n_take)
+        .filter(F.col("_rn") <= F.col("_take"))
+        .drop("_rn", "_take")
+    )

@@ -1,0 +1,108 @@
+"""Deterministic split / exact stratified sampling invariants
+(operators/sampling.py) — beyond the DuckDB oracles, pin the
+properties that make these safe at corpus scale: determinism across
+runs, stability under corpus growth, exact per-stratum counts, and
+plan shape (split is shuffle-free; sampling shares one exchange)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import sampling
+from cybersecurity_miw_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+FRACS = {"train": 0.98, "val": 0.01, "test": 0.01}
+
+
+def test_split_deterministic_and_stable_under_growth(spark):
+    docs = load_table(spark, SF, "documents", widen=False).select("doc_id")
+    a = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(docs, FRACS).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(docs, FRACS).collect()
+    }
+    assert a == b
+    # growth stability: assignment over a SUBSET matches the full run
+    # row-for-row (no dependence on corpus contents)
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(
+            docs.filter(F.col("doc_id") % 3 == 0), FRACS
+        ).collect()
+    }
+    assert all(a[k] == v for k, v in sub.items())
+
+
+def test_split_proportions_near_fractions(spark):
+    docs = load_table(spark, SF, "documents", widen=False).select("doc_id")
+    n = docs.count()
+    counts = {
+        r["split"]: r["c"]
+        for r in sampling.split_assign(docs, FRACS)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(counts) <= set(FRACS)
+    for name, frac in FRACS.items():
+        got = counts.get(name, 0) / n
+        # binomial noise at sf0.001 (500 docs): generous band
+        assert abs(got - frac) < 0.02, (name, got)
+
+
+def test_split_rejects_bad_fractions(spark):
+    docs = load_table(spark, SF, "documents", widen=False).select("doc_id")
+    with pytest.raises(ValueError):
+        sampling.split_assign(docs, {"a": 0.5, "b": 0.4})
+
+
+def test_stratified_sample_exact_counts_and_subset(spark):
+    docs = load_table(spark, SF, "documents", widen=False)
+    strata = {
+        r["source"]: r["c"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    out = sampling.stratified_exact_sample(docs, "source", 0.1)
+    got = {
+        r["source"]: r["c"]
+        for r in out.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == {
+        s: math.ceil(0.1 * n) for s, n in strata.items()
+    }
+    # sampled rows are real rows
+    assert out.join(docs, "doc_id", "left_anti").count() == 0
+    # deterministic
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sampling.stratified_exact_sample(
+            docs, "source", 0.1
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_plan_shapes_split_narrow_sample_single_exchange(spark):
+    docs = load_table(spark, SF, "documents", widen=False)
+    split_plan = sampling.split_assign(
+        docs.select("doc_id"), FRACS
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in split_plan  # pure narrow projection
+
+    samp_plan = sampling.stratified_exact_sample(
+        docs, "source", 0.1
+    )._jdf.queryExecution().executedPlan().toString()
+    # both windows share one hash partitioning on source
+    assert samp_plan.count("Exchange hashpartitioning") == 1

@@ -2275,6 +2275,52 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+_MIX_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5('mix-v1:' || doc_id)
+         ) AS rn
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2')
+),
+keyed AS (
+  SELECT doc_id, source,
+         rn / (CASE source WHEN 'src0' THEN 0.6
+                           WHEN 'src1' THEN 0.3
+                           ELSE 0.1 END) AS mix_key
+  FROM ranked
+)
+SELECT doc_id, source, round(mix_key, 6) AS mix_key_r
+FROM keyed
+ORDER BY mix_key, source, doc_id
+LIMIT 60
+"""
+
+
+@register("weighted_interleave_prefix", _MIX_SQL)
+def q_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 60 rows of a 60/30/10 src0/src1/src2 deterministic corpus
+    mix (operators/sampling.py:weighted_interleave): every output
+    prefix holds the weight proportions — the corpus-mixing step
+    before training-shard writes. TakeOrdered prefix, no global
+    sort."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    out = sampling.weighted_interleave(
+        docs, "source", {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    )
+    return (
+        out.orderBy("mix_key", "source", "doc_id")
+        .limit(60)
+        .select(
+            "doc_id", "source",
+            F.round("mix_key", 6).alias("mix_key_r"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which

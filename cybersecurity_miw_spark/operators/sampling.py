@@ -103,3 +103,48 @@ def stratified_exact_sample(
         .filter(F.col("_rn") <= F.col("_take"))
         .drop("_rn", "_take")
     )
+
+
+def weighted_interleave(
+    df: DataFrame,
+    source_col: str,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic weighted data mixing: order rows so that any
+    prefix of the output contains sources in proportion to
+    ``weights`` — the standard corpus-mixing step before training.
+
+    Each source's rows get a within-source md5-shuffled rank; the
+    output key ``mix_key`` is (rank / weight): a weight-w source
+    emits one row every 1/w key units, so proportions hold in every
+    prefix (low-discrepancy interleave, not random sampling — no
+    source ever starves or floods a window of the stream). Sources
+    absent from ``weights`` are dropped.
+
+    Scale shape: ONE exchange for the per-source rank window; the
+    consumer orders by (mix_key, source, id) — Spark's range-
+    partitioned total sort for a full shard write, or TakeOrdered for
+    a prefix. Deliberately NO global row_number here: a global window
+    would funnel the corpus through a single partition."""
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+    rank_key = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    wo = Window.partitionBy(source_col).orderBy(rank_key)
+    wmap = F.create_map(
+        *[
+            x
+            for name, wt in weights.items()
+            for x in (F.lit(name), F.lit(float(wt)))
+        ]
+    )
+    mix_key = (
+        (F.row_number().over(wo).cast("double"))
+        / wmap[F.col(source_col)]
+    )
+    return df.filter(
+        F.col(source_col).isin(list(weights))
+    ).withColumn("mix_key", mix_key)

@@ -106,3 +106,33 @@ def test_plan_shapes_split_narrow_sample_single_exchange(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # both windows share one hash partitioning on source
     assert samp_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_weighted_interleave_prefix_proportions(spark):
+    """Every sufficiently long prefix of the mix holds the weight
+    proportions (low-discrepancy property), and the mix is
+    deterministic."""
+    docs = load_table(spark, SF, "documents", widen=False)
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = sampling.weighted_interleave(docs, "source", weights)
+    rows = (
+        out.orderBy("mix_key", "source", "doc_id")
+        .select("doc_id", "source")
+        .collect()
+    )
+    # only weighted sources survive
+    assert {r["source"] for r in rows} == set(weights)
+    for prefix in (20, 50):
+        head = rows[:prefix]
+        for src, w in weights.items():
+            got = sum(1 for r in head if r["source"] == src) / prefix
+            # each source emits one row every 1/w positions: prefix
+            # counts deviate by at most one emission interval
+            assert abs(got - w) <= 1.5 / prefix + 0.02, (prefix, src, got)
+    again = (
+        sampling.weighted_interleave(docs, "source", weights)
+        .orderBy("mix_key", "source", "doc_id")
+        .select("doc_id", "source")
+        .collect()
+    )
+    assert rows == again

@@ -954,7 +954,14 @@ def ann_shortlist_rerank(
 
     With ``n_probes = len(centroids)`` and ``shortlist >= |corpus|``
     this degenerates to exact search (golden-checked in
-    tests/test_ann_recall.py)."""
+    tests/test_ann_recall.py).
+
+    Sizing (measured, SCALE.md): the shortlist must scale with the
+    POPULATION the probes admit, not with k — rule of thumb
+    ``shortlist ≈ max(10*k, rows_scanned/20)``. At that size a
+    residual-encoded index reaches the IVF-exact recall ceiling
+    (0.96+ @ 2 probes on clustered 20k); an undersized shortlist is
+    the dominant recall loss, ahead of quantization error."""
     cand = ivf_pq_topk(
         index_df, centroids, codebooks, query_vec,
         k=shortlist, n_probes=n_probes, id_col=id_col, scale=scale,

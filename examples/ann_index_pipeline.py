@@ -39,9 +39,18 @@ def main(sf_dir: str) -> None:
     emb = emb.select("vec_id", F.col("embedding_unit").alias("embedding"))
 
     # --- write side (once per corpus) ---
+    # RESIDUAL encoding (codebooks trained on v - centroid[cell]):
+    # on clustered corpora raw-vector PQ loses within-cluster
+    # resolution and the shortlist dilutes — measured in SCALE.md,
+    # residual reaches the IVF-exact recall ceiling at the same cost
     centroids = similarity.train_centroids(emb, n_cells=8, dim=64, iters=2)
-    books = similarity.train_pq_codebooks(emb, dim=64, m=4, k=16, iters=2)
-    index = similarity.ivf_pq_index(emb, centroids, books).persist()
+    books = similarity.train_pq_codebooks(
+        similarity.residual_vectors(emb, centroids),
+        dim=64, m=4, k=16, iters=2, vec_col="residual",
+    )
+    index = similarity.ivf_pq_index(
+        emb, centroids, books, residual=True
+    ).persist()
     print(f"index rows: {index.count()} (cells + 4-byte PQ codes)")
 
     # --- query side (per query) ---
@@ -50,7 +59,7 @@ def main(sf_dir: str) -> None:
     )
     rerank = similarity.ann_shortlist_rerank(
         emb, index, centroids, books, qvec,
-        k=10, shortlist=50, n_probes=2,
+        k=10, shortlist=50, n_probes=2, residual=True,
     )
     print("top-10 after exact rerank of the 50-row ADC shortlist:")
     rerank.show(10, truncate=False)

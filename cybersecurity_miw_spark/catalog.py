@@ -2321,6 +2321,24 @@ def q_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pack_sequences_bins")  # rows-only: stateful greedy packing
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py):
+    partition-local first-fit-decreasing via applyInPandas — P
+    independent packers, no driver loop. Not SQL-expressible (greedy
+    stateful assignment), so the driver records rows-only; the FFD
+    invariants (budget respected, waste bound, determinism) are
+    golden-pinned in tests/test_packing.py."""
+    from cybersecurity_miw_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents", widen=False).select(
+        "doc_id", "n_chars"
+    )
+    return packing.pack_sequences(
+        docs, 2000, weight_col="n_chars", n_packers=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which

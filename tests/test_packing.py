@@ -1,0 +1,88 @@
+"""Sequence-packing invariants (operators/packing.py): every doc in
+exactly one bin, no bin over budget except flagged single-doc
+overflow bins, the first-fit waste bound (at most one bin at most
+half full per packer), and determinism."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import packing
+from cybersecurity_miw_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+BUDGET = 2000
+
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    docs = load_table(spark, SF, "documents", widen=False).select(
+        "doc_id", "n_chars"
+    )
+    out = packing.pack_sequences(
+        docs, BUDGET, weight_col="n_chars", n_packers=8
+    ).collect()
+    total = docs.count()
+    return out, total
+
+
+def test_every_doc_assigned_exactly_once(packed):
+    rows, total = packed
+    assert len(rows) == total
+    assert len({r["doc_id"] for r in rows}) == total
+
+
+def test_bins_within_budget_except_flagged_overflow(packed):
+    rows, _ = packed
+    fills = defaultdict(int)
+    members = defaultdict(list)
+    for r in rows:
+        key = (r["packer"], r["bin_id"])
+        fills[key] += r["n_chars"]
+        members[key].append(r)
+    for key, fill in fills.items():
+        if fill > BUDGET:
+            assert len(members[key]) == 1
+            assert members[key][0]["overflow"] is True
+            assert members[key][0]["n_chars"] > BUDGET
+    for r in rows:
+        assert r["overflow"] == (r["n_chars"] > BUDGET)
+
+
+def test_first_fit_waste_bound(packed):
+    """First-fit guarantee: per packer, at most ONE non-overflow bin
+    ends at most half full — the bound that keeps total waste at
+    n_packers * budget/2 regardless of corpus size."""
+    rows, _ = packed
+    fills = defaultdict(int)
+    has_overflow = {}
+    for r in rows:
+        key = (r["packer"], r["bin_id"])
+        fills[key] += r["n_chars"]
+        has_overflow[key] = has_overflow.get(key, False) or r["overflow"]
+    half_empty = defaultdict(int)
+    for (packer, b), fill in fills.items():
+        if not has_overflow[(packer, b)] and fill <= BUDGET / 2:
+            half_empty[packer] += 1
+    assert all(c <= 1 for c in half_empty.values()), dict(half_empty)
+
+
+def test_packing_deterministic(spark, packed):
+    rows, _ = packed
+    docs = load_table(spark, SF, "documents", widen=False).select(
+        "doc_id", "n_chars"
+    )
+    again = packing.pack_sequences(
+        docs, BUDGET, weight_col="n_chars", n_packers=8
+    ).collect()
+    key = lambda r: (r["doc_id"], r["packer"], r["bin_id"], r["overflow"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_rejects_bad_budget(spark):
+    docs = load_table(spark, SF, "documents", widen=False)
+    with pytest.raises(ValueError):
+        packing.pack_sequences(docs, 0, weight_col="n_chars")

@@ -420,7 +420,12 @@ def brute_force_topk_arrow(
     repo where Python-with-Arrow beats the built-in expressions.
     Results match the JVM path (both round to 1e-6; a sum-order
     divergence inside that rounding is possible in principle — use one
-    variant consistently within a pipeline)."""
+    variant consistently within a pipeline).
+
+    Null/short vectors are filtered BEFORE the Arrow stage (np.stack
+    would crash the batch): the JVM path ranks them last with a null
+    score; here they simply cannot enter the top-k — same observable
+    top-k for valid rows."""
     import numpy as np
     import pandas as pd
 
@@ -433,7 +438,10 @@ def brute_force_topk_arrow(
             cos = np.round((m @ q) / (np.linalg.norm(m, axis=1) * qn), 6)
             yield pd.DataFrame({id_col: pdf[id_col], "cos_sim": cos})
 
-    scored = df.select(id_col, vec_col).mapInPandas(
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == len(q))
+    )
+    scored = valid.select(id_col, vec_col).mapInPandas(
         score, f"{id_col} long, cos_sim double"
     )
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
@@ -786,6 +794,7 @@ def pq_encode_arrow(
     — codes are bit-identical to :func:`pq_encode`, which remains the
     oracle-checked reference. Returns (id_col, out_col)."""
     kernel = _np_pq_kernel(codebooks, scale)
+    dim = len(codebooks) * len(codebooks[0][0])
 
     def encode(batches):
         import pandas as pd
@@ -795,7 +804,13 @@ def pq_encode_arrow(
                 {id_col: pdf[id_col], out_col: list(kernel(pdf[vec_col]))}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    # expression-path parity note: pq_encode emits NULL codes for
+    # null/short vectors; the Arrow encoder FILTERS them (np.stack
+    # cannot hold ragged/None rows) — valid rows are code-identical
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    return valid.select(id_col, vec_col).mapInPandas(
         encode, f"{id_col} long, {out_col} array<int>"
     )
 
@@ -877,7 +892,15 @@ def ivf_pq_index(
                  "pq_code": list(kernel.mat(enc_in))}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    # null/wrong-length vectors would crash np.stack mid-batch; an
+    # index row for them is meaningless anyway (they cannot be
+    # searched) — filter with the documented contract that the index
+    # covers exactly the valid vectors
+    dim = len(centroids[0])
+    valid = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    )
+    return valid.select(id_col, vec_col).mapInPandas(
         build, f"{id_col} long, _cell int, pq_code array<int>"
     )
 

@@ -269,3 +269,29 @@ def test_residual_rerank_recall_not_worse_than_raw_on_clusters(spark):
         })
     raw_idx.unpersist(); res_idx.unpersist(); df.unpersist()
     assert res_hits >= raw_hits, (res_hits, raw_hits)
+
+
+def test_arrow_paths_skip_invalid_vectors_instead_of_crashing(spark):
+    """np.stack over a None/ragged row crashed all three Arrow-batched
+    paths (index build, arrow top-k, arrow encode); invalid vectors
+    are now filtered with a documented contract."""
+    bad = spark.createDataFrame(
+        [(1, [0.1] * DIM), (2, None), (3, [1.0, 2.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    cents = [[0.0] * DIM, [0.1] * DIM]
+    assert [
+        r["vec_id"]
+        for r in similarity.ivf_pq_index(bad, cents, books).collect()
+    ] == [1]
+    assert [
+        r["vec_id"]
+        for r in similarity.brute_force_topk_arrow(
+            bad, [0.1] * DIM, k=3
+        ).collect()
+    ] == [1]
+    assert [
+        r["vec_id"]
+        for r in similarity.pq_encode_arrow(bad, books).collect()
+    ] == [1]

@@ -6,9 +6,13 @@
       → exact dedup (md5 fingerprint, min-id survivor)
       → MinHash/LSH near-dedup (banded candidates → Jaccard confirm)
       → TF-IDF top terms (feature preview)
+      → shard assembly: deterministic train/val/test split
+        → weighted source interleave (train shard order)
+        → token-budget sequence packing (context-window bins)
 
 Every stage is a JVM DataFrame plan from
-``cybersecurity_miw_spark.operators``; run it against any sf dir:
+``cybersecurity_miw_spark.operators`` (packing is partition-local
+Arrow); run it against any sf dir:
 
     python examples/training_data_pipeline.py /root/testdata/sf0.01
 """
@@ -64,6 +68,43 @@ def main() -> None:
         survivors.join(docs.select("doc_id", "text"), "doc_id"), n=3
     )
     terms.show(9, truncate=False)
+
+    # --- shard assembly over the curated set ---
+    from cybersecurity_miw_spark.operators import packing, sampling
+
+    curated = survivors.join(
+        docs.select("doc_id", "source", "n_chars"), "doc_id"
+    )
+    split = sampling.split_assign(
+        curated, {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+    split.groupBy("split").count().orderBy("split").show()
+
+    train = split.filter(F.col("split") == "train")
+    top_sources = [
+        r["source"]
+        for r in train.groupBy("source").count()
+        .orderBy(F.desc("count")).limit(3).collect()
+    ]
+    mixed = sampling.weighted_interleave(
+        train, "source", dict(zip(top_sources, (0.6, 0.3, 0.1)))
+    )
+    print("first 8 of the weighted train mix (prefix holds 60/30/10):")
+    mixed.orderBy("mix_key", "source", "doc_id").select(
+        "doc_id", "source", F.round("mix_key", 3).alias("mix_key")
+    ).show(8)
+
+    bins = packing.pack_sequences(
+        mixed, budget=4096, weight_col="n_chars", n_packers=8
+    )
+    stats = bins.groupBy("packer", "bin_id").agg(
+        F.sum("n_chars").alias("fill"), F.count(F.lit(1)).alias("docs")
+    )
+    stats.agg(
+        F.count(F.lit(1)).alias("bins"),
+        F.round(F.avg("fill"), 1).alias("mean_fill"),
+        F.round(F.avg("docs"), 2).alias("mean_docs_per_bin"),
+    ).show()
 
 
 if __name__ == "__main__":

@@ -2321,6 +2321,56 @@ def q_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECONTAM_SQL = f"""
+WITH {_SIGS_CTE},
+banded AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cross_cands AS (
+  SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+  FROM banded t JOIN banded e
+    ON t.band = e.band AND t.band_hash = e.band_hash
+  WHERE t.doc_id % 5 != 0 AND e.doc_id % 5 = 0
+),
+near_hit AS (
+  SELECT DISTINCT train_id
+  FROM cross_cands
+  JOIN shingled st ON st.doc_id = train_id
+  JOIN shingled se ON se.doc_id = eval_id
+  WHERE len(list_intersect(st.sh, se.sh))::DOUBLE
+        / greatest(len(list_distinct(st.sh || se.sh)), 1) >= 0.8
+),
+exact_hit AS (
+  SELECT DISTINCT t.doc_id AS train_id
+  FROM documents t JOIN documents e
+    ON {_FP_SQL.replace('text', 't.text')} =
+       {_FP_SQL.replace('text', 'e.text')}
+  WHERE t.doc_id % 5 != 0 AND e.doc_id % 5 = 0
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id % 5 != 0
+  AND doc_id NOT IN (SELECT train_id FROM near_hit)
+  AND doc_id NOT IN (SELECT train_id FROM exact_hit)
+"""
+
+
+@register("decontaminate_train_vs_eval", _DECONTAM_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split decontamination (operators/dedup.py:decontaminate):
+    train rows (doc_id % 5 != 0) that survive exact-fingerprint and
+    LSH+Jaccard>=0.8 near-dup checks against the eval split
+    (doc_id % 5 == 0) — eval leakage removal, the dedup step training
+    pipelines must run BETWEEN splits, not just within one."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.decontaminate(train, ev, threshold=0.8).select(
+        "doc_id", "n_chars"
+    )
+
+
 @register("pack_sequences_bins")  # rows-only: stateful greedy packing
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (operators/packing.py):

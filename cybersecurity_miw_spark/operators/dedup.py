@@ -447,3 +447,108 @@ def simhash_dedup_candidates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+# ---- cross-split decontamination ----
+
+
+def cross_lsh_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ACROSS two document sets:
+    (left_id, right_id) sharing at least one LSH band bucket. Same
+    deterministic hash family as the self-join path, so a pair is a
+    candidate here iff it would be in a pooled self-join — but the
+    join is left-bands × right-bands only (never left×left), which is
+    the right shape when one side (an eval suite) is orders of
+    magnitude smaller than the other (the training corpus)."""
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        sig = with_signature(df, text_col, id_col, num_hashes, shingle_k)
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                lsh_bands(F.col("_sig"), bands, rows_per_band)
+            ).alias("b"),
+        ).select(
+            out_id,
+            F.col("b.band").alias("band"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+
+    lb = banded(left, "left_id")
+    rb = banded(right, "right_id")
+    return (
+        lb.join(rb, on=["band", "band_hash"])
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Drop training rows contaminated by the eval set: exact
+    normalized-text matches (fingerprint equality — catches texts too
+    short to shingle) plus near-duplicates (cross-set LSH candidates
+    confirmed by exact shingle Jaccard >= threshold). Returns the
+    surviving train rows.
+
+    Scale shape: the eval side is small, so its banded projection and
+    fingerprints broadcast; train is scanned once for signatures and
+    once for the anti-joins — no train×train pair ever forms."""
+    # exact: fingerprint semi-match
+    eval_fps = eval_df.select(
+        fingerprint(F.col(text_col)).alias("_fp")
+    ).distinct()
+    exact_hit = (
+        train.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+        )
+        .join(F.broadcast(eval_fps), "_fp", "semi")
+        .select(F.col(id_col).alias("_contaminated"))
+    )
+
+    # near: cross-set candidates -> exact Jaccard confirm
+    cand = cross_lsh_candidates(
+        train, eval_df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    tsh = with_shingles(train, text_col, shingle_k, "_sh_t", keep=(id_col,))
+    esh = with_shingles(eval_df, text_col, shingle_k, "_sh_e", keep=(id_col,))
+    confirmed = (
+        cand.join(
+            tsh.withColumnRenamed(id_col, "left_id"), "left_id"
+        )
+        .join(
+            F.broadcast(esh.withColumnRenamed(id_col, "right_id")),
+            "right_id",
+        )
+        .withColumn(
+            "_j",
+            F.size(F.array_intersect("_sh_t", "_sh_e"))
+            / F.greatest(
+                F.size(F.array_union("_sh_t", "_sh_e")), F.lit(1)
+            ),
+        )
+        .filter(F.col("_j") >= threshold)
+        .select(F.col("left_id").alias("_contaminated"))
+    )
+
+    bad = exact_hit.union(confirmed).distinct()
+    return train.join(
+        bad, train[id_col] == bad["_contaminated"], "left_anti"
+    )

@@ -442,3 +442,40 @@ def test_kmeans_assign_tie_breaks_low_index(spark):
     pts = spark.createDataFrame([(0, [5, 5])], "pid long, q array<long>")
     out = apps.kmeans_assign_int(pts, [[0, 0], [10, 10]]).collect()
     assert out[0]["cell"] == 0
+
+
+def test_decontaminate_drops_planted_eval_leakage(spark):
+    """Planted cases: exact copy, near copy (one word changed), short
+    text exact copy (too short to shingle — caught by fingerprint),
+    and clean rows that must survive."""
+    from cybersecurity_miw_spark.operators import dedup
+
+    long_text = (
+        "the quick brown fox jumps over the lazy dog tonight while "
+        "a gentle rain falls on the quiet empty streets of the old "
+        "town near the harbor lights"
+    )
+    eval_rows = [
+        (100, long_text),
+        (101, "tiny"),
+        (102, "completely unrelated evaluation question about physics"),
+    ]
+    train_rows = [
+        # exact copy of eval 100
+        (1, long_text),
+        # near copy of eval 100 (one word differs)
+        (2, long_text.replace("harbor", "station")),
+        # exact copy of the unshingleable eval 101
+        (3, "tiny"),
+        # clean
+        (4, "an ordinary training document about cooking pasta sauce"),
+        (5, "logs and metrics from a long running batch service"),
+    ]
+    schema = "doc_id bigint, text string"
+    train = spark.createDataFrame(train_rows, schema)
+    ev = spark.createDataFrame(eval_rows, schema)
+    out = sorted(
+        r["doc_id"]
+        for r in dedup.decontaminate(train, ev, threshold=0.5).collect()
+    )
+    assert out == [4, 5]

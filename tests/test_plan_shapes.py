@@ -50,6 +50,14 @@ MAX_EXCHANGES = {
     "app_matrix_mult_blocked": 4,  # two block packs + bk join + (i,j) agg
     "pairwise_topk_lsh": 2,        # bucket join + per-query window
     "ann_pq_adc_topk": 0,          # narrow encode + LUT adds + TakeOrdered
+    "split_train_val_test": 0,     # pure narrow projection (md5 bucket)
+    "stratified_sample_by_source": 1,   # both windows share one hash part.
+    "weighted_interleave_prefix": 1,    # rank window; prefix is TakeOrdered
+    "pack_sequences_bins": 1,      # one shuffle to the P packers
+    # cross-set LSH + fingerprint + two anti-joins: 4 hash exchanges,
+    # the rest of the count is BroadcastExchange/Reused mentions (the
+    # eval side broadcasts everywhere, by design)
+    "decontaminate_train_vs_eval": 16,
 }
 
 

@@ -2390,6 +2390,237 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus-quality filtering (operators/corpus_filters.py): Gopher/C4
+# rule metrics + keep flag, top-bigram profile, within-doc repetition
+# removal, and PII redaction — the curation stage between raw crawl
+# and dedup in a training-data pipeline.
+# ---------------------------------------------------------------------------
+
+_R6 = "floor(({}) * 1000000 + 0.5) / 1000000"
+
+_GOPHER_SQL = f"""
+WITH w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         {_R6.format("list_sum(list_transform(w, x -> len(x)))::DOUBLE / greatest(len(w), 1)")} AS mean_word_len,
+         {_R6.format("len(list_filter(w, x -> regexp_matches(x, '[a-z]')))::DOUBLE / greatest(len(w), 1)")} AS alpha_word_frac,
+         {_R6.format("1.0 - len(list_distinct(w))::DOUBLE / greatest(len(w), 1)")} AS dup_word_frac
+  FROM w
+),
+grams AS (
+  SELECT doc_id,
+         greatest(len(array_to_string(w, ' ')), 1) AS _len,
+         unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(generate_series(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1])
+                     ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM w
+),
+gc AS (SELECT doc_id, _len, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+topc AS (SELECT doc_id, _len, max(c) AS top_c FROM gc GROUP BY 1, 2),
+top AS (
+  SELECT gc.doc_id, gc._len, topc.top_c, min(gc.gram) AS top_gram
+  FROM gc JOIN topc ON gc.doc_id = topc.doc_id AND gc.c = topc.top_c
+  GROUP BY 1, 2, 3
+),
+t AS (
+  SELECT doc_id,
+         {_R6.format("top_c * len(top_gram)::DOUBLE / _len")} AS top_gram_frac
+  FROM top
+)
+SELECT m.doc_id, n_words, mean_word_len, alpha_word_frac, dup_word_frac,
+       top_gram_frac,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 2.0 AND mean_word_len <= 12.0
+        AND dup_word_frac <= 0.55 AND top_gram_frac <= 0.10) AS keep
+FROM m JOIN t ON m.doc_id = t.doc_id
+"""
+
+
+@register("gopher_quality_flags", _GOPHER_SQL)
+def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules (operators/corpus_filters.py:
+    gopher_flags): per-doc word-count / word-length / repetition
+    metrics plus a boolean keep decision. Narrow metrics are
+    shuffle-free; the only exchange is the top-bigram count on the
+    uniform (doc_id, gram) key."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return corpus_filters.gopher_flags(docs)
+
+
+_TOP_BIGRAM_SQL = f"""
+WITH w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         greatest(len(array_to_string(w, ' ')), 1) AS _len,
+         unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(generate_series(1, len(w) - 1),
+                                         i -> w[i] || ' ' || w[i+1])
+                     ELSE [array_to_string(w, ' ')] END) AS gram
+  FROM w
+),
+gc AS (SELECT doc_id, _len, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+topc AS (SELECT doc_id, _len, max(c) AS top_c FROM gc GROUP BY 1, 2)
+SELECT gc.doc_id, min(gc.gram) AS top_gram, topc.top_c AS top_count,
+       {_R6.format("topc.top_c * len(min(gc.gram))::DOUBLE / gc._len")} AS top_gram_frac
+FROM gc JOIN topc ON gc.doc_id = topc.doc_id AND gc.c = topc.top_c
+GROUP BY gc.doc_id, gc._len, topc.top_c
+"""
+
+
+@register("top_bigram_profile", _TOP_BIGRAM_SQL)
+def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent word bigram per document with its character-share
+    (operators/corpus_filters.py:top_ngram_fraction) — the Gopher
+    top-n-gram repetition signal, ties broken to the smallest gram."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return corpus_filters.top_ngram_fraction(docs, n=2)
+
+
+# Repetition removal is exercised on a synthesized multi-line doc
+# (testdata documents are single-line): both engines build
+# [first-3-words, text, first-3-words] and must drop the trailing
+# repeat while preserving order.
+_REPEAT_SQL = """
+WITH built AS (
+  SELECT doc_id,
+         concat_ws(chr(10),
+                   regexp_extract(text, '^(\\S+\\s+\\S+\\s+\\S+)', 1),
+                   text,
+                   regexp_extract(text, '^(\\S+\\s+\\S+\\s+\\S+)', 1)) AS t
+  FROM documents
+),
+l AS (SELECT doc_id, str_split(t, chr(10)) AS lines FROM built),
+kept AS (
+  SELECT doc_id, lines,
+         list_filter(lines, (x, i) -> list_position(lines[1:i-1], x) = 0) AS keep_l
+  FROM l
+)
+SELECT doc_id, array_to_string(keep_l, chr(10)) AS clean_text,
+       len(lines) - len(keep_l) AS n_removed
+FROM kept
+"""
+
+
+@register("remove_repeated_lines", _REPEAT_SQL)
+def q_remove_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repeated-line removal (operators/corpus_filters.py:
+    remove_repeated_lines): C4 drops repeated lines inside a page;
+    here the first occurrence survives, order preserved. Shuffle-free
+    array expressions."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    head3 = F.regexp_extract("text", r"^(\S+\s+\S+\s+\S+)", 1)
+    built = docs.select(
+        "doc_id",
+        F.concat_ws("\n", head3, F.col("text"), head3).alias("t"),
+    )
+    return corpus_filters.remove_repeated_lines(built, text_col="t")
+
+
+# PII redaction is exercised on text with deterministically injected
+# PII (testdata documents contain none): both engines append the same
+# synthetic email / IPv4 / 10-digit account string.
+_PII_SQL = """
+WITH built AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR || '@example.com at 10.0.'
+              || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR
+              || ' acct 9' || lpad(doc_id::VARCHAR, 9, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g'),
+         '\\b[0-9]{9,}\\b', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS n_ipv4,
+       len(regexp_extract_all(t, '\\b[0-9]{9,}\\b')) AS n_longnum
+FROM built
+"""
+
+
+@register("pii_redact_counts", _PII_SQL)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/corpus_filters.py:pii_redact): emails,
+    IPv4s, and long digit runs replaced by placeholders, with per-class
+    counts on the original text. Patterns chosen to be Java-regex /
+    RE2 equivalent; all JVM regexp, shuffle-free."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" acct 9"),
+            F.lpad(F.col("doc_id").cast("string"), 9, "0"),
+        ).alias("t"),
+    )
+    return corpus_filters.pii_redact(built, text_col="t")
+
+
+# Duplicate clusters: connected components over the LSH->Jaccard>=0.8
+# confirmed pair graph. The oracle closes the symmetric edge relation
+# with a recursive CTE and takes each node's minimum reachable id —
+# the exact fixpoint the iterative min-label propagation computes.
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SIGS_CTE}, {_BANDED_CTE},
+dup_pairs AS (
+  SELECT cands.id_a AS a, cands.id_b AS b
+  FROM cands
+  JOIN shingled sa ON sa.doc_id = cands.id_a
+  JOIN shingled sb ON sb.doc_id = cands.id_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / greatest(len(list_distinct(sa.sh || sb.sh)), 1) >= 0.8
+),
+edges AS (SELECT a, b FROM dup_pairs UNION SELECT b, a FROM dup_pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+@register("dup_clusters_cc", _CLUSTERS_SQL)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global duplicate clusters (operators/dedup.py:dup_clusters):
+    iterative min-label propagation over the confirmed near-dup pair
+    graph — the step that turns pairwise hits into components so
+    dedup keeps exactly one doc per cluster. O(diameter) rounds, one
+    uniform-key shuffle per round, one scalar to the driver per round."""
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, shingle_k=3
+    )
+    confirmed = dedup.jaccard_pairs(docs, cand, shingle_k=3).filter(
+        F.col("jaccard") >= 0.8
+    )
+    return dedup.dup_clusters(confirmed)
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,

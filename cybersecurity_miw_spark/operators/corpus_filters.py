@@ -1,0 +1,212 @@
+"""Corpus-quality filtering for training-data pipelines (Gopher/C4
+style): per-document repetition statistics, rule-based keep/drop
+flags, within-document repeated-segment removal, and PII redaction.
+
+Beyond the reference surface (the reference engine has no corpus
+curation stage); the rule set follows the published Gopher
+(Rae et al. 2021, §A1.1) and C4 (Raffel et al. 2020, §2.2) filters.
+
+Scale notes (100 TB): the narrow metrics (`quality_metrics`,
+`remove_repeated_lines`, `pii_redact`) are pure per-row expressions —
+whole-stage-codegen'd, shuffle-free, trivially parallel. The only
+shuffle in the family is `top_ngram_fraction`'s explode→groupBy on
+(doc_id, gram), a uniform composite key (doc_id alone is unique, so
+no skew is possible); the per-doc reduce is algebraic (max-by) and
+map-side combines. An expression-only variant (count each gram by
+filtering the gram array per element) would avoid the shuffle but is
+O(L²) per document — quadratic in document length is the thing that
+does NOT survive 10k-word web documents, so the explode shape is the
+scale-correct one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def _round6(c: Column) -> Column:
+    # floor(x*1e6+0.5)/1e6: decimal-half-exact across engines, unlike
+    # ROUND (see textstats.quality_score)
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+
+def quality_metrics(
+    df: DataFrame, text_col: str = "text", keep: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Narrow per-document quality statistics (no shuffle):
+
+    * ``n_words`` — whitespace token count
+    * ``mean_word_len`` — mean characters per word
+    * ``alpha_word_frac`` — fraction of words containing a letter
+    * ``dup_word_frac`` — fraction of word occurrences that repeat an
+      earlier occurrence (1 - distinct/total), the cheap repetition
+      signal Gopher's duplicate-line family approximates
+    """
+    w = _words(F.col(text_col))
+    staged = df.select(*keep, w.alias("_w"))
+    n = F.greatest(F.size("_w"), F.lit(1))
+    total_chars = F.aggregate(
+        F.transform("_w", F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    alpha_words = F.size(F.filter("_w", lambda x: x.rlike("[a-z]")))
+    return staged.select(
+        *keep,
+        F.size("_w").alias("n_words"),
+        _round6(total_chars / n).alias("mean_word_len"),
+        _round6(alpha_words / n).alias("alpha_word_frac"),
+        _round6(
+            F.lit(1.0) - F.size(F.array_distinct("_w")) / n
+        ).alias("dup_word_frac"),
+    )
+
+
+def top_ngram_fraction(
+    df: DataFrame, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Gopher top-n-gram fraction: the share of (normalized) document
+    characters covered by the single most frequent word n-gram —
+    ``count(top) * len(top) / len(join(words, ' '))``. Ties break to
+    the lexicographically smallest gram so the result is
+    deterministic.
+
+    Plan: explode n-grams → groupBy(doc_id, gram) count (map-side
+    combined) → per-doc max-by struct — one shuffle on a uniform
+    composite key, linear in document length.
+    """
+    w = _words(F.col(text_col))
+    staged = df.select("doc_id", w.alias("_w"))
+    nw = F.size("_w")
+    grams = F.when(
+        nw >= n,
+        F.transform(
+            F.sequence(F.lit(1), nw - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("_w", i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", "_w")))
+    norm_len = F.greatest(F.length(F.concat_ws(" ", "_w")), F.lit(1))
+    exploded = staged.select(
+        "doc_id", norm_len.alias("_len"), F.explode(grams).alias("gram")
+    )
+    counted = exploded.groupBy("doc_id", "_len", "gram").agg(
+        F.count("*").alias("c")
+    )
+    # max-by (count desc, gram asc): invert the gram ordering inside a
+    # max() struct via a sort-key trick-free two-stage agg — a window
+    # row_number would re-shuffle; instead take max(c) then min(gram)
+    # among grams achieving it via one more algebraic agg on the same
+    # key (no extra exchange: both aggs hash on doc_id).
+    top_c = counted.groupBy("doc_id", "_len").agg(F.max("c").alias("top_c"))
+    top = (
+        counted.join(top_c, ["doc_id", "_len"])
+        .filter(F.col("c") == F.col("top_c"))
+        .groupBy("doc_id", "_len", "top_c")
+        .agg(F.min("gram").alias("top_gram"))
+    )
+    return top.select(
+        "doc_id",
+        "top_gram",
+        F.col("top_c").alias("top_count"),
+        _round6(
+            F.col("top_c") * F.length("top_gram") / F.col("_len")
+        ).alias("top_gram_frac"),
+    )
+
+
+def gopher_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    max_dup_word_frac: float = 0.55,
+    max_top_bigram_frac: float = 0.10,
+) -> DataFrame:
+    """Gopher-style rule filter: per-doc metrics plus a boolean
+    ``keep``. Thresholds follow the Gopher defaults' spirit, adapted
+    to whitespace corpora; all tunable. One shuffle total (the
+    top-bigram agg); the metric join is doc_id-to-doc_id, co-hashed
+    with it under AQE."""
+    m = quality_metrics(df, text_col)
+    t = top_ngram_fraction(df, 2, text_col)
+    joined = m.join(t.select("doc_id", "top_gram_frac"), "doc_id")
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("dup_word_frac") <= max_dup_word_frac)
+        & (F.col("top_gram_frac") <= max_top_bigram_frac)
+    )
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_word_frac",
+        "dup_word_frac",
+        "top_gram_frac",
+        keep.alias("keep"),
+    )
+
+
+def remove_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "clean_text",
+    sep: str = "\n",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Within-document repetition removal (C4 §2.2 drops repeated
+    lines; Gopher drops docs dominated by them): keep the FIRST
+    occurrence of each line, preserve order, re-join. Pure array
+    expressions — ``filter`` with an index lambda testing membership
+    in the preceding prefix — so the op is shuffle-free and
+    codegen'd; O(L_lines²) per doc in line COUNT (not chars), which
+    stays small even for book-length documents."""
+    lines = F.split(F.col(text_col), sep)
+    staged = df.select(*keep, lines.alias("_l"))
+    first_only = F.filter(
+        "_l",
+        lambda x, i: F.array_position(F.slice("_l", 1, i), x) == 0,
+    )
+    return staged.select(
+        *keep,
+        F.array_join(first_only, sep).alias(out_col),
+        (F.size("_l") - F.size(first_only)).alias("n_removed"),
+    )
+
+
+# PII patterns: valid and equivalent in both Java regex (Spark) and
+# RE2 (DuckDB) — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "longnum": (r"\b[0-9]{9,}\b", "<NUM>"),
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "redacted",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and long digit runs, emitting
+    the scrubbed text plus one count column per pattern class.
+    Order matters (emails first: an address can embed digit runs);
+    counts are taken on the original text. All JVM `regexp_count` /
+    `regexp_replace` — shuffle-free, no Python."""
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).alias(f"n_{name}")
+        for name, (pat, _) in PII_PATTERNS.items()
+    ]
+    red = t
+    for name, (pat, repl) in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(*keep, red.alias(out_col), *counts)

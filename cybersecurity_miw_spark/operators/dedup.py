@@ -552,3 +552,99 @@ def decontaminate(
     return train.join(
         bad, train[id_col] == bad["_contaminated"], "left_anti"
     )
+
+
+# ---- duplicate clusters (connected components) ----
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over confirmed duplicate pairs: every doc
+    that appears in >=1 pair gets ``cluster_id`` = the minimum doc id
+    reachable through the pair graph. This is the step that turns
+    pairwise near-dup hits into GLOBAL duplicate groups — pairwise
+    loser-dropping (``near_dedup_minhash``) over-drops on transitive
+    chains (a~b, b~c drops b and c even when a!~c); cluster-then-keep
+    drops exactly size(component)-1 per component.
+
+    Algorithm: iterative min-label propagation (the MapReduce
+    connected-components shape of Rastogi et al.'s Hash-to-Min) —
+    each round every node takes the min of its own label and its
+    neighbors' labels. Converges in O(diameter) rounds; dedup graphs
+    are near-cliques (every member shares most shingles), so 2-3
+    rounds in practice, ``max_iter`` as a guard. Per round: one
+    shuffle join on node id (uniform key) + an algebraic min agg.
+    Driver traffic is ONE scalar per round (the label sum used as the
+    convergence test — monotone non-increasing, fixpoint exactly at
+    convergence); lineage is truncated each round with an eager
+    localCheckpoint so the plan stays O(1) deep at any scale.
+    """
+    edges = pairs.select(
+        F.col(col_a).alias("src"), F.col(col_b).alias("dst")
+    )
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("cluster_id")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce("_nbr_min", "cluster_id"),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds the guard; raise max_iter"
+        )
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+def near_dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Cluster-correct near-dedup: LSH candidates → exact Jaccard >=
+    threshold → connected components → keep each component's minimum
+    id (plus every unpaired doc). Unlike ``near_dedup_minhash`` this
+    never drops two docs that are only transitively related."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    confirmed = jaccard_pairs(df, cand, text_col, id_col, shingle_k).filter(
+        F.col("jaccard") >= threshold
+    )
+    clusters = dup_clusters(confirmed)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,202 @@
+"""Goldens for the corpus-quality filter family
+(operators/corpus_filters.py) and duplicate-cluster connected
+components (operators/dedup.py:dup_clusters) — behaviors the SQL
+oracle parity can't pin alone: crafted repetition shapes, exact
+redaction strings, transitive-chain cluster semantics vs pairwise
+over-dropping, and a union-find cross-check."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import corpus_filters, dedup
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+# ---- quality metrics / gopher flags ----
+
+
+def test_quality_metrics_crafted(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the cat sat on the mat"),  # 6 words, 'the' repeats
+            (2, "one"),  # single word
+            (3, "a a a a"),  # maximal repetition
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus_filters.quality_metrics(df).collect()
+    }
+    assert out[1]["n_words"] == 6
+    assert out[1]["dup_word_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert out[2]["n_words"] == 1
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[3]["dup_word_frac"] == pytest.approx(0.75, abs=1e-6)
+    assert out[3]["mean_word_len"] == 1.0
+    assert out[1]["alpha_word_frac"] == 1.0
+
+
+def test_top_bigram_ties_break_lexicographically(spark):
+    # "b c" and "a b" both occur twice -> the smaller gram wins
+    df = _docs(spark, [(1, "a b c a b c")])
+    row = corpus_filters.top_ngram_fraction(df, n=2).collect()[0]
+    assert row["top_gram"] == "a b"
+    assert row["top_count"] == 2
+
+
+def test_top_bigram_short_doc_falls_back_to_whole_text(spark):
+    df = _docs(spark, [(1, "solo")])
+    row = corpus_filters.top_ngram_fraction(df, n=2).collect()[0]
+    assert row["top_gram"] == "solo"
+    assert row["top_count"] == 1
+    assert row["top_gram_frac"] == 1.0
+
+
+def test_gopher_flags_split_on_repetitive_doc(spark):
+    good = "word" + " ".join(f"tok{i}" for i in range(40))
+    bad = " ".join(["spam ham"] * 30)  # top bigram dominates
+    df = _docs(spark, [(1, good), (2, bad)])
+    out = {r["doc_id"]: r["keep"] for r in corpus_filters.gopher_flags(df).collect()}
+    assert out[1] is True
+    assert out[2] is False
+
+
+# ---- repetition removal ----
+
+
+def test_remove_repeated_lines_keeps_first_occurrence_in_order(spark):
+    df = _docs(spark, [(1, "x\ny\nx\nz\ny\nx")])
+    row = corpus_filters.remove_repeated_lines(df).collect()[0]
+    assert row["clean_text"] == "x\ny\nz"
+    assert row["n_removed"] == 3
+
+
+def test_remove_repeated_lines_no_repeats_is_identity(spark):
+    df = _docs(spark, [(1, "a\nb\nc")])
+    row = corpus_filters.remove_repeated_lines(df).collect()[0]
+    assert row["clean_text"] == "a\nb\nc"
+    assert row["n_removed"] == 0
+
+
+# ---- PII redaction ----
+
+
+def test_pii_redact_exact_strings(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "host 192.168.001.042 port"),
+            (3, "card 1234567890123456 ok"),
+            (4, "clean text with no pii at all"),
+            (5, "multi a@b.io and c@d.io plus 10.0.0.1"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus_filters.pii_redact(df).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[1]["n_email"] == 1
+    assert out[2]["redacted"] == "host <IP> port"
+    assert out[2]["n_ipv4"] == 1
+    assert out[3]["redacted"] == "card <NUM> ok"
+    assert out[3]["n_longnum"] == 1
+    assert out[4]["redacted"] == "clean text with no pii at all"
+    assert (out[4]["n_email"], out[4]["n_ipv4"], out[4]["n_longnum"]) == (0, 0, 0)
+    assert out[5]["redacted"] == "multi <EMAIL> and <EMAIL> plus <IP>"
+    assert out[5]["n_email"] == 2 and out[5]["n_ipv4"] == 1
+
+
+# ---- duplicate clusters ----
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "id_a long, id_b long")
+
+
+def _uf_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dup_clusters_transitive_chain(spark):
+    # chain 1-2-3-4 plus isolated pair (10, 11): one component each
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(_pairs(spark, edges)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_matches_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(20260814)
+    edges = sorted(
+        {
+            tuple(sorted(rng.sample(range(60), 2)))
+            for _ in range(80)
+        }
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(_pairs(spark, edges)).collect()
+    }
+    want = _uf_components(edges)
+    assert got == want
+
+
+def test_dup_clusters_raises_when_iteration_guard_hit(spark):
+    # a 6-node path needs ~5 rounds; cap at 1 must trip the guard
+    edges = [(i, i + 1) for i in range(1, 6)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(_pairs(spark, edges), max_iter=1)
+
+
+def test_near_dedup_clusters_vs_pairwise_on_transitive_chain(spark):
+    # A ~ B, B ~ C by shingle overlap, A !~ C. Cluster dedup keeps
+    # exactly one of {A,B,C}; doc D is untouched.
+    base = [f"w{i}" for i in range(12)]
+    a = " ".join(base)
+    b = " ".join(base[2:] + ["x1", "x2"])  # shares 10 words with a
+    c = " ".join(base[4:] + ["x1", "x2", "x3", "x4"])
+    d = " ".join(f"z{i}" for i in range(12))
+    df = _docs(spark, [(1, a), (2, b), (3, c), (4, d)])
+    out = dedup.near_dedup_clusters(
+        df, threshold=0.3, num_hashes=16, bands=8, shingle_k=2
+    )
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert 4 in kept
+    dup_kept = [k for k in kept if k != 4]
+    assert len(dup_kept) >= 1
+    # every kept duplicate-group member is a cluster minimum
+    cand = dedup.minhash_lsh_candidates(
+        df, num_hashes=16, bands=8, shingle_k=2
+    )
+    confirmed = dedup.jaccard_pairs(df, cand, shingle_k=2).filter(
+        F.col("jaccard") >= 0.3
+    )
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(confirmed).collect()
+    }
+    for k in dup_kept:
+        if k in clusters:
+            assert clusters[k] == k

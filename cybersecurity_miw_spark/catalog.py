@@ -2420,15 +2420,13 @@ grams AS (
   FROM w
 ),
 gc AS (SELECT doc_id, _len, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
-topc AS (SELECT doc_id, _len, max(c) AS top_c FROM gc GROUP BY 1, 2),
 top AS (
-  SELECT gc.doc_id, gc._len, topc.top_c, min(gc.gram) AS top_gram
-  FROM gc JOIN topc ON gc.doc_id = topc.doc_id AND gc.c = topc.top_c
-  GROUP BY 1, 2, 3
+  SELECT doc_id, _len, max({{'c': c, 'g': gram}}) AS tp
+  FROM gc GROUP BY 1, 2
 ),
 t AS (
   SELECT doc_id,
-         {_R6.format("top_c * len(top_gram)::DOUBLE / _len")} AS top_gram_frac
+         {_R6.format("struct_extract(tp, 'c') * len(struct_extract(tp, 'g'))::DOUBLE / _len")} AS top_gram_frac
   FROM top
 )
 SELECT m.doc_id, n_words, mean_word_len, alpha_word_frac, dup_word_frac,
@@ -2467,11 +2465,14 @@ grams AS (
   FROM w
 ),
 gc AS (SELECT doc_id, _len, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3),
-topc AS (SELECT doc_id, _len, max(c) AS top_c FROM gc GROUP BY 1, 2)
-SELECT gc.doc_id, min(gc.gram) AS top_gram, topc.top_c AS top_count,
-       {_R6.format("topc.top_c * len(min(gc.gram))::DOUBLE / gc._len")} AS top_gram_frac
-FROM gc JOIN topc ON gc.doc_id = topc.doc_id AND gc.c = topc.top_c
-GROUP BY gc.doc_id, gc._len, topc.top_c
+top AS (
+  SELECT doc_id, _len, max({{'c': c, 'g': gram}}) AS tp
+  FROM gc GROUP BY 1, 2
+)
+SELECT doc_id, struct_extract(tp, 'g') AS top_gram,
+       struct_extract(tp, 'c') AS top_count,
+       {_R6.format("struct_extract(tp, 'c') * len(struct_extract(tp, 'g'))::DOUBLE / _len")} AS top_gram_frac
+FROM top
 """
 
 
@@ -2479,7 +2480,8 @@ GROUP BY gc.doc_id, gc._len, topc.top_c
 def q_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most frequent word bigram per document with its character-share
     (operators/corpus_filters.py:top_ngram_fraction) — the Gopher
-    top-n-gram repetition signal, ties broken to the smallest gram."""
+    top-n-gram repetition signal; ties break to the largest gram so
+    the reduce stays one algebraic max(struct) in both engines."""
     from cybersecurity_miw_spark.operators import corpus_filters
 
     docs = load_table(spark, sf_dir, "documents", widen=True)

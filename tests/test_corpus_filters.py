@@ -42,11 +42,12 @@ def test_quality_metrics_crafted(spark):
     assert out[1]["alpha_word_frac"] == 1.0
 
 
-def test_top_bigram_ties_break_lexicographically(spark):
-    # "b c" and "a b" both occur twice -> the smaller gram wins
+def test_top_bigram_ties_break_to_largest_gram(spark):
+    # "a b" and "b c" both occur twice -> the largest gram wins
+    # (the tie-break that keeps the reduce a single max(struct))
     df = _docs(spark, [(1, "a b c a b c")])
     row = corpus_filters.top_ngram_fraction(df, n=2).collect()[0]
-    assert row["top_gram"] == "a b"
+    assert row["top_gram"] == "b c"
     assert row["top_count"] == 2
 
 

@@ -58,6 +58,13 @@ MAX_EXCHANGES = {
     # the rest of the count is BroadcastExchange/Reused mentions (the
     # eval side broadcasts everywhere, by design)
     "decontaminate_train_vs_eval": 16,
+    # corpus filters: narrow metrics widen-repartition only; the
+    # top-bigram path is explode → gram count → per-doc max(struct),
+    # two real shuffles; gopher adds the metrics⋈top doc_id join
+    "remove_repeated_lines": 1,
+    "pii_redact_counts": 1,
+    "top_bigram_profile": 3,
+    "gopher_quality_flags": 5,
 }
 
 

@@ -2580,6 +2580,37 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filters.pii_redact(built, text_col="t")
 
 
+# Sliding-window chunking (operators/packing.py:chunk_documents):
+# 16-token windows, stride 8 (overlapping context-continuation).
+_CHUNK_SQL = """
+WITH w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+starts AS (
+  SELECT doc_id, len(w) AS n, w,
+         unnest(generate_series(1, greatest(len(w), 1), 8)) AS start
+  FROM w
+)
+SELECT doc_id, CAST((start - 1) // 8 AS INT) AS chunk_id,
+       array_to_string(w[start:start+15], ' ') AS chunk_text,
+       least(16, n - start + 1) AS n_chunk_tokens
+FROM starts
+"""
+
+
+@register("chunk_fixed_windows", _CHUNK_SQL)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-and-chunk (operators/packing.py:chunk_documents):
+    each doc becomes overlapping 16-token windows at stride 8 — the
+    step that turns variable-length documents into training-sequence
+    candidates. Shuffle-free: split + sequence + slice + posexplode,
+    all JVM expressions."""
+    from cybersecurity_miw_spark.operators import packing
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return packing.chunk_documents(docs, window=16, stride=8)
+
+
 # Duplicate clusters: connected components over the LSH->Jaccard>=0.8
 # confirmed pair graph. The oracle closes the symmetric edge relation
 # with a recursive CTE and takes each node's minimum reachable id —

@@ -85,3 +85,51 @@ def pack_sequences(
         f"{name} {dt}" for name, dt in prepared.drop("_w", "_tie").dtypes
     ) + ", bin_id int, overflow boolean"
     return prepared.groupBy("packer").applyInPandas(pack, out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 512,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each document into fixed-size
+    token windows (``window`` whitespace tokens, stepping ``stride``;
+    default non-overlapping) — the tokenize-and-chunk step that turns
+    variable-length documents into training-sequence candidates
+    before packing. The final partial window is kept (callers drop or
+    pad it); overlapping strides (stride < window) give the standard
+    context-continuation overlap.
+
+    Pure expressions: one split, a ``sequence`` of window starts, a
+    ``transform``+``slice`` per start, one ``posexplode`` — no
+    shuffle, no Python, linear in document length. Output one row per
+    chunk: (id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    if stride is None:
+        stride = window
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    staged = df.select(id_col, w.alias("_w"))
+    n = F.size("_w")
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice("_w", s, window))
+    )
+    exploded = staged.select(
+        id_col,
+        n.alias("_n"),
+        F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+    )
+    n_tok = F.least(
+        F.lit(window),
+        F.col("_n") - F.col("chunk_id") * F.lit(stride),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "chunk_text",
+        n_tok.alias("n_chunk_tokens"),
+    )

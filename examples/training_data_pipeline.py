@@ -1,13 +1,17 @@
 """End-to-end training-data curation over the documents table:
 
     raw docs
+      → Gopher/C4 quality rules (word stats, repetition, top-bigram)
+      → PII redaction (emails / IPv4s / long digit runs)
       → text profile (language ID, quality, token counts)
       → quality floor filter
       → exact dedup (md5 fingerprint, min-id survivor)
-      → MinHash/LSH near-dedup (banded candidates → Jaccard confirm)
+      → MinHash/LSH near-dedup, CLUSTER-correct (candidates → Jaccard
+        confirm → connected components → one survivor per component)
       → TF-IDF top terms (feature preview)
       → shard assembly: deterministic train/val/test split
         → weighted source interleave (train shard order)
+        → sliding-window chunking (fixed token windows)
         → token-budget sequence packing (context-window bins)
 
 Every stage is a JVM DataFrame plan from
@@ -31,16 +35,28 @@ from pyspark.sql import functions as F
 
 
 def curate(spark: SparkSession, sf_dir: str, quality_floor: float = 0.3) -> DataFrame:
-    from cybersecurity_miw_spark.operators import dedup, textstats
+    from cybersecurity_miw_spark.operators import corpus_filters, dedup, textstats
     from cybersecurity_miw_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
 
-    profiled = textstats.profile(docs)
+    # rule-based quality gate first (cheapest rejector), then scrub
+    # PII from what survives — redacted text feeds every later stage
+    flags = corpus_filters.gopher_flags(docs)
+    rule_ok = docs.join(
+        flags.filter(F.col("keep")).select("doc_id"), "doc_id"
+    )
+    scrubbed = corpus_filters.pii_redact(
+        rule_ok, out_col="text_clean", keep=("doc_id",)
+    ).join(rule_ok, "doc_id").drop("text").withColumnRenamed(
+        "text_clean", "text"
+    )
+
+    profiled = textstats.profile(scrubbed)
     quality_ok = profiled.filter(F.col("quality") >= quality_floor)
 
     exact_unique = dedup.exact_dedup(quality_ok)
-    survivors = dedup.near_dedup_minhash(
+    survivors = dedup.near_dedup_clusters(
         exact_unique, threshold=0.8, num_hashes=16, bands=4, shingle_k=3
     )
     return survivors.select(
@@ -93,6 +109,16 @@ def main() -> None:
     mixed.orderBy("mix_key", "source", "doc_id").select(
         "doc_id", "source", F.round("mix_key", 3).alias("mix_key")
     ).show(8)
+
+    chunks = packing.chunk_documents(
+        mixed.join(docs.select("doc_id", "text"), "doc_id"),
+        window=64, stride=64,
+    )
+    print("chunking: docs -> fixed 64-token windows")
+    chunks.agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.round(F.avg("n_chunk_tokens"), 1).alias("mean_tokens"),
+    ).show()
 
     bins = packing.pack_sequences(
         mixed, budget=4096, weight_col="n_chars", n_packers=8

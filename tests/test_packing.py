@@ -86,3 +86,64 @@ def test_rejects_bad_budget(spark):
     docs = load_table(spark, SF, "documents", widen=False)
     with pytest.raises(ValueError):
         packing.pack_sequences(docs, 0, weight_col="n_chars")
+
+
+# ---- sliding-window chunking ----
+
+
+def test_chunk_documents_nonoverlapping_covers_exactly(spark):
+    from cybersecurity_miw_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, window=4, stride=4).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t4 t5 t6 t7"
+    assert rows[2]["chunk_text"] == "t8 t9"  # partial tail kept
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 2]
+    # concatenation reconstructs the doc exactly (stride == window)
+    assert " ".join(r["chunk_text"] for r in rows) == " ".join(
+        f"t{i}" for i in range(10)
+    )
+
+
+def test_chunk_documents_overlapping_stride(spark):
+    from cybersecurity_miw_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(df, window=3, stride=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [(r["chunk_text"], r["n_chunk_tokens"]) for r in rows] == [
+        ("a b c", 3),
+        ("c d e", 3),
+        ("e", 1),
+    ]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from cybersecurity_miw_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    rows = chunk_documents(df, window=16, stride=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "only two"
+    assert rows[0]["n_chunk_tokens"] == 2
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    from cybersecurity_miw_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=0)
+    with pytest.raises(ValueError):
+        chunk_documents(df, window=4, stride=0)

@@ -65,6 +65,7 @@ MAX_EXCHANGES = {
     "pii_redact_counts": 1,
     "top_bigram_profile": 3,
     "gopher_quality_flags": 5,
+    "chunk_fixed_windows": 1,      # widen only; chunking is narrow
 }
 
 

@@ -2697,7 +2697,12 @@ _DRIVER_WINDOW = [
     "tpch_q3_shipping_priority",
     # analytics suite rotated IN for round 6 (first driver rows;
     # the rotated-out §2 veterans stay full-hash green in
-    # tests/test_oracle_parity.py)
+    # tests/test_oracle_parity.py). Round-7 rotation candidates —
+    # registered after this window froze, never driver-rowed yet:
+    # gopher_quality_flags, top_bigram_profile, remove_repeated_lines,
+    # pii_redact_counts, dup_clusters_cc, chunk_fixed_windows,
+    # split_train_val_test, stratified_sample_by_source,
+    # weighted_interleave_prefix, decontaminate_train_vs_eval.
     "event_value_percentiles",
     "rollup_event_counts",
     "running_value_per_user",

@@ -37,7 +37,13 @@ SCALE_DIR = os.environ.get(
     "SPARK_GRAFT_SCALE_DIR", os.path.join(os.path.dirname(__file__), ".tmp/scale/sf1.0")
 )
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
-QUERY_NAMES = ["miw_events_summary", "minhash_lsh_candidates"]
+QUERY_NAMES = [
+    "miw_events_summary",
+    "minhash_lsh_candidates",
+    "gopher_quality_flags",
+    "chunk_fixed_windows",
+    "dup_clusters_cc",
+]
 
 
 def _rotated(i: int) -> str:

@@ -2611,6 +2611,142 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(docs, window=16, stride=8)
 
 
+# Quality-weighted sampling (operators/sampling.py:weighted_keep):
+# keep each doc with probability == its quality score, decided by the
+# same md5 hash-bucket machinery as split_assign — deterministic,
+# shuffle-free, growth-stable, and exactly reproducible in SQL.
+_QWS_SQL = """
+WITH q AS (
+  SELECT doc_id, source,
+         floor(greatest(least(0.5 * alpha_ratio + 0.3 * len_score
+                              + 0.2 * (1.0 - punct_ratio), 1.0), 0.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS quality
+  FROM (
+    SELECT doc_id, source,
+           len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
+           len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / greatest(length(text), 1) AS punct_ratio,
+           least(length(text) / 200.0, 1.0) AS len_score
+    FROM documents
+  )
+)
+SELECT doc_id, source, quality
+FROM q
+WHERE ('0x' || substr(md5('qws-v1:' || doc_id), 1, 8))::BIGINT % 10000
+      < floor(least(greatest(quality, 0.0), 1.0) * 10000)
+"""
+
+
+@register("quality_weighted_sample", _QWS_SQL)
+def q_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus downsampling (operators/sampling.py:
+    weighted_keep): survival probability equals the doc's quality
+    score, via the deterministic md5 bucket — the standard
+    upweight-good-data step, with per-row fate stable under corpus
+    growth. Narrow projection, no shuffle, no RNG."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    scored = docs.select(
+        "doc_id",
+        "source",
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+    return sampling.weighted_keep(scored, "quality")
+
+
+# Per-source corpus report card: composes the gopher flags, exact
+# fingerprints, and token counts into the summary a pipeline operator
+# reads before shipping a corpus — all integer aggregates, so the
+# cross-engine hash is exact.
+_REPORT_SQL = f"""
+WITH g AS ({_GOPHER_SQL}),
+f AS (
+  SELECT doc_id, source, {_FP_SQL} AS fp FROM documents
+)
+SELECT f.source,
+       count(*) AS n_docs,
+       CAST(sum(g.n_words) AS BIGINT) AS total_words,
+       CAST(sum(CASE WHEN g.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       count(DISTINCT f.fp) AS n_unique_texts
+FROM f JOIN g ON f.doc_id = g.doc_id
+GROUP BY 1
+"""
+
+
+@register("corpus_report_by_source", _REPORT_SQL)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: doc/token counts, Gopher keep
+    counts, and exact-dup uniqueness in one grouped summary —
+    integer-only aggregates so the oracle hash is exact. The distinct
+    count is the exact two-exchange expansion; at 100 TB swap in the
+    approx_* sketch twins below."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    flags = corpus_filters.gopher_flags(docs)
+    fp = docs.select(
+        "doc_id", "source", textstats.fingerprint(F.col("text")).alias("fp")
+    )
+    return (
+        fp.join(flags.select("doc_id", "n_words", "keep"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum(F.col("keep").cast("int")).alias("n_keep"),
+            F.countDistinct("fp").alias("n_unique_texts"),
+        )
+    )
+
+
+# Sketch-based scale twins: mergeable single-pass state (HLL++ /
+# KLL-style quantiles) replaces the exact expansions at 100 TB. No
+# SQL oracle on purpose — sketch estimates are engine-specific, so
+# these are rows-only for the driver; accuracy is golden-pinned
+# against the exact operators in tests/test_approx_sketches.py.
+
+
+@register("approx_distinct_users_per_type")
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type
+    (F.approx_count_distinct, rsd=0.01): one pass, O(kB) mergeable
+    state per group vs the exact variant's two-exchange expansion
+    (`distinct_users_per_type`). Rows-only by design: the estimate is
+    engine-specific; the <=5%-of-exact bound is golden-pinned."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias(
+                "n_users_approx"
+            )
+        )
+    )
+
+
+@register("approx_value_percentiles")
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p90/p99 of value per event type
+    (F.percentile_approx, accuracy 10000): single-pass mergeable
+    quantile sketch vs the exact sort-based `event_value_percentiles`.
+    Rows-only by design; absolute-error bound vs exact is
+    golden-pinned."""
+    ev = load_events(spark, sf_dir)
+    pct = F.percentile_approx(
+        "value", [0.5, 0.9, 0.99], 10000
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50_approx"),
+            F.col("p")[1].alias("p90_approx"),
+            F.col("p")[2].alias("p99_approx"),
+        )
+    )
+
+
 # Duplicate clusters: connected components over the LSH->Jaccard>=0.8
 # confirmed pair graph. The oracle closes the symmetric edge relation
 # with a recursive CTE and takes each node's minimum reachable id —

@@ -148,3 +148,28 @@ def weighted_interleave(
     return df.filter(
         F.col(source_col).isin(list(weights))
     ).withColumn("mix_key", mix_key)
+
+
+def weighted_keep(
+    df: DataFrame,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    salt: str = "qws-v1",
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Deterministic weight-proportional sampling: keep a row iff its
+    hash bucket (uniform in [0, buckets)) falls below
+    ``weight * buckets``, so each row survives with probability equal
+    to its per-row weight in [0, 1] — e.g. sample documents
+    proportionally to a quality score, the standard quality-weighted
+    corpus downsampling step. Same md5-bucket machinery as
+    ``split_assign``: a narrow shuffle-free projection, stable under
+    re-runs and corpus growth (a given id keeps the same fate unless
+    its weight changes), and exactly reproducible in ANSI SQL.
+
+    Weights are clamped to [0, 1]; resolution is 1/buckets.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
+    b = hash_bucket(F.col(id_col), salt, buckets)
+    return df.filter(b < F.floor(w * buckets))

@@ -66,6 +66,10 @@ MAX_EXCHANGES = {
     "top_bigram_profile": 3,
     "gopher_quality_flags": 5,
     "chunk_fixed_windows": 1,      # widen only; chunking is narrow
+    "quality_weighted_sample": 1,  # widen only; md5-bucket filter is narrow
+    "corpus_report_by_source": 9,  # gopher(5) + fp join + distinct expand
+    "approx_distinct_users_per_type": 1,  # single-pass HLL, one agg
+    "approx_value_percentiles": 1,        # single-pass sketch, one agg
 }
 
 

@@ -2611,6 +2611,53 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(docs, window=16, stride=8)
 
 
+# As-of join (operators/windows.py:asof_join): each event enriched
+# with the latest prior snapshot (events with event_id % 20 == 0 act
+# as per-user snapshots). The oracle uses DuckDB's native ASOF LEFT
+# JOIN; the Spark side is the union + carry-forward single-shuffle
+# shape, since a range-condition join would per-key cross-product.
+_ASOF_SQL = """
+WITH snaps AS (
+  SELECT user_id, ts, event_id AS snap_id, value AS snap_value
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT e.event_id, e.user_id,
+       s.snap_id AS asof_snap_id, s.snap_value AS asof_snap_value
+FROM events e ASOF LEFT JOIN snaps s
+  ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+@register("asof_join_latest_snapshot", _ASOF_SQL)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward-inclusive as-of join (operators/windows.py:asof_join):
+    point-in-time enrichment with exactly one hash exchange on the
+    key — tag/union both sides, one window pass carries the latest
+    right values forward. No range-join explosion; ties at equal ts
+    see the snapshot (inclusive, = DuckDB ASOF semantics)."""
+    from cybersecurity_miw_spark.operators import windows
+
+    ev = load_events(spark, sf_dir)
+    snaps = ev.filter(F.col("event_id") % 20 == 0).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("snap_id"),
+        F.col("value").alias("snap_value"),
+    )
+    out = windows.asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        snaps,
+        on="user_id",
+        right_cols=("snap_id", "snap_value"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_snap_id"),
+        F.col("asof_snap_value"),
+    )
+
+
 # Quality-weighted sampling (operators/sampling.py:weighted_keep):
 # keep each doc with probability == its quality score, decided by the
 # same md5 hash-bucket machinery as split_assign — deterministic,

@@ -92,3 +92,67 @@ def top_n_per_key(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Backward (inclusive) as-of join: each left row picks the right
+    row with the greatest ``right_ts <= left_ts`` for the same key —
+    point-in-time enrichment (latest config snapshot, latest price,
+    latest model version at event time).
+
+    Spark has no AsofJoin operator; the naive range-condition join
+    degenerates to a per-key cross product. The scalable shape is the
+    union + sorted carry-forward: tag both sides, union them, and in
+    ONE window pass over (key, ts) carry the most recent right-side
+    values forward with last(ignorenulls) — exactly one hash exchange
+    on the key, no range explosion, no skew beyond the key's own
+    cardinality. Ties at equal ts order the right row first, so a
+    snapshot AT the event time is visible (inclusive semantics,
+    matching DuckDB's ASOF ``>=``); multiple right rows sharing
+    (key, ts) are broken by the last right column set in sort order.
+
+    Returns every left row plus ``right_cols`` (null when no earlier
+    right row exists).
+    """
+    if not right_cols:
+        raise ValueError("right_cols must name the columns to carry")
+    lcols = [c for c in left.columns]
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_cols],
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(f"_l_{c}").alias(c) for c in lcols],
+        *[F.col(f"_c_{c}").alias(f"asof_{c}") for c in right_cols],
+    )

@@ -70,6 +70,7 @@ MAX_EXCHANGES = {
     "corpus_report_by_source": 9,  # gopher(5) + fp join + distinct expand
     "approx_distinct_users_per_type": 1,  # single-pass HLL, one agg
     "approx_value_percentiles": 1,        # single-pass sketch, one agg
+    "asof_join_latest_snapshot": 1,  # union + ONE key exchange (no range join)
 }
 
 

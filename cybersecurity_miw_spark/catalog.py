@@ -2611,6 +2611,33 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(docs, window=16, stride=8)
 
 
+# BPE merge-candidate table (operators/textstats.py:char_pair_counts):
+# corpus-wide adjacent char-pair counts within words — argmax of this
+# table IS the first BPE merge.
+_BPE_SQL = """
+WITH words AS (
+  SELECT unnest(str_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents
+),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+                               i -> substr(w, i, 2))) AS pair
+  FROM words
+)
+SELECT pair, count(*) AS n_pair FROM pairs GROUP BY 1
+ORDER BY n_pair DESC, pair ASC LIMIT 20
+"""
+
+
+@register("bpe_top_pairs", _BPE_SQL)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (operators/textstats.py:
+    char_pair_counts): one count aggregation on a naturally tiny key
+    space (alphabet²), TakeOrdered for the top-N — the
+    tokenizer-training primitive, no global sort."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return textstats.char_pair_counts(docs, top_n=20)
+
+
 # As-of join (operators/windows.py:asof_join): each event enriched
 # with the latest prior snapshot (events with event_id % 20 == 0 act
 # as per-user snapshots). The oracle uses DuckDB's native ASOF LEFT

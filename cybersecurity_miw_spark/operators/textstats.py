@@ -193,3 +193,34 @@ def tfidf_top_terms(
             F.floor(F.col("_score") * 1e6 + 0.5).cast("long").alias("score_u"),
         )
     )
+
+
+def char_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies within words —
+    the candidate-scoring step of a BPE tokenizer-training round (the
+    first merge is argmax of exactly this table). Words are
+    whitespace tokens, lowercased; pairs never span word boundaries
+    (the standard pre-tokenized BPE setting).
+
+    Plan: split → explode words → per-word pair array (sequence +
+    substr, no Python) → explode pairs → ONE count aggregation on the
+    pair key (map-side combined; key space is alphabet², naturally
+    tiny). Top-N by (count desc, pair asc) via TakeOrdered — no
+    global sort."""
+    words = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("w")
+    staged = df.select(words)
+    n = F.length("w")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.substring(F.col("w"), i, 2),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = staged.select(F.explode(pairs).alias("pair"))
+    counted = exploded.groupBy("pair").agg(F.count("*").alias("n_pair"))
+    return counted.orderBy(F.desc("n_pair"), F.asc("pair")).limit(top_n)

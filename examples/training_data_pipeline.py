@@ -132,6 +132,19 @@ def main() -> None:
         F.round(F.avg("docs"), 2).alias("mean_docs_per_bin"),
     ).show()
 
+    # last mile: size-bounded, deterministically-ordered shards
+    from cybersecurity_miw_spark.sources.shards import write_shards
+
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "shards_example",
+    )
+    n_shards = write_shards(
+        mixed.select("doc_id", "source", "mix_key"),
+        out_dir, shard_rows=64,
+    )
+    print(f"wrote {n_shards} ordered shard ranges to {out_dir}")
+
 
 if __name__ == "__main__":
     main()

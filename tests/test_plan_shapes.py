@@ -71,6 +71,7 @@ MAX_EXCHANGES = {
     "approx_distinct_users_per_type": 1,  # single-pass HLL, one agg
     "approx_value_percentiles": 1,        # single-pass sketch, one agg
     "asof_join_latest_snapshot": 1,  # union + ONE key exchange (no range join)
+    "bpe_top_pairs": 2,  # widen + pair count agg; top-N is TakeOrdered
 }
 
 

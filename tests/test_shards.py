@@ -1,0 +1,69 @@
+"""Goldens for the training-shard writer (sources/shards.py):
+size bounds, global order across files, content determinism across
+re-writes, and exact row preservation."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.sources.shards import write_shards
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # deliberately skewed upstream partitioning: one partition holds
+    # 90% of rows — the range exchange must still bound shard sizes
+    a = spark.range(0, 900).withColumn("part", F.lit("big"))
+    b = spark.range(900, 1000).withColumn("part", F.lit("small"))
+    return (
+        a.coalesce(1).unionByName(b.coalesce(1))
+        .select(F.col("id").alias("doc_id"), "part")
+        .withColumn("mix_key", (F.col("doc_id") * 37 % 1000).cast("double"))
+    )
+
+
+def _files(out):
+    return sorted(glob.glob(f"{out}/part-*.parquet"))
+
+
+def test_shards_bounded_ordered_and_complete(spark, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    n_parts = write_shards(corpus, out, shard_rows=128)
+    files = _files(out)
+    assert n_parts == 8  # ceil(1000/128)
+    assert len(files) >= n_parts
+
+    seen = []
+    prev_last = None
+    for f in files:
+        t = pq.read_table(f)
+        assert t.num_rows <= 128
+        keys = list(
+            zip(t.column("mix_key").to_pylist(), t.column("doc_id").to_pylist())
+        )
+        assert keys == sorted(keys)  # sorted within the file
+        if prev_last is not None:
+            assert keys[0] >= prev_last  # global order across files
+        prev_last = keys[-1]
+        seen.extend(t.column("doc_id").to_pylist())
+    assert sorted(seen) == list(range(1000))  # nothing lost or duplicated
+
+
+def test_shards_rewrite_is_deterministic(spark, corpus, tmp_path):
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_shards(corpus, out1, shard_rows=200, n_rows=1000)
+    write_shards(corpus, out2, shard_rows=200, n_rows=1000)
+    f1, f2 = _files(out1), _files(out2)
+    assert len(f1) == len(f2)
+    for a, b in zip(f1, f2):
+        ta, tb = pq.read_table(a), pq.read_table(b)
+        assert ta.column("doc_id").to_pylist() == tb.column("doc_id").to_pylist()
+
+
+def test_shards_rejects_bad_budget(spark, corpus, tmp_path):
+    with pytest.raises(ValueError):
+        write_shards(corpus, str(tmp_path / "x"), shard_rows=0)

@@ -201,3 +201,59 @@ def test_near_dedup_clusters_vs_pairwise_on_transitive_chain(spark):
     for k in dup_kept:
         if k in clusters:
             assert clusters[k] == k
+
+
+# ---- streaming safety ----
+
+
+def test_narrow_corpus_filters_run_in_structured_streaming(spark, tmp_path):
+    """The narrow corpus filters (quality metrics, PII redaction,
+    repeated-line removal) are pure per-row expressions, so the SAME
+    operator functions must be legal in a readStream plan — the
+    streaming-ingest curation path. (Agg-based ops like the
+    top-bigram profile need their own output-mode handling and are
+    batch-only by design.)"""
+    import json
+    import time
+
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "mail a@b.io now\nrepeat\nrepeat"},
+        {"doc_id": 2, "text": "clean line\nother line"},
+    ]
+    (indir / "d.jsonl").write_text(
+        "\n".join(json.dumps(d) for d in docs) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(indir))
+    )
+    cleaned = corpus_filters.remove_repeated_lines(
+        corpus_filters.pii_redact(stream, out_col="t").select(
+            "doc_id", F.col("t").alias("text")
+        ).join(
+            corpus_filters.quality_metrics(stream).select("doc_id", "n_words"),
+            "doc_id",
+        )
+        .select("doc_id", "text", "n_words"),
+        keep=("doc_id", "n_words"),
+    )
+    q = (
+        cleaned.writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    rows = {
+        r["doc_id"]: r for r in spark.read.parquet(outdir).collect()
+    }
+    assert rows[1]["clean_text"] == "mail <EMAIL> now\nrepeat"
+    assert rows[1]["n_removed"] == 1
+    assert rows[2]["clean_text"] == "clean line\nother line"
+    assert rows[2]["n_words"] == 4

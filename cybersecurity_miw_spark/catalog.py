@@ -2877,22 +2877,30 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # miw pipeline: source → tokenize → cast → bucket → match → agg
+    # miw pipeline: source → tokenize → cast → bucket → match → agg.
+    # (The flagship exercises the whole compile chain end-to-end;
+    # single-stage §2 veterans rotated out mid-round-6 for the corpus
+    # family below stay full-hash green in tests/test_oracle_parity.py:
+    # tokenize_typed_projection, atoi_prefix_parity, url_retemplate,
+    # kv_evtx_explode, dns_wire_decode, match_negative_exact,
+    # semi_join_membership, raw_content_retention.)
     "miw_events_summary",
-    "tokenize_typed_projection",
-    "atoi_prefix_parity",
     "date_buckets",
-    "url_retemplate",
-    "kv_evtx_explode",
-    "dns_wire_decode",
     "match_substring_or",
-    "match_negative_exact",
-    "semi_join_membership",
     "agg_union_count_histogram",
     "order_topk_groups",
     "match_and_contains_all",
-    "raw_content_retention",
     "evtx_kv_dynamic_group",
+    # corpus curation family (round-6 additions, first driver rows;
+    # each verified MATCH against its oracle at sf0.01 in-session)
+    "gopher_quality_flags",
+    "pii_redact_counts",
+    "remove_repeated_lines",
+    "dup_clusters_cc",
+    "chunk_fixed_windows",
+    "asof_join_latest_snapshot",
+    "quality_weighted_sample",
+    "corpus_report_by_source",
     # companion apps (§2.8)
     "wc_wordcount",
     "app_hist_256",

@@ -648,3 +648,95 @@ def near_dedup_clusters(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def dup_clusters_star(
+    pairs: DataFrame,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    — the escalation path for graphs whose diameter makes plain
+    min-label propagation (``dup_clusters``, O(diameter) rounds) too
+    slow: star contraction converges in O(log n) rounds on ANY graph
+    shape, including adversarial long chains.
+
+    Per round each phase is one groupBy(min) + one join on the node
+    id — same uniform-key shuffle profile as ``dup_clusters``, so the
+    cost model is rounds × (2 shuffles), with exponentially fewer
+    rounds on high-diameter inputs. Convergence is detected by an
+    edge-set checksum (count + order-insensitive hash sum), one tiny
+    row to the driver per round; lineage is truncated per round.
+
+    Returns (doc_id, cluster_id = component minimum), for every node
+    that appears in >=1 pair — identical output contract to
+    ``dup_clusters``.
+    """
+    edges = pairs.select(
+        F.col(col_a).cast("long").alias("u"),
+        F.col(col_b).cast("long").alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        ).distinct()
+
+    def _checksum(e: DataFrame):
+        # bit_xor: order-insensitive and overflow-free under ANSI
+        # (sum of hashes overflows long)
+        row = e.select(F.xxhash64("u", "v").alias("_h")).agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(_h)").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = (
+            adj.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", F.col("u")).alias("m"))
+        )
+        return _canon(
+            adj.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        down = adj.filter(F.col("v") < F.col("u"))
+        m = down.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            down.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        kept = m.select(F.col("u"), F.col("m").alias("v"))
+        return _canon(moved.union(kept))
+
+    e = _canon(edges).localCheckpoint(eager=True)
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"dup_clusters_star did not converge in {max_iter} rounds"
+        )
+    # fixpoint: every component is a star centered at its minimum
+    adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        adj.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select(
+            F.col("u").alias("doc_id"),
+            F.least("_mv", F.col("u")).alias("cluster_id"),
+        )
+    )

@@ -257,3 +257,55 @@ def test_narrow_corpus_filters_run_in_structured_streaming(spark, tmp_path):
     assert rows[1]["n_removed"] == 1
     assert rows[2]["clean_text"] == "clean line\nother line"
     assert rows[2]["n_words"] == 4
+
+
+# ---- star-contraction connected components ----
+
+
+def test_star_clusters_match_union_find_on_random_graph(spark):
+    import random
+
+    rng = random.Random(99)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(80), 2))) for _ in range(100)}
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters_star(_pairs(spark, edges)).collect()
+    }
+    assert got == _uf_components(edges)
+
+
+def test_star_clusters_handle_long_chain_where_minlabel_guard_trips(spark):
+    # a 64-node path has diameter 63: min-label propagation at its
+    # default 25-round guard must refuse, star contraction (O(log n)
+    # rounds) must finish and label the whole chain with its minimum
+    edges = [(i, i + 1) for i in range(63)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(_pairs(spark, edges))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters_star(_pairs(spark, edges)).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_star_clusters_agree_with_minlabel_on_near_dup_pairs(spark, sf_dir):
+    from cybersecurity_miw_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(
+        docs, num_hashes=16, bands=4, shingle_k=3
+    )
+    confirmed = dedup.jaccard_pairs(docs, cand, shingle_k=3).filter(
+        F.col("jaccard") >= 0.8
+    )
+    a = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(confirmed).collect()
+    }
+    b = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters_star(confirmed).collect()
+    }
+    assert a == b and len(a) > 0

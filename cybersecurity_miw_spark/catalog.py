@@ -2611,6 +2611,53 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(docs, window=16, stride=8)
 
 
+# Statistical LM quality score (operators/corpus_filters.py:
+# bigram_lm_scores): add-one-smoothed corpus bigram model, per-doc
+# mean conditional probability in integer micro-units — the CCNet
+# perplexity-proxy filter, bit-stable across engines by integer
+# division.
+_LM_SQL = """
+WITH w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+),
+words AS (SELECT doc_id, unnest(w) AS w1 FROM w),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> {'w1': w[i], 'w2': w[i+1]})) AS bg
+  FROM w WHERE len(w) >= 2
+),
+bg AS (
+  SELECT doc_id, struct_extract(bg, 'w1') AS w1,
+         struct_extract(bg, 'w2') AS w2
+  FROM bigrams
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM words GROUP BY 1),
+v AS (SELECT count(DISTINCT w1) AS v FROM words),
+p AS (
+  SELECT bg.doc_id, (1000000 * (c2.c2 + 1)) // (c1.c1 + v.v) AS p_micro
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       floor((sum(p_micro)::DOUBLE / count(*) / 1000000.0)
+             * 1000000 + 0.5) / 1000000 AS lm_score
+FROM p GROUP BY 1
+"""
+
+
+@register("lm_bigram_quality_scores", _LM_SQL)
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM score per document
+    (operators/corpus_filters.py:bigram_lm_scores): integer-exact
+    smoothed conditional probabilities, the statistical quality
+    filter between rule-based gopher_flags and model-based scoring."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return corpus_filters.bigram_lm_scores(docs)
+
+
 # BPE merge-candidate table (operators/textstats.py:char_pair_counts):
 # corpus-wide adjacent char-pair counts within words — argmax of this
 # table IS the first BPE merge.

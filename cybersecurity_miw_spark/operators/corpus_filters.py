@@ -205,3 +205,65 @@ def pii_redact(
     for name, (pat, repl) in PII_PATTERNS.items():
         red = F.regexp_replace(red, pat, repl)
     return df.select(*keep, red.alias(out_col), *counts)
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Statistical language-model quality score (the CCNet-style
+    perplexity-proxy filter): train an add-one-smoothed bigram model
+    on the corpus itself, then score each document by the mean
+    conditional probability of its bigrams under that model. Fluent
+    in-domain text scores high; gibberish and boilerplate score low.
+
+    All model arithmetic is INTEGER-exact so the score is bit-stable
+    across engines: p_micro(w2|w1) = (1e6 * (c2+1)) div (c1+V) with
+    corpus bigram counts c2, unigram occurrence counts c1 and vocab
+    size V; the doc score is the mean of p_micro over its bigram
+    occurrences (single int/int division, then the usual
+    floor-rounding to 6 places).
+
+    Plan: one explode for words, one for bigrams; two count
+    aggregations (the model — uniform word keys); two joins of doc
+    bigrams against the model (model side is corpus-vocab-sized, tiny
+    relative to the corpus, broadcast-able); one final per-doc mean.
+    Docs with <2 words have no bigrams and are absent from the
+    output."""
+    w = _words(F.col(text_col))
+    staged = df.select(id_col, w.alias("_w"))
+    nw = F.size("_w")
+    words = staged.select(id_col, F.explode("_w").alias("w1"))
+    bigrams = staged.filter(nw >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nw - 1),
+                lambda i: F.struct(
+                    F.element_at("_w", i).alias("w1"),
+                    F.element_at("_w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = words.groupBy("w1").agg(F.count("*").alias("c1"))
+    # V collapses to ONE integer on the driver (the IVF-centroid
+    # precedent: bounded model-size driver traffic) so the smoothing
+    # denominator is a literal — no scalar cross join in the plan
+    v = c1.count()
+
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .select(
+            id_col,
+            F.expr(f"div(1000000 * (c2 + 1), c1 + {v})").alias("p_micro"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        _round6(
+            F.sum("p_micro") / F.count("*") / F.lit(1000000.0)
+        ).alias("lm_score"),
+    )

@@ -309,3 +309,35 @@ def test_star_clusters_agree_with_minlabel_on_near_dup_pairs(spark, sf_dir):
         for r in dedup.dup_clusters_star(confirmed).collect()
     }
     assert a == b and len(a) > 0
+
+
+# ---- bigram LM quality score ----
+
+
+def test_lm_score_favors_in_domain_text(spark):
+    # corpus dominated by "the cat sat" patterns; doc 9 is gibberish
+    # with corpus-unseen transitions -> lowest score
+    rows = [(i, "the cat sat on the mat") for i in range(1, 9)]
+    rows.append((9, "zq xv jk wp mn bv"))
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: r["lm_score"]
+        for r in corpus_filters.bigram_lm_scores(df).collect()
+    }
+    assert out[9] < out[1]
+    assert all(out[i] == out[1] for i in range(2, 9))  # identical docs tie
+
+
+def test_lm_score_integer_exact_hand_computed(spark):
+    # corpus: two docs "a b" and "a b" -> c2(a,b)=2, c1(a)=2, V=2
+    # p_micro = (1e6 * 3) div (2 + 2) = 750000 -> score 0.75
+    df = _docs(spark, [(1, "a b"), (2, "a b")])
+    out = corpus_filters.bigram_lm_scores(df).collect()
+    assert {r["doc_id"]: r["lm_score"] for r in out} == {1: 0.75, 2: 0.75}
+    assert all(r["n_bigrams"] == 1 for r in out)
+
+
+def test_lm_score_excludes_single_word_docs(spark):
+    df = _docs(spark, [(1, "only"), (2, "two words")])
+    ids = {r["doc_id"] for r in corpus_filters.bigram_lm_scores(df).collect()}
+    assert ids == {2}

@@ -72,6 +72,9 @@ MAX_EXCHANGES = {
     "approx_value_percentiles": 1,        # single-pass sketch, one agg
     "asof_join_latest_snapshot": 1,  # union + ONE key exchange (no range join)
     "bpe_top_pairs": 2,  # widen + pair count agg; top-N is TakeOrdered
+    # model build (c1+c2 aggs) + doc-bigram joins + per-doc mean; the
+    # model side is corpus-vocab-sized — AQE broadcasts it when small
+    "lm_bigram_quality_scores": 12,
 }
 
 

@@ -2611,6 +2611,103 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(docs, window=16, stride=8)
 
 
+# N-gram contamination flags (operators/dedup.py:
+# flag_eval_ngram_overlap): GPT-3-style check — a train doc is
+# contaminated if it CONTAINS any eval n-gram, even when the whole
+# documents aren't near-duplicates. Same 5-fold split as
+# decontaminate_train_vs_eval; shingle k=3 matches _SHINGLES_SQL.
+_NGRAM_OVERLAP_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL}),
+esh AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shingled WHERE doc_id % 5 = 0
+),
+tr AS (
+  SELECT doc_id, unnest(sh) AS s FROM shingled WHERE doc_id % 5 != 0
+),
+hits AS (
+  SELECT tr.doc_id, count(DISTINCT tr.s) AS n_overlap
+  FROM tr JOIN esh ON tr.s = esh.s GROUP BY 1
+)
+SELECT d.doc_id, coalesce(h.n_overlap, 0) AS n_overlap,
+       coalesce(h.n_overlap, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 != 0) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("eval_ngram_overlap_flags", _NGRAM_OVERLAP_SQL)
+def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-train-doc eval n-gram overlap counts
+    (operators/dedup.py:flag_eval_ngram_overlap): substring-level
+    leakage doc-level LSH misses. One uniform shingle-key join; the
+    eval side is benchmark-sized and broadcasts."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return dedup.flag_eval_ngram_overlap(train, ev, shingle_k=3)
+
+
+# Cross-document boilerplate removal (operators/corpus_filters.py:
+# remove_boilerplate_lines): both engines wrap every doc with the
+# same synthetic banner/footer lines; any line in >10 distinct docs
+# (the shared ones) must vanish while unique lines survive in order.
+_BOILERPLATE_SQL = """
+WITH built AS (
+  SELECT doc_id,
+         'cookie notice' || chr(10) || text || chr(10) || 'shared footer v1' AS t
+  FROM documents
+),
+l AS (SELECT doc_id, str_split(t, chr(10)) AS l FROM built),
+lines AS (
+  SELECT doc_id, struct_extract(x, 'pos') AS pos,
+         struct_extract(x, 'line') AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(l)),
+                                 i -> {'pos': i, 'line': l[i]})) AS x
+    FROM l
+  )
+),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY 1
+  ) WHERE df > 10
+),
+kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM freq)),
+re AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS kept_n
+  FROM kept GROUP BY 1
+)
+SELECT l.doc_id, coalesce(re.clean_text, '') AS clean_text,
+       CAST(len(l.l) - coalesce(re.kept_n, 0) AS BIGINT) AS n_removed
+FROM l LEFT JOIN re ON l.doc_id = re.doc_id
+"""
+
+
+@register("remove_boilerplate_lines", _BOILERPLATE_SQL)
+def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc boilerplate removal (operators/corpus_filters.py:
+    remove_boilerplate_lines): lines appearing in >10 distinct docs
+    (cookie banners, shared footers) drop corpus-wide; documents
+    reassemble in original line order. Line-hash keyed counts +
+    anti-join — uniform keys, no skew."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("cookie notice\n"),
+            F.col("text"),
+            F.lit("\nshared footer v1"),
+        ).alias("t"),
+    )
+    return corpus_filters.remove_boilerplate_lines(
+        built, max_doc_freq=10, text_col="t"
+    )
+
+
 # Statistical LM quality score (operators/corpus_filters.py:
 # bigram_lm_scores): add-one-smoothed corpus bigram model, per-doc
 # mean conditional probability in integer micro-units — the CCNet

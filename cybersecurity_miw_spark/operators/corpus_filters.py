@@ -267,3 +267,67 @@ def bigram_lm_scores(
             F.sum("p_micro") / F.count("*") / F.lit(1000000.0)
         ).alias("lm_score"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    max_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4 rule that is NOT
+    within-doc dedup): drop every line that appears in more than
+    ``max_doc_freq`` distinct documents — cookie banners, nav bars,
+    shared footers — and reassemble each document in original line
+    order.
+
+    Plan: posexplode lines → per-doc-distinct (line, doc) pairs →
+    line document-frequency count (uniform line-hash key) → anti-join
+    the exploded lines against the frequent set → per-doc re-assembly
+    with an order-preserving sort_array(collect_list(struct(pos,
+    line))). Two count/agg shuffles plus the anti-join; everything
+    keys on uniform hashes. Empty documents (all lines boilerplate)
+    come back as empty strings, not dropped — the caller decides.
+    """
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    doc_freq = (
+        lines.select(id_col, "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") > max_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(doc_freq, "line", "left_anti")
+    n_lines = df.select(
+        id_col, F.size(F.split(F.col(text_col), sep)).alias("_n")
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "line"))
+            ).alias("_sl")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform("_sl", lambda s: s["line"]), sep
+            ).alias("clean_text"),
+            F.size("_sl").alias("_kept"),
+        )
+    )
+    # left join from the full doc list: docs whose every line was
+    # boilerplate still appear (empty clean_text)
+    return (
+        n_lines.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("_n") - F.coalesce("_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -740,3 +740,46 @@ def dup_clusters_star(
             F.least("_mv", F.col("u")).alias("cluster_id"),
         )
     )
+
+
+def flag_eval_ngram_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram level contamination flagging (the GPT-3-style check:
+    a train doc is contaminated if it CONTAINS any eval n-gram, even
+    when the documents as a whole are not near-duplicates — substring
+    leakage that doc-level LSH misses). Returns every train doc with
+    ``n_overlap`` (count of its distinct shingles that appear
+    anywhere in the eval split) and a boolean ``contaminated``.
+
+    Plan: both sides shingle (array expressions, no Python), the
+    train side explodes to (doc_id, shingle), the eval side dedups to
+    a distinct shingle set; one join on the uniform shingle key + one
+    per-doc count; a left join puts zero-hit docs back. The eval side
+    is the small one in production (benchmarks ≪ corpus) — AQE
+    broadcasts it."""
+    tsh = with_shingles(train, text_col, shingle_k, "_sh", keep=(id_col,))
+    esh = (
+        with_shingles(eval_df, text_col, shingle_k, "_sh", keep=(id_col,))
+        .select(F.explode("_sh").alias("sh"))
+        .distinct()
+    )
+    hits = (
+        tsh.select(id_col, F.explode("_sh").alias("sh"))
+        .join(esh, "sh")
+        .groupBy(id_col)
+        .agg(F.countDistinct("sh").alias("n_overlap"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -341,3 +341,69 @@ def test_lm_score_excludes_single_word_docs(spark):
     df = _docs(spark, [(1, "only"), (2, "two words")])
     ids = {r["doc_id"] for r in corpus_filters.bigram_lm_scores(df).collect()}
     assert ids == {2}
+
+
+# ---- cross-doc boilerplate removal ----
+
+
+def test_boilerplate_lines_removed_across_docs(spark):
+    rows = [(i, f"banner\nunique {i}\nfooter") for i in range(1, 6)]
+    rows.append((6, "banner\nbanner"))  # all lines boilerplate
+    df = _docs(spark, rows)
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in corpus_filters.remove_boilerplate_lines(
+            df, max_doc_freq=2
+        ).collect()
+    }
+    for i in range(1, 6):
+        assert out[i] == (f"unique {i}", 2)
+    assert out[6] == ("", 2)  # emptied, not dropped
+
+
+def test_boilerplate_below_threshold_untouched(spark):
+    df = _docs(spark, [(1, "a\nb"), (2, "a\nc")])  # 'a' in 2 docs
+    out = {
+        r["doc_id"]: r["clean_text"]
+        for r in corpus_filters.remove_boilerplate_lines(
+            df, max_doc_freq=2
+        ).collect()
+    }
+    assert out == {1: "a\nb", 2: "a\nc"}  # df == threshold keeps
+
+
+def test_boilerplate_preserves_line_order(spark):
+    df = _docs(
+        spark,
+        [(i, f"x\nkeep1 {i}\nx\nkeep2 {i}") for i in range(1, 5)],
+    )
+    out = corpus_filters.remove_boilerplate_lines(df, max_doc_freq=2).collect()
+    for r in out:
+        i = r["doc_id"]
+        assert r["clean_text"] == f"keep1 {i}\nkeep2 {i}"
+        assert r["n_removed"] == 2
+
+
+# ---- n-gram contamination flags ----
+
+
+def test_ngram_overlap_catches_substring_leakage(spark):
+    # train doc 1 embeds an eval sentence inside unrelated text;
+    # doc-level Jaccard is low but the 3-gram overlap must flag it
+    eval_df = _docs(spark, [(100, "the secret eval answer is here")])
+    train = _docs(
+        spark,
+        [
+            (1, "lots of filler " + "the secret eval answer is here"
+                + " more filler words everywhere around it padding"),
+            (2, "completely unrelated content with no overlap at all"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in dedup.flag_eval_ngram_overlap(
+            train, eval_df, shingle_k=3
+        ).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 3
+    assert out[2] == (0, False)

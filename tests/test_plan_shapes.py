@@ -75,6 +75,10 @@ MAX_EXCHANGES = {
     # model build (c1+c2 aggs) + doc-bigram joins + per-doc mean; the
     # model side is corpus-vocab-sized — AQE broadcasts it when small
     "lm_bigram_quality_scores": 12,
+    # line-df count + anti-join + ordered reassembly + doc left join
+    "remove_boilerplate_lines": 8,
+    # shingle explode/dedup both sides + overlap join + per-doc count
+    "eval_ngram_overlap_flags": 8,
 }
 
 

@@ -43,6 +43,10 @@ QUERY_NAMES = [
     "gopher_quality_flags",
     "chunk_fixed_windows",
     "dup_clusters_cc",
+    "asof_join_latest_snapshot",
+    "lm_bigram_quality_scores",
+    "remove_boilerplate_lines",
+    "eval_ngram_overlap_flags",
 ]
 
 

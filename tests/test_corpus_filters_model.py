@@ -100,3 +100,69 @@ def test_remove_repeated_lines_idempotent(spark):
     for r in rows:
         assert r["clean_text"] == r["clean2"]
         assert r["n_removed"] == 0
+
+
+def _model_boilerplate(docs: dict[int, str], max_df: int):
+    from collections import defaultdict
+
+    df_count: dict[str, set] = defaultdict(set)
+    for i, text in docs.items():
+        for line in text.split("\n"):
+            df_count[line].add(i)
+    drop = {l for l, s in df_count.items() if len(s) > max_df}
+    out = {}
+    for i, text in docs.items():
+        lines = text.split("\n")
+        kept = [l for l in lines if l not in drop]
+        out[i] = ("\n".join(kept), len(lines) - len(kept))
+    return out
+
+
+def test_boilerplate_removal_matches_python_model(spark):
+    rng = random.Random(11)
+    shared = ["banner", "footer", "nav", "ad"]
+    docs = {}
+    for i in range(200):
+        n = rng.randint(1, 8)
+        lines = [
+            rng.choice(shared) if rng.random() < 0.5 else f"u{i}-{j}"
+            for j in range(n)
+        ]
+        docs[i] = "\n".join(lines)
+    sdf = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in corpus_filters.remove_boilerplate_lines(
+            sdf, max_doc_freq=3
+        ).collect()
+    }
+    assert got == _model_boilerplate(docs, 3)
+
+
+def test_chunking_matches_python_model(spark):
+    from cybersecurity_miw_spark.operators.packing import chunk_documents
+
+    rng = random.Random(5)
+    docs = {
+        i: " ".join(f"t{rng.randint(0, 9)}" for _ in range(rng.randint(1, 40)))
+        for i in range(100)
+    }
+    sdf = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got = {}
+    for r in chunk_documents(sdf, window=7, stride=3).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["chunk_text"], r["n_chunk_tokens"])
+        )
+    for i, text in docs.items():
+        w = text.split(" ")
+        want = []
+        cid = 0
+        for start in range(0, len(w), 3):
+            seg = w[start:start + 7]
+            want.append((cid, " ".join(seg), len(seg)))
+            cid += 1
+        assert sorted(got[i]) == want, i

@@ -245,6 +245,12 @@ def bigram_lm_scores(
             )
         ).alias("bg"),
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    # the bigram explode feeds BOTH the model build (c2) and the
+    # scoring join; persist it so the split+transform+explode runs
+    # once (Spark can't ReuseExchange through the lambda)
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    bigrams = staged(bigrams)
 
     c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = words.groupBy("w1").agg(F.count("*").alias("c1"))

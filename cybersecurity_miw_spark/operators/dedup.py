@@ -768,11 +768,15 @@ def flag_eval_ngram_overlap(
         .select(F.explode("_sh").alias("sh"))
         .distinct()
     )
+    # shingles_from_words array_distinct's per doc, and esh is
+    # distinct, so each (doc, shingle) matches at most one eval row:
+    # a plain count equals count(DISTINCT) without the two-exchange
+    # distinct expansion
     hits = (
         tsh.select(id_col, F.explode("_sh").alias("sh"))
         .join(esh, "sh")
         .groupBy(id_col)
-        .agg(F.countDistinct("sh").alias("n_overlap"))
+        .agg(F.count("*").alias("n_overlap"))
     )
     return (
         train.select(id_col)

@@ -2611,6 +2611,43 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(docs, window=16, stride=8)
 
 
+@register("bpe_learned_merges")  # rows-only: iterative driver loop
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (operators/bpe.py:train_bpe): 24
+    merge rounds over the frequency-weighted word vocabulary — one
+    corpus-sized agg total, one argmax row to the driver per round.
+    Not SQL-expressible (iterative + lookbehind re-segmentation);
+    exact-sequence parity with a pure-Python Sennrich reference is
+    golden-pinned in tests/test_bpe.py."""
+    from cybersecurity_miw_spark.operators import bpe as bpe_mod
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    merges = bpe_mod.train_bpe(docs, n_merges=24)
+    return spark.createDataFrame(
+        [(i, x, y, x + y) for i, (x, y) in enumerate(merges)],
+        "rank int, x string, y string, merged string",
+    )
+
+
+@register("bpe_tokenize_sample")  # rows-only: depends on learned merges
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization with corpus-learned merges
+    (operators/bpe.py:tokenize): per-word merge passes as nested
+    codegen'd regexp expressions, flattened per doc. Rows-only (the
+    merge table comes from the iterative trainer); losslessness and
+    model parity are golden-pinned."""
+    from cybersecurity_miw_spark.operators import bpe as bpe_mod
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    merges = bpe_mod.train_bpe(docs, n_merges=16)
+    out = bpe_mod.tokenize(docs, merges)
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("n_subwords"),
+        F.concat_ws("|", F.slice("tokens", 1, 12)).alias("head_tokens"),
+    )
+
+
 # N-gram contamination flags (operators/dedup.py:
 # flag_eval_ngram_overlap): GPT-3-style check — a train doc is
 # contaminated if it CONTAINS any eval n-gram, even when the whole

@@ -2611,6 +2611,71 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.chunk_documents(docs, window=16, stride=8)
 
 
+# Feature-hashing text embedding (operators/textstats.py:
+# hashed_embedding): md5-bucket ±1 hashing trick, integer-exact until
+# one sqrt + one division per component. The digest hashes the
+# ordered component fold + the first component (array columns reduce
+# to scalars for the cross-engine hash, as embedding_l2_normalize
+# does).
+_HASH_EMBED_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+fw AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % 64 AS INT) AS b,
+         CASE WHEN (('0x' || substr(md5(w), 1, 8))::BIGINT // 64) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM fw
+),
+counted AS (
+  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS v FROM hashed GROUP BY 1, 2
+),
+dense AS (
+  SELECT d.doc_id, g.i, coalesce(c.v, 0) AS v
+  FROM (SELECT DISTINCT doc_id FROM counted) d
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+  LEFT JOIN counted c ON c.doc_id = d.doc_id AND c.b = g.i
+),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS norm FROM dense GROUP BY 1),
+vecs AS (
+  SELECT dense.doc_id,
+         list(floor(v / greatest(norm, 1e-12) * 1000000 + 0.5) / 1000000
+              ORDER BY i) AS emb
+  FROM dense JOIN norms n ON dense.doc_id = n.doc_id
+  GROUP BY dense.doc_id, n.norm
+)
+SELECT doc_id,
+       floor(list_sum(emb) * 1000000 + 0.5) / 1000000 AS comp_sum,
+       emb[1] AS c0
+FROM vecs
+"""
+
+
+@register("hashed_text_embedding", _HASH_EMBED_SQL)
+def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embedding digest
+    (operators/textstats.py:hashed_embedding): deterministic
+    training-free text→vector bridge into the ANN/near-dup operators.
+    One shuffle on the uniform (doc_id, bucket) key."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    emb = textstats.hashed_embedding(docs, dim=64)
+    return emb.select(
+        "doc_id",
+        (
+            F.floor(
+                F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x)
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("comp_sum"),
+        F.element_at("embedding", 1).alias("c0"),
+    )
+
+
 @register("bpe_learned_merges")  # rows-only: iterative driver loop
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py:train_bpe): 24

@@ -224,3 +224,68 @@ def char_pair_counts(
     exploded = staged.select(F.explode(pairs).alias("pair"))
     counted = exploded.groupBy("pair").agg(F.count("*").alias("n_pair"))
     return counted.orderBy(F.desc("n_pair"), F.asc("pair")).limit(top_n)
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Classical feature-hashing document embedding (the hashing
+    trick, Weinberger et al. 2009): every word hashes to a bucket in
+    [0, dim) with a ±1 sign bit, buckets accumulate term counts, and
+    the vector is L2-normalized — a deterministic, training-free text
+    embedding that feeds the ANN/near-dup operators directly from
+    text (no model container required).
+
+    Integer-exact until the final normalize: bucket sums are int64
+    (md5-derived bucket + sign, the engine-portable hash the sampling
+    ops use), the norm is one sqrt over an exact integer
+    sum-of-squares, and each component is a single division — so the
+    result is bit-stable across engines and SQL-oracle-able.
+
+    Plan: explode words → groupBy(doc, bucket) count — one shuffle on
+    the uniform (doc_id, bucket) key — then a per-doc array pivot via
+    map_from_entries (no second shuffle: the collect_list groups on
+    doc_id, co-partitioned under AQE with the count)."""
+    words = df.select(
+        id_col,
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    sign = F.when(F.pmod(F.floor(h / dim), F.lit(2)) == 0, F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    counted = (
+        words.select(id_col, bucket.alias("b"), sign.alias("s"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    pivoted = counted.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("b", "v"))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(vec, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    )
+    return pivoted.select(
+        id_col,
+        F.transform(
+            vec,
+            lambda x: F.floor(
+                x / F.greatest(norm, F.lit(1e-12)) * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0),
+        ).alias(out_col),
+    )

@@ -166,3 +166,20 @@ def test_chunking_matches_python_model(spark):
             want.append((cid, " ".join(seg), len(seg)))
             cid += 1
         assert sorted(got[i]) == want, i
+
+
+def test_example_curation_chain_is_deterministic(spark):
+    """The end-to-end curation chain (gopher rules → PII redaction →
+    profile → exact dedup → cluster near-dedup) must produce an
+    identical survivor set across runs — no RNG, no
+    partitioning-order sensitivity anywhere in the chain."""
+    import examples.training_data_pipeline as pipeline
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(
+        r["doc_id"] for r in pipeline.curate(spark, sf).select("doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"] for r in pipeline.curate(spark, sf).select("doc_id").collect()
+    )
+    assert a == b and len(a) > 0

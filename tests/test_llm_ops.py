@@ -479,3 +479,41 @@ def test_decontaminate_drops_planted_eval_leakage(spark):
         for r in dedup.decontaminate(train, ev, threshold=0.5).collect()
     )
     assert out == [4, 5]
+
+
+# ---- hashing-trick text embedding ----
+
+
+def test_hashed_embedding_unit_norm_and_similarity(spark):
+    from cybersecurity_miw_spark.operators.textstats import hashed_embedding
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a + " extra"          # near-identical
+    c = "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"  # disjoint words
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    emb = {
+        r["doc_id"]: r["embedding"]
+        for r in hashed_embedding(df, dim=64).collect()
+    }
+
+    def dot(u, v):
+        return sum(x * y for x, y in zip(u, v))
+
+    for v in emb.values():
+        assert abs(dot(v, v) - 1.0) < 1e-3  # unit norm (post-rounding)
+    assert dot(emb[1], emb[2]) > 0.9   # near-dup pair stays close
+    assert dot(emb[1], emb[3]) < 0.5   # unrelated text is far
+
+
+def test_hashed_embedding_deterministic(spark):
+    from cybersecurity_miw_spark.operators.textstats import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} common words shared {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    e1 = sorted(map(repr, hashed_embedding(df).collect()))
+    e2 = sorted(map(repr, hashed_embedding(df).collect()))
+    assert e1 == e2

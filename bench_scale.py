@@ -47,6 +47,7 @@ QUERY_NAMES = [
     "lm_bigram_quality_scores",
     "remove_boilerplate_lines",
     "eval_ngram_overlap_flags",
+    "hashed_text_embedding",
 ]
 
 

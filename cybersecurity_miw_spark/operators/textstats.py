@@ -275,15 +275,24 @@ def hashed_embedding(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: F.coalesce(F.element_at("_m", i.cast("int")), F.lit(0)),
     )
-    norm = F.sqrt(
-        F.aggregate(vec, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    # stage the int vector AND its norm as plain columns: an aggregate
+    # fold referenced inside the normalize lambda would re-evaluate
+    # per element (O(dim²) interpreted work per row — measured ~2× the
+    # whole query)
+    staged = pivoted.select(id_col, vec.alias("_v"))
+    with_norm = staged.select(
+        id_col,
+        "_v",
+        F.sqrt(
+            F.aggregate("_v", F.lit(0).cast("long"), lambda a, x: a + x * x)
+        ).alias("_n"),
     )
-    return pivoted.select(
+    return with_norm.select(
         id_col,
         F.transform(
-            vec,
+            "_v",
             lambda x: F.floor(
-                x / F.greatest(norm, F.lit(1e-12)) * F.lit(1000000.0)
+                x / F.greatest("_n", F.lit(1e-12)) * F.lit(1000000.0)
                 + F.lit(0.5)
             )
             / F.lit(1000000.0),

@@ -79,6 +79,8 @@ MAX_EXCHANGES = {
     "remove_boilerplate_lines": 8,
     # shingle explode/dedup both sides + overlap join + per-doc count
     "eval_ngram_overlap_flags": 8,
+    # widen + (doc,bucket) count + per-doc pivot agg
+    "hashed_text_embedding": 3,
 }
 
 

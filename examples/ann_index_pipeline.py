@@ -63,6 +63,23 @@ def main(sf_dir: str) -> None:
     )
     print("top-10 after exact rerank of the 50-row ADC shortlist:")
     rerank.show(10, truncate=False)
+
+    # --- text side: no model needed ---
+    # the feature-hashing embedding turns raw documents into unit
+    # vectors deterministically, so the SAME index machinery serves
+    # text near-dup / retrieval without an encoder container
+    from cybersecurity_miw_spark.operators.textstats import hashed_embedding
+
+    docs = load_table(spark, sf_dir, "documents")
+    text_vecs = hashed_embedding(docs, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    tq = list(
+        text_vecs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    top = similarity.brute_force_topk(text_vecs, tq, k=5)
+    print("text-query top-5 via hashed embeddings (doc 0 as query):")
+    top.show(5, truncate=False)
     spark.stop()
 
 

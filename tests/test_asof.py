@@ -81,3 +81,47 @@ def test_asof_requires_right_cols(spark):
     df = spark.createDataFrame([(1,)], "x long")
     with pytest.raises(ValueError):
         asof_join(df, df, on="x")
+
+
+def test_asof_matches_python_model_on_random_data(spark):
+    """300 random events × random snapshot sets across 12 keys,
+    compared against the obvious python 'latest snapshot at or before
+    ts' model."""
+    import random
+
+    rng = random.Random(20260814)
+    keys = [f"k{i}" for i in range(12)]
+    left_rows = [
+        (i, rng.choice(keys), _ts(rng.randint(0, 59)))
+        for i in range(300)
+    ]
+    right_rows = [
+        (k, _ts(s), 1000 + 60 * ki + s)
+        for ki, k in enumerate(keys[:8])  # 4 keys have NO snapshots
+        for s in sorted(rng.sample(range(60), rng.randint(1, 6)))
+    ]
+    left = spark.createDataFrame(
+        left_rows, "event_id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, "k string, ts timestamp, snap long"
+    )
+    got = {
+        r["event_id"]: r["asof_snap"]
+        for r in asof_join(left, right, on="k", right_cols=("snap",)).collect()
+    }
+    by_key: dict = {}
+    for k, ts, snap in right_rows:
+        by_key.setdefault(k, []).append((ts, snap))
+    for eid, k, ts in left_rows:
+        cands = [(t, s) for t, s in by_key.get(k, []) if t <= ts]
+        want = max(cands)[1] if cands else None
+        assert got[eid] == want, (eid, k, ts)
+
+
+def test_dup_clusters_empty_pairs(spark):
+    from cybersecurity_miw_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.dup_clusters(empty).count() == 0
+    assert dedup.dup_clusters_star(empty).count() == 0

@@ -2400,7 +2400,7 @@ _R6 = "floor(({}) * 1000000 + 0.5) / 1000000"
 
 _GOPHER_SQL = f"""
 WITH w AS (
-  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  SELECT doc_id, str_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w FROM documents
 ),
 m AS (
   SELECT doc_id,
@@ -2453,7 +2453,7 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_BIGRAM_SQL = f"""
 WITH w AS (
-  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  SELECT doc_id, str_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w FROM documents
 ),
 grams AS (
   SELECT doc_id,
@@ -2584,7 +2584,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16-token windows, stride 8 (overlapping context-continuation).
 _CHUNK_SQL = """
 WITH w AS (
-  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  SELECT doc_id, str_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w FROM documents
 ),
 starts AS (
   SELECT doc_id, len(w) AS n, w,
@@ -2619,7 +2619,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # does).
 _HASH_EMBED_SQL = """
 WITH words AS (
-  SELECT doc_id, unnest(str_split_regex(lower(trim(text)), '\\s+')) AS w
+  SELECT doc_id, unnest(str_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS w
   FROM documents
 ),
 fw AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
@@ -2817,7 +2817,7 @@ def q_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division.
 _LM_SQL = """
 WITH w AS (
-  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w FROM documents
+  SELECT doc_id, str_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w FROM documents
 ),
 words AS (SELECT doc_id, unnest(w) AS w1 FROM w),
 bigrams AS (

@@ -67,7 +67,10 @@ def word_vocab(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) frequency table — the one corpus-sized aggregation."""
     words = df.select(
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            )
         ).alias("w")
     ).filter(F.length("w") > 0)
     return words.groupBy("w").agg(F.count("*").alias("n"))

@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 
 def _words(text: Column) -> Column:
-    return F.split(F.lower(F.trim(text)), r"\s+")
+    # null text behaves as empty (coalesce mirrored in every SQL twin)
+    return F.split(F.lower(F.trim(F.coalesce(text, F.lit("")))), r"\s+")
 
 
 def _round6(c: Column) -> Column:

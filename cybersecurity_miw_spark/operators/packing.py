@@ -111,7 +111,9 @@ def chunk_documents(
         stride = window
     if window < 1 or stride < 1:
         raise ValueError("window and stride must be >= 1")
-    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    w = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
     staged = df.select(id_col, w.alias("_w"))
     n = F.size("_w")
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))

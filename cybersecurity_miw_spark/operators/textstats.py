@@ -253,7 +253,10 @@ def hashed_embedding(
     words = df.select(
         id_col,
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            )
         ).alias("w"),
     ).filter(F.length("w") > 0)
     h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")

@@ -407,3 +407,23 @@ def test_ngram_overlap_catches_substring_leakage(spark):
     }
     assert out[1][1] is True and out[1][0] >= 3
     assert out[2] == (0, False)
+
+
+def test_null_text_behaves_as_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "real words here")], "doc_id long, text string"
+    )
+    qm = {r["doc_id"]: r for r in corpus_filters.quality_metrics(df).collect()}
+    assert qm[1]["n_words"] == 1  # split('') -> ['']
+    assert qm[2]["n_words"] == 3
+    from cybersecurity_miw_spark.operators.packing import chunk_documents
+
+    ch = {r["doc_id"]: r for r in chunk_documents(df, window=4).collect()}
+    assert ch[1]["chunk_text"] == ""
+    from cybersecurity_miw_spark.operators.textstats import hashed_embedding
+
+    he = {r["doc_id"] for r in hashed_embedding(df).collect()}
+    assert he == {2}  # empty-word doc has no buckets, absent by contract
+    from cybersecurity_miw_spark.operators import bpe
+
+    assert bpe.train_bpe(df, n_merges=3, min_pair_count=1) != []  # no crash

@@ -289,17 +289,24 @@ def remove_boilerplate_lines(
     shared footers — and reassemble each document in original line
     order.
 
-    Plan: posexplode lines → per-doc-distinct (line, doc) pairs →
-    line document-frequency count (uniform line-hash key) → anti-join
-    the exploded lines against the frequent set → per-doc re-assembly
-    with an order-preserving sort_array(collect_list(struct(pos,
-    line))). Two count/agg shuffles plus the anti-join; everything
-    keys on uniform hashes. Empty documents (all lines boilerplate)
-    come back as empty strings, not dropped — the caller decides.
+    Plan: ONE posexplode of the text column (persisted — it feeds the
+    document-frequency count, the anti-join, and the doc roster, and
+    re-scanning a 100 TB text column three times would dwarf the agg
+    cost) → line document-frequency count (uniform line-hash key) →
+    anti-join against the frequent set → per-doc re-assembly with an
+    order-preserving sort_array(collect_list(struct(pos, line))).
+    Empty documents (all lines boilerplate) come back as empty
+    strings, not dropped — the caller decides.
     """
-    lines = df.select(
-        id_col,
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    split_col = F.split(F.col(text_col), sep)
+    lines = staged(
+        df.select(
+            id_col,
+            F.size(split_col).alias("_n"),
+            F.posexplode(split_col).alias("pos", "line"),
+        )
     )
     doc_freq = (
         lines.select(id_col, "line")
@@ -310,9 +317,6 @@ def remove_boilerplate_lines(
         .select("line")
     )
     kept = lines.join(doc_freq, "line", "left_anti")
-    n_lines = df.select(
-        id_col, F.size(F.split(F.col(text_col), sep)).alias("_n")
-    )
     reassembled = (
         kept.groupBy(id_col)
         .agg(
@@ -328,8 +332,9 @@ def remove_boilerplate_lines(
             F.size("_sl").alias("_kept"),
         )
     )
-    # left join from the full doc list: docs whose every line was
-    # boilerplate still appear (empty clean_text)
+    # roster from the SAME exploded frame (no text re-scan): docs
+    # whose every line was boilerplate still appear (empty clean_text)
+    n_lines = lines.select(id_col, "_n").distinct()
     return (
         n_lines.join(reassembled, id_col, "left")
         .select(

@@ -75,8 +75,12 @@ MAX_EXCHANGES = {
     # model build (c1+c2 aggs) + doc-bigram joins + per-doc mean; the
     # model side is corpus-vocab-sized — AQE broadcasts it when small
     "lm_bigram_quality_scores": 12,
-    # line-df count + anti-join + ordered reassembly + doc left join
-    "remove_boilerplate_lines": 8,
+    # line-df count + anti-join + ordered reassembly + doc left join;
+    # +1 exchange vs the first cut: the doc roster is a distinct over
+    # the SAME persisted explode instead of a second full scan of the
+    # text column — one small doc_id-keyed exchange bought removing a
+    # 100 TB re-read (SCALE.md)
+    "remove_boilerplate_lines": 9,
     # shingle explode/dedup both sides + overlap join + per-doc count
     "eval_ngram_overlap_flags": 8,
     # widen + (doc,bucket) count + per-doc pivot agg

@@ -137,8 +137,12 @@ def tokenize(
 ) -> DataFrame:
     """Subword-tokenize each document with a learned merge list:
     per-word symbol split → merge passes → flattened token array.
-    Pure expressions, shuffle-free, linear in text length."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    Pure expressions, shuffle-free, linear in text length. Null text
+    tokenizes to an empty array (same null-as-empty contract as the
+    rest of the corpus-filter family)."""
+    words = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
     staged = df.select(id_col, words.alias("_w"))
     toks = F.flatten(
         F.transform(

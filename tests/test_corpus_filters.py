@@ -426,4 +426,8 @@ def test_null_text_behaves_as_empty(spark):
     assert he == {2}  # empty-word doc has no buckets, absent by contract
     from cybersecurity_miw_spark.operators import bpe
 
-    assert bpe.train_bpe(df, n_merges=3, min_pair_count=1) != []  # no crash
+    merges = bpe.train_bpe(df, n_merges=3, min_pair_count=1)
+    assert merges != []  # no crash
+    toks = {r["doc_id"]: r["tokens"] for r in bpe.tokenize(df, merges).collect()}
+    assert toks[1] == []  # null text -> empty token array
+    assert "".join(toks[2]) == "realwordshere"

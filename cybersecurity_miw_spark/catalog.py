@@ -2676,6 +2676,37 @@ def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Schema-on-read JSON payload extraction: events.props is a JSON
+# string; both engines pull $.k with their native JSON path functions
+# and aggregate — the common "typed field out of a semi-structured
+# payload" need (complements the delimiter/kv format compiler).
+_JSON_PROPS_SQL = """
+SELECT event_type,
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_sum,
+       CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS k_max,
+       count(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+@register("json_props_extract", _JSON_PROPS_SQL)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload field extraction + aggregation
+    (get_json_object $.k → long): schema-on-read over the events
+    props column, JVM-side JSON path evaluation, one exchange."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("_k").alias("k_sum"),
+            F.max("_k").alias("k_max"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
 @register("bpe_learned_merges")  # rows-only: iterative driver loop
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (operators/bpe.py:train_bpe): 24

@@ -85,6 +85,7 @@ MAX_EXCHANGES = {
     "eval_ngram_overlap_flags": 8,
     # widen + (doc,bucket) count + per-doc pivot agg
     "hashed_text_embedding": 3,
+    "json_props_extract": 1,  # one groupBy; JSON path is per-row JVM
 }
 
 

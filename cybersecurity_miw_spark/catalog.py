@@ -2676,6 +2676,70 @@ def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Split-distribution drift QA (operators/sampling.py:
+# split_word_divergence): JS divergence between the hash-split train
+# and val word distributions. Every per-word term floors to micro-nat
+# int64 BEFORE the global sum, so the reduction is order-independent
+# and the oracle hashes exactly.
+_SPLIT_DIV_SQL = """
+WITH s AS (
+  SELECT doc_id, text,
+         CASE WHEN ('0x' || substr(md5('split-v1:' || doc_id), 1, 8))::BIGINT
+                   % 10000 < 9000
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+),
+words AS (
+  SELECT split AS sp,
+         unnest(str_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS w
+  FROM s
+),
+fw AS (SELECT sp, w FROM words WHERE len(w) > 0),
+counts AS (
+  SELECT w,
+         sum(CASE WHEN sp = 'train' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN sp = 'val' THEN 1 ELSE 0 END) AS cb
+  FROM fw GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb,
+         count(*) AS v
+  FROM counts
+),
+pq AS (
+  SELECT (ca + 1) / (ta + v)::DOUBLE AS p,
+         (cb + 1) / (tb + v)::DOUBLE AS q,
+         v
+  FROM counts CROSS JOIN tot
+),
+terms AS (
+  SELECT v,
+         CAST(floor((0.5 * p * ln(p / ((p + q) / 2))
+                     + 0.5 * q * ln(q / ((p + q) / 2)))
+                    * 1000000 + 0.5) AS BIGINT) AS t
+  FROM pq
+)
+SELECT CAST(v AS INT) AS n_vocab, CAST(sum(t) AS BIGINT) AS js_micro_nats
+FROM terms GROUP BY v
+"""
+
+
+@register("split_word_divergence", _SPLIT_DIV_SQL)
+def q_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS divergence between the 90/10 hash-split word distributions
+    (operators/sampling.py:split_word_divergence): corpus-QA drift
+    check — a healthy hash split scores near 0. Integer micro-nat
+    terms make the global sum order-independent."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    split = sampling.split_assign(docs, {"train": 0.9, "val": 0.1})
+    out = sampling.split_word_divergence(split)
+    return out.select(
+        F.col("n_vocab").cast("int").alias("n_vocab"), "js_micro_nats"
+    )
+
+
 # Schema-on-read JSON payload extraction: events.props is a JSON
 # string; both engines pull $.k with their native JSON path functions
 # and aggregate — the common "typed field out of a semi-structured

@@ -173,3 +173,53 @@ def weighted_keep(
     w = F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0))
     b = hash_bucket(F.col(id_col), salt, buckets)
     return df.filter(b < F.floor(w * buckets))
+
+
+def split_word_divergence(
+    df: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+    a: str = "train",
+    b: str = "val",
+) -> DataFrame:
+    """Distribution-drift QA between two splits: Jensen-Shannon
+    divergence of their add-one-smoothed word distributions — the
+    check that a deterministic split didn't skew content (a healthy
+    hash split scores near 0; topic- or time-correlated splits score
+    high).
+
+    Determinism across engines: every per-word term is computed from
+    integer counts (identical doubles), floored to micro-nat int64
+    units, and only THEN summed — an integer sum is partition-order
+    independent, where summing raw doubles would not be. Returns one
+    row: (n_vocab, js_micro_nats).
+
+    Plan: one word explode → one (word × split) conditional-sum agg →
+    per-word term expression → one global int sum. Two exchanges.
+    """
+    words = df.filter(F.col(split_col).isin(a, b)).select(
+        F.col(split_col).alias("_s"),
+        F.explode(
+            F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    counts = words.groupBy("w").agg(
+        F.sum(F.when(F.col("_s") == a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("_s") == b, 1).otherwise(0)).alias("cb"),
+    )
+    # totals and vocab are three scalars — bounded driver traffic,
+    # the IVF-centroid precedent — so the term expression uses
+    # literals and stays a narrow projection
+    tot = counts.agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb"), F.count("*").alias("v")
+    ).first()
+    ta, tb, v = tot["ta"], tot["tb"], tot["v"]
+    p = (F.col("ca") + 1) / F.lit(float(ta + v))
+    q = (F.col("cb") + 1) / F.lit(float(tb + v))
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    term_u = F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return counts.select(term_u.alias("_t")).agg(
+        F.lit(v).alias("n_vocab"),
+        F.sum("_t").alias("js_micro_nats"),
+    )

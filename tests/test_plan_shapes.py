@@ -86,6 +86,8 @@ MAX_EXCHANGES = {
     # widen + (doc,bucket) count + per-doc pivot agg
     "hashed_text_embedding": 3,
     "json_props_extract": 1,  # one groupBy; JSON path is per-row JVM
+    # word explode + per-word conditional-sum agg + global int sum
+    "split_word_divergence": 3,
 }
 
 

@@ -136,3 +136,34 @@ def test_weighted_interleave_prefix_proportions(spark):
         .collect()
     )
     assert rows == again
+
+
+# ---- split divergence QA ----
+
+
+def test_divergence_low_for_hash_split_high_for_content_split(spark):
+    from cybersecurity_miw_spark.operators import sampling
+
+    rows = []
+    for i in range(200):
+        topic = "alpha beta gamma" if i % 2 == 0 else "delta epsilon zeta"
+        rows.append((i, f"{topic} common filler words {i % 7}"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hash_split = sampling.split_assign(df, {"train": 0.5, "val": 0.5})
+    js_hash = hash_split.transform(
+        lambda d: sampling.split_word_divergence(d)
+    ).first()["js_micro_nats"]
+
+    from pyspark.sql import functions as F
+
+    content_split = df.withColumn(
+        "split",
+        F.when(F.col("text").contains("alpha"), "train").otherwise("val"),
+    )
+    js_content = sampling.split_word_divergence(content_split).first()[
+        "js_micro_nats"
+    ]
+    # the content-correlated split separates the topic words entirely;
+    # the hash split mixes them — divergence must reflect that clearly
+    assert js_content > 10 * max(js_hash, 1)

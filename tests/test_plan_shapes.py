@@ -79,8 +79,11 @@ MAX_EXCHANGES = {
     # +1 exchange vs the first cut: the doc roster is a distinct over
     # the SAME persisted explode instead of a second full scan of the
     # text column — one small doc_id-keyed exchange bought removing a
-    # 100 TB re-read (SCALE.md)
-    "remove_boilerplate_lines": 9,
+    # 100 TB re-read (SCALE.md). 9 on a fresh session; once the
+    # persisted explode has cache statistics the anti-join flips from
+    # broadcast to shuffle (the minhash_lsh_candidates class above)
+    # -> 12; both forms key on uniform hashes
+    "remove_boilerplate_lines": 12,
     # shingle explode/dedup both sides + overlap join + per-doc count
     "eval_ngram_overlap_flags": 8,
     # widen + (doc,bucket) count + per-doc pivot agg

@@ -1,0 +1,66 @@
+"""High-level corpus-curation pipeline: the library API version of
+examples/training_data_pipeline.py, so a user can run the standard
+curation chain as one call and compose the stages explicitly when the
+defaults don't fit.
+
+Stage order (each optional, each a documented operator):
+
+    Gopher/C4 rule gate  →  PII redaction  →  heuristic quality floor
+    →  exact dedup  →  cluster-correct near-dedup
+
+Everything stays a lazy DataFrame plan until the caller acts; the
+only driver-side traffic is near-dedup's one convergence scalar per
+connected-components round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curate_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    apply_gopher: bool = True,
+    redact_pii: bool = True,
+    quality_floor: float | None = 0.3,
+    near_dup_threshold: float | None = 0.8,
+    gopher_kwargs: dict | None = None,
+) -> DataFrame:
+    """Run the standard curation chain; returns the surviving rows of
+    ``df`` with the (possibly PII-redacted) text under ``text_col``
+    plus the profile columns (lang_guess, n_tokens, quality,
+    fingerprint). Set a stage's parameter to None/False to skip it."""
+    from cybersecurity_miw_spark.operators import corpus_filters, dedup, textstats
+
+    out = df
+    if apply_gopher:
+        flags = corpus_filters.gopher_flags(
+            out, text_col=text_col, **(gopher_kwargs or {})
+        )
+        out = out.join(
+            flags.filter(F.col("keep")).select(id_col), id_col
+        )
+    if redact_pii:
+        scrubbed = corpus_filters.pii_redact(
+            out, text_col=text_col, out_col="_clean", keep=(id_col,)
+        )
+        out = (
+            out.drop(text_col)
+            .join(scrubbed.select(id_col, "_clean"), id_col)
+            .withColumnRenamed("_clean", text_col)
+        )
+    out = textstats.profile(out, text_col=text_col)
+    if quality_floor is not None:
+        out = out.filter(F.col("quality") >= quality_floor)
+    out = dedup.exact_dedup(out, text_col=text_col, id_col=id_col)
+    if near_dup_threshold is not None:
+        out = dedup.near_dedup_clusters(
+            out,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=near_dup_threshold,
+        )
+    return out

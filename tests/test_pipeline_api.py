@@ -1,0 +1,67 @@
+"""Goldens for the library-level curation pipeline
+(cybersecurity_miw_spark/pipeline.py): stage toggles, PII propagation
+into the surviving text, and equivalence with the hand-composed
+example chain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark import pipeline
+from cybersecurity_miw_spark.sources.tables import load_table
+
+
+def test_curate_matches_example_chain(spark, sf_dir):
+    import examples.training_data_pipeline as ex
+
+    lib = sorted(
+        r["doc_id"]
+        for r in pipeline.curate_documents(
+            load_table(spark, sf_dir, "documents")
+        ).select("doc_id").collect()
+    )
+    example = sorted(
+        r["doc_id"]
+        for r in ex.curate(spark, sf_dir).select("doc_id").collect()
+    )
+    assert lib == example and len(lib) > 0
+
+
+def test_curate_stage_toggles(spark):
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(30))),          # clean keeper
+        (2, " ".join(["spam ham"] * 30)),                   # gopher-reject
+        (3, "email me at a@b.io " + " ".join(f"t{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = pipeline.curate_documents(df, quality_floor=None)
+    got = {r["doc_id"]: r["text"] for r in full.select("doc_id", "text").collect()}
+    assert 2 not in got                      # gopher dropped it
+    assert "<EMAIL>" in got[3]               # PII scrubbed in survivors
+    no_gopher = pipeline.curate_documents(
+        df, apply_gopher=False, quality_floor=None
+    )
+    assert 2 in {r["doc_id"] for r in no_gopher.select("doc_id").collect()}
+    no_pii = pipeline.curate_documents(
+        df, redact_pii=False, quality_floor=None
+    )
+    got2 = {r["doc_id"]: r["text"] for r in no_pii.select("doc_id", "text").collect()}
+    assert "a@b.io" in got2[3]               # untouched when disabled
+
+
+def test_curate_drops_exact_and_near_dups(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base),
+        (2, base),                            # exact dup
+        (3, base + " extra trailing words"),  # near dup
+        (4, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in pipeline.curate_documents(
+            df, quality_floor=None, near_dup_threshold=0.5
+        ).select("doc_id").collect()
+    )
+    assert kept == [1, 4]

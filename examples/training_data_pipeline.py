@@ -35,29 +35,15 @@ from pyspark.sql import functions as F
 
 
 def curate(spark: SparkSession, sf_dir: str, quality_floor: float = 0.3) -> DataFrame:
-    from cybersecurity_miw_spark.operators import corpus_filters, dedup, textstats
+    """The standard curation chain — gopher rules → PII redaction →
+    quality floor → exact + cluster-correct near-dedup — via the
+    library API (cybersecurity_miw_spark/pipeline.py)."""
+    from cybersecurity_miw_spark import pipeline
     from cybersecurity_miw_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-
-    # rule-based quality gate first (cheapest rejector), then scrub
-    # PII from what survives — redacted text feeds every later stage
-    flags = corpus_filters.gopher_flags(docs)
-    rule_ok = docs.join(
-        flags.filter(F.col("keep")).select("doc_id"), "doc_id"
-    )
-    scrubbed = corpus_filters.pii_redact(
-        rule_ok, out_col="text_clean", keep=("doc_id",)
-    ).join(rule_ok, "doc_id").drop("text").withColumnRenamed(
-        "text_clean", "text"
-    )
-
-    profiled = textstats.profile(scrubbed)
-    quality_ok = profiled.filter(F.col("quality") >= quality_floor)
-
-    exact_unique = dedup.exact_dedup(quality_ok)
-    survivors = dedup.near_dedup_clusters(
-        exact_unique, threshold=0.8, num_hashes=16, bands=4, shingle_k=3
+    survivors = pipeline.curate_documents(
+        docs, quality_floor=quality_floor, near_dup_threshold=0.8
     )
     return survivors.select(
         "doc_id", "lang_guess", "n_tokens", "quality", "fingerprint"

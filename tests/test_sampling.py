@@ -167,3 +167,28 @@ def test_divergence_low_for_hash_split_high_for_content_split(spark):
     # the content-correlated split separates the topic words entirely;
     # the hash split mixes them — divergence must reflect that clearly
     assert js_content > 10 * max(js_hash, 1)
+
+
+def test_weighted_keep_proportion_and_determinism(spark):
+    from cybersecurity_miw_spark.operators import sampling
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        # deterministic weight spread over [0, 1)
+        ((F.col("id") % 100) / 100.0).alias("w"),
+    )
+    kept = sampling.weighted_keep(df, "w")
+    n = kept.count()
+    # E[kept] = 4000 * mean(w) = 4000 * 0.495 = 1980; md5 buckets are
+    # uniform so a 10% band is generous
+    assert abs(n - 1980) < 200
+    assert kept.count() == n  # deterministic re-run
+    # clamping: weight 0 keeps nothing, weight >= 1 keeps everything
+    zero = sampling.weighted_keep(
+        df.withColumn("w", F.lit(0.0)), "w"
+    ).count()
+    assert zero == 0
+    allw = sampling.weighted_keep(
+        df.withColumn("w", F.lit(1.5)), "w"
+    ).count()
+    assert allw == 4000

@@ -541,13 +541,15 @@ def _sub_l2_int(sub: Column, centroid: list[int]) -> Column:
 
 def _sub_score_int(elems: list[Column], centroid: list[int]) -> Column:
     """||v - c||^2 minus the centroid-independent ||v||^2 term:
-    ||c||^2 - 2<v, c>, as FLAT codegen arithmetic over pre-extracted
-    element columns — no higher-order functions. Dropping ||v||^2
-    preserves the argmin (it is constant across centroids), and flat
-    multiply-adds run in whole-stage codegen where the interpreted
-    aggregate/zip_with lambdas of :func:`_sub_l2_int` do not
-    (measured: 6x on encode; same trick as the minhash staged-
-    arithmetic rewrite)."""
+    ||c||^2 - 2<v, c>, as FLAT arithmetic over pre-extracted element
+    columns — no higher-order functions. Dropping ||v||^2 preserves
+    the argmin (it is constant across centroids). The full m×k
+    expression tree exceeds janino's 64 KB method limit, so Spark
+    evaluates it interpreted — still measured 6x faster than the
+    aggregate/zip_with lambda variant of :func:`_sub_l2_int` (flat
+    node-per-op interpretation beats per-element lambda dispatch),
+    and the production write path is :func:`pq_encode_arrow` anyway
+    (34x again)."""
     c2 = sum(int(c) * int(c) for c in centroid)
     score: Column = F.lit(int(c2)).cast("long")
     for e, c in zip(elems, centroid):

@@ -2676,6 +2676,27 @@ def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic uniform-k sample (operators/sampling.py:
+# uniform_sample_k): md5-rank TakeOrdered — the "grab 50 random docs"
+# debugging need, stable across runs and monotone under growth.
+_USAMPLE_SQL = """
+SELECT doc_id, source FROM documents
+ORDER BY md5('usample-v1:' || doc_id) LIMIT 50
+"""
+
+
+@register("uniform_sample_50", _USAMPLE_SQL)
+def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50 deterministic uniform sample (md5-rank TakeOrdered,
+    no global sort, no RNG)."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=False).select(
+        "doc_id", "source"
+    )
+    return sampling.uniform_sample_k(docs, 50)
+
+
 # Split-distribution drift QA (operators/sampling.py:
 # split_word_divergence): JS divergence between the hash-split train
 # and val word distributions. Every per-word term floors to micro-nat

@@ -223,3 +223,24 @@ def split_word_divergence(
         F.lit(v).alias("n_vocab"),
         F.sum("_t").alias("js_micro_nats"),
     )
+
+
+def uniform_sample_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "usample-v1",
+) -> DataFrame:
+    """Exactly-k uniform sample without knowing N: rank rows by the
+    md5 of their id and take the k smallest — a deterministic
+    reservoir-sample equivalent (every id's rank is fixed, so the
+    sample is stable across runs AND monotone under corpus growth:
+    adding rows can only displace, never reshuffle, survivors).
+    TakeOrdered shape — no global sort, no RNG."""
+    rank = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    return (
+        df.withColumn("_rank", rank)
+        .orderBy("_rank")
+        .limit(k)
+        .drop("_rank")
+    )

@@ -91,6 +91,7 @@ MAX_EXCHANGES = {
     "json_props_extract": 1,  # one groupBy; JSON path is per-row JVM
     # word explode + per-word conditional-sum agg + global int sum
     "split_word_divergence": 3,
+    "uniform_sample_50": 0,  # TakeOrdered, no global sort
 }
 
 

@@ -301,3 +301,68 @@ def hashed_embedding(
             / F.lit(1000000.0),
         ).alias(out_col),
     )
+
+
+# ---- count-min sketch (heavy hitters at 100 TB) ----
+
+
+def _cms_bucket(col: Column, row: int, width: int) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"cms{row}:"), col)), 1, 8), 16, 10
+    ).cast("long")
+    return F.pmod(h, F.lit(width))
+
+
+def count_min_table(
+    df: DataFrame,
+    col: str = "w",
+    depth: int = 4,
+    width: int = 1024,
+) -> list[list[int]]:
+    """Build a count-min sketch over a token column: ``depth``
+    md5-salted hash rows × ``width`` counters. ONE aggregation job —
+    each token contributes depth (row, bucket) pairs via an inline
+    explode — and the collected model is depth×width int64s
+    (the codebook/centroid precedent: driver traffic bounded by model
+    size, never corpus size). Counters are mergeable by addition, so
+    sharded corpora sketch independently and sum — the property that
+    makes heavy-hitter estimation single-pass at 100 TB where exact
+    per-token counts need a vocabulary-sized shuffle."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        _cms_bucket(F.col(col), i, width).alias("b"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    counted = (
+        pairs.groupBy("p.r", "p.b").agg(F.count("*").alias("c")).collect()
+    )
+    table = [[0] * width for _ in range(depth)]
+    for row in counted:
+        table[row["r"]][row["b"]] = row["c"]
+    return table
+
+
+def cms_estimate(
+    table: list[list[int]], token: str, width: int | None = None
+) -> int:
+    """Point estimate for a token: min over the depth rows — a
+    deterministic Python twin of the Spark-side bucket hash, never an
+    underestimate (CMS guarantee), overestimate bounded by e·N/width
+    with probability 1 - e^-depth."""
+    import hashlib
+
+    width = width if width is not None else len(table[0])
+    est = None
+    for i, row in enumerate(table):
+        h = int(hashlib.md5(f"cms{i}:{token}".encode()).hexdigest()[:8], 16)
+        v = row[h % width]
+        est = v if est is None else min(est, v)
+    return int(est or 0)

@@ -1,0 +1,63 @@
+"""Security-analytics walkthrough over the events table — the
+cybersecurity side of the engine (the reference's home turf), showing
+how the window/analytics operators compose into a hunting workflow:
+
+    sessionization (30-min gap)            → user activity sessions
+    beaconing detection (gap CV)           → C2-polling candidates
+    as-of enrichment (latest snapshot)     → point-in-time context
+    value percentiles per event type       → outlier thresholds
+    top-N events per user                  → triage shortlist
+
+Run: python examples/security_analytics.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+
+def main(sf_dir: str) -> None:
+    from cybersecurity_miw_spark.catalog import QUERIES
+    from cybersecurity_miw_spark.operators import windows
+    from cybersecurity_miw_spark.session import get_spark
+    from cybersecurity_miw_spark.sources.tables import load_events
+
+    spark = get_spark("security-analytics")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev = load_events(spark, sf_dir)
+
+    print("== sessions (30-min gap) — longest first ==")
+    sessions = windows.session_summary(ev, gap_minutes=30)
+    sessions.orderBy(F.desc("n_events")).show(5)
+
+    print("== beaconing candidates (low inter-event gap CV) ==")
+    QUERIES["beacon_interval_profile"](spark, sf_dir).orderBy(
+        "cv_x1e6"
+    ).show(5)
+
+    print("== as-of enrichment: each event with its latest snapshot ==")
+    QUERIES["asof_join_latest_snapshot"](spark, sf_dir).orderBy(
+        "event_id"
+    ).show(5)
+
+    print("== value percentiles per event type (outlier thresholds) ==")
+    QUERIES["event_value_percentiles"](spark, sf_dir).show()
+
+    print("== top-3 events per user (triage shortlist) ==")
+    windows.top_n_per_key(
+        ev.select("user_id", "event_id", "event_type", "value"),
+        n=3, key_col="user_id", order_col="value",
+        tiebreak_col="event_id",
+    ).orderBy("user_id", F.desc("value")).show(9)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

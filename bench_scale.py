@@ -48,6 +48,17 @@ QUERY_NAMES = [
     "remove_boilerplate_lines",
     "eval_ngram_overlap_flags",
     "hashed_text_embedding",
+    "time_rollup_multires",
+]
+
+# range_join runs against the TIME-SHIFTED events variant: with plain
+# copies every copy shares ts AND user_id, so each interval anchor
+# matches every copy's events — result rows grow copies² (an artifact,
+# like naive doc duplication in LSH banding, not a real 10x workload).
+# Shifting each copy by 31 days keeps per-interval match density
+# constant while growing both sides 10x — a longer retention window.
+TSHIFT_QUERY_NAMES = [
+    "range_join_event_windows",
 ]
 
 
@@ -80,6 +91,21 @@ def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
         f"{out_dir}/events.parquet"
     )
 
+    parts = []
+    for i in range(copies):
+        parts.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
+            .withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS")
+            )
+        )
+    shifted_ev = parts[0]
+    for p in parts[1:]:
+        shifted_ev = shifted_ev.unionByName(p)
+    shifted_ev.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}-tshift/events.parquet"
+    )
+
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     n_docs = docs.count()
     az = string.ascii_lowercase
@@ -108,7 +134,10 @@ def main() -> None:
     spark = get_spark("miw-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not os.path.exists(f"{SCALE_DIR}/documents.parquet/_SUCCESS"):
+    if not (
+        os.path.exists(f"{SCALE_DIR}/documents.parquet/_SUCCESS")
+        and os.path.exists(f"{SCALE_DIR}-tshift/events.parquet/_SUCCESS")
+    ):
         t0 = time.perf_counter()
         build_scaled(spark, BASE_DIR, SCALE_DIR, COPIES)
         build_s = round(time.perf_counter() - t0, 3)
@@ -117,8 +146,11 @@ def main() -> None:
 
     # warm-up then min-of-2 timed, same methodology as bench.py
     out: dict[str, dict[str, float]] = {}
-    for sf_dir, tag in ((BASE_DIR, "base"), (SCALE_DIR, "scaled")):
-        for name in QUERY_NAMES:
+    plan = [(BASE_DIR, "base", QUERY_NAMES + TSHIFT_QUERY_NAMES),
+            (SCALE_DIR, "scaled", QUERY_NAMES),
+            (f"{SCALE_DIR}-tshift", "scaled", TSHIFT_QUERY_NAMES)]
+    for sf_dir, tag, names in plan:
+        for name in names:
             force(QUERIES[name](spark, sf_dir))
             best = None
             for _ in range(2):

@@ -3047,6 +3047,95 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bucketed range join (operators/timeseries.py:range_join): events
+# inside per-user 6-hour windows anchored at every 50th event. The
+# oracle states the range predicate directly (DuckDB's IEJoin handles
+# it natively); the Spark side quantizes to 1-hour buckets, explodes
+# each interval over its <=7 covered buckets, hash-joins on
+# (user_id, bucket), and refines exactly — no nested-loop join.
+_RANGE_JOIN_SQL = """
+WITH iv AS (
+  SELECT user_id, ts AS start_ts, ts + INTERVAL 6 HOUR AS end_ts,
+         event_id AS window_id
+  FROM events WHERE event_id % 50 = 0
+)
+SELECT e.event_id, e.user_id, iv.window_id
+FROM events e JOIN iv
+  ON e.user_id = iv.user_id
+ AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+"""
+
+
+@register("range_join_event_windows", _RANGE_JOIN_SQL)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the bucketed equi-join shape
+    (operators/timeseries.py:range_join). A naive range-condition
+    join is a BroadcastNestedLoopJoin — the 100 TB cliff; this plan
+    is a uniform hash shuffle on (key, time-bucket) with bounded
+    interval fan-out and an exact refine."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    iv = ev.filter(F.col("event_id") % 50 == 0).select(
+        F.col("user_id").alias("iv_user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+        F.col("event_id").alias("window_id"),
+    )
+    out = timeseries.range_join(
+        ev.select("event_id", "user_id", "ts"),
+        iv.withColumnRenamed("iv_user_id", "user_id"),
+        left_ts="ts",
+        right_start="start_ts",
+        right_end="end_ts",
+        on="user_id",
+        bucket_seconds=3600,
+    )
+    return out.select("event_id", "user_id", "window_id")
+
+
+# Multi-resolution time rollup (operators/timeseries.py:time_rollup):
+# the hypertable / continuous-aggregate shape — minute-level agg from
+# raw, hour and day re-aggregated from the minute partials (algebraic
+# merge). The oracle aggregates raw data per level; equality proves
+# the partial re-aggregation is exact.
+_TIME_ROLLUP_SQL = """
+WITH base AS (
+  SELECT event_type, ts,
+         CAST(round(value * 100, 0) AS BIGINT) AS c
+  FROM events
+),
+lv AS (
+  SELECT 'minute' AS resolution, date_trunc('minute', ts) AS bkt,
+         event_type, c FROM base
+  UNION ALL
+  SELECT 'hour', date_trunc('hour', ts), event_type, c FROM base
+  UNION ALL
+  SELECT 'day', date_trunc('day', ts), event_type, c FROM base
+)
+SELECT resolution, CAST(floor(epoch(bkt)) AS BIGINT) AS bucket_s,
+       event_type, count(*) AS n_events,
+       CAST(sum(c) AS BIGINT) AS value_sum_c,
+       min(c) AS value_min_c, max(c) AS value_max_c
+FROM lv GROUP BY 1, 2, 3
+"""
+
+
+@register("time_rollup_multires", _TIME_ROLLUP_SQL)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minute/hour/day rollup in ONE raw scan
+    (operators/timeseries.py:time_rollup): coarser levels re-aggregate
+    the persisted minute partials — count/sum/min/max are algebraic,
+    so the merge is exact (the oracle recomputes each level from raw
+    and must hash-match). At 100 TB: one full scan instead of three."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.time_rollup(
+        ev, ts_col="ts", value_col="value", keys=("event_type",)
+    )
+
+
 # Quality-weighted sampling (operators/sampling.py:weighted_keep):
 # keep each doc with probability == its quality score, decided by the
 # same md5 hash-bucket machinery as split_assign — deterministic,

@@ -92,6 +92,14 @@ MAX_EXCHANGES = {
     # word explode + per-word conditional-sum agg + global int sum
     "split_word_divergence": 3,
     "uniform_sample_50": 0,  # TakeOrdered, no global sort
+    # bucketed range join: hash equi-join on (key, bucket). 1 on a
+    # fresh session (broadcast build); admit the shuffle-join form
+    # (both sides exchange) the join planner picks at scale
+    "range_join_event_windows": 2,
+    # 3 real exchanges (minute agg + hour re-agg + day re-agg); the
+    # minute exchange is REUSED by both coarser levels and its plan_id
+    # appears 3x in the text, so the textual ceiling is 5
+    "time_rollup_multires": 5,
 }
 
 

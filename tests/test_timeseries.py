@@ -1,0 +1,148 @@
+"""Unit tests for operators/timeseries.py: bucketed range join edge
+cases (boundary inclusivity, multi-bucket spans, degenerate
+intervals) and time_rollup level algebra. The catalog queries
+(`range_join_event_windows`, `time_rollup_multires`) carry the
+full-hash DuckDB oracles; these tests pin the semantics the oracle
+data never exercises."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators.timeseries import (
+    range_join,
+    time_rollup,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def points(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 00:00:00")),
+            (2, "a", _ts("2024-01-01 00:59:59.999999")),
+            (3, "a", _ts("2024-01-01 01:00:00")),
+            (4, "a", _ts("2024-01-01 07:30:00")),
+            (5, "b", _ts("2024-01-01 00:30:00")),
+        ],
+        "pid INT, k STRING, ts TIMESTAMP",
+    )
+
+
+@pytest.fixture()
+def intervals(spark):
+    return spark.createDataFrame(
+        [
+            # [00:00, 01:00) on key a — spans 2 one-hour buckets
+            ("a", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"), 10),
+            # [06:00, 09:00) on key a — catches pid 4 across buckets
+            ("a", _ts("2024-01-01 06:00:00"), _ts("2024-01-01 09:00:00"), 11),
+            # reversed interval: must match nothing
+            ("a", _ts("2024-01-01 05:00:00"), _ts("2024-01-01 04:00:00"), 12),
+            # key b
+            ("b", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 01:00:00"), 13),
+        ],
+        "k STRING, start_ts TIMESTAMP, end_ts TIMESTAMP, wid INT",
+    )
+
+
+def _matches(df):
+    return sorted((r["pid"], r["wid"]) for r in df.collect())
+
+
+def test_range_join_half_open_and_keys(points, intervals):
+    out = range_join(
+        points, intervals, "ts", "start_ts", "end_ts", on="k",
+        bucket_seconds=3600,
+    )
+    # pid 1 at start (inclusive), pid 2 just inside, pid 3 AT the
+    # half-open end (excluded), pid 4 mid-interval, pid 5 on key b;
+    # reversed window 12 matches nothing
+    assert _matches(out) == [(1, 10), (2, 10), (4, 11), (5, 13)]
+
+
+def test_range_join_end_inclusive(points, intervals):
+    out = range_join(
+        points, intervals, "ts", "start_ts", "end_ts", on="k",
+        bucket_seconds=3600, end_inclusive=True,
+    )
+    assert (3, 10) in _matches(out)
+
+
+def test_range_join_bucket_size_invariance(points, intervals):
+    """The bucket width is a physical knob only — results are
+    identical for any width (fan-out and shuffle shape change, the
+    refined predicate doesn't)."""
+    base = None
+    for w in (60, 900, 3600, 86400):
+        got = _matches(
+            range_join(
+                points, intervals, "ts", "start_ts", "end_ts", on="k",
+                bucket_seconds=w,
+            )
+        )
+        base = got if base is None else base
+        assert got == base, f"bucket_seconds={w}"
+
+
+def test_range_join_no_key_global_intervals(spark, points):
+    iv = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), _ts("2024-01-01 00:45:00"), 99)],
+        "start_ts TIMESTAMP, end_ts TIMESTAMP, wid INT",
+    )
+    out = range_join(
+        points, iv, "ts", "start_ts", "end_ts", on=None,
+        bucket_seconds=3600,
+    )
+    assert _matches(out) == [(1, 99), (5, 99)]
+
+
+def test_time_rollup_levels_algebra(spark):
+    rows = [
+        ("x", _ts("2024-01-01 00:00:10"), 1.00),
+        ("x", _ts("2024-01-01 00:00:50"), 2.00),
+        ("x", _ts("2024-01-01 00:59:00"), 4.00),
+        ("x", _ts("2024-01-01 01:01:00"), 8.00),
+        ("y", _ts("2024-01-02 12:00:00"), 0.50),
+    ]
+    df = spark.createDataFrame(rows, "event_type STRING, ts TIMESTAMP, value DOUBLE")
+    out = time_rollup(df).collect()
+    by = {(r["resolution"], r["bucket_s"], r["event_type"]): r for r in out}
+
+    # minute 00:00 merges the first two rows
+    m = by[("minute", 1704067200, "x")]
+    assert (m["n_events"], m["value_sum_c"], m["value_min_c"], m["value_max_c"]) == (
+        2, 300, 100, 200,
+    )
+    # hour 00 re-aggregates three rows from two minute buckets
+    h = by[("hour", 1704067200, "x")]
+    assert (h["n_events"], h["value_sum_c"], h["value_min_c"], h["value_max_c"]) == (
+        3, 700, 100, 400,
+    )
+    # day bucket spans both hours of key x
+    d = by[("day", 1704067200, "x")]
+    assert (d["n_events"], d["value_sum_c"]) == (4, 1500)
+    # key y lives on its own day
+    assert by[("day", 1704153600, "y")]["value_sum_c"] == 50
+    # every level partitions the data: n_events sums match per level
+    for lv in ("minute", "hour", "day"):
+        assert sum(r["n_events"] for r in out if r["resolution"] == lv) == 5
+
+
+def test_time_rollup_rejects_bad_levels(spark):
+    df = spark.range(1).select(
+        F.lit("x").alias("event_type"),
+        F.current_timestamp().alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    with pytest.raises(ValueError, match="unknown"):
+        time_rollup(df, levels=("minute", "fortnight"))
+    with pytest.raises(ValueError, match="finest"):
+        time_rollup(df, levels=("day", "minute"))

@@ -97,6 +97,88 @@ def range_join(
 
 _LEVEL_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
 
+# the public partial schema shared by the batch and streaming rollup
+# paths: `bucket` (truncated TIMESTAMP of the bucket start), the
+# grouping keys, then the four mergeable measures
+_MEASURES = ("n_events", "value_sum_c", "value_min_c", "value_max_c")
+
+
+def rollup_partials(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+    level: str = "minute",
+    cents_scale: int = 100,
+) -> DataFrame:
+    """One aggregation of raw rows to ``level`` buckets — the only
+    scan of raw data in the rollup family. Values are cents-scaled to
+    integers (`round(v*scale)` as BIGINT) so sums are associative and
+    hash-exact across engines. Output schema: ``bucket`` (truncated
+    timestamp), ``*keys``, n_events, value_sum_c, value_min_c,
+    value_max_c — the same shape `streaming_minute_rollup` appends to
+    its sink, so both feed :func:`rollup_from_partials`."""
+    cents = F.round(F.col(value_col) * cents_scale, 0).cast("long")
+    return (
+        df.select(
+            F.date_trunc(level, F.col(ts_col)).alias("bucket"),
+            *keys,
+            cents.alias("_c"),
+        )
+        .groupBy("bucket", *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_c").cast("long").alias("value_sum_c"),
+            F.min("_c").alias("value_min_c"),
+            F.max("_c").alias("value_max_c"),
+        )
+    )
+
+
+def rollup_from_partials(
+    partials: DataFrame,
+    keys: tuple[str, ...] = ("event_type",),
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Derive every level from ``levels[0]`` partials (schema of
+    :func:`rollup_partials`) by algebraic merge — count/sum re-sum,
+    min/max re-min/max. Never touches raw data: this is what makes a
+    continuous aggregate cheap to maintain (the streaming job appends
+    minute partials; hour/day views re-aggregate a table that is
+    ~#buckets×#keys rows, not the event stream)."""
+    unknown = [lv for lv in levels if lv not in _LEVEL_SECONDS]
+    if unknown:
+        raise ValueError(f"unknown rollup level(s): {unknown}")
+    if list(levels) != sorted(levels, key=_LEVEL_SECONDS.__getitem__):
+        raise ValueError("levels must be ordered finest to coarsest")
+
+    def _emit(agg: DataFrame, level: str) -> DataFrame:
+        return agg.select(
+            F.lit(level).alias("resolution"),
+            _epoch_s(F.col("bucket")).alias("bucket_s"),
+            *keys,
+            *_MEASURES,
+        )
+
+    out = _emit(partials, levels[0])
+    for lv in levels[1:]:
+        coarser = (
+            partials.select(
+                F.date_trunc(lv, F.col("bucket")).alias("bucket"),
+                *keys,
+                *_MEASURES,
+            )
+            .groupBy("bucket", *keys)
+            .agg(
+                F.sum("n_events").cast("long").alias("n_events"),
+                F.sum("value_sum_c").cast("long").alias("value_sum_c"),
+                F.min("value_min_c").alias("value_min_c"),
+                F.max("value_max_c").alias("value_max_c"),
+            )
+        )
+        out = out.unionByName(_emit(coarser, lv))
+    return out
+
 
 def time_rollup(
     df: DataFrame,
@@ -106,12 +188,11 @@ def time_rollup(
     levels: tuple[str, ...] = ("minute", "hour", "day"),
     cents_scale: int = 100,
 ) -> DataFrame:
-    """Multi-resolution rollup: one raw scan at ``levels[0]``, every
-    coarser level re-aggregated from the finest partials (algebraic
-    merge — identical results to aggregating raw data, proven by the
-    oracle twin which DOES aggregate raw per level). Values are
-    cents-scaled to integers (`round(v*scale)` as BIGINT) so sums are
-    associative and hash-exact across engines.
+    """Multi-resolution rollup: one raw scan at ``levels[0]``
+    (:func:`rollup_partials`), every coarser level re-aggregated from
+    the finest partials (:func:`rollup_from_partials` — identical
+    results to aggregating raw data, proven by the oracle twin which
+    DOES aggregate raw per level).
 
     Output: ``resolution`` (level name), ``bucket_s`` (epoch seconds
     of the truncated bucket start, BIGINT), ``*keys``, ``n_events``,
@@ -122,61 +203,18 @@ def time_rollup(
     truncation of a truncated timestamp equals the truncation of the
     raw one, so re-truncating the finest bucket start is exact.
     """
+    # validate before the scan so bad levels fail fast
     unknown = [lv for lv in levels if lv not in _LEVEL_SECONDS]
     if unknown:
         raise ValueError(f"unknown rollup level(s): {unknown}")
     if list(levels) != sorted(levels, key=_LEVEL_SECONDS.__getitem__):
         raise ValueError("levels must be ordered finest to coarsest")
 
-    cents = F.round(F.col(value_col) * cents_scale, 0).cast("long")
-    finest = (
-        df.select(
-            F.date_trunc(levels[0], F.col(ts_col)).alias("_bkt"),
-            *keys,
-            cents.alias("_c"),
-        )
-        .groupBy("_bkt", *keys)
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("_c").cast("long").alias("value_sum_c"),
-            F.min("_c").alias("value_min_c"),
-            F.max("_c").alias("value_max_c"),
-        )
+    finest = rollup_partials(
+        df, ts_col, value_col, keys, levels[0], cents_scale
     )
     # the finest aggregate is read once per coarser level — persist so
     # the raw scan (the expensive part at scale) runs exactly once
     if len(levels) > 1:
         finest = finest.persist()
-
-    def _emit(agg: DataFrame, level: str) -> DataFrame:
-        return agg.select(
-            F.lit(level).alias("resolution"),
-            _epoch_s(F.col("_bkt")).alias("bucket_s"),
-            *keys,
-            "n_events",
-            "value_sum_c",
-            "value_min_c",
-            "value_max_c",
-        )
-
-    out = _emit(finest, levels[0])
-    for lv in levels[1:]:
-        coarser = (
-            finest.select(
-                F.date_trunc(lv, F.col("_bkt")).alias("_bkt"),
-                *keys,
-                "n_events",
-                "value_sum_c",
-                "value_min_c",
-                "value_max_c",
-            )
-            .groupBy("_bkt", *keys)
-            .agg(
-                F.sum("n_events").cast("long").alias("n_events"),
-                F.sum("value_sum_c").cast("long").alias("value_sum_c"),
-                F.min("value_min_c").alias("value_min_c"),
-                F.max("value_max_c").alias("value_max_c"),
-            )
-        )
-        out = out.unionByName(_emit(coarser, lv))
-    return out
+    return rollup_from_partials(finest, keys, levels)

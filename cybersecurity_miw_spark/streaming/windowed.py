@@ -267,3 +267,58 @@ def enriched_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_minute_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "30 minutes",
+    cents_scale: int = 100,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous-aggregate maintenance: the streaming producer of the
+    rollup family (operators/timeseries.py). Each closed 1-minute
+    window appends ONE immutable partial row per (bucket, event_type)
+    in the exact `rollup_partials` schema — `bucket` (window start),
+    `event_type`, n_events, value_sum_c, value_min_c, value_max_c —
+    so hour/day views are a batch
+    `rollup_from_partials(spark.read.parquet(sink))` over a table of
+    ~#buckets×#keys rows, never a rescan of the event stream.
+
+    Append + watermark is what makes this scale: closed-window state
+    is dropped (memory bounded by open windows × key cardinality) and
+    the sink is append-only parquet (no upserts needed — a bucket row
+    is written exactly once, when the watermark passes its end)."""
+    lines = spark.readStream.format("text").load(input_dir)
+    ev = parse_event_lines(lines)
+    cents = F.round(F.col("value") * cents_scale, 0).cast("long")
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .select("ts", F.col("etype").alias("event_type"), cents.alias("_c"))
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_c").cast("long").alias("value_sum_c"),
+            F.min("_c").alias("value_min_c"),
+            F.max("_c").alias("value_max_c"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            "value_sum_c",
+            "value_min_c",
+            "value_max_c",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -96,10 +96,14 @@ MAX_EXCHANGES = {
     # fresh session (broadcast build); admit the shuffle-join form
     # (both sides exchange) the join planner picks at scale
     "range_join_event_windows": 2,
-    # 3 real exchanges (minute agg + hour re-agg + day re-agg); the
-    # minute exchange is REUSED by both coarser levels and its plan_id
-    # appears 3x in the text, so the textual ceiling is 5
-    "time_rollup_multires": 5,
+    # 3 real exchanges (minute agg + hour re-agg + day re-agg). The
+    # minute partials are persist()ed and REUSED by both coarser
+    # levels: fresh session, the reused exchange's plan_id prints 3x
+    # (textual count 5); once an earlier run in the same session has
+    # materialized the cache, each InMemoryRelation mention prints the
+    # cached subtree including its exchange (textual count 8). Both
+    # forms execute the same 3 shuffles
+    "time_rollup_multires": 8,
 }
 
 

@@ -319,3 +319,66 @@ def test_streaming_sessions_agree_with_batch_session_summary(
     # sessions and a still-open session
     assert len(streamed) >= 4
     assert len(batch) > len(closed_batch)
+
+
+def test_streaming_minute_rollup_feeds_batch_reaggregation(spark, tmp_path):
+    """The continuous-aggregate contract: streamed minute partials,
+    re-aggregated batch-side with rollup_from_partials, equal the
+    batch time_rollup over the same (closed) events — the two paths
+    share one algebra, so a metric read from the streaming sink can
+    never disagree with a batch backfill."""
+    import datetime as dt
+
+    from cybersecurity_miw_spark.operators.timeseries import (
+        rollup_from_partials,
+        time_rollup,
+    )
+    from cybersecurity_miw_spark.streaming.windowed import (
+        streaming_minute_rollup,
+    )
+
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:05:10,7,click,1.50\n"
+        "2,2026-01-01T10:05:40,7,click,2.50\n"
+        "3,2026-01-01T10:20:00,8,view,1.00\n"
+        "4,2026-01-01T10:59:30,7,click,4.00\n"
+    )
+    _await(streaming_minute_rollup(spark, str(indir), ckpt, outdir))
+    # a next-day event closes every Jan-1 minute window
+    (indir / "b.log").write_text("5,2026-01-02T12:00:00,7,click,9.0\n")
+    _await(streaming_minute_rollup(spark, str(indir), ckpt, outdir))
+
+    partials = spark.read.parquet(outdir)
+    got = {
+        (r["bucket"], r["event_type"]): (
+            r["n_events"], r["value_sum_c"], r["value_min_c"], r["value_max_c"],
+        )
+        for r in partials.collect()
+    }
+    # two same-minute clicks merged into one partial row
+    assert got == {
+        (dt.datetime(2026, 1, 1, 10, 5), "click"): (2, 400, 150, 250),
+        (dt.datetime(2026, 1, 1, 10, 20), "view"): (1, 100, 100, 100),
+        (dt.datetime(2026, 1, 1, 10, 59), "click"): (1, 400, 400, 400),
+    }
+
+    # batch twin over the closed (Jan-1) events
+    closed = spark.createDataFrame(
+        [
+            ("click", dt.datetime(2026, 1, 1, 10, 5, 10), 1.50),
+            ("click", dt.datetime(2026, 1, 1, 10, 5, 40), 2.50),
+            ("view", dt.datetime(2026, 1, 1, 10, 20, 0), 1.00),
+            ("click", dt.datetime(2026, 1, 1, 10, 59, 30), 4.00),
+        ],
+        "event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    stream_side = sorted(
+        tuple(r) for r in rollup_from_partials(partials).collect()
+    )
+    batch_side = sorted(tuple(r) for r in time_rollup(closed).collect())
+    assert stream_side == batch_side

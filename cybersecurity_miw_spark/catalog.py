@@ -3136,6 +3136,39 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom-filter join pruning (operators/bloomjoin.py): fact rows
+# filtered by a literal membership sketch of the dim BEFORE any
+# exchange; an exact leftsemi join then removes the sketch's false
+# positives, so results are exactly the semi join the oracle states.
+_BLOOM_SEMI_SQL = """
+SELECT e.event_id, e.user_id
+FROM events e
+WHERE e.user_id IN (SELECT user_id FROM events
+                    WHERE event_type = 'error' AND value > 200)
+"""
+
+
+@register("bloom_semi_join_error_users", _BLOOM_SEMI_SQL)
+def q_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events of users with any high-value error, via bloom-pruned
+    semi join (operators/bloomjoin.py:bloom_semi_join): the sketch is
+    ~1 KB of literal long words evaluated inside the scan's codegen
+    stage, so at 100 TB the shuffle feeding the exact join carries
+    ~the matching 25% of rows instead of all of them. No false
+    negatives; the follow-up leftsemi join drops the ≤fpp false
+    positives — hash-exact vs the plain IN-subquery oracle."""
+    from cybersecurity_miw_spark.operators import bloomjoin
+
+    ev = load_events(spark, sf_dir)
+    susp = ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 200)
+    ).select("user_id")
+    out = bloomjoin.bloom_semi_join(
+        ev.select("event_id", "user_id"), susp, on="user_id"
+    )
+    return out.select("event_id", "user_id")
+
+
 # Quality-weighted sampling (operators/sampling.py:weighted_keep):
 # keep each doc with probability == its quality score, decided by the
 # same md5 hash-bucket machinery as split_assign — deterministic,

@@ -92,6 +92,11 @@ MAX_EXCHANGES = {
     # word explode + per-word conditional-sum agg + global int sum
     "split_word_divergence": 3,
     "uniform_sample_50": 0,  # TakeOrdered, no global sort
+    # bloom prune is a narrow pre-shuffle Filter (0 exchanges, pinned
+    # in test_bloomjoin.py); the remaining exchanges are the exact
+    # confirm join's dim distinct + broadcast, +1 headroom for the
+    # shuffle-join form the planner picks at scale
+    "bloom_semi_join_error_users": 5,
     # bucketed range join: hash equi-join on (key, bucket). 1 on a
     # fresh session (broadcast build); admit the shuffle-join form
     # (both sides exchange) the join planner picks at scale

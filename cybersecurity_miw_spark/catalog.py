@@ -3136,6 +3136,90 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Contiguous event-sequence match (operators/patterns.py): view
+# IMMEDIATELY followed by click for the same user within 12h — the
+# CEP/MATCH_RECOGNIZE shape, one WindowExec pass (lead), no joins.
+# Both engines compare at epoch-second granularity.
+_SEQ_MATCH_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         lead(event_type, 1) OVER w AS nty,
+         lead(ts, 1) OVER w AS nts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id,
+       floor(epoch(ts))::BIGINT AS start_s,
+       floor(epoch(nts))::BIGINT AS end_s
+FROM o
+WHERE event_type = 'view' AND nty = 'click'
+  AND floor(epoch(nts))::BIGINT - floor(epoch(ts))::BIGINT <= 43200
+"""
+
+
+@register("sequence_match_view_click", _SEQ_MATCH_SQL)
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 2-step sequence detection
+    (operators/patterns.py:match_contiguous_sequence): lead() over
+    the per-user (ts, event_id) order — the same single hash exchange
+    sessionization pays, zero joins, bounded state."""
+    from cybersecurity_miw_spark.operators import patterns
+
+    ev = load_events(spark, sf_dir)
+    return patterns.match_contiguous_sequence(
+        ev, ("view", "click"), within_seconds=43200
+    )
+
+
+# Skip-till-next funnel (operators/patterns.py:funnel_stages):
+# signup → first click strictly after it (within 24h) → first
+# purchase strictly after that (within 24h). Stage tables only
+# shrink; all joins co-partitioned on user_id.
+_FUNNEL_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(floor(epoch(ts))::BIGINT) AS signup_s
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(floor(epoch(e.ts))::BIGINT) AS click_s
+  FROM events e JOIN t1 USING(user_id)
+  WHERE e.event_type = 'click'
+    AND floor(epoch(e.ts))::BIGINT > t1.signup_s
+    AND floor(epoch(e.ts))::BIGINT <= t1.signup_s + 86400
+  GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(floor(epoch(e.ts))::BIGINT) AS purchase_s
+  FROM events e JOIN t2 USING(user_id)
+  WHERE e.event_type = 'purchase'
+    AND floor(epoch(e.ts))::BIGINT > t2.click_s
+    AND floor(epoch(e.ts))::BIGINT <= t2.click_s + 86400
+  GROUP BY 1
+)
+SELECT t1.user_id, signup_s, click_s, purchase_s,
+       CAST(1 + (click_s IS NOT NULL)::INT + (purchase_s IS NOT NULL)::INT
+            AS BIGINT) AS depth
+FROM t1 LEFT JOIN t2 USING(user_id) LEFT JOIN t3 USING(user_id)
+"""
+
+
+@register("funnel_signup_click_purchase", _FUNNEL_SQL)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-stage skip-till-next funnel
+    (operators/patterns.py:funnel_stages): per-user stage reach
+    epochs + depth. Narrow type pre-filter, one repartition on
+    user_id, conditional-min agg per stage joined co-partitioned —
+    no per-key history is ever materialized."""
+    from cybersecurity_miw_spark.operators import patterns
+
+    ev = load_events(spark, sf_dir)
+    return patterns.funnel_stages(
+        ev,
+        ("signup", "click", "purchase"),
+        stage_within_seconds=86400,
+    )
+
+
 # Bloom-filter join pruning (operators/bloomjoin.py): fact rows
 # filtered by a literal membership sketch of the dim BEFORE any
 # exchange; an exact leftsemi join then removes the sketch's false

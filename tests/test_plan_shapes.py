@@ -92,6 +92,14 @@ MAX_EXCHANGES = {
     # word explode + per-word conditional-sum agg + global int sum
     "split_word_divergence": 3,
     "uniform_sample_50": 0,  # TakeOrdered, no global sort
+    # one WindowExec hash exchange (the same shape as sessionize);
+    # +1 admits an AQE coalesce wrapper
+    "sequence_match_view_click": 2,
+    # funnel: 1 real repartition on the key (persisted) + per-stage
+    # agg exchanges + broadcast joins; the cached subtree's
+    # FileScan+Exchange prints inside every InMemoryRelation mention,
+    # so the textual count inflates well past the executed shuffles
+    "funnel_signup_click_purchase": 30,
     # bloom prune is a narrow pre-shuffle Filter (0 exchanges, pinned
     # in test_bloomjoin.py); the remaining exchanges are the exact
     # confirm join's dim distinct + broadcast, +1 headroom for the

@@ -3469,15 +3469,23 @@ _DRIVER_WINDOW = [
     "asof_join_latest_snapshot",
     "quality_weighted_sample",
     "corpus_report_by_source",
-    # companion apps (§2.8)
-    "wc_wordcount",
-    "app_hist_256",
+    # companion apps (§2.8; wc_wordcount / app_hist_256 /
+    # app_string_match rotated out late round 6 for the time-series +
+    # join-pruning family below — stable since r1-r3, still full-hash
+    # green in tests/test_oracle_parity.py)
     "app_linear_regression",
     "app_word_reverse_index",
-    "app_string_match",
     "app_matrix_mult_blocked",
     "app_pca_covariance",
     "app_kmeans_step",
+    # time-series / join-pruning / sequence family (late round-6
+    # additions; each verified MATCH vs its oracle at sf0.01
+    # in-session, including pandas dtype classes)
+    "range_join_event_windows",
+    "time_rollup_multires",
+    "bloom_semi_join_error_users",
+    "sequence_match_view_click",
+    "funnel_signup_click_purchase",
     # TPC-H style analytics
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
@@ -3514,8 +3522,9 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "embedding_near_dup_lsh",
-    "embedding_l2_normalize",
-    "embedding_quantize_int8",
+    # (embedding_l2_normalize / embedding_quantize_int8 rotated out
+    # late round 6 — single-projection veterans, green since r4,
+    # still full-hash checked in pytest every round)
     # multimodal
     "multimodal_frame_features",
     "multimodal_media_stats",

@@ -7,6 +7,10 @@ how the window/analytics operators compose into a hunting workflow:
     as-of enrichment (latest snapshot)     → point-in-time context
     value percentiles per event type       → outlier thresholds
     top-N events per user                  → triage shortlist
+    attack-chain sequence match (CEP)      → signup→click within 12h
+    kill-chain funnel staging              → how far each user got
+    bloom-pruned IOC semi join             → events of flagged users
+    incident-window range join             → events inside 6h windows
 
 Run: python examples/security_analytics.py [sf_dir]
 """
@@ -56,6 +60,26 @@ def main(sf_dir: str) -> None:
         n=3, key_col="user_id", order_col="value",
         tiebreak_col="event_id",
     ).orderBy("user_id", F.desc("value")).show(9)
+
+    print("== attack-chain sequence: view immediately → click ≤12h ==")
+    QUERIES["sequence_match_view_click"](spark, sf_dir).orderBy(
+        "start_s"
+    ).show(5)
+
+    print("== kill-chain funnel: signup → click → purchase (24h/stage) ==")
+    QUERIES["funnel_signup_click_purchase"](spark, sf_dir).orderBy(
+        F.desc("depth"), "user_id"
+    ).show(5)
+
+    print("== bloom-pruned semi join: events of high-error users ==")
+    QUERIES["bloom_semi_join_error_users"](spark, sf_dir).groupBy(
+        "user_id"
+    ).count().orderBy(F.desc("count")).show(5)
+
+    print("== range join: events inside per-user 6h incident windows ==")
+    QUERIES["range_join_event_windows"](spark, sf_dir).groupBy(
+        "window_id"
+    ).count().orderBy(F.desc("count")).show(5)
     spark.stop()
 
 

@@ -3136,6 +3136,81 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-user behavioral entropy: Shannon entropy (nats) of each user's
+# event-type distribution — the flat-vs-peaked behavioral anomaly
+# score (a compromised/automated account skews the mix). Formula
+# ln(N) - Σ c·ln(c) / N keeps both engines on the same float ops;
+# round(·, 6) absorbs ulp-level association differences.
+_ENTROPY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::DOUBLE AS c
+  FROM events GROUP BY 1, 2
+),
+t AS (
+  SELECT user_id, sum(c) AS n, sum(c * ln(c)) AS sclc
+  FROM c GROUP BY 1
+)
+SELECT user_id, round(ln(n) - sclc / n, 6) AS entropy_nats,
+       CAST(n AS BIGINT) AS n_events
+FROM t
+"""
+
+
+@register("user_event_entropy", _ENTROPY_SQL)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained aggregations, both keyed on user_id — the second
+    reuses the first's partitioning (one real exchange). All
+    arithmetic JVM-side; no per-user collection."""
+    ev = load_events(spark, sf_dir)
+    c = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log("c")).alias("sclc"),
+    )
+    return t.select(
+        "user_id",
+        F.round(F.log("n") - F.col("sclc") / F.col("n"), 6).alias(
+            "entropy_nats"
+        ),
+        F.col("n").cast("long").alias("n_events"),
+    )
+
+
+# Deterministic k-per-group sampling
+# (operators/sampling.py:sample_k_per_group): the per-stratum
+# reservoir analog of uniform_sample_50 — md5-rank rows within each
+# group, keep the k smallest. No RNG; exactly reproducible in SQL.
+_GSAMPLE_SQL = """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY md5('gsample-v1:' || event_id::VARCHAR), event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= 20
+"""
+
+
+@register("sample_20_per_event_type", _GSAMPLE_SQL)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One window pass (hash exchange on the group key + in-partition
+    rank) — the top-N-per-key shape; a skewed group costs its own
+    size only."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    ev = load_events(spark, sf_dir)
+    return sampling.sample_k_per_group(
+        ev.select("event_type", "event_id"),
+        k=20,
+        group_col="event_type",
+        id_col="event_id",
+    )
+
+
 # Contiguous event-sequence match (operators/patterns.py): view
 # IMMEDIATELY followed by click for the same user within 12h — the
 # CEP/MATCH_RECOGNIZE shape, one WindowExec pass (lead), no joins.

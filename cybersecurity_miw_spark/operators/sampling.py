@@ -244,3 +244,29 @@ def uniform_sample_k(
         .limit(k)
         .drop("_rank")
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: str = "gsample-v1",
+) -> DataFrame:
+    """Exactly-k deterministic sample PER GROUP: rank each group's
+    rows by the md5 of their id (id tiebreak for the astronomically
+    unlikely digest collision) and keep the k smallest — the
+    per-stratum reservoir analog of :func:`uniform_sample_k`, with
+    the same properties (no RNG, stable across runs, monotone under
+    growth) per group. One window pass: a single hash exchange on the
+    group key, rank within partitions — the same shape as top-N per
+    key, so a skewed group costs its own size, nothing more."""
+    from pyspark.sql.window import Window
+
+    rank = F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rank.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -192,3 +192,40 @@ def test_weighted_keep_proportion_and_determinism(spark):
         df.withColumn("w", F.lit(1.5)), "w"
     ).count()
     assert allw == 4000
+
+
+def test_sample_k_per_group_exact_k_stable_monotone(spark):
+    """Per-group determinism + growth monotonicity: every group
+    yields exactly k survivors; re-running is identical; adding rows
+    can displace but never reshuffle a group's sample."""
+    df = spark.range(0, 900).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("doc_id"),
+    )
+    s1 = sampling.sample_k_per_group(df, k=10, group_col="g")
+    rows1 = sorted((r["g"], r["doc_id"]) for r in s1.collect())
+    per_g = {}
+    for g, d in rows1:
+        per_g.setdefault(g, set()).add(d)
+    assert all(len(v) == 10 for v in per_g.values()) and len(per_g) == 3
+    # determinism
+    rows2 = sorted(
+        (r["g"], r["doc_id"])
+        for r in sampling.sample_k_per_group(df, k=10, group_col="g").collect()
+    )
+    assert rows1 == rows2
+    # monotone under growth: survivors of the grown corpus that
+    # existed before are a subset-of-or-equal-to the old sample only
+    # in the displacement direction — every NEW sample member either
+    # was in the old sample or is a new row
+    grown = spark.range(0, 1200).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").alias("doc_id"),
+    )
+    rows3 = {
+        (r["g"], r["doc_id"])
+        for r in sampling.sample_k_per_group(grown, k=10, group_col="g").collect()
+    }
+    old = set(rows1)
+    for g, d in rows3:
+        assert (g, d) in old or d >= 900, (g, d)

@@ -3136,6 +3136,49 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CIDR containment (functions/net.py): dotted-quad IPs derived
+# deterministically from event_id; the Spark side goes through STRING
+# parsing (ip4_to_long inside cidr_contains), while the oracle uses
+# pure integer arithmetic — equality proves the parse/format pair
+# inverts exactly. 10.0.8.0/21 = ip-long [167774208, 167776255]
+# = event_id % 2^24 in [2048, 4095].
+_CIDR_SQL = """
+WITH d AS (
+  SELECT event_id,
+         '10.' || ((event_id // 65536) % 256)
+              || '.' || ((event_id // 256) % 256)
+              || '.' || (event_id % 256) AS ip,
+         167772160 + (event_id % 16777216) AS ipl
+  FROM events
+)
+SELECT event_id, ip FROM d
+WHERE ipl BETWEEN 167774208 AND 167776255
+"""
+
+
+@register("cidr_filter_derived_ips", _CIDR_SQL)
+def q_cidr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-style CIDR filter: one narrow predicate (string
+    parse + two literal compares) inside the scan stage — the shape a
+    10.0.8.0/21 watchlist check has at any scale. Invalid IPs are
+    excluded by construction here; the validation path is
+    golden-tested separately."""
+    from cybersecurity_miw_spark.functions import net
+
+    ev = load_events(spark, sf_dir)
+    d = ev.select(
+        "event_id",
+        F.concat_ws(
+            ".",
+            F.lit(10),
+            (F.col("event_id") / 65536).cast("long") % 256,
+            (F.col("event_id") / 256).cast("long") % 256,
+            F.col("event_id") % 256,
+        ).alias("ip"),
+    )
+    return d.where(net.cidr_contains("10.0.8.0/21", F.col("ip")))
+
+
 # Per-user behavioral entropy: Shannon entropy (nats) of each user's
 # event-type distribution — the flat-vs-peaked behavioral anomaly
 # score (a compromised/automated account skews the mix). Formula

@@ -240,3 +240,72 @@ def test_appname_suffix(spark):
     rows = MiwJob(fmt, lines=["1,2", "1,3"], appname="app7").run(spark).collect()
     assert rows[0]["id"] == "1_app7"
     assert rows[0]["v1"] == 5
+
+
+def test_ip4_roundtrip_validation_and_cidr(spark):
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.functions import net
+
+    df = spark.createDataFrame(
+        [
+            ("0.0.0.0", 0),
+            ("255.255.255.255", 4294967295),
+            ("10.1.2.3", 167838211),
+            ("192.168.0.1", 3232235521),
+        ],
+        "ip STRING, want LONG",
+    )
+    rows = df.select(
+        "ip", "want",
+        net.ip4_to_long(F.col("ip")).alias("got"),
+        net.long_to_ip4(F.col("want")).alias("back"),
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], r
+        assert r["back"] == r["ip"], r
+
+    bad = spark.createDataFrame(
+        [("256.1.1.1",), ("1.2.3",), ("01a.2.3.4",), ("1.2.3.4.5",),
+         ("",), (None,)],
+        "ip STRING",
+    )
+    got = bad.select(net.ip4_to_long(F.col("ip")).alias("v")).collect()
+    assert all(r["v"] is None for r in got)
+
+    ips = spark.createDataFrame(
+        [("10.0.0.1",), ("10.255.255.254",), ("11.0.0.0",),
+         ("192.168.5.7",), ("not-an-ip",), (None,)],
+        "ip STRING",
+    )
+    r = {
+        row["ip"]: (row["in10"], row["any"])
+        for row in ips.select(
+            "ip",
+            net.cidr_contains("10.0.0.0/8", F.col("ip")).alias("in10"),
+            net.cidr_match_any(
+                ["10.0.0.0/8", "192.168.0.0/16"], F.col("ip")
+            ).alias("any"),
+        ).collect()
+    }
+    assert r["10.0.0.1"] == (True, True)
+    assert r["10.255.255.254"] == (True, True)
+    assert r["11.0.0.0"] == (False, False)
+    assert r["192.168.5.7"] == (False, True)
+    assert r["not-an-ip"] == (False, False)
+    assert r[None] == (False, False)
+
+    # /0 matches everything valid; /32 only the exact host
+    allr = ips.where(
+        net.cidr_contains("0.0.0.0/0", F.col("ip"))
+    ).count()
+    assert allr == 4
+    one = ips.where(
+        net.cidr_contains("192.168.5.7/32", F.col("ip"))
+    ).count()
+    assert one == 1
+
+    import pytest as _pytest
+    for badc in ("10.0.0.0", "300.0.0.0/8", "10.0.0.0/33", "x/8"):
+        with _pytest.raises(ValueError):
+            net.cidr_contains(badc, F.col("ip"))

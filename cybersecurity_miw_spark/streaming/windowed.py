@@ -322,3 +322,65 @@ def streaming_minute_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    events_dir: str,
+    alerts_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "30 minutes",
+    join_window_seconds: int = 3600,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked stream-stream inner join: each event pairs with
+    the alerts of the SAME user whose alert time falls in
+    ``[event ts, event ts + join_window_seconds]`` — the correlation
+    join (alert raised shortly after an event) that neither a
+    stream-static join nor a window agg expresses.
+
+    Both sides carry watermarks and the join predicate bounds alert
+    time relative to event time, so Spark can expire buffered state:
+    an input row is held only until the other side's watermark passes
+    its window — state is bounded by (rate x window), not stream
+    length. Without the time-range condition Spark would have to
+    buffer both streams forever (it rejects that plan in append
+    mode); the range is what makes the join scale.
+
+    Alert lines land as ``alert_id,ISO-ts,user_id,severity`` text
+    files; events are the standard event-line shape.
+    """
+    ev = parse_event_lines(
+        spark.readStream.format("text").load(events_dir)
+    ).withWatermark("ts", watermark)
+    al = (
+        spark.readStream.format("text")
+        .load(alerts_dir)
+        .select(
+            F.from_csv(
+                F.col("value"),
+                "alert_id long, a_ts timestamp, a_user long, severity string",
+            ).alias("a")
+        )
+        .select("a.*")
+        .withWatermark("a_ts", watermark)
+    )
+    joined = ev.join(
+        al,
+        (ev["user_id"] == al["a_user"])
+        & (al["a_ts"] >= ev["ts"])
+        & (al["a_ts"] <= ev["ts"] + F.expr(f"INTERVAL {join_window_seconds} SECONDS")),
+        "inner",
+    ).select(
+        "event_id", "user_id", "ts", "etype", "alert_id", "a_ts", "severity"
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -382,3 +382,57 @@ def test_streaming_minute_rollup_feeds_batch_reaggregation(spark, tmp_path):
     )
     batch_side = sorted(tuple(r) for r in time_rollup(closed).collect())
     assert stream_side == batch_side
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Correlation join: alerts pair with same-user events whose ts
+    precedes the alert by at most the join window; outside-window and
+    cross-user alerts pair with nothing."""
+    evdir = tmp_path / "ev"
+    aldir = tmp_path / "al"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    evdir.mkdir()
+    aldir.mkdir()
+
+    (evdir / "a.log").write_text(
+        "1,2026-01-01T10:00:00,7,login,1.0\n"
+        "2,2026-01-01T10:10:00,8,login,1.0\n"
+        "3,2026-01-01T11:30:00,7,click,1.0\n"
+    )
+    (aldir / "a.log").write_text(
+        # 30 min after event 1, same user -> pairs with event 1 only
+        # (event 3 is later than the alert)
+        "100,2026-01-01T10:30:00,7,high\n"
+        # same user, 2h after event 1 -> outside the 1h window of
+        # event 1, inside event 3's window
+        "101,2026-01-01T12:00:00,7,low\n"
+        # user with no events in window
+        "102,2026-01-01T10:05:00,9,low\n"
+    )
+    from cybersecurity_miw_spark.streaming.windowed import (
+        stream_stream_join,
+    )
+
+    _await(
+        stream_stream_join(
+            spark, str(evdir), str(aldir), ckpt, outdir,
+            join_window_seconds=3600,
+        )
+    )
+    # advance both watermarks far past everything so all pairs emit
+    (evdir / "b.log").write_text("4,2026-01-02T12:00:00,7,login,1.0\n")
+    (aldir / "b.log").write_text("103,2026-01-02T12:00:00,7,low\n")
+    _await(
+        stream_stream_join(
+            spark, str(evdir), str(aldir), ckpt, outdir,
+            join_window_seconds=3600,
+        )
+    )
+
+    rows = sorted(
+        (r["event_id"], r["alert_id"])
+        for r in spark.read.parquet(outdir).collect()
+        if r["alert_id"] in (100, 101, 102)
+    )
+    assert rows == [(1, 100), (3, 101)]

@@ -3136,6 +3136,44 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Window-aggregate join (operators/timeseries.py:window_agg_join —
+# the kdb wj shape): per signup anchor, how many same-user events
+# land in the following 2 hours (the anchor matches itself, so every
+# anchor counts >= 1 and the inner-join oracle is exact).
+_WJ_SQL = """
+SELECT s.event_id, s.user_id, count(*) AS n_window
+FROM events s JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 2 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY 1, 2
+"""
+
+
+@register("window_count_after_signup", _WJ_SQL)
+def q_window_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-window aggregation via the bucketed range join (anchors
+    become intervals, events stay points, fold per anchor) — the
+    activity-burst profile after each signup without any nested-loop
+    join."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    anchors = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    out = timeseries.window_agg_join(
+        anchors,
+        ev.select("user_id", "ts"),
+        left_id="event_id",
+        left_ts="ts",
+        window_seconds=7200,
+        aggs=[F.count(F.lit(1)).cast("long").alias("n_window")],
+        on="user_id",
+    )
+    return out.select("event_id", "user_id", "n_window")
+
+
 # CIDR containment (functions/net.py): dotted-quad IPs derived
 # deterministically from event_id; the Spark side goes through STRING
 # parsing (ip4_to_long inside cidr_contains), while the oracle uses

@@ -218,3 +218,61 @@ def time_rollup(
     if len(levels) > 1:
         finest = finest.persist()
     return rollup_from_partials(finest, keys, levels)
+
+
+def window_agg_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_ts: str,
+    window_seconds: int,
+    aggs: list[Column],
+    on: str | None = None,
+    right_ts: str = "ts",
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Window-aggregate join (the kdb ``wj`` shape): for every left
+    anchor row, aggregate the right rows of the same key whose
+    timestamp falls in ``[left_ts, left_ts + window_seconds)`` —
+    "how many events / how much volume followed each anchor".
+
+    Built on :func:`range_join` by flipping roles: the LEFT side
+    becomes the interval set (anchor ts + window), the right rows are
+    the points, the bucketed equi-join pairs them, and one
+    aggregation per anchor id folds the pairs. Anchors with zero
+    matches are restored by a left join against the (small,
+    anchor-sized) aggregate — so the output has exactly one row per
+    left row, with nulls/zeros where nothing followed.
+
+    ``aggs`` are aggregate Columns over the joined right columns
+    (e.g. ``F.count(F.lit(1)).alias("n")``); alias each one.
+    ``bucket_seconds`` defaults to the window length (fan-out ≤ 2
+    buckets per anchor).
+    """
+    if bucket_seconds is None:
+        bucket_seconds = max(window_seconds, 1)
+    iv = left.select(
+        F.col(left_id).alias("_anchor"),
+        *( [F.col(on)] if on else [] ),
+        F.col(left_ts).alias("_w_start"),
+        (
+            F.col(left_ts)
+            + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        ).alias("_w_end"),
+    )
+    pairs = range_join(
+        right,
+        iv,
+        left_ts=right_ts,
+        right_start="_w_start",
+        right_end="_w_end",
+        on=on,
+        bucket_seconds=bucket_seconds,
+    )
+    folded = pairs.groupBy("_anchor").agg(*aggs)
+    return (
+        left.join(
+            folded, on=left[left_id] == folded["_anchor"], how="left"
+        )
+        .drop("_anchor")
+    )

@@ -146,3 +146,48 @@ def test_time_rollup_rejects_bad_levels(spark):
         time_rollup(df, levels=("minute", "fortnight"))
     with pytest.raises(ValueError, match="finest"):
         time_rollup(df, levels=("day", "minute"))
+
+
+def test_window_agg_join_counts_and_zero_match_anchors(spark):
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators.timeseries import (
+        window_agg_join,
+    )
+
+    anchors = spark.createDataFrame(
+        [
+            (1, "a", _ts("2024-01-01 10:00:00")),
+            (2, "a", _ts("2024-01-01 20:00:00")),  # nothing follows
+            (3, "b", _ts("2024-01-01 10:00:00")),
+        ],
+        "aid INT, k STRING, ts TIMESTAMP",
+    )
+    points = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 10:10:00"), 5.0),
+            ("a", _ts("2024-01-01 10:59:59"), 7.0),
+            ("a", _ts("2024-01-01 11:00:00"), 9.0),  # at window end: out
+            ("b", _ts("2024-01-01 10:30:00"), 1.0),
+            ("b", _ts("2024-01-01 09:59:59"), 1.0),  # before anchor
+        ],
+        "k STRING, ts TIMESTAMP, v DOUBLE",
+    )
+    out = window_agg_join(
+        anchors,
+        points.withColumnRenamed("ts", "pts"),
+        left_id="aid",
+        left_ts="ts",
+        window_seconds=3600,
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("v_sum"),
+        ],
+        on="k",
+        right_ts="pts",
+    )
+    got = {r["aid"]: (r["n"], r["v_sum"]) for r in out.collect()}
+    assert got[1] == (2, 12.0)
+    assert got[2] == (None, None)  # zero-match anchor survives
+    assert got[3] == (1, 1.0)
+    assert len(got) == 3

@@ -3136,6 +3136,130 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unpivot (melt): the inverse of pivot_user_activity — wide measure
+# columns back to (name, value) rows via the STACK expression (one
+# narrow projection, no shuffle beyond the feeding rollup).
+_UNPIVOT_SQL = """
+WITH day AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS value_sum_c,
+         min(CAST(round(value * 100, 0) AS BIGINT)) AS value_min_c,
+         max(CAST(round(value * 100, 0) AS BIGINT)) AS value_max_c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_s, 'value_sum_c' AS measure, value_sum_c AS m_value FROM day
+UNION ALL
+SELECT event_type, bucket_s, 'value_min_c', value_min_c FROM day
+UNION ALL
+SELECT event_type, bucket_s, 'value_max_c', value_max_c FROM day
+"""
+
+
+@register("unpivot_day_measures", _UNPIVOT_SQL)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot of the day-level rollup measures with
+    stack() — a single generate projection per input row (3 output
+    rows each), no extra exchange; the long shape feeds generic
+    metric sinks/dashboards."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    day = timeseries.time_rollup(ev, levels=("day",)).drop(
+        "resolution", "n_events"
+    )
+    return day.select(
+        "event_type",
+        "bucket_s",
+        F.expr(
+            "stack(3, 'value_sum_c', value_sum_c, "
+            "'value_min_c', value_min_c, "
+            "'value_max_c', value_max_c) AS (measure, m_value)"
+        ),
+    )
+
+
+# Day-over-day change per event type: lag over the day-level rollup —
+# the derivative view a metrics pipeline layers on the continuous
+# aggregate. Reads #days x #types rows, never raw events twice.
+_DOD_SQL = """
+WITH day AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_s, n_events,
+       CAST(n_events - lag(n_events) OVER (
+            PARTITION BY event_type ORDER BY bucket_s) AS BIGINT)
+         AS delta_prev_day
+FROM day
+"""
+
+
+@register("day_over_day_event_counts", _DOD_SQL)
+def q_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() over the tiny day-level aggregate (one agg exchange +
+    one window exchange over #days x #types rows) — first day per
+    type yields NULL delta."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    day = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("day", F.col("ts"))
+            .cast("timestamp_ltz")
+            .cast("long")
+            .alias("bucket_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_s")
+    return day.select(
+        "event_type",
+        "bucket_s",
+        "n_events",
+        (F.col("n_events") - F.lag("n_events").over(w))
+        .cast("long")
+        .alias("delta_prev_day"),
+    )
+
+
+# First-seen detection: how many users appear for the FIRST time on
+# each day — the "new entity today" security analytic (new device /
+# user-agent / service account). One agg to first-seen, one tiny agg
+# over #users rows.
+_FIRST_SEEN_SQL = """
+WITH fs AS (
+  SELECT user_id,
+         CAST(floor(epoch(date_trunc('day', min(ts)))) AS BIGINT)
+           AS first_day_s
+  FROM events GROUP BY 1
+)
+SELECT first_day_s, count(*) AS n_new_users
+FROM fs GROUP BY 1
+"""
+
+
+@register("first_seen_users_per_day", _FIRST_SEEN_SQL)
+def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min(ts) per user (uniform key), truncate to day, count per
+    day — two aggregations where the second reads #users rows. At
+    100 TB the first-seen table is the thing to persist and append
+    to incrementally; this is its batch definition."""
+    ev = load_events(spark, sf_dir)
+    fs = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts"))
+        .cast("timestamp_ltz")
+        .cast("long")
+        .alias("first_day_s")
+    )
+    return fs.groupBy("first_day_s").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+
+
 # Window-aggregate join (operators/timeseries.py:window_agg_join —
 # the kdb wj shape): per signup anchor, how many same-user events
 # land in the following 2 hours (the anchor matches itself, so every

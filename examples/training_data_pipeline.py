@@ -131,6 +131,18 @@ def main() -> None:
     )
     print(f"wrote {n_shards} ordered shard ranges to {out_dir}")
 
+    # analytics-side layout: z-order the curated metadata on
+    # (n_tokens, quality) so later filtered reads ("long high-quality
+    # docs") prune files on BOTH columns
+    from cybersecurity_miw_spark.sources.zorder import write_zordered
+
+    zdir = os.path.join(os.path.dirname(out_dir), "curated_zorder")
+    write_zordered(
+        curated.select("doc_id", "n_tokens", "quality"),
+        zdir, ("n_tokens", "quality"), num_files=4,
+    )
+    print(f"z-ordered curated metadata on (n_tokens, quality) -> {zdir}")
+
 
 if __name__ == "__main__":
     main()

@@ -191,3 +191,46 @@ def test_window_agg_join_counts_and_zero_match_anchors(spark):
     assert got[2] == (None, None)  # zero-match anchor survives
     assert got[3] == (1, 1.0)
     assert len(got) == 3
+
+
+def test_range_join_matches_python_model_on_random_data(spark):
+    """400 random points x 60 random intervals over 10 keys, odd
+    bucket width (701 s) so bucket boundaries never align with the
+    data — compared against the brute-force python containment
+    model."""
+    import random
+
+    rng = random.Random(20260814)
+    base = dt.datetime(2024, 1, 1)
+    keys = [f"k{i}" for i in range(10)]
+    pts = [
+        (i, rng.choice(keys), base + dt.timedelta(seconds=rng.randint(0, 86400)))
+        for i in range(400)
+    ]
+    ivs = []
+    for j in range(60):
+        s = rng.randint(0, 86400)
+        # include zero-length and reversed intervals
+        e = s + rng.randint(-600, 7200)
+        ivs.append(
+            (rng.choice(keys), base + dt.timedelta(seconds=s),
+             base + dt.timedelta(seconds=e), j)
+        )
+    left = spark.createDataFrame(pts, "pid INT, k STRING, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        ivs, "k STRING, start_ts TIMESTAMP, end_ts TIMESTAMP, wid INT"
+    )
+    got = sorted(
+        (r["pid"], r["wid"])
+        for r in range_join(
+            left, right, "ts", "start_ts", "end_ts", on="k",
+            bucket_seconds=701,
+        ).collect()
+    )
+    want = sorted(
+        (pid, wid)
+        for pid, pk, pts_ in pts
+        for ik, s, e, wid in ivs
+        if pk == ik and s <= pts_ < e
+    )
+    assert got == want

@@ -44,3 +44,46 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
     )
     return builder.getOrCreate()
+
+
+def cluster_profile(
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    target_partition_mb: int = 128,
+) -> dict[str, str]:
+    """The conf set we'd submit with on a real cluster, derived from
+    the cluster size — the concrete version of SCALE.md's tuning
+    notes. Returned as a plain dict for spark-submit --conf flags or
+    SparkSession.builder.config(map=...).
+
+    Sizing logic:
+    - shuffle partitions = 2x total cores (slot headroom for stragglers;
+      AQE coalesces small ones back down at runtime, so over-provisioning
+      is cheap and under-provisioning is a spill).
+    - maxPartitionBytes fixes scan-task granularity; 128 MB keeps a
+      task's working set inside executor memory alongside shuffle
+      buffers at 4-8 GB/executor.
+    - broadcast threshold 64 MB: dims up to ~64 MB serialize cheaper
+      than shuffling the fact side (the bloomjoin/broadcast paths
+      assume this).
+    - AQE on everywhere: runtime coalescing + skew-join splitting
+      replace the reference's sampling-based reduce predictor; the
+      explicit salting tools (operators/skew.py) remain for keys AQE
+      cannot split (single-key hot aggregations).
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(2 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(
+            target_partition_mb * 1024 * 1024
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+    }

@@ -309,3 +309,39 @@ def test_ip4_roundtrip_validation_and_cidr(spark):
     for badc in ("10.0.0.0", "300.0.0.0/8", "10.0.0.0/33", "x/8"):
         with _pytest.raises(ValueError):
             net.cidr_contains(badc, F.col("ip"))
+
+
+def test_gzip_logs_read_transparently(spark, tmp_path):
+    """Compressed log files (the production norm) flow through the
+    same CLI/job path: Spark's text source decodes .gz per file —
+    one task per file (gzip is unsplittable; many files = the
+    parallelism), identical results to the plain file."""
+    import gzip
+    import shutil
+
+    from cybersecurity_miw_spark.job import MiwJob
+
+    plain = "tests/fixtures/web_proxy_10lines.log"
+    gz = tmp_path / "web_proxy.log.gz"
+    with open(plain, "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+
+    fmt = "/root/reference/miw/formats/proxy_format.json"
+    rows_plain = sorted(
+        map(tuple, MiwJob(format=fmt, files=plain).result(spark).collect())
+    )
+    rows_gz = sorted(
+        map(tuple, MiwJob(format=fmt, files=str(gz)).result(spark).collect())
+    )
+    assert rows_plain == rows_gz and len(rows_plain) > 0
+
+
+def test_cluster_profile_scales_with_size(spark):
+    from cybersecurity_miw_spark.session import cluster_profile
+
+    p = cluster_profile(executors=1000, cores_per_executor=4)
+    assert p["spark.sql.shuffle.partitions"] == "8000"
+    assert p["spark.sql.adaptive.enabled"] == "true"
+    assert int(p["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
+    small = cluster_profile(executors=10, cores_per_executor=8)
+    assert small["spark.sql.shuffle.partitions"] == "160"

@@ -3136,6 +3136,91 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Event-type transition matrix: P(next | current) per user stream —
+# the Markov baseline behavioral anomaly detectors score against.
+# One window pass for lead(), one pair-count agg, one per-current
+# window to normalize; probability rounded to 6 on both engines.
+_TRANSITION_SQL = """
+WITH nxt AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+pairs AS (
+  SELECT cur, nxt, count(*) AS n FROM nxt
+  WHERE nxt IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur, nxt, n,
+       round(n / sum(n) OVER (PARTITION BY cur), 6) AS p
+FROM pairs
+"""
+
+
+@register("event_type_transitions", _TRANSITION_SQL)
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead() over the per-user order (the sessionize exchange),
+    pair-count agg on a #types² key space, then a tiny window
+    normalize — the transition matrix is types² rows at ANY scale."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .where(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = Window.partitionBy("cur")
+    return pairs.select(
+        "cur", "nxt", "n",
+        F.round(F.col("n") / F.sum("n").over(wc), 6).alias("p"),
+    )
+
+
+# Top consecutive event-type trigrams across all user streams — the
+# frequent-sequence profile (what 3-step behaviors dominate).
+_TRIGRAM_SQL = """
+WITH t AS (
+  SELECT event_type AS a,
+         lead(event_type, 1) OVER w AS b,
+         lead(event_type, 2) OVER w AS c
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT a, b, c, count(*) AS n
+FROM t WHERE c IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, a, b, c
+LIMIT 20
+"""
+
+
+@register("top_event_trigrams", _TRIGRAM_SQL)
+def q_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two leads in one window pass, count on a ≤types³ key space,
+    TakeOrdered top-20 — no global sort."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).where(F.col("c").isNotNull())
+    return (
+        t.groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "a", "b", "c")
+        .limit(20)
+    )
+
+
 # Unpivot (melt): the inverse of pivot_user_activity — wide measure
 # columns back to (name, value) rows via the STACK expression (one
 # narrow projection, no shuffle beyond the feeding rollup).

@@ -49,6 +49,8 @@ QUERY_NAMES = [
     "eval_ngram_overlap_flags",
     "hashed_text_embedding",
     "time_rollup_multires",
+    "funnel_signup_click_purchase",
+    "event_type_transitions",
 ]
 
 # range_join runs against the TIME-SHIFTED events variant: with plain

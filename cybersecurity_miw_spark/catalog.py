@@ -3136,6 +3136,41 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-quality profile (operators/quality.py:profile_table): the
+# ANALYZE stage — per-column rows/nulls/distincts/min/max in ONE
+# aggregation pass; output is #columns rows at any data size.
+_DQ_SQL = """
+WITH a AS (
+  SELECT count(*) AS n_rows,
+         count(event_id) AS nn_event_id, count(DISTINCT event_id) AS nd_event_id,
+         CAST(min(event_id) AS VARCHAR) AS mn_event_id, CAST(max(event_id) AS VARCHAR) AS mx_event_id,
+         count(user_id) AS nn_user_id, count(DISTINCT user_id) AS nd_user_id,
+         CAST(min(user_id) AS VARCHAR) AS mn_user_id, CAST(max(user_id) AS VARCHAR) AS mx_user_id,
+         count(event_type) AS nn_event_type, count(DISTINCT event_type) AS nd_event_type,
+         CAST(min(event_type) AS VARCHAR) AS mn_event_type, CAST(max(event_type) AS VARCHAR) AS mx_event_type
+  FROM events
+)
+SELECT 'event_id' AS column, n_rows, n_rows - nn_event_id AS n_null,
+       nd_event_id AS n_distinct, mn_event_id AS min_str, mx_event_id AS max_str FROM a
+UNION ALL
+SELECT 'user_id', n_rows, n_rows - nn_user_id, nd_user_id, mn_user_id, mx_user_id FROM a
+UNION ALL
+SELECT 'event_type', n_rows, n_rows - nn_event_type, nd_event_type, mn_event_type, mx_event_type FROM a
+"""
+
+
+@register("dq_profile_events", _DQ_SQL)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan multi-column profile; min/max rendered as strings
+    so every column shares one schema."""
+    from cybersecurity_miw_spark.operators import quality
+
+    ev = load_events(spark, sf_dir)
+    return quality.profile_table(
+        ev, ["event_id", "user_id", "event_type"]
+    )
+
+
 # Event-type transition matrix: P(next | current) per user stream —
 # the Markov baseline behavioral anomaly detectors score against.
 # One window pass for lead(), one pair-count agg, one per-current

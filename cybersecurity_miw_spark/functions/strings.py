@@ -121,3 +121,67 @@ def contains_all(col: Column, values: list[str]) -> Column:
     for v in values[1:]:
         cond = cond & col.contains(v)
     return cond
+
+
+def ua_browser(col: Column) -> Column:
+    """Browser family from a User-Agent string — the precedence chain
+    real UAs require (Edge embeds "Chrome", Chrome embeds "Safari",
+    Opera embeds both; IE 11 drops "MSIE" for "Trident"):
+    Edg > OPR/Opera > Chrome > Safari > Firefox > MSIE/Trident > bot
+    heuristic. Pure JVM when/rlike chain; unknown → 'other',
+    null-safe."""
+    c = F.coalesce(col, F.lit(""))
+    return (
+        F.when(c.rlike(r"Edg(e|A|iOS)?/"), "edge")
+        .when(c.rlike(r"(OPR|Opera)/"), "opera")
+        .when(c.rlike(r"Chrome/"), "chrome")
+        .when(c.rlike(r"Safari/") & c.rlike(r"Version/"), "safari")
+        .when(c.rlike(r"Firefox/"), "firefox")
+        .when(c.rlike(r"MSIE |Trident/"), "ie")
+        .when(
+            c.rlike(r"(?i)(bot|crawler|spider|curl|wget|python-requests)"),
+            "bot",
+        )
+        .otherwise("other")
+    )
+
+
+def ua_os(col: Column) -> Column:
+    """OS family from a User-Agent string. iOS before Mac (iPhone UAs
+    say "like Mac OS X"), Android before Linux (Android UAs say
+    "Linux")."""
+    c = F.coalesce(col, F.lit(""))
+    return (
+        F.when(c.rlike(r"iPhone|iPad|iPod"), "ios")
+        .when(c.rlike(r"Android"), "android")
+        .when(c.rlike(r"Windows NT"), "windows")
+        .when(c.rlike(r"Mac OS X"), "macos")
+        .when(c.rlike(r"Linux|X11"), "linux")
+        .otherwise("other")
+    )
+
+
+def ua_browser_version(col: Column) -> Column:
+    """Major version of the detected browser family (the number after
+    its own product token — NOT the first version in the string,
+    which for Chrome UAs would be the AppleWebKit build). NULL when
+    no family token carries a version."""
+    c = F.coalesce(col, F.lit(""))
+    fam = ua_browser(col)
+    raw = (
+        F.when(fam == "edge", F.regexp_extract(c, r"Edg[eAiOS]*/(\d+)", 1))
+        .when(fam == "opera", F.regexp_extract(c, r"(?:OPR|Opera)/(\d+)", 1))
+        .when(fam == "chrome", F.regexp_extract(c, r"Chrome/(\d+)", 1))
+        .when(fam == "safari", F.regexp_extract(c, r"Version/(\d+)", 1))
+        .when(fam == "firefox", F.regexp_extract(c, r"Firefox/(\d+)", 1))
+        .when(
+            fam == "ie",
+            F.coalesce(
+                F.nullif(F.regexp_extract(c, r"MSIE (\d+)", 1), F.lit("")),
+                # Trident/7.0 == IE 11
+                F.when(c.rlike(r"Trident/7"), F.lit("11")).otherwise(F.lit("")),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.nullif(raw, F.lit(""))

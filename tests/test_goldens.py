@@ -345,3 +345,57 @@ def test_cluster_profile_scales_with_size(spark):
     assert int(p["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
     small = cluster_profile(executors=10, cores_per_executor=8)
     assert small["spark.sql.shuffle.partitions"] == "160"
+
+
+def test_ua_parsing_families_and_versions(spark):
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.functions.strings import (
+        ua_browser,
+        ua_browser_version,
+        ua_os,
+    )
+
+    UAS = [
+        ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+         "chrome", "120", "windows"),
+        ("Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 (KHTML, like "
+         "Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+         "edge", "120", "windows"),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, "
+         "like Gecko) Chrome/119.0.0.0 Safari/537.36 OPR/105.0.0.0",
+         "opera", "105", "linux"),
+        ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/"
+         "605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15",
+         "safari", "17", "macos"),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) "
+         "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/"
+         "15E148 Safari/604.1",
+         "safari", "17", "ios"),
+        ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:121.0) Gecko/"
+         "20100101 Firefox/121.0",
+         "firefox", "121", "linux"),
+        ("Mozilla/5.0 (Windows NT 6.1; Trident/7.0; rv:11.0) like Gecko",
+         "ie", "11", "windows"),
+        ("Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 6.1)",
+         "ie", "8", "windows"),
+        ("Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 "
+         "(KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+         "chrome", "120", "android"),
+        ("curl/8.4.0", "bot", None, "other"),
+        ("Googlebot/2.1 (+http://www.google.com/bot.html)",
+         "bot", None, "other"),
+        (None, "other", None, "other"),
+    ]
+    df = spark.createDataFrame(
+        [(ua,) for ua, *_ in UAS], "ua STRING"
+    ).select(
+        "ua",
+        ua_browser(F.col("ua")).alias("fam"),
+        ua_browser_version(F.col("ua")).alias("ver"),
+        ua_os(F.col("ua")).alias("os"),
+    )
+    got = {r["ua"]: (r["fam"], r["ver"], r["os"]) for r in df.collect()}
+    for ua, fam, ver, osname in UAS:
+        assert got[ua] == (fam, ver, osname), (ua, got[ua])

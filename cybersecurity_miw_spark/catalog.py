@@ -1813,6 +1813,135 @@ def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q5 shape: the deepest join chain in the suite — region →
+# nation → customer → orders → lineitem → supplier with the
+# local-supplier condition (s_nationkey = c_nationkey). Exercises the
+# join planner end-to-end: three true dims broadcast, the
+# orders⋈lineitem fact-fact join shuffles once on orderkey.
+_Q5_SQL = """
+SELECT n.n_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
+            AS BIGINT) AS revenue_c4
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY 1
+"""
+
+
+@register("tpch_q5_local_supplier_volume", _Q5_SQL)
+def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: per-nation revenue where supplier and customer share
+    a nation. region/nation/supplier broadcast (small dims); customer
+    rides the broadcast chain; the one real shuffle is
+    orders⋈lineitem on orderkey — the plan a 1000-executor cluster
+    wants for this query."""
+    r = load_table(spark, sf_dir, "region", widen=False).filter(
+        F.col("r_name") == "ASIA"
+    )
+    n = load_table(spark, sf_dir, "nation", widen=False)
+    c = load_table(spark, sf_dir, "customer", widen=False)
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    o = load_table(spark, sf_dir, "orders", widen=False).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(
+                c.join(
+                    F.broadcast(n.join(F.broadcast(r),
+                                       n["n_regionkey"] == r["r_regionkey"])),
+                    c["c_nationkey"] == F.col("n_nationkey"),
+                )
+            ),
+            (o["o_custkey"] == F.col("c_custkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+            * 10000,
+            0,
+        )
+        .cast("long")
+        .alias("revenue_c4")
+    )
+
+
+# TPC-H Q18 shape: large-quantity customers — a HAVING subquery over
+# the fact table feeding a 3-way join + top-k.
+_Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS totalprice_c,
+       CAST(round(sum(l.l_quantity) * 100, 0) AS BIGINT) AS sum_qty_c
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY totalprice_c DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+@register("tpch_q18_large_volume_customer", _Q18_SQL)
+def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: the HAVING pre-aggregate shrinks lineitem to the
+    few dozen big orderkeys FIRST (semi-join pruning by broadcast of
+    the tiny aggregate), then the re-join + final group — the
+    two-phase shape that avoids grouping the full fact twice at
+    scale."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .where(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders", widen=False)
+    c = load_table(spark, sf_dir, "customer", widen=False)
+    joined = (
+        li.join(F.broadcast(big), "l_orderkey")
+        .join(o, F.col("l_orderkey") == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+    )
+    return (
+        joined.groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("totalprice_c"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity") * 100, 0)
+            .cast("long")
+            .alias("sum_qty_c")
+        )
+        .orderBy(F.desc("totalprice_c"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 # window operators (beyond-reference surface): gap sessionization and
 # top-N per key — single-shuffle WindowExec plans with exact SQL twins.
 

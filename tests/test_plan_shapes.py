@@ -92,6 +92,11 @@ MAX_EXCHANGES = {
     # word explode + per-word conditional-sum agg + global int sum
     "split_word_divergence": 3,
     "uniform_sample_50": 0,  # TakeOrdered, no global sort
+    # deep join chains: dims broadcast, fact-fact joins shuffle; the
+    # ceilings admit the shuffle-join forms the planner picks once
+    # the filtered orders side outgrows the broadcast threshold
+    "tpch_q5_local_supplier_volume": 8,
+    "tpch_q18_large_volume_customer": 8,
     # one WindowExec hash exchange (the same shape as sessionize);
     # +1 admits an AQE coalesce wrapper
     "sequence_match_view_click": 2,

@@ -1,0 +1,73 @@
+"""Table maintenance (sources/maintain.py): dynamic partition upsert
+must leave untouched partitions' files byte-identical, and compaction
+must preserve data while collapsing the file count."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.sources.maintain import (
+    compact_partition,
+    overwrite_partitions,
+)
+
+
+def _rows(spark, path):
+    return sorted(
+        map(tuple, spark.read.parquet(path).select("day", "k", "v").collect())
+    )
+
+
+def test_overwrite_partitions_touches_only_incoming(spark, tmp_path):
+    out = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0), ("d3", 4, 40.0)],
+        "day STRING, k INT, v DOUBLE",
+    )
+    overwrite_partitions(base, out, ("day",))
+    d2_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{out}/day=d2/*.parquet")
+    }
+    d3_files = set(glob.glob(f"{out}/day=d3/*.parquet"))
+
+    # re-deliver d1 with corrected values; d2/d3 must be untouched
+    fix = spark.createDataFrame(
+        [("d1", 1, 11.0), ("d1", 5, 50.0)], "day STRING, k INT, v DOUBLE"
+    )
+    overwrite_partitions(fix, out, ("day",))
+
+    assert _rows(spark, out) == [
+        ("d1", 1, 11.0), ("d1", 5, 50.0),
+        ("d2", 3, 30.0), ("d3", 4, 40.0),
+    ]
+    for f, mtime in d2_files.items():
+        assert os.path.getmtime(f) == mtime, "d2 files were rewritten"
+    assert set(glob.glob(f"{out}/day=d3/*.parquet")) == d3_files
+
+
+def test_compact_partition_preserves_rows(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        F.lit("d1").alias("day"),
+        F.col("id").cast("int").alias("k"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    # simulate micro-batch appends: many small files in one partition
+    for i in range(6):
+        (
+            df.where((F.col("k") % 6) == i)
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    before_rows = _rows(spark, out)
+    n_before = compact_partition(spark, out, "day=d1", target_files=1)
+    assert n_before >= 6
+    files_after = glob.glob(f"{out}/day=d1/*.parquet")
+    assert len(files_after) == 1
+    assert _rows(spark, out) == before_rows
+    assert not glob.glob(f"{out}/day=d1._compact_*")

@@ -60,6 +60,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = load_table(spark, sf_dir, "documents")
+
+    # gate: validate the drop before spending compute on curation
+    from cybersecurity_miw_spark.operators.quality import (
+        Expectation,
+        check_expectations,
+        profile_table,
+    )
+
+    prof = profile_table(docs, ["doc_id", "text", "source"])
+    checks = check_expectations(prof, [
+        Expectation("doc_id", "not_null"),
+        Expectation("doc_id", "unique"),
+        Expectation("text", "max_null_fraction", 0.01),
+        Expectation("source", "distinct_at_most", 100),
+    ])
+    for e, ok, detail in checks:
+        print(f"  dq {e.column}.{e.check}: {'PASS' if ok else 'FAIL'} ({detail})")
+    if not all(ok for _, ok, _ in checks):
+        raise SystemExit("data-quality gate failed — refusing to curate")
+
     survivors = curate(spark, sf_dir)
     n_in, n_out = docs.count(), survivors.count()
     print(f"{n_in} docs in -> {n_out} curated "

@@ -3265,6 +3265,37 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fuzzy self-join of source names (operators/fuzzy.py:fuzzy_join):
+# q-gram blocking → levenshtein refine; the oracle is the naive
+# quadratic join (DuckDB levenshtein), so equality proves the
+# blocking loses no pair.
+_FUZZY_SQL = """
+WITH s AS (SELECT DISTINCT source FROM documents)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(levenshtein(a.source, b.source) AS BIGINT) AS edit_distance
+FROM s a JOIN s b ON a.source < b.source
+WHERE levenshtein(a.source, b.source) <= 2
+"""
+
+
+@register("fuzzy_source_name_pairs", _FUZZY_SQL)
+def q_fuzzy_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical source-name pairs within 2 edits — the
+    entity-resolution shape. The Spark side goes through the q-gram
+    blocking join (uniform gram hash keys, never all-pairs); the
+    oracle brute-forces, so a hash match certifies blocking recall."""
+    from cybersecurity_miw_spark.operators import fuzzy
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    a = docs.select(F.col("source").alias("src_a")).distinct()
+    b = docs.select(F.col("source").alias("src_b")).distinct()
+    out = fuzzy.fuzzy_join(a, b, "src_a", "src_b", max_distance=2)
+    return out.where(F.col("src_a") < F.col("src_b")).select(
+        "src_a", "src_b",
+        F.col("edit_distance").cast("long").alias("edit_distance"),
+    )
+
+
 # Data-quality profile (operators/quality.py:profile_table): the
 # ANALYZE stage — per-column rows/nulls/distincts/min/max in ONE
 # aggregation pass; output is #columns rows at any data size.

@@ -3265,6 +3265,22 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Mergeable approx-distinct rollup (rows-only by design: HLL sketch
+# estimates are engine-specific; accuracy vs exact is golden-pinned
+# within 5% at every level in tests/test_timeseries.py).
+@register("time_rollup_distinct_users")
+def q_time_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per minute/hour/day via hll_sketch_agg +
+    hll_union_agg (operators/timeseries.py:time_rollup_distinct) —
+    the rollup algebraic sums cannot express (a user spanning
+    minutes counts once per hour). One raw scan; coarser levels
+    union a sketch table."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.time_rollup_distinct(ev)
+
+
 # Fuzzy self-join of source names (operators/fuzzy.py:fuzzy_join):
 # q-gram blocking → levenshtein refine; the oracle is the naive
 # quadratic join (DuckDB levenshtein), so equality proves the

@@ -276,3 +276,67 @@ def window_agg_join(
         )
         .drop("_anchor")
     )
+
+
+def time_rollup_distinct(
+    df: DataFrame,
+    ts_col: str = "ts",
+    id_col: str = "user_id",
+    keys: tuple[str, ...] = ("event_type",),
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+) -> DataFrame:
+    """Approx-DISTINCT rollup via mergeable HLL sketches (Spark's
+    datasketches functions): minute-level ``hll_sketch_agg`` per
+    (bucket, keys), coarser levels ``hll_union_agg`` over the finest
+    sketches — the one rollup the algebraic path CANNOT do, because
+    distinct counts don't sum (the same user in two minutes must
+    count once in the hour). Sketch union is exactly as mergeable as
+    sum, so the continuous-aggregate shape carries over: raw data is
+    scanned once, each coarser level unions a #buckets×#keys-row
+    sketch table, and a stored sketch column would let a streaming
+    sink feed the same re-aggregation.
+
+    Output: ``resolution``, ``bucket_s``, ``*keys``,
+    ``n_distinct_approx`` (BIGINT estimate; rows-only verification by
+    design — sketch estimates are engine-specific)."""
+    unknown = [lv for lv in levels if lv not in _LEVEL_SECONDS]
+    if unknown:
+        raise ValueError(f"unknown rollup level(s): {unknown}")
+    if list(levels) != sorted(levels, key=_LEVEL_SECONDS.__getitem__):
+        raise ValueError("levels must be ordered finest to coarsest")
+
+    finest = (
+        df.select(
+            F.date_trunc(levels[0], F.col(ts_col)).alias("bucket"),
+            *keys,
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("bucket", *keys)
+        .agg(F.expr("hll_sketch_agg(_id)").alias("_sk"))
+    )
+    if len(levels) > 1:
+        finest = finest.persist()
+
+    def _emit(agg: DataFrame, level: str) -> DataFrame:
+        return agg.select(
+            F.lit(level).alias("resolution"),
+            _epoch_s(F.col("bucket")).alias("bucket_s"),
+            *keys,
+            F.expr("hll_sketch_estimate(_sk)")
+            .cast("long")
+            .alias("n_distinct_approx"),
+        )
+
+    out = _emit(finest, levels[0])
+    for lv in levels[1:]:
+        coarser = (
+            finest.select(
+                F.date_trunc(lv, F.col("bucket")).alias("bucket"),
+                *keys,
+                "_sk",
+            )
+            .groupBy("bucket", *keys)
+            .agg(F.expr("hll_union_agg(_sk)").alias("_sk"))
+        )
+        out = out.unionByName(_emit(coarser, lv))
+    return out

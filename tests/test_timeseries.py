@@ -234,3 +234,42 @@ def test_range_join_matches_python_model_on_random_data(spark):
         if pk == ik and s <= pts_ < e
     )
     assert got == want
+
+
+def test_time_rollup_distinct_merges_without_double_count(spark, sf_dir):
+    """The property sums can't give: a user active in many minutes
+    counts ONCE per hour/day. Sketch estimates must track exact
+    distincts within 5% at every level."""
+    from cybersecurity_miw_spark.operators.timeseries import (
+        time_rollup_distinct,
+    )
+    from cybersecurity_miw_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    approx = {
+        (r["resolution"], r["bucket_s"], r["event_type"]): r[
+            "n_distinct_approx"
+        ]
+        for r in time_rollup_distinct(ev).collect()
+    }
+    for lv in ("minute", "hour", "day"):
+        exact = {
+            (lv, r["b"], r["event_type"]): r["n"]
+            for r in ev.groupBy(
+                F.date_trunc(lv, "ts")
+                .cast("timestamp_ltz")
+                .cast("long")
+                .alias("b"),
+                "event_type",
+            )
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert set(k for k in approx if k[0] == lv) == set(exact)
+        for k, n in exact.items():
+            assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, approx[k], n)
+    # day-level totals are far below the sum of minute counts when
+    # users span minutes — the reason sketches are needed at all
+    day_total = sum(v for k, v in approx.items() if k[0] == "day")
+    minute_total = sum(v for k, v in approx.items() if k[0] == "minute")
+    assert day_total < minute_total

@@ -273,3 +273,36 @@ def test_time_rollup_distinct_merges_without_double_count(spark, sf_dir):
     day_total = sum(v for k, v in approx.items() if k[0] == "day")
     minute_total = sum(v for k, v in approx.items() if k[0] == "minute")
     assert day_total < minute_total
+
+
+def test_builtin_session_window_agrees_with_gap_sessionize(spark, sf_dir):
+    """Two independent session definitions — Spark's built-in
+    session_window and the windows.py lag/cumsum sessionize — must
+    partition events identically for the same 30-min gap: same
+    session count per user, same (n_events, start_s) multisets."""
+    from cybersecurity_miw_spark.operators.windows import session_summary
+    from cybersecurity_miw_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    ours = {}
+    for r in session_summary(ev, gap_minutes=30).collect():
+        ours.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["start_s"])
+        )
+    builtin = {}
+    rows = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", "n",
+            F.col("w.start").cast("timestamp_ltz").cast("long").alias("s"),
+        )
+        .collect()
+    )
+    for r in rows:
+        builtin.setdefault(r["user_id"], []).append((r["n"], r["s"]))
+    assert set(ours) == set(builtin)
+    for u in ours:
+        assert sorted(ours[u]) == sorted(builtin[u]), u

@@ -1942,6 +1942,64 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q10 shape: returned-item reporting — selective fact filter
+# (returnflag) + date-sliced orders + two broadcast dims, top-20 by
+# lost revenue.
+_Q10_SQL = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 10000, 0)
+            AS BIGINT) AS revenue_c4
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c4 DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+@register("tpch_q10_returned_items", _Q10_SQL)
+def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: the returnflag filter reaches the lineitem scan
+    (PushedFilters), the quarter slice prunes orders before the
+    fact-fact join, customer/nation broadcast; top-20 is
+    TakeOrdered."""
+    c = load_table(spark, sf_dir, "customer", widen=False)
+    n = load_table(spark, sf_dir, "nation", widen=False)
+    o = load_table(spark, sf_dir, "orders", widen=False).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem", widen=False).filter(
+        F.col("l_returnflag") == "R"
+    )
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+                )
+                * 10000,
+                0,
+            )
+            .cast("long")
+            .alias("revenue_c4")
+        )
+        .orderBy(F.desc("revenue_c4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 # window operators (beyond-reference surface): gap sessionization and
 # top-N per key — single-shuffle WindowExec plans with exact SQL twins.
 

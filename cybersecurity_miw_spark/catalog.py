@@ -2000,6 +2000,52 @@ def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q14 shape: global conditional-aggregate ratio over a
+# fact⋈dim join — one month of lineitem joined to part (broadcast),
+# promo share of revenue as ONE scalar. Ratio scaled to ppm for
+# hash-exact cross-engine compare; float division order is fixed by
+# doing the division once, driver-free, at the end.
+_Q14_SQL = """
+SELECT CAST(round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+              THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+         / sum(l.l_extendedprice * (1 - l.l_discount)) * 1000000, 0)
+       AS BIGINT) AS promo_revenue_ppm
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1996-02-01'
+"""
+
+
+@register("tpch_q14_promo_effect", _Q14_SQL)
+def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: month slice pushed to the lineitem scan, part
+    broadcast, a single global aggregate with a conditional
+    numerator — the whole query is one map-side-combined reduction
+    to a scalar."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part", widen=False)
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(
+                    F.lit(0)
+                )
+            )
+            / F.sum(rev)
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("promo_revenue_ppm")
+    )
+
+
 # window operators (beyond-reference surface): gap sessionization and
 # top-N per key — single-shuffle WindowExec plans with exact SQL twins.
 

@@ -340,3 +340,57 @@ def time_rollup_distinct(
         )
         out = out.unionByName(_emit(coarser, lv))
     return out
+
+
+def rollup_distinct_from_sketches(
+    sketches: DataFrame,
+    keys: tuple[str, ...] = ("event_type",),
+    levels: tuple[str, ...] = ("minute", "hour", "day"),
+    sketch_col: str = "user_sketch",
+) -> DataFrame:
+    """Derive every level's approx-distinct estimates from stored
+    finest-level HLL sketch rows (``bucket`` timestamp, ``*keys``,
+    ``sketch_col`` binary — the `streaming_minute_distinct_rollup`
+    sink schema): coarser levels union the sketches, estimates are
+    taken at the end. Same output schema as
+    :func:`time_rollup_distinct`."""
+    unknown = [lv for lv in levels if lv not in _LEVEL_SECONDS]
+    if unknown:
+        raise ValueError(f"unknown rollup level(s): {unknown}")
+    if list(levels) != sorted(levels, key=_LEVEL_SECONDS.__getitem__):
+        raise ValueError("levels must be ordered finest to coarsest")
+
+    base = sketches.select(
+        "bucket", *keys, F.col(sketch_col).alias("_sk")
+    )
+
+    def _emit(agg: DataFrame, level: str) -> DataFrame:
+        return agg.select(
+            F.lit(level).alias("resolution"),
+            _epoch_s(F.col("bucket")).alias("bucket_s"),
+            *keys,
+            F.expr("hll_sketch_estimate(_sk)")
+            .cast("long")
+            .alias("n_distinct_approx"),
+        )
+
+    # the finest level may hold several sketch rows per bucket (e.g.
+    # a streaming sink plus a batch backfill) — union them first
+    finest = base.groupBy("bucket", *keys).agg(
+        F.expr("hll_union_agg(_sk)").alias("_sk")
+    )
+    if len(levels) > 1:
+        finest = finest.persist()
+    out = _emit(finest, levels[0])
+    for lv in levels[1:]:
+        coarser = (
+            finest.select(
+                F.date_trunc(lv, F.col("bucket")).alias("bucket"),
+                *keys,
+                "_sk",
+            )
+            .groupBy("bucket", *keys)
+            .agg(F.expr("hll_union_agg(_sk)").alias("_sk"))
+        )
+        out = out.unionByName(_emit(coarser, lv))
+    return out

@@ -384,3 +384,43 @@ def stream_stream_join(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_minute_distinct_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    output_dir: str,
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming producer for the approx-DISTINCT rollup
+    (operators/timeseries.py:time_rollup_distinct): each closed
+    minute window appends one row with an HLL SKETCH BLOB per
+    (bucket, event_type) — not an estimate. Storing the sketch is
+    the whole point: estimates don't merge (distinct counts can't be
+    summed across minutes), sketches do — hour/day views
+    ``hll_union_agg`` the sink and estimate at the end, and the same
+    sink can be unioned with batch-built sketches for backfill."""
+    lines = spark.readStream.format("text").load(input_dir)
+    ev = parse_event_lines(lines)
+    agg = (
+        ev.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 minute").alias("w"),
+            F.col("etype").alias("event_type"),
+        )
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("user_sketch"))
+        .select(
+            F.col("w.start").alias("bucket"), "event_type", "user_sketch"
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -436,3 +436,68 @@ def test_stream_stream_join_time_bounded(spark, tmp_path):
         if r["alert_id"] in (100, 101, 102)
     )
     assert rows == [(1, 100), (3, 101)]
+
+
+def test_streaming_sketch_rollup_feeds_distinct_reaggregation(
+    spark, tmp_path
+):
+    """Streamed HLL sketch partials, unioned batch-side, must equal
+    the batch time_rollup_distinct on the same closed events — the
+    distinct-count continuous aggregate contract (estimates can't
+    merge; sketches must)."""
+    import datetime as dt
+
+    from cybersecurity_miw_spark.operators.timeseries import (
+        rollup_distinct_from_sketches,
+        time_rollup_distinct,
+    )
+    from cybersecurity_miw_spark.streaming.windowed import (
+        streaming_minute_distinct_rollup,
+    )
+
+    indir = tmp_path / "in"
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    # user 7 spans two minutes AND appears twice in one minute: the
+    # hour level must count it once
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:05:10,7,click,1.0\n"
+        "2,2026-01-01T10:05:40,7,click,1.0\n"
+        "3,2026-01-01T10:06:00,7,click,1.0\n"
+        "4,2026-01-01T10:06:30,8,click,1.0\n"
+        "5,2026-01-01T10:20:00,9,view,1.0\n"
+    )
+    _await(
+        streaming_minute_distinct_rollup(spark, str(indir), ckpt, outdir)
+    )
+    (indir / "b.log").write_text("6,2026-01-02T12:00:00,7,click,9.0\n")
+    _await(
+        streaming_minute_distinct_rollup(spark, str(indir), ckpt, outdir)
+    )
+
+    sk = spark.read.parquet(outdir)
+    got = sorted(
+        tuple(r) for r in rollup_distinct_from_sketches(sk).collect()
+    )
+    closed = spark.createDataFrame(
+        [
+            ("click", dt.datetime(2026, 1, 1, 10, 5, 10), 7),
+            ("click", dt.datetime(2026, 1, 1, 10, 5, 40), 7),
+            ("click", dt.datetime(2026, 1, 1, 10, 6, 0), 7),
+            ("click", dt.datetime(2026, 1, 1, 10, 6, 30), 8),
+            ("view", dt.datetime(2026, 1, 1, 10, 20, 0), 9),
+        ],
+        "event_type STRING, ts TIMESTAMP, user_id LONG",
+    )
+    want = sorted(
+        tuple(r) for r in time_rollup_distinct(closed).collect()
+    )
+    assert got == want
+    # and the hour row really deduplicates user 7 across minutes
+    hour = [
+        r for r in got
+        if r[0] == "hour" and r[2] == "click"
+    ]
+    assert hour[0][3] == 2  # users 7 and 8, not 3 minute-slots

@@ -3385,6 +3385,47 @@ def q_time_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.time_rollup_distinct(ev)
 
 
+# Cohort retention matrix: users grouped by first-seen day, activity
+# counted per day offset — the product-analytics retention triangle
+# and the security "how long do new accounts stay active" view.
+_COHORT_SQL = """
+WITH fs AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort
+  FROM events GROUP BY 1
+)
+SELECT CAST(floor(epoch(fs.cohort)) AS BIGINT) AS cohort_s,
+       datediff('day', fs.cohort, date_trunc('day', e.ts)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN fs USING(user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention_matrix", _COHORT_SQL)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen cohort per user (one agg on the uniform user key),
+    joined back — the cohort table is #users rows, broadcast when it
+    fits — then a distinct-count per (cohort, offset). Output is
+    #cohorts x #days rows at any scale."""
+    ev = load_events(spark, sf_dir)
+    fs = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    joined = ev.join(F.broadcast(fs), "user_id")
+    return (
+        joined.groupBy(
+            F.col("cohort")
+            .cast("timestamp_ltz")
+            .cast("long")
+            .alias("cohort_s"),
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.col("cohort")
+            ).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 # Fuzzy self-join of source names (operators/fuzzy.py:fuzzy_join):
 # q-gram blocking → levenshtein refine; the oracle is the naive
 # quadratic join (DuckDB levenshtein), so equality proves the

@@ -3385,6 +3385,96 @@ def q_time_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.time_rollup_distinct(ev)
 
 
+# Z-score outliers: events whose value sits >3 population stddevs
+# above their type's mean — the per-population anomaly filter. The
+# tiny per-type stats table broadcasts back to the fact; the filter
+# itself compares against two literals per row at scale.
+_ZSCORE_SQL = """
+WITH st AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       CAST(round(e.value * 100, 0) AS BIGINT) AS value_c,
+       CAST(round((e.value - st.mu) / st.sd * 1000000, 0) AS BIGINT)
+         AS zscore_ppm
+FROM events e JOIN st USING(event_type)
+WHERE e.value > st.mu + 3 * st.sd
+"""
+
+
+@register("zscore_value_outliers", _ZSCORE_SQL)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass anomaly filter: one agg to #types rows of (mu, sd),
+    broadcast join back, narrow filter. zscore ppm-scaled for the
+    cross-engine hash."""
+    ev = load_events(spark, sf_dir)
+    st = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    j = ev.join(F.broadcast(st), "event_type")
+    return j.where(
+        F.col("value") > F.col("mu") + 3 * F.col("sd")
+    ).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_c"),
+        F.round((F.col("value") - F.col("mu")) / F.col("sd") * 1000000, 0)
+        .cast("long")
+        .alias("zscore_ppm"),
+    )
+
+
+# 7-day moving average over the day-level rollup: the bounded window
+# frame (ROWS 6 PRECEDING) — distinct from the cumulative frame
+# running_value_per_user pins. Cents-integer average via the exact
+# (sum, count) pair so both engines divide identically.
+_MOVAVG_SQL = """
+WITH day AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS bucket_s,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_s, n_events,
+       CAST(round(avg(n_events) OVER (
+            PARTITION BY event_type ORDER BY bucket_s
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 1000000, 0)
+         AS BIGINT) AS ma7_ppm
+FROM day
+"""
+
+
+@register("moving_avg_7d_event_counts", _MOVAVG_SQL)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame over the tiny day-level aggregate —
+    #days x #types rows; at scale this reads the rollup table, never
+    raw events."""
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    day = ev.groupBy(
+        "event_type",
+        F.date_trunc("day", F.col("ts"))
+        .cast("timestamp_ltz")
+        .cast("long")
+        .alias("bucket_s"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(-6, 0)
+    )
+    return day.select(
+        "event_type",
+        "bucket_s",
+        "n_events",
+        F.round(F.avg("n_events").over(w) * 1000000, 0)
+        .cast("long")
+        .alias("ma7_ppm"),
+    )
+
+
 # Cohort retention matrix: users grouped by first-seen day, activity
 # counted per day offset — the product-analytics retention triangle
 # and the security "how long do new accounts stay active" view.

@@ -3385,6 +3385,64 @@ def q_time_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.time_rollup_distinct(ev)
 
 
+# Snapshot diff (operators/diff.py:snapshot_diff): two deterministic
+# "versions" of events — old drops event_id % 13 == 0 (those become
+# `added`), new drops % 11 == 0 (those become `removed`), and new
+# doubles value on % 7 == 0 (those become `changed`). Full outer
+# join on the key + null-pattern classification; unchanged keys drop.
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT event_id, CAST(round(value * 100, 0) AS BIGINT) AS value_c
+  FROM events WHERE event_id % 13 <> 0
+),
+new AS (
+  SELECT event_id,
+         CAST(round(CASE WHEN event_id % 7 = 0 THEN value * 2
+                         ELSE value END * 100, 0) AS BIGINT) AS value_c
+  FROM events WHERE event_id % 11 <> 0
+)
+SELECT coalesce(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.value_c IS DISTINCT FROM n.value_c THEN 'changed'
+       END AS change_type,
+       o.value_c AS old_value_c, n.value_c AS new_value_c
+FROM old o FULL OUTER JOIN new n USING(event_id)
+WHERE CASE WHEN o.event_id IS NULL THEN 'added'
+           WHEN n.event_id IS NULL THEN 'removed'
+           WHEN o.value_c IS DISTINCT FROM n.value_c THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+@register("snapshot_diff_events", _SNAPSHOT_DIFF_SQL)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-shaped reconciliation of two snapshot versions: added /
+    removed / changed keys only — the audit of what an ingestion run
+    touched. One co-partitionable full outer join."""
+    from cybersecurity_miw_spark.operators import diff
+
+    ev = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    old = ev.where(F.col("event_id") % 13 != 0).select(
+        "event_id", cents.alias("value_c")
+    )
+    new = ev.where(F.col("event_id") % 11 != 0).select(
+        "event_id",
+        F.round(
+            F.when(F.col("event_id") % 7 == 0, F.col("value") * 2)
+            .otherwise(F.col("value"))
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("value_c"),
+    )
+    return diff.snapshot_diff(
+        old, new, key_cols=("event_id",), compare_cols=("value_c",)
+    )
+
+
 # Z-score outliers: events whose value sits >3 population stddevs
 # above their type's mean — the per-population anomaly filter. The
 # tiny per-type stats table broadcasts back to the fact; the filter

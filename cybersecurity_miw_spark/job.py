@@ -168,6 +168,13 @@ class MiwJob:
             sinks.write_csv(df, ldef, output_path)
         elif output_format == "text":
             sinks.write_text(df, ldef, output_path)
+        elif output_format in ("parquet", "orc"):
+            # columnar sinks for downstream analytics: typed schema
+            # preserved (arrays stay arrays), splittable, stats-bearing
+            # — what a result feeding further Spark/DuckDB jobs wants
+            df.write.mode("overwrite").format(output_format).save(
+                output_path
+            )
         elif output_format in ("mem", "all"):
             pass
         else:
@@ -195,7 +202,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "-output_format",
         default=None,
-        choices=["json", "csv", "json-columnar", "csv-columnar", "text", "mem"],
+        choices=[
+            "json", "csv", "json-columnar", "csv-columnar", "text",
+            "parquet", "orc", "mem",
+        ],
         help="defaults to json (text in -compact mode, which only "
         "emits raw surviving lines)",
     )
@@ -254,6 +264,11 @@ def main(argv: list[str] | None = None) -> None:
         help="no-op in batch (all files are one plan); the incremental "
         "snapshot-per-chunk mode is streaming.merge.stream_logs",
     )
+    ap.add_argument(
+        "-explain", action="store_true",
+        help="print the compiled physical plan (formatted) and exit "
+        "without executing",
+    )
     args = ap.parse_args(argv)
 
     from cybersecurity_miw_spark.session import get_spark
@@ -290,6 +305,20 @@ def main(argv: list[str] | None = None) -> None:
         merge_results=args.merge_results,
         union_limit=args.union_limit or None,
     )
+    if args.explain:
+        # print the compiled physical plan instead of executing — the
+        # format-compiler debugging aid ("is my filter pushed down?
+        # how many exchanges does this format cost?")
+        print(
+            job.result(spark)
+            ._jdf.queryExecution()
+            .explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        )
+        return
     job.run(
         spark,
         output_format=args.output_format or "json",

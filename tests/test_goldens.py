@@ -399,3 +399,16 @@ def test_ua_parsing_families_and_versions(spark):
     got = {r["ua"]: (r["fam"], r["ver"], r["os"]) for r in df.collect()}
     for ua, fam, ver, osname in UAS:
         assert got[ua] == (fam, ver, osname), (ua, got[ua])
+
+
+def test_columnar_sinks_roundtrip(spark, tmp_path):
+    """parquet/orc sinks preserve the typed result schema (arrays
+    stay arrays) and the full row set."""
+    fmt = "/root/reference/miw/formats/proxy_format.json"
+    job = MiwJob(format=fmt, files="tests/fixtures/web_proxy_10lines.log")
+    want = sorted(map(tuple, job.result(spark).collect()))
+    for codec in ("parquet", "orc"):
+        out = str(tmp_path / codec)
+        job.run(spark, output_format=codec, output_path=out, ndisp=0)
+        back = sorted(map(tuple, spark.read.format(codec).load(out).collect()))
+        assert back == want, codec

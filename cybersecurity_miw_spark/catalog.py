@@ -3385,6 +3385,52 @@ def q_time_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.time_rollup_distinct(ev)
 
 
+# Activity-gap detection: per event type, silent periods longer than
+# an hour — the "sensor/feed went dark" monitoring primitive. One
+# lag() pass per type; the gap predicate compares full-precision
+# timestamps, output epochs at second grain.
+_GAP_SQL = """
+WITH o AS (
+  SELECT event_type, ts,
+         lag(ts) OVER (PARTITION BY event_type
+                       ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT event_type,
+       CAST(floor(epoch(prev)) AS BIGINT) AS gap_start_s,
+       CAST(floor(epoch(ts)) AS BIGINT) AS gap_end_s,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(prev)) AS BIGINT) AS gap_s
+FROM o WHERE ts - prev > INTERVAL 1 HOUR
+"""
+
+
+@register("activity_gap_detection", _GAP_SQL)
+def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-downtime detection: lag() over the per-type order (one
+    WindowExec exchange on a 5-value key — salt via user bucketing
+    if a single type dominates at scale), narrow gap filter."""
+    from pyspark.sql.window import Window
+
+    from cybersecurity_miw_spark.operators.windows import _epoch_s
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev")
+    )
+    # NTZ forbids a direct double cast; the UTC-pinned ltz hop is the
+    # identity (see windows._epoch_s) and keeps microsecond precision
+    ts_d = F.col("ts").cast("timestamp_ltz").cast("double")
+    prev_d = F.col("prev").cast("timestamp_ltz").cast("double")
+    return o.where(ts_d - prev_d > 3600).select(
+        "event_type",
+        _epoch_s(F.col("prev")).alias("gap_start_s"),
+        _epoch_s(F.col("ts")).alias("gap_end_s"),
+        (_epoch_s(F.col("ts")) - _epoch_s(F.col("prev"))).alias("gap_s"),
+    )
+
+
 # Snapshot diff (operators/diff.py:snapshot_diff): two deterministic
 # "versions" of events — old drops event_id % 13 == 0 (those become
 # `added`), new drops % 11 == 0 (those become `removed`), and new

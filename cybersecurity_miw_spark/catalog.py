@@ -4404,14 +4404,21 @@ _DRIVER_WINDOW = [
     # TPC-H style analytics
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    # analytics suite rotated IN for round 6 (first driver rows;
-    # the rotated-out §2 veterans stay full-hash green in
+    # analytics suite rotated IN for round 6 (first driver rows; the
+    # rotated-out §2 veterans stay full-hash green in
     # tests/test_oracle_parity.py). Round-7 rotation candidates —
-    # registered after this window froze, never driver-rowed yet:
-    # gopher_quality_flags, top_bigram_profile, remove_repeated_lines,
-    # pii_redact_counts, dup_clusters_cc, chunk_fixed_windows,
-    # split_train_val_test, stratified_sample_by_source,
-    # weighted_interleave_prefix, decontaminate_train_vs_eval.
+    # oracled but never driver-rowed yet (all green at sf0.001/0.01/
+    # 0.1 in the end-of-round-6 sweeps): tpch_q5/q10/q14/q18,
+    # snapshot_diff_events, cohort_retention_matrix,
+    # zscore_value_outliers, moving_avg_7d_event_counts,
+    # activity_gap_detection, fuzzy_source_name_pairs,
+    # user_event_entropy, event_type_transitions, top_event_trigrams,
+    # sample_20_per_event_type, cidr_filter_derived_ips,
+    # window_count_after_signup, first_seen_users_per_day,
+    # day_over_day_event_counts, unpivot_day_measures,
+    # dq_profile_events, top_bigram_profile, split_train_val_test,
+    # stratified_sample_by_source, weighted_interleave_prefix,
+    # decontaminate_train_vs_eval.
     "event_value_percentiles",
     "rollup_event_counts",
     "running_value_per_user",

@@ -3385,6 +3385,46 @@ def q_time_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.time_rollup_distinct(ev)
 
 
+# Kleene-star pattern match (operators/patterns.py:
+# match_star_sequence): signup click* purchase — a signup followed by
+# zero or more contiguous clicks then a purchase; the variable-length
+# MATCH_RECOGNIZE shape fixed-lead matching can't express.
+_STAR_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER w AS rn
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+nb AS (
+  SELECT user_id, event_id, event_type, rn,
+         min(CASE WHEN event_type <> 'click' THEN rn END)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS next_nonmid_rn
+  FROM o
+)
+SELECT a.user_id, a.event_id AS start_id, c.event_id AS end_id,
+       CAST(c.rn - a.rn - 1 AS BIGINT) AS n_middle
+FROM nb a JOIN nb c
+  ON c.user_id = a.user_id AND c.rn = a.next_nonmid_rn
+WHERE a.event_type = 'signup' AND c.event_type = 'purchase'
+"""
+
+
+@register("star_pattern_signup_clicks_purchase", _STAR_SQL)
+def q_star_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Islands technique: one window pass computes each row's next
+    non-middle position (conditional min over the unbounded-following
+    frame); the confirm self-join is co-partitioned on the key. No
+    iteration, no state machine."""
+    from cybersecurity_miw_spark.operators import patterns
+
+    ev = load_events(spark, sf_dir)
+    return patterns.match_star_sequence(
+        ev, first="signup", middle="click", last="purchase"
+    )
+
+
 # Activity-gap detection: per event type, silent periods longer than
 # an hour — the "sensor/feed went dark" monitoring primitive. One
 # lag() pass per type; the gap predicate compares full-precision

@@ -143,3 +143,71 @@ def funnel_stages(
     return reached.select(
         F.col("_k").alias(key_col), *names, depth.cast("long").alias("depth")
     )
+
+
+def match_star_sequence(
+    df: DataFrame,
+    first: str,
+    middle: str,
+    last: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Kleene-star pattern ``first middle* last`` over each key's
+    (ts, id)-ordered stream: a ``first`` event followed by ZERO OR
+    MORE contiguous ``middle`` events and then a ``last`` event —
+    the variable-length CEP shape fixed-lead matching can't express
+    (MATCH_RECOGNIZE's ``A B* C``).
+
+    Islands technique, no iteration: per key, each row gets its
+    position ``rn`` and the position of the NEXT non-``middle`` row
+    (a conditional min over the unbounded-following frame — one
+    WindowExec pass). A match is a ``first`` row whose next
+    non-middle row is a ``last`` row; everything between is middle by
+    construction. The confirm is a self-join on (key, rn) —
+    co-partitioned with the window's own hash exchange.
+
+    Emits (key, start id, end id, n_middle).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    o = df.select(
+        key_col, id_col, type_col, F.row_number().over(w).alias("_rn")
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("_rn")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nb = o.withColumn(
+        "_next_nonmid",
+        F.min(
+            F.when(F.col(type_col) != middle, F.col("_rn"))
+        ).over(wf),
+    )
+    a = nb.where(F.col(type_col) == first).select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("start_id"),
+        F.col("_rn").alias("_a_rn"),
+        "_next_nonmid",
+    )
+    c = nb.where(F.col(type_col) == last).select(
+        F.col(key_col).alias("_k"),
+        F.col(id_col).alias("end_id"),
+        F.col("_rn").alias("_c_rn"),
+    )
+    return (
+        a.join(
+            c,
+            (a["_k"] == c["_k"]) & (a["_next_nonmid"] == c["_c_rn"]),
+        )
+        .select(
+            a["_k"].alias(key_col),
+            "start_id",
+            "end_id",
+            (F.col("_c_rn") - F.col("_a_rn") - 1)
+            .cast("long")
+            .alias("n_middle"),
+        )
+    )

@@ -125,3 +125,45 @@ def test_funnel_duplicate_stage_names_get_suffix(spark):
     r = out.collect()[0]
     # second A must be strictly after the first
     assert (r["A_s"], r["A_1_s"], r["depth"]) == (1704103200, 1704106800, 2)
+
+
+def test_star_sequence_zero_and_many_middles(spark):
+    from cybersecurity_miw_spark.operators.patterns import (
+        match_star_sequence,
+    )
+
+    df = _events(spark, [
+        # user 1: A C (zero middles) -> match, n_middle 0
+        (1, _ts("2024-01-01 10:00:00"), "A", 1),
+        (1, _ts("2024-01-01 10:01:00"), "C", 2),
+        # user 2: A B B B C -> match, n_middle 3
+        (2, _ts("2024-01-01 10:00:00"), "A", 3),
+        (2, _ts("2024-01-01 10:01:00"), "B", 4),
+        (2, _ts("2024-01-01 10:02:00"), "B", 5),
+        (2, _ts("2024-01-01 10:03:00"), "B", 6),
+        (2, _ts("2024-01-01 10:04:00"), "C", 7),
+        # user 3: A B x C -> the interposed x breaks the star run
+        (3, _ts("2024-01-01 10:00:00"), "A", 8),
+        (3, _ts("2024-01-01 10:01:00"), "B", 9),
+        (3, _ts("2024-01-01 10:02:00"), "x", 10),
+        (3, _ts("2024-01-01 10:03:00"), "C", 11),
+        # user 4: A B B (stream ends mid-star) -> no match
+        (4, _ts("2024-01-01 10:00:00"), "A", 12),
+        (4, _ts("2024-01-01 10:01:00"), "B", 13),
+        # user 5: A B A C -> the first A's next non-middle is the
+        # SECOND A (no match); the second A's next non-middle is C
+        # immediately after it (match, zero middles)
+        (5, _ts("2024-01-01 10:00:00"), "A", 14),
+        (5, _ts("2024-01-01 10:01:00"), "B", 15),
+        (5, _ts("2024-01-01 10:02:00"), "A", 16),
+        (5, _ts("2024-01-01 10:03:00"), "C", 17),
+    ])
+    got = sorted(
+        (r["user_id"], r["start_id"], r["end_id"], r["n_middle"])
+        for r in match_star_sequence(df, "A", "B", "C").collect()
+    )
+    assert got == [
+        (1, 1, 2, 0),
+        (2, 3, 7, 3),
+        (5, 16, 17, 0),
+    ]

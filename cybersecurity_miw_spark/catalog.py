@@ -3385,6 +3385,81 @@ def q_time_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.time_rollup_distinct(ev)
 
 
+# OHLC bars (operators/timeseries.py:ohlc): open/high/low/close per
+# (hour, type) in ONE algebraic aggregation — min_by/max_by on the
+# microsecond order key, not a window sort. Timestamps are unique on
+# this data (verified at sf0.1), so unix_micros is a total order.
+_OHLC_SQL = """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_s,
+       event_type,
+       CAST(round(arg_min(value, epoch_us(ts)) * 100, 0) AS BIGINT) AS open_c,
+       CAST(round(max(value) * 100, 0) AS BIGINT) AS high_c,
+       CAST(round(min(value) * 100, 0) AS BIGINT) AS low_c,
+       CAST(round(arg_max(value, epoch_us(ts)) * 100, 0) AS BIGINT) AS close_c,
+       count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("ohlc_hourly_value", _OHLC_SQL)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick/resample bars: five measures in one map-side-
+    combined aggregation (min_by/max_by are algebraic)."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.ohlc(ev, level="hour")
+
+
+# Dense-grid gap fill (operators/timeseries.py:gap_fill_locf): every
+# hour bucket between each type's first and last observation, sparse
+# hourly averages carried forward over the gaps (locf) — the
+# resample step before plotting/differencing an irregular series.
+_GAPFILL_SQL = """
+WITH hour AS (
+  SELECT event_type, date_trunc('hour', ts) AS bkt,
+         CAST(round(avg(value) * 100, 0) AS BIGINT) AS avg_c
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(bkt) AS lo, max(bkt) AS hi FROM hour GROUP BY 1
+),
+grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bkt
+  FROM bounds
+)
+SELECT grid.event_type,
+       CAST(floor(epoch(grid.bkt)) AS BIGINT) AS bucket_s,
+       last_value(h.avg_c IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.bkt
+         ROWS UNBOUNDED PRECEDING) AS avg_c_filled,
+       (h.avg_c IS NULL) AS was_gap
+FROM grid LEFT JOIN hour h
+  ON h.event_type = grid.event_type AND h.bkt = grid.bkt
+"""
+
+
+@register("gapfill_hourly_avg_value", _GAPFILL_SQL)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid generation is #keys tiny agg + bounded sequence explode
+    (calendar-sized, not data-sized); the fill is one window pass of
+    last(ignorenulls). Empty hours appear with the carried value and
+    was_gap = true."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    hour = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+    ).agg(
+        F.round(F.avg("value") * 100, 0).cast("long").alias("avg_c")
+    )
+    return timeseries.gap_fill_locf(
+        hour, value_cols=("avg_c",), keys=("event_type",), level="hour"
+    )
+
+
 # Kleene-star pattern match (operators/patterns.py:
 # match_star_sequence): signup click* purchase — a signup followed by
 # zero or more contiguous clicks then a purchase; the variable-length

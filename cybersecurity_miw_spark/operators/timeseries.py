@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cybersecurity_miw_spark.operators.windows import _epoch_s
 
@@ -394,3 +395,115 @@ def rollup_distinct_from_sketches(
         )
         out = out.unionByName(_emit(coarser, lv))
     return out
+
+
+def ohlc(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+    level: str = "hour",
+    cents_scale: int = 100,
+    order_col: Column | None = None,
+) -> DataFrame:
+    """Open/high/low/close bars per (bucket, keys): the candlestick /
+    metrics-resample aggregation. open/close are ``min_by``/``max_by``
+    on ``order_col`` (default: ``unix_micros(ts)`` — pass a combined
+    key when timestamps can collide within a bucket, e.g.
+    ``unix_micros(ts) * 2^20 + id`` kept inside int64); high/low are
+    plain max/min. All five measures compute in ONE hash aggregation
+    with map-side partials — min_by/max_by are algebraic, so this is
+    rollup-shaped, not a window sort."""
+    if level not in _LEVEL_SECONDS:
+        raise ValueError(f"unknown level {level!r}")
+    if order_col is None:
+        # NTZ forbids unix_micros directly; the UTC-pinned ltz hop is
+        # the identity (windows._epoch_s)
+        order_col = F.unix_micros(
+            F.col(ts_col).cast("timestamp_ltz")
+        )
+    cents = F.round(F.col(value_col) * cents_scale, 0).cast("long")
+    return (
+        df.select(
+            F.date_trunc(level, F.col(ts_col)).alias("bucket"),
+            *keys,
+            cents.alias("_c"),
+            order_col.alias("_ord"),
+        )
+        .groupBy("bucket", *keys)
+        .agg(
+            F.min_by("_c", "_ord").alias("open_c"),
+            F.max("_c").alias("high_c"),
+            F.min("_c").alias("low_c"),
+            F.max_by("_c", "_ord").alias("close_c"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            _epoch_s(F.col("bucket")).alias("bucket_s"),
+            *keys,
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "n_events",
+        )
+    )
+
+
+def gap_fill_locf(
+    partials: DataFrame,
+    value_cols: tuple[str, ...],
+    keys: tuple[str, ...] = ("event_type",),
+    level: str = "hour",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Dense-grid resample with last-observation-carried-forward: per
+    key, generate EVERY ``level`` bucket between its first and last
+    observed bucket, left-join the sparse partials, and carry each
+    value column forward over the gaps — the locf/gap-fill operator a
+    metrics store applies before plotting or differencing irregular
+    series.
+
+    Shapes: bounds are one tiny agg (#keys rows); the grid explodes
+    #keys × (range/level) rows — bounded by calendar time, not data
+    volume; the join is co-partitioned on (key, bucket); the fill is
+    one window pass (last ignorenulls over the cumulative frame).
+    Leading gaps before a key's first observation stay null by
+    construction (the grid starts at the first observation).
+
+    Output: ``bucket_s``, keys, ``<c>_filled`` per value column, and
+    ``was_gap`` (true where the grid row had no observation)."""
+    step = _LEVEL_SECONDS[level]
+    bounds = partials.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                _epoch_s(F.col("_lo")),
+                _epoch_s(F.col("_hi")),
+                F.lit(step),
+            )
+        ).alias("_bs"),
+    )
+    obs = partials.select(
+        *keys,
+        _epoch_s(F.col(bucket_col)).alias("_bs"),
+        *[F.col(c) for c in value_cols],
+    )
+    j = grid.join(obs, on=[*keys, "_bs"], how="left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_bs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        F.col("_bs").alias("bucket_s"),
+        *keys,
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"{c}_filled")
+            for c in value_cols
+        ],
+        F.col(value_cols[0]).isNull().alias("was_gap"),
+    )

@@ -306,3 +306,43 @@ def test_builtin_session_window_agrees_with_gap_sessionize(spark, sf_dir):
     assert set(ours) == set(builtin)
     for u in ours:
         assert sorted(ours[u]) == sorted(builtin[u]), u
+
+
+def test_ohlc_and_gapfill_semantics(spark):
+    from cybersecurity_miw_spark.operators.timeseries import (
+        gap_fill_locf,
+        ohlc,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("x", _ts("2024-01-01 10:00:01"), 5.0),
+            ("x", _ts("2024-01-01 10:30:00"), 1.0),
+            ("x", _ts("2024-01-01 10:59:59"), 3.0),
+            # hour 11 empty; hour 12 has one event
+            ("x", _ts("2024-01-01 12:10:00"), 9.0),
+        ],
+        "event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    bars = {r["bucket_s"]: r for r in ohlc(df, level="hour").collect()}
+    b10 = bars[1704103200]
+    assert (b10["open_c"], b10["high_c"], b10["low_c"], b10["close_c"],
+            b10["n_events"]) == (500, 500, 100, 300, 4 - 1)
+    assert bars[1704110400]["open_c"] == 900  # hour 12
+    assert 1704106800 not in bars  # empty hour absent from bars
+
+    hour = ohlc(df, level="hour").select(
+        F.timestamp_seconds("bucket_s").alias("bucket"),
+        "event_type",
+        F.col("close_c").alias("avg_c"),
+    )
+    filled = {
+        r["bucket_s"]: (r["avg_c_filled"], r["was_gap"])
+        for r in gap_fill_locf(
+            hour, value_cols=("avg_c",), level="hour"
+        ).collect()
+    }
+    assert filled[1704103200] == (300, False)
+    # the empty hour 11 exists in the grid, carries hour 10's close
+    assert filled[1704106800] == (300, True)
+    assert filled[1704110400] == (900, False)

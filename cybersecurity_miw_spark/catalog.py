@@ -3385,6 +3385,44 @@ def q_time_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.time_rollup_distinct(ev)
 
 
+# TPC-H Q4 shape: EXISTS correlated semi join — orders with at least
+# one line shipped >90 days after the order date (this synthetic
+# lineitem has no commit/receipt dates, so "late shipment" stands in
+# for Q4's commit<receipt predicate; the plan shape is identical).
+_Q4_SQL = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1
+"""
+
+
+@register("tpch_q4_order_priority", _Q4_SQL)
+def q_tpch4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: the EXISTS decorrelates to a leftsemi join on
+    orderkey (each order counted once however many late lines it
+    has); the date slice prunes orders first, and the correlated
+    date predicate rides the join condition."""
+    o = load_table(spark, sf_dir, "orders", widen=False).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    hits = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 90)),
+        "leftsemi",
+    )
+    return hits.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
 # OHLC bars (operators/timeseries.py:ohlc): open/high/low/close per
 # (hour, type) in ONE algebraic aggregation — min_by/max_by on the
 # microsecond order key, not a window sort. Timestamps are unique on

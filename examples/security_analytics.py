@@ -80,6 +80,19 @@ def main(sf_dir: str) -> None:
     QUERIES["range_join_event_windows"](spark, sf_dir).groupBy(
         "window_id"
     ).count().orderBy(F.desc("count")).show(5)
+
+    print("== metrics view: hourly OHLC bars + gap-filled series ==")
+    QUERIES["ohlc_hourly_value"](spark, sf_dir).orderBy(
+        "event_type", "bucket_s"
+    ).show(5)
+    QUERIES["gapfill_hourly_avg_value"](spark, sf_dir).where(
+        F.col("was_gap")
+    ).orderBy("event_type", "bucket_s").show(5)
+
+    print("== feed health: activity gaps >1h per event type ==")
+    QUERIES["activity_gap_detection"](spark, sf_dir).orderBy(
+        F.desc("gap_s")
+    ).show(5)
     spark.stop()
 
 

@@ -3449,6 +3449,45 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ohlc(ev, level="hour")
 
 
+# Time-weighted average (operators/timeseries.py:time_weighted_avg):
+# each sample weighted by microseconds-as-current, clamped to the
+# bucket end — what a gauge metric means over time where plain avg()
+# over-weights bursts. In-bucket weights only (gap_fill_locf handles
+# carry into empty buckets).
+_TWA_SQL = """
+WITH o AS (
+  SELECT event_type, ts, value,
+         date_trunc('hour', ts) AS bkt,
+         lead(ts) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS nts
+  FROM events
+),
+w AS (
+  SELECT event_type, bkt, value,
+         epoch_us(least(coalesce(nts, bkt + INTERVAL 1 HOUR),
+                        bkt + INTERVAL 1 HOUR))
+           - epoch_us(ts) AS w_us
+  FROM o
+)
+SELECT CAST(floor(epoch(bkt)) AS BIGINT) AS bucket_s, event_type,
+       CAST(round(sum(value * w_us) / sum(w_us) * 1000000, 0) AS BIGINT)
+         AS twa_ppm
+FROM w GROUP BY 1, 2
+"""
+
+
+@register("time_weighted_avg_hourly", _TWA_SQL)
+def q_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One lead() pass on the key order + one hash aggregation —
+    the irregular-sampling resample, ppm-scaled for the hash."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.time_weighted_avg(
+        ev, level="hour", tiebreak_col="event_id"
+    )
+
+
 # Dense-grid gap fill (operators/timeseries.py:gap_fill_locf): every
 # hour bucket between each type's first and last observation, sparse
 # hourly averages carried forward over the gaps (locf) — the

@@ -507,3 +507,64 @@ def gap_fill_locf(
         ],
         F.col(value_cols[0]).isNull().alias("was_gap"),
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+    level: str = "hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time-weighted average per (bucket, keys) for IRREGULARLY
+    sampled values: each sample is weighted by how long it was the
+    current value — microseconds until the key's next sample, clamped
+    to the bucket end (the last sample of a bucket covers through
+    bucket end). A plain avg() over-weights bursts; TWA is what a
+    gauge metric (queue depth, temperature, session count) actually
+    means over time.
+
+    Scope: weights are IN-BUCKET only — a value does not carry into
+    later empty buckets (compose with :func:`gap_fill_locf` for
+    that). One lead() window pass on the key order + one hash
+    aggregation; ppm-scaled output for exact cross-engine compare.
+    """
+    if level not in _LEVEL_SECONDS:
+        raise ValueError(f"unknown level {level!r}")
+    step = _LEVEL_SECONDS[level]
+    order = [ts_col] if tiebreak_col is None else [ts_col, tiebreak_col]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    us = lambda c: F.unix_micros(c.cast("timestamp_ltz"))  # noqa: E731
+    bkt = F.date_trunc(level, F.col(ts_col))
+    o = df.select(
+        *keys,
+        F.col(ts_col),
+        F.col(value_col).alias("_v"),
+        bkt.alias("bucket"),
+        F.lead(ts_col).over(w).alias("_nts"),
+    )
+    bucket_end_us = us(F.col("bucket")) + F.lit(step * 1_000_000)
+    w_us = (
+        F.least(
+            F.coalesce(us(F.col("_nts")), bucket_end_us), bucket_end_us
+        )
+        - us(F.col(ts_col))
+    )
+    return (
+        o.select(
+            *keys, "bucket", "_v", w_us.alias("_w")
+        )
+        .groupBy("bucket", *keys)
+        .agg(
+            F.round(
+                F.sum(F.col("_v") * F.col("_w")) / F.sum("_w") * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("twa_ppm")
+        )
+        .select(
+            _epoch_s(F.col("bucket")).alias("bucket_s"), *keys, "twa_ppm"
+        )
+    )

@@ -346,3 +346,33 @@ def test_ohlc_and_gapfill_semantics(spark):
     # the empty hour 11 exists in the grid, carries hour 10's close
     assert filled[1704106800] == (300, True)
     assert filled[1704110400] == (900, False)
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from cybersecurity_miw_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    # value 10 current for 30 min, then 20 for the remaining 30 min:
+    # TWA = 15 regardless of how long each "burst" of samples is
+    df = spark.createDataFrame(
+        [
+            ("x", _ts("2024-01-01 10:00:00"), 10.0, 1),
+            ("x", _ts("2024-01-01 10:30:00"), 20.0, 2),
+            # plain avg would say (10+20)/2 = 15 here too; add a burst
+            # of 20s in the last minute: plain avg -> 17.5, TWA stays
+            # pinned near the durations
+            ("x", _ts("2024-01-01 10:59:00"), 20.0, 3),
+            ("x", _ts("2024-01-01 10:59:30"), 20.0, 4),
+        ],
+        "event_type STRING, ts TIMESTAMP, value DOUBLE, event_id LONG",
+    )
+    out = time_weighted_avg(df, level="hour", tiebreak_col="event_id")
+    r = out.collect()[0]
+    # 10*1800s + 20*1800s over 3600s = 15 exactly
+    assert (r["bucket_s"], r["twa_ppm"]) == (1704103200, 15_000_000)
+    # the burst-insensitive property: plain avg is 17.5
+    from pyspark.sql import functions as FF
+
+    plain = df.agg(FF.avg("value")).collect()[0][0]
+    assert plain == 17.5

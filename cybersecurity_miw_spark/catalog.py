@@ -3449,6 +3449,46 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ohlc(ev, level="hour")
 
 
+# Cross-series correlation: Pearson r between every pair of event
+# types' hourly count series — "do errors move with purchases?" The
+# series align on shared hours (inner join on the bucket); the pair
+# space is types², tiny at any scale.
+_CORR_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS b, event_type AS t, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT a.t AS type_a, c.t AS type_b,
+       round(corr(a.n, c.n), 6) AS pearson_r,
+       count(*) AS n_hours
+FROM h a JOIN h c ON a.b = c.b AND a.t < c.t
+GROUP BY 1, 2
+"""
+
+
+@register("hourly_count_correlations", _CORR_SQL)
+def q_series_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One hourly agg (the continuous-aggregate read at scale), a
+    self-join on the hour bucket, corr() per type pair — types²
+    output rows."""
+    ev = load_events(spark, sf_dir)
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("b"),
+        F.col("event_type").alias("t"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = h.select(
+        F.col("b"), F.col("t").alias("type_a"), F.col("n").alias("na")
+    )
+    c = h.select(
+        F.col("b"), F.col("t").alias("type_b"), F.col("n").alias("nb")
+    )
+    j = a.join(c, on="b").where(F.col("type_a") < F.col("type_b"))
+    return j.groupBy("type_a", "type_b").agg(
+        F.round(F.corr("na", "nb"), 6).alias("pearson_r"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
 # Time-weighted average (operators/timeseries.py:time_weighted_avg):
 # each sample weighted by microseconds-as-current, clamped to the
 # bucket end — what a gauge metric means over time where plain avg()

@@ -3449,6 +3449,67 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ohlc(ev, level="hour")
 
 
+# Seasonal-baseline anomalies: each (type, hour) compared against
+# the learned (day-of-week, hour-of-day) profile — the SOC "unusual
+# volume for a Tuesday 3am" detector. The dow key is internal-only,
+# so DuckDB's 0-6 vs Spark's 1-7 numbering induces the same
+# partition; 1.5-sigma threshold fits the uniform synthetic data.
+_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS b, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+profile AS (
+  SELECT event_type, dayofweek(b) AS dow, hour(b) AS hod,
+         avg(n) AS mu, coalesce(stddev_pop(n), 0) AS sd
+  FROM hourly GROUP BY 1, 2, 3
+)
+SELECT h.event_type, CAST(floor(epoch(h.b)) AS BIGINT) AS bucket_s,
+       h.n, CAST(round(p.mu * 1000000, 0) AS BIGINT) AS expected_ppm
+FROM hourly h JOIN profile p
+  ON p.event_type = h.event_type
+ AND p.dow = dayofweek(h.b) AND p.hod = hour(h.b)
+WHERE p.sd > 0 AND abs(h.n - p.mu) > 1.5 * p.sd
+"""
+
+
+@register("seasonal_volume_anomalies", _SEASONAL_SQL)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile learn + score in two aggs over the hourly rollup (at
+    scale, both read the continuous aggregate, never raw events);
+    the profile is types x 7 x 24 rows, broadcast back."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    profile = (
+        hourly.groupBy(
+            F.col("event_type").alias("p_type"),
+            F.dayofweek("b").alias("dow"),
+            F.hour("b").alias("hod"),
+        )
+        .agg(
+            F.avg("n").alias("mu"),
+            F.coalesce(F.stddev_pop("n"), F.lit(0.0)).alias("sd"),
+        )
+    )
+    j = hourly.join(
+        F.broadcast(profile),
+        (F.col("event_type") == F.col("p_type"))
+        & (F.dayofweek("b") == F.col("dow"))
+        & (F.hour("b") == F.col("hod")),
+    )
+    return j.where(
+        (F.col("sd") > 0)
+        & (F.abs(F.col("n") - F.col("mu")) > 1.5 * F.col("sd"))
+    ).select(
+        "event_type",
+        F.col("b").cast("timestamp_ltz").cast("long").alias("bucket_s"),
+        "n",
+        F.round(F.col("mu") * 1000000, 0).cast("long").alias("expected_ppm"),
+    )
+
+
 # Cross-series correlation: Pearson r between every pair of event
 # types' hourly count series — "do errors move with purchases?" The
 # series align on shared hours (inner join on the bucket); the pair

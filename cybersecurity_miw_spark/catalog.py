@@ -3449,6 +3449,51 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.ohlc(ev, level="hour")
 
 
+# Funnel conversion summary: users per depth reached — the one-row-
+# per-stage report a funnel analysis actually publishes.
+_FUNNEL_SUMMARY_SQL = """
+WITH t1 AS (
+  SELECT user_id, min(floor(epoch(ts))::BIGINT) AS signup_s
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(floor(epoch(e.ts))::BIGINT) AS click_s
+  FROM events e JOIN t1 USING(user_id)
+  WHERE e.event_type = 'click'
+    AND floor(epoch(e.ts))::BIGINT > t1.signup_s
+    AND floor(epoch(e.ts))::BIGINT <= t1.signup_s + 86400
+  GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(floor(epoch(e.ts))::BIGINT) AS purchase_s
+  FROM events e JOIN t2 USING(user_id)
+  WHERE e.event_type = 'purchase'
+    AND floor(epoch(e.ts))::BIGINT > t2.click_s
+    AND floor(epoch(e.ts))::BIGINT <= t2.click_s + 86400
+  GROUP BY 1
+),
+d AS (
+  SELECT CAST(1 + (t2.user_id IS NOT NULL)::INT
+              + (t3.user_id IS NOT NULL)::INT AS BIGINT) AS depth
+  FROM t1 LEFT JOIN t2 USING(user_id) LEFT JOIN t3 USING(user_id)
+)
+SELECT depth, count(*) AS n_users FROM d GROUP BY 1
+"""
+
+
+@register("funnel_conversion_summary", _FUNNEL_SUMMARY_SQL)
+def q_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth histogram over funnel_stages output — at most
+    len(stages) rows; the shareable conversion report."""
+    from cybersecurity_miw_spark.operators import patterns
+
+    ev = load_events(spark, sf_dir)
+    f = patterns.funnel_stages(
+        ev, ("signup", "click", "purchase"), stage_within_seconds=86400
+    )
+    return f.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
 # Seasonal-baseline anomalies: each (type, hour) compared against
 # the learned (day-of-week, hour-of-day) profile — the SOC "unusual
 # volume for a Tuesday 3am" detector. The dow key is internal-only,

@@ -92,6 +92,34 @@ MAX_EXCHANGES = {
     # word explode + per-word conditional-sum agg + global int sum
     "split_word_divergence": 3,
     "uniform_sample_50": 0,  # TakeOrdered, no global sort
+    # round-6 analytics family (measured on the conftest session;
+    # +1-2 headroom over fresh-session counts for AQE/broadcast-flip
+    # text variation)
+    "ohlc_hourly_value": 2,        # one algebraic agg
+    "time_weighted_avg_hourly": 3,  # lead window + agg share the key exchange
+    "gapfill_hourly_avg_value": 5,  # bounds agg + grid join + fill window
+    "star_pattern_signup_clicks_purchase": 5,
+    "zscore_value_outliers": 3,    # stats agg + broadcast back
+    "moving_avg_7d_event_counts": 3,
+    "cohort_retention_matrix": 5,
+    "hourly_count_correlations": 6,
+    "seasonal_volume_anomalies": 6,
+    "snapshot_diff_events": 4,     # full outer on the key
+    "tpch_q10_returned_items": 6,
+    "tpch_q14_promo_effect": 3,
+    "tpch_q4_order_priority": 4,
+    "window_count_after_signup": 5,
+    "activity_gap_detection": 2,
+    "user_event_entropy": 3,       # second agg reuses the key exchange
+    "sample_20_per_event_type": 2,
+    "cidr_filter_derived_ips": 0,  # pure narrow scan filter
+    "first_seen_users_per_day": 3,
+    "day_over_day_event_counts": 3,
+    "unpivot_day_measures": 2,
+    "event_type_transitions": 4,
+    "top_event_trigrams": 3,
+    "dq_profile_events": 4,        # expand-for-distinct tiers
+    "funnel_conversion_summary": 24,  # funnel subtree text + depth agg
     # deep join chains: dims broadcast, fact-fact joins shuffle; the
     # ceilings admit the shuffle-join forms the planner picks once
     # the filtered orders side outgrows the broadcast threshold
@@ -145,3 +173,16 @@ def test_exchange_count_ceiling(spark, name):
         f"{name}: {n} exchanges (ceiling {MAX_EXCHANGES[name]}) — a new "
         "shuffle appeared; justify it in SCALE.md before raising this"
     )
+
+
+def test_fuzzy_join_bnlj_is_only_the_guarded_short_cross(spark):
+    """fuzzy_source_name_pairs is EXEMPT from the generic no-BNLJ
+    assert: its one BroadcastNestedLoopJoin is the deliberate,
+    MAX_SHORT-capped broadcast cross of the two short-string
+    minorities (operators/fuzzy.py) — bounded by construction, while
+    the main q-gram candidate path stays a hash equi-join."""
+    plan = _plan(spark, "fuzzy_source_name_pairs")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    # the gram path is present as a real equi-join
+    assert "Join" in plan

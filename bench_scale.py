@@ -51,6 +51,7 @@ QUERY_NAMES = [
     "time_rollup_multires",
     "funnel_signup_click_purchase",
     "event_type_transitions",
+    "star_pattern_signup_clicks_purchase",
 ]
 
 # range_join runs against the TIME-SHIFTED events variant: with plain

@@ -127,6 +127,10 @@ def flagship_ldef() -> LogDef:
 
 @register("miw_events_summary", _FLAGSHIP_SQL)
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship format-compiler pipeline: tokenize, typed derivation,
+    match, and a 6-aggregate groupBy on (day, etype) with ratio and
+    union histogram — the full reference execution chain in one
+    Catalyst plan with ONE exchange."""
     out = compile_pipeline(events_lines(spark, sf_dir), flagship_ldef())
     return out.select(
         "day",
@@ -648,6 +652,8 @@ _FP_SQL = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
     "min(doc_id) AS representative FROM documents GROUP BY 1",
 )
 def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5 text fingerprint — a uniform-key
+    groupBy (operators/dedup.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicate_groups(docs)
 
@@ -855,6 +861,9 @@ FROM (
 
 @register("text_profile", _PROFILE_SQL)
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc language guess, token count, quality ratios, and
+    rolling-hash fingerprint — all JVM regexp/arithmetic
+    (operators/textstats.py), no Python in the hot path."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
     t = F.col("text")
     return docs.select(
@@ -883,6 +892,9 @@ LIMIT 10
 
 @register("cosine_brute_topk", _COSINE_SQL)
 def q_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k vs a query vector: the exact ANN
+    baseline — TakeOrdered(k), no global sort
+    (operators/similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.brute_force_topk(emb, list(qvec), k=10)
@@ -1733,6 +1745,9 @@ GROUP BY 1, 2
 
 @register("tpch_q1_pricing_summary", _Q1_SQL)
 def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: one map-side-combined aggregation
+    over lineitem; money measures cents-scaled to integers for the
+    cross-engine hash."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
@@ -2073,6 +2088,8 @@ FROM sess GROUP BY 1, 2
 
 @register("session_summary_30min", _SESSION_SQL)
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization: per-session event count and span
+    in one windowed pass (operators/windows.py:session_summary)."""
     from cybersecurity_miw_spark.operators import windows
 
     ev = load_events(spark, sf_dir)

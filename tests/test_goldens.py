@@ -412,3 +412,20 @@ def test_columnar_sinks_roundtrip(spark, tmp_path):
         job.run(spark, output_format=codec, output_path=out, ndisp=0)
         back = sorted(map(tuple, spark.read.format(codec).load(out).collect()))
         assert back == want, codec
+
+
+def test_cli_explain_prints_plan_without_executing(spark, capsys, tmp_path):
+    from cybersecurity_miw_spark import job as jobmod
+
+    out = str(tmp_path / "never_written")
+    jobmod.main([
+        "-fnames", "tests/fixtures/web_proxy_10lines.log",
+        "-format_name", "/root/reference/miw/formats/proxy_format.json",
+        "-explain", "-ofname", out, "-ndisp", "0",
+    ])
+    printed = capsys.readouterr().out
+    assert "Physical Plan" in printed
+    assert "Exchange" in printed or "Scan" in printed
+    import os
+
+    assert not os.path.exists(out)  # -explain must not execute the sink

@@ -4716,70 +4716,53 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DRIVER_WINDOW = [
     # miw pipeline: source → tokenize → cast → bucket → match → agg.
-    # (The flagship exercises the whole compile chain end-to-end;
-    # single-stage §2 veterans rotated out mid-round-6 for the corpus
-    # family below stay full-hash green in tests/test_oracle_parity.py:
-    # tokenize_typed_projection, atoi_prefix_parity, url_retemplate,
-    # kv_evtx_explode, dns_wire_decode, match_negative_exact,
-    # semi_join_membership, raw_content_retention.)
+    # (The flagship exercises the whole compile chain end-to-end.
+    # Round-7 rotation, per the round-6 judge's priority list: the 20
+    # never-driver-rowed round-6 oracles below get first rows; rotated
+    # OUT are 20 rows green in CORRECTNESS_r06 — date_buckets,
+    # match_substring_or, the corpus-curation family
+    # (gopher_quality_flags, pii_redact_counts, remove_repeated_lines,
+    # chunk_fixed_windows, asof_join_latest_snapshot,
+    # quality_weighted_sample, corpus_report_by_source), the analytics
+    # suite (event_value_percentiles, rollup_event_counts,
+    # running_value_per_user, distinct_users_per_type,
+    # beacon_interval_profile, pivot_user_activity) and the §2.8 apps
+    # (app_linear_regression, app_word_reverse_index,
+    # app_matrix_mult_blocked, app_pca_covariance, app_kmeans_step) —
+    # all of which stay full-hash green in tests/test_oracle_parity.py.)
     "miw_events_summary",
-    "date_buckets",
-    "match_substring_or",
     "agg_union_count_histogram",
     "order_topk_groups",
     "match_and_contains_all",
     "evtx_kv_dynamic_group",
-    # corpus curation family (round-6 additions, first driver rows;
-    # each verified MATCH against its oracle at sf0.01 in-session)
-    "gopher_quality_flags",
-    "pii_redact_counts",
-    "remove_repeated_lines",
-    "dup_clusters_cc",
-    "chunk_fixed_windows",
-    "asof_join_latest_snapshot",
-    "quality_weighted_sample",
-    "corpus_report_by_source",
-    # companion apps (§2.8; wc_wordcount / app_hist_256 /
-    # app_string_match rotated out late round 6 for the time-series +
-    # join-pruning family below — stable since r1-r3, still full-hash
-    # green in tests/test_oracle_parity.py)
-    "app_linear_regression",
-    "app_word_reverse_index",
-    "app_matrix_mult_blocked",
-    "app_pca_covariance",
-    "app_kmeans_step",
-    # time-series / join-pruning / sequence family (late round-6
-    # additions; each verified MATCH vs its oracle at sf0.01
-    # in-session, including pandas dtype classes)
+    # TPC-H style analytics (q4/q5/q10/q14/q18 = round-7 first rows)
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q18_large_volume_customer",
+    # time-series family (round-7 first rows except range/rollup)
     "range_join_event_windows",
     "time_rollup_multires",
+    "ohlc_hourly_value",
+    "gapfill_hourly_avg_value",
+    "time_weighted_avg_hourly",
+    "moving_avg_7d_event_counts",
+    "zscore_value_outliers",
+    # sequence / pattern / join-pruning
     "bloom_semi_join_error_users",
     "sequence_match_view_click",
     "funnel_signup_click_purchase",
-    # TPC-H style analytics
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    # analytics suite rotated IN for round 6 (first driver rows; the
-    # rotated-out §2 veterans stay full-hash green in
-    # tests/test_oracle_parity.py). Round-7 rotation candidates —
-    # oracled but never driver-rowed yet (all green at sf0.001/0.01/
-    # 0.1 in the end-of-round-6 sweeps): tpch_q5/q10/q14/q18,
-    # snapshot_diff_events, cohort_retention_matrix,
-    # zscore_value_outliers, moving_avg_7d_event_counts,
-    # activity_gap_detection, fuzzy_source_name_pairs,
-    # user_event_entropy, event_type_transitions, top_event_trigrams,
-    # sample_20_per_event_type, cidr_filter_derived_ips,
-    # window_count_after_signup, first_seen_users_per_day,
-    # day_over_day_event_counts, unpivot_day_measures,
-    # dq_profile_events, top_bigram_profile, split_train_val_test,
-    # stratified_sample_by_source, weighted_interleave_prefix,
-    # decontaminate_train_vs_eval.
-    "event_value_percentiles",
-    "rollup_event_counts",
-    "running_value_per_user",
-    "distinct_users_per_type",
-    "beacon_interval_profile",
-    "pivot_user_activity",
+    "star_pattern_signup_clicks_purchase",
+    # analytics (round-7 first rows)
+    "cohort_retention_matrix",
+    "user_event_entropy",
+    "dq_profile_events",
+    "snapshot_diff_events",
+    # fuzzy matching (round-7 first row)
+    "fuzzy_source_name_pairs",
     # sessionization / windows
     "session_summary_30min",
     "topn_events_per_user",
@@ -4789,6 +4772,13 @@ _DRIVER_WINDOW = [
     "minhash_lsh_candidates",
     "near_dup_jaccard_confirm",
     "simhash_band_candidates",
+    "dup_clusters_cc",
+    # cross-split decontamination + sampling splits (round-7 first rows)
+    "decontaminate_train_vs_eval",
+    "split_train_val_test",
+    "stratified_sample_by_source",
+    # corpus curation (round-7 first row)
+    "remove_boilerplate_lines",
     # text analysis
     "text_profile",
     "tfidf_top_terms",
@@ -4799,9 +4789,6 @@ _DRIVER_WINDOW = [
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "embedding_near_dup_lsh",
-    # (embedding_l2_normalize / embedding_quantize_int8 rotated out
-    # late round 6 — single-projection veterans, green since r4,
-    # still full-hash checked in pytest every round)
     # multimodal
     "multimodal_frame_features",
     "multimodal_media_stats",

@@ -8,7 +8,10 @@ Each query is forced end-to-end with the noop sink (full computation,
 no output materialization on the driver). The headline set spans the
 engine's hot paths: the format-compiler pipeline (tokenize → project →
 aggregate), plain relational aggregation, text profiling, exact and
-MinHash dedup, and similarity search.
+MinHash dedup, and similarity search; the extended set adds the
+heaviest post-round-4 operators (fuzzy join, connected components,
+near-dup confirm, TPC-H 5/18, range join, multi-resolution rollup,
+PQ ANN).
 """
 
 from __future__ import annotations
@@ -23,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-HEADLINE = [
+# The original 15-query core, unchanged since round 3-4 — "value" sums
+# exactly these so the headline wall stays comparable across rounds.
+CORE15 = [
     "miw_events_summary",
     "tokenize_typed_projection",
     "date_buckets",
@@ -41,10 +46,34 @@ HEADLINE = [
     "embedding_near_dup_lsh",
 ]
 
+# Round-7 additions: the heaviest post-round-4 operators, so a
+# regression in (say) the fuzzy join's gram explode or the CC loop
+# shows up in the per-round record. Timed identically; summed into
+# "value_extended", NOT into the cross-round "value".
+EXTENDED = [
+    "fuzzy_source_name_pairs",
+    "dup_clusters_cc",
+    "near_dup_jaccard_confirm",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customer",
+    "range_join_event_windows",
+    "time_rollup_multires",
+    "ann_pq_adc_topk",
+]
+
+HEADLINE = CORE15 + EXTENDED
+
 
 def force(df) -> None:
-    """Run the full plan without shipping rows to the driver."""
+    """Run the full plan without shipping rows to the driver, then
+    drop any operator-internal cached intermediates so 23 queries x 4
+    passes don't accumulate executor cache across timings (the release
+    itself runs OUTSIDE the timed region — callers time force() and
+    the unpersist is deferred non-blocking)."""
+    from cybersecurity_miw_spark.cache import release_intermediates
+
     df.write.format("noop").mode("overwrite").save()
+    release_intermediates()
 
 
 def main() -> None:
@@ -78,18 +107,27 @@ def main() -> None:
         force(QUERIES[name](spark, SF_DIR))
         cold[name] = round(time.perf_counter() - t0, 3)
 
-    # Passes 2-3 (timed): steady-state wall time per query, min of two
-    # runs — the environment shows multi-second stalls striking random
-    # queries (VM scheduling, not the plan), and min-of-2 filters them.
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # Passes 2-4 (timed): steady-state wall time per query,
+    # MEDIAN of three runs — the environment shows ±10-16% VM noise and
+    # occasional multi-second stalls striking random queries (isolated
+    # A/B in SCALE.md, round 5); the median is robust to one stall in
+    # either direction where min-of-2 still tracked lucky runs. The
+    # per-query spread (max-min over the three warm runs) is reported
+    # so deltas can be read against measured same-session variance.
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
         for name in HEADLINE:
             t0 = time.perf_counter()
             force(QUERIES[name](spark, SF_DIR))
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            runs[name].append(time.perf_counter() - t0)
 
-    total = round(sum(timings.values()), 3)
+    timings = {n: round(sorted(ts)[1], 3) for n, ts in runs.items()}
+    spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}
+    # min-of-warm-runs, informational: the pre-round-7 records used
+    # min-of-2, so this is the continuity number for cross-round diffs
+    min_warm = {n: round(min(ts), 3) for n, ts in runs.items()}
+
+    total = round(sum(timings[n] for n in CORE15), 3)
     print(
         json.dumps(
             {
@@ -99,7 +137,13 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "warmup_passes": 1,
-                "value_cold": round(sum(cold.values()), 3),
+                "timing": "median_of_3_warm",
+                "core15": CORE15,
+                "value_extended": round(sum(timings.values()), 3),
+                "queries_spread_warm": spread,
+                "value_min3": round(sum(min_warm[n] for n in CORE15), 3),
+                "queries_min_warm": min_warm,
+                "value_cold": round(sum(cold[n] for n in CORE15), 3),
                 "queries_cold": cold,
             }
         )

@@ -195,10 +195,14 @@ def staged(df: DataFrame) -> DataFrame:
     -function lambdas (the MinHash fold), so without this the signature
     computation runs once per join side — at 100 TB that doubles the
     most expensive narrow stage. MEMORY_AND_DISK serialized: spills
-    instead of OOM, evicted LRU when unreferenced."""
+    instead of OOM, evicted LRU when unreferenced. Registered with
+    cache.tracked_persist so long-lived sessions can release it via
+    release_intermediates() once results are materialized."""
     from pyspark import StorageLevel
 
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    from cybersecurity_miw_spark.cache import tracked_persist
+
+    return tracked_persist(df, StorageLevel.MEMORY_AND_DISK)
 
 
 def minhash_lsh_candidates(

@@ -42,8 +42,18 @@ def fuzzy_join(
     """All (left row, right row) pairs with
     ``levenshtein(left_col, right_col) <= max_distance``, plus the
     distance. Every left/right column survives (alias collisions are
-    the caller's problem). Null strings match nothing."""
+    the caller's problem). Null strings match nothing.
+
+    Row multiplicity is preserved: each side is tagged with a
+    row id (``monotonically_increasing_id``) before gram explosion, so
+    the candidate-pair ``distinct()`` collapses only the gram fan-out,
+    never duplicate input rows — two identical left rows each pair
+    with a matching right row. (``_lid``/``_rid`` are reserved column
+    names for the tags and are dropped from the output.)"""
     k, short_len = max_distance, q * (max_distance + 1)
+
+    left = left.withColumn("_lid", F.monotonically_increasing_id())
+    right = right.withColumn("_rid", F.monotonically_increasing_id())
 
     def gram_explode(df, col, side):
         c = F.col(col)
@@ -88,7 +98,9 @@ def fuzzy_join(
     dist = F.levenshtein(
         F.col(f"_lrow.{left_col}"), F.col(f"_rrow.{right_col}")
     )
-    out = cand.where(dist <= k).select(
-        "_lrow.*", "_rrow.*", dist.alias("edit_distance")
+    out = (
+        cand.where(dist <= k)
+        .select("_lrow.*", "_rrow.*", dist.alias("edit_distance"))
+        .drop("_lid", "_rid")
     )
     return out

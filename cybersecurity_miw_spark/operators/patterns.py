@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cybersecurity_miw_spark.cache import tracked_persist
 from cybersecurity_miw_spark.operators.windows import _epoch_s
 
 
@@ -104,7 +105,7 @@ def funnel_stages(
     for i, s in enumerate(stages):
         names.append(f"{s}_s" if s not in stages[:i] else f"{s}_{i}_s")
 
-    ev = (
+    ev = tracked_persist(
         df.where(F.col(type_col).isin(list(stages)))
         .select(
             F.col(key_col).alias("_k"),
@@ -112,7 +113,6 @@ def funnel_stages(
             F.col(type_col).alias("_ty"),
         )
         .repartition("_k")
-        .persist()
     )
     reached = (
         ev.where(F.col("_ty") == stages[0])

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cybersecurity_miw_spark.cache import tracked_persist
 from cybersecurity_miw_spark.operators.windows import _epoch_s
 
 
@@ -217,7 +218,7 @@ def time_rollup(
     # the finest aggregate is read once per coarser level — persist so
     # the raw scan (the expensive part at scale) runs exactly once
     if len(levels) > 1:
-        finest = finest.persist()
+        finest = tracked_persist(finest)
     return rollup_from_partials(finest, keys, levels)
 
 
@@ -316,7 +317,7 @@ def time_rollup_distinct(
         .agg(F.expr("hll_sketch_agg(_id)").alias("_sk"))
     )
     if len(levels) > 1:
-        finest = finest.persist()
+        finest = tracked_persist(finest)
 
     def _emit(agg: DataFrame, level: str) -> DataFrame:
         return agg.select(
@@ -381,7 +382,7 @@ def rollup_distinct_from_sketches(
         F.expr("hll_union_agg(_sk)").alias("_sk")
     )
     if len(levels) > 1:
-        finest = finest.persist()
+        finest = tracked_persist(finest)
     out = _emit(finest, levels[0])
     for lv in levels[1:]:
         coarser = (
@@ -487,10 +488,13 @@ def gap_fill_locf(
             )
         ).alias("_bs"),
     )
+    # explicit observation marker: was_gap must flag MISSING grid rows,
+    # not rows whose first value column is legitimately NULL
     obs = partials.select(
         *keys,
         _epoch_s(F.col(bucket_col)).alias("_bs"),
         *[F.col(c) for c in value_cols],
+        F.lit(True).alias("_obs"),
     )
     j = grid.join(obs, on=[*keys, "_bs"], how="left")
     w = (
@@ -505,7 +509,7 @@ def gap_fill_locf(
             F.last(c, ignorenulls=True).over(w).alias(f"{c}_filled")
             for c in value_cols
         ],
-        F.col(value_cols[0]).isNull().alias("was_gap"),
+        F.col("_obs").isNull().alias("was_gap"),
     )
 
 

@@ -56,15 +56,30 @@ def compact_partition(
 ) -> int:
     """Rewrite ``table_dir/partition_subdir`` (e.g. ``"day=2024-01-02"``)
     into ``target_files`` parquet files. Returns the file count before
-    compaction. The rewrite lands in a sibling temp dir first and
-    replaces the partition with two renames — readers see the old or
-    the new file set, never a mix."""
+    compaction.
+
+    Staging dirs live under ``table_dir/.compaction/`` — a dot-prefixed
+    name Spark's file index skips, so a concurrent TABLE-level scan
+    never partition-infers the in-flight copy and double-reads the
+    data. Atomicity is per-partition-READER only: a reader that lists
+    the partition path sees the old file set or the new one, but
+    between the two renames the partition directory itself is briefly
+    absent — a table-scan landing in that instant misses the partition
+    (single-writer maintenance windows are assumed, as in the
+    reference's tmp-save design, miw/job.cc:197-226)."""
     part_dir = os.path.join(table_dir, partition_subdir)
     n_before = len(
         [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
     )
-    tmp_dir = part_dir + "._compact_tmp"
-    old_dir = part_dir + "._compact_old"
+    # hidden staging root: leading '.' => invisible to Spark's
+    # InMemoryFileIndex partition discovery (and to duckdb globs)
+    stage_root = os.path.join(table_dir, ".compaction")
+    safe_name = partition_subdir.replace(os.sep, "__")
+    tmp_dir = os.path.join(stage_root, safe_name + ".tmp")
+    old_dir = os.path.join(stage_root, safe_name + ".old")
+    for d in (tmp_dir, old_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
     (
         spark.read.parquet(part_dir)
         .coalesce(target_files)
@@ -74,4 +89,6 @@ def compact_partition(
     os.rename(part_dir, old_dir)
     os.rename(tmp_dir, part_dir)
     shutil.rmtree(old_dir)
+    if not os.listdir(stage_root):
+        os.rmdir(stage_root)
     return n_before

@@ -213,7 +213,18 @@ def running_user_profile(
 ) -> StreamingQuery:
     """Per-user running (count, sum, max) via applyInPandasWithState —
     checkpointed, so successive runs keep accumulating (the durable
-    analog of the reference's in-memory merge table)."""
+    analog of the reference's in-memory merge table).
+
+    Sink semantics: update-mode batches carry ONLY the keys touched in
+    that micro-batch, so the sink must MERGE each batch, never replace
+    itself wholesale (a plain overwrite would drop every untouched
+    user's profile per trigger, and availableNow runs split across
+    micro-batches would drop their own earlier batches). Profiles are
+    laid out in ``bucket=pmod(xxhash64(user_id), N)`` partitions and
+    each batch rewrites only its touched buckets via dynamic partition
+    overwrite: existing rows for untouched users in those buckets are
+    carried over (anti-join), batch rows win for touched users. Work
+    per trigger is bounded by touched-bucket bytes, not sink size."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     lines = spark.readStream.format("text").load(input_dir)
@@ -226,8 +237,36 @@ def running_user_profile(
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
+    n_buckets = 16
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(output_dir)
+        sess = batch_df.sparkSession
+        batch = batch_df.withColumn(
+            "bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+        )
+        try:
+            existing = sess.read.parquet(output_dir)
+            has_sink = True
+        except Exception:  # first batch: sink not created yet
+            has_sink = False
+        if has_sink:
+            touched = [
+                r["bucket"] for r in batch.select("bucket").distinct().collect()
+            ]
+            carried = existing.where(F.col("bucket").isin(touched)).join(
+                batch.select("user_id"), "user_id", "left_anti"
+            )
+            merged = carried.select(*batch.columns).unionByName(batch)
+        else:
+            merged = batch
+        # materialize BEFORE the overwrite touches the files being read
+        merged = merged.localCheckpoint(eager=True)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(output_dir)
+        )
 
     writer = (
         profiles.writeStream.outputMode("update")

@@ -1,0 +1,60 @@
+"""Tracked persist (cybersecurity_miw_spark/cache.py): operator-
+internal caches must be releasable by long-lived sessions — a session
+running many catalog queries would otherwise accumulate cached
+partitions in executor memory forever (CacheManager holds them until
+an explicit unpersist)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.cache import (
+    _TRACKED,
+    release_intermediates,
+    tracked_persist,
+)
+
+
+def test_release_unpersists_tracked_frames(spark):
+    release_intermediates()  # clean slate
+    df = tracked_persist(spark.range(100).select(F.col("id") * 2))
+    df.count()  # materialize the cache
+    assert df.storageLevel.useMemory
+    n = release_intermediates()
+    assert n == 1
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    assert not _TRACKED
+    # idempotent: nothing left to release
+    assert release_intermediates() == 0
+
+
+def test_operator_intermediates_are_tracked_and_releasable(spark):
+    """funnel_stages / time_rollup / minhash LSH persist internal
+    frames; after materializing results, release_intermediates() must
+    find and drop every one of them."""
+    from cybersecurity_miw_spark.operators.dedup import minhash_lsh_candidates
+    from cybersecurity_miw_spark.operators.patterns import funnel_stages
+    from cybersecurity_miw_spark.operators.timeseries import time_rollup
+
+    release_intermediates()
+    spark.catalog.clearCache()  # isolate from other tests' leftovers
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "signup", 1.0),
+            (1, "2024-01-01 10:05:00", "click", 2.0),
+            (1, "2024-01-01 10:06:00", "purchase", 3.0),
+        ],
+        "user_id LONG, ts STRING, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g")], "doc_id LONG, text STRING"
+    )
+
+    funnel_stages(ev, stages=("signup", "click", "purchase")).collect()
+    time_rollup(ev, levels=("minute", "hour")).collect()
+    minhash_lsh_candidates(docs).collect()
+    assert release_intermediates() >= 3
+
+    # every tracked cache is actually gone from the session
+    jspark = spark._jsparkSession
+    assert jspark.sharedState().cacheManager().isEmpty()

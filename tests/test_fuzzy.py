@@ -70,6 +70,24 @@ def test_matches_naive_model_on_random_strings(spark):
     assert len(want) > 50  # the fixture actually exercises matches
 
 
+def test_duplicate_rows_keep_multiplicity(spark):
+    """Two identical left rows each pair with a matching right row:
+    the candidate distinct() dedups only the gram fan-out, never input
+    rows (each side is row-id-tagged before explosion). Covers both
+    the gram path (long strings) and the short-string cross path."""
+    left = spark.createDataFrame(
+        [("webserver01",), ("webserver01",), ("ab",), ("ab",)], "a STRING"
+    )
+    right = spark.createDataFrame([("websrver01",), ("ac",)], "b STRING")
+    got = _pairs(fuzzy_join(left, right, "a", "b", max_distance=1), "a", "b")
+    assert got == [
+        ("ab", "ac", 1),
+        ("ab", "ac", 1),
+        ("webserver01", "websrver01", 1),
+        ("webserver01", "websrver01", 1),
+    ]
+
+
 def test_short_side_cap(spark):
     import pytest
 

@@ -70,4 +70,24 @@ def test_compact_partition_preserves_rows(spark, tmp_path):
     files_after = glob.glob(f"{out}/day=d1/*.parquet")
     assert len(files_after) == 1
     assert _rows(spark, out) == before_rows
-    assert not glob.glob(f"{out}/day=d1._compact_*")
+    # staging root cleaned up after the swap
+    assert not os.path.exists(f"{out}/.compaction")
+
+
+def test_compact_staging_is_invisible_to_table_scans(spark, tmp_path):
+    """Files parked under table_dir/.compaction (the in-flight rewrite)
+    must never be partition-inferred by a concurrent table-level scan —
+    dot-prefixed paths are skipped by Spark's file index, so a scan
+    during the staging write can't double-read the partition."""
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("d1", 1, 10.0), ("d2", 2, 20.0)], "day STRING, k INT, v DOUBLE"
+    )
+    df.write.partitionBy("day").parquet(out)
+    before = _rows(spark, out)
+    # simulate an in-flight compaction: a full copy of d1 staged under
+    # the hidden root exactly as compact_partition lays it out
+    stage = os.path.join(out, ".compaction", "day=d1.tmp")
+    spark.read.parquet(f"{out}/day=d1").coalesce(1).write.parquet(stage)
+    assert _rows(spark, out) == before  # no double-read, no extra part
+

@@ -79,8 +79,9 @@ def test_running_user_profile_state_survives_restart(spark, tmp_path):
         for r in spark.read.parquet(outdir).collect()
     }
     # update-mode batch emits only user 7 (the touched key); the sink
-    # overwrite keeps the latest batch — user 7's totals include run 1
-    assert second[7] == (3, 14.0, 10.0)
+    # MERGES per batch, so user 7's totals include run 1 AND user 8's
+    # untouched profile survives the second trigger
+    assert second == {7: (3, 14.0, 10.0), 8: (1, 5.0, 5.0)}
 
 
 def test_streaming_dedup_within_watermark(spark, tmp_path):

@@ -348,6 +348,35 @@ def test_ohlc_and_gapfill_semantics(spark):
     assert filled[1704110400] == (900, False)
 
 
+def test_gapfill_observed_null_is_not_a_gap(spark):
+    """An observed partial whose (first) value column is legitimately
+    NULL must NOT be flagged was_gap — gap means the grid row had no
+    observation at all (explicit _obs marker, not value-NULL-ness)."""
+    from cybersecurity_miw_spark.operators.timeseries import gap_fill_locf
+
+    partials = spark.createDataFrame(
+        [
+            ("x", _ts("2024-01-01 10:00:00"), 7.0),
+            ("x", _ts("2024-01-01 11:00:00"), None),  # observed, NULL
+            # hour 12 missing entirely
+            ("x", _ts("2024-01-01 13:00:00"), 9.0),
+        ],
+        "event_type STRING, bucket TIMESTAMP, avg_c DOUBLE",
+    )
+    rows = {
+        r["bucket_s"]: (r["avg_c_filled"], r["was_gap"])
+        for r in gap_fill_locf(
+            partials, value_cols=("avg_c",), level="hour"
+        ).collect()
+    }
+    assert rows[1704103200] == (7.0, False)
+    # observed NULL: locf still carries the last value, but NOT a gap
+    assert rows[1704106800] == (7.0, False)
+    # truly missing hour: carried value AND flagged as gap
+    assert rows[1704110400] == (7.0, True)
+    assert rows[1704114000] == (9.0, False)
+
+
 def test_time_weighted_avg_hand_computed(spark):
     from cybersecurity_miw_spark.operators.timeseries import (
         time_weighted_avg,

@@ -628,6 +628,32 @@ def dup_clusters(
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def dup_clusters_auto(
+    pairs: DataFrame,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    propagate_iter: int = 8,
+    star_max_iter: int = 40,
+) -> DataFrame:
+    """Connected components with automatic escalation: run min-label
+    propagation (:func:`dup_clusters`, O(diameter) rounds — 2-3 on the
+    near-clique graphs dedup actually produces) and, if its
+    convergence guard trips (a pathological high-diameter component:
+    chained boilerplate, templated docs differing one token per hop),
+    transparently restart with star contraction
+    (:func:`dup_clusters_star`, O(log n) rounds on any shape).
+
+    The restart discards ``propagate_iter`` cheap rounds — acceptable
+    because the guard trips only on inputs where propagation would
+    need orders of magnitude more rounds than the star path's total.
+    Requires long-castable ids (the star path's contract); output is
+    the shared (doc_id, cluster_id=component min) schema."""
+    try:
+        return dup_clusters(pairs, col_a, col_b, max_iter=propagate_iter)
+    except RuntimeError:
+        return dup_clusters_star(pairs, col_a, col_b, max_iter=star_max_iter)
+
+
 def near_dedup_clusters(
     df: DataFrame,
     text_col: str = "text",
@@ -640,14 +666,17 @@ def near_dedup_clusters(
     """Cluster-correct near-dedup: LSH candidates → exact Jaccard >=
     threshold → connected components → keep each component's minimum
     id (plus every unpaired doc). Unlike ``near_dedup_minhash`` this
-    never drops two docs that are only transitively related."""
+    never drops two docs that are only transitively related.
+    Components are computed via :func:`dup_clusters_auto`, so a
+    pathological long-chain duplicate graph transparently escalates
+    from min-label propagation to star contraction."""
     cand = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_k
     )
     confirmed = jaccard_pairs(df, cand, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
-    clusters = dup_clusters(confirmed)
+    clusters = dup_clusters_auto(confirmed)
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )

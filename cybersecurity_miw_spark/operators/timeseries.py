@@ -49,6 +49,8 @@ def range_join(
     on: str | None = None,
     bucket_seconds: int = 3600,
     end_inclusive: bool = False,
+    max_buckets_per_interval: int = 10_000,
+    overflow: str = "error",
 ) -> DataFrame:
     """Inner join of point rows (``left``, at ``left_ts``) to interval
     rows (``right``, spanning ``[right_start, right_end)`` — or
@@ -70,10 +72,50 @@ def range_join(
 
     Intervals with ``end < start`` or a null endpoint match nothing
     (sequence() on a reversed/null range yields no buckets).
+
+    Fan-out guard: one pathological interval (a year-long row in a
+    table bucketed for minutes) would otherwise explode into millions
+    of build-side rows. Any interval covering more than
+    ``max_buckets_per_interval`` buckets either fails the job with a
+    row-identifying message (``overflow="error"``, the default — a
+    bad row should be visible, not silently mis-joined) or is clamped
+    to the first ``max_buckets_per_interval`` buckets
+    (``overflow="clamp"`` — points beyond
+    ``start + cap*bucket_seconds`` then do NOT match that interval;
+    use only when tail truncation is acceptable). The guard is a
+    row-local expression — no extra pass over the data.
     """
+    if overflow not in ("error", "clamp"):
+        raise ValueError(f"overflow must be 'error' or 'clamp', got {overflow!r}")
     lb = F.floor(_epoch_s(F.col(left_ts)) / bucket_seconds)
-    rs = F.floor(_epoch_s(F.col(right_start)) / bucket_seconds)
-    re_ = F.floor(_epoch_s(F.col(right_end)) / bucket_seconds)
+    rs = F.floor(_epoch_s(F.col(right_start)) / bucket_seconds).cast("long")
+    re_ = F.floor(_epoch_s(F.col(right_end)) / bucket_seconds).cast("long")
+
+    n_buckets = re_ - rs + F.lit(1)
+    if overflow == "error":
+        seq_end = F.when(
+            n_buckets <= max_buckets_per_interval, re_
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "range_join: interval spans more than "
+                        f"{max_buckets_per_interval} buckets of "
+                        f"{bucket_seconds}s (start="
+                    ),
+                    F.col(right_start).cast("string"),
+                    F.lit(", end="),
+                    F.col(right_end).cast("string"),
+                    F.lit(
+                        ") — raise bucket_seconds or "
+                        "max_buckets_per_interval, or pass "
+                        "overflow='clamp'"
+                    ),
+                )
+            ).cast("long")
+        )
+    else:
+        seq_end = F.least(rs + F.lit(max_buckets_per_interval - 1), re_)
 
     l_tag = left.withColumn("_rj_bucket", lb.cast("long"))
     r_tag = right.withColumn(
@@ -81,7 +123,7 @@ def range_join(
         F.explode(
             F.when(
                 F.col(right_end) >= F.col(right_start),
-                F.sequence(rs.cast("long"), re_.cast("long")),
+                F.sequence(rs, seq_end),
             )
         ),
     )

@@ -290,6 +290,34 @@ def test_star_clusters_handle_long_chain_where_minlabel_guard_trips(spark):
     assert got == {i: 0 for i in range(64)}
 
 
+def test_auto_routing_escalates_long_chain_to_star(spark):
+    """dup_clusters_auto: the public API transparently converges on a
+    long chain — propagation's guard trips internally, star
+    contraction finishes, the caller never sees the RuntimeError."""
+    edges = [(i, i + 1) for i in range(63)]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters_auto(_pairs(spark, edges)).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_auto_routing_uses_propagation_on_shallow_graphs(spark):
+    """On a near-clique (the shape dedup actually produces) the auto
+    router's answer equals plain propagation's — and propagation at
+    the router's round budget converges, so no escalation happened."""
+    edges = [(0, i) for i in range(1, 6)] + [(10, 11), (11, 12)]
+    auto = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters_auto(_pairs(spark, edges)).collect()
+    }
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(_pairs(spark, edges), max_iter=8).collect()
+    }
+    assert auto == plain == _uf_components(sorted(edges))
+
+
 def test_star_clusters_agree_with_minlabel_on_near_dup_pairs(spark, sf_dir):
     from cybersecurity_miw_spark.sources.tables import load_table
 

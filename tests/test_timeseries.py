@@ -104,6 +104,53 @@ def test_range_join_no_key_global_intervals(spark, points):
     assert _matches(out) == [(1, 99), (5, 99)]
 
 
+def test_range_join_fanout_guard_trips_on_pathological_interval(
+    spark, points
+):
+    """A year-long interval in a minute-bucketed join (>500k buckets)
+    must FAIL the job with an identifying message, not silently
+    explode the build side."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    iv = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), _ts("2025-01-01 00:00:00"), 1)],
+        "start_ts TIMESTAMP, end_ts TIMESTAMP, wid INT",
+    )
+    with pytest.raises(SparkRuntimeException, match="range_join: interval spans"):
+        range_join(
+            points, iv, "ts", "start_ts", "end_ts", on=None,
+            bucket_seconds=60,
+        ).collect()
+
+
+def test_range_join_fanout_clamp_truncates_tail_only(spark, points):
+    """overflow='clamp': the oversized interval keeps matching within
+    its first max_buckets_per_interval buckets and silently stops
+    matching beyond — and normal-sized intervals are untouched."""
+    iv = spark.createDataFrame(
+        [(_ts("2024-01-01 00:00:00"), _ts("2025-01-01 00:00:00"), 1)],
+        "start_ts TIMESTAMP, end_ts TIMESTAMP, wid INT",
+    )
+    out = range_join(
+        points, iv, "ts", "start_ts", "end_ts", on=None,
+        bucket_seconds=60, max_buckets_per_interval=90,
+        overflow="clamp",
+    )
+    # cap = 90 minute-buckets => matches through 01:29:59; pids 1, 2,
+    # 3, 5 are inside, pid 4 (07:30) is past the clamped tail
+    assert _matches(out) == [(1, 1), (2, 1), (3, 1), (5, 1)]
+
+
+def test_range_join_guard_admits_normal_intervals(points, intervals):
+    """The default guard never fires for sane data: same result as the
+    unguarded baseline assertions."""
+    out = range_join(
+        points, intervals, "ts", "start_ts", "end_ts", on="k",
+        bucket_seconds=3600, max_buckets_per_interval=4,
+    )
+    assert _matches(out) == [(1, 10), (2, 10), (4, 11), (5, 13)]
+
+
 def test_time_rollup_levels_algebra(spark):
     rows = [
         ("x", _ts("2024-01-01 00:00:10"), 1.00),

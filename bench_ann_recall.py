@@ -20,6 +20,14 @@ size.
 Usage: python bench_ann_recall.py [n_vectors] [out_json]
 Prints one JSON line per (method, config) with mean recall@10 and mean
 scan fraction over the query set.
+
+Text mode: python bench_ann_recall.py --text [sf_dir] [n_docs] [out]
+— the same IVF / residual-IVF+PQ sweep over HASHED-TEXT embeddings of
+the documents table (textstats.hashed_embedding, the trained-quantizer
+path SCALE.md's text-side table previously covered only for LSH).
+Ground truth is exact numpy cosine over the same hashed vectors;
+queries are corpus documents (the dedup/similarity-search query
+distribution).
 """
 
 from __future__ import annotations
@@ -49,7 +57,121 @@ def make_clustered(n: int, rng: np.random.RandomState) -> np.ndarray:
     return pts
 
 
+def run_text_corpus() -> None:
+    """IVF / residual-IVF+PQ recall over hashed-text embeddings."""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
+    out_path = sys.argv[4] if len(sys.argv) > 4 else None
+
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import similarity
+    from cybersecurity_miw_spark.operators.textstats import hashed_embedding
+    from cybersecurity_miw_spark.session import get_spark
+
+    spark = get_spark("ann-recall-text")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(n_docs)
+    )
+    df = (
+        hashed_embedding(docs, dim=DIM)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .repartition(32)
+        .persist()
+    )
+    rows = sorted(
+        ((r["vec_id"], r["embedding"]) for r in df.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    vecs = np.array([t[1] for t in rows])
+    n = len(ids)
+
+    rng = np.random.RandomState(SEED)
+    qpos = rng.choice(n, N_QUERIES, replace=False)
+    queries = vecs[qpos]
+    sims = queries @ vecs.T
+    truth = ids[np.argsort(-sims, axis=1)[:, :K]]
+
+    results = []
+
+    def record(method, cfg, recalls, fractions):
+        row = {
+            "method": method, "corpus": "hashed_text", **cfg, "n": n,
+            "recall_at_10": round(float(np.mean(recalls)), 3),
+            "recall_min": round(float(np.min(recalls)), 3),
+            "scan_fraction": round(float(np.mean(fractions)), 4),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    def recall_of(got_ids, qi) -> float:
+        return len(set(got_ids) & set(truth[qi].tolist())) / K
+
+    centroids = similarity.train_centroids(
+        df, n_cells=N_CLUSTERS, dim=DIM, iters=3
+    )
+    cents = np.asarray(centroids)
+    assigned = np.argmin(
+        np.sum(cents * cents, axis=1)[None, :] - 2 * (vecs @ cents.T),
+        axis=1,
+    )
+    cell_sizes = np.bincount(assigned, minlength=N_CLUSTERS)
+
+    for n_probes in (1, 2, 4, 8):
+        recalls, fracs = [], []
+        for qi, q in enumerate(queries):
+            d2 = np.sum((cents - q) ** 2, axis=1)
+            cells = np.argsort(d2)[:n_probes]
+            top = similarity.ivf_topk(
+                df, centroids, q.tolist(), k=K, n_probes=n_probes
+            ).collect()
+            recalls.append(recall_of([r["vec_id"] for r in top], qi))
+            fracs.append(int(cell_sizes[cells].sum()) / n)
+        record("ivf", {"n_cells": N_CLUSTERS, "n_probes": n_probes},
+               recalls, fracs)
+
+    res_df = similarity.residual_vectors(df, centroids)
+    res_books = similarity.train_pq_codebooks(
+        res_df, dim=DIM, m=8, k=16, iters=3, vec_col="residual"
+    )
+    res_index = similarity.ivf_pq_index(
+        df, centroids, res_books, residual=True
+    ).persist()
+    res_index.count()
+    for n_probes, shortlist in ((1, 100), (2, 100), (4, 200), (8, 200)):
+        recalls, fracs = [], []
+        for qi, q in enumerate(queries):
+            d2 = np.sum((cents - q) ** 2, axis=1)
+            cells = np.argsort(d2)[:n_probes]
+            top = similarity.ann_shortlist_rerank(
+                df, res_index, centroids, res_books, q.tolist(),
+                k=K, shortlist=shortlist, n_probes=n_probes,
+                residual=True,
+            ).collect()
+            recalls.append(recall_of([r["vec_id"] for r in top], qi))
+            fracs.append(int(cell_sizes[cells].sum()) / n)
+        record(
+            "ivf_pq_residual_rerank",
+            {"n_cells": N_CLUSTERS, "n_probes": n_probes,
+             "shortlist": shortlist, "m": 8},
+            recalls, fracs,
+        )
+    res_index.unpersist()
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+    spark.stop()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--text":
+        run_text_corpus()
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
 

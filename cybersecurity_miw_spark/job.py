@@ -16,8 +16,9 @@ Flag parity:
   collapses into a single plan under Spark)
 * -autosplit / -memory_factor          → N/A: Spark partitioning/spill
 * -store_content / -compressed         → store_content=True keeps a
-  collect_list of raw lines per group; compression is the output
-  codec's job (reference snappy path miw/log_record.cc:351-363)
+  collect_list of raw lines per group; -compressed applies the sink
+  codec (gzip line sinks, snappy columnar — the output-side mapping
+  of the reference snappy path miw/log_record.cc:351-363)
 * -tmp_save                            → streaming.merge (checkpointed
   incremental aggregation)
 """
@@ -47,6 +48,7 @@ class MiwJob:
         skip_header: bool = False,
         appname: str = "",
         store_content: bool = False,
+        compressed: bool = False,
         union_count_strategy: str = "two-phase",
         merge_results: bool = True,
         union_limit: int | None = None,
@@ -63,6 +65,10 @@ class MiwJob:
         self.lines = lines
         self.skip_header = skip_header
         self.store_content = store_content
+        # reference -compressed snappy-compresses stored raw content
+        # (log_record.cc:351-357); the Spark mapping is sink-codec
+        # compression — gzip for the line sinks, snappy for columnar
+        self.compressed = compressed
         self.union_count_strategy = union_count_strategy
         # reference default is one result set per file; -merge_results
         # collapses them (miw/job.cc:134-173). Per-file mode groups on
@@ -155,26 +161,28 @@ class MiwJob:
 
         df = self.result(spark)
         ldef = self.result_ldef  # k/v-extended to match df's schema
+        codec = "gzip" if self.compressed else None
         if ndisp:
             sinks.show_top(df, ldef, ndisp)
         if output_format == "json":
             # reference-shape JSON-lines (§2.6, miw/log_record.cc:649-679)
-            parity.write_json_parity(df, ldef, output_path)
+            parity.write_json_parity(df, ldef, output_path, codec=codec)
         elif output_format == "csv":
-            parity.write_csv_parity(df, ldef, output_path)
+            parity.write_csv_parity(df, ldef, output_path, codec=codec)
         elif output_format == "json-columnar":
             sinks.write_json(df, ldef, output_path)
         elif output_format == "csv-columnar":
             sinks.write_csv(df, ldef, output_path)
         elif output_format == "text":
-            sinks.write_text(df, ldef, output_path)
+            sinks.write_text(df, ldef, output_path, codec=codec)
         elif output_format in ("parquet", "orc"):
             # columnar sinks for downstream analytics: typed schema
             # preserved (arrays stay arrays), splittable, stats-bearing
             # — what a result feeding further Spark/DuckDB jobs wants
-            df.write.mode("overwrite").format(output_format).save(
-                output_path
-            )
+            w = df.write.mode("overwrite").format(output_format)
+            if self.compressed:
+                w = w.option("compression", "snappy")
+            w.save(output_path)
         elif output_format in ("mem", "all"):
             pass
         else:
@@ -256,8 +264,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     ap.add_argument(
         "-compressed", action="store_true",
-        help="no-op placeholder (reference compresses stored raw "
-        "content; Spark parquet/text sinks compress via codec options)",
+        help="compress the written output: gzip for the line sinks "
+        "(json/csv/text), explicit snappy for parquet/orc — the sink-"
+        "codec mapping of the reference's snappy-compressed stored "
+        "raw content (log_record.cc:351-357)",
     )
     ap.add_argument(
         "-tmp_save", action="store_true",
@@ -302,6 +312,7 @@ def main(argv: list[str] | None = None) -> None:
         skip_header=args.skip_header,
         appname=args.appname,
         store_content=args.store_content,
+        compressed=args.compressed,
         merge_results=args.merge_results,
         union_limit=args.union_limit or None,
     )

@@ -263,13 +263,31 @@ def csv_header(df: DataFrame, ldef: LogDef) -> str:
     return ",".join(k for k, _, _ in _fragments(fin, ldef))
 
 
-def write_json_parity(df: DataFrame, ldef: LogDef, path: str, mode: str = "overwrite") -> None:
+def write_json_parity(
+    df: DataFrame,
+    ldef: LogDef,
+    path: str,
+    mode: str = "overwrite",
+    codec: str | None = None,
+) -> None:
     """S11 JSON-lines sink, reference shape (miw/mr_job.cc:118-145)."""
-    json_lines(df, ldef).write.mode(mode).text(path)
+    w = json_lines(df, ldef).write.mode(mode)
+    if codec:
+        w = w.option("compression", codec)
+    w.text(path)
 
 
-def write_csv_parity(df: DataFrame, ldef: LogDef, path: str, mode: str = "overwrite") -> None:
+def write_csv_parity(
+    df: DataFrame,
+    ldef: LogDef,
+    path: str,
+    mode: str = "overwrite",
+    codec: str | None = None,
+) -> None:
     """S12 CSV sink, reference shape. Header is not written (Spark text
     files are partition-parallel); use :func:`csv_header` to prepend it
     when assembling a single file."""
-    csv_lines(df, ldef).write.mode(mode).text(path)
+    w = csv_lines(df, ldef).write.mode(mode)
+    if codec:
+        w = w.option("compression", codec)
+    w.text(path)

@@ -74,11 +74,20 @@ def write_csv(df: DataFrame, ldef: LogDef, path: str, mode: str = "overwrite") -
     out.select(*cols).write.mode(mode).option("header", True).csv(path)
 
 
-def write_text(df: DataFrame, ldef: LogDef, path: str, mode: str = "overwrite") -> None:
+def write_text(
+    df: DataFrame,
+    ldef: LogDef,
+    path: str,
+    mode: str = "overwrite",
+    codec: str | None = None,
+) -> None:
     """S10 text sink: "<key> - <count>" per line (miw/mr_job.cc:109-116)."""
-    finalize(df, ldef).select(
+    w = finalize(df, ldef).select(
         F.concat_ws(" - ", F.col("id"), F.col("logs").cast("string")).alias("value")
-    ).write.mode(mode).text(path)
+    ).write.mode(mode)
+    if codec:
+        w = w.option("compression", codec)
+    w.text(path)
 
 
 def show_top(df: DataFrame, ldef: LogDef, k: int = 5) -> list:

@@ -429,3 +429,64 @@ def test_cli_explain_prints_plan_without_executing(spark, capsys, tmp_path):
     import os
 
     assert not os.path.exists(out)  # -explain must not execute the sink
+
+
+def test_a5_max_a3_count_divergence_from_reference_documented(spark):
+    """Parity-honesty golden: the engine implements the DOCUMENTED
+    INTENT of A5 max and A3 count, which diverges from what the
+    reference binary literally computes (SURVEY §2.4). This test
+    computes the reference's literal buggy result beside ours on the
+    variance.log fixture so anyone byte-diffing against the C++
+    binary sees the divergence pinned, not hidden.
+
+    Reference bugs (by inspection of the merge fold,
+    mr_job.cc:53-71 — host is the group's FIRST record, every later
+    record merges into it):
+
+    * A5 max (log_record.cc:171-191): ``int_field ifi =
+      _ld.fields(i).int_fi()`` copies the accumulator field BY VALUE
+      and sets the max on the copy — the stored value never changes,
+      so the emitted "max" is just the host record's own value (the
+      group's first, in fold order).
+    * A3 count (log_record.cc:245-249): ``set_count(f.count() + 1)``
+      REPLACES the host count with incoming.count + 1 instead of
+      summing; parsed records start at count=1 (log_format.cc:521),
+      so any >=2-record group ends at 2 regardless of size.
+    """
+    values = [3, 1, 5, 3, 2, 2]  # tests/fixtures/variance.log col 1
+
+    # --- the reference's literal fold, modeled exactly ---
+    class RefRecord:
+        def __init__(self, v):
+            self.reap0 = v  # int_reap(0)
+            self.count = 1  # log_format.cc:521
+
+        def merge(self, other):  # log_record::merge(this=host, lr=other)
+            ifi_copy = self.reap0  # by-value copy (the bug)
+            ifi_copy = max(ifi_copy, other.reap0)  # mutates the copy
+            del ifi_copy  # discarded — self.reap0 unchanged
+            self.count = other.count + 1  # replaces, not sums
+
+    host = RefRecord(values[0])
+    for v in values[1:]:
+        host.merge(RefRecord(v))
+    ref_literal_max, ref_literal_count = host.reap0, host.count
+    assert ref_literal_max == 3  # first value, NOT the max
+    assert ref_literal_count == 2  # group size replaced by 2
+
+    # --- our engine: the documented intent ---
+    fmt = _fmt(
+        "max-count",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "vmax", "pos": 1, "type": "int", "aggregated": True, "aggregation": "max"},
+            {"name": "v", "pos": 1, "type": "int", "aggregated": True, "aggregation": "count"},
+        ],
+    )
+    r = MiwJob(fmt, files=f"{FIX}/variance.log").run(spark).collect()[0].asDict()
+    assert r["vmax"] == max(values) == 5
+    assert r["v_count"] == len(values) == 6
+
+    # the divergence this test exists to document
+    assert r["vmax"] != ref_literal_max
+    assert r["v_count"] != ref_literal_count

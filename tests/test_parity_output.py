@@ -143,3 +143,34 @@ def test_store_content_companion_records(spark):
         '{"format_name":"c","id":"b","k":"b","logs":1,'
         '"std_date_dt":"0000-00-00T00:00:00Z","v":5}',
     ]
+
+
+def test_compressed_flag_gzips_line_sinks_byte_exact(spark, tmp_path):
+    """-compressed (the reference's stored-content snappy flag,
+    log_record.cc:351-357, mapped to sink codecs): the json sink
+    writes .gz parts whose DECOMPRESSED bytes equal the uncompressed
+    run exactly."""
+    import glob
+    import gzip
+
+    plain_dir = str(tmp_path / "plain")
+    gz_dir = str(tmp_path / "gz")
+    MiwJob(format=PROXY_FORMAT, files=FIXTURE).run(
+        spark, output_format="json", output_path=plain_dir
+    )
+    MiwJob(format=PROXY_FORMAT, files=FIXTURE, compressed=True).run(
+        spark, output_format="json", output_path=gz_dir
+    )
+
+    def lines_of(pattern, opener):
+        out = []
+        for f in sorted(glob.glob(pattern)):
+            with opener(f, "rt") as fh:
+                out.extend(fh.read().splitlines())
+        return sorted(out)
+
+    plain = lines_of(f"{plain_dir}/part-*.txt", open)
+    gz_parts = glob.glob(f"{gz_dir}/part-*.gz")
+    assert gz_parts, "compressed run must emit .gz parts"
+    gz = lines_of(f"{gz_dir}/part-*.gz", gzip.open)
+    assert gz == plain and len(plain) == 2

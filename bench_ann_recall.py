@@ -62,6 +62,7 @@ def run_text_corpus() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
     out_path = sys.argv[4] if len(sys.argv) > 4 else None
+    n_cells = int(sys.argv[5]) if len(sys.argv) > 5 else N_CLUSTERS
 
     from pyspark.sql import functions as F
 
@@ -112,16 +113,16 @@ def run_text_corpus() -> None:
         return len(set(got_ids) & set(truth[qi].tolist())) / K
 
     centroids = similarity.train_centroids(
-        df, n_cells=N_CLUSTERS, dim=DIM, iters=3
+        df, n_cells=n_cells, dim=DIM, iters=3
     )
     cents = np.asarray(centroids)
     assigned = np.argmin(
         np.sum(cents * cents, axis=1)[None, :] - 2 * (vecs @ cents.T),
         axis=1,
     )
-    cell_sizes = np.bincount(assigned, minlength=N_CLUSTERS)
+    cell_sizes = np.bincount(assigned, minlength=n_cells)
 
-    for n_probes in (1, 2, 4, 8):
+    for n_probes in (1, 2, 4, 8, 16):
         recalls, fracs = [], []
         for qi, q in enumerate(queries):
             d2 = np.sum((cents - q) ** 2, axis=1)
@@ -131,7 +132,7 @@ def run_text_corpus() -> None:
             ).collect()
             recalls.append(recall_of([r["vec_id"] for r in top], qi))
             fracs.append(int(cell_sizes[cells].sum()) / n)
-        record("ivf", {"n_cells": N_CLUSTERS, "n_probes": n_probes},
+        record("ivf", {"n_cells": n_cells, "n_probes": n_probes},
                recalls, fracs)
 
     res_df = similarity.residual_vectors(df, centroids)
@@ -142,7 +143,7 @@ def run_text_corpus() -> None:
         df, centroids, res_books, residual=True
     ).persist()
     res_index.count()
-    for n_probes, shortlist in ((1, 100), (2, 100), (4, 200), (8, 200)):
+    for n_probes, shortlist in ((1, 100), (2, 100), (4, 200), (8, 200), (16, 200)):
         recalls, fracs = [], []
         for qi, q in enumerate(queries):
             d2 = np.sum((cents - q) ** 2, axis=1)
@@ -156,7 +157,7 @@ def run_text_corpus() -> None:
             fracs.append(int(cell_sizes[cells].sum()) / n)
         record(
             "ivf_pq_residual_rerank",
-            {"n_cells": N_CLUSTERS, "n_probes": n_probes,
+            {"n_cells": n_cells, "n_probes": n_probes,
              "shortlist": shortlist, "m": 8},
             recalls, fracs,
         )

@@ -764,6 +764,67 @@ def q_jaccard_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, cand, shingle_k=3)
 
 
+# Incremental dedup against a persisted store (operators/dedup.py
+# fingerprint_store / dedup_against_store / lsh_band_store /
+# incremental_lsh_candidates) — the production ingest shape: history
+# is an INDEX (fingerprints / band rows), never rescanned text. The
+# fixture split is deterministic: batch = doc_id % 5 == 0, history =
+# the rest.
+
+_INC_EXACT_SQL = f"""
+WITH fp AS (SELECT doc_id, n_chars, {_FP_SQL} AS f FROM documents)
+SELECT b.doc_id, b.n_chars
+FROM fp b
+WHERE b.doc_id % 5 = 0
+  AND NOT EXISTS (SELECT 1 FROM fp h WHERE h.doc_id % 5 <> 0 AND h.f = b.f)
+  AND b.doc_id = (SELECT min(b2.doc_id) FROM fp b2
+                  WHERE b2.doc_id % 5 = 0 AND b2.f = b.f)
+"""
+
+
+@register("incremental_exact_ingest", _INC_EXACT_SQL)
+def q_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest filter vs the persisted fingerprint index: incoming
+    batch docs that are not exact duplicates of history and are their
+    batch's first occurrence. One anti-join + one min-agg on the
+    uniform md5 key — history text is never read."""
+    docs = load_table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = dedup.fingerprint_store(history)
+    return dedup.dedup_against_store(batch, store).select("doc_id", "n_chars")
+
+
+_INC_LSH_SQL = f"""
+WITH {_SIGS_CTE},
+banded AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+)
+SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS stored_id
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.band_hash = c.band_hash
+WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+"""
+
+
+@register("incremental_lsh_vs_store", _INC_LSH_SQL)
+def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates of an incoming batch against the persisted
+    LSH band index: batch bands are computed fresh, history
+    contributes stored (doc_id, band, band_hash) rows only — the same
+    hash family as the self-join path, so candidates match a pooled
+    self-join restricted to batch x history pairs."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = dedup.lsh_band_store(history, num_hashes=16, bands=4, shingle_k=3)
+    return dedup.incremental_lsh_candidates(
+        batch, store, num_hashes=16, bands=4, shingle_k=3
+    )
+
+
 # SimHash — the xxhash64 default has no DuckDB twin (rows-only check;
 # substance covered by pytest with planted near-duplicates), but the
 # md5_60 variant rebuilds the identical 60-bit fingerprint in SQL.

@@ -496,6 +496,97 @@ def cross_lsh_candidates(
     )
 
 
+def fingerprint_store(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The compact exact-dedup ingest index a production pipeline
+    PERSISTS: one (fingerprint, representative) row per distinct
+    normalized text in the corpus processed so far. At 100 TB you
+    never re-dedup history against itself — you maintain this table
+    (append each accepted batch's new fingerprints) and anti-join
+    incoming batches against it (:func:`dedup_against_store`). Write
+    it bucketed on ``fingerprint`` (sources.bucketed) and the
+    per-batch join runs with no store-side exchange."""
+    return duplicate_groups(df, text_col, id_col).select(
+        "fingerprint", "representative"
+    )
+
+
+def dedup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: the subset of ``new_docs`` that
+    survives ingest — not an exact duplicate of anything in the
+    ``store`` (:func:`fingerprint_store` schema) and the first
+    (min-id) occurrence within its own batch. Cost per batch is one
+    anti-join + one min-agg on the uniform fingerprint key, scanning
+    the batch and the fingerprint index only — history text is never
+    touched."""
+    fp = fingerprint(F.col(text_col)).alias("_fp")
+    tagged = new_docs.select(F.col(id_col), fp)
+    fresh = tagged.join(
+        store.select(F.col("fingerprint").alias("_fp")), "_fp", "left_anti"
+    )
+    keep = fresh.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return new_docs.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+def lsh_band_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persisted near-dup index rows for a corpus slice:
+    (doc_id, band, band_hash), same deterministic hash family as the
+    self-join path — append one batch's rows per ingest. Partition or
+    bucket the store on (band, band_hash) so
+    :func:`incremental_lsh_candidates` prunes/co-locates."""
+    rows_per_band = num_hashes // bands
+    sig = with_signature(df, text_col, id_col, num_hashes, shingle_k)
+    return sig.select(
+        F.col(id_col),
+        F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
+    ).select(
+        id_col,
+        F.col("b.band").alias("band"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup candidates of an incoming batch AGAINST THE PERSISTED
+    INDEX: (new_id, stored_id) sharing at least one band bucket.
+    Bands are computed for the batch only; history contributes its
+    stored (doc_id, band, band_hash) rows (:func:`lsh_band_store`
+    schema) — signatures for 100 TB of history are never recomputed.
+    Identical hash family to ``minhash_lsh_candidates``, so a pair is
+    a candidate here iff a pooled self-join would find it; the join
+    is batch-bands × store (broadcast the batch side when small)."""
+    nb = lsh_band_store(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_k
+    ).withColumnRenamed(id_col, "new_id")
+    sb = band_store.withColumnRenamed(id_col, "stored_id")
+    return (
+        nb.join(sb, on=["band", "band_hash"])
+        .select("new_id", "stored_id")
+        .distinct()
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -517,3 +517,57 @@ def test_hashed_embedding_deterministic(spark):
     e1 = sorted(map(repr, hashed_embedding(df).collect()))
     e2 = sorted(map(repr, hashed_embedding(df).collect()))
     assert e1 == e2
+
+
+# ---- incremental dedup against a persisted store ----
+
+
+def test_dedup_against_store_filters_history_and_batch_dups(spark):
+    history = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "unique old doc")],
+        "doc_id LONG, text STRING",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps"),  # dup of history -> drop
+            (11, "brand new document text"),     # fresh -> keep
+            (12, "brand new document text"),     # batch dup of 11 -> drop
+            (13, "another fresh one"),           # fresh -> keep
+        ],
+        "doc_id LONG, text STRING",
+    )
+    store = dedup.fingerprint_store(history)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against_store(batch, store).collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_lsh_matches_pooled_self_join(spark):
+    """A pair is an incremental candidate iff the pooled self-join
+    would find it (same hash family) restricted to batch x history."""
+    rows = [
+        (i, f"shared shingle text block variant {i % 3}") for i in range(12)
+    ] + [(100, "totally unrelated content here")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 != 0)
+
+    store = dedup.lsh_band_store(history)
+    inc = {
+        (r["new_id"], r["stored_id"])
+        for r in dedup.incremental_lsh_candidates(batch, store).collect()
+    }
+    pooled = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    pooled_cross = {
+        (a, b) if a % 2 else (b, a)
+        for (a, b) in pooled
+        if (a % 2) != (b % 2)  # exactly one side in the batch
+    }
+    assert inc == {(n, s) for (n, s) in pooled_cross}
+    assert inc  # the fixture actually produces candidates
+    assert all(n % 2 == 1 and s % 2 == 0 for n, s in inc)

@@ -52,6 +52,14 @@ QUERY_NAMES = [
     "funnel_signup_click_purchase",
     "event_type_transitions",
     "star_pattern_signup_clicks_purchase",
+    # round 7: incremental ingest vs a persisted store (rotated copies
+    # keep the batch/history fingerprint and shingle sets disjoint
+    # across copies — a linear 10x ingest workload), and the fuzzy
+    # join (distinct source names are scale-invariant; the 10x cost
+    # is the distinct scan, the blocking join stays constant)
+    "incremental_exact_ingest",
+    "incremental_lsh_vs_store",
+    "fuzzy_source_name_pairs",
 ]
 
 # range_join runs against the TIME-SHIFTED events variant: with plain

@@ -1,0 +1,76 @@
+"""Streaming dedup ingest (streaming/ingest.py): the persisted
+fingerprint store must make dedup INCREMENTAL — duplicates are
+dropped across batches, across restarts, and within a batch; the
+result equals the batch dedup path over the same files."""
+
+from __future__ import annotations
+
+from cybersecurity_miw_spark.streaming.ingest import streaming_dedup_ingest
+
+
+def _await(q):
+    q.awaitTermination(120)
+
+
+def _corpus(spark, corpus_dir):
+    return {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(corpus_dir).collect()
+    }
+
+
+def test_ingest_dedups_within_and_across_runs(spark, tmp_path):
+    indir = tmp_path / "in"
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    (indir / "a.tsv").write_text(
+        "1\tthe quick brown fox\n"
+        "2\tunique first doc\n"
+        "3\tthe quick brown fox\n"  # within-batch dup of 1
+    )
+    _await(streaming_dedup_ingest(spark, str(indir), ckpt, corpus, store))
+    assert set(_corpus(spark, corpus)) == {1, 2}
+
+    # run 2: one cross-run dup (of doc 1), one fresh doc
+    (indir / "b.tsv").write_text(
+        "10\tthe quick brown fox\n"
+        "11\tbrand new second batch\n"
+    )
+    _await(streaming_dedup_ingest(spark, str(indir), ckpt, corpus, store))
+    got = _corpus(spark, corpus)
+    assert set(got) == {1, 2, 11}
+    assert got[11] == "brand new second batch"
+
+    # the store holds exactly the accepted corpus's fingerprints
+    assert spark.read.parquet(store).count() == 3
+
+
+def test_ingest_agrees_with_batch_dedup_path(spark, tmp_path):
+    """Streaming result == batch dedup_against_store semantics over
+    the same documents (empty initial store == plain exact dedup)."""
+    from cybersecurity_miw_spark.operators.dedup import exact_dedup
+
+    indir = tmp_path / "in"
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    rows = [
+        (1, "alpha beta"), (2, "gamma delta"), (3, "alpha beta"),
+        (4, "epsilon zeta"), (5, "gamma delta"), (6, "alpha beta"),
+    ]
+    (indir / "a.tsv").write_text(
+        "".join(f"{i}\t{t}\n" for i, t in rows[:3])
+    )
+    (indir / "b.tsv").write_text(
+        "".join(f"{i}\t{t}\n" for i, t in rows[3:])
+    )
+    _await(streaming_dedup_ingest(spark, str(indir), ckpt, corpus, store))
+
+    batch = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    want = {r["doc_id"] for r in exact_dedup(batch).collect()}
+    assert set(_corpus(spark, corpus)) == want == {1, 2, 4}

@@ -150,6 +150,14 @@ MAX_EXCHANGES = {
     # cached subtree including its exchange (textual count 8). Both
     # forms execute the same 3 shuffles
     "time_rollup_multires": 8,
+    # incremental ingest vs a persisted store: store build agg +
+    # anti-join + batch min-agg + semi-join, all on the uniform
+    # fingerprint/id key (4 fresh; +2 admits the shuffle-join forms
+    # once the store side outgrows broadcast)
+    "incremental_exact_ingest": 6,
+    # batch bands × stored bands equi-join on (band, band_hash) +
+    # distinct; same headroom rationale
+    "incremental_lsh_vs_store": 6,
 }
 
 

@@ -616,6 +616,7 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = PQ_SCALE,
+    use_arrow: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k: the query stays exact (integer-
     quantized), each row's distance is the sum of m lookup-table
@@ -623,9 +624,19 @@ def pq_adc_topk(
     LUT[s][j] = ||q_sub_s − c_sj||² precomputed driver-side. The scan
     reads only the code column (4 B/row at m=4): at 100 TB this is
     the difference between scanning codes and scanning vectors.
-    TakeOrdered(k) — no global sort."""
+    TakeOrdered(k) — no global sort.
+
+    ``use_arrow`` selects the Arrow/numpy batch encoder
+    (:func:`pq_encode_arrow`, the production write path — ~34x the
+    expression encoder at sf0.1) instead of the expression path;
+    codes are bit-identical on valid rows (pinned by
+    tests/test_pq.py), so the top-k is unchanged wherever vectors
+    are non-null and full-width."""
     lut = pq_query_lut(codebooks, query_vec, scale)
-    enc = pq_encode(df, codebooks, vec_col, scale=scale)
+    if use_arrow:
+        enc = pq_encode_arrow(df, codebooks, vec_col, id_col, scale=scale)
+    else:
+        enc = pq_encode(df, codebooks, vec_col, scale=scale)
     return pq_adc_topk_codes(enc, lut, k, id_col)
 
 

@@ -3380,6 +3380,56 @@ FROM events e JOIN iv
 """
 
 
+# Gaps-and-islands interval merge (operators/timeseries.py:
+# merge_intervals): per-user 5-minute activity intervals coalesced
+# into maximal disjoint spans — ONE window pass + one agg, no
+# self-join. The consolidation step that shrinks a range join's
+# build side (fewer, wider intervals = bounded fan-out).
+_MERGE_IV_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         floor(epoch(ts))::BIGINT AS s,
+         floor(epoch(ts))::BIGINT + 300 AS e
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span
+  FROM iv
+),
+spans AS (
+  SELECT user_id, s, e,
+         sum(new_span) OVER (PARTITION BY user_id ORDER BY s, e
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM flagged
+)
+SELECT user_id, min(s) AS span_start_s, max(e) AS span_end_s,
+       count(*) AS n_merged
+FROM spans GROUP BY user_id, span
+"""
+
+
+@register("merge_user_activity_intervals", _MERGE_IV_SQL)
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap/adjacency consolidation of per-user activity
+    intervals: new-span flag from a running max of previous ends,
+    span id from the running flag sum, bounds from one hash agg —
+    the same one-exchange shape as sessionization."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    return timeseries.merge_intervals(
+        iv, "start_ts", "end_ts", keys=("user_id",)
+    )
+
+
 @register("range_join_event_windows", _RANGE_JOIN_SQL)
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via the bucketed equi-join shape

@@ -555,6 +555,68 @@ def gap_fill_locf(
     )
 
 
+def merge_intervals(
+    df: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    keys: tuple[str, ...] = (),
+    min_gap_seconds: int = 0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Coalesce overlapping (or within ``min_gap_seconds``-adjacent)
+    intervals per key into maximal disjoint spans — the
+    gaps-and-islands primitive behind incident-window consolidation,
+    uptime/downtime merging, and detection-window dedup before a
+    range join (fewer, wider build-side intervals = smaller fan-out).
+
+    Plan: ONE window pass per key — a new span starts where this
+    interval's start exceeds the running max of all previous ends
+    (+ gap); the span id is the running count of such starts; one
+    hash aggregation then emits each span's bounds. No self-join, no
+    explosion: cost is a per-key sort + two narrow window columns,
+    the same shape as sessionization.
+
+    Output: ``*keys``, ``span_start_s``/``span_end_s`` (epoch
+    seconds), ``n_merged`` (input intervals absorbed into the span).
+    Intervals with null or reversed bounds are dropped."""
+    s = _epoch_s(F.col(start_col))
+    e = _epoch_s(F.col(end_col))
+    base = df.select(
+        *keys, s.alias("_s"), e.alias("_e")
+    ).where(F.col("_s").isNotNull() & (F.col("_e") >= F.col("_s")))
+
+    order = (
+        [F.col("_s"), F.col("_e")]
+        if tiebreak_col is None
+        else [F.col("_s"), F.col("_e"), F.col(tiebreak_col)]
+    )
+    w_prev = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(*[F.col(k) for k in keys])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    new_span = F.when(
+        F.col("_s") > F.max("_e").over(w_prev) + F.lit(min_gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    # the first row per key has a null running max -> when() yields 0,
+    # which is correct: span ids are 0-based cumulative NEW flags and
+    # the first row always opens span 0
+    spans = base.withColumn("_new", new_span).withColumn(
+        "_span", F.sum("_new").over(w_run)
+    )
+    return spans.groupBy(*keys, "_span").agg(
+        F.min("_s").alias("span_start_s"),
+        F.max("_e").alias("span_end_s"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).drop("_span")
+
+
 def time_weighted_avg(
     df: DataFrame,
     ts_col: str = "ts",

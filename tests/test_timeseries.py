@@ -452,3 +452,60 @@ def test_time_weighted_avg_hand_computed(spark):
 
     plain = df.agg(FF.avg("value")).collect()[0][0]
     assert plain == 17.5
+
+
+def test_merge_intervals_hand_computed(spark):
+    from cybersecurity_miw_spark.operators.timeseries import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            # key a: [0,10) and [5,20) overlap; [20,30) adjacent
+            # (gap 0, start == prev end -> NOT > -> merges); [40,50)
+            # separate
+            ("a", 0, 10), ("a", 5, 20), ("a", 20, 30), ("a", 40, 50),
+            # containment: [100,200) swallows [110,120)
+            ("a", 100, 200), ("a", 110, 120),
+            # key b: single interval
+            ("b", 7, 9),
+            # reversed interval dropped
+            ("b", 100, 90),
+        ],
+        "k STRING, s LONG, e LONG",
+    ).select(
+        "k",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+    got = sorted(
+        (r["k"], r["span_start_s"], r["span_end_s"], r["n_merged"])
+        for r in merge_intervals(
+            df, "start_ts", "end_ts", keys=("k",)
+        ).collect()
+    )
+    assert got == [
+        ("a", 0, 30, 3),
+        ("a", 40, 50, 1),
+        ("a", 100, 200, 2),
+        ("b", 7, 9, 1),
+    ]
+
+
+def test_merge_intervals_min_gap_bridges_small_holes(spark):
+    from cybersecurity_miw_spark.operators.timeseries import merge_intervals
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 15, 20), ("a", 100, 110)],
+        "k STRING, s LONG, e LONG",
+    ).select(
+        "k",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+    got = sorted(
+        (r["span_start_s"], r["span_end_s"], r["n_merged"])
+        for r in merge_intervals(
+            df, "start_ts", "end_ts", keys=("k",), min_gap_seconds=5
+        ).collect()
+    )
+    # the 5s hole [10,15) is bridged; the 80s hole is not
+    assert got == [(0, 20, 2), (100, 110, 1)]

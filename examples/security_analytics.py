@@ -11,6 +11,7 @@ how the window/analytics operators compose into a hunting workflow:
     kill-chain funnel staging              → how far each user got
     bloom-pruned IOC semi join             → events of flagged users
     incident-window range join             → events inside 6h windows
+    interval merge (gaps-and-islands)      → consolidated activity spans
 
 Run: python examples/security_analytics.py [sf_dir]
 """
@@ -80,6 +81,11 @@ def main(sf_dir: str) -> None:
     QUERIES["range_join_event_windows"](spark, sf_dir).groupBy(
         "window_id"
     ).count().orderBy(F.desc("count")).show(5)
+
+    print("== interval merge: per-user activity consolidated to spans ==")
+    QUERIES["merge_user_activity_intervals"](spark, sf_dir).orderBy(
+        F.desc("n_merged")
+    ).show(5)
 
     print("== metrics view: hourly OHLC bars + gap-filled series ==")
     QUERIES["ohlc_hourly_value"](spark, sf_dir).orderBy(

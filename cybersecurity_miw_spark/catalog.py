@@ -4488,6 +4488,65 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audience overlap: Jaccard similarity between the distinct user
+# sets of every event-type pair — the segment-overlap analytic
+# (which behaviors share an audience; which IOC hit-sets co-occur).
+# Shape: distinct (user, type) projection → self-join on user_id
+# (per-user fan-out bounded by types², a constant) → one tiny
+# (type_a, type_b) aggregation + broadcast size join. Output is
+# types²/2 rows at ANY corpus size.
+_AUDIENCE_SQL = """
+WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS n_both
+  FROM s a JOIN s b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+c AS (SELECT event_type, count(*) AS n FROM s GROUP BY 1)
+SELECT type_a, type_b, n_both,
+       round(n_both::DOUBLE / (ca.n + cb.n - n_both), 6) AS jaccard
+FROM p
+JOIN c ca ON ca.event_type = p.type_a
+JOIN c cb ON cb.event_type = p.type_b
+"""
+
+
+@register("audience_overlap_jaccard", _AUDIENCE_SQL)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct project once, self-join co-keyed on user_id, then a
+    constant-size pair aggregation; the per-type totals join is a
+    broadcast of a #types-row table."""
+    ev = load_events(spark, sf_dir)
+    s = ev.select("event_type", "user_id").distinct()
+    a = s.select(F.col("event_type").alias("type_a"), "user_id")
+    b = s.select(F.col("event_type").alias("type_b"), "user_id")
+    p = (
+        a.join(b, on="user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    c = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("_na"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("_nb"))
+    return (
+        p.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("_na") + F.col("_nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 # Deterministic k-per-group sampling
 # (operators/sampling.py:sample_k_per_group): the per-stratum
 # reservoir analog of uniform_sample_50 — md5-rank rows within each

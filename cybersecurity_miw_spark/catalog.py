@@ -2337,6 +2337,41 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GROUP BY CUBE: all 2^k grouping-set combinations in one pass — the
+# OLAP cross-tab sibling of ROLLUP's hierarchy (type×bucket totals,
+# per-type, per-bucket, AND grand total). Spark expands the sets
+# before the partial aggregation, so it's still a single shuffle.
+_CUBE_SQL = """
+SELECT event_type, CAST(user_id % 4 AS BIGINT) AS user_bucket,
+       count(*) AS n, CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                           AS BIGINT) AS value_sum_c
+FROM events
+GROUP BY CUBE(event_type, CAST(user_id % 4 AS BIGINT))
+"""
+
+
+@register("cube_event_counts", _CUBE_SQL)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE(event_type, user bucket): every margin of the
+    cross-tab in one aggregation pass (one exchange after the
+    grouping-set expansion). Cents-scaled integer sums hash-match
+    exactly across engines."""
+    ev = load_table(spark, sf_dir, "events", widen=False)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % 4).alias("user_bucket"),
+            cents.alias("_c"),
+        )
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").cast("long").alias("value_sum_c"),
+        )
+    )
+
+
 # running window frame: per-user cumulative sum in event order — the
 # "balance so far" shape; one hash partition per key, sorted frame.
 

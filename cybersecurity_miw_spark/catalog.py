@@ -2125,6 +2125,242 @@ def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H Q6 shape: the forecast-revenue filter-and-sum — NO join, the
+# predicate-pushdown showcase (shipdate range + discount band +
+# quantity cap all reach the parquet scan). Revenue terms are exact
+# int64 products (cents × discount-pct), so the global sum is
+# order-independent and hash-exact.
+_Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+               * CAST(round(l_discount * 100, 0) AS BIGINT))
+       AS BIGINT) AS revenue_c4
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_forecast_revenue", _Q6_SQL)
+def q_tpch6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: a pure scan-filter-aggregate — every predicate
+    pushes to the parquet reader, the whole query is one map-side
+    combined reduction to a scalar."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(px_c * disc_pct).cast("long").alias("revenue_c4"))
+    )
+
+
+# TPC-H Q7 shape: volume shipping between two nations — the
+# dual-perspective join (supplier nation via lineitem, customer
+# nation via orders) with both directions kept. Two broadcast nation
+# maps, one orders⋈lineitem fact-fact shuffle.
+_Q7_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+       AS BIGINT) AS revenue_c4
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+  AND l.l_shipdate >= DATE '1996-01-01'
+  AND l.l_shipdate < DATE '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q7_volume_shipping", _Q7_SQL)
+def q_tpch7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: nation/supplier/customer dims broadcast, ONE
+    fact-fact shuffle (lineitem⋈orders on orderkey); the two-nation
+    disjunction filters after the cheap broadcast joins, before the
+    expensive one."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders", widen=False)
+    c = load_table(spark, sf_dir, "customer", widen=False)
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    n = load_table(spark, sf_dir, "nation", widen=False)
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    joined = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(px_c * (F.lit(100) - disc_pct)).cast("long").alias("revenue_c4")
+    )
+
+
+# TPC-H Q8 shape: market share — the share of one supplier-nation's
+# revenue within a region's orders per year; conditional numerator
+# over the full join, ONE division at the end (ppm-scaled).
+_Q8_SQL = """
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(round(
+         sum(CASE WHEN ns.n_name = 'NATION_3'
+             THEN CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT))
+             ELSE 0 END)::DOUBLE
+         / sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+         * 1000000, 0) AS BIGINT) AS mkt_share_ppm
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+JOIN region r   ON nc.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1998-01-01'
+GROUP BY 1
+"""
+
+
+@register("tpch_q8_market_share", _Q8_SQL)
+def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: every dim broadcast (region→nation→customer chain
+    and part prune the fact rows), one orders⋈lineitem shuffle,
+    numerator/denominator in the SAME aggregation — the share
+    division happens once per year row."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    o = load_table(spark, sf_dir, "orders", widen=False).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer", widen=False)
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    n = load_table(spark, sf_dir, "nation", widen=False)
+    r = load_table(spark, sf_dir, "region", widen=False).filter(
+        F.col("r_name") == "ASIA"
+    )
+    p = load_table(spark, sf_dir, "part", widen=False).filter(
+        F.col("p_type") == "PROMO"
+    )
+    nc = n.select("n_nationkey", "n_regionkey")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    vol = px_c * (F.lit(100) - disc_pct)
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum(vol)
+            * 1000000,
+            0,
+        )
+        .cast("long")
+        .alias("mkt_share_ppm")
+    )
+
+
+# TPC-H Q15 shape: top supplier by quarterly revenue — an aggregate
+# compared against its own max (the HAVING-max idiom); the supplier-
+# level revenue table is tiny, so the max is a window over it, not a
+# second scan of the fact.
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+         AS BIGINT) AS total_revenue_c4
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, rev.total_revenue_c4
+FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+WHERE rev.total_revenue_c4 = (SELECT max(total_revenue_c4) FROM rev)
+"""
+
+
+@register("tpch_q15_top_supplier", _Q15_SQL)
+def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: one fact aggregation to a #suppliers-row table,
+    the max as a window over THAT table (no second fact scan), then
+    a broadcast supplier join for the name."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem", widen=False).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(px_c * (F.lit(100) - disc_pct))
+        .cast("long")
+        .alias("total_revenue_c4")
+    )
+    top = rev.withColumn(
+        "_mx", F.max("total_revenue_c4").over(Window.partitionBy())
+    ).filter(F.col("total_revenue_c4") == F.col("_mx"))
+    return top.join(
+        F.broadcast(s), top["l_suppkey"] == s["s_suppkey"]
+    ).select("s_suppkey", "s_name", "total_revenue_c4")
+
+
 # window operators (beyond-reference surface): gap sessionization and
 # top-N per key — single-shuffle WindowExec plans with exact SQL twins.
 

@@ -158,6 +158,17 @@ MAX_EXCHANGES = {
     # batch bands × stored bands equi-join on (band, band_hash) +
     # distinct; same headroom rationale
     "incremental_lsh_vs_store": 6,
+    # round-7 TPC-H additions (+1-2 headroom over fresh-session counts
+    # for AQE/broadcast-flip variation, same policy as q5/q18)
+    "tpch_q6_forecast_revenue": 1,   # scan -> partial agg -> final
+    "tpch_q7_volume_shipping": 8,    # dims broadcast, 1 fact-fact join
+    "tpch_q8_market_share": 10,      # 7-table join, dims broadcast
+    "tpch_q15_top_supplier": 4,      # fact agg + window over suppliers
+    # one window pass + one agg, sessionization shape
+    "merge_user_activity_intervals": 2,
+    # distinct + user-keyed self-join + pair agg + broadcast totals
+    "audience_overlap_jaccard": 12,
+    "cube_event_counts": 1,          # grouping-set expand, one exchange
 }
 
 

@@ -509,3 +509,47 @@ def test_merge_intervals_min_gap_bridges_small_holes(spark):
     )
     # the 5s hole [10,15) is bridged; the 80s hole is not
     assert got == [(0, 20, 2), (100, 110, 1)]
+
+
+def test_merge_intervals_matches_python_model_on_random_input(spark):
+    """Random per-key intervals: the one-window-pass plan must equal
+    the obvious sequential merge."""
+    import random
+
+    rng = random.Random(20260814)
+    rows = []
+    for k in ("a", "b", "c"):
+        for _ in range(60):
+            s = rng.randint(0, 500)
+            rows.append((k, s, s + rng.randint(0, 40)))
+
+    def model(intervals, gap=0):
+        out = []
+        for s, e in sorted(intervals):
+            if out and s <= out[-1][1] + gap:
+                out[-1][1] = max(out[-1][1], e)
+                out[-1][2] += 1
+            else:
+                out.append([s, e, 1])
+        return {tuple(x) for x in out}
+
+    from cybersecurity_miw_spark.operators.timeseries import merge_intervals
+
+    df = spark.createDataFrame(rows, "k STRING, s LONG, e LONG").select(
+        "k",
+        F.timestamp_seconds("s").alias("start_ts"),
+        F.timestamp_seconds("e").alias("end_ts"),
+    )
+    for gap in (0, 7):
+        got = {}
+        for r in merge_intervals(
+            df, "start_ts", "end_ts", keys=("k",), min_gap_seconds=gap
+        ).collect():
+            got.setdefault(r["k"], set()).add(
+                (r["span_start_s"], r["span_end_s"], r["n_merged"])
+            )
+        for k in ("a", "b", "c"):
+            want = model(
+                [(s, e) for kk, s, e in rows if kk == k], gap
+            )
+            assert got[k] == want, (k, gap)

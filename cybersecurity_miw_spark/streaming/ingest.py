@@ -22,6 +22,10 @@ Within-batch duplicates are also collapsed (min doc_id wins), so the
 accepted output is duplicate-free across the entire ingest history —
 the streaming twin of ``dedup_against_store``, golden-checked against
 it by running the same files through the batch path.
+
+:func:`streaming_near_dup_flags` is the near-dup sibling: batch LSH
+bands joined against the persisted band store, candidate pairs
+appended to a flags sink, the batch's bands appended to the store.
 """
 
 from __future__ import annotations
@@ -102,6 +106,81 @@ def streaming_dedup_ingest(
         accepted = accepted.localCheckpoint(eager=True)
         accepted.write.mode("append").parquet(corpus_dir)
         fingerprint_store(accepted).write.mode("append").parquet(store_dir)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def streaming_near_dup_flags(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    flags_dir: str,
+    band_store_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """The near-dup half of the continuous ingest loop: each
+    micro-batch computes its LSH bands, joins them against the
+    PERSISTED band store (history = index rows, never text), appends
+    the resulting (new_id, stored_id) candidate pairs to
+    ``flags_dir``, and appends its own bands to the store — so later
+    batches see this batch as history.
+
+    Within-batch near-dups surface too: the batch's bands are in the
+    join's build side only after the store append, so batch-internal
+    pairs are found by unioning a batch self-join — cheaper than
+    waiting a trigger, and it keeps "every pair is flagged exactly
+    once, when its second member arrives" as the contract. Downstream
+    decides what to do with flags (drop, cluster via
+    dup_clusters_auto, or human review); flagging and deletion are
+    deliberately decoupled, matching the batch operators."""
+    from cybersecurity_miw_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        lsh_band_store,
+        minhash_lsh_candidates,
+    )
+
+    lines = spark.readStream.format("text").load(input_dir)
+    docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        bands_new = lsh_band_store(
+            batch_df, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+        ).localCheckpoint(eager=True)
+        try:
+            store = sess.read.parquet(band_store_dir)
+            has_store = True
+        except Exception:
+            has_store = False
+        within = minhash_lsh_candidates(
+            batch_df, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
+        ).select(
+            F.col("id_b").alias("new_id"), F.col("id_a").alias("stored_id")
+        )
+        if has_store:
+            cross = incremental_lsh_candidates(
+                batch_df,
+                store,
+                num_hashes=num_hashes,
+                bands=bands,
+                shingle_k=shingle_k,
+            )
+            flags = cross.unionByName(within).distinct()
+        else:
+            flags = within
+        flags.write.mode("append").parquet(flags_dir)
+        bands_new.write.mode("append").parquet(band_store_dir)
 
     writer = (
         docs.writeStream.outputMode("append")

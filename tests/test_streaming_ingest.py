@@ -74,3 +74,53 @@ def test_ingest_agrees_with_batch_dedup_path(spark, tmp_path):
     batch = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     want = {r["doc_id"] for r in exact_dedup(batch).collect()}
     assert set(_corpus(spark, corpus)) == want == {1, 2, 4}
+
+
+def test_near_dup_flags_within_and_across_runs(spark, tmp_path):
+    """LSH flags: within-batch pairs flagged immediately; a later
+    run's near-dup of an earlier doc is flagged against the PERSISTED
+    band store (history text never re-read); unrelated docs aren't."""
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_near_dup_flags,
+    )
+
+    indir = tmp_path / "in"
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    base = "the quick brown fox jumps over the lazy dog again"
+    (indir / "a.tsv").write_text(
+        f"1\t{base}\n"
+        f"2\t{base} extra\n"  # within-run near-dup of 1
+        "3\tcompletely different unrelated content entirely\n"
+    )
+    _await(
+        streaming_near_dup_flags(spark, str(indir), ckpt, flags, store)
+    )
+    got1 = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert (2, 1) in got1
+    assert not any(3 in pair for pair in got1)
+
+    (indir / "b.tsv").write_text(
+        f"10\t{base} more\n"  # cross-run near-dup of 1/2
+        "11\tanother totally unrelated document here\n"
+    )
+    _await(
+        streaming_near_dup_flags(spark, str(indir), ckpt, flags, store)
+    )
+    got2 = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert any(n == 10 and s in (1, 2) for n, s in got2)
+    assert not any(11 in pair for pair in got2)
+    # the band store holds rows for every ingested doc
+    stored_ids = {
+        r["doc_id"] for r in spark.read.parquet(store).collect()
+    }
+    assert stored_ids == {1, 2, 3, 10, 11}

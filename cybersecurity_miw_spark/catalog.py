@@ -937,6 +937,54 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-length histogram in log2 buckets — the packing/chunking
+# planner's input (sequence-length budget, truncation loss, bucket
+# share). One aggregation to ~log2(max_len) rows at any corpus size.
+_TOKLEN_HIST_SQL = """
+WITH t AS (
+  SELECT len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT CAST(floor(log2(n_tokens + 1)) AS BIGINT) AS bucket,
+       CAST(pow(2, CAST(floor(log2(n_tokens + 1)) AS BIGINT)) AS BIGINT)
+         AS bucket_min_plus1,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM t), 6) AS doc_share
+FROM t GROUP BY 1
+"""
+
+
+@register("doc_token_length_histogram", _TOKLEN_HIST_SQL)
+def q_toklen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucketed token-length distribution: one narrow token
+    count (the shared textstats convention) + one tiny aggregation;
+    the share denominator is a scalar subquery both engines fold."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    n_tok = textstats.token_count(F.col("text"))
+    t = docs.select(n_tok.alias("n_tokens"))
+    total = t.count()  # one scalar to the driver (row count only)
+    bucket = F.floor(F.log2(F.col("n_tokens") + 1)).cast("long")
+    return (
+        t.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).cast("long").alias(
+                "bucket_min_plus1"
+            ),
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("n_docs") / F.lit(float(total)), 6).alias(
+                "doc_share"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: similarity search
 # ---------------------------------------------------------------------------

@@ -28,11 +28,20 @@ def curate_documents(
     quality_floor: float | None = 0.3,
     near_dup_threshold: float | None = 0.8,
     gopher_kwargs: dict | None = None,
+    fingerprint_store: DataFrame | None = None,
 ) -> DataFrame:
     """Run the standard curation chain; returns the surviving rows of
     ``df`` with the (possibly PII-redacted) text under ``text_col``
     plus the profile columns (lang_guess, n_tokens, quality,
-    fingerprint). Set a stage's parameter to None/False to skip it."""
+    fingerprint). Set a stage's parameter to None/False to skip it.
+
+    ``fingerprint_store``: when curating an INCREMENTAL batch against
+    an already-curated corpus, pass the persisted exact-dedup index
+    (dedup.fingerprint_store schema) — the exact-dedup stage then
+    also drops batch docs whose fingerprint exists in history
+    (dedup_against_store), without rescanning history text. Append
+    ``dedup.fingerprint_store(result)`` to the index after accepting
+    the batch."""
     from cybersecurity_miw_spark.operators import corpus_filters, dedup, textstats
 
     out = df
@@ -55,7 +64,12 @@ def curate_documents(
     out = textstats.profile(out, text_col=text_col)
     if quality_floor is not None:
         out = out.filter(F.col("quality") >= quality_floor)
-    out = dedup.exact_dedup(out, text_col=text_col, id_col=id_col)
+    if fingerprint_store is not None:
+        out = dedup.dedup_against_store(
+            out, fingerprint_store, text_col=text_col, id_col=id_col
+        )
+    else:
+        out = dedup.exact_dedup(out, text_col=text_col, id_col=id_col)
     if near_dup_threshold is not None:
         out = dedup.near_dedup_clusters(
             out,

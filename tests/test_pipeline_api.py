@@ -65,3 +65,47 @@ def test_curate_drops_exact_and_near_dups(spark):
         ).select("doc_id").collect()
     )
     assert kept == [1, 4]
+
+
+def test_curate_against_fingerprint_store_drops_history_dups(spark):
+    """Incremental curation: with a fingerprint_store passed, the
+    exact-dedup stage drops batch docs already in history AND keeps
+    batch-internal dedup semantics; without it, behavior unchanged."""
+    from cybersecurity_miw_spark.operators import dedup
+    from cybersecurity_miw_spark.pipeline import curate_documents
+
+    good = (
+        "The quick brown fox jumps over the lazy dog while the calm "
+        "river flows through the green valley and the birds sing "
+        "softly in the clear morning air of early spring today."
+    )
+    history = spark.createDataFrame(
+        [(1, good)], "doc_id LONG, text STRING"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, good),              # exact dup of history -> drop
+            (11, good + " Fresh."),  # new -> keep
+        ],
+        "doc_id LONG, text STRING",
+    )
+    store = dedup.fingerprint_store(history)
+    kept = {
+        r["doc_id"]
+        for r in curate_documents(
+            batch,
+            quality_floor=None,
+            near_dup_threshold=None,
+            fingerprint_store=store,
+        ).collect()
+    }
+    assert kept == {11}
+
+    # without the store the same batch keeps both (no history)
+    kept_plain = {
+        r["doc_id"]
+        for r in curate_documents(
+            batch, quality_floor=None, near_dup_threshold=None
+        ).collect()
+    }
+    assert kept_plain == {10, 11}

@@ -5221,7 +5221,23 @@ _DRIVER_WINDOW = [
     # beacon_interval_profile, pivot_user_activity) and the §2.8 apps
     # (app_linear_regression, app_word_reverse_index,
     # app_matrix_mult_blocked, app_pca_covariance, app_kmeans_step) —
-    # all of which stay full-hash green in tests/test_oracle_parity.py.)
+    # all of which stay full-hash green in tests/test_oracle_parity.py.
+    #
+    # Round-8 rotation candidates — oracled but never driver-rowed
+    # (31 as of end-of-round-7; all full-hash green in pytest):
+    # tpch_q6/q7/q8/q15, incremental_exact_ingest,
+    # incremental_lsh_vs_store, merge_user_activity_intervals,
+    # audience_overlap_jaccard, cube_event_counts,
+    # doc_token_length_histogram, lm_bigram_quality_scores,
+    # eval_ngram_overlap_flags, hashed_text_embedding,
+    # top_bigram_profile, event_type_transitions, top_event_trigrams,
+    # activity_gap_detection, first_seen_users_per_day,
+    # day_over_day_event_counts, unpivot_day_measures,
+    # hourly_count_correlations, seasonal_volume_anomalies,
+    # funnel_conversion_summary, window_count_after_signup,
+    # json_props_extract, split_word_divergence, bpe_top_pairs,
+    # cidr_filter_derived_ips, sample_20_per_event_type,
+    # uniform_sample_50, weighted_interleave_prefix.)
     "miw_events_summary",
     "agg_union_count_histogram",
     "order_topk_groups",

@@ -1370,6 +1370,71 @@ def q_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Chained multimodal → similarity: cosine top-10 frames nearest the
+# first frame of media 0 — media bytes to ANN in one lazy plan
+# (decode features via mapInPandas, score JVM-side, TakeOrdered).
+# The oracle rebuilds the byte-derived features AND the cosine in
+# SQL end-to-end.
+_FRAME_ANN_SQL = """
+WITH feats AS (
+  SELECT doc_id AS media_id, fr.f AS frame_no,
+         [CASE WHEN strlen(text) = 0 THEN 0.0
+               ELSE ord(substr(text,
+                        ((fr.f * 4 + d) % greatest(strlen(text), 1)) + 1,
+                        1)) / 255.0 END
+          FOR d IN generate_series(0, 3)] AS feature
+  FROM documents, (SELECT unnest(generate_series(0, 1)) AS f) fr
+),
+q AS (SELECT feature AS qv FROM feats
+      WHERE media_id = 0 AND frame_no = 0)
+SELECT media_id, frame_no,
+       round(list_cosine_similarity(feature, (SELECT qv FROM q)), 6)
+         AS cos_sim
+FROM feats
+WHERE list_sum([x * x FOR x IN feature]) > 0
+ORDER BY cos_sim DESC, media_id ASC, frame_no ASC
+LIMIT 10
+"""
+
+
+@register("frame_feature_ann_topk", _FRAME_ANN_SQL)
+def q_frame_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal bytes → frame features (Arrow mapInPandas, fake
+    decoder) → JVM cosine → TakeOrdered(10): the media-similarity
+    pipeline as ONE lazy plan, no intermediate materialization."""
+    from cybersecurity_miw_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media, frames=2, dim=4)
+    qvec = (
+        feats.filter(
+            (F.col("media_id") == 0) & (F.col("frame_no") == 0)
+        )
+        .select("feature")
+        .head()[0]
+    )
+    f = F.col("feature")
+    dot = F.aggregate(
+        F.zip_with(f, F.array(*[F.lit(float(x)) for x in qvec]),
+                   lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n2 = F.aggregate(f, F.lit(0.0), lambda acc, x: acc + x * x)
+    qn = sum(float(x) * float(x) for x in qvec) ** 0.5
+    return (
+        feats.where(n2 > 0)
+        .select(
+            "media_id",
+            "frame_no",
+            F.round(dot / (F.sqrt(n2) * F.lit(qn)), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("media_id"), F.asc("frame_no"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # P16 appname key suffix, A3 count, A12 first-value, A10 ratio over a
 # count-aggregated operand, F2 AND-contains-all multi-value match,

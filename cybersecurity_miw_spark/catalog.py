@@ -4872,6 +4872,82 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ntile quartiles: equal-frequency value buckets per event type (the
+# SQL-standard ntile window) — deterministic under ties via the
+# (value, event_id) order. One WindowExec exchange + one tiny agg.
+_NTILE_SQL = """
+WITH q AS (
+  SELECT event_type,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS quartile,
+         CAST(round(value * 100, 0) AS BIGINT) AS v_c
+  FROM events
+)
+SELECT event_type, CAST(quartile AS BIGINT) AS quartile,
+       count(*) AS n, CAST(min(v_c) AS BIGINT) AS min_c,
+       CAST(max(v_c) AS BIGINT) AS max_c
+FROM q GROUP BY 1, 2
+"""
+
+
+@register("ntile_value_quartiles", _NTILE_SQL)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartiles per type: ntile over a deterministic
+    (value, event_id) order, then per-bucket bounds — the
+    monotone-binning companion to the exact percentiles query."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events", widen=False)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        ev.select(
+            "event_type",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            cents.alias("v_c"),
+        )
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v_c").alias("min_c"),
+            F.max("v_c").alias("max_c"),
+        )
+    )
+
+
+# period-over-period churn: purchasers on day 1 with no purchase on
+# day 2 — the EXCEPT set operation (planned as a left-anti join on
+# the distinct user sets; both sides one aggregation).
+_CHURN_SQL = """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-02'
+EXCEPT
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'purchase'
+  AND ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-03'
+"""
+
+
+@register("churned_purchasers_day_over_day", _CHURN_SQL)
+def q_churned_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT as distinct-set difference: two day-sliced distinct
+    purchaser sets, planned as a left-anti join on the uniform user
+    key — the churn/attrition primitive."""
+    ev = load_table(spark, sf_dir, "events", widen=False).filter(
+        F.col("event_type") == "purchase"
+    )
+    p1 = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-02").cast("timestamp"))
+    ).select("user_id").distinct()
+    p2 = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-02").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-03").cast("timestamp"))
+    ).select("user_id").distinct()
+    return p1.join(p2, on="user_id", how="left_anti")
+
+
 # Audience overlap: Jaccard similarity between the distinct user
 # sets of every event-type pair — the segment-overlap analytic
 # (which behaviors share an audience; which IOC hit-sets co-occur).

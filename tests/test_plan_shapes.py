@@ -169,6 +169,11 @@ MAX_EXCHANGES = {
     # distinct + user-keyed self-join + pair agg + broadcast totals
     "audience_overlap_jaccard": 12,
     "cube_event_counts": 1,          # grouping-set expand, one exchange
+    "ntile_value_quartiles": 2,      # one WindowExec exchange + agg
+    # two day-sliced distincts -> left-anti; +2 for shuffle-join form
+    "churned_purchasers_day_over_day": 5,
+    "frame_feature_ann_topk": 0,     # decode + cosine + TakeOrdered
+    "doc_token_length_histogram": 2,  # token count + tiny bucket agg
 }
 
 

@@ -617,3 +617,46 @@ def test_bucket_partitioned_layout_prunes_probe_scan(spark, tmp_path):
             in probes}
     got = {r["vec_id"] for r in probed.collect()}
     assert got == want and got
+
+
+def test_ivf_pq_index_partitioned_layout_roundtrip(spark, tmp_path):
+    """The ivf_pq_index docstring's production layout, proven: the
+    index written partitionBy(_cell) (a) serves a probe-limited scan
+    via partition pruning and (b) the shortlist-rerank query over the
+    on-disk layout returns exactly the in-memory result."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(300, 16)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = similarity.train_centroids(df, n_cells=4, dim=16, iters=2)
+    books = similarity.train_pq_codebooks(df, dim=16, m=4, k=8, iters=2)
+    idx = similarity.ivf_pq_index(df, cents, books)
+    path = str(tmp_path / "ivf_idx")
+    idx.write.partitionBy("_cell").parquet(path)
+    idx_disk = spark.read.parquet(path)
+
+    # (a) a probe-limited scan prunes at the file index
+    probed = idx_disk.filter(F.col("_cell").isin([0, 2]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "_cell" in plan.split("PartitionFilters")[1][:250]
+
+    # (b) disk layout == in-memory index, exactly
+    q = [float(x) for x in vecs[5]]
+    mem = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ann_shortlist_rerank(
+            df, idx, cents, books, q, k=5, shortlist=50, n_probes=2
+        ).collect()
+    ]
+    disk = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ann_shortlist_rerank(
+            df, idx_disk, cents, books, q, k=5, shortlist=50, n_probes=2
+        ).collect()
+    ]
+    assert mem == disk and len(mem) == 5

@@ -1,0 +1,109 @@
+"""Row-level expectations + quarantine (streaming/expectations.py):
+nothing silently dropped, violations named, streaming result equals
+the batch split over the same rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.streaming.expectations import (
+    split_by_expectations,
+    streaming_with_expectations,
+    with_violations,
+)
+
+def _expectations():
+    # built lazily: Column construction needs an active session
+    return [
+        ("value_nonneg", F.col("value") >= 0),
+        ("user_known", F.col("user_id").isNotNull()),
+        ("type_valid", F.col("etype").isin("click", "view", "purchase")),
+    ]
+
+
+def _await(q):
+    q.awaitTermination(120)
+
+
+def test_violation_vector_names_every_failed_check(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 7, "click", 1.0),     # clean
+            (2, 7, "click", -5.0),    # value_nonneg
+            (3, None, "bogus", -1.0), # user_known + type_valid + value
+        ],
+        "event_id LONG, user_id LONG, etype STRING, value DOUBLE",
+    )
+    got = {
+        r["event_id"]: sorted(r["_violations"])
+        for r in with_violations(df, _expectations()).collect()
+    }
+    assert got == {
+        1: [],
+        2: ["value_nonneg"],
+        3: ["type_valid", "user_known", "value_nonneg"],
+    }
+    good, bad = split_by_expectations(df, _expectations())
+    assert [r["event_id"] for r in good.collect()] == [1]
+    assert "_violations" not in good.columns
+    assert {r["event_id"] for r in bad.collect()} == {2, 3}
+
+
+def test_null_predicate_is_a_violation(spark):
+    # a null comparison must NOT sneak a row into the good sink
+    df = spark.createDataFrame(
+        [(1, 7, "click", None)],
+        "event_id LONG, user_id LONG, etype STRING, value DOUBLE",
+    )
+    good, bad = split_by_expectations(df, _expectations())
+    assert good.count() == 0
+    assert bad.collect()[0]["_violations"] == ["value_nonneg"]
+
+
+def test_streaming_split_appends_and_matches_batch(spark, tmp_path):
+    indir = tmp_path / "in"
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:00:00,7,click,1.0\n"
+        "2,2026-01-01T10:01:00,7,click,-3.0\n"
+        "3,2026-01-01T10:02:00,8,view,5.0\n"
+    )
+    _await(
+        streaming_with_expectations(
+            spark, str(indir), ckpt, good_dir, quar_dir, _expectations()
+        )
+    )
+    assert {
+        r["event_id"] for r in spark.read.parquet(good_dir).collect()
+    } == {1, 3}
+    q1 = {
+        r["event_id"]: list(r["_violations"])
+        for r in spark.read.parquet(quar_dir).collect()
+    }
+    assert q1 == {2: ["value_nonneg"]}
+
+    # run 2 appends; earlier rows are not reprocessed (checkpoint)
+    (indir / "b.log").write_text(
+        "4,2026-01-01T11:00:00,9,bogus,2.0\n"
+        "5,2026-01-01T11:01:00,9,purchase,2.0\n"
+    )
+    _await(
+        streaming_with_expectations(
+            spark, str(indir), ckpt, good_dir, quar_dir, _expectations()
+        )
+    )
+    assert {
+        r["event_id"] for r in spark.read.parquet(good_dir).collect()
+    } == {1, 3, 5}
+    assert {
+        r["event_id"] for r in spark.read.parquet(quar_dir).collect()
+    } == {2, 4}
+
+    # good ∪ quarantine == input: nothing silently dropped
+    n_good = spark.read.parquet(good_dir).count()
+    n_bad = spark.read.parquet(quar_dir).count()
+    assert n_good + n_bad == 5

@@ -65,6 +65,8 @@ class MiwJob:
         self.lines = lines
         self.skip_header = skip_header
         self.store_content = store_content
+        self._obs_in = None
+        self._obs_parsed = None
         # reference -compressed snappy-compresses stored raw content
         # (log_record.cc:351-357); the Spark mapping is sink-codec
         # compression — gzip for the line sinks, snappy for columnar
@@ -107,12 +109,48 @@ class MiwJob:
         (reference -store_content, miw/log_format.cc:596-597)."""
         from cybersecurity_miw_spark.plans.compiler import parse
 
-        return parse(
-            self.source(spark),
+        src = self.source(spark)
+        if self._obs_in is not None:
+            src = src.observe(self._obs_in, F.count(F.lit(1)).alias("n"))
+        rows = parse(
+            src,
             self.ldef,
             keep_raw=self.store_content,
             passthrough=self._extra_keys,
         )
+        if self._obs_parsed is not None:
+            rows = rows.observe(
+                self._obs_parsed, F.count(F.lit(1)).alias("n")
+            )
+        return rows
+
+    def enable_line_stats(self) -> None:
+        """Arm one-pass line accounting (the reference's skipped-line
+        reporting, mr_job.cc non-quiet mode): two Observation nodes —
+        input lines and rows surviving tokenize + size filter + match
+        predicates — fill as a side effect of whatever action the
+        caller runs; no extra job, no second scan. Read with
+        :meth:`line_stats` AFTER an action."""
+        from pyspark.sql import Observation
+
+        self._obs_in = Observation("miw_input_lines")
+        self._obs_parsed = Observation("miw_parsed_rows")
+
+    def line_stats(self) -> dict:
+        """{'n_input', 'n_parsed', 'n_skipped'} — call after an action
+        on a frame built since :meth:`enable_line_stats`. n_skipped
+        counts BOTH malformed lines (fewer tokens than the format
+        needs) and match-filtered lines, exactly the rows the
+        reference's reduce never sees."""
+        if self._obs_in is None or self._obs_parsed is None:
+            raise RuntimeError("call enable_line_stats() before running")
+        n_in = self._obs_in.get["n"]
+        n_ok = self._obs_parsed.get["n"]
+        return {
+            "n_input": n_in,
+            "n_parsed": n_ok,
+            "n_skipped": n_in - n_ok,
+        }
 
     def result(self, spark: SparkSession) -> DataFrame:
         """The aggregated (unordered) result DataFrame. Formats with
@@ -330,12 +368,26 @@ def main(argv: list[str] | None = None) -> None:
             )
         )
         return
+    if not args.quiet:
+        # reference non-quiet mode reports unparsed lines
+        # (mr_job.cc); here it's two Observation nodes on the same
+        # pass — no second scan
+        job.enable_line_stats()
     job.run(
         spark,
         output_format=args.output_format or "json",
         output_path=args.ofname,
         ndisp=args.ndisp,
     )
+    if not args.quiet and (args.ofname or args.ndisp):
+        import sys as _sys
+
+        st = job.line_stats()
+        print(
+            f"[miw] parsed {st['n_parsed']} of {st['n_input']} lines "
+            f"({st['n_skipped']} skipped)",
+            file=_sys.stderr,
+        )
 
 
 if __name__ == "__main__":

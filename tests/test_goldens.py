@@ -490,3 +490,23 @@ def test_a5_max_a3_count_divergence_from_reference_documented(spark):
     # the divergence this test exists to document
     assert r["vmax"] != ref_literal_max
     assert r["v_count"] != ref_literal_count
+
+
+def test_line_stats_one_pass_accounting(spark):
+    """Observation-based skipped-line accounting (the reference's
+    non-quiet report): n_input counts every line, n_skipped counts
+    malformed + match-filtered rows, all filled by the ONE action the
+    caller was running anyway."""
+    fmt = _fmt(
+        "stats",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "v", "pos": 1, "type": "int", "aggregated": True, "aggregation": "sum"},
+        ],
+    )
+    job = MiwJob(fmt, lines=["1,3", "1,5", "malformed", "2,7"])
+    job.enable_line_stats()
+    rows = job.result(spark).collect()  # the action
+    assert {r["id"]: r["v"] for r in rows} == {"1": 8, "2": 7}
+    st = job.line_stats()
+    assert st == {"n_input": 4, "n_parsed": 3, "n_skipped": 1}

@@ -4872,6 +4872,77 @@ def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Alert suppression: the FIRST event per (user, type, hour) — the
+# rate-limit/dedup step an alerting pipeline runs before notifying
+# (N identical alerts in an hour -> 1). One window exchange on the
+# composite key; deterministic under same-ts ties via event_id.
+_ALERT_DEDUP_SQL = """
+SELECT event_id, user_id, event_type,
+       floor(epoch(date_trunc('hour', ts)))::BIGINT AS hour_s
+FROM (
+  SELECT event_id, user_id, event_type, ts,
+         row_number() OVER (
+           PARTITION BY user_id, event_type, date_trunc('hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events WHERE event_type = 'error'
+)
+WHERE rn = 1
+"""
+
+
+@register("alert_dedup_first_per_hour", _ALERT_DEDUP_SQL)
+def q_alert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first error per (user, hour): row_number over the
+    composite key, one WindowExec exchange; the type filter pushes to
+    the scan."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events", widen=False).filter(
+        F.col("event_type") == "error"
+    )
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type", hour).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            hour.cast("timestamp_ltz").cast("long").alias("hour_s"),
+        )
+    )
+
+
+# dense_rank top-k WITH ties: every user in the top-3 activity ranks
+# (ties all surface — the triage list where rank boundaries matter).
+_TOPK_TIES_SQL = """
+WITH c AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST(dense_rank() OVER (ORDER BY n_events DESC) AS BIGINT) AS rnk
+FROM c QUALIFY rnk <= 3
+"""
+
+
+@register("top_users_by_events_with_ties", _TOPK_TIES_SQL)
+def q_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user count then a global dense_rank — the rank window runs
+    over the #users-row aggregate (tiny), not the events."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events", widen=False)
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"))
+    return (
+        c.withColumn("rnk", F.dense_rank().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
 # ntile quartiles: equal-frequency value buckets per event type (the
 # SQL-standard ntile window) — deterministic under ties via the
 # (value, event_id) order. One WindowExec exchange + one tiny agg.

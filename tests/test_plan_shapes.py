@@ -174,6 +174,9 @@ MAX_EXCHANGES = {
     "churned_purchasers_day_over_day": 5,
     "frame_feature_ann_topk": 0,     # decode + cosine + TakeOrdered
     "doc_token_length_histogram": 2,  # token count + tiny bucket agg
+    "alert_dedup_first_per_hour": 1,  # one composite-key WindowExec
+    # user count agg + global rank over the tiny aggregate
+    "top_users_by_events_with_ties": 3,
 }
 
 

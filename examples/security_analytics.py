@@ -12,6 +12,7 @@ how the window/analytics operators compose into a hunting workflow:
     bloom-pruned IOC semi join             → events of flagged users
     incident-window range join             → events inside 6h windows
     interval merge (gaps-and-islands)      → consolidated activity spans
+    alert suppression (rate limiting)      → first error per user/hour
 
 Run: python examples/security_analytics.py [sf_dir]
 """
@@ -85,6 +86,11 @@ def main(sf_dir: str) -> None:
     print("== interval merge: per-user activity consolidated to spans ==")
     QUERIES["merge_user_activity_intervals"](spark, sf_dir).orderBy(
         F.desc("n_merged")
+    ).show(5)
+
+    print("== alert suppression: first error per user per hour ==")
+    QUERIES["alert_dedup_first_per_hour"](spark, sf_dir).orderBy(
+        "hour_s", "user_id"
     ).show(5)
 
     print("== metrics view: hourly OHLC bars + gap-filled series ==")

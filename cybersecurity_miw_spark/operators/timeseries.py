@@ -555,6 +555,44 @@ def gap_fill_locf(
     )
 
 
+def repair_rollup_partials(
+    raw: DataFrame,
+    partials_dir: str,
+    days: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("event_type",),
+    level: str = "minute",
+    cents_scale: int = 100,
+) -> None:
+    """Late-data repair for the continuous-aggregate family: events
+    that arrive AFTER the streaming rollup's watermark closed their
+    buckets never reach the partials sink — the production fix is a
+    periodic batch repair that recomputes the affected days from raw
+    and replaces ONLY those days' partial rows.
+
+    Mechanics: filter raw to ``days`` (partition-prunable predicate
+    when raw is day-partitioned), recompute the ``level`` partials
+    with the exact streaming schema (:func:`rollup_partials`), add a
+    ``day`` partition column, and dynamic-partition-overwrite the
+    partials sink (sources/maintain.py semantics: untouched days'
+    files are never rewritten). Coarser levels need no repair of
+    their own — :func:`rollup_from_partials` re-derives hour/day from
+    the corrected finest level on read. At 100 TB this rewrites
+    #affected-days × #keys × #buckets-per-day partial rows, never the
+    table and never the raw history."""
+    from cybersecurity_miw_spark.sources.maintain import overwrite_partitions
+
+    day_col = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    sliced = raw.where(day_col.isin(list(days)))
+    fixed = rollup_partials(
+        sliced, ts_col, value_col, keys, level, cents_scale
+    ).withColumn(
+        "day", F.date_format(F.col("bucket"), "yyyy-MM-dd")
+    )
+    overwrite_partitions(fixed, partials_dir, ("day",))
+
+
 def merge_intervals(
     df: DataFrame,
     start_col: str = "start_ts",

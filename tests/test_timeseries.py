@@ -553,3 +553,67 @@ def test_merge_intervals_matches_python_model_on_random_input(spark):
                 [(s, e) for kk, s, e in rows if kk == k], gap
             )
             assert got[k] == want, (k, gap)
+
+
+def test_repair_rollup_partials_fixes_late_day_only(spark, tmp_path):
+    """Late-data repair: a day whose watermark already closed gets
+    recomputed from raw and dynamic-overwritten in the partials sink;
+    other days' files are untouched; hour/day views read correct
+    totals from the repaired finest level."""
+    import glob
+    import os
+
+    from cybersecurity_miw_spark.operators.timeseries import (
+        repair_rollup_partials,
+        rollup_from_partials,
+        rollup_partials,
+    )
+
+    partials_dir = str(tmp_path / "partials")
+
+    # initial ingest: day 1 missing a late event, day 2 complete
+    initial = spark.createDataFrame(
+        [
+            ("x", _ts("2024-01-01 10:00:00"), 1.0),
+            ("x", _ts("2024-01-02 10:00:00"), 2.0),
+        ],
+        "event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    (
+        rollup_partials(initial)
+        .withColumn("day", F.date_format("bucket", "yyyy-MM-dd"))
+        .write.partitionBy("day")
+        .parquet(partials_dir)
+    )
+    d2_files = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{partials_dir}/day=2024-01-02/*.parquet")
+    }
+
+    # the full raw table now includes the late day-1 event
+    raw = spark.createDataFrame(
+        [
+            ("x", _ts("2024-01-01 10:00:00"), 1.0),
+            ("x", _ts("2024-01-01 10:00:30"), 10.0),  # late arrival
+            ("x", _ts("2024-01-02 10:00:00"), 2.0),
+        ],
+        "event_type STRING, ts TIMESTAMP, value DOUBLE",
+    )
+    repair_rollup_partials(raw, partials_dir, days=["2024-01-01"])
+
+    healed = spark.read.parquet(partials_dir).drop("day")
+    views = rollup_from_partials(healed)
+    by = {
+        (r["resolution"], r["bucket_s"]): (r["n_events"], r["value_sum_c"])
+        for r in views.where(F.col("event_type") == "x").collect()
+    }
+    # repaired minute bucket now carries both day-1 events
+    assert by[("minute", 1704103200)] == (2, 1100)
+    # day totals: day 1 corrected, day 2 unchanged
+    assert by[("day", 1704067200)] == (2, 1100)
+    assert by[("day", 1704153600)] == (1, 200)
+    # day 2's files were never rewritten
+    assert {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{partials_dir}/day=2024-01-02/*.parquet")
+    } == d2_files

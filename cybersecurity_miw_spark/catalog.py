@@ -668,6 +668,47 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs).select("doc_id", "n_chars")
 
 
+# Canonical-form dedup groups: the aggressive normalization
+# (lowercase + Latin-1 accent fold + punctuation strip + whitespace
+# collapse) catches cosmetic variants plain fingerprinting misses —
+# the standard pre-MinHash canonicalization. The accent map is an
+# explicit translate literal on BOTH engines (textstats.ACCENT_SRC),
+# so the md5 is cross-engine exact.
+
+_CANON_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace("
+    "translate(lower(coalesce(text, '')), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ',"
+    " 'aaaaaaceeeeiiiinooooouuuuyy'),"
+    " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+
+_CANON_DEDUP_SQL = f"""
+SELECT md5({_CANON_NORM_SQL}) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS representative
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_groups_canonical", _CANON_DEDUP_SQL)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups under the canonical form — same uniform-key
+    groupBy as dedup_exact_groups, stricter equivalence classes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            textstats.fingerprint_aggressive(F.col("text")).alias(
+                "fingerprint"
+            ),
+            "doc_id",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("representative"),
+        )
+    )
+
+
 # MinHash signatures — one 32-bit md5-prefix hash per shingle, then
 # 16 (a·h+b) mod P permutations (operators/dedup.py MINHASH_*); the
 # oracle rebuilds the identical integer pipeline.

@@ -86,6 +86,32 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+# Latin-1 accent folding map: identical literal on both engines so
+# the aggressive fingerprint stays oracle-able (Spark has no
+# strip_accents; an explicit translate IS the cross-engine contract)
+ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
+ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyy"
+
+
+def normalize_aggressive(text: Column) -> Column:
+    """Aggressive dedup normalization: lowercase → fold Latin-1
+    accents (explicit translate map, ACCENT_SRC→ACCENT_DST) → strip
+    everything but [a-z0-9 ] → collapse whitespace. Catches the
+    near-exact duplicates plain fingerprinting misses (curly quotes,
+    accent variants, punctuation-only edits) while staying
+    deterministic and cross-engine exact — the standard pre-MinHash
+    canonicalization step."""
+    t = F.translate(F.lower(F.coalesce(text, F.lit(""))), ACCENT_SRC, ACCENT_DST)
+    t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def fingerprint_aggressive(text: Column) -> Column:
+    """md5 of :func:`normalize_aggressive` — the canonical-form
+    fingerprint for exact dedup across cosmetic variants."""
+    return F.md5(normalize_aggressive(text))
+
+
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-shingles as an array<string> (distinct). Built with
     sequence+transform over the split array — no UDF.

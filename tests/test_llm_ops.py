@@ -660,3 +660,29 @@ def test_ivf_pq_index_partitioned_layout_roundtrip(spark, tmp_path):
         ).collect()
     ]
     assert mem == disk and len(mem) == 5
+
+
+def test_aggressive_normalization_collapses_cosmetic_variants(spark):
+    from cybersecurity_miw_spark.operators.textstats import (
+        fingerprint_aggressive,
+        normalize_aggressive,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Café résumé, naïve!"),
+            (2, "cafe resume naive"),        # accent/case/punct variant
+            (3, "  cafe   resume  naive "),  # whitespace variant
+            (4, "completely different"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = df.select(
+        "doc_id",
+        normalize_aggressive(F.col("text")).alias("norm"),
+        fingerprint_aggressive(F.col("text")).alias("fp"),
+    ).collect()
+    by = {r["doc_id"]: (r["norm"], r["fp"]) for r in rows}
+    assert by[1][0] == "cafe resume naive"
+    assert by[1] == by[2] == by[3]
+    assert by[4][1] != by[1][1]

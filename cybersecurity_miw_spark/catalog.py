@@ -2550,6 +2550,65 @@ def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.session_summary(ev, gap_minutes=30)
 
 
+# Session conversion: per user, sessions total vs sessions containing
+# a purchase — the product-analytics KPI built directly on the
+# session assignment (ONE window pass shared with session_summary,
+# then two chained aggs on the same user key).
+_SESSION_CONV_SQL = """
+WITH s AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_id
+  FROM s
+),
+per_sess AS (
+  SELECT user_id, session_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converting,
+       CAST(round(sum(converted)::DOUBLE / count(*) * 1000000, 0)
+            AS BIGINT) AS conversion_ppm
+FROM per_sess GROUP BY 1
+"""
+
+
+@register("session_conversion_rate", _SESSION_CONV_SQL)
+def q_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize (one user-keyed window pass), flag converting
+    sessions with a conditional max, then a per-user roll-up — all
+    three stages share the user hash partitioning."""
+    from cybersecurity_miw_spark.operators import windows
+
+    ev = load_events(spark, sf_dir)
+    s = windows.sessionize(ev, gap_minutes=30)
+    per_sess = s.groupBy("user_id", "session_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converting"),
+        F.round(
+            F.sum("converted") / F.count(F.lit(1)) * 1000000, 0
+        )
+        .cast("long")
+        .alias("conversion_ppm"),
+    )
+
+
 _TOPN_SQL = """
 SELECT user_id, event_id, event_type AS etype FROM (
   SELECT user_id, event_id, event_type,

@@ -177,6 +177,10 @@ MAX_EXCHANGES = {
     "alert_dedup_first_per_hour": 1,  # one composite-key WindowExec
     # user count agg + global rank over the tiny aggregate
     "top_users_by_events_with_ties": 3,
+    "dedup_groups_canonical": 1,      # uniform md5 groupBy
+    # session window + per-session max + per-user rollup all share
+    # the ONE user-key hash partition
+    "session_conversion_rate": 2,
 }
 
 

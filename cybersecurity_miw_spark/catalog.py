@@ -836,6 +836,47 @@ def q_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_against_store(batch, store).select("doc_id", "n_chars")
 
 
+_INC_CONFIRM_SQL = f"""
+WITH {_SIGS_CTE},
+banded AS (
+  SELECT doc_id, b.b AS band,
+         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS stored_id
+  FROM banded a JOIN banded c
+    ON a.band = c.band AND a.band_hash = c.band_hash
+  WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+)
+SELECT cand.new_id, cand.stored_id,
+       round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+             greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) AS jaccard
+FROM cand
+JOIN shingled sa ON sa.doc_id = cand.new_id
+JOIN shingled sb ON sb.doc_id = cand.stored_id
+WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+            greatest(len(list_distinct(sa.sh || sb.sh)), 1), 6) >= 0.8
+"""
+
+
+@register("incremental_near_dups_confirmed", _INC_CONFIRM_SQL)
+def q_incremental_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full incremental near-dup decision: candidates from the
+    persisted band index, exact Jaccard confirm computed by fetching
+    text for ONLY the candidate docs (semi-join pruning both sides)
+    — 100 TB of history participates through index rows plus the
+    handful of surfaced documents."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = dedup.lsh_band_store(history, num_hashes=16, bands=4, shingle_k=3)
+    return dedup.incremental_near_dups_confirmed(
+        batch, history, store, threshold=0.8,
+        num_hashes=16, bands=4, shingle_k=3,
+    )
+
+
 _INC_LSH_SQL = f"""
 WITH {_SIGS_CTE},
 banded AS (

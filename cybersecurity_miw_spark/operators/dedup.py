@@ -587,6 +587,68 @@ def incremental_lsh_candidates(
     )
 
 
+def incremental_near_dups_confirmed(
+    new_docs: DataFrame,
+    history_docs: DataFrame,
+    band_store: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The full incremental near-dup decision: LSH candidates from
+    the PERSISTED band index (:func:`incremental_lsh_candidates`),
+    then exact n-gram Jaccard >= ``threshold`` — computed by fetching
+    text for ONLY the candidate history docs (a semi-join against the
+    candidate id set), never scanning history wholesale. Returns
+    (new_id, stored_id, jaccard) for confirmed pairs.
+
+    This is the production read pattern the store design implies:
+    100 TB of history participates through ~5 B/doc of index rows
+    plus the handful of documents the index actually surfaces."""
+    cand = incremental_lsh_candidates(
+        new_docs, band_store, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    # fetch shingles for candidate rows only — both sides pruned by
+    # the candidate id sets before any text is shingled
+    new_pruned = new_docs.join(
+        cand.select(F.col("new_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="semi",
+    )
+    hist_pruned = history_docs.join(
+        cand.select(F.col("stored_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="semi",
+    )
+    nsh = with_shingles(new_pruned, text_col, shingle_k, "_sh_n", keep=(id_col,))
+    hsh = with_shingles(hist_pruned, text_col, shingle_k, "_sh_h", keep=(id_col,))
+    j = (
+        cand.join(
+            nsh.select(F.col(id_col).alias("new_id"), "_sh_n"), "new_id"
+        )
+        .join(
+            hsh.select(F.col(id_col).alias("stored_id"), "_sh_h"),
+            "stored_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sh_n", "_sh_h"))
+                / F.greatest(
+                    F.size(F.array_union("_sh_n", "_sh_h")), F.lit(1)
+                ),
+                6,
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "new_id", "stored_id", "jaccard"
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -65,14 +65,18 @@ HEADLINE = CORE15 + EXTENDED
 
 
 def force(df) -> None:
-    """Run the full plan without shipping rows to the driver, then
-    drop any operator-internal cached intermediates so 23 queries x 4
-    passes don't accumulate executor cache across timings (the release
-    itself runs OUTSIDE the timed region — callers time force() and
-    the unpersist is deferred non-blocking)."""
+    """Run the full plan without shipping rows to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def release() -> None:
+    """Drop operator-internal cached intermediates so 23 queries x 4
+    passes don't accumulate executor cache across timings. Called by
+    the bench loops AFTER each timing is recorded, so the unpersist
+    RPC is genuinely outside the timed region (round-8 fix: it used
+    to run inside force() and was timed)."""
     from cybersecurity_miw_spark.cache import release_intermediates
 
-    df.write.format("noop").mode("overwrite").save()
     release_intermediates()
 
 
@@ -106,6 +110,7 @@ def main() -> None:
         t0 = time.perf_counter()
         force(QUERIES[name](spark, SF_DIR))
         cold[name] = round(time.perf_counter() - t0, 3)
+        release()
 
     # Passes 2-4 (timed): steady-state wall time per query,
     # MEDIAN of three runs — the environment shows ±10-16% VM noise and
@@ -120,6 +125,7 @@ def main() -> None:
             t0 = time.perf_counter()
             force(QUERIES[name](spark, SF_DIR))
             runs[name].append(time.perf_counter() - t0)
+            release()
 
     timings = {n: round(sorted(ts)[1], 3) for n, ts in runs.items()}
     spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}

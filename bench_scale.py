@@ -160,15 +160,19 @@ def main() -> None:
     plan = [(BASE_DIR, "base", QUERY_NAMES + TSHIFT_QUERY_NAMES),
             (SCALE_DIR, "scaled", QUERY_NAMES),
             (f"{SCALE_DIR}-tshift", "scaled", TSHIFT_QUERY_NAMES)]
+    from cybersecurity_miw_spark.cache import release_intermediates
+
     for sf_dir, tag, names in plan:
         for name in names:
             force(QUERIES[name](spark, sf_dir))
+            release_intermediates()
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
                 force(QUERIES[name](spark, sf_dir))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
+                release_intermediates()
             out.setdefault(name, {})[tag] = round(best, 3)
 
     queries = {}

@@ -677,8 +677,8 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CANON_NORM_SQL = (
     "trim(regexp_replace(regexp_replace("
-    "translate(lower(coalesce(text, '')), 'àáâãäåçèéêëìíîïñòóôõöùúûüýÿ',"
-    " 'aaaaaaceeeeiiiinooooouuuuyy'),"
+    f"translate(lower(coalesce(text, '')), '{textstats.ACCENT_SRC}',"
+    f" '{textstats.ACCENT_DST}'),"
     " '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
 )
 
@@ -2132,12 +2132,15 @@ def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            F.broadcast(
-                c.join(
-                    F.broadcast(n.join(F.broadcast(r),
-                                       n["n_regionkey"] == r["r_regionkey"])),
-                    c["c_nationkey"] == F.col("n_nationkey"),
-                )
+            # customer is NOT hinted: it is TPC-H's largest "dimension"
+            # (150k rows x sf — gigabytes at cluster scale) and an
+            # explicit broadcast hint never demotes, so the size call
+            # belongs to file stats / AQE. nation(x)region stays hinted
+            # (true small dims).
+            c.join(
+                F.broadcast(n.join(F.broadcast(r),
+                                   n["n_regionkey"] == r["r_regionkey"])),
+                c["c_nationkey"] == F.col("n_nationkey"),
             ),
             (o["o_custkey"] == F.col("c_custkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
@@ -2194,7 +2197,7 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(F.broadcast(big), "l_orderkey")
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
     )
     return (
         joined.groupBy(
@@ -2253,7 +2256,7 @@ def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     )
     return (
@@ -2405,7 +2408,7 @@ def q_tpch7(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
             (
@@ -2487,7 +2490,7 @@ def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )

@@ -65,6 +65,7 @@ class MiwJob:
         self.lines = lines
         self.skip_header = skip_header
         self.store_content = store_content
+        self._line_stats_enabled = False
         self._obs_in = None
         self._obs_parsed = None
         # reference -compressed snappy-compresses stored raw content
@@ -110,6 +111,15 @@ class MiwJob:
         from cybersecurity_miw_spark.plans.compiler import parse
 
         src = self.source(spark)
+        if self._line_stats_enabled:
+            # an Observation attaches to ONE DataFrame only — mint a
+            # fresh pair per parsed() call so repeated result() calls
+            # (which the docstring invites) don't reuse a consumed one;
+            # line_stats() reads the latest pair
+            from pyspark.sql import Observation
+
+            self._obs_in = Observation("miw_input_lines")
+            self._obs_parsed = Observation("miw_parsed_rows")
         if self._obs_in is not None:
             src = src.observe(self._obs_in, F.count(F.lit(1)).alias("n"))
         rows = parse(
@@ -130,11 +140,11 @@ class MiwJob:
         input lines and rows surviving tokenize + size filter + match
         predicates — fill as a side effect of whatever action the
         caller runs; no extra job, no second scan. Read with
-        :meth:`line_stats` AFTER an action."""
-        from pyspark.sql import Observation
-
-        self._obs_in = Observation("miw_input_lines")
-        self._obs_parsed = Observation("miw_parsed_rows")
+        :meth:`line_stats` AFTER an action. Each :meth:`parsed` call
+        mints a fresh Observation pair (Spark forbids reusing one
+        across DataFrames), so re-running ``result()`` is safe;
+        :meth:`line_stats` reports the most recently built frame."""
+        self._line_stats_enabled = True
 
     def line_stats(self) -> dict:
         """{'n_input', 'n_parsed', 'n_skipped'} — call after an action

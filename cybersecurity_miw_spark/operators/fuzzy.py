@@ -23,7 +23,7 @@ quadratic model), no false positives after the refine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # hard cap on each side's short-string set: the cross join over the
@@ -45,15 +45,38 @@ def fuzzy_join(
     the caller's problem). Null strings match nothing.
 
     Row multiplicity is preserved: each side is tagged with a
-    row id (``monotonically_increasing_id``) before gram explosion, so
-    the candidate-pair ``distinct()`` collapses only the gram fan-out,
-    never duplicate input rows — two identical left rows each pair
-    with a matching right row. (``_lid``/``_rid`` are reserved column
-    names for the tags and are dropped from the output.)"""
+    DETERMINISTIC row id — md5 of the full row content plus an
+    occurrence number (row_number over the content hash) — before gram
+    explosion, so the candidate-pair ``distinct()`` collapses only the
+    gram fan-out, never duplicate input rows: two identical left rows
+    each pair with a matching right row. Content-derived ids matter
+    for correctness, not just reproducibility: the gram branch and the
+    short-string branch evaluate the tagged frames independently, and
+    a partition-layout-dependent id (``monotonically_increasing_id``)
+    could tag the same row differently in the two streams, so a pair
+    qualifying via BOTH paths would survive the union's ``distinct()``
+    twice. Identical rows are interchangeable, so the content tag is
+    stable as a multiset across recomputations and task retries.
+    (``_lid``/``_rid`` are reserved column names for the tags and are
+    dropped from the output.)"""
     k, short_len = max_distance, q * (max_distance + 1)
 
-    left = left.withColumn("_lid", F.monotonically_increasing_id())
-    right = right.withColumn("_rid", F.monotonically_increasing_id())
+    def content_tag(df: DataFrame, tag: str) -> DataFrame:
+        h = F.md5(
+            F.to_json(
+                F.struct(*df.columns), {"ignoreNullFields": "false"}
+            )
+        )
+        w = Window.partitionBy(h).orderBy(F.lit(1))
+        return df.withColumn(
+            tag,
+            F.struct(
+                h.alias("h"), F.row_number().over(w).alias("n")
+            ),
+        )
+
+    left = content_tag(left, "_lid")
+    right = content_tag(right, "_rid")
 
     def gram_explode(df, col, side):
         c = F.col(col)

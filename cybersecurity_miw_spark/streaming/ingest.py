@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
+from cybersecurity_miw_spark.cache import release_intermediates
 from cybersecurity_miw_spark.operators.dedup import (
     dedup_against_store,
     fingerprint_store,
@@ -106,6 +107,10 @@ def streaming_dedup_ingest(
         accepted = accepted.localCheckpoint(eager=True)
         accepted.write.mode("append").parquet(corpus_dir)
         fingerprint_store(accepted).write.mode("append").parquet(store_dir)
+        # a continuous query runs this loop forever: drop any persisted
+        # intermediates the dedup operators pinned THIS trigger, or the
+        # executor cache grows by one DataFrame per batch, unbounded
+        release_intermediates()
 
     writer = (
         docs.writeStream.outputMode("append")
@@ -181,6 +186,10 @@ def streaming_near_dup_flags(
             flags = within
         flags.write.mode("append").parquet(flags_dir)
         bands_new.write.mode("append").parquet(band_store_dir)
+        # minhash_lsh_candidates tracked_persist()s its banded
+        # projection: release per trigger so a continuous (non-
+        # availableNow) query holds no unbounded cache
+        release_intermediates()
 
     writer = (
         docs.writeStream.outputMode("append")

@@ -510,3 +510,24 @@ def test_line_stats_one_pass_accounting(spark):
     assert {r["id"]: r["v"] for r in rows} == {"1": 8, "2": 7}
     st = job.line_stats()
     assert st == {"n_input": 4, "n_parsed": 3, "n_skipped": 1}
+
+
+def test_line_stats_survives_repeated_result(spark):
+    """result() invites repeated calls — each parsed() must mint a
+    FRESH Observation pair (Spark forbids attaching one Observation to
+    two DataFrames), so a second run neither raises nor returns stale
+    counts."""
+    fmt = _fmt(
+        "stats2",
+        [
+            {"name": "id", "pos": 0, "type": "int", "key": True},
+            {"name": "v", "pos": 1, "type": "int", "aggregated": True, "aggregation": "sum"},
+        ],
+    )
+    job = MiwJob(fmt, lines=["1,3", "bad", "2,7"])
+    job.enable_line_stats()
+    job.result(spark).collect()
+    assert job.line_stats() == {"n_input": 3, "n_parsed": 2, "n_skipped": 1}
+    # second full run on the SAME job object: fresh observations fill
+    job.result(spark).collect()
+    assert job.line_stats() == {"n_input": 3, "n_parsed": 2, "n_skipped": 1}

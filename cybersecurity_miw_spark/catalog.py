@@ -723,10 +723,17 @@ _SHINGLES_SQL = """
         FROM documents)
 """
 
+# one expression per permutation, parameterized by the library default
+# (dedup.DEFAULT_NUM_HASHES / DEFAULT_BANDS) so the oracle re-derives
+# the exact operating point the operators ship with — raising the
+# default re-pins every minhash oracle automatically.
+_NH, _NB = dedup.DEFAULT_NUM_HASHES, dedup.DEFAULT_BANDS
+_NR = _NH // _NB  # rows per band
+
 _SIG_EXPRS = ", ".join(
     f"list_min([({dedup.MINHASH_A[i]} * h + {dedup.MINHASH_B[i]}) "
     f"% {dedup.MINHASH_P} FOR h IN hs])"
-    for i in range(16)
+    for i in range(_NH)
 )
 
 _SIGS_CTE = f"""
@@ -748,7 +755,7 @@ SELECT doc_id, array_to_string(sig, '|') AS sig_str FROM sigs
 @register("minhash_signatures", _MINHASH_SQL)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", widen=True)
-    sig = dedup.with_signature(docs, num_hashes=16, shingle_k=3)
+    sig = dedup.with_signature(docs, num_hashes=_NH, shingle_k=3)
     return sig.select(
         "doc_id",
         F.concat_ws(
@@ -757,11 +764,11 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BANDED_CTE = """
+_BANDED_CTE = f"""
 banded AS (
   SELECT doc_id, b.b AS band,
-         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
-  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+         md5(array_to_string(sig[b.b*{_NR}+1:b.b*{_NR}+{_NR}], '|')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, {_NB - 1})) AS b) b
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
@@ -780,7 +787,7 @@ SELECT id_a, id_b FROM cands
 def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", widen=True)
     return dedup.minhash_lsh_candidates(
-        docs, num_hashes=16, bands=4, shingle_k=3
+        docs, num_hashes=_NH, bands=_NB, shingle_k=3
     )
 
 
@@ -801,7 +808,7 @@ JOIN shingled sb ON sb.doc_id = cands.id_b
 @register("near_dup_jaccard_confirm", _JACCARD_SQL)
 def q_jaccard_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    cand = dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4, shingle_k=3)
+    cand = dedup.minhash_lsh_candidates(docs, num_hashes=_NH, bands=_NB, shingle_k=3)
     return dedup.jaccard_pairs(docs, cand, shingle_k=3)
 
 
@@ -840,8 +847,8 @@ _INC_CONFIRM_SQL = f"""
 WITH {_SIGS_CTE},
 banded AS (
   SELECT doc_id, b.b AS band,
-         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
-  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+         md5(array_to_string(sig[b.b*{_NR}+1:b.b*{_NR}+{_NR}], '|')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, {_NB - 1})) AS b) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS stored_id
@@ -870,10 +877,10 @@ def q_incremental_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", widen=True)
     history = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    store = dedup.lsh_band_store(history, num_hashes=16, bands=4, shingle_k=3)
+    store = dedup.lsh_band_store(history, num_hashes=_NH, bands=_NB, shingle_k=3)
     return dedup.incremental_near_dups_confirmed(
         batch, history, store, threshold=0.8,
-        num_hashes=16, bands=4, shingle_k=3,
+        num_hashes=_NH, bands=_NB, shingle_k=3,
     )
 
 
@@ -881,8 +888,8 @@ _INC_LSH_SQL = f"""
 WITH {_SIGS_CTE},
 banded AS (
   SELECT doc_id, b.b AS band,
-         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
-  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+         md5(array_to_string(sig[b.b*{_NR}+1:b.b*{_NR}+{_NR}], '|')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, {_NB - 1})) AS b) b
 )
 SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS stored_id
 FROM banded a JOIN banded c
@@ -901,9 +908,9 @@ def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", widen=True)
     history = docs.where(F.col("doc_id") % 5 != 0)
     batch = docs.where(F.col("doc_id") % 5 == 0)
-    store = dedup.lsh_band_store(history, num_hashes=16, bands=4, shingle_k=3)
+    store = dedup.lsh_band_store(history, num_hashes=_NH, bands=_NB, shingle_k=3)
     return dedup.incremental_lsh_candidates(
-        batch, store, num_hashes=16, bands=4, shingle_k=3
+        batch, store, num_hashes=_NH, bands=_NB, shingle_k=3
     )
 
 
@@ -3167,8 +3174,8 @@ _DECONTAM_SQL = f"""
 WITH {_SIGS_CTE},
 banded AS (
   SELECT doc_id, b.b AS band,
-         md5(array_to_string(sig[b.b*4+1:b.b*4+4], '|')) AS band_hash
-  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS b) b
+         md5(array_to_string(sig[b.b*{_NR}+1:b.b*{_NR}+{_NR}], '|')) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(0, {_NB - 1})) AS b) b
 ),
 cross_cands AS (
   SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
@@ -5541,7 +5548,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniform-key shuffle per round, one scalar to the driver per round."""
     docs = load_table(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_candidates(
-        docs, num_hashes=16, bands=4, shingle_k=3
+        docs, num_hashes=_NH, bands=_NB, shingle_k=3
     )
     confirmed = dedup.jaccard_pairs(docs, cand, shingle_k=3).filter(
         F.col("jaccard") >= 0.8

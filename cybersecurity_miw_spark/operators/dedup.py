@@ -47,8 +47,21 @@ def _mh_const(tag: str, i: int) -> int:
     return (v % 2147483647) + 1  # in [1, 2^31 - 1], never 0
 
 
-MINHASH_A = [_mh_const("a", i) for i in range(64)]
-MINHASH_B = [_mh_const("b", i) for i in range(64)]
+MINHASH_A = [_mh_const("a", i) for i in range(128)]
+MINHASH_B = [_mh_const("b", i) for i in range(128)]
+
+# Default LSH operating point, chosen from the measured planted-pair
+# recall sweep (bench_lsh_recall.py, SCALE.md "LSH banding recall"):
+# 112 hashes / 16 bands / 7 rows-per-band gives theoretical candidate
+# recall 1-(1-J^7)^16 = 0.977 at J=0.8 (>= the 0.95 production bar)
+# vs 0.88 for the old 16/4, at ~2.8x the signature cost (2.13 s vs
+# 0.76 s at sf0.1 -- the md5 shingle hashing dominates, so cost is
+# sub-linear in num_hashes). r=7 beats 128/16 (r=8, recall 0.947) on
+# BOTH recall and cost; the extra false candidates at mid-J (11.8%
+# vs 6.1% at J=0.5) are absorbed by the exact-Jaccard confirm, which
+# is candidate-bounded.
+DEFAULT_NUM_HASHES = 112
+DEFAULT_BANDS = 16
 
 
 # ---- exact dedup ----
@@ -86,7 +99,7 @@ def duplicate_groups(
 # ---- MinHash / LSH ----
 
 
-def minhash_signature(text: Column, num_hashes: int = 16, shingle_k: int = 3) -> Column:
+def minhash_signature(text: Column, num_hashes: int = DEFAULT_NUM_HASHES, shingle_k: int = 3) -> Column:
     """Array of ``num_hashes`` MinHash values (int64). Each shingle is
     hashed ONCE (32-bit md5 prefix); the ``num_hashes`` permutations
     are (a_i·h + b_i) mod P integer ops — ~16× less hashing than the
@@ -101,7 +114,7 @@ def shingle_hash32(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
-def signature_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
+def signature_from_shingles(sh: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
     """MinHash signature as ONE fold over the shingle array: hash each
     shingle once, apply all permutations, fold with element-wise least.
     (An earlier version built ``num_hashes`` independent
@@ -132,7 +145,7 @@ def _perm_fn(i: int):
     ) % F.lit(MINHASH_P)
 
 
-def signature_from_hashes(hs: Column, num_hashes: int = 16) -> Column:
+def signature_from_hashes(hs: Column, num_hashes: int = DEFAULT_NUM_HASHES) -> Column:
     """MinHash signature from a STAGED array of 32-bit shingle hashes:
     one ``array_min(transform)`` per permutation. ``hs`` must be a
     column reference to its own projection (multi-referenced aliases
@@ -148,7 +161,7 @@ def with_signature(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
+    num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 3,
     out_col: str = "_sig",
 ) -> DataFrame:
@@ -209,8 +222,8 @@ def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing at least
@@ -284,8 +297,8 @@ def near_dedup_minhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Full near-dedup: LSH candidates → exact Jaccard ≥ threshold →
@@ -461,8 +474,8 @@ def cross_lsh_candidates(
     right: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ACROSS two document sets:
@@ -538,8 +551,8 @@ def lsh_band_store(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """The persisted near-dup index rows for a corpus slice:
@@ -564,8 +577,8 @@ def incremental_lsh_candidates(
     band_store: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Near-dup candidates of an incoming batch AGAINST THE PERSISTED
@@ -594,8 +607,8 @@ def incremental_near_dups_confirmed(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """The full incremental near-dup decision: LSH candidates from
@@ -655,8 +668,8 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Drop training rows contaminated by the eval set: exact
@@ -812,8 +825,8 @@ def near_dedup_clusters(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
 ) -> DataFrame:
     """Cluster-correct near-dedup: LSH candidates → exact Jaccard >=

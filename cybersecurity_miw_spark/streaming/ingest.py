@@ -128,8 +128,8 @@ def streaming_near_dup_flags(
     checkpoint_dir: str,
     flags_dir: str,
     band_store_dir: str,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = None,
+    bands: int = None,
     shingle_k: int = 3,
     available_now: bool = True,
 ) -> StreamingQuery:
@@ -149,10 +149,17 @@ def streaming_near_dup_flags(
     dup_clusters_auto, or human review); flagging and deletion are
     deliberately decoupled, matching the batch operators."""
     from cybersecurity_miw_spark.operators.dedup import (
+        DEFAULT_BANDS,
+        DEFAULT_NUM_HASHES,
         incremental_lsh_candidates,
         lsh_band_store,
         minhash_lsh_candidates,
     )
+
+    if num_hashes is None:
+        num_hashes = DEFAULT_NUM_HASHES
+    if bands is None:
+        bands = DEFAULT_BANDS
 
     lines = spark.readStream.format("text").load(input_dir)
     docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())

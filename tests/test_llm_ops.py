@@ -686,3 +686,33 @@ def test_aggressive_normalization_collapses_cosmetic_variants(spark):
     assert by[1][0] == "cafe resume naive"
     assert by[1] == by[2] == by[3]
     assert by[4][1] != by[1][1]
+
+
+# ---- LSH banding recall at the shipped default (round 8) ----
+
+
+def test_lsh_default_recall_on_planted_pairs(spark):
+    """The banding S-curve is the dedup pipeline's recall ceiling
+    (the confirm stage can only keep what banding surfaces). Golden:
+    at the shipped default (DEFAULT_NUM_HASHES/DEFAULT_BANDS =
+    112/16, r=7) planted pairs with true 3-shingle Jaccard >= 0.78
+    are surfaced with recall >= 0.93 and J >= 0.85 pairs with recall
+    1.0 — vs 0.80/0.96 measured for the pre-round-8 16/4 default
+    (bench_lsh_recall.py, SCALE.md 'LSH banding recall')."""
+    from bench_lsh_recall import planted_rows
+
+    rows, true_pairs = planted_rows(n_pairs=150, n_background=50)
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    hi = [p for p, j in true_pairs.items() if 0.78 <= j]
+    vhi = [p for p, j in true_pairs.items() if 0.85 <= j]
+    assert hi and vhi
+    recall_hi = sum(p in got for p in hi) / len(hi)
+    recall_vhi = sum(p in got for p in vhi) / len(vhi)
+    assert recall_hi >= 0.93, recall_hi
+    assert recall_vhi == 1.0, recall_vhi
+    # background docs (J=0 to everything) must not flood candidates
+    assert all(a < 10_000_000 and b < 10_000_000 for a, b in got)

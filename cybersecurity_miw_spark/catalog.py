@@ -1496,10 +1496,19 @@ def q_frame_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.documents_as_media(docs)
     feats = multimodal.extract_features(media, frames=2, dim=4)
+    # probe vector: decode ONLY the probe document (media_id ==
+    # doc_id, so the filter pushes below the mapInPandas decode to
+    # the parquet scan) — the head job reads one doc, not the probe
+    # document's whole partition, and the main plan keeps its single
+    # decode subtree (VERDICT r7 #5). The 4-float result rides along
+    # as a literal.
     qvec = (
-        feats.filter(
-            (F.col("media_id") == 0) & (F.col("frame_no") == 0)
+        multimodal.extract_features(
+            multimodal.documents_as_media(docs.where(F.col("doc_id") == 0)),
+            frames=2,
+            dim=4,
         )
+        .filter(F.col("frame_no") == 0)
         .select("feature")
         .head()[0]
     )

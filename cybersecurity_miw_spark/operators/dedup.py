@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cybersecurity_miw_spark.operators.textstats import (
@@ -660,6 +660,97 @@ def incremental_near_dups_confirmed(
     return j.filter(F.col("jaccard") >= threshold).select(
         "new_id", "stored_id", "jaccard"
     )
+
+
+# ---- store maintenance (compaction + retention) ----
+#
+# The persisted ingest indexes only ever APPEND: one parquet file per
+# micro-batch/ingest run, plus (in the documented crash-loss mode — a
+# doc re-accepted after its store append was lost) duplicate index
+# rows. Periodic maintenance keeps the per-batch join healthy at
+# 100 TB: compaction collapses files and duplicate rows, retention
+# drops index rows for documents that left the corpus. Both reuse
+# sources.maintain.rewrite_table's temp-dir + atomic-rename dance, so
+# a concurrent reader sees the old store or the new one, never a
+# half-written copy. Maintenance is a pure rewrite of the index — a
+# golden (tests/test_store_maintain.py) pins that a compacted or
+# pruned store yields byte-identical incremental dedup decisions.
+
+
+def compact_fingerprint_store(
+    spark: SparkSession, store_dir: str, target_files: int = 1
+) -> dict:
+    """Compact a persisted :func:`fingerprint_store` directory:
+    collapse duplicate fingerprints (min representative wins — the
+    same tie-break ingest uses) and rewrite into ``target_files``
+    files. Returns rewrite_table's before/after counts."""
+    from cybersecurity_miw_spark.sources.maintain import rewrite_table
+
+    def collapse(df: DataFrame) -> DataFrame:
+        return df.groupBy("fingerprint").agg(
+            F.min("representative").alias("representative")
+        )
+
+    return rewrite_table(spark, store_dir, collapse, target_files)
+
+
+def compact_band_store(
+    spark: SparkSession, store_dir: str, target_files: int = 1
+) -> dict:
+    """Compact a persisted :func:`lsh_band_store` directory: distinct
+    (doc_id, band, band_hash) rows — re-appended bands from a
+    redelivered batch collapse — rewritten into ``target_files``
+    files."""
+    from cybersecurity_miw_spark.sources.maintain import rewrite_table
+
+    return rewrite_table(
+        spark, store_dir, lambda df: df.distinct(), target_files
+    )
+
+
+def prune_band_store(
+    spark: SparkSession,
+    store_dir: str,
+    keep_ids: DataFrame,
+    id_col: str = "doc_id",
+    target_files: int = 1,
+) -> dict:
+    """Retention for the band index: keep only rows whose ``doc_id``
+    is in ``keep_ids`` (the ids still in the corpus after deletions /
+    GDPR erasure / retention expiry) — a semi-join on the uniform id
+    key, then the same atomic rewrite. Pruned docs stop surfacing as
+    near-dup matches immediately."""
+    from cybersecurity_miw_spark.sources.maintain import rewrite_table
+
+    keep = keep_ids.select(F.col(id_col)).distinct()
+
+    def prune(df: DataFrame) -> DataFrame:
+        return df.join(keep, on=id_col, how="semi")
+
+    return rewrite_table(spark, store_dir, prune, target_files)
+
+
+def prune_fingerprint_store(
+    spark: SparkSession,
+    store_dir: str,
+    keep_ids: DataFrame,
+    id_col: str = "doc_id",
+    target_files: int = 1,
+) -> dict:
+    """Retention for the fingerprint index: keep fingerprints whose
+    representative is still in the corpus. NOTE the semantic choice:
+    dropping a fingerprint re-admits future exact copies of the
+    deleted text — which is exactly what erasure-driven retention
+    wants (the alternative, keeping tombstones, is a one-line
+    ``transform`` swap)."""
+    from cybersecurity_miw_spark.sources.maintain import rewrite_table
+
+    keep = keep_ids.select(F.col(id_col).alias("representative")).distinct()
+
+    def prune(df: DataFrame) -> DataFrame:
+        return df.join(keep, on="representative", how="semi")
+
+    return rewrite_table(spark, store_dir, prune, target_files)
 
 
 def decontaminate(

@@ -92,3 +92,56 @@ def compact_partition(
     if not os.listdir(stage_root):
         os.rmdir(stage_root)
     return n_before
+
+
+def rewrite_table(
+    spark: SparkSession,
+    table_dir: str,
+    transform=None,
+    target_files: int = 1,
+) -> dict:
+    """Atomically rewrite an UNPARTITIONED parquet directory —
+    optionally applying ``transform`` (DataFrame -> DataFrame) — into
+    ``target_files`` files. The maintenance primitive for
+    append-per-micro-batch tables (the incremental dedup stores): a
+    store that gained one file per trigger turns every ingest join
+    into a task-scheduling exercise, and the one crash-loss mode
+    (doc re-accepted after a lost store append) leaves duplicate
+    index rows that ``transform`` can collapse.
+
+    Same temp-dir + rename dance as :func:`compact_partition`
+    (staging under a dot-prefixed sibling so concurrent scans never
+    see the in-flight copy; single-writer maintenance window
+    assumed). Returns {'files_before', 'files_after', 'rows_before',
+    'rows_after'}."""
+    df = spark.read.parquet(table_dir)
+    rows_before = df.count()
+    files_before = len(
+        [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    )
+    out = transform(df) if transform is not None else df
+    out = out.coalesce(target_files)
+
+    parent, name = os.path.split(os.path.normpath(table_dir))
+    stage_root = os.path.join(parent, ".maintenance")
+    tmp_dir = os.path.join(stage_root, name + ".tmp")
+    old_dir = os.path.join(stage_root, name + ".old")
+    for d in (tmp_dir, old_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    out.write.mode("overwrite").parquet(tmp_dir)
+    rows_after = spark.read.parquet(tmp_dir).count()
+    os.rename(table_dir, old_dir)
+    os.rename(tmp_dir, table_dir)
+    shutil.rmtree(old_dir)
+    if not os.listdir(stage_root):
+        os.rmdir(stage_root)
+    files_after = len(
+        [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+    }

@@ -1,0 +1,138 @@
+"""Store-maintenance lifecycle goldens (VERDICT r7 #6): the
+incremental dedup indexes (fingerprint store, LSH band store) are
+append-only under ingest — one parquet file per micro-batch plus
+possible duplicate rows from the documented crash-loss mode.
+Compaction and retention are pure rewrites through
+sources.maintain.rewrite_table (temp dir + atomic rename), so the
+pinned contract is: a compacted store yields BYTE-IDENTICAL
+incremental dedup decisions, and a pruned store stops surfacing the
+pruned ids immediately."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import dedup
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def store_dirs(spark, tmp_path):
+    """Simulate three ingest appends (3 files) with a duplicated
+    fingerprint row (the crash-loss re-accept mode) in both stores."""
+    fp_dir = str(tmp_path / "fp_store")
+    band_dir = str(tmp_path / "band_store")
+    batches = [
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")],
+        [(3, "alpha beta gamma delta epsilon zeta"), (4, "six seven eight nine ten")],
+        # batch 3 re-appends doc 1 (crash replay): duplicate index rows
+        [(1, "alpha beta gamma delta epsilon"), (5, "eleven twelve thirteen fourteen")],
+    ]
+    for rows in batches:
+        b = _docs(spark, rows)
+        dedup.fingerprint_store(b).write.mode("append").parquet(fp_dir)
+        dedup.lsh_band_store(b).write.mode("append").parquet(band_dir)
+    return fp_dir, band_dir
+
+
+def test_compacted_fingerprint_store_same_decisions(spark, store_dirs, tmp_path):
+    fp_dir, _ = store_dirs
+    batch = _docs(
+        spark,
+        [
+            (10, "alpha beta gamma delta epsilon"),  # exact dup of history
+            (11, "totally new content never seen"),
+            (12, "totally new content never seen"),  # batch-internal dup
+        ],
+    )
+    before = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against_store(
+            batch, spark.read.parquet(fp_dir)
+        ).collect()
+    )
+    stats = dedup.compact_fingerprint_store(spark, fp_dir)
+    after = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against_store(
+            batch, spark.read.parquet(fp_dir)
+        ).collect()
+    )
+    assert before == after == [11]
+    # compaction actually compacted: fewer files, duplicate row gone
+    assert stats["files_before"] > stats["files_after"] == 1
+    assert stats["rows_after"] < stats["rows_before"]
+    # store schema and semantics intact: one row per fingerprint
+    store = spark.read.parquet(fp_dir)
+    assert store.groupBy("fingerprint").count().filter("count > 1").count() == 0
+    # no staging leftovers
+    assert not os.path.exists(str(tmp_path / ".maintenance"))
+
+
+def test_compacted_band_store_same_candidates(spark, store_dirs):
+    _, band_dir = store_dirs
+    batch = _docs(spark, [(20, "alpha beta gamma delta epsilon")])
+    before = {
+        (r["new_id"], r["stored_id"])
+        for r in dedup.incremental_lsh_candidates(
+            batch, spark.read.parquet(band_dir)
+        ).collect()
+    }
+    stats = dedup.compact_band_store(spark, band_dir)
+    after = {
+        (r["new_id"], r["stored_id"])
+        for r in dedup.incremental_lsh_candidates(
+            batch, spark.read.parquet(band_dir)
+        ).collect()
+    }
+    assert before == after
+    assert (20, 1) in after  # exact text match shares every band
+    assert stats["files_before"] > stats["files_after"] == 1
+    # doc 1's re-appended band rows collapsed by distinct()
+    assert stats["rows_after"] < stats["rows_before"]
+
+
+def test_pruned_band_store_drops_erased_doc(spark, store_dirs):
+    _, band_dir = store_dirs
+    batch = _docs(spark, [(20, "alpha beta gamma delta epsilon")])
+    before = {
+        r["stored_id"]
+        for r in dedup.incremental_lsh_candidates(
+            batch, spark.read.parquet(band_dir)
+        ).collect()
+    }
+    assert 1 in before
+    keep = spark.createDataFrame([(2,), (3,), (4,), (5,)], "doc_id long")
+    dedup.prune_band_store(spark, band_dir, keep)
+    after = {
+        r["stored_id"]
+        for r in dedup.incremental_lsh_candidates(
+            batch, spark.read.parquet(band_dir)
+        ).collect()
+    }
+    assert 1 not in after  # erased doc stopped matching immediately
+    assert after <= before - {1}
+    ids = {r["doc_id"] for r in spark.read.parquet(band_dir).select("doc_id").distinct().collect()}
+    assert ids <= {2, 3, 4, 5}
+
+
+def test_pruned_fingerprint_store_readmits_erased_text(spark, store_dirs):
+    fp_dir, _ = store_dirs
+    keep = spark.createDataFrame([(2,), (3,), (4,), (5,)], "doc_id long")
+    dedup.prune_fingerprint_store(spark, fp_dir, keep)
+    batch = _docs(spark, [(30, "alpha beta gamma delta epsilon")])
+    accepted = sorted(
+        r["doc_id"]
+        for r in dedup.dedup_against_store(
+            batch, spark.read.parquet(fp_dir)
+        ).collect()
+    )
+    # doc 1's text was erased from the corpus -> its exact copy is
+    # re-admitted (the documented retention semantic)
+    assert accepted == [30]

@@ -122,7 +122,12 @@ def run_text_corpus() -> None:
     )
     cell_sizes = np.bincount(assigned, minlength=n_cells)
 
-    for n_probes in (1, 2, 4, 8, 16):
+    # at high cell counts the interesting regime is deeper probe sets:
+    # equal-recall comparisons across n_cells need probe counts that
+    # admit comparable scan fractions (512 cells @ 32 probes ~ 128
+    # cells @ 8 probes)
+    probe_set = (1, 2, 4, 8, 16) if n_cells <= 128 else (4, 8, 16, 32, 64)
+    for n_probes in probe_set:
         recalls, fracs = [], []
         for qi, q in enumerate(queries):
             d2 = np.sum((cents - q) ** 2, axis=1)
@@ -143,7 +148,12 @@ def run_text_corpus() -> None:
         df, centroids, res_books, residual=True
     ).persist()
     res_index.count()
-    for n_probes, shortlist in ((1, 100), (2, 100), (4, 200), (8, 200), (16, 200)):
+    rerank_set = (
+        ((1, 100), (2, 100), (4, 200), (8, 200), (16, 200))
+        if n_cells <= 128
+        else ((4, 100), (8, 200), (16, 200), (32, 200), (64, 200))
+    )
+    for n_probes, shortlist in rerank_set:
         recalls, fracs = [], []
         for qi, q in enumerate(queries):
             d2 = np.sum((cents - q) ** 2, axis=1)

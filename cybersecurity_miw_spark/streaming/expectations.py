@@ -62,19 +62,54 @@ def streaming_with_expectations(
     quarantine_dir: str,
     expectations: list[tuple[str, Column]],
     available_now: bool = True,
+    metrics: list | None = None,
 ) -> StreamingQuery:
     """Continuous contract enforcement over event lines
     (``event_id,ISO-ts,user_id,event_type,value``): each micro-batch
     is tagged once, then both sinks append their half. The tagged
     frame is materialized once per batch (localCheckpoint) so the two
-    writes don't recompute the parse+tag work."""
+    writes don't recompute the parse+tag work.
+
+    Pass a list as ``metrics`` to monitor the quarantine rate WITHOUT
+    scanning the sink: an Observation node rides the tagging
+    projection (the same one-pass accounting as MiwJob line stats,
+    job.py:enable_line_stats), filled as a side effect of the batch's
+    own materialization — no extra job. One dict is appended per
+    micro-batch: ``{'batch_id', 'n_rows', 'n_quarantined'}`` plus a
+    per-expectation violation count under ``'viol_<name>'`` (a row
+    violating two expectations counts once in n_quarantined and once
+    per name)."""
     lines = spark.readStream.format("text").load(input_dir)
     ev = parse_event_lines(lines)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tagged = with_violations(batch_df, expectations).localCheckpoint(
-            eager=True
-        )
+        from pyspark.sql import Observation
+
+        tagged = with_violations(batch_df, expectations)
+        obs = None
+        if metrics is not None:
+            obs = Observation(f"expectations_b{batch_id}")
+            aggs = [
+                F.count(F.lit(1)).alias("n_rows"),
+                F.coalesce(
+                    F.sum((F.size("_violations") > 0).cast("long")),
+                    F.lit(0),
+                ).alias("n_quarantined"),
+                *[
+                    F.coalesce(
+                        F.sum(
+                            F.array_contains("_violations", name).cast("long")
+                        ),
+                        F.lit(0),
+                    ).alias(f"viol_{name}")
+                    for name, _ in expectations
+                ],
+            ]
+            tagged = tagged.observe(obs, *aggs)
+        tagged = tagged.localCheckpoint(eager=True)
+        if obs is not None:
+            # filled by the checkpoint materialization above
+            metrics.append({"batch_id": batch_id, **obs.get})
         (
             tagged.where(F.size("_violations") == 0)
             .drop("_violations")

@@ -107,3 +107,55 @@ def test_streaming_split_appends_and_matches_batch(spark, tmp_path):
     n_good = spark.read.parquet(good_dir).count()
     n_bad = spark.read.parquet(quar_dir).count()
     assert n_good + n_bad == 5
+
+
+def test_metrics_observation_counts_two_batches(spark, tmp_path):
+    """VERDICT r7 #8: per-batch violation counts surfaced through the
+    Observation plumbing — the quarantine rate is monitorable without
+    scanning the sink. Two batches, counts read from the metrics list
+    only."""
+    indir = tmp_path / "in"
+    good_dir = str(tmp_path / "good")
+    quar_dir = str(tmp_path / "quarantine")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    metrics: list = []
+
+    (indir / "a.log").write_text(
+        "1,2026-01-01T10:00:00,7,click,1.0\n"
+        "2,2026-01-01T10:01:00,7,click,-3.0\n"
+        "3,2026-01-01T10:02:00,,view,5.0\n"
+    )
+    _await(
+        streaming_with_expectations(
+            spark, str(indir), ckpt, good_dir, quar_dir, _expectations(),
+            metrics=metrics,
+        )
+    )
+    (indir / "b.log").write_text(
+        "4,2026-01-01T11:00:00,9,bogus,-2.0\n"
+        "5,2026-01-01T11:01:00,9,purchase,2.0\n"
+    )
+    _await(
+        streaming_with_expectations(
+            spark, str(indir), ckpt, good_dir, quar_dir, _expectations(),
+            metrics=metrics,
+        )
+    )
+    assert len(metrics) == 2
+    b1, b2 = metrics
+    assert (b1["n_rows"], b1["n_quarantined"]) == (3, 2)
+    assert b1["viol_value_nonneg"] == 1
+    assert b1["viol_user_known"] == 1
+    assert b1["viol_type_valid"] == 0
+    # batch 2: event 4 violates two expectations, counted once in
+    # n_quarantined and once per name
+    assert (b2["n_rows"], b2["n_quarantined"]) == (2, 1)
+    assert b2["viol_value_nonneg"] == 1
+    assert b2["viol_type_valid"] == 1
+    assert b2["viol_user_known"] == 0
+    # the metrics agree with the sinks (read once here to prove it,
+    # not because monitoring needs to)
+    assert spark.read.parquet(quar_dir).count() == sum(
+        m["n_quarantined"] for m in metrics
+    )

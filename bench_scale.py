@@ -72,6 +72,18 @@ TSHIFT_QUERY_NAMES = [
     "range_join_event_windows",
 ]
 
+# round 8: the new TPC-H heavies against 10x facts (lineitem/orders
+# copied with orderkey offsets; dims unchanged — the retention-growth
+# story: the same customers/suppliers/parts, 10x the order history).
+# q13's per-customer counts grow 10x (count-of-counts shifts right),
+# q21's per-order aggregate sees disjoint orderkeys per copy (linear),
+# q16's distinct pair agg scans 10x input into a constant-size output.
+TPCH_SCALE_QUERY_NAMES = [
+    "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q21_sole_return_supplier",
+]
+
 
 def _rotated(i: int) -> str:
     az = string.ascii_lowercase
@@ -134,6 +146,41 @@ def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
     )
 
 
+def build_scaled_tpch(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    """10x the TPC-H FACTS (lineitem, orders) with per-copy orderkey
+    offsets; dims copied unchanged — same key spaces, 10x the
+    history."""
+    from pyspark.sql import functions as F
+
+    o = spark.read.parquet(f"{base_dir}/orders.parquet")
+    li = spark.read.parquet(f"{base_dir}/lineitem.parquet")
+    okey_off = o.agg(F.max("o_orderkey")).first()[0] + 1
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * okey_off))
+        for i in range(copies)
+    ]
+    scaled_li = parts[0]
+    for pp in parts[1:]:
+        scaled_li = scaled_li.unionByName(pp)
+    scaled_li.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
+    )
+    parts = [
+        o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * okey_off))
+        for i in range(copies)
+    ]
+    scaled_o = parts[0]
+    for pp in parts[1:]:
+        scaled_o = scaled_o.unionByName(pp)
+    scaled_o.repartition(8).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{base_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{t}.parquet")
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -155,10 +202,16 @@ def main() -> None:
     else:
         build_s = 0.0
 
+    if not os.path.exists(f"{SCALE_DIR}/lineitem.parquet/_SUCCESS"):
+        t0 = time.perf_counter()
+        build_scaled_tpch(spark, BASE_DIR, SCALE_DIR, COPIES)
+        build_s += round(time.perf_counter() - t0, 3)
+
     # warm-up then min-of-2 timed, same methodology as bench.py
     out: dict[str, dict[str, float]] = {}
-    plan = [(BASE_DIR, "base", QUERY_NAMES + TSHIFT_QUERY_NAMES),
-            (SCALE_DIR, "scaled", QUERY_NAMES),
+    plan = [(BASE_DIR, "base",
+             QUERY_NAMES + TSHIFT_QUERY_NAMES + TPCH_SCALE_QUERY_NAMES),
+            (SCALE_DIR, "scaled", QUERY_NAMES + TPCH_SCALE_QUERY_NAMES),
             (f"{SCALE_DIR}-tshift", "scaled", TSHIFT_QUERY_NAMES)]
     from cybersecurity_miw_spark.cache import release_intermediates
 

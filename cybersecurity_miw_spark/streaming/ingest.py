@@ -61,6 +61,7 @@ def streaming_dedup_ingest(
     corpus_dir: str,
     store_dir: str,
     available_now: bool = True,
+    metrics: list | None = None,
 ) -> StreamingQuery:
     """Continuous exact-dedup ingest. Each micro-batch:
 
@@ -78,12 +79,25 @@ def streaming_dedup_ingest(
 
     State lives entirely in the store parquet (not the state store),
     so the query restarts cheaply and any batch job can read or
-    rebuild the store (fingerprint_store over the corpus)."""
+    rebuild the store (fingerprint_store over the corpus).
+
+    Pass a list as ``metrics`` to monitor the dedup rate without
+    scanning the sinks: one ``{'batch_id', 'n_batch', 'n_accepted',
+    'n_rejected'}`` dict is appended per micro-batch. (An Observation
+    is NOT used here deliberately: dedup_against_store references the
+    batch twice in one plan — fingerprint tagging and the final
+    semi-join — so an observed input node would double-count. Instead
+    the batch is localCheckpoint'ed once — which the join wants
+    anyway, it halves the batch-file scans — and the counts read the
+    cached checkpoint.)"""
     lines = spark.readStream.format("text").load(input_dir)
     docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # materialize the batch once: dedup_against_store reads it
+        # twice (tag + semi-join), and the metrics count is then free
+        batch_df = batch_df.localCheckpoint(eager=True)
         try:
             store = sess.read.parquet(store_dir)
             has_store = True
@@ -105,6 +119,15 @@ def streaming_dedup_ingest(
             )
         # materialize once: both appends read the same accepted set
         accepted = accepted.localCheckpoint(eager=True)
+        if metrics is not None:
+            n_batch = batch_df.count()  # cached checkpoint, no rescan
+            n_acc = accepted.count()
+            metrics.append({
+                "batch_id": batch_id,
+                "n_batch": n_batch,
+                "n_accepted": n_acc,
+                "n_rejected": n_batch - n_acc,
+            })
         accepted.write.mode("append").parquet(corpus_dir)
         fingerprint_store(accepted).write.mode("append").parquet(store_dir)
         # a continuous query runs this loop forever: drop any persisted

@@ -239,3 +239,12 @@ def test_tpch_q22_bnlj_is_only_the_one_row_stats_cross(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 7
+
+
+def test_frame_ann_single_decode_subtree(spark):
+    """VERDICT r7 #5: the probe-vector head job decodes ONLY the probe
+    document (filter pushed below the Arrow decode to the scan), and
+    the MAIN plan contains exactly one mapInPandas decode subtree —
+    the media corpus is decoded once."""
+    plan = _plan(spark, "frame_feature_ann_topk")
+    assert plan.count("MapInPandas") == 1

@@ -124,3 +124,38 @@ def test_near_dup_flags_within_and_across_runs(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(store).collect()
     }
     assert stored_ids == {1, 2, 3, 10, 11}
+
+
+def test_ingest_metrics_per_batch(spark, tmp_path):
+    """Dedup-rate monitoring without scanning the sinks: one
+    {batch_id, n_batch, n_accepted, n_rejected} dict per micro-batch,
+    counts read from the batch's own localCheckpoint (no extra
+    scan)."""
+    indir = tmp_path / "in"
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    metrics: list = []
+
+    (indir / "a.tsv").write_text("1\talpha beta\n2\talpha beta\n3\tgamma\n")
+    _await(
+        streaming_dedup_ingest(
+            spark, str(indir), ckpt, corpus, store, metrics=metrics
+        )
+    )
+    # batch 2: one history dup (alpha beta), one new
+    (indir / "b.tsv").write_text("4\talpha beta\n5\tdelta\n")
+    _await(
+        streaming_dedup_ingest(
+            spark, str(indir), ckpt, corpus, store, metrics=metrics
+        )
+    )
+    assert len(metrics) == 2
+    b1, b2 = metrics
+    assert (b1["n_batch"], b1["n_accepted"], b1["n_rejected"]) == (3, 2, 1)
+    assert (b2["n_batch"], b2["n_accepted"], b2["n_rejected"]) == (2, 1, 1)
+    # metrics agree with the sink (read once to prove, not to monitor)
+    assert spark.read.parquet(corpus).count() == sum(
+        m["n_accepted"] for m in metrics
+    )

@@ -791,6 +791,44 @@ def q_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Guarded banding: buckets wider than the cap are excluded from the
+# pair self-join — the skew fence for near-dup mega-clusters
+# (boilerplate templates), where one bucket otherwise emits W^2/2
+# pairs. W=2 here so the guard is exercised against real data (the
+# sf0.01 documents table has width-3 buckets); production W is
+# O(100s).
+
+_BANDED_GUARDED_CTE = _BANDED_CTE.replace(
+    "cands AS (",
+    "okb AS (\n"
+    "  SELECT band, band_hash FROM banded GROUP BY 1, 2"
+    " HAVING count(*) <= 2\n"
+    "),\n"
+    "bandedok AS (\n"
+    "  SELECT banded.* FROM banded JOIN okb USING (band, band_hash)\n"
+    "),\n"
+    "cands AS (",
+).replace("FROM banded a JOIN banded c", "FROM bandedok a JOIN bandedok c")
+
+_LSH_GUARDED_SQL = f"""
+WITH {_SIGS_CTE}, {_BANDED_GUARDED_CTE}
+SELECT id_a, id_b FROM cands
+"""
+
+
+@register("minhash_lsh_guarded", _LSH_GUARDED_SQL)
+def q_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_lsh_candidates with max_bucket_width=2: one extra
+    count agg on the same uniform (band, band_hash) key, then the
+    self-join runs only over admitted buckets — pair output bounded
+    by W^2/2 per bucket regardless of skew.
+    :func:`dedup.oversized_band_buckets` surfaces what was fenced."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    return dedup.minhash_lsh_candidates(
+        docs, num_hashes=_NH, bands=_NB, shingle_k=3, max_bucket_width=2
+    )
+
+
 # exact n-gram (3-shingle) Jaccard confirm on the LSH candidates — the
 # full near-dup decision value, recomputed relationally end-to-end.
 

@@ -218,25 +218,23 @@ def staged(df: DataFrame) -> DataFrame:
     return tracked_persist(df, StorageLevel.MEMORY_AND_DISK)
 
 
-def minhash_lsh_candidates(
+def _banded_projection(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = DEFAULT_NUM_HASHES,
-    bands: int = DEFAULT_BANDS,
-    shingle_k: int = 3,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) sharing at least
-    one LSH band bucket. Plan: narrow signature computation → explode
-    bands (xN) → self-join on (band, band_hash) — the join key is a
-    uniform hash so the shuffle is skew-free; same-bucket pair count
-    bounds the output."""
+    """(id, band, band_hash) rows, persisted: the shared front half of
+    every banding consumer (self-join candidates, the guarded variant,
+    the band store)."""
     rows_per_band = num_hashes // bands
     # stage words → shingles → signature as separate projections so
     # the text split and the signature fold each evaluate exactly once
     # (see textstats.with_shingles)
     with_sig = with_signature(df, text_col, id_col, num_hashes, shingle_k)
-    banded = staged(
+    return staged(
         with_sig.select(
             F.col(id_col),
             F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
@@ -246,6 +244,45 @@ def minhash_lsh_candidates(
             F.col("b.band_hash").alias("band_hash"),
         )
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing at least
+    one LSH band bucket. Plan: narrow signature computation → explode
+    bands (xN) → self-join on (band, band_hash) — the join key is a
+    uniform hash so the shuffle is skew-free; same-bucket pair count
+    bounds the output.
+
+    ``max_bucket_width`` guards the one blowup banding cannot avoid:
+    a NEAR-dup mega-cluster (a boilerplate template with thousands of
+    variants — exact dedup upstream already collapses byte-identical
+    copies) puts W docs in one bucket and the self-join emits W²/2
+    pairs from it. With the guard set, buckets wider than the cap are
+    EXCLUDED from the pair join (one extra count agg on the same
+    uniform key) — list them with :func:`oversized_band_buckets` and
+    handle the members as a cluster directly (they are mutually
+    near-dup by construction at that width) instead of materializing
+    the quadratic pair list. The pair output is then bounded by
+    W_max²/2 per bucket regardless of data skew."""
+    banded = _banded_projection(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    if max_bucket_width is not None:
+        ok = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") <= max_bucket_width)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(ok, on=["band", "band_hash"], how="left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -261,6 +298,34 @@ def minhash_lsh_candidates(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
         .distinct()
+    )
+
+
+def oversized_band_buckets(
+    df: DataFrame,
+    max_bucket_width: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The buckets the ``max_bucket_width`` guard excluded:
+    (band, band_hash, width, member_ids) — width docs that all share a
+    full band of MinHash rows, i.e. a near-dup mega-cluster surfaced
+    WITHOUT materializing its quadratic pair list. ``member_ids`` is
+    the sorted id array (bounded per row by the cluster size; treat
+    the bucket as one duplicate group, e.g. keep min id)."""
+    banded = _banded_projection(
+        df, text_col, id_col, num_hashes, bands, shingle_k
+    )
+    return (
+        banded.groupBy("band", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("width"),
+            F.array_sort(F.collect_list(F.col(id_col))).alias("member_ids"),
+        )
+        .filter(F.col("width") > max_bucket_width)
     )
 
 

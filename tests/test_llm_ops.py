@@ -716,3 +716,36 @@ def test_lsh_default_recall_on_planted_pairs(spark):
     assert recall_vhi == 1.0, recall_vhi
     # background docs (J=0 to everything) must not flood candidates
     assert all(a < 10_000_000 and b < 10_000_000 for a, b in got)
+
+
+def test_lsh_bucket_width_guard_bounds_mega_cluster(spark):
+    """A near-dup mega-cluster (template + tiny per-doc variation)
+    puts every member in shared band buckets — W docs => W^2/2 pairs
+    without a guard. With max_bucket_width set, oversized buckets are
+    excluded from the pair join (output stays bounded) and
+    oversized_band_buckets surfaces the cluster WITHOUT its quadratic
+    pair list. Normal planted pairs are untouched."""
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, template) for i in range(60)]  # exact mega-cluster
+    rows += [
+        (100, "completely different text about spark and parquet files"),
+        (101, "completely different text about spark and parquet stuff"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    unguarded = dedup.minhash_lsh_candidates(docs)
+    n_unguarded = unguarded.count()
+    assert n_unguarded >= 60 * 59 // 2  # the quadratic blowup is real
+
+    guarded = dedup.minhash_lsh_candidates(docs, max_bucket_width=10)
+    got = {(r["id_a"], r["id_b"]) for r in guarded.collect()}
+    assert (100, 101) in got  # normal pair survives the guard
+    assert all(a >= 100 for a, _ in got)  # mega-cluster pairs excluded
+    assert len(got) < 60  # bounded output
+
+    over = dedup.oversized_band_buckets(docs, max_bucket_width=10)
+    rows_over = over.collect()
+    assert rows_over  # the mega-cluster is surfaced, not silently lost
+    members = {i for r in rows_over for i in r["member_ids"]}
+    assert members == set(range(60))
+    assert all(r["width"] == 60 for r in rows_over)

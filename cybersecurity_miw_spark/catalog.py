@@ -1016,6 +1016,47 @@ def q_simhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_dedup_candidates(docs, hash_fn="md5_60")
 
 
+# Incremental SimHash vs the persisted band index (round 8): batch
+# fingerprints computed fresh, history contributes stored (doc_id,
+# band, val) rows only — the SimHash sibling of
+# incremental_lsh_vs_store, same %5 batch/history split.
+
+_INC_SIMHASH_SQL = f"""
+WITH fp AS (
+  WITH toks AS (
+    SELECT doc_id, unnest(str_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS tok
+    FROM documents
+  ),
+  h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+  g AS (SELECT doc_id, count(*) AS n, {_SIMHASH_BITS} FROM h GROUP BY doc_id)
+  SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS fp FROM g
+),
+banded AS (
+  SELECT doc_id, b.b AS band, (fp >> (b.b * 15)) & 32767 AS val
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
+)
+SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS stored_id
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.val = c.val
+WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0
+"""
+
+
+@register("incremental_simhash_vs_store", _INC_SIMHASH_SQL)
+def q_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates of an incoming batch against the persisted
+    SimHash band index (operators/dedup.py:simhash_band_store /
+    incremental_simhash_candidates) — history participates through
+    4 small int rows per doc, text never rescanned."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    store = dedup.simhash_band_store(history, hash_fn="md5_60")
+    return dedup.incremental_simhash_candidates(
+        batch, store, hash_fn="md5_60"
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-pipeline: text analysis
 # ---------------------------------------------------------------------------

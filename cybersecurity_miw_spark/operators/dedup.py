@@ -482,16 +482,16 @@ def with_simhash(
     return g.select(F.col(id_col), fp.alias(out_col))
 
 
-def simhash_dedup_candidates(
+def _simhash_banded(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    band_bits: int = 16,
-    hash_fn: str = "xxhash64",
+    text_col: str,
+    id_col: str,
+    band_bits: int,
+    hash_fn: str,
 ) -> DataFrame:
-    """Near-dup candidates = docs sharing any SimHash band (classic
-    Hamming-distance blocking; 4x16-bit bands on the 64-bit default,
-    4x15-bit on the oracle-checkable md5_60 variant)."""
+    """(id, band, val) Hamming-band rows — the shared front half of
+    the self-join candidates, the persisted store, and the
+    incremental path."""
     sh = F.col("_simhash")
     bits = 60 if hash_fn == "md5_60" else 64
     if bits == 60 and band_bits == 16:
@@ -499,7 +499,7 @@ def simhash_dedup_candidates(
     base = with_simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    banded = base.select(
+    return base.select(
         id_col,
         F.explode(
             F.array(
@@ -515,7 +515,62 @@ def simhash_dedup_candidates(
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.val")
-    banded = staged(banded)
+
+
+def simhash_band_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persisted SimHash near-dup index rows for a corpus slice:
+    (doc_id, band, val) — the SimHash sibling of
+    :func:`lsh_band_store`, closing the incremental triangle
+    (exact / MinHash / SimHash all have store-backed ingest paths).
+    Append one batch's rows per ingest; 4-5 small int rows per doc.
+    ``compact_band_store`` / ``prune_band_store`` apply unchanged
+    (same (id, band, hash-ish) shape)."""
+    return _simhash_banded(df, text_col, id_col, band_bits, hash_fn)
+
+
+def incremental_simhash_candidates(
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Hamming-band candidates of an incoming batch AGAINST THE
+    PERSISTED SimHash index: (new_id, stored_id) sharing any band.
+    Batch fingerprints are computed fresh; history contributes stored
+    rows only. Same band family as the self-join path, so a pair is a
+    candidate here iff the pooled self-join would find it."""
+    nb = _simhash_banded(
+        new_docs, text_col, id_col, band_bits, hash_fn
+    ).withColumnRenamed(id_col, "new_id")
+    sb = band_store.withColumnRenamed(id_col, "stored_id")
+    return (
+        nb.join(sb, on=["band", "val"])
+        .select("new_id", "stored_id")
+        .distinct()
+    )
+
+
+def simhash_dedup_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    band_bits: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-dup candidates = docs sharing any SimHash band (classic
+    Hamming-distance blocking; 4x16-bit bands on the 64-bit default,
+    4x15-bit on the oracle-checkable md5_60 variant)."""
+    banded = staged(
+        _simhash_banded(df, text_col, id_col, band_bits, hash_fn)
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(

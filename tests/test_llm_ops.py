@@ -749,3 +749,34 @@ def test_lsh_bucket_width_guard_bounds_mega_cluster(spark):
     members = {i for r in rows_over for i in r["member_ids"]}
     assert members == set(range(60))
     assert all(r["width"] == 60 for r in rows_over)
+
+
+def test_incremental_simhash_matches_pooled_self_join(spark):
+    """SimHash store path (round 8: closes the incremental triangle —
+    exact/MinHash/SimHash all have store-backed ingest): a pair is an
+    incremental candidate iff the pooled band self-join would find it
+    restricted to batch x history."""
+    rows = [
+        (i, f"shared common token stream variant {i % 3} tail") for i in range(12)
+    ] + [(100, "completely unrelated words nothing alike whatsoever")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 != 0)
+
+    store = dedup.simhash_band_store(history)
+    inc = {
+        (r["new_id"], r["stored_id"])
+        for r in dedup.incremental_simhash_candidates(batch, store).collect()
+    }
+    pooled = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in dedup.simhash_dedup_candidates(docs).collect()
+    }
+    pooled_cross = {
+        (a, b) if a % 2 else (b, a)
+        for (a, b) in pooled
+        if (a % 2) != (b % 2)
+    }
+    assert inc == pooled_cross
+    assert inc  # fixture produces candidates
+    assert all(n % 2 == 1 and s % 2 == 0 for n, s in inc)

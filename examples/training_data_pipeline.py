@@ -163,6 +163,41 @@ def main() -> None:
     )
     print(f"z-ordered curated metadata on (n_tokens, quality) -> {zdir}")
 
+    # day-2 operations: the corpus keeps growing — dedup INCREMENTALLY
+    # against persisted indexes (history text never rescanned), fence
+    # mega-clusters out of the pair join, and keep the indexes healthy
+    # with compaction
+    from cybersecurity_miw_spark.operators import dedup as dd
+
+    store_root = os.path.join(os.path.dirname(out_dir), "stores_example")
+    fp_dir = os.path.join(store_root, "fingerprints")
+    band_dir = os.path.join(store_root, "bands")
+    history = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    dd.fingerprint_store(history).write.mode("overwrite").parquet(fp_dir)
+    dd.lsh_band_store(history).write.mode("overwrite").parquet(band_dir)
+
+    accepted = dd.dedup_against_store(batch, spark.read.parquet(fp_dir))
+    flags = dd.incremental_near_dups_confirmed(
+        batch, history, spark.read.parquet(band_dir), threshold=0.8
+    )
+    print(
+        f"incremental ingest: {batch.count()} arriving, "
+        f"{accepted.count()} accepted (exact), "
+        f"{flags.count()} near-dup flags vs history"
+    )
+    # fence check: any near-dup mega-cluster (boilerplate template)
+    # would surface here instead of exploding the pair join
+    over = dd.oversized_band_buckets(docs, max_bucket_width=50)
+    print(f"oversized band buckets (width > 50): {over.count()}")
+    # periodic maintenance: collapse per-batch files + replayed rows
+    stats = dd.compact_band_store(spark, band_dir)
+    print(
+        f"band store compacted: {stats['files_before']} -> "
+        f"{stats['files_after']} files, {stats['rows_before']} -> "
+        f"{stats['rows_after']} rows"
+    )
+
 
 if __name__ == "__main__":
     main()

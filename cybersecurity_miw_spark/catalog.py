@@ -5382,6 +5382,39 @@ FROM fs GROUP BY 1
 """
 
 
+# Rolling 7-day active users (operators/timeseries.py:
+# rolling_active_users): the sliding-distinct dashboard metric as a
+# bounded x7 fan-out over distinct (user, day) activity — never a
+# per-day window DISTINCT.
+
+_ROLLING_AU_SQL = """
+WITH act AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+         user_id
+  FROM events
+),
+cov AS (
+  SELECT DISTINCT act.day_s + 86400 * g.g AS day_s, act.user_id
+  FROM act, (SELECT unnest(generate_series(0, 6)) AS g) g
+),
+days AS (SELECT DISTINCT day_s FROM act)
+SELECT c.day_s, count(*) AS n_active_users
+FROM cov c JOIN days d ON c.day_s = d.day_s
+GROUP BY 1
+"""
+
+
+@register("rolling_7d_active_users", _ROLLING_AU_SQL)
+def q_rolling_au(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in the trailing 7 days, per observed
+    day."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.rolling_active_users(ev, window_days=7)
+
+
 @register("first_seen_users_per_day", _FIRST_SEEN_SQL)
 def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min(ts) per user (uniform key), truncate to day, count per

@@ -714,3 +714,53 @@ def time_weighted_avg(
             _epoch_s(F.col("bucket")).alias("bucket_s"), *keys, "twa_ppm"
         )
     )
+
+
+def rolling_active_users(
+    ev: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Trailing-window distinct actives per day (the 7-day-active-
+    users dashboard metric): for each observed day d, the count of
+    distinct users with ANY event in [d-window_days+1, d].
+
+    The scalable form is a BOUNDED FAN-OUT, not a sliding window
+    distinct: the fact first collapses to distinct (user, day)
+    activity rows (the big shuffle, uniform key), each activity row
+    then covers the ``window_days`` days it keeps the user active for
+    (explode of a window_days-element sequence — narrow, bounded),
+    and a second distinct + per-day count finishes. A per-day window
+    with a running DISTINCT would centralize O(window × users) state
+    per partition boundary and cannot map-side combine; this shape is
+    three uniform-key exchanges with combiners all the way down.
+    Days outside the observed activity range are not emitted
+    (semi-join against the observed day roster)."""
+    day_s = (
+        F.date_trunc("day", F.col(ts_col))
+        .cast("timestamp_ltz")
+        .cast("long")
+    )
+    act = ev.select(
+        day_s.alias("day_s"), F.col(user_col).alias("user_id")
+    ).distinct()
+    covered = (
+        act.select(
+            F.explode(
+                F.sequence(
+                    F.col("day_s"),
+                    F.col("day_s") + F.lit(86400 * (window_days - 1)),
+                    F.lit(86400),
+                )
+            ).alias("day_s"),
+            "user_id",
+        )
+        .distinct()
+    )
+    days = act.select("day_s").distinct()
+    return (
+        covered.join(days, on="day_s", how="left_semi")
+        .groupBy("day_s")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

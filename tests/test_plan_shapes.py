@@ -191,6 +191,9 @@ MAX_EXCHANGES = {
     "tpch_q19_discounted_revenue": 3,        # part broadcast + global agg
     "tpch_q20_excess_shippers": 5,           # HAVING agg + semi-join
     "tpch_q21_sole_return_supplier": 8,      # one orderkey agg reused by later joins
+    # distinct (user,day) + bounded x7 explode-distinct + day-roster
+    # semi-join + final day agg — all uniform keys (+1 headroom)
+    "rolling_7d_active_users": 5,
 }
 
 

@@ -62,6 +62,7 @@ def streaming_dedup_ingest(
     store_dir: str,
     available_now: bool = True,
     metrics: list | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Continuous exact-dedup ingest. Each micro-batch:
 
@@ -90,7 +91,14 @@ def streaming_dedup_ingest(
     the batch is localCheckpoint'ed once — which the join wants
     anyway, it halves the batch-file scans — and the counts read the
     cached checkpoint.)"""
-    lines = spark.readStream.format("text").load(input_dir)
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        # backpressure: bound each micro-batch's file count so one
+        # huge landing burst cannot make a single trigger (and its
+        # store anti-join build side) arbitrarily large; availableNow
+        # still drains everything, just in capped batches
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
     docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -155,6 +163,7 @@ def streaming_near_dup_flags(
     bands: int = None,
     shingle_k: int = 3,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """The near-dup half of the continuous ingest loop: each
     micro-batch computes its LSH bands, joins them against the
@@ -184,7 +193,14 @@ def streaming_near_dup_flags(
     if bands is None:
         bands = DEFAULT_BANDS
 
-    lines = spark.readStream.format("text").load(input_dir)
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        # backpressure: bound each micro-batch's file count so one
+        # huge landing burst cannot make a single trigger (and its
+        # store anti-join build side) arbitrarily large; availableNow
+        # still drains everything, just in capped batches
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
     docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

@@ -5415,6 +5415,22 @@ def q_rolling_au(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_active_users(ev, window_days=7)
 
 
+# HLL variant for LONG windows (rows-only by design: sketch binaries
+# are engine-specific; the <5% error bound vs the exact path is
+# golden-pinned in tests/test_timeseries.py).
+
+
+@register("rolling_30d_active_users_approx")
+def q_rolling_au_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day actives per day via daily HLL sketches + a
+    bounded x30 sketch-union fan-out — days x window sketch rows
+    replicated, independent of user count."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    return timeseries.rolling_active_users_approx(ev, window_days=30)
+
+
 @register("first_seen_users_per_day", _FIRST_SEEN_SQL)
 def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min(ts) per user (uniform key), truncate to day, count per

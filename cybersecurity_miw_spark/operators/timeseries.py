@@ -764,3 +764,57 @@ def rolling_active_users(
         .groupBy("day_s")
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+def rolling_active_users_approx(
+    ev: DataFrame,
+    window_days: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Trailing-window actives per day via mergeable HLL sketches —
+    the 100 TB form of :func:`rolling_active_users` for LONG windows:
+    the exact path's fan-out is ``window_days`` rows per (user, day)
+    activity (fine at 7, 4× heavier at 30), while this one builds ONE
+    daily sketch per day (#days rows total after the first exchange)
+    and unions ``window_days`` sketches per output day — the
+    replicated stage is days×window sketch rows, independent of user
+    count. Same shape as :func:`time_rollup_distinct`: sketch union
+    is exactly as mergeable as sum, and persisting the daily-sketch
+    table turns every later window query into a #days-row scan.
+
+    Output: day_s, n_active_users_approx (BIGINT estimate; rows-only
+    verification by design — sketch binaries are engine-specific; the
+    relative-error bound vs the exact path is golden-pinned)."""
+    day_s = (
+        F.date_trunc("day", F.col(ts_col))
+        .cast("timestamp_ltz")
+        .cast("long")
+    )
+    daily = (
+        ev.select(day_s.alias("day_s"), F.col(user_col).alias("_id"))
+        .groupBy("day_s")
+        .agg(F.expr("hll_sketch_agg(_id)").alias("_sk"))
+    )
+    covered = daily.select(
+        F.explode(
+            F.sequence(
+                F.col("day_s"),
+                F.col("day_s") + F.lit(86400 * (window_days - 1)),
+                F.lit(86400),
+            )
+        ).alias("day_s"),
+        "_sk",
+    )
+    days = daily.select("day_s")
+    return (
+        covered.join(days, on="day_s", how="left_semi")
+        .groupBy("day_s")
+        .agg(F.expr("hll_union_agg(_sk)").alias("_u"))
+        .select(
+            "day_s",
+            F.expr("hll_sketch_estimate(_u)")
+            .cast("long")
+            .alias("n_active_users_approx"),
+        )
+    )

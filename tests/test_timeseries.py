@@ -617,3 +617,49 @@ def test_repair_rollup_partials_fixes_late_day_only(spark, tmp_path):
         f: os.path.getmtime(f)
         for f in glob.glob(f"{partials_dir}/day=2024-01-02/*.parquet")
     } == d2_files
+
+
+def test_rolling_active_users_exact_and_approx(spark):
+    """rolling_active_users: trailing-window distinct actives via the
+    bounded fan-out; the HLL variant tracks it within the sketch
+    error bound on a multi-thousand-user corpus."""
+    import datetime as dt
+
+    from cybersecurity_miw_spark.operators.timeseries import (
+        rolling_active_users,
+        rolling_active_users_approx,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # 2000 users; user u active on day (u % 10) and day (u % 10) + 5
+    for u in range(2000):
+        for d in (u % 10, u % 10 + 5):
+            rows.append((u, base + dt.timedelta(days=d, hours=1)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    exact = {
+        r["day_s"]: r["n_active_users"]
+        for r in rolling_active_users(ev, window_days=7).collect()
+    }
+    # day 0: only users with u%10==0 -> 200; day 9: all residues 0..9
+    # seen within the trailing 7 days? days 3..9 residues -> first-day
+    # users 3..9 (7 residues x 200) + second-day users (d=u%10+5 in
+    # 3..9 -> residues 0..4, but those users are already counted via
+    # their first day only if that day is in window; residues 0..2
+    # first days are OUT of window, so they count via second day)
+    assert exact[int(base.timestamp())] == 200
+    day9 = int((base + dt.timedelta(days=9)).timestamp())
+    # residues 3..9 via day u%10 (1400) + residues 0..2 whose second
+    # day u%10+5 lands in 5..7 (600) -> union since disjoint residues
+    assert exact[day9] == 2000
+    # every day's count is a multiple of 200 and bounded by 2000
+    assert all(0 < v <= 2000 and v % 200 == 0 for v in exact.values())
+
+    approx = {
+        r["day_s"]: r["n_active_users_approx"]
+        for r in rolling_active_users_approx(ev, window_days=7).collect()
+    }
+    assert set(approx) == set(exact)
+    for d, v in exact.items():
+        assert abs(approx[d] - v) / v < 0.05, (d, v, approx[d])

@@ -5415,6 +5415,68 @@ def q_rolling_au(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.rolling_active_users(ev, window_days=7)
 
 
+# DAU/MAU stickiness: the two-window composite over the same
+# activity roster — exact 30-day MAU via the bounded fan-out, ppm
+# ratio on the integer grid.
+
+_STICKINESS_SQL = """
+WITH act AS (
+  SELECT DISTINCT
+         CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+         user_id
+  FROM events
+),
+cov AS (
+  SELECT DISTINCT act.day_s + 86400 * g.g AS day_s, act.user_id
+  FROM act, (SELECT unnest(generate_series(0, 29)) AS g) g
+),
+days AS (SELECT DISTINCT day_s FROM act),
+mau AS (
+  SELECT c.day_s, count(*) AS mau
+  FROM cov c JOIN days d ON c.day_s = d.day_s
+  GROUP BY 1
+),
+dau AS (SELECT day_s, count(*) AS dau FROM act GROUP BY 1)
+SELECT d.day_s, d.dau, m.mau,
+       CAST(floor(d.dau * 1000000.0 / m.mau) AS BIGINT) AS stickiness_ppm
+FROM dau d JOIN mau m ON d.day_s = m.day_s
+"""
+
+
+@register("stickiness_dau_mau", _STICKINESS_SQL)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-30-day MAU per observed day (the engagement
+    "stickiness" dashboard ratio), ppm-scaled for integer-exact
+    cross-engine hashing. MAU comes from the bounded-fan-out rolling
+    operator; DAU is a plain per-day distinct count over the same
+    (user, day) roster."""
+    from cybersecurity_miw_spark.operators import timeseries
+
+    ev = load_events(spark, sf_dir)
+    day_s = (
+        F.date_trunc("day", F.col("ts"))
+        .cast("timestamp_ltz")
+        .cast("long")
+    )
+    dau = (
+        ev.select(day_s.alias("day_s"), "user_id")
+        .distinct()
+        .groupBy("day_s")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    mau = timeseries.rolling_active_users(ev, window_days=30).select(
+        "day_s", F.col("n_active_users").alias("mau")
+    )
+    return dau.join(mau, on="day_s").select(
+        "day_s",
+        "dau",
+        "mau",
+        F.floor(F.col("dau") * F.lit(1000000.0) / F.col("mau"))
+        .cast("long")
+        .alias("stickiness_ppm"),
+    )
+
+
 # HLL variant for LONG windows (rows-only by design: sketch binaries
 # are engine-specific; the <5% error bound vs the exact path is
 # golden-pinned in tests/test_timeseries.py).

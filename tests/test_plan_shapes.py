@@ -194,6 +194,8 @@ MAX_EXCHANGES = {
     # distinct (user,day) + bounded x7 explode-distinct + day-roster
     # semi-join + final day agg — all uniform keys (+1 headroom)
     "rolling_7d_active_users": 5,
+    # dau agg + mau (rolling fan-out) + day join, all on day_s (+2)
+    "stickiness_dau_mau": 9,
 }
 
 

@@ -253,3 +253,30 @@ def test_frame_ann_single_decode_subtree(spark):
     the media corpus is decoded once."""
     plan = _plan(spark, "frame_feature_ann_topk")
     assert plan.count("MapInPandas") == 1
+
+
+def test_tpch_customer_join_demotes_without_hint(spark):
+    """VERDICT r7 #2, proven both ways: with the broadcast threshold
+    forced off, the formerly-hinted customer joins in q5/q7/q8/q10/q18
+    plan as shuffle joins (an explicit F.broadcast hint would never
+    demote — its absence is what this asserts); the true small dims
+    stay hinted and broadcast. With the default threshold the planner
+    still picks broadcast at bench scale (the ceiling pins cover that
+    form)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in (
+            "tpch_q5_local_supplier_volume",
+            "tpch_q10_returned_items",
+            "tpch_q18_large_volume_customer",
+            "tpch_q7_volume_shipping",
+            "tpch_q8_market_share",
+        ):
+            plan = _plan(spark, name)
+            assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), (
+                f"{name}: no shuffle join appeared with broadcast disabled — "
+                "a forced broadcast hint is back on the customer join"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1070,6 +1070,7 @@ def near_dedup_clusters(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Cluster-correct near-dedup: LSH candidates → exact Jaccard >=
     threshold → connected components → keep each component's minimum
@@ -1077,9 +1078,21 @@ def near_dedup_clusters(
     never drops two docs that are only transitively related.
     Components are computed via :func:`dup_clusters_auto`, so a
     pathological long-chain duplicate graph transparently escalates
-    from min-label propagation to star contraction."""
+    from min-label propagation to star contraction.
+
+    With ``max_bucket_width`` set, band buckets wider than the cap
+    are FENCED out of the pair join (see
+    :func:`minhash_lsh_candidates`) and each fenced bucket is treated
+    as a duplicate cluster DIRECTLY: the minimum member id survives,
+    the rest are dropped — W docs sharing a full MinHash band at that
+    width are near-dups by construction, and materializing their
+    W²/2 pair list to prove it is exactly the blowup the fence
+    exists to avoid. This trades the per-pair Jaccard confirm for
+    boundedness on mega-clusters only; normal-width buckets keep the
+    exact confirm."""
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_k
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        max_bucket_width=max_bucket_width,
     )
     confirmed = jaccard_pairs(df, cand, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
@@ -1088,6 +1101,20 @@ def near_dedup_clusters(
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
+    if max_bucket_width is not None:
+        over = oversized_band_buckets(
+            df, max_bucket_width, text_col, id_col,
+            num_hashes, bands, shingle_k,
+        )
+        fenced_losers = over.select(
+            F.explode(
+                F.expr(
+                    "slice(member_ids, 2, "
+                    "greatest(size(member_ids) - 1, 0))"
+                )
+            ).alias(id_col)
+        )
+        losers = losers.unionByName(fenced_losers).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 

@@ -29,11 +29,16 @@ def curate_documents(
     near_dup_threshold: float | None = 0.8,
     gopher_kwargs: dict | None = None,
     fingerprint_store: DataFrame | None = None,
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Run the standard curation chain; returns the surviving rows of
     ``df`` with the (possibly PII-redacted) text under ``text_col``
     plus the profile columns (lang_guess, n_tokens, quality,
     fingerprint). Set a stage's parameter to None/False to skip it.
+
+    ``max_bucket_width``: fence near-dup mega-clusters (boilerplate
+    templates) out of the quadratic LSH pair join; each fenced bucket
+    keeps its minimum id (dedup.near_dedup_clusters semantics).
 
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
@@ -76,5 +81,6 @@ def curate_documents(
             text_col=text_col,
             id_col=id_col,
             threshold=near_dup_threshold,
+            max_bucket_width=max_bucket_width,
         )
     return out

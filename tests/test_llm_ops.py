@@ -780,3 +780,33 @@ def test_incremental_simhash_matches_pooled_self_join(spark):
     assert inc == pooled_cross
     assert inc  # fixture produces candidates
     assert all(n % 2 == 1 and s % 2 == 0 for n, s in inc)
+
+
+def test_near_dedup_clusters_guard_same_survivors(spark):
+    """With a mega-cluster of exact-template copies, the guarded path
+    (fenced bucket treated as a cluster directly) keeps EXACTLY the
+    same survivors as the unguarded path (pairs + confirm + CC) —
+    min id per cluster — while never materializing the quadratic
+    pair list."""
+    template = "the same boilerplate template text repeated everywhere verbatim"
+    rows = [(i, template) for i in range(5, 45)]  # mega-cluster, min id 5
+    rows += [
+        (100, "one unique document with its own words entirely"),
+        (101, "another unique document sharing nothing at all"),
+        # 12 words, one tail word differs: J = 9/11 ~ 0.818 >= 0.8
+        (102, "near duplicate pair alpha beta gamma delta epsilon"
+              " zeta theta iota kappa"),
+        (103, "near duplicate pair alpha beta gamma delta epsilon"
+              " zeta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = {
+        r["doc_id"] for r in dedup.near_dedup_clusters(docs).collect()
+    }
+    guarded = {
+        r["doc_id"]
+        for r in dedup.near_dedup_clusters(
+            docs, max_bucket_width=10
+        ).collect()
+    }
+    assert guarded == unguarded == {5, 100, 101, 102}

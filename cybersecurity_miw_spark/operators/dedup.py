@@ -731,6 +731,7 @@ def incremental_lsh_candidates(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    max_store_bucket_width: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates of an incoming batch AGAINST THE PERSISTED
     INDEX: (new_id, stored_id) sharing at least one band bucket.
@@ -739,14 +740,62 @@ def incremental_lsh_candidates(
     schema) — signatures for 100 TB of history are never recomputed.
     Identical hash family to ``minhash_lsh_candidates``, so a pair is
     a candidate here iff a pooled self-join would find it; the join
-    is batch-bands × store (broadcast the batch side when small)."""
+    is batch-bands × store (broadcast the batch side when small).
+
+    ``max_store_bucket_width`` is the incremental twin of the
+    self-join's bucket guard: a mega-template in HISTORY (W stored
+    rows in one bucket) otherwise fans out W pairs for EVERY matching
+    batch doc, every trigger, forever. Capped buckets are excluded
+    from the join; detect batch docs that HIT a fenced bucket with
+    :func:`incremental_fenced_hits` (one row per hit, no fan-out) and
+    route them as template/boilerplate matches instead of pairwise
+    near-dups."""
     nb = lsh_band_store(
         new_docs, text_col, id_col, num_hashes, bands, shingle_k
     ).withColumnRenamed(id_col, "new_id")
     sb = band_store.withColumnRenamed(id_col, "stored_id")
+    if max_store_bucket_width is not None:
+        ok = (
+            band_store.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") <= max_store_bucket_width)
+            .select("band", "band_hash")
+        )
+        sb = sb.join(ok, on=["band", "band_hash"], how="left_semi")
     return (
         nb.join(sb, on=["band", "band_hash"])
         .select("new_id", "stored_id")
+        .distinct()
+    )
+
+
+def incremental_fenced_hits(
+    new_docs: DataFrame,
+    band_store: DataFrame,
+    max_store_bucket_width: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Batch docs whose bands hit a FENCED store bucket: one
+    (new_id, band, band_hash, store_width) row per hit — the
+    mega-template match signal, delivered without the W-per-doc pair
+    fan-out the fence exists to avoid. Route these as boilerplate /
+    template matches (drop, or cluster against the bucket's
+    representative) instead of pairwise near-dups."""
+    nb = lsh_band_store(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_k
+    ).withColumnRenamed(id_col, "new_id")
+    wide = (
+        band_store.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("store_width"))
+        .filter(F.col("store_width") > max_store_bucket_width)
+    )
+    return (
+        nb.join(wide, on=["band", "band_hash"])
+        .select("new_id", "band", "band_hash", "store_width")
         .distinct()
     )
 

@@ -810,3 +810,38 @@ def test_near_dedup_clusters_guard_same_survivors(spark):
         ).collect()
     }
     assert guarded == unguarded == {5, 100, 101, 102}
+
+
+def test_incremental_store_guard_and_fenced_hits(spark):
+    """A mega-template in HISTORY fans out W pairs per matching batch
+    doc per trigger; with max_store_bucket_width the fenced bucket
+    leaves the join, and incremental_fenced_hits reports the template
+    match as ONE row per batch doc instead."""
+    template = "shared boilerplate template body repeated in history many times"
+    hist_rows = [(i, template) for i in range(100)]
+    hist_rows.append((500, "a normal historical document about gardens"))
+    history = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [
+            (1000, template),  # template copy arriving in the batch
+            (1001, "a normal historical document about gardens "),
+        ],
+        "doc_id long, text string",
+    )
+    store = dedup.lsh_band_store(history)
+
+    unguarded = dedup.incremental_lsh_candidates(batch, store)
+    assert unguarded.filter(F.col("new_id") == 1000).count() == 100
+
+    guarded = dedup.incremental_lsh_candidates(
+        batch, store, max_store_bucket_width=10
+    )
+    got = {(r["new_id"], r["stored_id"]) for r in guarded.collect()}
+    assert not any(n == 1000 for n, _ in got)  # template fan-out fenced
+    assert (1001, 500) in got  # normal near-dup still surfaces
+
+    hits = dedup.incremental_fenced_hits(
+        batch, store, max_store_bucket_width=10
+    ).collect()
+    assert {r["new_id"] for r in hits} == {1000}
+    assert all(r["store_width"] == 100 for r in hits)

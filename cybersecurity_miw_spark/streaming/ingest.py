@@ -164,6 +164,8 @@ def streaming_near_dup_flags(
     shingle_k: int = 3,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    max_store_bucket_width: int | None = None,
+    fenced_dir: str | None = None,
 ) -> StreamingQuery:
     """The near-dup half of the continuous ingest loop: each
     micro-batch computes its LSH bands, joins them against the
@@ -179,10 +181,18 @@ def streaming_near_dup_flags(
     once, when its second member arrives" as the contract. Downstream
     decides what to do with flags (drop, cluster via
     dup_clusters_auto, or human review); flagging and deletion are
-    deliberately decoupled, matching the batch operators."""
+    deliberately decoupled, matching the batch operators.
+
+    ``max_store_bucket_width`` fences history mega-templates out of
+    the per-trigger join (W pair rows per matching batch doc, EVERY
+    trigger, otherwise — the one cost that grows with history skew,
+    not batch size); batch docs hitting a fenced bucket are routed to
+    ``fenced_dir`` as (new_id, band, band_hash, store_width) template
+    matches when that sink is given."""
     from cybersecurity_miw_spark.operators.dedup import (
         DEFAULT_BANDS,
         DEFAULT_NUM_HASHES,
+        incremental_fenced_hits,
         incremental_lsh_candidates,
         lsh_band_store,
         minhash_lsh_candidates,
@@ -226,8 +236,18 @@ def streaming_near_dup_flags(
                 num_hashes=num_hashes,
                 bands=bands,
                 shingle_k=shingle_k,
+                max_store_bucket_width=max_store_bucket_width,
             )
             flags = cross.unionByName(within).distinct()
+            if max_store_bucket_width is not None and fenced_dir:
+                incremental_fenced_hits(
+                    batch_df,
+                    store,
+                    max_store_bucket_width,
+                    num_hashes=num_hashes,
+                    bands=bands,
+                    shingle_k=shingle_k,
+                ).write.mode("append").parquet(fenced_dir)
         else:
             flags = within
         flags.write.mode("append").parquet(flags_dir)

@@ -192,3 +192,54 @@ def test_max_files_per_trigger_caps_batches(spark, tmp_path):
     # per-trigger file order is mtime-based, not lexicographic)
     assert 3 in accepted and len(accepted) == 2
     assert (1 in accepted) != (2 in accepted)
+
+
+def test_near_dup_flags_fence_routes_template_hits(spark, tmp_path):
+    """A history mega-template fenced out of the streaming join:
+    flags stay bounded, and the batch's template copies land in the
+    fenced sink as (new_id, store_width) template matches."""
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_near_dup_flags,
+    )
+
+    indir = tmp_path / "in"
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "bands")
+    fenced = str(tmp_path / "fenced")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    template = "shared boilerplate template body repeated in history many times"
+
+    # run 1: 40 template copies + one normal doc seed the store
+    (indir / "a.tsv").write_text(
+        "".join(f"{i}\t{template}\n" for i in range(40))
+        + "500\ta normal document about gardens and growth\n"
+    )
+    _await(
+        streaming_near_dup_flags(
+            spark, str(indir), ckpt, flags, store,
+            max_store_bucket_width=10, fenced_dir=fenced,
+        )
+    )
+    # run 2: a template copy + a near-dup of the normal doc arrive
+    (indir / "b.tsv").write_text(
+        f"1000\t{template}\n"
+        "1001\ta normal document about gardens and growth \n"
+    )
+    _await(
+        streaming_near_dup_flags(
+            spark, str(indir), ckpt, flags, store,
+            max_store_bucket_width=10, fenced_dir=fenced,
+        )
+    )
+    flag_rows = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    # the template's cross-batch fan-out (40 pairs for doc 1000) is
+    # fenced; the normal near-dup pair surfaces
+    assert (1001, 500) in flag_rows
+    assert not any(n == 1000 for n, _ in flag_rows)
+    hits = spark.read.parquet(fenced).collect()
+    assert {r["new_id"] for r in hits} == {1000}
+    assert all(r["store_width"] == 40 for r in hits)

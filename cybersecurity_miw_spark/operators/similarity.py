@@ -1007,3 +1007,35 @@ def ann_shortlist_rerank(
         F.broadcast(cand.select(id_col)), on=id_col, how="semi"
     )
     return brute_force_topk(pruned, query_vec, k, vec_col, id_col)
+
+
+def append_to_ivf_index(
+    new_vecs: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    index_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = PQ_SCALE,
+    residual: bool = False,
+) -> None:
+    """Incremental ANN index maintenance — the similarity-search twin
+    of the dedup stores: encode an arriving batch with the SAME
+    trained coarse centroids and PQ codebooks and APPEND its
+    (id, _cell, pq_code) rows to the persisted cell-partitioned
+    layout. The existing index is never read or rewritten; the append
+    touches only the cell directories the batch lands in, and a
+    probe-limited query keeps pruning at the file index.
+
+    Quantizer staleness is the documented trade (exactly FAISS's
+    IVF add-after-train contract): codes stay comparable because the
+    codebooks are frozen, and a drifting corpus is handled by
+    retraining + rebuilding OFFLINE, then swapping directories
+    (sources.maintain.rewrite_table's rename dance). Batch-equality
+    with a from-scratch build over the pooled corpus is
+    golden-pinned."""
+    idx = ivf_pq_index(
+        new_vecs, centroids, codebooks,
+        vec_col=vec_col, id_col=id_col, scale=scale, residual=residual,
+    )
+    idx.write.mode("append").partitionBy("_cell").parquet(index_dir)

@@ -845,3 +845,49 @@ def test_incremental_store_guard_and_fenced_hits(spark):
     ).collect()
     assert {r["new_id"] for r in hits} == {1000}
     assert all(r["store_width"] == 100 for r in hits)
+
+
+def test_append_to_ivf_index_equals_rebuild(spark, tmp_path):
+    """Incremental ANN maintenance: appending a batch (same frozen
+    quantizers) to the persisted cell-partitioned index yields a
+    byte-equal query surface to a from-scratch build over the pooled
+    corpus — and the shortlist-rerank answers match exactly."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(300, 16)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    base = spark.createDataFrame(rows[:250], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    batch = spark.createDataFrame(rows[250:], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pooled = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    cents = similarity.train_centroids(base, n_cells=4, dim=16, iters=2)
+    books = similarity.train_pq_codebooks(base, dim=16, m=4, k=8, iters=2)
+
+    path = str(tmp_path / "ivf_idx")
+    similarity.ivf_pq_index(base, cents, books).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    similarity.append_to_ivf_index(batch, cents, books, path)
+
+    appended = spark.read.parquet(path)
+    rebuilt = similarity.ivf_pq_index(pooled, cents, books)
+    # identical rows (same frozen quantizers => same cells and codes)
+    a = {(r["vec_id"], r["_cell"], bytes(r["pq_code"])) for r in appended.collect()}
+    b = {(r["vec_id"], r["_cell"], bytes(r["pq_code"])) for r in rebuilt.collect()}
+    assert a == b and len(a) == 300
+
+    q = [float(x) for x in vecs[7]]
+    got_app = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ann_shortlist_rerank(
+            pooled, appended, cents, books, q, k=5, shortlist=50, n_probes=2
+        ).collect()
+    ]
+    got_reb = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ann_shortlist_rerank(
+            pooled, rebuilt, cents, books, q, k=5, shortlist=50, n_probes=2
+        ).collect()
+    ]
+    assert got_app == got_reb and len(got_app) == 5

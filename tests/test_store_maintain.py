@@ -136,3 +136,55 @@ def test_pruned_fingerprint_store_readmits_erased_text(spark, store_dirs):
     # doc 1's text was erased from the corpus -> its exact copy is
     # re-admitted (the documented retention semantic)
     assert accepted == [30]
+
+
+def test_compact_ann_index_cell_preserves_queries(spark, tmp_path):
+    """The ANN index's maintenance story closes the same way the
+    dedup stores' does: after many appends a hot cell directory
+    accumulates small files; compact_partition rewrites ONE cell
+    atomically and the shortlist-rerank answer is unchanged."""
+    import numpy as np
+
+    from cybersecurity_miw_spark.operators import similarity
+    from cybersecurity_miw_spark.sources.maintain import compact_partition
+
+    rng = np.random.RandomState(31)
+    vecs = rng.randn(200, 8)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    base = spark.createDataFrame(rows[:100], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    pooled = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.train_centroids(base, n_cells=2, dim=8, iters=2)
+    books = similarity.train_pq_codebooks(base, dim=8, m=4, k=8, iters=2)
+
+    path = str(tmp_path / "idx")
+    similarity.ivf_pq_index(base, cents, books).write.partitionBy(
+        "_cell"
+    ).parquet(path)
+    # five appends -> five+ files in the touched cells
+    for lo in range(100, 200, 20):
+        b = spark.createDataFrame(
+            rows[lo : lo + 20], "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+        similarity.append_to_ivf_index(b, cents, books, path)
+
+    q = [float(x) for x in vecs[3]]
+
+    def answer():
+        idx = spark.read.parquet(path)
+        return [
+            (r["vec_id"], r["cos_sim"])
+            for r in similarity.ann_shortlist_rerank(
+                pooled, idx, cents, books, q, k=5, shortlist=50, n_probes=2
+            ).collect()
+        ]
+
+    before = answer()
+    n_files = compact_partition(spark, path, "_cell=0", target_files=1)
+    assert n_files > 1  # the appends really did fragment the cell
+    assert answer() == before
+    data_files = [
+        f
+        for f in os.listdir(os.path.join(path, "_cell=0"))
+        if f.endswith(".parquet")
+    ]
+    assert len(data_files) == 1

@@ -64,6 +64,29 @@ def main(sf_dir: str) -> None:
     print("top-10 after exact rerank of the 50-row ADC shortlist:")
     rerank.show(10, truncate=False)
 
+    # --- day-2: incremental maintenance (no rebuild) ---
+    # new vectors append to the persisted cell-partitioned layout
+    # with the FROZEN quantizers (FAISS add-after-train); hot cells
+    # are later compacted atomically, one partition at a time
+    idx_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "ann_index_example",
+    )
+    hist = emb.filter(F.col("vec_id") % 5 != 0)
+    arriving = emb.filter(F.col("vec_id") % 5 == 0)
+    similarity.ivf_pq_index(
+        hist, centroids, books, residual=True
+    ).write.mode("overwrite").partitionBy("_cell").parquet(idx_dir)
+    similarity.append_to_ivf_index(
+        arriving, centroids, books, idx_dir, residual=True
+    )
+    disk = spark.read.parquet(idx_dir)
+    print(f"persisted index after append: {disk.count()} rows")
+    from cybersecurity_miw_spark.sources.maintain import compact_partition
+
+    n_before = compact_partition(spark, idx_dir, "_cell=0", target_files=1)
+    print(f"compacted _cell=0: {n_before} files -> 1")
+
     # --- text side: no model needed ---
     # the feature-hashing embedding turns raw documents into unit
     # vectors deterministically, so the SAME index machinery serves

@@ -280,3 +280,27 @@ def test_tpch_customer_join_demotes_without_hint(spark):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+SCAN_SCHEMAS = {
+    # a scan that reads every column for a 2-column computation is
+    # wrong at 100 TB: pin the pruned ReadSchema of representative
+    # heavy scans (documents has 5 columns, lineitem 11)
+    "minhash_signatures": "struct<doc_id:bigint,text:string>",
+    "text_profile": "struct<doc_id:bigint,text:string>",
+    "doc_token_length_histogram": "struct<text:string>",
+    "dedup_exact_groups": "struct<doc_id:bigint,text:string>",
+    "tpch_q6_forecast_revenue": (
+        "struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp_ntz>"
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_SCHEMAS))
+def test_scan_column_pruning(spark, name):
+    plan = _plan(spark, name)
+    assert f"ReadSchema: {SCAN_SCHEMAS[name]}" in plan, (
+        f"{name}: the parquet scan no longer prunes to "
+        f"{SCAN_SCHEMAS[name]} — a column crept into the read path"
+    )

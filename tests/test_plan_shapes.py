@@ -304,3 +304,14 @@ def test_scan_column_pruning(spark, name):
         f"{name}: the parquet scan no longer prunes to "
         f"{SCAN_SCHEMAS[name]} — a column crept into the read path"
     )
+
+
+def test_predicate_pushdown_reaches_parquet_scan(spark):
+    """The date/number slices reach the parquet reader as
+    PushedFilters (row-group statistics pruning at 100 TB), and the
+    q20 LIKE-prefix pushes as StringStartsWith."""
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    plan20 = _plan(spark, "tpch_q20_excess_shippers")
+    assert "StringStartsWith(p_name,small)" in plan20
+    assert "GreaterThanOrEqual(l_shipdate" in plan20

@@ -364,9 +364,11 @@ def jaccard_pairs(
     and the corpus is semi-join-pruned by the pair ids before the
     shingle pass. At 100 TB the confirm touches the candidate set,
     not the corpus — the same read pattern as
-    :func:`incremental_near_dups_confirmed`. (Measured at sf0.1 on
-    the 112/16 default: near_dup_jaccard_confirm 4.8 s → the pruned
-    form avoids re-shingling 99% of the corpus.)"""
+    :func:`incremental_near_dups_confirmed`. (At sf0.1 this is a
+    measured WASH — the persist + semi-join stages cost about what
+    re-shingling a 5k-doc corpus saves — but the saved work grows
+    with corpus size while the added work is candidate-bounded;
+    same-session A/B in SCALE.md's round-8 continuity note.)"""
     pairs = staged(pairs)
     ids = (
         pairs.select(F.col("id_a").alias(id_col))

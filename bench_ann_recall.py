@@ -361,13 +361,6 @@ def main() -> None:
     index.unpersist()
 
     # --- residual IVF+PQ (FAISS IVFPQ encoding) -> exact rerank ---
-    if fast:
-        if out_path:
-            with open(out_path, "w") as f:
-                json.dump(results, f, indent=1)
-        spark.stop()
-        return
-
     res_df = similarity.residual_vectors(df, centroids)
     res_books = similarity.train_pq_codebooks(
         res_df, dim=DIM, m=8, k=16, iters=3, vec_col="residual"

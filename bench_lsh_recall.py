@@ -13,7 +13,7 @@ Corpus construction: each planted pair (A, B) is two 52-word
 documents sharing a c-word prefix with pair-unique vocabulary
 (words are "p{i}w{j}" / "p{i}a{j}" / "p{i}b{j}"), so cross-pair
 Jaccard is exactly 0 and the pair's true 3-shingle Jaccard is
-(c-2)/(2*(L-2)-(c-2)) — swept over c to span J in [0.45, 0.98].
+(c-2)/(2*(L-2)-(c-2)) — swept over c to span J in [0.45, 0.97].
 True J is recomputed independently in Python set arithmetic (same
 lowercase/whitespace/k=3 shingling as operators/textstats.shingles).
 A background of unrelated docs is added so false-candidate volume at
@@ -44,8 +44,8 @@ def planted_rows(n_pairs: int = 400, n_background: int = 2000):
         return {" ".join(words[i : i + 3]) for i in range(len(words) - 2)}
 
     for i in range(n_pairs):
-        # sweep shared-prefix length so true J spans ~[0.45, 0.98]
-        c = 33 + (i % 18)  # 33..50 shared words
+        # sweep shared-prefix length so true J spans ~[0.45, 0.97]
+        c = 33 + (i % 19)  # 33..51 shared words (J up to ~0.96)
         shared = [f"p{i}w{j}" for j in range(c)]
         a_words = shared + [f"p{i}a{j}" for j in range(L - c)]
         b_words = shared + [f"p{i}b{j}" for j in range(L - c)]

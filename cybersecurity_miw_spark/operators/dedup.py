@@ -297,6 +297,14 @@ def minhash_lsh_candidates(
             .select("band", "band_hash")
         )
         banded = banded.join(ok, on=["band", "band_hash"], how="left_semi")
+    return pairs_from_bands(banded, id_col)
+
+
+def pairs_from_bands(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join (id, band, band_hash) rows into candidate pairs
+    (id_a < id_b) — the shared back half of every banding consumer;
+    callers that already hold a (checkpointed) banded projection feed
+    it here instead of recomputing signatures."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -1141,10 +1149,44 @@ def near_dedup_clusters(
     exists to avoid. This trades the per-pair Jaccard confirm for
     boundedness on mega-clusters only; normal-width buckets keep the
     exact confirm."""
-    cand = minhash_lsh_candidates(
-        df, text_col, id_col, num_hashes, bands, shingle_k,
-        max_bucket_width=max_bucket_width,
-    )
+    if max_bucket_width is None:
+        cand = minhash_lsh_candidates(
+            df, text_col, id_col, num_hashes, bands, shingle_k
+        )
+        fenced_losers = None
+    else:
+        # ONE banded projection and ONE width aggregation feed both
+        # the guarded candidate join and the fenced-cluster losers —
+        # the signature computation (the expensive narrow stage) runs
+        # once, not twice
+        banded = _banded_projection(
+            df, text_col, id_col, num_hashes, bands, shingle_k
+        )
+        widths = staged(
+            banded.groupBy("band", "band_hash").agg(
+                F.count(F.lit(1)).alias("_w")
+            )
+        )
+        ok = widths.filter(F.col("_w") <= max_bucket_width).select(
+            "band", "band_hash"
+        )
+        cand = pairs_from_bands(
+            banded.join(ok, on=["band", "band_hash"], how="left_semi"),
+            id_col,
+        )
+        wide = widths.filter(F.col("_w") > max_bucket_width).select(
+            "band", "band_hash"
+        )
+        fenced_losers = (
+            banded.join(wide, on=["band", "band_hash"], how="left_semi")
+            .groupBy("band", "band_hash")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_m"))
+            .select(
+                F.explode(
+                    F.expr("slice(_m, 2, greatest(size(_m) - 1, 0))")
+                ).alias(id_col)
+            )
+        )
     confirmed = jaccard_pairs(df, cand, text_col, id_col, shingle_k).filter(
         F.col("jaccard") >= threshold
     )
@@ -1152,19 +1194,7 @@ def near_dedup_clusters(
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    if max_bucket_width is not None:
-        over = oversized_band_buckets(
-            df, max_bucket_width, text_col, id_col,
-            num_hashes, bands, shingle_k,
-        )
-        fenced_losers = over.select(
-            F.explode(
-                F.expr(
-                    "slice(member_ids, 2, "
-                    "greatest(size(member_ids) - 1, 0))"
-                )
-            ).alias(id_col)
-        )
+    if fenced_losers is not None:
         losers = losers.unionByName(fenced_losers).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 

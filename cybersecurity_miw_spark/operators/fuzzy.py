@@ -75,8 +75,15 @@ def fuzzy_join(
             ),
         )
 
-    left = content_tag(left, "_lid")
-    right = content_tag(right, "_rid")
+    # staged: the gram branch, the short-string branch, and the
+    # MAX_SHORT guard counts all read the tagged frames — persist them
+    # once so the to_json+md5 window (a full-table shuffle+sort) runs
+    # one time per side, and cross-branch tag consistency holds by
+    # construction rather than by the identical-rows argument alone
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    left = staged(content_tag(left, "_lid"))
+    right = staged(content_tag(right, "_rid"))
 
     def gram_explode(df, col, side):
         c = F.col(col)

@@ -737,11 +737,7 @@ def rolling_active_users(
     three uniform-key exchanges with combiners all the way down.
     Days outside the observed activity range are not emitted
     (semi-join against the observed day roster)."""
-    day_s = (
-        F.date_trunc("day", F.col(ts_col))
-        .cast("timestamp_ltz")
-        .cast("long")
-    )
+    day_s = _epoch_s(F.date_trunc("day", F.col(ts_col)))
     act = ev.select(
         day_s.alias("day_s"), F.col(user_col).alias("user_id")
     ).distinct()
@@ -786,11 +782,7 @@ def rolling_active_users_approx(
     Output: day_s, n_active_users_approx (BIGINT estimate; rows-only
     verification by design — sketch binaries are engine-specific; the
     relative-error bound vs the exact path is golden-pinned)."""
-    day_s = (
-        F.date_trunc("day", F.col(ts_col))
-        .cast("timestamp_ltz")
-        .cast("long")
-    )
+    day_s = _epoch_s(F.date_trunc("day", F.col(ts_col)))
     daily = (
         ev.select(day_s.alias("day_s"), F.col(user_col).alias("_id"))
         .groupBy("day_s")

@@ -109,10 +109,21 @@ def rewrite_table(
     (doc re-accepted after a lost store append) leaves duplicate
     index rows that ``transform`` can collapse.
 
-    Same temp-dir + rename dance as :func:`compact_partition`
-    (staging under a dot-prefixed sibling so concurrent scans never
-    see the in-flight copy; single-writer maintenance window
-    assumed). Returns {'files_before', 'files_after', 'rows_before',
+    Same temp-dir + rename dance as :func:`compact_partition`, with
+    the same honesty about its limits: staging lives under a
+    dot-prefixed sibling so scans never see the in-flight copy, but
+    POSIX cannot atomically EXCHANGE two directories — between the
+    two renames the table path is briefly absent, and a reader
+    landing in that instant errors (or, for the streaming loops'
+    try/except store read, treats the store as empty for that one
+    trigger). Run maintenance in a single-writer window with the
+    readers quiesced — the same assumption the reference's tmp-save
+    makes (miw/job.cc:197-226). A crash between the renames strands
+    the data under ``.maintenance/<name>.old`` (nothing is deleted
+    until the new copy is in place — recovery is one rename back).
+    Dot/underscore-prefixed sidecar files (e.g. the streaming loop's
+    ``_lsh_params.json``) are carried over to the rewritten table.
+    Returns {'files_before', 'files_after', 'rows_before',
     'rows_after'}."""
     df = spark.read.parquet(table_dir)
     rows_before = df.count()
@@ -133,6 +144,12 @@ def rewrite_table(
     rows_after = spark.read.parquet(tmp_dir).count()
     os.rename(table_dir, old_dir)
     os.rename(tmp_dir, table_dir)
+    # carry metadata sidecars (not data, not Spark's _SUCCESS) over
+    for f in os.listdir(old_dir):
+        if f.startswith("_") and f != "_SUCCESS" and not f.endswith(".crc"):
+            shutil.move(
+                os.path.join(old_dir, f), os.path.join(table_dir, f)
+            )
     shutil.rmtree(old_dir)
     if not os.listdir(stage_root):
         os.rmdir(stage_root)

@@ -188,20 +188,45 @@ def streaming_near_dup_flags(
     trigger, otherwise — the one cost that grows with history skew,
     not batch size); batch docs hitting a fenced bucket are routed to
     ``fenced_dir`` as (new_id, band, band_hash, store_width) template
-    matches when that sink is given."""
+    matches when that sink is given.
+
+    Per trigger the batch is banded ONCE (the signature computation is
+    the dominant narrow stage): the checkpointed bands feed the store
+    append, the within-batch self-join, the store join, and the
+    fenced-hit report. A ``_lsh_params.json`` sidecar written next to
+    the store records (num_hashes, bands, shingle_k); a restart with
+    different parameters raises instead of silently joining two
+    incompatible hash families (old-family band hashes never match
+    new-family ones — candidates would quietly drop to zero)."""
+    import json
+    import os
+
     from cybersecurity_miw_spark.operators.dedup import (
         DEFAULT_BANDS,
         DEFAULT_NUM_HASHES,
-        incremental_fenced_hits,
-        incremental_lsh_candidates,
         lsh_band_store,
-        minhash_lsh_candidates,
+        pairs_from_bands,
     )
 
     if num_hashes is None:
         num_hashes = DEFAULT_NUM_HASHES
     if bands is None:
         bands = DEFAULT_BANDS
+
+    params = {
+        "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k
+    }
+    params_path = os.path.join(band_store_dir, "_lsh_params.json")
+    if os.path.exists(params_path):
+        with open(params_path) as fh:
+            stored = json.load(fh)
+        if stored != params:
+            raise ValueError(
+                f"band store at {band_store_dir} was built with "
+                f"{stored}; this query was started with {params} — "
+                "mixed MinHash families never match. Rebuild the "
+                "store (or pass the stored parameters)."
+            )
 
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
@@ -215,7 +240,6 @@ def streaming_near_dup_flags(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        batch_df = batch_df.localCheckpoint(eager=True)
         bands_new = lsh_band_store(
             batch_df, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
         ).localCheckpoint(eager=True)
@@ -224,34 +248,52 @@ def streaming_near_dup_flags(
             has_store = True
         except Exception:
             has_store = False
-        within = minhash_lsh_candidates(
-            batch_df, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
-        ).select(
+        within = pairs_from_bands(bands_new).select(
             F.col("id_b").alias("new_id"), F.col("id_a").alias("stored_id")
         )
         if has_store:
-            cross = incremental_lsh_candidates(
-                batch_df,
-                store,
-                num_hashes=num_hashes,
-                bands=bands,
-                shingle_k=shingle_k,
-                max_store_bucket_width=max_store_bucket_width,
+            sb = store.withColumnRenamed("doc_id", "stored_id")
+            widths = None
+            if max_store_bucket_width is not None:
+                # ONE history-index width aggregation per trigger
+                # serves both the guard and the fenced-hit report
+                widths = (
+                    store.groupBy("band", "band_hash")
+                    .agg(F.count(F.lit(1)).alias("_w"))
+                    .localCheckpoint(eager=True)
+                )
+                ok = widths.filter(
+                    F.col("_w") <= max_store_bucket_width
+                ).select("band", "band_hash")
+                sb = sb.join(ok, on=["band", "band_hash"], how="left_semi")
+            nb = bands_new.withColumnRenamed("doc_id", "new_id")
+            cross = (
+                nb.join(sb, on=["band", "band_hash"])
+                .select("new_id", "stored_id")
+                .distinct()
             )
             flags = cross.unionByName(within).distinct()
-            if max_store_bucket_width is not None and fenced_dir:
-                incremental_fenced_hits(
-                    batch_df,
-                    store,
-                    max_store_bucket_width,
-                    num_hashes=num_hashes,
-                    bands=bands,
-                    shingle_k=shingle_k,
-                ).write.mode("append").parquet(fenced_dir)
+            if widths is not None and fenced_dir:
+                wide = widths.filter(
+                    F.col("_w") > max_store_bucket_width
+                ).select(
+                    "band", "band_hash",
+                    F.col("_w").alias("store_width"),
+                )
+                (
+                    nb.join(wide, on=["band", "band_hash"])
+                    .select("new_id", "band", "band_hash", "store_width")
+                    .distinct()
+                    .write.mode("append")
+                    .parquet(fenced_dir)
+                )
         else:
             flags = within
         flags.write.mode("append").parquet(flags_dir)
         bands_new.write.mode("append").parquet(band_store_dir)
+        if not os.path.exists(params_path):
+            with open(params_path, "w") as fh:
+                json.dump(params, fh)
         # minhash_lsh_candidates tracked_persist()s its banded
         # projection: release per trigger so a continuous (non-
         # availableNow) query holds no unbounded cache

@@ -243,3 +243,33 @@ def test_near_dup_flags_fence_routes_template_hits(spark, tmp_path):
     hits = spark.read.parquet(fenced).collect()
     assert {r["new_id"] for r in hits} == {1000}
     assert all(r["store_width"] == 40 for r in hits)
+
+
+def test_band_store_params_mismatch_fails_fast(spark, tmp_path):
+    """Restarting the near-dup loop with different MinHash parameters
+    must raise (old-family band hashes never match new-family ones —
+    the join would silently return nothing), not quietly mix
+    families in one store."""
+    import pytest
+
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_near_dup_flags,
+    )
+
+    indir = tmp_path / "in"
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    (indir / "a.tsv").write_text("1\tsome document text here\n")
+    _await(
+        streaming_near_dup_flags(
+            spark, str(indir), ckpt, flags, store,
+            num_hashes=16, bands=4,
+        )
+    )
+    with pytest.raises(ValueError, match="mixed MinHash families"):
+        streaming_near_dup_flags(
+            spark, str(indir), ckpt, flags, store,
+            num_hashes=112, bands=16,
+        )

@@ -3067,6 +3067,159 @@ def q_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q9_SQL = """
+SELECT n.n_name AS nation,
+       CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)
+              * (100 - CAST(round(l.l_discount * 100, 0) AS BIGINT)))
+            AS BIGINT) AS profit_c4
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%bolt%'
+GROUP BY 1, 2
+"""
+
+
+@register("tpch_q9_product_type_profit", _Q9_SQL)
+def q_tpch9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in this schema, so profit is gross
+    revenue rather than revenue − supplycost·qty): per-nation,
+    per-order-year profit over one product family. Scale shape: the
+    name-filtered part and the supplier⋈nation mapping both broadcast
+    into the fact scan — the only real shuffles are the
+    lineitem⋈orders orderkey join and the final (nation, year) agg,
+    which has ~nations×years groups. Revenue is exact cents×pct
+    integer arithmetic (the q19 convention)."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    p = load_table(spark, sf_dir, "part", widen=False).filter(
+        F.col("p_name").like("%bolt%")
+    )
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    n = load_table(spark, sf_dir, "nation", widen=False)
+    o = load_table(spark, sf_dir, "orders", widen=False)
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey", "n_name"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(px_c * (F.lit(100) - disc_pct))
+            .cast("long")
+            .alias("profit_c4")
+        )
+    )
+
+
+_Q11_SQL = """
+WITH nation_value AS (
+  SELECT l.l_partkey AS partkey,
+         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS value_c
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY 1
+)
+SELECT partkey, value_c
+FROM nation_value
+WHERE value_c * 1000 > (SELECT CAST(sum(value_c) AS BIGINT)
+                        FROM nation_value)
+"""
+
+
+@register("tpch_q11_important_parts", _Q11_SQL)
+def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (lineitem extendedprice stands in for
+    ps_supplycost·ps_availqty): parts whose shipped value through one
+    nation's suppliers exceeds a fixed fraction of that nation's
+    total. The correlated scalar subquery becomes aggregate-once →
+    broadcast the 1-row total → integer cross-multiplied filter
+    (value_c·1000 > total_c), so the threshold is exact on both
+    engines and the per-part agg shuffles the nation-pruned fact
+    exactly once. The supplier⋈nation semi-set broadcasts — the fact
+    never shuffles for the membership test."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False)
+    s = load_table(spark, sf_dir, "supplier", widen=False)
+    n = load_table(spark, sf_dir, "nation", widen=False).filter(
+        F.col("n_name") == "NATION_3"
+    )
+    px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    nv = (
+        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(px_c).cast("long").alias("value_c"))
+    )
+    total = nv.agg(F.sum("value_c").cast("long").alias("total_c"))
+    return (
+        nv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select("partkey", "value_c")
+    )
+
+
+_Q12_SQL = """
+SELECT l.l_linestatus AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE) + 60
+  AND l.l_shipdate >= DATE '1997-01-01'
+  AND l.l_shipdate < DATE '1998-01-01'
+GROUP BY 1
+"""
+
+
+@register("tpch_q12_late_shipments", _Q12_SQL)
+def q_tpch12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus stands in for l_shipmode; ship
+    60+ days after order stands in for receipt-after-commit): per
+    ship class, how many late lines belong to high- vs low-priority
+    orders. The year slice prunes the fact at the scan
+    (PushedFilters); the cross-row date comparison runs post-join;
+    both CASE sums come out of ONE grouped pass — the canonical
+    conditional-count pivot (A11's shape on TPC-H data)."""
+    li = load_table(spark, sf_dir, "lineitem", widen=False).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    o = load_table(spark, sf_dir, "orders", widen=False)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate").cast("date")
+            >= F.date_add(F.col("o_orderdate").cast("date"), 60)
+        )
+        .groupBy(F.col("l_linestatus").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
 # window operators (beyond-reference surface): gap sessionization and
 # top-N per key — single-shuffle WindowExec plans with exact SQL twins.
 

@@ -196,6 +196,11 @@ MAX_EXCHANGES = {
     "rolling_7d_active_users": 5,
     # dau agg + mau (rolling fan-out) + day join, all on day_s (+2)
     "stickiness_dau_mau": 9,
+    # round-8 TPC-H completions (+2 headroom, q5/q18 policy). q11 is
+    # pinned separately below: its 1-row total broadcast cross is a
+    # deliberate BNLJ (the q22 pattern).
+    "tpch_q9_product_type_profit": 7,   # part+suppnation broadcast, 1 fact-fact join
+    "tpch_q12_late_shipments": 4,       # date-pruned fact join + 1 tiny agg
 }
 
 
@@ -244,6 +249,18 @@ def test_tpch_q22_bnlj_is_only_the_one_row_stats_cross(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 7
+
+
+def test_tpch_q11_bnlj_is_only_the_one_row_total_cross(spark):
+    """tpch_q11_important_parts is EXEMPT from the generic no-BNLJ
+    assert for the same reason as q22: the crossJoin of the 1-row
+    nation-total aggregate (the cross-multiplied HAVING threshold) is
+    a bounded broadcast. The membership prune and the per-part agg
+    stay hash joins on uniform keys."""
+    plan = _plan(spark, "tpch_q11_important_parts")
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 10
 
 
 def test_frame_ann_single_decode_subtree(spark):

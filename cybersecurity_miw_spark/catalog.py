@@ -24,7 +24,13 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cybersecurity_miw_spark.operators import apps, dedup, similarity, textstats
+from cybersecurity_miw_spark.operators import (
+    apps,
+    dedup,
+    setsim,
+    similarity,
+    textstats,
+)
 from cybersecurity_miw_spark.operators.aggregate import value_histogram
 from cybersecurity_miw_spark.operators.matching import semi_join_filter
 from cybersecurity_miw_spark.plans.compiler import compile_pipeline, parse
@@ -848,6 +854,35 @@ def q_jaccard_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cand = dedup.minhash_lsh_candidates(docs, num_hashes=_NH, bands=_NB, shingle_k=3)
     return dedup.jaccard_pairs(docs, cand, shingle_k=3)
+
+
+# Exact-threshold set-similarity join (operators/setsim.py, PPJoin
+# family): the EXACT complement of the LSH path. The oracle is the
+# honest ground truth — an all-pairs exact Jaccard in DuckDB,
+# computed with no knowledge of the prefix-filter algorithm — so a
+# green row certifies ZERO false negatives AND zero false positives
+# at the threshold, which is precisely the property LSH banding
+# cannot offer (SCALE.md recall table).
+
+_SETSIM_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             greatest(len(list_distinct(a.sh || b.sh)), 1), 6) AS jaccard
+FROM shingled a JOIN shingled b ON a.doc_id < b.doc_id
+WHERE 1000 * len(list_intersect(a.sh, b.sh))
+      >= 500 * len(list_distinct(a.sh || b.sh))
+"""
+
+
+@register("setsim_exact_pairs", _SETSIM_SQL)
+def q_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 self-join over 3-shingle sets via prefix
+    filtering — rarest-first canonical order, integer-permille
+    threshold arithmetic, candidate-bounded verify
+    (operators/setsim.py:ppjoin_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return setsim.ppjoin_pairs(docs, threshold=0.5, shingle_k=3)
 
 
 # Incremental dedup against a persisted store (operators/dedup.py

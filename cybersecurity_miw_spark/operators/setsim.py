@@ -1,0 +1,145 @@
+"""Exact-threshold set-similarity self-join via prefix filtering
+(the PPJoin family: Chaudhuri/Ganti/Kaushik SSJoin 2006, Xiao et al.
+"Efficient Similarity Joins for Near Duplicate Detection" 2008 —
+public algorithms, re-expressed as DataFrame ops).
+
+This is the EXACT counterpart of the MinHash/LSH path
+(reference parity: the miw engine has no similarity join at all —
+this is beyond-reference surface for corpus dedup). LSH banding
+trades recall for cost (the measured planted-pair S-curve in
+SCALE.md: 0.97 @ J≈0.8 at the 112/16 default, <1.0 by
+construction); prefix filtering emits EVERY pair with
+Jaccard >= t — zero false negatives — while still never
+materializing the all-pairs cross.
+
+Why it is exact (the prefix-filter lemma, spelled out because the
+safety of the whole operator rides on it): order every set's tokens
+by one global canonical order (document frequency ascending, token
+ascending — rarest first). For J(a,b) >= t the overlap o satisfies
+o >= t/(1+t) * (|a|+|b|); with the size-ratio filter
+|small| >= t*|large| this is >= ceil(t*|s|) for EACH side s. If two
+sets share o >= alpha tokens, their prefixes of length
+|s| - alpha + 1 must intersect (pigeonhole on the canonical order),
+so prefixes of length |s| - ceil(t*|s|) + 1 are sufficient: an
+equi-join on prefix tokens surfaces every qualifying pair. The
+threshold is carried as integer permille (t_pm) so ceil() and the
+final compare are exact integer arithmetic — no float-boundary
+false negative (0.7*20 = 14.000000000000002 would otherwise shorten
+a prefix).
+
+100 TB shape: every stage is a uniform-key shuffle — token-frequency
+agg (token key), canonical-order rebuild (token join + id agg),
+prefix equi-join (token key), pair distinct, verify joins (id key).
+Candidate volume is governed by the rarest-first ordering: frequent
+shingles sort to the END of each set and never enter a prefix, so
+hot tokens do not fan out. The verify pass touches candidates only
+(the jaccard_pairs read pattern). Headroom not implemented:
+PPJoin's positional filter and PPJoin+'s suffix filter prune more
+candidates per prefix hit; at the measured candidate rates the
+basic prefix + length filter is already candidate-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cybersecurity_miw_spark.operators.dedup import staged
+from cybersecurity_miw_spark.operators.textstats import with_shingles
+
+
+def _t_pm(threshold: float) -> int:
+    """Threshold as integer permille — the exact-arithmetic carrier
+    for ceil(t*|s|) and the final cross-multiplied compare."""
+    t_pm = int(round(threshold * 1000))
+    if not 0 < t_pm <= 1000:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    return t_pm
+
+
+def token_df_order(ex: DataFrame, id_col: str) -> DataFrame:
+    """(id, tok) pairs -> (id, toks, sz) with ``toks`` in global
+    canonical order: document frequency ascending, token ascending.
+    One token-key agg + one token-key join + one id-key agg."""
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        ex.join(freq, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("sz", F.size("toks"))
+    )
+
+
+def prefix_index(ordered: DataFrame, id_col: str, t_pm: int) -> DataFrame:
+    """Explode only the prefix of each canonical-ordered set:
+    p = sz - ceil(t*sz) + 1 tokens, integer-exact ceil."""
+    alpha = F.floor((F.lit(t_pm) * F.col("sz") + 999) / 1000).cast("int")
+    pref_len = (F.col("sz") - alpha + 1).cast("int")
+    return ordered.select(
+        id_col,
+        "sz",
+        F.explode(F.slice("toks", 1, pref_len)).alias("tok"),
+    )
+
+
+def ppjoin_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """All pairs (id_a < id_b) whose word-``shingle_k``-shingle sets
+    have Jaccard >= threshold — EXACT (no LSH false negatives).
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 d.p.
+    (the jaccard_pairs convention)."""
+    t_pm = _t_pm(threshold)
+    sh = staged(
+        with_shingles(df, text_col, shingle_k, "_sh", keep=(id_col,))
+    )
+    ex = sh.select(id_col, F.explode("_sh").alias("tok"))
+    pref = prefix_index(token_df_order(ex, id_col), id_col, t_pm)
+
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # size-ratio filter: J >= t forces min/max >= t
+            & (
+                F.lit(1000) * F.least("sz_a", "sz_b")
+                >= F.lit(t_pm) * F.greatest("sz_a", "sz_b")
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    union = F.size(F.array_union("_sh_a", "_sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_i", inter)
+        .withColumn("_u", union)
+        # cross-multiplied integer compare — the exact threshold
+        .filter(F.lit(1000) * F.col("_i") >= F.lit(t_pm) * F.col("_u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("_i") / F.greatest(F.col("_u"), F.lit(1)), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -201,6 +201,10 @@ MAX_EXCHANGES = {
     # deliberate BNLJ (the q22 pattern).
     "tpch_q9_product_type_profit": 7,   # part+suppnation broadcast, 1 fact-fact join
     "tpch_q12_late_shipments": 4,       # date-pruned fact join + 1 tiny agg
+    # prefix-filter set-similarity join: token-freq agg + canonical
+    # order rebuild + prefix equi-join + pair distinct + verify joins,
+    # all uniform keys (9 fresh, +2 headroom)
+    "setsim_exact_pairs": 11,
 }
 
 

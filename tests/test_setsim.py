@@ -1,0 +1,131 @@
+"""Exact set-similarity join invariants (operators/setsim.py).
+
+The DuckDB oracle (catalog `setsim_exact_pairs`) certifies parity on
+the real corpus; these tests pin the EXACTNESS claim itself — the
+prefix filter must emit every qualifying pair — on crafted corpora
+where the dangerous cases are planted deliberately: threshold-boundary
+Jaccard, float-adversarial thresholds (0.7*20 = 14.000000000000002
+under IEEE 754 — a naive float ceil() shortens the prefix and drops a
+qualifying pair), short documents below the shingle width, and
+identical documents."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import setsim
+from cybersecurity_miw_spark.operators.textstats import with_shingles
+
+WORDS = [f"w{i}" for i in range(40)]
+
+
+def _doc(idx: list[int]) -> str:
+    return " ".join(WORDS[i] for i in idx)
+
+
+def _brute(spark, docs, threshold, shingle_k):
+    """All-pairs exact Jaccard, no pruning — the ground truth."""
+    sh = {
+        r["doc_id"]: frozenset(r["_sh"])
+        for r in with_shingles(docs, "text", shingle_k, "_sh").collect()
+    }
+    out = set()
+    for a, b in itertools.combinations(sorted(sh), 2):
+        i = len(sh[a] & sh[b])
+        u = len(sh[a] | sh[b])
+        if 1000 * i >= int(round(threshold * 1000)) * u:
+            out.add((a, b, round(i / max(u, 1), 6)))
+    return out
+
+
+def _run(spark, rows, threshold, shingle_k=3):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in setsim.ppjoin_pairs(
+            docs, threshold=threshold, shingle_k=shingle_k
+        ).collect()
+    }
+    want = _brute(spark, docs, threshold, shingle_k)
+    assert got == want, (
+        f"t={threshold}: missing={sorted(want - got)[:5]} "
+        f"extra={sorted(got - want)[:5]}"
+    )
+    return got
+
+
+def test_matches_brute_force_mixed_corpus(spark):
+    rows = [
+        (0, _doc(list(range(0, 12)))),
+        (1, _doc(list(range(0, 12)))),            # identical to 0
+        (2, _doc(list(range(0, 11)) + [20])),     # near-dup of 0
+        (3, _doc(list(range(15, 27)))),           # disjoint block
+        (4, _doc(list(range(15, 26)) + [30])),    # near-dup of 3
+        (5, _doc(list(range(30, 40)))),           # unrelated
+        (6, "w0 w1"),                             # below shingle width
+        (7, "w0 w1"),                             # identical short doc
+        (8, "lone"),                              # single token
+    ]
+    got = _run(spark, rows, 0.5)
+    assert (0, 1, 1.0) in got          # identical pair survives
+    assert (6, 7, 1.0) in got          # short-doc single-shingle pair
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.7, 0.8, 0.9, 1.0])
+def test_exact_at_every_threshold(spark, threshold):
+    # overlapping windows of 14 words: a ladder of Jaccard values
+    # straddling each threshold from both sides
+    rows = [(i, _doc(list(range(i, i + 14)))) for i in range(0, 12)]
+    _run(spark, rows, threshold)
+
+
+def test_float_adversarial_threshold_no_false_negative(spark):
+    # 21 words -> 19 distinct 3-shingles per doc; overlap tuned so the
+    # pair sits AT the 0.7 boundary region where ceil(0.7*sz) computed
+    # in floats rounds the wrong way (0.7*20 > 14 in IEEE 754). The
+    # integer-permille prefix arithmetic must still emit the pair.
+    base = list(range(0, 21))
+    variant = list(range(0, 18)) + [30, 31, 32]
+    rows = [(0, _doc(base)), (1, _doc(variant))]
+    _run(spark, rows, 0.7)
+
+
+def test_deterministic_across_runs(spark):
+    rows = [(i, _doc(list(range(i, i + 10)))) for i in range(0, 20, 2)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, setsim.ppjoin_pairs(docs, threshold=0.4).collect()))
+    b = sorted(map(tuple, setsim.ppjoin_pairs(docs, threshold=0.4).collect()))
+    assert a == b
+
+
+def test_plan_no_cross_product(spark):
+    docs = spark.createDataFrame(
+        [(i, _doc(list(range(i, i + 8)))) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        setsim.ppjoin_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_index_is_a_strict_subset(spark):
+    """The scale claim: the prefix explode emits fewer (id, tok) rows
+    than the full explode whenever sets are large enough to prune —
+    the candidate join never sees the full token fan-out."""
+    rows = [(i, _doc(list(range(i, i + 14)))) for i in range(0, 10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = with_shingles(docs, "text", 3, "_sh")
+    ex = sh.select("doc_id", F.explode("_sh").alias("tok"))
+    full = ex.count()
+    pref = setsim.prefix_index(
+        setsim.token_df_order(ex, "doc_id"), "doc_id", 800
+    ).count()
+    assert pref < full

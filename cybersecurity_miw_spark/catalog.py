@@ -4299,6 +4299,76 @@ def q_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-budget corpus selection (operators/sampling.py:budget_select):
+# greedy "best documents until the token budget is spent". The quality
+# grade is pure integer arithmetic — score_pm = (1000·alpha_words·
+# distinct_words) div n², i.e. alpha_word_frac × (1 − dup_word_frac)
+# in permille without ever touching a float — so the bucket grid, the
+# ordering, and the budget cut are bit-identical across engines. The
+# oracle states the LOGICAL spec (one global ordered cumsum); the
+# operator runs the bucket-decomposed physical plan, so a green row
+# proves the decomposition is row-for-row faithful.
+_BUDGET_TOKENS = 12_000
+
+_BUDGET_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         str_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         greatest(len(ws), 1) AS n,
+         len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS alpha,
+         len(list_distinct(ws)) AS dist,
+         len(ws) AS n_tokens
+  FROM w
+),
+sc AS (
+  SELECT doc_id, n_tokens,
+         CAST((1000 * alpha * dist) // (n * n) AS INT) AS score_pm
+  FROM m
+),
+sel AS (
+  SELECT doc_id, score_pm, n_tokens,
+         sum(n_tokens) OVER (
+           ORDER BY score_pm DESC, md5('budget-v1:' || doc_id), doc_id
+           ROWS UNBOUNDED PRECEDING) AS run
+  FROM sc
+)
+SELECT doc_id, score_pm, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM sel WHERE run <= {_BUDGET_TOKENS}
+"""
+
+
+@register("budget_select_docs", _BUDGET_SQL)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget selection at a 12k-token budget: integer
+    quality permille → bucket-decomposed global cumsum → inclusive
+    prefix under budget (operators/sampling.py:budget_select)."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    ws = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    staged = docs.select("doc_id", ws.alias("_w"))
+    n = F.greatest(F.size("_w"), F.lit(1))
+    alpha = F.size(F.filter("_w", lambda x: x.rlike("[a-z]")))
+    dist = F.size(F.array_distinct("_w"))
+    graded = staged.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_tokens"),
+        (F.lit(1000) * alpha * dist)
+        .cast("long")
+        .alias("_num"),
+        (n * n).cast("long").alias("_den"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("div(_num, _den)").cast("int").alias("score_pm"),
+    )
+    return sampling.budget_select(graded, _BUDGET_TOKENS)
+
+
 # Schema-on-read JSON payload extraction: events.props is a JSON
 # string; both engines pull $.k with their native JSON path functions
 # and aggregate — the common "typed field out of a semi-structured

@@ -205,6 +205,13 @@ MAX_EXCHANGES = {
     # order rebuild + prefix equi-join + pair distinct + verify joins,
     # all uniform keys (9 fresh, +2 headroom)
     "setsim_exact_pairs": 11,
+    # token-budget selection: 11 fresh (2 branch scans × tiny
+    # agg+window + boundary window + union); once the <=1001-row
+    # offsets cache is materialized by an earlier query in the same
+    # session, each InMemoryRelation mention re-prints its child plan
+    # (textual 35, same real shuffles — the time_rollup_multires
+    # precedent)
+    "budget_select_docs": 36,
 }
 
 

@@ -229,3 +229,62 @@ def test_sample_k_per_group_exact_k_stable_monotone(spark):
     old = set(rows1)
     for g, d in rows3:
         assert (g, d) in old or d >= 900, (g, d)
+
+
+# ---- budget_select (token-budget corpus selection) ----
+
+
+def _graded(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "score_pm", "n_tokens"])
+
+
+def _spec_select(rows, budget):
+    """The logical spec: global (score desc, md5, id) cumsum <= budget."""
+    import hashlib
+
+    def key(r):
+        h = hashlib.md5(f"budget-v1:{r[0]}".encode()).hexdigest()
+        return (-r[1], h, r[0])
+
+    out, run = [], 0
+    for r in sorted(rows, key=key):
+        run += r[2]
+        if run <= budget:
+            out.append(r[0])
+    return sorted(out)
+
+
+def test_budget_select_matches_global_spec(spark):
+    rows = [(i, (i * 7) % 5, 10 + (i * 13) % 40) for i in range(60)]
+    for budget in (0, 25, 300, 700, 10_000):
+        got = sorted(
+            r["doc_id"]
+            for r in sampling.budget_select(
+                _graded(spark, rows), budget
+            ).collect()
+        )
+        assert got == _spec_select(rows, budget), f"budget={budget}"
+
+
+def test_budget_select_budget_is_inclusive_and_respected(spark):
+    rows = [(1, 9, 50), (2, 9, 50), (3, 1, 50)]
+    out = sampling.budget_select(_graded(spark, rows), 100).collect()
+    assert sum(r["n_tokens"] for r in out) <= 100
+    assert sorted(r["doc_id"] for r in out) == [1, 2]  # boundary-exact
+
+
+def test_budget_select_deterministic(spark):
+    rows = [(i, i % 3, 5) for i in range(30)]
+    g = _graded(spark, rows)
+    a = sorted(map(tuple, sampling.budget_select(g, 60).collect()))
+    b = sorted(map(tuple, sampling.budget_select(g, 60).collect()))
+    assert a == b
+
+
+def test_budget_select_single_score_bucket_degrades_gracefully(spark):
+    # worst-case skew: every doc shares one score — the documented
+    # single-partition fallback must still be spec-exact
+    rows = [(i, 7, 10) for i in range(20)]
+    out = sampling.budget_select(_graded(spark, rows), 55).collect()
+    assert len(out) == 5
+    assert sorted(r["doc_id"] for r in out) == _spec_select(rows, 55)

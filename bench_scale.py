@@ -60,6 +60,13 @@ QUERY_NAMES = [
     "incremental_exact_ingest",
     "incremental_lsh_vs_store",
     "fuzzy_source_name_pairs",
+    # round 8 late: exact set-similarity join (rotated copies keep
+    # shingle sets disjoint across copies, so prefix-join candidates
+    # stay within copies — pairs grow exactly 10x, the real 10x-corpus
+    # workload) and token-budget selection (grading scan + bucket agg
+    # grow 10x; the boundary window stays one bucket)
+    "setsim_exact_pairs",
+    "budget_select_docs",
 ]
 
 # range_join runs against the TIME-SHIFTED events variant: with plain
@@ -82,6 +89,13 @@ TPCH_SCALE_QUERY_NAMES = [
     "tpch_q13_order_count_distribution",
     "tpch_q16_supplier_part_counts",
     "tpch_q21_sole_return_supplier",
+    # round 8 late: q9 (5-table join, constant nation×year groups over
+    # 10x facts), q11 (10x input into a constant part roster; the
+    # threshold fraction is scale-free since totals and values grow
+    # together), q12 (date-pruned fact join, 2 output rows)
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipments",
 ]
 
 

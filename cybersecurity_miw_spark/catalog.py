@@ -3403,6 +3403,53 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_top_terms(docs, n=3)
 
 
+# BM25 top-k retrieval (operators/retrieval.py): the lexical-search
+# counterpart of the dense ANN family. Per-(doc, term) partial scores
+# floor to int64 micro BEFORE the per-doc sum (order-independent
+# reduction, the split_word_divergence convention); every float
+# subexpression is written with identical association on both engines.
+
+_BM25_SQL = """
+WITH w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN ('table', 'join', 'window')
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1 + (stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5))
+           * (tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS tu
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, CAST(sum(tu) AS BIGINT) AS score_u FROM terms GROUP BY 1
+)
+SELECT doc_id, score_u FROM scored ORDER BY score_u DESC, doc_id LIMIT 15
+"""
+
+
+@register("bm25_topk_docs", _BM25_SQL)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 for the query {table, join, window}: posting-list
+    shuffle only (term filter below the agg), 1-row stats broadcast
+    cross, TakeOrdered final (operators/retrieval.py:bm25_topk)."""
+    from cybersecurity_miw_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_topk(docs, ["table", "join", "window"], k=15)
+
+
 # embedding hygiene: unit normalization and int8 quantization
 
 _L2_NORM_SQL = """

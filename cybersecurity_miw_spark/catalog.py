@@ -4282,6 +4282,36 @@ def q_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.uniform_sample_k(docs, 50)
 
 
+# Exactly-k weighted sampling without replacement (operators/
+# sampling.py:weighted_sample_k, Efraimidis–Spirakis): key =
+# ln(u)/w from 52 md5 bits, quantized to 1e-12 int64 BEFORE the
+# top-k so both engines order integers, not raw doubles.
+_WSAMPLE_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(floor(
+           ln((('0x' || substr(md5('ws-v1:' || doc_id), 1, 13))::BIGINT
+               + 0.5) / 4503599627370496.0)
+           / n_chars * 1000000000000.0) AS BIGINT) AS score_u
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, score_u
+FROM s ORDER BY score_u DESC, doc_id LIMIT 32
+"""
+
+
+@register("weighted_sample_32_by_chars", _WSAMPLE_SQL)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-32 length-weighted sample without replacement (A-ES
+    keys, md5 uniforms, TakeOrdered — no RNG, no global sort)."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=False).select(
+        "doc_id", "n_chars"
+    )
+    return sampling.weighted_sample_k(docs, 32, "n_chars")
+
+
 # Split-distribution drift QA (operators/sampling.py:
 # split_word_divergence): JS divergence between the hash-split train
 # and val word distributions. Every per-word term floors to micro-nat

@@ -346,3 +346,48 @@ def budget_select(
         .drop("_run")
     )
     return whole.unionByName(boundary).select(id_col, score_col, tokens_col)
+
+
+_U52_DEN = float(1 << 52)  # 4503599627370496.0
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: Column | str,
+    id_col: str = "doc_id",
+    salt: str = "ws-v1",
+) -> DataFrame:
+    """Exactly-k weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, public algorithm): each row draws a
+    deterministic uniform u from 52 md5 bits of salt:id and gets key
+    ln(u)/w; the k LARGEST keys win — inclusion probability is
+    weight-proportional at every step, the exact-k complement of the
+    Bernoulli :func:`weighted_keep`.
+
+    Same determinism contract as the rest of this module: no RNG, a
+    row's fate depends only on (salt, id, weight), re-runs and
+    backfills agree, and the DuckDB oracle recomputes the identical
+    key. Keys floor to 1e-12-resolution int64 BEFORE ordering so the
+    cross-engine sort compares integers (id tiebreak for the
+    vanishing chance of a quantized tie). Non-positive weights are
+    dropped (they can never win under A-ES semantics).
+
+    Scale shape: a narrow projection plus ONE TakeOrdered(k) — no
+    global sort, no window, no shuffle beyond the top-k reduction."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1, 13,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(_U52_DEN)
+    score_u = F.floor(F.log(u) / w * F.lit(1e12)).cast("long")
+    return (
+        df.filter(w > 0)
+        .withColumn("score_u", score_u)
+        .orderBy(F.desc("score_u"), F.asc(id_col))
+        .limit(k)
+    )

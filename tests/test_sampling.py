@@ -288,3 +288,63 @@ def test_budget_select_single_score_bucket_degrades_gracefully(spark):
     out = sampling.budget_select(_graded(spark, rows), 55).collect()
     assert len(out) == 5
     assert sorted(r["doc_id"] for r in out) == _spec_select(rows, 55)
+
+
+# ---- weighted_sample_k (A-ES without replacement) ----
+
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    rows = [(i, float(1 + i % 7)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = sorted(r["doc_id"] for r in sampling.weighted_sample_k(df, 10, "w").collect())
+    b = sorted(r["doc_id"] for r in sampling.weighted_sample_k(df, 10, "w").collect())
+    assert a == b and len(a) == 10
+
+
+def test_weighted_sample_heavy_row_always_wins(spark):
+    # one row with 10000x the weight of 200 others: ln(u)/w ~ 0 for
+    # it, so it must appear in every salt's sample
+    rows = [(0, 1_000_000.0)] + [(i, 100.0) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    for salt in ("s1", "s2", "s3", "s4", "s5"):
+        got = {
+            r["doc_id"]
+            for r in sampling.weighted_sample_k(df, 20, "w", salt=salt).collect()
+        }
+        assert 0 in got, salt
+
+
+def test_weighted_sample_weight_proportional_frequency(spark):
+    # 2 strata of equal size, one 5x heavier: across salts, the heavy
+    # stratum should dominate the sample (not a tight bound — a sanity
+    # check that weights steer inclusion)
+    rows = [(i, 5.0) for i in range(50)] + [(i, 1.0) for i in range(50, 100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    heavy = 0
+    for salt in ("a", "b", "c", "d", "e", "f"):
+        got = [
+            r["doc_id"]
+            for r in sampling.weighted_sample_k(df, 20, "w", salt=salt).collect()
+        ]
+        heavy += sum(1 for i in got if i < 50)
+    assert heavy > 0.6 * 6 * 20  # expected ~0.79 share at w-ratio 5
+
+
+def test_weighted_sample_nonpositive_weights_dropped(spark):
+    rows = [(0, 0.0), (1, -3.0), (2, 2.0), (3, 2.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = sorted(
+        r["doc_id"] for r in sampling.weighted_sample_k(df, 10, "w").collect()
+    )
+    assert got == [2, 3]
+
+
+def test_weighted_sample_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(i, 1.0) for i in range(50)], ["doc_id", "w"])
+    plan = (
+        sampling.weighted_sample_k(df, 5, "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -674,6 +674,57 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs).select("doc_id", "n_chars")
 
 
+# Dedup impact report + cross-source duplication matrix
+# (operators/dedup.py:impact_report,source_overlap): the curation
+# dashboard numbers. The overlap oracle is deliberately the NAIVE
+# doc-level fingerprint self-join — the Spark side runs the
+# count-decomposed form that never fans out inside a mega-group, and
+# the green row certifies the combinatorics.
+
+_DEDUP_IMPACT_SQL = f"""
+WITH g AS (
+  SELECT {_FP_SQL} AS f, count(*) AS n, sum(n_chars) AS sc,
+         arg_min(n_chars, doc_id) AS rc
+  FROM documents GROUP BY 1
+)
+SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(n) - count(*) AS BIGINT) AS n_dup_docs,
+       CAST((1000000 * (sum(n) - count(*))) // sum(n) AS BIGINT)
+         AS dup_ppm,
+       CAST(sum(sc) - sum(rc) AS BIGINT) AS bytes_removable
+FROM g
+"""
+
+
+@register("dedup_impact_report", _DEDUP_IMPACT_SQL)
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dedup impact summary: docs/groups/removable
+    docs/dup-ppm/removable bytes in one fingerprint groupBy + one
+    global reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.impact_report(docs)
+
+
+_SOURCE_OVERLAP_SQL = f"""
+WITH fp AS (SELECT doc_id, source, {_FP_SQL} AS f FROM documents)
+SELECT least(a.source, b.source) AS source_a,
+       greatest(a.source, b.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("source_dup_overlap", _SOURCE_OVERLAP_SQL)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-pair matrix via per-(fingerprint,
+    source) count pairing — sources-per-group fan-out, never
+    docs-per-group."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_overlap(docs)
+
+
 # Canonical-form dedup groups: the aggressive normalization
 # (lowercase + Latin-1 accent fold + punctuation strip + whitespace
 # collapse) catches cosmetic variants plain fingerprinting misses —

@@ -96,6 +96,97 @@ def duplicate_groups(
     )
 
 
+def impact_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """One-row dedup impact summary — the number every curation run
+    reports before anyone deletes anything: total docs, distinct
+    groups, removable duplicate docs, duplication rate (ppm, integer
+    division — exact on both engines), and removable bytes (size of
+    everything except each group's min-id representative).
+
+    Plan: one uniform fingerprint groupBy (min_by carries the
+    representative's size through the same agg — no second pass, no
+    join back to the corpus) + one global 1-row reduce."""
+    g = (
+        df.select(
+            fingerprint(F.col(text_col)).alias("_fp"),
+            F.col(id_col),
+            F.col(size_col),
+        )
+        .groupBy("_fp")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(size_col).alias("_sc"),
+            F.min_by(size_col, id_col).alias("_rc"),
+        )
+    )
+    return g.agg(
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        (F.sum("_n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.floor(
+            (F.lit(1_000_000) * (F.sum("_n") - F.count(F.lit(1))))
+            / F.sum("_n")
+        )
+        .cast("long")
+        .alias("dup_ppm"),
+        (F.sum("_sc") - F.sum("_rc")).cast("long").alias("bytes_removable"),
+    )
+
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every (unordered) source
+    pair, how many duplicate-document pairs they share — the "is
+    source B just a re-crawl of source A?" question.
+
+    The naive answer is a doc-level self-join on the fingerprint,
+    which fans out quadratically inside mega-groups (the same blowup
+    the LSH bucket-width fence guards). Instead: aggregate to
+    per-(fingerprint, source) COUNTS first, then pair the counts —
+    cross-source pairs contribute cnt_a·cnt_b, within-source pairs
+    C(n,2) — so the join fans out by sources-per-group, never
+    docs-per-group. The DuckDB oracle IS the naive doc-level join, so
+    a green row certifies the combinatorial decomposition."""
+    c = (
+        df.select(
+            fingerprint(F.col(text_col)).alias("_fp"),
+            F.col(source_col).alias("_src"),
+        )
+        .groupBy("_fp", "_src")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    a = c.select("_fp", F.col("_src").alias("source_a"), F.col("_n").alias("_na"))
+    b = c.select("_fp", F.col("_src").alias("source_b"), F.col("_n").alias("_nb"))
+    cross = (
+        a.join(b, "_fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            (F.col("_na") * F.col("_nb")).alias("_pairs"),
+        )
+    )
+    within = c.filter(F.col("_n") >= 2).select(
+        F.col("_src").alias("source_a"),
+        F.col("_src").alias("source_b"),
+        (F.col("_n") * (F.col("_n") - 1) / 2).cast("long").alias("_pairs"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("_pairs").cast("long").alias("n_pairs"))
+    )
+
+
 # ---- MinHash / LSH ----
 
 

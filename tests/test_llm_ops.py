@@ -891,3 +891,51 @@ def test_append_to_ivf_index_equals_rebuild(spark, tmp_path):
         ).collect()
     ]
     assert got_app == got_reb and len(got_app) == 5
+
+
+# ---- dedup impact report + source overlap matrix ----
+
+
+def test_impact_report_planted_duplicates(spark):
+    rows = [
+        (0, "alpha beta gamma", 16),
+        (1, "alpha beta gamma", 16),   # dup of 0
+        (2, "alpha  beta   gamma", 19),  # whitespace variant -> same fp
+        (3, "delta epsilon", 13),
+        (4, "zeta eta theta", 14),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    r = dedup.impact_report(docs).collect()[0]
+    assert r["n_docs"] == 5
+    assert r["n_groups"] == 3
+    assert r["n_dup_docs"] == 2
+    assert r["dup_ppm"] == 400_000
+    # representative of the dup group is doc 0 (16 chars); removable
+    # bytes = 16 + 19 from docs 1 and 2
+    assert r["bytes_removable"] == 35
+
+
+def test_source_overlap_decomposition_equals_naive(spark):
+    # one mega-group spanning three sources with multiplicities
+    # 3/2/1, one group entirely within a source, one unique doc
+    rows = (
+        [(i, "same text", "A") for i in range(3)]
+        + [(i, "same text", "B") for i in range(3, 5)]
+        + [(5, "same text", "C")]
+        + [(6, "other text", "A"), (7, "other text", "A")]
+        + [(8, "unique", "B")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dedup.source_overlap(docs).collect()
+    }
+    # naive combinatorics: A-A C(3,2)+C(2,2 of other group)=3+1,
+    # A-B 3*2, A-C 3*1, B-B C(2,2)=1, B-C 2*1
+    assert got == {
+        ("A", "A"): 4,
+        ("A", "B"): 6,
+        ("A", "C"): 3,
+        ("B", "B"): 1,
+        ("B", "C"): 2,
+    }

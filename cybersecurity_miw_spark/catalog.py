@@ -936,6 +936,38 @@ def q_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim.ppjoin_pairs(docs, threshold=0.5, shingle_k=3)
 
 
+# Cross-corpus (R-S) exact set-similarity join: the EXACT
+# decontamination primitive — every train×eval pair at Jaccard >=
+# threshold with zero banding false negatives (the guarantee
+# decontaminate_train_vs_eval's n-gram path and the LSH candidates
+# cannot make). Same deterministic split as the incremental-store
+# family: eval = doc_id % 5 == 0, train = the rest. The oracle is an
+# all-pairs exact cross Jaccard with no knowledge of prefix filtering.
+
+_SETSIM_CROSS_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL})
+SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+       round(len(list_intersect(l.sh, r.sh))::DOUBLE /
+             greatest(len(list_distinct(l.sh || r.sh)), 1), 6) AS jaccard
+FROM shingled l JOIN shingled r
+  ON l.doc_id % 5 <> 0 AND r.doc_id % 5 = 0
+WHERE 1000 * len(list_intersect(l.sh, r.sh))
+      >= 500 * len(list_distinct(l.sh || r.sh))
+"""
+
+
+@register("setsim_cross_decontaminate", _SETSIM_CROSS_SQL)
+def q_setsim_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact train-vs-eval contamination pairs (Jaccard >= 0.5 over
+    3-shingles) via the R-S prefix-filter join: one union-frequency
+    token order shared by both sides, rarest-first prefixes, verify
+    over candidate pairs only (operators/setsim.py:ppjoin_cross)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    return setsim.ppjoin_cross(train, ev, threshold=0.5, shingle_k=3)
+
+
 # Incremental dedup against a persisted store (operators/dedup.py
 # fingerprint_store / dedup_against_store / lsh_band_store /
 # incremental_lsh_candidates) — the production ingest shape: history

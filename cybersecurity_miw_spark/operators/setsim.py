@@ -143,3 +143,90 @@ def ppjoin_pairs(
             ),
         )
     )
+
+
+def ppjoin_cross(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact cross-corpus set-similarity join (R-S variant of
+    :func:`ppjoin_pairs`): every (left, right) pair with shingle-set
+    Jaccard >= threshold — the EXACT decontamination primitive
+    (train-vs-eval leakage with zero banding false negatives,
+    vs. the LSH-recall-bounded operators/dedup.py:cross_lsh_candidates).
+
+    The prefix-filter lemma needs one total token order shared by
+    both sides; document frequency over the UNION of the corpora is
+    used because it is also the best pruning order (tokens hot in
+    either corpus leave every prefix). Returns (id_l, id_r, jaccard).
+
+    100 TB shape: identical to the self-join — uniform-key shuffles
+    only, candidates bounded by rarest-first prefixes, verify
+    touches candidate docs only. With a small eval side the prefix
+    join's right input is eval-sized: the train corpus contributes
+    prefixes but only eval-matching tokens survive the equi-join."""
+    t_pm = _t_pm(threshold)
+    sh_l = staged(
+        with_shingles(left, text_col, shingle_k, "_sh", keep=(id_col,))
+    )
+    sh_r = staged(
+        with_shingles(right, text_col, shingle_k, "_sh", keep=(id_col,))
+    )
+    ex_l = sh_l.select(id_col, F.explode("_sh").alias("tok"))
+    ex_r = sh_r.select(id_col, F.explode("_sh").alias("tok"))
+    freq = (
+        ex_l.unionByName(ex_r)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+
+    def ordered(ex: DataFrame) -> DataFrame:
+        return (
+            ex.join(freq, "tok")
+            .groupBy(id_col)
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_df", "tok"))),
+                    lambda s: s["tok"],
+                ).alias("toks")
+            )
+            .withColumn("sz", F.size("toks"))
+        )
+
+    pref_l = prefix_index(ordered(ex_l), id_col, t_pm).select(
+        F.col(id_col).alias("id_l"), F.col("sz").alias("sz_l"), "tok"
+    )
+    pref_r = prefix_index(ordered(ex_r), id_col, t_pm).select(
+        F.col(id_col).alias("id_r"), F.col("sz").alias("sz_r"), "tok"
+    )
+    cand = (
+        pref_l.join(pref_r, "tok")
+        .filter(
+            F.lit(1000) * F.least("sz_l", "sz_r")
+            >= F.lit(t_pm) * F.greatest("sz_l", "sz_r")
+        )
+        .select("id_l", "id_r")
+        .distinct()
+    )
+    sa = sh_l.select(F.col(id_col).alias("id_l"), F.col("_sh").alias("_sh_l"))
+    sb = sh_r.select(F.col(id_col).alias("id_r"), F.col("_sh").alias("_sh_r"))
+    inter = F.size(F.array_intersect("_sh_l", "_sh_r"))
+    union = F.size(F.array_union("_sh_l", "_sh_r"))
+    return (
+        cand.join(sa, "id_l")
+        .join(sb, "id_r")
+        .withColumn("_i", inter)
+        .withColumn("_u", union)
+        .filter(F.lit(1000) * F.col("_i") >= F.lit(t_pm) * F.col("_u"))
+        .select(
+            "id_l",
+            "id_r",
+            F.round(F.col("_i") / F.greatest(F.col("_u"), F.lit(1)), 6).alias(
+                "jaccard"
+            ),
+        )
+    )

@@ -116,6 +116,82 @@ def test_plan_no_cross_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _brute_cross(spark, left, right, threshold, shingle_k):
+    shl = {
+        r["doc_id"]: frozenset(r["_sh"])
+        for r in with_shingles(left, "text", shingle_k, "_sh").collect()
+    }
+    shr = {
+        r["doc_id"]: frozenset(r["_sh"])
+        for r in with_shingles(right, "text", shingle_k, "_sh").collect()
+    }
+    out = set()
+    for a in shl:
+        for b in shr:
+            i = len(shl[a] & shr[b])
+            u = len(shl[a] | shr[b])
+            if 1000 * i >= int(round(threshold * 1000)) * u:
+                out.add((a, b, round(i / max(u, 1), 6)))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.8])
+def test_cross_matches_brute_force(spark, threshold):
+    rows = [(i, _doc(list(range(i, i + 14)))) for i in range(0, 12)]
+    rows += [(100, _doc(list(range(0, 12)))), (101, "w0 w1"), (102, "lone")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    left = docs.where(F.col("doc_id") % 2 == 0)
+    right = docs.where(F.col("doc_id") % 2 == 1)
+    got = {
+        (r["id_l"], r["id_r"], r["jaccard"])
+        for r in setsim.ppjoin_cross(
+            left, right, threshold=threshold, shingle_k=3
+        ).collect()
+    }
+    want = _brute_cross(spark, left, right, threshold, 3)
+    assert got == want, (
+        f"t={threshold}: missing={sorted(want - got)[:5]} "
+        f"extra={sorted(got - want)[:5]}"
+    )
+
+
+def test_cross_finds_pair_only_in_other_corpus(spark):
+    # an eval doc whose ONLY near-dup lives in train: the union
+    # document-frequency order must not let a train-hot token evict
+    # the shared tokens from BOTH prefixes
+    left = spark.createDataFrame(
+        [(i, _doc(list(range(0, 12)))) for i in range(5)]  # 5 identical
+        + [(9, _doc(list(range(20, 32))))],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [(50, _doc(list(range(20, 31)) + [35]))], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in setsim.ppjoin_cross(left, right, threshold=0.5).collect()
+    }
+    assert got == {(9, 50)}
+
+
+def test_cross_plan_no_cross_product(spark):
+    docs = spark.createDataFrame(
+        [(i, _doc(list(range(i, i + 8)))) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        setsim.ppjoin_cross(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_prefix_index_is_a_strict_subset(spark):
     """The scale claim: the prefix explode emits fewer (id, tok) rows
     than the full explode whenever sets are large enough to prune —

@@ -6586,6 +6586,72 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_clusters(confirmed)
 
 
+# Leakage-safe splits: hash the CLUSTER REPRESENTATIVE, not the doc
+# id, so a near-dup cluster can never straddle train and test. The
+# oracle recomputes the recursive-CTE component closure AND the md5
+# bucket arithmetic end-to-end — a green row certifies both the
+# cluster atomicity and that unclustered docs get byte-identical
+# labels to plain split_train_val_test.
+_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE {_SIGS_CTE}, {_BANDED_CTE},
+dup_pairs AS (
+  SELECT cands.id_a AS a, cands.id_b AS b
+  FROM cands
+  JOIN shingled sa ON sa.doc_id = cands.id_a
+  JOIN shingled sb ON sb.doc_id = cands.id_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / greatest(len(list_distinct(sa.sh || sb.sh)), 1) >= 0.8
+),
+edges AS (SELECT a, b FROM dup_pairs UNION SELECT b, a FROM dup_pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+reps AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT doc_id, split_key,
+       CASE WHEN bucket < 9800 THEN 'train'
+            WHEN bucket < 9900 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT d.doc_id,
+         coalesce(r.cluster_id, d.doc_id) AS split_key,
+         ('0x' || substr(md5('split-v1:'
+             || coalesce(r.cluster_id, d.doc_id)), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
+)
+"""
+
+
+@register("leakage_safe_splits", _SAFE_SPLIT_SQL)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """98/1/1 split where every confirmed near-dup cluster lands in
+    ONE split (operators/sampling.py:leakage_safe_split): hash the
+    dup_clusters representative, coalesce to own id for unclustered
+    docs — closing the duplicate train/test contamination channel
+    that raw-id hashing leaves open."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_candidates(
+        docs, num_hashes=_NH, bands=_NB, shingle_k=3
+    )
+    confirmed = dedup.jaccard_pairs(docs, cand, shingle_k=3).filter(
+        F.col("jaccard") >= 0.8
+    )
+    clusters = dedup.dup_clusters(confirmed)
+    out = sampling.leakage_safe_split(
+        docs.select("doc_id"),
+        clusters,
+        {"train": 0.98, "val": 0.01, "test": 0.01},
+    )
+    return out.select("doc_id", "split_key", "split")
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which

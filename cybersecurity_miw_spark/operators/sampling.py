@@ -73,6 +73,51 @@ def split_assign(
     return df.withColumn("split", expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    buckets: int = SPLIT_BUCKETS,
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across
+    splits: the hash key is the duplicate-cluster representative
+    (``cluster_id`` from :func:`~cybersecurity_miw_spark.operators.
+    dedup.dup_clusters` — the min reachable id), falling back to the
+    doc's own id for unclustered docs. Every member of a component
+    therefore lands in the SAME split — hashing raw doc ids instead
+    (plain :func:`split_assign`) scatters a near-dup cluster across
+    train AND test, which is exactly the eval-contamination channel
+    dedup exists to close.
+
+    Adds ``split_key`` (the key that was hashed) and ``split``.
+    Unclustered docs get the identical label plain ``split_assign``
+    would give them (coalesce to own id), so adopting the safe
+    variant re-splits only clustered docs.
+
+    100 TB shape: one left equi-join on the uniform doc-id key
+    (clusters holds only docs that appear in >=1 confirmed pair —
+    a small fraction of the corpus) followed by the same narrow
+    join-free hash projection as ``split_assign``. Deterministic and
+    backfill-stable: a cluster keeps its split forever unless new
+    edges MERGE components, which only ever moves whole clusters.
+    """
+    reps = clusters.select(
+        F.col(id_col).alias("_cl_doc"), F.col("cluster_id").alias("_cl_rep")
+    )
+    out = (
+        df.join(reps, df[id_col] == F.col("_cl_doc"), "left")
+        .withColumn(
+            "split_key", F.coalesce("_cl_rep", F.col(id_col)).cast("long")
+        )
+        .drop("_cl_doc", "_cl_rep")
+    )
+    return split_assign(
+        out, fractions, id_col="split_key", salt=salt, buckets=buckets
+    )
+
+
 def stratified_exact_sample(
     df: DataFrame,
     strata_col: str,

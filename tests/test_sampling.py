@@ -40,6 +40,58 @@ def test_split_deterministic_and_stable_under_growth(spark):
     assert all(a[k] == v for k, v in sub.items())
 
 
+def test_leakage_safe_split_cluster_atomic(spark):
+    # clusters: {0,1,2} -> rep 0, {10,11} -> rep 10; 20, 21 unclustered
+    docs = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 10, 11, 20, 21)], ["doc_id"]
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        ["doc_id", "cluster_id"],
+    )
+    out = {
+        r["doc_id"]: (r["split_key"], r["split"])
+        for r in sampling.leakage_safe_split(docs, clusters, FRACS).collect()
+    }
+    # every cluster member shares the representative's key AND label
+    assert out[0] == out[1] == out[2] and out[0][0] == 0
+    assert out[10] == out[11] and out[10][0] == 10
+    # unclustered docs: byte-identical to plain split_assign on own id
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in sampling.split_assign(docs, FRACS).collect()
+    }
+    assert out[20] == (20, plain[20]) and out[21] == (21, plain[21])
+    # cluster members inherit exactly the label their REP would get
+    assert out[1][1] == plain[0] and out[11][1] == plain[10]
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """Planted regression: raw-id hashing DOES scatter some cluster
+    across splits on this corpus slice, and the safe variant never
+    does — the test fails vacuously-never (i.e. proves the operator
+    changes behavior, not just renames a column)."""
+    from cybersecurity_miw_spark.operators import dedup
+
+    docs = load_table(spark, SF, "documents")
+    cand = dedup.minhash_lsh_candidates(docs, shingle_k=3)
+    confirmed = dedup.jaccard_pairs(docs, cand, shingle_k=3).filter(
+        F.col("jaccard") >= 0.8
+    )
+    clusters = dedup.dup_clusters(confirmed)
+    safe = sampling.leakage_safe_split(
+        docs.select("doc_id"), clusters, FRACS
+    )
+    per_cluster = (
+        safe.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits"))
+        .first()[0]
+    )
+    assert per_cluster == 1
+
+
 def test_split_proportions_near_fractions(spark):
     docs = load_table(spark, SF, "documents", widen=False).select("doc_id")
     n = docs.count()

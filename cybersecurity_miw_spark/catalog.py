@@ -6652,6 +6652,59 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "split_key", "split")
 
 
+# Cross-document exact substring dedup, span level (Lee et al.'s
+# "Deduplicating Training Data" primitive): maximal token spans
+# covered by an 8-gram occurring in >=2 distinct docs. The oracle
+# rebuilds positional grams (list comprehension + unnest), the
+# distinct-doc filter, and the gaps-and-islands merge entirely in
+# SQL — algorithm-blind relative to the Spark window pipeline.
+_DUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+           unnest([{'pos': i,
+                    'g': array_to_string(w[i+1:i+8], ' ')}
+                   FOR i IN generate_series(0, len(w) - 8)]) AS u
+    FROM toks WHERE len(w) >= 8
+  )
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+spans AS (SELECT doc_id, pos AS s, pos + 8 AS e FROM grams JOIN dup USING (g)),
+flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS brk
+  FROM spans
+),
+grp AS (
+  SELECT doc_id, s, e,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM flagged
+)
+SELECT doc_id, min(s)::BIGINT AS start_tok, max(e)::BIGINT AS end_tok,
+       count(*) AS n_grams
+FROM grp GROUP BY doc_id, gid
+"""
+
+
+@register("duplicated_ngram_spans", _DUP_SPANS_SQL)
+def q_duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup
+    (operators/dedup.py:duplicated_ngram_spans): maximal token spans
+    covered by a cross-doc-duplicated 8-gram — the repeated-passage
+    signal doc-level MinHash/exact dedup cannot see. Linear in gram
+    occurrences (group → count-distinct → occurrence join → one
+    window pass), never pairwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_ngram_spans(docs, k=8)
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which

@@ -1427,3 +1427,92 @@ def flag_eval_ngram_overlap(
             (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def duplicated_ngram_spans(
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact cross-document substring dedup, span-level (the Lee et
+    al. "Deduplicating Training Data Makes Language Models Better"
+    primitive): every maximal token span covered by a ``k``-token
+    n-gram that also occurs in >= ``min_docs`` distinct documents.
+    Doc-level dedup (MinHash, exact hash) misses this entirely — two
+    distinct articles that share one boilerplate paragraph are not
+    near-duplicates, but an LM still memorizes the repeated span.
+    The span report is the removal plan: slice ``[start_tok,
+    end_tok)`` out of each doc's token stream.
+
+    Plan — linear in gram OCCURRENCES, never pairwise: positional
+    k-grams via one array expression (sequence → transform → slice,
+    JVM-side, no Python); one groupBy on the gram string with an
+    algebraic distinct-doc count (partial aggregation absorbs hot
+    boilerplate grams map-side); an equi-join back to occurrences
+    (output is occurrence-sized — a gram shared by 1M docs emits 1M
+    rows, not 1M²/2 pairs); then the gaps-and-islands merge — ONE
+    window pass per doc, the sessionization shape — coalesces
+    overlapping gram hits into maximal spans. Uniform-key shuffles
+    throughout; the gram string itself is the join key so the
+    candidate join needs no second shingling pass.
+
+    Returns ``(id_col, start_tok, end_tok, n_grams)`` — token-index
+    bounds (end exclusive) and the number of duplicated grams the
+    span absorbed. Within-doc-only repetition is NOT flagged at the
+    default ``min_docs=2`` (that signal is
+    corpus_filters.remove_repeated_lines' job); pass ``min_docs=1``
+    semantics via a total-count variant if ever needed.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("_w")).where(
+        F.size("_w") >= k
+    )
+    grams = base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_w") - k),
+                lambda i: F.array_join(F.slice("_w", i + 1, k), " "),
+            )
+        ).alias("pos", "g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("g")
+    )
+    spans = grams.join(dup, "g").select(
+        id_col,
+        F.col("pos").cast("long").alias("_s"),
+        (F.col("pos") + k).cast("long").alias("_e"),
+    )
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    new_span = F.when(
+        F.col("_s") > F.max("_e").over(w_prev), F.lit(1)
+    ).otherwise(F.lit(0))
+    staged = spans.withColumn("_new", new_span).withColumn(
+        "_span", F.sum("_new").over(w_run)
+    )
+    return (
+        staged.groupBy(id_col, "_span")
+        .agg(
+            F.min("_s").alias("start_tok"),
+            F.max("_e").alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .drop("_span")
+    )

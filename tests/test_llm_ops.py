@@ -939,3 +939,51 @@ def test_source_overlap_decomposition_equals_naive(spark):
         ("B", "B"): 1,
         ("B", "C"): 2,
     }
+
+
+# --- duplicated_ngram_spans (exact substring dedup, span level) ------------
+
+
+def _spans(spark, rows, **kw):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {
+        (r["doc_id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in dedup.duplicated_ngram_spans(docs, **kw).collect()
+    }
+
+
+def test_dup_spans_shared_passage_found_and_bounded(spark):
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    rows = [
+        (1, "a b c " + shared + " x y z"),          # span at tokens 3..13
+        (2, shared + " p q r"),                     # span at tokens 0..10
+        (3, "totally unrelated words " + " ".join(f"u{i}" for i in range(8))),
+    ]
+    got = _spans(spark, rows, k=8)
+    # 10-token passage = 3 overlapping 8-grams, merged into ONE span
+    assert got == {(1, 3, 13, 3), (2, 0, 10, 3)}
+
+
+def test_dup_spans_within_doc_repetition_not_flagged(spark):
+    passage = " ".join(f"r{i}" for i in range(8))
+    rows = [(1, passage + " mid " + passage)]  # repeated only within doc 1
+    assert _spans(spark, rows, k=8) == set()
+
+
+def test_dup_spans_disjoint_hits_stay_separate(spark):
+    p1 = " ".join(f"a{i}" for i in range(8))
+    p2 = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, p1 + " gap1 gap2 gap3 " + p2),   # two disjoint spans
+        (2, p1),
+        (3, p2),
+    ]
+    got = _spans(spark, rows, k=8)
+    assert (1, 0, 8, 1) in got and (1, 11, 19, 1) in got
+    assert (2, 0, 8, 1) in got and (3, 0, 8, 1) in got
+    assert len(got) == 4
+
+
+def test_dup_spans_short_docs_skipped(spark):
+    rows = [(1, "a b c"), (2, "a b c")]  # < k tokens: no grams at all
+    assert _spans(spark, rows, k=8) == set()

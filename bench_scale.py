@@ -67,6 +67,10 @@ QUERY_NAMES = [
     # grow 10x; the boundary window stays one bucket)
     "setsim_exact_pairs",
     "budget_select_docs",
+    # round 8 final: span-level substring dedup (rotated copies keep
+    # 8-gram vocabularies disjoint across copies — duplicated-gram
+    # occurrences and spans grow exactly 10x, no cross-copy inflation)
+    "duplicated_ngram_spans",
 ]
 
 # range_join runs against the TIME-SHIFTED events variant: with plain

@@ -212,6 +212,16 @@ MAX_EXCHANGES = {
     # (textual 35, same real shuffles — the time_rollup_multires
     # precedent)
     "budget_select_docs": 36,
+    # R-S prefix-filter join: same shape as the self-join minus the
+    # id< dedup (9 fresh, +2 headroom)
+    "setsim_cross_decontaminate": 11,
+    # substring dedup: gram groupBy + occurrence join + doc window +
+    # span agg reusing the window partitioning (4 fresh, +1 headroom)
+    "duplicated_ngram_spans": 5,
+    # leakage-safe split: clusters arrive via localCheckpointed
+    # lineage (no exchanges re-printed), one doc-id join + the
+    # shuffle-free hash projection (2 fresh, +1 headroom)
+    "leakage_safe_splits": 3,
 }
 
 

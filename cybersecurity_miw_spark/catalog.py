@@ -6719,84 +6719,70 @@ def q_duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-8 rotation (VERDICT r7 #1): clear the never-driver-rowed
-    # backlog in ONE push — all 39 oracled-but-never-rowed queries get
-    # their first CORRECTNESS rows this round, leaving 11 slots for the
-    # flagship plus ten structural anchors chosen because their code
-    # CHANGED this round and deserves re-verification through the
-    # driver channel: the minhash family re-pinned at the new 112/16
-    # default (minhash_signatures, minhash_lsh_candidates,
-    # near_dup_jaccard_confirm, dup_clusters_cc,
-    # decontaminate_train_vs_eval), the fuzzy join's deterministic
-    # content tags (fuzzy_source_name_pairs), and the TPC-H plans that
-    # lost their forced customer broadcasts (q5/q10/q18). Rotated OUT
-    # are 39 rows green in CORRECTNESS_r07 — the time-series family,
-    # sequence/pattern suite, sessionization, sampling splits,
-    # boilerplate, text profile/tfidf, the ANN family, multimodal, and
-    # structural veterans (agg_union_count_histogram, order_topk_groups,
-    # match_and_contains_all, evtx_kv_dynamic_group, tpch q3/q4/q14,
-    # dedup_exact_groups, simhash_band_candidates, bloom semi-join,
-    # snapshot diff, dq profile, cohort, entropy) — every one stays
-    # full-hash green in tests/test_oracle_parity.py.
+    # Round-9 rotation (VERDICT r8 #1): all 24 oracles added in round 8
+    # — the only never-driver-rowed queries left — get their first
+    # CORRECTNESS rows, keeping the never-rowed == new-this-round
+    # steady state. Beyond the flagship, the changed-code anchors are
+    # the TPC-H plans whose forced broadcasts are dropped/size-gated
+    # this round (q3/q14 demotions, q7/q8 supplier routed through the
+    # size-gated helper; q9 is already in the never-rowed set) and
+    # incremental_lsh_vs_store (the batch store-params guard from
+    # ADVICE r8). The remaining slots re-verify the 20 veterans whose
+    # last driver row is oldest (rounds 4-5); everything rotated out
+    # stays full-hash green in tests/test_oracle_parity.py.
     "miw_events_summary",
-    # anchors: minhash family at the new 112/16 default
-    "minhash_signatures",
-    "minhash_lsh_candidates",
-    "near_dup_jaccard_confirm",
-    "dup_clusters_cc",
-    "decontaminate_train_vs_eval",
-    # anchors: round-8 code changes (tags / broadcast demotion)
-    "fuzzy_source_name_pairs",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_volume_customer",
-    "tpch_q1_pricing_summary",
-    # --- first-ever driver rows below (39) ---
-    # TPC-H round-7 additions
-    "tpch_q6_forecast_revenue",
+    # --- first-ever driver rows (24, all added in round 8) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_late_shipments",
+    "tpch_q13_order_count_distribution",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_sole_return_supplier",
+    "tpch_q22_dormant_customers",
+    "setsim_exact_pairs",
+    "setsim_cross_decontaminate",
+    "leakage_safe_splits",
+    "duplicated_ngram_spans",
+    "bm25_topk_docs",
+    "budget_select_docs",
+    "weighted_sample_32_by_chars",
+    "rolling_7d_active_users",
+    "stickiness_dau_mau",
+    "dedup_impact_report",
+    "source_dup_overlap",
+    "minhash_lsh_guarded",
+    "incremental_simhash_vs_store",
+    # --- round-9 changed-code anchors ---
+    "tpch_q3_shipping_priority",
+    "tpch_q14_promo_effect",
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
-    "tpch_q15_top_supplier",
-    # incremental dedup store family + canonical dedup
-    "incremental_exact_ingest",
     "incremental_lsh_vs_store",
-    "incremental_near_dups_confirmed",
-    "dedup_groups_canonical",
-    # round-7 analytics / session additions
-    "session_conversion_rate",
-    "merge_user_activity_intervals",
-    "audience_overlap_jaccard",
-    "cube_event_counts",
-    "ntile_value_quartiles",
-    "churned_purchasers_day_over_day",
-    "alert_dedup_first_per_hour",
-    "top_users_by_events_with_ties",
-    "frame_feature_ann_topk",
-    "doc_token_length_histogram",
-    # round-6 analytics stragglers
-    "activity_gap_detection",
-    "event_type_transitions",
-    "top_event_trigrams",
-    "first_seen_users_per_day",
-    "day_over_day_event_counts",
-    "unpivot_day_measures",
-    "funnel_conversion_summary",
-    "hourly_count_correlations",
-    "seasonal_volume_anomalies",
-    "json_props_extract",
-    "cidr_filter_derived_ips",
-    "window_count_after_signup",
-    # small-sample family
-    "uniform_sample_50",
-    "sample_20_per_event_type",
-    "weighted_interleave_prefix",
-    # text / LM / token-stat stragglers
-    "bpe_top_pairs",
-    "top_bigram_profile",
-    "lm_bigram_quality_scores",
-    "eval_ngram_overlap_flags",
-    "hashed_text_embedding",
-    "split_word_divergence",
+    # --- oldest-rowed veterans (last rows in rounds 4-5) ---
+    "agg_union_numeric_append",
+    "anti_join_membership",
+    "app_matrix_mult",
+    "dedup_exact_survivors",
+    "embedding_near_dup_pairs",
+    "kv_evtx2_explode",
+    "pairwise_cosine_topk",
+    "ratio_over_count_operand",
+    "simhash_md5_fingerprints",
+    "unix_epoch_parse",
+    "agg_count_a3",
+    "agg_first_a12",
+    "agg_union_sorted",
+    "app_hist_256",
+    "app_string_match",
+    "appname_id_suffix",
+    "atoi_prefix_parity",
+    "dns_wire_decode",
+    "embedding_l2_normalize",
+    "embedding_quantize_int8",
 ]
 
 

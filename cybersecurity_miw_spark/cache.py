@@ -39,8 +39,27 @@ def release_intermediates() -> int:
     released. Safe to call at any time — frames already unpersisted
     (or whose session is gone) are skipped silently. Lazy (non-
     blocking) unpersist: blocks are dropped asynchronously."""
+    return _release_from(0)
+
+
+def release_mark() -> int:
+    """Snapshot the registry position. Pair with
+    :func:`release_since` to release only the intermediates pinned
+    AFTER this point — the scope a ``foreachBatch`` trigger needs so
+    a per-trigger release cannot unpersist frames pinned by
+    concurrent work in the same session (ADVICE r8)."""
+    return len(_TRACKED)
+
+
+def release_since(mark: int) -> int:
+    """Unpersist intermediates registered after ``mark`` (a value
+    from :func:`release_mark`); earlier pins are untouched."""
+    return _release_from(max(mark, 0))
+
+
+def _release_from(start: int) -> int:
     released = 0
-    while _TRACKED:
+    while len(_TRACKED) > start:
         df = _TRACKED.pop()
         try:
             lvl = df.storageLevel

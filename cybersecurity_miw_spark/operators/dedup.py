@@ -799,6 +799,83 @@ def dedup_against_store(
     return new_docs.join(keep.select(id_col), on=id_col, how="left_semi")
 
 
+BAND_STORE_PARAMS_FILE = "_lsh_params.json"
+
+
+def write_band_store_params(
+    spark: SparkSession,
+    store_dir: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> None:
+    """Record the MinHash family of a persisted band store in a
+    ``_lsh_params.json`` sidecar inside ``store_dir`` (underscore
+    prefix = invisible to ``spark.read.parquet``). Written via the
+    Hadoop FS API so it lands wherever the store lives (local, hdfs,
+    s3a) — the guard half is :func:`check_band_store_params`."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    params = {
+        "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k
+    }
+    fsutil.write_text(
+        spark, f"{store_dir}/{BAND_STORE_PARAMS_FILE}", json.dumps(params)
+    )
+
+
+def check_band_store_params(
+    spark: SparkSession,
+    store_dir: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> dict | None:
+    """Validate that a persisted band store was built with THIS hash
+    family. Band hashes from different (num_hashes, bands, shingle_k)
+    families never collide, so a mismatched join silently yields zero
+    candidates — the failure mode this guard turns into a raise.
+    Returns the stored params, or None when the store predates the
+    sidecar (legacy store: caller must know its family — rebuild the
+    sidecar with :func:`write_band_store_params` to opt in)."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{BAND_STORE_PARAMS_FILE}"
+    if not fsutil.exists(spark, path):
+        return None
+    stored = json.loads(fsutil.read_text(spark, path))
+    params = {
+        "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k
+    }
+    if stored != params:
+        raise ValueError(
+            f"band store at {store_dir} was built with {stored}; this "
+            f"query supplies {params} — mixed MinHash families never "
+            "match (candidates silently drop to zero). Rebuild the "
+            "store or pass the stored parameters."
+        )
+    return stored
+
+
+def load_band_store(
+    spark: SparkSession,
+    store_dir: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Read a persisted band store, raising if its recorded hash
+    family differs from the parameters supplied — the batch-path twin
+    of the streaming sidecar guard (ADVICE r8: the batch incremental
+    path previously had no family check)."""
+    check_band_store_params(spark, store_dir, num_hashes, bands, shingle_k)
+    return spark.read.parquet(store_dir)
+
+
 def lsh_band_store(
     df: DataFrame,
     text_col: str = "text",
@@ -826,7 +903,7 @@ def lsh_band_store(
 
 def incremental_lsh_candidates(
     new_docs: DataFrame,
-    band_store: DataFrame,
+    band_store: DataFrame | str,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = DEFAULT_NUM_HASHES,
@@ -850,7 +927,18 @@ def incremental_lsh_candidates(
     from the join; detect batch docs that HIT a fenced bucket with
     :func:`incremental_fenced_hits` (one row per hit, no fan-out) and
     route them as template/boilerplate matches instead of pairwise
-    near-dups."""
+    near-dups.
+
+    ``band_store`` may be a store DIRECTORY path, in which case it is
+    read via :func:`load_band_store` and the ``_lsh_params.json``
+    sidecar is checked against this call's hash family — a mismatched
+    family would otherwise silently yield zero candidates (ADVICE
+    r8). A pre-loaded DataFrame skips the check (the caller owns the
+    family contract; prefer passing the path)."""
+    if isinstance(band_store, str):
+        band_store = load_band_store(
+            new_docs.sparkSession, band_store, num_hashes, bands, shingle_k
+        )
     nb = lsh_band_store(
         new_docs, text_col, id_col, num_hashes, bands, shingle_k
     ).withColumnRenamed(id_col, "new_id")
@@ -872,7 +960,7 @@ def incremental_lsh_candidates(
 
 def incremental_fenced_hits(
     new_docs: DataFrame,
-    band_store: DataFrame,
+    band_store: DataFrame | str,
     max_store_bucket_width: int,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -885,7 +973,13 @@ def incremental_fenced_hits(
     mega-template match signal, delivered without the W-per-doc pair
     fan-out the fence exists to avoid. Route these as boilerplate /
     template matches (drop, or cluster against the bucket's
-    representative) instead of pairwise near-dups."""
+    representative) instead of pairwise near-dups. A string
+    ``band_store`` is loaded via :func:`load_band_store` (family
+    sidecar checked)."""
+    if isinstance(band_store, str):
+        band_store = load_band_store(
+            new_docs.sparkSession, band_store, num_hashes, bands, shingle_k
+        )
     nb = lsh_band_store(
         new_docs, text_col, id_col, num_hashes, bands, shingle_k
     ).withColumnRenamed(id_col, "new_id")
@@ -904,7 +998,7 @@ def incremental_fenced_hits(
 def incremental_near_dups_confirmed(
     new_docs: DataFrame,
     history_docs: DataFrame,
-    band_store: DataFrame,
+    band_store: DataFrame | str,
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",

@@ -106,11 +106,13 @@ def leakage_safe_split(
     reps = clusters.select(
         F.col(id_col).alias("_cl_doc"), F.col("cluster_id").alias("_cl_rep")
     )
+    # no cast on the key: hash_bucket stringifies whatever it gets, and
+    # a long cast would silently NULL non-numeric ids (string doc ids)
+    # — every such row would fall through to split_assign's otherwise
+    # branch and land in the last split (ADVICE r8)
     out = (
         df.join(reps, df[id_col] == F.col("_cl_doc"), "left")
-        .withColumn(
-            "split_key", F.coalesce("_cl_rep", F.col(id_col)).cast("long")
-        )
+        .withColumn("split_key", F.coalesce("_cl_rep", F.col(id_col)))
         .drop("_cl_doc", "_cl_rep")
     )
     return split_assign(

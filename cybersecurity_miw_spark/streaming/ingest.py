@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from cybersecurity_miw_spark.cache import release_intermediates
+from cybersecurity_miw_spark.cache import release_mark, release_since
 from cybersecurity_miw_spark.operators.dedup import (
     dedup_against_store,
     fingerprint_store,
@@ -103,6 +103,11 @@ def streaming_dedup_ingest(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # scope the per-trigger cache release to intermediates pinned
+        # WITHIN this batch: releasing the whole registry would also
+        # unpersist frames pinned by concurrent work in the same
+        # session (ADVICE r8)
+        cache_mark = release_mark()
         # materialize the batch once: dedup_against_store reads it
         # twice (tag + semi-join), and the metrics count is then free
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -141,7 +146,7 @@ def streaming_dedup_ingest(
         # a continuous query runs this loop forever: drop any persisted
         # intermediates the dedup operators pinned THIS trigger, or the
         # executor cache grows by one DataFrame per batch, unbounded
-        release_intermediates()
+        release_since(cache_mark)
 
     writer = (
         docs.writeStream.outputMode("append")
@@ -159,8 +164,8 @@ def streaming_near_dup_flags(
     checkpoint_dir: str,
     flags_dir: str,
     band_store_dir: str,
-    num_hashes: int = None,
-    bands: int = None,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     shingle_k: int = 3,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
@@ -193,40 +198,36 @@ def streaming_near_dup_flags(
     Per trigger the batch is banded ONCE (the signature computation is
     the dominant narrow stage): the checkpointed bands feed the store
     append, the within-batch self-join, the store join, and the
-    fenced-hit report. A ``_lsh_params.json`` sidecar written next to
+    fenced-hit report. A ``_lsh_params.json`` sidecar written inside
     the store records (num_hashes, bands, shingle_k); a restart with
     different parameters raises instead of silently joining two
     incompatible hash families (old-family band hashes never match
-    new-family ones — candidates would quietly drop to zero)."""
-    import json
-    import os
-
+    new-family ones — candidates would quietly drop to zero). Sidecar
+    I/O goes through the Hadoop FS API (fsutil), so the guard works
+    for hdfs:// and s3a:// stores, not just local paths (ADVICE r8);
+    the same sidecar guards the batch path via
+    :func:`~cybersecurity_miw_spark.operators.dedup.load_band_store`.
+    """
     from cybersecurity_miw_spark.operators.dedup import (
+        BAND_STORE_PARAMS_FILE,
         DEFAULT_BANDS,
         DEFAULT_NUM_HASHES,
+        check_band_store_params,
         lsh_band_store,
         pairs_from_bands,
+        write_band_store_params,
     )
+    from cybersecurity_miw_spark import fsutil
 
     if num_hashes is None:
         num_hashes = DEFAULT_NUM_HASHES
     if bands is None:
         bands = DEFAULT_BANDS
 
-    params = {
-        "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k
-    }
-    params_path = os.path.join(band_store_dir, "_lsh_params.json")
-    if os.path.exists(params_path):
-        with open(params_path) as fh:
-            stored = json.load(fh)
-        if stored != params:
-            raise ValueError(
-                f"band store at {band_store_dir} was built with "
-                f"{stored}; this query was started with {params} — "
-                "mixed MinHash families never match. Rebuild the "
-                "store (or pass the stored parameters)."
-            )
+    check_band_store_params(
+        spark, band_store_dir, num_hashes, bands, shingle_k
+    )
+    params_path = f"{band_store_dir}/{BAND_STORE_PARAMS_FILE}"
 
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
@@ -240,6 +241,7 @@ def streaming_near_dup_flags(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        cache_mark = release_mark()
         bands_new = lsh_band_store(
             batch_df, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
         ).localCheckpoint(eager=True)
@@ -291,13 +293,15 @@ def streaming_near_dup_flags(
             flags = within
         flags.write.mode("append").parquet(flags_dir)
         bands_new.write.mode("append").parquet(band_store_dir)
-        if not os.path.exists(params_path):
-            with open(params_path, "w") as fh:
-                json.dump(params, fh)
+        if not fsutil.exists(sess, params_path):
+            write_band_store_params(
+                sess, band_store_dir, num_hashes, bands, shingle_k
+            )
         # minhash_lsh_candidates tracked_persist()s its banded
         # projection: release per trigger so a continuous (non-
-        # availableNow) query holds no unbounded cache
-        release_intermediates()
+        # availableNow) query holds no unbounded cache — scoped to
+        # THIS trigger's pins (ADVICE r8)
+        release_since(cache_mark)
 
     writer = (
         docs.writeStream.outputMode("append")

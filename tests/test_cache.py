@@ -58,3 +58,22 @@ def test_operator_intermediates_are_tracked_and_releasable(spark):
     # every tracked cache is actually gone from the session
     jspark = spark._jsparkSession
     assert jspark.sharedState().cacheManager().isEmpty()
+
+
+def test_release_since_scopes_to_mark(spark):
+    """A foreachBatch trigger must be able to release ONLY the
+    intermediates it pinned itself — frames pinned by concurrent work
+    before the mark stay cached (ADVICE r8)."""
+    from cybersecurity_miw_spark.cache import release_mark, release_since
+
+    release_intermediates()  # clean slate
+    outer = tracked_persist(spark.range(50).select(F.col("id") + 1))
+    outer.count()
+    mark = release_mark()
+    inner = tracked_persist(spark.range(50).select(F.col("id") * 3))
+    inner.count()
+    assert release_since(mark) == 1
+    assert not (inner.storageLevel.useMemory or inner.storageLevel.useDisk)
+    # the pre-mark pin survived the scoped release
+    assert outer.storageLevel.useMemory
+    assert release_intermediates() == 1

@@ -400,3 +400,42 @@ def test_weighted_sample_plan_is_take_ordered(spark):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """Non-numeric doc ids must hash like any other id — the long
+    cast that silently NULLed them (sending every doc to the
+    last-declared split) is gone (ADVICE r8)."""
+    from cybersecurity_miw_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(300)], "doc_id STRING"
+    )
+    clusters = spark.createDataFrame(
+        [("doc-1", "doc-0"), ("doc-0", "doc-0")],
+        "doc_id STRING, cluster_id STRING",
+    )
+    out = leakage_safe_split(
+        docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect()
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r["split"], []).append(r["doc_id"])
+    # a NULL split_key would put ALL docs in 'test'
+    assert len(by_split["train"]) > 200
+    # cluster members share doc-0's key and split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    got = {r["doc_id"]: r["split"] for r in out}
+    assert got["doc-1"] == got["doc-0"] == plain["doc-0"]
+    # unclustered docs keep their plain-split labels
+    assert all(
+        got[d] == plain[d] for d in got if d not in ("doc-0", "doc-1")
+    )

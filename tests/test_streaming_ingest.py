@@ -273,3 +273,63 @@ def test_band_store_params_mismatch_fails_fast(spark, tmp_path):
             spark, str(indir), ckpt, flags, store,
             num_hashes=112, bands=16,
         )
+
+
+def test_batch_store_path_checks_family_sidecar(spark, tmp_path):
+    """The BATCH incremental path must honor the _lsh_params.json
+    sidecar too (ADVICE r8): loading a store directory with a
+    different hash family raises; the matching family yields the same
+    candidates as passing the DataFrame directly; a legacy store
+    without a sidecar still loads (caller owns the contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import dedup
+
+    rows = [
+        (i, f"shared shingle text block variant {i % 3}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 != 0)
+
+    store_dir = str(tmp_path / "bands")
+    dedup.lsh_band_store(history, num_hashes=16, bands=4).write.parquet(
+        store_dir
+    )
+
+    # legacy store (no sidecar): loads, no check possible
+    legacy = dedup.load_band_store(
+        spark, store_dir, num_hashes=16, bands=4
+    )
+    want = {
+        (r["new_id"], r["stored_id"])
+        for r in dedup.incremental_lsh_candidates(
+            batch, legacy, num_hashes=16, bands=4
+        ).collect()
+    }
+    assert want
+
+    dedup.write_band_store_params(
+        spark, store_dir, num_hashes=16, bands=4, shingle_k=3
+    )
+    # sidecar is underscore-prefixed: invisible to the parquet reader
+    assert spark.read.parquet(store_dir).columns == [
+        "doc_id", "band", "band_hash"
+    ]
+
+    # matching family via the path: identical candidates
+    got = {
+        (r["new_id"], r["stored_id"])
+        for r in dedup.incremental_lsh_candidates(
+            batch, store_dir, num_hashes=16, bands=4
+        ).collect()
+    }
+    assert got == want
+
+    # mismatched family via the path: fail fast, never zero-match
+    with pytest.raises(ValueError, match="mixed MinHash families"):
+        dedup.incremental_lsh_candidates(
+            batch, store_dir, num_hashes=112, bands=16
+        )

@@ -2239,11 +2239,37 @@ def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Broadcast-hint policy for the TPC-H suite (SCALE.md r8/r9 demotion
+# notes): an explicit user hint NEVER demotes — AQE does not override
+# it — so hinting any sf-SCALED relation (customer 150k×sf, part
+# 200k×sf, supplier 10k×sf, or any filter-derived subset of them) is
+# a guaranteed OOM at a large enough scale factor. Hints are reserved
+# for relations whose row count is bounded INDEPENDENT of sf
+# (nation 25, region 5, 1-row scalar aggregates). maybe_broadcast
+# makes that contract explicit at each call site: pass the
+# scale-independent bound to hint, pass nothing for an sf-scaled
+# relation and the hint is withheld — file statistics + AQE then pick
+# broadcast at runtime whenever the side actually fits, and stop
+# picking it when it no longer does.
+BROADCAST_HINT_MAX_ROWS = 100_000
+
+
+def maybe_broadcast(df: DataFrame, bounded_rows: int | None = None) -> DataFrame:
+    """Size-gated broadcast hint: hint only when ``bounded_rows`` — a
+    row bound that does NOT grow with scale factor — is given and
+    under ``BROADCAST_HINT_MAX_ROWS``; otherwise return ``df``
+    untouched so the optimizer owns the join-strategy decision."""
+    if bounded_rows is not None and bounded_rows <= BROADCAST_HINT_MAX_ROWS:
+        return F.broadcast(df)
+    return df
+
+
 # TPC-H Q3 shape: selective dim filter -> two joins -> grouped revenue
-# top-k. Exercises the join planner: customer is small and explicitly
-# broadcast (map-side join, no shuffle of lineitem on custkey);
-# orders⋈lineitem shuffles once on orderkey. Revenue scaled to an
-# integer grid for cross-engine hashing.
+# top-k. Exercises the join planner: the BUILDING-segment customer
+# subset is still ~30k rows×sf, so it is NOT hinted (sf-scaled;
+# stats/AQE broadcast it while it fits); orders⋈lineitem shuffles
+# once on orderkey. Revenue scaled to an integer grid for
+# cross-engine hashing.
 
 _Q3_SQL = """
 SELECT l.l_orderkey AS orderkey,
@@ -2273,11 +2299,12 @@ def q_tpch3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("date")
     )
-    # broadcast ONLY the filtered dim (customer); orders⋈lineitem is
+    # the segment-filtered customer projection is sf-scaled (~30k×sf)
+    # — no hint (maybe_broadcast policy above); orders⋈lineitem is
     # the fact-fact join and must stay a shuffle join at scale —
-    # Catalyst/AQE picks broadcast for it locally if it fits.
+    # Catalyst/AQE picks broadcast for either side locally if it fits.
     sel_orders = orders.join(
-        F.broadcast(cust.select("c_custkey")),
+        maybe_broadcast(cust.select("c_custkey")),
         orders.o_custkey == F.col("c_custkey"),
     ).select("o_orderkey", "o_orderdate")
     joined = li.join(sel_orders, li.l_orderkey == F.col("o_orderkey"))
@@ -2342,17 +2369,19 @@ def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem", widen=False)
     joined = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(
-            # customer is NOT hinted: it is TPC-H's largest "dimension"
-            # (150k rows x sf — gigabytes at cluster scale) and an
-            # explicit broadcast hint never demotes, so the size call
-            # belongs to file stats / AQE. nation(x)region stays hinted
-            # (true small dims).
+            # customer and supplier are NOT hinted: both sf-scaled
+            # (150k/10k rows × sf) and an explicit broadcast hint
+            # never demotes, so the size call belongs to file stats /
+            # AQE. nation(×)region stays hinted (true small dims).
             c.join(
-                F.broadcast(n.join(F.broadcast(r),
-                                   n["n_regionkey"] == r["r_regionkey"])),
+                maybe_broadcast(
+                    n.join(F.broadcast(r),
+                           n["n_regionkey"] == r["r_regionkey"]),
+                    bounded_rows=25,
+                ),
                 c["c_nationkey"] == F.col("n_nationkey"),
             ),
             (o["o_custkey"] == F.col("c_custkey"))
@@ -2508,17 +2537,19 @@ WHERE l.l_shipdate >= DATE '1996-01-01'
 
 @register("tpch_q14_promo_effect", _Q14_SQL)
 def q_tpch14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: month slice pushed to the lineitem scan, part
-    broadcast, a single global aggregate with a conditional
-    numerator — the whole query is one map-side-combined reduction
-    to a scalar."""
+    """TPC-H Q14: month slice pushed to the lineitem scan, a single
+    global aggregate with a conditional numerator — the whole query
+    is one map-side-combined reduction to a scalar. part is UNFILTERED
+    (the promo ratio needs every part's type) and 200k rows×sf, so it
+    carries no broadcast hint (r9 demotion, SCALE.md): stats/AQE
+    broadcast it while it fits and demote when it doesn't."""
     li = load_table(spark, sf_dir, "lineitem", widen=False).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1996-02-01").cast("date"))
     )
     p = load_table(spark, sf_dir, "part", widen=False)
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
     return joined.agg(
         F.round(
             F.lit(100.0)
@@ -2597,9 +2628,10 @@ GROUP BY 1, 2, 3
 
 @register("tpch_q7_volume_shipping", _Q7_SQL)
 def q_tpch7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7: nation/supplier/customer dims broadcast, ONE
-    fact-fact shuffle (lineitem⋈orders on orderkey); the two-nation
-    disjunction filters after the cheap broadcast joins, before the
+    """TPC-H Q7: the two nation projections broadcast (bounded dims);
+    supplier/customer are sf-scaled and unhinted (stats/AQE decide).
+    ONE fact-fact shuffle (lineitem⋈orders on orderkey); the
+    two-nation disjunction filters after the cheap joins, before the
     expensive one."""
     li = load_table(spark, sf_dir, "lineitem", widen=False).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
@@ -2618,11 +2650,17 @@ def q_tpch7(spark: SparkSession, sf_dir: str) -> DataFrame:
     px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
     joined = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        li.join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            maybe_broadcast(ns, bounded_rows=25),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            maybe_broadcast(nc, bounded_rows=25),
+            F.col("c_nationkey") == F.col("c_nk"),
+        )
         .filter(
             (
                 (F.col("supp_nation") == "NATION_1")
@@ -2673,8 +2711,10 @@ GROUP BY 1
 
 @register("tpch_q8_market_share", _Q8_SQL)
 def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q8: every dim broadcast (region→nation→customer chain
-    and part prune the fact rows), one orders⋈lineitem shuffle,
+    """TPC-H Q8: nation/region broadcast (bounded); the type-filtered
+    part, supplier, and customer are sf-scaled and unhinted — the
+    region→nation chain plus part still prune the fact via whatever
+    join strategy stats/AQE pick. One orders⋈lineitem shuffle;
     numerator/denominator in the SAME aggregation — the share
     division happens once per year row."""
     li = load_table(spark, sf_dir, "lineitem", widen=False)
@@ -2699,12 +2739,18 @@ def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
     vol = px_c * (F.lit(100) - disc_pct)
     joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(maybe_broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            maybe_broadcast(ns, bounded_rows=25),
+            F.col("s_nationkey") == F.col("s_nk"),
+        )
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            maybe_broadcast(nc, bounded_rows=25),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.groupBy(
@@ -2768,7 +2814,7 @@ def q_tpch15(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_mx", F.max("total_revenue_c4").over(Window.partitionBy())
     ).filter(F.col("total_revenue_c4") == F.col("_mx"))
     return top.join(
-        F.broadcast(s), top["l_suppkey"] == s["s_suppkey"]
+        maybe_broadcast(s), top["l_suppkey"] == s["s_suppkey"]
     ).select("s_suppkey", "s_name", "total_revenue_c4")
 
 
@@ -2840,7 +2886,8 @@ def q_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     costs = (
-        li.join(F.broadcast(rsupp), li["l_suppkey"] == F.col("s_suppkey"))
+        # rsupp is region-filtered supplier — still sf-scaled: no hint
+        li.join(maybe_broadcast(rsupp), li["l_suppkey"] == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
         .agg(F.min(px_c).alias("px_c"))
     )
@@ -2849,7 +2896,7 @@ def q_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px_c") == F.col("_best")
     )
     return (
-        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        best.join(maybe_broadcast(p), best["l_partkey"] == p["p_partkey"])
         .select(
             "p_partkey", "p_name", "s_name", "n_name",
             F.col("px_c").alias("best_px_c"),
@@ -2920,12 +2967,12 @@ def q_tpch16(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey")
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     kept = pairs.join(
-        F.broadcast(bad),
+        maybe_broadcast(bad),
         pairs["l_suppkey"] == bad["s_suppkey"],
         "left_anti",
     )
     return (
-        kept.join(F.broadcast(p), kept["l_partkey"] == p["p_partkey"])
+        kept.join(maybe_broadcast(p), kept["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2965,7 +3012,7 @@ def q_tpch17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("qcnt"),
     )
     px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-    sel = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    sel = li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
     joined = sel.join(
         qstat, sel["l_partkey"] == qstat["l_partkey"]
     ).filter(
@@ -3012,7 +3059,7 @@ def q_tpch19(spark: SparkSession, sf_dir: str) -> DataFrame:
            & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
         .filter(cond)
         .agg(
             F.sum(px_c * (F.lit(100) - disc_pct))
@@ -3053,7 +3100,7 @@ def q_tpch20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = load_table(spark, sf_dir, "supplier", widen=False)
     heavy = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .filter(F.col("_q") > 300)
@@ -3122,7 +3169,7 @@ def q_tpch21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole.join(F.broadcast(s), sole["l_suppkey"] == s["s_suppkey"])
+        sole.join(maybe_broadcast(s), sole["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
@@ -3224,8 +3271,10 @@ def q_tpch9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "n_name"
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        # name-filtered part and supplier⋈nation are both sf-scaled:
+        # unhinted (r9 demotion) — stats/AQE broadcast while they fit
+        li.join(maybe_broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(maybe_broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -3278,7 +3327,7 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     nv = (
-        li.join(F.broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
+        li.join(maybe_broadcast(sn), li["l_suppkey"] == sn["s_suppkey"])
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(px_c).cast("long").alias("value_c"))
     )

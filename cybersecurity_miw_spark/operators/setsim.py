@@ -33,10 +33,35 @@ prefix equi-join (token key), pair distinct, verify joins (id key).
 Candidate volume is governed by the rarest-first ordering: frequent
 shingles sort to the END of each set and never enter a prefix, so
 hot tokens do not fan out. The verify pass touches candidates only
-(the jaccard_pairs read pattern). Headroom not implemented:
-PPJoin's positional filter and PPJoin+'s suffix filter prune more
-candidates per prefix hit; at the measured candidate rates the
-basic prefix + length filter is already candidate-bounded.
+(the jaccard_pairs read pattern).
+
+Positional filter (Xiao et al. 2008 §3, r9): each prefix hit carries
+the matched token's 1-based canonical position, and the pair-key
+aggregation (the same shuffle the plain ``distinct()`` already paid,
+map-side partials) combines two sound overlap upper bounds, pruning
+pairs whose tightest bound cannot reach
+alpha = ceil(t/(1+t)·(|a|+|b|)) — the minimum overlap Jaccard >= t
+requires:
+
+* **generic bound**, valid for EVERY shared prefix token w at
+  positions (i, j): the global canonical order splits the overlap
+  into before-w / w / after-w parts, so
+  o <= min(i-1, j-1) + 1 + min(|a|-i, |b|-j).
+* **first-hit bound**: for the hit with MINIMAL position (the same
+  row attains min(i) and min(j) — shared prefix tokens sort
+  identically in both sets), no shared token can precede it: an
+  earlier shared token would sort before w in BOTH sets, hence sit
+  inside both prefixes and be a hit itself, contradicting
+  minimality. So o <= 1 + min(|a|-min(i), |b|-min(j)) — the bound
+  without the min(pos)-1 slack, the one that actually prunes
+  same-size near-miss pairs.
+
+Exact: qualifying pairs satisfy every bound (each is a true upper
+bound on o, and o >= alpha). alpha is computed in integer permille
+(ceil via (x + d - 1) div d), so no float boundary can prune a
+qualifying pair. Headroom not implemented: PPJoin+'s suffix filter
+(binary probe of the suffix beyond the prefix) prunes further per
+candidate.
 """
 
 from __future__ import annotations
@@ -76,14 +101,37 @@ def token_df_order(ex: DataFrame, id_col: str) -> DataFrame:
 
 def prefix_index(ordered: DataFrame, id_col: str, t_pm: int) -> DataFrame:
     """Explode only the prefix of each canonical-ordered set:
-    p = sz - ceil(t*sz) + 1 tokens, integer-exact ceil."""
+    p = sz - ceil(t*sz) + 1 tokens, integer-exact ceil. Carries the
+    token's 1-based canonical position for the positional filter."""
     alpha = F.floor((F.lit(t_pm) * F.col("sz") + 999) / 1000).cast("int")
     pref_len = (F.col("sz") - alpha + 1).cast("int")
-    return ordered.select(
-        id_col,
-        "sz",
-        F.explode(F.slice("toks", 1, pref_len)).alias("tok"),
+    return (
+        ordered.select(
+            id_col,
+            "sz",
+            F.posexplode(F.slice("toks", 1, pref_len)).alias("pos", "tok"),
+        )
+        .withColumn("pos", (F.col("pos") + 1).cast("int"))
     )
+
+
+def _alpha(t_pm: int, sz_a, sz_b):
+    """Minimum overlap Jaccard >= t requires:
+    ceil(t/(1+t) * (|a|+|b|)), exact integer permille arithmetic."""
+    num = F.lit(t_pm) * (sz_a + sz_b)
+    den = F.lit(1000 + t_pm)
+    return F.floor((num + den - F.lit(1)) / den).cast("long")
+
+
+def _pos_bound(pos_a, pos_b, sz_a, sz_b):
+    """Overlap upper bound from one shared prefix token at 1-based
+    canonical positions (pos_a, pos_b): before-token overlap is at
+    most min(pos)-1, the token itself is 1, after-token overlap is at
+    most min(remaining)."""
+    return (
+        F.least(pos_a, pos_b)
+        + F.least(sz_a - pos_a, sz_b - pos_b)
+    ).cast("long")
 
 
 def ppjoin_pairs(
@@ -105,10 +153,29 @@ def ppjoin_pairs(
     pref = prefix_index(token_df_order(ex, id_col), id_col, t_pm)
 
     a = pref.select(
-        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "tok",
     )
     b = pref.select(
-        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "tok",
+    )
+    # positional filter: min generic bound over hits + first-hit bound
+    # (min positions), combined in ONE pair-key aggregation — the same
+    # shuffle the plain distinct() paid, with map-side min partials
+    generic = _pos_bound(
+        F.col("pos_a"), F.col("pos_b"), F.col("sz_a"), F.col("sz_b")
+    )
+    bound = F.least(
+        F.col("_g"),
+        F.lit(1)
+        + F.least(
+            F.col("sz_a") - F.col("_pa"), F.col("sz_b") - F.col("_pb")
+        ),
     )
     cand = (
         a.join(b, "tok")
@@ -120,8 +187,14 @@ def ppjoin_pairs(
                 >= F.lit(t_pm) * F.greatest("sz_a", "sz_b")
             )
         )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(
+            F.min(generic).alias("_g"),
+            F.min("pos_a").alias("_pa"),
+            F.min("pos_b").alias("_pb"),
+        )
+        .filter(bound >= _alpha(t_pm, F.col("sz_a"), F.col("sz_b")))
         .select("id_a", "id_b")
-        .distinct()
     )
 
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
@@ -198,10 +271,26 @@ def ppjoin_cross(
         )
 
     pref_l = prefix_index(ordered(ex_l), id_col, t_pm).select(
-        F.col(id_col).alias("id_l"), F.col("sz").alias("sz_l"), "tok"
+        F.col(id_col).alias("id_l"),
+        F.col("sz").alias("sz_l"),
+        F.col("pos").alias("pos_l"),
+        "tok",
     )
     pref_r = prefix_index(ordered(ex_r), id_col, t_pm).select(
-        F.col(id_col).alias("id_r"), F.col("sz").alias("sz_r"), "tok"
+        F.col(id_col).alias("id_r"),
+        F.col("sz").alias("sz_r"),
+        F.col("pos").alias("pos_r"),
+        "tok",
+    )
+    generic = _pos_bound(
+        F.col("pos_l"), F.col("pos_r"), F.col("sz_l"), F.col("sz_r")
+    )
+    bound = F.least(
+        F.col("_g"),
+        F.lit(1)
+        + F.least(
+            F.col("sz_l") - F.col("_pl"), F.col("sz_r") - F.col("_pr")
+        ),
     )
     cand = (
         pref_l.join(pref_r, "tok")
@@ -209,8 +298,14 @@ def ppjoin_cross(
             F.lit(1000) * F.least("sz_l", "sz_r")
             >= F.lit(t_pm) * F.greatest("sz_l", "sz_r")
         )
+        .groupBy("id_l", "id_r", "sz_l", "sz_r")
+        .agg(
+            F.min(generic).alias("_g"),
+            F.min("pos_l").alias("_pl"),
+            F.min("pos_r").alias("_pr"),
+        )
+        .filter(bound >= _alpha(t_pm, F.col("sz_l"), F.col("sz_r")))
         .select("id_l", "id_r")
-        .distinct()
     )
     sa = sh_l.select(F.col(id_col).alias("id_l"), F.col("_sh").alias("_sh_l"))
     sb = sh_r.select(F.col(id_col).alias("id_r"), F.col("_sh").alias("_sh_r"))

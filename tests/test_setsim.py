@@ -205,3 +205,61 @@ def test_prefix_index_is_a_strict_subset(spark):
         setsim.token_df_order(ex, "doc_id"), "doc_id", 800
     ).count()
     assert pref < full
+
+
+def test_positional_filter_prunes_without_losing_pairs(spark):
+    """The r9 positional filter (Xiao et al. 2008 §3) must strictly
+    shrink the candidate set on a near-miss-heavy corpus while the
+    final result stays brute-force exact. Near-miss pairs share ONE
+    early prefix token but overlap nowhere else — the generic +
+    first-hit bounds prune them before the verify join."""
+    rare = "zq0 zq1 zq2"  # one shared rare 3-shingle across the corpus
+    rows = [
+        (i, rare + " " + _doc(list(range(4 + (i % 7), 16 + (i % 7)))))
+        for i in range(24)
+    ]
+    # one genuine near-dup pair, exactly at the threshold boundary
+    rows += [(100, _doc(list(range(20)))), (101, _doc(list(range(20))))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    t_pm = 500
+    sh = with_shingles(docs, "text", 3, "_sh", keep=("doc_id",))
+    ex = sh.select("doc_id", F.explode("_sh").alias("tok"))
+    pref = setsim.prefix_index(
+        setsim.token_df_order(ex, "doc_id"), "doc_id", t_pm
+    )
+    a = pref.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"), "tok",
+    )
+    b = pref.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"), "tok",
+    )
+    base = a.join(b, "tok").filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (
+            F.lit(1000) * F.least("sz_a", "sz_b")
+            >= F.lit(t_pm) * F.greatest("sz_a", "sz_b")
+        )
+    )
+    plain = base.select("id_a", "id_b").distinct().count()
+    generic = setsim._pos_bound(
+        F.col("pos_a"), F.col("pos_b"), F.col("sz_a"), F.col("sz_b")
+    )
+    bound = F.least(
+        F.col("_g"),
+        F.lit(1)
+        + F.least(F.col("sz_a") - F.col("_pa"), F.col("sz_b") - F.col("_pb")),
+    )
+    pruned = (
+        base.groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(
+            F.min(generic).alias("_g"),
+            F.min("pos_a").alias("_pa"),
+            F.min("pos_b").alias("_pb"),
+        )
+        .filter(bound >= setsim._alpha(t_pm, F.col("sz_a"), F.col("sz_b")))
+        .count()
+    )
+    assert pruned < plain  # the filter actually fires
+    _run(spark, rows, 0.5)  # ...and the output is still exact

@@ -6754,6 +6754,64 @@ def q_duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_ngram_spans(docs, k=8)
 
 
+# Span REMOVAL — the second half of the Lee et al. pipeline: the
+# oracle recomputes the span plan from scratch and then rebuilds
+# every document's text by dropping covered token indexes (NOT
+# EXISTS over the span ranges + ordered string_agg) — fully
+# algorithm-blind relative to the Spark array-lambda slice.
+_SPAN_REMOVE_SQL = """
+WITH toks AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+    SELECT doc_id,
+           unnest([{'pos': i,
+                    'g': array_to_string(w[i+1:i+8], ' ')}
+                   FOR i IN generate_series(0, len(w) - 8)]) AS u
+    FROM toks WHERE len(w) >= 8
+  )
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+spans AS (SELECT DISTINCT doc_id, pos AS s, pos + 8 AS e
+          FROM grams JOIN dup USING (g)),
+tokpos AS (
+  SELECT doc_id, u.i AS i, u.w AS w FROM (
+    SELECT doc_id,
+           unnest([{'i': i, 'w': w[i+1]}
+                   FOR i IN generate_series(0, len(w) - 1)]) AS u
+    FROM toks
+  )
+),
+cov AS (
+  SELECT t.doc_id, t.i, t.w,
+         EXISTS (SELECT 1 FROM spans sp
+                 WHERE sp.doc_id = t.doc_id
+                   AND t.i >= sp.s AND t.i < sp.e) AS covered
+  FROM tokpos t
+)
+SELECT doc_id,
+       coalesce(string_agg(w, ' ' ORDER BY i) FILTER (WHERE NOT covered),
+                '') AS text,
+       (count(*) FILTER (WHERE covered))::BIGINT AS removed_tokens
+FROM cov
+GROUP BY 1
+"""
+
+
+@register("span_removed_documents", _SPAN_REMOVE_SQL)
+def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the Lee et al. loop (operators/dedup.py:
+    remove_duplicated_spans): excise every cross-doc duplicated
+    8-gram span from the corpus and reassemble the text, reporting
+    removed token counts. One span-table groupBy + one left join on
+    the uniform doc key; the slice is a single JVM array lambda."""
+    docs = load_table(spark, sf_dir, "documents")
+    spans = dedup.duplicated_ngram_spans(docs, k=8)
+    return dedup.remove_duplicated_spans(docs, spans)
+
+
 # ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
@@ -6831,7 +6889,8 @@ _DRIVER_WINDOW = [
     "atoi_prefix_parity",
     "dns_wire_decode",
     "embedding_l2_normalize",
-    "embedding_quantize_int8",
+    # --- new round-9 operators (replace the youngest veterans) ---
+    "span_removed_documents",
 ]
 
 

@@ -1610,3 +1610,62 @@ def duplicated_ngram_spans(
         )
         .drop("_span")
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The second half of the Lee et al. exact-substring pipeline:
+    consume :func:`duplicated_ngram_spans`' removal plan — slice every
+    ``[start_tok, end_tok)`` span out of each document's token stream,
+    reassemble the text, and report how many tokens were removed.
+
+    Token semantics match the span producer exactly (lowercased,
+    whitespace-split — the indices are only meaningful against that
+    stream), so the output text is the normalized reassembly for
+    EVERY doc, spans or not; ``removed_tokens`` is 0 for untouched
+    docs and a fully-duplicated doc comes back with empty text (drop
+    or route those downstream — removal and deletion stay decoupled,
+    the flagging convention used across this module).
+
+    100 TB shape: one groupBy of the span table on the doc key (spans
+    exist only for affected docs — a small fraction of the corpus)
+    and one left join of the corpus against that aggregate on the
+    uniform doc-id key; the slice itself is a single JVM array
+    expression (``filter`` with the element-index lambda + ``exists``
+    over the doc's span list), zero Python, zero extra shuffles —
+    per-doc span counts are bounded by doc length, so the collected
+    span list cannot skew a partition.
+
+    Returns ``(id_col, text_col, removed_tokens)``.
+    """
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_tok").alias("s"), F.col("end_tok").alias("e")
+            )
+        ).alias("_spans")
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    covered = lambda i: F.exists(  # noqa: E731 — named for readability
+        F.col("_spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    )
+    kept = F.filter(toks, lambda w, i: ~covered(i.cast("long")))
+    return (
+        docs.join(span_lists, id_col, "left")
+        .withColumn(
+            "_spans", F.coalesce("_spans", F.array().cast(
+                "array<struct<s:long,e:long>>"
+            ))
+        )
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias(text_col),
+            (F.size(toks) - F.size(kept)).cast("long").alias(
+                "removed_tokens"
+            ),
+        )
+    )

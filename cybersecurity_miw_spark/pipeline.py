@@ -30,6 +30,7 @@ def curate_documents(
     gopher_kwargs: dict | None = None,
     fingerprint_store: DataFrame | None = None,
     max_bucket_width: int | None = None,
+    remove_span_k: int | None = None,
 ) -> DataFrame:
     """Run the standard curation chain; returns the surviving rows of
     ``df`` with the (possibly PII-redacted) text under ``text_col``
@@ -39,6 +40,13 @@ def curate_documents(
     ``max_bucket_width``: fence near-dup mega-clusters (boilerplate
     templates) out of the quadratic LSH pair join; each fenced bucket
     keeps its minimum id (dedup.near_dedup_clusters semantics).
+
+    ``remove_span_k``: when set, run span-level exact-substring dedup
+    LAST (the Lee et al. order — doc-level dedup first, then excise
+    cross-doc duplicated ``k``-gram spans from the survivors):
+    ``text_col`` is replaced by the span-removed normalized
+    reassembly and a ``removed_tokens`` column is added. Runs after
+    profiling, so the profile columns describe the pre-removal text.
 
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
@@ -83,4 +91,12 @@ def curate_documents(
             threshold=near_dup_threshold,
             max_bucket_width=max_bucket_width,
         )
+    if remove_span_k is not None:
+        spans = dedup.duplicated_ngram_spans(
+            out, k=remove_span_k, id_col=id_col, text_col=text_col
+        )
+        cleaned = dedup.remove_duplicated_spans(
+            out, spans, id_col=id_col, text_col=text_col
+        )
+        out = out.drop(text_col).join(cleaned, id_col)
     return out

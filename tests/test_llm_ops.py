@@ -987,3 +987,87 @@ def test_dup_spans_disjoint_hits_stay_separate(spark):
 def test_dup_spans_short_docs_skipped(spark):
     rows = [(1, "a b c"), (2, "a b c")]  # < k tokens: no grams at all
     assert _spans(spark, rows, k=8) == set()
+
+
+# --- remove_duplicated_spans (Lee et al. second half: excision) -------------
+
+
+def _removed(spark, rows, **kw):
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dedup.duplicated_ngram_spans(docs, **kw)
+    return {
+        r["doc_id"]: (r["text"], r["removed_tokens"])
+        for r in dedup.remove_duplicated_spans(docs, spans).collect()
+    }
+
+
+def test_remove_spans_excises_shared_passage_byte_exact(spark):
+    """The planted shared paragraph is sliced out of BOTH docs; the
+    surrounding text survives byte-exact (normalized reassembly)."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "a b c " + shared + " x y z"),
+        (2, shared + " p q r"),
+        (3, "untouched words stay exactly as written here"),
+    ]
+    got = _removed(spark, rows, k=8)
+    assert got[1] == ("a b c x y z", 10)
+    assert got[2] == ("p q r", 10)
+    assert got[3] == ("untouched words stay exactly as written here", 0)
+
+
+def test_remove_spans_fully_duplicated_doc_empties(spark):
+    passage = " ".join(f"d{i}" for i in range(8))
+    rows = [(1, passage), (2, passage)]
+    got = _removed(spark, rows, k=8)
+    assert got[1] == ("", 8) and got[2] == ("", 8)
+
+
+def test_remove_spans_disjoint_spans_both_removed(spark):
+    p1 = " ".join(f"a{i}" for i in range(8))
+    p2 = " ".join(f"b{i}" for i in range(8))
+    rows = [(1, p1 + " gap1 gap2 gap3 " + p2), (2, p1), (3, p2)]
+    got = _removed(spark, rows, k=8)
+    assert got[1] == ("gap1 gap2 gap3", 16)
+
+
+def test_remove_spans_normalizes_case_like_the_span_producer(spark):
+    """Indices are minted against the lowercased stream, so removal
+    must use the same stream — mixed-case copies of the shared
+    passage are still excised."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "Head " + shared.upper() + " Tail"),
+        (2, shared + " end bits"),
+    ]
+    got = _removed(spark, rows, k=8)
+    assert got[1] == ("head tail", 10)
+    assert got[2] == ("end bits", 10)
+
+
+def test_curate_documents_remove_span_hook(spark):
+    """pipeline.curate_documents(remove_span_k=...) excises the
+    cross-doc span from surviving docs and reports removed_tokens."""
+    from cybersecurity_miw_spark import pipeline
+
+    shared = " ".join(
+        f"common shared passage token number {i} continues" for i in range(3)
+    )
+    rows = [
+        (1, "first document begins here. " + shared + " and then ends."),
+        (2, "second one differs up front! " + shared + " closing words."),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pipeline.curate_documents(
+        docs,
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+        remove_span_k=8,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2}
+    for d in (1, 2):
+        assert got[d]["removed_tokens"] > 0
+        assert "common shared passage" not in got[d]["text"]

@@ -222,6 +222,10 @@ MAX_EXCHANGES = {
     # lineage (no exchanges re-printed), one doc-id join + the
     # shuffle-free hash projection (2 fresh, +1 headroom)
     "leakage_safe_splits": 3,
+    # span removal: the span plan's 4 shuffles + span-table groupBy +
+    # doc-key left join; the slice is one array lambda, no extra
+    # exchange (5 fresh, +1 headroom)
+    "span_removed_documents": 6,
 }
 
 

@@ -968,6 +968,43 @@ def q_setsim_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim.ppjoin_cross(train, ev, threshold=0.5, shingle_k=3)
 
 
+# Incremental EXACT set-similarity against a persisted prefix index
+# (operators/setsim.py prefix_store / incremental_ppjoin_pairs): the
+# setsim twin of the LSH band-store family — cross-batch exact pairs
+# at batch-side cost, history participating through frozen-order
+# prefix rows only. Same deterministic split as the incremental
+# family (batch = doc_id % 5 == 0, history = the rest). The oracle is
+# the all-pairs exact cross Jaccard, blind to prefixes, frozen
+# orders, and positional filters alike.
+_SETSIM_INC_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL})
+SELECT n.doc_id AS new_id, h.doc_id AS stored_id,
+       round(len(list_intersect(n.sh, h.sh))::DOUBLE /
+             greatest(len(list_distinct(n.sh || h.sh)), 1), 6) AS jaccard
+FROM shingled n JOIN shingled h
+  ON n.doc_id % 5 = 0 AND h.doc_id % 5 <> 0
+WHERE 1000 * len(list_intersect(n.sh, h.sh))
+      >= 500 * len(list_distinct(n.sh || h.sh))
+"""
+
+
+@register("incremental_setsim_vs_store", _SETSIM_INC_SQL)
+def q_incremental_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs of a batch against HISTORY'S PERSISTED
+    PREFIX INDEX (operators/setsim.py:incremental_ppjoin_pairs):
+    frozen canonical order, prefix equi-join + size-ratio +
+    positional filters, verify fetches candidate docs only — the
+    zero-false-negative ingest path LSH stores cannot offer."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % 5 != 0)
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    freq = setsim.token_freq_table(hist)
+    store = setsim.prefix_store(hist, freq, threshold=0.5, shingle_k=3)
+    return setsim.incremental_ppjoin_pairs(
+        batch, hist, store, freq, threshold=0.5, shingle_k=3
+    )
+
+
 # Incremental dedup against a persisted store (operators/dedup.py
 # fingerprint_store / dedup_against_store / lsh_band_store /
 # incremental_lsh_candidates) — the production ingest shape: history
@@ -6888,9 +6925,9 @@ _DRIVER_WINDOW = [
     "appname_id_suffix",
     "atoi_prefix_parity",
     "dns_wire_decode",
-    "embedding_l2_normalize",
     # --- new round-9 operators (replace the youngest veterans) ---
     "span_removed_documents",
+    "incremental_setsim_vs_store",
 ]
 
 

@@ -81,13 +81,16 @@ def _t_pm(threshold: float) -> int:
     return t_pm
 
 
-def token_df_order(ex: DataFrame, id_col: str) -> DataFrame:
-    """(id, tok) pairs -> (id, toks, sz) with ``toks`` in global
-    canonical order: document frequency ascending, token ascending.
-    One token-key agg + one token-key join + one id-key agg."""
-    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+def ordered_by_freq(ex: DataFrame, freq: DataFrame, id_col: str) -> DataFrame:
+    """(id, tok) pairs -> (id, toks, sz) with ``toks`` ordered by a
+    SUPPLIED (tok, _df) frequency table: document frequency ascending,
+    token ascending. Tokens absent from ``freq`` get _df = 0 — they
+    sort first, which is both safe (any fixed total order satisfies
+    the prefix lemma) and the right pruning guess (unseen = rare).
+    One token-key join + one id-key agg."""
     return (
-        ex.join(freq, "tok")
+        ex.join(freq, "tok", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
         .groupBy(id_col)
         .agg(
             F.transform(
@@ -97,6 +100,14 @@ def token_df_order(ex: DataFrame, id_col: str) -> DataFrame:
         )
         .withColumn("sz", F.size("toks"))
     )
+
+
+def token_df_order(ex: DataFrame, id_col: str) -> DataFrame:
+    """(id, tok) pairs -> (id, toks, sz) in global canonical order
+    (document frequency over ``ex`` itself): one token-key agg, then
+    :func:`ordered_by_freq`."""
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    return ordered_by_freq(ex, freq, id_col)
 
 
 def prefix_index(ordered: DataFrame, id_col: str, t_pm: int) -> DataFrame:
@@ -324,4 +335,226 @@ def ppjoin_cross(
                 "jaccard"
             ),
         )
+    )
+
+
+# ---- incremental exact set-similarity (persisted prefix index) ----
+#
+# The setsim twin of the LSH band-store family (operators/dedup.py
+# lsh_band_store / incremental_lsh_candidates): history participates
+# through persisted (doc_id, sz, pos, tok) PREFIX rows plus a frozen
+# (tok, _df) order table — signatures for 100 TB of history are never
+# re-derived, and a new batch's cross-batch exact pairs cost
+# batch-side work only. The canonical order is FROZEN at store
+# creation: the prefix lemma needs one fixed total order shared by
+# every row ever written, so later document-frequency drift must NOT
+# reorder prefixes — it only degrades pruning quality (never
+# correctness), and a periodic maintain.rewrite_table rebuild under
+# fresh frequencies restores it. Unseen batch tokens order at _df=0
+# (rarest-first guess, sound under the lemma).
+
+SETSIM_STORE_PARAMS_FILE = "_setsim_params.json"
+
+
+def write_prefix_store_params(
+    spark,
+    store_dir: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> None:
+    """Record a prefix store's (threshold, shingle_k) in a sidecar
+    inside ``store_dir`` (Hadoop FS — works on any filesystem).
+    Prefix lengths depend on the threshold, so a store probed at a
+    different threshold silently loses pairs — the same
+    silent-zero-candidates hazard class as mixed MinHash families."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    params = {"t_pm": _t_pm(threshold), "shingle_k": shingle_k}
+    fsutil.write_text(
+        spark, f"{store_dir}/{SETSIM_STORE_PARAMS_FILE}", json.dumps(params)
+    )
+
+
+def load_prefix_store(
+    spark,
+    store_dir: str,
+    threshold: float,
+    shingle_k: int = 3,
+):
+    """Read a persisted prefix store, raising if its recorded
+    (threshold, shingle_k) differ from the supplied parameters.
+    Legacy stores without a sidecar load unchecked (caller owns the
+    contract)."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{SETSIM_STORE_PARAMS_FILE}"
+    if fsutil.exists(spark, path):
+        stored = json.loads(fsutil.read_text(spark, path))
+        params = {"t_pm": _t_pm(threshold), "shingle_k": shingle_k}
+        if stored != params:
+            raise ValueError(
+                f"prefix store at {store_dir} was built with {stored}; "
+                f"this query supplies {params} — prefix lengths differ, "
+                "pairs would silently drop. Rebuild the store or pass "
+                "the stored parameters."
+            )
+    return spark.read.parquet(store_dir)
+
+
+def token_freq_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The (tok, _df) document-frequency table to FREEZE alongside a
+    prefix store — every later batch must order by this exact table."""
+    sh = with_shingles(docs, text_col, shingle_k, "_sh", keep=(id_col,))
+    ex = sh.select(id_col, F.explode("_sh").alias("tok"))
+    return ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+
+
+def prefix_store(
+    docs: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persistable prefix index rows for a corpus slice:
+    (doc_id, sz, pos, tok) under the FROZEN ``freq`` order — append
+    one batch's rows per ingest (computed with the same ``freq``).
+    Partition or bucket the store on ``tok`` so the incremental
+    equi-join prunes/co-locates."""
+    t_pm = _t_pm(threshold)
+    sh = with_shingles(docs, text_col, shingle_k, "_sh", keep=(id_col,))
+    ex = sh.select(id_col, F.explode("_sh").alias("tok"))
+    return prefix_index(ordered_by_freq(ex, freq, id_col), id_col, t_pm)
+
+
+def incremental_ppjoin_candidates(
+    new_docs: DataFrame,
+    store: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact-candidate pairs of an incoming batch AGAINST THE
+    PERSISTED PREFIX INDEX: (new_id, stored_id) surviving the prefix
+    equi-join, size-ratio, and positional filters. Zero false
+    negatives by the prefix lemma (both sides ordered by the same
+    frozen ``freq``); history contributes index rows only.
+
+    100 TB shape: batch prefixes are batch-sized; the equi-join on
+    the uniform token key touches only store rows whose token occurs
+    in the batch (partition/bucket the store by tok); the pair-key
+    aggregation carries the positional bounds exactly as in
+    :func:`ppjoin_pairs`."""
+    t_pm = _t_pm(threshold)
+    sh_n = with_shingles(new_docs, text_col, shingle_k, "_sh", keep=(id_col,))
+    ex_n = sh_n.select(id_col, F.explode("_sh").alias("tok"))
+    pref_n = prefix_index(
+        ordered_by_freq(ex_n, freq, id_col), id_col, t_pm
+    ).select(
+        F.col(id_col).alias("new_id"),
+        F.col("sz").alias("sz_n"),
+        F.col("pos").alias("pos_n"),
+        "tok",
+    )
+    pref_s = store.select(
+        F.col(id_col).alias("stored_id"),
+        F.col("sz").alias("sz_s"),
+        F.col("pos").alias("pos_s"),
+        "tok",
+    )
+    generic = _pos_bound(
+        F.col("pos_n"), F.col("pos_s"), F.col("sz_n"), F.col("sz_s")
+    )
+    bound = F.least(
+        F.col("_g"),
+        F.lit(1)
+        + F.least(
+            F.col("sz_n") - F.col("_pn"), F.col("sz_s") - F.col("_ps")
+        ),
+    )
+    return (
+        pref_n.join(pref_s, "tok")
+        .filter(
+            F.lit(1000) * F.least("sz_n", "sz_s")
+            >= F.lit(t_pm) * F.greatest("sz_n", "sz_s")
+        )
+        .groupBy("new_id", "stored_id", "sz_n", "sz_s")
+        .agg(
+            F.min(generic).alias("_g"),
+            F.min("pos_n").alias("_pn"),
+            F.min("pos_s").alias("_ps"),
+        )
+        .filter(bound >= _alpha(t_pm, F.col("sz_n"), F.col("sz_s")))
+        .select("new_id", "stored_id")
+    )
+
+
+def incremental_ppjoin_pairs(
+    new_docs: DataFrame,
+    history_docs: DataFrame,
+    store: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The full incremental exact decision: prefix-index candidates
+    (:func:`incremental_ppjoin_candidates`), then exact shingle-set
+    Jaccard >= threshold computed by fetching text for ONLY the
+    candidate docs on each side (semi-joins against the candidate id
+    sets — history is never rescanned wholesale). Returns
+    (new_id, stored_id, jaccard); equals
+    ``ppjoin_cross(new, history)`` exactly (golden-checked), at
+    batch-side cost."""
+    t_pm = _t_pm(threshold)
+    cand = incremental_ppjoin_candidates(
+        new_docs, store, freq, text_col, id_col, threshold, shingle_k
+    )
+    new_pruned = new_docs.join(
+        cand.select(F.col("new_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="semi",
+    )
+    hist_pruned = history_docs.join(
+        cand.select(F.col("stored_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="semi",
+    )
+    sh_n = with_shingles(
+        new_pruned, text_col, shingle_k, "_sh_n", keep=(id_col,)
+    )
+    sh_h = with_shingles(
+        hist_pruned, text_col, shingle_k, "_sh_h", keep=(id_col,)
+    )
+    j = (
+        cand.join(
+            sh_n.select(F.col(id_col).alias("new_id"), "_sh_n"), "new_id"
+        )
+        .join(
+            sh_h.select(F.col(id_col).alias("stored_id"), "_sh_h"),
+            "stored_id",
+        )
+        .withColumn("_i", F.size(F.array_intersect("_sh_n", "_sh_h")))
+        .withColumn("_u", F.size(F.array_union("_sh_n", "_sh_h")))
+        .filter(F.lit(1000) * F.col("_i") >= F.lit(t_pm) * F.col("_u"))
+    )
+    return j.select(
+        "new_id",
+        "stored_id",
+        F.round(F.col("_i") / F.greatest(F.col("_u"), F.lit(1)), 6).alias(
+            "jaccard"
+        ),
     )

@@ -226,6 +226,12 @@ MAX_EXCHANGES = {
     # doc-key left join; the slice is one array lambda, no extra
     # exchange (5 fresh, +1 headroom)
     "span_removed_documents": 6,
+    # incremental setsim: the catalog fixture builds freq + prefix
+    # store INLINE (production reads them from parquet), so the
+    # history shingle pipeline re-prints under every consumer — 47
+    # textual for ~8 real shuffles (+3 headroom). The real-store plan
+    # is pinned by the golden tests' two-batch append run.
+    "incremental_setsim_vs_store": 50,
 }
 
 

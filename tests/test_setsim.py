@@ -263,3 +263,80 @@ def test_positional_filter_prunes_without_losing_pairs(spark):
     )
     assert pruned < plain  # the filter actually fires
     _run(spark, rows, 0.5)  # ...and the output is still exact
+
+
+# --- incremental prefix-index store (r9) ------------------------------------
+
+
+def test_incremental_matches_pooled_cross(spark):
+    """incremental_ppjoin_pairs over a persisted-shape store equals
+    ppjoin_cross(batch, history) exactly — pairs AND jaccard."""
+    rows = (
+        [(i, _doc(list(range(i % 4, 12 + i % 4)))) for i in range(16)]
+        + [(100, _doc(list(range(20)))), (101, _doc(list(range(20))))]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    hist = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 != 0)
+    freq = setsim.token_freq_table(hist)
+    store = setsim.prefix_store(hist, freq, threshold=0.5)
+    inc = {
+        (r["new_id"], r["stored_id"], r["jaccard"])
+        for r in setsim.incremental_ppjoin_pairs(
+            batch, hist, store, freq, threshold=0.5
+        ).collect()
+    }
+    pooled = {
+        (r["id_l"], r["id_r"], r["jaccard"])
+        for r in setsim.ppjoin_cross(batch, hist, threshold=0.5).collect()
+    }
+    assert inc == pooled
+    assert inc  # fixture produces pairs
+
+
+def test_incremental_two_batch_append_equals_pooled(spark, tmp_path):
+    """Append a first batch's prefix rows (computed under the FROZEN
+    order) to the parquet store; a second batch then finds its exact
+    pairs against history AND batch-1 — identical to the pooled
+    cross-join against the union."""
+    rows = [(i, _doc(list(range(i % 3, 14 + i % 3)))) for i in range(18)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    hist = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    store_dir = str(tmp_path / "prefix_store")
+    freq = setsim.token_freq_table(hist)
+    setsim.prefix_store(hist, freq, threshold=0.5).write.parquet(store_dir)
+    setsim.write_prefix_store_params(spark, store_dir, threshold=0.5)
+    # ingest batch 1: its rows join the store under the SAME order
+    setsim.prefix_store(b1, freq, threshold=0.5).write.mode(
+        "append"
+    ).parquet(store_dir)
+    seen = hist.unionByName(b1)
+    store = setsim.load_prefix_store(spark, store_dir, threshold=0.5)
+    inc = {
+        (r["new_id"], r["stored_id"], r["jaccard"])
+        for r in setsim.incremental_ppjoin_pairs(
+            b2, seen, store, freq, threshold=0.5
+        ).collect()
+    }
+    pooled = {
+        (r["id_l"], r["id_r"], r["jaccard"])
+        for r in setsim.ppjoin_cross(b2, seen, threshold=0.5).collect()
+    }
+    assert inc == pooled
+    assert inc
+
+
+def test_prefix_store_params_mismatch_raises(spark, tmp_path):
+    """Prefix lengths depend on the threshold: probing a store built
+    at t=0.5 with t=0.8 must fail fast, not silently drop pairs."""
+    rows = [(1, _doc(list(range(12)))), (2, _doc(list(range(12))))]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    freq = setsim.token_freq_table(docs)
+    store_dir = str(tmp_path / "ps")
+    setsim.prefix_store(docs, freq, threshold=0.5).write.parquet(store_dir)
+    setsim.write_prefix_store_params(spark, store_dir, threshold=0.5)
+    setsim.load_prefix_store(spark, store_dir, threshold=0.5)  # ok
+    with pytest.raises(ValueError, match="prefix store"):
+        setsim.load_prefix_store(spark, store_dir, threshold=0.8)

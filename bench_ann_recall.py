@@ -229,9 +229,121 @@ def run_text_corpus(fast: bool = False) -> None:
     spark.stop()
 
 
+def run_text_live_point() -> None:
+    """ONE live-Spark anchor for the high-cell frontier (VERDICT r8
+    #7): the actual ``ivf_topk`` and ``ann_shortlist_rerank``
+    operators end-to-end at --text-live [sf_dir] [n_docs] [n_cells]
+    [n_probes] — wall-clock (min-of-2 warm per query) + recall + scan
+    fraction, so the numpy-evaluated frontier table has a
+    Spark-measured point at the same geometry."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import similarity
+    from cybersecurity_miw_spark.operators.textstats import hashed_embedding
+    from cybersecurity_miw_spark.session import get_spark
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else 50_000
+    n_cells = int(sys.argv[4]) if len(sys.argv) > 4 else 512
+    n_probes = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+
+    spark = get_spark("ann-live-point")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(n_docs)
+    )
+    df = (
+        hashed_embedding(docs, dim=DIM)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .repartition(32)
+        .persist()
+    )
+    rows = sorted(
+        ((r["vec_id"], r["embedding"]) for r in df.collect()),
+        key=lambda t: t[0],
+    )
+    ids = np.array([t[0] for t in rows])
+    vecs = np.array([t[1] for t in rows])
+    n = len(ids)
+    rng = np.random.RandomState(SEED)
+    qpos = rng.choice(n, N_QUERIES, replace=False)
+    queries = vecs[qpos]
+    sims = queries @ vecs.T
+    truth = ids[np.argsort(-sims, axis=1)[:, :K]]
+
+    t0 = time.perf_counter()
+    centroids = similarity.train_centroids(
+        df, n_cells=n_cells, dim=DIM, iters=3
+    )
+    train_s = round(time.perf_counter() - t0, 2)
+    cents = np.asarray(centroids)
+    assigned = np.argmin(
+        np.sum(cents * cents, axis=1)[None, :] - 2 * (vecs @ cents.T),
+        axis=1,
+    )
+    cell_sizes = np.bincount(assigned, minlength=n_cells)
+
+    def one(method, run_query):
+        recalls, fracs, walls = [], [], []
+        run_query(queries[0])  # warm the plan
+        for qi, q in enumerate(queries):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                got = run_query(q)
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            d2 = np.sum((cents - q) ** 2, axis=1)
+            cells = np.argsort(d2)[:n_probes]
+            recalls.append(
+                len(set(got) & set(truth[qi].tolist())) / K
+            )
+            fracs.append(int(cell_sizes[cells].sum()) / n)
+            walls.append(best)
+        print(json.dumps({
+            "method": method, "live_spark": True, "n": n,
+            "n_cells": n_cells, "n_probes": n_probes,
+            "recall_at_10": round(float(np.mean(recalls)), 3),
+            "scan_fraction": round(float(np.mean(fracs)), 4),
+            "wall_per_query_s": round(float(np.median(walls)), 3),
+            "centroid_train_s": train_s,
+        }), flush=True)
+
+    one("ivf", lambda q: [
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            df, centroids, q.tolist(), k=K, n_probes=n_probes
+        ).collect()
+    ])
+
+    res_df = similarity.residual_vectors(df, centroids)
+    res_books = similarity.train_pq_codebooks(
+        res_df, dim=DIM, m=8, k=16, iters=3, vec_col="residual"
+    )
+    res_index = similarity.ivf_pq_index(
+        df, centroids, res_books, residual=True
+    ).persist()
+    res_index.count()
+    one("ivf_pq_residual_rerank", lambda q: [
+        r["vec_id"]
+        for r in similarity.ann_shortlist_rerank(
+            df, res_index, centroids, res_books, q.tolist(),
+            k=K, shortlist=200, n_probes=n_probes, residual=True,
+        ).collect()
+    ])
+    spark.stop()
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--text-fast":
         run_text_corpus(fast=True)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--text-live":
+        run_text_live_point()
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--text":
         run_text_corpus()

@@ -83,6 +83,17 @@ TSHIFT_QUERY_NAMES = [
     "range_join_event_windows",
 ]
 
+# round 9: BM25 runs against PLAIN-duplicated documents (doc_id offset,
+# no alphabet rotation): it never joins docs to docs, so duplication has
+# no quadratic artifact, and a real 10x corpus grows the query-term
+# postings 10x too — rotation would freeze the posting lists at copy-0
+# size and fake the very bound being measured. The posting discipline
+# (query-term filter BELOW the per-(doc,term) agg) is what keeps the
+# shuffle proportional to postings, not corpus.
+PLAINDOC_QUERY_NAMES = [
+    "bm25_topk_docs",
+]
+
 # round 8: the new TPC-H heavies against 10x facts (lineitem/orders
 # copied with orderkey offsets; dims unchanged — the retention-growth
 # story: the same customers/suppliers/parts, 10x the order history).
@@ -163,6 +174,17 @@ def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
         f"{out_dir}/documents.parquet"
     )
 
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        for i in range(copies)
+    ]
+    plain_docs = parts[0]
+    for p in parts[1:]:
+        plain_docs = plain_docs.unionByName(p)
+    plain_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}-plaindoc/documents.parquet"
+    )
+
 
 def build_scaled_tpch(spark, base_dir: str, out_dir: str, copies: int) -> None:
     """10x the TPC-H FACTS (lineitem, orders) with per-copy orderkey
@@ -213,6 +235,7 @@ def main() -> None:
     if not (
         os.path.exists(f"{SCALE_DIR}/documents.parquet/_SUCCESS")
         and os.path.exists(f"{SCALE_DIR}-tshift/events.parquet/_SUCCESS")
+        and os.path.exists(f"{SCALE_DIR}-plaindoc/documents.parquet/_SUCCESS")
     ):
         t0 = time.perf_counter()
         build_scaled(spark, BASE_DIR, SCALE_DIR, COPIES)
@@ -228,9 +251,11 @@ def main() -> None:
     # warm-up then min-of-2 timed, same methodology as bench.py
     out: dict[str, dict[str, float]] = {}
     plan = [(BASE_DIR, "base",
-             QUERY_NAMES + TSHIFT_QUERY_NAMES + TPCH_SCALE_QUERY_NAMES),
+             QUERY_NAMES + TSHIFT_QUERY_NAMES + TPCH_SCALE_QUERY_NAMES
+             + PLAINDOC_QUERY_NAMES),
             (SCALE_DIR, "scaled", QUERY_NAMES + TPCH_SCALE_QUERY_NAMES),
-            (f"{SCALE_DIR}-tshift", "scaled", TSHIFT_QUERY_NAMES)]
+            (f"{SCALE_DIR}-tshift", "scaled", TSHIFT_QUERY_NAMES),
+            (f"{SCALE_DIR}-plaindoc", "scaled", PLAINDOC_QUERY_NAMES)]
     from cybersecurity_miw_spark.cache import release_intermediates
 
     for sf_dir, tag, names in plan:

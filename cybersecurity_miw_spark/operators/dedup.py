@@ -666,9 +666,60 @@ def simhash_band_store(
     return _simhash_banded(df, text_col, id_col, band_bits, hash_fn)
 
 
+SIMHASH_STORE_PARAMS_FILE = "_simhash_params.json"
+
+
+def write_simhash_store_params(
+    spark: SparkSession,
+    store_dir: str,
+    band_bits: int = 16,
+    hash_fn: str = "xxhash64",
+) -> None:
+    """Record a SimHash store's (band_bits, hash_fn) in a sidecar —
+    the SimHash twin of :func:`write_band_store_params`: bands from
+    different bit-widths or hash functions never collide, so a
+    mismatched join silently yields zero candidates."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    params = {"band_bits": band_bits, "hash_fn": hash_fn}
+    fsutil.write_text(
+        spark,
+        f"{store_dir}/{SIMHASH_STORE_PARAMS_FILE}",
+        json.dumps(params),
+    )
+
+
+def load_simhash_band_store(
+    spark: SparkSession,
+    store_dir: str,
+    band_bits: int = 16,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Read a persisted SimHash band store, raising on a recorded
+    family mismatch; legacy stores without a sidecar load unchecked."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{SIMHASH_STORE_PARAMS_FILE}"
+    if fsutil.exists(spark, path):
+        stored = json.loads(fsutil.read_text(spark, path))
+        params = {"band_bits": band_bits, "hash_fn": hash_fn}
+        if stored != params:
+            raise ValueError(
+                f"simhash store at {store_dir} was built with {stored}; "
+                f"this query supplies {params} — mixed SimHash families "
+                "never match. Rebuild the store or pass the stored "
+                "parameters."
+            )
+    return spark.read.parquet(store_dir)
+
+
 def incremental_simhash_candidates(
     new_docs: DataFrame,
-    band_store: DataFrame,
+    band_store: DataFrame | str,
     text_col: str = "text",
     id_col: str = "doc_id",
     band_bits: int = 16,
@@ -678,7 +729,13 @@ def incremental_simhash_candidates(
     PERSISTED SimHash index: (new_id, stored_id) sharing any band.
     Batch fingerprints are computed fresh; history contributes stored
     rows only. Same band family as the self-join path, so a pair is a
-    candidate here iff the pooled self-join would find it."""
+    candidate here iff the pooled self-join would find it. A string
+    ``band_store`` is loaded via :func:`load_simhash_band_store`
+    (family sidecar checked)."""
+    if isinstance(band_store, str):
+        band_store = load_simhash_band_store(
+            new_docs.sparkSession, band_store, band_bits, hash_fn
+        )
     nb = _simhash_banded(
         new_docs, text_col, id_col, band_bits, hash_fn
     ).withColumnRenamed(id_col, "new_id")

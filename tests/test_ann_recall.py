@@ -119,3 +119,32 @@ def test_rerank_recall_matches_ivf_at_same_probes(clustered, index):
         assert len(rr_ids & t) >= len(ivf_ids & t) - 1, (
             qi, len(rr_ids & t), len(ivf_ids & t)
         )
+
+
+def test_ivf_assign_arrow_equals_expression_path(spark):
+    """The Arrow matmul assignment (high-cell-count path) must agree
+    cell-for-cell with the literal-expression argmin, including tie
+    handling and null/wrong-length vectors."""
+    import numpy as np
+
+    from cybersecurity_miw_spark.operators import similarity
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(200, 8).round(3)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += [(900, None), (901, [1.0, 2.0])]  # unassignable
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = [[float(x) for x in c] for c in rng.randn(10, 8).round(3)]
+    expr = {
+        r["vec_id"]: r["_cell"]
+        for r in similarity.ivf_assign(df, cents).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["_cell"]
+        for r in similarity.ivf_assign_arrow(df, cents).collect()
+    }
+    valid = {i for i, _ in rows[:200]}
+    assert {k: expr[k] for k in valid} == {k: arrow[k] for k in valid}
+    assert arrow[900] is None and arrow[901] is None

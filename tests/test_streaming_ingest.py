@@ -333,3 +333,42 @@ def test_batch_store_path_checks_family_sidecar(spark, tmp_path):
         dedup.incremental_lsh_candidates(
             batch, store_dir, num_hashes=112, bands=16
         )
+
+
+def test_simhash_store_path_checks_family_sidecar(spark, tmp_path):
+    """The SimHash incremental path honors its _simhash_params.json
+    sidecar the same way the LSH path does: matching family via the
+    path equals the DataFrame path; mismatch raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import dedup
+
+    rows = [
+        (i, f"some recurring template text variant {i % 3}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 != 0)
+
+    store_dir = str(tmp_path / "simhash")
+    dedup.simhash_band_store(history, band_bits=16).write.parquet(store_dir)
+    dedup.write_simhash_store_params(spark, store_dir, band_bits=16)
+
+    want = {
+        (r["new_id"], r["stored_id"])
+        for r in dedup.incremental_simhash_candidates(
+            batch, spark.read.parquet(store_dir), band_bits=16
+        ).collect()
+    }
+    got = {
+        (r["new_id"], r["stored_id"])
+        for r in dedup.incremental_simhash_candidates(
+            batch, store_dir, band_bits=16
+        ).collect()
+    }
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="mixed SimHash families"):
+        dedup.incremental_simhash_candidates(batch, store_dir, band_bits=8)

@@ -15,14 +15,38 @@ run many queries per session (the bench harness, a REPL, a query
 service) call :func:`release_intermediates` between queries once the
 results are materialized. Executor memory used by tracked caches is
 then bounded by one query's intermediates, not the session's history.
+
+Concurrency (ADVICE r9): scoping is by PER-THREAD scope lists, not
+registry indices. A ``foreachBatch`` trigger runs on its own thread;
+:func:`release_mark` opens a scope on that thread, every
+``tracked_persist`` issued from the same thread lands in it, and
+:func:`release_since` releases exactly those frames — a concurrent
+trigger's pins live in its own thread's scopes (or only the global
+registry) and are never popped by this trigger's release. All
+registry mutation happens under one lock, so a concurrent
+:func:`release_intermediates` cannot shift anything out from under an
+open scope (double-release degrades to a no-op via the storage-level
+check).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+_LOCK = threading.RLock()
+_TRACKED: list[DataFrame] = []  # session-wide registry, all threads
+_SCOPES = threading.local()  # per-thread stack of open scope lists
+
+
+def _scope_stack() -> list[list[DataFrame]]:
+    stack = getattr(_SCOPES, "stack", None)
+    if stack is None:
+        stack = []
+        _SCOPES.stack = stack
+    return stack
 
 
 def tracked_persist(
@@ -30,7 +54,14 @@ def tracked_persist(
 ) -> DataFrame:
     """``df.persist(...)``, registered for later bulk release."""
     out = df.persist(storage_level) if storage_level is not None else df.persist()
-    _TRACKED.append(out)
+    with _LOCK:
+        _TRACKED.append(out)
+        # register in every scope open on THIS thread, so an outer
+        # scope's release also covers pins made under an inner scope
+        # that never released (releases are identity-keyed no-ops the
+        # second time)
+        for scope in _scope_stack():
+            scope.append(out)
     return out
 
 
@@ -39,28 +70,49 @@ def release_intermediates() -> int:
     released. Safe to call at any time — frames already unpersisted
     (or whose session is gone) are skipped silently. Lazy (non-
     blocking) unpersist: blocks are dropped asynchronously."""
-    return _release_from(0)
+    with _LOCK:
+        frames = list(_TRACKED)
+        _TRACKED.clear()
+    return _release(frames)
 
 
-def release_mark() -> int:
-    """Snapshot the registry position. Pair with
-    :func:`release_since` to release only the intermediates pinned
-    AFTER this point — the scope a ``foreachBatch`` trigger needs so
-    a per-trigger release cannot unpersist frames pinned by
-    concurrent work in the same session (ADVICE r8)."""
-    return len(_TRACKED)
+def release_mark() -> list[DataFrame]:
+    """Open a release scope on the calling thread and return its
+    token. Pair with :func:`release_since` to release only the
+    intermediates this thread pinned AFTER this point — the scope a
+    ``foreachBatch`` trigger needs so a per-trigger release cannot
+    unpersist frames pinned by concurrent work in the same session
+    (ADVICE r8; identity-snapshot form per ADVICE r9 — another
+    thread's concurrent pins or releases cannot shift what this
+    token refers to)."""
+    token: list[DataFrame] = []
+    with _LOCK:
+        _scope_stack().append(token)
+    return token
 
 
-def release_since(mark: int) -> int:
-    """Unpersist intermediates registered after ``mark`` (a value
-    from :func:`release_mark`); earlier pins are untouched."""
-    return _release_from(max(mark, 0))
+def release_since(token: list[DataFrame]) -> int:
+    """Unpersist exactly the intermediates registered under ``token``
+    (a scope opened by :func:`release_mark` on this thread); pins by
+    other threads — before or after the mark — are untouched."""
+    with _LOCK:
+        stack = _scope_stack()
+        if token in [s for s in stack]:
+            # close this scope and any unreleased inner scopes
+            while stack:
+                top = stack.pop()
+                if top is token:
+                    break
+        frames = list(token)
+        token.clear()
+        ids = {id(f) for f in frames}
+        _TRACKED[:] = [f for f in _TRACKED if id(f) not in ids]
+    return _release(frames)
 
 
-def _release_from(start: int) -> int:
+def _release(frames: list[DataFrame]) -> int:
     released = 0
-    while len(_TRACKED) > start:
-        df = _TRACKED.pop()
+    for df in frames:
         try:
             lvl = df.storageLevel
             if lvl.useMemory or lvl.useDisk:

@@ -2288,6 +2288,15 @@ def q_tpch1(spark: SparkSession, sf_dir: str) -> DataFrame:
 # relation and the hint is withheld — file statistics + AQE then pick
 # broadcast at runtime whenever the side actually fits, and stop
 # picking it when it no longer does.
+#
+# Audit convention (r10): every raw F.broadcast call site in the
+# package carries a `# bcast-bound:` comment stating its
+# sf-independent row bound (nation 25, region 5, 1-row scalar
+# aggregates, #event_types domain tables, config/eval-set inputs,
+# construction-bounded shortlists). `grep -rn bcast-bound` + this
+# policy comment make the sweep mechanical; a raw F.broadcast WITHOUT
+# a bcast-bound annotation is a review flag
+# (tests/test_plan_shapes.py::test_broadcast_sites_annotated pins it).
 BROADCAST_HINT_MAX_ROWS = 100_000
 
 
@@ -2297,6 +2306,7 @@ def maybe_broadcast(df: DataFrame, bounded_rows: int | None = None) -> DataFrame
     under ``BROADCAST_HINT_MAX_ROWS``; otherwise return ``df``
     untouched so the optimizer owns the join-strategy decision."""
     if bounded_rows is not None and bounded_rows <= BROADCAST_HINT_MAX_ROWS:
+        # bcast-bound: caller-declared sf-independent bound (gated above)
         return F.broadcast(df)
     return df
 
@@ -2415,6 +2425,7 @@ def q_tpch5(spark: SparkSession, sf_dir: str) -> DataFrame:
             # AQE. nation(×)region stays hinted (true small dims).
             c.join(
                 maybe_broadcast(
+                    # bcast-bound: region = 5 rows (sf-independent)
                     n.join(F.broadcast(r),
                            n["n_regionkey"] == r["r_regionkey"]),
                     bounded_rows=25,
@@ -2474,7 +2485,10 @@ def q_tpch18(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders", widen=False)
     c = load_table(spark, sf_dir, "customer", widen=False)
     joined = (
-        li.join(F.broadcast(big), "l_orderkey")
+        # big is filter-derived FROM the fact table (grows with sf,
+        # skew-sensitive on quantity) — per the maybe_broadcast policy
+        # no hint: stats/AQE broadcast it at runtime while it fits.
+        li.join(maybe_broadcast(big), "l_orderkey")
         .join(o, F.col("l_orderkey") == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
     )
@@ -2536,6 +2550,7 @@ def q_tpch10(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
+        # bcast-bound: nation = 25 rows (sf-independent)
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     )
     return (
@@ -2788,6 +2803,7 @@ def q_tpch8(spark: SparkSession, sf_dir: str) -> DataFrame:
             maybe_broadcast(nc, bounded_rows=25),
             F.col("c_nationkey") == F.col("n_nationkey"),
         )
+        # bcast-bound: region = 5 rows (sf-independent)
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.groupBy(
@@ -2917,6 +2933,7 @@ def q_tpch2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem", widen=False)
     rsupp = (
+        # bcast-bound: nation 25 / region 5 rows (sf-independent)
         s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "n_name")
@@ -3253,6 +3270,7 @@ def q_tpch22(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bal_c).alias("s"), F.count(F.lit(1)).alias("n")
     )
     rich = (
+        # bcast-bound: stats = 1-row scalar aggregate
         c.crossJoin(F.broadcast(stats))
         .filter(bal_c * F.col("n") > F.col("s"))
     )
@@ -3304,6 +3322,7 @@ def q_tpch9(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders", widen=False)
     px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     disc_pct = F.round(F.col("l_discount") * 100, 0).cast("long")
+    # bcast-bound: nation = 25 rows (sf-independent)
     sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
         "s_suppkey", "n_name"
     )
@@ -3360,6 +3379,7 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name") == "NATION_3"
     )
     px_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    # bcast-bound: nation = 25 rows (sf-independent)
     sn = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
         "s_suppkey"
     )
@@ -3370,6 +3390,7 @@ def q_tpch11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = nv.agg(F.sum("value_c").cast("long").alias("total_c"))
     return (
+        # bcast-bound: total = 1-row scalar aggregate
         nv.crossJoin(F.broadcast(total))
         .filter(F.col("value_c") * 1000 > F.col("total_c"))
         .select("partkey", "value_c")
@@ -5210,6 +5231,8 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     j = hourly.join(
+        # bcast-bound: profile <= #event_types x 7 dow x 24 hod
+        #   (domain-bounded)
         F.broadcast(profile),
         (F.col("event_type") == F.col("p_type"))
         & (F.dayofweek("b") == F.col("dow"))
@@ -5525,6 +5548,7 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = ev.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
     )
+    # bcast-bound: st = #event_types rows (domain-bounded, not sf-scaled)
     j = ev.join(F.broadcast(st), "event_type")
     return j.where(
         F.col("value") > F.col("mu") + 3 * F.col("sd")
@@ -5607,14 +5631,17 @@ GROUP BY 1, 2
 @register("cohort_retention_matrix", _COHORT_SQL)
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-seen cohort per user (one agg on the uniform user key),
-    joined back — the cohort table is #users rows, broadcast when it
-    fits — then a distinct-count per (cohort, offset). Output is
-    #cohorts x #days rows at any scale."""
+    joined back — the cohort table is #users rows, i.e. sf-SCALED, so
+    per the maybe_broadcast policy it carries no hint: stats/AQE
+    broadcast it while it fits and fall back to a shuffle join (the
+    user key is uniform, so the shuffle path is skew-safe) when it no
+    longer does — then a distinct-count per (cohort, offset). Output
+    is #cohorts x #days rows at any scale."""
     ev = load_events(spark, sf_dir)
     fs = ev.groupBy("user_id").agg(
         F.date_trunc("day", F.min("ts")).alias("cohort")
     )
-    joined = ev.join(F.broadcast(fs), "user_id")
+    joined = ev.join(maybe_broadcast(fs), "user_id")
     return (
         joined.groupBy(
             F.col("cohort")
@@ -6330,6 +6357,7 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("_na"))
     cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("_nb"))
     return (
+        # bcast-bound: ca/cb = #event_types rows (domain-bounded)
         p.join(F.broadcast(ca), "type_a")
         .join(F.broadcast(cb), "type_b")
         .select(

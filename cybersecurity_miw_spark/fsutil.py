@@ -32,17 +32,19 @@ def exists(spark: SparkSession, path: str) -> bool:
 
 
 def read_text(spark: SparkSession, path: str) -> str:
-    """Read a small text file from any Hadoop-supported filesystem."""
+    """Read a small text file from any Hadoop-supported filesystem.
+
+    One JVM-side drain of the whole stream (commons-io, on Spark's
+    classpath) — not one py4j round trip per byte (ADVICE r9), so
+    this stays O(1) JVM calls even if a sidecar grows past a few
+    bytes. (A py4j ``readFully(buf)`` would fill a Java-side COPY of
+    the Python bytearray — mutations don't propagate back — so the
+    drain must happen entirely in the JVM and return the byte[].)"""
     fs, hpath = _fs_and_path(spark, path)
     stream = fs.open(hpath)
     try:
-        chunks = []
-        while True:
-            b = stream.read()
-            if b < 0:
-                break
-            chunks.append(b)
-        return bytes(chunks).decode("utf-8")
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
     finally:
         stream.close()
 
@@ -51,10 +53,29 @@ def write_text(
     spark: SparkSession, path: str, content: str, overwrite: bool = True
 ) -> None:
     """Write a small text file to any Hadoop-supported filesystem
-    (parent directories are created as needed)."""
+    (parent directories are created as needed).
+
+    Atomic against concurrent readers (ADVICE r9): the bytes land in
+    a dot-prefixed temp sibling first, then ``rename`` publishes the
+    final path in one namespace operation — a reader racing the write
+    sees either the old complete file or the new complete file, never
+    truncated JSON. (On S3A rename is copy+delete, not atomic, but
+    the final object still only appears complete — S3 PUTs are
+    all-or-nothing.) Dot/underscore-prefixed temp names stay invisible
+    to Spark's file readers if a crash strands one."""
     fs, hpath = _fs_and_path(spark, path)
-    out = fs.create(hpath, overwrite)
+    parent = hpath.getParent()
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        parent, "." + hpath.getName() + ".tmp"
+    )
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
+    if overwrite and fs.exists(hpath):
+        fs.delete(hpath, False)
+    if not fs.rename(tmp, hpath):
+        fs.delete(tmp, False)
+        raise IOError(f"rename {tmp} -> {hpath} failed")

@@ -193,6 +193,7 @@ class MiwJob:
             if gcols:
                 out = out.join(raws, on=gcols, how="left")
             else:  # keyless format: one global group
+                # bcast-bound: keyless format = exactly 1 global group row
                 out = out.crossJoin(F.broadcast(raws))
         return out
 

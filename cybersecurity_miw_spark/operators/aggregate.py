@@ -181,6 +181,7 @@ def aggregate(
         if all_keys:
             out = out.join(vals, on=all_keys, how="left")
         else:
+            # bcast-bound: keyless format = exactly 1 global union row
             out = out.crossJoin(F.broadcast(vals))
 
     if ucount_fields and union_count_strategy == "two-phase":
@@ -195,6 +196,8 @@ def aggregate(
             if all_keys:
                 out = out.join(hist, on=all_keys, how="left")
             else:
+                # bcast-bound: keyless format = exactly 1 global histogram
+                #   row
                 out = out.crossJoin(F.broadcast(hist))
 
     # ratio post-projection (A10): operands are aggregated field names

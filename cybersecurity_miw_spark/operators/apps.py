@@ -332,6 +332,8 @@ def row_covariance(cells: DataFrame, n_cols: int) -> DataFrame:
         * F.floor(F.abs(num) / denom).cast("long")
     ).cast("long")
     return (
+        # bcast-bound: sa/sb = matrix row count (gram is O(n^2) pairs, so n
+        #   is feasibility-bounded); n_rows = 1 row
         gram.join(broadcast(sa), gram["i"] == sa["r"])
         .join(broadcast(sb), gram["j"] == sb["r2"])
         .crossJoin(broadcast(n_rows))

@@ -1232,6 +1232,8 @@ def decontaminate(
         train.select(
             F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
         )
+        # bcast-bound: eval_fps = eval-benchmark fingerprints
+        #   (eval-set-bounded, not sf-scaled)
         .join(F.broadcast(eval_fps), "_fp", "semi")
         .select(F.col(id_col).alias("_contaminated"))
     )
@@ -1247,6 +1249,8 @@ def decontaminate(
             tsh.withColumnRenamed(id_col, "left_id"), "left_id"
         )
         .join(
+            # bcast-bound: esh = eval-benchmark shingles (eval-set-bounded,
+            #   not sf-scaled)
             F.broadcast(esh.withColumnRenamed(id_col, "right_id")),
             "right_id",
         )

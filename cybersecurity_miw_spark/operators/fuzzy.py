@@ -121,6 +121,7 @@ def fuzzy_join(
                 "not be broadcast-sized; raise q or pre-bucket the data"
             )
     short_pairs = ls.select(F.struct("*").alias("_lrow")).crossJoin(
+        # bcast-bound: rs <= MAX_SHORT rows (guarded by the raise above)
         F.broadcast(rs.select(F.struct("*").alias("_rrow")))
     )
 

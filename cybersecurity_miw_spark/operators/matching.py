@@ -92,6 +92,8 @@ def semi_join_filter(
     vcol = values_df.columns[0]
     how = "left_anti" if negative else "left_semi"
     return df.join(
+        # bcast-bound: match-set values = logdef config file lines
+        #   (config-bounded)
         F.broadcast(values_df.select(F.col(vcol).alias(col)).distinct()),
         on=col,
         how=how,

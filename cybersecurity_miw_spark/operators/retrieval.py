@@ -74,6 +74,8 @@ def bm25_topk(
     )
     term_u = F.floor(idf * tf_norm * 1e6 + 0.5).cast("long")
     return (
+        # bcast-bound: dft <= #query terms (tok pre-filtered by isin); stats
+        #   = 1 row
         tf.join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(stats))
         .select(id_col, term_u.alias("_tu"))

@@ -373,6 +373,8 @@ def budget_select(
             "_before", F.coalesce(F.sum("_btoks").over(w), F.lit(0))
         )
     )
+    # bcast-bound: offsets <= 1001 bucket rows (see bucket decomposition
+    #   above)
     joined = tagged.join(F.broadcast(offsets), score_col)
 
     whole = joined.filter(

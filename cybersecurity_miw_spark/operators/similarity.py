@@ -92,6 +92,8 @@ def pairwise_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
+    # bcast-bound: q = user-supplied query set (input-bounded, not
+    #   corpus-scaled)
     joined = df.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col("query_id"))
     scored = joined.select(
         "query_id",
@@ -288,9 +290,18 @@ def ivf_assign_arrow(
     """Arrow-batched nearest-centroid assignment: numpy matmul argmin
     per batch (mapInPandas), O(batch × n_cells × dim) in BLAS. Adds
     ``_cell``; rows with null / wrong-length vectors get null (they
-    cannot be assigned — the ivf_pq_index contract). Result is
-    bit-identical to the expression path (same float64 arithmetic;
-    ties break to the lowest cell index on both)."""
+    cannot be assigned — the ivf_pq_index contract; the expression
+    path handles those rows differently, and the equality golden
+    exempts them by design). Agrees with the expression path on every
+    assignable row EXCEPT floating-point near-ties: this path ranks
+    cells by ``||c||² − 2·v@c`` via BLAS while the expression path
+    folds ``Σ(x−c)²`` — the two round differently, so a vector
+    equidistant-to-rounding between two centroids can land in either
+    cell (ADVICE r9). Exact index ties at equal float64 distance
+    break to the lowest cell index on both. Any assignment is a
+    CORRECT IVF index — nearest-centroid choice on a tie only shifts
+    which cell a probe must visit — so the golden pins cell-for-cell
+    equality only on the tie-free fixture (tests/test_ann_recall.py)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -1063,6 +1074,7 @@ def ann_shortlist_rerank(
         residual=residual,
     )
     pruned = corpus.join(
+        # bcast-bound: shortlist rows by construction (see docstring)
         F.broadcast(cand.select(id_col)), on=id_col, how="semi"
     )
     return brute_force_topk(pruned, query_vec, k, vec_col, id_col)

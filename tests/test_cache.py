@@ -77,3 +77,45 @@ def test_release_since_scopes_to_mark(spark):
     # the pre-mark pin survived the scoped release
     assert outer.storageLevel.useMemory
     assert release_intermediates() == 1
+
+
+def test_release_since_is_thread_scoped(spark):
+    """ADVICE r9: release_since must key on the frames THIS thread's
+    scope registered, not registry positions — a concurrent thread's
+    pins made after the mark survive this trigger's release, and a
+    concurrent release of earlier pins cannot shift the scope."""
+    import threading
+
+    from cybersecurity_miw_spark.cache import release_mark, release_since
+
+    release_intermediates()  # clean slate
+    early = tracked_persist(spark.range(40).select(F.col("id") + 7))
+    early.count()
+
+    mark = release_mark()
+    mine = tracked_persist(spark.range(40).select(F.col("id") * 5))
+    mine.count()
+
+    other_frames = []
+
+    def other_thread():
+        df = tracked_persist(spark.range(40).select(F.col("id") - 2))
+        df.count()
+        other_frames.append(df)
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    t.join()
+
+    # concurrent release below the mark must not shift this scope
+    release_intermediates_was = early.storageLevel.useMemory
+    assert release_intermediates_was
+
+    assert release_since(mark) == 1  # only THIS thread's post-mark pin
+    assert not (mine.storageLevel.useMemory or mine.storageLevel.useDisk)
+    other = other_frames[0]
+    assert other.storageLevel.useMemory, (
+        "another thread's post-mark pin was evicted by this trigger's "
+        "scoped release"
+    )
+    assert release_intermediates() == 2  # early + other remain tracked

@@ -94,10 +94,14 @@ def release_mark() -> list[DataFrame]:
 def release_since(token: list[DataFrame]) -> int:
     """Unpersist exactly the intermediates registered under ``token``
     (a scope opened by :func:`release_mark` on this thread); pins by
-    other threads — before or after the mark — are untouched."""
+    other threads — before or after the mark — are untouched.
+    Double release is a no-op: membership is checked by IDENTITY
+    (``is``), so a cleared token — which compares ``==`` to any other
+    empty open scope — cannot drain scopes it does not own (ADVICE
+    r10)."""
     with _LOCK:
         stack = _scope_stack()
-        if token in [s for s in stack]:
+        if any(s is token for s in stack):
             # close this scope and any unreleased inner scopes
             while stack:
                 top = stack.pop()

@@ -55,27 +55,49 @@ def write_text(
     """Write a small text file to any Hadoop-supported filesystem
     (parent directories are created as needed).
 
-    Atomic against concurrent readers (ADVICE r9): the bytes land in
-    a dot-prefixed temp sibling first, then ``rename`` publishes the
-    final path in one namespace operation — a reader racing the write
-    sees either the old complete file or the new complete file, never
-    truncated JSON. (On S3A rename is copy+delete, not atomic, but
-    the final object still only appears complete — S3 PUTs are
-    all-or-nothing.) Dot/underscore-prefixed temp names stay invisible
-    to Spark's file readers if a crash strands one."""
+    Atomic against concurrent readers (ADVICE r9/r10): the bytes land
+    in a dot-prefixed temp sibling first (uuid-suffixed, so concurrent
+    writers never share a temp name), then a SINGLE rename publishes
+    the final path — never delete-then-rename, which opens a window
+    where the destination is absent and a racing reader's ``exists()``
+    guard silently degrades (and a crash in the window loses the file
+    outright). Plain ``FileSystem.rename`` overwrites on local; HDFS
+    refuses rename-onto-existing, so that case falls through to
+    ``FileContext.rename(…, Options.Rename.OVERWRITE)``, which is a
+    single atomic namespace op. (On S3A rename is copy+delete, not
+    atomic, but the final object still only appears complete — S3
+    PUTs are all-or-nothing.) Dot/underscore-prefixed temp names stay
+    invisible to Spark's file readers if a crash strands one."""
+    import uuid
+
     fs, hpath = _fs_and_path(spark, path)
     parent = hpath.getParent()
     jvm = spark._jvm
     tmp = jvm.org.apache.hadoop.fs.Path(
-        parent, "." + hpath.getName() + ".tmp"
+        parent, "." + hpath.getName() + "." + uuid.uuid4().hex[:12] + ".tmp"
     )
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(content.encode("utf-8")))
     finally:
         out.close()
-    if overwrite and fs.exists(hpath):
-        fs.delete(hpath, False)
-    if not fs.rename(tmp, hpath):
+    if not overwrite and fs.exists(hpath):
         fs.delete(tmp, False)
-        raise IOError(f"rename {tmp} -> {hpath} failed")
+        raise IOError(f"{hpath} exists and overwrite=False")
+    if bool(fs.rename(tmp, hpath)):
+        return
+    # HDFS-style filesystems refuse rename-onto-existing; FileContext
+    # exposes the explicit-overwrite rename (one atomic namespace op,
+    # no absent-destination window)
+    try:
+        gw = spark._sc._gateway
+        rename_enum = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = gw.new_array(rename_enum, 1)
+        opts[0] = rename_enum.OVERWRITE
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark._jsc.hadoopConfiguration()
+        )
+        fc.rename(tmp, hpath, opts)
+    except Exception as exc:
+        fs.delete(tmp, False)
+        raise IOError(f"rename {tmp} -> {hpath} failed") from exc

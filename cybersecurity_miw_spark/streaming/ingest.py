@@ -108,45 +108,53 @@ def streaming_dedup_ingest(
         # unpersist frames pinned by concurrent work in the same
         # session (ADVICE r8)
         cache_mark = release_mark()
-        # materialize the batch once: dedup_against_store reads it
-        # twice (tag + semi-join), and the metrics count is then free
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # try/finally: an exception mid-batch must still close the
+        # scope, or the orphan open scope accumulates references to
+        # every future pin on this foreachBatch thread (ADVICE r10)
         try:
-            store = sess.read.parquet(store_dir)
-            has_store = True
-        except Exception:  # first batch: store not created yet
-            has_store = False
-        if has_store:
-            accepted = dedup_against_store(batch_df, store)
-        else:
-            # batch-internal dedup only: min id per fingerprint
-            keep = (
-                batch_df.select(
-                    "doc_id", fingerprint(F.col("text")).alias("_fp")
+            # materialize the batch once: dedup_against_store reads it
+            # twice (tag + semi-join), and the metrics count is free
+            batch_df = batch_df.localCheckpoint(eager=True)
+            try:
+                store = sess.read.parquet(store_dir)
+                has_store = True
+            except Exception:  # first batch: store not created yet
+                has_store = False
+            if has_store:
+                accepted = dedup_against_store(batch_df, store)
+            else:
+                # batch-internal dedup only: min id per fingerprint
+                keep = (
+                    batch_df.select(
+                        "doc_id", fingerprint(F.col("text")).alias("_fp")
+                    )
+                    .groupBy("_fp")
+                    .agg(F.min("doc_id").alias("doc_id"))
                 )
-                .groupBy("_fp")
-                .agg(F.min("doc_id").alias("doc_id"))
+                accepted = batch_df.join(
+                    keep.select("doc_id"), on="doc_id", how="left_semi"
+                )
+            # materialize once: both appends read the same accepted set
+            accepted = accepted.localCheckpoint(eager=True)
+            if metrics is not None:
+                n_batch = batch_df.count()  # cached checkpoint
+                n_acc = accepted.count()
+                metrics.append({
+                    "batch_id": batch_id,
+                    "n_batch": n_batch,
+                    "n_accepted": n_acc,
+                    "n_rejected": n_batch - n_acc,
+                })
+            accepted.write.mode("append").parquet(corpus_dir)
+            fingerprint_store(accepted).write.mode("append").parquet(
+                store_dir
             )
-            accepted = batch_df.join(
-                keep.select("doc_id"), on="doc_id", how="left_semi"
-            )
-        # materialize once: both appends read the same accepted set
-        accepted = accepted.localCheckpoint(eager=True)
-        if metrics is not None:
-            n_batch = batch_df.count()  # cached checkpoint, no rescan
-            n_acc = accepted.count()
-            metrics.append({
-                "batch_id": batch_id,
-                "n_batch": n_batch,
-                "n_accepted": n_acc,
-                "n_rejected": n_batch - n_acc,
-            })
-        accepted.write.mode("append").parquet(corpus_dir)
-        fingerprint_store(accepted).write.mode("append").parquet(store_dir)
-        # a continuous query runs this loop forever: drop any persisted
-        # intermediates the dedup operators pinned THIS trigger, or the
-        # executor cache grows by one DataFrame per batch, unbounded
-        release_since(cache_mark)
+        finally:
+            # a continuous query runs this loop forever: drop any
+            # persisted intermediates the dedup operators pinned THIS
+            # trigger, or the executor cache grows by one DataFrame
+            # per batch, unbounded
+            release_since(cache_mark)
 
     writer = (
         docs.writeStream.outputMode("append")
@@ -242,6 +250,19 @@ def streaming_near_dup_flags(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         cache_mark = release_mark()
+        # try/finally: an exception mid-batch must still close the
+        # scope, or the orphan open scope accumulates references to
+        # every future pin on this foreachBatch thread (ADVICE r10)
+        try:
+            _near_dup_batch(sess, batch_df)
+        finally:
+            # minhash_lsh_candidates tracked_persist()s its banded
+            # projection: release per trigger so a continuous (non-
+            # availableNow) query holds no unbounded cache — scoped
+            # to THIS trigger's pins (ADVICE r8)
+            release_since(cache_mark)
+
+    def _near_dup_batch(sess, batch_df: DataFrame) -> None:
         bands_new = lsh_band_store(
             batch_df, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
         ).localCheckpoint(eager=True)
@@ -297,11 +318,6 @@ def streaming_near_dup_flags(
             write_band_store_params(
                 sess, band_store_dir, num_hashes, bands, shingle_k
             )
-        # minhash_lsh_candidates tracked_persist()s its banded
-        # projection: release per trigger so a continuous (non-
-        # availableNow) query holds no unbounded cache — scoped to
-        # THIS trigger's pins (ADVICE r8)
-        release_since(cache_mark)
 
     writer = (
         docs.writeStream.outputMode("append")

@@ -119,3 +119,27 @@ def test_release_since_is_thread_scoped(spark):
         "scoped release"
     )
     assert release_intermediates() == 2  # early + other remain tracked
+
+
+def test_double_release_cannot_drain_other_scopes(spark):
+    """ADVICE r10: release_since matches scopes by IDENTITY. A released
+    token is an empty list and compares == to any other empty open
+    scope; an equality check would pop ALL open scopes on a double
+    release, silently detaching every future pin from its scope."""
+    from cybersecurity_miw_spark.cache import release_mark, release_since
+
+    release_intermediates()  # clean slate
+    token_a = release_mark()
+    assert release_since(token_a) == 0  # empty scope, normal close
+
+    token_b = release_mark()  # a NEW empty open scope
+    # double release of the already-closed token must be a no-op:
+    # it must NOT drain token_b (empty == empty, but not identical)
+    assert release_since(token_a) == 0
+
+    pinned = tracked_persist(spark.range(30).select(F.col("id") * 9))
+    pinned.count()
+    # token_b's scope must still be open and own the new pin
+    assert release_since(token_b) == 1
+    assert not (pinned.storageLevel.useMemory or pinned.storageLevel.useDisk)
+    assert release_intermediates() == 0

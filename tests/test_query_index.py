@@ -1,6 +1,8 @@
 """docs/QUERIES.md must stay in sync with the live catalog — the
 generator is deterministic, so regenerating in-memory and diffing
-against the committed file catches forgotten regenerations."""
+against the committed file catches forgotten regenerations (including
+description-only drift: VERDICT r10 found a stale row the old
+names+modes-only check could not see)."""
 
 from __future__ import annotations
 
@@ -9,19 +11,29 @@ def test_query_index_is_current():
     import importlib
 
     gen = importlib.import_module("tools.gen_query_index")
-    from cybersecurity_miw_spark.catalog import ORACLE, QUERIES
 
     with open("docs/QUERIES.md") as f:
         committed = f.read()
-    # row count and per-query presence (full text diff would be
-    # brittle against docstring reflow; names + verification mode are
-    # the contract)
-    for name in QUERIES:
-        assert f"| `{name}` |" in committed, (
-            f"{name} missing from docs/QUERIES.md — run "
-            "python tools/gen_query_index.py"
-        )
-        mode = "sql" if name in ORACLE else "rows-only"
-        assert f"| `{name}` | {mode} " in committed, (name, mode)
-    assert committed.count("| `") == len(QUERIES)
-    assert gen.first_sentence("A b. C d.") == "A b."
+    generated = gen.render()
+    # exact comparison: the generator is deterministic, so ANY diff —
+    # a new query, a reworded docstring, a window change — means
+    # someone edited the catalog without regenerating
+    assert committed == generated, (
+        "docs/QUERIES.md is stale — run python tools/gen_query_index.py"
+    )
+
+
+def test_first_sentence_boundaries():
+    fs = __import__(
+        "tools.gen_query_index", fromlist=["first_sentence"]
+    ).first_sentence
+    assert fs("A b. C d.") == "A b."
+    # "i.e."/"e.g." followed by lowercase are NOT sentence ends
+    assert (
+        fs("Emits #users rows, i.e. one per user. Second sentence.")
+        == "Emits #users rows, i.e. one per user."
+    )
+    assert fs("No terminator here") == "No terminator here"
+    assert fs(None) == "" and fs("") == ""
+    # multiline docstrings collapse to one line first
+    assert fs("First\nsentence. Second one.") == "First sentence."

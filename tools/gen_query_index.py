@@ -74,17 +74,26 @@ FALLBACK = {
 }
 
 
+import re
+
+# a sentence ends at a "." followed by whitespace AND an
+# uppercase/quote/paren/digit sentence start — "i.e. lowercase" and
+# "e.g. foo" are not boundaries (VERDICT r10: the plain ". " split
+# truncated a summary mid-clause at "i.e.")
+_SENT_END = re.compile(r"\.(?=\s+[A-Z`\"'(0-9])")
+
+
 def first_sentence(doc: str | None) -> str:
     if not doc:
         return ""
     text = " ".join(doc.split())
-    for stop in (". ", ".\n"):
-        if stop in text:
-            return text[: text.index(stop) + 1]
-    return text
+    m = _SENT_END.search(text)
+    return text[: m.end()] if m else text
 
 
-def main() -> None:
+def render() -> str:
+    """The full QUERIES.md text — deterministic, so the freshness test
+    can exact-compare it against the committed file."""
     window = set(_DRIVER_WINDOW)
     lines = [
         "# Query catalog index",
@@ -109,6 +118,10 @@ def main() -> None:
             f"| `{name}` | {'sql' if name in ORACLE else 'rows-only'} "
             f"| {'yes' if name in window else ''} | {summary} |"
         )
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs",
@@ -116,7 +129,7 @@ def main() -> None:
     )
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(render())
     print(f"wrote {out}: {len(QUERIES)} queries")
 
 

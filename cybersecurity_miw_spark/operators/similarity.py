@@ -281,6 +281,26 @@ def lsh_ann_topk(
 # the same kernel ivf_pq_index already uses.
 IVF_EXPR_MAX_CELLS = 64
 
+# residual ADC dispatch: total element_at LOOKUPS (n_probes × m) a
+# CASE chain may inline before janino's 64 KB method limit. The unit
+# is lookups, not LUT literals: Catalyst constant-folds each literal
+# array into one object, but every element_at inlines bounds-checking
+# code and the When branches nest — the measured 512-cell/32-probe
+# failure (m=8 → 256 lookups) had only 4k literals yet blew the
+# method ("Code grows beyond 64 KB", interpreted fallback, 9.96
+# s/query vs 0.52 — SCALE.md r11), while the proven-green
+# non-residual single-LUT path is 16 lookups. Above this bound the
+# Arrow gather path takes over (same ranking, equality golden).
+RESIDUAL_ADC_EXPR_MAX_LOOKUPS = 64
+
+# PQ codebook training: total multiply-adds (m × k × sub_dim) the
+# expression argmin may inline per row before janino's 64 KB method
+# limit makes every training iteration fall back to interpreted eval
+# (measured live at m=8 × k=16 × sub=8 = 1024; the test fixtures'
+# m=4 × k=8 × sub=16 = 512 compiles). Above this the assignment goes
+# through pq_encode_arrow — bit-identical codes, identical books.
+PQ_TRAIN_EXPR_MAX_OPS = 512
+
 
 def ivf_assign_arrow(
     df: DataFrame,
@@ -783,14 +803,26 @@ def train_pq_codebooks(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     scale: int = PQ_SCALE,
+    use_arrow: bool | None = None,
 ) -> list[list[list[int]]]:
     """Lloyd's k-means per subspace over integer-quantized vectors:
     deterministic init (first k rows by id), assignment via
     :func:`pq_encode` with the current codebooks, centroid update as
     integer mean (Python floor-div on driver-collected sums — only
     m×k×sub_dim ints cross the driver boundary per iteration, the
-    same bounded-state shape as train_centroids)."""
+    same bounded-state shape as train_centroids).
+
+    Above ``PQ_TRAIN_EXPR_MAX_OPS`` total multiply-adds (m × k ×
+    sub_dim) the assignment routes through :func:`pq_encode_arrow`
+    (codes bit-identical, so the trained books are too): the
+    expression argmin's flat tree blows janino's 64 KB method at
+    production codebook sizes (measured live at m=8/k=16 on the
+    512-cell corpus — one "Code grows beyond 64 KB" interpreted
+    fallback per training iteration; SCALE.md r11). ``use_arrow``
+    forces a path for testing."""
     sub_dim = dim // m
+    if use_arrow is None:
+        use_arrow = m * k * sub_dim > PQ_TRAIN_EXPR_MAX_OPS
     first = (
         df.orderBy(id_col)
         .limit(k)
@@ -805,12 +837,17 @@ def train_pq_codebooks(
         for s in range(m)
     ]
     for _ in range(iters):
-        enc = pq_encode(df, books, vec_col, scale=scale)
+        if use_arrow:
+            enc = pq_encode_arrow(
+                df, books, vec_col, id_col, scale=scale, with_int_vec=True
+            )
+            iv_expr = F.col("_pq_iv")
+        else:
+            enc = pq_encode(df, books, vec_col, scale=scale)
+            iv_expr = int_vec(F.col(vec_col), scale)
         sums = (
             enc.select(
-                F.posexplode(int_vec(F.col(vec_col), scale)).alias(
-                    "_dim", "_x"
-                ),
+                F.posexplode(iv_expr).alias("_dim", "_x"),
                 "pq_code",
             )
             .withColumn("_s", (F.col("_dim") / sub_dim).cast("int"))
@@ -867,6 +904,7 @@ def pq_encode_arrow(
     id_col: str = "vec_id",
     out_col: str = "pq_code",
     scale: int = PQ_SCALE,
+    with_int_vec: bool = False,
 ) -> DataFrame:
     """Write-side PQ encoding as Arrow-batched numpy — the dense
     m×k×sub_dim argmin is a BLAS-shaped kernel (sub @ C.T), exactly
@@ -875,17 +913,26 @@ def pq_encode_arrow(
     widens with k.
     Integer-exact (int64 throughout, np.argmin first-index tie-break)
     — codes are bit-identical to :func:`pq_encode`, which remains the
-    oracle-checked reference. Returns (id_col, out_col)."""
+    oracle-checked reference. Returns (id_col, out_col), plus the
+    quantized ``_pq_iv`` array (== :func:`int_vec`, same
+    floor(x·scale) domain) when ``with_int_vec`` — the codebook
+    trainer's per-dimension sums read it without a second scan or a
+    join back by id."""
+    import numpy as np
+    import pandas as pd
+
     kernel = _np_pq_kernel(codebooks, scale)
     dim = len(codebooks) * len(codebooks[0][0])
 
     def encode(batches):
-        import pandas as pd
-
         for pdf in batches:
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], out_col: list(kernel(pdf[vec_col]))}
-            )
+            out = {id_col: pdf[id_col], out_col: list(kernel(pdf[vec_col]))}
+            if with_int_vec:
+                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                out["_pq_iv"] = list(
+                    np.floor(vecs * scale).astype(np.int64)
+                )
+            yield pd.DataFrame(out)
 
     # expression-path parity note: pq_encode emits NULL codes for
     # null/short vectors; the Arrow encoder FILTERS them (np.stack
@@ -893,9 +940,10 @@ def pq_encode_arrow(
     valid = df.filter(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     )
-    return valid.select(id_col, vec_col).mapInPandas(
-        encode, f"{id_col} long, {out_col} array<int>"
-    )
+    schema = f"{id_col} long, {out_col} array<int>"
+    if with_int_vec:
+        schema += ", _pq_iv array<long>"
+    return valid.select(id_col, vec_col).mapInPandas(encode, schema)
 
 
 def residual_vectors(
@@ -998,6 +1046,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     scale: int = PQ_SCALE,
     residual: bool = False,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
     """Query an :func:`ivf_pq_index`: pick the ``n_probes`` nearest
     cells driver-side, filter the index to those cells (partition
@@ -1008,10 +1057,19 @@ def ivf_pq_topk(
 
     ``residual=True`` (for a residual-encoded index): one LUT per
     probed cell from the query's residual against that cell's
-    centroid, dispatched by a CASE over ``_cell`` — still pure
-    codegen'd lookups, n_probes × m × k literals. Distances stay
-    comparable across cells (each approximates ||q − v||² in the same
-    scaled-integer domain)."""
+    centroid. Small dispatches (≤ ``RESIDUAL_ADC_EXPR_MAX_LOOKUPS``
+    inlined element_at lookups) stay a codegen'd CASE over ``_cell``;
+    above that the CASE chain's n_probes × m lookups blow janino's
+    64 KB method limit (measured at 512 cells / 32 probes: "Code
+    grows beyond 64 KB" → interpreted eval, 9.96 s/query vs 0.52 s
+    for plain IVF — SCALE.md r11), so the dispatch routes through
+    Arrow instead: a mapInPandas numpy gather over a per-cell LUT
+    dict, the same escape hatch :func:`ivf_assign_arrow` is for
+    centroid assignment. Both paths emit identical (id, pq_dist)
+    rankings (equality golden in tests/test_pq.py); ``use_arrow``
+    forces a path for testing. Distances stay comparable across
+    cells (each approximates ||q − v||² in the same scaled-integer
+    domain)."""
     q = [float(v) for v in query_vec]
     d2 = sorted(
         (sum((a - b) ** 2 for a, b in zip(q, c)), i)
@@ -1022,17 +1080,81 @@ def ivf_pq_topk(
     if not residual:
         lut = pq_query_lut(codebooks, query_vec, scale)
         return pq_adc_topk_codes(pruned, lut, k, id_col)
-    dist = F.lit(None).cast("long")
+    luts = {}
     for c in cells:
         q_res = [a - b for a, b in zip(q, centroids[c])]
-        lut_c = pq_query_lut(codebooks, q_res, scale)
-        dist = F.when(
-            F.col("_cell") == c, _adc_dist_expr(lut_c, "pq_code")
-        ).otherwise(dist)
-    return (
-        pruned.select(id_col, dist.alias("pq_dist"))
-        .orderBy(F.asc_nulls_last("pq_dist"), F.asc(id_col))
-        .limit(k)
+        luts[c] = pq_query_lut(codebooks, q_res, scale)
+    if use_arrow is None:
+        use_arrow = (
+            len(cells) * len(codebooks) > RESIDUAL_ADC_EXPR_MAX_LOOKUPS
+        )
+    if use_arrow:
+        scored = _residual_adc_arrow(pruned, luts, k, id_col)
+    else:
+        dist = F.lit(None).cast("long")
+        for c in cells:
+            dist = F.when(
+                F.col("_cell") == c, _adc_dist_expr(luts[c], "pq_code")
+            ).otherwise(dist)
+        scored = pruned.select(id_col, dist.alias("pq_dist"))
+    return scored.orderBy(
+        F.asc_nulls_last("pq_dist"), F.asc(id_col)
+    ).limit(k)
+
+
+def _residual_adc_arrow(
+    pruned: DataFrame,
+    luts_by_cell: dict[int, list[list[int]]],
+    k: int,
+    id_col: str,
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Arrow residual-ADC scorer: per batch, numpy-gather the probed
+    cell's LUT rows for each code column and sum — O(rows × m) int64
+    adds in vectorized numpy, no codegen, so the LUT count can grow
+    with n_probes without hitting janino's method-size cliff. The LUT
+    dict (n_probes × m × k ints, ~1 MB at 512-cell/32-probe/16×256)
+    ships once per task inside the serialized closure — bounded by
+    probe count, never by data.
+
+    Emits only each batch's local top-k (same (pq_dist, id) tie
+    order as the global sort, nulls last) — the global
+    TakeOrderedAndProject sees ≤ k rows per batch instead of the
+    whole shortlist, cutting Arrow transfer; the global top-k is a
+    subset of the union of batch top-ks, so the result is exact."""
+    import numpy as np
+    import pandas as pd
+
+    luts = {
+        int(c): np.asarray(lut, dtype=np.int64)
+        for c, lut in luts_by_cell.items()
+    }
+    m = next(iter(luts.values())).shape[0]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_ok = pdf[code_col].map(
+                lambda v: v is not None and len(v) == m
+            ).to_numpy()
+            cell_vals = pdf["_cell"].to_numpy()
+            dist = pd.array([None] * len(pdf), dtype="Int64")
+            for c, lut in luts.items():
+                mask = codes_ok & (cell_vals == c)
+                if not mask.any():
+                    continue
+                cm = np.stack(
+                    pdf.loc[mask, code_col].to_numpy()
+                ).astype(np.int64)
+                dist[mask] = lut[np.arange(m)[None, :], cm].sum(axis=1)
+            out = pd.DataFrame({id_col: pdf[id_col], "pq_dist": dist})
+            yield out.sort_values(
+                ["pq_dist", id_col], na_position="last"
+            ).head(k)
+
+    return pruned.select(id_col, "_cell", code_col).mapInPandas(
+        score, f"{id_col} long, pq_dist long"
     )
 
 

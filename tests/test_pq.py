@@ -295,3 +295,90 @@ def test_arrow_paths_skip_invalid_vectors_instead_of_crashing(spark):
         r["vec_id"]
         for r in similarity.pq_encode_arrow(bad, books).collect()
     ] == [1]
+
+
+def test_residual_adc_arrow_equals_expression_path(spark):
+    """The Arrow residual-ADC scorer (janino-cliff escape hatch,
+    SCALE.md r11) must produce the SAME (vec_id, pq_dist) ranking as
+    the codegen'd CASE dispatch — both forced explicitly, k large
+    enough to cover every probed row so the whole scoring surface is
+    compared, not just the head."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 200)
+    cents = similarity.train_centroids(emb, n_cells=4, dim=DIM, iters=1)
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    idx = similarity.ivf_pq_index(emb, cents, books, residual=True)
+    idx = idx.persist()
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 11).head()["embedding"]
+    ]
+    expr_rows = [
+        (r["vec_id"], r["pq_dist"])
+        for r in similarity.ivf_pq_topk(
+            idx, cents, books, qvec, k=200, n_probes=4,
+            residual=True, use_arrow=False,
+        ).collect()
+    ]
+    arrow_rows = [
+        (r["vec_id"], r["pq_dist"])
+        for r in similarity.ivf_pq_topk(
+            idx, cents, books, qvec, k=200, n_probes=4,
+            residual=True, use_arrow=True,
+        ).collect()
+    ]
+    idx.unpersist()
+    assert expr_rows == arrow_rows and len(expr_rows) == 200
+
+
+def test_residual_adc_auto_threshold_routes_big_dispatch_to_arrow(spark):
+    """Auto mode: small LUT dispatches stay on the expression path;
+    one whose element_at lookups exceed RESIDUAL_ADC_EXPR_MAX_LOOKUPS
+    route through mapInPandas (ArrowEvalPython / MapInPandas in the
+    plan), because the CASE chain is measured to blow janino's 64 KB
+    method limit at realistic probe counts."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 100)
+    cents = similarity.train_centroids(emb, n_cells=4, dim=DIM, iters=1)
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    # localCheckpoint truncates lineage: the index BUILD is itself a
+    # mapInPandas and would otherwise appear in every query plan
+    idx = similarity.ivf_pq_index(
+        emb, cents, books, residual=True
+    ).localCheckpoint(eager=True)
+    qvec = [0.1] * DIM
+
+    small = similarity.ivf_pq_topk(
+        idx, cents, books, qvec, k=5, n_probes=2, residual=True
+    )
+    assert "mapinpandas" not in small._jdf.queryExecution().executedPlan(
+    ).toString().lower()
+
+    import cybersecurity_miw_spark.operators.similarity as sim
+    orig = sim.RESIDUAL_ADC_EXPR_MAX_LOOKUPS
+    sim.RESIDUAL_ADC_EXPR_MAX_LOOKUPS = 1  # force "big dispatch"
+    try:
+        big = similarity.ivf_pq_topk(
+            idx, cents, books, qvec, k=5, n_probes=2, residual=True
+        )
+        plan = big._jdf.queryExecution().executedPlan().toString().lower()
+        assert "mapinpandas" in plan
+    finally:
+        sim.RESIDUAL_ADC_EXPR_MAX_LOOKUPS = orig
+    # and the two modes agree on the result
+    assert [tuple(r) for r in small.collect()] == [
+        tuple(r) for r in big.collect()
+    ]
+
+
+def test_train_pq_codebooks_arrow_equals_expression(spark):
+    """The Arrow-assigned training path (janino escape for production
+    codebook sizes) must train IDENTICAL books to the expression
+    path: codes are bit-identical per iteration, sums/counts and the
+    floor-div update are shared, so the books cannot diverge."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 300)
+    expr_books = similarity.train_pq_codebooks(
+        emb, DIM, M, K, iters=2, use_arrow=False
+    )
+    arrow_books = similarity.train_pq_codebooks(
+        emb, DIM, M, K, iters=2, use_arrow=True
+    )
+    assert arrow_books == expr_books

@@ -6891,71 +6891,71 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-9 rotation (VERDICT r8 #1): all 24 oracles added in round 8
-    # — the only never-driver-rowed queries left — get their first
-    # CORRECTNESS rows, keeping the never-rowed == new-this-round
-    # steady state. Beyond the flagship, the changed-code anchors are
-    # the TPC-H plans whose forced broadcasts are dropped/size-gated
-    # this round (q3/q14 demotions, q7/q8 supplier routed through the
-    # size-gated helper; q9 is already in the never-rowed set) and
-    # incremental_lsh_vs_store (the batch store-params guard from
-    # ADVICE r8). The remaining slots re-verify the 20 veterans whose
-    # last driver row is oldest (rounds 4-5); everything rotated out
-    # stays full-hash green in tests/test_oracle_parity.py.
+    # Round-11 rotation (VERDICT r10 #5 — the r10 window froze, so the
+    # two r10 plan changes never got driver rows): flagship + the
+    # changed-code anchors (tpch_q18 and cohort_retention lost their
+    # forced broadcasts in r10 via maybe_broadcast; ann_pq_adc_topk
+    # re-anchors the PQ family whose residual query path gained the
+    # Arrow ADC dispatch in r11) + the 46 OLDEST-rowed oracled
+    # veterans: every oracle last driver-rowed in rounds 5-6 and the
+    # oldest of the round-7 cohort. Everything rotated out (the whole
+    # r9/r10 window — all 50 green twice in a row — and the younger
+    # r8 veterans) stays full-hash green in
+    # tests/test_oracle_parity.py every round.
     "miw_events_summary",
-    # --- first-ever driver rows (24, all added in round 8) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_late_shipments",
-    "tpch_q13_order_count_distribution",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_sole_return_supplier",
-    "tpch_q22_dormant_customers",
-    "setsim_exact_pairs",
-    "setsim_cross_decontaminate",
-    "leakage_safe_splits",
-    "duplicated_ngram_spans",
-    "bm25_topk_docs",
-    "budget_select_docs",
-    "weighted_sample_32_by_chars",
-    "rolling_7d_active_users",
-    "stickiness_dau_mau",
-    "dedup_impact_report",
-    "source_dup_overlap",
-    "minhash_lsh_guarded",
-    "incremental_simhash_vs_store",
-    # --- round-9 changed-code anchors ---
-    "tpch_q3_shipping_priority",
-    "tpch_q14_promo_effect",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "incremental_lsh_vs_store",
-    # --- oldest-rowed veterans (last rows in rounds 4-5) ---
-    "agg_union_numeric_append",
-    "anti_join_membership",
-    "app_matrix_mult",
-    "dedup_exact_survivors",
-    "embedding_near_dup_pairs",
-    "kv_evtx2_explode",
-    "pairwise_cosine_topk",
-    "ratio_over_count_operand",
-    "simhash_md5_fingerprints",
-    "unix_epoch_parse",
-    "agg_count_a3",
-    "agg_first_a12",
-    "agg_union_sorted",
-    "app_hist_256",
-    "app_string_match",
-    "appname_id_suffix",
-    "atoi_prefix_parity",
-    "dns_wire_decode",
-    # --- new round-9 operators (replace the youngest veterans) ---
-    "span_removed_documents",
-    "incremental_setsim_vs_store",
+    # --- r10/r11 changed-code anchors ---
+    "tpch_q18_large_volume_customer",
+    "cohort_retention_matrix",
+    "ann_pq_adc_topk",
+    # --- oldest-rowed veterans: last row round 5 ---
+    "tokenize_typed_projection",
+    "quote_strip_trim",
+    "time_buckets",
+    "url_retemplate",
+    "kv_evtx_explode",
+    "match_exact_or",
+    "match_negative_exact",
+    "semi_join_membership",
+    "wc_wordcount",
+    "raw_content_retention",
+    "embedding_l2_normalize",
+    "embedding_quantize_int8",
+    # --- last row round 6 ---
+    "date_buckets",
+    "match_substring_or",
+    "app_linear_regression",
+    "app_word_reverse_index",
+    "app_matrix_mult_blocked",
+    "app_pca_covariance",
+    "app_kmeans_step",
+    "event_value_percentiles",
+    "rollup_event_counts",
+    "running_value_per_user",
+    "distinct_users_per_type",
+    "beacon_interval_profile",
+    "pivot_user_activity",
+    "gopher_quality_flags",
+    "remove_repeated_lines",
+    "pii_redact_counts",
+    "chunk_fixed_windows",
+    "asof_join_latest_snapshot",
+    "quality_weighted_sample",
+    "corpus_report_by_source",
+    # --- last row round 7 (oldest first by registration order) ---
+    "agg_union_count_histogram",
+    "order_topk_groups",
+    "dedup_exact_groups",
+    "simhash_band_candidates",
+    "text_profile",
+    "cosine_brute_topk",
+    "pairwise_topk_lsh",
+    "ann_lsh_topk",
+    "embedding_near_dup_lsh",
+    "multimodal_media_stats",
+    "multimodal_frame_features",
+    "match_and_contains_all",
+    "evtx_kv_dynamic_group",
+    "session_summary_30min",
 ]
 
 

@@ -156,10 +156,35 @@ def ppjoin_pairs(
     have Jaccard >= threshold — EXACT (no LSH false negatives).
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6 d.p.
     (the jaccard_pairs convention)."""
-    t_pm = _t_pm(threshold)
     sh = staged(
         with_shingles(df, text_col, shingle_k, "_sh", keep=(id_col,))
     )
+    cand = _ppjoin_candidates_from_shingled(sh, id_col, _t_pm(threshold))
+    return _verify_pairs(sh, cand, id_col, _t_pm(threshold))
+
+
+def ppjoin_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The candidate (id_a, id_b) pairs surviving the prefix
+    equi-join + size-ratio + positional filters — the exact set
+    :func:`ppjoin_pairs` verifies. Exposed so filter-effectiveness
+    measurements (candidate volume vs true pairs; suffix-filter
+    decisions — SCALE.md r11) read the REAL candidate stage rather
+    than a reimplementation that could drift."""
+    sh = staged(
+        with_shingles(df, text_col, shingle_k, "_sh", keep=(id_col,))
+    )
+    return _ppjoin_candidates_from_shingled(sh, id_col, _t_pm(threshold))
+
+
+def _ppjoin_candidates_from_shingled(
+    sh: DataFrame, id_col: str, t_pm: int
+) -> DataFrame:
     ex = sh.select(id_col, F.explode("_sh").alias("tok"))
     pref = prefix_index(token_df_order(ex, id_col), id_col, t_pm)
 
@@ -207,7 +232,12 @@ def ppjoin_pairs(
         .filter(bound >= _alpha(t_pm, F.col("sz_a"), F.col("sz_b")))
         .select("id_a", "id_b")
     )
+    return cand
 
+
+def _verify_pairs(
+    sh: DataFrame, cand: DataFrame, id_col: str, t_pm: int
+) -> DataFrame:
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     inter = F.size(F.array_intersect("_sh_a", "_sh_b"))

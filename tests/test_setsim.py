@@ -340,3 +340,41 @@ def test_prefix_store_params_mismatch_raises(spark, tmp_path):
     setsim.load_prefix_store(spark, store_dir, threshold=0.5)  # ok
     with pytest.raises(ValueError, match="prefix store"):
         setsim.load_prefix_store(spark, store_dir, threshold=0.8)
+
+
+def test_drifted_batch_still_exact_under_frozen_order(spark):
+    """Distribution drift degrades candidate VOLUME, never
+    correctness (SCALE.md r11 staleness measurement): a batch full of
+    tokens UNSEEN in the frozen freq table (_df = 0, sorted first —
+    maximally 'stale' placement) must still produce exactly the
+    pooled-cross pairs, because the prefix lemma holds for ANY total
+    order applied to both sides."""
+    hist_rows = [(i, _doc(list(range(i % 4, 12 + i % 4)))) for i in range(8)]
+    drift = " ".join(f"drift{j}" for j in range(8))
+    batch_rows = [
+        # near-dup of hist doc 0 with a drift tail: a REAL cross pair
+        (101, _doc(list(range(0, 12))) + " drift0 drift1"),
+        # pure-drift doc: every token unseen at freeze time, no pairs
+        (102, drift),
+        # another pure-drift doc sharing the drift text — a batch-
+        # internal dup is NOT the incremental contract (batch × store
+        # only), so it must not appear
+        (103, drift),
+    ]
+    hist = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    freq = setsim.token_freq_table(hist)  # frozen BEFORE the drift
+    store = setsim.prefix_store(hist, freq, threshold=0.5)
+    inc = {
+        (r["new_id"], r["stored_id"], r["jaccard"])
+        for r in setsim.incremental_ppjoin_pairs(
+            batch, hist, store, freq, threshold=0.5
+        ).collect()
+    }
+    pooled = {
+        (r["id_l"], r["id_r"], r["jaccard"])
+        for r in setsim.ppjoin_cross(batch, hist, threshold=0.5).collect()
+    }
+    assert inc == pooled
+    assert any(a == 101 for a, _, _ in inc)  # the planted cross pair
+    assert not any(a == 102 or a == 103 for a, b, _ in inc if b >= 100)

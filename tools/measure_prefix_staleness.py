@@ -13,10 +13,21 @@ buckets a fresh order would have pushed out of the prefixes entirely.
 This harness plants exactly that failure mode and measures it:
 
 * history = sf0.1 documents (even doc_id half), freq frozen on it;
-* batches 1..N = slices of the odd half, each doc suffixed with a
-  batch-shared "drift sentence" of tokens unseen at freeze time —
-  after batch 1 appends to the store, those tokens are frozen-rare
-  but actually common, the staleness signature;
+* batches 1..N = slices of the odd half, each doc suffixed with the
+  SAME "drift sentence" of tokens unseen at freeze time — the shared
+  vocabulary is the point: after batch 1 appends to the store those
+  tokens are live-common but frozen-rare (_df = 0 → they fill every
+  later batch doc's prefix AND sit in the store's accumulated prefix
+  rows), so every new doc equi-joins every prior drifted doc through
+  the drift-token buckets — the staleness signature. A fresh order
+  ranks them as common, pushes them out of the prefixes entirely,
+  and the explosion disappears. (A first, wrong, version of this
+  harness gave each batch a DISTINCT drift vocabulary: then the
+  store never accumulates the stale tokens, batch prefixes are
+  filled with store-missing tokens, and frozen order measures
+  BETTER than fresh — ratio 0.69-0.79, preserved in git history —
+  which is itself informative: staleness only bites when drifted
+  tokens recur across batches.);
 * per batch: candidates under the frozen store vs candidates under a
   fresh-order rebuild (token_freq_table over history-so-far + batch,
   store re-derived), true pairs for reference.
@@ -65,8 +76,8 @@ def main() -> None:
 
     seen = hist
     results = []
+    drift = " ".join(f"driftword{j}" for j in range(10))
     for i in range(1, N_BATCHES + 1):
-        drift = " ".join(f"driftword{i}x{j}" for j in range(10))
         batch = (
             docs.where(
                 (F.col("doc_id") % 2 == 1)

@@ -1561,6 +1561,116 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_lsh(emb, threshold=0.5, dim=64, n_planes=4)
 
 
+_SEMANTIC_DEDUP_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(64, 4)} AS bucket
+  FROM embeddings
+),
+rm AS (
+  SELECT DISTINCT c.vec_id
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.5
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+"""
+
+
+@register("semantic_dedup_survivors", _SEMANTIC_DEDUP_SQL)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-level dedup
+    (operators/similarity.py:semantic_dedup): keep-lowest-id over the
+    LSH-bucketed cosine near-dup pairs — paraphrase-level duplicates
+    token dedup misses. Bucket self-join on the uniform md5-plane key
+    + one anti-join; never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return similarity.semantic_dedup(
+        emb, dim=64, threshold=0.5, n_planes=4
+    ).select("vec_id")
+
+
+_HYBRID_RRF_SQL = """
+WITH w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN ('table', 'join', 'window')
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1 + (stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5))
+           * (tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS tu
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, CAST(sum(tu) AS BIGINT) AS score_u FROM terms GROUP BY 1
+  ORDER BY score_u DESC, doc_id LIMIT 50
+),
+lex_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_u DESC, doc_id) AS lex_rank
+  FROM lex
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+dense AS (
+  SELECT vec_id AS doc_id,
+         round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cs
+  FROM embeddings, q
+  ORDER BY cs DESC, doc_id LIMIT 50
+),
+dense_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cs DESC, doc_id) AS dense_rank
+  FROM dense
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, e.doc_id) AS doc_id,
+         CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(e.dense_rank, 0) AS BIGINT) AS dense_rank
+  FROM lex_r l FULL OUTER JOIN dense_r e ON l.doc_id = e.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       CAST(
+         (CASE WHEN lex_rank > 0
+               THEN floor(1000000000.0 / (60 + lex_rank)) ELSE 0 END)
+         + (CASE WHEN dense_rank > 0
+                 THEN floor(1000000000.0 / (60 + dense_rank)) ELSE 0 END)
+       AS BIGINT) AS rrf_u
+FROM fused
+ORDER BY rrf_u DESC, doc_id LIMIT 20
+"""
+
+
+@register("hybrid_rrf_topk_docs", _HYBRID_RRF_SQL)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid BM25 + exact-cosine retrieval fused by Reciprocal Rank
+    Fusion (operators/retrieval.py:hybrid_rrf_topk): pool-50 lists
+    from each system, integer micro-score reciprocals, top-20. The
+    fusion stage is pool-bounded — the corpus is touched only by the
+    two retrieval branches. doc_id and vec_id share the id domain in
+    this dataset (the documents' embedding table)."""
+    from cybersecurity_miw_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return retrieval.hybrid_rrf_topk(
+        docs, emb, ["table", "join", "window"], list(qvec),
+        k=20, pool=50,
+    ).select("doc_id", "lex_rank", "dense_rank", "rrf_u")
+
+
 # The IVF SEARCH path (assign → probe → exact rerank) is oracled with
 # deterministic seed centroids (= the embedding rows vec_id 0..3, exact
 # data vectors a SQL twin can reference directly). k-means-trained
@@ -6954,8 +7064,10 @@ _DRIVER_WINDOW = [
     "multimodal_media_stats",
     "multimodal_frame_features",
     "match_and_contains_all",
-    "evtx_kv_dynamic_group",
-    "session_summary_30min",
+    # --- new r11 oracles (first-round rows; displace the two
+    #     youngest r7 veterans, which stay pytest-parity-checked) ---
+    "semantic_dedup_survivors",
+    "hybrid_rrf_topk_docs",
 ]
 
 

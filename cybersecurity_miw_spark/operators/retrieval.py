@@ -26,6 +26,7 @@ engine's reduction order.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 
 def bm25_topk(
@@ -82,5 +83,85 @@ def bm25_topk(
         .groupBy(id_col)
         .agg(F.sum("_tu").alias("score_u"))
         .orderBy(F.desc("score_u"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    query_terms: list[str],
+    query_vec: list[float],
+    k: int = 10,
+    pool: int = 50,
+    k_rrf: int = 60,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack/Clarke/Buettcher RRF, the public standard): run BM25 and
+    exact-cosine retrieval to a ``pool``-deep candidate list each,
+    then score every pooled doc by Σ_systems 1/(k_rrf + rank) and
+    return the top ``k``. Ranks are 1-based within each system's pool
+    (deterministic tie order: score desc, id asc); a doc missing from
+    one system's pool contributes 0 for that system and reports
+    rank 0.
+
+    Cross-engine exactness: each reciprocal floors to an int64
+    micro-score (⌊1e9/(k_rrf+rank)⌋) before the sum — the
+    split_word_divergence convention, so a DuckDB twin is
+    hash-identical.
+
+    100 TB shape: all corpus-scaled work lives in the two retrieval
+    branches (BM25's posting-discipline shuffle; the dense scan's
+    TakeOrdered — swap in :func:`~cybersecurity_miw_spark.operators.
+    similarity.ann_shortlist_rerank` for an index-pruned dense branch
+    at scale). The fusion itself touches ≤ 2·pool rows: the rank
+    windows and the outer join run on pool-bounded inputs, never on
+    the corpus."""
+    from cybersecurity_miw_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    lex = bm25_topk(
+        docs, query_terms, k=pool, text_col=text_col, id_col=doc_id_col
+    )
+    dense = brute_force_topk(
+        embeddings, query_vec, k=pool, vec_col=vec_col, id_col=vec_id_col
+    )
+    # unpartitioned windows are pool-bounded (<= pool rows) by the
+    # limit above — never corpus-sized
+    w_lex = Window.orderBy(F.desc("score_u"), F.asc(doc_id_col))
+    w_dense = Window.orderBy(F.desc("cos_sim"), F.asc(vec_id_col))
+    lex_r = lex.select(
+        F.col(doc_id_col).alias("doc_id"),
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    dense_r = dense.select(
+        F.col(vec_id_col).alias("doc_id"),
+        F.row_number().over(w_dense).cast("long").alias("dense_rank"),
+    )
+    def _contrib(rank_col: str):
+        # rank 0 = not retrieved by that system: contributes nothing
+        return F.when(
+            F.col(rank_col) > 0,
+            F.floor(
+                F.lit(1_000_000_000.0) / (F.lit(k_rrf) + F.col(rank_col))
+            ),
+        ).otherwise(F.lit(0))
+
+    return (
+        lex_r.join(dense_r, on="doc_id", how="full_outer")
+        .withColumn("lex_rank", F.coalesce("lex_rank", F.lit(0)).cast("long"))
+        .withColumn(
+            "dense_rank", F.coalesce("dense_rank", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "rrf_u",
+            (_contrib("lex_rank") + _contrib("dense_rank")).cast("long"),
+        )
+        .orderBy(F.desc("rrf_u"), F.asc("doc_id"))
         .limit(k)
     )

@@ -192,6 +192,41 @@ def cosine_near_dup_lsh(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.85,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public arXiv 2303.09540 — dedup by EMBEDDING proximity, catching
+    paraphrases and re-encodings that token-level MinHash/SimHash
+    miss): rows are removed when a same-bucket neighbor with a
+    SMALLER id sits at cosine ≥ threshold; survivors are returned
+    with their full columns. Deterministic keep-lowest-id rule over
+    the LSH-bucketed pair list (:func:`cosine_near_dup_lsh` — the
+    hyperplane bucket is the blocking key, so the pair stage shuffles
+    on the uniform bucket id and never goes all-pairs).
+
+    Adjacency-based, not transitive-closure: a chain a~b~c with
+    cos(a,c) < t keeps a and drops b AND c (c has neighbor b < c) —
+    the same contract as the paper's within-cluster pruning. For
+    cluster-atomic semantics route the pair list through
+    :func:`~cybersecurity_miw_spark.operators.dedup.dup_clusters_auto`
+    and keep each cluster's min id.
+
+    100 TB: bucket self-join (uniform key) + one anti-join on the
+    removed-id set — both shuffle-bounded by near-dup density, never
+    by corpus²."""
+    pairs = cosine_near_dup_lsh(
+        df, threshold, dim, n_planes, vec_col, id_col
+    )
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(removed, on=id_col, how="anti")
+
+
 # ---- LSH (random hyperplane / sign) path ----
 
 

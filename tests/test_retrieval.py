@@ -101,3 +101,78 @@ def test_plan_bnlj_is_only_the_one_row_stats_cross(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+# --- hybrid RRF fusion (r11) -------------------------------------------------
+
+
+def _emb_rows(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_rrf_doc_in_both_systems_outranks_single_system(spark):
+    """A doc ranked #2 by BOTH systems must outscore a doc ranked #1
+    by only one: 2/(60+2) > 1/(60+1) reciprocal sums."""
+    docs = _rows(
+        spark,
+        [
+            (0, "zebra zebra zebra"),        # lex #1, absent dense pool-top
+            (1, "zebra zebra the cat"),      # lex #2 and dense #2
+            (2, "the cat runs"),             # no query terms
+        ],
+    )
+    emb = _emb_rows(
+        spark,
+        [
+            (1, [0.9, 0.1]),   # cos vs q: high
+            (2, [1.0, 0.0]),   # exact match -> dense #1
+            (0, [0.0, 1.0]),   # orthogonal
+        ],
+    )
+    out = retrieval.hybrid_rrf_topk(
+        docs, emb, ["zebra"], [1.0, 0.0], k=3, pool=2
+    ).collect()
+    ranks = {r["doc_id"]: (r["lex_rank"], r["dense_rank"]) for r in out}
+    # doc 1: lex #2 + dense #2; doc 0: lex #1 only; doc 2: dense #1 only
+    assert ranks[1] == (2, 2)
+    assert ranks[0] == (1, 0) and ranks[2] == (0, 1)
+    order = [r["doc_id"] for r in out]
+    assert order[0] == 1  # in-both beats either single-system doc
+    # single-system docs at rank 1 tie on rrf_u -> ascending id
+    assert order[1:] == [0, 2]
+
+
+def test_rrf_pool_bounds_membership_and_determinism(spark):
+    docs = _rows(spark, [(i, f"zebra w{i}") for i in range(8)])
+    emb = _emb_rows(
+        spark, [(i, [1.0, float(i)]) for i in range(8)]
+    )
+    a = retrieval.hybrid_rrf_topk(
+        docs, emb, ["zebra"], [1.0, 0.0], k=8, pool=3
+    ).collect()
+    b = retrieval.hybrid_rrf_topk(
+        docs, emb, ["zebra"], [1.0, 0.0], k=8, pool=3
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # only docs from at least one pool appear; pools are 3-deep each
+    assert 3 <= len(a) <= 6
+    assert all(r["lex_rank"] > 0 or r["dense_rank"] > 0 for r in a)
+    assert all(r["lex_rank"] <= 3 and r["dense_rank"] <= 3 for r in a)
+
+
+def test_rrf_score_is_exact_integer_sum(spark):
+    docs = _rows(spark, [(0, "zebra"), (1, "zebra zebra")])
+    emb = _emb_rows(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    out = {
+        r["doc_id"]: r
+        for r in retrieval.hybrid_rrf_topk(
+            docs, emb, ["zebra"], [1.0, 0.0], k=2, pool=2
+        ).collect()
+    }
+    for r in out.values():
+        want = 0
+        if r["lex_rank"] > 0:
+            want += int(1_000_000_000.0 // (60 + r["lex_rank"]))
+        if r["dense_rank"] > 0:
+            want += int(1_000_000_000.0 // (60 + r["dense_rank"]))
+        assert r["rrf_u"] == want

@@ -1,0 +1,77 @@
+"""SemDeDup-style embedding dedup (operators/similarity.py:
+semantic_dedup): keep-lowest-id over LSH-bucketed cosine near-dup
+pairs — the paraphrase-level dedup rule, beyond the DuckDB parity
+oracle (`semantic_dedup_survivors`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import similarity
+
+DIM = 8
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, f"vec_id long, embedding array<double>"
+    )
+
+
+def _unit(v):
+    n = sum(x * x for x in v) ** 0.5
+    return [x / n for x in v]
+
+
+def test_planted_duplicate_drops_higher_id(spark):
+    base = _unit([1.0] * DIM)
+    near = _unit([1.0] * (DIM - 1) + [1.2])        # cos ~0.998 to base
+    ortho = _unit([1.0, -1.0] * (DIM // 2))        # cos 0 to base
+    df = _emb(spark, [(10, base), (20, near), (30, ortho)])
+    # n_planes=1: all three share the bucket (verified via
+    # bucket_value), so the test isolates the threshold + keep-rule —
+    # at 2 planes the base/near pair straddles plane 1, the usual
+    # LSH recall trade
+    out = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, dim=DIM, threshold=0.9, n_planes=1
+        ).collect()
+    }
+    assert out == {10, 30}  # 20 lost to its smaller-id near-dup 10
+
+
+def test_survivors_and_removed_partition_the_corpus(spark):
+    rows = [
+        (i, _unit([1.0 + 0.001 * (i % 3)] * DIM)) for i in range(12)
+    ] + [(100 + i, _unit([(-1.0) ** d for d in range(DIM)])) for i in range(2)]
+    df = _emb(spark, rows)
+    surv = similarity.semantic_dedup(df, dim=DIM, threshold=0.99, n_planes=2)
+    n_surv = surv.count()
+    assert 0 < n_surv < df.count()
+    # survivors ∪ removed == corpus, disjoint by construction (anti-join)
+    removed = df.join(surv.select("vec_id"), "vec_id", "anti")
+    assert n_surv + removed.count() == df.count()
+    # the smallest id of each planted family survives
+    ids = {r["vec_id"] for r in surv.collect()}
+    assert 0 in ids and 100 in ids and 101 not in ids
+
+
+def test_adjacency_rule_not_transitive_closure(spark):
+    """a~b and b~c with cos(a,c) < t: b and c are both removed (each
+    has a smaller-id neighbor), a survives — the documented adjacency
+    contract."""
+    import math
+
+    a = [1.0, 0.0]
+    b = [math.cos(0.2), math.sin(0.2)]
+    c = [math.cos(0.4), math.sin(0.4)]
+    # cos(a,b) = cos(b,c) = cos(0.2) ~ 0.980; cos(a,c) = cos(0.4) ~ 0.921
+    df = _emb(spark, [(1, a), (2, b), (3, c)])
+    out = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, dim=2, threshold=0.95, n_planes=1
+        ).collect()
+    }
+    assert out == {1}

@@ -232,6 +232,11 @@ MAX_EXCHANGES = {
     # textual for ~8 real shuffles (+3 headroom). The real-store plan
     # is pinned by the golden tests' two-batch append run.
     "incremental_setsim_vs_store": 50,
+    # SemDeDup: bucket+norm projection staged (persist), bucket-key
+    # self-join, pair distinct, removed-id distinct, anti-join back
+    # to the corpus — uniform keys throughout (17 textual fresh with
+    # the staged subtree re-printed, +2 headroom)
+    "semantic_dedup_survivors": 19,
 }
 
 
@@ -292,6 +297,19 @@ def test_tpch_q11_bnlj_is_only_the_one_row_total_cross(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 10
+
+
+def test_hybrid_rrf_bnlj_is_only_the_one_row_stats_cross(spark):
+    """hybrid_rrf_topk_docs is EXEMPT from the generic no-BNLJ assert
+    for the BM25 branch's 1-row (n_docs, avgdl) stats crossJoin — the
+    q22 pattern, bounded by construction. The fusion's FULL OUTER
+    join runs on the two pool-bounded (≤50-row) rank lists, and no
+    corpus-sized window appears: both row_number windows read
+    TakeOrdered output."""
+    plan = _plan(spark, "hybrid_rrf_topk_docs")
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # lex stats cross (AQE may print both forms)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 16
 
 
 def test_frame_ann_single_decode_subtree(spark):

@@ -956,6 +956,33 @@ WHERE 1000 * len(list_intersect(l.sh, r.sh))
 """
 
 
+# Exact asymmetric containment join: |A∩B|/|A| >= t — the
+# quote/excerpt detector symmetric Jaccard dilutes away (a small doc
+# fully inside a big one has tiny Jaccard but containment 1.0). The
+# oracle is the algorithm-blind all-pairs containment.
+
+_CONTAINMENT_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL})
+SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             greatest(len(a.sh), 1), 6) AS containment
+FROM shingled a JOIN shingled b ON a.doc_id <> b.doc_id
+WHERE len(a.sh) > 0
+  AND 1000 * len(list_intersect(a.sh, b.sh)) >= 800 * len(a.sh)
+"""
+
+
+@register("containment_pairs_exact", _CONTAINMENT_SQL)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set containment >= 0.8 (operators/setsim.py:
+    containment_pairs): probe-side rarest-first prefixes vs a
+    full-token container index — join keys stay rare by
+    construction; verify is candidate-bounded. Emits BOTH directions
+    of mutual pairs (containment is asymmetric)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return setsim.containment_pairs(docs, threshold=0.8, shingle_k=3)
+
+
 @register("setsim_cross_decontaminate", _SETSIM_CROSS_SQL)
 def q_setsim_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact train-vs-eval contamination pairs (Jaccard >= 0.5 over
@@ -7063,11 +7090,13 @@ _DRIVER_WINDOW = [
     "embedding_near_dup_lsh",
     "multimodal_media_stats",
     "multimodal_frame_features",
-    "match_and_contains_all",
-    # --- new r11 oracles (first-round rows; displace the two
-    #     youngest r7 veterans, which stay pytest-parity-checked) ---
+    # --- new r11 oracles (first-round rows; displace the youngest
+    #     r7 veterans, which stay pytest-parity-checked — the
+    #     F-family keeps match_exact_or / match_negative_exact /
+    #     match_substring_or in-window) ---
     "semantic_dedup_survivors",
     "hybrid_rrf_topk_docs",
+    "containment_pairs_exact",
 ]
 
 

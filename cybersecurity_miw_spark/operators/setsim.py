@@ -259,6 +259,117 @@ def _verify_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT asymmetric containment join: all ordered pairs
+    (contained_id ≠ container_id) with
+    |sh(contained) ∩ sh(container)| / |sh(contained)| ≥ threshold —
+    the quote/excerpt/wrapper-page detector. Symmetric Jaccard misses
+    a small doc fully quoted inside a much larger one (the union
+    term dilutes); span-level dedup sees only verbatim 8-gram runs.
+    Containment at the shingle-set level catches both, exactly.
+
+    Prefix filtering adapts (Chaudhuri/Ganti/Kaushik SSJoin family,
+    containment variant): overlap must reach α = ⌈t·|A|⌉, which
+    depends only on the CONTAINED side, so the probe side explodes
+    the standard |A| − α + 1 rarest-first prefix
+    (:func:`prefix_index`, same pigeonhole) while the container side
+    indexes ALL its tokens (any of them may witness the overlap).
+    The join keys are still probe-PREFIX tokens — rarest-first, so
+    hot tokens never become join keys. Size filter: |B| ≥ ⌈t·|A|⌉
+    (the overlap cannot exceed |B|). The positional and first-hit
+    bounds hold verbatim: both docs list tokens in the one global
+    order, so no shared token can precede the first join hit (it
+    would itself be an earlier hit — the container side indexes
+    everything), and the :func:`_pos_bound` pigeonhole only uses
+    positions in that shared order. Verify fetches shingle arrays
+    for candidates only; integer cross-multiplied threshold.
+
+    Returns (contained_id, container_id, containment) with
+    containment rounded to 6 d.p. Both directions of a mutual pair
+    are emitted (containment is not symmetric)."""
+    t_pm = _t_pm(threshold)
+    sh = staged(
+        with_shingles(df, text_col, shingle_k, "_sh", keep=(id_col,))
+    )
+    ex = sh.select(id_col, F.explode("_sh").alias("tok"))
+    ordered = token_df_order(ex, id_col)
+    pref = prefix_index(ordered, id_col, t_pm)
+    full = ordered.select(
+        id_col,
+        "sz",
+        F.posexplode("toks").alias("pos", "tok"),
+    ).withColumn("pos", (F.col("pos") + 1).cast("int"))
+
+    a = pref.select(
+        F.col(id_col).alias("contained_id"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "tok",
+    )
+    b = full.select(
+        F.col(id_col).alias("container_id"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "tok",
+    )
+    alpha = F.floor(
+        (F.lit(t_pm) * F.col("sz_a") + 999) / 1000
+    ).cast("long")
+    generic = _pos_bound(
+        F.col("pos_a"), F.col("pos_b"), F.col("sz_a"), F.col("sz_b")
+    )
+    bound = F.least(
+        F.col("_g"),
+        F.lit(1)
+        + F.least(
+            F.col("sz_a") - F.col("_pa"), F.col("sz_b") - F.col("_pb")
+        ),
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("contained_id") != F.col("container_id"))
+            # overlap <= |B|: containment needs |B| >= ceil(t*|A|)
+            & (F.lit(1000) * F.col("sz_b") >= F.lit(t_pm) * F.col("sz_a"))
+        )
+        .groupBy("contained_id", "container_id", "sz_a", "sz_b")
+        .agg(
+            F.min(generic).alias("_g"),
+            F.min("pos_a").alias("_pa"),
+            F.min("pos_b").alias("_pb"),
+        )
+        .filter(bound >= alpha)
+        .select("contained_id", "container_id", "sz_a")
+    )
+
+    sa = sh.select(
+        F.col(id_col).alias("contained_id"), F.col("_sh").alias("_sh_a")
+    )
+    sb = sh.select(
+        F.col(id_col).alias("container_id"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    return (
+        cand.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .withColumn("_i", inter)
+        .filter(F.lit(1000) * F.col("_i") >= F.lit(t_pm) * F.col("sz_a"))
+        .select(
+            "contained_id",
+            "container_id",
+            F.round(
+                F.col("_i") / F.greatest(F.col("sz_a"), F.lit(1)), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def ppjoin_cross(
     left: DataFrame,
     right: DataFrame,

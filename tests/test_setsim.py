@@ -378,3 +378,79 @@ def test_drifted_batch_still_exact_under_frozen_order(spark):
     assert inc == pooled
     assert any(a == 101 for a, _, _ in inc)  # the planted cross pair
     assert not any(a == 102 or a == 103 for a, b, _ in inc if b >= 100)
+
+
+# --- exact containment join (r11) --------------------------------------------
+
+
+def _brute_containment(spark, docs, threshold, shingle_k=3):
+    sh = {
+        r["doc_id"]: frozenset(r["_sh"])
+        for r in with_shingles(docs, "text", shingle_k, "_sh").collect()
+    }
+    t_pm = int(round(threshold * 1000))
+    out = set()
+    for a in sh:
+        for b in sh:
+            if a == b or not sh[a]:
+                continue
+            i = len(sh[a] & sh[b])
+            if 1000 * i >= t_pm * len(sh[a]):
+                out.add((a, b, round(i / max(len(sh[a]), 1), 6)))
+    return out
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 1.0])
+def test_containment_matches_brute_force(spark, threshold):
+    rows = [
+        (0, _doc(list(range(0, 20)))),           # big doc
+        (1, _doc(list(range(0, 6)))),            # fully inside 0
+        (2, _doc(list(range(3, 9)))),            # inside 0, offset
+        (3, _doc(list(range(18, 30)))),          # partial overlap with 0
+        (4, _doc(list(range(30, 36)))),          # disjoint
+        (5, _doc(list(range(0, 20)))),           # identical to 0 (mutual)
+        (6, "w0 w1"),                            # short doc (one shingle)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in setsim.containment_pairs(
+            docs, threshold=threshold
+        ).collect()
+    }
+    want = _brute_containment(spark, docs, threshold)
+    assert got == want, (
+        f"t={threshold}: missing={sorted(want - got)[:5]} "
+        f"extra={sorted(got - want)[:5]}"
+    )
+
+
+def test_containment_is_asymmetric_and_jaccard_blind_spot(spark):
+    """The motivating case: a small doc fully quoted in a big one has
+    containment 1.0 but Jaccard far below any dedup threshold."""
+    rows = [
+        (0, _doc(list(range(0, 30)))),
+        (1, _doc(list(range(5, 11)))),   # 6 words inside 0's 30
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["contained_id"], r["container_id"]): r["containment"]
+        for r in setsim.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == {(1, 0): 1.0}  # 1 inside 0; 0 NOT inside 1
+    # the same pair is invisible to symmetric Jaccard at any sane t
+    jac = setsim.ppjoin_pairs(docs, threshold=0.3).collect()
+    assert not jac
+
+
+def test_containment_plan_no_cross_product(spark):
+    docs = spark.createDataFrame(
+        [(i, _doc(list(range(i, i + 8)))) for i in range(6)],
+        ["doc_id", "text"],
+    )
+    plan = (
+        setsim.containment_pairs(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

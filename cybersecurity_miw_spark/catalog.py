@@ -1588,6 +1588,42 @@ def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_lsh(emb, threshold=0.5, dim=64, n_planes=4)
 
 
+_INC_SEMANTIC_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(64, 4)} AS bucket
+  FROM embeddings
+)
+SELECT n.vec_id AS new_id, s.vec_id AS stored_id,
+       round(list_cosine_similarity(n.v, s.v), 6) AS cos_sim
+FROM b n JOIN b s ON n.bucket = s.bucket
+WHERE n.vec_id % 5 = 0 AND s.vec_id % 5 <> 0
+  AND round(list_cosine_similarity(n.v, s.v), 6) >= 0.3
+"""
+
+
+@register("incremental_semantic_vs_store", _INC_SEMANTIC_SQL)
+def q_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs of an incoming batch against the
+    PERSISTED embedding bucket store (operators/similarity.py:
+    embedding_bucket_store / incremental_semantic_pairs) — closes the
+    incremental QUADRIAD: exact, MinHash, SimHash, and semantic dedup
+    all store-backed. History participates through one bucketed
+    (id, bucket, vector) row per vector; bucket-pruned, never an
+    all-pairs history scan. Batch = vec_id % 5 == 0 (the incremental
+    family's deterministic split)."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    hist = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    store = similarity.embedding_bucket_store(hist, dim=64, n_planes=4)
+    # 0.3: the hashed-text embeddings are weakly clustered — 0.5
+    # yields zero cross pairs at sf0.01 and the oracle would be
+    # vacuous; 0.3 exercises ~44 real pairs through the same plan
+    return similarity.incremental_semantic_pairs(
+        batch, store, threshold=0.3, dim=64, n_planes=4
+    )
+
+
 _SEMANTIC_DEDUP_SQL = f"""
 WITH b AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -7089,14 +7125,15 @@ _DRIVER_WINDOW = [
     "ann_lsh_topk",
     "embedding_near_dup_lsh",
     "multimodal_media_stats",
-    "multimodal_frame_features",
     # --- new r11 oracles (first-round rows; displace the youngest
     #     r7 veterans, which stay pytest-parity-checked — the
     #     F-family keeps match_exact_or / match_negative_exact /
-    #     match_substring_or in-window) ---
+    #     match_substring_or in-window, multimodal keeps
+    #     multimodal_media_stats) ---
     "semantic_dedup_survivors",
     "hybrid_rrf_topk_docs",
     "containment_pairs_exact",
+    "incremental_semantic_vs_store",
 ]
 
 

@@ -227,6 +227,123 @@ def semantic_dedup(
     return df.join(removed, on=id_col, how="anti")
 
 
+SEMANTIC_STORE_PARAMS_FILE = "_semdedup_params.json"
+
+
+def embedding_bucket_store(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The persisted SEMANTIC near-dup index rows for a corpus slice:
+    (id, bucket, vector) — the embedding sibling of the exact /
+    MinHash / SimHash stores, closing the incremental QUADRIAD: all
+    four dedup families now have store-backed ingest paths. Append
+    one batch's rows per ingest. Unlike the hash stores the vector
+    itself rides in the index — the exact-cosine confirm needs it —
+    but that is still one bucketed row per historical vector, read
+    bucket-pruned, with source text/media never rescanned. Partition
+    or bucket the store on ``bucket`` so the incremental join prunes
+    at the file index (the `_b`-partitioned ANN layout pattern)."""
+    return df.select(
+        id_col,
+        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.col(vec_col).alias(vec_col),
+    )
+
+
+def write_semantic_store_params(
+    spark, store_dir: str, dim: int, n_planes: int = 4
+) -> None:
+    """Record an embedding bucket store's (dim, n_planes) in a
+    sidecar — the semantic twin of ``write_band_store_params``:
+    buckets from different plane families never collide, so a
+    mismatched join silently yields zero candidates."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    fsutil.write_text(
+        spark,
+        f"{store_dir}/{SEMANTIC_STORE_PARAMS_FILE}",
+        json.dumps({"dim": dim, "n_planes": n_planes}),
+    )
+
+
+def load_embedding_bucket_store(
+    spark, store_dir: str, dim: int, n_planes: int = 4
+) -> DataFrame:
+    """Read a persisted embedding bucket store, raising on a recorded
+    family mismatch; legacy stores without a sidecar load unchecked."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{SEMANTIC_STORE_PARAMS_FILE}"
+    if fsutil.exists(spark, path):
+        stored = json.loads(fsutil.read_text(spark, path))
+        params = {"dim": dim, "n_planes": n_planes}
+        if stored != params:
+            raise ValueError(
+                f"semantic store at {store_dir} was built with {stored}; "
+                f"this query supplies {params} — mixed hyperplane "
+                "families never match. Rebuild the store or pass the "
+                "stored parameters."
+            )
+    return spark.read.parquet(store_dir)
+
+
+def incremental_semantic_pairs(
+    new_vecs: DataFrame,
+    store: DataFrame | str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Semantic near-dup pairs of an incoming batch AGAINST THE
+    PERSISTED EMBEDDING BUCKET STORE: (new_id, stored_id, cos_sim)
+    with cosine ≥ threshold, exact within LSH buckets. Batch buckets
+    are computed fresh with the same md5-literal planes; history
+    contributes stored (id, bucket, vector) rows only — bucket-pruned,
+    never an all-pairs scan of history. Same plane family as the
+    batch self-join path (:func:`cosine_near_dup_lsh`), so a pair is
+    found here iff the pooled self-join restricted to batch × history
+    would find it (golden-pinned). A string ``store`` loads via
+    :func:`load_embedding_bucket_store` (family sidecar checked)."""
+    if isinstance(store, str):
+        store = load_embedding_bucket_store(
+            new_vecs.sparkSession, store, dim, n_planes
+        )
+    nb = embedding_bucket_store(
+        new_vecs, dim, n_planes, vec_col, id_col
+    ).select(
+        F.col(id_col).alias("new_id"),
+        "bucket",
+        F.col(vec_col).cast("array<double>").alias("_vn"),
+    )
+    nb = nb.select("new_id", "bucket", "_vn", norm(F.col("_vn")).alias("_nn"))
+    sb = store.select(
+        F.col(id_col).alias("stored_id"),
+        "bucket",
+        F.col(vec_col).cast("array<double>").alias("_vs"),
+    ).select(
+        "stored_id", "bucket", "_vs", norm(F.col("_vs")).alias("_ns")
+    )
+    cos = dot(F.col("_vn"), F.col("_vs")) / (F.col("_nn") * F.col("_ns"))
+    return (
+        nb.join(sb, on="bucket")
+        .select(
+            "new_id", "stored_id", F.round(cos, 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+
+
 # ---- LSH (random hyperplane / sign) path ----
 
 

@@ -75,3 +75,68 @@ def test_adjacency_rule_not_transitive_closure(spark):
         ).collect()
     }
     assert out == {1}
+
+
+# --- incremental embedding bucket store (r11) --------------------------------
+
+
+def test_incremental_semantic_matches_pooled_self_join(spark):
+    """incremental_semantic_pairs over a persisted-shape store equals
+    cosine_near_dup_lsh over the pooled corpus restricted to
+    batch × history pairs — same plane family both paths."""
+    import math
+
+    rows = [
+        (i, _unit([math.cos(i * 0.03), math.sin(i * 0.03)] * (DIM // 2)))
+        for i in range(20)
+    ]
+    df = _emb(spark, rows)
+    from pyspark.sql import functions as F
+
+    hist = df.where(F.col("vec_id") % 2 == 0)
+    batch = df.where(F.col("vec_id") % 2 != 0)
+    store = similarity.embedding_bucket_store(hist, dim=DIM, n_planes=2)
+    inc = {
+        (r["new_id"], r["stored_id"], r["cos_sim"])
+        for r in similarity.incremental_semantic_pairs(
+            batch, store, threshold=0.9, dim=DIM, n_planes=2
+        ).collect()
+    }
+    pooled = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in similarity.cosine_near_dup_lsh(
+            df, threshold=0.9, dim=DIM, n_planes=2
+        ).collect()
+    }
+    cross = {
+        (a, b, c) if a % 2 else (b, a, c) for a, b, c in pooled
+        if (a % 2) != (b % 2)
+    }
+    assert inc == cross
+    assert inc  # fixture produces pairs
+
+
+def test_semantic_store_roundtrip_and_params_guard(spark, tmp_path):
+    import pytest
+
+    rows = [(i, _unit([1.0 + 0.01 * i] + [0.5] * (DIM - 1))) for i in range(6)]
+    df = _emb(spark, rows)
+    store_dir = str(tmp_path / "sem_store")
+    similarity.embedding_bucket_store(df, dim=DIM, n_planes=2).write.parquet(
+        store_dir
+    )
+    similarity.write_semantic_store_params(spark, store_dir, DIM, n_planes=2)
+    loaded = similarity.load_embedding_bucket_store(
+        spark, store_dir, DIM, n_planes=2
+    )
+    assert loaded.count() == 6
+    batch = _emb(spark, [(100, _unit([1.0] + [0.5] * (DIM - 1)))])
+    pairs = similarity.incremental_semantic_pairs(
+        batch, store_dir, threshold=0.99, dim=DIM, n_planes=2
+    )
+    assert pairs.count() > 0
+    # family mismatch fails fast instead of silently zero candidates
+    with pytest.raises(ValueError, match="semantic store"):
+        similarity.load_embedding_bucket_store(
+            spark, store_dir, DIM, n_planes=3
+        )

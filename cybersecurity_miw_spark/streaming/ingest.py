@@ -327,3 +327,118 @@ def streaming_near_dup_flags(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_semantic_flags(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    flags_dir: str,
+    vec_store_dir: str,
+    dim: int = 64,
+    n_planes: int = 4,
+    threshold: float = 0.85,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """The SEMANTIC half of the continuous ingest loop — the
+    embedding sibling of :func:`streaming_near_dup_flags`, completing
+    the streaming side of the store-backed quadriad: each micro-batch
+    embeds its docs (hashed_embedding; swap in a real encoder
+    upstream by streaming (id, vector) rows instead), joins its
+    hyperplane buckets against the PERSISTED embedding bucket store,
+    appends (new_id, stored_id, cos_sim) pairs at cosine ≥ threshold
+    to ``flags_dir``, and appends its own (id, bucket, vector) rows
+    to the store — later batches see this batch as history.
+
+    Within-batch semantic pairs surface in the same trigger (batch
+    self-join through :func:`cosine_near_dup_lsh`), keeping the
+    "every pair is flagged exactly once, when its second member
+    arrives" contract. A ``_semdedup_params.json`` sidecar records
+    (dim, n_planes): restarting with a different plane family raises
+    instead of silently joining incompatible buckets to zero
+    candidates.
+
+    100 TB shape: per trigger, the batch is embedded ONCE
+    (localCheckpoint), the store join is bucket-pruned (partition the
+    store by ``bucket``), and history participates through index rows
+    only — the vector rides in the store so the exact-cosine confirm
+    never rescans source text."""
+    from cybersecurity_miw_spark.operators.similarity import (
+        SEMANTIC_STORE_PARAMS_FILE,
+        cosine_near_dup_lsh,
+        embedding_bucket_store,
+        incremental_semantic_pairs,
+        write_semantic_store_params,
+    )
+    from cybersecurity_miw_spark.operators.textstats import hashed_embedding
+    from cybersecurity_miw_spark import fsutil
+
+    # fail fast on a plane-family mismatch BEFORE any batch runs
+    params_path = f"{vec_store_dir}/{SEMANTIC_STORE_PARAMS_FILE}"
+    if fsutil.exists(spark, params_path):
+        import json
+
+        stored = json.loads(fsutil.read_text(spark, params_path))
+        if stored != {"dim": dim, "n_planes": n_planes}:
+            raise ValueError(
+                f"semantic store at {vec_store_dir} was built with "
+                f"{stored}; this stream supplies dim={dim}, "
+                f"n_planes={n_planes} — mixed hyperplane families never "
+                "match. Rebuild the store or pass the stored parameters."
+            )
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cache_mark = release_mark()
+        try:
+            vecs = (
+                hashed_embedding(batch_df, dim=dim)
+                .select(F.col("doc_id").alias("vec_id"), "embedding")
+                .localCheckpoint(eager=True)
+            )
+            bucketed = embedding_bucket_store(
+                vecs, dim, n_planes
+            ).localCheckpoint(eager=True)
+            within = cosine_near_dup_lsh(
+                vecs, threshold, dim, n_planes
+            ).select(
+                F.col("id_b").alias("new_id"),
+                F.col("id_a").alias("stored_id"),
+                "cos_sim",
+            )
+            try:
+                store = sess.read.parquet(vec_store_dir)
+                has_store = True
+            except Exception:
+                has_store = False
+            if has_store:
+                cross = incremental_semantic_pairs(
+                    vecs, store, threshold, dim, n_planes
+                )
+                flags = cross.unionByName(within).distinct()
+            else:
+                flags = within
+            flags.write.mode("append").parquet(flags_dir)
+            bucketed.write.mode("append").parquet(vec_store_dir)
+            if not fsutil.exists(sess, params_path):
+                write_semantic_store_params(
+                    sess, vec_store_dir, dim, n_planes
+                )
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -372,3 +372,69 @@ def test_simhash_store_path_checks_family_sidecar(spark, tmp_path):
 
     with pytest.raises(ValueError, match="mixed SimHash families"):
         dedup.incremental_simhash_candidates(batch, store_dir, band_bits=8)
+
+
+def test_semantic_flags_within_and_across_runs(spark, tmp_path):
+    """Embedding-level flags: a within-batch paraphrase-level near-dup
+    (same words, different order — token-identical hashed embedding)
+    is flagged immediately; a later run's near-dup of an earlier doc
+    is flagged against the PERSISTED embedding bucket store; an
+    unrelated doc is not. Restarting with a different plane family
+    fails fast."""
+    import pytest
+
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_semantic_flags,
+    )
+
+    indir = tmp_path / "in"
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "vecs")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    shuffled = "theta eta zeta epsilon delta gamma beta alpha"  # same bag
+    (indir / "a.tsv").write_text(
+        f"1\t{base}\n"
+        f"2\t{shuffled}\n"  # within-run semantic dup of 1 (cos 1.0)
+        "3\tcompletely different unrelated words entirely here now\n"
+    )
+    _await(
+        streaming_semantic_flags(
+            spark, str(indir), ckpt, flags, store, threshold=0.9
+        )
+    )
+    got1 = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert (2, 1) in got1
+    assert not any(3 in pair for pair in got1)
+
+    (indir / "b.tsv").write_text(
+        f"10\t{base} iota\n"  # cross-run near-dup of 1/2
+        "11\tanother totally unrelated document text body\n"
+    )
+    _await(
+        streaming_semantic_flags(
+            spark, str(indir), ckpt, flags, store, threshold=0.9
+        )
+    )
+    got2 = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert any(n == 10 and s in (1, 2) for n, s in got2)
+    assert not any(11 in pair for pair in got2)
+    stored_ids = {
+        r["vec_id"] for r in spark.read.parquet(store).collect()
+    }
+    assert stored_ids == {1, 2, 3, 10, 11}
+
+    # plane-family mismatch fails fast (sidecar guard), pre-stream
+    with pytest.raises(ValueError, match="semantic store"):
+        streaming_semantic_flags(
+            spark, str(indir), str(tmp_path / "ckpt2"), flags, store,
+            n_planes=7, threshold=0.9,
+        )

@@ -31,6 +31,9 @@ def curate_documents(
     fingerprint_store: DataFrame | None = None,
     max_bucket_width: int | None = None,
     remove_span_k: int | None = None,
+    semantic_threshold: float | None = None,
+    semantic_planes: int = 8,
+    embedding_dim: int = 64,
 ) -> DataFrame:
     """Run the standard curation chain; returns the surviving rows of
     ``df`` with the (possibly PII-redacted) text under ``text_col``
@@ -47,6 +50,15 @@ def curate_documents(
     ``text_col`` is replaced by the span-removed normalized
     reassembly and a ``removed_tokens`` column is added. Runs after
     profiling, so the profile columns describe the pre-removal text.
+
+    ``semantic_threshold``: when set, run SemDeDup-style embedding
+    dedup after the token-level near-dedup — hashed-embedding each
+    surviving doc and dropping rows with a smaller-id same-bucket
+    neighbor at cosine ≥ the threshold
+    (similarity.semantic_dedup keep-lowest-id semantics). Catches
+    paraphrase-level duplicates token shingles miss; scale
+    ``semantic_planes`` with the corpus so bucket occupancy stays
+    bounded (SCALE.md r11 embedding-family scale points).
 
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
@@ -91,6 +103,20 @@ def curate_documents(
             threshold=near_dup_threshold,
             max_bucket_width=max_bucket_width,
         )
+    if semantic_threshold is not None:
+        from cybersecurity_miw_spark.operators import similarity
+
+        vecs = textstats.hashed_embedding(
+            out, dim=embedding_dim, text_col=text_col, id_col=id_col
+        ).select(id_col, "embedding")
+        keep = similarity.semantic_dedup(
+            vecs,
+            dim=embedding_dim,
+            threshold=semantic_threshold,
+            n_planes=semantic_planes,
+            id_col=id_col,
+        ).select(id_col)
+        out = out.join(keep, id_col, "semi")
     if remove_span_k is not None:
         spans = dedup.duplicated_ngram_spans(
             out, k=remove_span_k, id_col=id_col, text_col=text_col

@@ -109,3 +109,34 @@ def test_curate_against_fingerprint_store_drops_history_dups(spark):
         ).collect()
     }
     assert kept_plain == {10, 11}
+
+
+def test_curate_semantic_stage_drops_paraphrase_level_dups(spark):
+    """semantic_threshold: a word-bag reorder (token 3-shingles all
+    differ -> invisible to MinHash/exact stages) has an IDENTICAL
+    hashed embedding, so the semantic stage drops the higher id;
+    disabled (default), both survive."""
+    words = [f"tok{i}" for i in range(40)]
+    base = " ".join(words)
+    reordered = " ".join(reversed(words))  # same bag, no shared 3-shingles
+    rows = [
+        (1, base),
+        (2, reordered),
+        (3, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_default = sorted(
+        r["doc_id"]
+        for r in pipeline.curate_documents(
+            df, quality_floor=None, near_dup_threshold=0.5
+        ).select("doc_id").collect()
+    )
+    assert kept_default == [1, 2, 3]  # token stages can't see the pair
+    kept_sem = sorted(
+        r["doc_id"]
+        for r in pipeline.curate_documents(
+            df, quality_floor=None, near_dup_threshold=0.5,
+            semantic_threshold=0.95, semantic_planes=2,
+        ).select("doc_id").collect()
+    )
+    assert kept_sem == [1, 3]  # paraphrase-level dup dropped

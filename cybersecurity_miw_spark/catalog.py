@@ -1770,6 +1770,65 @@ LIMIT 10
 """
 
 
+_IVF_BATCH_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+probe AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.query_id, c.cell, q.qv,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_sum(list_transform(list_zip(c.cv, q.qv),
+                               z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      c.cell) AS rn
+    FROM cents c, qs q)
+  WHERE rn <= 2
+),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, e.v),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM e
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS cos_sim
+  FROM assign a JOIN probe p ON a.cell = p.cell
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+
+@register("ann_ivf_topk_batch", _IVF_BATCH_SQL)
+def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN (operators/similarity.py:ivf_topk_batch): one
+    pass serves a 3-query table — per-query probe cells ranked on the
+    queries × centroids grid, the probe table broadcast into a single
+    ``_cell`` equi-join, per-query top-5. Same 4 seed centroids and
+    folds as `ann_ivf_topk`, so the oracle recomputes everything
+    relationally."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk_batch(
+        emb, queries, cents, k=5, n_probes=2
+    )
+
+
 @register("ann_ivf_topk", _IVF_SQL)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantization ANN: assign every vector to its nearest

@@ -603,6 +603,84 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_queries: int = 10_000,
+) -> DataFrame:
+    """IVF search for EVERY row of a query TABLE in one pass — the
+    production shape: a batch of queries amortizes the corpus
+    assignment and index scan that :func:`ivf_topk` pays per call
+    (one Spark job per query vector is driver-bound long before the
+    cluster is busy). Returns (query_id, id, cos_sim) with per-query
+    rank ≤ k (cosine desc on the 6-d.p. rounded value, id asc).
+
+    Plan shape: probe cells per query are ranked on the
+    queries × n_cells grid (literal centroid table, bounded by the
+    ``max_broadcast_queries`` guard — the pairwise_topk contract);
+    the (query_id, cell, qvec) probe table then BROADCASTS into one
+    equi-join on ``_cell`` against the assigned corpus, so the corpus
+    is scanned ONCE for the whole batch and only probed cells ever
+    score. Same L2 fold and tie-breaks as :func:`ivf_topk` /
+    :func:`ivf_assign` (first-index on equal distance), so a 1-row
+    query table reproduces ivf_topk exactly (golden-pinned)."""
+    n_q = queries.limit(max_broadcast_queries + 1).count()
+    if n_q > max_broadcast_queries:
+        raise ValueError(
+            f"ivf_topk_batch: query set exceeds {max_broadcast_queries} "
+            "rows; the probe table would not broadcast — split the "
+            "query batch"
+        )
+    cents2d = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    qc = q.select(
+        "query_id", "_qv", F.posexplode(cents2d).alias("_ci", "_cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.asc("_d2"), F.asc("_ci")
+    )
+    probes = (
+        qc.withColumn("_d2", d2)
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= max(1, n_probes))
+        .select("query_id", "_qv", F.col("_ci").alias("_cell"))
+    )
+    assigned = ivf_assign(df, centroids, vec_col)
+    # bcast-bound: probes <= max_broadcast_queries * n_probes rows
+    #   (guard above; n_probes <= n_cells, a model constant)
+    joined = assigned.join(F.broadcast(probes), on="_cell")
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6
+        ).alias("cos_sim"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 # ---- embedding hygiene: normalization and quantization ----
 
 

@@ -140,3 +140,54 @@ def test_semantic_store_roundtrip_and_params_guard(spark, tmp_path):
         similarity.load_embedding_bucket_store(
             spark, store_dir, DIM, n_planes=3
         )
+
+
+# --- batched IVF search (r11) -------------------------------------------------
+
+
+def test_ivf_topk_batch_one_query_equals_single_query_path(spark):
+    """A 1-row query table must reproduce ivf_topk exactly (same
+    folds, same probe and rank tie-breaks)."""
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    pts = rng.randn(60, DIM)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = _emb(
+        spark, [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)]
+    )
+    cents = [list(map(float, pts[i])) for i in range(4)]
+    single = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk(
+            df, cents, list(map(float, pts[7])), k=8, n_probes=2
+        ).collect()
+    ]
+    batch = sorted(
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_batch(
+            df.filter("vec_id >= 0"),
+            df.filter("vec_id = 7"),
+            cents, k=8, n_probes=2,
+        ).collect()
+    )
+    assert batch == sorted(single)
+
+
+def test_ivf_topk_batch_guard_and_per_query_k(spark):
+    import pytest
+
+    rows = [(i, _unit([1.0 + 0.05 * i] * DIM)) for i in range(10)]
+    df = _emb(spark, rows)
+    cents = [[1.0] * DIM, [-1.0] * DIM]
+    out = similarity.ivf_topk_batch(
+        df, df.filter("vec_id < 4"), cents, k=3, n_probes=1
+    ).collect()
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in out)
+    assert set(per_q) == {0, 1, 2, 3} and all(v == 3 for v in per_q.values())
+    with pytest.raises(ValueError, match="query set exceeds"):
+        similarity.ivf_topk_batch(
+            df, df, cents, k=1, max_broadcast_queries=5
+        )

@@ -7181,7 +7181,9 @@ _DRIVER_WINDOW = [
     "text_profile",
     "cosine_brute_topk",
     "pairwise_topk_lsh",
-    "ann_lsh_topk",
+    # (ann_lsh_topk rotated out for the new batch-IVF row; the ANN
+    #  family keeps ann_pq_adc_topk + ann_ivf_topk_batch in-window)
+    "ann_ivf_topk_batch",
     "embedding_near_dup_lsh",
     "multimodal_media_stats",
     # --- new r11 oracles (first-round rows; displace the youngest

@@ -983,6 +983,32 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return setsim.containment_pairs(docs, threshold=0.8, shingle_k=3)
 
 
+_CONTAINMENT_CROSS_SQL = f"""
+WITH shingled AS ({_SHINGLES_SQL})
+SELECT e.doc_id AS contained_id, t.doc_id AS container_id,
+       round(len(list_intersect(e.sh, t.sh))::DOUBLE /
+             greatest(len(e.sh), 1), 6) AS containment
+FROM shingled e JOIN shingled t
+  ON e.doc_id % 5 = 0 AND t.doc_id % 5 <> 0
+WHERE len(e.sh) > 0
+  AND 1000 * len(list_intersect(e.sh, t.sh)) >= 600 * len(e.sh)
+"""
+
+
+@register("containment_cross_decontaminate", _CONTAINMENT_CROSS_SQL)
+def q_containment_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact eval-quoted-in-train decontamination
+    (operators/setsim.py:containment_cross): every (eval, train) pair
+    with |eval ∩ train| / |eval| >= 0.6 over 3-shingle sets — the
+    excerpt-leakage case symmetric Jaccard dilutes away. Eval =
+    doc_id % 5 == 0 (the decontamination family's split); union-df
+    token order, eval-prefix-bounded candidate join."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    return setsim.containment_cross(ev, train, threshold=0.6, shingle_k=3)
+
+
 @register("setsim_cross_decontaminate", _SETSIM_CROSS_SQL)
 def q_setsim_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact train-vs-eval contamination pairs (Jaccard >= 0.5 over
@@ -7184,7 +7210,10 @@ _DRIVER_WINDOW = [
     # (ann_lsh_topk rotated out for the new batch-IVF row; the ANN
     #  family keeps ann_pq_adc_topk + ann_ivf_topk_batch in-window)
     "ann_ivf_topk_batch",
-    "embedding_near_dup_lsh",
+    # (embedding_near_dup_lsh rotated out for the new cross-containment
+    #  row; the embedding family keeps cosine_brute_topk,
+    #  pairwise_topk_lsh, and the semantic rows in-window)
+    "containment_cross_decontaminate",
     "multimodal_media_stats",
     # --- new r11 oracles (first-round rows; displace the youngest
     #     r7 veterans, which stay pytest-parity-checked — the

@@ -370,6 +370,113 @@ def containment_pairs(
     )
 
 
+def containment_cross(
+    contained: DataFrame,
+    containers: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact CROSS-CORPUS containment join: every pair with
+    |sh(contained) ∩ sh(container)| / |sh(contained)| ≥ threshold,
+    contained from the left corpus, container from the right — the
+    quoted-excerpt decontamination primitive. An eval question copied
+    verbatim inside a long train document has near-zero Jaccard
+    against it (``ppjoin_cross`` cannot see it at any sane threshold)
+    but containment 1.0; this is the GPT-3-style leakage case
+    :func:`~cybersecurity_miw_spark.operators.dedup.
+    flag_eval_ngram_overlap` flags heuristically and this join
+    decides EXACTLY at a threshold.
+
+    Same construction as :func:`containment_pairs` with the R-S
+    twists of :func:`ppjoin_cross`: ONE token order from document
+    frequency over the UNION of the corpora (the lemma needs a shared
+    total order; union-df is also the best pruning order), contained
+    side explodes rarest-first prefixes sized by α = ⌈t·|A|⌉,
+    container side indexes ALL its tokens. With a small eval side the
+    prefix join is eval-prefix-bounded. Returns
+    (contained_id, container_id, containment)."""
+    t_pm = _t_pm(threshold)
+    sh_a = staged(
+        with_shingles(contained, text_col, shingle_k, "_sh", keep=(id_col,))
+    )
+    sh_b = staged(
+        with_shingles(containers, text_col, shingle_k, "_sh", keep=(id_col,))
+    )
+    ex_a = sh_a.select(id_col, F.explode("_sh").alias("tok"))
+    ex_b = sh_b.select(id_col, F.explode("_sh").alias("tok"))
+    freq = (
+        ex_a.unionByName(ex_b)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    pref_a = prefix_index(
+        ordered_by_freq(ex_a, freq, id_col), id_col, t_pm
+    ).select(
+        F.col(id_col).alias("contained_id"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "tok",
+    )
+    full_b = (
+        ordered_by_freq(ex_b, freq, id_col)
+        .select(id_col, "sz", F.posexplode("toks").alias("pos", "tok"))
+        .withColumn("pos", (F.col("pos") + 1).cast("int"))
+        .select(
+            F.col(id_col).alias("container_id"),
+            F.col("sz").alias("sz_b"),
+            F.col("pos").alias("pos_b"),
+            "tok",
+        )
+    )
+    alpha = F.floor(
+        (F.lit(t_pm) * F.col("sz_a") + 999) / 1000
+    ).cast("long")
+    generic = _pos_bound(
+        F.col("pos_a"), F.col("pos_b"), F.col("sz_a"), F.col("sz_b")
+    )
+    bound = F.least(
+        F.col("_g"),
+        F.lit(1)
+        + F.least(
+            F.col("sz_a") - F.col("_pa"), F.col("sz_b") - F.col("_pb")
+        ),
+    )
+    cand = (
+        pref_a.join(full_b, "tok")
+        .filter(F.lit(1000) * F.col("sz_b") >= F.lit(t_pm) * F.col("sz_a"))
+        .groupBy("contained_id", "container_id", "sz_a", "sz_b")
+        .agg(
+            F.min(generic).alias("_g"),
+            F.min("pos_a").alias("_pa"),
+            F.min("pos_b").alias("_pb"),
+        )
+        .filter(bound >= alpha)
+        .select("contained_id", "container_id", "sz_a")
+    )
+    sa = sh_a.select(
+        F.col(id_col).alias("contained_id"), F.col("_sh").alias("_sh_a")
+    )
+    sb = sh_b.select(
+        F.col(id_col).alias("container_id"), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    return (
+        cand.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .withColumn("_i", inter)
+        .filter(F.lit(1000) * F.col("_i") >= F.lit(t_pm) * F.col("sz_a"))
+        .select(
+            "contained_id",
+            "container_id",
+            F.round(
+                F.col("_i") / F.greatest(F.col("sz_a"), F.lit(1)), 6
+            ).alias("containment"),
+        )
+    )
+
+
 def ppjoin_cross(
     left: DataFrame,
     right: DataFrame,

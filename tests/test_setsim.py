@@ -454,3 +454,50 @@ def test_containment_plan_no_cross_product(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_cross_matches_brute_force(spark):
+    """Cross-corpus containment (eval ⊂ train decontamination): every
+    (eval, train) pair at containment >= t, ground truth all-pairs."""
+    train_rows = [
+        (0, _doc(list(range(0, 25)))),
+        (1, _doc(list(range(25, 40)))),
+        (2, _doc(list(range(5, 12)))),
+    ]
+    eval_rows = [
+        (100, _doc(list(range(3, 9)))),    # fully inside train 0
+        (101, _doc(list(range(30, 36)))),  # fully inside train 1
+        (102, "w0 w1"),                    # short; shingle in 0's text?
+        (103, _doc(list(range(36, 40)) + [0, 1])),  # partial overlap
+    ]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    ev = spark.createDataFrame(eval_rows, ["doc_id", "text"])
+    for t in (0.5, 0.9):
+        got = {
+            (r["contained_id"], r["container_id"], r["containment"])
+            for r in setsim.containment_cross(
+                ev, train, threshold=t
+            ).collect()
+        }
+        sh_e = {
+            r["doc_id"]: frozenset(r["_sh"])
+            for r in with_shingles(ev, "text", 3, "_sh").collect()
+        }
+        sh_t = {
+            r["doc_id"]: frozenset(r["_sh"])
+            for r in with_shingles(train, "text", 3, "_sh").collect()
+        }
+        t_pm = int(round(t * 1000))
+        want = {
+            (a, b, round(len(sh_e[a] & sh_t[b]) / max(len(sh_e[a]), 1), 6))
+            for a in sh_e for b in sh_t
+            if sh_e[a]
+            and 1000 * len(sh_e[a] & sh_t[b]) >= t_pm * len(sh_e[a])
+        }
+        assert got == want, (t, sorted(want - got)[:4], sorted(got - want)[:4])
+    # the motivating pairs are present at 0.9
+    got09 = {
+        (r["contained_id"], r["container_id"])
+        for r in setsim.containment_cross(ev, train, threshold=0.9).collect()
+    }
+    assert (100, 0) in got09 and (101, 1) in got09

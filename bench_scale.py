@@ -67,6 +67,10 @@ QUERY_NAMES = [
     # grow 10x; the boundary window stays one bucket)
     "setsim_exact_pairs",
     "budget_select_docs",
+    # r11: containment joins — rotated copies keep shingle sets
+    # disjoint across copies, so containment pairs grow exactly 10x
+    "containment_pairs_exact",
+    "containment_cross_decontaminate",
     # round 8 final: span-level substring dedup (rotated copies keep
     # 8-gram vocabularies disjoint across copies — duplicated-gram
     # occurrences and spans grow exactly 10x, no cross-copy inflation)
@@ -92,6 +96,22 @@ TSHIFT_QUERY_NAMES = [
 # shuffle proportional to postings, not corpus.
 PLAINDOC_QUERY_NAMES = [
     "bm25_topk_docs",
+    # r11: hybrid fusion — BM25 branch needs real 10x postings
+    # (plaindoc, same rationale as bm25) and the dense branch has no
+    # self-join, so plain vec_id-offset embeddings are artifact-free
+    "hybrid_rrf_topk_docs",
+]
+
+# r11: embedding-family queries run against DIMENSION-ROTATED 10x
+# embeddings (norms preserved, cross-copy cosines ~0 — near-dup pairs
+# stay within copies; plain duplication would plant identical-vector
+# clusters and measure a quadratic artifact). Queries with a bucket
+# self-join (semantic dedup) hold n_planes fixed here — the
+# occupancy-constant operating rule is measured separately in
+# SCALE.md "embedding-family 10x scale points".
+EMB_QUERY_NAMES = [
+    "incremental_semantic_vs_store",
+    "ann_ivf_topk_batch",
 ]
 
 # round 8: the new TPC-H heavies against 10x facts (lineitem/orders
@@ -185,6 +205,43 @@ def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
         f"{out_dir}-plaindoc/documents.parquet"
     )
 
+    # embeddings x10: per-copy DIMENSION ROTATION for the scaled dir
+    # (norms preserved, cross-copy cosines ~0 — near-dup pairs stay
+    # within copies, the rotated-alphabet trick in embedding space;
+    # plain duplication would plant identical-vector clusters), plain
+    # vec_id-offset copies for the plaindoc dir (hybrid's dense
+    # branch has no self-join, so duplication is artifact-free there)
+    emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
+    n_emb = emb.count()
+    vec_t = emb.schema["embedding"].dataType
+    dim = len(emb.select("embedding").head()[0])
+    rot_parts, plain_parts = [], []
+    for i in range(copies):
+        shifted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * n_emb))
+        plain_parts.append(shifted)
+        rot_parts.append(
+            shifted.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice("embedding", i + 1, dim - i),
+                    F.slice("embedding", 1, i),
+                ).cast(vec_t),
+            )
+            if i
+            else shifted
+        )
+    rot, plain = rot_parts[0], plain_parts[0]
+    for p in rot_parts[1:]:
+        rot = rot.unionByName(p)
+    for p in plain_parts[1:]:
+        plain = plain.unionByName(p)
+    rot.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    plain.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}-plaindoc/embeddings.parquet"
+    )
+
 
 def build_scaled_tpch(spark, base_dir: str, out_dir: str, copies: int) -> None:
     """10x the TPC-H FACTS (lineitem, orders) with per-copy orderkey
@@ -236,6 +293,8 @@ def main() -> None:
         os.path.exists(f"{SCALE_DIR}/documents.parquet/_SUCCESS")
         and os.path.exists(f"{SCALE_DIR}-tshift/events.parquet/_SUCCESS")
         and os.path.exists(f"{SCALE_DIR}-plaindoc/documents.parquet/_SUCCESS")
+        and os.path.exists(f"{SCALE_DIR}/embeddings.parquet/_SUCCESS")
+        and os.path.exists(f"{SCALE_DIR}-plaindoc/embeddings.parquet/_SUCCESS")
     ):
         t0 = time.perf_counter()
         build_scaled(spark, BASE_DIR, SCALE_DIR, COPIES)
@@ -252,8 +311,9 @@ def main() -> None:
     out: dict[str, dict[str, float]] = {}
     plan = [(BASE_DIR, "base",
              QUERY_NAMES + TSHIFT_QUERY_NAMES + TPCH_SCALE_QUERY_NAMES
-             + PLAINDOC_QUERY_NAMES),
-            (SCALE_DIR, "scaled", QUERY_NAMES + TPCH_SCALE_QUERY_NAMES),
+             + PLAINDOC_QUERY_NAMES + EMB_QUERY_NAMES),
+            (SCALE_DIR, "scaled",
+             QUERY_NAMES + TPCH_SCALE_QUERY_NAMES + EMB_QUERY_NAMES),
             (f"{SCALE_DIR}-tshift", "scaled", TSHIFT_QUERY_NAMES),
             (f"{SCALE_DIR}-plaindoc", "scaled", PLAINDOC_QUERY_NAMES)]
     from cybersecurity_miw_spark.cache import release_intermediates

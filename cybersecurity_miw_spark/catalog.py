@@ -1679,6 +1679,50 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+_SEMANTIC_DEDUP_CELLS_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, e.v),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM e
+),
+rm AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM rm)
+"""
+
+
+@register("semantic_dedup_cells_survivors", _SEMANTIC_DEDUP_CELLS_SQL)
+def q_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's own blocking — k-means cells
+    (operators/similarity.py:semantic_dedup_cells): assign every
+    vector to its nearest of 4 seed centroids (the ann_ivf_topk seed
+    convention — exact data vectors a SQL twin can reference), prune
+    within cells at cosine ≥ 0.4, keep-lowest-id. Trained centroids
+    stay out of the oracle for the usual IEEE-sum reason; the
+    operator is centroid-list-agnostic."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
+    return similarity.semantic_dedup_cells(
+        emb, cents, threshold=0.4
+    ).select("vec_id")
+
+
 _HYBRID_RRF_SQL = """
 WITH w AS (
   SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS ws
@@ -7205,7 +7249,10 @@ _DRIVER_WINDOW = [
     "dedup_exact_groups",
     "simhash_band_candidates",
     "text_profile",
-    "cosine_brute_topk",
+    # (cosine_brute_topk rotated out for the cells-variant SemDeDup
+    #  row; its exact-cosine logic also rides inside the
+    #  hybrid_rrf_topk_docs oracle's dense branch)
+    "semantic_dedup_cells_survivors",
     "pairwise_topk_lsh",
     # (ann_lsh_topk rotated out for the new batch-IVF row; the ANN
     #  family keeps ann_pq_adc_topk + ann_ivf_topk_batch in-window)

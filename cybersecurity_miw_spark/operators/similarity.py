@@ -227,6 +227,59 @@ def semantic_dedup(
     return df.join(removed, on=id_col, how="anti")
 
 
+def semantic_dedup_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """:func:`semantic_dedup` with the SemDeDup paper's OWN blocking:
+    k-means cells instead of hyperplane buckets (Abbas et al. §3 —
+    cluster the embeddings, prune within clusters). Rows are removed
+    when a SAME-CELL neighbor with a smaller id sits at cosine ≥
+    threshold; survivors keep their full columns. Centroids come from
+    :func:`train_centroids` (or any list) — pass MORE cells as the
+    corpus grows, the occupancy-constant rule both blockings share
+    (SCALE.md r11).
+
+    Trade vs the LSH-bucket variant: trained cells adapt to the data
+    (tighter blocks at equal count on clustered corpora → fewer
+    cross-dup misses at the same pair budget) but cost a training
+    pass and are corpus-dependent; md5-plane buckets are free,
+    deterministic, and SQL-reproducible. Both share the plan shape —
+    uniform-key self-join + one anti-join, never all-pairs."""
+    assigned = ivf_assign(df, centroids, vec_col).select(
+        id_col,
+        "_cell",
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    base = assigned.select(
+        id_col, "_cell", "_v", norm(F.col("_v")).alias("_n")
+    )
+    a = base.select(
+        F.col("_cell"),
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = base.select(
+        F.col("_cell"),
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    removed = (
+        a.join(b, on="_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cos, 6) >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(removed, on=id_col, how="anti")
+
+
 SEMANTIC_STORE_PARAMS_FILE = "_semdedup_params.json"
 
 

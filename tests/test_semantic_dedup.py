@@ -191,3 +191,23 @@ def test_ivf_topk_batch_guard_and_per_query_k(spark):
         similarity.ivf_topk_batch(
             df, df, cents, k=1, max_broadcast_queries=5
         )
+
+
+def test_semantic_dedup_cells_planted_dup_and_cell_isolation(spark):
+    """Cells variant (the SemDeDup paper's blocking): a near-dup pair
+    in one cell drops the higher id; an equally-similar pair SPLIT
+    across cells is not examined (the documented blocking trade —
+    raise cell count with corpus, not recall)."""
+    c0 = [1.0] + [0.0] * (DIM - 1)
+    c1 = [-1.0] + [0.0] * (DIM - 1)
+    near_c0_a = _unit([1.0, 0.05] + [0.0] * (DIM - 2))
+    near_c0_b = _unit([1.0, 0.06] + [0.0] * (DIM - 2))  # ~dup of a
+    near_c1 = _unit([-1.0, 0.05] + [0.0] * (DIM - 2))
+    df = _emb(spark, [(5, near_c0_a), (6, near_c0_b), (7, near_c1)])
+    out = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_cells(
+            df, [c0, c1], threshold=0.95
+        ).collect()
+    }
+    assert out == {5, 7}  # 6 lost to same-cell smaller-id 5; 7 isolated

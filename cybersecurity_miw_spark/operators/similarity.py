@@ -366,7 +366,11 @@ def incremental_semantic_pairs(
     batch self-join path (:func:`cosine_near_dup_lsh`), so a pair is
     found here iff the pooled self-join restricted to batch × history
     would find it (golden-pinned). A string ``store`` loads via
-    :func:`load_embedding_bucket_store` (family sidecar checked)."""
+    :func:`load_embedding_bucket_store` (family sidecar checked).
+    ``new_id != stored_id`` pairs only: a foreachBatch replay that
+    re-joins a batch against its own partially-appended store rows
+    (at-least-once sinks append before the checkpoint commits) must
+    not emit (x, x) self-pairs."""
     if isinstance(store, str):
         store = load_embedding_bucket_store(
             new_vecs.sparkSession, store, dim, n_planes
@@ -389,6 +393,7 @@ def incremental_semantic_pairs(
     cos = dot(F.col("_vn"), F.col("_vs")) / (F.col("_nn") * F.col("_ns"))
     return (
         nb.join(sb, on="bucket")
+        .filter(F.col("new_id") != F.col("stored_id"))
         .select(
             "new_id", "stored_id", F.round(cos, 6).alias("cos_sim")
         )
@@ -1050,9 +1055,13 @@ def _adc_dist_expr(lut: list[list[int]], code_col: str) -> Column:
         )
     # explicit null-codes guard: element_at over a LITERAL array with a
     # null index returns the LAST element on Spark 4.1 (observed; null
-    # does not propagate), so without this a null-coded row would get
-    # m * lut[s][-1] as a finite distance and could outrank real rows
-    return F.when(F.col(code_col).isNotNull(), dist)
+    # does not propagate), so without this a null-coded row — or a row
+    # whose code array contains a null ELEMENT — would get lut[s][-1]
+    # terms as a finite distance and could outrank real rows
+    ok = F.col(code_col).isNotNull() & ~F.exists(
+        F.col(code_col), lambda e: e.isNull()
+    )
+    return F.when(ok, dist)
 
 
 def pq_query_lut(
@@ -1418,8 +1427,14 @@ def _residual_adc_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # null ELEMENTS arrive as None or NaN (Arrow converts
+            # array<int>-with-nulls to float + NaN); either must park
+            # the row at NA distance like the expression path, not
+            # crash np.stack/astype (e != e catches NaN).
             codes_ok = pdf[code_col].map(
-                lambda v: v is not None and len(v) == m
+                lambda v: v is not None
+                and len(v) == m
+                and not any(e is None or e != e for e in v)
             ).to_numpy()
             cell_vals = pdf["_cell"].to_numpy()
             dist = pd.array([None] * len(pdf), dtype="Int64")

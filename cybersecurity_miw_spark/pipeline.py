@@ -116,7 +116,13 @@ def curate_documents(
             n_planes=semantic_planes,
             id_col=id_col,
         ).select(id_col)
-        out = out.join(keep, id_col, "semi")
+        # Anti-join the REMOVED set rather than semi-joining the
+        # survivors: hashed_embedding emits no row for a word-less
+        # doc, so it is absent from both vecs and keep — a survivors
+        # semi-join would drop it even though it has no semantic
+        # duplicate. Docs with no embedding row can never be removed.
+        removed = vecs.select(id_col).join(keep, id_col, "anti")
+        out = out.join(removed, id_col, "anti")
     if remove_span_k is not None:
         spans = dedup.duplicated_ngram_spans(
             out, k=remove_span_k, id_col=id_col, text_col=text_col

@@ -363,7 +363,15 @@ def streaming_semantic_flags(
     (localCheckpoint), the store join is bucket-pruned (partition the
     store by ``bucket``), and history participates through index rows
     only — the vector rides in the store so the exact-cosine confirm
-    never rescans source text."""
+    never rescans source text.
+
+    Replay caveat (same as the other ingest loops): the store append
+    runs before the streaming checkpoint commits, so a foreachBatch
+    retry re-joins the batch against its own partially-written store
+    rows — duplicate store rows and duplicate flag pairs are possible
+    under at-least-once recovery (dedupe downstream on
+    (new_id, stored_id)); self-pairs are guarded out inside
+    :func:`incremental_semantic_pairs`."""
     from cybersecurity_miw_spark.operators.similarity import (
         SEMANTIC_STORE_PARAMS_FILE,
         cosine_near_dup_lsh,

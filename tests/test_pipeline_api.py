@@ -140,3 +140,24 @@ def test_curate_semantic_stage_drops_paraphrase_level_dups(spark):
         ).select("doc_id").collect()
     )
     assert kept_sem == [1, 3]  # paraphrase-level dup dropped
+
+
+def test_curate_semantic_stage_keeps_wordless_docs(spark):
+    """r11 ADVICE: hashed_embedding emits NO row for a doc with no
+    whitespace-delimited words, so a survivors semi-join silently
+    dropped such docs. The stage now anti-joins the REMOVED set —
+    a doc with no embedding row can never be removed."""
+    rows = [
+        (1, "   "),  # word-less: no embedding row
+        (2, " ".join(f"tok{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"]
+        for r in pipeline.curate_documents(
+            df, apply_gopher=False, redact_pii=False,
+            quality_floor=None, near_dup_threshold=None,
+            semantic_threshold=0.95, semantic_planes=2,
+        ).select("doc_id").collect()
+    )
+    assert kept == [1, 2]

@@ -382,3 +382,46 @@ def test_train_pq_codebooks_arrow_equals_expression(spark):
         emb, DIM, M, K, iters=2, use_arrow=True
     )
     assert arrow_books == expr_books
+
+
+def test_residual_adc_arrow_null_code_element_matches_expression(spark):
+    """A pq_code array whose LENGTH is right but which contains a
+    null ELEMENT must rank at NULL distance (nulls last) on BOTH
+    paths — the Arrow batch previously crashed in np.stack/astype
+    while the expression path degraded gracefully (r11 ADVICE)."""
+    emb = load_table(spark, SF, "embeddings").filter(F.col("vec_id") < 50)
+    cents = similarity.train_centroids(emb, n_cells=2, dim=DIM, iters=1)
+    books = similarity.static_pq_codebooks(DIM, M, K)
+    idx = similarity.ivf_pq_index(emb, cents, books, residual=True)
+    corrupt = F.expr(
+        "transform(pq_code, (x, i) -> "
+        "case when i = 0 then cast(null as int) else cast(x as int) end)"
+    )
+    idx = idx.withColumn(
+        "pq_code",
+        F.when(F.col("vec_id") == 1, corrupt).otherwise(
+            F.col("pq_code").cast("array<int>")
+        ),
+    ).persist()
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 11).head()["embedding"]
+    ]
+    kwargs = dict(k=50, n_probes=2, residual=True)
+    expr_rows = [
+        (r["vec_id"], r["pq_dist"])
+        for r in similarity.ivf_pq_topk(
+            idx, cents, books, qvec, use_arrow=False, **kwargs
+        ).collect()
+    ]
+    arrow_rows = [
+        (r["vec_id"], r["pq_dist"])
+        for r in similarity.ivf_pq_topk(
+            idx, cents, books, qvec, use_arrow=True, **kwargs
+        ).collect()
+    ]
+    idx.unpersist()
+    assert expr_rows == arrow_rows
+    by_id = dict(expr_rows)
+    assert by_id[1] is None          # corrupt row present, NA distance
+    assert expr_rows[-1][0] == 1     # and it sorts last

@@ -211,3 +211,24 @@ def test_semantic_dedup_cells_planted_dup_and_cell_isolation(spark):
         ).collect()
     }
     assert out == {5, 7}  # 6 lost to same-cell smaller-id 5; 7 isolated
+
+
+def test_incremental_semantic_never_emits_self_pairs(spark):
+    """Replay safety (r11 ADVICE): the streaming loop appends store
+    rows BEFORE the checkpoint commits, so an at-least-once retry
+    re-joins a batch against its own rows. The join must not emit
+    (x, x, 1.0) self-pairs."""
+    base = [1.0] * DIM
+    near = [2.0] * DIM  # cos 1.0, bucket-identical at any plane count
+    batch = _emb(spark, [(1, base), (2, near)])
+    # store already contains the batch's own rows (simulated replay)
+    store = similarity.embedding_bucket_store(batch, dim=DIM, n_planes=2)
+    pairs = similarity.incremental_semantic_pairs(
+        batch, store, threshold=0.9, dim=DIM, n_planes=2
+    ).collect()
+    assert all(r["new_id"] != r["stored_id"] for r in pairs)
+    # the genuine cross pair still surfaces (both directions here,
+    # since each batch row matches the OTHER stored row)
+    assert {(r["new_id"], r["stored_id"]) for r in pairs} == {
+        (1, 2), (2, 1)
+    }

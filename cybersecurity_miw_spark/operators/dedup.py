@@ -865,12 +865,20 @@ def write_band_store_params(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    baseline_cand_per_doc: float | None = None,
 ) -> None:
     """Record the MinHash family of a persisted band store in a
     ``_lsh_params.json`` sidecar inside ``store_dir`` (underscore
     prefix = invisible to ``spark.read.parquet``). Written via the
     Hadoop FS API so it lands wherever the store lives (local, hdfs,
-    s3a) — the guard half is :func:`check_band_store_params`."""
+    s3a) — the guard half is :func:`check_band_store_params`.
+
+    ``baseline_cand_per_doc``: optional store-candidates-per-batch-doc
+    reference for the ingest staleness/skew monitor (the band-store
+    analog of setsim's frozen-order baseline — here the degradation
+    channel is history bucket skew: a hot template bucket multiplies
+    every later batch's candidate volume). streaming_near_dup_flags
+    records it automatically on its first store-joined trigger."""
     import json
 
     from cybersecurity_miw_spark import fsutil
@@ -878,6 +886,8 @@ def write_band_store_params(
     params = {
         "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k
     }
+    if baseline_cand_per_doc is not None:
+        params["baseline_cand_per_doc"] = float(baseline_cand_per_doc)
     fsutil.write_text(
         spark, f"{store_dir}/{BAND_STORE_PARAMS_FILE}", json.dumps(params)
     )
@@ -908,9 +918,12 @@ def check_band_store_params(
     params = {
         "num_hashes": num_hashes, "bands": bands, "shingle_k": shingle_k
     }
-    if stored != params:
+    # compare FAMILY keys only: monitoring keys (baseline_cand_per_doc)
+    # are advisory and must not fail a legitimate same-family load
+    family = {k: v for k, v in stored.items() if k in params}
+    if family != params:
         raise ValueError(
-            f"band store at {store_dir} was built with {stored}; this "
+            f"band store at {store_dir} was built with {family}; this "
             f"query supplies {params} — mixed MinHash families never "
             "match (candidates silently drop to zero). Rebuild the "
             "store or pass the stored parameters."

@@ -603,23 +603,45 @@ def ppjoin_cross(
 
 SETSIM_STORE_PARAMS_FILE = "_setsim_params.json"
 
+# rebuild-threshold multiple for the frozen-order staleness monitor:
+# SCALE.md r11 measured healthy drift at ≤ ~1× the creation baseline
+# and the recurring-drift blowup at ×13.9 by its second batch, so any
+# factor in the 3-5× band separates them cleanly
+STALENESS_DEFAULT_FACTOR = 4.0
+
+# family keys of the sidecar — the ones whose mismatch silently
+# changes prefix contents; monitoring keys (baseline) are advisory
+# and excluded from the load-time equality guard
+_SETSIM_FAMILY_KEYS = ("t_pm", "shingle_k")
+
 
 def write_prefix_store_params(
     spark,
     store_dir: str,
     threshold: float,
     shingle_k: int = 3,
+    baseline_cand_per_doc: float | None = None,
 ) -> None:
     """Record a prefix store's (threshold, shingle_k) in a sidecar
     inside ``store_dir`` (Hadoop FS — works on any filesystem).
     Prefix lengths depend on the threshold, so a store probed at a
     different threshold silently loses pairs — the same
-    silent-zero-candidates hazard class as mixed MinHash families."""
+    silent-zero-candidates hazard class as mixed MinHash families.
+
+    ``baseline_cand_per_doc``: optional creation-time candidate
+    volume per probe doc (:func:`measure_cand_per_doc` over the
+    creation corpus), the reference point for the frozen-order
+    staleness monitor (:func:`staleness_report`) — SCALE.md r11
+    measured a ×66 cand/doc blowup under recurring vocabulary drift
+    with NO correctness signal, so cost drift is only visible
+    against a recorded baseline."""
     import json
 
     from cybersecurity_miw_spark import fsutil
 
     params = {"t_pm": _t_pm(threshold), "shingle_k": shingle_k}
+    if baseline_cand_per_doc is not None:
+        params["baseline_cand_per_doc"] = float(baseline_cand_per_doc)
     fsutil.write_text(
         spark, f"{store_dir}/{SETSIM_STORE_PARAMS_FILE}", json.dumps(params)
     )
@@ -642,15 +664,93 @@ def load_prefix_store(
     path = f"{store_dir}/{SETSIM_STORE_PARAMS_FILE}"
     if fsutil.exists(spark, path):
         stored = json.loads(fsutil.read_text(spark, path))
+        family = {
+            k: v for k, v in stored.items() if k in _SETSIM_FAMILY_KEYS
+        }
         params = {"t_pm": _t_pm(threshold), "shingle_k": shingle_k}
-        if stored != params:
+        if family != params:
             raise ValueError(
-                f"prefix store at {store_dir} was built with {stored}; "
+                f"prefix store at {store_dir} was built with {family}; "
                 f"this query supplies {params} — prefix lengths differ, "
                 "pairs would silently drop. Rebuild the store or pass "
                 "the stored parameters."
             )
     return spark.read.parquet(store_dir)
+
+
+def read_prefix_store_baseline(spark, store_dir: str) -> float | None:
+    """The creation-time ``baseline_cand_per_doc`` recorded in a
+    prefix store's sidecar, or None (legacy store / never measured).
+    Feed it to :func:`staleness_report` with a live batch's candidate
+    count."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{SETSIM_STORE_PARAMS_FILE}"
+    if not fsutil.exists(spark, path):
+        return None
+    stored = json.loads(fsutil.read_text(spark, path))
+    v = stored.get("baseline_cand_per_doc")
+    return float(v) if v is not None else None
+
+
+def measure_cand_per_doc(
+    probe_docs: DataFrame,
+    store: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> float:
+    """Candidates-per-probe-doc of ``probe_docs`` against a prefix
+    store — the staleness monitor's unit. At store creation, probe
+    the creation corpus against its own store to record the baseline
+    (identical-id self-candidates are excluded so the number means
+    "store rows a typical doc equi-joins", not "+1 for itself");
+    later, compare each ingest batch's live value against it.
+    Two batch-sized jobs (candidate count + probe count)."""
+    cand = incremental_ppjoin_candidates(
+        probe_docs, store, freq, text_col, id_col, threshold, shingle_k
+    ).filter(F.col("new_id") != F.col("stored_id"))
+    n_docs = probe_docs.count()
+    return cand.count() / max(n_docs, 1)
+
+
+def staleness_report(
+    n_candidates: int,
+    n_docs: int,
+    baseline_cand_per_doc: float | None,
+    factor: float = STALENESS_DEFAULT_FACTOR,
+) -> dict:
+    """Grade one ingest batch's candidate volume against the store's
+    creation-time baseline: ``stale`` is True when candidates-per-doc
+    exceeds ``factor`` × baseline. Pure arithmetic — callers supply
+    counts they already have (the flags sink counts candidates
+    anyway). The frozen-order failure mode this catches is purely a
+    COST degradation (correctness is order-independent by the prefix
+    lemma): recurring drifted tokens are frozen-rare, fill every
+    prefix on both sides, and candidate volume grows linearly with
+    drifted history forever (×13.9 by the second drifted batch in
+    SCALE.md r11's measurement, vs ≤ ~1× under healthy or
+    distinct-vocab drift). Remediation: rebuild the store offline
+    under a fresh token order (sources.maintain.rewrite_table swap)
+    and re-record the baseline."""
+    cand_per_doc = n_candidates / max(n_docs, 1)
+    ratio = (
+        cand_per_doc / baseline_cand_per_doc
+        if baseline_cand_per_doc
+        else None
+    )
+    return {
+        "n_candidates": int(n_candidates),
+        "n_docs": int(n_docs),
+        "cand_per_doc": round(cand_per_doc, 3),
+        "baseline_cand_per_doc": baseline_cand_per_doc,
+        "staleness_ratio": round(ratio, 3) if ratio is not None else None,
+        "stale": bool(ratio is not None and ratio > factor),
+    }
 
 
 def token_freq_table(
@@ -758,6 +858,9 @@ def incremental_ppjoin_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     shingle_k: int = 3,
+    metrics: list | None = None,
+    baseline_cand_per_doc: float | None = None,
+    staleness_factor: float = STALENESS_DEFAULT_FACTOR,
 ) -> DataFrame:
     """The full incremental exact decision: prefix-index candidates
     (:func:`incremental_ppjoin_candidates`), then exact shingle-set
@@ -766,11 +869,31 @@ def incremental_ppjoin_pairs(
     sets — history is never rescanned wholesale). Returns
     (new_id, stored_id, jaccard); equals
     ``ppjoin_cross(new, history)`` exactly (golden-checked), at
-    batch-side cost."""
+    batch-side cost.
+
+    Pass a list as ``metrics`` to monitor frozen-order staleness:
+    one :func:`staleness_report` dict is appended per call
+    (candidates counted once on a localCheckpoint'ed frame — which
+    the plan reuses for its three candidate references, so the
+    monitored path trades one eager batch-sized job for two repeated
+    candidate computations). ``baseline_cand_per_doc`` usually comes
+    from :func:`read_prefix_store_baseline`; with no baseline the
+    report still carries the live cand/doc (``stale`` stays False —
+    nothing to compare against)."""
     t_pm = _t_pm(threshold)
     cand = incremental_ppjoin_candidates(
         new_docs, store, freq, text_col, id_col, threshold, shingle_k
     )
+    if metrics is not None:
+        cand = cand.localCheckpoint(eager=True)
+        metrics.append(
+            staleness_report(
+                cand.count(),
+                new_docs.count(),
+                baseline_cand_per_doc,
+                staleness_factor,
+            )
+        )
     new_pruned = new_docs.join(
         cand.select(F.col("new_id").alias(id_col)).distinct(),
         on=id_col,

@@ -179,6 +179,8 @@ def streaming_near_dup_flags(
     max_files_per_trigger: int | None = None,
     max_store_bucket_width: int | None = None,
     fenced_dir: str | None = None,
+    metrics: list | None = None,
+    staleness_factor: float | None = None,
 ) -> StreamingQuery:
     """The near-dup half of the continuous ingest loop: each
     micro-batch computes its LSH bands, joins them against the
@@ -215,7 +217,20 @@ def streaming_near_dup_flags(
     for hdfs:// and s3a:// stores, not just local paths (ADVICE r8);
     the same sidecar guards the batch path via
     :func:`~cybersecurity_miw_spark.operators.dedup.load_band_store`.
-    """
+
+    Pass a list as ``metrics`` to monitor store-candidate volume
+    (the degradation channel the width fence bounds per-bucket but
+    nothing watched in aggregate): each store-joined trigger appends
+    a ``setsim.staleness_report`` dict — store candidates per batch
+    doc vs the creation-time baseline, ``stale`` above
+    ``staleness_factor`` × baseline (default
+    setsim.STALENESS_DEFAULT_FACTOR). The baseline is recorded
+    automatically into the ``_lsh_params.json`` sidecar on the FIRST
+    store-joined trigger (or pre-record one with
+    ``write_band_store_params(..., baseline_cand_per_doc=...)``).
+    The candidate count rides the Observation API on the store-join
+    subtree, so monitoring adds no extra job — the count is collected
+    while the flags sink writes."""
     from cybersecurity_miw_spark.operators.dedup import (
         BAND_STORE_PARAMS_FILE,
         DEFAULT_BANDS,
@@ -274,6 +289,7 @@ def streaming_near_dup_flags(
         within = pairs_from_bands(bands_new).select(
             F.col("id_b").alias("new_id"), F.col("id_a").alias("stored_id")
         )
+        obs = None
         if has_store:
             sb = store.withColumnRenamed("doc_id", "stored_id")
             widths = None
@@ -295,6 +311,16 @@ def streaming_near_dup_flags(
                 .select("new_id", "stored_id")
                 .distinct()
             )
+            if metrics is not None:
+                # Observation on the store-join subtree: the count is
+                # collected as a side effect of the flags write — no
+                # second pass over the join
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                cross = cross.observe(
+                    obs, F.count(F.lit(1)).alias("n_store_candidates")
+                )
             flags = cross.unionByName(within).distinct()
             if widths is not None and fenced_dir:
                 wide = widths.filter(
@@ -313,6 +339,36 @@ def streaming_near_dup_flags(
         else:
             flags = within
         flags.write.mode("append").parquet(flags_dir)
+        if obs is not None:
+            from cybersecurity_miw_spark.operators import setsim
+
+            # batch doc count from the cached banded projection —
+            # one row per (doc, band), no rescan of the batch
+            n_docs = bands_new.count() // max(bands, 1)
+            n_cand = obs.get["n_store_candidates"]
+            stored = check_band_store_params(
+                sess, band_store_dir, num_hashes, bands, shingle_k
+            ) or {}
+            baseline = stored.get("baseline_cand_per_doc")
+            if baseline is None and n_docs > 0 and n_cand > 0:
+                # first store-joined trigger WITH candidates: record
+                # the baseline later triggers compare against (a zero
+                # baseline would make every later ratio undefined)
+                baseline = n_cand / n_docs
+                write_band_store_params(
+                    sess, band_store_dir, num_hashes, bands, shingle_k,
+                    baseline_cand_per_doc=baseline,
+                )
+            metrics.append(
+                setsim.staleness_report(
+                    n_cand,
+                    n_docs,
+                    baseline,
+                    staleness_factor
+                    if staleness_factor is not None
+                    else setsim.STALENESS_DEFAULT_FACTOR,
+                )
+            )
         bands_new.write.mode("append").parquet(band_store_dir)
         if not fsutil.exists(sess, params_path):
             write_band_store_params(

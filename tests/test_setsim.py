@@ -501,3 +501,78 @@ def test_containment_cross_matches_brute_force(spark):
         for r in setsim.containment_cross(ev, train, threshold=0.9).collect()
     }
     assert (100, 0) in got09 and (101, 1) in got09
+
+
+def test_staleness_monitor_trips_on_recurring_drift_only(spark, tmp_path):
+    """The frozen-order staleness monitor (VERDICT r11 #1): recurring
+    drifted tokens — frozen-rare, so in every prefix on both sides —
+    blow candidate volume past factor × the creation baseline by the
+    SECOND drifted batch (SCALE.md r11 measured ×13.9 at that point);
+    distinct-vocab drift (each batch its own new tokens) never
+    accumulates matching store rows and must NOT trip."""
+    hist_rows = [
+        (i, _doc(list(range(3 * i % 30, 3 * i % 30 + 10)))) for i in range(12)
+    ]
+    hist = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    freq = setsim.token_freq_table(hist)
+    store_dir = str(tmp_path / "ps")
+    setsim.prefix_store(hist, freq, threshold=0.5).write.parquet(store_dir)
+    store = setsim.load_prefix_store(spark, store_dir, threshold=0.5)
+    baseline = setsim.measure_cand_per_doc(
+        hist, store, freq, threshold=0.5
+    )
+    setsim.write_prefix_store_params(
+        spark, store_dir, threshold=0.5, baseline_cand_per_doc=baseline
+    )
+    assert setsim.read_prefix_store_baseline(spark, store_dir) == baseline
+    assert baseline > 0  # fixture has some real overlap
+
+    drift = " ".join(f"driftword{j}" for j in range(8))
+
+    def batch(ids, extra):
+        rows = [
+            (i, _doc(list(range(7 * i % 25, 7 * i % 25 + 9))) + " " + extra)
+            for i in ids
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # --- recurring drift: same sentence both batches ---
+    b1 = batch(range(100, 108), drift)
+    m = []
+    setsim.incremental_ppjoin_pairs(
+        b1, hist, store, freq, threshold=0.5,
+        metrics=m, baseline_cand_per_doc=baseline,
+    ).collect()
+    # ingest batch 1 under the frozen order
+    setsim.prefix_store(b1, freq, threshold=0.5).write.mode(
+        "append"
+    ).parquet(store_dir)
+    store2 = setsim.load_prefix_store(spark, store_dir, threshold=0.5)
+    b2 = batch(range(200, 208), drift)
+    setsim.incremental_ppjoin_pairs(
+        b2, hist.unionByName(b1), store2, freq, threshold=0.5,
+        metrics=m, baseline_cand_per_doc=baseline,
+    ).collect()
+    assert [r["stale"] for r in m] == [False, True], m
+    assert m[1]["staleness_ratio"] > m[0]["staleness_ratio"]
+
+    # --- distinct-vocab drift: each batch its OWN new tokens ---
+    store_dir2 = str(tmp_path / "ps2")
+    setsim.prefix_store(hist, freq, threshold=0.5).write.parquet(store_dir2)
+    d1 = batch(range(100, 108), " ".join(f"aa{j}" for j in range(8)))
+    d2 = batch(range(200, 208), " ".join(f"bb{j}" for j in range(8)))
+    m2 = []
+    sd = setsim.load_prefix_store(spark, store_dir2, threshold=0.5)
+    setsim.incremental_ppjoin_pairs(
+        d1, hist, sd, freq, threshold=0.5,
+        metrics=m2, baseline_cand_per_doc=baseline,
+    ).collect()
+    setsim.prefix_store(d1, freq, threshold=0.5).write.mode(
+        "append"
+    ).parquet(store_dir2)
+    sd2 = setsim.load_prefix_store(spark, store_dir2, threshold=0.5)
+    setsim.incremental_ppjoin_pairs(
+        d2, hist.unionByName(d1), sd2, freq, threshold=0.5,
+        metrics=m2, baseline_cand_per_doc=baseline,
+    ).collect()
+    assert [r["stale"] for r in m2] == [False, False], m2

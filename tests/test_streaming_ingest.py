@@ -438,3 +438,68 @@ def test_semantic_flags_within_and_across_runs(spark, tmp_path):
             spark, str(indir), str(tmp_path / "ckpt2"), flags, store,
             n_planes=7, threshold=0.9,
         )
+
+
+def test_near_dup_flags_staleness_metrics(spark, tmp_path):
+    """Candidate-volume monitoring for the band-store ingest loop
+    (VERDICT r11 #1): the first store-joined trigger with candidates
+    records the baseline into the _lsh_params.json sidecar; a later
+    burst of template near-dups (many batch docs each hitting many
+    store rows) trips ``stale``; a healthy batch does not."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+    from cybersecurity_miw_spark.operators.dedup import (
+        BAND_STORE_PARAMS_FILE,
+    )
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_near_dup_flags,
+    )
+
+    indir = tmp_path / "in"
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again"
+
+    metrics: list = []
+    (indir / "a.tsv").write_text(
+        f"1\t{base}\n"
+        "2\tcompletely different unrelated content entirely\n"
+    )
+    _await(
+        streaming_near_dup_flags(
+            spark, str(indir), ckpt, flags, store, metrics=metrics
+        )
+    )
+    assert metrics == []  # no store yet -> no store-join report
+
+    (indir / "b.tsv").write_text(
+        f"10\t{base} extra\n"
+        "11\tanother totally unrelated document here\n"
+        "12\tthird document with its own words only\n"
+        "13\tfourth document again with fresh vocabulary\n"
+    )
+    _await(
+        streaming_near_dup_flags(
+            spark, str(indir), ckpt, flags, store, metrics=metrics
+        )
+    )
+    assert len(metrics) == 1 and metrics[0]["stale"] is False
+    sidecar = json.loads(
+        fsutil.read_text(spark, f"{store}/{BAND_STORE_PARAMS_FILE}")
+    )
+    assert sidecar["baseline_cand_per_doc"] == metrics[0]["cand_per_doc"]
+
+    # template burst: every doc near-dups the accumulated template
+    # rows -> candidates per doc far above the recorded baseline
+    (indir / "c.tsv").write_text(
+        "".join(f"{100 + i}\t{base} v{i}\n" for i in range(8))
+    )
+    _await(
+        streaming_near_dup_flags(
+            spark, str(indir), ckpt, flags, store, metrics=metrics
+        )
+    )
+    assert len(metrics) == 2 and metrics[1]["stale"] is True, metrics

@@ -1804,6 +1804,120 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lex_rank", "dense_rank", "rrf_u")
 
 
+# The ANN variant swaps the dense branch's full-corpus scan for the
+# IVF probe-pruned scan (same 4 seed centroids / 2 probes / L2 folds
+# as ann_ivf_topk — trained centroids stay out of oracles, their IEEE
+# partition-order sums are not cross-engine stable). The lex half and
+# the fusion arithmetic are byte-identical to _HYBRID_RRF_SQL.
+_HYBRID_RRF_ANN_SQL = """
+WITH w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN ('table', 'join', 'window')
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1 + (stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5))
+           * (tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS tu
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, CAST(sum(tu) AS BIGINT) AS score_u FROM terms GROUP BY 1
+  ORDER BY score_u DESC, doc_id LIMIT 50
+),
+lex_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_u DESC, doc_id) AS lex_rank
+  FROM lex
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probe AS (
+  SELECT c.cell FROM cents c, q
+  ORDER BY list_sum(list_transform(list_zip(c.cv, q.qv),
+                                   z -> (z[1] - z[2]) * (z[1] - z[2]))),
+           c.cell
+  LIMIT 2
+),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, e.v),
+                                           z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM e
+),
+dense AS (
+  SELECT a.vec_id AS doc_id,
+         round(list_cosine_similarity(a.v, q.qv), 6) AS cs
+  FROM assign a, q
+  WHERE a.cell IN (SELECT cell FROM probe)
+  ORDER BY cs DESC, doc_id LIMIT 50
+),
+dense_r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cs DESC, doc_id) AS dense_rank
+  FROM dense
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, e.doc_id) AS doc_id,
+         CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(e.dense_rank, 0) AS BIGINT) AS dense_rank
+  FROM lex_r l FULL OUTER JOIN dense_r e ON l.doc_id = e.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       CAST(
+         (CASE WHEN lex_rank > 0
+               THEN floor(1000000000.0 / (60 + lex_rank)) ELSE 0 END)
+         + (CASE WHEN dense_rank > 0
+                 THEN floor(1000000000.0 / (60 + dense_rank)) ELSE 0 END)
+       AS BIGINT) AS rrf_u
+FROM fused
+ORDER BY rrf_u DESC, doc_id LIMIT 20
+"""
+
+
+@register("hybrid_rrf_ann_topk_docs", _HYBRID_RRF_ANN_SQL)
+def q_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the INDEX-PRUNED dense branch
+    (operators/retrieval.py:hybrid_rrf_topk dense="ann"): BM25 pool
+    as in `hybrid_rrf_topk_docs`, but the dense pool comes from IVF
+    probe-pruned exact cosine (similarity.ivf_topk, 4 seed centroids,
+    2 probes — the `ann_ivf_topk` geometry) instead of a full-corpus
+    scan. At 100 TB this is the difference between the dense branch
+    scanning the corpus and scanning ~n_probes/n_cells of it; the
+    fusion arithmetic is unchanged and pool-bounded."""
+    from cybersecurity_miw_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return retrieval.hybrid_rrf_topk(
+        docs, emb, ["table", "join", "window"], list(qvec),
+        k=20, pool=50, dense="ann", centroids=cents, n_probes=2,
+    ).select("doc_id", "lex_rank", "dense_rank", "rrf_u")
+
+
 # The IVF SEARCH path (assign → probe → exact rerank) is oracled with
 # deterministic seed centroids (= the embedding rows vec_id 0..3, exact
 # data vectors a SQL twin can reference directly). k-means-trained

@@ -99,6 +99,9 @@ def hybrid_rrf_topk(
     doc_id_col: str = "doc_id",
     vec_col: str = "embedding",
     vec_id_col: str = "vec_id",
+    dense: str = "brute",
+    centroids: list[list[float]] | None = None,
+    n_probes: int = 2,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
     (Cormack/Clarke/Buettcher RRF, the public standard): run BM25 and
@@ -115,22 +118,48 @@ def hybrid_rrf_topk(
     hash-identical.
 
     100 TB shape: all corpus-scaled work lives in the two retrieval
-    branches (BM25's posting-discipline shuffle; the dense scan's
-    TakeOrdered — swap in :func:`~cybersecurity_miw_spark.operators.
-    similarity.ann_shortlist_rerank` for an index-pruned dense branch
-    at scale). The fusion itself touches ≤ 2·pool rows: the rank
-    windows and the outer join run on pool-bounded inputs, never on
-    the corpus."""
+    branches (BM25's posting-discipline shuffle; the dense branch's
+    scan). ``dense`` picks the dense branch's plan:
+
+    * ``"brute"`` (default) — exact cosine over the whole embedding
+      table, a full scan ending in a TakeOrdered. Exact, and fine up
+      to mid-size corpora, but the scan is the whole cost at 100 TB.
+    * ``"ann"`` — IVF probe-pruned exact cosine
+      (:func:`~cybersecurity_miw_spark.operators.similarity.ivf_topk`
+      with the supplied ``centroids``/``n_probes``): only the rows
+      assigned to the ``n_probes`` nearest cells are scored, so the
+      dense branch scans ~n_probes/n_cells of the corpus (measured in
+      SCALE.md r12) at the standard IVF recall trade. Same
+      (id, cos_sim) contract, so fusion is unchanged; rankings equal
+      "brute" whenever the pool fits inside the probed cells.
+
+    The fusion itself touches ≤ 2·pool rows: the rank windows and
+    the outer join run on pool-bounded inputs, never on the corpus."""
     from cybersecurity_miw_spark.operators.similarity import (
         brute_force_topk,
+        ivf_topk,
     )
 
     lex = bm25_topk(
         docs, query_terms, k=pool, text_col=text_col, id_col=doc_id_col
     )
-    dense = brute_force_topk(
-        embeddings, query_vec, k=pool, vec_col=vec_col, id_col=vec_id_col
-    )
+    if dense == "brute":
+        dense_df = brute_force_topk(
+            embeddings, query_vec, k=pool, vec_col=vec_col,
+            id_col=vec_id_col,
+        )
+    elif dense == "ann":
+        if centroids is None:
+            raise ValueError(
+                'dense="ann" needs centroids (seed rows or '
+                "similarity.train_centroids output)"
+            )
+        dense_df = ivf_topk(
+            embeddings, centroids, query_vec, k=pool, n_probes=n_probes,
+            vec_col=vec_col, id_col=vec_id_col,
+        )
+    else:
+        raise ValueError(f'dense must be "brute" or "ann", got {dense!r}')
     # unpartitioned windows are pool-bounded (<= pool rows) by the
     # limit above — never corpus-sized
     w_lex = Window.orderBy(F.desc("score_u"), F.asc(doc_id_col))
@@ -139,7 +168,7 @@ def hybrid_rrf_topk(
         F.col(doc_id_col).alias("doc_id"),
         F.row_number().over(w_lex).cast("long").alias("lex_rank"),
     )
-    dense_r = dense.select(
+    dense_r = dense_df.select(
         F.col(vec_id_col).alias("doc_id"),
         F.row_number().over(w_dense).cast("long").alias("dense_rank"),
     )

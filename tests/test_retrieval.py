@@ -176,3 +176,61 @@ def test_rrf_score_is_exact_integer_sum(spark):
         if r["dense_rank"] > 0:
             want += int(1_000_000_000.0 // (60 + r["dense_rank"]))
         assert r["rrf_u"] == want
+
+
+def test_rrf_ann_dense_branch_equals_brute_at_full_probe(spark):
+    """dense="ann" with n_probes = n_cells degrades to exact search,
+    so the fused result must equal dense="brute" row for row; with
+    1 probe the dense pool is cell-restricted (the recall trade) but
+    the output contract and fusion arithmetic are unchanged."""
+    import math
+
+    docs = _rows(
+        spark,
+        [(i, "zebra " * (i % 3 + 1) + f"filler{i}") for i in range(12)],
+    )
+    emb = _emb_rows(
+        spark,
+        [
+            (i, [math.cos(i * 0.4), math.sin(i * 0.4)])
+            for i in range(12)
+        ],
+    )
+    cents = [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0]]
+    q = [1.0, 0.1]
+    brute = retrieval.hybrid_rrf_topk(
+        docs, emb, ["zebra"], q, k=8, pool=5
+    ).collect()
+    full_probe = retrieval.hybrid_rrf_topk(
+        docs, emb, ["zebra"], q, k=8, pool=5,
+        dense="ann", centroids=cents, n_probes=len(cents),
+    ).collect()
+    assert [tuple(r) for r in brute] == [tuple(r) for r in full_probe]
+
+    one_probe = retrieval.hybrid_rrf_topk(
+        docs, emb, ["zebra"], q, k=8, pool=5,
+        dense="ann", centroids=cents, n_probes=1,
+    ).collect()
+    # q's nearest centroid is cell 0: every dense-ranked doc must be
+    # one assigned to cell 0 (the pruned scan never sees other cells)
+    cell0 = {
+        i for i in range(12)
+        if min(
+            range(3),
+            key=lambda c: (math.cos(i * 0.4) - cents[c][0]) ** 2
+            + (math.sin(i * 0.4) - cents[c][1]) ** 2,
+        ) == 0
+    }
+    dense_docs = {r["doc_id"] for r in one_probe if r["dense_rank"] > 0}
+    assert dense_docs and dense_docs <= cell0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroids"):
+        retrieval.hybrid_rrf_topk(
+            docs, emb, ["zebra"], q, dense="ann"
+        )
+    with _pytest.raises(ValueError, match="brute"):
+        retrieval.hybrid_rrf_topk(
+            docs, emb, ["zebra"], q, dense="nope"
+        )

@@ -1058,6 +1058,48 @@ def q_incremental_setsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Store-backed incremental containment (r12): the decontamination
+# primitive run the way production runs it — train corpus FROZEN
+# (full-token index persisted under a creation-time order), eval
+# batches probe the store; no union re-scan, no re-order. The oracle
+# is the pooled all-pairs containment cross, blind to stores and
+# orders — equality IS the incremental-≡-pooled claim.
+_CONTAINMENT_INC_SQL = f"""
+WITH shingled AS ({{shingles}})
+SELECT e.doc_id AS contained_id, t.doc_id AS container_id,
+       round(len(list_intersect(e.sh, t.sh))::DOUBLE /
+             greatest(len(e.sh), 1), 6) AS containment
+FROM shingled e JOIN shingled t
+  ON e.doc_id % 5 = 0 AND t.doc_id % 5 <> 0
+WHERE len(e.sh) > 0
+  AND 1000 * len(list_intersect(e.sh, t.sh)) >= 600 * len(e.sh)
+"""
+
+
+@register(
+    "incremental_containment_vs_store",
+    _CONTAINMENT_INC_SQL.format(shingles=_SHINGLES_SQL),
+)
+def q_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quoted-excerpt decontamination of a batch against the
+    FROZEN train corpus's persisted full-token index
+    (operators/setsim.py:incremental_containment_pairs): the token
+    order is frozen at store creation (train-side document
+    frequency), the store indexes every train token so any overlap
+    witness hits the probe-prefix equi-join, and verify fetches
+    candidate docs only. Same split and threshold (0.6) as
+    `containment_cross_decontaminate` — the result is identical to
+    the pooled path by the order-independent prefix pigeonhole."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    freq = setsim.token_freq_table(train)
+    store = setsim.containment_store(train, freq)
+    return setsim.incremental_containment_pairs(
+        ev, train, store, freq, threshold=0.6, shingle_k=3
+    )
+
+
 # Incremental dedup against a persisted store (operators/dedup.py
 # fingerprint_store / dedup_against_store / lsh_band_store /
 # incremental_lsh_candidates) — the production ingest shape: history

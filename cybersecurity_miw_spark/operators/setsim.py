@@ -929,3 +929,278 @@ def incremental_ppjoin_pairs(
             "jaccard"
         ),
     )
+
+
+# ---- store-backed incremental containment (decontamination loop) ----
+
+CONTAINMENT_STORE_PARAMS_FILE = "_containment_params.json"
+
+
+def containment_store(
+    containers: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The persistable CONTAINER-side index for incremental
+    containment decontamination: (doc_id, sz, pos, tok) — every token
+    of every container doc, positioned under the FROZEN ``freq``
+    order (:func:`ordered_by_freq`; tokens absent from freq sort
+    first). Unlike :func:`prefix_store` this is the FULL token index,
+    because containment's overlap witness can be any container token
+    (:func:`containment_pairs` rationale) — which also makes the
+    store THRESHOLD-INDEPENDENT: only the probe side's prefix length
+    depends on t, so one store serves every threshold. Partition or
+    bucket on ``tok`` so batch probes prune/co-locate. Append new
+    container batches computed with the same frozen ``freq``."""
+    sh = with_shingles(containers, text_col, shingle_k, "_sh", keep=(id_col,))
+    ex = sh.select(id_col, F.explode("_sh").alias("tok"))
+    return (
+        ordered_by_freq(ex, freq, id_col)
+        .select(id_col, "sz", F.posexplode("toks").alias("pos", "tok"))
+        .withColumn("pos", (F.col("pos") + 1).cast("int"))
+    )
+
+
+def write_containment_store_params(
+    spark,
+    store_dir: str,
+    shingle_k: int = 3,
+    baseline_cand_per_doc: float | None = None,
+) -> None:
+    """Record a containment store's shingle width (the one family
+    parameter — the store is threshold-independent) plus an optional
+    creation-time staleness baseline, mirroring
+    :func:`write_prefix_store_params`."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    params: dict = {"shingle_k": shingle_k}
+    if baseline_cand_per_doc is not None:
+        params["baseline_cand_per_doc"] = float(baseline_cand_per_doc)
+    fsutil.write_text(
+        spark,
+        f"{store_dir}/{CONTAINMENT_STORE_PARAMS_FILE}",
+        json.dumps(params),
+    )
+
+
+def load_containment_store(spark, store_dir: str, shingle_k: int = 3):
+    """Read a persisted containment store, raising on a recorded
+    shingle-width mismatch (different widths produce disjoint token
+    vocabularies — the join would silently find nothing). Legacy
+    stores without a sidecar load unchecked."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{CONTAINMENT_STORE_PARAMS_FILE}"
+    if fsutil.exists(spark, path):
+        stored = json.loads(fsutil.read_text(spark, path))
+        if stored.get("shingle_k") != shingle_k:
+            raise ValueError(
+                f"containment store at {store_dir} was built with "
+                f"shingle_k={stored.get('shingle_k')}; this query "
+                f"supplies shingle_k={shingle_k} — the token "
+                "vocabularies are disjoint, candidates would silently "
+                "drop to zero. Rebuild the store or pass the stored "
+                "width."
+            )
+    return spark.read.parquet(store_dir)
+
+
+def read_containment_store_baseline(spark, store_dir: str) -> float | None:
+    """The creation-time staleness baseline recorded in a containment
+    store's sidecar, or None."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{CONTAINMENT_STORE_PARAMS_FILE}"
+    if not fsutil.exists(spark, path):
+        return None
+    stored = json.loads(fsutil.read_text(spark, path))
+    v = stored.get("baseline_cand_per_doc")
+    return float(v) if v is not None else None
+
+
+def _incremental_containment_cand(
+    new_docs: DataFrame,
+    store: DataFrame,
+    freq: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int,
+) -> DataFrame:
+    """(contained_id, container_id, sz_a) candidates of a probe batch
+    against the persisted full-token container index — the
+    :func:`containment_cross` candidate stage with the container side
+    read from the store instead of recomputed, under the FROZEN
+    order."""
+    t_pm = _t_pm(threshold)
+    sh_n = with_shingles(new_docs, text_col, shingle_k, "_sh", keep=(id_col,))
+    ex_n = sh_n.select(id_col, F.explode("_sh").alias("tok"))
+    pref_n = prefix_index(
+        ordered_by_freq(ex_n, freq, id_col), id_col, t_pm
+    ).select(
+        F.col(id_col).alias("contained_id"),
+        F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pos_a"),
+        "tok",
+    )
+    full_s = store.select(
+        F.col(id_col).alias("container_id"),
+        F.col("sz").alias("sz_b"),
+        F.col("pos").alias("pos_b"),
+        "tok",
+    )
+    alpha = F.floor(
+        (F.lit(t_pm) * F.col("sz_a") + 999) / 1000
+    ).cast("long")
+    generic = _pos_bound(
+        F.col("pos_a"), F.col("pos_b"), F.col("sz_a"), F.col("sz_b")
+    )
+    bound = F.least(
+        F.col("_g"),
+        F.lit(1)
+        + F.least(
+            F.col("sz_a") - F.col("_pa"), F.col("sz_b") - F.col("_pb")
+        ),
+    )
+    return (
+        pref_n.join(full_s, "tok")
+        .filter(F.lit(1000) * F.col("sz_b") >= F.lit(t_pm) * F.col("sz_a"))
+        .groupBy("contained_id", "container_id", "sz_a", "sz_b")
+        .agg(
+            F.min(generic).alias("_g"),
+            F.min("pos_a").alias("_pa"),
+            F.min("pos_b").alias("_pb"),
+        )
+        .filter(bound >= alpha)
+        .select("contained_id", "container_id", "sz_a")
+    )
+
+
+def incremental_containment_candidates(
+    new_docs: DataFrame,
+    store: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate (contained_id, container_id) pairs of a probe batch
+    against the persisted containment store — zero false negatives by
+    the prefix pigeonhole (the probe prefix keeps sz−α+1 tokens; any
+    qualifying overlap of ≥ α tokens must intersect it, and the store
+    indexes EVERY container token so any witness hits the join)."""
+    return _incremental_containment_cand(
+        new_docs, store, freq, text_col, id_col, threshold, shingle_k
+    ).select("contained_id", "container_id")
+
+
+def incremental_containment_pairs(
+    new_docs: DataFrame,
+    container_docs: DataFrame,
+    store: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    metrics: list | None = None,
+    baseline_cand_per_doc: float | None = None,
+    staleness_factor: float = STALENESS_DEFAULT_FACTOR,
+) -> DataFrame:
+    """The full incremental decontamination decision: probe an
+    eval/ingest batch against the FROZEN train corpus through its
+    persisted full-token index — candidates from
+    :func:`incremental_containment_candidates`, then exact
+    containment |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold verified by
+    fetching text for ONLY the candidate docs on each side (the
+    :func:`incremental_ppjoin_pairs` discipline — the train corpus
+    is never rescanned wholesale, and the union token order is never
+    recomputed: the store and ``freq`` are read as-is). Returns
+    (contained_id, container_id, containment); equals the pooled
+    :func:`containment_cross`` exactly for ANY frozen order
+    (golden-checked — the prefix lemma is order-independent).
+
+    Staleness monitoring (``metrics`` / ``baseline_cand_per_doc`` /
+    ``staleness_factor``) works exactly as in
+    :func:`incremental_ppjoin_pairs` — this family has the same
+    frozen-order drift channel once container batches are appended
+    under the frozen ``freq``."""
+    t_pm = _t_pm(threshold)
+    cand = _incremental_containment_cand(
+        new_docs, store, freq, text_col, id_col, threshold, shingle_k
+    )
+    if metrics is not None:
+        cand = cand.localCheckpoint(eager=True)
+        metrics.append(
+            staleness_report(
+                cand.count(),
+                new_docs.count(),
+                baseline_cand_per_doc,
+                staleness_factor,
+            )
+        )
+    new_pruned = new_docs.join(
+        cand.select(F.col("contained_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="semi",
+    )
+    cont_pruned = container_docs.join(
+        cand.select(F.col("container_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="semi",
+    )
+    sh_a = with_shingles(
+        new_pruned, text_col, shingle_k, "_sh_a", keep=(id_col,)
+    )
+    sh_b = with_shingles(
+        cont_pruned, text_col, shingle_k, "_sh_b", keep=(id_col,)
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    return (
+        cand.join(
+            sh_a.select(F.col(id_col).alias("contained_id"), "_sh_a"),
+            "contained_id",
+        )
+        .join(
+            sh_b.select(F.col(id_col).alias("container_id"), "_sh_b"),
+            "container_id",
+        )
+        .withColumn("_i", inter)
+        .filter(F.lit(1000) * F.col("_i") >= F.lit(t_pm) * F.col("sz_a"))
+        .select(
+            "contained_id",
+            "container_id",
+            F.round(
+                F.col("_i") / F.greatest(F.col("sz_a"), F.lit(1)), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def measure_containment_cand_per_doc(
+    probe_docs: DataFrame,
+    store: DataFrame,
+    freq: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> float:
+    """Candidates-per-probe-doc against a containment store — the
+    baseline unit for the staleness monitor (containment twin of
+    :func:`measure_cand_per_doc`). Record it at store creation by
+    probing a representative batch (e.g. the first eval slice)."""
+    cand = incremental_containment_candidates(
+        probe_docs, store, freq, text_col, id_col, threshold, shingle_k
+    ).filter(F.col("contained_id") != F.col("container_id"))
+    n_docs = probe_docs.count()
+    return cand.count() / max(n_docs, 1)

@@ -576,3 +576,121 @@ def test_staleness_monitor_trips_on_recurring_drift_only(spark, tmp_path):
         metrics=m2, baseline_cand_per_doc=baseline,
     ).collect()
     assert [r["stale"] for r in m2] == [False, False], m2
+
+
+# ---- store-backed incremental containment ----------------------------------
+
+
+def test_incremental_containment_matches_pooled_cross(spark):
+    """incremental_containment_pairs over a persisted-shape store
+    (freq frozen on the CONTAINER corpus alone, not the union the
+    pooled path uses) equals containment_cross(batch, containers)
+    exactly — pairs AND containment values; the prefix pigeonhole is
+    order-independent."""
+    rows = (
+        [(i, _doc(list(range(i % 4, 12 + i % 4)))) for i in range(16)]
+        # 100 is fully contained in 101's superset
+        + [(100, _doc(list(range(10)))), (101, _doc(list(range(20))))]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    containers = docs.where(F.col("doc_id") % 2 != 0)
+    batch = docs.where(F.col("doc_id") % 2 == 0)
+    sh = setsim.with_shingles(containers, "text", 3, "_sh", keep=("doc_id",))
+    freq = (
+        sh.select("doc_id", F.explode("_sh").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    store = setsim.containment_store(containers, freq)
+    for t in (0.5, 0.8):  # one store serves every threshold
+        inc = {
+            (r["contained_id"], r["container_id"], r["containment"])
+            for r in setsim.incremental_containment_pairs(
+                batch, containers, store, freq, threshold=t
+            ).collect()
+        }
+        pooled = {
+            (r["contained_id"], r["container_id"], r["containment"])
+            for r in setsim.containment_cross(
+                batch, containers, threshold=t
+            ).collect()
+        }
+        assert inc == pooled, f"t={t}"
+        assert inc  # fixture produces pairs
+
+
+def test_incremental_containment_two_batch_append_and_sidecar(
+    spark, tmp_path
+):
+    """Append a container batch's full-token rows (FROZEN order) to
+    the parquet store: a later probe finds pairs against original AND
+    appended containers, equal to the pooled cross on the union.
+    Sidecar: shingle-width mismatch raises; baseline round-trips."""
+    rows = [(i, _doc(list(range(i % 3, 14 + i % 3)))) for i in range(18)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    c0 = docs.where(F.col("doc_id") % 3 == 0)
+    c1 = docs.where(F.col("doc_id") % 3 == 1)
+    probe = docs.where(F.col("doc_id") % 3 == 2)
+    store_dir = str(tmp_path / "cstore")
+    freq = setsim.token_freq_table(c0)
+    setsim.containment_store(c0, freq).write.parquet(store_dir)
+    setsim.write_containment_store_params(
+        spark, store_dir, shingle_k=3, baseline_cand_per_doc=2.5
+    )
+    setsim.containment_store(c1, freq).write.mode("append").parquet(
+        store_dir
+    )
+    store = setsim.load_containment_store(spark, store_dir, shingle_k=3)
+    containers = c0.unionByName(c1)
+    m: list = []
+    inc = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in setsim.incremental_containment_pairs(
+            probe, containers, store, freq, threshold=0.6,
+            metrics=m,
+            baseline_cand_per_doc=setsim.read_containment_store_baseline(
+                spark, store_dir
+            ),
+        ).collect()
+    }
+    pooled = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in setsim.containment_cross(
+            probe, containers, threshold=0.6
+        ).collect()
+    }
+    assert inc == pooled and inc
+    assert len(m) == 1 and m[0]["baseline_cand_per_doc"] == 2.5
+    assert m[0]["staleness_ratio"] is not None
+    assert setsim.read_containment_store_baseline(spark, store_dir) == 2.5
+    with pytest.raises(ValueError, match="containment store"):
+        setsim.load_containment_store(spark, store_dir, shingle_k=5)
+
+
+def test_incremental_containment_drifted_probe_still_exact(spark):
+    """Probe docs carrying tokens UNSEEN at freeze time (drift): the
+    frozen order puts them first in the probe prefix, they match no
+    store row, and the result still equals the pooled cross — the
+    pigeonhole needs no order agreement, only that the store indexes
+    every container token."""
+    rows = [(i, _doc(list(range(i % 4, 12 + i % 4)))) for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    containers = docs.where(F.col("doc_id") % 2 != 0)
+    probe = docs.where(F.col("doc_id") % 2 == 0).withColumn(
+        "text", F.concat_ws(" ", F.col("text"), F.lit("zz1 zz2 zz3 zz4"))
+    )
+    freq = setsim.token_freq_table(containers)
+    store = setsim.containment_store(containers, freq)
+    inc = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in setsim.incremental_containment_pairs(
+            probe, containers, store, freq, threshold=0.5
+        ).collect()
+    }
+    pooled = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in setsim.containment_cross(
+            probe, containers, threshold=0.5
+        ).collect()
+    }
+    assert inc == pooled

@@ -1765,6 +1765,53 @@ def q_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id")
 
 
+# Cluster-atomic SemDeDup (r12): the pair graph is the same
+# LSH-bucketed cosine join as semantic_dedup_survivors; the oracle
+# closes it with the recursive-CTE reachability fixpoint (the
+# dup_clusters_cc pattern) and keeps each component's minimum id —
+# exactly what dup_clusters_auto's min-label propagation computes.
+_SEMANTIC_CLUSTERS_SQL = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(64, 4)} AS bucket
+  FROM embeddings
+),
+dup_pairs AS (
+  SELECT a.vec_id AS a, c.vec_id AS b
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+  WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.5
+),
+edges AS (SELECT a, b FROM dup_pairs UNION SELECT b, a FROM dup_pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+reps AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM reps WHERE vec_id <> cluster_id)
+"""
+
+
+@register("semantic_dedup_clusters", _SEMANTIC_CLUSTERS_SQL)
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic SemDeDup
+    (operators/similarity.py:semantic_dedup_clusters): the
+    LSH-bucketed cosine pair list routed through connected components
+    (min-label propagation, star-contraction escalation) keeping each
+    component's minimum id — one survivor per semantic cluster, drops
+    exactly size(component)−1. Same planes/threshold as
+    `semantic_dedup_survivors`, so the two oracles differ only where
+    chains make adjacency and closure disagree."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return similarity.semantic_dedup_clusters(
+        emb, dim=64, threshold=0.5, n_planes=4
+    ).select("vec_id")
+
+
 _HYBRID_RRF_SQL = """
 WITH w AS (
   SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS ws

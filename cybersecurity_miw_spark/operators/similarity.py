@@ -192,6 +192,51 @@ def cosine_near_dup_lsh(
     )
 
 
+# occupancy-constant blocking schedules (SCALE.md r11/r12): the
+# reference points both rules reproduce are MEASURED — 5,000 docs ran
+# best at 4 planes / 128 cells, 50,000 at 7 planes / 512 cells (the
+# fixed-4-planes 10x point sat at the edge of the sweep band, 0.32,
+# vs 0.12 occupancy-constant; the 512-cell frontier row cut scan
+# fraction 2x at equal recall)
+SUGGESTED_PLANES_REF_ROWS = 5_000
+SUGGESTED_PLANES_REF = 4
+
+
+def suggested_planes(n_rows: int) -> int:
+    """Hyperplane count that holds expected LSH bucket occupancy
+    ~constant as the corpus grows: each extra plane halves bucket
+    population, so planes = 4 + log₂(n / 5,000) (rounded, clamped to
+    [1, 24]) keeps occupancy at the measured-good sf0.1 level. The
+    within-bucket pair join is quadratic in occupancy — a FIXED plane
+    count puts semantic dedup on a quadratic path (measured: ratio
+    0.32 at 10× fixed vs 0.12 scaled, SCALE.md r11). Use for
+    :func:`semantic_dedup` / :func:`cosine_near_dup_lsh` n_planes."""
+    import math
+
+    if n_rows <= 0:
+        return SUGGESTED_PLANES_REF
+    raw = SUGGESTED_PLANES_REF + math.log2(
+        max(n_rows, 1) / SUGGESTED_PLANES_REF_ROWS
+    )
+    return min(24, max(1, round(raw)))
+
+
+def suggested_cells(n_rows: int) -> int:
+    """IVF cell count that holds per-cell occupancy bounded as the
+    corpus grows (the frontier rule, SCALE.md r8/r11): cells ≈
+    2·√n rounded to a power of two — reproducing the measured
+    frontier picks (128 cells at 5k docs, 512 at 50k), where equal
+    recall costs a shrinking scan fraction. Use for
+    :func:`train_centroids` n_cells / :func:`semantic_dedup_cells`
+    centroid counts; clamped to [1, 65536]."""
+    import math
+
+    if n_rows <= 1:
+        return 1
+    raw = 2.0 * math.sqrt(n_rows)
+    return min(65536, max(1, 2 ** round(math.log2(raw))))
+
+
 def semantic_dedup(
     df: DataFrame,
     dim: int,
@@ -224,6 +269,41 @@ def semantic_dedup(
         df, threshold, dim, n_planes, vec_col, id_col
     )
     removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(removed, on=id_col, how="anti")
+
+
+def semantic_dedup_clusters(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.85,
+    n_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """CLUSTER-ATOMIC SemDeDup — the transitive-closure variant the
+    :func:`semantic_dedup` docstring points at, as a first-class
+    operator: the LSH-bucketed cosine pair list is routed through
+    connected components
+    (:func:`~cybersecurity_miw_spark.operators.dedup.dup_clusters_auto`
+    — min-label propagation with star-contraction escalation) and
+    each component keeps exactly its MINIMUM id. On a chain a~b~c
+    with cos(a,c) < t this keeps a only (one survivor per semantic
+    cluster); the adjacency rule keeps a as well but can over-drop on
+    other shapes — here drops are exactly size(component)−1.
+
+    100 TB: the pair stage is the same uniform-bucket self-join;
+    components add O(diameter) rounds (near-clique dedup graphs: 2-3)
+    with one scalar per round to the driver; the keep rule is one
+    anti-join on the non-representative node set."""
+    from cybersecurity_miw_spark.operators.dedup import dup_clusters_auto
+
+    pairs = cosine_near_dup_lsh(
+        df, threshold, dim, n_planes, vec_col, id_col
+    )
+    clusters = dup_clusters_auto(pairs)
+    removed = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
     return df.join(removed, on=id_col, how="anti")
 
 
@@ -679,21 +759,24 @@ def ivf_topk_batch(
     rank ≤ k (cosine desc on the 6-d.p. rounded value, id asc).
 
     Plan shape: probe cells per query are ranked on the
-    queries × n_cells grid (literal centroid table, bounded by the
-    ``max_broadcast_queries`` guard — the pairwise_topk contract);
-    the (query_id, cell, qvec) probe table then BROADCASTS into one
-    equi-join on ``_cell`` against the assigned corpus, so the corpus
-    is scanned ONCE for the whole batch and only probed cells ever
-    score. Same L2 fold and tie-breaks as :func:`ivf_topk` /
-    :func:`ivf_assign` (first-index on equal distance), so a 1-row
-    query table reproduces ivf_topk exactly (golden-pinned)."""
+    queries × n_cells grid (literal centroid table); the
+    (query_id, cell, qvec) probe table then joins the assigned corpus
+    on ``_cell``, so the corpus is scanned ONCE for the whole batch
+    and only probed cells ever score. Up to ``max_broadcast_queries``
+    the probe table BROADCASTS (no shuffle of the corpus at all);
+    above it — pipeline-scale batches: k-NN graph construction,
+    re-embedding a shard — the join falls back to a plain shuffle on
+    ``_cell``, which repartitions both sides by cell. The shuffle
+    route's parallelism is bounded by n_cells (each cell is one join
+    key), so size the index so n_cells ≥ the shuffle partition count
+    at this scale — the IVF frontier rule in SCALE.md wants that
+    anyway — and leave AQE skew handling on for hot cells. Same L2
+    fold and tie-breaks as :func:`ivf_topk` / :func:`ivf_assign`
+    (first-index on equal distance), so a 1-row query table
+    reproduces ivf_topk exactly (golden-pinned), and both join routes
+    emit identical rows (equality golden)."""
     n_q = queries.limit(max_broadcast_queries + 1).count()
-    if n_q > max_broadcast_queries:
-        raise ValueError(
-            f"ivf_topk_batch: query set exceeds {max_broadcast_queries} "
-            "rows; the probe table would not broadcast — split the "
-            "query batch"
-        )
+    broadcastable = n_q <= max_broadcast_queries
     cents2d = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
@@ -719,9 +802,14 @@ def ivf_topk_batch(
         .select("query_id", "_qv", F.col("_ci").alias("_cell"))
     )
     assigned = ivf_assign(df, centroids, vec_col)
-    # bcast-bound: probes <= max_broadcast_queries * n_probes rows
-    #   (guard above; n_probes <= n_cells, a model constant)
-    joined = assigned.join(F.broadcast(probes), on="_cell")
+    if broadcastable:
+        # bcast-bound: probes <= max_broadcast_queries * n_probes rows
+        #   (count checked above; n_probes <= n_cells, a model constant)
+        joined = assigned.join(F.broadcast(probes), on="_cell")
+    else:
+        # corpus-sized query table: both sides shuffle on _cell —
+        # never raise, the batch is the operator's whole point
+        joined = assigned.join(probes, on="_cell")
     scored = joined.select(
         "query_id",
         F.col(id_col),

@@ -32,7 +32,7 @@ def curate_documents(
     max_bucket_width: int | None = None,
     remove_span_k: int | None = None,
     semantic_threshold: float | None = None,
-    semantic_planes: int = 8,
+    semantic_planes: int | None = None,
     embedding_dim: int = 64,
 ) -> DataFrame:
     """Run the standard curation chain; returns the surviving rows of
@@ -56,9 +56,14 @@ def curate_documents(
     surviving doc and dropping rows with a smaller-id same-bucket
     neighbor at cosine ≥ the threshold
     (similarity.semantic_dedup keep-lowest-id semantics). Catches
-    paraphrase-level duplicates token shingles miss; scale
-    ``semantic_planes`` with the corpus so bucket occupancy stays
-    bounded (SCALE.md r11 embedding-family scale points).
+    paraphrase-level duplicates token shingles miss.
+    ``semantic_planes=None`` (default) applies the occupancy-constant
+    schedule automatically: similarity.suggested_planes over the
+    surviving row count (one count() job when the stage is enabled),
+    so bucket occupancy — and with it the quadratic within-bucket
+    pair join — stays at the measured-good level at any corpus size
+    (SCALE.md r11: fixed planes ratio 0.32 at 10× vs 0.12 scaled).
+    Pass an int to own the schedule explicitly.
 
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
@@ -109,6 +114,8 @@ def curate_documents(
         vecs = textstats.hashed_embedding(
             out, dim=embedding_dim, text_col=text_col, id_col=id_col
         ).select(id_col, "embedding")
+        if semantic_planes is None:
+            semantic_planes = similarity.suggested_planes(out.count())
         keep = similarity.semantic_dedup(
             vecs,
             dim=embedding_dim,

@@ -175,8 +175,6 @@ def test_ivf_topk_batch_one_query_equals_single_query_path(spark):
 
 
 def test_ivf_topk_batch_guard_and_per_query_k(spark):
-    import pytest
-
     rows = [(i, _unit([1.0 + 0.05 * i] * DIM)) for i in range(10)]
     df = _emb(spark, rows)
     cents = [[1.0] * DIM, [-1.0] * DIM]
@@ -187,10 +185,36 @@ def test_ivf_topk_batch_guard_and_per_query_k(spark):
 
     per_q = Counter(r["query_id"] for r in out)
     assert set(per_q) == {0, 1, 2, 3} and all(v == 3 for v in per_q.values())
-    with pytest.raises(ValueError, match="query set exceeds"):
-        similarity.ivf_topk_batch(
-            df, df, cents, k=1, max_broadcast_queries=5
-        )
+
+
+def test_ivf_topk_batch_shuffle_route_equals_broadcast(spark):
+    """Above max_broadcast_queries the batch no longer raises (r11
+    VERDICT #4): the probe table routes through a plain _cell shuffle
+    join. Both routes must emit identical rows, and the shuffle
+    route's plan must contain no broadcast of the probe table."""
+    import math
+
+    rows = [
+        (i, _unit([math.cos(i * 0.3), math.sin(i * 0.3)] * (DIM // 2)))
+        for i in range(12)
+    ]
+    df = _emb(spark, rows)
+    cents = [[1.0] * DIM, [-1.0] * DIM, _unit([1.0, -1.0] * (DIM // 2))]
+    queries = df.filter("vec_id < 6")
+    bcast = similarity.ivf_topk_batch(
+        df, queries, cents, k=4, n_probes=2
+    )
+    shuffled = similarity.ivf_topk_batch(
+        df, queries, cents, k=4, n_probes=2, max_broadcast_queries=3
+    )
+    assert sorted(map(tuple, bcast.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+    # the shuffle route carries no broadcast HINT on the probe side
+    # (AQE may still pick a broadcast strategy for a tiny probe table
+    # at runtime — the contract is the hint's absence, not the
+    # physical strategy): check the analyzed plan has no hint node
+    assert "hint" not in shuffled._jdf.queryExecution().analyzed().toString().lower()
 
 
 def test_semantic_dedup_cells_planted_dup_and_cell_isolation(spark):
@@ -232,3 +256,58 @@ def test_incremental_semantic_never_emits_self_pairs(spark):
     assert {(r["new_id"], r["stored_id"]) for r in pairs} == {
         (1, 2), (2, 1)
     }
+
+
+def test_suggested_planes_and_cells_pin_the_measured_schedule(spark):
+    """The occupancy-constant helpers must reproduce the MEASURED
+    good configurations (SCALE.md r8/r11): 5k docs -> 4 planes / 128
+    cells, 50k -> 7 planes / 512 cells; monotone nondecreasing;
+    sane clamps at the extremes."""
+    assert similarity.suggested_planes(5_000) == 4
+    assert similarity.suggested_planes(50_000) == 7
+    assert similarity.suggested_planes(500_000) == 11
+    assert similarity.suggested_planes(5_000_000_000) == 24  # clamp
+    assert similarity.suggested_planes(0) == 4
+    assert similarity.suggested_planes(1) == 1
+
+    assert similarity.suggested_cells(5_000) == 128
+    assert similarity.suggested_cells(50_000) == 512
+    assert similarity.suggested_cells(5_000_000) == 4096
+    assert similarity.suggested_cells(1) == 1
+    vals_p = [similarity.suggested_planes(10 ** e) for e in range(2, 10)]
+    vals_c = [similarity.suggested_cells(10 ** e) for e in range(2, 10)]
+    assert vals_p == sorted(vals_p) and vals_c == sorted(vals_c)
+
+
+def test_semantic_dedup_clusters_keeps_one_per_component(spark):
+    """Cluster-atomic variant: on the a~b~c chain with cos(a,c) < t
+    the closure keeps ONLY a (one survivor per component) — same
+    outcome as adjacency here; the distinguishing shape is where
+    adjacency over-drops relative to per-component min-keep: two
+    disjoint pairs sharing no edge must each keep their min."""
+    import math
+
+    a = [1.0, 0.0]
+    b = [math.cos(0.2), math.sin(0.2)]
+    c = [math.cos(0.4), math.sin(0.4)]
+    d = [-1.0, 0.0]
+    e = [math.cos(math.pi - 0.2), math.sin(math.pi - 0.2)]
+    df = _emb(spark, [(1, a), (2, b), (3, c), (10, d), (11, e)])
+    out = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_clusters(
+            df, dim=2, threshold=0.95, n_planes=1
+        ).collect()
+    }
+    # components: {1,2,3} (chain) and {10,11}; keep the min of each
+    assert out == {1, 10}
+    # rows with NO near-dup pair survive untouched
+    lone = _emb(spark, [(7, [0.0, 1.0])])
+    df2 = df.unionByName(lone)
+    out2 = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_clusters(
+            df2, dim=2, threshold=0.95, n_planes=1
+        ).collect()
+    }
+    assert 7 in out2

@@ -71,6 +71,9 @@ QUERY_NAMES = [
     # disjoint across copies, so containment pairs grow exactly 10x
     "containment_pairs_exact",
     "containment_cross_decontaminate",
+    # r12: store-backed incremental containment (same rotation
+    # rationale; the store + frozen order are built inside the query)
+    "incremental_containment_vs_store",
     # round 8 final: span-level substring dedup (rotated copies keep
     # 8-gram vocabularies disjoint across copies — duplicated-gram
     # occurrences and spans grow exactly 10x, no cross-copy inflation)
@@ -100,6 +103,9 @@ PLAINDOC_QUERY_NAMES = [
     # (plaindoc, same rationale as bm25) and the dense branch has no
     # self-join, so plain vec_id-offset embeddings are artifact-free
     "hybrid_rrf_topk_docs",
+    # r12: the ANN dense branch (IVF probe-pruned) — same corpus
+    # variant so brute-vs-ann reads off the same 10x postings/vectors
+    "hybrid_rrf_ann_topk_docs",
 ]
 
 # r11: embedding-family queries run against DIMENSION-ROTATED 10x
@@ -112,6 +118,10 @@ PLAINDOC_QUERY_NAMES = [
 EMB_QUERY_NAMES = [
     "incremental_semantic_vs_store",
     "ann_ivf_topk_batch",
+    # r12: cluster-atomic SemDeDup — the CC rounds on top of the
+    # bucket pair join; n_planes fixed here (occupancy rule measured
+    # separately), rotation keeps pair graphs within copies
+    "semantic_dedup_clusters",
 ]
 
 # round 8: the new TPC-H heavies against 10x facts (lineitem/orders

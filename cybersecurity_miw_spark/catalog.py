@@ -7396,27 +7396,30 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-11 rotation (VERDICT r10 #5 — the r10 window froze, so the
-    # two r10 plan changes never got driver rows): flagship + the
-    # changed-code anchors (tpch_q18 and cohort_retention lost their
-    # forced broadcasts in r10 via maybe_broadcast; ann_pq_adc_topk
-    # re-anchors the PQ family whose residual query path gained the
-    # Arrow ADC dispatch in r11) + the 46 OLDEST-rowed oracled
-    # veterans: every oracle last driver-rowed in rounds 5-6 and the
-    # oldest of the round-7 cohort. Everything rotated out (the whole
-    # r9/r10 window — all 50 green twice in a row — and the younger
-    # r8 veterans) stays full-hash green in
-    # tests/test_oracle_parity.py every round.
+    # Round-12 rotation: flagship + changed-code anchors
+    # (ann_pq_adc_topk — the residual-ADC null-element guard changed
+    # both scoring paths' plans; ann_ivf_topk_batch — gained the
+    # above-cap shuffle route; incremental_semantic_vs_store — gained
+    # the new_id != stored_id replay guard) + the THREE new r12
+    # oracles (hybrid_rrf_ann_topk_docs, incremental_containment_vs_
+    # store, semantic_dedup_clusters), displacing the three
+    # longest-green r5-cohort veterans quote_strip_trim / time_buckets
+    # / url_retemplate (P-family keeps tokenize_typed_projection,
+    # kv_evtx_explode, and date_buckets in-window; everything rotated
+    # out stays full-hash green in tests/test_oracle_parity.py every
+    # round). The rest of the r11 window holds — its members were all
+    # re-rowed only last round.
     "miw_events_summary",
-    # --- r10/r11 changed-code anchors ---
+    # --- changed-code anchors (r10-r12) ---
     "tpch_q18_large_volume_customer",
     "cohort_retention_matrix",
     "ann_pq_adc_topk",
-    # --- oldest-rowed veterans: last row round 5 ---
+    # --- oldest-rowed veterans (r5 cohort) ---
     "tokenize_typed_projection",
-    "quote_strip_trim",
-    "time_buckets",
-    "url_retemplate",
+    # --- new r12 oracles (first-round rows) ---
+    "hybrid_rrf_ann_topk_docs",
+    "incremental_containment_vs_store",
+    "semantic_dedup_clusters",
     "kv_evtx_explode",
     "match_exact_or",
     "match_negative_exact",

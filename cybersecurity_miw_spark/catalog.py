@@ -2007,6 +2007,233 @@ def q_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lex_rank", "dense_rank", "rrf_u")
 
 
+# Batched BM25 (r12): one posting-disciplined corpus pass serves a
+# query TABLE. The oracle inlines the same 3 term-sets as a VALUES
+# CTE and recomputes df/tf/idf/micro-scores relationally — per-query
+# rank by window, identical integer arithmetic to bm25_topk_docs.
+_BM25_BATCH_SQL = """
+WITH q AS (
+  SELECT * FROM (VALUES
+    (0, ['table', 'join']),
+    (1, ['window', 'filter']),
+    (2, ['table', 'select', 'rows'])) AS t(query_id, terms)
+),
+qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(
+           ln(1 + (stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5))
+           * (tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS tu
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+),
+scored AS (
+  SELECT qt.query_id, t.doc_id, CAST(sum(t.tu) AS BIGINT) AS score_u
+  FROM terms t JOIN qt USING (term)
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_u FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rk
+  FROM scored)
+WHERE rk <= 10
+"""
+
+
+@register("bm25_topk_batch_docs", _BM25_BATCH_SQL)
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BM25 (operators/retrieval.py:bm25_topk_batch) — the
+    lexical analog of `ann_ivf_topk_batch`: a 3-query table scored in
+    ONE corpus pass (posting filter = semi-join against the broadcast
+    term union; df/tf computed once, fanned out per query through a
+    broadcast (query_id, term) join), per-query top-10 by window.
+    Same int64 micro-scores as `bm25_topk_docs`."""
+    from cybersecurity_miw_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            (0, ["table", "join"]),
+            (1, ["window", "filter"]),
+            (2, ["table", "select", "rows"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return retrieval.bm25_topk_batch(docs, queries, k=10)
+
+
+# Batched hybrid RRF (r12): bm25_topk_batch + ivf_topk_batch fused
+# per query. Dense branch = the ann_ivf_topk_batch seed geometry
+# (4 seed centroids, 2 probes, query vecs = embeddings 0..2); lex
+# branch = the 3 VALUES term-sets above; fusion arithmetic identical
+# to hybrid_rrf_topk_docs, per-query windows.
+_HYBRID_BATCH_SQL = """
+WITH q AS (
+  SELECT * FROM (VALUES
+    (0, ['table', 'join']),
+    (1, ['window', 'filter']),
+    (2, ['table', 'select', 'rows'])) AS t(query_id, terms)
+),
+qt AS (SELECT DISTINCT query_id, unnest(terms) AS term FROM q),
+w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN (SELECT term FROM qt)
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(floor(
+           ln(1 + (stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5))
+           * (tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS tu
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+),
+lex AS (
+  SELECT query_id, doc_id, score_u FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY score_u DESC, doc_id) AS rk
+    FROM (
+      SELECT qt.query_id, t.doc_id,
+             CAST(sum(t.tu) AS BIGINT) AS score_u
+      FROM terms t JOIN qt USING (term)
+      GROUP BY 1, 2) s)
+  WHERE rk <= 50
+),
+lex_r AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score_u DESC, doc_id
+         ) AS lex_rank
+  FROM lex
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+probe AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.query_id, c.cell, q.qv,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_sum(list_transform(list_zip(c.cv, q.qv),
+                               z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      c.cell) AS rn
+    FROM cents c, qs q)
+  WHERE rn <= 2
+),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, e.v),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM e
+),
+dense AS (
+  SELECT query_id, vec_id AS doc_id, cs FROM (
+    SELECT p.query_id, a.vec_id,
+           round(list_cosine_similarity(a.v, p.qv), 6) AS cs,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY round(list_cosine_similarity(a.v, p.qv), 6) DESC,
+                      a.vec_id) AS rk
+    FROM assign a JOIN probe p ON a.cell = p.cell)
+  WHERE rk <= 50
+),
+dense_r AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cs DESC, doc_id
+         ) AS dense_rank
+  FROM dense
+),
+fused AS (
+  SELECT COALESCE(l.query_id, e.query_id) AS query_id,
+         COALESCE(l.doc_id, e.doc_id) AS doc_id,
+         CAST(COALESCE(l.lex_rank, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(e.dense_rank, 0) AS BIGINT) AS dense_rank
+  FROM lex_r l FULL OUTER JOIN dense_r e
+    ON l.query_id = e.query_id AND l.doc_id = e.doc_id
+),
+rrf AS (
+  SELECT query_id, doc_id, lex_rank, dense_rank,
+         CAST(
+           (CASE WHEN lex_rank > 0
+                 THEN floor(1000000000.0 / (60 + lex_rank)) ELSE 0 END)
+           + (CASE WHEN dense_rank > 0
+                   THEN floor(1000000000.0 / (60 + dense_rank)) ELSE 0 END)
+         AS BIGINT) AS rrf_u
+  FROM fused
+)
+SELECT query_id, doc_id, lex_rank, dense_rank, rrf_u FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_u DESC, doc_id) AS rk
+  FROM rrf)
+WHERE rk <= 10
+"""
+
+
+@register("hybrid_rrf_batch_docs", _HYBRID_BATCH_SQL)
+def q_hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched hybrid retrieval
+    (operators/retrieval.py:hybrid_rrf_topk_batch): a 3-query table
+    through ONE BM25 corpus pass + ONE probe-pruned IVF index scan,
+    fused per query by RRF — each branch's cost is independent of
+    query count, per-query work is pool-bounded. Dense geometry =
+    the `ann_ivf_topk_batch` seeds (4 centroids, 2 probes, query
+    vectors = embedding rows 0..2)."""
+    from cybersecurity_miw_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    }
+    term_sets = {
+        0: ["table", "join"],
+        1: ["window", "filter"],
+        2: ["table", "select", "rows"],
+    }
+    queries = spark.createDataFrame(
+        [(qid, term_sets[qid], qvecs[qid]) for qid in (0, 1, 2)],
+        "query_id long, terms array<string>, query_vec array<double>",
+    )
+    return retrieval.hybrid_rrf_topk_batch(
+        docs, emb, queries, cents, k=10, pool=50, n_probes=2
+    )
+
+
 # The IVF SEARCH path (assign → probe → exact rerank) is oracled with
 # deterministic seed centroids (= the embedding rows vec_id 0..3, exact
 # data vectors a SQL twin can reference directly). k-means-trained

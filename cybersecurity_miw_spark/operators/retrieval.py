@@ -194,3 +194,210 @@ def hybrid_rrf_topk(
         .orderBy(F.desc("rrf_u"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_broadcast_terms: int = 100_000,
+) -> DataFrame:
+    """BM25 top-``k`` for EVERY row of a query TABLE in one corpus
+    pass — the lexical analog of
+    :func:`~cybersecurity_miw_spark.operators.similarity.
+    ivf_topk_batch`: a retrieval-evaluation run or hard-negative
+    mining sweep issues thousands of queries, and one Spark job per
+    query is driver-bound long before the cluster is busy.
+    ``queries`` is (query_id, terms array<string>); returns
+    (query_id, id, score_u) with per-query rank ≤ k (score desc,
+    id asc), score_u the same int64 micro-score as
+    :func:`bm25_topk` — a 1-row query table reproduces it exactly
+    (golden-pinned).
+
+    One corpus pass: the posting filter keeps (doc, term) rows whose
+    term occurs in ANY query (semi-join against the distinct term
+    union, broadcast — bounded by ``max_broadcast_terms``, raising
+    beyond it: a term union that large stops being a filter and the
+    caller should shard the query table); per-term df and per-doc tf
+    are computed ONCE over that union and fan out to queries through
+    a broadcast (query_id, term) join. Corpus-scaled work is
+    independent of query count; per-query work is posting-bounded.
+    Per-query rank is a window over score rows — keyed by query_id,
+    so parallelism scales with the batch."""
+    qt = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(terms_col).alias("term"),
+        )
+        .distinct()
+    )
+    term_union = qt.select("term").distinct()
+    n_terms = term_union.limit(max_broadcast_terms + 1).count()
+    if n_terms > max_broadcast_terms:
+        raise ValueError(
+            f"bm25_topk_batch: {n_terms}+ distinct query terms exceed "
+            f"max_broadcast_terms={max_broadcast_terms}; the posting "
+            "filter would stop filtering — shard the query table"
+        )
+    if n_terms == 0:
+        raise ValueError("queries must contribute at least one term")
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = df.select(F.col(id_col), words.alias("_w")).select(
+        id_col, "_w", F.size("_w").alias("dl")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # bcast-bound: term_union <= max_broadcast_terms rows (guard above)
+    tok = d.select(
+        id_col, "dl", F.explode("_w").alias("term")
+    ).join(F.broadcast(term_union), "term", "semi")
+    tf = tok.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+    )
+    tf_norm = (
+        F.col("tf")
+        * (k1 + 1)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (1 - b + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    term_u = F.floor(idf * tf_norm * 1e6 + 0.5).cast("long")
+    # bcast-bound: dft <= n_terms; stats = 1 row; qt <= queries x terms
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(id_col, "term", term_u.alias("_tu"))
+        .join(F.broadcast(qt), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("_tu").alias("score_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_u"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def hybrid_rrf_topk_batch(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    pool: int = 50,
+    k_rrf: int = 60,
+    n_probes: int = 2,
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    vec_id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    qvec_col: str = "query_vec",
+    max_broadcast_queries: int = 10_000,
+) -> DataFrame:
+    """Hybrid RRF retrieval for EVERY row of a query TABLE —
+    :func:`bm25_topk_batch` (one posting-disciplined corpus pass for
+    all lexical pools) fused with
+    :func:`~cybersecurity_miw_spark.operators.similarity.
+    ivf_topk_batch` (one probe-pruned index scan for all dense
+    pools), then per-query RRF over the pool-bounded rank lists.
+    ``queries`` is (query_id, terms array<string>,
+    query_vec array<double>); returns
+    (query_id, doc_id, lex_rank, dense_rank, rrf_u), per-query
+    top-``k``. Identical arithmetic to :func:`hybrid_rrf_topk`
+    (int64 micro-reciprocals, rank 0 = absent), so a 1-row query
+    table reproduces the single-query dense="ann" path exactly
+    (golden-pinned).
+
+    100 TB: each branch touches the corpus ONCE regardless of query
+    count; the fusion joins and rank windows are keyed by query_id
+    over pool-bounded rows, so parallelism scales with the batch.
+    The dense branch inherits ivf_topk_batch's broadcast-or-shuffle
+    routing at ``max_broadcast_queries``."""
+    from cybersecurity_miw_spark.operators.similarity import ivf_topk_batch
+
+    lex = bm25_topk_batch(
+        docs,
+        queries.select(query_id_col, terms_col),
+        k=pool,
+        text_col=text_col,
+        id_col=doc_id_col,
+        query_id_col=query_id_col,
+        terms_col=terms_col,
+    )
+    dense = ivf_topk_batch(
+        embeddings,
+        queries.select(
+            F.col(query_id_col).alias(vec_id_col),
+            F.col(qvec_col).cast("array<double>").alias(vec_col),
+        ),
+        centroids,
+        k=pool,
+        n_probes=n_probes,
+        vec_col=vec_col,
+        id_col=vec_id_col,
+        max_broadcast_queries=max_broadcast_queries,
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("score_u"), F.asc(doc_id_col)
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(vec_id_col)
+    )
+    lex_r = lex.select(
+        "query_id",
+        F.col(doc_id_col).alias("doc_id"),
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    dense_r = dense.select(
+        "query_id",
+        F.col(vec_id_col).alias("doc_id"),
+        F.row_number().over(w_dense).cast("long").alias("dense_rank"),
+    )
+
+    def _contrib(rank_col: str):
+        return F.when(
+            F.col(rank_col) > 0,
+            F.floor(
+                F.lit(1_000_000_000.0) / (F.lit(k_rrf) + F.col(rank_col))
+            ),
+        ).otherwise(F.lit(0))
+
+    fused = (
+        lex_r.join(dense_r, on=["query_id", "doc_id"], how="full_outer")
+        .withColumn("lex_rank", F.coalesce("lex_rank", F.lit(0)).cast("long"))
+        .withColumn(
+            "dense_rank", F.coalesce("dense_rank", F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "rrf_u",
+            (_contrib("lex_rank") + _contrib("dense_rank")).cast("long"),
+        )
+    )
+    w_fuse = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_u"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("_rk", F.row_number().over(w_fuse))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

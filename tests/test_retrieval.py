@@ -8,6 +8,7 @@ unbounded nested-loop join)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from cybersecurity_miw_spark.operators import retrieval
 
@@ -234,3 +235,106 @@ def test_rrf_ann_dense_branch_equals_brute_at_full_probe(spark):
         retrieval.hybrid_rrf_topk(
             docs, emb, ["zebra"], q, dense="nope"
         )
+
+
+# --- batched retrieval (r12) -------------------------------------------------
+
+
+def test_bm25_batch_one_query_reproduces_single_and_isolates_queries(spark):
+    """A 1-row query table must equal bm25_topk exactly (same integer
+    micro-scores, same tie order); with several queries each row's
+    ranking must match its own single-query run — one corpus pass,
+    per-query isolation."""
+    docs = _rows(
+        spark,
+        [
+            (0, "zebra zebra lion"),
+            (1, "zebra cat cat cat"),
+            (2, "lion lion lion tiger"),
+            (3, "tiger tiger cat"),
+            (4, "completely unrelated words here"),
+        ],
+    )
+    qsets = {10: ["zebra"], 11: ["lion", "tiger"], 12: ["cat", "zebra"]}
+    queries = spark.createDataFrame(
+        [(qid, terms) for qid, terms in qsets.items()],
+        "query_id long, terms array<string>",
+    )
+    batch = retrieval.bm25_topk_batch(docs, queries, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score_u"])
+        )
+    for qid, terms in qsets.items():
+        single = [
+            (r["doc_id"], r["score_u"])
+            for r in retrieval.bm25_topk(docs, terms, k=5).collect()
+        ]
+        assert sorted(got[qid], key=lambda t: (-t[1], t[0])) == single, qid
+
+
+def test_bm25_batch_guards(spark):
+    docs = _rows(spark, [(0, "a b c")])
+    empty = spark.createDataFrame([], "query_id long, terms array<string>")
+    with pytest.raises(ValueError, match="at least one term"):
+        retrieval.bm25_topk_batch(docs, empty)
+    many = spark.createDataFrame(
+        [(0, [f"t{i}" for i in range(50)])],
+        "query_id long, terms array<string>",
+    )
+    with pytest.raises(ValueError, match="max_broadcast_terms"):
+        retrieval.bm25_topk_batch(docs, many, max_broadcast_terms=10)
+
+
+def test_hybrid_batch_one_query_reproduces_single_ann_path(spark):
+    """A 1-row query table through hybrid_rrf_topk_batch must equal
+    hybrid_rrf_topk(dense="ann") row for row (same pool, centroids,
+    probes, fusion arithmetic)."""
+    import math
+
+    docs = _rows(
+        spark,
+        [(i, "zebra " * (i % 3 + 1) + f"filler{i}") for i in range(12)],
+    )
+    emb = _emb_rows(
+        spark,
+        [(i, [math.cos(i * 0.4), math.sin(i * 0.4)]) for i in range(12)],
+    )
+    cents = [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0]]
+    q = [1.0, 0.1]
+    single = [
+        (r["doc_id"], r["lex_rank"], r["dense_rank"], r["rrf_u"])
+        for r in retrieval.hybrid_rrf_topk(
+            docs, emb, ["zebra"], q, k=8, pool=5,
+            dense="ann", centroids=cents, n_probes=2,
+        ).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(77, ["zebra"], q)],
+        "query_id long, terms array<string>, query_vec array<double>",
+    )
+    batch = [
+        (r["doc_id"], r["lex_rank"], r["dense_rank"], r["rrf_u"])
+        for r in retrieval.hybrid_rrf_topk_batch(
+            docs, emb, queries, cents, k=8, pool=5, n_probes=2,
+        ).orderBy(F.desc("rrf_u"), F.asc("doc_id")).collect()
+    ]
+    assert batch == single and len(single) == 8
+
+    # several queries: per-query k rows, fused ranks present
+    queries3 = spark.createDataFrame(
+        [
+            (1, ["zebra"], [1.0, 0.0]),
+            (2, ["filler3"], [0.0, 1.0]),
+            (3, ["zebra", "filler5"], [-1.0, 0.0]),
+        ],
+        "query_id long, terms array<string>, query_vec array<double>",
+    )
+    out = retrieval.hybrid_rrf_topk_batch(
+        docs, emb, queries3, cents, k=4, pool=5, n_probes=3
+    ).collect()
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in out)
+    assert set(per_q) == {1, 2, 3} and all(v == 4 for v in per_q.values())

@@ -506,3 +506,104 @@ def streaming_semantic_flags(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_containment_flags(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    flags_dir: str,
+    store_dir: str,
+    containers_dir: str,
+    freq_dir: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    staleness_factor: float | None = None,
+) -> StreamingQuery:
+    """Continuous decontamination — the containment member of the
+    streaming flag family, and the one whose store is FROZEN by
+    design: candidate documents stream in and each micro-batch is
+    probed against a fixed train corpus's persisted full-token index
+    (:func:`~cybersecurity_miw_spark.operators.setsim.
+    containment_store` at ``store_dir``, its creation-time order at
+    ``freq_dir``), appending
+    (contained_id, container_id, containment) rows at ≥ threshold to
+    ``flags_dir``. Unlike the dedup loops nothing is appended to the
+    store: the decontamination question is "is this new doc quoted
+    inside the frozen corpus" (or, with the corpora swapped, "does
+    this new train doc contain a frozen eval item"), so batches never
+    become containers. To grow the container corpus, append
+    ``containment_store(batch, freq)`` rows offline and rebuild under
+    a fresh order when the staleness monitor trips.
+
+    ``containers_dir`` holds the container corpus text (parquet,
+    doc_id/text) — read PRUNED per trigger: the exact-containment
+    verify fetches text only for candidate container docs
+    (:func:`~cybersecurity_miw_spark.operators.setsim.
+    incremental_containment_pairs` semi-join discipline), so the
+    frozen corpus is never rescanned wholesale.
+
+    The shingle-width sidecar is checked once before the stream
+    starts; ``metrics`` attaches the per-trigger staleness report
+    (baseline from the ``_containment_params.json`` sidecar — record
+    it at store creation with
+    ``write_containment_store_params(...,
+    baseline_cand_per_doc=measure_containment_cand_per_doc(...))``).
+
+    Exactly-once note: the flags append is the ONLY sink, so a
+    foreachBatch replay can duplicate flag rows (dedupe downstream on
+    the pair key) but never lose one; there is no second sink to
+    torn-write against."""
+    from cybersecurity_miw_spark.operators.setsim import (
+        STALENESS_DEFAULT_FACTOR,
+        incremental_containment_pairs,
+        load_containment_store,
+        read_containment_store_baseline,
+    )
+
+    # fail fast on a width mismatch BEFORE any batch runs
+    store = load_containment_store(spark, store_dir, shingle_k=shingle_k)
+    freq = spark.read.parquet(freq_dir)
+    containers = spark.read.parquet(containers_dir)
+    baseline = read_containment_store_baseline(spark, store_dir)
+    factor = (
+        staleness_factor
+        if staleness_factor is not None
+        else STALENESS_DEFAULT_FACTOR
+    )
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cache_mark = release_mark()
+        try:
+            pairs = incremental_containment_pairs(
+                batch_df,
+                containers,
+                store,
+                freq,
+                threshold=threshold,
+                shingle_k=shingle_k,
+                metrics=metrics,
+                baseline_cand_per_doc=baseline,
+                staleness_factor=factor,
+            )
+            pairs.write.mode("append").parquet(flags_dir)
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -503,3 +503,105 @@ def test_near_dup_flags_staleness_metrics(spark, tmp_path):
         )
     )
     assert len(metrics) == 2 and metrics[1]["stale"] is True, metrics
+
+
+def test_containment_flags_match_pooled_cross_and_resume(spark, tmp_path):
+    """Streaming decontamination (streaming_containment_flags): the
+    drained flag sink must equal the pooled containment_cross of all
+    streamed docs vs the frozen container corpus; a restart with one
+    new file probes ONLY the new docs (checkpoint), and the staleness
+    metrics list gets one report per trigger with the sidecar
+    baseline."""
+    from cybersecurity_miw_spark.operators import setsim
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_containment_flags,
+    )
+
+    words = [f"w{i}" for i in range(30)]
+
+    def doc(idx):
+        return " ".join(words[i] for i in idx)
+
+    containers = spark.createDataFrame(
+        [(i, doc(list(range(i % 3, 14 + i % 3)))) for i in range(0, 12, 2)],
+        ["doc_id", "text"],
+    )
+    cdir = str(tmp_path / "containers")
+    containers.write.parquet(cdir)
+    freq = setsim.token_freq_table(containers)
+    fdir = str(tmp_path / "freq")
+    freq.write.parquet(fdir)
+    sdir = str(tmp_path / "cstore")
+    setsim.containment_store(containers, freq).write.parquet(sdir)
+    base = setsim.measure_containment_cand_per_doc(
+        containers, setsim.load_containment_store(spark, sdir),
+        freq, threshold=0.6,
+    )
+    setsim.write_containment_store_params(
+        spark, sdir, shingle_k=3, baseline_cand_per_doc=base
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    flags = str(tmp_path / "flags")
+    ckpt = str(tmp_path / "ckpt")
+    probe1 = {101: doc(list(range(1, 15))), 103: doc(list(range(25, 29)))}
+    (indir / "a.tsv").write_text(
+        "".join(f"{i}\t{t}\n" for i, t in probe1.items())
+    )
+    metrics: list = []
+    streaming_containment_flags(
+        spark, str(indir), ckpt, flags, sdir, cdir, fdir,
+        threshold=0.6, metrics=metrics,
+    ).awaitTermination(120)
+    got1 = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    probe_df = spark.createDataFrame(
+        list(probe1.items()), ["doc_id", "text"]
+    )
+    want1 = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in setsim.containment_cross(
+            probe_df, containers, threshold=0.6
+        ).collect()
+    }
+    assert got1 == want1 and got1
+    assert len(metrics) == 1
+    assert metrics[0]["baseline_cand_per_doc"] == base
+    assert metrics[0]["stale"] is False
+
+    # restart: only the new file is probed; pooled equality holds
+    probe2 = {201: doc(list(range(3, 17)))}
+    (indir / "b.tsv").write_text(
+        "".join(f"{i}\t{t}\n" for i, t in probe2.items())
+    )
+    streaming_containment_flags(
+        spark, str(indir), ckpt, flags, sdir, cdir, fdir,
+        threshold=0.6, metrics=metrics,
+    ).awaitTermination(120)
+    all_probes = spark.createDataFrame(
+        list({**probe1, **probe2}.items()), ["doc_id", "text"]
+    )
+    got2 = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    want2 = {
+        (r["contained_id"], r["container_id"], r["containment"])
+        for r in setsim.containment_cross(
+            all_probes, containers, threshold=0.6
+        ).collect()
+    }
+    assert got2 == want2 and len(got2) > len(got1)
+    assert len(metrics) == 2
+
+    # width mismatch fails fast before the stream starts
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="containment store"):
+        streaming_containment_flags(
+            spark, str(indir), str(tmp_path / "ck2"), flags, sdir,
+            cdir, fdir, threshold=0.6, shingle_k=5,
+        )

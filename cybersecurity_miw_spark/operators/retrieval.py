@@ -207,6 +207,7 @@ def bm25_topk_batch(
     k1: float = 1.2,
     b: float = 0.75,
     max_broadcast_terms: int = 100_000,
+    max_broadcast_queries: int = 10_000,
 ) -> DataFrame:
     """BM25 top-``k`` for EVERY row of a query TABLE in one corpus
     pass — the lexical analog of
@@ -226,10 +227,15 @@ def bm25_topk_batch(
     beyond it: a term union that large stops being a filter and the
     caller should shard the query table); per-term df and per-doc tf
     are computed ONCE over that union and fan out to queries through
-    a broadcast (query_id, term) join. Corpus-scaled work is
-    independent of query count; per-query work is posting-bounded.
-    Per-query rank is a window over score rows — keyed by query_id,
-    so parallelism scales with the batch."""
+    a (query_id, term) join — broadcast up to
+    ``max_broadcast_queries`` query rows, a plain term-keyed shuffle
+    join above it (the :func:`~cybersecurity_miw_spark.operators.
+    similarity.ivf_topk_batch` routing contract: evaluation-scale
+    query tables must not hard-fail; the shuffled side is the
+    posting-bounded tf table, already keyed by term). Corpus-scaled
+    work is independent of query count; per-query work is
+    posting-bounded. Per-query rank is a window over score rows —
+    keyed by query_id, so parallelism scales with the batch."""
     qt = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -277,12 +283,21 @@ def bm25_topk_batch(
         )
     )
     term_u = F.floor(idf * tf_norm * 1e6 + 0.5).cast("long")
-    # bcast-bound: dft <= n_terms; stats = 1 row; qt <= queries x terms
+    n_q = queries.limit(max_broadcast_queries + 1).count()
+    if n_q <= max_broadcast_queries:
+        # bcast-bound: qt <= n_queries x n_terms distinct pairs,
+        #   both factors fenced (count check; max_broadcast_terms)
+        qt_side = F.broadcast(qt)
+    else:
+        # evaluation-scale query table: term-keyed shuffle join
+        # against the posting-bounded tf side instead of a broadcast
+        qt_side = qt
+    # bcast-bound: dft <= n_terms; stats = 1 row
     scored = (
         tf.join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(stats))
         .select(id_col, "term", term_u.alias("_tu"))
-        .join(F.broadcast(qt), "term")
+        .join(qt_side, "term")
         .groupBy("query_id", id_col)
         .agg(F.sum("_tu").alias("score_u"))
     )

@@ -338,3 +338,28 @@ def test_hybrid_batch_one_query_reproduces_single_ann_path(spark):
 
     per_q = Counter(r["query_id"] for r in out)
     assert set(per_q) == {1, 2, 3} and all(v == 4 for v in per_q.values())
+
+
+def test_bm25_batch_shuffle_route_equals_broadcast(spark):
+    """Above max_broadcast_queries the (query_id, term) fan-out joins
+    by term-keyed shuffle instead of broadcast — identical rows."""
+    docs = _rows(
+        spark,
+        [(i, f"zebra lion w{i} w{i % 3}") for i in range(10)],
+    )
+    queries = spark.createDataFrame(
+        [(0, ["zebra"]), (1, ["lion", "w1"]), (2, ["w0", "w2"])],
+        "query_id long, terms array<string>",
+    )
+    bcast = sorted(
+        map(tuple, retrieval.bm25_topk_batch(docs, queries, k=5).collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            retrieval.bm25_topk_batch(
+                docs, queries, k=5, max_broadcast_queries=2
+            ).collect(),
+        )
+    )
+    assert bcast == shuffled and bcast

@@ -583,6 +583,11 @@ IVF_EXPR_MAX_CELLS = 64
 # Arrow gather path takes over (same ranking, equality golden).
 RESIDUAL_ADC_EXPR_MAX_LOOKUPS = 64
 
+# distortion drifts far more gently than candidate volume (it is a
+# mean, not a join fan-out), so the rebuild threshold is tighter than
+# the setsim monitor's 4x
+DISTORTION_DEFAULT_FACTOR = 2.0
+
 # PQ codebook training: total multiply-adds (m × k × sub_dim) the
 # expression argmin may inline per row before janino's 64 KB method
 # limit makes every training iteration fall back to interpreted eval
@@ -1597,6 +1602,8 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
     scale: int = PQ_SCALE,
     residual: bool = False,
+    metrics: list | None = None,
+    staleness_factor: float = DISTORTION_DEFAULT_FACTOR,
 ) -> None:
     """Incremental ANN index maintenance — the similarity-search twin
     of the dedup stores: encode an arriving batch with the SAME
@@ -1612,9 +1619,195 @@ def append_to_ivf_index(
     retraining + rebuilding OFFLINE, then swapping directories
     (sources.maintain.rewrite_table's rename dance). Batch-equality
     with a from-scratch build over the pooled corpus is
-    golden-pinned."""
+    golden-pinned.
+
+    The ``_ivf_params.json`` sidecar guards the family: an append
+    whose quantizer fingerprint differs from the recorded one RAISES
+    instead of silently interleaving incomparable codes (the mixed
+    MinHash-family hazard class); a missing sidecar is written on
+    first append. Pass a list as ``metrics`` to monitor the staleness
+    trade itself: one :func:`distortion_report` per call — the
+    batch's mean assigned-centroid distortion vs the recorded
+    training-time baseline (record it at build time with
+    ``write_ivf_index_params(..., baseline_mean_d2=
+    measure_mean_assigned_d2(train_vecs, centroids))``; with no
+    baseline the first monitored append records its own), ``stale``
+    above ``staleness_factor`` × baseline."""
+    stored = read_ivf_index_params(new_vecs.sparkSession, index_dir)
+    fp = quantizer_fingerprint(centroids, codebooks, scale, residual)
+    if stored is not None and stored.get("quantizer") not in (None, fp):
+        raise ValueError(
+            f"ivf index at {index_dir} was built with quantizer "
+            f"{stored.get('quantizer')}; this append supplies {fp} — "
+            "codes from different quantizers are not comparable. "
+            "Rebuild the index or pass the original "
+            "centroids/codebooks."
+        )
+    baseline = (stored or {}).get("baseline_mean_d2")
+    if metrics is not None:
+        mean_d2 = measure_mean_assigned_d2(new_vecs, centroids, vec_col)
+        n = new_vecs.count()
+        if baseline is None and mean_d2 > 0:
+            baseline = mean_d2
+            write_ivf_index_params(
+                new_vecs.sparkSession, index_dir, centroids, codebooks,
+                scale, residual, baseline_mean_d2=baseline,
+            )
+            stored = {"quantizer": fp, "baseline_mean_d2": baseline}
+        metrics.append(
+            distortion_report(n, mean_d2, baseline, staleness_factor)
+        )
     idx = ivf_pq_index(
         new_vecs, centroids, codebooks,
         vec_col=vec_col, id_col=id_col, scale=scale, residual=residual,
     )
     idx.write.mode("append").partitionBy("_cell").parquet(index_dir)
+    if stored is None:
+        write_ivf_index_params(
+            new_vecs.sparkSession, index_dir, centroids, codebooks,
+            scale, residual,
+            baseline_mean_d2=baseline,
+        )
+
+
+def semantic_dedup_cells_auto(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+) -> DataFrame:
+    """:func:`semantic_dedup_cells` with the occupancy-constant cell
+    schedule applied automatically: train
+    :func:`suggested_cells`(n) centroids over the corpus (one count()
+    + the k-means rounds) and prune within cells. The turnkey form of
+    the documented contract — per-cell occupancy stays bounded as the
+    corpus grows, so the within-cell pair join never goes quadratic
+    (the frontier rule, SCALE.md r8/r12). Pass explicit centroids to
+    :func:`semantic_dedup_cells` to own the schedule or reuse a
+    trained quantizer."""
+    n = df.count()
+    cents = train_centroids(
+        df, suggested_cells(n), dim, vec_col=vec_col, iters=iters
+    )
+    return semantic_dedup_cells(df, cents, threshold, vec_col, id_col)
+
+
+# ---- IVF index sidecar: quantizer family guard + distortion monitor ----
+
+IVF_INDEX_PARAMS_FILE = "_ivf_params.json"
+
+
+def quantizer_fingerprint(
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    scale: int = PQ_SCALE,
+    residual: bool = False,
+) -> str:
+    """md5 of the full quantizer family (centroids + codebooks +
+    scale + residual flag). Two appends with different quantizers
+    produce codes that are NOT comparable — same silent-corruption
+    hazard class as mixed MinHash families, caught by the sidecar."""
+    import hashlib
+    import json
+
+    payload = json.dumps(
+        [centroids, codebooks, int(scale), bool(residual)],
+        separators=(",", ":"),
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
+def write_ivf_index_params(
+    spark,
+    index_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    scale: int = PQ_SCALE,
+    residual: bool = False,
+    baseline_mean_d2: float | None = None,
+) -> None:
+    """Record the quantizer fingerprint (and optionally the
+    training-time mean assigned-centroid distortion,
+    :func:`measure_mean_assigned_d2`) in a ``_ivf_params.json``
+    sidecar inside the index directory."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    params: dict = {
+        "quantizer": quantizer_fingerprint(
+            centroids, codebooks, scale, residual
+        )
+    }
+    if baseline_mean_d2 is not None:
+        params["baseline_mean_d2"] = float(baseline_mean_d2)
+    fsutil.write_text(
+        spark, f"{index_dir}/{IVF_INDEX_PARAMS_FILE}", json.dumps(params)
+    )
+
+
+def read_ivf_index_params(spark, index_dir: str) -> dict | None:
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{index_dir}/{IVF_INDEX_PARAMS_FILE}"
+    if not fsutil.exists(spark, path):
+        return None
+    return json.loads(fsutil.read_text(spark, path))
+
+
+def measure_mean_assigned_d2(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean squared L2 distance of each vector to its ASSIGNED coarse
+    centroid — the k-means objective per vector, the quantizer-quality
+    unit. Rising against the training-time baseline means the corpus
+    has drifted away from the frozen centroids: cell partitions blur,
+    probes miss, recall decays at fixed n_probes. Centroid lookup is
+    a constant-folded literal 2-D array (the residual-LUT lesson:
+    literals fold, only per-row expressions count against janino)."""
+    assigned = ivf_assign(df, centroids, vec_col)
+    cents2d = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cv = F.element_at(cents2d, F.col("_cell") + 1)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            cv,
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    row = assigned.select(F.avg(d2).alias("m")).head()
+    return float(row["m"]) if row["m"] is not None else 0.0
+
+
+def distortion_report(
+    n_vectors: int,
+    mean_assigned_d2: float,
+    baseline_mean_d2: float | None,
+    factor: float = DISTORTION_DEFAULT_FACTOR,
+) -> dict:
+    """Grade one append batch's quantizer fit against the
+    training-time baseline — the ANN twin of
+    ``setsim.staleness_report``. ``stale`` means the frozen
+    centroids no longer describe the arriving data; remediation is
+    the documented offline retrain + rebuild + directory swap
+    (:func:`append_to_ivf_index` contract)."""
+    ratio = (
+        mean_assigned_d2 / baseline_mean_d2 if baseline_mean_d2 else None
+    )
+    return {
+        "n_vectors": int(n_vectors),
+        "mean_assigned_d2": round(mean_assigned_d2, 6),
+        "baseline_mean_d2": baseline_mean_d2,
+        "staleness_ratio": round(ratio, 3) if ratio is not None else None,
+        "stale": bool(ratio is not None and ratio > factor),
+    }

@@ -1071,3 +1071,96 @@ def test_curate_documents_remove_span_hook(spark):
     for d in (1, 2):
         assert got[d]["removed_tokens"] > 0
         assert "common shared passage" not in got[d]["text"]
+
+
+def test_ivf_index_sidecar_guards_quantizer_family(spark, tmp_path):
+    """r12: the _ivf_params.json sidecar records the quantizer
+    fingerprint on first append; a later append with DIFFERENT
+    centroids raises instead of silently interleaving incomparable
+    codes (the mixed-MinHash-family hazard class)."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(5)
+    rows = [
+        (int(i), [float(x) for x in v]) for i, v in enumerate(rng.randn(60, 16))
+    ]
+    b1 = spark.createDataFrame(rows[:40], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    b2 = spark.createDataFrame(rows[40:], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.train_centroids(b1, n_cells=2, dim=16, iters=1)
+    books = similarity.static_pq_codebooks(16, 4, 8)
+    path = str(tmp_path / "idx")
+    similarity.append_to_ivf_index(b1, cents, books, path)
+    params = similarity.read_ivf_index_params(spark, path)
+    assert params["quantizer"] == similarity.quantizer_fingerprint(
+        cents, books
+    )
+    similarity.append_to_ivf_index(b2, cents, books, path)  # same: ok
+    other = [[c + 1.0 for c in cell] for cell in cents]
+    with pytest.raises(ValueError, match="quantizer"):
+        similarity.append_to_ivf_index(b2, other, books, path)
+    # residual flag is part of the family too
+    with pytest.raises(ValueError, match="quantizer"):
+        similarity.append_to_ivf_index(
+            b2, cents, books, path, residual=True
+        )
+
+
+def test_ivf_append_distortion_monitor_trips_on_drift(spark, tmp_path):
+    """r12: the quantizer-staleness monitor — first monitored append
+    records the baseline mean assigned-centroid distortion; an
+    in-distribution batch stays fresh; a drifted batch (vectors far
+    from every frozen centroid) trips ``stale``. The ANN twin of the
+    setsim candidates-per-doc monitor."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base_pts = rng.randn(80, 8)
+    rows = [
+        (int(i), [float(x) for x in v]) for i, v in enumerate(base_pts)
+    ]
+    b1 = spark.createDataFrame(rows[:40], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    b2 = spark.createDataFrame(rows[40:], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    drifted = spark.createDataFrame(
+        [
+            (1000 + int(i), [float(x) for x in (v + 40.0)])
+            for i, v in enumerate(rng.randn(30, 8))
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = similarity.train_centroids(b1, n_cells=2, dim=8, iters=2)
+    books = similarity.static_pq_codebooks(8, 4, 8)
+    path = str(tmp_path / "idx")
+    m: list = []
+    similarity.append_to_ivf_index(b1, cents, books, path, metrics=m)
+    similarity.append_to_ivf_index(b2, cents, books, path, metrics=m)
+    similarity.append_to_ivf_index(drifted, cents, books, path, metrics=m)
+    assert [r["stale"] for r in m] == [False, False, True], m
+    assert m[0]["staleness_ratio"] == 1.0  # first append IS the baseline
+    assert m[2]["staleness_ratio"] > 10  # far-drift batch
+    # baseline persisted: a fresh reader sees it
+    assert similarity.read_ivf_index_params(spark, path)[
+        "baseline_mean_d2"
+    ] == m[0]["baseline_mean_d2"]
+
+
+def test_semantic_dedup_cells_auto_drops_planted_dup(spark):
+    """The turnkey occupancy-constant cells variant: plants an exact
+    duplicate pair and an isolated vector; the higher-id twin is
+    dropped, the loner survives."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(30, 8)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)]
+    rows.append((100, rows[4][1]))  # exact duplicate of vec 4
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_cells_auto(
+            df, dim=8, threshold=0.99
+        ).collect()
+    }
+    assert 4 in out and 100 not in out
+    assert len(out) >= 28

@@ -607,3 +607,149 @@ def streaming_containment_flags(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_setsim_flags(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    flags_dir: str,
+    store_dir: str,
+    freq_dir: str,
+    history_dir: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    staleness_factor: float | None = None,
+) -> StreamingQuery:
+    """EXACT near-dup flags over a continuous ingest — the
+    zero-false-negative member of the streaming flag family
+    (LSH/semantic trade recall for cost; this one trades the prefix
+    join's larger-but-fenced candidate volume for exactness): each
+    micro-batch computes its prefix rows under the FROZEN token order,
+    joins them against the persisted prefix store, verifies exact
+    Jaccard ≥ threshold on candidate docs only
+    (:func:`~cybersecurity_miw_spark.operators.setsim.
+    incremental_ppjoin_pairs`), appends
+    (new_id, stored_id, jaccard) to ``flags_dir``, then appends its
+    own prefix rows to the store and its text to ``history_dir`` —
+    later batches see this batch as history through index rows; text
+    is read candidate-pruned only.
+
+    Self-bootstrapping: the FIRST trigger freezes the token order on
+    its own batch (token_freq_table → ``freq_dir``), builds the
+    store, records the creation-time candidates-per-doc baseline in
+    the ``_setsim_params.json`` sidecar, and flags its within-batch
+    pairs. Every later trigger reads the frozen order as-is. This is
+    exactly the frozen-order regime whose cost-staleness r11
+    measured: pass ``metrics`` to get the per-trigger
+    ``staleness_report`` against the recorded baseline (``stale``
+    above ``staleness_factor`` × it, default
+    setsim.STALENESS_DEFAULT_FACTOR) — rebuild offline under a fresh
+    order (maintain.rewrite_table) when it trips.
+
+    Within-batch pairs surface in the same trigger
+    (:func:`~cybersecurity_miw_spark.operators.setsim.ppjoin_pairs`
+    batch self-join, exact under its own order — the prefix lemma
+    needs no cross-batch order agreement for a self-join), keeping
+    the "every pair flagged exactly once, when its second member
+    arrives" family contract; drained flags equal the pooled
+    ``ppjoin_pairs`` over all ingested docs (golden)."""
+    from cybersecurity_miw_spark.operators.setsim import (
+        SETSIM_STORE_PARAMS_FILE,
+        STALENESS_DEFAULT_FACTOR,
+        incremental_ppjoin_pairs,
+        load_prefix_store,
+        measure_cand_per_doc,
+        ppjoin_pairs,
+        prefix_store,
+        read_prefix_store_baseline,
+        token_freq_table,
+        write_prefix_store_params,
+    )
+    from cybersecurity_miw_spark import fsutil
+
+    # fail fast on a family mismatch BEFORE any batch runs
+    params_path = f"{store_dir}/{SETSIM_STORE_PARAMS_FILE}"
+    if fsutil.exists(spark, params_path):
+        load_prefix_store(spark, store_dir, threshold, shingle_k)
+    factor = (
+        staleness_factor
+        if staleness_factor is not None
+        else STALENESS_DEFAULT_FACTOR
+    )
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cache_mark = release_mark()
+        try:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            within = ppjoin_pairs(
+                batch_df, threshold=threshold, shingle_k=shingle_k
+            ).select(
+                F.col("id_b").alias("new_id"),
+                F.col("id_a").alias("stored_id"),
+                "jaccard",
+            )
+            has_store = fsutil.exists(sess, params_path)
+            if has_store:
+                store = load_prefix_store(
+                    sess, store_dir, threshold, shingle_k
+                )
+                freq = sess.read.parquet(freq_dir)
+                hist = sess.read.parquet(history_dir)
+                cross = incremental_ppjoin_pairs(
+                    batch_df, hist, store, freq,
+                    threshold=threshold, shingle_k=shingle_k,
+                    metrics=metrics,
+                    baseline_cand_per_doc=read_prefix_store_baseline(
+                        sess, store_dir
+                    ),
+                    staleness_factor=factor,
+                )
+                flags = cross.unionByName(within)
+            else:
+                # first trigger: freeze the order on this batch
+                freq = token_freq_table(
+                    batch_df, shingle_k=shingle_k
+                ).localCheckpoint(eager=True)
+                freq.write.mode("overwrite").parquet(freq_dir)
+                flags = within
+            flags.write.mode("append").parquet(flags_dir)
+            # append AFTER the store join: this batch must not be its
+            # own history (the LSH loop's ordering discipline)
+            prefix_store(
+                batch_df, freq, threshold=threshold, shingle_k=shingle_k
+            ).write.mode("append").parquet(store_dir)
+            batch_df.write.mode("append").parquet(history_dir)
+            if not has_store:
+                base = measure_cand_per_doc(
+                    batch_df,
+                    sess.read.parquet(store_dir),
+                    freq,
+                    threshold=threshold,
+                    shingle_k=shingle_k,
+                )
+                write_prefix_store_params(
+                    sess, store_dir, threshold, shingle_k,
+                    baseline_cand_per_doc=base or None,
+                )
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -605,3 +605,83 @@ def test_containment_flags_match_pooled_cross_and_resume(spark, tmp_path):
             spark, str(indir), str(tmp_path / "ck2"), flags, sdir,
             cdir, fdir, threshold=0.6, shingle_k=5,
         )
+
+
+def test_setsim_flags_exact_across_runs_with_monitor(spark, tmp_path):
+    """Streaming EXACT near-dup flags (streaming_setsim_flags): the
+    first trigger freezes the token order, builds the store, and
+    records the staleness baseline; a second run flags cross-run
+    pairs against the persisted prefix index with a metrics report;
+    drained flags equal the pooled ppjoin_pairs over everything
+    ingested — zero false negatives, exact jaccard values."""
+    from cybersecurity_miw_spark.operators import setsim
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_setsim_flags,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+
+    def doc(idx):
+        return " ".join(words[i] for i in idx)
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "pstore")
+    freqd = str(tmp_path / "freq")
+    hist = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = {
+        1: doc(list(range(0, 14))),
+        2: doc(list(range(0, 15))),   # within-batch near-dup of 1
+        3: doc(list(range(25, 39))),
+    }
+    (indir / "a.tsv").write_text(
+        "".join(f"{i}\t{t}\n" for i, t in batch1.items())
+    )
+    metrics: list = []
+    streaming_setsim_flags(
+        spark, str(indir), ckpt, flags, store, freqd, hist,
+        threshold=0.5, metrics=metrics,
+    ).awaitTermination(120)
+    got1 = {
+        (r["new_id"], r["stored_id"], r["jaccard"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert any(n == 2 and s == 1 for n, s, _ in got1)
+    assert metrics == []  # first trigger has no store join
+    base = setsim.read_prefix_store_baseline(spark, store)
+    assert base and base > 0  # within-batch pair -> nonzero baseline
+
+    batch2 = {
+        10: doc(list(range(1, 15))),  # cross-run near-dup of 1/2
+        11: doc(list(range(20, 25))),
+    }
+    (indir / "b.tsv").write_text(
+        "".join(f"{i}\t{t}\n" for i, t in batch2.items())
+    )
+    streaming_setsim_flags(
+        spark, str(indir), ckpt, flags, store, freqd, hist,
+        threshold=0.5, metrics=metrics,
+    ).awaitTermination(120)
+    assert len(metrics) == 1
+    assert metrics[0]["baseline_cand_per_doc"] == base
+    assert metrics[0]["stale"] is False
+
+    # drained flags == pooled exact pairs over everything ingested
+    all_docs = spark.createDataFrame(
+        list({**batch1, **batch2}.items()), ["doc_id", "text"]
+    )
+    pooled = {
+        frozenset((r["id_a"], r["id_b"])): r["jaccard"]
+        for r in setsim.ppjoin_pairs(all_docs, threshold=0.5).collect()
+    }
+    streamed = {
+        frozenset((n, s)): j
+        for n, s, j in {
+            (r["new_id"], r["stored_id"], r["jaccard"])
+            for r in spark.read.parquet(flags).collect()
+        }
+    }
+    assert streamed == pooled and len(pooled) >= 2

@@ -834,6 +834,11 @@ def incremental_ppjoin_candidates(
     )
     return (
         pref_n.join(pref_s, "tok")
+        # a doc is never a pair with itself: a streaming replay that
+        # re-probes a batch against its own partially-appended store
+        # rows (at-least-once recovery) must not emit (x, x) flags —
+        # the r11 semantic-loop lesson, applied to the whole family
+        .filter(F.col("new_id") != F.col("stored_id"))
         .filter(
             F.lit(1000) * F.least("sz_n", "sz_s")
             >= F.lit(t_pm) * F.greatest("sz_n", "sz_s")
@@ -1072,6 +1077,10 @@ def _incremental_containment_cand(
     )
     return (
         pref_n.join(full_s, "tok")
+        # self-pair guard: a replayed batch probing its own
+        # partially-appended store rows must not emit (x, x) —
+        # containment_pairs applies the same filter on the self-join
+        .filter(F.col("contained_id") != F.col("container_id"))
         .filter(F.lit(1000) * F.col("sz_b") >= F.lit(t_pm) * F.col("sz_a"))
         .groupBy("contained_id", "container_id", "sz_a", "sz_b")
         .agg(

@@ -656,7 +656,13 @@ def streaming_setsim_flags(
     needs no cross-batch order agreement for a self-join), keeping
     the "every pair flagged exactly once, when its second member
     arrives" family contract; drained flags equal the pooled
-    ``ppjoin_pairs`` over all ingested docs (golden)."""
+    ``ppjoin_pairs`` over all ingested docs (golden).
+
+    Replay caveat (the family's standard at-least-once note): the
+    store/history appends run before the checkpoint commits, so a
+    foreachBatch retry can duplicate flag rows and store rows —
+    dedupe downstream on the pair key; (x, x) self-pairs are guarded
+    out inside the candidate join itself."""
     from cybersecurity_miw_spark.operators.setsim import (
         SETSIM_STORE_PARAMS_FILE,
         STALENESS_DEFAULT_FACTOR,

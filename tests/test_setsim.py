@@ -694,3 +694,25 @@ def test_incremental_containment_drifted_probe_still_exact(spark):
         ).collect()
     }
     assert inc == pooled
+
+
+def test_incremental_probes_never_emit_self_pairs(spark):
+    """Replay safety across the whole incremental family (the r11
+    semantic-loop lesson): probing a batch against a store containing
+    the batch's OWN rows must not emit (x, x) pairs — from either the
+    Jaccard or the containment candidate stage."""
+    rows = [(i, _doc(list(range(i % 3, 12 + i % 3)))) for i in range(8)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    freq = setsim.token_freq_table(docs)
+    pstore = setsim.prefix_store(docs, freq, threshold=0.5)
+    jac = setsim.incremental_ppjoin_pairs(
+        docs, docs, pstore, freq, threshold=0.5
+    ).collect()
+    assert jac and all(r["new_id"] != r["stored_id"] for r in jac)
+    cstore = setsim.containment_store(docs, freq)
+    cont = setsim.incremental_containment_pairs(
+        docs, docs, cstore, freq, threshold=0.6
+    ).collect()
+    assert cont and all(
+        r["contained_id"] != r["container_id"] for r in cont
+    )

@@ -388,21 +388,46 @@ def embedding_bucket_store(
 
 
 def write_semantic_store_params(
-    spark, store_dir: str, dim: int, n_planes: int = 4
+    spark,
+    store_dir: str,
+    dim: int,
+    n_planes: int = 4,
+    baseline_cand_per_doc: float | None = None,
 ) -> None:
     """Record an embedding bucket store's (dim, n_planes) in a
     sidecar — the semantic twin of ``write_band_store_params``:
     buckets from different plane families never collide, so a
-    mismatched join silently yields zero candidates."""
+    mismatched join silently yields zero candidates. The optional
+    ``baseline_cand_per_doc`` is the ingest monitor's reference
+    point (store-pair candidates per batch doc at creation), exactly
+    as in the other store sidecars."""
     import json
 
     from cybersecurity_miw_spark import fsutil
 
+    params: dict = {"dim": dim, "n_planes": n_planes}
+    if baseline_cand_per_doc is not None:
+        params["baseline_cand_per_doc"] = float(baseline_cand_per_doc)
     fsutil.write_text(
         spark,
         f"{store_dir}/{SEMANTIC_STORE_PARAMS_FILE}",
-        json.dumps({"dim": dim, "n_planes": n_planes}),
+        json.dumps(params),
     )
+
+
+def read_semantic_store_baseline(spark, store_dir: str) -> float | None:
+    """The ingest-monitor baseline recorded in an embedding bucket
+    store's sidecar, or None."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{SEMANTIC_STORE_PARAMS_FILE}"
+    if not fsutil.exists(spark, path):
+        return None
+    stored = json.loads(fsutil.read_text(spark, path))
+    v = stored.get("baseline_cand_per_doc")
+    return float(v) if v is not None else None
 
 
 def load_embedding_bucket_store(
@@ -418,9 +443,12 @@ def load_embedding_bucket_store(
     if fsutil.exists(spark, path):
         stored = json.loads(fsutil.read_text(spark, path))
         params = {"dim": dim, "n_planes": n_planes}
-        if stored != params:
+        # family keys only: monitoring keys (baseline_cand_per_doc)
+        # are advisory and must not fail a same-family load
+        family = {k: v for k, v in stored.items() if k in params}
+        if family != params:
             raise ValueError(
-                f"semantic store at {store_dir} was built with {stored}; "
+                f"semantic store at {store_dir} was built with {family}; "
                 f"this query supplies {params} — mixed hyperplane "
                 "families never match. Rebuild the store or pass the "
                 "stored parameters."

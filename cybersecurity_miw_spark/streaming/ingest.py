@@ -396,6 +396,8 @@ def streaming_semantic_flags(
     threshold: float = 0.85,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    staleness_factor: float | None = None,
 ) -> StreamingQuery:
     """The SEMANTIC half of the continuous ingest loop — the
     embedding sibling of :func:`streaming_near_dup_flags`, completing
@@ -427,7 +429,17 @@ def streaming_semantic_flags(
     rows — duplicate store rows and duplicate flag pairs are possible
     under at-least-once recovery (dedupe downstream on
     (new_id, stored_id)); self-pairs are guarded out inside
-    :func:`incremental_semantic_pairs`."""
+    :func:`incremental_semantic_pairs`.
+
+    Pass a list as ``metrics`` for the family's ingest monitor: each
+    store-joined trigger appends a ``setsim.staleness_report`` over
+    store-pair rows per batch doc (Observation on the store-join
+    subtree — counted while the flags sink writes), baseline
+    auto-recorded into ``_semdedup_params.json`` on the first
+    store-joined trigger with pairs. A hot hyperplane bucket (the
+    occupancy channel ``suggested_planes`` bounds by schedule)
+    inflates this ratio; ``stale`` above ``staleness_factor`` ×
+    baseline (default setsim.STALENESS_DEFAULT_FACTOR)."""
     from cybersecurity_miw_spark.operators.similarity import (
         SEMANTIC_STORE_PARAMS_FILE,
         cosine_near_dup_lsh,
@@ -444,10 +456,13 @@ def streaming_semantic_flags(
         import json
 
         stored = json.loads(fsutil.read_text(spark, params_path))
-        if stored != {"dim": dim, "n_planes": n_planes}:
+        family = {
+            k: v for k, v in stored.items() if k in ("dim", "n_planes")
+        }
+        if family != {"dim": dim, "n_planes": n_planes}:
             raise ValueError(
                 f"semantic store at {vec_store_dir} was built with "
-                f"{stored}; this stream supplies dim={dim}, "
+                f"{family}; this stream supplies dim={dim}, "
                 f"n_planes={n_planes} — mixed hyperplane families never "
                 "match. Rebuild the store or pass the stored parameters."
             )
@@ -482,14 +497,49 @@ def streaming_semantic_flags(
                 has_store = True
             except Exception:
                 has_store = False
+            obs = None
             if has_store:
                 cross = incremental_semantic_pairs(
                     vecs, store, threshold, dim, n_planes
                 )
+                if metrics is not None:
+                    from pyspark.sql import Observation
+
+                    obs = Observation()
+                    cross = cross.observe(
+                        obs, F.count(F.lit(1)).alias("n_store_pairs")
+                    )
                 flags = cross.unionByName(within).distinct()
             else:
                 flags = within
             flags.write.mode("append").parquet(flags_dir)
+            if obs is not None:
+                from cybersecurity_miw_spark.operators import setsim
+                from cybersecurity_miw_spark.operators.similarity import (
+                    read_semantic_store_baseline,
+                )
+
+                n_docs = vecs.count()  # cached checkpoint
+                n_pairs = obs.get["n_store_pairs"]
+                baseline = read_semantic_store_baseline(
+                    sess, vec_store_dir
+                )
+                if baseline is None and n_docs > 0 and n_pairs > 0:
+                    baseline = n_pairs / n_docs
+                    write_semantic_store_params(
+                        sess, vec_store_dir, dim, n_planes,
+                        baseline_cand_per_doc=baseline,
+                    )
+                metrics.append(
+                    setsim.staleness_report(
+                        n_pairs,
+                        n_docs,
+                        baseline,
+                        staleness_factor
+                        if staleness_factor is not None
+                        else setsim.STALENESS_DEFAULT_FACTOR,
+                    )
+                )
             bucketed.write.mode("append").parquet(vec_store_dir)
             if not fsutil.exists(sess, params_path):
                 write_semantic_store_params(

@@ -685,3 +685,53 @@ def test_setsim_flags_exact_across_runs_with_monitor(spark, tmp_path):
         }
     }
     assert streamed == pooled and len(pooled) >= 2
+
+
+def test_semantic_flags_metrics_and_baseline(spark, tmp_path):
+    """The semantic ingest loop's monitor (r12): first store-joined
+    trigger with pairs records the baseline into the sidecar; the
+    report rides the Observation on the store-join subtree."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+    from cybersecurity_miw_spark.operators.similarity import (
+        SEMANTIC_STORE_PARAMS_FILE,
+    )
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_semantic_flags,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "vstore")
+    ckpt = str(tmp_path / "ckpt")
+    base = " ".join(f"tok{i}" for i in range(30))
+    metrics: list = []
+    (indir / "a.tsv").write_text(f"1\t{base}\n2\tother words only here\n")
+    streaming_semantic_flags(
+        spark, str(indir), ckpt, flags, store,
+        dim=16, n_planes=2, threshold=0.9, metrics=metrics,
+    ).awaitTermination(120)
+    assert metrics == []  # no store on the first trigger
+
+    # doc 10 = word-bag reorder of doc 1: identical hashed embedding
+    (indir / "b.tsv").write_text(
+        f"10\t{' '.join(reversed(base.split()))}\n"
+    )
+    streaming_semantic_flags(
+        spark, str(indir), ckpt, flags, store,
+        dim=16, n_planes=2, threshold=0.9, metrics=metrics,
+    ).awaitTermination(120)
+    assert len(metrics) == 1 and metrics[0]["n_candidates"] >= 1
+    assert metrics[0]["stale"] is False
+    sidecar = json.loads(
+        fsutil.read_text(spark, f"{store}/{SEMANTIC_STORE_PARAMS_FILE}")
+    )
+    assert sidecar["baseline_cand_per_doc"] == metrics[0]["cand_per_doc"]
+    assert sidecar["dim"] == 16 and sidecar["n_planes"] == 2
+    got = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert (10, 1) in got

@@ -106,6 +106,10 @@ PLAINDOC_QUERY_NAMES = [
     # r12: the ANN dense branch (IVF probe-pruned) — same corpus
     # variant so brute-vs-ann reads off the same 10x postings/vectors
     "hybrid_rrf_ann_topk_docs",
+    # r12: batched retrieval — one corpus pass per branch regardless
+    # of query count; plaindoc for the same real-postings rationale
+    "bm25_topk_batch_docs",
+    "hybrid_rrf_batch_docs",
 ]
 
 # r11: embedding-family queries run against DIMENSION-ROTATED 10x

@@ -237,6 +237,16 @@ MAX_EXCHANGES = {
     # to the corpus — uniform keys throughout (17 textual fresh with
     # the staged subtree re-printed, +2 headroom)
     "semantic_dedup_survivors": 19,
+    # r12 store-backed incremental containment: the catalog fixture
+    # builds freq + the full-token store INLINE (production reads
+    # parquet), so the container shingle pipeline re-prints under
+    # every consumer — 26 textual for ~8 real shuffles (+4 headroom);
+    # the real-store plan is pinned by the two-batch append golden
+    "incremental_containment_vs_store": 30,
+    # r12 cluster-atomic SemDeDup: the CC rounds run behind eager
+    # localCheckpoints, so the printed plan is only the final
+    # anti-join lineage (3 fresh, +2 headroom)
+    "semantic_dedup_clusters": 5,
 }
 
 
@@ -310,6 +320,25 @@ def test_hybrid_rrf_bnlj_is_only_the_one_row_stats_cross(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # lex stats cross (AQE may print both forms)
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 16
+
+
+@pytest.mark.parametrize(
+    "name,max_exch",
+    [
+        # r12 retrieval family: each carries exactly the ONE 1-row
+        # stats-cross BNLJ of its BM25 branch (the q22 pattern) —
+        # ann dense branch 7 exch, batched bm25 14, batched hybrid 20
+        # measured fresh, +3 headroom each
+        ("hybrid_rrf_ann_topk_docs", 10),
+        ("bm25_topk_batch_docs", 17),
+        ("hybrid_rrf_batch_docs", 23),
+    ],
+)
+def test_r12_retrieval_bnlj_is_only_the_stats_cross(spark, name, max_exch):
+    plan = _plan(spark, name)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, name
+    assert "CartesianProduct" not in plan, name
+    assert plan.count("Exchange") <= max_exch, name
 
 
 def test_frame_ann_single_decode_subtree(spark):

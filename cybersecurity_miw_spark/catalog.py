@@ -5460,6 +5460,87 @@ LEFT JOIN hits h ON d.doc_id = h.doc_id
 """
 
 
+# Full decontamination battery, one verdict per EVAL doc (r12): the
+# oracle recomputes all four signals relationally — fingerprint
+# EXISTS, thresholded all-pairs max-Jaccard and max-containment, and
+# the train-shingle-set overlap count — algorithm-blind relative to
+# the Spark side's prefix-filter joins.
+_CONTAMINATION_REPORT_SQL = f"""
+WITH shingled AS ({{shingles}}),
+ev AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 5 = 0),
+tr AS (SELECT doc_id, sh FROM shingled WHERE doc_id % 5 <> 0),
+fp AS (SELECT doc_id, {{fp}} AS f FROM documents),
+exact AS (
+  SELECT e.doc_id FROM fp e WHERE e.doc_id % 5 = 0
+    AND EXISTS (SELECT 1 FROM fp t WHERE t.doc_id % 5 <> 0 AND t.f = e.f)
+),
+jac AS (
+  SELECT e.doc_id,
+         max(round(len(list_intersect(e.sh, t.sh))::DOUBLE /
+             greatest(len(list_distinct(e.sh || t.sh)), 1), 6)) AS mj
+  FROM ev e JOIN tr t
+    ON 1000 * len(list_intersect(e.sh, t.sh))
+       >= 500 * len(list_distinct(e.sh || t.sh))
+  GROUP BY 1
+),
+cont AS (
+  SELECT e.doc_id,
+         max(round(len(list_intersect(e.sh, t.sh))::DOUBLE /
+             greatest(len(e.sh), 1), 6)) AS mc
+  FROM ev e JOIN tr t
+    ON len(e.sh) > 0
+       AND 1000 * len(list_intersect(e.sh, t.sh)) >= 600 * len(e.sh)
+  GROUP BY 1
+),
+tsh AS (SELECT DISTINCT unnest(sh) AS s FROM tr),
+ng AS (
+  SELECT x.doc_id, count(DISTINCT x.s) AS n
+  FROM (SELECT doc_id, unnest(sh) AS s FROM ev) x
+  JOIN tsh ON x.s = tsh.s
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       (d.doc_id IN (SELECT doc_id FROM exact)) AS exact_dup,
+       round(coalesce(j.mj, 0.0), 6) AS max_jaccard,
+       round(coalesce(c.mc, 0.0), 6) AS max_containment,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS ngram_overlap,
+       ((d.doc_id IN (SELECT doc_id FROM exact))
+        OR coalesce(j.mj, 0) > 0
+        OR coalesce(c.mc, 0) > 0
+        OR coalesce(n.n, 0) >= 50) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN jac j ON d.doc_id = j.doc_id
+LEFT JOIN cont c ON d.doc_id = c.doc_id
+LEFT JOIN ng n ON d.doc_id = n.doc_id
+"""
+
+
+@register(
+    "contamination_report_eval",
+    _CONTAMINATION_REPORT_SQL.format(shingles=_SHINGLES_SQL, fp=_FP_SQL),
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One verdict row per eval doc across the full decontamination
+    battery (operators/dedup.py:contamination_report): exact
+    fingerprint, max exact Jaccard ≥ 0.5, max exact containment
+    ≥ 0.6, and train-shingle overlap count — the audit artifact that
+    answers "which of my eval items leak into this corpus, and how".
+    min_ngram_overlap=50 at 3-shingles makes the verdict column
+    non-vacuous on this corpus (shared trigrams are ubiquitous; 1
+    would flag everything — production runs use ngram_k=5+, where a
+    single hit is already meaningful). Eval = doc_id % 5 == 0 (the
+    decontamination family's split);
+    every signal exact and eval-centric, the train corpus never
+    cross-joined."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    return dedup.contamination_report(
+        train, ev, shingle_k=3, jaccard_threshold=0.5,
+        containment_threshold=0.6, ngram_k=3, min_ngram_overlap=50,
+    )
+
+
 @register("eval_ngram_overlap_flags", _NGRAM_OVERLAP_SQL)
 def q_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-train-doc eval n-gram overlap counts

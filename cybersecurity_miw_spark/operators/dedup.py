@@ -1743,3 +1743,105 @@ def remove_duplicated_spans(
             ),
         )
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    containment_threshold: float = 0.6,
+    ngram_k: int = 5,
+    min_ngram_overlap: int = 1,
+) -> DataFrame:
+    """One verdict row PER EVAL DOC across the full decontamination
+    battery — the audit artifact a benchmark owner actually wants
+    ("which of my eval items leak into this corpus, and how"):
+
+    * ``exact_dup`` — normalized-text fingerprint present in train
+      (catches texts too short to shingle);
+    * ``max_jaccard`` — strongest symmetric near-dup against any
+      train doc at ≥ ``jaccard_threshold`` (exact prefix-filter join,
+      zero false negatives; 0.0 = none above threshold);
+    * ``max_containment`` — strongest |eval ∩ train| / |eval| at ≥
+      ``containment_threshold`` (the quoted-excerpt channel Jaccard
+      dilutes away);
+    * ``ngram_overlap`` — count of the eval doc's distinct
+      ``ngram_k``-shingles that appear ANYWHERE in train (the
+      GPT-3-style substring check, no pairing required);
+    * ``contaminated`` — any signal fired (n-gram at ≥
+      ``min_ngram_overlap``).
+
+    Every signal is eval-centric and exact; each is computed by the
+    corresponding first-class operator's plan (fingerprint semi-join;
+    :func:`~cybersecurity_miw_spark.operators.setsim.ppjoin_cross`;
+    :func:`~cybersecurity_miw_spark.operators.setsim.
+    containment_cross`; the :func:`flag_eval_ngram_overlap` join with
+    the roles swapped), so the report costs what the individual
+    checks cost — the train corpus is never cross-joined, and the
+    eval side stays the small side of every join."""
+    from cybersecurity_miw_spark.operators import setsim
+
+    eval_ids = eval_df.select(id_col)
+
+    train_fps = train.select(
+        fingerprint(F.col(text_col)).alias("_fp")
+    ).distinct()
+    exact = (
+        eval_df.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+        )
+        .join(train_fps, "_fp", "semi")
+        .select(id_col, F.lit(True).alias("exact_dup"))
+    )
+
+    jac = (
+        setsim.ppjoin_cross(
+            eval_df, train, text_col, id_col,
+            threshold=jaccard_threshold, shingle_k=shingle_k,
+        )
+        .groupBy(F.col("id_l").alias(id_col))
+        .agg(F.max("jaccard").alias("max_jaccard"))
+    )
+
+    cont = (
+        setsim.containment_cross(
+            eval_df, train, text_col, id_col,
+            threshold=containment_threshold, shingle_k=shingle_k,
+        )
+        .groupBy(F.col("contained_id").alias(id_col))
+        .agg(F.max("containment").alias("max_containment"))
+    )
+
+    # roles swapped: flag EVAL docs against the train shingle set
+    ngram = flag_eval_ngram_overlap(
+        eval_df, train, shingle_k=ngram_k,
+        text_col=text_col, id_col=id_col,
+    ).select(id_col, F.col("n_overlap").alias("ngram_overlap"))
+
+    out = (
+        eval_ids.join(exact, id_col, "left")
+        .join(jac, id_col, "left")
+        .join(cont, id_col, "left")
+        .join(ngram, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.round(
+                F.coalesce("max_jaccard", F.lit(0.0)), 6
+            ).alias("max_jaccard"),
+            F.round(
+                F.coalesce("max_containment", F.lit(0.0)), 6
+            ).alias("max_containment"),
+            F.coalesce("ngram_overlap", F.lit(0)).alias("ngram_overlap"),
+        )
+    )
+    return out.withColumn(
+        "contaminated",
+        F.col("exact_dup")
+        | (F.col("max_jaccard") > 0)
+        | (F.col("max_containment") > 0)
+        | (F.col("ngram_overlap") >= min_ngram_overlap),
+    )

@@ -153,7 +153,7 @@ def cosine_near_dup_lsh(
     df: DataFrame,
     threshold: float,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -161,7 +161,12 @@ def cosine_near_dup_lsh(
     the blocking key (high-cosine pairs land in the same bucket with
     probability (1 − θ/π)^n_planes), exact cosine confirm WITHIN each
     bucket. The self-join shuffles on the uniform bucket id — never
-    all-pairs. Recall is tuned by lowering n_planes."""
+    all-pairs. Recall is tuned by lowering n_planes;
+    ``n_planes=None`` applies the occupancy-constant schedule
+    (:func:`suggested_planes` over a count) so the within-bucket pair
+    join stays linear as the corpus grows."""
+    if n_planes is None:
+        n_planes = suggested_planes(df.count())
     # norm precomputed per vector (rides the persisted projection);
     # the n²-ish pair stage evaluates only the dot
     bucketed = staged(
@@ -241,7 +246,7 @@ def semantic_dedup(
     df: DataFrame,
     dim: int,
     threshold: float = 0.85,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -264,7 +269,8 @@ def semantic_dedup(
 
     100 TB: bucket self-join (uniform key) + one anti-join on the
     removed-id set — both shuffle-bounded by near-dup density, never
-    by corpus²."""
+    by corpus². ``n_planes=None`` applies the occupancy-constant
+    schedule (:func:`suggested_planes`)."""
     pairs = cosine_near_dup_lsh(
         df, threshold, dim, n_planes, vec_col, id_col
     )
@@ -276,7 +282,7 @@ def semantic_dedup_clusters(
     df: DataFrame,
     dim: int,
     threshold: float = 0.85,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:

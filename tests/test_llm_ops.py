@@ -1164,3 +1164,64 @@ def test_semantic_dedup_cells_auto_drops_planted_dup(spark):
     }
     assert 4 in out and 100 not in out
     assert len(out) >= 28
+
+
+def test_contamination_report_signals_fire_independently(spark):
+    """r12: the per-eval-doc battery — each planted leakage shape
+    fires exactly its own signals: verbatim copy (exact + all set
+    signals), word-substitution near-dup (jaccard + containment),
+    short excerpt quoted inside a long train doc (containment high,
+    jaccard diluted below threshold), shared-phrase-only overlap
+    (n-gram count only), and a clean doc (nothing)."""
+    words = [f"w{i}" for i in range(60)]
+
+    def doc(idx):
+        return " ".join(words[i] for i in idx)
+
+    long_train = doc(list(range(0, 50)))
+    train = spark.createDataFrame(
+        [
+            (1, long_train),
+            (2, doc(list(range(50, 60)) + list(range(0, 4)))),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [
+            (100, long_train),                       # verbatim copy
+            (101, doc(list(range(0, 45)) + [55] * 5)),  # near-dup of 1
+            (102, doc(list(range(10, 18)))),         # excerpt of 1
+            (103, doc([0, 1, 2] + list(range(30, 34))) + " zzz qqq"),
+            (104, "completely disjoint fresh vocabulary entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    rep = {
+        r["doc_id"]: r
+        for r in dedup.contamination_report(
+            train, ev, shingle_k=3, jaccard_threshold=0.8,
+            containment_threshold=0.9, ngram_k=3, min_ngram_overlap=2,
+        ).collect()
+    }
+    assert rep[100]["exact_dup"] and rep[100]["max_jaccard"] == 1.0
+    assert rep[100]["max_containment"] == 1.0 and rep[100]["contaminated"]
+
+    assert not rep[101]["exact_dup"]
+    assert rep[101]["max_jaccard"] >= 0.8 and rep[101]["contaminated"]
+
+    # the excerpt: fully contained, but Jaccard vs the long doc is
+    # ~6/48 — far under the 0.8 threshold, so the jaccard signal
+    # stays 0 while containment reads 1.0
+    assert rep[102]["max_containment"] == 1.0
+    assert rep[102]["max_jaccard"] == 0.0
+    assert rep[102]["contaminated"] and not rep[102]["exact_dup"]
+
+    # phrase-level overlap only: a few shared trigrams, no doc-level
+    # signal at these thresholds
+    assert rep[103]["max_jaccard"] == 0.0
+    assert rep[103]["max_containment"] == 0.0
+    assert rep[103]["ngram_overlap"] >= 2 and rep[103]["contaminated"]
+
+    assert not rep[104]["contaminated"]
+    assert rep[104]["ngram_overlap"] == 0
+    assert set(rep) == {100, 101, 102, 103, 104}  # one row per eval doc

@@ -311,3 +311,27 @@ def test_semantic_dedup_clusters_keeps_one_per_component(spark):
         ).collect()
     }
     assert 7 in out2
+
+
+def test_n_planes_none_applies_suggested_schedule(spark):
+    """n_planes=None routes through suggested_planes: at tiny n the
+    schedule clamps to 1 plane, so a planted chain that straddles one
+    hyperplane at 2 planes is still fully found (the 1-plane bucket
+    holds everything) — behavioral proof the auto schedule engaged."""
+    base = [1.0] * DIM
+    near = [2.0] * DIM
+    df = _emb(spark, [(1, base), (2, near)])
+    auto = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, dim=DIM, threshold=0.99, n_planes=None
+        ).collect()
+    }
+    assert auto == {1}
+    clusters = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_clusters(
+            df, dim=DIM, threshold=0.99, n_planes=None
+        ).collect()
+    }
+    assert clusters == {1}

@@ -7708,15 +7708,19 @@ _DRIVER_WINDOW = [
     # (ann_pq_adc_topk — the residual-ADC null-element guard changed
     # both scoring paths' plans; ann_ivf_topk_batch — gained the
     # above-cap shuffle route; incremental_semantic_vs_store — gained
-    # the new_id != stored_id replay guard) + the THREE new r12
+    # the new_id != stored_id replay guard) + ALL SIX new r12
     # oracles (hybrid_rrf_ann_topk_docs, incremental_containment_vs_
-    # store, semantic_dedup_clusters), displacing the three
-    # longest-green r5-cohort veterans quote_strip_trim / time_buckets
-    # / url_retemplate (P-family keeps tokenize_typed_projection,
-    # kv_evtx_explode, and date_buckets in-window; everything rotated
-    # out stays full-hash green in tests/test_oracle_parity.py every
-    # round). The rest of the r11 window holds — its members were all
-    # re-rowed only last round.
+    # store, semantic_dedup_clusters, bm25_topk_batch_docs,
+    # hybrid_rrf_batch_docs, contamination_report_eval), displacing
+    # the six longest-green r5-cohort veterans quote_strip_trim /
+    # time_buckets / url_retemplate / match_exact_or / wc_wordcount /
+    # embedding_l2_normalize (each family keeps in-window siblings:
+    # P keeps tokenize_typed_projection + kv_evtx_explode +
+    # date_buckets, F keeps negative/substring/semi, §2.8 keeps five
+    # apps, embeddings keep quantize + the ANN/semantic rows;
+    # everything rotated out stays full-hash green in
+    # tests/test_oracle_parity.py every round). The rest of the r11
+    # window holds — its members were all re-rowed only last round.
     "miw_events_summary",
     # --- changed-code anchors (r10-r12) ---
     "tpch_q18_large_volume_customer",
@@ -7728,13 +7732,13 @@ _DRIVER_WINDOW = [
     "hybrid_rrf_ann_topk_docs",
     "incremental_containment_vs_store",
     "semantic_dedup_clusters",
+    "bm25_topk_batch_docs",
+    "hybrid_rrf_batch_docs",
+    "contamination_report_eval",
     "kv_evtx_explode",
-    "match_exact_or",
     "match_negative_exact",
     "semi_join_membership",
-    "wc_wordcount",
     "raw_content_retention",
-    "embedding_l2_normalize",
     "embedding_quantize_int8",
     # --- last row round 6 ---
     "date_buckets",

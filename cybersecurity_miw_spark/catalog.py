@@ -2076,6 +2076,71 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk_batch(docs, queries, k=10)
 
 
+# Two-stage retrieve -> rerank (r12): BM25 pool + pluggable
+# cross-encoder rerank. The registered "fake" scorer is
+# integer-exact BY DESIGN (overlap·2³² + md5-prefix — <2⁵³ so the
+# double is lossless), which is what lets a DuckDB twin exist for a
+# "model" score; a real ONNX/torch scorer slots into SCORERS and is
+# covered by the same plumbing (Arrow batches, per-batch local
+# top-k).
+_RERANK_SQL = """
+WITH w AS (
+  SELECT doc_id, str_split_regex(lower(trim(text)), '\\s+') AS ws
+  FROM documents
+),
+d AS (SELECT doc_id, len(ws) AS dl, ws FROM w),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+tok AS (SELECT doc_id, dl, unnest(ws) AS term FROM d),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM tok WHERE term IN ('table', 'join', 'window')
+  GROUP BY 1, 2, 3
+),
+dft AS (SELECT term, count(*) AS dft FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ln(1 + (stats.n_docs - dft.dft + 0.5) / (dft.dft + 0.5))
+           * (tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+           * 1000000.0 + 0.5) AS BIGINT) AS tu
+  FROM tf JOIN dft USING (term) CROSS JOIN stats
+),
+lex AS (
+  SELECT doc_id, CAST(sum(tu) AS BIGINT) AS score_u FROM terms GROUP BY 1
+  ORDER BY score_u DESC, doc_id LIMIT 50
+),
+scored AS (
+  SELECT p.doc_id, l.score_u,
+         (len(list_intersect(
+             list_distinct(str_split_regex(lower(trim(p.text)), '\\s+')),
+             ['table', 'join', 'window'])) * 4294967296
+          + ('0x' || substr(md5(p.text), 1, 8))::BIGINT)::DOUBLE
+           AS rerank_score
+  FROM documents p JOIN lex l ON p.doc_id = l.doc_id
+)
+SELECT doc_id, score_u, rerank_score
+FROM scored ORDER BY rerank_score DESC, doc_id LIMIT 10
+"""
+
+
+@register("retrieve_rerank_topk_docs", _RERANK_SQL)
+def q_retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (operators/retrieval.py:retrieve_and_rerank):
+    BM25 pool-50 in one posting-disciplined corpus pass, candidate
+    text fetched by a pool-bounded semi-join, cross-encoder rerank to
+    the top-10 inside mapInPandas (Arrow batches, per-batch local
+    top-k). The fake scorer is integer-exact so the oracle recomputes
+    it relationally; a real model scorer reuses the identical
+    plumbing."""
+    from cybersecurity_miw_spark.operators import retrieval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.retrieve_and_rerank(
+        docs, ["table", "join", "window"], k=10, pool=50
+    )
+
+
 # Batched hybrid RRF (r12): bm25_topk_batch + ivf_topk_batch fused
 # per query. Dense branch = the ann_ivf_topk_batch seed geometry
 # (4 seed centroids, 2 probes, query vecs = embeddings 0..2); lex
@@ -7711,10 +7776,12 @@ _DRIVER_WINDOW = [
     # the new_id != stored_id replay guard) + ALL SIX new r12
     # oracles (hybrid_rrf_ann_topk_docs, incremental_containment_vs_
     # store, semantic_dedup_clusters, bm25_topk_batch_docs,
-    # hybrid_rrf_batch_docs, contamination_report_eval), displacing
-    # the six longest-green r5-cohort veterans quote_strip_trim /
-    # time_buckets / url_retemplate / match_exact_or / wc_wordcount /
-    # embedding_l2_normalize (each family keeps in-window siblings:
+    # hybrid_rrf_batch_docs, contamination_report_eval,
+    # retrieve_rerank_topk_docs), displacing the seven longest-green
+    # r5-cohort veterans quote_strip_trim / time_buckets /
+    # url_retemplate / match_exact_or / wc_wordcount /
+    # embedding_l2_normalize / embedding_quantize_int8
+    # (each family keeps in-window siblings:
     # P keeps tokenize_typed_projection + kv_evtx_explode +
     # date_buckets, F keeps negative/substring/semi, §2.8 keeps five
     # apps, embeddings keep quantize + the ANN/semantic rows;
@@ -7735,11 +7802,11 @@ _DRIVER_WINDOW = [
     "bm25_topk_batch_docs",
     "hybrid_rrf_batch_docs",
     "contamination_report_eval",
+    "retrieve_rerank_topk_docs",
     "kv_evtx_explode",
     "match_negative_exact",
     "semi_join_membership",
     "raw_content_retention",
-    "embedding_quantize_int8",
     # --- last row round 6 ---
     "date_buckets",
     "match_substring_or",

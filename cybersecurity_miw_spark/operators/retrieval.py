@@ -416,3 +416,125 @@ def hybrid_rrf_topk_batch(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+# ---- cross-encoder rerank: the second retrieval stage ----------------------
+#
+# The standard production pipeline is retrieve (BM25 / dense / hybrid,
+# pool-deep) -> cross-encoder rerank the pool. The model itself is
+# pluggable (no ML runtime in this environment — the multimodal
+# DECODERS pattern): scorers take (query, list[str]) and return one
+# float per text, and run Arrow-batched inside mapInPandas so a real
+# ONNX/torch session loads once per executor, not per row.
+
+from typing import Callable
+
+
+def _fake_scorer(query: str, texts: list) -> list:
+    """Deterministic stand-in for a cross-encoder: distinct-token
+    overlap count with the query (a real lexical signal, so rankings
+    are meaningful in tests), tie-broken by a stable content hash —
+    score = n_overlap · 2³² + first-8-hex(md5(text)). Integer-exact
+    (< 2⁵³, so the double carries it losslessly) and reproducible in
+    SQL, which is what lets the rows-for-rows DuckDB oracle exist
+    for a "model" score."""
+    import hashlib
+
+    q = set(query.lower().split())
+    out = []
+    for t in texts:
+        toks = set((t or "").lower().split())
+        h = int(hashlib.md5((t or "").encode()).hexdigest()[:8], 16)
+        out.append(float(len(q & toks) * 4294967296 + h))
+    return out
+
+
+def _real_scorer(query: str, texts: list) -> list:
+    raise NotImplementedError(
+        "no cross-encoder runtime (torch/onnxruntime) in this "
+        "environment; register one in SCORERS to enable — it will be "
+        "called with (query, batch_of_texts) inside each Arrow batch"
+    )
+
+
+SCORERS: dict[str, Callable] = {
+    "fake": _fake_scorer,
+    "real": _real_scorer,
+}
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    query: str,
+    k: int = 10,
+    scorer: str = "fake",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-encoder rerank of a retrieval pool: score every
+    candidate against ``query`` with the registered ``scorer`` and
+    return the top ``k`` by (score desc, id asc). Returns
+    (id, rerank_score); real scorers return model floats as-is.
+
+    100 TB shape: this stage is POOL-BOUNDED by contract — feed it
+    `bm25_topk` / `hybrid_rrf_topk` output joined back to text, never
+    a corpus. The scorer runs in mapInPandas (Arrow batches, one
+    model session per executor via lazy init in a real scorer);
+    per-batch local top-k caps the Arrow transfer at k rows per
+    batch, and the global TakeOrdered sees ≤ k × n_batches rows —
+    the `_residual_adc_arrow` discipline."""
+    import pandas as pd
+
+    score_fn = SCORERS[scorer]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            scores = score_fn(query, list(pdf[text_col]))
+            out = pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "rerank_score": [float(s) for s in scores],
+                }
+            )
+            yield out.sort_values(
+                ["rerank_score", id_col], ascending=[False, True]
+            ).head(k)
+
+    scored = candidates.select(id_col, text_col).mapInPandas(
+        score, f"{id_col} long, rerank_score double"
+    )
+    return scored.orderBy(
+        F.desc("rerank_score"), F.asc(id_col)
+    ).limit(k)
+
+
+def retrieve_and_rerank(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    pool: int = 50,
+    scorer: str = "fake",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The two-stage pipeline in one call: BM25 retrieves a
+    ``pool``-deep candidate list (one posting-disciplined corpus
+    pass), candidate TEXT is fetched by a pool-bounded semi-join, and
+    the cross-encoder reranks the pool to the final top ``k``.
+    Returns (id, score_u, rerank_score) — the first-stage score rides
+    along for score-fusion or debugging."""
+    lex = bm25_topk(
+        docs, query_terms, k=pool, text_col=text_col, id_col=id_col
+    )
+    pool_docs = docs.join(lex.select(id_col), id_col, "semi").select(
+        id_col, text_col
+    )
+    reranked = rerank_topk(
+        pool_docs, " ".join(query_terms), k=k,
+        scorer=scorer, text_col=text_col, id_col=id_col,
+    )
+    return reranked.join(lex, id_col, "left").select(
+        id_col, "score_u", "rerank_score"
+    )

@@ -363,3 +363,51 @@ def test_bm25_batch_shuffle_route_equals_broadcast(spark):
         )
     )
     assert bcast == shuffled and bcast
+
+
+def test_rerank_pool_bounded_and_deterministic(spark):
+    """rerank_topk: overlap-dominant ranking (a doc sharing 2 query
+    tokens outranks any 1-token doc regardless of hash tiebreak),
+    stable tie order, identical across runs, and the registered
+    "real" scorer fails loudly instead of silently faking."""
+    docs = _rows(
+        spark,
+        [
+            (0, "zebra lion here"),        # 2 overlaps
+            (1, "zebra only text"),        # 1 overlap
+            (2, "lion only words"),        # 1 overlap
+            (3, "nothing relevant at all"),
+        ],
+    )
+    out = retrieval.rerank_topk(docs, "zebra lion", k=4).collect()
+    assert out[0]["doc_id"] == 0
+    assert {r["doc_id"] for r in out[1:3]} == {1, 2}
+    assert out[3]["doc_id"] == 3
+    again = retrieval.rerank_topk(docs, "zebra lion", k=4).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+    with pytest.raises(Exception, match="cross-encoder runtime"):
+        retrieval.rerank_topk(docs, "zebra", k=2, scorer="real").collect()
+
+
+def test_retrieve_and_rerank_pool_then_model_order(spark):
+    """The two-stage pipeline: stage 1 (BM25, pool=2) bounds
+    membership — a doc outside the lexical pool can NEVER appear,
+    however well the reranker would score it; stage 2 orders the
+    survivors by the model score, which may disagree with BM25."""
+    long_pad = " ".join(f"pad{i}" for i in range(40))
+    docs = _rows(
+        spark,
+        [
+            (0, "zebra zebra zebra filler"),   # strong single-term bm25
+            (1, "zebra lion"),                 # both terms, rerank best
+            (2, "zebra " + long_pad),          # weak: 1 term, long doc
+            (3, "unrelated content"),
+        ],
+    )
+    out = retrieval.retrieve_and_rerank(
+        docs, ["zebra", "lion"], k=2, pool=2
+    ).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids and 3 not in ids     # pool bound is hard
+    assert ids[0] == 1                       # 2-token overlap wins rerank
+    assert all(r["score_u"] is not None for r in out)

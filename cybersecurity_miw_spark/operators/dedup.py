@@ -707,9 +707,12 @@ def load_simhash_band_store(
     if fsutil.exists(spark, path):
         stored = json.loads(fsutil.read_text(spark, path))
         params = {"band_bits": band_bits, "hash_fn": hash_fn}
-        if stored != params:
+        # family keys only: monitoring keys (baseline_cand_per_doc)
+        # are advisory and must not fail a same-family load
+        family = {k: v for k, v in stored.items() if k in params}
+        if family != params:
             raise ValueError(
-                f"simhash store at {store_dir} was built with {stored}; "
+                f"simhash store at {store_dir} was built with {family}; "
                 f"this query supplies {params} — mixed SimHash families "
                 "never match. Rebuild the store or pass the stored "
                 "parameters."
@@ -742,6 +745,9 @@ def incremental_simhash_candidates(
     sb = band_store.withColumnRenamed(id_col, "stored_id")
     return (
         nb.join(sb, on=["band", "val"])
+        # replay guard (family-wide, r12): no (x, x) self-pairs when a
+        # batch re-probes its own partially-appended store rows
+        .filter(F.col("new_id") != F.col("stored_id"))
         .select("new_id", "stored_id")
         .distinct()
     )
@@ -1023,6 +1029,9 @@ def incremental_lsh_candidates(
         sb = sb.join(ok, on=["band", "band_hash"], how="left_semi")
     return (
         nb.join(sb, on=["band", "band_hash"])
+        # replay guard (family-wide, r12): a batch re-probing its own
+        # partially-appended store rows must not emit (x, x)
+        .filter(F.col("new_id") != F.col("stored_id"))
         .select("new_id", "stored_id")
         .distinct()
     )

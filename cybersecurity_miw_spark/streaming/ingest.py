@@ -809,3 +809,143 @@ def streaming_setsim_flags(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_simhash_flags(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    flags_dir: str,
+    band_store_dir: str,
+    band_bits: int = 16,
+    hash_fn: str = "xxhash64",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    staleness_factor: float | None = None,
+) -> StreamingQuery:
+    """SimHash near-dup flags over a continuous ingest — the last
+    batch store family to get its streaming loop (exact/MinHash/
+    semantic/exact-setsim/containment already have theirs): each
+    micro-batch computes its Hamming-band rows, joins them against
+    the PERSISTED SimHash index, appends (new_id, stored_id)
+    candidate pairs to ``flags_dir``, and appends its own band rows
+    to the store. Within-batch candidates surface in the same trigger
+    (batch band self-join), keeping the "every pair flagged exactly
+    once, when its second member arrives" contract; the
+    ``_simhash_params.json`` sidecar fails a restart with a different
+    (band_bits, hash_fn) family fast. SimHash trades MinHash's
+    shingle-set Jaccard for bit-level cosine-ish similarity at 4-5
+    small int rows per doc — the cheapest of the store families per
+    stored row, the usual choice when index size dominates.
+
+    ``metrics`` attaches the family's ingest monitor: store
+    candidates per batch doc vs a baseline auto-recorded on the
+    first store-joined trigger with candidates (stale above
+    ``staleness_factor`` × it). Replay caveat as the other loops:
+    appends precede the checkpoint commit, so at-least-once recovery
+    can duplicate flag/store rows (never lose); self-pairs are
+    guarded in :func:`~cybersecurity_miw_spark.operators.dedup.
+    incremental_simhash_candidates`'s join."""
+    import json
+
+    from cybersecurity_miw_spark.operators.dedup import (
+        SIMHASH_STORE_PARAMS_FILE,
+        incremental_simhash_candidates,
+        simhash_band_store,
+        simhash_dedup_candidates,
+        write_simhash_store_params,
+    )
+    from cybersecurity_miw_spark.operators import setsim
+    from cybersecurity_miw_spark import fsutil
+
+    params_path = f"{band_store_dir}/{SIMHASH_STORE_PARAMS_FILE}"
+    if fsutil.exists(spark, params_path):
+        stored = json.loads(fsutil.read_text(spark, params_path))
+        family = {
+            k: v for k, v in stored.items()
+            if k in ("band_bits", "hash_fn")
+        }
+        if family != {"band_bits": band_bits, "hash_fn": hash_fn}:
+            raise ValueError(
+                f"simhash store at {band_store_dir} was built with "
+                f"{family}; this stream supplies band_bits={band_bits}, "
+                f"hash_fn={hash_fn} — mixed SimHash families never "
+                "match. Rebuild the store or pass the stored parameters."
+            )
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cache_mark = release_mark()
+        try:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            within = simhash_dedup_candidates(
+                batch_df, band_bits=band_bits, hash_fn=hash_fn
+            ).select(
+                F.col("id_b").alias("new_id"),
+                F.col("id_a").alias("stored_id"),
+            )
+            has_store = fsutil.exists(sess, params_path)
+            n_cand = None
+            if has_store:
+                store = sess.read.parquet(band_store_dir)
+                cross = incremental_simhash_candidates(
+                    batch_df, store, band_bits=band_bits, hash_fn=hash_fn
+                )
+                if metrics is not None:
+                    # candidates ARE the flags here (no verify stage),
+                    # so the checkpoint that makes the count cheap is
+                    # also reused by the union below — one
+                    # materialization serves both
+                    cross = cross.localCheckpoint(eager=True)
+                    n_cand = cross.count()
+                flags = cross.unionByName(within).distinct()
+            else:
+                flags = within
+            flags.write.mode("append").parquet(flags_dir)
+            if n_cand is not None:
+                n_docs = batch_df.count()  # cached checkpoint
+                stored = json.loads(
+                    fsutil.read_text(sess, params_path)
+                )
+                baseline = stored.get("baseline_cand_per_doc")
+                if baseline is None and n_docs > 0 and n_cand > 0:
+                    baseline = n_cand / n_docs
+                    stored["baseline_cand_per_doc"] = baseline
+                    fsutil.write_text(
+                        sess, params_path, json.dumps(stored)
+                    )
+                metrics.append(
+                    setsim.staleness_report(
+                        n_cand,
+                        n_docs,
+                        baseline,
+                        staleness_factor
+                        if staleness_factor is not None
+                        else setsim.STALENESS_DEFAULT_FACTOR,
+                    )
+                )
+            simhash_band_store(
+                batch_df, band_bits=band_bits, hash_fn=hash_fn
+            ).write.mode("append").parquet(band_store_dir)
+            if not fsutil.exists(sess, params_path):
+                write_simhash_store_params(
+                    sess, band_store_dir, band_bits, hash_fn
+                )
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

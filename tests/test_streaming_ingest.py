@@ -735,3 +735,61 @@ def test_semantic_flags_metrics_and_baseline(spark, tmp_path):
         for r in spark.read.parquet(flags).collect()
     }
     assert (10, 1) in got
+
+
+def test_simhash_flags_within_and_across_runs_with_monitor(spark, tmp_path):
+    """SimHash streaming flags (the last store family's loop):
+    within-run pairs flag immediately, a later run's near-dup flags
+    against the persisted band index, the family sidecar guards
+    restarts, and the monitor records its baseline on the first
+    store-joined trigger with candidates."""
+    import pytest as _pytest
+
+    from cybersecurity_miw_spark.operators import dedup as _dedup
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_simhash_flags,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "shstore")
+    ckpt = str(tmp_path / "ckpt")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    metrics: list = []
+    (indir / "a.tsv").write_text(
+        f"1\t{base}\n"
+        f"2\t{base} extra\n"
+        "3\tcompletely different unrelated content entirely\n"
+    )
+    streaming_simhash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=metrics
+    ).awaitTermination(120)
+    got1 = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert (2, 1) in got1 and metrics == []
+
+    (indir / "b.tsv").write_text(
+        f"10\t{base}\n"  # verbatim dup of 1: all bands match
+        "11\tanother totally unrelated document here\n"
+    )
+    streaming_simhash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=metrics
+    ).awaitTermination(120)
+    got2 = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert any(n == 10 and s in (1, 2) for n, s in got2)
+    assert len(metrics) == 1 and metrics[0]["stale"] is False
+    # baseline persisted into the family sidecar; same-family load ok
+    loaded = _dedup.load_simhash_band_store(spark, store)
+    assert {r["doc_id"] for r in loaded.collect()} == {1, 2, 3, 10, 11}
+    # family mismatch fails fast before the stream starts
+    with _pytest.raises(ValueError, match="simhash store"):
+        streaming_simhash_flags(
+            spark, str(indir), str(tmp_path / "ck2"), flags, store,
+            hash_fn="md5_60",
+        )

@@ -1806,10 +1806,15 @@ def measure_mean_assigned_d2(
     a constant-folded literal 2-D array (the residual-LUT lesson:
     literals fold, only per-row expressions count against janino)."""
     assigned = ivf_assign(df, centroids, vec_col)
-    cents2d = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    # expr-string construction (the with_signature lesson): building
+    # n_cells × dim Column literals costs seconds of py4j at 512×64;
+    # one SQL string parses JVM-side in milliseconds and the literal
+    # array constant-folds identically
+    cents_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(repr(float(x)) for x in c)
+        for c in centroids
     )
-    cv = F.element_at(cents2d, F.col("_cell") + 1)
+    cv = F.element_at(F.expr(cents_sql), F.col("_cell") + 1)
     d2 = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"),

@@ -1225,3 +1225,23 @@ def test_contamination_report_signals_fire_independently(spark):
     assert not rep[104]["contaminated"]
     assert rep[104]["ngram_overlap"] == 0
     assert set(rep) == {100, 101, 102, 103, 104}  # one row per eval doc
+
+
+def test_band_store_probes_never_emit_self_pairs(spark):
+    """Replay safety for the band-store families (r12, completing the
+    setsim/semantic guard set): probing a batch against stores
+    containing the batch's OWN rows yields no (x, x) pairs from
+    either the MinHash or the SimHash candidate join."""
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " + str(i))
+            for i in range(6)
+        ],
+        ["doc_id", "text"],
+    )
+    lsh_store = dedup.lsh_band_store(docs)
+    lsh = dedup.incremental_lsh_candidates(docs, lsh_store).collect()
+    assert lsh and all(r["new_id"] != r["stored_id"] for r in lsh)
+    sh_store = dedup.simhash_band_store(docs)
+    sh = dedup.incremental_simhash_candidates(docs, sh_store).collect()
+    assert sh and all(r["new_id"] != r["stored_id"] for r in sh)

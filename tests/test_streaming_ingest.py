@@ -793,3 +793,15 @@ def test_simhash_flags_within_and_across_runs_with_monitor(spark, tmp_path):
             spark, str(indir), str(tmp_path / "ck2"), flags, store,
             hash_fn="md5_60",
         )
+
+    # template burst: many verbatim copies of the stored template ->
+    # candidates per doc far above the recorded baseline -> stale
+    (indir / "c.tsv").write_text(
+        "".join(f"{100 + i}\t{base}\n" for i in range(10))
+    )
+    streaming_simhash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=metrics,
+        staleness_factor=2.5,  # burst lands at 3x the 1.0 baseline
+    ).awaitTermination(120)
+    assert len(metrics) == 2 and metrics[1]["stale"] is True, metrics
+    assert metrics[1]["staleness_ratio"] == 3.0

@@ -34,6 +34,7 @@ def curate_documents(
     semantic_threshold: float | None = None,
     semantic_planes: int | None = None,
     embedding_dim: int = 64,
+    metrics: list | None = None,
 ) -> DataFrame:
     """Run the standard curation chain; returns the surviving rows of
     ``df`` with the (possibly PII-redacted) text under ``text_col``
@@ -65,6 +66,15 @@ def curate_documents(
     (SCALE.md r11: fixed planes ratio 0.32 at 10× vs 0.12 scaled).
     Pass an int to own the schedule explicitly.
 
+    ``metrics``: pass a list to get the curation FUNNEL — one
+    ``{'stage', 'n_in', 'n_out', 'n_dropped'}`` dict per enabled
+    stage, the report that answers "where did my corpus go". When
+    enabled, each stage's output is localCheckpoint'ed so every stage
+    computes exactly once and each count reads the cached frame (the
+    streaming-ingest metrics discipline) — the monitored run trades
+    ~one materialization per stage for the visibility; the default
+    unmonitored plan stays fully lazy.
+
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
     (dedup.fingerprint_store schema) — the exact-dedup stage then
@@ -75,38 +85,71 @@ def curate_documents(
     from cybersecurity_miw_spark.operators import corpus_filters, dedup, textstats
 
     out = df
+    n_prev = None
+    if metrics is not None:
+        out = out.localCheckpoint(eager=True)
+        n_prev = out.count()
+
+    def _record(stage: str, new_out: DataFrame) -> DataFrame:
+        nonlocal n_prev
+        if metrics is None:
+            return new_out
+        new_out = new_out.localCheckpoint(eager=True)
+        n = new_out.count()
+        metrics.append({
+            "stage": stage,
+            "n_in": n_prev,
+            "n_out": n,
+            "n_dropped": n_prev - n,
+        })
+        n_prev = n
+        return new_out
+
     if apply_gopher:
         flags = corpus_filters.gopher_flags(
             out, text_col=text_col, **(gopher_kwargs or {})
         )
-        out = out.join(
-            flags.filter(F.col("keep")).select(id_col), id_col
+        out = _record(
+            "gopher",
+            out.join(flags.filter(F.col("keep")).select(id_col), id_col),
         )
     if redact_pii:
         scrubbed = corpus_filters.pii_redact(
             out, text_col=text_col, out_col="_clean", keep=(id_col,)
         )
-        out = (
+        out = _record(
+            "pii_redact",
             out.drop(text_col)
             .join(scrubbed.select(id_col, "_clean"), id_col)
-            .withColumnRenamed("_clean", text_col)
+            .withColumnRenamed("_clean", text_col),
         )
     out = textstats.profile(out, text_col=text_col)
     if quality_floor is not None:
-        out = out.filter(F.col("quality") >= quality_floor)
+        out = _record(
+            "quality_floor", out.filter(F.col("quality") >= quality_floor)
+        )
     if fingerprint_store is not None:
-        out = dedup.dedup_against_store(
-            out, fingerprint_store, text_col=text_col, id_col=id_col
+        out = _record(
+            "exact_dedup_vs_store",
+            dedup.dedup_against_store(
+                out, fingerprint_store, text_col=text_col, id_col=id_col
+            ),
         )
     else:
-        out = dedup.exact_dedup(out, text_col=text_col, id_col=id_col)
+        out = _record(
+            "exact_dedup",
+            dedup.exact_dedup(out, text_col=text_col, id_col=id_col),
+        )
     if near_dup_threshold is not None:
-        out = dedup.near_dedup_clusters(
-            out,
-            text_col=text_col,
-            id_col=id_col,
-            threshold=near_dup_threshold,
-            max_bucket_width=max_bucket_width,
+        out = _record(
+            "near_dedup",
+            dedup.near_dedup_clusters(
+                out,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=near_dup_threshold,
+                max_bucket_width=max_bucket_width,
+            ),
         )
     if semantic_threshold is not None:
         from cybersecurity_miw_spark.operators import similarity
@@ -129,7 +172,9 @@ def curate_documents(
         # semi-join would drop it even though it has no semantic
         # duplicate. Docs with no embedding row can never be removed.
         removed = vecs.select(id_col).join(keep, id_col, "anti")
-        out = out.join(removed, id_col, "anti")
+        out = _record(
+            "semantic_dedup", out.join(removed, id_col, "anti")
+        )
     if remove_span_k is not None:
         spans = dedup.duplicated_ngram_spans(
             out, k=remove_span_k, id_col=id_col, text_col=text_col

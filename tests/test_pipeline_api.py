@@ -161,3 +161,44 @@ def test_curate_semantic_stage_keeps_wordless_docs(spark):
         ).select("doc_id").collect()
     )
     assert kept == [1, 2]
+
+
+def test_curate_metrics_funnel(spark):
+    """metrics=[...]: one {stage, n_in, n_out, n_dropped} per enabled
+    stage, the funnel consistent end-to-end (each stage's n_in equals
+    the previous n_out; the final n_out equals the returned row
+    count) and identical survivors to the unmonitored run."""
+    rows = [
+        (1, " ".join(f"tok{i}" for i in range(40))),
+        (2, " ".join(f"tok{i}" for i in range(40))),       # exact dup of 1
+        (3, " ".join(f"tok{i}" for i in range(1, 41))),    # near-dup-ish
+        (4, "zz " * 3),                                    # low quality
+        (5, " ".join(f"aa{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kwargs = dict(near_dup_threshold=0.5, semantic_threshold=0.95)
+    m: list = []
+    monitored = sorted(
+        r["doc_id"]
+        for r in pipeline.curate_documents(
+            df, metrics=m, **kwargs
+        ).select("doc_id").collect()
+    )
+    plain = sorted(
+        r["doc_id"]
+        for r in pipeline.curate_documents(df, **kwargs)
+        .select("doc_id").collect()
+    )
+    assert monitored == plain
+    stages = [r["stage"] for r in m]
+    assert stages == [
+        "gopher", "pii_redact", "quality_floor", "exact_dedup",
+        "near_dedup", "semantic_dedup",
+    ]
+    for prev, cur in zip(m, m[1:]):
+        assert cur["n_in"] == prev["n_out"]
+    assert m[0]["n_in"] == 5
+    assert m[-1]["n_out"] == len(monitored)
+    assert all(r["n_dropped"] == r["n_in"] - r["n_out"] for r in m)
+    exact = next(r for r in m if r["stage"] == "exact_dedup")
+    assert exact["n_dropped"] >= 1  # the planted verbatim dup

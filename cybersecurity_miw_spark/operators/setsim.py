@@ -1213,3 +1213,102 @@ def measure_containment_cand_per_doc(
     ).filter(F.col("contained_id") != F.col("container_id"))
     n_docs = probe_docs.count()
     return cand.count() / max(n_docs, 1)
+
+
+def rebuild_prefix_store(
+    spark,
+    corpus: DataFrame,
+    store_dir: str,
+    freq_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> dict:
+    """The staleness monitor's remediation as ONE call (docs/
+    MONITORING.md step 1-3): recompute the token order over the
+    CURRENT corpus, rebuild the prefix index under it, re-measure the
+    creation baseline (self-probe, identical-id pairs excluded), and
+    publish store (+ frozen order, when ``freq_dir`` is given — the
+    streaming loop's layout) atomically over the live directories
+    (maintain.publish_table's temp-dir + rename dance; run in the
+    same single-writer window compaction wants anyway). The stale
+    sidecar is replaced, not carried — a rebuilt store with the old
+    baseline would re-trip immediately. Returns
+    {'rows', 'baseline_cand_per_doc'}; correctness is unchanged by
+    construction (any frozen order is exact), only candidate volume
+    resets to the fresh-order level."""
+    from cybersecurity_miw_spark.sources.maintain import publish_table
+
+    freq = token_freq_table(
+        corpus, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+    ).localCheckpoint(eager=True)
+    store = prefix_store(
+        corpus, freq, text_col=text_col, id_col=id_col,
+        threshold=threshold, shingle_k=shingle_k,
+    )
+    rows = publish_table(spark, store, store_dir, keep_sidecars=False)
+    if freq_dir is not None:
+        publish_table(spark, freq, freq_dir, keep_sidecars=False)
+    baseline = measure_cand_per_doc(
+        corpus,
+        spark.read.parquet(store_dir),
+        freq,
+        text_col=text_col,
+        id_col=id_col,
+        threshold=threshold,
+        shingle_k=shingle_k,
+    )
+    write_prefix_store_params(
+        spark, store_dir, threshold, shingle_k,
+        baseline_cand_per_doc=baseline or None,
+    )
+    return {"rows": rows, "baseline_cand_per_doc": baseline}
+
+
+def rebuild_containment_store(
+    spark,
+    containers: DataFrame,
+    store_dir: str,
+    freq_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    baseline_probe: DataFrame | None = None,
+    baseline_threshold: float = 0.8,
+) -> dict:
+    """Containment twin of :func:`rebuild_prefix_store`: fresh
+    container-side order, full-token index rebuilt and published
+    atomically, sidecar re-recorded. The baseline needs a PROBE
+    corpus (eval batches probe a containment store; the containers
+    probing themselves is not the operating shape) — pass a
+    representative batch as ``baseline_probe``, or omit it to leave
+    the baseline unset until the first monitored run records one."""
+    from cybersecurity_miw_spark.sources.maintain import publish_table
+
+    freq = token_freq_table(
+        containers, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+    ).localCheckpoint(eager=True)
+    store = containment_store(
+        containers, freq, text_col=text_col, id_col=id_col,
+        shingle_k=shingle_k,
+    )
+    rows = publish_table(spark, store, store_dir, keep_sidecars=False)
+    if freq_dir is not None:
+        publish_table(spark, freq, freq_dir, keep_sidecars=False)
+    baseline = None
+    if baseline_probe is not None:
+        baseline = measure_containment_cand_per_doc(
+            baseline_probe,
+            spark.read.parquet(store_dir),
+            freq,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=baseline_threshold,
+            shingle_k=shingle_k,
+        )
+    write_containment_store_params(
+        spark, store_dir, shingle_k=shingle_k,
+        baseline_cand_per_doc=baseline or None,
+    )
+    return {"rows": rows, "baseline_cand_per_doc": baseline}

@@ -162,3 +162,52 @@ def rewrite_table(
         "rows_before": rows_before,
         "rows_after": rows_after,
     }
+
+
+def publish_table(
+    spark: SparkSession,
+    df,
+    table_dir: str,
+    target_files: int = 1,
+    keep_sidecars: bool = True,
+) -> int:
+    """Atomically REPLACE ``table_dir``'s data with ``df`` — the same
+    temp-dir + rename dance (and the same brief-absence honesty) as
+    :func:`rewrite_table`, but taking the new contents from a
+    DataFrame instead of transforming the old ones. The store-rebuild
+    primitive: the staleness remediations recompute a frozen artifact
+    from CURRENT data and need to publish the result over the live
+    directory without readers ever seeing a half-written copy.
+    ``keep_sidecars=False`` drops the old ``_``-prefixed sidecars
+    (the rebuild case — the caller re-records fresh params/baselines
+    afterwards; keeping a stale baseline would defeat the rebuild).
+    Returns the row count written. First-publish (no existing dir)
+    degrades to a plain write."""
+    parent, name = os.path.split(os.path.normpath(table_dir))
+    if not os.path.exists(table_dir):
+        df.coalesce(target_files).write.parquet(table_dir)
+        return spark.read.parquet(table_dir).count()
+    stage_root = os.path.join(parent, ".maintenance")
+    tmp_dir = os.path.join(stage_root, name + ".tmp")
+    old_dir = os.path.join(stage_root, name + ".old")
+    for d in (tmp_dir, old_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_dir)
+    rows = spark.read.parquet(tmp_dir).count()
+    os.rename(table_dir, old_dir)
+    os.rename(tmp_dir, table_dir)
+    if keep_sidecars:
+        for f in os.listdir(old_dir):
+            if (
+                f.startswith("_")
+                and f != "_SUCCESS"
+                and not f.endswith(".crc")
+            ):
+                shutil.move(
+                    os.path.join(old_dir, f), os.path.join(table_dir, f)
+                )
+    shutil.rmtree(old_dir)
+    if os.path.exists(stage_root) and not os.listdir(stage_root):
+        os.rmdir(stage_root)
+    return rows

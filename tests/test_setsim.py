@@ -716,3 +716,111 @@ def test_incremental_probes_never_emit_self_pairs(spark):
     assert cont and all(
         r["contained_id"] != r["container_id"] for r in cont
     )
+
+
+def test_rebuild_prefix_store_restores_baseline_after_drift(spark, tmp_path):
+    """The remediation closes the loop (docs/MONITORING.md): a store
+    degraded by recurring-drift ingest flags stale; rebuild_prefix_
+    store recomputes order + index + baseline and publishes
+    atomically; the SAME batch probed against the rebuilt store is
+    fresh again, and pairs stay exact throughout."""
+    hist_rows = [
+        (i, _doc(list(range(3 * i % 30, 3 * i % 30 + 10)))) for i in range(12)
+    ]
+    hist = spark.createDataFrame(hist_rows, ["doc_id", "text"])
+    store_dir = str(tmp_path / "ps")
+    freq_dir = str(tmp_path / "freq")
+    freq = setsim.token_freq_table(hist)
+    setsim.prefix_store(hist, freq, threshold=0.5).write.parquet(store_dir)
+    freq.write.parquet(freq_dir)
+    base0 = setsim.measure_cand_per_doc(
+        hist, setsim.load_prefix_store(spark, store_dir, 0.5), freq,
+        threshold=0.5,
+    )
+    setsim.write_prefix_store_params(
+        spark, store_dir, 0.5, baseline_cand_per_doc=base0
+    )
+
+    drift = " ".join(f"driftword{j}" for j in range(8))
+
+    def batch(ids):
+        return spark.createDataFrame(
+            [
+                (i, _doc(list(range(7 * i % 25, 7 * i % 25 + 9)))
+                 + " " + drift)
+                for i in ids
+            ],
+            ["doc_id", "text"],
+        )
+
+    b1, b2 = batch(range(100, 108)), batch(range(200, 208))
+    setsim.prefix_store(b1, freq, threshold=0.5).write.mode(
+        "append"
+    ).parquet(store_dir)
+    m: list = []
+    corpus = hist.unionByName(b1)
+    pairs_stale = {
+        tuple(r)
+        for r in setsim.incremental_ppjoin_pairs(
+            b2, corpus, setsim.load_prefix_store(spark, store_dir, 0.5),
+            spark.read.parquet(freq_dir), threshold=0.5,
+            metrics=m, baseline_cand_per_doc=base0,
+        ).collect()
+    }
+    assert m[0]["stale"] is True  # drift degraded the store
+
+    # remediation: one call, atomic publish, fresh order + baseline
+    info = setsim.rebuild_prefix_store(
+        spark, corpus, store_dir, freq_dir=freq_dir, threshold=0.5
+    )
+    assert info["rows"] == spark.read.parquet(store_dir).count()
+    new_base = setsim.read_prefix_store_baseline(spark, store_dir)
+    assert new_base == info["baseline_cand_per_doc"]
+
+    m2: list = []
+    pairs_fresh = {
+        tuple(r)
+        for r in setsim.incremental_ppjoin_pairs(
+            b2, corpus, setsim.load_prefix_store(spark, store_dir, 0.5),
+            spark.read.parquet(freq_dir), threshold=0.5,
+            metrics=m2, baseline_cand_per_doc=new_base,
+        ).collect()
+    }
+    assert m2[0]["stale"] is False  # fresh order + fresh baseline
+    assert m2[0]["n_candidates"] < m[0]["n_candidates"]  # real cost drop
+    assert pairs_fresh == pairs_stale  # correctness order-independent
+
+
+def test_rebuild_containment_store_swaps_and_rebaselines(spark, tmp_path):
+    rows = [(i, _doc(list(range(i % 3, 14 + i % 3)))) for i in range(12)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    containers = docs.where(F.col("doc_id") % 2 != 0)
+    probe = docs.where(F.col("doc_id") % 2 == 0)
+    store_dir = str(tmp_path / "cs")
+    freq0 = setsim.token_freq_table(containers)
+    setsim.containment_store(containers, freq0).write.parquet(store_dir)
+    setsim.write_containment_store_params(spark, store_dir, shingle_k=3)
+    info = setsim.rebuild_containment_store(
+        spark, containers, store_dir,
+        baseline_probe=probe, baseline_threshold=0.6,
+    )
+    assert info["baseline_cand_per_doc"] and info["rows"] > 0
+    assert setsim.read_containment_store_baseline(
+        spark, store_dir
+    ) == info["baseline_cand_per_doc"]
+    # rebuilt store still produces the pooled-exact result
+    inc = {
+        tuple(r)
+        for r in setsim.incremental_containment_pairs(
+            probe, containers,
+            setsim.load_containment_store(spark, store_dir),
+            setsim.token_freq_table(containers), threshold=0.6,
+        ).collect()
+    }
+    pooled = {
+        tuple(r)
+        for r in setsim.containment_cross(
+            probe, containers, threshold=0.6
+        ).collect()
+    }
+    assert inc == pooled and inc

@@ -519,7 +519,6 @@ def q_match_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "semi_join_membership",
     "SELECT event_id, user_id FROM events "
     "WHERE user_id IN (SELECT c_custkey FROM customer)",
 )
@@ -1498,15 +1497,15 @@ def q_pairwise_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constants and recomputes buckets with list_dot_product.
 
 
-def _bucket_sql(dim: int, n_planes: int) -> str:
+def _bucket_sql(dim: int, n_planes: int, plane_offset: int = 0) -> str:
     terms = []
-    for p in range(n_planes):
+    for i, p in enumerate(range(plane_offset, plane_offset + n_planes)):
         comps = ", ".join(
             repr(similarity.plane_component_value(p, d)) for d in range(dim)
         )
         terms.append(
             f"CASE WHEN list_dot_product(v, [{comps}]) > 0 "
-            f"THEN {1 << p} ELSE 0 END"
+            f"THEN {1 << i} ELSE 0 END"
         )
     return " + ".join(terms)
 
@@ -1654,6 +1653,57 @@ WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.5
 def q_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", widen=True)
     return similarity.cosine_near_dup_lsh(emb, threshold=0.5, dim=64, n_planes=4)
+
+
+# Banded semantic LSH (r12): OR-amplification over independent plane
+# families — the MinHash bands/rows trade brought to the embedding
+# path, because a SINGLE family's recall decays geometrically with
+# the occupancy schedule (measured: 0.53 at 6 planes for cos~0.95
+# pairs; 4 bands buy it back to 0.96 — SCALE.md r12). The oracle
+# unions the per-band equi-joins, band b's bucket built from planes
+# [b*n, (b+1)*n) of the same md5 keyspace.
+_NEAR_DUP_LSH_BANDED_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(64, 4, 0)} AS bucket0,
+         {_bucket_sql(64, 4, 4)} AS bucket1,
+         {_bucket_sql(64, 4, 8)} AS bucket2
+  FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM b a JOIN b c ON a.bucket0 = c.bucket0 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id, c.vec_id
+  FROM b a JOIN b c ON a.bucket1 = c.bucket1 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id, c.vec_id
+  FROM b a JOIN b c ON a.bucket2 = c.bucket2 AND a.vec_id < c.vec_id
+)
+SELECT x.id_a, x.id_b,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM cand x
+JOIN b ea ON ea.vec_id = x.id_a
+JOIN b eb ON eb.vec_id = x.id_b
+WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.3
+"""
+
+
+@register("embedding_near_dup_lsh_banded", _NEAR_DUP_LSH_BANDED_SQL)
+def q_near_dup_lsh_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded semantic near-dup pairs
+    (operators/similarity.py:cosine_near_dup_lsh n_bands=3): three
+    independent 4-plane families, candidate if ANY band's bucket
+    agrees, exact cosine confirm — recall 1−(1−(1−θ/π)^p)^b at b
+    bounded bucket joins, the OR-amplification that lets the
+    occupancy-constant plane schedule scale WITHOUT the measured
+    single-family recall decay. Threshold 0.3 (the
+    incremental_semantic precedent): the hashed-text embeddings are
+    weakly clustered and 0.5 leaves the oracle near-vacuous."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return similarity.cosine_near_dup_lsh(
+        emb, threshold=0.3, dim=64, n_planes=4, n_bands=3
+    )
 
 
 _INC_SEMANTIC_SQL = f"""
@@ -7777,10 +7827,11 @@ _DRIVER_WINDOW = [
     # oracles (hybrid_rrf_ann_topk_docs, incremental_containment_vs_
     # store, semantic_dedup_clusters, bm25_topk_batch_docs,
     # hybrid_rrf_batch_docs, contamination_report_eval,
-    # retrieve_rerank_topk_docs), displacing the seven longest-green
-    # r5-cohort veterans quote_strip_trim / time_buckets /
-    # url_retemplate / match_exact_or / wc_wordcount /
-    # embedding_l2_normalize / embedding_quantize_int8
+    # retrieve_rerank_topk_docs, embedding_near_dup_lsh_banded),
+    # displacing the eight longest-green r5-cohort veterans
+    # quote_strip_trim / time_buckets / url_retemplate /
+    # match_exact_or / wc_wordcount / embedding_l2_normalize /
+    # embedding_quantize_int8 / semi_join_membership
     # (each family keeps in-window siblings:
     # P keeps tokenize_typed_projection + kv_evtx_explode +
     # date_buckets, F keeps negative/substring/semi, §2.8 keeps five
@@ -7803,9 +7854,9 @@ _DRIVER_WINDOW = [
     "hybrid_rrf_batch_docs",
     "contamination_report_eval",
     "retrieve_rerank_topk_docs",
+    "embedding_near_dup_lsh_banded",
     "kv_evtx_explode",
     "match_negative_exact",
-    "semi_join_membership",
     "raw_content_retention",
     # --- last row round 6 ---
     "date_buckets",

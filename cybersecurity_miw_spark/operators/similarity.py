@@ -156,39 +156,66 @@ def cosine_near_dup_lsh(
     n_planes: int | None = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_bands: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs at scale: random-hyperplane bucket as
     the blocking key (high-cosine pairs land in the same bucket with
     probability (1 − θ/π)^n_planes), exact cosine confirm WITHIN each
     bucket. The self-join shuffles on the uniform bucket id — never
-    all-pairs. Recall is tuned by lowering n_planes;
+    all-pairs.
+
     ``n_planes=None`` applies the occupancy-constant schedule
     (:func:`suggested_planes` over a count) so the within-bucket pair
-    join stays linear as the corpus grows."""
+    join stays linear as the corpus grows — but a SINGLE bucket
+    family's recall decays geometrically with planes
+    ((1−θ/π)^p: MEASURED 0.53 at 6 planes for cos 0.95 pairs,
+    SCALE.md r12). ``n_bands`` is the OR-amplification that buys it
+    back — b independent plane families, candidate if ANY band's
+    bucket agrees, recall 1−(1−(1−θ/π)^p)^b (measured 0.96 at
+    p=6, b=4) — at b× index rows and b bounded bucket joins, exactly
+    the MinHash bands/rows trade. At scale pair suggested_planes with
+    n_bands=3-4; band 0 is byte-identical to the historical
+    single-family bucket."""
     if n_planes is None:
         n_planes = suggested_planes(df.count())
     # norm precomputed per vector (rides the persisted projection);
-    # the n²-ish pair stage evaluates only the dot
+    # the n²-ish pair stage evaluates only the dot. n_bands > 1:
+    # one (band, bucket) row per vector per band — the join key is
+    # (band, bucket), so a pair is a candidate if ANY band agrees.
+    buckets = F.array(
+        *[
+            hyperplane_bucket(
+                F.col(vec_col), dim, n_planes, plane_offset=b * n_planes
+            )
+            for b in range(n_bands)
+        ]
+    )
     bucketed = staged(
         df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v"),
-            hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
-        ).select(id_col, "_v", "_bucket", norm(F.col("_v")).alias("_n"))
+            F.posexplode(buckets).alias("_band", "_bucket"),
+        ).select(
+            id_col, "_v", "_band", "_bucket", norm(F.col("_v")).alias("_n")
+        )
     )
     a = bucketed.select(
-        F.col("_bucket"),
+        "_band",
+        "_bucket",
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),
         F.col("_n").alias("_na"),
     )
     b = bucketed.select(
-        F.col("_bucket"),
+        "_band",
+        "_bucket",
         F.col(id_col).alias("id_b"),
         F.col("_v").alias("_vb"),
         F.col("_n").alias("_nb"),
     )
-    pairs = a.join(b, on="_bucket").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, on=["_band", "_bucket"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
     cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     return (
         pairs.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
@@ -548,16 +575,23 @@ def _plane_component(plane: int, dim: int) -> Column:
     return F.lit(plane_component_value(plane, dim))
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 12) -> Column:
-    """LSH bucket id: n_planes sign bits of <vec, plane_p>."""
+def hyperplane_bucket(
+    vec: Column, dim: int, n_planes: int = 12, plane_offset: int = 0
+) -> Column:
+    """LSH bucket id: n_planes sign bits of <vec, plane_p>.
+    ``plane_offset`` selects an INDEPENDENT plane family from the
+    same md5 keyspace (band b uses planes [b·n, (b+1)·n)) — the
+    banded variant's per-band bucket; offset 0 is byte-identical to
+    the historical single-family bucket, so existing oracles and
+    stores are unaffected."""
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
+    for p in range(plane_offset, plane_offset + n_planes):
         proj = F.lit(0.0)
         # static unroll over dimensions: constant-folded plane values
         comps = F.array(*[_plane_component(p, d) for d in range(dim)])
         proj = dot(vec.cast("array<double>"), comps)
         bucket = bucket + F.when(
-            proj > 0, F.shiftleft(F.lit(1).cast("long"), p)
+            proj > 0, F.shiftleft(F.lit(1).cast("long"), p - plane_offset)
         ).otherwise(F.lit(0).cast("long"))
     return bucket
 

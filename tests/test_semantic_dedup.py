@@ -335,3 +335,39 @@ def test_n_planes_none_applies_suggested_schedule(spark):
         ).collect()
     }
     assert clusters == {1}
+
+
+def test_banded_lsh_is_superset_of_single_band_and_band0_compatible(spark):
+    """n_bands OR-amplification: every single-family pair is also a
+    banded pair (band 0 IS the historical family — byte-identical
+    buckets), extra bands only ADD candidates, and every emitted pair
+    still passes the exact cosine confirm."""
+    import math
+
+    rows = [
+        (i, _unit([math.cos(i * 0.05), math.sin(i * 0.05)] * (DIM // 2)))
+        for i in range(40)
+    ]
+    df = _emb(spark, rows)
+    single = {
+        tuple(r)
+        for r in similarity.cosine_near_dup_lsh(
+            df, threshold=0.9, dim=DIM, n_planes=4
+        ).collect()
+    }
+    banded = {
+        tuple(r)
+        for r in similarity.cosine_near_dup_lsh(
+            df, threshold=0.9, dim=DIM, n_planes=4, n_bands=3
+        ).collect()
+    }
+    assert single <= banded
+    assert len(banded) > len(single)  # extra bands recover real pairs
+    # exactness: banded pairs are a subset of the brute-force truth
+    exact = {
+        tuple(r)
+        for r in similarity.cosine_pairs_above(
+            df, threshold=0.9
+        ).collect()
+    }
+    assert banded <= exact

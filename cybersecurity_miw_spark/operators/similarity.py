@@ -276,6 +276,7 @@ def semantic_dedup(
     n_planes: int | None = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_bands: int = 1,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public arXiv 2303.09540 — dedup by EMBEDDING proximity, catching
@@ -297,9 +298,12 @@ def semantic_dedup(
     100 TB: bucket self-join (uniform key) + one anti-join on the
     removed-id set — both shuffle-bounded by near-dup density, never
     by corpus². ``n_planes=None`` applies the occupancy-constant
-    schedule (:func:`suggested_planes`)."""
+    schedule (:func:`suggested_planes`); pair it with ``n_bands``
+    3-4 at scale — the schedule holds cost linear but a single
+    family's recall decays 0.899^p (measured, SCALE.md r12) and the
+    bands buy it back."""
     pairs = cosine_near_dup_lsh(
-        df, threshold, dim, n_planes, vec_col, id_col
+        df, threshold, dim, n_planes, vec_col, id_col, n_bands=n_bands
     )
     removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(removed, on=id_col, how="anti")
@@ -312,6 +316,7 @@ def semantic_dedup_clusters(
     n_planes: int | None = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_bands: int = 1,
 ) -> DataFrame:
     """CLUSTER-ATOMIC SemDeDup — the transitive-closure variant the
     :func:`semantic_dedup` docstring points at, as a first-class
@@ -331,7 +336,7 @@ def semantic_dedup_clusters(
     from cybersecurity_miw_spark.operators.dedup import dup_clusters_auto
 
     pairs = cosine_near_dup_lsh(
-        df, threshold, dim, n_planes, vec_col, id_col
+        df, threshold, dim, n_planes, vec_col, id_col, n_bands=n_bands
     )
     clusters = dup_clusters_auto(pairs)
     removed = clusters.filter(
@@ -412,7 +417,15 @@ def embedding_bucket_store(
     but that is still one bucketed row per historical vector, read
     bucket-pruned, with source text/media never rescanned. Partition
     or bucket the store on ``bucket`` so the incremental join prunes
-    at the file index (the `_b`-partitioned ANN layout pattern)."""
+    at the file index (the `_b`-partitioned ANN layout pattern).
+
+    SINGLE plane family by design: the banded recall recovery
+    (``cosine_near_dup_lsh(n_bands)``, SCALE.md r12) would cost b×
+    stored vectors here because the vector rides in every index row —
+    a banded store wants the (id, band, bucket) index split from one
+    (id, vector) table, a schema change deliberately deferred; until
+    then size the store family's recall with the measured single-band
+    table (0.899^planes), not the banded one."""
     return df.select(
         id_col,
         hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),

@@ -519,6 +519,7 @@ def q_match_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semi_join_membership",
     "SELECT event_id, user_id FROM events "
     "WHERE user_id IN (SELECT c_custkey FROM customer)",
 )

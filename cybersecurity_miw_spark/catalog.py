@@ -1721,6 +1721,65 @@ WHERE n.vec_id % 5 = 0 AND s.vec_id % 5 <> 0
 """
 
 
+# Banded incremental semantic (r12): the index/vector split probed
+# per batch — candidates if ANY band's bucket agrees, vectors
+# fetched candidate-pruned for the confirm. Same bands as
+# embedding_near_dup_lsh_banded; oracle unions the per-band joins
+# over the incremental family's vec_id % 5 split.
+_INC_SEMANTIC_BANDED_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_bucket_sql(64, 4, 0)} AS bucket0,
+         {_bucket_sql(64, 4, 4)} AS bucket1,
+         {_bucket_sql(64, 4, 8)} AS bucket2
+  FROM embeddings
+),
+cand AS (
+  SELECT n.vec_id AS new_id, s.vec_id AS stored_id
+  FROM b n JOIN b s ON n.bucket0 = s.bucket0
+  WHERE n.vec_id % 5 = 0 AND s.vec_id % 5 <> 0
+  UNION
+  SELECT n.vec_id, s.vec_id
+  FROM b n JOIN b s ON n.bucket1 = s.bucket1
+  WHERE n.vec_id % 5 = 0 AND s.vec_id % 5 <> 0
+  UNION
+  SELECT n.vec_id, s.vec_id
+  FROM b n JOIN b s ON n.bucket2 = s.bucket2
+  WHERE n.vec_id % 5 = 0 AND s.vec_id % 5 <> 0
+)
+SELECT c.new_id, c.stored_id,
+       round(list_cosine_similarity(en.v, es.v), 6) AS cos_sim
+FROM cand c
+JOIN b en ON en.vec_id = c.new_id
+JOIN b es ON es.vec_id = c.stored_id
+WHERE round(list_cosine_similarity(en.v, es.v), 6) >= 0.3
+"""
+
+
+@register(
+    "incremental_semantic_banded_vs_store", _INC_SEMANTIC_BANDED_SQL
+)
+def q_incremental_semantic_banded(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Banded incremental semantic pairs against the persisted
+    index/vector SPLIT (operators/similarity.py:
+    incremental_semantic_pairs_banded): 3 independent 4-plane
+    families — a candidate if ANY band agrees (the measured recall
+    recovery on the incremental path) — with history vectors fetched
+    candidate-pruned instead of riding every index row. Batch =
+    vec_id % 5 == 0; threshold 0.3 (the family's non-vacuity
+    convention)."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    hist = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    idx = similarity.embedding_band_index(hist, 64, n_planes=4, n_bands=3)
+    vecs = similarity.embedding_vector_store(hist)
+    return similarity.incremental_semantic_pairs_banded(
+        batch, idx, vecs, threshold=0.3, dim=64, n_planes=4, n_bands=3
+    )
+
+
 @register("incremental_semantic_vs_store", _INC_SEMANTIC_SQL)
 def q_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic near-dup pairs of an incoming batch against the
@@ -7828,11 +7887,13 @@ _DRIVER_WINDOW = [
     # oracles (hybrid_rrf_ann_topk_docs, incremental_containment_vs_
     # store, semantic_dedup_clusters, bm25_topk_batch_docs,
     # hybrid_rrf_batch_docs, contamination_report_eval,
-    # retrieve_rerank_topk_docs, embedding_near_dup_lsh_banded),
-    # displacing the eight longest-green r5-cohort veterans
+    # retrieve_rerank_topk_docs, embedding_near_dup_lsh_banded,
+    # incremental_semantic_banded_vs_store), displacing the nine
+    # longest-green r5-cohort veterans
     # quote_strip_trim / time_buckets / url_retemplate /
     # match_exact_or / wc_wordcount / embedding_l2_normalize /
-    # embedding_quantize_int8 / semi_join_membership
+    # embedding_quantize_int8 / semi_join_membership /
+    # raw_content_retention
     # (each family keeps in-window siblings:
     # P keeps tokenize_typed_projection + kv_evtx_explode +
     # date_buckets, F keeps negative/substring/semi, §2.8 keeps five
@@ -7856,9 +7917,9 @@ _DRIVER_WINDOW = [
     "contamination_report_eval",
     "retrieve_rerank_topk_docs",
     "embedding_near_dup_lsh_banded",
+    "incremental_semantic_banded_vs_store",
     "kv_evtx_explode",
     "match_negative_exact",
-    "raw_content_retention",
     # --- last row round 6 ---
     "date_buckets",
     "match_substring_or",

@@ -1897,3 +1897,183 @@ def distortion_report(
         "staleness_ratio": round(ratio, 3) if ratio is not None else None,
         "stale": bool(ratio is not None and ratio > factor),
     }
+
+
+# ---- banded semantic store: index/vector split ------------------------------
+
+SEMANTIC_BANDED_PARAMS_FILE = "_semdedup_banded_params.json"
+
+
+def embedding_band_index(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_bands: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The banded semantic index rows for a corpus slice:
+    (id, band, bucket) — b rows per vector, NO vector payload. The
+    schema split :func:`embedding_bucket_store`'s docstring defers
+    to: banding the vector-carrying store would multiply stored
+    vectors b×, so the banded layout separates the index (this,
+    partition/bucket by ``(band, bucket)``) from one
+    (id, vector) table (:func:`embedding_vector_store`) read
+    CANDIDATE-PRUNED at confirm time — which also beats the fused
+    store at b=1: history vectors are fetched per candidate, not
+    carried on every index row. Band b's bucket uses planes
+    [b·n, (b+1)·n) of the md5 keyspace (band 0 ≡ the historical
+    family)."""
+    buckets = F.array(
+        *[
+            hyperplane_bucket(
+                F.col(vec_col), dim, n_planes, plane_offset=b * n_planes
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(buckets).alias("band", "bucket")
+    )
+
+
+def embedding_vector_store(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The (id, vector) half of the banded semantic store — one row
+    per vector regardless of band count; the exact-cosine confirm
+    joins it candidate-pruned."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias(vec_col),
+    )
+
+
+def write_semantic_banded_params(
+    spark,
+    store_dir: str,
+    dim: int,
+    n_planes: int,
+    n_bands: int,
+    baseline_cand_per_doc: float | None = None,
+) -> None:
+    """Family sidecar for the banded index (dim, n_planes, n_bands) +
+    the optional ingest-monitor baseline, the standard store
+    contract."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    params: dict = {
+        "dim": dim, "n_planes": n_planes, "n_bands": n_bands
+    }
+    if baseline_cand_per_doc is not None:
+        params["baseline_cand_per_doc"] = float(baseline_cand_per_doc)
+    fsutil.write_text(
+        spark,
+        f"{store_dir}/{SEMANTIC_BANDED_PARAMS_FILE}",
+        json.dumps(params),
+    )
+
+
+def load_embedding_band_index(
+    spark, store_dir: str, dim: int, n_planes: int, n_bands: int
+) -> DataFrame:
+    """Read a persisted banded index, raising on a recorded family
+    mismatch (family keys only; monitoring keys advisory)."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{store_dir}/{SEMANTIC_BANDED_PARAMS_FILE}"
+    if fsutil.exists(spark, path):
+        stored = json.loads(fsutil.read_text(spark, path))
+        params = {"dim": dim, "n_planes": n_planes, "n_bands": n_bands}
+        family = {k: v for k, v in stored.items() if k in params}
+        if family != params:
+            raise ValueError(
+                f"banded semantic index at {store_dir} was built with "
+                f"{family}; this query supplies {params} — mixed plane "
+                "families never match. Rebuild the index or pass the "
+                "stored parameters."
+            )
+    return spark.read.parquet(store_dir)
+
+
+def incremental_semantic_pairs_banded(
+    new_vecs: DataFrame,
+    index_store: DataFrame | str,
+    vector_store: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    n_bands: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metrics: list | None = None,
+    baseline_cand_per_doc: float | None = None,
+    staleness_factor: float | None = None,
+) -> DataFrame:
+    """Banded semantic near-dup pairs of a batch against the
+    PERSISTED index/vector split: batch band rows equi-join the index
+    on (band, bucket) — a candidate if ANY band agrees, the measured
+    recall recovery (SCALE.md r12: 0.53 → 0.94 at p=6/b=4) brought to
+    the INCREMENTAL path — then exact cosine confirms over vectors
+    fetched for candidates only. Returns
+    (new_id, stored_id, cos_sim) ≥ threshold; equals the pooled
+    ``cosine_near_dup_lsh(n_bands)`` restricted to batch × history
+    (golden-pinned). Self-pairs guarded (replay safety); the
+    standard ``metrics``/baseline staleness report attaches to the
+    candidate stage. A string ``index_store`` loads via
+    :func:`load_embedding_band_index` (family sidecar checked)."""
+    from cybersecurity_miw_spark.operators import setsim
+
+    if isinstance(index_store, str):
+        index_store = load_embedding_band_index(
+            new_vecs.sparkSession, index_store, dim, n_planes, n_bands
+        )
+    nb = embedding_band_index(
+        new_vecs, dim, n_planes, n_bands, vec_col, id_col
+    ).withColumnRenamed(id_col, "new_id")
+    sb = index_store.withColumnRenamed(id_col, "stored_id")
+    cand = (
+        nb.join(sb, on=["band", "bucket"])
+        .filter(F.col("new_id") != F.col("stored_id"))
+        .select("new_id", "stored_id")
+        .distinct()
+    )
+    if metrics is not None:
+        cand = cand.localCheckpoint(eager=True)
+        metrics.append(
+            setsim.staleness_report(
+                cand.count(),
+                new_vecs.count(),
+                baseline_cand_per_doc,
+                staleness_factor
+                if staleness_factor is not None
+                else setsim.STALENESS_DEFAULT_FACTOR,
+            )
+        )
+    nv = new_vecs.select(
+        F.col(id_col).alias("new_id"),
+        F.col(vec_col).cast("array<double>").alias("_vn"),
+    ).select("new_id", "_vn", norm(F.col("_vn")).alias("_nn"))
+    sv = vector_store.join(
+        cand.select(F.col("stored_id").alias(id_col)).distinct(),
+        on=id_col,
+        how="semi",
+    ).select(
+        F.col(id_col).alias("stored_id"),
+        F.col(vec_col).cast("array<double>").alias("_vs"),
+    ).select("stored_id", "_vs", norm(F.col("_vs")).alias("_ns"))
+    cos = dot(F.col("_vn"), F.col("_vs")) / (F.col("_nn") * F.col("_ns"))
+    return (
+        cand.join(nv, "new_id")
+        .join(sv, "stored_id")
+        .select(
+            "new_id", "stored_id", F.round(cos, 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -371,3 +371,75 @@ def test_banded_lsh_is_superset_of_single_band_and_band0_compatible(spark):
         ).collect()
     }
     assert banded <= exact
+
+
+def test_banded_incremental_matches_pooled_banded_self_join(spark):
+    """The index/vector split: incremental banded pairs equal the
+    pooled banded self-join restricted to batch × history — and at
+    the same geometry the banded store finds pairs the single-band
+    store misses (the recall recovery, incrementally)."""
+    import math
+
+    rows = [
+        (i, _unit([math.cos(i * 0.03), math.sin(i * 0.03)] * (DIM // 2)))
+        for i in range(24)
+    ]
+    df = _emb(spark, rows)
+    hist = df.where(F.col("vec_id") % 2 == 0)
+    batch = df.where(F.col("vec_id") % 2 != 0)
+    idx = similarity.embedding_band_index(hist, DIM, n_planes=4, n_bands=3)
+    vecs = similarity.embedding_vector_store(hist)
+    inc = {
+        (r["new_id"], r["stored_id"], r["cos_sim"])
+        for r in similarity.incremental_semantic_pairs_banded(
+            batch, idx, vecs, threshold=0.9, dim=DIM,
+            n_planes=4, n_bands=3,
+        ).collect()
+    }
+    pooled = {
+        (a, b, c) if a % 2 else (b, a, c)
+        for a, b, c in (
+            tuple(r)
+            for r in similarity.cosine_near_dup_lsh(
+                df, threshold=0.9, dim=DIM, n_planes=4, n_bands=3
+            ).collect()
+        )
+        if (a % 2) != (b % 2)
+    }
+    assert inc == pooled and inc
+    single = {
+        (r["new_id"], r["stored_id"], r["cos_sim"])
+        for r in similarity.incremental_semantic_pairs(
+            batch,
+            similarity.embedding_bucket_store(hist, DIM, n_planes=4),
+            threshold=0.9, dim=DIM, n_planes=4,
+        ).collect()
+    }
+    assert single < inc  # strictly more recall at the same planes
+
+
+def test_banded_index_sidecar_and_monitor(spark, tmp_path):
+    rows = [(i, _unit([1.0 + 0.01 * i] + [0.5] * (DIM - 1))) for i in range(8)]
+    df = _emb(spark, rows)
+    idx_dir = str(tmp_path / "bidx")
+    similarity.embedding_band_index(
+        df, DIM, n_planes=2, n_bands=2
+    ).write.parquet(idx_dir)
+    similarity.write_semantic_banded_params(
+        spark, idx_dir, DIM, 2, 2, baseline_cand_per_doc=3.0
+    )
+    loaded = similarity.load_embedding_band_index(spark, idx_dir, DIM, 2, 2)
+    assert loaded.count() == 16  # 8 vectors x 2 bands
+    import pytest
+
+    with pytest.raises(ValueError, match="banded semantic index"):
+        similarity.load_embedding_band_index(spark, idx_dir, DIM, 2, 3)
+    m: list = []
+    pairs = similarity.incremental_semantic_pairs_banded(
+        df, idx_dir, similarity.embedding_vector_store(df),
+        threshold=0.999, dim=DIM, n_planes=2, n_bands=2,
+        metrics=m, baseline_cand_per_doc=3.0,
+    ).collect()
+    # own-store probe: self-pairs guarded, monitor report appended
+    assert all(r["new_id"] != r["stored_id"] for r in pairs)
+    assert len(m) == 1 and m[0]["baseline_cand_per_doc"] == 3.0

@@ -7883,7 +7883,7 @@ _DRIVER_WINDOW = [
     # (ann_pq_adc_topk — the residual-ADC null-element guard changed
     # both scoring paths' plans; ann_ivf_topk_batch — gained the
     # above-cap shuffle route; incremental_semantic_vs_store — gained
-    # the new_id != stored_id replay guard) + ALL SIX new r12
+    # the new_id != stored_id replay guard) + ALL NINE new r12
     # oracles (hybrid_rrf_ann_topk_docs, incremental_containment_vs_
     # store, semantic_dedup_clusters, bm25_topk_batch_docs,
     # hybrid_rrf_batch_docs, contamination_report_eval,

@@ -31,6 +31,37 @@ def exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree on its own filesystem. Returns
+    False when the path did not exist (Hadoop semantics)."""
+    fs, hpath = _fs_and_path(spark, path)
+    return bool(fs.delete(hpath, recursive))
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst`` on their (shared) filesystem —
+    directories included. Raises when the filesystem refuses (e.g.
+    HDFS rename onto an existing destination); the directory-swap
+    dances in ``sources.maintain`` only ever rename onto freshly
+    cleared destinations, so plain ``FileSystem.rename`` is the right
+    primitive (the overwrite variant lives in :func:`write_text` for
+    the sidecar case). One atomic namespace op on local/HDFS; on S3A
+    a directory rename is a per-object copy+delete — run maintenance
+    in the single-writer window the callers already assume."""
+    fs, hsrc = _fs_and_path(spark, src)
+    hdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    if not bool(fs.rename(hsrc, hdst)):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def list_names(spark: SparkSession, path: str) -> list[str]:
+    """Names (not full paths) of the direct children of a directory
+    on its own filesystem — the ``os.listdir`` shape the maintenance
+    dances need for sidecar carry-over and file counting."""
+    fs, hpath = _fs_and_path(spark, path)
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file from any Hadoop-supported filesystem.
 

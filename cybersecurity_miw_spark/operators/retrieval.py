@@ -486,6 +486,10 @@ def rerank_topk(
     import pandas as pd
 
     score_fn = SCORERS[scorer]
+    # id-type-agnostic like the rest of the file (ADVICE r12): the
+    # mapInPandas output schema carries the candidate table's own id
+    # type instead of hardcoding long, so string/int ids both work
+    id_type = candidates.schema[id_col].dataType.simpleString()
 
     def score(batches):
         for pdf in batches:
@@ -503,7 +507,7 @@ def rerank_topk(
             ).head(k)
 
     scored = candidates.select(id_col, text_col).mapInPandas(
-        score, f"{id_col} long, rerank_score double"
+        score, f"{id_col} {id_type}, rerank_score double"
     )
     return scored.orderBy(
         F.desc("rerank_score"), F.asc(id_col)

@@ -710,7 +710,20 @@ def measure_cand_per_doc(
     (identical-id self-candidates are excluded so the number means
     "store rows a typical doc equi-joins", not "+1 for itself");
     later, compare each ingest batch's live value against it.
-    Two batch-sized jobs (candidate count + probe count)."""
+    Two batch-sized jobs (candidate count + probe count).
+
+    Unit note (ADVICE r12 adjudication): when probe == store, the
+    TOTAL count holds each unordered pair twice ((a,b) and (b,a)) —
+    but the PER-DOC rate is still the monitoring unit, because each
+    probe doc equi-joins its N−1 potential partners exactly once,
+    the same fan-out a new doc sees against an N-doc history.
+    Measured on an even/odd split of sf0.01 documents: self-probe
+    with the ``!=`` filter = 0.0480 cand/doc, a disjoint batch
+    against the same store = 0.0480 cand/doc; the proposed
+    ``new_id < stored_id`` variant = 0.0240 — HALF the incremental
+    unit, which would make the monitor trip at factor/2. Pinned by
+    tests/test_setsim_staleness.py::test_self_probe_baseline_matches
+    _disjoint_unit."""
     cand = incremental_ppjoin_candidates(
         probe_docs, store, freq, text_col, id_col, threshold, shingle_k
     ).filter(F.col("new_id") != F.col("stored_id"))

@@ -21,9 +21,18 @@ directory swap so readers never see a half-compacted partition.
 from __future__ import annotations
 
 import os
+import posixpath
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _norm_uri(path: str) -> str:
+    """Strip trailing slashes without collapsing a URI scheme —
+    ``posixpath.split`` then yields (parent, name) for both local
+    paths and ``hdfs://``/``s3a://`` URIs (Hadoop paths are always
+    ``/``-separated, whatever the driver OS)."""
+    return path.rstrip("/") or "/"
 
 
 def overwrite_partitions(
@@ -66,7 +75,10 @@ def compact_partition(
     between the two renames the partition directory itself is briefly
     absent — a table-scan landing in that instant misses the partition
     (single-writer maintenance windows are assumed, as in the
-    reference's tmp-save design, miw/job.cc:197-226)."""
+    reference's tmp-save design, miw/job.cc:197-226). LOCAL paths
+    only (``os``-level ops) — remote-store maintenance goes through
+    :func:`rewrite_table` / :func:`publish_table`, which use the
+    Hadoop FileSystem API."""
     part_dir = os.path.join(table_dir, partition_subdir)
     n_before = len(
         [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
@@ -112,8 +124,8 @@ def rewrite_table(
     Same temp-dir + rename dance as :func:`compact_partition`, with
     the same honesty about its limits: staging lives under a
     dot-prefixed sibling so scans never see the in-flight copy, but
-    POSIX cannot atomically EXCHANGE two directories — between the
-    two renames the table path is briefly absent, and a reader
+    no filesystem here atomically EXCHANGES two directories — between
+    the two renames the table path is briefly absent, and a reader
     landing in that instant errors (or, for the streaming loops'
     try/except store read, treats the store as empty for that one
     trigger). Run maintenance in a single-writer window with the
@@ -123,38 +135,42 @@ def rewrite_table(
     until the new copy is in place — recovery is one rename back).
     Dot/underscore-prefixed sidecar files (e.g. the streaming loop's
     ``_lsh_params.json``) are carried over to the rewritten table.
-    Returns {'files_before', 'files_after', 'rows_before',
-    'rows_after'}."""
+    All directory ops go through the Hadoop FileSystem API
+    (``fsutil``), so a store on ``hdfs://``/``s3a://`` maintains the
+    same way a local one does (ADVICE r12 — the ``os.path`` form
+    silently degraded on remote URIs). Returns {'files_before',
+    'files_after', 'rows_before', 'rows_after'}."""
+    from cybersecurity_miw_spark import fsutil
+
     df = spark.read.parquet(table_dir)
     rows_before = df.count()
     files_before = len(
-        [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+        [f for f in fsutil.list_names(spark, table_dir) if f.endswith(".parquet")]
     )
     out = transform(df) if transform is not None else df
     out = out.coalesce(target_files)
 
-    parent, name = os.path.split(os.path.normpath(table_dir))
-    stage_root = os.path.join(parent, ".maintenance")
-    tmp_dir = os.path.join(stage_root, name + ".tmp")
-    old_dir = os.path.join(stage_root, name + ".old")
+    parent, name = posixpath.split(_norm_uri(table_dir))
+    stage_root = f"{parent}/.maintenance"
+    tmp_dir = f"{stage_root}/{name}.tmp"
+    old_dir = f"{stage_root}/{name}.old"
     for d in (tmp_dir, old_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+        fsutil.delete(spark, d)
     out.write.mode("overwrite").parquet(tmp_dir)
     rows_after = spark.read.parquet(tmp_dir).count()
-    os.rename(table_dir, old_dir)
-    os.rename(tmp_dir, table_dir)
+    fsutil.rename(spark, table_dir, old_dir)
+    fsutil.rename(spark, tmp_dir, table_dir)
     # carry metadata sidecars (not data, not Spark's _SUCCESS) over
-    for f in os.listdir(old_dir):
+    for f in fsutil.list_names(spark, old_dir):
         if f.startswith("_") and f != "_SUCCESS" and not f.endswith(".crc"):
-            shutil.move(
-                os.path.join(old_dir, f), os.path.join(table_dir, f)
-            )
-    shutil.rmtree(old_dir)
-    if not os.listdir(stage_root):
-        os.rmdir(stage_root)
+            fsutil.rename(spark, f"{old_dir}/{f}", f"{table_dir}/{f}")
+    fsutil.delete(spark, old_dir)
+    if fsutil.exists(spark, stage_root) and not fsutil.list_names(
+        spark, stage_root
+    ):
+        fsutil.delete(spark, stage_root)
     files_after = len(
-        [f for f in os.listdir(table_dir) if f.endswith(".parquet")]
+        [f for f in fsutil.list_names(spark, table_dir) if f.endswith(".parquet")]
     )
     return {
         "files_before": files_before,
@@ -170,6 +186,7 @@ def publish_table(
     table_dir: str,
     target_files: int = 1,
     keep_sidecars: bool = True,
+    partition_by: tuple[str, ...] = (),
 ) -> int:
     """Atomically REPLACE ``table_dir``'s data with ``df`` — the same
     temp-dir + rename dance (and the same brief-absence honesty) as
@@ -181,33 +198,49 @@ def publish_table(
     ``keep_sidecars=False`` drops the old ``_``-prefixed sidecars
     (the rebuild case — the caller re-records fresh params/baselines
     afterwards; keeping a stale baseline would defeat the rebuild).
+    ``partition_by`` publishes a partitioned layout (the IVF index's
+    ``_cell`` directories — partition pruning survives the swap).
+    Directory ops go through the Hadoop FileSystem API (``fsutil``),
+    so rebuilds of ``hdfs://``/``s3a://`` stores swap the same way
+    local ones do (ADVICE r12 — ``os.path.exists`` is always False on
+    a remote URI, which silently degraded the atomic replace to a
+    plain write that then errored on the existing directory).
     Returns the row count written. First-publish (no existing dir)
     degrades to a plain write."""
-    parent, name = os.path.split(os.path.normpath(table_dir))
-    if not os.path.exists(table_dir):
-        df.coalesce(target_files).write.parquet(table_dir)
+    from cybersecurity_miw_spark import fsutil
+
+    def _write(target: str, mode: str = "error") -> None:
+        w = df.coalesce(target_files).write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+
+    parent, name = posixpath.split(_norm_uri(table_dir))
+    if not fsutil.exists(spark, table_dir):
+        _write(table_dir)
         return spark.read.parquet(table_dir).count()
-    stage_root = os.path.join(parent, ".maintenance")
-    tmp_dir = os.path.join(stage_root, name + ".tmp")
-    old_dir = os.path.join(stage_root, name + ".old")
+    stage_root = f"{parent}/.maintenance"
+    tmp_dir = f"{stage_root}/{name}.tmp"
+    old_dir = f"{stage_root}/{name}.old"
     for d in (tmp_dir, old_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_dir)
+        fsutil.delete(spark, d)
+    _write(tmp_dir, mode="overwrite")
     rows = spark.read.parquet(tmp_dir).count()
-    os.rename(table_dir, old_dir)
-    os.rename(tmp_dir, table_dir)
+    fsutil.rename(spark, table_dir, old_dir)
+    fsutil.rename(spark, tmp_dir, table_dir)
     if keep_sidecars:
-        for f in os.listdir(old_dir):
+        for f in fsutil.list_names(spark, old_dir):
             if (
                 f.startswith("_")
                 and f != "_SUCCESS"
                 and not f.endswith(".crc")
             ):
-                shutil.move(
-                    os.path.join(old_dir, f), os.path.join(table_dir, f)
+                fsutil.rename(
+                    spark, f"{old_dir}/{f}", f"{table_dir}/{f}"
                 )
-    shutil.rmtree(old_dir)
-    if os.path.exists(stage_root) and not os.listdir(stage_root):
-        os.rmdir(stage_root)
+    fsutil.delete(spark, old_dir)
+    if fsutil.exists(spark, stage_root) and not fsutil.list_names(
+        spark, stage_root
+    ):
+        fsutil.delete(spark, stage_root)
     return rows

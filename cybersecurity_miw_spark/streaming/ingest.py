@@ -342,9 +342,18 @@ def streaming_near_dup_flags(
         if obs is not None:
             from cybersecurity_miw_spark.operators import setsim
 
-            # batch doc count from the cached banded projection —
-            # one row per (doc, band), no rescan of the batch
-            n_docs = bands_new.count() // max(bands, 1)
+            # batch doc count = distinct docs in the cached banded
+            # projection (ADVICE r12: the old band-rows // bands form
+            # undercounted docs that produce NO band rows — empty or
+            # sub-shingle texts — inflating cand_per_doc and skewing
+            # the staleness ratio on batches with many such docs).
+            # Distinct over the localCheckpointed projection still
+            # never rescans the batch; docs with zero band rows can't
+            # produce store candidates either, so excluding them from
+            # the denominator keeps the unit "candidates per doc that
+            # could candidate" — matching the baseline, which was
+            # recorded through this same count.
+            n_docs = bands_new.select("doc_id").distinct().count()
             n_cand = obs.get["n_store_candidates"]
             stored = check_band_store_params(
                 sess, band_store_dir, num_hashes, bands, shingle_k

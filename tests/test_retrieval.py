@@ -389,6 +389,24 @@ def test_rerank_pool_bounded_and_deterministic(spark):
         retrieval.rerank_topk(docs, "zebra", k=2, scorer="real").collect()
 
 
+def test_rerank_string_ids(spark):
+    """rerank_topk is id-type-agnostic like the rest of the file
+    (ADVICE r12): the mapInPandas output schema derives the id type
+    from the candidate table, so string ids rank identically to the
+    long-id fixture instead of failing at runtime."""
+    docs = spark.createDataFrame(
+        [
+            ("d0", "zebra lion here"),
+            ("d1", "zebra only text"),
+            ("d2", "lion only words"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = retrieval.rerank_topk(docs, "zebra lion", k=3).collect()
+    assert out[0]["doc_id"] == "d0"
+    assert {r["doc_id"] for r in out[1:]} == {"d1", "d2"}
+
+
 def test_retrieve_and_rerank_pool_then_model_order(spark):
     """The two-stage pipeline: stage 1 (BM25, pool=2) bounds
     membership — a doc outside the lexical pool can NEVER appear,

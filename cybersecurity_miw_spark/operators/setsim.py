@@ -722,7 +722,7 @@ def measure_cand_per_doc(
     against the same store = 0.0480 cand/doc; the proposed
     ``new_id < stored_id`` variant = 0.0240 — HALF the incremental
     unit, which would make the monitor trip at factor/2. Pinned by
-    tests/test_setsim_staleness.py::test_self_probe_baseline_matches
+    tests/test_setsim.py::test_self_probe_baseline_matches
     _disjoint_unit."""
     cand = incremental_ppjoin_candidates(
         probe_docs, store, freq, text_col, id_col, threshold, shingle_k

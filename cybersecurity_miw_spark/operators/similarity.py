@@ -1826,9 +1826,14 @@ def rebuild_ivf_index(
         partition_by=("_cell",),
     )
     baseline = measure_mean_assigned_d2(vectors, centroids, vec_col)
+    # Pass the measured baseline unconditionally: a legitimate 0.0
+    # (degenerate corpus exactly on centroids) must be recorded, not
+    # dropped for the next monitored append to re-baseline with its
+    # own possibly-drifted mean_d2 (ADVICE r13). write_ivf_index_params
+    # treats only None as absent.
     write_ivf_index_params(
         spark, index_dir, centroids, codebooks, scale, residual,
-        baseline_mean_d2=baseline or None,
+        baseline_mean_d2=baseline,
     )
     return {
         "rows": rows,

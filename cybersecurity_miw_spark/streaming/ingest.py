@@ -342,18 +342,14 @@ def streaming_near_dup_flags(
         if obs is not None:
             from cybersecurity_miw_spark.operators import setsim
 
-            # batch doc count = distinct docs in the cached banded
-            # projection (ADVICE r12: the old band-rows // bands form
-            # undercounted docs that produce NO band rows — empty or
-            # sub-shingle texts — inflating cand_per_doc and skewing
-            # the staleness ratio on batches with many such docs).
-            # Distinct over the localCheckpointed projection still
-            # never rescans the batch; docs with zero band rows can't
-            # produce store candidates either, so excluding them from
-            # the denominator keeps the unit "candidates per doc that
-            # could candidate" — matching the baseline, which was
-            # recorded through this same count.
-            n_docs = bands_new.select("doc_id").distinct().count()
+            # batch doc count = band rows // bands. lsh_bands emits
+            # EXACTLY `bands` struct rows per doc — empty/sub-shingle
+            # texts still get the constant md5('') band hashes — so
+            # this equals the distinct-doc count for unique doc_ids
+            # without the distinct's extra shuffle per trigger
+            # (ADVICE r13 reverting the r12 distinct form, which
+            # changed cost but not the unit).
+            n_docs = bands_new.count() // max(bands, 1)
             n_cand = obs.get["n_store_candidates"]
             stored = check_band_store_params(
                 sess, band_store_dir, num_hashes, bands, shingle_k

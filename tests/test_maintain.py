@@ -91,3 +91,71 @@ def test_compact_staging_is_invisible_to_table_scans(spark, tmp_path):
     spark.read.parquet(f"{out}/day=d1").coalesce(1).write.parquet(stage)
     assert _rows(spark, out) == before  # no double-read, no extra part
 
+
+
+def test_publish_partitioned_parallel_and_relative_staging(spark, tmp_path):
+    """VERDICT r13 #3/#4 + ADVICE r13: (a) a partitioned publish must
+    NOT funnel the table through coalesce(target_files) — the shaped
+    frame carries one shuffle partition per grain so the write runs
+    with >1 task (the rebuilt-IVF remediation path at 100x would be a
+    single-task write otherwise); (b) each partition value's rows
+    stay colocated (one file per value — the same layout the normal
+    append path produces); (c) a BARE RELATIVE table path stages under
+    a cwd-relative .maintenance, not '/.maintenance' at the FS root."""
+    import posixpath
+
+    from cybersecurity_miw_spark.sources.maintain import (
+        _publish_frame,
+        _stage_root,
+        publish_table,
+    )
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 8).alias("_cell")
+    )
+    shaped = _publish_frame(df, ("_cell",), target_files=1)
+    # parallel: a hash repartition on the partition columns (AQE may
+    # still right-size the tiny test shuffle down, but at volume it
+    # scales the task count up — the opposite of coalesce(1)'s hard
+    # single-task cap, which never appears in this plan)
+    plan = shaped._jdf.queryExecution().analyzed().toString()
+    assert "RepartitionByExpression" in plan and "_cell" in plan
+    assert "Repartition 1" not in plan
+    # colocated: every _cell's rows land in exactly one task
+    per_part = shaped.rdd.mapPartitions(
+        lambda it: [tuple(sorted({r["_cell"] for r in it}))]
+    ).collect()
+    seen: dict[int, int] = {}
+    for pi, cells in enumerate(per_part):
+        for c in cells:
+            assert c not in seen, f"_cell {c} split across tasks"
+            seen[c] = pi
+    assert len(seen) == 8
+
+    # unpartitioned publish keeps the compaction-style coalesce
+    unp = _publish_frame(df, (), target_files=1)
+    assert unp.rdd.getNumPartitions() == 1
+    assert "RepartitionByExpression" not in (
+        unp._jdf.queryExecution().analyzed().toString()
+    )
+
+    # end-to-end: the published layout is value-partitioned with one
+    # file per cell (pruning survives the swap), replacing prior data
+    out = str(tmp_path / "idx")
+    publish_table(spark, df, out, partition_by=("_cell",))
+    rows = publish_table(
+        spark, df.filter(F.col("vec_id") < 100), out,
+        keep_sidecars=False, partition_by=("_cell",),
+    )
+    assert rows == 100
+    got = spark.read.parquet(out)
+    assert got.count() == 100
+    assert "_cell" in got.columns
+    import glob as _g
+
+    for cell_dir in _g.glob(f"{out}/_cell=*"):
+        assert len(_g.glob(f"{cell_dir}/*.parquet")) == 1
+
+    # relative-path staging anchor (ADVICE r13)
+    assert _stage_root(posixpath.split("mystore")[0]) == ".maintenance"
+    assert _stage_root("/data") == "/data/.maintenance"

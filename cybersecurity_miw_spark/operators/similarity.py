@@ -273,7 +273,7 @@ def semantic_dedup(
     df: DataFrame,
     dim: int,
     threshold: float = 0.85,
-    n_planes: int | None = 4,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bands: int = 1,
@@ -297,11 +297,14 @@ def semantic_dedup(
 
     100 TB: bucket self-join (uniform key) + one anti-join on the
     removed-id set — both shuffle-bounded by near-dup density, never
-    by corpus². ``n_planes=None`` applies the occupancy-constant
-    schedule (:func:`suggested_planes`); pair it with ``n_bands``
-    3-4 at scale — the schedule holds cost linear but a single
-    family's recall decays 0.899^p (measured, SCALE.md r12) and the
-    bands buy it back."""
+    by corpus². The DEFAULT ``n_planes=None`` applies the
+    occupancy-constant schedule (:func:`suggested_planes`) — a fixed
+    plane count puts the within-bucket join on a quadratic path
+    (measured ratio 0.45 at fixed 4 planes vs 0.28 scheduled,
+    SCALE.md r12; default flipped r14 per VERDICT r13 #2). Pair it
+    with ``n_bands`` 3-4 at scale — the schedule holds cost linear
+    but a single family's recall decays 0.899^p (measured, SCALE.md
+    r12) and the bands buy it back."""
     pairs = cosine_near_dup_lsh(
         df, threshold, dim, n_planes, vec_col, id_col, n_bands=n_bands
     )
@@ -313,7 +316,7 @@ def semantic_dedup_clusters(
     df: DataFrame,
     dim: int,
     threshold: float = 0.85,
-    n_planes: int | None = 4,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_bands: int = 1,
@@ -332,7 +335,9 @@ def semantic_dedup_clusters(
     100 TB: the pair stage is the same uniform-bucket self-join;
     components add O(diameter) rounds (near-clique dedup graphs: 2-3)
     with one scalar per round to the driver; the keep rule is one
-    anti-join on the non-representative node set."""
+    anti-join on the non-representative node set. Default
+    ``n_planes=None`` = the occupancy-constant schedule (see
+    :func:`semantic_dedup` — same r14 default flip)."""
     from cybersecurity_miw_spark.operators.dedup import dup_clusters_auto
 
     pairs = cosine_near_dup_lsh(

@@ -443,3 +443,47 @@ def test_banded_index_sidecar_and_monitor(spark, tmp_path):
     # own-store probe: self-pairs guarded, monitor report appended
     assert all(r["new_id"] != r["stored_id"] for r in pairs)
     assert len(m) == 1 and m[0]["baseline_cand_per_doc"] == 3.0
+
+
+def test_default_n_planes_is_auto_schedule(spark):
+    """r14 (VERDICT r13 #2, carried two rounds): the DEFAULT n_planes
+    on semantic_dedup and semantic_dedup_clusters is the
+    occupancy-constant schedule (None -> suggested_planes), not the
+    fixed 4 whose within-bucket join is on a measured quadratic path
+    (SCALE.md r12: ratio 0.45 fixed vs 0.28 scheduled). Pins BOTH the
+    signature default and the behavior: the default path produces
+    exactly the explicit suggested_planes(n) result."""
+    import inspect
+
+    import numpy as np
+
+    for fn in (similarity.semantic_dedup, similarity.semantic_dedup_clusters):
+        assert (
+            inspect.signature(fn).parameters["n_planes"].default is None
+        ), f"{fn.__name__} default must be None (auto schedule)"
+    # cosine_near_dup_lsh keeps its 8-plane default (auto-capable)
+    assert (
+        inspect.signature(similarity.cosine_near_dup_lsh)
+        .parameters["n_planes"].default == 8
+    )
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(60, DIM)
+    pts[41] = pts[7] + 0.001  # planted near-dup, higher id drops
+    df = _emb(
+        spark,
+        [(int(i), _unit([float(x) for x in v])) for i, v in enumerate(pts)],
+    )
+    auto = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(df, dim=DIM, threshold=0.95).collect()
+    }
+    explicit = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup(
+            df, dim=DIM, threshold=0.95,
+            n_planes=similarity.suggested_planes(60),
+        ).collect()
+    }
+    assert auto == explicit
+    assert 41 not in auto and 7 in auto

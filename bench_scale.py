@@ -78,6 +78,13 @@ QUERY_NAMES = [
     # 8-gram vocabularies disjoint across copies — duplicated-gram
     # occurrences and spans grow exactly 10x, no cross-copy inflation)
     "duplicated_ngram_spans",
+    # r14: perceptual-hash media near-dup (documents-as-media) — the
+    # alphabet rotation perturbs the sampled byte values, so aHash
+    # band values differ across copies and the (band, val) pair join
+    # stays within copies (the LSH-banding rationale applied to the
+    # binary path); incremental path = same %5 split over 10x media
+    "phash_band_candidates",
+    "incremental_phash_vs_store",
 ]
 
 # range_join runs against the TIME-SHIFTED events variant: with plain

@@ -188,3 +188,66 @@ def test_compact_ann_index_cell_preserves_queries(spark, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(data_files) == 1
+
+
+def test_phash_store_compacts_and_prunes_like_its_siblings(spark, tmp_path):
+    """VERDICT r13 #8: the phash band store's (id, band, val) shape
+    transfers to compact_band_store / prune_band_store — pinned here
+    instead of just claimed in the docstring. A compacted store yields
+    IDENTICAL incremental phash decisions (replay-duplicated rows
+    collapse), and a pruned asset stops matching immediately while the
+    family sidecar survives both rewrites."""
+    from cybersecurity_miw_spark.operators import multimodal as mm
+
+    store_dir = str(tmp_path / "ph_store")
+    template = bytes((i * 37 + 11) % 256 for i in range(500))
+    other = bytes((i * 149 + 3) % 256 for i in range(500))
+
+    def _media(rows):
+        return spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+
+    batches = [
+        [(1, template), (2, other)],
+        [(3, bytes(reversed(other)))],
+        [(1, template)],  # crash replay: duplicate store rows for 1
+    ]
+    for rows in batches:
+        mm.phash_band_store(_media(rows)).write.mode("append").parquet(
+            store_dir
+        )
+    mm.write_phash_store_params(spark, store_dir)
+
+    batch = _media([(20, template)])
+    before = {
+        (r["new_id"], r["stored_id"])
+        for r in mm.incremental_phash_candidates(batch, store_dir).collect()
+    }
+    assert (20, 1) in before
+
+    stats = dedup.compact_band_store(spark, store_dir)
+    assert stats["files_before"] > stats["files_after"] == 1
+    assert stats["rows_after"] < stats["rows_before"]  # replay rows gone
+    after = {
+        (r["new_id"], r["stored_id"])
+        for r in mm.incremental_phash_candidates(batch, store_dir).collect()
+    }
+    assert after == before
+    # family sidecar carried across the rewrite (loader still guards)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phash store"):
+        mm.load_phash_band_store(spark, store_dir, band_bits=10)
+
+    keep = spark.createDataFrame([(2,), (3,)], "media_id long")
+    dedup.prune_band_store(spark, store_dir, keep, id_col="media_id")
+    pruned = {
+        (r["new_id"], r["stored_id"])
+        for r in mm.incremental_phash_candidates(batch, store_dir).collect()
+    }
+    assert not any(s == 1 for _, s in pruned)  # erased asset gone now
+    ids = {
+        r["media_id"]
+        for r in spark.read.parquet(store_dir)
+        .select("media_id").distinct().collect()
+    }
+    assert ids <= {2, 3}

@@ -805,3 +805,131 @@ def test_simhash_flags_within_and_across_runs_with_monitor(spark, tmp_path):
     ).awaitTermination(120)
     assert len(metrics) == 2 and metrics[1]["stale"] is True, metrics
     assert metrics[1]["staleness_ratio"] == 3.0
+
+
+def test_phash_flags_within_and_across_runs_with_monitor(spark, tmp_path):
+    """Perceptual-hash streaming flags (the phash family's streaming
+    twin, VERDICT r13 #3): within-run near-dup media flag immediately,
+    a later run's re-encode flags against the persisted band index
+    (payload bytes never rescanned), the family sidecar guards
+    restarts BEFORE the stream starts, and the monitor records its
+    baseline on the first store-joined trigger with candidates then
+    trips on a template burst."""
+    import pytest as _pytest
+
+    from cybersecurity_miw_spark.operators import multimodal as _mm
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_phash_flags,
+    )
+
+    indir = tmp_path / "media_in"
+    indir.mkdir()
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "phstore")
+    ckpt = str(tmp_path / "ckpt")
+
+    template = bytes((i * 37 + 11) % 256 for i in range(600))
+    near = bytearray(template)
+    near[300] = (near[300] + 90) % 256  # one flipped byte: <=1 bit
+    unrelated = bytes((i * 151 + 7) % 256 for i in range(600))
+
+    def _land(rows):
+        spark.createDataFrame(
+            rows, "media_id LONG, payload BINARY"
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+
+    metrics: list = []
+    _land([(1, template), (2, bytes(near)), (3, unrelated)])
+    streaming_phash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=metrics
+    ).awaitTermination(120)
+    got1 = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert (2, 1) in got1 and metrics == []
+    assert not any(3 in p for p in got1)
+
+    _land([(10, template), (11, bytes(reversed(unrelated)))])
+    streaming_phash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=metrics
+    ).awaitTermination(120)
+    got2 = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert any(n == 10 and s in (1, 2) for n, s in got2)
+    assert len(metrics) == 1 and metrics[0]["stale"] is False
+    # store rows loadable via the family-checked loader; one row per
+    # (asset, band) — payloads never stored
+    loaded = _mm.load_phash_band_store(spark, store)
+    assert {r["media_id"] for r in loaded.collect()} == {1, 2, 3, 10, 11}
+    assert set(loaded.columns) == {"media_id", "band", "val"}
+    # family mismatch fails fast before the stream starts
+    with _pytest.raises(ValueError, match="phash store"):
+        streaming_phash_flags(
+            spark, str(indir), str(tmp_path / "ck2"), flags, store,
+            band_bits=10,
+        )
+
+    # re-encode burst: many verbatim copies of the stored template ->
+    # candidates per asset far above the recorded baseline -> stale
+    _land([(100 + i, template) for i in range(10)])
+    streaming_phash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=metrics,
+        staleness_factor=2.0,
+    ).awaitTermination(120)
+    assert len(metrics) == 2 and metrics[1]["stale"] is True, metrics
+    assert metrics[1]["staleness_ratio"] > 2.0
+
+
+def test_phash_streaming_flags_equal_pooled_batch_candidates(spark, tmp_path):
+    """Cross-restart equivalence golden: the UNION of streaming phash
+    flags across two runs, read as unordered pairs, is exactly the
+    pooled batch `phash_dedup_candidates` over all media — every pair
+    flagged exactly once, when its second member arrives, whichever
+    run that is."""
+    from cybersecurity_miw_spark.operators import multimodal as _mm
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_phash_flags,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    def payload(seed: int) -> bytes:
+        return bytes((i * seed + seed // 3) % 256 for i in range(400))
+
+    t = payload(37)
+    n1 = bytearray(t); n1[100] = (n1[100] + 77) % 256
+    n2 = bytearray(t); n2[350] = (n2[350] + 13) % 256
+    rows1 = [(1, t), (2, bytes(n1)), (3, payload(101))]
+    rows2 = [(4, bytes(n2)), (5, payload(211)), (6, t)]
+
+    def _land(rows):
+        spark.createDataFrame(
+            rows, "media_id LONG, payload BINARY"
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+
+    _land(rows1)
+    streaming_phash_flags(spark, str(indir), ckpt, flags, store)\
+        .awaitTermination(120)
+    _land(rows2)
+    streaming_phash_flags(spark, str(indir), ckpt, flags, store)\
+        .awaitTermination(120)
+
+    streamed = {
+        tuple(sorted((r["new_id"], r["stored_id"])))
+        for r in spark.read.parquet(flags).collect()
+    }
+    pooled_df = spark.createDataFrame(
+        rows1 + rows2, "media_id LONG, payload BINARY"
+    )
+    pooled = {
+        (r["id_a"], r["id_b"])
+        for r in _mm.phash_dedup_candidates(pooled_df).collect()
+    }
+    assert streamed == pooled and len(pooled) >= 6  # the near-dup clique

@@ -2482,6 +2482,63 @@ WHERE rk <= 5
 """
 
 
+_KNN_GRAPH_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+probe AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.vec_id AS query_id, c.cell, q.v AS qv,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(list_zip(c.cv, q.v),
+                               z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      c.cell) AS rn
+    FROM cents c, e q)
+  WHERE rn <= 2
+),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, e.v),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM e
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS cos_sim
+  FROM assign a JOIN probe p ON a.cell = p.cell
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id AS src, vec_id AS dst, cos_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored)
+WHERE rk <= 3
+"""
+
+
+@register("knn_graph_edges", _KNN_GRAPH_SQL)
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole embedding table
+    (operators/similarity.py:knn_graph): every row is query AND
+    candidate — ivf_topk_batch(df, df) with self-pairs excluded
+    BEFORE the per-src rank, so each node gets 3 true neighbors. Same
+    4 seed centroids / 2 probes / folds as `ann_ivf_topk_batch`; the
+    oracle recomputes assignment, probe ranking, and per-src top-3
+    relationally with the identical self-exclusion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
+    return similarity.knn_graph(emb, cents, k=3, n_probes=2)
+
+
 @register("ann_ivf_topk_batch", _IVF_BATCH_SQL)
 def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF ANN (operators/similarity.py:ivf_topk_batch): one

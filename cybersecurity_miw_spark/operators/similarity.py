@@ -841,6 +841,7 @@ def ivf_topk_batch(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_broadcast_queries: int = 10_000,
+    max_cell_width: int | None = None,
 ) -> DataFrame:
     """IVF search for EVERY row of a query TABLE in one pass — the
     production shape: a batch of queries amortizes the corpus
@@ -861,52 +862,20 @@ def ivf_topk_batch(
     route's parallelism is bounded by n_cells (each cell is one join
     key), so size the index so n_cells ≥ the shuffle partition count
     at this scale — the IVF frontier rule in SCALE.md wants that
-    anyway — and leave AQE skew handling on for hot cells. Same L2
+    anyway — and leave AQE skew handling on for hot cells.
+    ``max_cell_width`` is the skew FENCE for degenerate cells (a
+    mega-duplicate cluster or a drifted corpus piled on one stale
+    centroid): cells wider than the cap are excluded from both join
+    sides and surfaced by :func:`oversized_ivf_cells` — the LSH
+    bucket-width guard's IVF twin. Default off; results are identical
+    whenever no cell exceeds the cap (golden-pinned). Same L2
     fold and tie-breaks as :func:`ivf_topk` / :func:`ivf_assign`
     (first-index on equal distance), so a 1-row query table
     reproduces ivf_topk exactly (golden-pinned), and both join routes
     emit identical rows (equality golden)."""
-    n_q = queries.limit(max_broadcast_queries + 1).count()
-    broadcastable = n_q <= max_broadcast_queries
-    cents2d = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
-    qc = q.select(
-        "query_id", "_qv", F.posexplode(cents2d).alias("_ci", "_cv")
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.asc("_d2"), F.asc("_ci")
-    )
-    probes = (
-        qc.withColumn("_d2", d2)
-        .withColumn("_rn", F.row_number().over(w_probe))
-        .filter(F.col("_rn") <= max(1, n_probes))
-        .select("query_id", "_qv", F.col("_ci").alias("_cell"))
-    )
-    assigned = ivf_assign(df, centroids, vec_col)
-    if broadcastable:
-        # bcast-bound: probes <= max_broadcast_queries * n_probes rows
-        #   (count checked above; n_probes <= n_cells, a model constant)
-        joined = assigned.join(F.broadcast(probes), on="_cell")
-    else:
-        # corpus-sized query table: both sides shuffle on _cell —
-        # never raise, the batch is the operator's whole point
-        joined = assigned.join(probes, on="_cell")
-    scored = joined.select(
-        "query_id",
-        F.col(id_col),
-        F.round(
-            cosine(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6
-        ).alias("cos_sim"),
+    scored = _ivf_batch_scored(
+        df, queries, centroids, n_probes, vec_col, id_col,
+        max_broadcast_queries, max_cell_width,
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc(id_col)
@@ -916,6 +885,247 @@ def ivf_topk_batch(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def oversized_ivf_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    max_cell_width: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The cells a ``max_cell_width`` fence would exclude:
+    (_cell, width) for every cell holding more than ``max_cell_width``
+    corpus vectors — the batch-IVF shuffle route's one skew channel
+    (VERDICT r12 #5 / r13 #6). A cell this hot is a quantizer-quality
+    signal (a near-dup mega-cluster collapsed into one cell, or a
+    drifted corpus piling onto a stale centroid — the distortion
+    monitor's spatial complement): surfaced WITHOUT materializing the
+    quadratic probe×candidate traffic it would generate. Remediate
+    with :func:`rebuild_ivf_index` (more cells / fresh centroids), or
+    route the cell's members through the dedup stack if it IS one
+    duplicate group."""
+    return (
+        ivf_assign(df, centroids, vec_col)
+        .groupBy("_cell")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > max_cell_width)
+    )
+
+
+def _ivf_batch_scored(
+    df: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    n_probes: int,
+    vec_col: str,
+    id_col: str,
+    max_broadcast_queries: int,
+    max_cell_width: int | None = None,
+) -> DataFrame:
+    """Shared batch-IVF scoring plan (:func:`ivf_topk_batch` minus the
+    final per-query rank): (query_id, id, cos_sim) for every
+    probed-cell corpus row — :func:`knn_graph` applies its
+    self-exclusion BEFORE the rank so each node still gets k
+    neighbors."""
+    n_q = queries.limit(max_broadcast_queries + 1).count()
+    broadcastable = n_q <= max_broadcast_queries
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    if len(centroids) > IVF_EXPR_MAX_CELLS or not broadcastable:
+        # the queries × n_cells probe grid pays n_cells fold
+        # distances PER QUERY ROW in expression code — quadratic in
+        # whichever of (cells, queries) grows. Route through the
+        # Arrow argpartition path (one BLAS matmul per batch; the
+        # ivf_assign switch applied to probe ranking, same near-tie
+        # rounding caveat) when EITHER the cell count exceeds the
+        # expression budget or the query table is corpus-sized
+        # (knn_graph: measured 10x point went 9.98 s -> 2.36 s at
+        # 2k -> 20k queries, SCALE.md r14). Oracle-pinned queries
+        # (small batches, small seed grids) keep the expression path
+        # and its DuckDB-exact fold arithmetic.
+        probes = _probe_cells_arrow(q, centroids, n_probes)
+    else:
+        # expr-string literal (the with_signature lesson): n_cells ×
+        # dim F.lit Columns cost seconds of py4j at 512×64; one SQL
+        # string parses JVM-side and constant-folds identically
+        cents2d = F.expr(
+            "array(%s)"
+            % ",".join(
+                "array(%s)" % ",".join(repr(float(x)) for x in c)
+                for c in centroids
+            )
+        )
+        qc = q.select(
+            "query_id", "_qv", F.posexplode(cents2d).alias("_ci", "_cv")
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("_qv"), F.col("_cv"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        w_probe = Window.partitionBy("query_id").orderBy(
+            F.asc("_d2"), F.asc("_ci")
+        )
+        probes = (
+            qc.withColumn("_d2", d2)
+            .withColumn("_rn", F.row_number().over(w_probe))
+            .filter(F.col("_rn") <= max(1, n_probes))
+            .select("query_id", "_qv", F.col("_ci").alias("_cell"))
+        )
+    assigned = ivf_assign(df, centroids, vec_col)
+    if max_cell_width is not None:
+        # skew fence: drop cells wider than the cap from BOTH sides of
+        # the probe join — one hot cell otherwise funnels
+        # width × probing-queries rows through a single join key.
+        # Fenced cells are a quantizer defect, surfaced by
+        # oversized_ivf_cells; the collect is bounded by n_cells rows
+        # (a model constant, the maybe_broadcast rationale)
+        hot = [
+            r["_cell"]
+            for r in oversized_ivf_cells(
+                df, centroids, max_cell_width, vec_col
+            ).collect()
+        ]
+        if hot:
+            assigned = assigned.filter(~F.col("_cell").isin(hot))
+            probes = probes.filter(~F.col("_cell").isin(hot))
+    if broadcastable:
+        # bcast-bound: probes <= max_broadcast_queries * n_probes rows
+        #   (count checked above; n_probes <= n_cells, a model constant)
+        joined = assigned.join(F.broadcast(probes), on="_cell")
+    else:
+        # corpus-sized query table: both sides shuffle on _cell —
+        # never raise, the batch is the operator's whole point
+        joined = assigned.join(probes, on="_cell")
+    return joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col("_qv")), 6
+        ).alias("cos_sim"),
+    )
+
+
+def _probe_cells_arrow(
+    q: DataFrame,
+    centroids: list[list[float]],
+    n_probes: int,
+) -> DataFrame:
+    """Arrow-batched probe-cell ranking for large cell counts:
+    per-query nearest ``n_probes`` cells via one numpy matmul +
+    argsort per batch — O(batch × n_cells × dim) in BLAS instead of
+    n_cells fold-expression distances per query row. Emits
+    (query_id, _qv, _cell), one row per probe. Ranking matches the
+    expression path — (d², cell-index asc) — up to the ivf_assign
+    Arrow/expression near-tie rounding caveat (``||c||² − 2·q@c``
+    vs folded ``Σ(x−c)²``); exact ties break to the lower cell on
+    both paths."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cent_norm = np.sum(cents * cents, axis=1)
+    dim = cents.shape[1]
+    n_p = max(1, min(int(n_probes), len(centroids)))
+    schema = q.schema
+
+    def rank(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(
+                [
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None and len(v) == dim
+                    else np.full(dim, np.nan)
+                    for v in pdf["_qv"]
+                ]
+            )
+            d2 = cent_norm[None, :] - 2.0 * (vecs @ cents.T)
+            # stable argsort on d2 keeps the cell-index-asc tie-break
+            order = np.argsort(d2, axis=1, kind="stable")[:, :n_p]
+            out = pdf.loc[pdf.index.repeat(n_p)].reset_index(drop=True)
+            out["_cell"] = order.reshape(-1).astype("int32")
+            # unassignable rows (null/short vectors): NaN distances
+            # sort last but still emit — drop them like the grid
+            # path's null-fold would
+            ok = ~np.isnan(d2).all(axis=1)
+            yield out[np.repeat(ok, n_p)]
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        list(schema.fields) + [StructField("_cell", IntegerType())]
+    )
+    return q.mapInPandas(rank, schema=out_schema)
+
+
+def knn_graph(
+    df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    symmetric: bool = False,
+    max_broadcast_queries: int = 10_000,
+    max_cell_width: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN GRAPH over an embedding corpus — every row is
+    simultaneously a query and a candidate: ``ivf_topk_batch(df, df)``
+    with self-pairs excluded (VERDICT r12 #6 / r13 #7). Returns
+    ``(src, dst, cos_sim)`` with per-src rank ≤ k over cosine desc
+    (6-d.p. rounded, ``dst`` asc tie-break) — the building block for
+    graph-based dedup (connected components over high-cos edges),
+    curriculum/neighbor mining, and label propagation.
+
+    Self-exclusion happens BEFORE the per-src rank, so each node gets
+    k true neighbors (an exact-duplicate corpus doesn't eat rank 1
+    with src==dst). ``symmetric=True`` unions each directed edge with
+    its reverse and dedups — cosine is symmetric, so the reverse edge
+    carries the identical rounded score and the result is a proper
+    undirected adjacency list (a–b present iff a is in b's top-k OR b
+    in a's); node degree then varies in [k, 2k].
+
+    100 TB: the corpus IS the query table, so the probe join always
+    takes the shuffle route — both sides repartition on ``_cell``,
+    corpus scanned once for assignment and once as candidates, never
+    all-pairs (each src scores only its probed cells). Parallelism is
+    bounded by n_cells: size the index per the IVF frontier rule
+    (n_cells ≥ shuffle partitions) and leave AQE skew-join on for hot
+    cells. Recall follows the IVF geometry — raise ``n_probes`` for
+    boundary nodes, same trade as :func:`ivf_topk_batch`
+    (reference analog: the reference's kmeans/knn app family,
+    app/kmeans*.cc — here as one declarative plan)."""
+    scored = _ivf_batch_scored(
+        df, df, centroids, n_probes, vec_col, id_col,
+        max_broadcast_queries, max_cell_width,
+    ).filter(F.col("query_id") != F.col(id_col))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    edges = (
+        scored.withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= k)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col(id_col).alias("dst"),
+            "cos_sim",
+        )
+    )
+    if symmetric:
+        edges = edges.unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "cos_sim",
+            )
+        ).distinct()
+    return edges
 
 
 # ---- embedding hygiene: normalization and quantization ----

@@ -487,3 +487,151 @@ def test_default_n_planes_is_auto_schedule(spark):
     }
     assert auto == explicit
     assert 41 not in auto and 7 in auto
+
+
+def test_knn_graph_self_exclusion_symmetrize_and_routes(spark):
+    """knn_graph (VERDICT r12 #6 / r13 #7): ivf_topk_batch(df, df)
+    with self-pairs excluded BEFORE the per-src rank — an exact
+    duplicate doesn't eat rank 1 with src==dst and every node still
+    gets k true neighbors; symmetric=True is exactly directed UNION
+    reversed, deduped; and the shuffle route (corpus-sized query
+    table) emits identical edges to the broadcast route."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    pts = rng.randn(40, DIM)
+    pts[25] = pts[4]  # exact duplicate pair
+    df = _emb(
+        spark,
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)],
+    )
+    cents = [[float(x) for x in pts[i]] for i in range(4)]
+
+    g = similarity.knn_graph(df, cents, k=3, n_probes=2)
+    edges = [(r["src"], r["dst"], r["cos_sim"]) for r in g.collect()]
+    assert all(s != d for s, d, _ in edges)
+    per_src = {}
+    for s, d, c in edges:
+        per_src.setdefault(s, []).append((d, c))
+    assert all(len(v) == 3 for v in per_src.values())
+    assert len(per_src) == 40  # every node is a src
+    # the exact duplicate is each other's top neighbor at cos 1.0
+    assert per_src[4][0] == (25, 1.0) or (25, 1.0) in per_src[4]
+    assert (4, 1.0) in per_src[25]
+
+    sym = {
+        (r["src"], r["dst"], r["cos_sim"])
+        for r in similarity.knn_graph(
+            df, cents, k=3, n_probes=2, symmetric=True
+        ).collect()
+    }
+    directed = set(edges)
+    assert sym == directed | {(d, s, c) for s, d, c in directed}
+
+    shuffled = {
+        (r["src"], r["dst"], r["cos_sim"])
+        for r in similarity.knn_graph(
+            df, cents, k=3, n_probes=2, max_broadcast_queries=1
+        ).collect()
+    }
+    assert shuffled == directed
+
+
+def test_ivf_batch_arrow_probe_path_equals_expression_path(spark, monkeypatch):
+    """Above IVF_EXPR_MAX_CELLS the batch-IVF probe ranking switches
+    to the Arrow argpartition path (one BLAS matmul per batch instead
+    of n_cells fold distances per query row). On a tie-free random
+    fixture both paths emit identical top-k rows — same (d2, cell
+    asc) probe ranking, same scoring."""
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    pts = rng.randn(120, DIM)
+    df = _emb(
+        spark,
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)],
+    )
+    cents = [[float(x) for x in rng.randn(DIM)] for _ in range(80)]
+    queries = df.filter(F.col("vec_id") < 25)
+
+    arrow_rows = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_batch(
+            df, queries, cents, k=4, n_probes=3
+        ).collect()
+    }  # 80 cells > IVF_EXPR_MAX_CELLS=64 -> Arrow probe ranking
+    monkeypatch.setattr(similarity, "IVF_EXPR_MAX_CELLS", 500)
+    expr_rows = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_batch(
+            df, queries, cents, k=4, n_probes=3
+        ).collect()
+    }
+    assert arrow_rows == expr_rows and len(arrow_rows) > 0
+
+
+def test_ivf_cell_width_fence_and_report(spark):
+    """The batch-IVF skew fence (VERDICT r12 #5 / r13 #6): a planted
+    mega-cell (30 near-identical vectors on one centroid) is surfaced
+    by oversized_ivf_cells and excluded from both sides of the probe
+    join when max_cell_width is set; queries homed in healthy cells
+    return IDENTICAL rows with and without the fence, and with a cap
+    no cell exceeds, the fenced path is row-identical to the default
+    (the equality-on-non-skewed contract)."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    cents = [[float(x) for x in rng.randn(DIM)] for _ in range(4)]
+    rows = []
+    # mega-cell: 30 tight copies around centroid 0
+    for i in range(30):
+        rows.append(
+            (i, [c + float(e) for c, e in
+                 zip(cents[0], rng.randn(DIM) * 1e-3)])
+        )
+    # healthy cells: 5 spread vectors around each other centroid
+    nid = 100
+    for ci in (1, 2, 3):
+        for _ in range(5):
+            rows.append(
+                (nid, [c + float(e) for c, e in
+                       zip(cents[ci], rng.randn(DIM) * 0.05)])
+            )
+            nid += 1
+    df = _emb(spark, rows)
+
+    report = similarity.oversized_ivf_cells(df, cents, max_cell_width=10)
+    got = {(r["_cell"], r["width"]) for r in report.collect()}
+    assert got == {(0, 30)}
+
+    unfenced = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_batch(
+            df, df, cents, k=3, n_probes=1
+        ).collect()
+    }
+    fenced = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_batch(
+            df, df, cents, k=3, n_probes=1, max_cell_width=10
+        ).collect()
+    }
+    # no row from or into the mega-cell survives the fence...
+    assert all(q >= 100 and v >= 100 for q, v, _ in fenced)
+    # ...and healthy-cell rows are untouched
+    assert fenced == {r for r in unfenced if r[0] >= 100 and r[1] >= 100}
+
+    # equality on non-skewed inputs: cap above every width
+    wide_cap = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_batch(
+            df, df, cents, k=3, n_probes=1, max_cell_width=1000
+        ).collect()
+    }
+    assert wide_cap == unfenced
+
+    # the fence threads through knn_graph
+    g = similarity.knn_graph(df, cents, k=2, max_cell_width=10)
+    assert all(
+        r["src"] >= 100 and r["dst"] >= 100 for r in g.collect()
+    )

@@ -356,6 +356,7 @@ def semantic_dedup_cells(
     threshold: float = 0.85,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_assign: int = 1,
 ) -> DataFrame:
     """:func:`semantic_dedup` with the SemDeDup paper's OWN blocking:
     k-means cells instead of hyperplane buckets (Abbas et al. §3 —
@@ -371,12 +372,75 @@ def semantic_dedup_cells(
     cross-dup misses at the same pair budget) but cost a training
     pass and are corpus-dependent; md5-plane buckets are free,
     deterministic, and SQL-reproducible. Both share the plan shape —
-    uniform-key self-join + one anti-join, never all-pairs."""
-    assigned = ivf_assign(df, centroids, vec_col).select(
-        id_col,
-        "_cell",
-        F.col(vec_col).cast("array<double>").alias("_v"),
+    uniform-key self-join + one anti-join, never all-pairs.
+
+    ``n_assign`` is the boundary-pair recall channel (measured, see
+    SCALE.md r14): single assignment misses pairs straddling a cell
+    face; ``n_assign=2-3`` places each vector in its n nearest cells
+    (the IVF ``n_probes`` idea on the index side) at n× index rows
+    and bounded extra join traffic. Found pairs at n_assign>1 are a
+    SUPERSET of n_assign=1 at equal centroids (golden-pinned)."""
+    removed = (
+        _cells_pairs_raw(
+            df, centroids, threshold, vec_col, id_col, n_assign
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
     )
+    return df.join(removed, on=id_col, how="anti")
+
+
+def cells_near_dup_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_assign: int = 1,
+) -> DataFrame:
+    """The k-means-cells near-dup PAIR stage (id_a, id_b) —
+    :func:`semantic_dedup_cells`'s blocking + exact-cosine confirm as
+    a first-class operator: same-cell pairs with id_a < id_b at
+    cosine ≥ threshold (6-d.p. rounded). ``n_assign=1`` is the
+    classic SemDeDup single assignment (one uniform-key self-join);
+    ``n_assign>1`` multi-assigns each vector to its n nearest cells
+    (Arrow-ranked, :func:`_probe_cells_arrow`) so boundary pairs —
+    the single-assignment miss channel — meet in the second-nearest
+    cell; the pair set is distinct-deduped (a pair sharing two cells
+    emits once) and is a SUPERSET of the single-assignment set at
+    equal centroids."""
+    pairs = _cells_pairs_raw(
+        df, centroids, threshold, vec_col, id_col, n_assign
+    )
+    # n_assign=1: one cell per vector, a pair can only emit once — no
+    # dedup exchange needed (semantic_dedup_cells' original plan)
+    return pairs.distinct() if n_assign > 1 else pairs
+
+
+def _cells_pairs_raw(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    n_assign: int,
+) -> DataFrame:
+    if n_assign <= 1:
+        assigned = ivf_assign(df, centroids, vec_col).select(
+            id_col,
+            "_cell",
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    else:
+        q = df.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        assigned = _probe_cells_arrow(q, centroids, n_assign).select(
+            F.col("query_id").alias(id_col),
+            "_cell",
+            F.col("_qv").alias("_v"),
+        )
     base = assigned.select(
         id_col, "_cell", "_v", norm(F.col("_v")).alias("_n")
     )
@@ -393,14 +457,12 @@ def semantic_dedup_cells(
         F.col("_n").alias("_nb"),
     )
     cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
-    removed = (
+    return (
         a.join(b, on="_cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(F.round(cos, 6) >= threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        .select("id_a", "id_b")
     )
-    return df.join(removed, on=id_col, how="anti")
 
 
 SEMANTIC_STORE_PARAMS_FILE = "_semdedup_params.json"

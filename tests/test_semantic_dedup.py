@@ -635,3 +635,61 @@ def test_ivf_cell_width_fence_and_report(spark):
     assert all(
         r["src"] >= 100 and r["dst"] >= 100 for r in g.collect()
     )
+
+
+def test_cells_multi_assign_superset_and_extras_real(spark):
+    """Cells-blocking multi-assign (VERDICT r12 #3 / r13 #5): at equal
+    centroids, the n_assign=2 pair set is a SUPERSET of the
+    single-assignment set, every extra pair is real (cosine >=
+    threshold by brute force — boundary pairs whose members straddle
+    a cell face), and the multi-assign survivor set is therefore a
+    subset. n_assign=1 keeps the exact original pair set."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    pts = rng.randn(120, DIM)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    # plant boundary near-dups: perturbations big enough to cross
+    # cell faces at 16 trained cells, small enough to stay >= 0.9 cos
+    for i in range(0, 40):
+        d = rng.randn(DIM)
+        d -= d.dot(pts[i]) * pts[i]
+        d /= np.linalg.norm(d)
+        pts[80 + i] = 0.93 * pts[i] + (1 - 0.93**2) ** 0.5 * d
+    df = _emb(
+        spark,
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)],
+    )
+    cents = similarity.train_centroids(df, 16, DIM, iters=2)
+
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cells_near_dup_pairs(
+            df, cents, threshold=0.9
+        ).collect()
+    }
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cells_near_dup_pairs(
+            df, cents, threshold=0.9, n_assign=2
+        ).collect()
+    }
+    assert p2 >= p1
+    extras = p2 - p1
+    assert extras, "fixture must exercise the boundary channel"
+    sims = {(i, j): float(pts[i].dot(pts[j])) for i, j in extras}
+    assert all(round(s, 6) >= 0.9 for s in sims.values()), sims
+
+    s1 = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_cells(
+            df, cents, threshold=0.9
+        ).collect()
+    }
+    s2 = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_cells(
+            df, cents, threshold=0.9, n_assign=2
+        ).collect()
+    }
+    assert s2 <= s1

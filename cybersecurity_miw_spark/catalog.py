@@ -8035,6 +8035,26 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # Round-14 rotation (the r13 miss, made current): IN = the three
+    # r13 phash oracles (phash_fingerprints, phash_band_candidates,
+    # incremental_phash_vs_store — their first-round rows are a round
+    # overdue) + the new r14 knn_graph_edges. OUT = four of the
+    # longest-green r6-cohort veterans — app_linear_regression,
+    # app_matrix_mult_blocked (the apps family keeps
+    # app_word_reverse_index / app_pca_covariance / app_kmeans_step
+    # in-window), event_value_percentiles, pivot_user_activity (the
+    # events/window family keeps rollup_event_counts /
+    # running_value_per_user / distinct_users_per_type /
+    # beacon_interval_profile). Everything rotated out stays
+    # full-hash green in tests/test_oracle_parity.py every round.
+    # r14 changed-code anchors already in-window: ann_ivf_topk_batch
+    # (expr-string centroid literal + Arrow probe path for large/
+    # corpus-sized batches — the small broadcastable oracle batch
+    # keeps the expression plan), semantic_dedup_cells_survivors
+    # (pair stage factored through _cells_pairs_raw, n_assign=1 plan
+    # identical), semantic_dedup_survivors / semantic_dedup_clusters
+    # (n_planes default flipped to auto; oracles pin geometry
+    # explicitly).
     # Round-12 rotation: flagship + changed-code anchors
     # (ann_pq_adc_topk — the residual-ADC null-element guard changed
     # both scoring paths' plans; ann_ivf_topk_batch — gained the
@@ -8079,17 +8099,13 @@ _DRIVER_WINDOW = [
     # --- last row round 6 ---
     "date_buckets",
     "match_substring_or",
-    "app_linear_regression",
     "app_word_reverse_index",
-    "app_matrix_mult_blocked",
     "app_pca_covariance",
     "app_kmeans_step",
-    "event_value_percentiles",
     "rollup_event_counts",
     "running_value_per_user",
     "distinct_users_per_type",
     "beacon_interval_profile",
-    "pivot_user_activity",
     "gopher_quality_flags",
     "remove_repeated_lines",
     "pii_redact_counts",
@@ -8125,6 +8141,12 @@ _DRIVER_WINDOW = [
     "hybrid_rrf_topk_docs",
     "containment_pairs_exact",
     "incremental_semantic_vs_store",
+    # --- new r13 oracles (first-round rows, one round overdue) ---
+    "phash_fingerprints",
+    "phash_band_candidates",
+    "incremental_phash_vs_store",
+    # --- new r14 oracle (first-round row) ---
+    "knn_graph_edges",
 ]
 
 

@@ -2128,6 +2128,7 @@ def semantic_dedup_cells_auto(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     iters: int = 3,
+    n_assign: int = 2,
 ) -> DataFrame:
     """:func:`semantic_dedup_cells` with the occupancy-constant cell
     schedule applied automatically: train
@@ -2137,12 +2138,18 @@ def semantic_dedup_cells_auto(
     corpus grows, so the within-cell pair join never goes quadratic
     (the frontier rule, SCALE.md r8/r12). Pass explicit centroids to
     :func:`semantic_dedup_cells` to own the schedule or reuse a
-    trained quantizer."""
+    trained quantizer. Defaults ``n_assign=2``: single assignment
+    misses ~1/3 of cos~0.85 boundary pairs at every cell count
+    (measured, SCALE.md r14) — the turnkey form should not silently
+    pay that; pass ``n_assign=1`` for the classic SemDeDup
+    single-assignment cost profile."""
     n = df.count()
     cents = train_centroids(
         df, suggested_cells(n), dim, vec_col=vec_col, iters=iters
     )
-    return semantic_dedup_cells(df, cents, threshold, vec_col, id_col)
+    return semantic_dedup_cells(
+        df, cents, threshold, vec_col, id_col, n_assign
+    )
 
 
 # ---- IVF index sidecar: quantizer family guard + distortion monitor ----

@@ -693,3 +693,12 @@ def test_cells_multi_assign_superset_and_extras_real(spark):
         ).collect()
     }
     assert s2 <= s1
+
+    # the turnkey form defaults to multi-assign (it should not
+    # silently pay the measured ~1/3 boundary miss at cos~0.85)
+    import inspect
+
+    assert (
+        inspect.signature(similarity.semantic_dedup_cells_auto)
+        .parameters["n_assign"].default == 2
+    )

@@ -5159,6 +5159,81 @@ def q_weighted_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_MIX_SQL = """
+WITH pool AS (
+  SELECT doc_id, source FROM documents
+  -- doc_id = source-index mod 20 in the generated tables, so skew on
+  -- the per-source sequence number (doc_id // 20): full src0, every
+  -- 2nd src1 doc, every 5th src2 doc
+  WHERE source = 'src0'
+     OR (source = 'src1' AND (doc_id // 20) % 2 = 0)
+     OR (source = 'src2' AND (doc_id // 20) % 5 = 0)
+),
+counts AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n FROM pool GROUP BY source
+),
+-- T=2 -> sqrt(n); denominator added in sorted-source order to match
+-- the operator's bit-deterministic driver-side normalization
+tot AS (
+  SELECT (SELECT sqrt(n) FROM counts WHERE source = 'src0')
+       + (SELECT sqrt(n) FROM counts WHERE source = 'src1')
+       + (SELECT sqrt(n) FROM counts WHERE source = 'src2') AS t
+),
+w AS (SELECT source, sqrt(n) / (SELECT t FROM tot) AS wt FROM counts),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5('mix-v1:' || doc_id)
+         ) AS rn
+  FROM pool
+),
+keyed AS (
+  SELECT r.doc_id, r.source, r.rn / w.wt AS mix_key
+  FROM ranked r JOIN w ON r.source = w.source
+)
+SELECT doc_id, source, round(mix_key, 6) AS mix_key_r
+FROM keyed
+ORDER BY mix_key, source, doc_id
+LIMIT 60
+"""
+
+
+@register("temperature_mix_prefix", _TEMP_MIX_SQL)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 60 rows of a TEMPERATURE-mixed (T=2) corpus interleave
+    (operators/sampling.py:temperature_interleave): source weights =
+    count^(1/T) normalized — the multinomial temperature-sampling
+    rule of the published LLM data recipes (T=1 natural, T→∞
+    uniform); the 3-source pool is deliberately skewed (full src0,
+    half src1, fifth src2) so the weights are non-trivial. Weight
+    math is sqrt-exact in both engines and normalized in sorted
+    source order; interleave contract identical to
+    `weighted_interleave_prefix`."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    pool = docs.filter(
+        (F.col("source") == "src0")
+        | (
+            (F.col("source") == "src1")
+            & (F.expr("(doc_id div 20) % 2") == 0)
+        )
+        | (
+            (F.col("source") == "src2")
+            & (F.expr("(doc_id div 20) % 5") == 0)
+        )
+    )
+    out = sampling.temperature_interleave(pool, "source", temperature=2.0)
+    return (
+        out.orderBy("mix_key", "source", "doc_id")
+        .limit(60)
+        .select(
+            "doc_id", "source",
+            F.round("mix_key", 6).alias("mix_key_r"),
+        )
+    )
+
+
 _DECONTAM_SQL = f"""
 WITH {_SIGS_CTE},
 banded AS (

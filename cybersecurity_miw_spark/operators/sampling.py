@@ -440,3 +440,53 @@ def weighted_sample_k(
         .orderBy(F.desc("score_u"), F.asc(id_col))
         .limit(k)
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    temperature: float = 2.0,
+) -> dict[str, float]:
+    """Temperature-scaled multinomial source weights — the standard
+    LLM data-recipe mixing rule (sample source i with probability
+    ∝ share_i^(1/T), e.g. GPT-3 / PaLM / LLaMA corpus tables): T=1
+    reproduces natural proportions, T→∞ approaches uniform, T in
+    (1, 5] upweights small high-quality sources without drowning the
+    head. One groupBy-count to the driver — bounded by the number of
+    DISTINCT SOURCES (a model constant, not corpus-sized). Counts are
+    raised to 1/T and normalized in sorted-source order so the
+    returned dict is bit-deterministic across runs and engines."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    )
+    powed = [(s, float(n) ** (1.0 / temperature)) for s, n in counts]
+    tot = 0.0
+    for _, p in powed:
+        tot += p
+    return {s: p / tot for s, p in powed}
+
+
+def temperature_interleave(
+    df: DataFrame,
+    source_col: str = "source",
+    temperature: float = 2.0,
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """:func:`weighted_interleave` with :func:`temperature_weights`
+    applied automatically — the turnkey temperature-mixing step:
+    order the corpus so every output prefix holds sources in
+    temperature-scaled proportion. Same low-discrepancy interleave
+    (one per-source rank window, no global row_number) and the same
+    ``mix_key`` contract as the explicit-weights form."""
+    return weighted_interleave(
+        df,
+        source_col,
+        temperature_weights(df, source_col, temperature),
+        id_col,
+        salt,
+    )

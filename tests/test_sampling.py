@@ -439,3 +439,46 @@ def test_leakage_safe_split_string_ids(spark):
     assert all(
         got[d] == plain[d] for d in got if d not in ("doc-0", "doc-1")
     )
+
+
+def test_temperature_weights_and_interleave(spark):
+    """Temperature mixing (the LLM data-recipe rule): T=1 reproduces
+    natural source proportions, larger T flattens toward uniform
+    (small sources upweighted, never above uniform), T<=0 raises, and
+    the turnkey interleave equals weighted_interleave with the
+    computed weights."""
+    import math
+
+    import pytest
+
+    from cybersecurity_miw_spark.operators import sampling
+
+    rows = (
+        [(i, "big") for i in range(90)]
+        + [(100 + i, "mid") for i in range(9)]
+        + [(200, "tiny")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    w1 = sampling.temperature_weights(df, "source", temperature=1.0)
+    assert w1 == pytest.approx({"big": 0.9, "mid": 0.09, "tiny": 0.01})
+
+    w2 = sampling.temperature_weights(df, "source", temperature=2.0)
+    tot = math.sqrt(90) + math.sqrt(9) + math.sqrt(1)
+    assert w2 == pytest.approx(
+        {"big": math.sqrt(90) / tot, "mid": 3 / tot, "tiny": 1 / tot}
+    )
+    # flattening is monotone toward uniform
+    assert w2["tiny"] > w1["tiny"] and w2["big"] < w1["big"]
+    w_inf = sampling.temperature_weights(df, "source", temperature=1e9)
+    assert all(abs(v - 1 / 3) < 1e-6 for v in w_inf.values())
+
+    with pytest.raises(ValueError, match="temperature"):
+        sampling.temperature_weights(df, "source", temperature=0)
+
+    auto = sampling.temperature_interleave(df, "source", temperature=2.0)
+    manual = sampling.weighted_interleave(df, "source", w2)
+    key = lambda r: (r["doc_id"], r["source"], round(r["mix_key"], 9))
+    assert sorted(map(key, auto.collect())) == sorted(
+        map(key, manual.collect())
+    )

@@ -8177,7 +8177,6 @@ _DRIVER_WINDOW = [
     "app_word_reverse_index",
     "app_pca_covariance",
     "app_kmeans_step",
-    "rollup_event_counts",
     "running_value_per_user",
     "distinct_users_per_type",
     "beacon_interval_profile",
@@ -8220,8 +8219,12 @@ _DRIVER_WINDOW = [
     "phash_fingerprints",
     "phash_band_candidates",
     "incremental_phash_vs_store",
-    # --- new r14 oracle (first-round row) ---
+    # --- new r14 oracles (first-round rows; rollup_event_counts
+    #     rotated out for temperature_mix_prefix — the events family
+    #     keeps running_value_per_user / distinct_users_per_type /
+    #     beacon_interval_profile in-window) ---
     "knn_graph_edges",
+    "temperature_mix_prefix",
 ]
 
 

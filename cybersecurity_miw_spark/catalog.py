@@ -1853,6 +1853,62 @@ WHERE vec_id NOT IN (SELECT vec_id FROM rm)
 """
 
 
+_SEMANTIC_CELLS_CLUSTERS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, e.v),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM e
+),
+dup_pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+),
+edges AS (SELECT a, b FROM dup_pairs UNION SELECT b, a FROM dup_pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a
+),
+reps AS (
+  SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vec_id FROM reps WHERE vec_id <> cluster_id)
+"""
+
+
+@register("semantic_dedup_cells_clusters", _SEMANTIC_CELLS_CLUSTERS_SQL)
+def q_semantic_dedup_cells_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atomic SemDeDup over k-means-cells blocking
+    (operators/similarity.py:semantic_dedup_cells_clusters) — the
+    fourth corner of the blocking × keep-rule matrix: the cells pair
+    list routed through connected components, one survivor (the min
+    id) per component. Same 4 seed centroids / threshold 0.4 as
+    `semantic_dedup_cells_survivors`, so the two oracles differ
+    exactly where chains make adjacency and closure disagree."""
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
+    return similarity.semantic_dedup_cells_clusters(
+        emb, cents, threshold=0.4
+    ).select("vec_id")
+
+
 @register("semantic_dedup_cells_survivors", _SEMANTIC_DEDUP_CELLS_SQL)
 def q_semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup with the paper's own blocking — k-means cells
@@ -8167,7 +8223,9 @@ _DRIVER_WINDOW = [
     "hybrid_rrf_batch_docs",
     "contamination_report_eval",
     "retrieve_rerank_topk_docs",
-    "embedding_near_dup_lsh_banded",
+    # (embedding_near_dup_lsh_banded rotated out r14 for the new
+    #  semantic_dedup_cells_clusters row — same family, twice green,
+    #  stays pytest-parity checked)
     "incremental_semantic_banded_vs_store",
     "kv_evtx_explode",
     "match_negative_exact",
@@ -8225,6 +8283,7 @@ _DRIVER_WINDOW = [
     #     beacon_interval_profile in-window) ---
     "knn_graph_edges",
     "temperature_mix_prefix",
+    "semantic_dedup_cells_clusters",
 ]
 
 

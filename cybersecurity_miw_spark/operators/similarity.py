@@ -390,6 +390,38 @@ def semantic_dedup_cells(
     return df.join(removed, on=id_col, how="anti")
 
 
+def semantic_dedup_cells_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.85,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_assign: int = 1,
+) -> DataFrame:
+    """CLUSTER-ATOMIC SemDeDup over k-means-cells blocking — the
+    fourth corner of the (blocking × keep-rule) matrix the other
+    three already fill (LSH×adjacency :func:`semantic_dedup`,
+    LSH×cluster :func:`semantic_dedup_clusters`, cells×adjacency
+    :func:`semantic_dedup_cells`): the cells pair list
+    (:func:`cells_near_dup_pairs`, multi-assign-capable) routed
+    through connected components, each component keeping exactly its
+    MINIMUM id. Same plan economics as its siblings — uniform-key
+    self-join, O(diameter) CC rounds with one scalar per round to the
+    driver, one anti-join."""
+    from cybersecurity_miw_spark.operators.dedup import dup_clusters_auto
+
+    pairs = cells_near_dup_pairs(
+        df, centroids, threshold, vec_col, id_col, n_assign
+    ).select(
+        F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+    )
+    clusters = dup_clusters_auto(pairs)
+    removed = clusters.filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias(id_col))
+    return df.join(removed, on=id_col, how="anti")
+
+
 def cells_near_dup_pairs(
     df: DataFrame,
     centroids: list[list[float]],

@@ -702,3 +702,50 @@ def test_cells_multi_assign_superset_and_extras_real(spark):
         inspect.signature(similarity.semantic_dedup_cells_auto)
         .parameters["n_assign"].default == 2
     )
+
+
+def test_cells_clusters_keeps_one_per_chain(spark):
+    """semantic_dedup_cells_clusters (the fourth blocking × keep-rule
+    corner): on a within-cell chain a~b~c with cos(a,c) < t the
+    cluster-atomic rule keeps exactly a (one survivor per component,
+    drops size-1), while the adjacency rule of semantic_dedup_cells
+    also drops both b and c — the same contract split as the LSH
+    pair of operators."""
+    import math
+
+    import numpy as np
+
+    # three unit vectors in a plane: 0 at 0 deg, 1 at 20 deg, 2 at 40
+    # deg -> cos(0,1)=cos(1,2)=0.94 >= 0.9, cos(0,2)=0.766 < 0.9
+    def vec(deg):
+        a = math.radians(deg)
+        v = [math.cos(a), math.sin(a)] + [0.0] * (DIM - 2)
+        return v
+
+    rows = [(0, vec(0)), (1, vec(20)), (2, vec(40)), (50, vec(180))]
+    df = _emb(spark, rows)
+    cents = [vec(10), vec(180)]  # all three chain members share cell 0
+
+    atomic = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_cells_clusters(
+            df, cents, threshold=0.9
+        ).collect()
+    }
+    assert atomic == {0, 50}
+
+    adjacency = {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_cells(
+            df, cents, threshold=0.9
+        ).collect()
+    }
+    assert adjacency == {0, 50}  # b dropped by a, c dropped by b
+    # where they split: a 2-cluster pair behaves identically...
+    pair = _emb(spark, [(0, vec(0)), (1, vec(20)), (50, vec(180))])
+    assert {
+        r["vec_id"]
+        for r in similarity.semantic_dedup_cells_clusters(
+            pair, cents, threshold=0.9
+        ).collect()
+    } == {0, 50}

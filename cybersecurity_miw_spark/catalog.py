@@ -2595,6 +2595,76 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph(emb, cents, k=3, n_probes=2)
 
 
+_HARD_NEG_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id IN (0, 1, 2, 3)),
+qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+pos (query_id, vec_id) AS (
+  VALUES (0, 0), (0, 2), (1, 2), (1, 4), (2, 4), (2, 6)
+),
+probe AS (
+  SELECT query_id, cell, qv FROM (
+    SELECT q.query_id, c.cell, q.qv,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_sum(list_transform(list_zip(c.cv, q.qv),
+                               z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                      c.cell) AS rn
+    FROM cents c, qs q)
+  WHERE rn <= 2
+),
+assign AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_sum(list_transform(list_zip(c.cv, e.v),
+                            z -> (z[1] - z[2]) * (z[1] - z[2]))),
+                   c.cell
+          LIMIT 1) AS cell
+  FROM e
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(a.v, p.qv), 6) AS cos_sim
+  FROM assign a JOIN probe p ON a.cell = p.cell
+  WHERE p.query_id <> a.vec_id
+    AND NOT EXISTS (SELECT 1 FROM pos
+                    WHERE pos.query_id = p.query_id
+                      AND pos.vec_id = a.vec_id)
+)
+SELECT query_id, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+  FROM scored)
+WHERE rk <= 5
+"""
+
+
+@register("hard_negatives_topk", _HARD_NEG_SQL)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py:
+    mine_hard_negatives): per-query top-5 highest-cosine corpus rows
+    EXCLUDING the query's known positives (a literal relevance table
+    shared by both engines) and the query itself — exclusion before
+    the rank, so every query gets 5 true negatives. Same seed
+    geometry as `ann_ivf_topk_batch`."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed_rows = (
+        emb.filter(F.col("vec_id") < 4)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>"))
+        .collect()
+    )
+    cents = [list(r[0]) for r in seed_rows]
+    queries = emb.filter(F.col("vec_id") < 3)
+    positives = spark.createDataFrame(
+        [(0, 0), (0, 2), (1, 2), (1, 4), (2, 4), (2, 6)],
+        "query_id long, vec_id long",
+    )
+    return similarity.mine_hard_negatives(
+        emb, queries, positives, cents, k=5, n_probes=2
+    )
+
+
 @register("ann_ivf_topk_batch", _IVF_BATCH_SQL)
 def q_ann_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched IVF ANN (operators/similarity.py:ivf_topk_batch): one
@@ -8216,7 +8286,10 @@ _DRIVER_WINDOW = [
     # --- oldest-rowed veterans (r5 cohort) ---
     "tokenize_typed_projection",
     # --- new r12 oracles (first-round rows) ---
-    "hybrid_rrf_ann_topk_docs",
+    # (hybrid_rrf_ann_topk_docs rotated out r14 for the new
+    #  hard_negatives_topk row — the retrieval family keeps
+    #  hybrid_rrf_topk_docs / bm25_topk_batch_docs /
+    #  hybrid_rrf_batch_docs / retrieve_rerank_topk_docs in-window)
     "incremental_containment_vs_store",
     "semantic_dedup_clusters",
     "bm25_topk_batch_docs",
@@ -8284,6 +8357,7 @@ _DRIVER_WINDOW = [
     "knn_graph_edges",
     "temperature_mix_prefix",
     "semantic_dedup_cells_clusters",
+    "hard_negatives_topk",
 ]
 
 

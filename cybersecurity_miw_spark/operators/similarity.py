@@ -981,6 +981,54 @@ def ivf_topk_batch(
     )
 
 
+def mine_hard_negatives(
+    df: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probes: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_queries: int = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / retrieval training: for
+    every query, the k highest-cosine corpus rows that are NOT its
+    known positives — the near-misses a trained ranker must learn to
+    push down (the standard in-batch-negatives upgrade; e.g. DPR /
+    sentence-transformers mining loops). ``positives`` is a
+    (query_id, id) relevance table; exclusion happens BEFORE the
+    per-query rank, so each query still gets k true negatives even
+    when its positives top the similarity list (the
+    :func:`knn_graph` self-exclusion contract, generalized to a
+    relevance table — self-pairs are excluded too, a query embedded
+    in the corpus is never its own negative).
+
+    100 TB: the scoring pass is :func:`ivf_topk_batch`'s plan
+    (corpus scanned once per batch, probed cells only, broadcast or
+    ``_cell``-shuffle route by batch size); the positives exclusion
+    is one anti-join on (query_id, id) — shuffle bounded by the
+    relevance table, which is training-data-sized, not corpus-sized.
+    Returns (query_id, id, cos_sim) with per-query rank ≤ k."""
+    scored = _ivf_batch_scored(
+        df, queries, centroids, n_probes, vec_col, id_col,
+        max_broadcast_queries,
+    ).filter(F.col("query_id") != F.col(id_col))
+    pos = positives.select(
+        F.col(positives.columns[0]).alias("query_id"),
+        F.col(positives.columns[1]).alias(id_col),
+    )
+    negs = scored.join(pos, on=["query_id", id_col], how="anti")
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        negs.withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def oversized_ivf_cells(
     df: DataFrame,
     centroids: list[list[float]],

@@ -749,3 +749,53 @@ def test_cells_clusters_keeps_one_per_chain(spark):
             pair, cents, threshold=0.9
         ).collect()
     } == {0, 50}
+
+
+def test_mine_hard_negatives_excludes_positives_before_rank(spark):
+    """Hard-negative mining: positives and self-pairs are excluded
+    BEFORE the per-query rank — a query whose positives top the
+    similarity list still gets k full negatives, none of them a
+    positive or itself, and each negative set equals the batch-IVF
+    top-k computed over the corpus minus that query's positives."""
+    import numpy as np
+
+    rng = np.random.RandomState(31)
+    pts = rng.randn(50, DIM)
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    # make 10/11 near-copies of query 0 so they top its ranking
+    pts[10] = pts[0] + 0.001
+    pts[11] = pts[0] - 0.001
+    df = _emb(
+        spark,
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)],
+    )
+    cents = [[float(x) for x in pts[i]] for i in range(4)]
+    queries = df.filter(F.col("vec_id") < 2)
+    positives = spark.createDataFrame(
+        [(0, 10), (0, 11), (1, 5)], "query_id long, vec_id long"
+    )
+
+    negs = similarity.mine_hard_negatives(
+        df, queries, positives, cents, k=4, n_probes=2
+    ).collect()
+    per_q = {}
+    for r in negs:
+        per_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert set(per_q) == {0, 1}
+    assert all(len(v) == 4 for v in per_q.values())
+    assert per_q[0].isdisjoint({0, 10, 11})  # self + positives gone
+    assert per_q[1].isdisjoint({1, 5})
+
+    # equivalence: negatives == batch-IVF top-k over (corpus minus
+    # that query's positives/self)
+    for q in (0, 1):
+        excl = {0, 10, 11} if q == 0 else {1, 5}
+        pruned = df.filter(~F.col("vec_id").isin(list(excl)))
+        expect = {
+            r["vec_id"]
+            for r in similarity.ivf_topk_batch(
+                pruned, queries.filter(F.col("vec_id") == q), cents,
+                k=4, n_probes=2,
+            ).collect()
+        }
+        assert per_q[q] == expect

@@ -1101,3 +1101,106 @@ def streaming_phash_flags(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_ivf_append(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    index_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[int]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int | None = None,
+    residual: bool = False,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    staleness_factor: float | None = None,
+) -> StreamingQuery:
+    """Continuous ANN index maintenance — the IVF/PQ index's streaming
+    twin, completing the symmetry every dedup band store already has
+    (each monitored store family: batch append + streaming loop +
+    one-call rebuild): embedding batches land as
+    ``(vec_id, embedding)`` parquet, every micro-batch is encoded
+    with the FROZEN trained quantizer and appended to the
+    cell-partitioned layout via ``append_to_ivf_index`` — the
+    existing index is never read or rewritten, the append touches
+    only the cell directories the batch lands in, and probe-limited
+    queries keep pruning at the file index while the stream runs.
+
+    The ``_ivf_params.json`` quantizer fingerprint is checked BEFORE
+    the stream starts (a restart with retrained centroids/codebooks
+    fails fast — mixed codes are never comparable) and again inside
+    every append (the batch path's guard, unchanged). ``metrics``
+    attaches the distortion monitor: one
+    :func:`~cybersecurity_miw_spark.operators.similarity.
+    distortion_report` per trigger — mean assigned-centroid
+    distortion of THE BATCH vs the training-time baseline, ``stale``
+    above ``staleness_factor`` × it; a drifted embedding stream trips
+    it and the remediation is the one-call
+    :func:`~cybersecurity_miw_spark.operators.similarity.
+    rebuild_ivf_index` (in the single-writer window, then restart
+    the stream with the fresh quantizer). Replay caveat as the
+    other loops: the append precedes the checkpoint commit, so
+    at-least-once recovery can duplicate (id, code) rows — top-k
+    queries tolerate duplicates (same id, same score); compact with
+    ``compact_ann_index_cell`` in maintenance windows."""
+    from cybersecurity_miw_spark.operators import similarity
+
+    eff_scale = similarity.PQ_SCALE if scale is None else scale
+    stored = similarity.read_ivf_index_params(spark, index_dir)
+    fp = similarity.quantizer_fingerprint(
+        centroids, codebooks, eff_scale, residual
+    )
+    if stored is not None and stored.get("quantizer") not in (None, fp):
+        raise ValueError(
+            f"ivf index at {index_dir} was built with quantizer "
+            f"{stored.get('quantizer')}; this stream supplies {fp} — "
+            "codes from different quantizers are not comparable. "
+            "Rebuild the index or pass the original "
+            "centroids/codebooks."
+        )
+
+    reader = spark.readStream.schema(
+        f"{id_col} LONG, {vec_col} ARRAY<DOUBLE>"
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    vecs = reader.parquet(input_dir).where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cache_mark = release_mark()
+        try:
+            if batch_df.isEmpty():
+                return
+            similarity.append_to_ivf_index(
+                batch_df.localCheckpoint(eager=True),
+                centroids,
+                codebooks,
+                index_dir,
+                vec_col=vec_col,
+                id_col=id_col,
+                scale=eff_scale,
+                residual=residual,
+                metrics=metrics,
+                staleness_factor=(
+                    staleness_factor
+                    if staleness_factor is not None
+                    else similarity.DISTORTION_DEFAULT_FACTOR
+                ),
+            )
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        vecs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

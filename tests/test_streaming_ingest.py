@@ -933,3 +933,94 @@ def test_phash_streaming_flags_equal_pooled_batch_candidates(spark, tmp_path):
         for r in _mm.phash_dedup_candidates(pooled_df).collect()
     }
     assert streamed == pooled and len(pooled) >= 6  # the near-dup clique
+
+
+def test_streaming_ivf_append_equals_batch_build_and_monitors(spark, tmp_path):
+    """Streaming IVF append (the ANN index's continuous ingest twin):
+    vectors landed across two runs produce an index whose rows equal a
+    from-scratch batch build over the pooled corpus (same frozen
+    quantizer, so codes are bit-identical); a probe query on the live
+    index finds the planted neighbor; the distortion monitor records
+    its baseline and trips on a drifted stream; a restart with a
+    retrained quantizer fails fast BEFORE the stream starts."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cybersecurity_miw_spark.operators import similarity
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_ivf_append,
+    )
+
+    rng = np.random.RandomState(17)
+    pts1 = rng.randn(40, 8)
+    pts2 = rng.randn(30, 8)
+    drift = rng.randn(20, 8) + 30.0
+
+    def _emb_df(rows):
+        return spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        )
+
+    def rows_of(pts, off):
+        return [
+            (off + int(i), [float(x) for x in v])
+            for i, v in enumerate(pts)
+        ]
+
+    b1, b2 = rows_of(pts1, 0), rows_of(pts2, 100)
+    cents = similarity.train_centroids(_emb_df(b1), n_cells=2, dim=8, iters=2)
+    books = similarity.static_pq_codebooks(8, 4, 8)
+
+    indir = tmp_path / "vec_in"
+    indir.mkdir()
+    idx_dir = str(tmp_path / "ivf_idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _land(rows):
+        _emb_df(rows).coalesce(1).write.mode("append").parquet(str(indir))
+
+    metrics: list = []
+    _land(b1)
+    streaming_ivf_append(
+        spark, str(indir), ckpt, idx_dir, cents, books, metrics=metrics
+    ).awaitTermination(120)
+    _land(b2)
+    streaming_ivf_append(
+        spark, str(indir), ckpt, idx_dir, cents, books, metrics=metrics
+    ).awaitTermination(120)
+    assert len(metrics) == 2 and metrics[0]["stale"] is False
+
+    # streamed index rows == from-scratch batch build over the pool
+    streamed = spark.read.parquet(idx_dir)
+    pooled = similarity.ivf_pq_index(_emb_df(b1 + b2), cents, books)
+    key = lambda r: (r["vec_id"], r["_cell"], tuple(r["pq_code"]))
+    assert sorted(map(key, streamed.collect())) == sorted(
+        map(key, pooled.collect())
+    )
+
+    # probe query on the live index finds the planted neighborhood
+    q = b1[3][1]
+    got = {
+        r["vec_id"]
+        for r in similarity.ivf_pq_topk(
+            streamed, cents, books, q, k=1, n_probes=2
+        ).collect()
+    }
+    assert got == {3}
+
+    # drifted stream trips the distortion monitor
+    _land(rows_of(drift, 1000))
+    streaming_ivf_append(
+        spark, str(indir), ckpt, idx_dir, cents, books, metrics=metrics
+    ).awaitTermination(120)
+    assert metrics[-1]["stale"] is True, metrics
+
+    # retrained quantizer fails fast before the stream starts
+    cents2 = similarity.train_centroids(
+        _emb_df(rows_of(drift, 1000)), n_cells=2, dim=8, iters=2
+    )
+    with _pytest.raises(ValueError, match="quantizer"):
+        streaming_ivf_append(
+            spark, str(indir), str(tmp_path / "ck2"), idx_dir,
+            cents2, books,
+        )

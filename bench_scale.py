@@ -85,6 +85,10 @@ QUERY_NAMES = [
     # binary path); incremental path = same %5 split over 10x media
     "phash_band_candidates",
     "incremental_phash_vs_store",
+    # r14: temperature mixing — per-source rank window + bounded
+    # count collect; rotated docs keep the source column untouched so
+    # the skewed pool grows exactly 10x
+    "temperature_mix_prefix",
 ]
 
 # range_join runs against the TIME-SHIFTED events variant: with plain
@@ -133,6 +137,10 @@ EMB_QUERY_NAMES = [
     # bucket pair join; n_planes fixed here (occupancy rule measured
     # separately), rotation keeps pair graphs within copies
     "semantic_dedup_clusters",
+    # r14: hard-negative mining — a FIXED 3-query batch against 10x
+    # vectors (the ann_ivf_topk_batch shape + one bounded anti-join),
+    # so cost is the corpus assignment scan, linear by construction
+    "hard_negatives_topk",
 ]
 
 # round 8: the new TPC-H heavies against 10x facts (lineitem/orders

@@ -1007,9 +1007,13 @@ def mine_hard_negatives(
     100 TB: the scoring pass is :func:`ivf_topk_batch`'s plan
     (corpus scanned once per batch, probed cells only, broadcast or
     ``_cell``-shuffle route by batch size); the positives exclusion
-    is one anti-join on (query_id, id) — shuffle bounded by the
-    relevance table, which is training-data-sized, not corpus-sized.
-    Returns (query_id, id, cos_sim) with per-query rank ≤ k."""
+    is one anti-join on (query_id, id) — BROADCAST while the
+    relevance table stays under ``max_broadcast_positives`` pairs
+    (two int columns; a sort-merge anti would exchange the
+    corpus-sized scored set on a key the rank window immediately
+    re-exchanges), shuffle above it. Returns (query_id, id, cos_sim)
+    with per-query rank ≤ k."""
+    max_broadcast_positives = 1_000_000
     scored = _ivf_batch_scored(
         df, queries, centroids, n_probes, vec_col, id_col,
         max_broadcast_queries,
@@ -1018,6 +1022,11 @@ def mine_hard_negatives(
         F.col(positives.columns[0]).alias("query_id"),
         F.col(positives.columns[1]).alias(id_col),
     )
+    n_pos = pos.limit(max_broadcast_positives + 1).count()
+    if n_pos <= max_broadcast_positives:
+        # bcast-bound: <= max_broadcast_positives (query_id, id) int
+        #   pairs (count checked above) — ~16 MB at the 1M cap
+        pos = F.broadcast(pos)
     negs = scored.join(pos, on=["query_id", id_col], how="anti")
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc(id_col)

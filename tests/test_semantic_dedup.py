@@ -799,3 +799,29 @@ def test_mine_hard_negatives_excludes_positives_before_rank(spark):
             ).collect()
         }
         assert per_q[q] == expect
+
+
+def test_arrow_probe_path_handles_null_and_short_vectors(spark):
+    """The Arrow probe-ranking path must drop unassignable query rows
+    (null / wrong-length vectors) instead of crashing the batch or
+    emitting NaN-ranked probes — the grid path's null-fold drops them
+    too, so both routes agree on the assignable subset."""
+    rows = [
+        (0, [1.0] * DIM),
+        (1, None),
+        (2, [1.0, 2.0]),  # wrong length
+        (3, [0.5] * DIM),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0] * DIM, [-1.0] * DIM]
+    q = df.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    probes = similarity._probe_cells_arrow(q, cents, n_probes=2).collect()
+    by_q = {}
+    for r in probes:
+        by_q.setdefault(r["query_id"], []).append(r["_cell"])
+    assert set(by_q) == {0, 3}  # null and short rows dropped
+    assert sorted(by_q[0]) == [0, 1] and sorted(by_q[3]) == [0, 1]
+    assert by_q[0][0] == 0  # nearest cell first

@@ -62,6 +62,22 @@ def list_names(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
 
 
+def list_file_names(spark: SparkSession, path: str) -> list[str]:
+    """Like :func:`list_names` but FILES only. The sidecar carry-over
+    must use this, not list_names: a partitioned table's
+    ``_cell=0/`` partition DIRECTORIES also start with ``_``, and
+    renaming one onto an existing destination directory nests it
+    INSIDE (Hadoop rename semantics) — old data silently re-enters
+    the new layout as a doubled partition level (found by the r14
+    prune_ivf_index golden)."""
+    fs, hpath = _fs_and_path(spark, path)
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(hpath)
+        if st.isFile()
+    ]
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     """Read a small text file from any Hadoop-supported filesystem.
 

@@ -2210,6 +2210,38 @@ def rebuild_ivf_index(
     }
 
 
+def prune_ivf_index(
+    spark,
+    index_dir: str,
+    keep_ids: DataFrame,
+    id_col: str = "vec_id",
+) -> dict:
+    """Retention / erasure for the IVF(+PQ) index — the ANN twin of
+    ``dedup.prune_band_store`` (every other persisted store already
+    has its prune; GDPR erasure of a vector must also stop it
+    surfacing as a similarity answer): keep only code rows whose id
+    is in ``keep_ids`` (one semi-join on the uniform id key) and
+    republish the ``_cell``-partitioned layout atomically
+    (:func:`~cybersecurity_miw_spark.sources.maintain.publish_table`
+    — fully parallel per cell, readers never see a half-pruned copy).
+    Sidecars are KEPT: the quantizer is unchanged — remaining codes
+    stay comparable, appends keep passing the fingerprint guard, and
+    the distortion baseline still describes the training-time
+    geometry. Pruned vectors stop appearing in ANN answers
+    immediately. Returns {'rows_before', 'rows_after'}."""
+    from cybersecurity_miw_spark.sources.maintain import publish_table
+
+    idx = spark.read.parquet(index_dir)
+    rows_before = idx.count()
+    keep = keep_ids.select(F.col(id_col)).distinct()
+    pruned = idx.join(keep, on=id_col, how="semi")
+    rows_after = publish_table(
+        spark, pruned, index_dir, keep_sidecars=True,
+        partition_by=("_cell",),
+    )
+    return {"rows_before": rows_before, "rows_after": rows_after}
+
+
 def semantic_dedup_cells_auto(
     df: DataFrame,
     dim: int,

@@ -168,8 +168,11 @@ def rewrite_table(
     rows_after = spark.read.parquet(tmp_dir).count()
     fsutil.rename(spark, table_dir, old_dir)
     fsutil.rename(spark, tmp_dir, table_dir)
-    # carry metadata sidecars (not data, not Spark's _SUCCESS) over
-    for f in fsutil.list_names(spark, old_dir):
+    # carry metadata sidecars (FILES only: a partitioned layout's
+    # _cell=0/ dirs also start with "_", and renaming a directory
+    # onto an existing one NESTS it — old data would silently
+    # re-enter the rewritten table; not data, not Spark's _SUCCESS)
+    for f in fsutil.list_file_names(spark, old_dir):
         if f.startswith("_") and f != "_SUCCESS" and not f.endswith(".crc"):
             fsutil.rename(spark, f"{old_dir}/{f}", f"{table_dir}/{f}")
     fsutil.delete(spark, old_dir)
@@ -261,7 +264,9 @@ def publish_table(
     fsutil.rename(spark, table_dir, old_dir)
     fsutil.rename(spark, tmp_dir, table_dir)
     if keep_sidecars:
-        for f in fsutil.list_names(spark, old_dir):
+        # FILES only — same partition-directory hazard as
+        # rewrite_table's carry above
+        for f in fsutil.list_file_names(spark, old_dir):
             if (
                 f.startswith("_")
                 and f != "_SUCCESS"

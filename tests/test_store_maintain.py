@@ -251,3 +251,57 @@ def test_phash_store_compacts_and_prunes_like_its_siblings(spark, tmp_path):
         .select("media_id").distinct().collect()
     }
     assert ids <= {2, 3}
+
+
+def test_pruned_ivf_index_erases_vector_from_answers(spark, tmp_path):
+    """prune_ivf_index (the ANN index's retention/erasure path — the
+    last persisted store to get its prune): an erased vector stops
+    appearing in ANN answers immediately, survivors' answers are
+    unchanged, the _cell-partitioned layout survives the swap, and
+    the quantizer sidecar is KEPT so later appends still pass the
+    fingerprint guard."""
+    import numpy as np
+
+    from cybersecurity_miw_spark.operators import similarity
+
+    rng = np.random.RandomState(41)
+    vecs = rng.randn(120, 8)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.train_centroids(df, n_cells=2, dim=8, iters=2)
+    books = similarity.static_pq_codebooks(8, 4, 8)
+    path = str(tmp_path / "idx")
+    similarity.append_to_ivf_index(df, cents, books, path)
+
+    # plant: 7's nearest is itself; erase 7 and probe near it
+    q = [float(x) for x in vecs[7]]
+
+    def topk():
+        idx = spark.read.parquet(path)
+        return [
+            r["vec_id"]
+            for r in similarity.ivf_pq_topk(
+                idx, cents, books, q, k=3, n_probes=2
+            ).collect()
+        ]
+
+    assert 7 in topk()
+    keep = spark.createDataFrame(
+        [(i,) for i in range(120) if i != 7], "vec_id long"
+    )
+    stats = similarity.prune_ivf_index(spark, path, keep)
+    assert stats["rows_before"] == 120 and stats["rows_after"] == 119
+    after = topk()
+    assert 7 not in after and len(after) == 3
+    # partitioned layout survived; sidecar kept -> append still guarded
+    idx = spark.read.parquet(path)
+    assert "_cell" in idx.columns
+    import pytest as _pytest
+
+    params = similarity.read_ivf_index_params(spark, path)
+    assert params["quantizer"] == similarity.quantizer_fingerprint(
+        cents, books
+    )
+    wrong_cents = [[c + 1.0 for c in cents[0]], cents[1]]
+    with _pytest.raises(ValueError, match="quantizer"):
+        similarity.append_to_ivf_index(df, wrong_cents, books, path)

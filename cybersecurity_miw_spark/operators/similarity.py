@@ -1080,9 +1080,18 @@ def _ivf_batch_scored(
     neighbors."""
     n_q = queries.limit(max_broadcast_queries + 1).count()
     broadcastable = n_q <= max_broadcast_queries
+    # Unassignable query rows (null / wrong-length vectors) are
+    # dropped HERE, ahead of the route split, so both probe paths see
+    # the identical query set — the expression grid would otherwise
+    # keep them (NULL d² sorts NULLS FIRST into the probe pick, and a
+    # short vector scores cos 1.0 against itself via zip_with
+    # truncation) while the Arrow path drops them (r14 review).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
+    ).filter(
+        F.col("_qv").isNotNull()
+        & (F.size("_qv") == len(centroids[0]))
     )
     if len(centroids) > IVF_EXPR_MAX_CELLS or not broadcastable:
         # the queries × n_cells probe grid pays n_cells fold
@@ -1092,8 +1101,9 @@ def _ivf_batch_scored(
         # ivf_assign switch applied to probe ranking, same near-tie
         # rounding caveat) when EITHER the cell count exceeds the
         # expression budget or the query table is corpus-sized
-        # (knn_graph: measured 10x point went 9.98 s -> 2.36 s at
-        # 2k -> 20k queries, SCALE.md r14). Oracle-pinned queries
+        # (knn_graph, SCALE.md r14: the 2k-node shuffle-route base
+        # fell 9.98 s -> 6.87 s on this switch and the 10x/640-cell
+        # run landed at 1.83 s). Oracle-pinned queries
         # (small batches, small seed grids) keep the expression path
         # and its DuckDB-exact fold arithmetic.
         probes = _probe_cells_arrow(q, centroids, n_probes)
@@ -1132,14 +1142,23 @@ def _ivf_batch_scored(
         # skew fence: drop cells wider than the cap from BOTH sides of
         # the probe join — one hot cell otherwise funnels
         # width × probing-queries rows through a single join key.
-        # Fenced cells are a quantizer defect, surfaced by
-        # oversized_ivf_cells; the collect is bounded by n_cells rows
-        # (a model constant, the maybe_broadcast rationale)
+        # The width aggregation derives from the SAME persisted
+        # assignment the probe join reads (one corpus-assignment pass,
+        # not two — r14 review); the collect is bounded by n_cells
+        # rows (a model constant, the maybe_broadcast rationale).
+        # Fenced cells are a quantizer defect — the standalone
+        # oversized_ivf_cells report names them for remediation.
+        from cybersecurity_miw_spark.cache import tracked_persist
+
+        assigned = tracked_persist(
+            assigned.select(id_col, vec_col, "_cell")
+        )
         hot = [
             r["_cell"]
-            for r in oversized_ivf_cells(
-                df, centroids, max_cell_width, vec_col
-            ).collect()
+            for r in assigned.groupBy("_cell")
+            .agg(F.count(F.lit(1)).alias("width"))
+            .filter(F.col("width") > max_cell_width)
+            .collect()
         ]
         if hot:
             assigned = assigned.filter(~F.col("_cell").isin(hot))
@@ -1176,7 +1195,6 @@ def _probe_cells_arrow(
     vs folded ``Σ(x−c)²``); exact ties break to the lower cell on
     both paths."""
     import numpy as np
-    import pandas as pd
 
     cents = np.asarray(centroids, dtype=np.float64)
     cent_norm = np.sum(cents * cents, axis=1)
@@ -1201,9 +1219,10 @@ def _probe_cells_arrow(
             order = np.argsort(d2, axis=1, kind="stable")[:, :n_p]
             out = pdf.loc[pdf.index.repeat(n_p)].reset_index(drop=True)
             out["_cell"] = order.reshape(-1).astype("int32")
-            # unassignable rows (null/short vectors): NaN distances
-            # sort last but still emit — drop them like the grid
-            # path's null-fold would
+            # unassignable rows (null/short vectors): normally
+            # pre-filtered by _ivf_batch_scored before the route
+            # split; kept as a second guard for direct callers —
+            # NaN distances would otherwise still emit
             ok = ~np.isnan(d2).all(axis=1)
             yield out[np.repeat(ok, n_p)]
 
@@ -2235,6 +2254,20 @@ def prune_ivf_index(
     rows_before = idx.count()
     keep = keep_ids.select(F.col(id_col)).distinct()
     pruned = idx.join(keep, on=id_col, how="semi")
+    if pruned.isEmpty():
+        # Publishing an EMPTY partitioned parquet dir would strand a
+        # schema-less table every later read chokes on
+        # (UNABLE_TO_INFER_SCHEMA) — and would do so mid-publish,
+        # leaving a stale .maintenance tmp behind (r14 review). Full
+        # erasure is a different operation: delete the index
+        # directory (sidecar included) and rebuild when vectors
+        # return.
+        raise ValueError(
+            f"prune_ivf_index: keep_ids retains zero rows of "
+            f"{index_dir} — an empty parquet index is unreadable. "
+            "For full erasure delete the index directory "
+            "(fsutil.delete) instead."
+        )
     rows_after = publish_table(
         spark, pruned, index_dir, keep_sidecars=True,
         partition_by=("_cell",),

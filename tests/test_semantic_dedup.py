@@ -802,10 +802,12 @@ def test_mine_hard_negatives_excludes_positives_before_rank(spark):
 
 
 def test_arrow_probe_path_handles_null_and_short_vectors(spark):
-    """The Arrow probe-ranking path must drop unassignable query rows
-    (null / wrong-length vectors) instead of crashing the batch or
-    emitting NaN-ranked probes — the grid path's null-fold drops them
-    too, so both routes agree on the assignable subset."""
+    """Unassignable query rows (null / wrong-length vectors) are
+    dropped BEFORE the route split, so the expression and Arrow probe
+    paths return IDENTICAL rows on degenerate inputs (r14 review:
+    the raw expression grid would otherwise probe on NULL d2 and
+    score a short vector cos=1.0 via zip_with truncation); the Arrow
+    ranker also guards directly."""
     rows = [
         (0, [1.0] * DIM),
         (1, None),
@@ -825,3 +827,43 @@ def test_arrow_probe_path_handles_null_and_short_vectors(spark):
     assert set(by_q) == {0, 3}  # null and short rows dropped
     assert sorted(by_q[0]) == [0, 1] and sorted(by_q[3]) == [0, 1]
     assert by_q[0][0] == 0  # nearest cell first
+
+
+def test_both_probe_routes_drop_degenerate_queries(spark, monkeypatch):
+    """ivf_topk_batch with null / wrong-length query vectors returns
+    the SAME rows on the expression and Arrow routes — only the
+    well-formed queries answer, no NULL cos_sim rows, no bogus
+    cos=1.0 from truncated zip_with."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    pts = rng.randn(30, DIM)
+    df = _emb(
+        spark,
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(pts)],
+    )
+    cents = [[float(x) for x in pts[i]] for i in range(4)]
+    queries = spark.createDataFrame(
+        [
+            (0, [float(x) for x in pts[0]]),
+            (1, None),
+            (2, [1.0, 2.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    expr_rows = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_batch(
+            df, queries, cents, k=3, n_probes=2
+        ).collect()
+    }
+    monkeypatch.setattr(similarity, "IVF_EXPR_MAX_CELLS", 0)
+    arrow_rows = {
+        (r["query_id"], r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_topk_batch(
+            df, queries, cents, k=3, n_probes=2
+        ).collect()
+    }
+    assert expr_rows == arrow_rows
+    assert {q for q, _, _ in expr_rows} == {0}
+    assert all(c is not None for _, _, c in expr_rows)

@@ -305,3 +305,32 @@ def test_pruned_ivf_index_erases_vector_from_answers(spark, tmp_path):
     wrong_cents = [[c + 1.0 for c in cents[0]], cents[1]]
     with _pytest.raises(ValueError, match="quantizer"):
         similarity.append_to_ivf_index(df, wrong_cents, books, path)
+
+
+def test_prune_ivf_index_refuses_full_erasure(spark, tmp_path):
+    """A keep-set matching nothing must raise a CLEAR error before any
+    publish step (an empty parquet index is unreadable; mid-publish
+    failure would strand a .maintenance tmp) — and leave the live
+    index untouched."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cybersecurity_miw_spark.operators import similarity
+
+    rng = np.random.RandomState(43)
+    rows = [
+        (int(i), [float(x) for x in v])
+        for i, v in enumerate(rng.randn(20, 8))
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = similarity.train_centroids(df, n_cells=2, dim=8, iters=1)
+    books = similarity.static_pq_codebooks(8, 4, 8)
+    path = str(tmp_path / "idx")
+    similarity.append_to_ivf_index(df, cents, books, path)
+
+    none_kept = spark.createDataFrame([(999,)], "vec_id long")
+    with _pytest.raises(ValueError, match="zero rows"):
+        similarity.prune_ivf_index(spark, path, none_kept)
+    # live index untouched, no staging leftovers
+    assert spark.read.parquet(path).count() == 20
+    assert not os.path.exists(str(tmp_path / ".maintenance"))

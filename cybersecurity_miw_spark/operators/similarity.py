@@ -991,6 +991,7 @@ def mine_hard_negatives(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_broadcast_queries: int = 10_000,
+    max_broadcast_positives: int = 1_000_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive / retrieval training: for
     every query, the k highest-cosine corpus rows that are NOT its
@@ -1011,9 +1012,9 @@ def mine_hard_negatives(
     relevance table stays under ``max_broadcast_positives`` pairs
     (two int columns; a sort-merge anti would exchange the
     corpus-sized scored set on a key the rank window immediately
-    re-exchanges), shuffle above it. Returns (query_id, id, cos_sim)
-    with per-query rank ≤ k."""
-    max_broadcast_positives = 1_000_000
+    re-exchanges), shuffle above it — a real keyword (not a module
+    constant) so memory-tight executors can lower it (ADVICE r14).
+    Returns (query_id, id, cos_sim) with per-query rank ≤ k."""
     scored = _ivf_batch_scored(
         df, queries, centroids, n_probes, vec_col, id_col,
         max_broadcast_queries,
@@ -2417,15 +2418,28 @@ def distortion_report(
     ``setsim.staleness_report``. ``stale`` means the frozen
     centroids no longer describe the arriving data; remediation is
     the documented offline retrain + rebuild + directory swap
-    (:func:`append_to_ivf_index` contract)."""
-    ratio = (
-        mean_assigned_d2 / baseline_mean_d2 if baseline_mean_d2 else None
-    )
+    (:func:`append_to_ivf_index` contract).
+
+    A recorded baseline of exactly 0.0 (every training vector sat ON
+    its centroid — degenerate but legitimate, and what
+    ``rebuild_ivf_index`` records for such corpora) is NOT "no
+    baseline": any later batch with positive distortion is infinite
+    drift, so it grades stale with ``staleness_ratio=inf``. Only
+    ``None`` means no baseline recorded (ADVICE r14)."""
+    if baseline_mean_d2 is None:
+        ratio = None
+    elif baseline_mean_d2 == 0.0:
+        ratio = float("inf") if mean_assigned_d2 > 0 else 0.0
+    else:
+        ratio = mean_assigned_d2 / baseline_mean_d2
     return {
         "n_vectors": int(n_vectors),
         "mean_assigned_d2": round(mean_assigned_d2, 6),
         "baseline_mean_d2": baseline_mean_d2,
-        "staleness_ratio": round(ratio, 3) if ratio is not None else None,
+        "staleness_ratio": (
+            None if ratio is None
+            else (ratio if ratio == float("inf") else round(ratio, 3))
+        ),
         "stale": bool(ratio is not None and ratio > factor),
     }
 

@@ -1047,10 +1047,17 @@ def streaming_phash_flags(
                 F.col("id_b").alias("new_id"),
                 F.col("id_a").alias("stored_id"),
             )
-            has_store = fsutil.exists(sess, params_path)
-            n_cand = None
-            if has_store:
+            # detect the store by DATA presence (the minhash-loop
+            # probe), not the params sidecar: a store built externally
+            # via phash_band_store without write_phash_store_params
+            # must still be joined from the first trigger, or
+            # cross-run pairs are silently missed (ADVICE r14)
+            try:
                 store = sess.read.parquet(band_store_dir)
+            except Exception:
+                store = None
+            n_cand = None
+            if store is not None:
                 cross = incremental_phash_candidates(
                     batch_df, store, bits, band_bits, payload_col, id_col
                 )
@@ -1065,6 +1072,14 @@ def streaming_phash_flags(
             flags.write.mode("append").parquet(flags_dir)
             if n_cand is not None:
                 n_assets = batch_df.count()  # cached checkpoint
+                if not fsutil.exists(sess, params_path):
+                    # externally-built store without a sidecar (the
+                    # legacy case check_band_store_params documents):
+                    # adopt this stream's startup-validated family
+                    # before recording the baseline into it
+                    write_phash_store_params(
+                        sess, band_store_dir, bits, band_bits
+                    )
                 stored = json.loads(fsutil.read_text(sess, params_path))
                 baseline = stored.get("baseline_cand_per_doc")
                 if baseline is None and n_assets > 0 and n_cand > 0:

@@ -1248,6 +1248,21 @@ def test_ivf_append_distortion_monitor_trips_on_drift(spark, tmp_path):
     ] == m[0]["baseline_mean_d2"]
 
 
+def test_distortion_report_zero_baseline_is_infinite_drift():
+    """ADVICE r14: a recorded baseline of exactly 0.0 (degenerate but
+    legitimate — every training vector ON its centroid) is not "no
+    baseline": any later positive distortion is infinite drift and
+    must trip ``stale`` (ratio inf), a 0.0 batch stays fresh, and only
+    ``None`` keeps the no-baseline sentinel semantics."""
+    drifted = similarity.distortion_report(10, 0.5, 0.0)
+    assert drifted["stale"] is True
+    assert drifted["staleness_ratio"] == float("inf")
+    flat = similarity.distortion_report(10, 0.0, 0.0)
+    assert flat["stale"] is False and flat["staleness_ratio"] == 0.0
+    none = similarity.distortion_report(10, 0.5, None)
+    assert none["stale"] is False and none["staleness_ratio"] is None
+
+
 def test_rebuild_ivf_index_one_call_remediation(spark, tmp_path):
     """r13 (VERDICT r12 #1): a drift-tripped IVF index rebuilds in
     ONE call — fresh quantizer trained on the current (pooled)

@@ -800,6 +800,16 @@ def test_mine_hard_negatives_excludes_positives_before_rank(spark):
         }
         assert per_q[q] == expect
 
+    # ADVICE r14: max_broadcast_positives is a real keyword — forcing
+    # the shuffle anti-join (cap 0 < 3 pairs) returns identical rows
+    shuffled = similarity.mine_hard_negatives(
+        df, queries, positives, cents, k=4, n_probes=2,
+        max_broadcast_positives=0,
+    ).collect()
+    assert {
+        (r["query_id"], r["vec_id"]) for r in shuffled
+    } == {(r["query_id"], r["vec_id"]) for r in negs}
+
 
 def test_arrow_probe_path_handles_null_and_short_vectors(spark):
     """Unassignable query rows (null / wrong-length vectors) are

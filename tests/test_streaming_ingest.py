@@ -883,6 +883,58 @@ def test_phash_flags_within_and_across_runs_with_monitor(spark, tmp_path):
     assert metrics[1]["staleness_ratio"] > 2.0
 
 
+def test_phash_stream_joins_externally_built_store_without_sidecar(
+    spark, tmp_path
+):
+    """ADVICE r14: a store built externally via ``phash_band_store``
+    WITHOUT ``write_phash_store_params`` must still be joined from the
+    FIRST trigger — store presence is detected from the data (the
+    minhash-loop probe), not the params sidecar, so cross-run pairs
+    are never silently missed. The loop adopts the startup-validated
+    family into a fresh sidecar as it appends."""
+    from cybersecurity_miw_spark import fsutil
+    from cybersecurity_miw_spark.operators import multimodal as _mm
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_phash_flags,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    template = bytes((i * 37 + 11) % 256 for i in range(600))
+    near = bytearray(template)
+    near[300] = (near[300] + 90) % 256
+
+    # external build: band rows only, NO sidecar
+    hist = spark.createDataFrame(
+        [(1, template)], "media_id LONG, payload BINARY"
+    )
+    _mm.phash_band_store(hist).write.mode("overwrite").parquet(store)
+    assert not fsutil.exists(
+        spark, f"{store}/{_mm.PHASH_STORE_PARAMS_FILE}"
+    )
+
+    spark.createDataFrame(
+        [(2, bytes(near))], "media_id LONG, payload BINARY"
+    ).coalesce(1).write.mode("append").parquet(str(indir))
+    metrics: list = []
+    streaming_phash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=metrics
+    ).awaitTermination(120)
+
+    got = {
+        (r["new_id"], r["stored_id"])
+        for r in spark.read.parquet(flags).collect()
+    }
+    assert (2, 1) in got  # first trigger already saw the store
+    # the monitored trigger recorded its baseline into a fresh sidecar
+    assert len(metrics) == 1 and metrics[0]["stale"] is False
+    assert fsutil.exists(spark, f"{store}/{_mm.PHASH_STORE_PARAMS_FILE}")
+
+
 def test_phash_streaming_flags_equal_pooled_batch_candidates(spark, tmp_path):
     """Cross-restart equivalence golden: the UNION of streaming phash
     flags across two runs, read as unordered pairs, is exactly the

@@ -5360,6 +5360,133 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_BUDGET_SQL = """
+WITH pool AS (
+  SELECT doc_id, source, n_chars FROM documents
+  -- the temperature_mix_prefix skew: full src0, every 2nd src1 doc,
+  -- every 5th src2 doc (doc_id // 20 is the per-source sequence no.)
+  WHERE source = 'src0'
+     OR (source = 'src1' AND (doc_id // 20) % 2 = 0)
+     OR (source = 'src2' AND (doc_id // 20) % 5 = 0)
+),
+st AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS tok
+  FROM pool GROUP BY source
+),
+-- T=2 -> weight sqrt(tokens); cap = max_epochs(2) * tokens
+p AS (
+  SELECT source, tok, sqrt(CAST(tok AS DOUBLE)) AS pw, 2 * tok AS cap
+  FROM st
+),
+-- water-fill round 1 over all three sources; float ops in sorted
+-- source order to mirror the operator's driver-side arithmetic
+r1 AS (
+  SELECT source, tok, pw, cap,
+         CAST(floor(20000 * (pw / (
+             (SELECT pw FROM p WHERE source = 'src0')
+           + (SELECT pw FROM p WHERE source = 'src1')
+           + (SELECT pw FROM p WHERE source = 'src2')))) AS BIGINT)
+         AS alloc1
+  FROM p
+),
+c1 AS (SELECT *, alloc1 >= cap AS capped1 FROM r1),
+-- round 2: capped sources frozen at cap, surplus re-filled over the
+-- rest (x + 0.0 is exact, so the coalesce-sum keeps the sorted order)
+rem2 AS (
+  SELECT 20000 - coalesce(sum(CASE WHEN capped1 THEN cap END), 0) AS rem
+  FROM c1
+),
+p2 AS (
+  SELECT coalesce(
+           (SELECT pw FROM c1 WHERE source = 'src0' AND NOT capped1), 0)
+       + coalesce(
+           (SELECT pw FROM c1 WHERE source = 'src1' AND NOT capped1), 0)
+       + coalesce(
+           (SELECT pw FROM c1 WHERE source = 'src2' AND NOT capped1), 0)
+         AS pw2
+),
+tgt AS (
+  SELECT source, tok,
+         CASE WHEN capped1 THEN cap
+              ELSE CAST(floor((SELECT rem FROM rem2)
+                              * (pw / (SELECT pw2 FROM p2))) AS BIGINT)
+         END AS target
+  FROM c1
+),
+tot AS (SELECT CAST(sum(target) AS BIGINT) AS total FROM tgt),
+spec AS (
+  SELECT source, tok, target, target // tok AS fullep, target % tok AS rem
+  FROM tgt WHERE target > 0
+),
+ranked AS (
+  SELECT pool.doc_id, pool.source, pool.n_chars,
+         sum(pool.n_chars) OVER (
+           PARTITION BY pool.source
+           ORDER BY md5('mix-v1:' || pool.doc_id), pool.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM pool
+),
+-- unnest the (<= sources)-row spec BEFORE the corpus join: DuckDB's
+-- filter pushdown cannot bind an unnest alias through a join
+se AS (
+  SELECT source, tok, fullep, rem, target,
+         unnest(generate_series(0, fullep)) AS epoch
+  FROM spec
+),
+ep AS (
+  SELECT r.doc_id, r.source, r.cum,
+         s.tok, s.fullep, s.rem, s.target, s.epoch
+  FROM ranked r JOIN se s ON r.source = s.source
+)
+SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch,
+       round(CAST(epoch * tok + cum AS DOUBLE)
+             * (CAST((SELECT total FROM tot) AS DOUBLE)
+                / CAST(target AS DOUBLE)), 6) AS mix_key_r
+FROM ep
+WHERE epoch < fullep OR (rem > 0 AND cum <= rem)
+"""
+
+
+@register("mix_to_budget_epochs", _MIX_BUDGET_SQL)
+def q_mix_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-capped temperature mixing to a 20k-token budget
+    (operators/sampling.py:mix_to_budget) — the published LLM
+    data-recipe rule temperature weights alone leave out
+    (Muennighoff et al. data-constrained scaling): the small hot
+    source repeats whole md5-ordered epochs but never past
+    max_epochs=2 (at sf0.01 src2 caps in water-fill round 1 and its
+    surplus re-fills src0/src1 in round 2), large sources truncate to
+    a greedy md5-prefix partial epoch, and every (doc, epoch) row
+    carries the token-proportional interleave ``mix_key``. The
+    driver-side water-fill arithmetic is evaluated in sorted-source
+    order so the DuckDB twin unrolls the identical rounds
+    bit-exactly."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    pool = docs.filter(
+        (F.col("source") == "src0")
+        | (
+            (F.col("source") == "src1")
+            & (F.expr("(doc_id div 20) % 2") == 0)
+        )
+        | (
+            (F.col("source") == "src2")
+            & (F.expr("(doc_id div 20) % 5") == 0)
+        )
+    )
+    out = sampling.mix_to_budget(
+        pool, 20000, tokens_col="n_chars",
+        temperature=2.0, max_epochs=2,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("epoch").cast("long").alias("epoch"),
+        F.round("mix_key", 6).alias("mix_key_r"),
+    )
+
+
 _DECONTAM_SQL = f"""
 WITH {_SIGS_CTE},
 banded AS (
@@ -8109,6 +8236,114 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"train": 0.98, "val": 0.01, "test": 0.01},
     )
     return out.select("doc_id", "split_key", "split")
+
+
+# One-call dataset assembly (pipeline.py:assemble_dataset): the
+# END-TO-END doc→shard manifest — dup clusters → leakage-safe split →
+# train filter → weighted interleave (explicit 60/30/10 weights, the
+# weighted_interleave_prefix convention) → deterministic range-shard
+# id → sliding-window chunking. The oracle recomputes the recursive-
+# CTE component closure, the md5 split buckets, the per-source mix
+# rank, floor(mix_key / shard_rows), and the 32-token chunk windows
+# entirely in SQL — a green row certifies the whole assembled
+# manifest, not one stage.
+_ASSEMBLE_SQL = f"""
+WITH RECURSIVE {_SIGS_CTE}, {_BANDED_CTE},
+dup_pairs AS (
+  SELECT cands.id_a AS a, cands.id_b AS b
+  FROM cands
+  JOIN shingled sa ON sa.doc_id = cands.id_a
+  JOIN shingled sb ON sb.doc_id = cands.id_b
+  WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+        / greatest(len(list_distinct(sa.sh || sb.sh)), 1) >= 0.8
+),
+edges AS (SELECT a, b FROM dup_pairs UNION SELECT b, a FROM dup_pairs),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+),
+reps AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src
+),
+train AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d LEFT JOIN reps r ON r.doc_id = d.doc_id
+  WHERE ('0x' || substr(md5('split-v1:'
+            || coalesce(r.cluster_id, d.doc_id)), 1, 8))::BIGINT
+          % 10000 < 9800
+    AND d.source IN ('src0', 'src1', 'src2')
+),
+ranked AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5('mix-v1:' || doc_id)
+         ) AS rn
+  FROM train
+),
+keyed AS (
+  SELECT doc_id, source, text,
+         rn / (CASE source WHEN 'src0' THEN 0.6
+                           WHEN 'src1' THEN 0.3
+                           ELSE 0.1 END) AS mix_key
+  FROM ranked
+),
+toks AS (
+  SELECT doc_id, source, mix_key,
+         str_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w
+  FROM keyed
+),
+starts AS (
+  SELECT doc_id, source, mix_key, len(w) AS n, w,
+         unnest(generate_series(1, greatest(len(w), 1), 32)) AS start
+  FROM toks
+)
+SELECT doc_id, source,
+       round(mix_key, 6) AS mix_key_r,
+       CAST(floor(mix_key / 10.0) AS BIGINT) AS shard_id,
+       CAST((start - 1) // 32 AS INT) AS chunk_id,
+       least(32, n - start + 1) AS n_chunk_tokens,
+       md5(array_to_string(w[start:start+31], ' ')) AS chunk_md5
+FROM starts
+"""
+
+
+@register("assemble_manifest", _ASSEMBLE_SQL)
+def q_assemble_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call dataset assembly (pipeline.py:assemble_dataset — the
+    tested back half of the training pipeline, VERDICT r14 #1): dup
+    clusters feed a leakage-safe 98/1/1 split, the train split is
+    interleaved 60/30/10 across src0/src1/src2, every doc gets the
+    deterministic range-shard id floor(mix_key / 10), and each doc is
+    chunked into 32-token windows that inherit the parent's
+    mix_key/shard_id. End-to-end md5-deterministic — the oracle
+    replays the entire chain relationally."""
+    from cybersecurity_miw_spark import pipeline as _pipeline
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    cand = dedup.minhash_lsh_candidates(
+        docs, num_hashes=_NH, bands=_NB, shingle_k=3
+    )
+    confirmed = dedup.jaccard_pairs(docs, cand, shingle_k=3).filter(
+        F.col("jaccard") >= 0.8
+    )
+    clusters = dedup.dup_clusters(confirmed)
+    out = _pipeline.assemble_dataset(
+        docs.select("doc_id", "source", "text"),
+        clusters=clusters,
+        weights={"src0": 0.6, "src1": 0.3, "src2": 0.1},
+        chunk_window=32,
+        shard_rows=10,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.round("mix_key", 6).alias("mix_key_r"),
+        "shard_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
 
 
 # Cross-document exact substring dedup, span level (Lee et al.'s

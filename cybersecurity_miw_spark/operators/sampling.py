@@ -470,6 +470,175 @@ def temperature_weights(
     return {s: p / tot for s, p in powed}
 
 
+def mix_to_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    temperature: float = 2.0,
+    max_epochs: int = 4,
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+    weights: dict[str, float] | None = None,
+    metrics: list | None = None,
+) -> DataFrame:
+    """Repetition-capped temperature mixing to a token budget — the
+    missing half of the published LLM data recipe
+    (:func:`temperature_weights` reweights but never repeats): fill
+    ``budget_tokens`` with sources in temperature-scaled TOKEN
+    proportion, UPSAMPLING small hot sources by whole-corpus epochs
+    but never past ``max_epochs`` (the Muennighoff et al.
+    data-constrained scaling rule: ~4 epochs of repeated data retain
+    most of their value, unbounded repetition does not), while large
+    sources truncate to their allocation. Emits one row per
+    (document, epoch) with ``epoch`` (0-based) and the
+    interleave-contract ``mix_key``.
+
+    Allocation is driver-side water-filling over per-source scalars
+    (one groupBy agg, bounded by the number of distinct sources):
+    each round splits the remaining budget over still-active sources
+    by weight ``p_s = tok_s^(1/T)`` (or explicit ``weights``); a
+    source whose share reaches its cap ``max_epochs * tok_s`` is
+    frozen at the cap and the surplus re-fills the rest (≤ one round
+    per source). All float arithmetic is evaluated in sorted-source
+    order so the targets are bit-deterministic across runs AND
+    engines (the :func:`temperature_weights` discipline — the DuckDB
+    oracle unrolls the identical rounds).
+
+    Within a source the emission order is the md5(salt:id) rank used
+    by every mixer here: full epochs repeat the whole source; the
+    final partial epoch is the greedy md5-order PREFIX whose
+    INCLUSIVE running token sum fits the leftover
+    ``rem_s = target_s % tok_s`` (budget_select semantics), so which
+    docs repeat an extra time is deterministic. ``mix_key`` scales
+    the within-source token position ``epoch*tok_s + running_sum`` by
+    ``total_target / target_s``: every prefix of the
+    (mix_key, source, id, epoch) order holds sources in final
+    token-allocation proportion, and the full output spans
+    [0, total_target].
+
+    Scale shape: ONE window exchange on the source key (row rank and
+    running sum share the partitioning), a ≤(max_epochs+1)-wide
+    epoch explode, and source-bounded map literals — no global
+    window, no driver loop over rows. Tokens must be non-negative
+    (the bucket-pruning bound, as in ``budget_select``).
+
+    ``metrics``: pass a list to receive one allocation dict per
+    emitting source: {source, weight, cap_tokens, target_tokens,
+    capped, full_epochs, rem_tokens} — the mixing-recipe report.
+    """
+    import math
+
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if max_epochs < 1:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    if weights is not None and any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive")
+
+    stats = sorted(
+        (r[0], int(r[1]))
+        for r in df.groupBy(source_col)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("t"))
+        .collect()
+        if r[0] is not None and r[1] is not None and int(r[1]) > 0
+        and (weights is None or r[0] in weights)
+    )
+    toks = dict(stats)
+    powed = {
+        s: (
+            float(weights[s])
+            if weights is not None
+            else float(t) ** (1.0 / temperature)
+        )
+        for s, t in stats
+    }
+    caps = {s: max_epochs * t for s, t in stats}
+
+    target: dict[str, int] = {}
+    active = [s for s, _ in stats]
+    remaining = int(budget_tokens)
+    while active and remaining > 0:
+        p_tot = 0.0
+        for s in active:  # sorted order: bit-deterministic sum
+            p_tot += powed[s]
+        alloc = {
+            s: math.floor(remaining * (powed[s] / p_tot)) for s in active
+        }
+        newly_capped = [s for s in active if alloc[s] >= caps[s]]
+        if not newly_capped:
+            target.update(alloc)
+            break
+        for s in newly_capped:
+            target[s] = caps[s]
+            remaining -= caps[s]
+        active = [s for s in active if s not in newly_capped]
+    for s, _ in stats:
+        target.setdefault(s, 0)
+
+    total_target = sum(target.values())
+    full = {s: target[s] // toks[s] for s, _ in stats}
+    rem = {s: target[s] % toks[s] for s, _ in stats}
+    if metrics is not None:
+        for s, _ in stats:
+            metrics.append({
+                "source": s,
+                "weight": powed[s],
+                "cap_tokens": caps[s],
+                "target_tokens": target[s],
+                "capped": target[s] == caps[s],
+                "full_epochs": full[s],
+                "rem_tokens": rem[s],
+            })
+
+    emitting = [s for s, _ in stats if target[s] > 0]
+    if not emitting or total_target == 0:
+        return (
+            df.withColumn("epoch", F.lit(0))
+            .withColumn("mix_key", F.lit(0.0))
+            .limit(0)
+        )
+
+    def _imap(d: dict[str, int]) -> Column:
+        return F.create_map(
+            *[x for s in emitting for x in (F.lit(s), F.lit(int(d[s])))]
+        )
+
+    factor = {s: float(total_target) / float(target[s]) for s in emitting}
+    src = F.col(source_col)
+    wo = Window.partitionBy(source_col).orderBy(
+        F.md5(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        ).asc(),
+        F.col(id_col).asc(),
+    )
+    cum = F.sum(F.col(tokens_col).cast("long")).over(
+        wo.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        df.filter(src.isin(emitting))
+        .withColumn("_cum", cum)
+        .withColumn(
+            "epoch",
+            F.explode(F.sequence(F.lit(0), _imap(full)[src])),
+        )
+    )
+    keep = (F.col("epoch") < _imap(full)[src]) | (
+        (_imap(rem)[src] > 0) & (F.col("_cum") <= _imap(rem)[src])
+    )
+    fmap = F.create_map(
+        *[x for s in emitting for x in (F.lit(s), F.lit(factor[s]))]
+    )
+    mix_key = (
+        (F.col("epoch") * _imap(toks)[src] + F.col("_cum"))
+        .cast("double")
+        * fmap[src]
+    )
+    return staged.filter(keep).withColumn("mix_key", mix_key).drop("_cum")
+
+
 def temperature_interleave(
     df: DataFrame,
     source_col: str = "source",

@@ -184,3 +184,190 @@ def curate_documents(
         )
         out = out.drop(text_col).join(cleaned, id_col)
     return out
+
+
+def assemble_dataset(
+    df: DataFrame,
+    out_dir: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    fractions: dict[str, float] | None = None,
+    clusters: DataFrame | None = None,
+    split_salt: str = "split-v1",
+    train_split: str = "train",
+    weights: dict[str, float] | None = None,
+    temperature: float = 2.0,
+    budget_tokens: int | None = None,
+    max_epochs: int = 4,
+    tokens_col: str = "n_tokens",
+    mix_salt: str = "mix-v1",
+    chunk_window: int | None = None,
+    chunk_stride: int | None = None,
+    pack_budget: int | None = None,
+    n_packers: int = 64,
+    shard_rows: int = 10_000,
+    metrics: list | None = None,
+) -> DataFrame:
+    """The tested back half of the training-data pipeline — the
+    one-call twin of :func:`curate_documents` for everything AFTER
+    curation (VERDICT r14 #1):
+
+        split  →  train mix  →  [chunk]  →  [pack]  →  [shards]
+
+    Every stage is the library operator it names, every assignment is
+    md5-deterministic (re-runs and backfills agree, and a DuckDB twin
+    of the whole chain exists by construction), and the same
+    ``metrics=[...]`` funnel contract as ``curate_documents`` reports
+    where the rows went. Returns the assembled TRAIN DataFrame.
+
+    Stages:
+
+    * **split** — :func:`~cybersecurity_miw_spark.operators.sampling.
+      leakage_safe_split` when ``clusters`` (dup_clusters output) is
+      given — a near-dup cluster never straddles splits — else plain
+      ``split_assign``. ``fractions`` defaults to
+      98/1/1 train/val/test.
+    * **mix** (train split only; eval splits stay natural) —
+      :func:`~cybersecurity_miw_spark.operators.sampling.
+      mix_to_budget` when ``budget_tokens`` is set (repetition-capped
+      upsampling to the budget; adds ``epoch``), else
+      ``weighted_interleave`` with explicit ``weights``, else
+      turnkey ``temperature_interleave``. Also derives ``shard_id =
+      floor(mix_key / shard_rows)`` — a DETERMINISTIC range-shard
+      assignment with no global rank: interleave keys have unit row
+      density (weights summing to 1), so each shard holds
+      ~``shard_rows`` rows, hard-bounded by shard_rows × n_sources
+      (one row per source per key unit); on the budget path the key
+      has unit TOKEN density, so pass shard_rows in tokens.
+    * **chunk** (``chunk_window``) — ``chunk_documents`` over the
+      mixed docs; chunks inherit the parent doc's mix_key/shard_id
+      (shards stay doc-granular).
+    * **pack** (``pack_budget``) — ``pack_sequences`` into
+      fixed-token bins over a collision-free row key (doc ± epoch ±
+      chunk), weighted by ``n_chunk_tokens`` when chunked else
+      ``tokens_col``.
+    * **write** (``out_dir``) — ordered parquet shards of the train
+      set under ``{out_dir}/train`` (``write_shards``: one range
+      exchange, deterministic file contents), non-train splits under
+      ``{out_dir}/eval`` partitioned by split.
+
+    Funnel note: the budget path UPSAMPLES, so its stage can have
+    ``n_dropped < 0`` — the report is signed on purpose."""
+    from cybersecurity_miw_spark.operators import packing, sampling
+
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    out = df
+    n_prev = None
+    if metrics is not None:
+        out = out.localCheckpoint(eager=True)
+        n_prev = out.count()
+
+    def _record(stage: str, new_out: DataFrame) -> DataFrame:
+        nonlocal n_prev
+        if metrics is None:
+            return new_out
+        new_out = new_out.localCheckpoint(eager=True)
+        n = new_out.count()
+        metrics.append({
+            "stage": stage,
+            "n_in": n_prev,
+            "n_out": n,
+            "n_dropped": n_prev - n,
+        })
+        n_prev = n
+        return new_out
+
+    if clusters is not None:
+        split = sampling.leakage_safe_split(
+            out, clusters, fractions, id_col=id_col, salt=split_salt
+        )
+    else:
+        split = sampling.split_assign(
+            out, fractions, id_col=id_col, salt=split_salt
+        )
+    train = _record(
+        "train_split", split.filter(F.col("split") == train_split)
+    )
+
+    if budget_tokens is not None:
+        mixed = sampling.mix_to_budget(
+            train,
+            budget_tokens,
+            source_col=source_col,
+            temperature=temperature,
+            max_epochs=max_epochs,
+            tokens_col=tokens_col,
+            id_col=id_col,
+            salt=mix_salt,
+            weights=weights,
+        )
+    elif weights is not None:
+        mixed = sampling.weighted_interleave(
+            train, source_col, weights, id_col, mix_salt
+        )
+    else:
+        mixed = sampling.temperature_interleave(
+            train, source_col, temperature, id_col, mix_salt
+        )
+    out = _record(
+        "mix",
+        mixed.withColumn(
+            "shard_id",
+            F.floor(F.col("mix_key") / F.lit(float(shard_rows))),
+        ),
+    )
+
+    order_cols = ["mix_key", id_col]
+    if budget_tokens is not None:
+        order_cols.append("epoch")
+    if chunk_window is not None:
+        docs_text = out.select(id_col, text_col)
+        if budget_tokens is not None:
+            # (doc, epoch) rows: chunk each doc ONCE, the join below
+            # re-attaches the chunks to every epoch row
+            docs_text = docs_text.dropDuplicates([id_col])
+        chunks = packing.chunk_documents(
+            docs_text,
+            window=chunk_window,
+            stride=chunk_stride,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        out = _record("chunk", out.drop(text_col).join(chunks, id_col))
+        order_cols.append("chunk_id")
+
+    if pack_budget is not None:
+        # collision-free row key: ids repeat across epochs/chunks, and
+        # pack_sequences' FFD tie-break must stay deterministic
+        key_parts = [F.col(id_col).cast("string")]
+        if budget_tokens is not None:
+            key_parts.append(F.col("epoch").cast("string"))
+        if chunk_window is not None:
+            key_parts.append(F.col("chunk_id").cast("string"))
+        wcol = "n_chunk_tokens" if chunk_window is not None else tokens_col
+        out = _record(
+            "pack",
+            packing.pack_sequences(
+                out.withColumn("_row_key", F.concat_ws(":", *key_parts)),
+                pack_budget,
+                weight_col=wcol,
+                id_col="_row_key",
+                n_packers=n_packers,
+            ).drop("_row_key"),
+        )
+
+    if out_dir is not None:
+        from cybersecurity_miw_spark.sources.shards import write_shards
+
+        write_shards(
+            out, f"{out_dir}/train", shard_rows,
+            order_cols=tuple(order_cols),
+        )
+        (
+            split.filter(F.col("split") != train_split)
+            .write.mode("overwrite")
+            .partitionBy("split")
+            .parquet(f"{out_dir}/eval")
+        )
+    return out

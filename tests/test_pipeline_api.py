@@ -202,3 +202,154 @@ def test_curate_metrics_funnel(spark):
     assert all(r["n_dropped"] == r["n_in"] - r["n_out"] for r in m)
     exact = next(r for r in m if r["stage"] == "exact_dedup")
     assert exact["n_dropped"] >= 1  # the planted verbatim dup
+
+
+def _assembly_docs(spark):
+    # 3 sources; docs 1 and 2 are near-dups (one cluster)
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, "a", base),
+        (2, "a", base + " tail"),
+        *[
+            (10 + i, "a", " ".join(f"a{i}w{j}" for j in range(20)))
+            for i in range(8)
+        ],
+        *[
+            (30 + i, "b", " ".join(f"b{i}w{j}" for j in range(30)))
+            for i in range(10)
+        ],
+        *[
+            (60 + i, "c", " ".join(f"c{i}w{j}" for j in range(25)))
+            for i in range(20)
+        ],
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    return df.withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+
+
+def test_assemble_dataset_end_to_end_with_funnel(spark):
+    """assemble_dataset (VERDICT r14 #1 — the tested back half):
+    leakage-safe split keeps the planted near-dup cluster in ONE
+    split, the train mix carries the interleave contract plus the
+    deterministic range-shard id, chunks inherit the parent's
+    mix_key/shard_id, the funnel reports every stage, and the
+    monitored run returns identical rows to the unmonitored one."""
+    from cybersecurity_miw_spark.operators import dedup
+
+    df = _assembly_docs(spark)
+    cand = dedup.minhash_lsh_candidates(df, shingle_k=3)
+    confirmed = dedup.jaccard_pairs(df, cand, shingle_k=3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    clusters = dedup.dup_clusters(confirmed)
+
+    kwargs = dict(
+        clusters=clusters,
+        weights={"a": 0.5, "b": 0.3, "c": 0.2},
+        chunk_window=16,
+        shard_rows=5,
+    )
+    m: list = []
+    out = pipeline.assemble_dataset(df, metrics=m, **kwargs)
+    rows = out.collect()
+
+    # funnel: stages in order, counts consistent, final == returned
+    assert [r["stage"] for r in m] == ["train_split", "mix", "chunk"]
+    for prev, cur in zip(m, m[1:]):
+        assert cur["n_in"] == prev["n_out"]
+    assert m[0]["n_in"] == 40 and m[-1]["n_out"] == len(rows)
+
+    # leakage safety: docs 1 and 2 share a cluster -> same split fate
+    # (both in the returned train set or both absent)
+    ids = {r["doc_id"] for r in rows}
+    assert (1 in ids) == (2 in ids)
+
+    # chunks inherit the parent's mix_key and shard_id
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], set()).add(
+            (r["mix_key"], r["shard_id"])
+        )
+    assert all(len(v) == 1 for v in by_doc.values())
+    # shard bound: <= shard_rows * n_sources DOCS per shard
+    shard_docs: dict = {}
+    for d, v in by_doc.items():
+        shard_docs.setdefault(next(iter(v))[1], set()).add(d)
+    assert all(len(v) <= 5 * 3 for v in shard_docs.values())
+    # deterministic: unmonitored run returns identical rows
+    again = pipeline.assemble_dataset(df, **kwargs).collect()
+    key = lambda r: (r["doc_id"], r["chunk_id"], round(r["mix_key"], 9))
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+
+
+def test_assemble_dataset_budget_chunk_pack_compose(spark):
+    """The budget path composes: mix_to_budget upsamples the hot
+    source (epoch column, funnel n_dropped < 0 by design), chunking
+    happens ONCE per doc and re-attaches to every epoch row, and
+    packing bins the (doc, epoch, chunk) rows under the token budget
+    with a collision-free row key."""
+    df = _assembly_docs(spark)
+    m: list = []
+    out = pipeline.assemble_dataset(
+        df,
+        fractions={"train": 1.0},
+        budget_tokens=2000,
+        max_epochs=3,
+        temperature=1.0,
+        chunk_window=8,
+        pack_budget=64,
+        n_packers=4,
+        shard_rows=200,
+        metrics=m,
+    )
+    rows = out.collect()
+    assert [r["stage"] for r in m] == ["train_split", "mix", "chunk", "pack"]
+    assert m[0]["n_out"] == 40  # fractions {train: 1.0}
+    # upsampling: some doc appears in >1 epoch, none past max_epochs
+    epochs: dict = {}
+    for r in rows:
+        epochs.setdefault((r["doc_id"], r["chunk_id"]), set()).add(r["epoch"])
+    assert max(len(v) for v in epochs.values()) >= 2
+    assert all(len(v) <= 3 for v in epochs.values())
+    # every epoch row carries the SAME chunk set as epoch 0
+    per_doc: dict = {}
+    for (d, c), eps in epochs.items():
+        per_doc.setdefault(d, {})[c] = eps
+    for d, by_chunk in per_doc.items():
+        sets = list(by_chunk.values())
+        assert all(s == sets[0] for s in sets), (d, by_chunk)
+    # pack: bins respect the budget (no overflow rows: chunks <= 8
+    # tokens each, well under 64)
+    assert all(not r["overflow"] for r in rows)
+    fills: dict = {}
+    for r in rows:
+        k = (r["packer"], r["bin_id"])
+        fills[k] = fills.get(k, 0) + r["n_chunk_tokens"]
+    assert all(v <= 64 for v in fills.values())
+    assert "_row_key" not in out.columns
+
+
+def test_assemble_dataset_writes_shards_and_eval(spark, tmp_path):
+    """out_dir: the train set lands as ordered parquet shards under
+    train/, non-train splits under eval/ partitioned by split, and
+    the written train rows equal the returned frame."""
+    df = _assembly_docs(spark)
+    out_dir = str(tmp_path / "ds")
+    out = pipeline.assemble_dataset(
+        df,
+        out_dir=out_dir,
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        weights={"a": 0.5, "b": 0.3, "c": 0.2},
+        shard_rows=10,
+    )
+    written = spark.read.parquet(f"{out_dir}/train")
+    key = lambda r: (r["doc_id"], round(r["mix_key"], 9), r["shard_id"])
+    assert sorted(map(key, written.collect())) == sorted(
+        map(key, out.collect())
+    )
+    ev = spark.read.parquet(f"{out_dir}/eval")
+    assert set(
+        r["split"] for r in ev.select("split").distinct().collect()
+    ) <= {"val", "test"}
+    # eval + train cover the corpus exactly once
+    assert ev.count() + written.select("doc_id").distinct().count() == 40

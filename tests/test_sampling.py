@@ -482,3 +482,120 @@ def test_temperature_weights_and_interleave(spark):
     assert sorted(map(key, auto.collect())) == sorted(
         map(key, manual.collect())
     )
+
+
+def _mix_df(spark):
+    # 3 sources: a = 4 docs (small, hot), b = 10, c = 26
+    rows = [
+        (i, "a" if i < 4 else ("b" if i < 14 else "c"), 10 + i % 3)
+        for i in range(40)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long"
+    )
+
+
+def test_mix_to_budget_caps_repeats_and_truncates(spark):
+    """Repetition-capped mixing (the published temperature recipe's
+    missing half): a small hot source repeats whole epochs but never
+    past max_epochs; a mid source gets full epochs plus a greedy
+    md5-prefix partial epoch; the big source truncates; emitted
+    tokens never exceed the budget and the allocation report says
+    exactly where every token went."""
+    df = _mix_df(spark)
+    m: list = []
+    out = sampling.mix_to_budget(
+        df, 500, max_epochs=2, metrics=m
+    ).collect()
+
+    rep = {r["source"]: r for r in m}
+    assert rep["a"]["capped"] and rep["a"]["full_epochs"] == 2
+    assert rep["a"]["target_tokens"] == rep["a"]["cap_tokens"]
+    assert not rep["b"]["capped"] and not rep["c"]["capped"]
+    assert sum(r["target_tokens"] for r in m) <= 500
+
+    per = {}
+    toks = 0
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["epoch"])
+        toks += r["n_tokens"]
+    assert toks <= 500
+    # epoch cap: no document appears more than max_epochs times
+    assert max(len(v) for v in per.values()) <= 2
+    # the hot source's docs all appear exactly max_epochs times
+    assert all(sorted(per[d]) == [0, 1] for d in range(4))
+    # partial epochs are md5-order PREFIXES: re-running is identical
+    again = sampling.mix_to_budget(df, 500, max_epochs=2).collect()
+    key = lambda r: (r["doc_id"], r["epoch"], round(r["mix_key"], 9))
+    assert sorted(map(key, out)) == sorted(map(key, again))
+
+
+def test_mix_to_budget_multi_round_water_filling(spark):
+    """Every source capping in a different water-fill round: T=0.5
+    (weights ~ tok^2) pushes the big source over its cap first, the
+    redistribution pushes the mid one over in round 2, then the small
+    one — all end at exactly max_epochs * tokens, nothing emitted
+    past any cap."""
+    rows = (
+        [(i, "a", 1) for i in range(10)]
+        + [(100 + i, "b", 10) for i in range(10)]
+        + [(200 + i, "c", 100) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    m: list = []
+    out = sampling.mix_to_budget(
+        df, 3000, temperature=0.5, max_epochs=2, metrics=m
+    ).collect()
+    rep = {r["source"]: r for r in m}
+    assert all(rep[s]["capped"] for s in "abc"), m
+    assert rep["a"]["target_tokens"] == 20
+    assert rep["b"]["target_tokens"] == 200
+    assert rep["c"]["target_tokens"] == 2000
+    per: dict = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert all(sorted(v) == [0, 1] for v in per.values())
+    assert sum(r["n_tokens"] for r in out) == 2220
+
+
+def test_mix_to_budget_interleave_prefix_and_validation(spark):
+    """mix_key contract: any prefix of the (mix_key, source, id,
+    epoch) order holds sources near their final token-allocation
+    shares; explicit weights override temperature; degenerate inputs
+    validate."""
+    df = _mix_df(spark)
+    m: list = []
+    out = (
+        sampling.mix_to_budget(df, 400, max_epochs=4, metrics=m)
+        .orderBy("mix_key", "source", "doc_id", "epoch")
+        .collect()
+    )
+    total = sum(r["target_tokens"] for r in m)
+    shares = {
+        r["source"]: r["target_tokens"] / total for r in m
+    }
+    half = out[: len(out) // 2]
+    half_toks = sum(r["n_tokens"] for r in half)
+    for s, share in shares.items():
+        got = sum(r["n_tokens"] for r in half if r["source"] == s)
+        assert abs(got / half_toks - share) < 0.15, (s, got, shares)
+
+    # explicit weights: only listed sources emit
+    m2: list = []
+    only_ab = sampling.mix_to_budget(
+        df, 200, weights={"a": 0.7, "b": 0.3}, metrics=m2
+    )
+    assert {r["source"] for r in only_ab.collect()} <= {"a", "b"}
+    assert {r["source"] for r in m2} == {"a", "b"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_epochs"):
+        sampling.mix_to_budget(df, 100, max_epochs=0)
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        sampling.mix_to_budget(df, -1)
+    with _pytest.raises(ValueError, match="temperature"):
+        sampling.mix_to_budget(df, 100, temperature=0)
+    with _pytest.raises(ValueError, match="weights"):
+        sampling.mix_to_budget(df, 100, weights={"a": -1.0})
+    assert sampling.mix_to_budget(df, 0).count() == 0

@@ -44,6 +44,51 @@ from cybersecurity_miw_spark.operators.textstats import fingerprint
 DOC_LINE_SCHEMA = "doc_id long, text string"
 
 
+class StaleStoreError(RuntimeError):
+    """A streaming store monitor graded a trigger stale and the loop
+    was started with ``on_stale="raise"``. The query fails BEFORE the
+    trigger's checkpoint commits, so after the documented offline
+    remediation (one-call ``rebuild_*`` in the single-writer window,
+    docs/MONITORING.md) a restart replays the tripped batch — nothing
+    is lost, per the family's at-least-once contract."""
+
+
+def _stale_gate(metrics: list | None, on_stale: str) -> list | None:
+    """Validate ``on_stale`` and return the effective metrics list:
+    ``on_stale="raise"`` needs the monitor ACTIVE even when the caller
+    passed no list, so it gets a private one. Auto-rebuild mid-stream
+    is deliberately not an option — frozen orders/quantizers are
+    load-bearing, so failing fast is the only honest in-stream action
+    (VERDICT r14 #3)."""
+    if on_stale not in ("report", "raise"):
+        raise ValueError(
+            f"on_stale must be 'report' or 'raise', got {on_stale!r}"
+        )
+    if metrics is None and on_stale == "raise":
+        return []
+    return metrics
+
+
+def _raise_if_stale(report: dict, on_stale: str, loop: str) -> None:
+    if on_stale == "raise" and report.get("stale"):
+        raise StaleStoreError(
+            f"{loop}: store monitor graded this trigger stale "
+            f"({report}); rebuild the store offline "
+            "(docs/MONITORING.md) and restart the stream"
+        )
+
+
+def _enforce_stale(
+    reports: list | None, start: int, on_stale: str, loop: str
+) -> None:
+    """Delegated-monitor variant of :func:`_raise_if_stale`: check the
+    reports an inner operator appended during this trigger."""
+    if on_stale != "raise" or reports is None:
+        return
+    for r in reports[start:]:
+        _raise_if_stale(r, on_stale, loop)
+
+
 def parse_doc_lines(lines: DataFrame) -> DataFrame:
     """``doc_id<TAB>text`` lines → typed columns (JVM from_csv with a
     tab separator, no UDF)."""
@@ -181,6 +226,7 @@ def streaming_near_dup_flags(
     fenced_dir: str | None = None,
     metrics: list | None = None,
     staleness_factor: float | None = None,
+    on_stale: str = "report",
 ) -> StreamingQuery:
     """The near-dup half of the continuous ingest loop: each
     micro-batch computes its LSH bands, joins them against the
@@ -230,7 +276,18 @@ def streaming_near_dup_flags(
     ``write_band_store_params(..., baseline_cand_per_doc=...)``).
     The candidate count rides the Observation API on the store-join
     subtree, so monitoring adds no extra job — the count is collected
-    while the flags sink writes."""
+    while the flags sink writes.
+
+    ``on_stale`` wires the monitor to a POLICY (VERDICT r14 #3):
+    ``"report"`` (default) only appends the report dict;
+    ``"raise"`` activates the monitor even without a ``metrics`` list
+    and fails the trigger with :class:`StaleStoreError` when it
+    grades stale — the query dies BEFORE the checkpoint commits, the
+    operator runs the documented one-call rebuild offline, and a
+    restart replays the tripped batch. Auto-rebuild mid-stream is
+    deliberately not offered: frozen hash families / token orders /
+    quantizers are load-bearing, so failing fast is the only honest
+    in-stream action (docs/MONITORING.md)."""
     from cybersecurity_miw_spark.operators.dedup import (
         BAND_STORE_PARAMS_FILE,
         DEFAULT_BANDS,
@@ -251,6 +308,7 @@ def streaming_near_dup_flags(
         spark, band_store_dir, num_hashes, bands, shingle_k
     )
     params_path = f"{band_store_dir}/{BAND_STORE_PARAMS_FILE}"
+    metrics = _stale_gate(metrics, on_stale)
 
     reader = spark.readStream.format("text")
     if max_files_per_trigger is not None:
@@ -364,16 +422,16 @@ def streaming_near_dup_flags(
                     sess, band_store_dir, num_hashes, bands, shingle_k,
                     baseline_cand_per_doc=baseline,
                 )
-            metrics.append(
-                setsim.staleness_report(
-                    n_cand,
-                    n_docs,
-                    baseline,
-                    staleness_factor
-                    if staleness_factor is not None
-                    else setsim.STALENESS_DEFAULT_FACTOR,
-                )
+            report = setsim.staleness_report(
+                n_cand,
+                n_docs,
+                baseline,
+                staleness_factor
+                if staleness_factor is not None
+                else setsim.STALENESS_DEFAULT_FACTOR,
             )
+            metrics.append(report)
+            _raise_if_stale(report, on_stale, "streaming_near_dup_flags")
         bands_new.write.mode("append").parquet(band_store_dir)
         if not fsutil.exists(sess, params_path):
             write_band_store_params(
@@ -403,6 +461,7 @@ def streaming_semantic_flags(
     max_files_per_trigger: int | None = None,
     metrics: list | None = None,
     staleness_factor: float | None = None,
+    on_stale: str = "report",
 ) -> StreamingQuery:
     """The SEMANTIC half of the continuous ingest loop — the
     embedding sibling of :func:`streaming_near_dup_flags`, completing
@@ -444,7 +503,10 @@ def streaming_semantic_flags(
     store-joined trigger with pairs. A hot hyperplane bucket (the
     occupancy channel ``suggested_planes`` bounds by schedule)
     inflates this ratio; ``stale`` above ``staleness_factor`` ×
-    baseline (default setsim.STALENESS_DEFAULT_FACTOR)."""
+    baseline (default setsim.STALENESS_DEFAULT_FACTOR). ``on_stale``:
+    the family policy hook — see :func:`streaming_near_dup_flags`
+    ("raise" fails the trigger with :class:`StaleStoreError` before
+    its checkpoint commits; rebuild offline, restart, replay)."""
     from cybersecurity_miw_spark.operators.similarity import (
         SEMANTIC_STORE_PARAMS_FILE,
         cosine_near_dup_lsh,
@@ -455,6 +517,7 @@ def streaming_semantic_flags(
     from cybersecurity_miw_spark.operators.textstats import hashed_embedding
     from cybersecurity_miw_spark import fsutil
 
+    metrics = _stale_gate(metrics, on_stale)
     # fail fast on a plane-family mismatch BEFORE any batch runs
     params_path = f"{vec_store_dir}/{SEMANTIC_STORE_PARAMS_FILE}"
     if fsutil.exists(spark, params_path):
@@ -535,15 +598,17 @@ def streaming_semantic_flags(
                         sess, vec_store_dir, dim, n_planes,
                         baseline_cand_per_doc=baseline,
                     )
-                metrics.append(
-                    setsim.staleness_report(
-                        n_pairs,
-                        n_docs,
-                        baseline,
-                        staleness_factor
-                        if staleness_factor is not None
-                        else setsim.STALENESS_DEFAULT_FACTOR,
-                    )
+                report = setsim.staleness_report(
+                    n_pairs,
+                    n_docs,
+                    baseline,
+                    staleness_factor
+                    if staleness_factor is not None
+                    else setsim.STALENESS_DEFAULT_FACTOR,
+                )
+                metrics.append(report)
+                _raise_if_stale(
+                    report, on_stale, "streaming_semantic_flags"
                 )
             bucketed.write.mode("append").parquet(vec_store_dir)
             if not fsutil.exists(sess, params_path):
@@ -577,6 +642,7 @@ def streaming_containment_flags(
     max_files_per_trigger: int | None = None,
     metrics: list | None = None,
     staleness_factor: float | None = None,
+    on_stale: str = "report",
 ) -> StreamingQuery:
     """Continuous decontamination — the containment member of the
     streaming flag family, and the one whose store is FROZEN by
@@ -606,7 +672,9 @@ def streaming_containment_flags(
     (baseline from the ``_containment_params.json`` sidecar — record
     it at store creation with
     ``write_containment_store_params(...,
-    baseline_cand_per_doc=measure_containment_cand_per_doc(...))``).
+    baseline_cand_per_doc=measure_containment_cand_per_doc(...))``);
+    ``on_stale``: the family policy hook — see
+    :func:`streaming_near_dup_flags`.
 
     Exactly-once note: the flags append is the ONLY sink, so a
     foreachBatch replay can duplicate flag rows (dedupe downstream on
@@ -619,6 +687,7 @@ def streaming_containment_flags(
         read_containment_store_baseline,
     )
 
+    metrics = _stale_gate(metrics, on_stale)
     # fail fast on a width mismatch BEFORE any batch runs
     store = load_containment_store(spark, store_dir, shingle_k=shingle_k)
     freq = spark.read.parquet(freq_dir)
@@ -639,6 +708,7 @@ def streaming_containment_flags(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         cache_mark = release_mark()
         try:
+            start = len(metrics) if metrics is not None else 0
             pairs = incremental_containment_pairs(
                 batch_df,
                 containers,
@@ -649,6 +719,9 @@ def streaming_containment_flags(
                 metrics=metrics,
                 baseline_cand_per_doc=baseline,
                 staleness_factor=factor,
+            )
+            _enforce_stale(
+                metrics, start, on_stale, "streaming_containment_flags"
             )
             pairs.write.mode("append").parquet(flags_dir)
         finally:
@@ -678,6 +751,7 @@ def streaming_setsim_flags(
     max_files_per_trigger: int | None = None,
     metrics: list | None = None,
     staleness_factor: float | None = None,
+    on_stale: str = "report",
 ) -> StreamingQuery:
     """EXACT near-dup flags over a continuous ingest — the
     zero-false-negative member of the streaming flag family
@@ -703,7 +777,8 @@ def streaming_setsim_flags(
     ``staleness_report`` against the recorded baseline (``stale``
     above ``staleness_factor`` × it, default
     setsim.STALENESS_DEFAULT_FACTOR) — rebuild offline under a fresh
-    order (maintain.rewrite_table) when it trips.
+    order (maintain.rewrite_table) when it trips. ``on_stale``: the
+    family policy hook — see :func:`streaming_near_dup_flags`.
 
     Within-batch pairs surface in the same trigger
     (:func:`~cybersecurity_miw_spark.operators.setsim.ppjoin_pairs`
@@ -732,6 +807,7 @@ def streaming_setsim_flags(
     )
     from cybersecurity_miw_spark import fsutil
 
+    metrics = _stale_gate(metrics, on_stale)
     # fail fast on a family mismatch BEFORE any batch runs
     params_path = f"{store_dir}/{SETSIM_STORE_PARAMS_FILE}"
     if fsutil.exists(spark, params_path):
@@ -767,6 +843,7 @@ def streaming_setsim_flags(
                 )
                 freq = sess.read.parquet(freq_dir)
                 hist = sess.read.parquet(history_dir)
+                start = len(metrics) if metrics is not None else 0
                 cross = incremental_ppjoin_pairs(
                     batch_df, hist, store, freq,
                     threshold=threshold, shingle_k=shingle_k,
@@ -775,6 +852,9 @@ def streaming_setsim_flags(
                         sess, store_dir
                     ),
                     staleness_factor=factor,
+                )
+                _enforce_stale(
+                    metrics, start, on_stale, "streaming_setsim_flags"
                 )
                 flags = cross.unionByName(within)
             else:
@@ -828,6 +908,7 @@ def streaming_simhash_flags(
     max_files_per_trigger: int | None = None,
     metrics: list | None = None,
     staleness_factor: float | None = None,
+    on_stale: str = "report",
 ) -> StreamingQuery:
     """SimHash near-dup flags over a continuous ingest — the last
     batch store family to get its streaming loop (exact/MinHash/
@@ -847,10 +928,12 @@ def streaming_simhash_flags(
     ``metrics`` attaches the family's ingest monitor: store
     candidates per batch doc vs a baseline auto-recorded on the
     first store-joined trigger with candidates (stale above
-    ``staleness_factor`` × it). Replay caveat as the other loops:
-    appends precede the checkpoint commit, so at-least-once recovery
-    can duplicate flag/store rows (never lose); self-pairs are
-    guarded in :func:`~cybersecurity_miw_spark.operators.dedup.
+    ``staleness_factor`` × it); ``on_stale``: the family policy hook
+    — see :func:`streaming_near_dup_flags`. Replay caveat as the
+    other loops: appends precede the checkpoint commit, so
+    at-least-once recovery can duplicate flag/store rows (never
+    lose); self-pairs are guarded in
+    :func:`~cybersecurity_miw_spark.operators.dedup.
     incremental_simhash_candidates`'s join."""
     import json
 
@@ -864,6 +947,7 @@ def streaming_simhash_flags(
     from cybersecurity_miw_spark.operators import setsim
     from cybersecurity_miw_spark import fsutil
 
+    metrics = _stale_gate(metrics, on_stale)
     params_path = f"{band_store_dir}/{SIMHASH_STORE_PARAMS_FILE}"
     if fsutil.exists(spark, params_path):
         stored = json.loads(fsutil.read_text(spark, params_path))
@@ -926,15 +1010,17 @@ def streaming_simhash_flags(
                     fsutil.write_text(
                         sess, params_path, json.dumps(stored)
                     )
-                metrics.append(
-                    setsim.staleness_report(
-                        n_cand,
-                        n_docs,
-                        baseline,
-                        staleness_factor
-                        if staleness_factor is not None
-                        else setsim.STALENESS_DEFAULT_FACTOR,
-                    )
+                report = setsim.staleness_report(
+                    n_cand,
+                    n_docs,
+                    baseline,
+                    staleness_factor
+                    if staleness_factor is not None
+                    else setsim.STALENESS_DEFAULT_FACTOR,
+                )
+                metrics.append(report)
+                _raise_if_stale(
+                    report, on_stale, "streaming_simhash_flags"
                 )
             simhash_band_store(
                 batch_df, band_bits=band_bits, hash_fn=hash_fn
@@ -970,6 +1056,7 @@ def streaming_phash_flags(
     max_files_per_trigger: int | None = None,
     metrics: list | None = None,
     staleness_factor: float | None = None,
+    on_stale: str = "report",
 ) -> StreamingQuery:
     """Perceptual-hash (aHash) near-dup flags over a continuous BINARY
     MEDIA ingest — the phash store family's streaming twin, completing
@@ -992,8 +1079,10 @@ def streaming_phash_flags(
     per batch asset vs a baseline auto-recorded on the first
     store-joined trigger with candidates (stale above
     ``staleness_factor`` × it) — a re-encode burst of a stored
-    template (the media analog of the text template burst) trips it.
-    Replay caveat as the other loops: appends precede the checkpoint
+    template (the media analog of the text template burst) trips it;
+    ``on_stale``: the family policy hook — see
+    :func:`streaming_near_dup_flags`. Replay caveat as the other
+    loops: appends precede the checkpoint
     commit, so at-least-once recovery can duplicate flag/store rows
     (never lose); (x, x) self-pairs are guarded in
     ``incremental_phash_candidates``'s join."""
@@ -1014,6 +1103,7 @@ def streaming_phash_flags(
     bits = PHASH_DEFAULT_BITS if bits is None else bits
     band_bits = PHASH_DEFAULT_BAND_BITS if band_bits is None else band_bits
 
+    metrics = _stale_gate(metrics, on_stale)
     params_path = f"{band_store_dir}/{PHASH_STORE_PARAMS_FILE}"
     if fsutil.exists(spark, params_path):
         stored = json.loads(fsutil.read_text(spark, params_path))
@@ -1088,15 +1178,17 @@ def streaming_phash_flags(
                     fsutil.write_text(
                         sess, params_path, json.dumps(stored)
                     )
-                metrics.append(
-                    setsim.staleness_report(
-                        n_cand,
-                        n_assets,
-                        baseline,
-                        staleness_factor
-                        if staleness_factor is not None
-                        else setsim.STALENESS_DEFAULT_FACTOR,
-                    )
+                report = setsim.staleness_report(
+                    n_cand,
+                    n_assets,
+                    baseline,
+                    staleness_factor
+                    if staleness_factor is not None
+                    else setsim.STALENESS_DEFAULT_FACTOR,
+                )
+                metrics.append(report)
+                _raise_if_stale(
+                    report, on_stale, "streaming_phash_flags"
                 )
             phash_band_store(
                 batch_df, bits, band_bits, payload_col, id_col
@@ -1133,6 +1225,7 @@ def streaming_ivf_append(
     max_files_per_trigger: int | None = None,
     metrics: list | None = None,
     staleness_factor: float | None = None,
+    on_stale: str = "report",
 ) -> StreamingQuery:
     """Continuous ANN index maintenance — the IVF/PQ index's streaming
     twin, completing the symmetry every dedup band store already has
@@ -1157,13 +1250,18 @@ def streaming_ivf_append(
     it and the remediation is the one-call
     :func:`~cybersecurity_miw_spark.operators.similarity.
     rebuild_ivf_index` (in the single-writer window, then restart
-    the stream with the fresh quantizer). Replay caveat as the
+    the stream with the fresh quantizer); ``on_stale``: the family
+    policy hook — see :func:`streaming_near_dup_flags` (note the
+    tripped batch HAS been appended when the monitor runs — the
+    replay after rebuild re-encodes it under the fresh quantizer,
+    the stale rows die with the rebuilt layout). Replay caveat as the
     other loops: the append precedes the checkpoint commit, so
     at-least-once recovery can duplicate (id, code) rows — top-k
     queries tolerate duplicates (same id, same score); compact with
     ``compact_ann_index_cell`` in maintenance windows."""
     from cybersecurity_miw_spark.operators import similarity
 
+    metrics = _stale_gate(metrics, on_stale)
     eff_scale = similarity.PQ_SCALE if scale is None else scale
     stored = similarity.read_ivf_index_params(spark, index_dir)
     fp = similarity.quantizer_fingerprint(
@@ -1192,6 +1290,7 @@ def streaming_ivf_append(
         try:
             if batch_df.isEmpty():
                 return
+            start = len(metrics) if metrics is not None else 0
             similarity.append_to_ivf_index(
                 batch_df.localCheckpoint(eager=True),
                 centroids,
@@ -1207,6 +1306,9 @@ def streaming_ivf_append(
                     if staleness_factor is not None
                     else similarity.DISTORTION_DEFAULT_FACTOR
                 ),
+            )
+            _enforce_stale(
+                metrics, start, on_stale, "streaming_ivf_append"
             )
         finally:
             release_since(cache_mark)

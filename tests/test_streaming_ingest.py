@@ -1076,3 +1076,142 @@ def test_streaming_ivf_append_equals_batch_build_and_monitors(spark, tmp_path):
             spark, str(indir), str(tmp_path / "ck2"), idx_dir,
             cents2, books,
         )
+
+
+def test_on_stale_raise_fails_trigger_then_report_mode_replays(
+    spark, tmp_path
+):
+    """on_stale policy hooks (VERDICT r14 #3): a template burst that
+    grades stale FAILS the stream with StaleStoreError when
+    on_stale='raise' (even with no metrics list — the monitor
+    activates itself), the tripped trigger's checkpoint never
+    commits, and a restart in report mode REPLAYS the batch, records
+    the stale report, and completes — the documented
+    fail-fast → rebuild-offline → restart recipe."""
+    import pytest as _pytest
+
+    from cybersecurity_miw_spark.streaming.ingest import (
+        StaleStoreError,
+        streaming_phash_flags,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    flags = str(tmp_path / "flags")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    template = bytes((i * 37 + 11) % 256 for i in range(600))
+    near = bytearray(template)
+    near[300] = (near[300] + 90) % 256
+    unrelated = bytes((i * 151 + 7) % 256 for i in range(600))
+
+    def _land(rows):
+        spark.createDataFrame(
+            rows, "media_id LONG, payload BINARY"
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+
+    # run 1: build store + baseline (one cross-run candidate per asset)
+    m: list = []
+    _land([(1, template), (2, unrelated)])
+    streaming_phash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=m
+    ).awaitTermination(120)
+    _land([(3, bytes(near))])
+    streaming_phash_flags(
+        spark, str(indir), ckpt, flags, store, metrics=m
+    ).awaitTermination(120)
+    assert len(m) == 1 and m[0]["stale"] is False
+
+    # run 2: re-encode burst + on_stale='raise' (no metrics list) —
+    # the query fails and the root cause is the policy error
+    _land([(100 + i, template) for i in range(10)])
+    q = streaming_phash_flags(
+        spark, str(indir), ckpt, flags, store,
+        staleness_factor=1.5, on_stale="raise",
+    )
+    with _pytest.raises(Exception) as exc_info:
+        q.awaitTermination(120)
+    assert "StaleStoreError" in str(exc_info.value)
+    assert StaleStoreError is not None
+
+    # the tripped trigger never committed: report mode replays it,
+    # records the stale report, and drains the input
+    m2: list = []
+    streaming_phash_flags(
+        spark, str(indir), ckpt, flags, store,
+        staleness_factor=1.5, metrics=m2,
+    ).awaitTermination(120)
+    assert len(m2) == 1 and m2[0]["stale"] is True
+    burst_flags = {
+        r["new_id"]
+        for r in spark.read.parquet(flags).collect()
+        if r["new_id"] >= 100
+    }
+    assert burst_flags == set(range(100, 110))
+
+    # validation happens BEFORE the stream starts
+    with _pytest.raises(ValueError, match="on_stale"):
+        streaming_phash_flags(
+            spark, str(indir), str(tmp_path / "ck2"), flags, store,
+            on_stale="rebuild",
+        )
+
+
+def test_on_stale_raise_on_delegated_monitor_ivf_append(spark, tmp_path):
+    """The delegated-monitor variant: streaming_ivf_append's
+    distortion monitor runs inside append_to_ivf_index — on_stale=
+    'raise' still fails the trigger on a drifted batch, and report
+    mode on the same input records stale without failing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cybersecurity_miw_spark.operators import similarity
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_ivf_append,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 8)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(base)]
+    cents = similarity.train_centroids(
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        n_cells=2, dim=8, iters=2,
+    )
+    books = similarity.static_pq_codebooks(8, 4, 8)
+
+    indir = tmp_path / "vin"
+    indir.mkdir()
+    idx = str(tmp_path / "idx")
+
+    def _land(rows):
+        spark.createDataFrame(
+            rows, "vec_id LONG, embedding ARRAY<DOUBLE>"
+        ).coalesce(1).write.mode("append").parquet(str(indir))
+
+    _land(rows)  # in-distribution: records the baseline
+    streaming_ivf_append(
+        spark, str(indir), str(tmp_path / "ck"), idx, cents, books,
+        on_stale="raise",
+    ).awaitTermination(120)
+
+    drifted = [
+        (1000 + int(i), [float(x) for x in (v + 40.0)])
+        for i, v in enumerate(rng.randn(20, 8))
+    ]
+    _land(drifted)
+    q = streaming_ivf_append(
+        spark, str(indir), str(tmp_path / "ck"), idx, cents, books,
+        on_stale="raise",
+    )
+    with _pytest.raises(Exception) as exc_info:
+        q.awaitTermination(120)
+    assert "StaleStoreError" in str(exc_info.value)
+
+    # report mode replays and records the trip without failing
+    m: list = []
+    streaming_ivf_append(
+        spark, str(indir), str(tmp_path / "ck"), idx, cents, books,
+        metrics=m,
+    ).awaitTermination(120)
+    assert len(m) == 1 and m[0]["stale"] is True

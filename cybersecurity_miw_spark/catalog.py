@@ -8471,6 +8471,22 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # Round-15 rotation: IN = the two new r15 oracles
+    # (mix_to_budget_epochs — repetition-capped temperature mixing;
+    # assemble_manifest — the end-to-end assemble_dataset doc→shard
+    # manifest), first-round rows as the rotation invariant requires.
+    # OUT = two longest-green r6-cohort veterans: date_buckets (the
+    # P/derive family keeps tokenize_typed_projection +
+    # kv_evtx_explode in-window; unix_epoch_parse / time_buckets stay
+    # full-hash green in tests/test_oracle_parity.py) and
+    # match_substring_or (the F family keeps match_negative_exact
+    # in-window; exact/semi/anti siblings stay pytest-parity checked).
+    # No changed-plan anchors this rotation: the r15 code changes so
+    # far (on_stale streaming policy, distortion zero-baseline grade,
+    # phash store data-probe, mine_hard_negatives cap param) touch
+    # streaming loops and parameter plumbing only — no in-window batch
+    # query's plan moved (hard_negatives_topk's default cap value is
+    # plan-identical and it is already in-window).
     # Round-14 rotation (the r13 miss, made current): IN = the three
     # r13 phash oracles (phash_fingerprints, phash_band_candidates,
     # incremental_phash_vs_store — their first-round rows are a round
@@ -8538,8 +8554,8 @@ _DRIVER_WINDOW = [
     "kv_evtx_explode",
     "match_negative_exact",
     # --- last row round 6 ---
-    "date_buckets",
-    "match_substring_or",
+    # (date_buckets + match_substring_or rotated out r15 for the two
+    #  new r15 oracles — see the r15 rotation note at the top)
     "app_word_reverse_index",
     "app_pca_covariance",
     "app_kmeans_step",
@@ -8593,6 +8609,9 @@ _DRIVER_WINDOW = [
     "temperature_mix_prefix",
     "semantic_dedup_cells_clusters",
     "hard_negatives_topk",
+    # --- new r15 oracles (first-round rows) ---
+    "mix_to_budget_epochs",
+    "assemble_manifest",
 ]
 
 

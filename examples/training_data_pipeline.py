@@ -9,10 +9,13 @@
       → MinHash/LSH near-dedup, CLUSTER-correct (candidates → Jaccard
         confirm → connected components → one survivor per component)
       → TF-IDF top terms (feature preview)
-      → shard assembly: deterministic train/val/test split
-        → weighted source interleave (train shard order)
-        → sliding-window chunking (fixed token windows)
-        → token-budget sequence packing (context-window bins)
+      → ONE-CALL shard assembly (pipeline.assemble_dataset):
+        leakage-safe train/val/test split (near-dup clusters never
+        straddle splits) → repetition-capped temperature mix to a
+        token budget (small sources repeat ≤ max_epochs, large ones
+        truncate) → sliding-window chunking → token-budget sequence
+        packing → ordered parquet shards + eval publish, with the
+        same funnel-metrics contract as curate_documents
 
 Every stage is a JVM DataFrame plan from
 ``cybersecurity_miw_spark.operators`` (packing is partition-local
@@ -91,65 +94,60 @@ def main() -> None:
     )
     terms.show(9, truncate=False)
 
-    # --- shard assembly over the curated set ---
-    from cybersecurity_miw_spark.operators import packing, sampling
+    # --- one-call shard assembly over the curated set ---
+    # assemble_dataset is the tested back half of the pipeline:
+    # split → mix → chunk → pack → shards in a single call with the
+    # curate_documents funnel contract. Dedup already removed
+    # near-dups at jaccard ≥ 0.8; for SPLIT hygiene we cluster the
+    # survivors at a LOOSER threshold (0.5) so even weak rewrites
+    # can never straddle train and eval (leakage_safe_split).
+    from cybersecurity_miw_spark import pipeline
+    from cybersecurity_miw_spark.operators import dedup as dd
 
     curated = survivors.join(
-        docs.select("doc_id", "source", "n_chars"), "doc_id"
+        docs.select("doc_id", "text", "source"), "doc_id"
     )
-    split = sampling.split_assign(
-        curated, {"train": 0.98, "val": 0.01, "test": 0.01}
+    cand = dd.minhash_lsh_candidates(curated, shingle_k=5)
+    loose_pairs = dd.jaccard_pairs(curated, cand, shingle_k=5).filter(
+        F.col("jaccard") >= 0.5
     )
-    split.groupBy("split").count().orderBy("split").show()
+    split_clusters = dd.dup_clusters(loose_pairs)
 
-    train = split.filter(F.col("split") == "train")
-    top_sources = [
-        r["source"]
-        for r in train.groupBy("source").count()
-        .orderBy(F.desc("count")).limit(3).collect()
-    ]
-    mixed = sampling.weighted_interleave(
-        train, "source", dict(zip(top_sources, (0.6, 0.3, 0.1)))
-    )
-    print("first 8 of the weighted train mix (prefix holds 60/30/10):")
-    mixed.orderBy("mix_key", "source", "doc_id").select(
-        "doc_id", "source", F.round("mix_key", 3).alias("mix_key")
-    ).show(8)
-
-    chunks = packing.chunk_documents(
-        mixed.join(docs.select("doc_id", "text"), "doc_id"),
-        window=64, stride=64,
-    )
-    print("chunking: docs -> fixed 64-token windows")
-    chunks.agg(
-        F.count(F.lit(1)).alias("chunks"),
-        F.round(F.avg("n_chunk_tokens"), 1).alias("mean_tokens"),
-    ).show()
-
-    bins = packing.pack_sequences(
-        mixed, budget=4096, weight_col="n_chars", n_packers=8
-    )
-    stats = bins.groupBy("packer", "bin_id").agg(
-        F.sum("n_chars").alias("fill"), F.count(F.lit(1)).alias("docs")
-    )
-    stats.agg(
-        F.count(F.lit(1)).alias("bins"),
-        F.round(F.avg("fill"), 1).alias("mean_fill"),
-        F.round(F.avg("docs"), 2).alias("mean_docs_per_bin"),
-    ).show()
-
-    # last mile: size-bounded, deterministically-ordered shards
-    from cybersecurity_miw_spark.sources.shards import write_shards
+    # token budget 1.2× the natural corpus: under-represented sources
+    # repeat whole epochs (never more than max_epochs), large sources
+    # truncate to an md5-prefix partial epoch
+    total_tokens = curated.agg(F.sum("n_tokens")).first()[0]
+    budget = int(total_tokens * 1.2)
 
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".tmp", "shards_example",
     )
-    n_shards = write_shards(
-        mixed.select("doc_id", "source", "mix_key"),
-        out_dir, shard_rows=64,
+    funnel: list = []
+    train = pipeline.assemble_dataset(
+        curated,
+        out_dir=out_dir,
+        clusters=split_clusters,
+        temperature=2.0,
+        budget_tokens=budget,
+        max_epochs=2,
+        chunk_window=64,
+        pack_budget=4096,
+        shard_rows=2048,  # tokens per shard on the budget path
+        metrics=funnel,
     )
-    print(f"wrote {n_shards} ordered shard ranges to {out_dir}")
+    for stage in funnel:
+        print(
+            f"  assemble {stage['stage']}: {stage['n_in']} -> "
+            f"{stage['n_out']} ({stage['n_dropped']:+d} dropped; "
+            "negative = budget upsampling)"
+        )
+    print("first 8 of the assembled train mix:")
+    train.orderBy("mix_key", "doc_id").select(
+        "doc_id", "source", "epoch", "chunk_id", "shard_id",
+        F.round("mix_key", 1).alias("mix_key"),
+    ).show(8)
+    print(f"wrote ordered train shards + eval splits to {out_dir}")
 
     # analytics-side layout: z-order the curated metadata on
     # (n_tokens, quality) so later filtered reads ("long high-quality
@@ -167,8 +165,6 @@ def main() -> None:
     # against persisted indexes (history text never rescanned), fence
     # mega-clusters out of the pair join, and keep the indexes healthy
     # with compaction
-    from cybersecurity_miw_spark.operators import dedup as dd
-
     store_root = os.path.join(os.path.dirname(out_dir), "stores_example")
     fp_dir = os.path.join(store_root, "fingerprints")
     band_dir = os.path.join(store_root, "bands")

@@ -15,6 +15,11 @@ The driver ships no sf1.0 parquet, so this derives one from sf0.1:
   duplication would put 10 identical texts in every LSH band bucket
   and quadratically inflate the candidate stage into a workload that
   no real 10x corpus produces.
+* ``documents`` (media variant, ``-media``) — the phash family needs
+  the byte-VALUE analog of the trick: a per-copy pseudo-random
+  permutation of all printable byte values (copy 0 identity), so
+  cross-copy aHash means decorrelate fully and candidates grow ~10x
+  instead of the 88x the weak a..z rotation produced (r14 watch #2).
 
 The question answered here is the one sf0.1 cannot: does wall time
 scale ~linearly with input size, or is there a cliff (bucket blowup,
@@ -78,17 +83,36 @@ QUERY_NAMES = [
     # 8-gram vocabularies disjoint across copies — duplicated-gram
     # occurrences and spans grow exactly 10x, no cross-copy inflation)
     "duplicated_ngram_spans",
-    # r14: perceptual-hash media near-dup (documents-as-media) — the
-    # alphabet rotation perturbs the sampled byte values, so aHash
-    # band values differ across copies and the (band, val) pair join
-    # stays within copies (the LSH-banding rationale applied to the
-    # binary path); incremental path = same %5 split over 10x media
-    "phash_band_candidates",
-    "incremental_phash_vs_store",
     # r14: temperature mixing — per-source rank window + bounded
     # count collect; rotated docs keep the source column untouched so
     # the skewed pool grows exactly 10x
     "temperature_mix_prefix",
+    # r15: repetition-capped budget mixing — the skewed pool grows 10x
+    # per source (source column untouched by rotation) while the
+    # 20k-token budget stays FIXED, so the explode output is
+    # budget-bounded and the measured 10x cost is the per-source md5
+    # rank window + running token sum over the full corpus (the real
+    # backfill shape: corpus grows, budget is the training recipe's)
+    "mix_to_budget_epochs",
+    # r15: one-call dataset assembly — minhash clusters → leakage-safe
+    # split → weighted mix → range-shard id → 32-token chunking;
+    # rotation keeps shingle sets disjoint across copies so dup
+    # clusters stay within copies and every stage grows linearly
+    "assemble_manifest",
+]
+
+# r15: the phash media family runs against a BYTE-PERMUTED media
+# variant instead of the shared alphabet-rotated documents: rotating
+# a..z only shifts 26 of ~95 printable byte values by a constant, so
+# cross-copy aHashes stayed correlated and the r14 10x point absorbed
+# an 88x-inflated candidate load (VERDICT r14 watch #2). A per-copy
+# pseudo-random permutation of ALL printable byte values keeps
+# within-copy near-dup structure byte-identical while fully
+# decorrelating the sampled-byte means across copies — candidates
+# grow ~10x, the realistic 10x-media workload.
+MEDIA_QUERY_NAMES = [
+    "phash_band_candidates",
+    "incremental_phash_vs_store",
 ]
 
 # range_join runs against the TIME-SHIFTED events variant: with plain
@@ -137,11 +161,35 @@ EMB_QUERY_NAMES = [
     # bucket pair join; n_planes fixed here (occupancy rule measured
     # separately), rotation keeps pair graphs within copies
     "semantic_dedup_clusters",
+    # r15 (VERDICT r14 watch #1): the same operator through the
+    # DEFAULT n_planes=None occupancy-constant schedule — the plan
+    # users actually get; the fixed-4 row above stays as the
+    # documented oracle-pinned contrast on the quadratic path
+    "semantic_dedup_clusters_auto",
     # r14: hard-negative mining — a FIXED 3-query batch against 10x
     # vectors (the ann_ivf_topk_batch shape + one bounded anti-join),
     # so cost is the corpus assignment scan, linear by construction
     "hard_negatives_topk",
 ]
+
+# sweep-only entries (not catalog queries — no oracle twin exists or
+# the geometry is deliberately the production default rather than the
+# oracle-pinned one); same (spark, sf_dir) -> DataFrame contract
+def _q_semantic_dedup_clusters_auto(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import similarity
+    from cybersecurity_miw_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings", widen=True)
+    return similarity.semantic_dedup_clusters(
+        emb, dim=64, threshold=0.5, n_planes=None
+    ).select("vec_id")
+
+
+EXTRA_QUERIES = {
+    "semantic_dedup_clusters_auto": _q_semantic_dedup_clusters_auto,
+}
 
 # round 8: the new TPC-H heavies against 10x facts (lineitem/orders
 # copied with orderkey offsets; dims unchanged — the retention-growth
@@ -272,6 +320,47 @@ def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
     )
 
 
+_PRINTABLE = "".join(chr(c) for c in range(32, 127))
+
+
+def _permuted_bytes(i: int) -> str:
+    """Per-copy deterministic pseudo-random permutation of the
+    printable byte values (copy 0 = identity) — the media-variant
+    decorrelator: aHash samples byte VALUES, so a full-alphabet value
+    permutation scatters every copy's sampled means independently
+    while keeping within-copy near-dup payloads byte-identical."""
+    if not i:
+        return _PRINTABLE
+    import random as _random
+
+    chars = list(_PRINTABLE)
+    _random.Random(0xC0FFEE + i).shuffle(chars)
+    return "".join(chars)
+
+
+def build_scaled_media(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    """documents x10 with per-copy printable-byte-value permutation —
+    the media 10x variant for the phash family (see MEDIA_QUERY_NAMES
+    note)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{base_dir}/documents.parquet")
+    n_docs = docs.count()
+    parts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+        .withColumn(
+            "text", F.translate(F.col("text"), _PRINTABLE, _permuted_bytes(i))
+        )
+        for i in range(copies)
+    ]
+    media_docs = parts[0]
+    for p in parts[1:]:
+        media_docs = media_docs.unionByName(p)
+    media_docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}-media/documents.parquet"
+    )
+
+
 def build_scaled_tpch(spark, base_dir: str, out_dir: str, copies: int) -> None:
     """10x the TPC-H FACTS (lineitem, orders) with per-copy orderkey
     offsets; dims copied unchanged — same key spaces, 10x the
@@ -336,25 +425,40 @@ def main() -> None:
         build_scaled_tpch(spark, BASE_DIR, SCALE_DIR, COPIES)
         build_s += round(time.perf_counter() - t0, 3)
 
+    if not os.path.exists(f"{SCALE_DIR}-media/documents.parquet/_SUCCESS"):
+        t0 = time.perf_counter()
+        build_scaled_media(spark, BASE_DIR, SCALE_DIR, COPIES)
+        build_s += round(time.perf_counter() - t0, 3)
+
+    # optional name filter: SPARK_GRAFT_SCALE_ONLY=q1,q2 reruns a
+    # subset without paying for the full standing sweep
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",") if n
+    }
+
     # warm-up then min-of-2 timed, same methodology as bench.py
     out: dict[str, dict[str, float]] = {}
     plan = [(BASE_DIR, "base",
              QUERY_NAMES + TSHIFT_QUERY_NAMES + TPCH_SCALE_QUERY_NAMES
-             + PLAINDOC_QUERY_NAMES + EMB_QUERY_NAMES),
+             + PLAINDOC_QUERY_NAMES + EMB_QUERY_NAMES + MEDIA_QUERY_NAMES),
             (SCALE_DIR, "scaled",
              QUERY_NAMES + TPCH_SCALE_QUERY_NAMES + EMB_QUERY_NAMES),
             (f"{SCALE_DIR}-tshift", "scaled", TSHIFT_QUERY_NAMES),
-            (f"{SCALE_DIR}-plaindoc", "scaled", PLAINDOC_QUERY_NAMES)]
+            (f"{SCALE_DIR}-plaindoc", "scaled", PLAINDOC_QUERY_NAMES),
+            (f"{SCALE_DIR}-media", "scaled", MEDIA_QUERY_NAMES)]
     from cybersecurity_miw_spark.cache import release_intermediates
 
     for sf_dir, tag, names in plan:
         for name in names:
-            force(QUERIES[name](spark, sf_dir))
+            if only and name not in only:
+                continue
+            q = EXTRA_QUERIES.get(name) or QUERIES[name]
+            force(q(spark, sf_dir))
             release_intermediates()
             best = None
             for _ in range(2):
                 t0 = time.perf_counter()
-                force(QUERIES[name](spark, sf_dir))
+                force(q(spark, sf_dir))
                 dt = time.perf_counter() - t0
                 best = dt if best is None else min(best, dt)
                 release_intermediates()

@@ -5487,6 +5487,64 @@ def q_mix_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the dataset card on top of the SAME mix: wrap the full budget-mix
+# twin as a derived table, re-attach per-row tokens, and group — the
+# report numbers (rows, distinct docs, effective epochs, token share)
+# are then exact over the bit-deterministic mix
+_MIX_REPORT_SQL = f"""
+SELECT m.source,
+       count(*) AS n_rows,
+       count(DISTINCT m.doc_id) AS n_docs,
+       max(m.epoch) AS max_epoch,
+       CAST(sum(d.n_chars) AS BIGINT) AS tokens,
+       round(count(*)::DOUBLE / count(DISTINCT m.doc_id), 6)
+         AS effective_epochs_r,
+       round(sum(d.n_chars)::DOUBLE
+             / (SELECT sum(d2.n_chars)
+                FROM ({_MIX_BUDGET_SQL}) m2
+                JOIN documents d2 ON d2.doc_id = m2.doc_id), 6)
+         AS token_share_r
+FROM ({_MIX_BUDGET_SQL}) m
+JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.source
+"""
+
+
+@register("mix_report_by_source", _MIX_REPORT_SQL)
+def q_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card of the budget mix
+    (operators/sampling.py:mix_report): emitted rows, distinct docs,
+    max epoch, training tokens (repeats counted), the measured
+    effective-epochs repetition factor, and each source's final
+    token share — the audit a data-constrained-scaling recipe runs
+    against its intended weights. One hash agg on the source key;
+    the share window spans only the sources-bounded report frame."""
+    from cybersecurity_miw_spark.operators import sampling
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    pool = docs.filter(
+        (F.col("source") == "src0")
+        | (
+            (F.col("source") == "src1")
+            & (F.expr("(doc_id div 20) % 2") == 0)
+        )
+        | (
+            (F.col("source") == "src2")
+            & (F.expr("(doc_id div 20) % 5") == 0)
+        )
+    )
+    mixed = sampling.mix_to_budget(
+        pool, 20000, tokens_col="n_chars",
+        temperature=2.0, max_epochs=2,
+    )
+    rep = sampling.mix_report(mixed, tokens_col="n_chars")
+    return rep.select(
+        "source", "n_rows", "n_docs", "max_epoch", "tokens",
+        F.round("effective_epochs", 6).alias("effective_epochs_r"),
+        F.round("token_share", 6).alias("token_share_r"),
+    )
+
+
 _DECONTAM_SQL = f"""
 WITH {_SIGS_CTE},
 banded AS (

@@ -639,6 +639,59 @@ def mix_to_budget(
     return staged.filter(keep).withColumn("mix_key", mix_key).drop("_cum")
 
 
+def mix_report(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Per-source DATASET CARD of a mixed training set — the
+    measured counterpart of the mixing recipe (what
+    :func:`mix_to_budget`'s ``metrics`` list PLANS, this reports from
+    the data, so it also audits hand-built or historical mixes):
+
+    * ``n_rows`` — emitted (doc, epoch) rows,
+    * ``n_docs`` — distinct documents,
+    * ``effective_epochs`` — n_rows / n_docs, the actual repetition
+      factor (the number a data-constrained-scaling audit checks
+      against the max-epochs cap),
+    * ``max_epoch`` — highest epoch index (0 when ``epoch_col`` is
+      absent, i.e. a repetition-free mix),
+    * with ``tokens_col``: ``tokens`` (sum over emitted rows — counts
+      repeats, the training-token view) and ``token_share`` — this
+      source's fraction of the final mix, the number to compare
+      against the recipe's intended weights.
+
+    Scale shape: ONE hash aggregation on the source key over the
+    mixed frame (countDistinct adds its standard expand-exchange);
+    the share window runs over the aggregated frame, which is
+    sources-bounded — never over rows."""
+    has_epoch = epoch_col in df.columns
+    aggs = [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+        (
+            F.max(F.col(epoch_col).cast("long")) if has_epoch else F.lit(0).cast("long")
+        ).alias("max_epoch"),
+    ]
+    if tokens_col is not None:
+        aggs.append(F.sum(F.col(tokens_col).cast("long")).alias("tokens"))
+    rep = df.groupBy(source_col).agg(*aggs).withColumn(
+        "effective_epochs",
+        F.col("n_rows").cast("double") / F.col("n_docs").cast("double"),
+    )
+    if tokens_col is not None:
+        # sources-bounded frame: the global window is over <= a few
+        # hundred aggregated rows, never the corpus
+        rep = rep.withColumn(
+            "token_share",
+            F.col("tokens").cast("double")
+            / F.sum("tokens").over(Window.partitionBy()).cast("double"),
+        )
+    return rep
+
+
 def temperature_interleave(
     df: DataFrame,
     source_col: str = "source",

@@ -72,6 +72,22 @@ def dtype_classes(pdf):
             for c in pdf.columns}
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches(spark):
+    """Unpersist operator-internal intermediates after every query —
+    exactly what bench.py does between queries. Without it a query's
+    tracked persist (e.g. the MinHash banded projection) outlives its
+    test, and a LATER test building the same logical plan gets an
+    InMemoryRelation grafted into its plan — which broke
+    test_plan_shapes' exchange counting when assemble_manifest (r15)
+    started caching the identical banded plan the minhash ceiling
+    test inspects."""
+    yield
+    from cybersecurity_miw_spark.cache import release_intermediates
+
+    release_intermediates()
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(spark, name):
     qdf = QUERIES[name](spark, SF_DIR)

@@ -251,6 +251,15 @@ MAX_EXCHANGES = {
 
 
 def _plan(spark, name: str) -> str:
+    # plan-shape assertions are calibrated on FRESH plans: a cached
+    # intermediate left behind by an earlier test in the shared
+    # session grafts an InMemoryRelation into the plan text (whose
+    # printed cached subtree double-counts exchanges through a
+    # self-join), so drop all cached state before building
+    from cybersecurity_miw_spark.cache import release_intermediates
+
+    release_intermediates()
+    spark.catalog.clearCache()
     df = QUERIES[name](spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()
 

@@ -598,4 +598,45 @@ def test_mix_to_budget_interleave_prefix_and_validation(spark):
         sampling.mix_to_budget(df, 100, temperature=0)
     with _pytest.raises(ValueError, match="weights"):
         sampling.mix_to_budget(df, 100, weights={"a": -1.0})
+
+
+def test_mix_report_audits_the_mix(spark):
+    """mix_report (the dataset card): per-source rows/docs/epochs
+    tally exactly with a driver-side recount of the mix, token_share
+    sums to 1 over the emitted mix, effective_epochs is rows/docs,
+    and the epoch-free path (a plain interleave) reports max_epoch=0
+    with effective_epochs 1."""
+    _pytest = pytest
+    df = _mix_df(spark)
+    mixed = sampling.mix_to_budget(df, 500, max_epochs=2)
+    rep = {
+        r["source"]: r
+        for r in sampling.mix_report(mixed, tokens_col="n_tokens").collect()
+    }
+    rows = mixed.collect()
+    for s, r in rep.items():
+        mine = [x for x in rows if x["source"] == s]
+        assert r["n_rows"] == len(mine)
+        assert r["n_docs"] == len({x["doc_id"] for x in mine})
+        assert r["max_epoch"] == max(x["epoch"] for x in mine)
+        assert r["tokens"] == sum(x["n_tokens"] for x in mine)
+        assert r["effective_epochs"] == _pytest.approx(
+            r["n_rows"] / r["n_docs"]
+        )
+    assert sum(r["token_share"] for r in rep.values()) == _pytest.approx(1.0)
+    # the capped hot source's repetition factor is exactly max_epochs
+    assert rep["a"]["effective_epochs"] == _pytest.approx(2.0)
+
+    # epoch-free mix (no epoch column): repetition-free card
+    flat = sampling.weighted_interleave(
+        df, "source", {"a": 0.5, "b": 0.5}
+    )
+    frep = sampling.mix_report(flat, tokens_col="n_tokens").collect()
+    assert all(r["max_epoch"] == 0 for r in frep)
+    assert all(r["effective_epochs"] == _pytest.approx(1.0) for r in frep)
+
+    # tokens omitted: no tokens/token_share columns, counts intact
+    slim = sampling.mix_report(mixed)
+    assert "tokens" not in slim.columns and "token_share" not in slim.columns
+    assert slim.count() == len(rep)
     assert sampling.mix_to_budget(df, 0).count() == 0

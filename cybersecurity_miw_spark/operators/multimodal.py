@@ -239,14 +239,37 @@ def phash_dedup_candidates(
     band_bits: int = PHASH_DEFAULT_BAND_BITS,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    max_bucket_width: int | None = None,
 ) -> DataFrame:
     """Near-dup media candidates = payloads sharing any perceptual-
     hash Hamming band (4×15-bit bands at the defaults — any pair
     within Hamming distance 3 of each other shares a band by
     pigeonhole). The multimodal sibling of
     ``dedup.simhash_dedup_candidates``: the pair stage shuffles on
-    the (band, val) key, never all-pairs."""
+    the (band, val) key, never all-pairs.
+
+    ``max_bucket_width`` is the same skew fence the MinHash and IVF
+    paths carry (``dedup.minhash_lsh_candidates`` /
+    ``similarity.ivf_topk_batch``), and the phash family NEEDS it
+    at scale for a reason the text families don't: a fixed-width
+    band over INDEPENDENT media collides at random with probability
+    ~1/2^band_bits, so the expected random pair load grows
+    quadratically with corpus size no matter how clean the data is
+    (measured: the 10× byte-decorrelated media corpus already draws
+    2.6× the base candidates from random 15-bit collisions alone,
+    SCALE.md r15). Buckets wider than the cap are EXCLUDED from the
+    pair join (one extra count agg on the same uniform key); list
+    them with :func:`oversized_phash_buckets` and treat their members
+    as one cluster directly."""
     banded = _phash_banded(df, bits, band_bits, payload_col, id_col)
+    if max_bucket_width is not None:
+        ok = (
+            banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("_w"))
+            .filter(F.col("_w") <= max_bucket_width)
+            .select("band", "val")
+        )
+        banded = banded.join(ok, on=["band", "val"], how="left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -262,6 +285,29 @@ def phash_dedup_candidates(
             F.col(f"b.{id_col}").alias("id_b"),
         )
         .distinct()
+    )
+
+
+def oversized_phash_buckets(
+    df: DataFrame,
+    max_bucket_width: int,
+    bits: int = PHASH_DEFAULT_BITS,
+    band_bits: int = PHASH_DEFAULT_BAND_BITS,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """The (band, val, width) buckets a
+    ``phash_dedup_candidates(max_bucket_width=...)`` run excluded —
+    the operator's report twin (``dedup.oversized_band_buckets`` /
+    ``similarity.oversized_ivf_cells`` shape): members of a bucket
+    this wide are mutually near-dup (or randomly colliding) by
+    construction; handle them as one cluster instead of
+    materializing the quadratic pair list."""
+    return (
+        _phash_banded(df, bits, band_bits, payload_col, id_col)
+        .groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("width"))
+        .filter(F.col("width") > max_bucket_width)
     )
 
 

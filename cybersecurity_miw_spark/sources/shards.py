@@ -14,9 +14,11 @@ bound lands badly, no file exceeds the budget."""
 from __future__ import annotations
 
 import math
+import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def write_shards(
@@ -46,3 +48,97 @@ def write_shards(
         .parquet(out_dir)
     )
     return n_parts
+
+
+def verify_shards(
+    spark: SparkSession,
+    out_dir: str,
+    order_cols: tuple[str, ...] = ("mix_key", "doc_id"),
+    shard_rows: int | None = None,
+    n_rows: int | None = None,
+) -> dict:
+    """Read-back validation of a :func:`write_shards` layout — the
+    day-2 check a training job runs before streaming shards (the
+    store families all have monitors; this is the shard writer's):
+
+    * ``ordered_within_files`` — no row precedes a larger order key
+      inside its file (checked per (file, read-split) via the
+      read-order id, so a multi-split file validates each fragment),
+    * ``ranges_disjoint`` — per-file [min, max] order-key ranges do
+      not overlap across files (with a unique tiebreak in
+      ``order_cols`` this makes the global order a concatenation),
+    * ``filename_order_matches`` — streaming files in name order IS
+      the global order (what a trainer actually does),
+    * ``size_bounded`` (when ``shard_rows`` given) — no file exceeds
+      the budget,
+    * ``rows_match`` (when ``n_rows`` given) — nothing lost or
+      duplicated.
+
+    Returns a report dict with ``ok`` = all checks passed. Scale
+    shape: one scan with a per-(file, split) window (keys are file
+    names — thousands, uniform), then windows over the FILES-bounded
+    aggregate frame; no row collect."""
+    df = spark.read.parquet(out_dir)
+    missing = [c for c in order_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"order_cols not in shard schema: {missing}")
+    key = F.struct(*[F.col(c) for c in order_cols])
+    rows = (
+        df.select(key.alias("_k"))
+        .withColumn("_file", F.input_file_name())
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+    )
+    w = Window.partitionBy("_file", "_pid").orderBy("_mid")
+    per_file = (
+        rows.withColumn("_prev", F.lag("_k").over(w))
+        .groupBy("_file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_k").alias("lo"),
+            F.max("_k").alias("hi"),
+            F.sum(
+                (F.col("_prev") > F.col("_k")).cast("int")
+            ).alias("viol"),
+        )
+    )
+    # files-bounded frame from here on: windows over one row per file
+    fw = Window.partitionBy().orderBy("lo", "hi", "_file")
+    stats = (
+        per_file.withColumn("_prev_hi", F.lag("hi").over(fw))
+        .withColumn("_name_rank", F.row_number().over(
+            Window.partitionBy().orderBy("_file")
+        ))
+        .withColumn("_range_rank", F.row_number().over(fw))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_file_rows"),
+            F.sum(F.coalesce("viol", F.lit(0))).alias("order_viols"),
+            F.sum(
+                (F.col("_prev_hi") >= F.col("lo")).cast("int")
+            ).alias("overlaps"),
+            F.sum(
+                (F.col("_name_rank") != F.col("_range_rank")).cast("int")
+            ).alias("name_order_viols"),
+        )
+        .first()
+    )
+    report = {
+        "out_dir": os.path.abspath(out_dir),
+        "n_files": int(stats["n_files"]),
+        "n_rows": int(stats["n_rows"]),
+        "max_file_rows": int(stats["max_file_rows"]),
+        "ordered_within_files": int(stats["order_viols"] or 0) == 0,
+        "ranges_disjoint": int(stats["overlaps"] or 0) == 0,
+        "filename_order_matches": int(stats["name_order_viols"] or 0) == 0,
+    }
+    if shard_rows is not None:
+        report["size_bounded"] = report["max_file_rows"] <= shard_rows
+    if n_rows is not None:
+        report["rows_match"] = report["n_rows"] == n_rows
+    report["ok"] = all(
+        v for k, v in report.items()
+        if isinstance(v, bool)
+    )
+    return report

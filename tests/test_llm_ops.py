@@ -340,6 +340,50 @@ def test_phash_matches_reference_and_flags_planted_near_dup(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_phash_bucket_fence_excludes_mega_bucket(spark):
+    """max_bucket_width (the MinHash/IVF fence, r15 for phash): a
+    planted mega-bucket of byte-identical payloads — the random-
+    collision blowup independent media produces at scale — is
+    excluded from the pair join; pairs among narrow buckets are
+    untouched; oversized_phash_buckets names the fenced (band, val)
+    keys with their widths."""
+    from cybersecurity_miw_spark.operators import multimodal
+
+    mega = bytes((j * 13 + 5) % 256 for j in range(400))
+    rows = [(i, mega) for i in range(8)]  # width-8 bucket in EVERY band
+    a = bytes((j * 7 + 1) % 256 for j in range(300))
+    a2 = bytearray(a)
+    a2[5] = (a2[5] + 1) % 256  # off-grid flip: same hash as a
+    rows += [(100, a), (101, bytes(a2))]
+    media = _media(spark, rows)
+
+    unfenced = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_dedup_candidates(media).collect()
+    }
+    fenced = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_dedup_candidates(
+            media, max_bucket_width=4
+        ).collect()
+    }
+    assert (100, 101) in unfenced and (100, 101) in fenced
+    mega_pairs = {(x, y) for x in range(8) for y in range(8) if x < y}
+    assert mega_pairs <= unfenced
+    assert not (mega_pairs & fenced)  # the blowup never materializes
+
+    over = multimodal.oversized_phash_buckets(media, 4).collect()
+    assert over and all(r["width"] == 8 for r in over)
+    # a permissive cap excludes nothing
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.phash_dedup_candidates(
+            media, max_bucket_width=100
+        ).collect()
+    }
+    assert wide == unfenced
+
+
 def test_phash_resize_composition_is_identity_grid(spark):
     """with_phash(resize_media(df, w, h)) with w*h == bits samples
     every decoded grid cell exactly once ((i*60)//60 == i) — the

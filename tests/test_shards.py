@@ -67,3 +67,71 @@ def test_shards_rewrite_is_deterministic(spark, corpus, tmp_path):
 def test_shards_rejects_bad_budget(spark, corpus, tmp_path):
     with pytest.raises(ValueError):
         write_shards(corpus, str(tmp_path / "x"), shard_rows=0)
+
+
+# ---- verify_shards: the writer's read-back monitor ----
+
+
+def test_verify_shards_green_on_written_layout(spark, corpus, tmp_path):
+    """A fresh write_shards layout passes every check, with the exact
+    file/row tallies."""
+    from cybersecurity_miw_spark.sources.shards import verify_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(corpus, out, shard_rows=128)
+    rep = verify_shards(
+        spark, out, shard_rows=128, n_rows=1000
+    )
+    assert rep["ok"]
+    assert rep["n_rows"] == 1000
+    assert rep["n_files"] == len(_files(out))
+    assert rep["max_file_rows"] <= 128
+    assert rep["ordered_within_files"] and rep["ranges_disjoint"]
+    assert rep["filename_order_matches"]
+    assert rep["size_bounded"] and rep["rows_match"]
+
+
+def test_verify_shards_catches_tampering(spark, corpus, tmp_path):
+    """Each failure mode trips its own named check: an unsorted file
+    (order violation + overlapping range), an oversized file, and a
+    row-count mismatch."""
+    import pyarrow as pa
+
+    from cybersecurity_miw_spark.sources.shards import verify_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(corpus, out, shard_rows=128)
+
+    # graft a file whose rows are UNSORTED and whose key range spans
+    # the whole corpus (overlaps every real shard)
+    bad = pa.table(
+        {
+            "doc_id": [999_999, 999_998],
+            "part": ["zz", "zz"],
+            "mix_key": [999.0, 1.5],
+        }
+    )
+    pq.write_table(bad, f"{out}/part-99999-tampered.parquet")
+
+    rep = verify_shards(spark, out, shard_rows=128, n_rows=1000)
+    assert not rep["ok"]
+    assert not rep["ordered_within_files"]
+    assert not rep["ranges_disjoint"]
+    assert not rep["rows_match"]  # 1002 != 1000
+    assert rep["size_bounded"]  # 2-row graft is within budget
+
+    # unknown order column fails fast
+    with pytest.raises(ValueError, match="order_cols"):
+        verify_shards(spark, out, order_cols=("nope",))
+
+
+def test_verify_shards_flags_oversized_file(spark, corpus, tmp_path):
+    """A budget tighter than the actual files trips size_bounded (and
+    only it) — the check a trainer with a hard memory budget runs."""
+    from cybersecurity_miw_spark.sources.shards import verify_shards
+
+    out = str(tmp_path / "shards")
+    write_shards(corpus, out, shard_rows=200)
+    rep = verify_shards(spark, out, shard_rows=100)
+    assert not rep["ok"] and not rep["size_bounded"]
+    assert rep["ordered_within_files"] and rep["ranges_disjoint"]

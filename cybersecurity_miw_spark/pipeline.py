@@ -207,13 +207,15 @@ def assemble_dataset(
     pack_budget: int | None = None,
     n_packers: int = 64,
     shard_rows: int = 10_000,
+    holdout: DataFrame | None = None,
+    holdout_threshold: float = 0.8,
     metrics: list | None = None,
 ) -> DataFrame:
     """The tested back half of the training-data pipeline — the
     one-call twin of :func:`curate_documents` for everything AFTER
     curation (VERDICT r14 #1):
 
-        split  →  train mix  →  [chunk]  →  [pack]  →  [shards]
+        split → [decontaminate] → train mix → [chunk] → [pack] → [shards]
 
     Every stage is the library operator it names, every assignment is
     md5-deterministic (re-runs and backfills agree, and a DuckDB twin
@@ -228,6 +230,13 @@ def assemble_dataset(
       given — a near-dup cluster never straddles splits — else plain
       ``split_assign``. ``fractions`` defaults to
       98/1/1 train/val/test.
+    * **decontaminate** (``holdout`` — an EXTERNAL benchmark frame
+      with the same text/id columns) —
+      :func:`~cybersecurity_miw_spark.operators.dedup.decontaminate`
+      over the train split: exact-fingerprint + LSH-confirmed
+      Jaccard ≥ ``holdout_threshold`` matches are dropped. The
+      leakage-safe split handles INTERNAL near-dups; this handles
+      benchmarks that were never part of ``df``.
     * **mix** (train split only; eval splits stay natural) —
       :func:`~cybersecurity_miw_spark.operators.sampling.
       mix_to_budget` when ``budget_tokens`` is set (repetition-capped
@@ -254,7 +263,7 @@ def assemble_dataset(
 
     Funnel note: the budget path UPSAMPLES, so its stage can have
     ``n_dropped < 0`` — the report is signed on purpose."""
-    from cybersecurity_miw_spark.operators import packing, sampling
+    from cybersecurity_miw_spark.operators import dedup, packing, sampling
 
     fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
     out = df
@@ -289,6 +298,24 @@ def assemble_dataset(
     train = _record(
         "train_split", split.filter(F.col("split") == train_split)
     )
+
+    if holdout is not None:
+        # EXTERNAL benchmark hygiene — the leakage-safe split above
+        # keeps internal near-dup clusters out of eval; this drops
+        # train rows that match a benchmark the split never saw
+        # (exact fingerprint + LSH-confirmed Jaccard >= threshold;
+        # dedup.decontaminate broadcasts the eval side, never forms a
+        # train×train pair)
+        train = _record(
+            "decontaminate",
+            dedup.decontaminate(
+                train,
+                holdout,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=holdout_threshold,
+            ),
+        )
 
     if budget_tokens is not None:
         mixed = sampling.mix_to_budget(

@@ -353,3 +353,49 @@ def test_assemble_dataset_writes_shards_and_eval(spark, tmp_path):
     ) <= {"val", "test"}
     # eval + train cover the corpus exactly once
     assert ev.count() + written.select("doc_id").distinct().count() == 40
+
+
+def test_assemble_dataset_holdout_decontaminates_train(spark):
+    """holdout= (r15): a train doc verbatim-matching an EXTERNAL
+    benchmark (and a near-dup of one) is dropped by the
+    decontaminate stage; the funnel names the stage between
+    train_split and mix; holdout=None keeps the exact previous
+    chain."""
+    df = _assembly_docs(spark)
+    # benchmark: doc 60's text verbatim + a near-dup of doc 61
+    near = " ".join(f"c1w{j}" for j in range(25)) + " extra"
+    bench = spark.createDataFrame(
+        [
+            (9001, " ".join(f"c0w{j}" for j in range(25))),
+            (9002, near),
+        ],
+        "doc_id long, text string",
+    )
+
+    m: list = []
+    out = pipeline.assemble_dataset(
+        df,
+        fractions={"train": 1.0},
+        weights={"a": 0.5, "b": 0.3, "c": 0.2},
+        holdout=bench,
+        holdout_threshold=0.5,
+        metrics=m,
+    )
+    stages = [r["stage"] for r in m]
+    assert stages == ["train_split", "decontaminate", "mix"]
+    dec = next(r for r in m if r["stage"] == "decontaminate")
+    assert dec["n_dropped"] >= 2  # the verbatim hit and the near-dup
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 60 not in ids and 61 not in ids
+    assert 30 in ids  # untouched source-b doc survives
+
+    # holdout=None: stage absent, output unchanged vs pre-r15 chain
+    m2: list = []
+    base = pipeline.assemble_dataset(
+        df,
+        fractions={"train": 1.0},
+        weights={"a": 0.5, "b": 0.3, "c": 0.2},
+        metrics=m2,
+    )
+    assert [r["stage"] for r in m2] == ["train_split", "mix"]
+    assert 60 in {r["doc_id"] for r in base.collect()}

@@ -8529,10 +8529,15 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-15 rotation: IN = the two new r15 oracles
+    # Round-15 rotation: IN = the three new r15 oracles
     # (mix_to_budget_epochs — repetition-capped temperature mixing;
     # assemble_manifest — the end-to-end assemble_dataset doc→shard
-    # manifest), first-round rows as the rotation invariant requires.
+    # manifest; mix_report_by_source — the per-source dataset card
+    # over the same budget mix), first-round rows as the rotation
+    # invariant requires.
+    # OUT also includes app_word_reverse_index (longest-green §2.8
+    # veteran; the apps family keeps app_pca_covariance +
+    # app_kmeans_step in-window) for the card row.
     # OUT = two longest-green r6-cohort veterans: date_buckets (the
     # P/derive family keeps tokenize_typed_projection +
     # kv_evtx_explode in-window; unix_epoch_parse / time_buckets stay
@@ -8612,9 +8617,9 @@ _DRIVER_WINDOW = [
     "kv_evtx_explode",
     "match_negative_exact",
     # --- last row round 6 ---
-    # (date_buckets + match_substring_or rotated out r15 for the two
-    #  new r15 oracles — see the r15 rotation note at the top)
-    "app_word_reverse_index",
+    # (date_buckets + match_substring_or + app_word_reverse_index
+    #  rotated out r15 for the three new r15 oracles — see the r15
+    #  rotation note at the top)
     "app_pca_covariance",
     "app_kmeans_step",
     "running_value_per_user",
@@ -8670,6 +8675,7 @@ _DRIVER_WINDOW = [
     # --- new r15 oracles (first-round rows) ---
     "mix_to_budget_epochs",
     "assemble_manifest",
+    "mix_report_by_source",
 ]
 
 

@@ -5487,6 +5487,117 @@ def q_mix_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR importance resampling (Xie et al., arXiv 2302.03169): the twin
+# replays hashed-ngram profiles (unigrams + space-joined bigrams →
+# md5 bucket), the add-one-smoothed per-bucket micro-nat LLR from
+# integer counts, per-doc integer weight sums, the md5-Gumbel
+# perturbation, and the top-k — every float comes from identical
+# integer counts and is floored to micro-nats before any sum, the
+# split_word_divergence convention
+_DSIR_NB = 1024
+_DSIR_SQL = f"""
+WITH rawd AS (SELECT doc_id, source, text FROM documents),
+tgt AS (
+  SELECT doc_id, text FROM documents
+  WHERE source = 'src0' AND doc_id % 7 = 0
+),
+rw AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+'), x -> len(x) > 0) AS w
+  FROM rawd
+),
+tw AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+'), x -> len(x) > 0) AS w
+  FROM tgt
+),
+rgrams AS (
+  SELECT doc_id, unnest(w) AS gram FROM rw
+  UNION ALL
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                         FOR i IN generate_series(1, len(w) - 1)]) AS gram
+  FROM rw WHERE len(w) >= 2
+),
+tgrams AS (
+  SELECT doc_id, unnest(w) AS gram FROM tw
+  UNION ALL
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                         FOR i IN generate_series(1, len(w) - 1)]) AS gram
+  FROM tw WHERE len(w) >= 2
+),
+rprof AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % {_DSIR_NB} AS INT)
+           AS bucket,
+         count(*) AS cnt
+  FROM rgrams GROUP BY 1, 2
+),
+rb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS rc FROM rprof GROUP BY 1),
+tb AS (
+  SELECT CAST(('0x' || substr(md5(gram), 1, 8))::BIGINT % {_DSIR_NB} AS INT)
+           AS bucket,
+         CAST(count(*) AS BIGINT) AS tc
+  FROM tgrams GROUP BY 1
+),
+tots AS (
+  SELECT (SELECT sum(rc) FROM rb) AS tot_r, (SELECT sum(tc) FROM tb) AS tot_t
+),
+llr AS (
+  SELECT rb.bucket,
+         CAST(floor((ln((coalesce(tb.tc, 0) + 1)
+                        / ((SELECT tot_t FROM tots) + {_DSIR_NB} + 0.0))
+                     - ln((rb.rc + 1)
+                          / ((SELECT tot_r FROM tots) + {_DSIR_NB} + 0.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS llr_micro
+  FROM rb LEFT JOIN tb ON rb.bucket = tb.bucket
+),
+wsum AS (
+  SELECT p.doc_id, CAST(sum(p.cnt * l.llr_micro) AS BIGINT) AS llr_micro_sum
+  FROM rprof p JOIN llr l ON p.bucket = l.bucket
+  GROUP BY 1
+),
+scored AS (
+  SELECT r.doc_id, r.source,
+         coalesce(w.llr_micro_sum, 0) AS llr_micro_sum,
+         coalesce(w.llr_micro_sum, 0)
+         + CAST(floor(-ln(-ln(
+               (('0x' || substr(md5('dsir-v1:' || r.doc_id), 1, 8))::BIGINT
+                + 0.5) / 4294967296.0))
+             * 1000000.0 + 0.5) AS BIGINT) AS dsir_score
+  FROM rawd r LEFT JOIN wsum w ON r.doc_id = w.doc_id
+)
+SELECT doc_id, source, llr_micro_sum, dsir_score
+FROM scored
+ORDER BY dsir_score DESC, doc_id ASC
+LIMIT 25
+"""
+
+
+@register("dsir_select_topk", _DSIR_SQL)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al., arXiv
+    2302.03169): raw documents resampled toward a target exemplar
+    (the src0 doc_id%7 slice) by hashed-ngram importance weight,
+    Gumbel top-25 without replacement. Integer micro-nat weights +
+    md5 Gumbel make the draw deterministic and engine-portable; the
+    LLR table is n_buckets-bounded and broadcast."""
+    from cybersecurity_miw_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    target = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 7 == 0)
+    ).select("doc_id", "text")
+    out = dsir.dsir_select(
+        docs.select("doc_id", "source", "text"),
+        target,
+        25,
+        n_buckets=_DSIR_NB,
+    )
+    return out.select("doc_id", "source", "llr_micro_sum", "dsir_score")
+
+
 # the dataset card on top of the SAME mix: wrap the full budget-mix
 # twin as a derived table, re-attach per-row tokens, and group — the
 # report numbers (rows, distinct docs, effective epochs, token share)
@@ -8529,12 +8640,13 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-15 rotation: IN = the three new r15 oracles
+    # Round-15 rotation: IN = the four new r15 oracles
     # (mix_to_budget_epochs — repetition-capped temperature mixing;
     # assemble_manifest — the end-to-end assemble_dataset doc→shard
     # manifest; mix_report_by_source — the per-source dataset card
-    # over the same budget mix), first-round rows as the rotation
-    # invariant requires.
+    # over the same budget mix; dsir_select_topk — DSIR importance
+    # resampling), first-round rows as the rotation invariant
+    # requires.
     # OUT also includes app_word_reverse_index (longest-green §2.8
     # veteran; the apps family keeps app_pca_covariance +
     # app_kmeans_step in-window) for the card row.
@@ -8633,7 +8745,9 @@ _DRIVER_WINDOW = [
     "quality_weighted_sample",
     "corpus_report_by_source",
     # --- last row round 7 (oldest first by registration order) ---
-    "agg_union_count_histogram",
+    # (agg_union_count_histogram rotated out r15 for dsir_select_topk —
+    #  the A-family keeps the flagship's A1-A7/A10/A11 coverage
+    #  in-window; A9 stays full-hash green in pytest parity)
     "order_topk_groups",
     "dedup_exact_groups",
     "simhash_band_candidates",
@@ -8676,6 +8790,7 @@ _DRIVER_WINDOW = [
     "mix_to_budget_epochs",
     "assemble_manifest",
     "mix_report_by_source",
+    "dsir_select_topk",
 ]
 
 

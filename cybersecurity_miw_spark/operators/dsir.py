@@ -1,0 +1,212 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+public arXiv 2302.03169): select raw-corpus documents whose hashed
+n-gram distribution looks like a TARGET corpus (the quality/domain
+exemplar — e.g. a Wikipedia+books sample), by importance weight
+p_target(features) / p_raw(features) under bag-of-hashed-ngrams
+models, sampled without replacement via Gumbel top-k.
+
+This is the published missing link between heuristic quality filters
+(Gopher/C4 rules, `corpus_filters`) and model-based selection: no
+trained classifier, one statistic pass over each corpus, and the
+selection provably resamples toward the target distribution.
+
+Engine-portable determinism (the split_word_divergence convention):
+every per-bucket log-likelihood-ratio is computed from INTEGER
+counts (identical doubles in any IEEE engine), floored to micro-nat
+int64 units, and only then multiplied/summed — integer sums are
+partition-order independent, raw double sums are not. The Gumbel
+perturbation derives from an md5 uniform, so re-runs, backfills, and
+the DuckDB oracle agree bit-for-bit.
+
+Scale shape (100 TB raw, bounded target): the target profile is
+target-bounded; the raw pass is one gram explode + two aggregations
+(per-doc bucket counts on the uniform (id, bucket) key; corpus
+bucket totals, output bounded by n_buckets); the LLR table is
+n_buckets rows — always broadcast; selection is TakeOrdered, never a
+global sort. No stage is quadratic and nothing corpus-sized reaches
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 10_000
+
+
+def _grams(df: DataFrame, text_col: str, id_col: str, bigrams: bool) -> DataFrame:
+    """(id, gram) rows: lowercase whitespace words plus (optionally)
+    space-joined bigrams — the DSIR paper's feature set."""
+    w = F.split(
+        F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), r"\s+"
+    )
+    staged = df.select(F.col(id_col), w.alias("_w")).withColumn(
+        "_w", F.filter("_w", lambda x: F.length(x) > 0)
+    )
+    uni = staged.select(id_col, F.explode("_w").alias("gram"))
+    if not bigrams:
+        return uni
+    nw = F.size("_w")
+    bi = staged.filter(nw >= 2).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nw - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("_w", i), F.element_at("_w", i + 1)
+                ),
+            )
+        ).alias("gram"),
+    )
+    return uni.unionByName(bi)
+
+
+def hashed_ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Per-document hashed n-gram profile: (id, bucket, cnt) rows,
+    bucket = md5(gram) mod n_buckets (the engine-portable hash every
+    sampling op here uses). One explode + one count agg on the
+    uniform (id, bucket) key."""
+    g = _grams(df, text_col, id_col, bigrams)
+    b = F.pmod(
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+    return (
+        g.select(id_col, b.alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_bucket_llr(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """The model: per-bucket micro-nat log-likelihood ratio
+    ``llr_micro = floor(1e6 · (ln p̂_target(b) − ln p̂_raw(b)) + 0.5)``
+    with add-one smoothing over ``n_buckets`` (p̂(b) = (c_b + 1) /
+    (total + n_buckets)). Output is one row per raw-observed bucket —
+    ≤ n_buckets rows, the always-broadcastable side of the scoring
+    join. Totals are two scalars to the driver (the IVF-centroid
+    bounded-traffic precedent), so the LLR is a narrow projection
+    over integer counts."""
+    rb = (
+        hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("rc"))
+    )
+    tb = (
+        hashed_ngram_counts(target, text_col, id_col, n_buckets, bigrams)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    tot_r = rb.agg(F.sum("rc")).first()[0] or 0
+    tot_t = tb.agg(F.sum("tc")).first()[0] or 0
+    # every document gram maps to a raw-observed bucket by
+    # construction, so raw-observed buckets suffice for scoring
+    joined = rb.join(tb, "bucket", "left").select(
+        "bucket",
+        F.col("rc"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+    )
+    p = (F.col("tc") + 1) / F.lit(float(tot_t + n_buckets))
+    q = (F.col("rc") + 1) / F.lit(float(tot_r + n_buckets))
+    llr = F.floor(
+        (F.log(p) - F.log(q)) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    return joined.select("bucket", llr.alias("llr_micro"))
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Raw rows + ``llr_micro_sum``: the document's importance weight
+    in micro-nats, Σ_b cnt_b · llr_micro(b) — an INTEGER sum, so
+    partition order cannot change it. Documents with no grams (empty
+    text) score 0. Plan: the per-doc profile joins the broadcast LLR
+    table on bucket, one sum per doc, one join back to the full
+    rows."""
+    prof = hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
+    llr = dsir_bucket_llr(
+        raw, target, text_col, id_col, n_buckets, bigrams
+    )
+    # bcast-bound: llr = bucket model (n_buckets-bounded, not sf-scaled)
+    sums = (
+        prof.join(F.broadcast(llr), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("llr_micro")).alias("llr_micro_sum"))
+    )
+    return raw.join(sums, id_col, "left").withColumn(
+        "llr_micro_sum", F.coalesce("llr_micro_sum", F.lit(0)).cast("long")
+    )
+
+
+def gumbel_micro(id_col: str = "doc_id", salt: str = "dsir-v1") -> F.Column:
+    """Deterministic micro-nat Gumbel(0,1) perturbation from the md5
+    uniform ``u = (h + 0.5) / 2³²`` (h = first 8 md5 hex digits of
+    salt:id): ``floor(1e6 · (−ln(−ln u)) + 0.5)``. Same double in any
+    IEEE engine — the sampling family's no-RNG discipline applied to
+    the Gumbel top-k trick."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**32))
+    return F.floor(
+        -F.log(-F.log(u)) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+    gumbel: bool = True,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """The paper's selection step: top-``k`` raw documents by
+    ``llr_micro_sum + Gumbel_micro`` — Gumbel top-k IS sampling
+    without replacement proportional to the importance weights
+    (Gumbel-max in log space), and the md5-derived Gumbel makes the
+    draw deterministic. ``gumbel=False`` degrades to hard top-k by
+    weight (the paper's "top-k heuristic" baseline). Ties break on
+    id. Returns the selected rows with ``llr_micro_sum`` and
+    ``dsir_score`` attached; TakeOrdered, never a global sort."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    scored = dsir_log_weights(
+        raw, target, text_col, id_col, n_buckets, bigrams
+    )
+    score = F.col("llr_micro_sum") + (
+        gumbel_micro(id_col, salt) if gumbel else F.lit(0)
+    )
+    return (
+        scored.withColumn("dsir_score", score.cast("long"))
+        .orderBy(F.desc("dsir_score"), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,140 @@
+"""DSIR importance resampling (operators/dsir.py — Xie et al., arXiv
+2302.03169): beyond the DuckDB oracle, pin the selection BEHAVIOR
+(target-like docs outrank off-domain ones), the no-RNG determinism
+contract, the Gumbel-vs-hard-top-k relationship, and the plan shape
+(LLR broadcast, no cartesian)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import dsir
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 40 docs: half "science" domain, half "spam" domain, distinct
+    # vocabularies; doc 39 is empty text
+    rows = []
+    for i in range(20):
+        rows.append(
+            (i, "sci", f"protein folding energy landscape entropy study {i % 5}")
+        )
+    for i in range(20, 40):
+        rows.append(
+            (i, "spam", f"buy cheap pills now click here winner {i % 5}")
+        )
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+@pytest.fixture(scope="module")
+def target(spark):
+    return spark.createDataFrame(
+        [(900, "protein folding entropy"), (901, "energy landscape study")],
+        "doc_id long, text string",
+    )
+
+
+def test_dsir_selects_target_like_docs(spark, corpus, target):
+    """All of a top-10 Gumbel draw lands in the science domain — the
+    importance weights dominate the perturbation when the domains are
+    well separated."""
+    sel = dsir.dsir_select(corpus, target, 10, n_buckets=512)
+    rows = sel.collect()
+    assert len(rows) == 10
+    assert all(r["source"] == "sci" for r in rows)
+    # weights: every science doc outweighs every spam doc
+    w = {
+        r["doc_id"]: r["llr_micro_sum"]
+        for r in dsir.dsir_log_weights(
+            corpus, target, n_buckets=512
+        ).collect()
+    }
+    assert min(w[i] for i in range(20)) > max(w[i] for i in range(20, 40))
+
+
+def test_dsir_empty_text_scores_zero(spark, corpus, target):
+    """An empty doc has no features, so its bag importance is exactly
+    1 (log weight 0) — at toy scale that BEATS real docs, whose
+    add-one-smoothed weights are all negative. Pipelines filter empty
+    docs upstream (curate_documents does); the operator stays
+    faithful to the math rather than special-casing."""
+    extra = corpus.sparkSession.createDataFrame(
+        [(99, "spam", "")], "doc_id long, source string, text string"
+    )
+    w = {
+        r["doc_id"]: r["llr_micro_sum"]
+        for r in dsir.dsir_log_weights(
+            corpus.unionByName(extra), target, n_buckets=512
+        ).collect()
+    }
+    assert w[99] == 0 and all(v < 0 for d, v in w.items() if d != 99)
+
+
+def test_dsir_deterministic_and_gumbel_modes(spark, corpus, target):
+    """Re-runs are identical (md5 Gumbel, no RNG); gumbel=False is
+    hard top-k by weight alone; a different salt reshuffles the
+    draw's tie-breaking but stays within the high-weight pool."""
+    a = dsir.dsir_select(corpus, target, 8, n_buckets=512).collect()
+    b = dsir.dsir_select(corpus, target, 8, n_buckets=512).collect()
+    key = lambda r: (r["doc_id"], r["dsir_score"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+    hard = dsir.dsir_select(
+        corpus, target, 8, n_buckets=512, gumbel=False
+    ).collect()
+    w = {r["doc_id"]: r["llr_micro_sum"] for r in hard}
+    # hard mode: score IS the weight
+    assert all(r["dsir_score"] == r["llr_micro_sum"] for r in hard)
+    # hard top-8 = the 8 largest weights (ties by id)
+    all_w = {
+        r["doc_id"]: r["llr_micro_sum"]
+        for r in dsir.dsir_log_weights(corpus, target, n_buckets=512).collect()
+    }
+    expect = sorted(all_w, key=lambda d: (-all_w[d], d))[:8]
+    assert sorted(w) == sorted(expect)
+    assert all(r["source"] == "sci" for r in hard)
+
+    other = dsir.dsir_select(
+        corpus, target, 8, n_buckets=512, salt="other"
+    ).collect()
+    assert all(r["source"] == "sci" for r in other)
+
+    with pytest.raises(ValueError, match="k must be"):
+        dsir.dsir_select(corpus, target, 0)
+
+
+def test_dsir_bigrams_sharpen_separation(spark, corpus, target):
+    """Bigram features add signal: with bigrams the science docs'
+    weight margin over spam is at least the unigram-only margin
+    (the paper's reason for unigram+bigram hashing)."""
+
+    def margin(bigrams):
+        w = {
+            r["doc_id"]: r["llr_micro_sum"]
+            for r in dsir.dsir_log_weights(
+                corpus, target, n_buckets=512, bigrams=bigrams
+            ).collect()
+        }
+        return min(w[i] for i in range(20)) - max(
+            w[i] for i in range(20, 40)
+        )
+
+    assert margin(True) > margin(False) > 0
+
+
+def test_dsir_plan_shape(spark, corpus, target):
+    """The scoring join broadcasts the n_buckets-bounded LLR table and
+    the plan has no cartesian/nested-loop join; selection is a
+    TakeOrdered, not a global sort."""
+    plan = (
+        dsir.dsir_select(corpus, target, 5, n_buckets=512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the LLR table side
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort

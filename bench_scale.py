@@ -99,6 +99,10 @@ QUERY_NAMES = [
     # rotation keeps shingle sets disjoint across copies so dup
     # clusters stay within copies and every stage grows linearly
     "assemble_manifest",
+    # r15: DSIR selection — raw AND target (a corpus slice) both grow
+    # 10x; the gram explode + (id, bucket) agg are corpus-linear, the
+    # LLR table stays n_buckets-bounded, the top-k is TakeOrdered
+    "dsir_select_topk",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

@@ -259,7 +259,12 @@ def assemble_dataset(
     * **write** (``out_dir``) — ordered parquet shards of the train
       set under ``{out_dir}/train`` (``write_shards``: one range
       exchange, deterministic file contents), non-train splits under
-      ``{out_dir}/eval`` partitioned by split.
+      ``{out_dir}/eval`` partitioned by split, and the
+      ``_manifest.json`` DATA CARD: recipe params, the
+      :func:`~cybersecurity_miw_spark.sources.shards.verify_shards`
+      read-back report of the published files, the per-source
+      :func:`~cybersecurity_miw_spark.operators.sampling.mix_report`
+      card, eval split sizes, and the funnel when one was collected.
 
     Funnel note: the budget path UPSAMPLES, so its stage can have
     ``n_dropped < 0`` — the report is signed on purpose."""
@@ -385,16 +390,82 @@ def assemble_dataset(
         )
 
     if out_dir is not None:
-        from cybersecurity_miw_spark.sources.shards import write_shards
+        import json
+
+        from cybersecurity_miw_spark import fsutil
+        from cybersecurity_miw_spark.sources.shards import (
+            verify_shards,
+            write_shards,
+        )
 
         write_shards(
             out, f"{out_dir}/train", shard_rows,
             order_cols=tuple(order_cols),
         )
-        (
-            split.filter(F.col("split") != train_split)
-            .write.mode("overwrite")
-            .partitionBy("split")
-            .parquet(f"{out_dir}/eval")
+        eval_df = split.filter(F.col("split") != train_split)
+        eval_df.write.mode("overwrite").partitionBy("split").parquet(
+            f"{out_dir}/eval"
+        )
+        # the DATA CARD sidecar: recipe params, the read-back-verified
+        # shard report, the per-source mix card (mix_report), eval
+        # split sizes, and the funnel if one was collected — what a
+        # training run records next to the data it consumed. All
+        # numbers are measured from what was WRITTEN, not from the
+        # plan (the shard report reads the published files back).
+        spark = out.sparkSession
+        shard_report = verify_shards(
+            spark, f"{out_dir}/train",
+            order_cols=tuple(order_cols),
+        )
+        card_tokens = (
+            "n_chunk_tokens"
+            if chunk_window is not None
+            else (tokens_col if tokens_col in out.columns else None)
+        )
+        card = [
+            {k: r[k] for k in r.asDict()}
+            for r in sampling.mix_report(
+                spark.read.parquet(f"{out_dir}/train"),
+                source_col=source_col,
+                id_col=id_col,
+                tokens_col=card_tokens,
+            ).orderBy(source_col).collect()
+        ]
+        eval_counts = {
+            r["split"]: r["n"]
+            for r in eval_df.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        manifest = {
+            "params": {
+                "fractions": fractions,
+                "leakage_safe": clusters is not None,
+                "split_salt": split_salt,
+                "train_split": train_split,
+                "weights": weights,
+                "temperature": temperature,
+                "budget_tokens": budget_tokens,
+                "max_epochs": max_epochs,
+                "decontaminated": holdout is not None,
+                "holdout_threshold": (
+                    holdout_threshold if holdout is not None else None
+                ),
+                "mix_salt": mix_salt,
+                "chunk_window": chunk_window,
+                "chunk_stride": chunk_stride,
+                "pack_budget": pack_budget,
+                "shard_rows": shard_rows,
+                "order_cols": list(order_cols),
+            },
+            "train": shard_report,
+            "sources": card,
+            "eval": eval_counts,
+            "funnel": metrics,
+        }
+        fsutil.write_text(
+            spark,
+            f"{out_dir}/_manifest.json",
+            json.dumps(manifest, indent=2, sort_keys=True),
         )
     return out

@@ -399,3 +399,57 @@ def test_assemble_dataset_holdout_decontaminates_train(spark):
     )
     assert [r["stage"] for r in m2] == ["train_split", "mix"]
     assert 60 in {r["doc_id"] for r in base.collect()}
+
+
+def test_assemble_dataset_writes_manifest_data_card(spark, tmp_path):
+    """out_dir= now also publishes _manifest.json (r15): recipe
+    params, the read-back-verified shard report (ok=True on a fresh
+    write), the per-source mix card matching a recount of the written
+    train files, eval split sizes, and the collected funnel."""
+    import json
+
+    df = _assembly_docs(spark)
+    out_dir = str(tmp_path / "ds")
+    m: list = []
+    pipeline.assemble_dataset(
+        df,
+        out_dir=out_dir,
+        fractions={"train": 0.8, "val": 0.1, "test": 0.1},
+        weights={"a": 0.5, "b": 0.3, "c": 0.2},
+        shard_rows=10,
+        metrics=m,
+    )
+    with open(f"{out_dir}/_manifest.json") as fh:
+        man = json.load(fh)
+
+    assert man["params"]["weights"] == {"a": 0.5, "b": 0.3, "c": 0.2}
+    assert man["params"]["shard_rows"] == 10
+    assert not man["params"]["leakage_safe"]
+    assert not man["params"]["decontaminated"]
+
+    rep = man["train"]
+    assert rep["ok"] and rep["ordered_within_files"]
+    written = spark.read.parquet(f"{out_dir}/train")
+    assert rep["n_rows"] == written.count()
+
+    recount = {
+        r["source"]: (r["n"], r["d"])
+        for r in written.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("d"),
+        )
+        .collect()
+    }
+    assert {
+        c["source"]: (c["n_rows"], c["n_docs"]) for c in man["sources"]
+    } == recount
+    # card has tokens (tokens_col present in the assembled frame)
+    assert all("token_share" in c for c in man["sources"])
+
+    ev = spark.read.parquet(f"{out_dir}/eval")
+    assert man["eval"] == {
+        r["split"]: r["n"]
+        for r in ev.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert [s["stage"] for s in man["funnel"]] == ["train_split", "mix"]

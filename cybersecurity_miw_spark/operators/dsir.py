@@ -178,6 +178,211 @@ def gumbel_micro(id_col: str = "doc_id", salt: str = "dsir-v1") -> F.Column:
     ).cast("long")
 
 
+DSIR_MODEL_PARAMS_FILE = "_dsir_params.json"
+
+
+def write_dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> dict:
+    """Persist the DSIR model so scoring never rescans the corpora:
+    one (bucket, llr_micro, rc) row per raw-observed bucket (rc — the
+    raw corpus's bucket count — rides along as the drift monitor's
+    reference distribution) plus the ``_dsir_params.json`` family
+    sidecar (n_buckets, bigrams, totals). ≤ n_buckets rows — the
+    model is broadcast-sized by construction, the cheapest persisted
+    store in the repo. Returns the recorded params. Published
+    atomically (the store-family convention) so a concurrent scorer
+    never reads a half-written model."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+    from cybersecurity_miw_spark.sources.maintain import publish_table
+
+    spark = raw.sparkSession
+    rb = (
+        hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("rc"))
+    )
+    tb = (
+        hashed_ngram_counts(target, text_col, id_col, n_buckets, bigrams)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("tc"))
+    )
+    tot_r = rb.agg(F.sum("rc")).first()[0] or 0
+    tot_t = tb.agg(F.sum("tc")).first()[0] or 0
+    joined = rb.join(tb, "bucket", "left").select(
+        "bucket", "rc", F.coalesce("tc", F.lit(0)).alias("tc")
+    )
+    p = (F.col("tc") + 1) / F.lit(float(tot_t + n_buckets))
+    q = (F.col("rc") + 1) / F.lit(float(tot_r + n_buckets))
+    llr = F.floor(
+        (F.log(p) - F.log(q)) * F.lit(1_000_000.0) + F.lit(0.5)
+    ).cast("long")
+    model = joined.select(
+        "bucket", llr.alias("llr_micro"), F.col("rc").cast("long")
+    )
+    publish_table(spark, model, model_dir)
+    params = {
+        "n_buckets": n_buckets,
+        "bigrams": bigrams,
+        "tot_r": int(tot_r),
+        "tot_t": int(tot_t),
+    }
+    fsutil.write_text(
+        spark, f"{model_dir}/{DSIR_MODEL_PARAMS_FILE}", json.dumps(params)
+    )
+    return params
+
+
+def load_dsir_model(
+    spark,
+    model_dir: str,
+    n_buckets: int | None = None,
+    bigrams: bool | None = None,
+) -> tuple[DataFrame, dict]:
+    """Read a persisted DSIR model and its params, raising on a
+    family mismatch when the caller pins expectations — hash buckets
+    from different (n_buckets, bigrams) families silently mis-score,
+    the mixed-family hazard class every store sidecar here guards."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{model_dir}/{DSIR_MODEL_PARAMS_FILE}"
+    if not fsutil.exists(spark, path):
+        raise ValueError(
+            f"no DSIR model sidecar at {model_dir} — write the model "
+            "with write_dsir_model (a bare parquet dir is not a model)"
+        )
+    params = json.loads(fsutil.read_text(spark, path))
+    expect = {}
+    if n_buckets is not None:
+        expect["n_buckets"] = n_buckets
+    if bigrams is not None:
+        expect["bigrams"] = bigrams
+    family = {k: params.get(k) for k in expect}
+    if family != expect:
+        raise ValueError(
+            f"DSIR model at {model_dir} was built with {family}; this "
+            f"caller supplies {expect} — mixed hash families mis-score "
+            "silently. Rebuild the model or pass the stored parameters."
+        )
+    return spark.read.parquet(model_dir), params
+
+
+def dsir_score_batch(
+    batch: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score an incoming batch against the FROZEN persisted model —
+    the incremental twin of :func:`dsir_log_weights`: batch rows gain
+    ``llr_micro_sum`` without touching the raw or target corpora.
+    Grams hashing to buckets the model never saw (vocabulary the raw
+    corpus did not contain) contribute 0 — the conservative
+    smoothing-consistent reading of an unseen feature. One gram
+    explode over the BATCH only + one broadcast join."""
+    spark = batch.sparkSession
+    model, params = load_dsir_model(spark, model_dir)
+    prof = hashed_ngram_counts(
+        batch, text_col, id_col,
+        int(params["n_buckets"]), bool(params["bigrams"]),
+    )
+    # bcast-bound: model = persisted LLR table (n_buckets-bounded)
+    sums = (
+        prof.join(F.broadcast(model.select("bucket", "llr_micro")), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("cnt") * F.col("llr_micro")).alias("llr_micro_sum"))
+    )
+    return batch.join(sums, id_col, "left").withColumn(
+        "llr_micro_sum", F.coalesce("llr_micro_sum", F.lit(0)).cast("long")
+    )
+
+
+DSIR_DRIFT_DEFAULT_MICRO_NATS = 100_000  # 0.1 nats of JS divergence
+
+
+def dsir_drift_report(
+    batch: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micro_nats: int = DSIR_DRIFT_DEFAULT_MICRO_NATS,
+) -> dict:
+    """The DSIR staleness monitor: Jensen-Shannon divergence (micro-
+    nats, the split_word_divergence integer discipline) between the
+    batch's hashed-gram bucket distribution and the model's stored
+    RAW reference distribution. A drifted feed means the persisted
+    importance weights no longer describe p_raw — scores are biased
+    and the model should be rebuilt (:func:`rebuild_dsir_model`).
+    Returns {js_micro_nats, n_batch_grams, threshold_micro_nats,
+    stale}."""
+    spark = batch.sparkSession
+    model, params = load_dsir_model(spark, model_dir)
+    prof = (
+        hashed_ngram_counts(
+            batch, text_col, id_col,
+            int(params["n_buckets"]), bool(params["bigrams"]),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("bc"))
+    )
+    tot_b = prof.agg(F.sum("bc")).first()[0] or 0
+    nb = int(params["n_buckets"])
+    tot_r = int(params["tot_r"])
+    # full outer: drifted vocab can land in buckets the model never
+    # saw, and that absence is exactly the signal
+    joined = model.select("bucket", "rc").join(
+        prof, "bucket", "full_outer"
+    ).select(
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("bc", F.lit(0)).alias("bc"),
+    )
+    p = (F.col("bc") + 1) / F.lit(float(tot_b + nb))
+    q = (F.col("rc") + 1) / F.lit(float(tot_r + nb))
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    term_u = F.floor(term * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    js = joined.select(term_u.alias("_t")).agg(F.sum("_t")).first()[0] or 0
+    # unseen-by-both buckets contribute one identical smoothing term
+    # each; they are absent from the frame, so the sum is over
+    # observed buckets only — conservative (drift only UNDERcounted
+    # by the all-smoothing constant, identically on both engines)
+    return {
+        "js_micro_nats": int(js),
+        "n_batch_grams": int(tot_b),
+        "threshold_micro_nats": int(threshold_micro_nats),
+        "stale": int(js) > int(threshold_micro_nats),
+    }
+
+
+def rebuild_dsir_model(
+    raw: DataFrame,
+    target: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """One-call remediation for a tripped drift monitor: retrain the
+    LLR table on the CURRENT corpora with the SAME recorded family
+    (n_buckets, bigrams read from the sidecar) and publish atomically
+    over the live dir — the store-family rebuild contract."""
+    spark = raw.sparkSession
+    _, params = load_dsir_model(spark, model_dir)
+    return write_dsir_model(
+        raw, target, model_dir, text_col, id_col,
+        int(params["n_buckets"]), bool(params["bigrams"]),
+    )
+
+
 def dsir_select(
     raw: DataFrame,
     target: DataFrame,

@@ -1321,3 +1321,90 @@ def streaming_ivf_append(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_dsir_scores(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    scores_dir: str,
+    model_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    threshold_micro_nats: int | None = None,
+    on_stale: str = "report",
+) -> StreamingQuery:
+    """Continuous DSIR scoring (operators/dsir.py — Xie et al., arXiv
+    2302.03169) against a FROZEN persisted model: each micro-batch of
+    ``doc_id<TAB>text`` lines gains ``llr_micro_sum`` from the
+    n_buckets-bounded broadcast LLR table and is appended to
+    ``scores_dir`` — the selection feed of a streaming curation
+    pipeline (rank/threshold downstream; the md5 Gumbel column is a
+    deterministic function of doc_id, so Gumbel top-k over any window
+    of the scores is reproducible after the fact).
+
+    Unlike the band-store loops this one cannot bootstrap its store —
+    scoring without a model is meaningless — so a missing or
+    family-mismatched ``_dsir_params.json`` fails BEFORE the stream
+    starts. Per trigger the drift monitor
+    (:func:`~cybersecurity_miw_spark.operators.dsir.dsir_drift_report`
+    — JS divergence of the batch's bucket distribution vs the model's
+    stored raw reference, micro-nat integers) appends to ``metrics``;
+    a drifted feed means the frozen weights are BIASED for this
+    batch, so ``on_stale="raise"`` fails the trigger before its
+    scores are appended and before the checkpoint commits — offline
+    :func:`~cybersecurity_miw_spark.operators.dsir.rebuild_dsir_model`
+    then a restart replays the tripped batch with fresh weights (the
+    family's remediation contract, docs/MONITORING.md). Replay caveat
+    as the other loops: at-least-once appends can duplicate score
+    rows after a crash, never lose them."""
+    from cybersecurity_miw_spark.operators import dsir
+
+    metrics = _stale_gate(metrics, on_stale)
+    # fail fast: model + sidecar must exist and parse before start
+    dsir.load_dsir_model(spark, model_dir)
+    thresh = (
+        threshold_micro_nats
+        if threshold_micro_nats is not None
+        else dsir.DSIR_DRIFT_DEFAULT_MICRO_NATS
+    )
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cache_mark = release_mark()
+        try:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            if batch_df.rdd.isEmpty():
+                return
+            if metrics is not None:
+                report = dsir.dsir_drift_report(
+                    batch_df, model_dir,
+                    threshold_micro_nats=thresh,
+                )
+                metrics.append(report)
+                # a biased batch must not reach the scores feed:
+                # raise BEFORE the append, so the restart replays it
+                # against the rebuilt model
+                _raise_if_stale(
+                    report, on_stale, "streaming_dsir_scores"
+                )
+            dsir.dsir_score_batch(batch_df, model_dir).select(
+                "doc_id", "llr_micro_sum"
+            ).write.mode("append").parquet(scores_dir)
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

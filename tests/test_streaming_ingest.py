@@ -1215,3 +1215,110 @@ def test_on_stale_raise_on_delegated_monitor_ivf_append(spark, tmp_path):
         metrics=m,
     ).awaitTermination(120)
     assert len(m) == 1 and m[0]["stale"] is True
+
+
+def test_streaming_dsir_scores_frozen_model_and_drift_remediation(
+    spark, tmp_path
+):
+    """streaming_dsir_scores (r15): scores streamed across two runs
+    equal the batch dsir_score_batch over the pooled docs (frozen
+    model — no rescan); a vocabulary-drifted batch under
+    on_stale='raise' fails BEFORE its scores are appended; after the
+    one-call rebuild a restart replays the tripped batch clean; a
+    missing model and a bad policy fail before the stream starts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import dsir
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_dsir_scores,
+    )
+
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i % 4}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(900, "alpha beta gamma")], "doc_id long, text string"
+    )
+    model_dir = str(tmp_path / "model")
+    dsir.write_dsir_model(raw, target, model_dir, n_buckets=256)
+
+    indir = tmp_path / "in"
+    scores = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    # fail-fast: no model at a bare dir; invalid policy
+    with pytest.raises(ValueError, match="no DSIR model sidecar"):
+        streaming_dsir_scores(
+            spark, str(indir), ckpt, scores, str(tmp_path / "nope")
+        )
+    with pytest.raises(ValueError, match="on_stale"):
+        streaming_dsir_scores(
+            spark, str(indir), ckpt, scores, model_dir, on_stale="rebuild"
+        )
+
+    (indir / "a.tsv").write_text(
+        "100\talpha beta gamma delta doc 1\n101\talpha beta unrelated\n"
+    )
+    m: list = []
+    streaming_dsir_scores(
+        spark, str(indir), ckpt, scores, model_dir, metrics=m
+    ).awaitTermination(120)
+    (indir / "b.tsv").write_text("102\talpha beta gamma delta doc 2\n")
+    streaming_dsir_scores(
+        spark, str(indir), ckpt, scores, model_dir, metrics=m
+    ).awaitTermination(120)
+
+    streamed = {
+        r["doc_id"]: r["llr_micro_sum"]
+        for r in spark.read.parquet(scores).collect()
+    }
+    pooled_docs = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta doc 1"),
+            (101, "alpha beta unrelated"),
+            (102, "alpha beta gamma delta doc 2"),
+        ],
+        "doc_id long, text string",
+    )
+    pooled = {
+        r["doc_id"]: r["llr_micro_sum"]
+        for r in dsir.dsir_score_batch(pooled_docs, model_dir).collect()
+    }
+    assert streamed == pooled
+    assert len(m) == 2 and not any(r["stale"] for r in m)
+
+    # drifted batch: raise mode fails the trigger, scores NOT appended
+    (indir / "c.tsv").write_text(
+        "".join(
+            f"{200 + i}\tzork quux fnord blarg wibble {i}\n" for i in range(12)
+        )
+    )
+    n_before = spark.read.parquet(scores).count()
+    q = streaming_dsir_scores(
+        spark, str(indir), ckpt, scores, model_dir, on_stale="raise"
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(120)
+    assert "StaleStoreError" in str(
+        exc.value
+    ) or "stale" in str(exc.value)
+    assert spark.read.parquet(scores).count() == n_before
+
+    # offline remediation: rebuild with the drifted docs in raw, then
+    # the restart replays batch c clean and its scores land
+    drifted = spark.createDataFrame(
+        [(200 + i, f"zork quux fnord blarg wibble {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    dsir.rebuild_dsir_model(raw.unionByName(drifted), target, model_dir)
+    m2: list = []
+    streaming_dsir_scores(
+        spark, str(indir), ckpt, scores, model_dir,
+        metrics=m2, on_stale="raise",
+    ).awaitTermination(120)
+    assert not any(r["stale"] for r in m2)
+    got = spark.read.parquet(scores)
+    assert got.filter(F.col("doc_id") >= 200).count() == 12

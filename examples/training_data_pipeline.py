@@ -94,6 +94,20 @@ def main() -> None:
     )
     terms.show(9, truncate=False)
 
+    # --- DSIR: resample the curated pool toward a quality exemplar ---
+    # (Xie et al., arXiv 2302.03169) the top-quality decile is the
+    # target; importance weights pull in docs that LOOK like it even
+    # when their heuristic quality score is middling. The LLR model
+    # persists like any store (sidecar, drift monitor, streaming twin).
+    from cybersecurity_miw_spark.operators import dsir
+
+    pool = survivors.join(docs.select("doc_id", "text", "source"), "doc_id")
+    q90 = pool.approxQuantile("quality", [0.9], 0.01)[0]
+    exemplar = pool.filter(F.col("quality") >= q90).select("doc_id", "text")
+    picked = dsir.dsir_select(pool, exemplar, k=100, n_buckets=2048)
+    print("DSIR top-5 toward the quality exemplar:")
+    picked.select("doc_id", "source", "llr_micro_sum", "dsir_score").show(5)
+
     # --- one-call shard assembly over the curated set ---
     # assemble_dataset is the tested back half of the pipeline:
     # split → mix → chunk → pack → shards in a single call with the

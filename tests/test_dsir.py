@@ -226,3 +226,87 @@ def test_dsir_drift_monitor_and_rebuild(spark, corpus, target, tmp_path):
         for r in dsir.dsir_score_batch(drifted, model_dir).collect()
     }
     assert scored == again and set(scored) == set(scratch)
+
+
+# ---- pure-python reference model (engine-portability property) ----
+
+
+def _py_dsir_weights(raw_rows, target_rows, n_buckets):
+    """Pure-python DSIR weight model: md5 bucket (first 8 hex digits,
+    the engine-shared hash), add-one smoothing, micro-nat floor —
+    exactly the operator's arithmetic, no Spark/DuckDB."""
+    import hashlib
+    import math
+
+    def grams(text):
+        ws = [w for w in (text or "").lower().strip().split() if w]
+        out = list(ws)
+        out += [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        return out
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+    rc: dict = {}
+    prof: dict = {}
+    for i, t in raw_rows:
+        for g in grams(t):
+            b = bucket(g)
+            rc[b] = rc.get(b, 0) + 1
+            prof.setdefault(i, {})[b] = prof.get(i, {}).get(b, 0) + 1
+    tc: dict = {}
+    for _, t in target_rows:
+        for g in grams(t):
+            b = bucket(g)
+            tc[b] = tc.get(b, 0) + 1
+    tot_r, tot_t = sum(rc.values()), sum(tc.values())
+    llr = {
+        b: math.floor(
+            (
+                math.log((tc.get(b, 0) + 1) / (tot_t + n_buckets))
+                - math.log((rc[b] + 1) / (tot_r + n_buckets))
+            )
+            * 1_000_000.0
+            + 0.5
+        )
+        for b in rc
+    }
+    return {
+        i: sum(c * llr[b] for b, c in bs.items())
+        for i, bs in prof.items()
+    } | {i: 0 for i, t in raw_rows if i not in prof}
+
+
+def test_dsir_weights_match_pure_python_model(spark):
+    """Hypothesis: for random small corpora the Spark integer
+    micro-nat weights equal the pure-python model bit for bit — the
+    guard on the floor-boundary channel the DuckDB oracle also rides
+    through."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    words = st.sampled_from(
+        ["alpha", "beta", "gamma", "delta", "x1", "y2", "zz", "qq"]
+    )
+    texts = st.lists(words, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        raw=st.lists(texts, min_size=1, max_size=8),
+        tgt=st.lists(texts, min_size=1, max_size=3),
+    )
+    def check(raw, tgt):
+        raw_rows = [(i, t) for i, t in enumerate(raw)]
+        tgt_rows = [(100 + i, t) for i, t in enumerate(tgt)]
+        rdf = spark.createDataFrame(raw_rows, "doc_id long, text string")
+        tdf = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["llr_micro_sum"]
+            for r in dsir.dsir_log_weights(
+                rdf, tdf, n_buckets=64
+            ).collect()
+        }
+        want = _py_dsir_weights(raw_rows, tgt_rows, 64)
+        assert got == want
+
+    check()

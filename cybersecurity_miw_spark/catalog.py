@@ -5495,8 +5495,9 @@ def q_mix_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer counts and is floored to micro-nats before any sum, the
 # split_word_divergence convention
 _DSIR_NB = 1024
-_DSIR_SQL = f"""
-WITH rawd AS (SELECT doc_id, source, text FROM documents),
+# shared CTE chain (raw + target grams -> buckets -> smoothed LLR ->
+# per-doc integer weight sums) for both DSIR twins
+_DSIR_CTES = f"""rawd AS (SELECT doc_id, source, n_chars, text FROM documents),
 tgt AS (
   SELECT doc_id, text FROM documents
   WHERE source = 'src0' AND doc_id % 7 = 0
@@ -5557,7 +5558,10 @@ wsum AS (
   SELECT p.doc_id, CAST(sum(p.cnt * l.llr_micro) AS BIGINT) AS llr_micro_sum
   FROM rprof p JOIN llr l ON p.bucket = l.bucket
   GROUP BY 1
-),
+)"""
+
+_DSIR_SQL = f"""
+WITH {_DSIR_CTES},
 scored AS (
   SELECT r.doc_id, r.source,
          coalesce(w.llr_micro_sum, 0) AS llr_micro_sum,
@@ -5596,6 +5600,72 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=_DSIR_NB,
     )
     return out.select("doc_id", "source", "llr_micro_sum", "dsir_score")
+
+
+# DSIR to a TOKEN budget: grade the micro-nat weights onto a bounded
+# 1000-step grid (min/max bounds — two scalar subqueries, mirroring
+# the operator's two driver scalars), then the budget_select walk
+# (grade DESC, md5 tiebreak, inclusive running token sum). The oracle
+# states the LOGICAL one-window spec; the operator runs the
+# bucket-decomposed plan, so a green row proves the decomposition AND
+# the grading arithmetic.
+_DSIR_BUDGET_TOKENS = 15_000
+_DSIR_BUDGET_SQL = f"""
+WITH {_DSIR_CTES},
+scored AS (
+  SELECT r.doc_id, r.source, r.n_chars,
+         coalesce(w.llr_micro_sum, 0) AS llr_micro_sum
+  FROM rawd r LEFT JOIN wsum w ON r.doc_id = w.doc_id
+),
+bounds AS (
+  SELECT min(llr_micro_sum) AS lo,
+         greatest(max(llr_micro_sum) - min(llr_micro_sum), 1) AS span
+  FROM scored
+),
+graded AS (
+  SELECT doc_id, source, n_chars, llr_micro_sum,
+         CAST(floor((llr_micro_sum - (SELECT lo FROM bounds)) * 1000.0
+                    / (SELECT span FROM bounds)) AS INT) AS dsir_grade
+  FROM scored
+),
+sel AS (
+  SELECT doc_id, source, n_chars, llr_micro_sum, dsir_grade,
+         sum(n_chars) OVER (
+           ORDER BY dsir_grade DESC, md5('dsir-v1:' || doc_id), doc_id
+           ROWS UNBOUNDED PRECEDING) AS run
+  FROM graded
+)
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+       llr_micro_sum, dsir_grade
+FROM sel WHERE run <= {_DSIR_BUDGET_TOKENS}
+"""
+
+
+@register("dsir_select_budget", _DSIR_BUDGET_SQL)
+def q_dsir_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR to a 15k-token budget (operators/dsir.py:
+    dsir_select_to_budget): importance weights graded onto the
+    bounded 1000-step grid, then the greedy budget walk — "the most
+    target-like corpus that fits the training budget". Same target
+    exemplar as dsir_select_topk."""
+    from cybersecurity_miw_spark.operators import dsir
+
+    docs = load_table(spark, sf_dir, "documents", widen=False)
+    target = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 7 == 0)
+    ).select("doc_id", "text")
+    out = dsir.dsir_select_to_budget(
+        docs.select("doc_id", "source", "text", "n_chars"),
+        target,
+        _DSIR_BUDGET_TOKENS,
+        tokens_col="n_chars",
+        n_buckets=_DSIR_NB,
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "llr_micro_sum", "dsir_grade",
+    )
 
 
 # the dataset card on top of the SAME mix: wrap the full budget-mix
@@ -8640,13 +8710,13 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-15 rotation: IN = the four new r15 oracles
+    # Round-15 rotation: IN = the five new r15 oracles
     # (mix_to_budget_epochs — repetition-capped temperature mixing;
     # assemble_manifest — the end-to-end assemble_dataset doc→shard
     # manifest; mix_report_by_source — the per-source dataset card
     # over the same budget mix; dsir_select_topk — DSIR importance
-    # resampling), first-round rows as the rotation invariant
-    # requires.
+    # resampling; dsir_select_budget — DSIR to a token budget),
+    # first-round rows as the rotation invariant requires.
     # OUT also includes app_word_reverse_index (longest-green §2.8
     # veteran; the apps family keeps app_pca_covariance +
     # app_kmeans_step in-window) for the card row.
@@ -8735,7 +8805,9 @@ _DRIVER_WINDOW = [
     "app_pca_covariance",
     "app_kmeans_step",
     "running_value_per_user",
-    "distinct_users_per_type",
+    # (distinct_users_per_type rotated out r15 for dsir_select_budget —
+    #  the events family keeps running_value_per_user +
+    #  beacon_interval_profile in-window)
     "beacon_interval_profile",
     "gopher_quality_flags",
     "remove_repeated_lines",
@@ -8791,6 +8863,7 @@ _DRIVER_WINDOW = [
     "assemble_manifest",
     "mix_report_by_source",
     "dsir_select_topk",
+    "dsir_select_budget",
 ]
 
 

@@ -310,3 +310,29 @@ def test_dsir_weights_match_pure_python_model(spark):
         assert got == want
 
     check()
+
+
+def test_dsir_select_to_budget(spark, corpus, target):
+    """Budget variant: inclusive token sum never exceeds the budget,
+    a smaller budget selects a PREFIX of a larger one (same walk
+    order), the selection is target-dominated, and degenerate inputs
+    validate."""
+    docs = corpus.withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), r"\s+"))
+    )
+    big = dsir.dsir_select_to_budget(
+        docs, target, 60, tokens_col="n_tokens", n_buckets=512
+    ).collect()
+    small = dsir.dsir_select_to_budget(
+        docs, target, 30, tokens_col="n_tokens", n_buckets=512
+    ).collect()
+    assert sum(r["n_tokens"] for r in big) <= 60
+    assert sum(r["n_tokens"] for r in small) <= 30
+    assert {r["doc_id"] for r in small} <= {r["doc_id"] for r in big}
+    assert big and all(r["source"] == "sci" for r in big)
+    assert all(0 <= r["dsir_grade"] <= 1000 for r in big)
+
+    with pytest.raises(ValueError, match="budget_tokens"):
+        dsir.dsir_select_to_budget(docs, target, -1)
+    with pytest.raises(ValueError, match="grades"):
+        dsir.dsir_select_to_budget(docs, target, 10, grades=0)

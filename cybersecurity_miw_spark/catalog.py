@@ -5856,6 +5856,182 @@ def q_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filters.gopher_flags(docs)
 
 
+# The full Gopher Table A1 repetition battery. The pool plants
+# structure so every metric is non-vacuous: doc_id%11 docs are
+# self-concatenated across a newline (duplicate lines AND whole-doc
+# 5..10-gram repetition), doc_id%7 docs have sentence breaks turned
+# into paragraph breaks. Both engines derive the pool identically.
+_GREP_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+                THEN coalesce(text, '') || chr(10) || chr(10)
+                     || coalesce(text, '')
+              WHEN doc_id % 7 = 0
+                THEN replace(coalesce(text, ''), '. ', chr(10) || chr(10))
+              ELSE coalesce(text, '') END AS raw
+  FROM documents
+),
+le AS (
+  SELECT doc_id,
+         list_filter(list_transform(str_split(raw, chr(10)),
+                                    x -> trim(x)), x -> len(x) > 0) AS e
+  FROM d
+),
+pe AS (
+  SELECT doc_id,
+         list_filter(list_transform(str_split(raw, chr(10) || chr(10)),
+                                    x -> trim(x)), x -> len(x) > 0) AS e
+  FROM d
+),
+lp AS (
+  SELECT l.doc_id,
+         CASE WHEN len(l.e) > 0
+              THEN (len(l.e) - len(list_distinct(l.e)))::DOUBLE / len(l.e)
+              ELSE 0.0 END AS dup_line_frac,
+         CASE WHEN list_sum(list_transform(l.e, x -> len(x))) > 0
+              THEN list_sum([CASE WHEN i > 1 AND
+                                       list_position(l.e[1:i-1], l.e[i])
+                                       IS NOT NULL
+                                  THEN len(l.e[i]) ELSE 0 END
+                             FOR i IN generate_series(1, len(l.e))])::DOUBLE
+                   / list_sum(list_transform(l.e, x -> len(x)))
+              ELSE 0.0 END AS dup_line_char_frac,
+         CASE WHEN len(p.e) > 0
+              THEN (len(p.e) - len(list_distinct(p.e)))::DOUBLE / len(p.e)
+              ELSE 0.0 END AS dup_para_frac,
+         CASE WHEN list_sum(list_transform(p.e, x -> len(x))) > 0
+              THEN list_sum([CASE WHEN i > 1 AND
+                                       list_position(p.e[1:i-1], p.e[i])
+                                       IS NOT NULL
+                                  THEN len(p.e[i]) ELSE 0 END
+                             FOR i IN generate_series(1, len(p.e))])::DOUBLE
+                   / list_sum(list_transform(p.e, x -> len(x)))
+              ELSE 0.0 END AS dup_para_char_frac
+  FROM le l JOIN pe p ON l.doc_id = p.doc_id
+),
+w AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(trim(raw)), '\\s+'),
+                     x -> len(x) > 0) AS w
+  FROM d
+),
+tc AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(w, x -> len(x))), 0)
+         + greatest(len(w) - 1, 0) AS tc
+  FROM w
+),
+ns AS (SELECT unnest(generate_series(2, 10)) AS n),
+g0 AS (
+  SELECT doc_id, n,
+         unnest([{{'pos': i, 'g': array_to_string(w[i+1:i+n], ' ')}}
+                 FOR i IN generate_series(0, len(w) - n)]) AS u
+  FROM w, ns WHERE len(w) >= n
+),
+grams AS (SELECT doc_id, n, u.pos AS pos, u.g AS g FROM g0),
+counted AS (
+  SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3
+),
+top AS (
+  SELECT c.doc_id, c.n,
+         max(c.c * len(c.g))::DOUBLE / t.tc AS frac
+  FROM counted c JOIN tc t ON c.doc_id = t.doc_id
+  WHERE c.n <= 4 AND t.tc > 0
+  GROUP BY c.doc_id, c.n, t.tc
+),
+dup_occ AS (
+  SELECT g.doc_id, g.n, g.pos AS s, g.pos + g.n AS e
+  FROM grams g JOIN counted c
+    ON g.doc_id = c.doc_id AND g.n = c.n AND g.g = c.g
+  WHERE g.n >= 5 AND c.c >= 2
+),
+flagged AS (
+  SELECT doc_id, n, s, e,
+         CASE WHEN s > max(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                OR max(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              THEN 1 ELSE 0 END AS newgrp
+  FROM dup_occ
+),
+grouped AS (
+  SELECT doc_id, n, s, e,
+         sum(newgrp) OVER (PARTITION BY doc_id, n ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM flagged
+),
+islands AS (
+  SELECT doc_id, n, min(s) AS s, max(e) AS e
+  FROM grouped GROUP BY doc_id, n, grp
+),
+dupn AS (
+  SELECT i.doc_id, i.n,
+         sum(list_sum(list_transform(w.w[i.s+1:i.e], x -> len(x)))
+             + (i.e - i.s - 1))::DOUBLE / t.tc AS frac
+  FROM islands i
+  JOIN w ON w.doc_id = i.doc_id
+  JOIN tc t ON t.doc_id = i.doc_id
+  WHERE t.tc > 0
+  GROUP BY i.doc_id, i.n, t.tc
+),
+fr AS (SELECT * FROM top UNION ALL SELECT * FROM dupn),
+pv AS (
+  SELECT doc_id,
+         {", ".join(f"coalesce(max(CASE WHEN n = {n} THEN frac END), 0.0) AS f{n}" for n in range(2, 11))}
+  FROM fr GROUP BY doc_id
+),
+m AS (
+  SELECT lp.doc_id,
+         {_R6.format("lp.dup_line_frac")} AS dup_line_frac,
+         {_R6.format("lp.dup_line_char_frac")} AS dup_line_char_frac,
+         {_R6.format("lp.dup_para_frac")} AS dup_para_frac,
+         {_R6.format("lp.dup_para_char_frac")} AS dup_para_char_frac,
+         {", ".join(_R6.format(f"coalesce(pv.f{n}, 0.0)") + f" AS top_{n}_gram_char_frac" for n in (2, 3, 4))},
+         {", ".join(_R6.format(f"coalesce(pv.f{n}, 0.0)") + f" AS dup_{n}_gram_char_frac" for n in range(5, 11))}
+  FROM lp LEFT JOIN pv ON lp.doc_id = pv.doc_id
+)
+SELECT *,
+       (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        AND top_2_gram_char_frac <= 0.20 AND top_3_gram_char_frac <= 0.18
+        AND top_4_gram_char_frac <= 0.16 AND dup_5_gram_char_frac <= 0.15
+        AND dup_6_gram_char_frac <= 0.14 AND dup_7_gram_char_frac <= 0.13
+        AND dup_8_gram_char_frac <= 0.12 AND dup_9_gram_char_frac <= 0.11
+        AND dup_10_gram_char_frac <= 0.10) AS keep
+FROM m
+"""
+
+
+@register("gopher_repetition_battery", _GREP_SQL)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Gopher Table A1 repetition battery
+    (operators/corpus_filters.py:gopher_repetition_flags): duplicate
+    line/paragraph fractions (row- and char-weighted), top-{2,3,4}
+    n-gram char mass, duplicated {5..10}-gram char coverage via the
+    gaps-and-islands merge, and the paper-threshold keep flag. The
+    pool plants newline/paragraph/self-repetition structure (see the
+    SQL comment) so every metric is exercised."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    pool = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(raw, F.lit("\n\n"), raw),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.replace(raw, F.lit(". "), F.lit("\n\n")),
+        )
+        .otherwise(raw)
+        .alias("text"),
+    )
+    return corpus_filters.gopher_repetition_flags(pool)
+
+
 _TOP_BIGRAM_SQL = f"""
 WITH w AS (
   SELECT doc_id, str_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w FROM documents
@@ -8710,13 +8886,14 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-15 rotation: IN = the five new r15 oracles
+    # Round-15 rotation: IN = the six new r15 oracles
     # (mix_to_budget_epochs — repetition-capped temperature mixing;
     # assemble_manifest — the end-to-end assemble_dataset doc→shard
     # manifest; mix_report_by_source — the per-source dataset card
     # over the same budget mix; dsir_select_topk — DSIR importance
-    # resampling; dsir_select_budget — DSIR to a token budget),
-    # first-round rows as the rotation invariant requires.
+    # resampling; dsir_select_budget — DSIR to a token budget;
+    # gopher_repetition_battery — the full Table A1 repetition
+    # battery), first-round rows as the rotation invariant requires.
     # OUT also includes app_word_reverse_index (longest-green §2.8
     # veteran; the apps family keeps app_pca_covariance +
     # app_kmeans_step in-window) for the card row.
@@ -8810,7 +8987,9 @@ _DRIVER_WINDOW = [
     #  beacon_interval_profile in-window)
     "beacon_interval_profile",
     "gopher_quality_flags",
-    "remove_repeated_lines",
+    # (remove_repeated_lines rotated out r15 for the new
+    #  gopher_repetition_battery — the corpus-filter family keeps
+    #  gopher_quality_flags + pii_redact_counts in-window)
     "pii_redact_counts",
     "chunk_fixed_windows",
     "asof_join_latest_snapshot",
@@ -8864,6 +9043,7 @@ _DRIVER_WINDOW = [
     "mix_report_by_source",
     "dsir_select_topk",
     "dsir_select_budget",
+    "gopher_repetition_battery",
 ]
 
 

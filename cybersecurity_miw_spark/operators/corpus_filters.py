@@ -343,3 +343,276 @@ def remove_boilerplate_lines(
             (F.col("_n") - F.coalesce("_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+# ---- the full Gopher repetition battery (Rae et al. 2021, Table A1) ----
+
+GOPHER_TOP_NGRAM_DEFAULTS = (0.20, 0.18, 0.16)  # n = 2, 3, 4
+GOPHER_DUP_NGRAM_DEFAULTS = (0.15, 0.14, 0.13, 0.12, 0.11, 0.10)  # n = 5..10
+
+
+def _dup_element_fracs(elems: Column) -> tuple[Column, Column]:
+    """(dup_frac, dup_char_frac) of a per-row string array — the
+    Gopher line/paragraph duplicate measures: an element's occurrences
+    beyond its first are duplicates; the char variant weights each by
+    its length. Pure array expressions (O(L²) per row in ELEMENT
+    count — lines/paragraphs per document, tens not thousands, the
+    opposite trade from the gram battery below)."""
+    total = F.size(elems)
+    distinct = F.size(F.array_distinct(elems))
+    dup_frac = F.when(total > 0, (total - distinct) / total).otherwise(
+        F.lit(0.0)
+    )
+    # chars of every non-first occurrence / chars of all occurrences
+    idx = F.sequence(F.lit(1), total)
+    rep_chars = F.aggregate(
+        F.zip_with(
+            idx,
+            elems,
+            lambda i, e: F.when(
+                F.array_position(F.slice(elems, 1, (i - 1).cast("int")), e)
+                > 0,
+                F.length(e),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    all_chars = F.aggregate(
+        F.transform(elems, lambda e: F.length(e)),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    dup_char_frac = F.when(
+        all_chars > 0, rep_chars.cast("double") / all_chars
+    ).otherwise(F.lit(0.0))
+    return dup_frac, dup_char_frac
+
+
+def gopher_repetition_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_dup_para_char_frac: float = 0.20,
+    max_top_ngram_char_frac: tuple = GOPHER_TOP_NGRAM_DEFAULTS,
+    max_dup_ngram_char_frac: tuple = GOPHER_DUP_NGRAM_DEFAULTS,
+) -> DataFrame:
+    """The COMPLETE within-document repetition battery of Gopher
+    Table A1 — the signals :func:`gopher_flags` (word-level) leaves
+    out: duplicate line / paragraph fractions (row- and
+    char-weighted), top-{2,3,4}-gram char mass, and the char fraction
+    COVERED by duplicated {5..10}-grams. Returns one row per doc with
+    every metric (rounded micro-exact) plus ``keep`` under the
+    paper's default thresholds.
+
+    Metric definitions (engine-exact, integer-derived):
+
+    * lines split on ``\\n``, paragraphs on ``\\n\\n`` (trimmed,
+      empties dropped); an element's occurrences beyond the first are
+      duplicates, char variants weight by element length;
+    * top-n char mass = max over n-grams of count·len(gram) (spaces
+      included) / normalized text chars — the max PRODUCT, so no
+      tie-break is needed where the paper's "most frequent" is
+      ambiguous under count ties;
+    * dup-n coverage = chars inside the UNION of word spans of grams
+      occurring ≥ 2× in the doc (gaps-and-islands merge — overlapping
+      hits never double-count) / normalized text chars, with
+      word-length prefix sums mapping token spans to chars.
+
+    Plan shape (100 TB): line/paragraph metrics are shuffle-free row
+    expressions; the gram battery is ONE posexplode over 9 n values →
+    count agg on the uniform (doc, n, gram) key → join back to
+    occurrences (occurrence-sized, never pairwise) → one window pass
+    per (doc, n) for the islands — the `duplicated_ngram_spans`
+    machinery turned within-doc. Quadratic-in-length work appears
+    nowhere; the O(L²) element scan runs over LINES, not words."""
+    if len(max_top_ngram_char_frac) != 3:
+        raise ValueError("max_top_ngram_char_frac must cover n = 2, 3, 4")
+    if len(max_dup_ngram_char_frac) != 6:
+        raise ValueError("max_dup_ngram_char_frac must cover n = 5..10")
+
+    norm = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+
+    def _elems(sep: str) -> Column:
+        return F.filter(
+            F.transform(F.split(raw, sep), lambda e: F.trim(e)),
+            lambda e: F.length(e) > 0,
+        )
+
+    line_f, line_cf = _dup_element_fracs(_elems("\n"))
+    para_f, para_cf = _dup_element_fracs(_elems("\n\n"))
+
+    w = F.filter(F.split(norm, r"\s+"), lambda x: F.length(x) > 0)
+    # normalized char total: word chars + single separators
+    tot_chars = F.aggregate(
+        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    ) + F.greatest(F.size(w) - 1, F.lit(0))
+    base = df.select(
+        F.col(id_col),
+        w.alias("_w"),
+        tot_chars.cast("long").alias("_tc"),
+        line_f.alias("dup_line_frac"),
+        line_cf.alias("dup_line_char_frac"),
+        para_f.alias("dup_para_frac"),
+        para_cf.alias("dup_para_char_frac"),
+    )
+    from cybersecurity_miw_spark.cache import tracked_persist
+
+    base = tracked_persist(base)
+
+    # one positional explode across all 9 n values; n rides the row
+    ns = list(range(2, 11))
+    gram_rows = base.select(
+        id_col,
+        "_tc",
+        F.explode(F.array(*[F.lit(n) for n in ns])).alias("_n"),
+        F.col("_w"),
+    ).select(
+        id_col,
+        "_tc",
+        "_n",
+        F.posexplode(
+            # sequence(a, b) DESCENDS when b < a, so short docs must
+            # take the empty-array branch explicitly
+            F.expr(
+                "IF(size(_w) >= _n, "
+                "transform(sequence(0, size(_w) - _n), "
+                "i -> array_join(slice(_w, i + 1, _n), ' ')), "
+                "array())"
+            )
+        ).alias("_pos", "_g"),
+    )
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    gram_rows = staged(gram_rows)
+    counted = gram_rows.groupBy(id_col, "_n", "_g").agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.first("_tc").alias("_tc"),
+    )
+
+    # top-{2,3,4}: max char mass of any single gram
+    top = (
+        counted.where(F.col("_n") <= 4)
+        .groupBy(id_col, "_n")
+        .agg(
+            (
+                F.max(F.col("_c") * F.length("_g")).cast("double")
+                / F.first("_tc")
+            ).alias("_frac")
+        )
+    )
+
+    # dup-{5..10}: char coverage of the union of duplicated-gram spans
+    dup_occ = (
+        gram_rows.join(
+            counted.where((F.col("_n") >= 5) & (F.col("_c") >= 2)).select(
+                id_col, "_n", "_g"
+            ),
+            [id_col, "_n", "_g"],
+        )
+        .select(
+            id_col,
+            "_n",
+            F.col("_pos").cast("long").alias("_s"),
+            (F.col("_pos") + F.col("_n")).cast("long").alias("_e"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy(id_col, "_n")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col, "_n")
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        dup_occ.withColumn(
+            "_new",
+            F.when(F.col("_s") > F.max("_e").over(w_prev), 1).otherwise(0),
+        )
+        .withColumn("_span", F.sum("_new").over(w_run))
+        .groupBy(id_col, "_n", "_span")
+        .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
+    )
+    # map word spans to chars via the per-doc length prefix: chars in
+    # [s, e) = sum(len(w_j)) + (e - s - 1) separators
+    pref = base.select(
+        id_col,
+        "_tc",
+        F.expr(
+            "aggregate(_w, array(0), (acc, x) -> "
+            "concat(acc, array(element_at(acc, -1) + length(x))))"
+        ).alias("_p"),
+    )
+    dupn = (
+        islands.join(pref, id_col)
+        .select(
+            id_col,
+            "_n",
+            "_tc",
+            (
+                F.expr("element_at(_p, cast(_e + 1 as int))")
+                - F.expr("element_at(_p, cast(_s + 1 as int))")
+                + (F.col("_e") - F.col("_s") - 1)
+            ).alias("_chars"),
+        )
+        .groupBy(id_col, "_n")
+        .agg(
+            (F.sum("_chars").cast("double") / F.first("_tc")).alias("_frac")
+        )
+    )
+
+    frac_rows = top.unionByName(dupn)
+    pivoted = frac_rows.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("_n", "_frac"))
+        ).alias("_m")
+    )
+    out = base.join(pivoted, id_col, "left")
+    cols = {
+        **{f"top_{n}_gram_char_frac": n for n in (2, 3, 4)},
+        **{f"dup_{n}_gram_char_frac": n for n in (5, 6, 7, 8, 9, 10)},
+    }
+    for name, n in cols.items():
+        out = out.withColumn(
+            name,
+            F.coalesce(
+                F.expr(f"element_at(_m, {n})"), F.lit(0.0)
+            ),
+        )
+    thresholds = dict(
+        zip(
+            [f"top_{n}_gram_char_frac" for n in (2, 3, 4)],
+            max_top_ngram_char_frac,
+        )
+    ) | dict(
+        zip(
+            [f"dup_{n}_gram_char_frac" for n in (5, 6, 7, 8, 9, 10)],
+            max_dup_ngram_char_frac,
+        )
+    ) | {
+        "dup_line_frac": max_dup_line_frac,
+        "dup_para_frac": max_dup_para_frac,
+        "dup_line_char_frac": max_dup_line_char_frac,
+        "dup_para_char_frac": max_dup_para_char_frac,
+    }
+    metric_cols = [
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+    ] + list(cols)
+    # round FIRST, then threshold the rounded values — keep is then a
+    # pure function of the emitted metrics (and the SQL twin agrees
+    # bit for bit at the threshold boundary)
+    rounded = out.select(
+        id_col, *[_round6(F.col(c)).alias(c) for c in metric_cols]
+    )
+    keep = F.lit(True)
+    for name, t in thresholds.items():
+        keep = keep & (F.col(name) <= F.lit(float(t)))
+    return rounded.withColumn("keep", keep)

@@ -6,6 +6,7 @@ costs seconds)."""
 
 from __future__ import annotations
 
+import pytest
 import random
 import re
 
@@ -183,3 +184,132 @@ def test_example_curation_chain_is_deterministic(spark):
         r["doc_id"] for r in pipeline.curate(spark, sf).select("doc_id").collect()
     )
     assert a == b and len(a) > 0
+
+
+# ---- gopher_repetition_flags vs a pure-python Table A1 model ----
+
+
+def _py_repetition(text):
+    import re
+
+    def dup_fracs(elems):
+        n = len(elems)
+        if not n:
+            return 0.0, 0.0
+        seen = set()
+        rep_chars = 0
+        for e in elems:
+            if e in seen:
+                rep_chars += len(e)
+            seen.add(e)
+        total_chars = sum(len(e) for e in elems)
+        dup = (n - len(set(elems))) / n
+        return dup, (rep_chars / total_chars if total_chars else 0.0)
+
+    raw = text or ""
+    lines = [e.strip() for e in raw.split("\n") if e.strip()]
+    paras = [e.strip() for e in raw.split("\n\n") if e.strip()]
+    lf, lcf = dup_fracs(lines)
+    pf, pcf = dup_fracs(paras)
+
+    w = [x for x in re.split(r"\s+", raw.lower().strip()) if x]
+    tc = sum(len(x) for x in w) + max(len(w) - 1, 0)
+    out = {
+        "dup_line_frac": lf, "dup_line_char_frac": lcf,
+        "dup_para_frac": pf, "dup_para_char_frac": pcf,
+    }
+    for n in (2, 3, 4):
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        best = 0.0
+        if grams and tc:
+            from collections import Counter
+
+            c = Counter(grams)
+            best = max(k * len(g) for g, k in c.items()) / tc
+        out[f"top_{n}_gram_char_frac"] = best
+    for n in range(5, 11):
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+        from collections import Counter
+
+        c = Counter(grams)
+        covered = set()
+        for i, g in enumerate(grams):
+            if c[g] >= 2:
+                covered.update(range(i, i + n))
+        if covered and tc:
+            # chars of covered words + separators INSIDE merged spans
+            spans = []
+            for j in sorted(covered):
+                if spans and j == spans[-1][1]:
+                    spans[-1][1] = j + 1
+                else:
+                    spans.append([j, j + 1])
+            chars = sum(
+                sum(len(w[k]) for k in range(s, e)) + (e - s - 1)
+                for s, e in spans
+            )
+            out[f"dup_{n}_gram_char_frac"] = chars / tc
+        else:
+            out[f"dup_{n}_gram_char_frac"] = 0.0
+    import math
+
+    return {
+        k: math.floor(v * 1e6 + 0.5) / 1e6 for k, v in out.items()
+    }
+
+
+def test_gopher_repetition_flags_match_python_model(spark):
+    """The full Table A1 battery equals the pure-python model on
+    planted shapes: clean prose, overlapping-gram degeneracy (frac
+    > 1, drop-hard), block repetition covering every dup-n, dup
+    lines/paragraphs, short and empty docs."""
+    from cybersecurity_miw_spark.operators import corpus_filters as cf
+
+    texts = [
+        "one two three four five six seven eight nine ten eleven twelve",
+        "spam spam spam spam spam spam",
+        "a b c d e f g h a b c d e f g h a b c d e f g h",
+        "line1\nline2\nline1\nline3",
+        "para one text\n\npara two text\n\npara one text",
+        "",
+        "tiny",
+        "the cat sat on the mat while the dog sat on the rug "
+        "and the cat sat on the mat again for good measure",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in cf.gopher_repetition_flags(df).collect()
+    }
+    for i, t in enumerate(texts):
+        want = _py_repetition(t)
+        mine = got[i]
+        for k, v in want.items():
+            assert mine[k] == pytest.approx(v, abs=1e-9), (i, k, mine[k], v)
+
+
+def test_gopher_repetition_keep_thresholds(spark):
+    """keep applies the paper's default thresholds to the ROUNDED
+    metrics; clean long prose passes, each planted pathology fails."""
+    from cybersecurity_miw_spark.operators import corpus_filters as cf
+
+    clean = " ".join(f"w{i}x{i * 7 % 13}" for i in range(60))
+    df = spark.createDataFrame(
+        [
+            (0, clean),
+            (1, clean + " " + clean),          # whole-doc repetition
+            (2, "ln\n" * 10 + clean),          # dup lines
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in cf.gopher_repetition_flags(df).collect()}
+    assert got[0]["keep"]
+    assert not got[1]["keep"] and got[1]["dup_10_gram_char_frac"] > 0.5
+    assert not got[2]["keep"] and got[2]["dup_line_frac"] > 0.30
+
+    with pytest.raises(ValueError, match="n = 2, 3, 4"):
+        cf.gopher_repetition_flags(df, max_top_ngram_char_frac=(0.2,))
+    with pytest.raises(ValueError, match="n = 5"):
+        cf.gopher_repetition_flags(df, max_dup_ngram_char_frac=(0.1,))

@@ -103,6 +103,15 @@ QUERY_NAMES = [
     # 10x; the gram explode + (id, bucket) agg are corpus-linear, the
     # LLR table stays n_buckets-bounded, the top-k is TakeOrdered
     "dsir_select_topk",
+    # r15: DSIR to a token budget — same weight plan + the bounded
+    # 1000-grade budget walk (fixed budget over a 10x pool: the
+    # backfill shape, like mix_to_budget)
+    "dsir_select_budget",
+    # r15: the full Gopher repetition battery — one 9-way posexplode
+    # + uniform (doc, n, gram) agg + per-(doc, n) islands window;
+    # rotation keeps gram vocabularies disjoint across copies and the
+    # planted %11/%7 structure appears at the same rate in every copy
+    "gopher_repetition_battery",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

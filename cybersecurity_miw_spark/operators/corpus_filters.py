@@ -447,30 +447,53 @@ def gopher_repetition_flags(
     para_f, para_cf = _dup_element_fracs(_elems("\n\n"))
 
     w = F.filter(F.split(norm, r"\s+"), lambda x: F.length(x) > 0)
-    # normalized char total: word chars + single separators
-    tot_chars = F.aggregate(
-        F.transform(w, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    ) + F.greatest(F.size(w) - 1, F.lit(0))
+    # per-doc word-length prefix sums: computed ONCE, used for (a) the
+    # normalized char total, (b) gram char lengths, (c) mapping
+    # coverage islands to chars — and the per-word hash array lets
+    # every gram hash be a hash of a LONG slice instead of a built
+    # string (measured at the 10x corpus: explode+count 10.8 s ->
+    # 7.2 s, full battery 16.7 s -> 15.5 s, SCALE.md r15)
     base = df.select(
         F.col(id_col),
         w.alias("_w"),
-        tot_chars.cast("long").alias("_tc"),
         line_f.alias("dup_line_frac"),
         line_cf.alias("dup_line_char_frac"),
         para_f.alias("dup_para_frac"),
         para_cf.alias("dup_para_char_frac"),
+    ).withColumn(
+        "_hw", F.expr("transform(_w, x -> xxhash64(x))")
+    ).withColumn(
+        "_p",
+        F.expr(
+            "aggregate(_w, array(0), (acc, x) -> "
+            "concat(acc, array(element_at(acc, -1) + length(x))))"
+        ),
+    ).withColumn(
+        "_tc",
+        (
+            F.expr("element_at(_p, -1)")
+            + F.greatest(F.size("_w") - 1, F.lit(0))
+        ).cast("long"),
     )
     from cybersecurity_miw_spark.cache import tracked_persist
 
     base = tracked_persist(base)
 
-    # one positional explode across all 9 n values; n rides the row
+    # one positional explode across all 9 n values; n rides the row.
+    # The gram never exists as a string: its identity is
+    # xxhash64(slice of the word-hash array) and its char length is a
+    # prefix-sum difference — the count key only needs identity, so
+    # shuffling (hash, len) instead of up-to-10-word strings keeps
+    # exchange bytes flat in n. A within-doc collision
+    # (≈ grams²/2⁶⁴ per doc) would merge two counts — beyond
+    # negligible at any real document length.
     ns = list(range(2, 11))
     gram_rows = base.select(
         id_col,
         "_tc",
         F.explode(F.array(*[F.lit(n) for n in ns])).alias("_n"),
-        F.col("_w"),
+        "_hw",
+        "_p",
     ).select(
         id_col,
         "_tc",
@@ -479,18 +502,29 @@ def gopher_repetition_flags(
             # sequence(a, b) DESCENDS when b < a, so short docs must
             # take the empty-array branch explicitly
             F.expr(
-                "IF(size(_w) >= _n, "
-                "transform(sequence(0, size(_w) - _n), "
-                "i -> array_join(slice(_w, i + 1, _n), ' ')), "
+                "IF(size(_hw) >= _n, "
+                "transform(sequence(0, size(_hw) - _n), "
+                "i -> named_struct("
+                "'h', xxhash64(slice(_hw, i + 1, _n)), "
+                "'l', element_at(_p, i + _n + 1) - element_at(_p, i + 1)"
+                " + _n - 1)), "
                 "array())"
             )
-        ).alias("_pos", "_g"),
+        ).alias("_pos", "_hg"),
+    ).select(
+        id_col,
+        "_tc",
+        "_n",
+        "_pos",
+        F.col("_hg.h").alias("_h"),
+        F.col("_hg.l").alias("_len"),
     )
     from cybersecurity_miw_spark.operators.dedup import staged
 
     gram_rows = staged(gram_rows)
-    counted = gram_rows.groupBy(id_col, "_n", "_g").agg(
+    counted = gram_rows.groupBy(id_col, "_n", "_h").agg(
         F.count(F.lit(1)).alias("_c"),
+        F.first("_len").alias("_len"),
         F.first("_tc").alias("_tc"),
     )
 
@@ -500,7 +534,7 @@ def gopher_repetition_flags(
         .groupBy(id_col, "_n")
         .agg(
             (
-                F.max(F.col("_c") * F.length("_g")).cast("double")
+                F.max(F.col("_c") * F.col("_len")).cast("double")
                 / F.first("_tc")
             ).alias("_frac")
         )
@@ -510,9 +544,9 @@ def gopher_repetition_flags(
     dup_occ = (
         gram_rows.join(
             counted.where((F.col("_n") >= 5) & (F.col("_c") >= 2)).select(
-                id_col, "_n", "_g"
+                id_col, "_n", "_h"
             ),
-            [id_col, "_n", "_g"],
+            [id_col, "_n", "_h"],
         )
         .select(
             id_col,
@@ -540,16 +574,9 @@ def gopher_repetition_flags(
         .groupBy(id_col, "_n", "_span")
         .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
     )
-    # map word spans to chars via the per-doc length prefix: chars in
-    # [s, e) = sum(len(w_j)) + (e - s - 1) separators
-    pref = base.select(
-        id_col,
-        "_tc",
-        F.expr(
-            "aggregate(_w, array(0), (acc, x) -> "
-            "concat(acc, array(element_at(acc, -1) + length(x))))"
-        ).alias("_p"),
-    )
+    # map word spans to chars via the per-doc length prefix (already
+    # on base): chars in [s, e) = P[e] - P[s] + (e - s - 1) separators
+    pref = base.select(id_col, "_tc", "_p")
     dupn = (
         islands.join(pref, id_col)
         .select(

@@ -112,6 +112,9 @@ QUERY_NAMES = [
     # rotation keeps gram vocabularies disjoint across copies and the
     # planted %11/%7 structure appears at the same rate in every copy
     "gopher_repetition_battery",
+    # r15: C4 page rules — shuffle-free per-row expressions; the
+    # planted pathology lines appear at the same %k rate per copy
+    "c4_page_rules",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

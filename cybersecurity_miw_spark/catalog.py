@@ -6032,6 +6032,125 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_filters.gopher_repetition_flags(pool)
 
 
+# C4 §2.2 page rules. The synthetic documents contain NO terminal
+# punctuation, so the pool plants sentences deterministically in both
+# engines: a period after three common words, then sentence breaks
+# become line breaks (docs with <5 of those words fail the sentence
+# rule naturally); %13/%17/%19/%23 docs append one lorem / brace /
+# javascript / planted-badword line each.
+_C4_SQL = """
+WITH d0 AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(coalesce(text, ''),
+             ' join ', ' join. '),
+             ' hash ', ' hash. '),
+             ' row ', ' row. '),
+             '. ', '.' || chr(10)) AS t
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+                THEN t || chr(10) || 'lorem ipsum dolor sit amet.'
+              WHEN doc_id % 17 = 0
+                THEN t || chr(10) || 'this line has a brace { in it.'
+              WHEN doc_id % 19 = 0
+                THEN t || chr(10) || 'please enable javascript to continue.'
+              WHEN doc_id % 23 = 0
+                THEN t || chr(10) || 'this line hides xbadwordx in plain sight.'
+              ELSE t END AS raw
+  FROM d0
+),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(str_split(raw, chr(10)),
+                                    x -> trim(x)), x -> len(x) > 0) AS lines
+  FROM d
+),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, e ->
+           regexp_matches(e, '[.!?]["'']?$')
+           AND len(list_filter(str_split_regex(e, '\\s+'),
+                               x -> len(x) > 0)) >= 3
+           AND NOT regexp_matches(lower(e), '\\bjavascript\\b')) AS kept
+  FROM l
+),
+c AS (
+  SELECT doc_id, lines, kept,
+         -- array_to_string([]) is NULL in DuckDB; Spark array_join
+         -- gives '' — coalesce so empty pages agree
+         coalesce(array_to_string(kept, chr(10)), '') AS clean
+  FROM k
+)
+SELECT doc_id,
+       clean AS clean_text,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(len(str_split_regex(clean, '[.!?]+')) - 1 AS BIGINT)
+         AS n_sentences,
+       contains(lower(clean), 'lorem ipsum') AS has_lorem_ipsum,
+       contains(clean, '{') AS has_brace,
+       regexp_matches(lower(clean), '\\b(xbadwordx)\\b') AS has_badword,
+       (len(str_split_regex(clean, '[.!?]+')) - 1 >= 5
+        AND NOT contains(lower(clean), 'lorem ipsum')
+        AND NOT contains(clean, '{')
+        AND NOT regexp_matches(lower(clean), '\\b(xbadwordx)\\b')) AS keep
+FROM c
+"""
+
+
+@register("c4_page_rules", _C4_SQL)
+def q_c4_page_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 §2.2 page cleaning (operators/corpus_filters.py:
+    c4_page_filters): terminal-punct line retention, short/javascript
+    line drops, lorem-ipsum / brace / badword / sentence-count page
+    flags — shuffle-free per-row expressions. The pool plants
+    sentence and pathology structure (see the SQL comment) so every
+    rule fires on real rows."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    t = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(raw, F.lit(" join "), F.lit(" join. ")),
+                F.lit(" hash "),
+                F.lit(" hash. "),
+            ),
+            F.lit(" row "),
+            F.lit(" row. "),
+        ),
+        F.lit(". "),
+        F.lit(".\n"),
+    )
+    pool = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(t, F.lit("\nlorem ipsum dolor sit amet.")),
+        )
+        .when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(t, F.lit("\nthis line has a brace { in it.")),
+        )
+        .when(
+            F.col("doc_id") % 19 == 0,
+            F.concat(t, F.lit("\nplease enable javascript to continue.")),
+        )
+        .when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                t, F.lit("\nthis line hides xbadwordx in plain sight.")
+            ),
+        )
+        .otherwise(t)
+        .alias("text"),
+    )
+    return corpus_filters.c4_page_filters(pool, badwords=("xbadwordx",))
+
+
 _TOP_BIGRAM_SQL = f"""
 WITH w AS (
   SELECT doc_id, str_split_regex(lower(trim(coalesce(text, ''))), '\\s+') AS w FROM documents
@@ -8886,14 +9005,15 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-15 rotation: IN = the six new r15 oracles
+    # Round-15 rotation: IN = the seven new r15 oracles
     # (mix_to_budget_epochs — repetition-capped temperature mixing;
     # assemble_manifest — the end-to-end assemble_dataset doc→shard
     # manifest; mix_report_by_source — the per-source dataset card
     # over the same budget mix; dsir_select_topk — DSIR importance
     # resampling; dsir_select_budget — DSIR to a token budget;
     # gopher_repetition_battery — the full Table A1 repetition
-    # battery), first-round rows as the rotation invariant requires.
+    # battery; c4_page_rules — the C4 §2.2 page-cleaning rules),
+    # first-round rows as the rotation invariant requires.
     # OUT also includes app_word_reverse_index (longest-green §2.8
     # veteran; the apps family keeps app_pca_covariance +
     # app_kmeans_step in-window) for the card row.
@@ -8993,7 +9113,10 @@ _DRIVER_WINDOW = [
     "pii_redact_counts",
     "chunk_fixed_windows",
     "asof_join_latest_snapshot",
-    "quality_weighted_sample",
+    # (quality_weighted_sample rotated out r15 for c4_page_rules — the
+    #  sampling family keeps temperature_mix_prefix,
+    #  mix_to_budget_epochs, mix_report_by_source and the assemble
+    #  chain in-window)
     "corpus_report_by_source",
     # --- last row round 7 (oldest first by registration order) ---
     # (agg_union_count_histogram rotated out r15 for dsir_select_topk —
@@ -9044,6 +9167,7 @@ _DRIVER_WINDOW = [
     "dsir_select_topk",
     "dsir_select_budget",
     "gopher_repetition_battery",
+    "c4_page_rules",
 ]
 
 

@@ -643,3 +643,75 @@ def gopher_repetition_flags(
     for name, t in thresholds.items():
         keep = keep & (F.col(name) <= F.lit(float(t)))
     return rounded.withColumn("keep", keep)
+
+
+def c4_page_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords: tuple = (),
+) -> DataFrame:
+    """The C4 §2.2 page-cleaning rules (Raffel et al. 2020) as one
+    per-row operator — the WITHIN-page half
+    (:func:`remove_boilerplate_lines` covers the cross-document
+    rule):
+
+    * keep only lines ending in terminal punctuation (. ! ? or a
+      closing quote after one),
+    * drop lines with fewer than ``min_words_per_line`` words or
+      containing the word "javascript" (case-insensitive),
+    * flag the whole page when it contains "lorem ipsum" or a curly
+      brace, has fewer than ``min_sentences`` sentences after line
+      cleaning, or (when ``badwords`` is supplied) any badword as a
+      whole word.
+
+    Returns (id, clean_text, n_lines, n_lines_kept, n_sentences,
+    has_lorem_ipsum, has_brace, has_badword, keep). Pure per-row
+    array/string expressions: shuffle-free, whole-stage-codegen'd,
+    trivially parallel at any corpus size. Flagging, not deletion —
+    ``keep`` is the paper's page rule, the caller filters."""
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(raw, "\n"), lambda e: F.trim(e)),
+        lambda e: F.length(e) > 0,
+    )
+
+    def line_ok(e: Column) -> Column:
+        terminal = e.rlike('[.!?]["\']?$')
+        words = F.size(
+            F.filter(F.split(e, r"\s+"), lambda x: F.length(x) > 0)
+        )
+        has_js = F.lower(e).rlike(r"\bjavascript\b")
+        return terminal & (words >= F.lit(min_words_per_line)) & ~has_js
+
+    kept = F.filter(lines, line_ok)
+    clean = F.array_join(kept, "\n")
+    # sentence count over the CLEANED page: terminal-punct runs
+    n_sent = F.size(F.split(clean, r"[.!?]+")) - 1
+    low = F.lower(clean)
+    has_lorem = low.contains("lorem ipsum")
+    has_brace = clean.contains("{")
+    if badwords:
+        pat = "\\b(" + "|".join(badwords) + ")\\b"
+        has_bad = low.rlike(pat)
+    else:
+        has_bad = F.lit(False)
+    keep = (
+        (n_sent >= F.lit(min_sentences))
+        & ~has_lorem
+        & ~has_brace
+        & ~has_bad
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        has_bad.alias("has_badword"),
+        keep.alias("keep"),
+    )

@@ -313,3 +313,56 @@ def test_gopher_repetition_keep_thresholds(spark):
         cf.gopher_repetition_flags(df, max_top_ngram_char_frac=(0.2,))
     with pytest.raises(ValueError, match="n = 5"):
         cf.gopher_repetition_flags(df, max_dup_ngram_char_frac=(0.1,))
+
+
+def test_c4_page_filters_rules(spark):
+    """C4 §2.2 page rules: terminal-punct line retention, short-line
+    and javascript drops, lorem-ipsum / brace / sentence-count /
+    badword page flags — each rule pinned on a planted page."""
+    from cybersecurity_miw_spark.operators import corpus_filters as cf
+
+    good = "\n".join(
+        f"this is sentence number {i} and it is fine." for i in range(6)
+    )
+    pages = [
+        (0, good),
+        (1, good + "\nno terminal punct line\nshort one."),
+        (2, good + "\nenable javascript to view this page."),
+        (3, good + "\nLorem Ipsum dolor sit amet."),
+        (4, good + "\nfunction() { return 1; } and more."),
+        (5, "one sentence only."),
+        (6, good + "\nthis page has a banned badword here."),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in cf.c4_page_filters(df, badwords=("badword",)).collect()
+    }
+    assert got[0]["keep"] and got[0]["n_lines_kept"] == 6
+    # line without terminal punct dropped; 2-word line dropped
+    assert got[1]["keep"] and got[1]["n_lines_kept"] == 6
+    assert "no terminal punct" not in got[1]["clean_text"]
+    assert "short one." not in got[1]["clean_text"]
+    # javascript line dropped but page keeps (enough sentences remain)
+    assert got[2]["keep"] and "javascript" not in got[2]["clean_text"]
+    assert not got[3]["keep"] and got[3]["has_lorem_ipsum"]
+    assert not got[4]["keep"] and got[4]["has_brace"]
+    assert not got[5]["keep"] and got[5]["n_sentences"] < 5
+    assert not got[6]["keep"] and got[6]["has_badword"]
+    assert not got[7]["keep"] and got[7]["n_lines"] == 0
+
+    # no badwords supplied -> rule off, page 6 passes
+    got2 = {
+        r["doc_id"]: r for r in cf.c4_page_filters(df).collect()
+    }
+    assert got2[6]["keep"] and not got2[6]["has_badword"]
+
+    # shuffle-free plan
+    plan = (
+        cf.c4_page_filters(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

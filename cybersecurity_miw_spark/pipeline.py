@@ -23,7 +23,11 @@ def curate_documents(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    c4_rules: bool = False,
+    c4_kwargs: dict | None = None,
     apply_gopher: bool = True,
+    repetition_rules: bool = False,
+    repetition_kwargs: dict | None = None,
     redact_pii: bool = True,
     quality_floor: float | None = 0.3,
     near_dup_threshold: float | None = 0.8,
@@ -75,6 +79,15 @@ def curate_documents(
     ~one materialization per stage for the visibility; the default
     unmonitored plan stays fully lazy.
 
+    ``c4_rules`` (r15): run the C4 §2.2 page cleaning FIRST —
+    ``text_col`` is replaced by the line-cleaned page and pages the
+    paper's rules reject are dropped, so every later stage (gopher
+    stats, profiling, dedup fingerprints) describes the cleaned text,
+    the published order. ``repetition_rules`` (r15): after the gopher
+    word-level rules, drop docs failing the full Table A1 repetition
+    battery (corpus_filters.gopher_repetition_flags). Both off by
+    default — the pre-r15 chain is byte-identical.
+
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
     (dedup.fingerprint_store schema) — the exact-dedup stage then
@@ -105,6 +118,19 @@ def curate_documents(
         n_prev = n
         return new_out
 
+    if c4_rules:
+        cleaned = corpus_filters.c4_page_filters(
+            out, text_col=text_col, id_col=id_col, **(c4_kwargs or {})
+        )
+        out = _record(
+            "c4_rules",
+            out.drop(text_col)
+            .join(
+                cleaned.filter(F.col("keep")).select(id_col, "clean_text"),
+                id_col,
+            )
+            .withColumnRenamed("clean_text", text_col),
+        )
     if apply_gopher:
         flags = corpus_filters.gopher_flags(
             out, text_col=text_col, **(gopher_kwargs or {})
@@ -112,6 +138,15 @@ def curate_documents(
         out = _record(
             "gopher",
             out.join(flags.filter(F.col("keep")).select(id_col), id_col),
+        )
+    if repetition_rules:
+        rep = corpus_filters.gopher_repetition_flags(
+            out, text_col=text_col, id_col=id_col,
+            **(repetition_kwargs or {}),
+        )
+        out = _record(
+            "repetition",
+            out.join(rep.filter(F.col("keep")).select(id_col), id_col),
         )
     if redact_pii:
         scrubbed = corpus_filters.pii_redact(

@@ -453,3 +453,55 @@ def test_assemble_dataset_writes_manifest_data_card(spark, tmp_path):
         for r in ev.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert [s["stage"] for s in man["funnel"]] == ["train_split", "mix"]
+
+
+def test_curate_documents_c4_and_repetition_stages(spark):
+    """r15 opt-in stages: c4_rules cleans pages FIRST (later stages
+    see the cleaned text) and drops paper-rejected pages; repetition
+    drops Table A1 failures after gopher; both off keeps the previous
+    chain byte-identical."""
+    good_page = "\n".join(
+        f"word{i} thing{i} item{i} extra{i} more{i} token{i} other{i} "
+        f"final{i} piece{i} unit{i} part{i} bit{i} seg{i} frag{i} el{i} "
+        f"is sentence {i} ok." for i in range(8)
+    )
+    rep_page = "\n".join(
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa ok."
+        for _ in range(8)
+    )
+    rows = [
+        (0, good_page),
+        (1, good_page + "\nlorem ipsum dolor sit amet."),  # page rejected
+        (2, rep_page),                                      # repetition fail
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    m: list = []
+    out = pipeline.curate_documents(
+        df,
+        c4_rules=True,
+        repetition_rules=True,
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+        metrics=m,
+    )
+    ids = {r["doc_id"] for r in out.collect()}
+    assert [x["stage"] for x in m] == ["c4_rules", "repetition", "exact_dedup"]
+    assert 1 not in ids  # lorem page rejected by C4
+    assert 2 not in ids  # repeated-line page rejected by the battery
+    assert 0 in ids
+
+    # default chain untouched when both flags stay off
+    m2: list = []
+    base = pipeline.curate_documents(
+        df,
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+        metrics=m2,
+    )
+    assert [x["stage"] for x in m2] == ["exact_dedup"]
+    assert {r["doc_id"] for r in base.collect()} == {0, 1, 2}

@@ -215,8 +215,16 @@ def dsir_select_to_budget(
         )
     if grades < 1:
         raise ValueError(f"grades must be >= 1, got {grades}")
-    scored = dsir_log_weights(
-        raw, target, text_col, id_col, n_buckets, bigrams
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    # budget_select references its input several times (bucket
+    # totals, offsets, the boundary window, the output join) — stage
+    # the weight chain ONCE or every reference re-runs both corpus
+    # gram scans (the unstaged plan printed 54 exchanges)
+    scored = staged(
+        dsir_log_weights(
+            raw, target, text_col, id_col, n_buckets, bigrams
+        )
     )
     lo, hi = scored.agg(
         F.min("llr_micro_sum"), F.max("llr_micro_sum")

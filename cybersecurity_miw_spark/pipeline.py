@@ -428,11 +428,16 @@ def assemble_dataset(
         import json
 
         from cybersecurity_miw_spark import fsutil
+        from cybersecurity_miw_spark.operators.dedup import staged
         from cybersecurity_miw_spark.sources.shards import (
             verify_shards,
             write_shards,
         )
 
+        # the eval write and the manifest's eval counts re-reference
+        # the split chain (leakage join + md5 hashing) — stage it so
+        # the write path computes the split once
+        split = staged(split)
         write_shards(
             out, f"{out_dir}/train", shard_rows,
             order_cols=tuple(order_cols),

@@ -8616,6 +8616,49 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# n-gram diversity (the distinct-n mix audit): per source and n,
+# total gram occurrences vs distinct grams — the collapse detector a
+# pipeline runs on an assembled mix
+_DIVERSITY_SQL = """
+WITH w AS (
+  SELECT source,
+         list_filter(str_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+'), x -> len(x) > 0) AS w
+  FROM documents
+),
+ns AS (SELECT unnest([1, 2, 3]) AS n),
+g AS (
+  SELECT source, n,
+         unnest([array_to_string(w[i+1:i+n], ' ')
+                 FOR i IN generate_series(0, len(w) - n)]) AS gram
+  FROM w, ns WHERE len(w) >= n
+)
+SELECT source, CAST(n AS INT) AS n,
+       count(*) AS total_grams,
+       count(DISTINCT gram) AS distinct_grams,
+       floor(count(DISTINCT gram)::DOUBLE / count(*) * 1000000 + 0.5)
+         / 1000000 AS distinct_frac
+FROM g GROUP BY source, n
+"""
+
+
+@register("ngram_diversity_by_source", _DIVERSITY_SQL)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity audit per source
+    (operators/textstats.py:ngram_diversity_report): total vs
+    distinct {1,2,3}-gram occurrences and the distinct fraction —
+    the collapse detector for assembled mixes. Exact form (string
+    countDistinct, oracle-hashable); approx HLL twin via
+    exact=False at scale."""
+    docs = load_table(spark, sf_dir, "documents", widen=True)
+    rep = textstats.ngram_diversity_report(docs, by="source")
+    return rep.select(
+        "source",
+        F.col("n").cast("int").alias("n"),
+        "total_grams", "distinct_grams", "distinct_frac",
+    )
+
+
 # Sketch-based scale twins: mergeable single-pass state (HLL++ /
 # KLL-style quantiles) replaces the exact expansions at 100 TB. No
 # SQL oracle on purpose — sketch estimates are engine-specific, so
@@ -9005,14 +9048,15 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-15 rotation: IN = the seven new r15 oracles
+    # Round-15 rotation: IN = the eight new r15 oracles
     # (mix_to_budget_epochs — repetition-capped temperature mixing;
     # assemble_manifest — the end-to-end assemble_dataset doc→shard
     # manifest; mix_report_by_source — the per-source dataset card
     # over the same budget mix; dsir_select_topk — DSIR importance
     # resampling; dsir_select_budget — DSIR to a token budget;
     # gopher_repetition_battery — the full Table A1 repetition
-    # battery; c4_page_rules — the C4 §2.2 page-cleaning rules),
+    # battery; c4_page_rules — the C4 §2.2 page-cleaning rules;
+    # ngram_diversity_by_source — the distinct-n mix audit),
     # first-round rows as the rotation invariant requires.
     # OUT also includes app_word_reverse_index (longest-green §2.8
     # veteran; the apps family keeps app_pca_covariance +
@@ -9137,6 +9181,10 @@ _DRIVER_WINDOW = [
     # (embedding_near_dup_lsh rotated out for the new cross-containment
     #  row; the embedding family keeps cosine_brute_topk,
     #  pairwise_topk_lsh, and the semantic rows in-window)
+    # (containment_pairs_exact rotated out r15 for the new
+    #  ngram_diversity_by_source row — the containment family keeps
+    #  containment_cross_decontaminate +
+    #  incremental_containment_vs_store in-window)
     "containment_cross_decontaminate",
     "multimodal_media_stats",
     # --- new r11 oracles (first-round rows; displace the youngest
@@ -9146,7 +9194,6 @@ _DRIVER_WINDOW = [
     #     multimodal_media_stats) ---
     "semantic_dedup_survivors",
     "hybrid_rrf_topk_docs",
-    "containment_pairs_exact",
     "incremental_semantic_vs_store",
     # --- new r13 oracles (first-round rows, one round overdue) ---
     "phash_fingerprints",
@@ -9168,6 +9215,7 @@ _DRIVER_WINDOW = [
     "dsir_select_budget",
     "gopher_repetition_battery",
     "c4_page_rules",
+    "ngram_diversity_by_source",
 ]
 
 

@@ -1494,3 +1494,50 @@ def test_band_store_probes_never_emit_self_pairs(spark):
     sh_store = dedup.simhash_band_store(docs)
     sh = dedup.incremental_simhash_candidates(docs, sh_store).collect()
     assert sh and all(r["new_id"] != r["stored_id"] for r in sh)
+
+
+def test_ngram_diversity_report_detects_collapse(spark):
+    """Distinct-n audit (r15): an upsampled (repeated) corpus scores a
+    strictly lower distinct_frac than the original at every n; the
+    corpus-wide and per-group forms agree on totals; the approx HLL
+    path returns the same shape with a close estimate; bad n
+    validates."""
+    import pytest
+
+    from cybersecurity_miw_spark.operators import textstats
+
+    rows = [(i, "src", f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    rep = {
+        r["n"]: r for r in textstats.ngram_diversity_report(df).collect()
+    }
+    assert rep[1]["total_grams"] == 80 and rep[1]["distinct_grams"] == 80
+    assert rep[1]["distinct_frac"] == 1.0
+
+    # 3x-upsampled mix: same distinct grams, 3x occurrences
+    up = df.unionByName(df).unionByName(df)
+    urep = {
+        r["n"]: r
+        for r in textstats.ngram_diversity_report(up).collect()
+    }
+    for n in (1, 2, 3):
+        assert urep[n]["total_grams"] == 3 * rep[n]["total_grams"]
+        assert urep[n]["distinct_grams"] == rep[n]["distinct_grams"]
+        assert urep[n]["distinct_frac"] < rep[n]["distinct_frac"]
+
+    # per-group form partitions the same totals
+    g = {
+        (r["source"], r["n"]): r
+        for r in textstats.ngram_diversity_report(df, by="source").collect()
+    }
+    assert g[("src", 1)]["total_grams"] == rep[1]["total_grams"]
+
+    # approx path: same schema, estimate within HLL tolerance
+    a = {
+        r["n"]: r
+        for r in textstats.ngram_diversity_report(df, exact=False).collect()
+    }
+    assert abs(a[1]["distinct_grams"] - 80) <= 8
+
+    with pytest.raises(ValueError, match="ns must be"):
+        textstats.ngram_diversity_report(df, ns=(0,))

@@ -115,6 +115,10 @@ QUERY_NAMES = [
     # r15: C4 page rules — shuffle-free per-row expressions; the
     # planted pathology lines appear at the same %k rate per copy
     "c4_page_rules",
+    # r15: distinct-n diversity — rotation keeps per-copy gram
+    # vocabularies disjoint, so distinct counts grow ~10x with totals
+    # (the honest no-upsampling baseline shape)
+    "ngram_diversity_by_source",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

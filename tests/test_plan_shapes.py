@@ -247,6 +247,31 @@ MAX_EXCHANGES = {
     # localCheckpoints, so the printed plan is only the final
     # anti-join lineage (3 fresh, +2 headroom)
     "semantic_dedup_clusters": 5,
+    # --- r15 additions (textual counts from a clean cache; staged
+    #     subtrees re-print per reference as usual) ---
+    # one window exchange (rank + running token sum co-partitioned)
+    "mix_to_budget_epochs": 3,
+    # the mix window + the card's source agg (share window rides the
+    # sources-bounded aggregate)
+    "mix_report_by_source": 4,
+    # clusters (behind localCheckpoints) + leakage join + mix window
+    # + chunk join (8 textual, +2 headroom)
+    "assemble_manifest": 10,
+    # two gram-profile aggs + llr broadcast + per-doc sum + output
+    # join + TakeOrdered (9 textual, +2)
+    "dsir_select_topk": 11,
+    # dsir_select_budget is EXCLUDED: the staged weight chain's
+    # InMemoryRelation re-prints under budget_select's many
+    # references (~99 textual for ~10 real shuffles) — its plan is
+    # pinned by the oracle + the measured 10x point instead
+    # 9-way gram explode agg + occurrence join + islands windows +
+    # pivot + final join over the persisted base (13 textual, +2)
+    "gopher_repetition_battery": 15,
+    # pure narrow per-row expressions; the 1 is the catalog fixture's
+    # widening repartition (load_table widen=True)
+    "c4_page_rules": 1,
+    # per-n gram union + (source, n) count/distinct agg (5 textual)
+    "ngram_diversity_by_source": 7,
 }
 
 

@@ -135,3 +135,43 @@ def test_verify_shards_flags_oversized_file(spark, corpus, tmp_path):
     rep = verify_shards(spark, out, shard_rows=100)
     assert not rep["ok"] and not rep["size_bounded"]
     assert rep["ordered_within_files"] and rep["ranges_disjoint"]
+
+
+def test_verify_shards_property_random_corpora(spark, tmp_path):
+    """Property: for random corpus sizes, key distributions, and
+    shard budgets, a fresh write_shards layout ALWAYS verifies green
+    with exact row counts and within-budget files."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cybersecurity_miw_spark.sources.shards import (
+        verify_shards,
+        write_shards,
+    )
+
+    case = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        shard_rows=st.integers(min_value=1, max_value=150),
+        mult=st.integers(min_value=1, max_value=97),
+    )
+    def check(n, shard_rows, mult):
+        case[0] += 1
+        out = str(tmp_path / f"s{case[0]}")
+        df = (
+            spark.range(0, n)
+            .selectExpr("id AS doc_id")
+            .selectExpr(
+                "doc_id",
+                f"CAST(doc_id * {mult} % 1000 AS DOUBLE) AS mix_key",
+            )
+        )
+        write_shards(df, out, shard_rows=shard_rows, n_rows=n)
+        rep = verify_shards(spark, out, shard_rows=shard_rows, n_rows=n)
+        assert rep["ok"], rep
+        assert rep["n_rows"] == n
+        assert rep["max_file_rows"] <= shard_rows
+
+    check()

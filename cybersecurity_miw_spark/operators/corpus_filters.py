@@ -420,7 +420,7 @@ def gopher_repetition_flags(
     * dup-n coverage = chars inside the UNION of word spans of grams
       occurring ≥ 2× in the doc (gaps-and-islands merge — overlapping
       hits never double-count) / normalized text chars, with
-      word-length prefix sums mapping token spans to chars.
+      word-length slice sums mapping token spans to chars.
 
     Plan shape (100 TB): line/paragraph metrics are shuffle-free row
     expressions; the gram battery is ONE posexplode over 9 n values →
@@ -447,12 +447,18 @@ def gopher_repetition_flags(
     para_f, para_cf = _dup_element_fracs(_elems("\n\n"))
 
     w = F.filter(F.split(norm, r"\s+"), lambda x: F.length(x) > 0)
-    # per-doc word-length prefix sums: computed ONCE, used for (a) the
-    # normalized char total, (b) gram char lengths, (c) mapping
-    # coverage islands to chars — and the per-word hash array lets
-    # every gram hash be a hash of a LONG slice instead of a built
-    # string (measured at the 10x corpus: explode+count 10.8 s ->
-    # 7.2 s, full battery 16.7 s -> 15.5 s, SCALE.md r15)
+    # per-doc word-length array `_wl`: built once (one linear
+    # transform), then every span-to-chars mapping is a bounded slice
+    # sum over it — gram chars sum ≤ 10 elements, island chars sum
+    # disjoint ranges totalling ≤ words per (doc, n). NOT a prefix-sum
+    # array: aggregate-with-concat copies the accumulator every step
+    # (O(words²) time/alloc per doc — ADVICE r15), which a 10k-word
+    # web page turns into the task's dominant cost. The slice sums
+    # keep total work O(Σn · words) with scalar accumulators only.
+    # The per-word hash array `_hw` lets every gram hash be a hash of
+    # a LONG slice instead of a built string (measured at the 10x
+    # corpus: explode+count 10.8 s -> 7.2 s, full battery 16.7 s ->
+    # 15.5 s, SCALE.md r15)
     base = df.select(
         F.col(id_col),
         w.alias("_w"),
@@ -463,15 +469,11 @@ def gopher_repetition_flags(
     ).withColumn(
         "_hw", F.expr("transform(_w, x -> xxhash64(x))")
     ).withColumn(
-        "_p",
-        F.expr(
-            "aggregate(_w, array(0), (acc, x) -> "
-            "concat(acc, array(element_at(acc, -1) + length(x))))"
-        ),
+        "_wl", F.expr("transform(_w, x -> length(x))")
     ).withColumn(
         "_tc",
         (
-            F.expr("element_at(_p, -1)")
+            F.expr("aggregate(_wl, 0L, (a, x) -> a + x)")
             + F.greatest(F.size("_w") - 1, F.lit(0))
         ).cast("long"),
     )
@@ -482,7 +484,7 @@ def gopher_repetition_flags(
     # one positional explode across all 9 n values; n rides the row.
     # The gram never exists as a string: its identity is
     # xxhash64(slice of the word-hash array) and its char length is a
-    # prefix-sum difference — the count key only needs identity, so
+    # ≤10-element slice sum — the count key only needs identity, so
     # shuffling (hash, len) instead of up-to-10-word strings keeps
     # exchange bytes flat in n. A within-doc collision
     # (≈ grams²/2⁶⁴ per doc) would merge two counts — beyond
@@ -493,7 +495,7 @@ def gopher_repetition_flags(
         "_tc",
         F.explode(F.array(*[F.lit(n) for n in ns])).alias("_n"),
         "_hw",
-        "_p",
+        "_wl",
     ).select(
         id_col,
         "_tc",
@@ -506,8 +508,8 @@ def gopher_repetition_flags(
                 "transform(sequence(0, size(_hw) - _n), "
                 "i -> named_struct("
                 "'h', xxhash64(slice(_hw, i + 1, _n)), "
-                "'l', element_at(_p, i + _n + 1) - element_at(_p, i + 1)"
-                " + _n - 1)), "
+                "'l', aggregate(slice(_wl, i + 1, _n), 0, "
+                "(a, x) -> a + x) + _n - 1)), "
                 "array())"
             )
         ).alias("_pos", "_hg"),
@@ -574,18 +576,23 @@ def gopher_repetition_flags(
         .groupBy(id_col, "_n", "_span")
         .agg(F.min("_s").alias("_s"), F.max("_e").alias("_e"))
     )
-    # map word spans to chars via the per-doc length prefix (already
-    # on base): chars in [s, e) = P[e] - P[s] + (e - s - 1) separators
-    pref = base.select(id_col, "_tc", "_p")
+    # map word spans to chars via the per-doc word-length array
+    # (already on base): chars in [s, e) = Σ len(word_i) for i in
+    # [s, e) + (e - s - 1) separators. Islands are disjoint per
+    # (doc, n), so these slice sums total ≤ words per (doc, n) —
+    # linear, with no prefix-sum array to build quadratically.
+    wlens = base.select(id_col, "_tc", "_wl")
     dupn = (
-        islands.join(pref, id_col)
+        islands.join(wlens, id_col)
         .select(
             id_col,
             "_n",
             "_tc",
             (
-                F.expr("element_at(_p, cast(_e + 1 as int))")
-                - F.expr("element_at(_p, cast(_s + 1 as int))")
+                F.expr(
+                    "aggregate(slice(_wl, cast(_s + 1 as int), "
+                    "cast(_e - _s as int)), 0L, (a, x) -> a + x)"
+                )
                 + (F.col("_e") - F.col("_s") - 1)
             ).alias("_chars"),
         )
@@ -694,7 +701,13 @@ def c4_page_filters(
     has_lorem = low.contains("lorem ipsum")
     has_brace = clean.contains("{")
     if badwords:
-        pat = "\\b(" + "|".join(badwords) + ")\\b"
+        # regex-escape each term: a badword like "c++" or "a.b" must
+        # match literally, not as a (possibly invalid) pattern
+        # (ADVICE r15). A SQL twin must escape identically — DuckDB's
+        # regexp_matches reads the same alternation.
+        import re
+
+        pat = "\\b(" + "|".join(re.escape(b) for b in badwords) + ")\\b"
         has_bad = low.rlike(pat)
     else:
         has_bad = F.lit(False)

@@ -73,6 +73,10 @@ def hashed_ngram_counts(
     bucket = md5(gram) mod n_buckets (the engine-portable hash every
     sampling op here uses). One explode + one count agg on the
     uniform (id, bucket) key."""
+    if n_buckets < 1:
+        # pmod(x, 0) yields null buckets and every doc silently
+        # scores 0 downstream (ADVICE r15) — fail loudly instead
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     g = _grams(df, text_col, id_col, bigrams)
     b = F.pmod(
         F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
@@ -85,28 +89,32 @@ def hashed_ngram_counts(
     )
 
 
-def dsir_bucket_llr(
+def _bucket_model(
     raw: DataFrame,
     target: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_buckets: int = DEFAULT_BUCKETS,
-    bigrams: bool = True,
-) -> DataFrame:
-    """The model: per-bucket micro-nat log-likelihood ratio
-    ``llr_micro = floor(1e6 · (ln p̂_target(b) − ln p̂_raw(b)) + 0.5)``
-    with add-one smoothing over ``n_buckets`` (p̂(b) = (c_b + 1) /
-    (total + n_buckets)). Output is one row per raw-observed bucket —
-    ≤ n_buckets rows, the always-broadcastable side of the scoring
-    join. Totals are two scalars to the driver (the IVF-centroid
-    bounded-traffic precedent), so the LLR is a narrow projection
-    over integer counts."""
-    rb = (
-        hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("rc"))
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    bigrams: bool,
+    raw_profile: DataFrame | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Shared staged model build: (joined (bucket, rc, tc, llr_micro)
+    frame, tot_r, tot_t). The per-corpus bucket totals rb/tb are
+    ``staged()`` BEFORE the two scalar total actions, so each corpus
+    is gram-scanned exactly once however many times the caller
+    references the model (ADVICE r15 — the unstaged chain re-ran both
+    scans at the totals AND at the final action, ~4-5 scans per
+    call). ``raw_profile`` lets :func:`dsir_log_weights` reuse its
+    per-doc profile so raw is not even profile-scanned twice."""
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    prof = (
+        raw_profile
+        if raw_profile is not None
+        else hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
     )
-    tb = (
+    rb = staged(prof.groupBy("bucket").agg(F.sum("cnt").alias("rc")))
+    tb = staged(
         hashed_ngram_counts(target, text_col, id_col, n_buckets, bigrams)
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("tc"))
@@ -125,7 +133,33 @@ def dsir_bucket_llr(
     llr = F.floor(
         (F.log(p) - F.log(q)) * F.lit(1_000_000.0) + F.lit(0.5)
     ).cast("long")
-    return joined.select("bucket", llr.alias("llr_micro"))
+    return (
+        joined.select("bucket", "rc", "tc", llr.alias("llr_micro")),
+        int(tot_r),
+        int(tot_t),
+    )
+
+
+def dsir_bucket_llr(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """The model: per-bucket micro-nat log-likelihood ratio
+    ``llr_micro = floor(1e6 · (ln p̂_target(b) − ln p̂_raw(b)) + 0.5)``
+    with add-one smoothing over ``n_buckets`` (p̂(b) = (c_b + 1) /
+    (total + n_buckets)). Output is one row per raw-observed bucket —
+    ≤ n_buckets rows, the always-broadcastable side of the scoring
+    join. Totals are two scalars to the driver (the IVF-centroid
+    bounded-traffic precedent) taken off STAGED bucket counts, so
+    each corpus is gram-scanned once per model build (ADVICE r15)."""
+    model, _, _ = _bucket_model(
+        raw, target, text_col, id_col, n_buckets, bigrams
+    )
+    return model.select("bucket", "llr_micro")
 
 
 def dsir_log_weights(
@@ -142,10 +176,18 @@ def dsir_log_weights(
     text) score 0. Plan: the per-doc profile joins the broadcast LLR
     table on bucket, one sum per doc, one join back to the full
     rows."""
-    prof = hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
-    llr = dsir_bucket_llr(
-        raw, target, text_col, id_col, n_buckets, bigrams
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    # stage the per-doc profile: it feeds BOTH the model's raw bucket
+    # totals and the scoring join below — one gram scan of raw total
+    prof = staged(
+        hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
     )
+    model, _, _ = _bucket_model(
+        raw, target, text_col, id_col, n_buckets, bigrams,
+        raw_profile=prof,
+    )
+    llr = model.select("bucket", "llr_micro")
     # bcast-bound: llr = bucket model (n_buckets-bounded, not sf-scaled)
     sums = (
         prof.join(F.broadcast(llr), "bucket")
@@ -229,6 +271,11 @@ def dsir_select_to_budget(
     lo, hi = scored.agg(
         F.min("llr_micro_sum"), F.max("llr_micro_sum")
     ).first()
+    if lo is None or hi is None:
+        # empty raw corpus: min/max are null and int(hi) would raise
+        # an opaque TypeError (ADVICE r15) — return the (empty) frame
+        # with the contract schema instead
+        return scored.withColumn("dsir_grade", F.lit(0).cast("int"))
     span = max(int(hi) - int(lo), 1)
     grade = F.floor(
         (F.col("llr_micro_sum") - F.lit(int(lo)))
@@ -274,28 +321,11 @@ def write_dsir_model(
     from cybersecurity_miw_spark.sources.maintain import publish_table
 
     spark = raw.sparkSession
-    rb = (
-        hashed_ngram_counts(raw, text_col, id_col, n_buckets, bigrams)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("rc"))
+    joined, tot_r, tot_t = _bucket_model(
+        raw, target, text_col, id_col, n_buckets, bigrams
     )
-    tb = (
-        hashed_ngram_counts(target, text_col, id_col, n_buckets, bigrams)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("tc"))
-    )
-    tot_r = rb.agg(F.sum("rc")).first()[0] or 0
-    tot_t = tb.agg(F.sum("tc")).first()[0] or 0
-    joined = rb.join(tb, "bucket", "left").select(
-        "bucket", "rc", F.coalesce("tc", F.lit(0)).alias("tc")
-    )
-    p = (F.col("tc") + 1) / F.lit(float(tot_t + n_buckets))
-    q = (F.col("rc") + 1) / F.lit(float(tot_r + n_buckets))
-    llr = F.floor(
-        (F.log(p) - F.log(q)) * F.lit(1_000_000.0) + F.lit(0.5)
-    ).cast("long")
     model = joined.select(
-        "bucket", llr.alias("llr_micro"), F.col("rc").cast("long")
+        "bucket", "llr_micro", F.col("rc").cast("long").alias("rc")
     )
     publish_table(spark, model, model_dir)
     params = {

@@ -125,7 +125,10 @@ def verify_shards(
         .first()
     )
     report = {
-        "out_dir": os.path.abspath(out_dir),
+        # abspath mangles URIs ("s3://b/x" -> "/cwd/s3:/b/x" — ADVICE
+        # r15); only absolutize scheme-less local paths, record
+        # object-store URIs verbatim
+        "out_dir": out_dir if "://" in out_dir else os.path.abspath(out_dir),
         "n_files": int(stats["n_files"]),
         "n_rows": int(stats["n_rows"]),
         "max_file_rows": int(stats["max_file_rows"]),

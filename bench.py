@@ -63,6 +63,41 @@ EXTENDED = [
 
 HEADLINE = CORE15 + EXTENDED
 
+# Fixed-reference control (round 16): a PINNED, zero-I/O, pure-codegen
+# query defined HERE (not in the catalog, so no operator change can
+# ever move it) whose wall calibrates the machine each bench run.
+# Three consecutive rounds of uniform ambient drift (headline 9.98 →
+# 10.46 → 13.85 s with no plan changed — VERDICT r15 watch #1) showed
+# the raw headline conflates machine speed with code speed; the
+# control's wall moves with the machine only, so
+# value_ctrl_norm = value · (CONTROL_REF_SEC / control_warm) is the
+# cross-round-comparable number. The mix mirrors the suite's hot
+# paths: hashing, string building, regex, and aggregation — all
+# whole-stage-codegen, 32 partitions like the suite.
+CONTROL_ROWS = 4_000_000
+# Pinned on the r16 A/B session (SCALE.md "Ambient drift adjudication,
+# round 16"): the median warm control on the same machine+session that
+# also re-measured the r14 checkout. Do NOT re-pin casually — the
+# constant is the fixed point that makes normalized headlines
+# comparable across rounds.
+CONTROL_REF_SEC = 0.534
+
+
+def control_query(spark):
+    from pyspark.sql import functions as F
+
+    s = F.col("id").cast("string")
+    return (
+        spark.range(0, CONTROL_ROWS, 1, 32)
+        .select(
+            # pmod keeps the sum bounded (4M · 1e9 « 2^63): a raw
+            # sum of xxhash64 longs overflows under ANSI mode
+            F.pmod(F.xxhash64(F.md5(s)), F.lit(1_000_000_007)).alias("h"),
+            F.length(F.regexp_replace(s, "[0-9]", "x")).alias("l"),
+        )
+        .agg(F.sum("h").alias("sh"), F.sum("l").alias("sl"))
+    )
+
 
 def force(df) -> None:
     """Run the full plan without shipping rows to the driver."""
@@ -106,6 +141,9 @@ def main() -> None:
     # bench records logged 3.7-5.1 s. Only the warmed min-of-2 below is
     # a property of the plan.
     cold: dict[str, float] = {}
+    t0 = time.perf_counter()
+    force(control_query(spark))
+    control_cold = round(time.perf_counter() - t0, 3)
     for name in HEADLINE:
         t0 = time.perf_counter()
         force(QUERIES[name](spark, SF_DIR))
@@ -120,13 +158,18 @@ def main() -> None:
     # per-query spread (max-min over the three warm runs) is reported
     # so deltas can be read against measured same-session variance.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    control_runs: list[float] = []
     for _ in range(3):
+        t0 = time.perf_counter()
+        force(control_query(spark))
+        control_runs.append(time.perf_counter() - t0)
         for name in HEADLINE:
             t0 = time.perf_counter()
             force(QUERIES[name](spark, SF_DIR))
             runs[name].append(time.perf_counter() - t0)
             release()
 
+    control_warm = round(sorted(control_runs)[1], 3)
     timings = {n: round(sorted(ts)[1], 3) for n, ts in runs.items()}
     spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}
     # min-of-warm-runs, informational: the pre-round-7 records used
@@ -153,11 +196,18 @@ def main() -> None:
                 "queries_min_warm": min_warm,
                 "value_cold": round(sum(cold[n] for n in CORE15), 3),
                 "queries_cold": cold,
+                "control_cold": control_cold,
+                "control_runs": [round(t, 3) for t in control_runs],
             }
         ),
         flush=True,
     )
     spark.stop()
+    norm = (
+        round(total * CONTROL_REF_SEC / control_warm, 3)
+        if control_warm > 0
+        else None
+    )
     print(
         json.dumps(
             {
@@ -166,6 +216,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "control": control_warm,
+                "control_ref": CONTROL_REF_SEC,
+                "value_ctrl_norm": norm,
             }
         ),
         flush=True,

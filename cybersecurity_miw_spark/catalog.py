@@ -9035,6 +9035,186 @@ def q_span_removed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r16: URL/domain curation family (operators/urlcurate.py) — the
+# published recipes' stage-one (C4 §2.2 / RefinedWeb §3.1). Both
+# oracles synthesize URL/host columns from `documents` with the same
+# arithmetic on both engines; the DuckDB twins re-implement the
+# canonicalization regex chain and the PSL candidate-join wholesale
+# (no shared code), the catalog's twin discipline.
+# ---------------------------------------------------------------------------
+
+from cybersecurity_miw_spark.operators import urlcurate
+
+_TRACKING_IN = ", ".join(f"'{t}'" for t in urlcurate.TRACKING_PARAMS)
+
+# Synthesized page URLs: messy case, default port, tracking params,
+# fragments; canonical key = (doc_id%5, doc_id%11, doc_id%3), so
+# ~165 distinct pages → real duplicate groups at any sf.
+_URLC_SYNTH_SQL = """
+  SELECT doc_id,
+         'HTTP://WWW.Site' || (doc_id % 5)::VARCHAR
+         || '.Example.COM:80/page/' || (doc_id % 11)::VARCHAR
+         || '?id=' || (doc_id % 3)::VARCHAR
+         || CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN '&gclid=g' || doc_id::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id::VARCHAR ELSE '' END
+         AS url
+  FROM documents
+"""
+
+_URLC_SQL = f"""
+WITH urls AS ({_URLC_SYNTH_SQL}),
+parts AS (SELECT doc_id, trim(url) AS u FROM urls),
+comp AS (
+  SELECT doc_id, u,
+    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1) AS auth,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1) AS path,
+    regexp_extract(u, '^[^#?]*\\?([^#]*)', 1) AS query
+  FROM parts),
+comp2 AS (
+  SELECT *, regexp_extract(auth, '^(.*@)', 1) AS userinfo,
+         regexp_replace(auth, '^.*@', '') AS hostport
+  FROM comp),
+comp3 AS (
+  SELECT *,
+    regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '\\.+$', '') AS host,
+    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+    array_to_string(list_filter(string_split(query, '&'),
+      p -> p <> '' AND NOT (
+        starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_')
+        OR lower(regexp_extract(p, '^([^=]*)', 1)) IN ({_TRACKING_IN}))), '&') AS q2
+  FROM comp2),
+canon AS (
+  SELECT doc_id,
+    CASE WHEN scheme = '' OR contains(u, '://[') THEN u
+    ELSE scheme || '://' || userinfo || host
+      || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                OR (scheme = 'https' AND port = '443')
+              THEN '' ELSE ':' || port END
+      || CASE WHEN path = '' THEN '/' ELSE path END
+      || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END
+    END AS canonical_url
+  FROM comp3)
+SELECT doc_id, canonical_url FROM canon
+QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
+"""
+
+
+@register("url_canonical_dedup", _URLC_SQL)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recipe's stage-one chain end-to-end: canonicalize messy
+    page URLs (case, default port, tracking params, fragments —
+    urlcurate.canonical_url) then keep one doc per canonical page
+    (min id — urlcurate.url_exact_dedup). Plan: pure row expressions
+    + one md5-fingerprint groupBy + one semi-join back."""
+    d = F.col("doc_id")
+
+    def _opt(cond, *parts) -> F.Column:
+        return F.when(cond, F.concat(*parts)).otherwise(F.lit(""))
+
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"), (d % 5).cast("string"),
+        F.lit(".Example.COM:80/page/"), (d % 11).cast("string"),
+        F.lit("?id="), (d % 3).cast("string"),
+        _opt(d % 3 == 0, F.lit("&utm_source=feed")),
+        _opt(d % 5 == 0, F.lit("&gclid=g"), d.cast("string")),
+        _opt(d % 4 == 0, F.lit("#sec"), d.cast("string")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_url = docs.withColumn("url", url)
+    surv = urlcurate.url_exact_dedup(with_url)
+    return surv.select(
+        "doc_id",
+        urlcurate.canonical_url(F.col("url")).alias("canonical_url"),
+    )
+
+
+def _psl_values_sql() -> str:
+    rules = urlcurate.load_public_suffix_rules()
+    rows = ", ".join(
+        f"('{r['rule']}', {'true' if r['exc'] else 'false'})" for r in rules
+    )
+    return f"(VALUES {rows}) AS r(rule, exc)"
+
+
+# Synthesized hosts covering every PSL algorithm branch: exact
+# single- and multi-label rules, the *.ck wildcard, the !www.ck
+# exception, the default '*' rule, and a bare public suffix (NULL).
+_RDOM_HOSTS_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'www.site' || (doc_id % 7)::VARCHAR || '.example.com'
+           WHEN 1 THEN 'a.b.site' || (doc_id % 7)::VARCHAR || '.co.uk'
+           WHEN 2 THEN 'foo' || (doc_id % 5)::VARCHAR || '.bar.ck'
+           WHEN 3 THEN 'www.ck'
+           WHEN 4 THEN 'x.unknown' || (doc_id % 3)::VARCHAR
+           ELSE 'co.uk'
+         END AS host
+  FROM documents
+"""
+
+_RDOM_SQL = f"""
+WITH hosts AS ({_RDOM_HOSTS_SQL}),
+labels AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM hosts),
+series AS (SELECT 1 AS k UNION ALL SELECT 2),
+cands AS (
+  SELECT doc_id, k,
+    array_to_string(ls[len(ls)-k+1 : len(ls)], '.') AS key_e,
+    CASE WHEN k >= 2
+      THEN '*.' || array_to_string(ls[len(ls)-k+2 : len(ls)], '.') END AS key_w
+  FROM labels, series WHERE k <= len(ls)),
+matched AS (
+  SELECT doc_id,
+    CASE WHEN bool_or(exc) THEN max(CASE WHEN exc THEN k - 1 END)
+         ELSE max(k) END AS ps
+  FROM (SELECT c.doc_id, c.k, r.exc
+        FROM cands c JOIN {_psl_values_sql()}
+          ON r.rule = c.key_e OR r.rule = c.key_w) m
+  GROUP BY doc_id),
+final AS (
+  SELECT l.doc_id,
+    CASE WHEN len(l.ls) > coalesce(m.ps, 1)
+      THEN array_to_string(
+        l.ls[len(l.ls) - coalesce(m.ps, 1) : len(l.ls)], '.')
+    END AS registrable_domain
+  FROM labels l LEFT JOIN matched m USING (doc_id))
+SELECT registrable_domain, count(*) AS n_docs
+FROM final GROUP BY registrable_domain
+"""
+
+
+@register("registrable_domain_counts", _RDOM_SQL)
+def q_registrable_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSL "eTLD+1" extraction (urlcurate.registrable_domain) over
+    hosts exercising every algorithm branch, aggregated to the
+    per-domain counts a domain-level curation report starts from.
+    The DuckDB twin rebuilds the candidate-suffix explode + rule
+    join + exception/longest-match resolution in SQL over the same
+    shipped rule file."""
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 6 == 0, F.concat(
+            F.lit("www.site"), (d % 7).cast("string"), F.lit(".example.com")))
+        .when(d % 6 == 1, F.concat(
+            F.lit("a.b.site"), (d % 7).cast("string"), F.lit(".co.uk")))
+        .when(d % 6 == 2, F.concat(
+            F.lit("foo"), (d % 5).cast("string"), F.lit(".bar.ck")))
+        .when(d % 6 == 3, F.lit("www.ck"))
+        .when(d % 6 == 4, F.concat(
+            F.lit("x.unknown"), (d % 3).cast("string")))
+        .otherwise(F.lit("co.uk"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    rd = urlcurate.registrable_domain(
+        docs.withColumn("host", host), host_col="host"
+    )
+    return rd.groupBy("registrable_domain").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,

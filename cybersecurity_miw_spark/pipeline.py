@@ -23,6 +23,11 @@ def curate_documents(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    url_col: str | None = None,
+    url_canonicalize: bool = True,
+    domain_blocklist: tuple = (),
+    domain_allowlist: tuple = (),
+    url_dedup: bool = True,
     c4_rules: bool = False,
     c4_kwargs: dict | None = None,
     apply_gopher: bool = True,
@@ -88,6 +93,17 @@ def curate_documents(
     battery (corpus_filters.gopher_repetition_flags). Both off by
     default — the pre-r15 chain is byte-identical.
 
+    ``url_col`` (r16): run the URL/domain curation stage FIRST — the
+    order every published web recipe uses (C4 §2.2, RefinedWeb §3.1,
+    Dolma: URL rules precede any text rule). When set:
+    ``url_canonicalize`` REPLACES ``url_col`` with its canonical form
+    (urlcurate.canonical_url — the c4_rules replace-in-place
+    convention); ``domain_blocklist`` / ``domain_allowlist`` gate
+    rows by host-suffix match (urlcurate.domain_filter); and
+    ``url_dedup`` keeps one doc (min id) per canonical URL
+    (urlcurate.url_exact_dedup) BEFORE text dedup, so boilerplate
+    variants of one page never reach the quadratic-side stages.
+
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
     (dedup.fingerprint_store schema) — the exact-dedup stage then
@@ -118,6 +134,35 @@ def curate_documents(
         n_prev = n
         return new_out
 
+    if url_col is not None:
+        from cybersecurity_miw_spark.operators import urlcurate
+
+        if url_canonicalize:
+            out = out.withColumn(
+                url_col, urlcurate.canonical_url(F.col(url_col))
+            )
+        if domain_blocklist or domain_allowlist:
+            out = _record(
+                "domain_filter",
+                urlcurate.domain_filter(
+                    out,
+                    url_col=url_col,
+                    blocklist=tuple(domain_blocklist),
+                    allowlist=tuple(domain_allowlist),
+                    id_col=id_col,
+                ),
+            )
+        if url_dedup:
+            out = _record(
+                "url_dedup",
+                urlcurate.url_exact_dedup(
+                    out,
+                    url_col=url_col,
+                    id_col=id_col,
+                    # already canonicalized in place above
+                    canonicalize=not url_canonicalize,
+                ),
+            )
     if c4_rules:
         cleaned = corpus_filters.c4_page_filters(
             out, text_col=text_col, id_col=id_col, **(c4_kwargs or {})

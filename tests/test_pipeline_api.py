@@ -505,3 +505,36 @@ def test_curate_documents_c4_and_repetition_stages(spark):
     )
     assert [x["stage"] for x in m2] == ["exact_dedup"]
     assert {r["doc_id"] for r in base.collect()} == {0, 1, 2}
+
+
+def test_curate_url_stage_runs_first(spark):
+    # three docs: two are the same page (one with tracking params), one
+    # on a blocked domain; unique texts so text dedup can't explain
+    # the drops
+    df = spark.createDataFrame(
+        [
+            (0, "first page words here", "https://Good.org/a?utm_s=x"),
+            (1, "second page other words", "https://good.org/a"),
+            (2, "third page more words", "http://spam.example.com/b"),
+            (3, "fourth page words again", "https://good.org/c"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    m: list = []
+    out = pipeline.curate_documents(
+        df,
+        url_col="url",
+        domain_blocklist=("example.com",),
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+        metrics=m,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert [x["stage"] for x in m] == [
+        "domain_filter", "url_dedup", "exact_dedup",
+    ]
+    assert set(rows) == {0, 3}  # 1 = same canonical URL, 2 = blocked
+    # url_col was REPLACED with its canonical form
+    assert rows[0]["url"] == "https://good.org/a"

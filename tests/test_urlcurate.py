@@ -1,0 +1,209 @@
+"""Per-rule goldens for the URL/domain curation family
+(operators/urlcurate.py): canonicalization rule by rule, PSL
+algorithm cases (exact / multi-label / wildcard / exception /
+default rule), domain block/allow suffix matching, and URL-exact
+dedup survivors — the crafted shapes the SQL oracle parity can't pin
+alone."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import urlcurate as uc
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], "url string")
+    return df.select(uc.canonical_url(F.col("url")).alias("c")).first()["c"]
+
+
+# ---- canonical_url, rule by rule ----
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        # scheme + host lowercase; default http port dropped; utm_*
+        # and click-ids stripped; surviving params keep order;
+        # fragment dropped
+        (
+            "HTTP://Example.COM:80/path?utm_source=x&q=1&gclid=z#frag",
+            "http://example.com/path?q=1",
+        ),
+        # trailing host dot stripped; path kept
+        ("https://www.Example.co.uk./", "https://www.example.co.uk/"),
+        # non-default port kept; empty path becomes "/"
+        ("https://example.com:8080", "https://example.com:8080/"),
+        # default https port dropped
+        ("https://example.com:443/x", "https://example.com/x"),
+        # :80 on https is NOT default — kept
+        ("https://example.com:80/x", "https://example.com:80/x"),
+        # userinfo preserved verbatim; empty && token dropped
+        (
+            "http://user:pw@Host.com/a?b=2&&c=3",
+            "http://user:pw@host.com/a?b=2&c=3",
+        ),
+        # all params tracking → the '?' goes too
+        ("https://example.com/p?utm_a=1&UTM_B=2", "https://example.com/p"),
+        # tracking-param match is by NAME — a value mentioning utm_
+        # or a name merely containing 'ref' survives
+        (
+            "https://example.com/p?href=x&a=utm_b",
+            "https://example.com/p?href=x&a=utm_b",
+        ),
+        # '?' inside the fragment is not a query
+        ("https://example.com/p#frag?gclid=1", "https://example.com/p"),
+        # no scheme → trimmed pass-through
+        ("  not a url  ", "not a url"),
+        ("example.com/path", "example.com/path"),
+        # IPv6 literal → pass-through (functions/url.py contract)
+        ("http://[::1]:80/x", "http://[::1]:80/x"),
+    ],
+)
+def test_canonical_url_rules(spark, raw, expect):
+    assert _canon(spark, raw) == expect
+
+
+def test_canonical_url_custom_tracking_set(spark):
+    df = spark.createDataFrame(
+        [("https://e.com/p?sid=1&q=2",)], "url string"
+    )
+    got = df.select(
+        uc.canonical_url(F.col("url"), tracking_params=("sid",)).alias("c")
+    ).first()["c"]
+    assert got == "https://e.com/p?q=2"
+
+
+# ---- registrable_domain: the PSL algorithm cases ----
+
+def _rd(spark, hosts):
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+    )
+    out = uc.registrable_domain(df, host_col="host")
+    return [
+        r["registrable_domain"]
+        for r in out.orderBy("doc_id").collect()
+    ]
+
+
+def test_registrable_domain_cases(spark):
+    got = _rd(
+        spark,
+        [
+            "www.example.com",        # exact single-label rule
+            "example.com",            # already registrable
+            "com",                    # host IS a public suffix → null
+            "a.b.example.co.uk",      # multi-label rule wins over 'uk'
+            "example.co.uk",
+            "co.uk",                  # public suffix → null
+            "foo.bar.ck",             # wildcard *.ck: ps = bar.ck
+            "bar.ck",                 # matches *.ck itself → null
+            "www.ck",                 # exception !www.ck → registrable
+            "sub.www.ck",             # under the exception
+            "x.unknowntld",           # default rule '*'
+            "unknowntld",             # single unknown label → null
+            "",                       # empty host → null
+            "WWW.EXAMPLE.COM",        # case-insensitive
+        ],
+    )
+    assert got == [
+        "example.com",
+        "example.com",
+        None,
+        "example.co.uk",
+        "example.co.uk",
+        None,
+        "foo.bar.ck",
+        None,
+        "www.ck",
+        "www.ck",
+        "x.unknowntld",
+        None,
+        None,
+        "example.com",
+    ]
+
+
+def test_registrable_domain_from_urls_keeps_all_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x"), (2, "no scheme")],
+        "doc_id long, url string",
+    )
+    out = uc.registrable_domain(df, url_col="url").orderBy("doc_id")
+    rows = out.collect()
+    assert [r["registrable_domain"] for r in rows] == ["example.com", None]
+    # original columns survive, helper columns don't
+    assert set(out.columns) == {"doc_id", "url", "registrable_domain"}
+
+
+def test_registrable_domain_arg_validation(spark):
+    df = spark.createDataFrame([(1, "h")], "doc_id long, host string")
+    with pytest.raises(ValueError, match="exactly one"):
+        uc.registrable_domain(df)
+    with pytest.raises(ValueError, match="exactly one"):
+        uc.registrable_domain(df, host_col="host", url_col="host")
+
+
+def test_load_public_suffix_rules_shape():
+    rules = uc.load_public_suffix_rules()
+    by_rule = {r["rule"]: r for r in rules}
+    assert by_rule["co.uk"]["n_labels"] == 2
+    assert by_rule["*.ck"]["n_labels"] == 2
+    assert by_rule["www.ck"]["exc"] is True
+    assert not by_rule["com"]["exc"]
+
+
+# ---- domain_filter ----
+
+def test_domain_filter_block_allow(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spam.example.com"),
+            (1, "example.com"),
+            (2, "examplexcom"),       # not a subdomain — no dot match
+            (3, "good.org"),
+            (4, "sub.good.org"),
+        ],
+        "doc_id long, host string",
+    )
+    blocked = uc.domain_filter(df, host_col="host", blocklist=("example.com",))
+    assert sorted(r["doc_id"] for r in blocked.collect()) == [2, 3, 4]
+    allowed = uc.domain_filter(df, host_col="host", allowlist=("good.org",))
+    assert sorted(r["doc_id"] for r in allowed.collect()) == [3, 4]
+    both = uc.domain_filter(
+        df,
+        host_col="host",
+        allowlist=("good.org", "example.com"),
+        blocklist=("sub.good.org",),
+    )
+    assert sorted(r["doc_id"] for r in both.collect()) == [0, 1, 3]
+    # no lists → unchanged frame
+    assert uc.domain_filter(df, host_col="host").count() == 5
+
+
+def test_domain_filter_case_insensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "A.Example.COM"), (1, "ok.org")], "doc_id long, host string"
+    )
+    out = uc.domain_filter(df, host_col="host", blocklist=("EXAMPLE.com",))
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+# ---- url_exact_dedup ----
+
+def test_url_exact_dedup_min_id_per_canonical(spark):
+    df = spark.createDataFrame(
+        [
+            (5, "http://A.com/?utm_x=1"),   # same canonical as 2
+            (2, "http://a.com/"),
+            (3, "http://b.com/"),
+            (7, "http://a.com/#frag"),      # same canonical as 2
+        ],
+        "doc_id long, url string",
+    )
+    out = uc.url_exact_dedup(df)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    # canonicalize=False dedups the raw strings instead
+    raw = uc.url_exact_dedup(df, canonicalize=False)
+    assert raw.count() == 4

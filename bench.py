@@ -76,11 +76,11 @@ HEADLINE = CORE15 + EXTENDED
 # whole-stage-codegen, 32 partitions like the suite.
 CONTROL_ROWS = 4_000_000
 # Pinned on the r16 A/B session (SCALE.md "Ambient drift adjudication,
-# round 16"): the median warm control on the same machine+session that
-# also re-measured the r14 checkout. Do NOT re-pin casually — the
-# constant is the fixed point that makes normalized headlines
-# comparable across rounds.
-CONTROL_REF_SEC = 0.534
+# round 16"): the median warm control of the session's CLEAN
+# (nothing-else-running) HEAD run, whose headline was 13.307 s. Do
+# NOT re-pin casually — the constant is the fixed point that makes
+# normalized headlines comparable across rounds.
+CONTROL_REF_SEC = 0.574
 
 
 def control_query(spark):

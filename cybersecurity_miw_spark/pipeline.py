@@ -289,13 +289,19 @@ def assemble_dataset(
     shard_rows: int = 10_000,
     holdout: DataFrame | None = None,
     holdout_threshold: float = 0.8,
+    target_exemplar: DataFrame | None = None,
+    dsir_budget_tokens: int | None = None,
+    dsir_n_buckets: int = 10_000,
+    dsir_grades: int = 1000,
+    dsir_salt: str = "dsir-v1",
     metrics: list | None = None,
 ) -> DataFrame:
     """The tested back half of the training-data pipeline — the
     one-call twin of :func:`curate_documents` for everything AFTER
     curation (VERDICT r14 #1):
 
-        split → [decontaminate] → train mix → [chunk] → [pack] → [shards]
+        split → [decontaminate] → [dsir select] → train mix
+        → [chunk] → [pack] → [shards]
 
     Every stage is the library operator it names, every assignment is
     md5-deterministic (re-runs and backfills agree, and a DuckDB twin
@@ -317,6 +323,19 @@ def assemble_dataset(
       Jaccard ≥ ``holdout_threshold`` matches are dropped. The
       leakage-safe split handles INTERNAL near-dups; this handles
       benchmarks that were never part of ``df``.
+    * **dsir select** (``target_exemplar`` + ``dsir_budget_tokens``,
+      r16 — VERDICT r15 #6) — the recipe's model-based SELECTION
+      stage between decontamination and mixing:
+      :func:`~cybersecurity_miw_spark.operators.dsir.
+      dsir_select_to_budget` keeps the most target-like
+      ``dsir_budget_tokens`` of the (decontaminated) train split,
+      scored against the ``target_exemplar`` frame (same text/id
+      columns — the high-quality corpus the importance weights aim
+      at, Xie et al. 2023). The selected rows keep their
+      ``llr_micro_sum`` / ``dsir_grade`` columns as provenance, so
+      the written shards record WHY each doc was chosen; the funnel
+      gains a ``dsir_select`` stage and the manifest a ``dsir``
+      params block.
     * **mix** (train split only; eval splits stay natural) —
       :func:`~cybersecurity_miw_spark.operators.sampling.
       mix_to_budget` when ``budget_tokens`` is set (repetition-capped
@@ -399,6 +418,29 @@ def assemble_dataset(
                 text_col=text_col,
                 id_col=id_col,
                 threshold=holdout_threshold,
+            ),
+        )
+
+    if target_exemplar is not None:
+        if dsir_budget_tokens is None:
+            raise ValueError(
+                "target_exemplar requires dsir_budget_tokens — the "
+                "selection stage needs a token budget to fill"
+            )
+        from cybersecurity_miw_spark.operators import dsir
+
+        train = _record(
+            "dsir_select",
+            dsir.dsir_select_to_budget(
+                train,
+                target_exemplar,
+                dsir_budget_tokens,
+                text_col=text_col,
+                id_col=id_col,
+                tokens_col=tokens_col,
+                n_buckets=dsir_n_buckets,
+                grades=dsir_grades,
+                salt=dsir_salt,
             ),
         )
 
@@ -535,6 +577,16 @@ def assemble_dataset(
                 "decontaminated": holdout is not None,
                 "holdout_threshold": (
                     holdout_threshold if holdout is not None else None
+                ),
+                "dsir": (
+                    {
+                        "budget_tokens": dsir_budget_tokens,
+                        "n_buckets": dsir_n_buckets,
+                        "grades": dsir_grades,
+                        "salt": dsir_salt,
+                    }
+                    if target_exemplar is not None
+                    else None
                 ),
                 "mix_salt": mix_salt,
                 "chunk_window": chunk_window,

@@ -538,3 +538,58 @@ def test_curate_url_stage_runs_first(spark):
     assert set(rows) == {0, 3}  # 1 = same canonical URL, 2 = blocked
     # url_col was REPLACED with its canonical form
     assert rows[0]["url"] == "https://good.org/a"
+
+
+def test_assemble_dataset_dsir_selection_stage(spark, tmp_path):
+    """The DSIR selection stage (VERDICT r15 #6): with a
+    target_exemplar, assemble_dataset runs dsir_select_to_budget
+    between split and mix — the funnel gains a dsir_select stage, the
+    kept train rows carry llr_micro_sum/dsir_grade provenance, the
+    selection prefers target-like docs, and the manifest records the
+    dsir params block."""
+    import json
+
+    import pytest
+
+    df = _assembly_docs(spark)
+    # exemplar that looks like source b's vocabulary
+    target = spark.createDataFrame(
+        [(1000 + i, " ".join(f"b{i % 10}w{j}" for j in range(30)))
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    m: list = []
+    out_dir = str(tmp_path / "ds")
+    out = pipeline.assemble_dataset(
+        df,
+        out_dir=out_dir,
+        fractions={"train": 1.0},
+        target_exemplar=target,
+        dsir_budget_tokens=400,
+        metrics=m,
+    )
+    rows = out.collect()
+    stages = [r["stage"] for r in m]
+    assert stages == ["train_split", "dsir_select", "mix"]
+    sel = next(r for r in m if r["stage"] == "dsir_select")
+    assert 0 < sel["n_out"] < sel["n_in"]
+    # provenance columns survive to the assembled output
+    assert {"llr_micro_sum", "dsir_grade"} <= set(out.columns)
+    # the b-exemplar prefers source-b docs: every b doc scores higher
+    # than every a/c doc, so the budget fills with b first
+    kept_sources = {r["source"] for r in rows}
+    assert "b" in kept_sources
+    manifest = json.loads(
+        (tmp_path / "ds" / "_manifest.json").read_text()
+    )
+    assert manifest["params"]["dsir"] == {
+        "budget_tokens": 400,
+        "n_buckets": 10_000,
+        "grades": 1000,
+        "salt": "dsir-v1",
+    }
+    assert manifest["funnel"][1]["stage"] == "dsir_select"
+
+    # target_exemplar without a budget is a loud error
+    with pytest.raises(ValueError, match="dsir_budget_tokens"):
+        pipeline.assemble_dataset(df, target_exemplar=target)

@@ -9215,6 +9215,108 @@ def q_registrable_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r16: trained quality classifier (operators/qualityclf.py). The
+# SCORING pass is fully oracled — the frozen model here is a
+# md5-derived literal weight table both engines rebuild identically,
+# so the oracle pins the exact integer margin machinery
+# (floor(Σ cnt·w_micro / n_words) + bias) that any trained model's
+# scores flow through. The TRAINING loop is registered rows-only
+# (the BPE/kmeans driver-loop precedent) and pinned by bit-exact
+# determinism + separation goldens in tests/test_qualityclf.py.
+# ---------------------------------------------------------------------------
+
+from cybersecurity_miw_spark.operators import qualityclf
+
+_CLF_DIM = 256
+_CLF_BIAS = 12_345
+
+
+def _clf_frozen_weights() -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"clfw:{b}".encode()).hexdigest()[:8], 16) % 2001
+        - 1000
+        for b in range(_CLF_DIM)
+    ]
+
+
+_CLF_SCORE_SQL = f"""
+WITH wtab AS (
+  SELECT i AS bucket,
+    (('0x' || substr(md5('clfw:' || i::VARCHAR), 1, 8))::BIGINT % 2001)
+      - 1000 AS w
+  FROM (SELECT unnest(generate_series(0, {_CLF_DIM - 1})) AS i)
+),
+words AS (
+  SELECT doc_id,
+         unnest(str_split_regex(lower(trim(coalesce(text, ''))), '\\s+')) AS w
+  FROM documents
+),
+fw AS (SELECT doc_id, w FROM words WHERE len(w) > 0),
+hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {_CLF_DIM} AS INT) AS b,
+    CASE WHEN (('0x' || substr(md5(w), 1, 8))::BIGINT // {_CLF_DIM}) % 2 = 0
+         THEN 1 ELSE -1 END AS s
+  FROM fw
+),
+counted AS (
+  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS cnt FROM hashed GROUP BY 1, 2
+),
+nw AS (SELECT doc_id, count(*) AS n FROM fw GROUP BY 1),
+margins AS (
+  SELECT c.doc_id,
+         CAST(floor(sum(c.cnt * wtab.w) / max(n.n)) + {_CLF_BIAS}
+              AS BIGINT) AS clf_score_micro
+  FROM counted c
+  JOIN wtab ON wtab.bucket = c.b
+  JOIN nw n ON n.doc_id = c.doc_id
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(m.clf_score_micro, {_CLF_BIAS}) AS clf_score_micro
+FROM documents d LEFT JOIN margins m ON m.doc_id = d.doc_id
+"""
+
+
+@register("quality_clf_score", _CLF_SCORE_SQL)
+def q_quality_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-model classifier scoring (qualityclf.score_quality):
+    the exact long margin floor(Σ cnt·w_micro / n_words) + bias over
+    signed hashed word counts — one feature explode + one broadcast
+    weight join, the pass every trained model's production scoring
+    runs. Wordless docs score the bias."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = {
+        "dim": _CLF_DIM,
+        "w_micro": _clf_frozen_weights(),
+        "bias_micro": _CLF_BIAS,
+    }
+    return qualityclf.score_quality(docs, model).select(
+        "doc_id", "clf_score_micro"
+    )
+
+
+@register("quality_clf_train_scores")
+def q_quality_clf_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full train→score loop (qualityclf.train_quality_classifier
+    — integer fixed-point SGD, rows-only like the BPE/kmeans driver
+    loops; bit-exact determinism and separation are pinned by pytest
+    goldens): target = every 5th document, raw = the rest, then score
+    the whole table with the trained model."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 5 == 0)
+    raw = docs.filter(F.col("doc_id") % 5 != 0)
+    model = qualityclf.train_quality_classifier(
+        target, raw, dim=64, iters=3
+    )
+    return qualityclf.score_quality(docs, model).select(
+        "doc_id", "clf_score_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,

@@ -1,0 +1,442 @@
+"""Trained quality classifier — the fastText-recipe selection tool
+(VERDICT r15 missing #2): a linear classifier over hashed word
+features trained to separate a TARGET corpus (high-quality exemplar,
+e.g. curated reference text) from RAW web text, then used to score
+and gate every document. This is the published GPT-3/LLaMA/CCNet
+data-selection shape (Brown et al. 2020 Appendix A trains a logistic
+classifier on hashed features of WebText-vs-CommonCrawl; CCNet and
+LLaMA reuse the same recipe) re-expressed Spark-first, next to the
+engine's other model-based selector (DSIR, operators/dsir.py).
+
+Everything is INTEGER fixed-point (micro-units) end to end — not
+just scoring but the TRAINING loop too:
+
+* features: signed hashed word counts (the hashing trick,
+  Weinberger et al. 2009 — the same md5 bucket+sign scheme as
+  textstats.hashed_embedding), mean-pooled by integer division;
+* the margin is an exact long (``floor(Σ cnt·w_micro / n_words) +
+  bias_micro``); the sigmoid is one IEEE double of an exact long —
+  bit-stable on every engine;
+* residuals re-quantize to micro-units before the gradient sums, so
+  every Spark-side aggregation is a LONG sum — partition order
+  cannot change it, and retraining on a repartitioned corpus yields
+  bit-identical weights (pinned by golden). The kmeans/BPE integer
+  driver-loop discipline (apps.py:kmeans_train_int) applied to SGD.
+
+Driver traffic per iteration: dim+2 longs (the gradient) down,
+dim rows (the weights) up as a broadcast frame — model-bounded, the
+bounded-traffic precedent. The per-doc feature profile is staged
+once and reused by every iteration; each iteration is two uniform-
+key shuffles (doc margin, bucket gradient) over profile rows.
+
+Store family: :func:`write_quality_model` persists (bucket, w_micro,
+rc) + a ``_clf_params.json`` sidecar; :func:`score_with_model` is
+the frozen-model scoring pass (one broadcast join);
+:func:`quality_clf_drift_report` JS-monitors the incoming feature
+distribution against the stored raw reference;
+:func:`rebuild_quality_model` is the one-call remediation — the
+dsir.py store standard, feature-hashed instead of gram-hashed.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+DEFAULT_DIM = 1024
+
+
+def hashed_count_features(
+    df: DataFrame,
+    dim: int = DEFAULT_DIM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc signed hashed word-count profile: (id, bucket, cnt,
+    n_words) rows with cnt = Σ±1 over words hashing to the bucket —
+    the sparse integer feature vector. Same md5 bucket + sign
+    derivation as textstats.hashed_embedding, so the feature space
+    is the engine's one shared hashed text space. One explode + one
+    count agg on the uniform (id, bucket) key."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    words = df.select(
+        id_col,
+        F.explode(
+            F.split(
+                F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                r"\s+",
+            )
+        ).alias("w"),
+    ).filter(F.length("w") > 0)
+    h = F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    bucket = F.pmod(h, F.lit(dim)).cast("int")
+    sign = F.when(
+        F.pmod(F.floor(h / dim), F.lit(2)) == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    counted = (
+        words.select(id_col, bucket.alias("bucket"), sign.alias("s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("s").cast("long").alias("cnt"))
+    )
+    n = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_words"))
+    return counted.join(n, id_col)
+
+
+def _margin_micro(profile: DataFrame, w_df: DataFrame, bias_micro: int,
+                  id_col: str) -> DataFrame:
+    """(id, margin_micro) — exact long mean-pooled linear score:
+    floor(Σ cnt·w_micro / n_words) + bias_micro. Buckets without a
+    model row contribute 0 (inner join drops them)."""
+    return (
+        profile.join(F.broadcast(w_df), "bucket")
+        .groupBy(id_col)
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("cnt") * F.col("w_micro"))
+                    / F.first("n_words")
+                )
+                + F.lit(int(bias_micro))
+            ).cast("long").alias("margin_micro")
+        )
+    )
+
+
+def train_quality_classifier(
+    target: DataFrame,
+    raw: DataFrame,
+    dim: int = DEFAULT_DIM,
+    iters: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Train the target-vs-raw logistic classifier; returns the model
+    dict ``{dim, w_micro: [dim longs], bias_micro, iters, lr, l2,
+    n_target, n_raw, tot_r}`` (tot_r = total raw feature occurrences,
+    the drift reference total).
+
+    Mechanics (all exact; see module docstring): label target docs 1
+    and raw docs 0, iterate full-batch gradient ascent on the
+    log-likelihood with mean-pooled hashed features. Per iteration:
+    margin_micro per doc (long) → p = sigmoid(margin/1e6) (one IEEE
+    double per doc) → residual_micro = floor((y−p)·1e6 + 0.5) (long)
+    → gradient per bucket Σ floor(cnt·residual_micro / n_words)
+    (long sum) → driver updates the python weight list:
+    ``w += round(lr·grad/N)`` micro-units, then optional L2 decay
+    ``w −= round(lr·l2·w)``. Deterministic under any partitioning.
+
+    The raw side may (and at scale should) be a SAMPLE of the raw
+    corpus — the published recipes train on 10⁵-10⁶ docs; scoring
+    (:func:`score_quality`) then runs over everything."""
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    spark = target.sparkSession
+    labeled = target.select(
+        F.col(id_col), F.col(text_col), F.lit(1).alias("_y")
+    ).unionByName(
+        raw.select(F.col(id_col), F.col(text_col), F.lit(0).alias("_y"))
+    )
+    # collision-safe relabel: target and raw ids may overlap, so the
+    # training key is (origin, id) folded into one string key
+    keyed = labeled.withColumn(
+        "_tid", F.concat(F.col("_y").cast("string"), F.lit(":"),
+                         F.col(id_col).cast("string"))
+    )
+    profile = staged(
+        hashed_count_features(keyed, dim, text_col, "_tid")
+    )
+    labels = staged(keyed.select("_tid", "_y"))
+    counts = labels.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
+    by_y = {r["_y"]: r["n"] for r in counts}
+    n_target, n_raw = by_y.get(1, 0), by_y.get(0, 0)
+    n_docs = n_target + n_raw
+    if n_target == 0 or n_raw == 0:
+        raise ValueError(
+            f"need both classes non-empty, got target={n_target} "
+            f"raw={n_raw}"
+        )
+
+    w = [0] * dim  # micro-units
+    bias = 0
+    for _ in range(iters):
+        w_df = spark.createDataFrame(
+            list(enumerate(w)), "bucket int, w_micro long"
+        )
+        margins = _margin_micro(profile, w_df, bias, "_tid")
+        resid = (
+            labels.join(margins, "_tid", "left")
+            .select(
+                "_tid",
+                F.floor(
+                    (
+                        F.col("_y")
+                        - F.lit(1.0)
+                        / (
+                            F.lit(1.0)
+                            + F.exp(
+                                # wordless docs have no margin row;
+                                # their margin is the bias alone
+                                -F.coalesce(
+                                    "margin_micro", F.lit(int(bias))
+                                )
+                                .cast("double")
+                                / F.lit(float(MICRO))
+                            )
+                        )
+                    )
+                    * F.lit(float(MICRO))
+                    + F.lit(0.5)
+                ).cast("long").alias("_r"),
+            )
+        )
+        grad_rows = (
+            profile.join(resid, "_tid")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.floor(F.col("cnt") * F.col("_r") / F.col("n_words"))
+                ).cast("long").alias("_g")
+            )
+            .collect()
+        )
+        bias_grad = resid.agg(F.sum("_r")).first()[0] or 0
+        for r in grad_rows:
+            w[r["bucket"]] += round(lr * r["_g"] / n_docs)
+        bias += round(lr * bias_grad / n_docs)
+        if l2:
+            w = [wi - round(lr * l2 * wi) for wi in w]
+
+    tot_r = (
+        profile.join(labels.filter(F.col("_y") == 0), "_tid")
+        .agg(F.sum(F.abs(F.col("cnt"))))
+        .first()[0]
+        or 0
+    )
+    return {
+        "dim": dim,
+        "w_micro": w,
+        "bias_micro": int(bias),
+        "iters": iters,
+        "lr": lr,
+        "l2": l2,
+        "n_target": int(n_target),
+        "n_raw": int(n_raw),
+        "tot_r": int(tot_r),
+    }
+
+
+def score_quality(
+    df: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clf_score_micro",
+    threshold_micro: int | None = None,
+) -> DataFrame:
+    """Score every row with a frozen model dict: ``out_col`` = the
+    exact long margin (micro-logits; monotone in P(target), so
+    thresholds and top-k on it equal thresholds on probability).
+    Docs with no words score bias_micro. With ``threshold_micro``
+    set, adds ``keep = score >= threshold``. One feature explode
+    over the scored frame + one broadcast join — never touches the
+    training corpora."""
+    spark = df.sparkSession
+    w_df = spark.createDataFrame(
+        list(enumerate(model["w_micro"])), "bucket int, w_micro long"
+    )
+    prof = hashed_count_features(df, int(model["dim"]), text_col, id_col)
+    margins = _margin_micro(prof, w_df, int(model["bias_micro"]), id_col)
+    out = df.join(margins, id_col, "left").withColumn(
+        out_col,
+        F.coalesce("margin_micro", F.lit(int(model["bias_micro"])))
+        .cast("long"),
+    ).drop("margin_micro")
+    if threshold_micro is not None:
+        out = out.withColumn(
+            "keep", F.col(out_col) >= F.lit(int(threshold_micro))
+        )
+    return out
+
+
+CLF_PARAMS_FILE = "_clf_params.json"
+
+
+def write_quality_model(
+    target: DataFrame,
+    raw: DataFrame,
+    model_dir: str,
+    dim: int = DEFAULT_DIM,
+    iters: int = 30,
+    lr: float = 1.0,
+    l2: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Train and persist: a (bucket, w_micro, rc) table (rc = the RAW
+    corpus's absolute feature counts — the drift monitor's reference
+    distribution, the dsir model-store shape) plus the
+    ``_clf_params.json`` sidecar. ≤ dim rows — broadcast-sized by
+    construction. Published atomically (publish_table) so a
+    concurrent scorer never reads a half-written model. Returns the
+    sidecar params (with the weights)."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+    from cybersecurity_miw_spark.operators.dedup import staged
+    from cybersecurity_miw_spark.sources.maintain import publish_table
+
+    spark = target.sparkSession
+    model = train_quality_classifier(
+        target, raw, dim, iters, lr, l2, text_col, id_col
+    )
+    rc = staged(
+        hashed_count_features(raw, dim, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.sum(F.abs(F.col("cnt"))).cast("long").alias("rc"))
+    )
+    w_df = spark.createDataFrame(
+        list(enumerate(model["w_micro"])), "bucket int, w_micro long"
+    )
+    table = w_df.join(rc, "bucket", "left").select(
+        "bucket", "w_micro", F.coalesce("rc", F.lit(0)).alias("rc")
+    )
+    publish_table(spark, table, model_dir)
+    params = {k: v for k, v in model.items() if k != "w_micro"}
+    fsutil.write_text(
+        spark, f"{model_dir}/{CLF_PARAMS_FILE}", json.dumps(params)
+    )
+    return model
+
+
+def load_quality_model(
+    spark,
+    model_dir: str,
+    dim: int | None = None,
+) -> tuple[dict, dict]:
+    """Read a persisted model back into the scoring dict + params,
+    raising on a family mismatch when the caller pins ``dim`` —
+    feature spaces of different dims silently mis-score, the
+    mixed-family hazard every store sidecar here guards."""
+    import json
+
+    from cybersecurity_miw_spark import fsutil
+
+    path = f"{model_dir}/{CLF_PARAMS_FILE}"
+    if not fsutil.exists(spark, path):
+        raise ValueError(
+            f"no classifier sidecar at {model_dir} — write the model "
+            "with write_quality_model (a bare parquet dir is not a "
+            "model)"
+        )
+    params = json.loads(fsutil.read_text(spark, path))
+    if dim is not None and int(params["dim"]) != int(dim):
+        raise ValueError(
+            f"classifier at {model_dir} was trained with "
+            f"dim={params['dim']}; this caller expects dim={dim} — "
+            "mixed feature spaces mis-score silently. Rebuild or pass "
+            "the stored dim."
+        )
+    rows = spark.read.parquet(model_dir).collect()
+    w = [0] * int(params["dim"])
+    for r in rows:
+        w[r["bucket"]] = r["w_micro"]
+    model = dict(params)
+    model["w_micro"] = w
+    return model, params
+
+
+def score_with_model(
+    batch: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clf_score_micro",
+    threshold_micro: int | None = None,
+) -> DataFrame:
+    """Frozen-model scoring pass for an incoming batch — the
+    incremental twin of :func:`score_quality`: load the persisted
+    model once, score the batch, never rescan training corpora."""
+    model, _ = load_quality_model(batch.sparkSession, model_dir)
+    return score_quality(
+        batch, model, text_col, id_col, out_col, threshold_micro
+    )
+
+
+CLF_DRIFT_DEFAULT_MICRO_NATS = 100_000  # 0.1 nats of JS divergence
+
+
+def quality_clf_drift_report(
+    batch: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micro_nats: int = CLF_DRIFT_DEFAULT_MICRO_NATS,
+) -> dict:
+    """Staleness monitor (the dsir_drift_report discipline): JS
+    divergence in micro-nats between the batch's hashed-feature
+    bucket distribution and the model's stored RAW reference. A
+    drifted feed means the frozen decision boundary no longer faces
+    the distribution it was trained against. Returns
+    {js_micro_nats, n_batch_features, threshold_micro_nats, stale}."""
+    spark = batch.sparkSession
+    model, params = load_quality_model(spark, model_dir)
+    dim = int(params["dim"])
+    prof = (
+        hashed_count_features(batch, dim, text_col, id_col)
+        .groupBy("bucket")
+        .agg(F.sum(F.abs(F.col("cnt"))).cast("long").alias("bc"))
+    )
+    tot_b = prof.agg(F.sum("bc")).first()[0] or 0
+    tot_r = int(params["tot_r"])
+    ref = spark.read.parquet(model_dir).select("bucket", "rc")
+    joined = ref.join(prof, "bucket", "full_outer").select(
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("bc", F.lit(0)).alias("bc"),
+    )
+    p = (F.col("bc") + 1) / F.lit(float(tot_b + dim))
+    q = (F.col("rc") + 1) / F.lit(float(tot_r + dim))
+    m = (p + q) / 2
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    term_u = F.floor(term * F.lit(float(MICRO)) + F.lit(0.5)).cast("long")
+    js = joined.select(term_u.alias("_t")).agg(F.sum("_t")).first()[0] or 0
+    return {
+        "js_micro_nats": int(js),
+        "n_batch_features": int(tot_b),
+        "threshold_micro_nats": int(threshold_micro_nats),
+        "stale": int(js) > int(threshold_micro_nats),
+    }
+
+
+def rebuild_quality_model(
+    target: DataFrame,
+    raw: DataFrame,
+    model_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """One-call remediation for a tripped drift monitor: retrain on
+    the CURRENT corpora with the SAME recorded family (dim, iters,
+    lr, l2 from the sidecar) and publish atomically over the live
+    dir — the store-family rebuild contract."""
+    spark = target.sparkSession
+    _, params = load_quality_model(spark, model_dir)
+    return write_quality_model(
+        target, raw, model_dir,
+        dim=int(params["dim"]), iters=int(params["iters"]),
+        lr=float(params["lr"]), l2=float(params["l2"]),
+        text_col=text_col, id_col=id_col,
+    )
+
+
+def sigmoid_of_micro(margin_micro: int) -> float:
+    """Driver-side helper: P(target) for a stored micro-logit —
+    reporting sugar, never used in engine paths."""
+    return 1.0 / (1.0 + math.exp(-margin_micro / MICRO))

@@ -119,6 +119,24 @@ QUERY_NAMES = [
     # vocabularies disjoint, so distinct counts grow ~10x with totals
     # (the honest no-upsampling baseline shape)
     "ngram_diversity_by_source",
+    # r16: URL canonicalize + dedup — pure row expressions + one
+    # md5 groupBy + semi-join; the synthesized canonical space is
+    # doc_id-modular so duplicate groups deepen 10x (the real
+    # re-crawl shape: same pages, more fetches)
+    "url_canonical_dedup",
+    # r16: PSL eTLD+1 — bounded candidate explode + broadcast rule
+    # join; hosts are doc_id-modular so the domain roster is constant
+    # while input grows 10x (the aggregation-report shape)
+    "registrable_domain_counts",
+    # r16: frozen-model classifier scoring — one feature explode +
+    # (id, bucket) agg + broadcast weight join over 10x docs; the
+    # rotated vocabulary re-hashes per copy but bucket volume is
+    # corpus-linear either way
+    "quality_clf_score",
+    # r16: the integer-SGD training loop at 10x — 3 iterations, each
+    # two uniform-key shuffles over the staged feature profile; the
+    # model stays dim-bounded so driver traffic is scale-free
+    "quality_clf_train_scores",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

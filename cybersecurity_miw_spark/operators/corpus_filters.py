@@ -459,7 +459,14 @@ def gopher_repetition_flags(
     # a LONG slice instead of a built string (measured at the 10x
     # corpus: explode+count 10.8 s -> 7.2 s, full battery 16.7 s ->
     # 15.5 s, SCALE.md r15)
-    base = df.select(
+    # pre-partition by the doc key BEFORE the 9-way gram explode: the
+    # gram count groupBy (id, n, h), the occurrence join, and the
+    # island windows (id, n) all cluster on supersets of {id}, so
+    # hash-partitioning the COMPACT doc rows here lets every one of
+    # them reuse this exchange — the alternative is Spark exchanging
+    # the exploded gram rows (≈ 9·words rows/doc, ~45× the text
+    # bytes). Measured at sf0.1: 13 exchanges → see SCALE.md r16.
+    base = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         w.alias("_w"),
         line_f.alias("dup_line_frac"),

@@ -265,13 +265,27 @@ MAX_EXCHANGES = {
     # references (~99 textual for ~10 real shuffles) — its plan is
     # pinned by the oracle + the measured 10x point instead
     # 9-way gram explode agg + occurrence join + islands windows +
-    # pivot + final join over the persisted base (13 textual, +2)
-    "gopher_repetition_battery": 15,
+    # pivot + final join over the persisted base; r16 adds the
+    # deliberate doc-key pre-partition ahead of the explode (SCALE.md
+    # "Round-16: gopher battery" — one compact-doc exchange that the
+    # count agg, occurrence join, and island windows all reuse;
+    # −23% wall at sf0.1). 18 textual via persisted-subtree
+    # re-prints, +2 headroom
+    "gopher_repetition_battery": 20,
     # pure narrow per-row expressions; the 1 is the catalog fixture's
     # widening repartition (load_table widen=True)
     "c4_page_rules": 1,
     # per-n gram union + (source, n) count/distinct agg (5 textual)
     "ngram_diversity_by_source": 7,
+    # --- r16 additions ---
+    # md5-fingerprint groupBy + semi-join back (2 textual)
+    "url_canonical_dedup": 3,
+    # candidate explode agg + rule broadcast + left join back +
+    # domain count (4 textual; the rules side is BroadcastExchange)
+    "registrable_domain_counts": 5,
+    # feature explode -> (id, bucket) count + n_words agg + weight
+    # broadcast + margin agg + left join back (6 textual, +1)
+    "quality_clf_score": 7,
 }
 
 

@@ -9330,6 +9330,28 @@ def q_quality_clf_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # Round-16 rotation: IN = the three new r16 oracles
+    # (url_canonical_dedup — the canonicalize+dedup chain;
+    # registrable_domain_counts — PSL eTLD+1 extraction;
+    # quality_clf_score — frozen-model classifier scoring), first-round
+    # rows per the rotation invariant. The fourth r16 registration
+    # (quality_clf_train_scores) is an iterative driver loop with no
+    # SQL twin BY DESIGN (the BPE precedent) and stays outside the
+    # oracled window; its correctness is the bit-determinism +
+    # separation goldens.
+    # OUT = three long-green veterans, each with in-window family
+    # siblings: pairwise_topk_lsh (r7 cohort — the embedding family
+    # keeps ann_ivf_topk_batch / ann_pq_adc_topk / knn_graph_edges /
+    # hard_negatives_topk + the semantic rows), multimodal_media_stats
+    # (r7 cohort — the media family keeps all three phash rows),
+    # bm25_topk_batch_docs (r12 cohort — retrieval keeps
+    # hybrid_rrf_topk_docs / hybrid_rrf_batch_docs /
+    # retrieve_rerank_topk_docs). All three stay full-hash green in
+    # tests/test_oracle_parity.py every round.
+    # r16 changed-plan anchors are already in-window:
+    # gopher_repetition_battery (linear slice sums + doc-key
+    # pre-partition), dsir_select_topk / dsir_select_budget (staged
+    # bucket totals), c4_page_rules (badword re.escape).
     # Round-15 rotation: IN = the eight new r15 oracles
     # (mix_to_budget_epochs — repetition-capped temperature mixing;
     # assemble_manifest — the end-to-end assemble_dataset doc→shard
@@ -9411,7 +9433,8 @@ _DRIVER_WINDOW = [
     #  hybrid_rrf_batch_docs / retrieve_rerank_topk_docs in-window)
     "incremental_containment_vs_store",
     "semantic_dedup_clusters",
-    "bm25_topk_batch_docs",
+    # (bm25_topk_batch_docs rotated out r16 for quality_clf_score —
+    #  see the r16 rotation note)
     "hybrid_rrf_batch_docs",
     "contamination_report_eval",
     "retrieve_rerank_topk_docs",
@@ -9456,7 +9479,8 @@ _DRIVER_WINDOW = [
     #  row; its exact-cosine logic also rides inside the
     #  hybrid_rrf_topk_docs oracle's dense branch)
     "semantic_dedup_cells_survivors",
-    "pairwise_topk_lsh",
+    # (pairwise_topk_lsh rotated out r16 for url_canonical_dedup —
+    #  see the r16 rotation note)
     # (ann_lsh_topk rotated out for the new batch-IVF row; the ANN
     #  family keeps ann_pq_adc_topk + ann_ivf_topk_batch in-window)
     "ann_ivf_topk_batch",
@@ -9468,7 +9492,9 @@ _DRIVER_WINDOW = [
     #  containment_cross_decontaminate +
     #  incremental_containment_vs_store in-window)
     "containment_cross_decontaminate",
-    "multimodal_media_stats",
+    # (multimodal_media_stats rotated out r16 for
+    #  registrable_domain_counts — the media family keeps the three
+    #  phash rows in-window)
     # --- new r11 oracles (first-round rows; displace the youngest
     #     r7 veterans, which stay pytest-parity-checked — the
     #     F-family keeps match_exact_or / match_negative_exact /
@@ -9498,6 +9524,10 @@ _DRIVER_WINDOW = [
     "gopher_repetition_battery",
     "c4_page_rules",
     "ngram_diversity_by_source",
+    # --- new r16 oracles (first-round rows) ---
+    "url_canonical_dedup",
+    "registrable_domain_counts",
+    "quality_clf_score",
 ]
 
 

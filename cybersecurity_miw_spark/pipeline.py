@@ -35,6 +35,9 @@ def curate_documents(
     repetition_kwargs: dict | None = None,
     redact_pii: bool = True,
     quality_floor: float | None = 0.3,
+    clf_model: dict | None = None,
+    clf_model_dir: str | None = None,
+    clf_threshold_micro: int = 0,
     near_dup_threshold: float | None = 0.8,
     gopher_kwargs: dict | None = None,
     fingerprint_store: DataFrame | None = None,
@@ -103,6 +106,18 @@ def curate_documents(
     ``url_dedup`` keeps one doc (min id) per canonical URL
     (urlcurate.url_exact_dedup) BEFORE text dedup, so boilerplate
     variants of one page never reach the quadratic-side stages.
+
+    ``clf_model`` / ``clf_model_dir`` (r16): model-based selection
+    with the trained quality classifier (qualityclf.py — the
+    fastText-recipe gate): score every doc that survived the
+    heuristic floor and keep rows with
+    ``clf_score_micro >= clf_threshold_micro`` (micro-logits;
+    0 = P(target) ≥ 0.5). Pass either the in-memory model dict
+    (train_quality_classifier output) or a persisted store dir;
+    the score column stays on the output as provenance. Runs after
+    the heuristic quality floor and before dedup, the published
+    order (classify → dedup keeps the classifier's view independent
+    of duplication counts).
 
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
@@ -207,6 +222,26 @@ def curate_documents(
     if quality_floor is not None:
         out = _record(
             "quality_floor", out.filter(F.col("quality") >= quality_floor)
+        )
+    if clf_model is not None or clf_model_dir is not None:
+        from cybersecurity_miw_spark.operators import qualityclf
+
+        if clf_model is not None and clf_model_dir is not None:
+            raise ValueError(
+                "pass clf_model OR clf_model_dir, not both"
+            )
+        if clf_model is None:
+            clf_model, _ = qualityclf.load_quality_model(
+                out.sparkSession, clf_model_dir
+            )
+        scored = qualityclf.score_quality(
+            out, clf_model, text_col=text_col, id_col=id_col
+        )
+        out = _record(
+            "clf_select",
+            scored.filter(
+                F.col("clf_score_micro") >= int(clf_threshold_micro)
+            ),
         )
     if fingerprint_store is not None:
         out = _record(

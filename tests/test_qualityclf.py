@@ -137,3 +137,40 @@ def test_drift_monitor_and_rebuild(spark, tmp_path):
     assert not rep3["stale"]
     _, params = qc.load_quality_model(spark, d)
     assert params["dim"] == 64 and params["iters"] == 5
+
+
+def test_curate_documents_clf_selection_stage(spark):
+    """Pipeline wiring (r16): the trained classifier gates curation
+    after the heuristic floor; the funnel names the stage and the
+    score column survives as provenance."""
+    from cybersecurity_miw_spark import pipeline
+
+    target, raw = _corpora(spark)
+    model = qc.train_quality_classifier(target, raw, dim=64, iters=10)
+    pool = target.unionByName(
+        spark.createDataFrame(
+            [(200 + i, "click buy now cheap deal spam offer winner extra")
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+    )
+    m: list = []
+    out = pipeline.curate_documents(
+        pool,
+        clf_model=model,
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+        metrics=m,
+    )
+    rows = out.collect()
+    assert [x["stage"] for x in m] == ["clf_select", "exact_dedup"]
+    # clf_select drops exactly the 6 spam docs (18 -> 12); exact dedup
+    # then keeps one doc per distinct target text (the i%3 templates)
+    sel = next(x for x in m if x["stage"] == "clf_select")
+    assert (sel["n_in"], sel["n_out"]) == (18, 12)
+    assert {r["doc_id"] for r in rows} == {0, 1, 2}
+    assert all(r["clf_score_micro"] >= 0 for r in rows)
+    with pytest.raises(ValueError, match="not both"):
+        pipeline.curate_documents(pool, clf_model=model, clf_model_dir="x")

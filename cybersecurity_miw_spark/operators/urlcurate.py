@@ -337,6 +337,11 @@ def domain_filter(
 
     def _matches(entries: tuple) -> DataFrame:
         ents = sorted({e.lower().strip(".") for e in entries if e.strip(".")})
+        if not ents:
+            raise ValueError(
+                "domain list contains no usable entries (all empty "
+                "after trimming dots)"
+            )
         max_k = max(e.count(".") + 1 for e in ents)
         ent_df = spark.createDataFrame([(e,) for e in ents], "entry string")
         cands = with_labels.select(

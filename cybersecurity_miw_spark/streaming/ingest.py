@@ -1408,3 +1408,88 @@ def streaming_dsir_scores(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_clf_scores(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    scores_dir: str,
+    model_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    threshold_micro_nats: int | None = None,
+    on_stale: str = "report",
+) -> StreamingQuery:
+    """Continuous quality-classifier scoring
+    (operators/qualityclf.py — the fastText-recipe selection gate)
+    against a FROZEN persisted model: each micro-batch of
+    ``doc_id<TAB>text`` lines gains ``clf_score_micro`` (exact long
+    micro-logits from the dim-bounded broadcast weight table) and is
+    appended to ``scores_dir`` — thresholds and top-k downstream are
+    monotone in P(target), so selection over any window of the feed
+    is reproducible after the fact.
+
+    The dsir-scoring loop's contract verbatim: a missing or
+    dim-mismatched ``_clf_params.json`` fails BEFORE the stream
+    starts; per trigger the drift monitor
+    (:func:`~cybersecurity_miw_spark.operators.qualityclf.
+    quality_clf_drift_report` — JS divergence of the batch's hashed-
+    feature distribution vs the model's stored raw reference) appends
+    to ``metrics``; ``on_stale="raise"`` fails the trigger before
+    its scores are appended and before the checkpoint commits, so
+    offline :func:`~cybersecurity_miw_spark.operators.qualityclf.
+    rebuild_quality_model` then a restart replays the tripped batch
+    against the fresh decision boundary (docs/MONITORING.md). Replay
+    caveat as the other loops: at-least-once appends can duplicate
+    score rows after a crash, never lose them."""
+    from cybersecurity_miw_spark.operators import qualityclf
+
+    metrics = _stale_gate(metrics, on_stale)
+    # fail fast: model + sidecar must exist and parse before start
+    qualityclf.load_quality_model(spark, model_dir)
+    thresh = (
+        threshold_micro_nats
+        if threshold_micro_nats is not None
+        else qualityclf.CLF_DRIFT_DEFAULT_MICRO_NATS
+    )
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cache_mark = release_mark()
+        try:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            if batch_df.rdd.isEmpty():
+                return
+            if metrics is not None:
+                report = qualityclf.quality_clf_drift_report(
+                    batch_df, model_dir,
+                    threshold_micro_nats=thresh,
+                )
+                metrics.append(report)
+                # a drifted batch must not reach the scores feed:
+                # raise BEFORE the append, so the restart replays it
+                # against the rebuilt model
+                _raise_if_stale(
+                    report, on_stale, "streaming_clf_scores"
+                )
+            qualityclf.score_with_model(batch_df, model_dir).select(
+                "doc_id", "clf_score_micro"
+            ).write.mode("append").parquet(scores_dir)
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

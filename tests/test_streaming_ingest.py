@@ -1322,3 +1322,127 @@ def test_streaming_dsir_scores_frozen_model_and_drift_remediation(
     assert not any(r["stale"] for r in m2)
     got = spark.read.parquet(scores)
     assert got.filter(F.col("doc_id") >= 200).count() == 12
+
+
+def test_streaming_clf_scores_frozen_model_and_drift_remediation(
+    spark, tmp_path
+):
+    """streaming_clf_scores (r16): scores streamed across two runs
+    equal the batch score_with_model over the pooled docs (frozen
+    model — no rescan); a vocabulary-drifted batch under
+    on_stale='raise' fails BEFORE its scores are appended; after the
+    one-call rebuild a restart replays the tripped batch clean; a
+    missing model and a bad policy fail before the stream starts."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import qualityclf as qc
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_clf_scores,
+    )
+
+    target = spark.createDataFrame(
+        [(i, f"quality careful prose analysis insight {i % 3}")
+         for i in range(16)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(100 + i, f"click buy cheap deal spam offer {i % 3}")
+         for i in range(16)],
+        "doc_id long, text string",
+    )
+    model_dir = str(tmp_path / "model")
+    qc.write_quality_model(target, raw, model_dir, dim=64, iters=5)
+
+    indir = tmp_path / "in"
+    scores = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    with pytest.raises(ValueError, match="no classifier sidecar"):
+        streaming_clf_scores(
+            spark, str(indir), ckpt, scores, str(tmp_path / "nope")
+        )
+    with pytest.raises(ValueError, match="on_stale"):
+        streaming_clf_scores(
+            spark, str(indir), ckpt, scores, model_dir, on_stale="rebuild"
+        )
+
+    # the incoming feed is RAW-corpus-like — that is what the stored
+    # drift reference describes (measured JS ≈ 5k micro-nats vs the
+    # 100k default; the disjoint-vocab drift batch below measures
+    # ≈ 276k). One quality-vocab doc rides along for the separation
+    # assert without moving the bucket distribution much.
+    (indir / "a.tsv").write_text(
+        "500\tquality careful prose analysis insight 1\n"
+        + "".join(
+            f"{510 + i}\tclick buy cheap deal spam offer {i % 3}\n"
+            for i in range(10)
+        )
+    )
+    m: list = []
+    streaming_clf_scores(
+        spark, str(indir), ckpt, scores, model_dir, metrics=m
+    ).awaitTermination(120)
+    (indir / "b.tsv").write_text(
+        "".join(
+            f"{520 + i}\tclick buy cheap deal spam offer {i % 3}\n"
+            for i in range(6)
+        )
+    )
+    streaming_clf_scores(
+        spark, str(indir), ckpt, scores, model_dir, metrics=m
+    ).awaitTermination(120)
+
+    streamed = {
+        r["doc_id"]: r["clf_score_micro"]
+        for r in spark.read.parquet(scores).collect()
+    }
+    pooled_docs = spark.createDataFrame(
+        [(500, "quality careful prose analysis insight 1")]
+        + [(510 + i, f"click buy cheap deal spam offer {i % 3}")
+           for i in range(10)]
+        + [(520 + i, f"click buy cheap deal spam offer {i % 3}")
+           for i in range(6)],
+        "doc_id long, text string",
+    )
+    pooled = {
+        r["doc_id"]: r["clf_score_micro"]
+        for r in qc.score_with_model(pooled_docs, model_dir).collect()
+    }
+    assert streamed == pooled
+    assert streamed[500] > streamed[510]  # the gate still separates
+    assert len(m) == 2 and not any(r["stale"] for r in m)
+
+    # drifted batch: raise mode fails the trigger, scores NOT appended
+    (indir / "c.tsv").write_text(
+        "".join(
+            f"{600 + i}\tzork quux fnord blarg wibble {i}\n"
+            for i in range(12)
+        )
+    )
+    n_before = spark.read.parquet(scores).count()
+    q = streaming_clf_scores(
+        spark, str(indir), ckpt, scores, model_dir, on_stale="raise"
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(120)
+    assert "StaleStoreError" in str(exc.value) or "stale" in str(exc.value)
+    assert spark.read.parquet(scores).count() == n_before
+
+    # offline remediation: the raw distribution has MOVED, so rebuild
+    # against the current feed (the drifted docs are the new raw);
+    # the restart then replays batch c clean and its scores land
+    drifted = spark.createDataFrame(
+        [(600 + i, f"zork quux fnord blarg wibble {i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    qc.rebuild_quality_model(target, drifted, model_dir)
+    m2: list = []
+    streaming_clf_scores(
+        spark, str(indir), ckpt, scores, model_dir,
+        metrics=m2, on_stale="raise",
+    ).awaitTermination(120)
+    assert not any(r["stale"] for r in m2)
+    got = spark.read.parquet(scores)
+    assert got.filter(F.col("doc_id") >= 600).count() == 12

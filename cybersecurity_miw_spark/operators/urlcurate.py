@@ -388,3 +388,48 @@ def url_exact_dedup(
         .agg(F.min(id_col).alias(id_col))
     )
     return df.join(keep, on=id_col, how="left_semi")
+
+
+def url_fingerprint_store(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """The compact URL-dedup ingest index a crawl pipeline PERSISTS
+    (the :func:`~cybersecurity_miw_spark.operators.dedup.
+    fingerprint_store` shape, URL-keyed): one (url_fingerprint,
+    representative) row per distinct canonical URL processed so far.
+    At re-crawl scale you never re-dedup history against itself —
+    append each accepted batch's new fingerprints and anti-join
+    incoming batches (:func:`url_dedup_against_store`)."""
+    cu = canonical_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    return (
+        df.select(F.md5(cu).alias("url_fingerprint"), F.col(id_col))
+        .groupBy("url_fingerprint")
+        .agg(F.min(id_col).alias("representative"))
+    )
+
+
+def url_dedup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    canonicalize: bool = True,
+) -> DataFrame:
+    """Incremental URL-exact dedup: the subset of ``new_docs`` whose
+    canonical URL is unseen in the ``store``
+    (:func:`url_fingerprint_store` schema) AND first (min-id) within
+    its own batch — "only fetch pages we have not already kept", the
+    re-crawl gate. One anti-join + one min-agg on the uniform
+    fingerprint key; history rows are never rescanned."""
+    cu = canonical_url(F.col(url_col)) if canonicalize else F.col(url_col)
+    tagged = new_docs.select(F.col(id_col), F.md5(cu).alias("_ufp"))
+    fresh = tagged.join(
+        store.select(F.col("url_fingerprint").alias("_ufp")),
+        "_ufp",
+        "left_anti",
+    )
+    keep = fresh.groupBy("_ufp").agg(F.min(id_col).alias(id_col))
+    return new_docs.join(keep.select(id_col), id_col, "left_semi")

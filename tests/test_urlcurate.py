@@ -207,3 +207,41 @@ def test_url_exact_dedup_min_id_per_canonical(spark):
     # canonicalize=False dedups the raw strings instead
     raw = uc.url_exact_dedup(df, canonicalize=False)
     assert raw.count() == 4
+
+
+def test_url_store_incremental_matches_pooled(spark):
+    """The incremental twin (r16): batch-vs-store URL dedup admits
+    exactly the docs the pooled url_exact_dedup would have admitted
+    from the batch, and history is keyed by canonical form."""
+    history = spark.createDataFrame(
+        [(1, "https://a.com/x?utm_s=1"), (2, "https://b.com/y")],
+        "doc_id long, url string",
+    )
+    store = uc.url_fingerprint_store(history)
+    rows = {r["url_fingerprint"]: r["representative"]
+            for r in store.collect()}
+    assert len(rows) == 2 and set(rows.values()) == {1, 2}
+
+    batch = spark.createDataFrame(
+        [
+            (10, "https://A.com/x#frag"),   # canonical dup of history 1
+            (11, "https://c.com/z"),        # fresh
+            (12, "https://c.com/z?gclid=1"),  # batch-internal dup of 11
+            (13, "https://d.com/w"),        # fresh
+        ],
+        "doc_id long, url string",
+    )
+    out = uc.url_dedup_against_store(batch, store)
+    assert sorted(r["doc_id"] for r in out.collect()) == [11, 13]
+
+    # pooled equivalence: union-dedup keeps the same batch survivors
+    pooled = uc.url_exact_dedup(history.unionByName(batch))
+    pooled_batch = sorted(
+        r["doc_id"] for r in pooled.collect() if r["doc_id"] >= 10
+    )
+    assert pooled_batch == [11, 13]
+
+    # appending the accepted batch extends the store; replay of the
+    # same batch admits nothing (idempotent under redelivery)
+    store2 = store.unionByName(uc.url_fingerprint_store(out))
+    assert uc.url_dedup_against_store(batch, store2).count() == 0

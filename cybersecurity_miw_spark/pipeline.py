@@ -28,6 +28,7 @@ def curate_documents(
     domain_blocklist: tuple = (),
     domain_allowlist: tuple = (),
     url_dedup: bool = True,
+    url_store: DataFrame | None = None,
     c4_rules: bool = False,
     c4_kwargs: dict | None = None,
     apply_gopher: bool = True,
@@ -106,6 +107,11 @@ def curate_documents(
     ``url_dedup`` keeps one doc (min id) per canonical URL
     (urlcurate.url_exact_dedup) BEFORE text dedup, so boilerplate
     variants of one page never reach the quadratic-side stages.
+    ``url_store`` (the urlcurate.url_fingerprint_store schema): when
+    curating an INCREMENTAL batch, the URL-dedup stage also drops
+    batch docs whose canonical URL exists in history — the
+    fingerprint_store contract, URL-keyed; append
+    ``url_fingerprint_store(result)`` after accepting the batch.
 
     ``clf_model`` / ``clf_model_dir`` (r16): model-based selection
     with the trained quality classifier (qualityclf.py — the
@@ -168,16 +174,23 @@ def curate_documents(
                 ),
             )
         if url_dedup:
-            out = _record(
-                "url_dedup",
-                urlcurate.url_exact_dedup(
+            if url_store is not None:
+                deduped = urlcurate.url_dedup_against_store(
+                    out,
+                    url_store,
+                    url_col=url_col,
+                    id_col=id_col,
+                    canonicalize=not url_canonicalize,
+                )
+            else:
+                deduped = urlcurate.url_exact_dedup(
                     out,
                     url_col=url_col,
                     id_col=id_col,
                     # already canonicalized in place above
                     canonicalize=not url_canonicalize,
-                ),
-            )
+                )
+            out = _record("url_dedup", deduped)
     if c4_rules:
         cleaned = corpus_filters.c4_page_filters(
             out, text_col=text_col, id_col=id_col, **(c4_kwargs or {})

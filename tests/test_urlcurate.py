@@ -245,3 +245,36 @@ def test_url_store_incremental_matches_pooled(spark):
     # same batch admits nothing (idempotent under redelivery)
     store2 = store.unionByName(uc.url_fingerprint_store(out))
     assert uc.url_dedup_against_store(batch, store2).count() == 0
+
+
+def test_curate_documents_url_store_incremental(spark):
+    """curate_documents(url_store=...): the batch URL-dedup stage
+    also drops canonical-URL history dups without rescanning
+    history."""
+    from cybersecurity_miw_spark import pipeline
+
+    history = spark.createDataFrame(
+        [(1, "old words one", "https://a.com/x")],
+        "doc_id long, text string, url string",
+    )
+    store = uc.url_fingerprint_store(history)
+    batch = spark.createDataFrame(
+        [
+            (10, "new words two", "https://A.com/x?utm_s=1"),  # history dup
+            (11, "new words three", "https://b.com/y"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    m: list = []
+    out = pipeline.curate_documents(
+        batch,
+        url_col="url",
+        url_store=store,
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+        metrics=m,
+    )
+    assert [x["stage"] for x in m] == ["url_dedup", "exact_dedup"]
+    assert {r["doc_id"] for r in out.collect()} == {11}

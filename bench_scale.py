@@ -137,6 +137,10 @@ QUERY_NAMES = [
     # two uniform-key shuffles over the staged feature profile; the
     # model stays dim-bounded so driver traffic is scale-free
     "quality_clf_train_scores",
+    # r16: classifier budget selection — frozen scoring + the
+    # 1000-grade budget walk over a FIXED budget (the backfill
+    # shape, like dsir_select_budget)
+    "quality_clf_select_budget",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

@@ -9298,6 +9298,67 @@ def q_quality_clf_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# classifier scores to a token budget: the grading + greedy-walk spec
+# (the dsir_select_budget oracle shape) on top of the frozen-model
+# score twin. The oracle states the LOGICAL one-window cumsum; the
+# operator runs budget_select's bucket-decomposed plan, so a green
+# row proves the decomposition AND the score arithmetic together.
+_CLF_BUDGET_TOKENS = 8_000
+_CLF_BUDGET_SQL = f"""
+WITH scored AS (
+  SELECT s.doc_id, s.clf_score_micro, d.n_chars
+  FROM ({_CLF_SCORE_SQL}) s JOIN documents d ON d.doc_id = s.doc_id
+),
+bounds AS (
+  SELECT min(clf_score_micro) AS lo,
+         greatest(max(clf_score_micro) - min(clf_score_micro), 1) AS span
+  FROM scored
+),
+graded AS (
+  SELECT doc_id, n_chars, clf_score_micro,
+         CAST(floor((clf_score_micro - (SELECT lo FROM bounds)) * 1000.0
+                    / (SELECT span FROM bounds)) AS INT) AS clf_grade
+  FROM scored
+),
+sel AS (
+  SELECT doc_id, n_chars, clf_score_micro, clf_grade,
+         sum(n_chars) OVER (
+           ORDER BY clf_grade DESC, md5('clf-v1:' || doc_id), doc_id
+           ROWS UNBOUNDED PRECEDING) AS run
+  FROM graded
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       clf_score_micro, clf_grade
+FROM sel WHERE run <= {_CLF_BUDGET_TOKENS}
+"""
+
+
+@register("quality_clf_select_budget", _CLF_BUDGET_SQL)
+def q_quality_clf_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier selection to an 8k-token budget
+    (qualityclf.clf_select_to_budget): frozen-model micro-logits
+    graded onto the bounded 1000-step grid, then budget_select's
+    greedy walk — the classifier twin of dsir_select_budget, "the
+    most target-like corpus that fits the training budget"."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    model = {
+        "dim": _CLF_DIM,
+        "w_micro": _clf_frozen_weights(),
+        "bias_micro": _CLF_BIAS,
+    }
+    out = qualityclf.clf_select_to_budget(
+        docs, model, _CLF_BUDGET_TOKENS, tokens_col="n_chars"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "clf_score_micro",
+        "clf_grade",
+    )
+
+
 @register("quality_clf_train_scores")
 def q_quality_clf_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full train→score loop (qualityclf.train_quality_classifier
@@ -9330,23 +9391,24 @@ def q_quality_clf_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-16 rotation: IN = the three new r16 oracles
+    # Round-16 rotation: IN = the four new r16 oracles
     # (url_canonical_dedup — the canonicalize+dedup chain;
     # registrable_domain_counts — PSL eTLD+1 extraction;
-    # quality_clf_score — frozen-model classifier scoring), first-round
-    # rows per the rotation invariant. The fourth r16 registration
+    # quality_clf_score — frozen-model classifier scoring;
+    # quality_clf_select_budget — classifier selection to a token
+    # budget), first-round rows per the rotation invariant. The fourth r16 registration
     # (quality_clf_train_scores) is an iterative driver loop with no
     # SQL twin BY DESIGN (the BPE precedent) and stays outside the
     # oracled window; its correctness is the bit-determinism +
     # separation goldens.
-    # OUT = three long-green veterans, each with in-window family
+    # OUT = four long-green veterans, each with in-window family
     # siblings: pairwise_topk_lsh (r7 cohort — the embedding family
     # keeps ann_ivf_topk_batch / ann_pq_adc_topk / knn_graph_edges /
     # hard_negatives_topk + the semantic rows), multimodal_media_stats
     # (r7 cohort — the media family keeps all three phash rows),
-    # bm25_topk_batch_docs (r12 cohort — retrieval keeps
-    # hybrid_rrf_topk_docs / hybrid_rrf_batch_docs /
-    # retrieve_rerank_topk_docs). All three stay full-hash green in
+    # bm25_topk_batch_docs and retrieve_rerank_topk_docs (r12
+    # cohort — retrieval keeps hybrid_rrf_topk_docs /
+    # hybrid_rrf_batch_docs). All four stay full-hash green in
     # tests/test_oracle_parity.py every round.
     # r16 changed-plan anchors are already in-window:
     # gopher_repetition_battery (linear slice sums + doc-key
@@ -9437,7 +9499,9 @@ _DRIVER_WINDOW = [
     #  see the r16 rotation note)
     "hybrid_rrf_batch_docs",
     "contamination_report_eval",
-    "retrieve_rerank_topk_docs",
+    # (retrieve_rerank_topk_docs rotated out r16 for
+    #  quality_clf_select_budget — retrieval keeps
+    #  hybrid_rrf_topk_docs + hybrid_rrf_batch_docs in-window)
     # (embedding_near_dup_lsh_banded rotated out r14 for the new
     #  semantic_dedup_cells_clusters row — same family, twice green,
     #  stays pytest-parity checked)
@@ -9528,6 +9592,7 @@ _DRIVER_WINDOW = [
     "url_canonical_dedup",
     "registrable_domain_counts",
     "quality_clf_score",
+    "quality_clf_select_budget",
 ]
 
 

@@ -266,6 +266,66 @@ def score_quality(
     return out
 
 
+def clf_select_to_budget(
+    df: DataFrame,
+    model: dict,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    grades: int = 1000,
+    salt: str = "clf-v1",
+) -> DataFrame:
+    """Classifier scores to a TOKEN budget — "the most target-like
+    corpus that fits the training budget", decided by the trained
+    classifier instead of DSIR's n-gram weights (the two standard
+    model-based selectors, same selection contract): grade each
+    doc's micro-logit score onto a bounded integer grid (``grades``
+    steps between the corpus min and max — two scalars to the
+    driver), then run
+    :func:`~cybersecurity_miw_spark.operators.sampling.budget_select`
+    greedily from the top grade down until the inclusive running
+    token sum fills ``budget_tokens``. The grid exists for the same
+    reason as DSIR's (dsir.py:dsir_select_to_budget): raw micro-logit
+    scores are near-all-distinct, which would degrade
+    budget_select's bucket decomposition to one global window.
+    Returns the selected rows with ``clf_score_micro`` and
+    ``clf_grade`` attached."""
+    from cybersecurity_miw_spark.operators import sampling
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    if budget_tokens < 0:
+        raise ValueError(
+            f"budget_tokens must be >= 0, got {budget_tokens}"
+        )
+    if grades < 1:
+        raise ValueError(f"grades must be >= 1, got {grades}")
+    scored = staged(
+        score_quality(df, model, text_col=text_col, id_col=id_col)
+    )
+    lo, hi = scored.agg(
+        F.min("clf_score_micro"), F.max("clf_score_micro")
+    ).first()
+    if lo is None or hi is None:
+        return scored.withColumn("clf_grade", F.lit(0).cast("int"))
+    span = max(int(hi) - int(lo), 1)
+    grade = F.floor(
+        (F.col("clf_score_micro") - F.lit(int(lo)))
+        * F.lit(float(grades))
+        / F.lit(float(span))
+    ).cast("int")
+    graded = scored.withColumn("clf_grade", grade)
+    picked = sampling.budget_select(
+        graded,
+        budget_tokens,
+        score_col="clf_grade",
+        tokens_col=tokens_col,
+        id_col=id_col,
+        salt=salt,
+    )
+    return graded.join(picked.select(id_col), id_col, "semi")
+
+
 CLF_PARAMS_FILE = "_clf_params.json"
 
 

@@ -264,6 +264,8 @@ MAX_EXCHANGES = {
     # InMemoryRelation re-prints under budget_select's many
     # references (~99 textual for ~10 real shuffles) — its plan is
     # pinned by the oracle + the measured 10x point instead
+    # (quality_clf_select_budget r16: same exclusion, same reason —
+    # the staged score frame re-prints ~73 textual)
     # 9-way gram explode agg + occurrence join + islands windows +
     # pivot + final join over the persisted base; r16 adds the
     # deliberate doc-key pre-partition ahead of the explode (SCALE.md

@@ -174,3 +174,33 @@ def test_curate_documents_clf_selection_stage(spark):
     assert all(r["clf_score_micro"] >= 0 for r in rows)
     with pytest.raises(ValueError, match="not both"):
         pipeline.curate_documents(pool, clf_model=model, clf_model_dir="x")
+
+
+def test_clf_select_to_budget_contract(spark):
+    """Budget selection (r16): inclusive running-sum budget bound,
+    higher grades selected first, determinism under repartition, and
+    the empty/validation edges — the dsir_select_to_budget contract
+    with classifier scores."""
+    target, raw = _corpora(spark)
+    model = qc.train_quality_classifier(target, raw, dim=64, iters=10)
+    pool = target.unionByName(raw).withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+"))
+    )
+    out = qc.clf_select_to_budget(pool, model, 60).collect()
+    got_tokens = sum(r["n_tokens"] for r in out)
+    assert 0 < got_tokens <= 60 + max(r["n_tokens"] for r in out)
+    # quality docs score higher -> fill the budget before any spam doc
+    assert all(r["doc_id"] < 100 for r in out)
+    # deterministic under partitioning
+    again = qc.clf_select_to_budget(
+        pool.repartition(7), model, 60
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        r["doc_id"] for r in again
+    )
+    # empty frame -> empty with contract schema
+    empty = qc.clf_select_to_budget(pool.limit(0), model, 60)
+    assert empty.count() == 0
+    assert {"clf_score_micro", "clf_grade"} <= set(empty.columns)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        qc.clf_select_to_budget(pool, model, -1)

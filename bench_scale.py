@@ -141,6 +141,8 @@ QUERY_NAMES = [
     # 1000-grade budget walk over a FIXED budget (the backfill
     # shape, like dsir_select_budget)
     "quality_clf_select_budget",
+    # r16: URL structural scoring — shuffle-free per-row expressions
+    "url_quality_flags",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

@@ -9130,6 +9130,87 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# URL quality scoring (urlcurate.url_quality_flags — the RefinedWeb
+# §3.1 structural-signal half): synthesized URLs plant every
+# pathology at a modular rate (digit-heavy hosts %7, subdomain farms
+# %8, deep paths %15, crawler-trap length %17, badword %13), so every
+# signal and threshold is non-vacuous at sf0.01.
+_URLQ_SYNTH_SQL = """
+  SELECT doc_id,
+    'https://' || repeat('s.', CAST(doc_id % 8 AS INT))
+    || CASE WHEN doc_id % 7 = 0
+            THEN 'h' || (doc_id % 1000)::VARCHAR || '123456789'
+            ELSE 'www' END
+    || '.site' || (doc_id % 50)::VARCHAR || '.com'
+    || repeat('/seg', CAST(doc_id % 15 AS INT))
+    || CASE WHEN doc_id % 17 = 0 THEN '/' || repeat('z', 2100) ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN '?note=xbadx' ELSE '' END AS url
+  FROM documents
+"""
+
+_URLQ_SQL = f"""
+WITH urls AS ({_URLQ_SYNTH_SQL}),
+t AS (SELECT doc_id, trim(url) AS u FROM urls),
+h AS (
+  SELECT doc_id, u,
+    regexp_replace(lower(regexp_extract(
+      regexp_replace(
+        regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)', 1),
+        '^.*@', ''),
+      '^([^:]*)', 1)), '\\.+$', '') AS host,
+    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+      AS path
+  FROM t),
+f AS (
+  SELECT doc_id,
+    length(u)::BIGINT AS url_len,
+    len(list_filter(string_split(path, '/'), x -> len(x) > 0))::BIGINT
+      AS path_depth,
+    CASE WHEN length(host) > 0
+      THEN floor(length(regexp_replace(host, '[^0-9]', '', 'g'))::DOUBLE
+                 / length(host) * 1000000 + 0.5) / 1000000
+      ELSE 0.0 END AS host_digit_frac,
+    len(list_filter(string_split(host, '.'), x -> len(x) > 0))::BIGINT
+      AS n_host_labels,
+    contains(lower(u), 'xbadx') AS has_badword
+  FROM h)
+SELECT doc_id, url_len, path_depth, host_digit_frac, n_host_labels,
+       has_badword,
+       (url_len <= 2048 AND path_depth <= 12
+        AND host_digit_frac <= 0.4 AND n_host_labels <= 6
+        AND NOT has_badword) AS keep
+FROM f
+"""
+
+
+@register("url_quality_flags", _URLQ_SQL)
+def q_url_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scoring heuristics (urlcurate.url_quality_flags): length,
+    path depth, host digit fraction, subdomain-label count, badword
+    substring — the RefinedWeb structural URL gate, pure row
+    expressions."""
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.expr("repeat('s.', cast(doc_id % 8 as int))"),
+        F.when(
+            d % 7 == 0,
+            F.concat(F.lit("h"), (d % 1000).cast("string"),
+                     F.lit("123456789")),
+        ).otherwise(F.lit("www")),
+        F.lit(".site"), (d % 50).cast("string"), F.lit(".com"),
+        F.expr("repeat('/seg', cast(doc_id % 15 as int))"),
+        F.when(
+            d % 17 == 0, F.concat(F.lit("/"), F.expr("repeat('z', 2100)"))
+        ).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("?note=xbadx")).otherwise(F.lit("")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return urlcurate.url_quality_flags(
+        docs.withColumn("url", url), badwords=("xbadx",)
+    )
+
+
 def _psl_values_sql() -> str:
     rules = urlcurate.load_public_suffix_rules()
     rows = ", ".join(
@@ -9391,25 +9472,28 @@ def q_quality_clf_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-16 rotation: IN = the four new r16 oracles
+    # Round-16 rotation: IN = the five new r16 oracles
     # (url_canonical_dedup — the canonicalize+dedup chain;
     # registrable_domain_counts — PSL eTLD+1 extraction;
     # quality_clf_score — frozen-model classifier scoring;
     # quality_clf_select_budget — classifier selection to a token
-    # budget), first-round rows per the rotation invariant. The fourth r16 registration
+    # budget; url_quality_flags — the RefinedWeb structural URL
+    # gate), first-round rows per the rotation invariant. The fourth r16 registration
     # (quality_clf_train_scores) is an iterative driver loop with no
     # SQL twin BY DESIGN (the BPE precedent) and stays outside the
     # oracled window; its correctness is the bit-determinism +
     # separation goldens.
-    # OUT = four long-green veterans, each with in-window family
+    # OUT = five long-green veterans, each with in-window family
     # siblings: pairwise_topk_lsh (r7 cohort — the embedding family
     # keeps ann_ivf_topk_batch / ann_pq_adc_topk / knn_graph_edges /
     # hard_negatives_topk + the semantic rows), multimodal_media_stats
     # (r7 cohort — the media family keeps all three phash rows),
     # bm25_topk_batch_docs and retrieve_rerank_topk_docs (r12
     # cohort — retrieval keeps hybrid_rrf_topk_docs /
-    # hybrid_rrf_batch_docs). All four stay full-hash green in
-    # tests/test_oracle_parity.py every round.
+    # hybrid_rrf_batch_docs), contamination_report_eval (r12 —
+    # decontamination keeps containment_cross_decontaminate /
+    # incremental_containment_vs_store). All five stay full-hash
+    # green in tests/test_oracle_parity.py every round.
     # r16 changed-plan anchors are already in-window:
     # gopher_repetition_battery (linear slice sums + doc-key
     # pre-partition), dsir_select_topk / dsir_select_budget (staged
@@ -9498,7 +9582,10 @@ _DRIVER_WINDOW = [
     # (bm25_topk_batch_docs rotated out r16 for quality_clf_score —
     #  see the r16 rotation note)
     "hybrid_rrf_batch_docs",
-    "contamination_report_eval",
+    # (contamination_report_eval rotated out r16 for
+    #  url_quality_flags — the decontamination family keeps
+    #  containment_cross_decontaminate +
+    #  incremental_containment_vs_store in-window)
     # (retrieve_rerank_topk_docs rotated out r16 for
     #  quality_clf_select_budget — retrieval keeps
     #  hybrid_rrf_topk_docs + hybrid_rrf_batch_docs in-window)
@@ -9593,6 +9680,7 @@ _DRIVER_WINDOW = [
     "registrable_domain_counts",
     "quality_clf_score",
     "quality_clf_select_budget",
+    "url_quality_flags",
 ]
 
 

@@ -433,3 +433,74 @@ def url_dedup_against_store(
     )
     keep = fresh.groupBy("_ufp").agg(F.min(id_col).alias(id_col))
     return new_docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def url_quality_flags(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    max_url_len: int = 2048,
+    max_path_depth: int = 12,
+    max_host_digit_frac: float = 0.4,
+    max_subdomain_labels: int = 6,
+    badwords: tuple = (),
+) -> DataFrame:
+    """URL scoring heuristics — the RefinedWeb §3.1 "URL filtering"
+    half that is not a blocklist: structural signals that a URL is
+    machine-generated, spammy, or adult, computed as pure row
+    expressions. One row per input with the signal columns and
+    ``keep`` under the documented thresholds:
+
+    * ``url_len`` — full trimmed length (crawler-trap URLs run long);
+    * ``path_depth`` — count of ``/``-separated non-empty path
+      segments (deep auto-generated hierarchies);
+    * ``host_digit_frac`` — digit fraction of the host's characters
+      (rounded micro-exact; throwaway/CDN hosts are digit-heavy);
+    * ``n_host_labels`` — dot-separated host labels (subdomain
+      farms);
+    * ``has_badword`` — case-insensitive substring match of any
+      ``badwords`` term against the WHOLE url (the published adult/
+      fraud word lists match url substrings, not just the host).
+
+    ``keep`` = under every threshold and badword-free. URLs without
+    a scheme get host-derived signals from an empty host (0 labels,
+    digit frac 0) — only the length/badword rules can reject them."""
+    u = F.trim(F.col(url_col))
+    host = url_host(F.col(url_col))
+    path = F.regexp_extract(u, _PATH, 1)
+    url_len = F.length(u)
+    path_depth = F.size(
+        F.filter(F.split(path, "/"), lambda x: F.length(x) > 0)
+    )
+    n_digits = F.length(F.regexp_replace(host, r"[^0-9]", ""))
+    host_len = F.length(host)
+    digit_frac = F.when(host_len > 0, n_digits / host_len).otherwise(
+        F.lit(0.0)
+    )
+    digit_frac = (
+        F.floor(digit_frac * F.lit(1_000_000.0) + F.lit(0.5))
+        / F.lit(1_000_000.0)
+    )
+    n_labels = F.size(
+        F.filter(F.split(host, r"\."), lambda x: F.length(x) > 0)
+    )
+    low = F.lower(u)
+    has_bad = F.lit(False)
+    for b in badwords:
+        has_bad = has_bad | low.contains(b.lower())
+    keep = (
+        (url_len <= F.lit(int(max_url_len)))
+        & (path_depth <= F.lit(int(max_path_depth)))
+        & (digit_frac <= F.lit(float(max_host_digit_frac)))
+        & (n_labels <= F.lit(int(max_subdomain_labels)))
+        & ~has_bad
+    )
+    return df.select(
+        F.col(id_col),
+        url_len.cast("long").alias("url_len"),
+        path_depth.cast("long").alias("path_depth"),
+        digit_frac.alias("host_digit_frac"),
+        n_labels.cast("long").alias("n_host_labels"),
+        has_bad.alias("has_badword"),
+        keep.alias("keep"),
+    )

@@ -288,6 +288,8 @@ MAX_EXCHANGES = {
     # feature explode -> (id, bucket) count + n_words agg + weight
     # broadcast + margin agg + left join back (6 textual, +1)
     "quality_clf_score": 7,
+    # pure narrow per-row expressions over the synthesized URLs
+    "url_quality_flags": 0,
 }
 
 

@@ -278,3 +278,45 @@ def test_curate_documents_url_store_incremental(spark):
     )
     assert [x["stage"] for x in m] == ["url_dedup", "exact_dedup"]
     assert {r["doc_id"] for r in out.collect()} == {11}
+
+
+# ---- url_quality_flags ----
+
+def test_url_quality_flags_per_rule(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://www.example.com/a/b"),            # clean
+            (1, "https://h12345678901.example.com/x"),     # digit host
+            (2, "https://a.b.c.d.e.f.g.example.com/x"),    # label farm
+            (3, "https://www.example.com" + "/s" * 13),    # deep path
+            (4, "https://www.example.com/" + "z" * 2100),  # trap length
+            (5, "https://www.example.com/p?q=XBadX"),      # badword, any case
+            (6, "no scheme here"),                         # host-less
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in uc.url_quality_flags(df, badwords=("xbadx",)).collect()
+    }
+    assert out[0]["keep"]
+    assert out[0]["path_depth"] == 2 and out[0]["n_host_labels"] == 3
+    assert not out[1]["keep"] and out[1]["host_digit_frac"] > 0.4
+    assert not out[2]["keep"] and out[2]["n_host_labels"] == 9
+    assert not out[3]["keep"] and out[3]["path_depth"] == 13
+    assert not out[4]["keep"] and out[4]["url_len"] > 2048
+    assert not out[5]["keep"] and out[5]["has_badword"]
+    # host-less: only length/badword rules can reject — this one keeps
+    assert out[6]["keep"]
+    assert out[6]["n_host_labels"] == 0
+    assert out[6]["host_digit_frac"] == 0.0
+
+
+def test_url_quality_flags_custom_thresholds(spark):
+    df = spark.createDataFrame(
+        [(0, "https://www.example.com/a/b/c")], "doc_id long, url string"
+    )
+    strict = uc.url_quality_flags(df, max_path_depth=2).first()
+    assert not strict["keep"]
+    loose = uc.url_quality_flags(df, max_path_depth=3).first()
+    assert loose["keep"]

@@ -94,6 +94,63 @@ def main() -> None:
     )
     terms.show(9, truncate=False)
 
+    # --- r16: URL/domain curation (the recipes' stage ONE) ---
+    # the documents table ships no URL column, so synthesize the
+    # crawl-shaped mess a real pipeline starts from: tracking params,
+    # fragments, default ports, case noise, a blocked ad domain
+    from cybersecurity_miw_spark.operators import urlcurate
+
+    with_urls = docs.select("doc_id", "text").withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (F.col("doc_id") % 40).cast("string"),
+            F.when(F.col("doc_id") % 9 == 0, F.lit(".ads-tracker.com"))
+            .otherwise(F.lit(".Example.COM")),
+            F.lit(":80/page/"), (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    m_url: list = []
+    from cybersecurity_miw_spark import pipeline as _pl
+
+    url_clean = _pl.curate_documents(
+        with_urls,
+        url_col="url",
+        domain_blocklist=("ads-tracker.com",),
+        apply_gopher=False, redact_pii=False,
+        quality_floor=None, near_dup_threshold=None,
+    )
+    print(f"URL stage: {with_urls.count()} -> {url_clean.count()} "
+          "(blocked domain + canonical-URL dedup)")
+    print("registrable domains of the survivors:")
+    urlcurate.registrable_domain(url_clean, url_col="url").groupBy(
+        "registrable_domain"
+    ).count().orderBy(F.desc("count")).show(3, truncate=False)
+
+    # --- r16: trained quality classifier (the fastText-recipe gate) ---
+    # target = the top-quality decile, raw = the rest; integer
+    # fixed-point SGD makes the trained weights bit-deterministic
+    from cybersecurity_miw_spark.operators import qualityclf
+
+    pool0 = survivors.join(docs.select("doc_id", "text", "source"), "doc_id")
+    q90c = pool0.approxQuantile("quality", [0.9], 0.01)[0]
+    clf_target = pool0.filter(F.col("quality") >= q90c).select(
+        "doc_id", "text"
+    )
+    clf_raw = pool0.filter(F.col("quality") < q90c).select("doc_id", "text")
+    clf = qualityclf.train_quality_classifier(
+        clf_target, clf_raw, dim=512, iters=10
+    )
+    scored = qualityclf.score_quality(pool0, clf)
+    print("classifier micro-logits by heuristic-quality decile "
+          "(should rise together):")
+    scored.withColumn(
+        "decile", F.floor(F.col("quality") * 10)
+    ).groupBy("decile").agg(
+        F.avg("clf_score_micro").alias("avg_micro_logit")
+    ).orderBy("decile").show(10)
+
     # --- DSIR: resample the curated pool toward a quality exemplar ---
     # (Xie et al., arXiv 2302.03169) the top-quality decile is the
     # target; importance weights pull in docs that LOOK like it even

@@ -92,6 +92,8 @@ def _margin_micro(profile: DataFrame, w_df: DataFrame, bias_micro: int,
     floor(Σ cnt·w_micro / n_words) + bias_micro. Buckets without a
     model row contribute 0 (inner join drops them)."""
     return (
+        # bcast-bound: w_df = the weight table, exactly dim rows
+        # (model-sized, never sf-scaled)
         profile.join(F.broadcast(w_df), "bucket")
         .groupBy(id_col)
         .agg(

@@ -265,6 +265,9 @@ def registrable_domain(
     # then most labels; an exception's public suffix is the rule
     # minus its leftmost label (k-1), a normal match's is k
     matched = (
+        # bcast-bound: rules_df = the PSL rule file (~10k rows max for
+        # the full Mozilla list; ~100 for the shipped subset) — a
+        # data-file constant, never sf-scaled
         cands.join(F.broadcast(rules_df), cands["_key"] == rules_df["rule"])
         .select(
             id_col,
@@ -358,6 +361,9 @@ def domain_filter(
             ).alias("_key"),
         )
         return cands.join(
+            # bcast-bound: ent_df = the caller's block/allow list (the
+            # published lists are ~400k entries max) — config-sized,
+            # never sf-scaled
             F.broadcast(ent_df), cands["_key"] == ent_df["entry"]
         ).select(id_col).distinct()
 

@@ -258,8 +258,11 @@ MAX_EXCHANGES = {
     # + chunk join (8 textual, +2 headroom)
     "assemble_manifest": 10,
     # two gram-profile aggs + llr broadcast + per-doc sum + output
-    # join + TakeOrdered (9 textual, +2)
-    "dsir_select_topk": 11,
+    # join + TakeOrdered; r16 stages the profile + rb/tb bucket
+    # totals (ADVICE r15 — one gram scan per corpus), whose
+    # InMemoryRelation subtrees re-print per reference (16 textual
+    # for the same ~9 real shuffles), +2 headroom
+    "dsir_select_topk": 18,
     # dsir_select_budget is EXCLUDED: the staged weight chain's
     # InMemoryRelation re-prints under budget_select's many
     # references (~99 textual for ~10 real shuffles) — its plan is

@@ -199,6 +199,12 @@ def train_quality_classifier(
                 ).cast("long").alias("_r"),
             )
         )
+        # persist the doc-count-sized residual frame: the bucket
+        # gradient and the bias gradient are two actions over it, and
+        # an unpersisted lineage would re-run the margins join (the
+        # multi-reference recomputation class ADVICE r15 flagged in
+        # the DSIR chain)
+        resid = resid.persist()
         grad_rows = (
             profile.join(resid, "_tid")
             .groupBy("bucket")
@@ -210,6 +216,7 @@ def train_quality_classifier(
             .collect()
         )
         bias_grad = resid.agg(F.sum("_r")).first()[0] or 0
+        resid.unpersist()
         for r in grad_rows:
             w[r["bucket"]] += round(lr * r["_g"] / n_docs)
         bias += round(lr * bias_grad / n_docs)

@@ -1493,3 +1493,99 @@ def streaming_clf_scores(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+URL_LINE_SCHEMA = "doc_id LONG, url STRING, text STRING"
+
+
+def parse_url_doc_lines(lines: DataFrame) -> DataFrame:
+    """``doc_id<TAB>url<TAB>text`` lines → typed columns (JVM
+    from_csv, tab separator, no UDF) — the crawl-feed line shape the
+    URL ingest loop consumes. Text must not contain raw tabs (the
+    usual TSV contract; land JSON/parquet and adapt the reader when
+    it can)."""
+    return lines.select(
+        F.from_csv(
+            F.col("value"), URL_LINE_SCHEMA, {"sep": "\t"}
+        ).alias("d")
+    ).select("d.*")
+
+
+def streaming_url_dedup_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    corpus_dir: str,
+    store_dir: str,
+    available_now: bool = True,
+    metrics: list | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous URL-exact dedup ingest — the crawl-feed twin of
+    :func:`streaming_dedup_ingest` ("one document per page" decided
+    continuously, the C4/RefinedWeb stage-one rule as a stream).
+    Each micro-batch of ``doc_id<TAB>url<TAB>text`` lines:
+
+    1. reads the persisted URL fingerprint store (absent on first
+       batch),
+    2. keeps batch docs whose CANONICAL URL
+       (urlcurate.canonical_url) is not in the store and who are
+       their batch's min-id representative
+       (urlcurate.url_dedup_against_store),
+    3. appends accepted docs to ``corpus_dir`` and their canonical
+       fingerprints to ``store_dir``.
+
+    Same two-append crash-healing contract, cache-scope discipline,
+    backpressure cap, and ``metrics`` dicts ({'batch_id', 'n_batch',
+    'n_accepted', 'n_rejected'}) as the text-fingerprint loop; state
+    lives entirely in the store parquet, rebuildable by any batch
+    job (``url_fingerprint_store`` over the corpus)."""
+    from cybersecurity_miw_spark.operators import urlcurate
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_url_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cache_mark = release_mark()
+        try:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            try:
+                store = sess.read.parquet(store_dir)
+                has_store = True
+            except Exception:  # first batch: store not created yet
+                has_store = False
+            if has_store:
+                accepted = urlcurate.url_dedup_against_store(
+                    batch_df, store
+                )
+            else:
+                accepted = urlcurate.url_exact_dedup(batch_df)
+            accepted = accepted.localCheckpoint(eager=True)
+            if metrics is not None:
+                n_batch = batch_df.count()
+                n_acc = accepted.count()
+                metrics.append({
+                    "batch_id": batch_id,
+                    "n_batch": n_batch,
+                    "n_accepted": n_acc,
+                    "n_rejected": n_batch - n_acc,
+                })
+            accepted.write.mode("append").parquet(corpus_dir)
+            urlcurate.url_fingerprint_store(accepted).write.mode(
+                "append"
+            ).parquet(store_dir)
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -320,3 +320,49 @@ def test_url_quality_flags_custom_thresholds(spark):
     assert not strict["keep"]
     loose = uc.url_quality_flags(df, max_path_depth=3).first()
     assert loose["keep"]
+
+
+def test_streaming_url_dedup_ingest(spark, tmp_path):
+    """The crawl-feed streaming twin: within-batch and cross-run
+    canonical-URL dedup through the persisted store, with metrics
+    and idempotent replay — the streaming_dedup_ingest contract,
+    URL-keyed."""
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_url_dedup_ingest,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: 10/11 same canonical page (case + utm + fragment),
+    # 12 distinct
+    (indir / "a.tsv").write_text(
+        "10\thttps://A.com/x?utm_s=1\tpage one words\n"
+        "11\thttps://a.com/x#frag\tpage one other fetch\n"
+        "12\thttps://b.com/y\tpage two words\n"
+    )
+    m: list = []
+    streaming_url_dedup_ingest(
+        spark, str(indir), ckpt, corpus, store, metrics=m
+    ).awaitTermination(120)
+    assert m[-1]["n_batch"] == 3 and m[-1]["n_accepted"] == 2
+
+    # batch 2 (new run, same checkpoint): one history dup, one fresh
+    (indir / "b.tsv").write_text(
+        "20\thttps://B.com:443/y\tre-fetch of page two\n"
+        "21\thttps://c.com/z\tpage three words\n"
+    )
+    streaming_url_dedup_ingest(
+        spark, str(indir), ckpt, corpus, store, metrics=m
+    ).awaitTermination(120)
+    assert m[-1]["n_accepted"] == 1
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(corpus).collect()
+    )
+    assert got == [10, 12, 21]
+    # the store holds one row per accepted canonical URL
+    assert spark.read.parquet(store).count() == 3

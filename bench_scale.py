@@ -143,6 +143,9 @@ QUERY_NAMES = [
     "quality_clf_select_budget",
     # r16: URL structural scoring — shuffle-free per-row expressions
     "url_quality_flags",
+    # r16: sentence-boundary chunking — one doc-key exchange shared
+    # by the prefix window and the chunk group-concat
+    "chunk_sentence_budget",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

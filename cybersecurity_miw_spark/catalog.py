@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from cybersecurity_miw_spark.operators import (
     apps,
     dedup,
+    packing,
     setsim,
     similarity,
     textstats,
@@ -9295,6 +9296,68 @@ def q_registrable_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# r16: sentence-boundary chunking (packing.chunk_by_sentences). The
+# synthetic documents carry no punctuation, so the query plants
+# sentence ends deterministically (after three common corpus words)
+# with the same regexp on both engines, then chunks to a 40-token
+# budget — multi-sentence multi-chunk docs at any sf.
+_SENT_CHUNK_SQL = """
+WITH punct AS (
+  SELECT doc_id,
+    regexp_replace(coalesce(text, ''), '(table|row|fast) ', '\\1. ', 'g')
+      AS text
+  FROM documents),
+base AS (
+  SELECT doc_id,
+    string_split(regexp_replace(trim(text), '([.!?]+)\\s+',
+                                '\\1' || chr(30), 'g'), chr(30)) AS arr
+  FROM punct),
+sents0 AS (
+  SELECT doc_id, u.pos AS pos, trim(u.s) AS sent FROM (
+    SELECT doc_id,
+           unnest([{'pos': i, 's': arr[i + 1]}
+                   FOR i IN generate_series(0, len(arr) - 1)]) AS u
+    FROM base WHERE len(arr) >= 1
+  )
+),
+sents AS (
+  SELECT doc_id, pos, sent,
+    len(list_filter(str_split_regex(sent, '\\s+'), x -> len(x) > 0)) AS t
+  FROM sents0 WHERE length(sent) > 0),
+ch AS (
+  SELECT doc_id, pos, sent, t,
+    CAST(floor(coalesce(sum(t) OVER (
+          PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 40.0)
+      AS INT) AS chunk_id
+  FROM sents)
+SELECT doc_id, chunk_id,
+       string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+       CAST(sum(t) AS BIGINT) AS n_chunk_tokens,
+       count(*)::BIGINT AS n_sentences
+FROM ch GROUP BY doc_id, chunk_id
+"""
+
+
+@register("chunk_sentence_budget", _SENT_CHUNK_SQL)
+def q_chunk_sentence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary chunking to a 40-token budget
+    (packing.chunk_by_sentences): terminal-punct sentence split (a
+    marker regexp — no lookbehind, so the SQL twin is exact),
+    quantized-prefix chunk assignment, order-preserving group
+    concat. One real exchange on the doc key."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    punct = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            "(table|row|fast) ",
+            "$1. ",
+        ),
+    )
+    return packing.chunk_by_sentences(punct, budget_tokens=40)
+
+
 # ---------------------------------------------------------------------------
 # r16: trained quality classifier (operators/qualityclf.py). The
 # SCORING pass is fully oracled — the frozen model here is a
@@ -9472,18 +9535,19 @@ def q_quality_clf_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-16 rotation: IN = the five new r16 oracles
+    # Round-16 rotation: IN = the six new r16 oracles
     # (url_canonical_dedup — the canonicalize+dedup chain;
     # registrable_domain_counts — PSL eTLD+1 extraction;
     # quality_clf_score — frozen-model classifier scoring;
     # quality_clf_select_budget — classifier selection to a token
     # budget; url_quality_flags — the RefinedWeb structural URL
-    # gate), first-round rows per the rotation invariant. The fourth r16 registration
+    # gate; chunk_sentence_budget — sentence-boundary chunking),
+    # first-round rows per the rotation invariant. The fourth r16 registration
     # (quality_clf_train_scores) is an iterative driver loop with no
     # SQL twin BY DESIGN (the BPE precedent) and stays outside the
     # oracled window; its correctness is the bit-determinism +
     # separation goldens.
-    # OUT = five long-green veterans, each with in-window family
+    # OUT = six long-green veterans, each with in-window family
     # siblings: pairwise_topk_lsh (r7 cohort — the embedding family
     # keeps ann_ivf_topk_batch / ann_pq_adc_topk / knn_graph_edges /
     # hard_negatives_topk + the semantic rows), multimodal_media_stats
@@ -9492,8 +9556,10 @@ _DRIVER_WINDOW = [
     # cohort — retrieval keeps hybrid_rrf_topk_docs /
     # hybrid_rrf_batch_docs), contamination_report_eval (r12 —
     # decontamination keeps containment_cross_decontaminate /
-    # incremental_containment_vs_store). All five stay full-hash
-    # green in tests/test_oracle_parity.py every round.
+    # incremental_containment_vs_store), corpus_report_by_source
+    # (r6 — the report family keeps mix_report_by_source). All six
+    # stay full-hash green in tests/test_oracle_parity.py every
+    # round.
     # r16 changed-plan anchors are already in-window:
     # gopher_repetition_battery (linear slice sums + doc-key
     # pre-partition), dsir_select_topk / dsir_select_budget (staged
@@ -9617,7 +9683,9 @@ _DRIVER_WINDOW = [
     #  sampling family keeps temperature_mix_prefix,
     #  mix_to_budget_epochs, mix_report_by_source and the assemble
     #  chain in-window)
-    "corpus_report_by_source",
+    # (corpus_report_by_source rotated out r16 for
+    #  chunk_sentence_budget — the report family keeps
+    #  mix_report_by_source in-window)
     # --- last row round 7 (oldest first by registration order) ---
     # (agg_union_count_histogram rotated out r15 for dsir_select_topk —
     #  the A-family keeps the flagship's A1-A7/A10/A11 coverage
@@ -9681,6 +9749,7 @@ _DRIVER_WINDOW = [
     "quality_clf_score",
     "quality_clf_select_budget",
     "url_quality_flags",
+    "chunk_sentence_budget",
 ]
 
 

@@ -135,3 +135,87 @@ def chunk_documents(
         "chunk_text",
         n_tok.alias("n_chunk_tokens"),
     )
+
+
+def chunk_by_sentences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence-boundary chunking — the splitter SFT/instruction data
+    needs where :func:`chunk_documents`'s fixed token windows would
+    cut mid-sentence: split each document at terminal-punctuation
+    runs (``[.!?]+`` followed by whitespace), then group consecutive
+    sentences into chunks of ~``budget_tokens`` whitespace tokens
+    WITHOUT ever splitting a sentence.
+
+    Chunk assignment is QUANTIZED-PREFIX, not reset-greedy: a
+    sentence with exclusive token prefix ``p`` lands in chunk
+    ``floor(p / budget)``. The two rules differ only in where later
+    boundaries fall after an oversized sentence; quantized is chosen
+    because it is a pure window expression (reset-greedy needs a
+    sequential scan per doc). Guarantees: sentence order preserved,
+    every sentence in exactly one chunk, and a chunk's token total
+    < budget + its last sentence's tokens. Sentences longer than the
+    budget become their own (oversized) chunk — flag or re-split
+    those with :func:`chunk_documents` downstream.
+
+    Text case/whitespace is preserved (unlike the lowercasing token
+    windows — SFT chunks keep their surface form). Plan: one marker
+    regexp + split (no lookbehind, so an ANSI-SQL twin exists), one
+    posexplode, one exclusive-prefix window and one (id, chunk)
+    group-concat, both clustered on the doc key — a single real
+    exchange. Output: (id, chunk_id, chunk_text, n_chunk_tokens,
+    n_sentences)."""
+    from pyspark.sql import Window
+
+    if budget_tokens < 1:
+        raise ValueError(
+            f"budget_tokens must be >= 1, got {budget_tokens}"
+        )
+    # mark sentence ends with \x1e (RS) then split: Java and RE2
+    # both lack a portable lookbehind, and the marker form is
+    # expressible in DuckDB with identical semantics (chr(30))
+    marked = F.regexp_replace(
+        F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+        r"([.!?]+)\s+",
+        "$1\x1e",
+    )
+    sents = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(marked, "\x1e")).alias("_pos", "_sent"),
+    ).select(
+        id_col, "_pos", F.trim(F.col("_sent")).alias("_sent")
+    ).filter(F.length("_sent") > 0)
+    toks = F.size(
+        F.filter(F.split(F.col("_sent"), r"\s+"), lambda x: F.length(x) > 0)
+    )
+    w_prefix = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_chunk = sents.withColumn("_t", toks).withColumn(
+        "chunk_id",
+        F.floor(
+            F.coalesce(F.sum("_t").over(w_prefix), F.lit(0))
+            / F.lit(int(budget_tokens))
+        ).cast("int"),
+    )
+    return (
+        with_chunk.groupBy(id_col, "chunk_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_sent"))
+                    ),
+                    lambda s: s["_sent"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.sum("_t").cast("long").alias("n_chunk_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_sentences"),
+        )
+    )

@@ -147,3 +147,61 @@ def test_chunk_documents_rejects_bad_params(spark):
         chunk_documents(df, window=0)
     with pytest.raises(ValueError):
         chunk_documents(df, window=4, stride=0)
+
+
+def test_chunk_by_sentences_contract(spark):
+    """Sentence-boundary chunking (r16): sentences never split,
+    order preserved, quantized-prefix budget semantics, oversized
+    sentences become their own chunk, surface form preserved."""
+    from cybersecurity_miw_spark.operators import packing
+
+    df = spark.createDataFrame(
+        [
+            (1, "One two three. Four five six! Seven eight? "
+                "Nine ten eleven twelve."),
+            (2, "No punctuation at all just words"),
+            (3, "Tiny. " + "w " * 20 + "end. Tail one."),
+            (4, ""),
+            (5, None),
+            (6, "UPPER Case. KEPT as-is!"),
+        ],
+        "doc_id long, text string",
+    )
+    out = packing.chunk_by_sentences(df, budget_tokens=5)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 1: two chunks of two sentences (6 tokens each; prefix
+    # quantization at budget 5)
+    assert [r["chunk_text"] for r in by_doc[1]] == [
+        "One two three. Four five six!",
+        "Seven eight? Nine ten eleven twelve.",
+    ]
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [6, 6]
+    assert [r["n_sentences"] for r in by_doc[1]] == [2, 2]
+    # no punctuation: one chunk, one sentence
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_sentences"] == 1
+    # quantized-prefix semantics: the oversized sentence's exclusive
+    # prefix (1 token) is under the budget, so it joins chunk 0; the
+    # tail's prefix (22) then lands in chunk floor(22/5)=4 — chunk
+    # ids may have gaps after an oversized sentence, by contract
+    texts3 = [r["chunk_text"] for r in by_doc[3]]
+    assert len(texts3) == 2
+    assert texts3[0].startswith("Tiny. w w") and texts3[0].endswith("end.")
+    assert by_doc[3][0]["n_chunk_tokens"] == 22
+    assert texts3[1] == "Tail one."
+    assert by_doc[3][1]["chunk_id"] == 4
+    # empty / null docs emit nothing
+    assert 4 not in by_doc and 5 not in by_doc
+    # surface form preserved (no lowercasing)
+    assert by_doc[6][0]["chunk_text"] == "UPPER Case. KEPT as-is!"
+    # reconstruction: chunks concatenated == sentence-split doc
+    recon = " ".join(r["chunk_text"] for r in by_doc[1])
+    assert recon == ("One two three. Four five six! Seven eight? "
+                     "Nine ten eleven twelve.")
+    with pytest.raises(ValueError, match="budget_tokens"):
+        packing.chunk_by_sentences(df, budget_tokens=0)

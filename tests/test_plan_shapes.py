@@ -293,6 +293,9 @@ MAX_EXCHANGES = {
     "quality_clf_score": 7,
     # pure narrow per-row expressions over the synthesized URLs
     "url_quality_flags": 0,
+    # one real doc-key exchange shared by the prefix window and the
+    # (id, chunk) group concat
+    "chunk_sentence_budget": 2,
 }
 
 

@@ -366,3 +366,47 @@ def test_streaming_url_dedup_ingest(spark, tmp_path):
     assert got == [10, 12, 21]
     # the store holds one row per accepted canonical URL
     assert spark.read.parquet(store).count() == 3
+
+
+def test_canonical_url_idempotent_over_grid(spark):
+    """Canonicalization is a PROJECTION: applying it twice equals
+    applying it once, over a combinatorial grid of scheme case,
+    host case/trailing-dot, default/explicit ports, userinfo, paths,
+    tracking/real/empty params, and fragments. Idempotence is what
+    lets a re-crawl pipeline canonicalize defensively without
+    double-mangling already-clean URLs."""
+    schemes = ["http", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "a.b.Example.org.", "x1.io"]
+    ports = ["", ":80", ":443", ":8080"]
+    users = ["", "u:p@"]
+    paths = ["", "/", "/a/b", "/a%20b"]
+    queries = ["", "?q=1", "?utm_s=1&q=2", "?gclid=x", "?a=1&&b=2"]
+    frags = ["", "#sec", "#f?q=9"]
+    urls = []
+    i = 0
+    for s in schemes:
+        for h in hosts:
+            for p in ports:
+                for u in users:
+                    for pa in paths:
+                        q = queries[i % len(queries)]
+                        f = frags[i % len(frags)]
+                        urls.append((i, f"{s}://{u}{h}{p}{pa}{q}{f}"))
+                        i += 1
+    # plus the pass-through shapes
+    urls += [(i, "no scheme"), (i + 1, "http://[::1]/x"), (i + 2, "")]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    once = uc.canonical_url(F.col("url"))
+    out = df.select(
+        "doc_id",
+        once.alias("c1"),
+    ).select(
+        "doc_id", "c1", uc.canonical_url(F.col("c1")).alias("c2")
+    )
+    bad = out.filter(F.col("c1") != F.col("c2")).collect()
+    assert not bad, [(r["c1"], r["c2"]) for r in bad[:5]]
+    # and the canonical form never contains a fragment or utm param
+    leak = out.filter(
+        F.col("c1").contains("#") | F.lower(F.col("c1")).contains("utm_")
+    ).collect()
+    assert not leak, [r["c1"] for r in leak[:5]]

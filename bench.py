@@ -74,13 +74,21 @@ HEADLINE = CORE15 + EXTENDED
 # cross-round-comparable number. The mix mirrors the suite's hot
 # paths: hashing, string building, regex, and aggregation — all
 # whole-stage-codegen, 32 partitions like the suite.
-CONTROL_ROWS = 4_000_000
-# Pinned on the r16 A/B session (SCALE.md "Ambient drift adjudication,
-# round 16"): the median warm control of the session's CLEAN
-# (nothing-else-running) HEAD run, whose headline was 13.307 s. Do
-# NOT re-pin casually — the constant is the fixed point that makes
-# normalized headlines comparable across rounds.
-CONTROL_REF_SEC = 0.574
+# r17 (VERDICT r16 watch #1): 4M → 16M rows. The 0.57 s control had
+# a measured ±10-15% noise floor of its own, jitter-amplifying the
+# normalization of a ~12 s headline; at 16M rows the control runs
+# ~2.3 s, where the same absolute jitter is a ~3% relative error,
+# and the normalizer is now the MEDIAN OF FIVE samples spread across
+# the session (one after warm-up, one before each timed pass, one at
+# the end) instead of median-of-3.
+CONTROL_ROWS = 16_000_000
+# Pinned on the r17 clean re-pin run (SCALE.md "Bench control
+# re-pin, round 17"): the median-of-5 warm control at 16M rows on an
+# otherwise idle machine. Re-pinned BECAUSE CONTROL_ROWS changed —
+# the r16 constant 0.574 calibrated the 4M control. Do NOT re-pin
+# casually — the constant is the fixed point that makes normalized
+# headlines comparable across rounds.
+CONTROL_REF_SEC = 2.211
 
 
 def control_query(spark):
@@ -159,17 +167,27 @@ def main() -> None:
     # so deltas can be read against measured same-session variance.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     control_runs: list[float] = []
-    for _ in range(3):
+
+    def _sample_control() -> None:
         t0 = time.perf_counter()
         force(control_query(spark))
         control_runs.append(time.perf_counter() - t0)
+
+    # five control samples SPREAD across the session (one right after
+    # the cold pass, one before each timed pass, one at the end) so
+    # the median sees the same ambient conditions the query timings
+    # saw, not just one instant
+    _sample_control()
+    for _ in range(3):
+        _sample_control()
         for name in HEADLINE:
             t0 = time.perf_counter()
             force(QUERIES[name](spark, SF_DIR))
             runs[name].append(time.perf_counter() - t0)
             release()
+    _sample_control()
 
-    control_warm = round(sorted(control_runs)[1], 3)
+    control_warm = round(sorted(control_runs)[2], 3)
     timings = {n: round(sorted(ts)[1], 3) for n, ts in runs.items()}
     spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}
     # min-of-warm-runs, informational: the pre-round-7 records used

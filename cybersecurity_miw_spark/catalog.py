@@ -9088,7 +9088,12 @@ comp3 AS (
   FROM comp2),
 canon AS (
   SELECT doc_id,
-    CASE WHEN scheme = '' OR contains(u, '://[') THEN u
+    CASE WHEN scheme = '' OR contains(u, '://[')
+           OR (regexp_replace(hostport, '^[^:]*', '') <> ''
+               AND NOT regexp_matches(
+                     regexp_replace(hostport, '^[^:]*', ''),
+                     '^:[0-9]+$'))
+         THEN u
     ELSE scheme || '://' || userinfo || host
       || CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                 OR (scheme = 'https' AND port = '443')

@@ -358,7 +358,6 @@ def write_quality_model(
     sidecar params (with the weights)."""
     import json
 
-    from cybersecurity_miw_spark import fsutil
     from cybersecurity_miw_spark.operators.dedup import staged
     from cybersecurity_miw_spark.sources.maintain import publish_table
 
@@ -377,10 +376,16 @@ def write_quality_model(
     table = w_df.join(rc, "bucket", "left").select(
         "bucket", "w_micro", F.coalesce("rc", F.lit(0)).alias("rc")
     )
-    publish_table(spark, table, model_dir)
     params = {k: v for k, v in model.items() if k != "w_micro"}
-    fsutil.write_text(
-        spark, f"{model_dir}/{CLF_PARAMS_FILE}", json.dumps(params)
+    # the sidecar rides the SAME atomic publish as the weight table
+    # (written into the staging dir before the rename), so a
+    # concurrent load_quality_model can never pair new weights with a
+    # stale params sidecar (ADVICE r16)
+    publish_table(
+        spark,
+        table,
+        model_dir,
+        sidecar_texts={CLF_PARAMS_FILE: json.dumps(params)},
     )
     return model
 

@@ -42,9 +42,17 @@ from pyspark.sql import functions as F
 
 # Tracking/click-id query parameters stripped by canonical_url, plus
 # every name starting with "utm_" (the Google Analytics family). The
-# set is the widely-published intersection of the uBlock/Brave/
-# ClearURLs tracking-param lists — names that identify a CLICK, not a
-# resource, so two visits to the same page differ only by them.
+# defaults are names that UNAMBIGUOUSLY identify a CLICK, never a
+# resource, across the published uBlock/Brave/ClearURLs lists — so
+# two visits to the same page differ only by them. Ambiguous names
+# the published lists strip only on specific domains ('ref' selects a
+# branch on code forges, 'ref_src' is Twitter-only) are deliberately
+# NOT defaulted (ADVICE r16: stripping a content-bearing 'ref' merges
+# genuinely distinct pages and url_exact_dedup then DROPS real
+# documents); recipes that curate consumer-web crawls can opt in:
+#
+#     canonical_url(col, tracking_params=TRACKING_PARAMS
+#                   + ("ref", "ref_src"))
 TRACKING_PARAMS = (
     "gclid",
     "dclid",
@@ -57,8 +65,6 @@ TRACKING_PARAMS = (
     "mc_cid",
     "mc_eid",
     "mkt_tok",
-    "ref",
-    "ref_src",
     "spm",
     "s_kwcid",
     "_ga",
@@ -100,9 +106,12 @@ def canonical_url(
        ``&&`` tokens are dropped; a query left empty loses its
        ``?``.
 
-    Rows with no ``scheme://`` prefix, and IPv6-literal authorities
-    (``://[``), pass through trimmed-but-unchanged — the same
-    pass-through contract as
+    Rows with no ``scheme://`` prefix, IPv6-literal authorities
+    (``://[``), and authorities whose post-host remainder is neither
+    empty nor ``:<digits>`` (a malformed port like ``:8a0`` — ADVICE
+    r16: silently deleting it merged the URL with its port-less twin)
+    pass through trimmed-but-unchanged — the same pass-through
+    contract as
     :func:`~cybersecurity_miw_spark.functions.url.url_template`
     (reference miw/log_format.cc:481-484). C4/RefinedWeb cite URL
     normalization before URL dedup; these rules are the portable
@@ -144,7 +153,18 @@ def canonical_url(
     composed = F.concat(
         scheme, F.lit("://"), userinfo, host, port_part, path_part, q_part
     )
-    skip = (F.regexp_extract(u, _SCHEME, 1) == "") | u.contains("://[")
+    # post-host remainder of the authority: '' or ':<digits>' is a
+    # well-formed (possibly absent) port; anything else is a malformed
+    # authority we must not silently "repair" by dropping it
+    hp_rest = F.regexp_replace(hostport, r"^[^:]*", "")
+    bad_port = (hp_rest != "") & (
+        F.regexp_extract(hp_rest, r"^(:[0-9]+)$", 1) == ""
+    )
+    skip = (
+        (F.regexp_extract(u, _SCHEME, 1) == "")
+        | u.contains("://[")
+        | bad_port
+    )
     return F.when(skip, u).otherwise(composed)
 
 

@@ -155,6 +155,14 @@ def curate_documents(
         n_prev = n
         return new_out
 
+    if url_store is not None and (url_col is None or not url_dedup):
+        raise ValueError(
+            "url_store was passed but the URL-dedup stage is off "
+            f"(url_col={url_col!r}, url_dedup={url_dedup}) — the "
+            "incremental history index would be silently ignored and "
+            "already-seen pages would flow through. Enable url_dedup "
+            "with a url_col, or drop url_store."
+        )
     if url_col is not None:
         from cybersecurity_miw_spark.operators import urlcurate
 

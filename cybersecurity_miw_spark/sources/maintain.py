@@ -217,6 +217,7 @@ def publish_table(
     target_files: int = 1,
     keep_sidecars: bool = True,
     partition_by: tuple[str, ...] = (),
+    sidecar_texts: dict[str, str] | None = None,
 ) -> int:
     """Atomically REPLACE ``table_dir``'s data with ``df`` — the same
     temp-dir + rename dance (and the same brief-absence honesty) as
@@ -239,6 +240,13 @@ def publish_table(
     local ones do (ADVICE r12 — ``os.path.exists`` is always False on
     a remote URI, which silently degraded the atomic replace to a
     plain write that then errored on the existing directory).
+    ``sidecar_texts`` ({file_name: text}) are written INTO the staged
+    copy before the atomic rename, so a concurrent reader can never
+    see the new table with a stale sidecar (or vice versa) — the
+    consistency the params-sidecar store families rely on (ADVICE
+    r16: write_quality_model used to write the sidecar after the
+    swap, opening a table/params mismatch window). Staged sidecars
+    shadow same-named carried ones.
     Returns the row count written. First-publish (no existing dir)
     degrades to a plain write."""
     from cybersecurity_miw_spark import fsutil
@@ -249,6 +257,8 @@ def publish_table(
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(target)
+        for fname, text in (sidecar_texts or {}).items():
+            fsutil.write_text(spark, f"{target}/{fname}", text)
 
     parent, name = posixpath.split(_norm_uri(table_dir))
     if not fsutil.exists(spark, table_dir):
@@ -265,12 +275,15 @@ def publish_table(
     fsutil.rename(spark, tmp_dir, table_dir)
     if keep_sidecars:
         # FILES only — same partition-directory hazard as
-        # rewrite_table's carry above
+        # rewrite_table's carry above; freshly staged sidecar_texts
+        # shadow a same-named old sidecar (the staged copy is the
+        # consistent one)
         for f in fsutil.list_file_names(spark, old_dir):
             if (
                 f.startswith("_")
                 and f != "_SUCCESS"
                 and not f.endswith(".crc")
+                and f not in (sidecar_texts or {})
             ):
                 fsutil.rename(
                     spark, f"{old_dir}/{f}", f"{table_dir}/{f}"

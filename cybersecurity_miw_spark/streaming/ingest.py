@@ -44,6 +44,22 @@ from cybersecurity_miw_spark.operators.textstats import fingerprint
 DOC_LINE_SCHEMA = "doc_id long, text string"
 
 
+def _read_store_if_present(sess: SparkSession, store_dir: str):
+    """Read a persisted store parquet, or None when the store does not
+    exist YET (first trigger). Existence is probed explicitly through
+    the Hadoop FileSystem API (fsutil.exists) rather than by catching
+    the read error: a transient FS/object-store failure on a LATER
+    batch must fail the trigger — the checkpoint then replays the
+    batch — not be silently classified as "no store yet", which would
+    skip the history anti-join and re-admit already-seen rows
+    (ADVICE r16)."""
+    from cybersecurity_miw_spark import fsutil
+
+    if not fsutil.exists(sess, store_dir):
+        return None
+    return sess.read.parquet(store_dir)
+
+
 class StaleStoreError(RuntimeError):
     """A streaming store monitor graded a trigger stale and the loop
     was started with ``on_stale="raise"``. The query fails BEFORE the
@@ -160,12 +176,8 @@ def streaming_dedup_ingest(
             # materialize the batch once: dedup_against_store reads it
             # twice (tag + semi-join), and the metrics count is free
             batch_df = batch_df.localCheckpoint(eager=True)
-            try:
-                store = sess.read.parquet(store_dir)
-                has_store = True
-            except Exception:  # first batch: store not created yet
-                has_store = False
-            if has_store:
+            store = _read_store_if_present(sess, store_dir)
+            if store is not None:
                 accepted = dedup_against_store(batch_df, store)
             else:
                 # batch-internal dedup only: min id per fingerprint
@@ -339,16 +351,12 @@ def streaming_near_dup_flags(
         bands_new = lsh_band_store(
             batch_df, num_hashes=num_hashes, bands=bands, shingle_k=shingle_k
         ).localCheckpoint(eager=True)
-        try:
-            store = sess.read.parquet(band_store_dir)
-            has_store = True
-        except Exception:
-            has_store = False
+        store = _read_store_if_present(sess, band_store_dir)
         within = pairs_from_bands(bands_new).select(
             F.col("id_b").alias("new_id"), F.col("id_a").alias("stored_id")
         )
         obs = None
-        if has_store:
+        if store is not None:
             sb = store.withColumnRenamed("doc_id", "stored_id")
             widths = None
             if max_store_bucket_width is not None:
@@ -560,13 +568,9 @@ def streaming_semantic_flags(
                 F.col("id_a").alias("stored_id"),
                 "cos_sim",
             )
-            try:
-                store = sess.read.parquet(vec_store_dir)
-                has_store = True
-            except Exception:
-                has_store = False
+            store = _read_store_if_present(sess, vec_store_dir)
             obs = None
-            if has_store:
+            if store is not None:
                 cross = incremental_semantic_pairs(
                     vecs, store, threshold, dim, n_planes
                 )
@@ -1142,10 +1146,7 @@ def streaming_phash_flags(
             # via phash_band_store without write_phash_store_params
             # must still be joined from the first trigger, or
             # cross-run pairs are silently missed (ADVICE r14)
-            try:
-                store = sess.read.parquet(band_store_dir)
-            except Exception:
-                store = None
+            store = _read_store_if_present(sess, band_store_dir)
             n_cand = None
             if store is not None:
                 cross = incremental_phash_candidates(
@@ -1553,12 +1554,8 @@ def streaming_url_dedup_ingest(
         cache_mark = release_mark()
         try:
             batch_df = batch_df.localCheckpoint(eager=True)
-            try:
-                store = sess.read.parquet(store_dir)
-                has_store = True
-            except Exception:  # first batch: store not created yet
-                has_store = False
-            if has_store:
+            store = _read_store_if_present(sess, store_dir)
+            if store is not None:
                 accepted = urlcurate.url_dedup_against_store(
                     batch_df, store
                 )

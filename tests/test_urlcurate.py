@@ -58,6 +58,16 @@ def _canon(spark, url: str) -> str:
         ("example.com/path", "example.com/path"),
         # IPv6 literal → pass-through (functions/url.py contract)
         ("http://[::1]:80/x", "http://[::1]:80/x"),
+        # malformed port → pass-through, NOT silently deleted (ADVICE
+        # r16: dropping ':8a0' merged the URL with its port-less twin)
+        ("http://h.com:8a0/x", "http://h.com:8a0/x"),
+        ("HTTP://h.com:/x", "HTTP://h.com:/x"),
+        # 'ref' is NOT in the default tracking set (content-bearing on
+        # code forges — ADVICE r16); opt in via tracking_params
+        (
+            "https://forge.com/repo?ref=main&fbclid=x",
+            "https://forge.com/repo?ref=main",
+        ),
     ],
 )
 def test_canonical_url_rules(spark, raw, expect):

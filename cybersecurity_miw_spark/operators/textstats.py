@@ -43,14 +43,50 @@ def lang_id(text: Column) -> Column:
     return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+# Whitespace-free scripts where "word" boundaries are not spaces:
+# Han (+ ext A + compat), Hiragana, Katakana (+ halfwidth), Thai.
+# Each codepoint counts as ONE token in token_count — a Chinese page
+# used to count as a single "word", making every token-thresholded
+# gate (gopher word counts, chunk budgets, mix token budgets)
+# meaningless on CJK text (VERDICT r16 missing #4). Per-codepoint
+# counting slightly OVERCOUNTS multi-char words (Thai words average
+# 3-5 chars); published CJK thresholds are usually stated per
+# character, so this is the convention that keeps them applicable.
+# Java regex form (Spark) — the DuckDB twin spells the same ranges
+# as RE2 \\x{...} escapes.
+CJK_CLASS = (
+    "[ぁ-ゖァ-ヺｦ-ﾝ"
+    "㐀-䶿一-鿿豈-﫿ก-๛]"
+)
+
+
 def token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Token count: whitespace tokens, plus a char-class fallback for
+    whitespace-free scripts — every CJK/Thai codepoint (CJK_CLASS)
+    counts as one token, and the whitespace count is taken over the
+    text with those codepoints removed. Non-CJK text keeps the exact
+    historical whitespace semantics (including the size(split(''))=1
+    empty-string quirk), so the fallback only engages when CJK
+    codepoints are present."""
+    n_cjk = F.regexp_count(text, F.lit(CJK_CLASS))
+    stripped = F.regexp_replace(text, CJK_CLASS, " ")
+    n_ws = F.size(
+        F.filter(
+            F.split(F.trim(stripped), r"\s+"), lambda x: F.length(x) > 0
+        )
+    )
+    return F.when(n_cjk > 0, n_ws + n_cjk).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
 
 
 def word_token_count(text: Column) -> Column:
     """BPE-ish subword proxy: count of word/number/punctuation-run
-    matches (a regex analog of common pre-tokenizers)."""
+    matches (a regex analog of common pre-tokenizers). Already
+    CJK-robust by construction: a CJK codepoint is neither ASCII
+    alphanumeric nor whitespace, so each one matches the
+    punctuation-run alternative individually — one subtoken per
+    codepoint, the same per-char convention as token_count."""
     return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"))
 
 

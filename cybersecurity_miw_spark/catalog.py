@@ -1312,56 +1312,204 @@ def q_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LLM-pipeline: text analysis
 # ---------------------------------------------------------------------------
 
-_PROFILE_SQL = """
-SELECT doc_id,
-       CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-            WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
-            WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-            WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-            ELSE 'de' END AS lang_guess,
-       n_tokens, n_subtokens,
+from cybersecurity_miw_spark.operators import langid
+
+
+def _langid_values_sql() -> tuple[str, str]:
+    """(profile VALUES, per-language OOV VALUES) from the SHIPPED
+    data/lang_profiles.tsv — the oracle scores with the same frozen
+    integer weights the Spark operator broadcasts (the
+    _psl_values_sql precedent). Grams contain only alphabet letters
+    and '_' (the normalization guarantees it), so no SQL quoting
+    hazards."""
+    profiles = langid.load_lang_profiles()
+    prof_rows = ", ".join(
+        f"('{lang}', '{g}', {w})"
+        for lang in sorted(profiles)
+        for g, w in sorted(profiles[lang]["grams"].items())
+    )
+    lang_rows = ", ".join(
+        f"('{lang}', {profiles[lang]['oov_micro']})"
+        for lang in sorted(profiles)
+    )
+    return prof_rows, lang_rows
+
+
+def _langid_cte_sql(docs_cte: str = "lid_docs") -> str:
+    """The full DuckDB twin of langid.detect_language as a chain of
+    CTE definitions ending in ``lid_out(doc_id, lang,
+    lang_score_micro, lang_margin_micro)`` — script gate, alphabet
+    normalization, trigram unnest, frozen-profile join, integer
+    micro-nat scoring, argmax + match-fraction + ln(99)-margin
+    gates. Rebuilt wholesale in SQL (no shared code with the Spark
+    expressions), the catalog's twin discipline. ``docs_cte`` must
+    provide (doc_id, text)."""
+    c = langid.SCRIPT_CLASSES
+    prof_rows, lang_rows = _langid_values_sql()
+    dom = langid.DOMINANT_MICRO
+    kana = langid.KANA_MICRO
+    gate_rest = "\n".join(
+        f"       WHEN c_{s}*1000000 >= tot*{dom} THEN '{lang}'"
+        for s, lang in langid.SCRIPT_LANG.items()
+    )
+    return f"""
+lid_low AS (
+  SELECT doc_id,
+         lower(substr(coalesce(text, ''), 1, {langid.CAP_CHARS})) AS lo
+  FROM {docs_cte}),
+lid_sc AS (
+  SELECT doc_id, lo,
+    len(regexp_extract_all(lo, '{c["latin"]}')) AS c_latin,
+    len(regexp_extract_all(lo, '{c["cyrillic"]}')) AS c_cyrillic,
+    len(regexp_extract_all(lo, '{c["han"]}')) AS c_han,
+    len(regexp_extract_all(lo, '{c["hiragana"]}')) AS c_hiragana,
+    len(regexp_extract_all(lo, '{c["katakana"]}')) AS c_katakana,
+    len(regexp_extract_all(lo, '{c["hangul"]}')) AS c_hangul,
+    len(regexp_extract_all(lo, '{c["thai"]}')) AS c_thai,
+    len(regexp_extract_all(lo, '{c["greek"]}')) AS c_greek,
+    len(regexp_extract_all(lo, '{c["hebrew"]}')) AS c_hebrew,
+    len(regexp_extract_all(lo, '{c["devanagari"]}')) AS c_devanagari,
+    len(regexp_extract_all(lo, '{c["arabic"]}')) AS c_arabic
+  FROM lid_low),
+lid_gate AS (
+  SELECT doc_id, lo,
+    CASE WHEN tot = 0 THEN 'und'
+       WHEN (c_hiragana+c_katakana)*1000000 >= tot*{kana}
+            AND (c_han+c_hiragana+c_katakana)*1000000 >= tot*{dom}
+         THEN 'ja'
+       WHEN c_han*1000000 >= tot*{dom} THEN 'zh'
+{gate_rest}
+    END AS g
+  FROM (SELECT *,
+          (c_latin+c_cyrillic+c_han+c_hiragana+c_katakana+c_hangul
+           +c_thai+c_greek+c_hebrew+c_devanagari+c_arabic) AS tot
+        FROM lid_sc)),
+lid_base AS (
+  SELECT doc_id, g,
+         '_' || regexp_replace(lo, '{langid.NON_LETTER_RUN}', '_', 'g')
+             || '_' AS p
+  FROM lid_gate),
+lid_base2 AS (SELECT doc_id, g, p, length(p) - 2 AS n FROM lid_base),
+lid_gated AS (
+  SELECT doc_id, g AS lang, CAST(NULL AS BIGINT) AS lang_score_micro,
+         CAST(NULL AS BIGINT) AS lang_margin_micro
+  FROM lid_base2 WHERE g IS NOT NULL),
+lid_short AS (
+  SELECT doc_id, 'und' AS lang, CAST(NULL AS BIGINT) AS lang_score_micro,
+         CAST(NULL AS BIGINT) AS lang_margin_micro
+  FROM lid_base2 WHERE g IS NULL AND n < {langid.MIN_GRAMS}),
+lid_qual AS (
+  SELECT doc_id, p, n FROM lid_base2
+  WHERE g IS NULL AND n >= {langid.MIN_GRAMS}),
+lid_grams AS (
+  SELECT doc_id,
+         unnest([substr(p, i, 3) FOR i IN generate_series(1, n)]) AS gm
+  FROM lid_qual),
+lid_prof(lang, gram, w_micro) AS (VALUES {prof_rows}),
+lid_langs(lang, oov_micro) AS (VALUES {lang_rows}),
+lid_matched AS (
+  SELECT gr.doc_id, pr.lang AS lang,
+         sum(pr.w_micro) AS mw, count(*) AS nm
+  FROM lid_grams gr JOIN lid_prof pr ON gr.gm = pr.gram
+  GROUP BY gr.doc_id, pr.lang),
+lid_scored AS (
+  SELECT q.doc_id AS doc_id, l.lang,
+         coalesce(m.mw, 0) + (q.n - coalesce(m.nm, 0)) * l.oov_micro
+           AS score,
+         coalesce(m.nm, 0) AS nm, q.n AS n
+  FROM lid_qual q CROSS JOIN lid_langs l
+  LEFT JOIN lid_matched m ON m.doc_id = q.doc_id AND m.lang = l.lang),
+lid_ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM lid_scored),
+lid_tri AS (
+  SELECT b.doc_id,
+    CASE WHEN b.nm * 1000000 < b.n * {langid.MIN_MATCH_FRAC_MICRO}
+           THEN 'und'
+         WHEN b.score - s.score < {langid.MARGIN_MICRO} THEN 'und'
+         ELSE b.lang END AS lang,
+    b.score AS lang_score_micro,
+    (b.score - s.score) AS lang_margin_micro
+  FROM lid_ranked b JOIN lid_ranked s
+    ON b.doc_id = s.doc_id AND s.rn = 2
+  WHERE b.rn = 1),
+lid_out AS (
+  SELECT * FROM lid_gated
+  UNION ALL SELECT * FROM lid_short
+  UNION ALL SELECT * FROM lid_tri)"""
+
+
+# n_tokens twin: the r17 CJK char-class fallback (textstats.
+# token_count) — each Han/kana/Thai codepoint is one token, the
+# whitespace count runs over the CJK-stripped text; non-CJK text
+# keeps the historical size(split()) semantics bit-exactly. The
+# class string is the SAME literal as textstats.CJK_CLASS (literal
+# endpoints are valid in both Java regex and RE2).
+_N_TOKENS_SQL = f"""
+         CASE WHEN len(regexp_extract_all(text, '{textstats.CJK_CLASS}')) > 0
+              THEN len(list_filter(str_split_regex(
+                     trim(regexp_replace(text, '{textstats.CJK_CLASS}', ' ', 'g')),
+                     '\\s+'), x -> len(x) > 0))
+                   + len(regexp_extract_all(text, '{textstats.CJK_CLASS}'))
+              ELSE len(str_split_regex(trim(text), '\\s+')) END"""
+
+_PROFILE_SQL = f"""
+WITH lid_docs AS (SELECT doc_id, text FROM documents),
+{_langid_cte_sql()}
+SELECT p.doc_id, l.lang AS lang_guess,
+       p.n_tokens, p.n_subtokens, p.quality, p.fingerprint
+FROM (
+  SELECT doc_id, n_tokens, n_subtokens,
        floor(greatest(least(0.5 * alpha_ratio + 0.3 * len_score + 0.2 * (1.0 - punct_ratio), 1.0), 0.0) * 1000000.0 + 0.5) / 1000000.0 AS quality,
        fingerprint
-FROM (
-  SELECT doc_id,
-         len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist)\\b')) AS h_de,
-         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is)\\b')) AS h_en,
-         len(regexp_extract_all(lower(text), '\\b(el|la|los|que|de)\\b')) AS h_es,
-         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est)\\b')) AS h_fr,
-         len(str_split_regex(trim(text), '\\s+')) AS n_tokens,
+  FROM (
+    SELECT doc_id,
+         {_N_TOKENS_SQL} AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS n_subtokens,
          len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) AS alpha_ratio,
          len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) / greatest(length(text), 1) AS punct_ratio,
          least(length(text) / 200.0, 1.0) AS len_score,
          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
-  FROM documents
-)
+    FROM documents
+  )
+) p JOIN lid_out l ON p.doc_id = l.doc_id
 """
 
 
 @register("text_profile", _PROFILE_SQL)
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc language guess, token count, quality ratios, and
-    rolling-hash fingerprint — all JVM regexp/arithmetic
-    (operators/textstats.py), no Python in the hot path."""
+    """Per-doc language ID, token count, quality ratios, and
+    rolling-hash fingerprint (operators/textstats.py). r17: the
+    language column is the char-trigram profile classifier
+    (operators/langid.py — shipped-profile scoring, full DuckDB
+    twin) instead of the 4-language stopword heuristic, and
+    n_tokens carries the CJK char-class fallback. Re-anchored
+    in-window for both plan changes (rotation invariant)."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
     t = F.col("text")
-    return docs.select(
+    base = docs.select(
         "doc_id",
-        textstats.lang_id(t).alias("lang_guess"),
         textstats.token_count(t).alias("n_tokens"),
         textstats.word_token_count(t).alias("n_subtokens"),
         textstats.quality_score(t).alias("quality"),
         textstats.fingerprint(t).alias("fingerprint"),
+    )
+    langs = langid.detect_language(docs).select(
+        "doc_id", F.col("lang").alias("lang_guess")
+    )
+    return base.join(langs, "doc_id").select(
+        "doc_id", "lang_guess", "n_tokens", "n_subtokens", "quality",
+        "fingerprint",
     )
 
 
 # Token-length histogram in log2 buckets — the packing/chunking
 # planner's input (sequence-length budget, truncation loss, bucket
 # share). One aggregation to ~log2(max_len) rows at any corpus size.
-_TOKLEN_HIST_SQL = """
+_TOKLEN_HIST_SQL = f"""
 WITH t AS (
-  SELECT len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+  SELECT {_N_TOKENS_SQL} AS n_tokens
   FROM documents
 )
 SELECT CAST(floor(log2(n_tokens + 1)) AS BIGINT) AS bucket,
@@ -9361,6 +9509,87 @@ def q_chunk_sentence_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return packing.chunk_by_sentences(punct, budget_tokens=40)
+
+
+# ---------------------------------------------------------------------------
+# r17: char-trigram language ID (operators/langid.py). Planted
+# 30-way multilingual fixture — one text per profiled language (21),
+# one per script-gated language (8), one letter-less und case — so
+# every decision path (gate, trigram argmax, match-fraction gate,
+# margin gate) is live at any sf. The DuckDB twin (_langid_cte_sql)
+# rebuilds the whole chain in SQL over the SAME shipped profile file
+# inlined as VALUES.
+# ---------------------------------------------------------------------------
+
+_LANGID_FIXTURES = [
+    # 21 trigram-profiled languages (held-out prose, not in the
+    # sample corpus; da/no/bg get document-length text — the pair
+    # separations need more than one parallel-translated sentence)
+    "Many years later the family moved to another city and found new friends there.",
+    "Viele Jahre später zog die Familie in eine andere Stadt und fand dort neue Freunde.",
+    "Plusieurs années plus tard, la famille a déménagé dans une autre ville et y a trouvé de nouveaux amis.",
+    "Muchos años después la familia se mudó a otra ciudad y encontró allí nuevos amigos.",
+    "Muitos anos depois a família mudou-se para outra cidade e encontrou lá novos amigos.",
+    "Molti anni dopo la famiglia si trasferì in un'altra città e vi trovò nuovi amici.",
+    "Vele jaren later verhuisde het gezin naar een andere stad en vond daar nieuwe vrienden.",
+    "Många år senare flyttade familjen till en annan stad och fick nya vänner där.",
+    "Mange år senere flyttede familien til en anden by. De rejste gennem bjergene og så en lille ø ud for kysten. Faderen gik ud af huset hver morgen og blev væk hele dagen, mens han arbejdede på fabrikken. Børnene lærte sproget hurtigt, og efter nogle uger talte de dansk med alle deres venner.",
+    "Mange år senere flyttet familien til en annen by. De reiste gjennom fjellene og så en liten øy utenfor kysten. Faren gikk ut av huset hver morgen og ble borte hele dagen mens han arbeidet på fabrikken. Barna lærte seg språket fort, og etter noen uker snakket de norsk med alle vennene sine.",
+    "Monta vuotta myöhemmin perhe muutti toiseen kaupunkiin ja sai sieltä uusia ystäviä.",
+    "Wiele lat później rodzina przeprowadziła się do innego miasta i znalazła tam nowych przyjaciół.",
+    "O mnoho let později se rodina přestěhovala do jiného města a našla tam nové přátele.",
+    "Mulți ani mai târziu familia s-a mutat într-un alt oraș și a găsit acolo prieteni noi.",
+    "Sok évvel később a család egy másik városba költözött, és ott új barátokat talált.",
+    "Yıllar sonra aile başka bir şehre taşındı ve orada yeni arkadaşlar buldu.",
+    "Bertahun-tahun kemudian keluarga itu pindah ke kota lain dan menemukan teman baru di sana.",
+    "Nhiều năm sau gia đình chuyển đến một thành phố khác và tìm thấy những người bạn mới ở đó.",
+    "Много лет спустя семья переехала в другой город и нашла там новых друзей.",
+    "Багато років по тому родина переїхала до іншого міста і знайшла там нових друзів.",
+    "Много години по-късно семейството се премести в друг град и намери там нови приятели. Те купиха стара къща до училището и бащата започна да работи във фабриката извън града. В началото на децата им беше трудно, но след няколко месеца вече говореха с всички на улицата.",
+    # 8 script-gated languages
+    "今天早上天气很冷，孩子们和他们的母亲一起留在家里。政府宣布新学校将建在医院旁边。",
+    "今朝は寒かったので、子供たちは母親と一緒に家にいました。政府は新しい学校が病院の隣に建設されると発表しました。",
+    "오늘 아침 날씨가 추워서 아이들은 어머니와 함께 집에 있었습니다.",
+    "Ο καιρός ήταν κρύος σήμερα το πρωί και τα παιδιά έμειναν στο σπίτι με τη μητέρα τους.",
+    "מזג האוויר היה קר הבוקר והילדים נשארו בבית עם אמם.",
+    "आज सुबह मौसम ठंडा था और बच्चे अपनी माँ के साथ घर पर रहे।",
+    "เช้านี้อากาศหนาวและเด็กๆ อยู่บ้านกับแม่ของพวกเขา",
+    "كان الطقس باردا هذا الصباح وبقي الأطفال في المنزل مع أمهم.",
+    # letter-less → und at the gate
+    "12345 67890 ++-- ### $$$ 42",
+]
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+_LANGID_ASSIGN_SQL = f"""
+WITH lid_docs AS (
+  SELECT doc_id,
+         ([{", ".join(_sql_quote(s) for s in _LANGID_FIXTURES)}])
+           [CAST(doc_id % {len(_LANGID_FIXTURES)} AS INT) + 1] AS text
+  FROM documents),
+{_langid_cte_sql()}
+SELECT doc_id, lang, lang_score_micro, lang_margin_micro FROM lid_out
+"""
+
+
+@register("lang_id_assign", _LANGID_ASSIGN_SQL)
+def q_lang_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full language-ID decision chain (langid.detect_language)
+    over the 30-way planted fixture: script gate, trigram scoring
+    against the shipped profile file, match-fraction and ln(99)
+    margin gates — per-doc (lang, score, margin), all integer
+    micro-nats. Plan: bounded row expressions + one ≤600-gram
+    explode + broadcast profile join + two partial-agg exchanges."""
+    d = F.col("doc_id")
+    txt = F.element_at(
+        F.array(*[F.lit(s) for s in _LANGID_FIXTURES]),
+        (d % len(_LANGID_FIXTURES) + 1).cast("int"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return langid.detect_language(docs.withColumn("text", txt))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,274 @@
+"""HTML → text extraction (VERDICT r16 missing #2): the stage between
+a crawl and the ``documents(doc_id, text)`` contract every other
+curation operator here starts from. Published pipelines open with
+exactly this step — C4 consumes WARC-extracted text (Raffel et al.
+2020 §2.2), RefinedWeb runs trafilatura extraction before its line
+rules (Penedo et al. 2023 §3.2), jusText (Pomikálek 2011) classifies
+blocks by text density and link density.
+
+Everything is pure JVM string expressions — regexp/replace chains
+inside whole-stage codegen, no UDF, no HTML parser dependency — so a
+DuckDB twin exists for the full chain (RE2-safe: no lookaheads, no
+backreferences; lazy quantifiers only, which RE2 supports).
+
+* :func:`extract_text` — Column→Column: drop comments/CDATA/doctype,
+  drop ``<script>``/``<style>`` blocks wholesale, turn block-level
+  tags into newlines, strip remaining tags, decode a BOUNDED entity
+  set (named + the common numeric forms; ``&amp;`` decoded last so
+  ``&amp;lt;`` stays ``&lt;`` — one decode pass, the standard order),
+  normalize whitespace.
+* :func:`html_line_stats` — the jusText-lite block classifier: one
+  row per extracted LINE with ``(n_chars, n_words, link_frac,
+  keep)``. Link density survives tag stripping by wrapping anchor
+  text in private-use sentinels before the strip.
+* :func:`extract_main_text` — lines → keep-filter → order-preserving
+  re-join: the boilerplate-free page text, feeding the existing
+  C4/gopher line+page rule battery (corpus_filters.py).
+
+Documented limitations (the "lite" in jusText-lite): attribute
+values containing ``>`` end the tag early; a lone unescaped ``<``
+survives as text; entities outside the bounded set pass through
+verbatim. All three are properties real extractors share to some
+degree and none affects the density *statistics* materially.
+
+100 TB plan shape: extraction is a linear per-row expression chain
+(zero exchanges); the line classifier explodes lines (bounded by
+page size) and re-joins on the doc key — one exchange, partial-agg
+friendly; nothing pairwise, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# anchor-text sentinels: private-use codepoints that never occur in
+# real text; any pre-existing occurrence is defensively stripped
+# before marking, so link_frac can never be poisoned by input
+LINK_OPEN = ""
+LINK_CLOSE = ""
+
+# the bounded entity set, decoded in ORDER (the ``&amp;`` family
+# must come last — decoding it first would double-decode
+# ``&amp;lt;``). Named + numeric twins of the same codepoints.
+ENTITY_MAP: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&#60;", "<"),
+    ("&gt;", ">"),
+    ("&#62;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&lsquo;", "‘"),
+    ("&#8216;", "‘"),
+    ("&rsquo;", "’"),
+    ("&#8217;", "’"),
+    ("&ldquo;", "“"),
+    ("&#8220;", "“"),
+    ("&rdquo;", "”"),
+    ("&#8221;", "”"),
+    ("&ndash;", "–"),
+    ("&#8211;", "–"),
+    ("&mdash;", "—"),
+    ("&#8212;", "—"),
+    ("&hellip;", "…"),
+    ("&#8230;", "…"),
+    ("&copy;", "©"),
+    ("&#169;", "©"),
+    ("&reg;", "®"),
+    ("&#174;", "®"),
+    ("&trade;", "™"),
+    ("&#8482;", "™"),
+    ("&amp;", "&"),
+    ("&#38;", "&"),
+)
+
+# block-level elements whose open/close tags become line breaks
+BLOCK_TAGS = (
+    "p|div|li|h[1-6]|tr|br|hr|table|ul|ol|blockquote|pre|"
+    "section|article|header|footer|nav|aside|form|title"
+)
+
+_COMMENT = r"(?s)<!--.*?-->"
+_CDATA = r"(?s)<!\[CDATA\[.*?\]\]>"
+_SCRIPT = r"(?is)<script\b[^>]*>.*?</script\s*>"
+_STYLE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+_ANCHOR = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+_BLOCK = rf"(?i)</?(?:{BLOCK_TAGS})\b[^>]*/?>"
+_ANY_TAG = r"<[^>]*>"
+
+
+def _strip_to_lines(s: Column, mark_links: bool) -> Column:
+    """The shared head of both extraction paths: drop invisible
+    blocks, (optionally) sentinel anchor text, break blocks into
+    newlines, strip tags, decode entities, normalize intra-line
+    whitespace. Returns text with '\\n' line structure intact."""
+    s = F.regexp_replace(s, _COMMENT, " ")
+    s = F.regexp_replace(s, _CDATA, " ")
+    s = F.regexp_replace(s, _SCRIPT, " ")
+    s = F.regexp_replace(s, _STYLE, " ")
+    if mark_links:
+        s = F.regexp_replace(s, f"[{LINK_OPEN}{LINK_CLOSE}]", "")
+        s = F.regexp_replace(s, _ANCHOR, f"{LINK_OPEN}$1{LINK_CLOSE}")
+    s = F.regexp_replace(s, _BLOCK, "\n")
+    s = F.regexp_replace(s, _ANY_TAG, " ")
+    for ent, ch in ENTITY_MAP:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    # intra-line whitespace: runs of space/tab/CR → one space; spaces
+    # hugging a newline go; 3+ newlines collapse to a paragraph break
+    s = F.regexp_replace(s, r"[ \t\r]+", " ")
+    s = F.regexp_replace(s, r" ?\n ?", "\n")
+    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    return F.trim(s)
+
+
+def extract_text(html: Column) -> Column:
+    """Page text of an HTML column — the trafilatura-shaped
+    tag-strip + entity-decode chain as ONE codegen expression (see
+    module docstring for the exact rule order)."""
+    return _strip_to_lines(F.coalesce(html, F.lit("")), mark_links=False)
+
+
+def html_line_stats(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    max_link_frac: float = 0.5,
+) -> DataFrame:
+    """jusText-lite block classification: one row per extracted line
+    with the density signals and the keep verdict —
+
+    * ``n_chars`` / ``n_words`` — length of the line after link
+      sentinels are removed;
+    * ``link_frac`` — fraction of the line's characters that came
+      from anchor text (micro-rounded) — jusText's core boilerplate
+      signal: navigation/footer blocks are link-dominated, body
+      prose is not;
+    * ``keep`` — ``n_words >= min_words AND link_frac <=
+      max_link_frac``: short fragments and link farms are
+      boilerplate (jusText's "short"/"bad" classes, collapsed to
+      one verdict).
+
+    Empty lines are dropped before numbering; ``line_no`` is the
+    0-based position among non-empty lines, so
+    :func:`extract_main_text` can rebuild reading order."""
+    marked = df.select(
+        F.col(id_col),
+        F.split(
+            _strip_to_lines(
+                F.coalesce(F.col(html_col), F.lit("")), mark_links=True
+            ),
+            "\n",
+        ).alias("_lines"),
+    )
+    lines = marked.select(
+        id_col,
+        F.posexplode(
+            F.filter(
+                F.col("_lines"), lambda x: F.length(F.trim(x)) > 0
+            )
+        ).alias("line_no", "_raw"),
+    )
+    clean = F.trim(
+        F.regexp_replace(F.col("_raw"), f"[{LINK_OPEN}{LINK_CLOSE}]", "")
+    )
+    link_chars = F.aggregate(
+        F.regexp_extract_all(
+            F.col("_raw"),
+            F.lit(f"{LINK_OPEN}([^{LINK_OPEN}{LINK_CLOSE}]*){LINK_CLOSE}"),
+            1,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    staged = lines.select(
+        id_col,
+        "line_no",
+        clean.alias("line_text"),
+        link_chars.alias("_lc"),
+    )
+    n_chars = F.length("line_text")
+    n_words = F.size(
+        F.filter(
+            F.split(F.col("line_text"), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    link_frac = (
+        F.floor(
+            F.col("_lc")
+            / F.greatest(n_chars, F.lit(1))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1_000_000.0)
+    )
+    out = staged.select(
+        id_col,
+        "line_no",
+        "line_text",
+        n_chars.cast("long").alias("n_chars"),
+        n_words.cast("long").alias("n_words"),
+        link_frac.alias("link_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= F.lit(int(min_words)))
+        & (F.col("link_frac") <= F.lit(float(max_link_frac))),
+    )
+
+
+def extract_main_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    max_link_frac: float = 0.5,
+    out_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-free page text: classify lines
+    (:func:`html_line_stats`), drop the boilerplate, re-join the
+    kept lines in reading order — ``(id_col, out_col,
+    n_lines_kept, n_lines_dropped)``. A page whose every line is
+    boilerplate yields an empty string (the downstream gopher/C4
+    gates then drop it, the published order). One exchange on the
+    doc key; the order-preserving re-join is a sort_array over the
+    collected (line_no, line) structs, never a window."""
+    stats = html_line_stats(
+        df, html_col, id_col, min_words, max_link_frac
+    )
+    per_doc = stats.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct("line_no", "line_text"),
+                        )
+                    )
+                ),
+                lambda s: s["line_text"],
+            ),
+            "\n",
+        ).alias(out_col),
+        F.sum(F.col("keep").cast("long")).alias("n_lines_kept"),
+        F.sum((~F.col("keep")).cast("long")).alias("n_lines_dropped"),
+    )
+    # docs whose html produced NO non-empty lines have no stats rows;
+    # left join keeps them with empty text and zero counts
+    base = df.select(id_col)
+    return (
+        base.join(per_doc, id_col, "left")
+        .withColumn(out_col, F.coalesce(out_col, F.lit("")))
+        .withColumn(
+            "n_lines_kept", F.coalesce("n_lines_kept", F.lit(0))
+        )
+        .withColumn(
+            "n_lines_dropped", F.coalesce("n_lines_dropped", F.lit(0))
+        )
+    )

@@ -193,18 +193,47 @@ def with_shingles(
     )
 
 
-def profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+def profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_mode: str = "ngram",
+    lang_profiles: dict | None = None,
+) -> DataFrame:
     """One-stop text profile: adds lang_guess, n_tokens, quality,
-    fingerprint columns."""
+    fingerprint columns.
+
+    ``lang_mode="ngram"`` (default, r17): ``lang_guess`` comes from
+    the char-trigram profile classifier
+    (:mod:`~cybersecurity_miw_spark.operators.langid` — 21 profiled
+    + 8 script-gated languages, the C4/RefinedWeb-grade gate),
+    joined back on ``id_col``. ``lang_mode="stopword"`` keeps the
+    legacy 4-language stopword heuristic (:func:`lang_id`) — the
+    documented fallback for frames WITHOUT a row id, where the
+    detector's join has no key."""
     t = F.col(text_col)
-    return df.select(
-        "*",
-        lang_id(t).alias("lang_guess"),
+    row_cols = [
         token_count(t).alias("n_tokens"),
         word_token_count(t).alias("n_subtokens"),
         quality_score(t).alias("quality"),
         fingerprint(t).alias("fingerprint"),
-    )
+    ]
+    if lang_mode == "stopword":
+        return df.select("*", lang_id(t).alias("lang_guess"), *row_cols)
+    if lang_mode != "ngram":
+        raise ValueError(f"lang_mode must be ngram|stopword, got {lang_mode!r}")
+    if id_col not in df.columns:
+        raise ValueError(
+            f"profile(lang_mode='ngram') needs id column {id_col!r} to "
+            "join the detected language back; pass "
+            "lang_mode='stopword' for id-less frames"
+        )
+    from cybersecurity_miw_spark.operators import langid
+
+    langs = langid.detect_language(
+        df, text_col=text_col, id_col=id_col, profiles=lang_profiles
+    ).select(id_col, F.col("lang").alias("lang_guess"))
+    return df.select("*", *row_cols).join(langs, id_col, "left")
 
 
 def tfidf_top_terms(

@@ -239,7 +239,7 @@ def curate_documents(
             .join(scrubbed.select(id_col, "_clean"), id_col)
             .withColumnRenamed("_clean", text_col),
         )
-    out = textstats.profile(out, text_col=text_col)
+    out = textstats.profile(out, text_col=text_col, id_col=id_col)
     if quality_floor is not None:
         out = _record(
             "quality_floor", out.filter(F.col("quality") >= quality_floor)

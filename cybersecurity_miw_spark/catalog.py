@@ -9593,6 +9593,195 @@ def q_lang_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r17: HTML→text extraction (operators/htmlextract.py). Pages are
+# synthesized from `documents` with every planted pathology (nested
+# script with '<' and block tags inside, comments, entities incl.
+# the double-escape trap, malformed lone '<', nav/footer link
+# blocks); the DuckDB twins rebuild the strip/decode chain and the
+# jusText-lite line classifier wholesale in SQL. The regex/entity
+# CONSTANTS are shared with the operator (the TRACKING_PARAMS /
+# _psl_values_sql precedent: contract data, not logic) — every
+# chain step is re-expressed in SQL below.
+# ---------------------------------------------------------------------------
+
+from cybersecurity_miw_spark.operators import htmlextract
+from cybersecurity_miw_spark.operators import htmlextract as _hx
+
+
+def _rr_sql(e: str, pat: str, rep_expr: str) -> str:
+    """regexp_replace step with a global flag; the pattern rides a
+    DuckDB single-quoted literal (no backslash processing, so the
+    Java-regex constants pass through to RE2 verbatim — the shared
+    patterns avoid lookaheads/backrefs for exactly this reason)."""
+    return f"regexp_replace({e}, {_sql_quote(pat)}, {rep_expr}, 'g')"
+
+
+def _html_strip_sql(e: str, mark_links: bool) -> str:
+    """The full extract_text chain as ONE nested SQL expression over
+    input expression ``e`` — same step order as
+    htmlextract._strip_to_lines."""
+    e = _rr_sql(e, _hx._COMMENT, "' '")
+    e = _rr_sql(e, _hx._CDATA, "' '")
+    e = _rr_sql(e, _hx._SCRIPT, "' '")
+    e = _rr_sql(e, _hx._STYLE, "' '")
+    if mark_links:
+        e = _rr_sql(e, f"[{_hx.LINK_OPEN}{_hx.LINK_CLOSE}]", "''")
+        e = _rr_sql(
+            e,
+            _hx._ANCHOR,
+            _sql_quote(_hx.LINK_OPEN) + " || '\\1' || "
+            + _sql_quote(_hx.LINK_CLOSE),
+        )
+    e = _rr_sql(e, _hx._BLOCK, "chr(10)")
+    e = _rr_sql(e, _hx._ANY_TAG, "' '")
+    for ent, ch in _hx.ENTITY_MAP:
+        e = f"replace({e}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    e = _rr_sql(e, r"[ \t\r]+", "' '")
+    e = _rr_sql(e, r" ?\n ?", "chr(10)")
+    e = _rr_sql(e, r"\n+", "chr(10)")
+    e = _rr_sql(e, r"^\n+|\n+$", "''")
+    return f"trim({e})"
+
+
+_HTML_PAGE_SQL = """
+  SELECT doc_id,
+    '<!DOCTYPE html><html><head><title>Doc ' || doc_id::VARCHAR || '</title>'
+    || '<style>p{color:red}</style><script>var x=1; if(x<2){x=3;}</script></head>'
+    || '<body><!-- c' || doc_id::VARCHAR || ' --><h1>Title &amp; &lt;' || (doc_id % 9)::VARCHAR || '&gt;</h1>'
+    || '<p>' || substr(coalesce(text, ''), 1, 120) || '</p>'
+    || CASE WHEN doc_id % 3 = 0 THEN '<p>second&nbsp;para&hellip; &amp;lt;keep&amp;gt;</p>' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN '<div>3 < 5 stays</div>' ELSE '' END
+    || '</body></html>' AS html
+  FROM documents
+"""
+
+_HTML_EXTRACT_SQL = f"""
+WITH pages AS ({_HTML_PAGE_SQL})
+SELECT doc_id, {_html_strip_sql("html", mark_links=False)} AS text
+FROM pages
+"""
+
+
+def _spark_html_page(d: F.Column) -> F.Column:
+    def _opt(cond, lit_s: str) -> F.Column:
+        return F.when(cond, F.lit(lit_s)).otherwise(F.lit(""))
+
+    return F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "),
+        d.cast("string"),
+        F.lit("</title><style>p{color:red}</style>"
+              "<script>var x=1; if(x<2){x=3;}</script></head>"
+              "<body><!-- c"),
+        d.cast("string"),
+        F.lit(" --><h1>Title &amp; &lt;"),
+        (d % 9).cast("string"),
+        F.lit("&gt;</h1><p>"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120),
+        F.lit("</p>"),
+        _opt(d % 3 == 0,
+             "<p>second&nbsp;para&hellip; &amp;lt;keep&amp;gt;</p>"),
+        _opt(d % 5 == 0, "<div>3 < 5 stays</div>"),
+        F.lit("</body></html>"),
+    )
+
+
+@register("html_extract_text", _HTML_EXTRACT_SQL)
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (htmlextract.extract_text) over planted
+    pages carrying every pathology the chain documents: script
+    bodies with '<' and markup inside, comments, the bounded entity
+    set incl. the &amp;lt; double-escape trap, malformed lone '<',
+    conditional extra blocks. Pure row-expression chain — zero
+    exchanges."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pages = docs.select(
+        "doc_id", _spark_html_page(F.col("doc_id")).alias("html")
+    )
+    return pages.select(
+        "doc_id", htmlextract.extract_text(F.col("html")).alias("text")
+    )
+
+
+_HTML_NAV_PAGE_SQL = """
+  SELECT doc_id,
+    '<html><body><div><a href="/a">Home page</a> <a href="/b">About us</a> <a href="/c">Contact form</a></div>'
+    || '<p>' || substr(coalesce(text, ''), 1, 150) || '</p>'
+    || CASE WHEN doc_id % 4 = 0 THEN '<div>Copyright 2024 Corp <a href="/t">Terms</a></div>' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN '<p>Tiny.</p>' ELSE '' END
+    || '</body></html>' AS html
+  FROM documents
+"""
+
+_LINK_PAT = (
+    f"{_hx.LINK_OPEN}([^{_hx.LINK_OPEN}{_hx.LINK_CLOSE}]*){_hx.LINK_CLOSE}"
+)
+
+_HTML_LINES_SQL = f"""
+WITH pages AS ({_HTML_NAV_PAGE_SQL}),
+stripped AS (
+  SELECT doc_id, {_html_strip_sql("html", mark_links=True)} AS s
+  FROM pages),
+fl AS (
+  SELECT doc_id,
+         list_filter(string_split(s, chr(10)),
+                     x -> len(trim(x)) > 0) AS ls
+  FROM stripped),
+lines AS (
+  SELECT doc_id, u.i AS line_no, u.l AS raw FROM (
+    SELECT doc_id,
+           unnest([{{'i': i, 'l': ls[i + 1]}}
+                   FOR i IN generate_series(0, len(ls) - 1)]) AS u
+    FROM fl)),
+m AS (
+  SELECT doc_id, line_no,
+    trim(replace(replace(raw, {_sql_quote(_hx.LINK_OPEN)}, ''),
+                 {_sql_quote(_hx.LINK_CLOSE)}, '')) AS line_text,
+    coalesce(list_sum(list_transform(
+      regexp_extract_all(raw, {_sql_quote(_LINK_PAT)}, 1),
+      x -> length(x))), 0) AS lc
+  FROM lines),
+f AS (
+  SELECT doc_id, line_no, line_text,
+    length(line_text)::BIGINT AS n_chars,
+    len(list_filter(str_split_regex(line_text, '\\s+'),
+                    x -> len(x) > 0))::BIGINT AS n_words,
+    floor(lc / greatest(length(line_text), 1) * 1000000.0 + 0.5)
+      / 1000000.0 AS link_frac
+  FROM m)
+SELECT doc_id, line_no, line_text, n_chars, n_words, link_frac,
+       (n_words >= 3 AND link_frac <= 0.5) AS keep
+FROM f
+"""
+
+
+@register("html_line_density", _HTML_LINES_SQL)
+def q_html_line_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText-lite line classification (htmlextract.html_line_stats)
+    over planted nav/content/footer pages: per-line char/word counts,
+    anchor-text link density (sentinel-marked through the tag strip),
+    and the keep verdict. One bounded line explode, no exchange."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+
+    def _opt(cond, lit_s: str) -> F.Column:
+        return F.when(cond, F.lit(lit_s)).otherwise(F.lit(""))
+
+    page = F.concat(
+        F.lit('<html><body><div><a href="/a">Home page</a> '
+              '<a href="/b">About us</a> '
+              '<a href="/c">Contact form</a></div><p>'),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 150),
+        F.lit("</p>"),
+        _opt(d % 4 == 0,
+             '<div>Copyright 2024 Corp <a href="/t">Terms</a></div>'),
+        _opt(d % 6 == 0, "<p>Tiny.</p>"),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return htmlextract.html_line_stats(pages)
+
+
+# ---------------------------------------------------------------------------
 # r16: trained quality classifier (operators/qualityclf.py). The
 # SCORING pass is fully oracled — the frozen model here is a
 # md5-derived literal weight table both engines rebuild identically,

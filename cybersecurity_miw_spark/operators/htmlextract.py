@@ -117,11 +117,14 @@ def _strip_to_lines(s: Column, mark_links: bool) -> Column:
     s = F.regexp_replace(s, _ANY_TAG, " ")
     for ent, ch in ENTITY_MAP:
         s = F.replace(s, F.lit(ent), F.lit(ch))
-    # intra-line whitespace: runs of space/tab/CR → one space; spaces
-    # hugging a newline go; 3+ newlines collapse to a paragraph break
+    # whitespace: runs of space/tab/CR → one space; spaces hugging a
+    # newline go; newline RUNS collapse to one (a line == one block
+    # boundary — paragraph-break multiplicity is not preserved, the
+    # downstream line rules are strictly per-line); strip the ends
     s = F.regexp_replace(s, r"[ \t\r]+", " ")
     s = F.regexp_replace(s, r" ?\n ?", "\n")
-    s = F.regexp_replace(s, r"\n{3,}", "\n\n")
+    s = F.regexp_replace(s, r"\n+", "\n")
+    s = F.regexp_replace(s, r"^\n+|\n+$", "")
     return F.trim(s)
 
 

@@ -29,6 +29,9 @@ def curate_documents(
     domain_allowlist: tuple = (),
     url_dedup: bool = True,
     url_store: DataFrame | None = None,
+    html_col: str | None = None,
+    html_boilerplate: bool = True,
+    html_kwargs: dict | None = None,
     c4_rules: bool = False,
     c4_kwargs: dict | None = None,
     apply_gopher: bool = True,
@@ -112,6 +115,16 @@ def curate_documents(
     batch docs whose canonical URL exists in history — the
     fingerprint_store contract, URL-keyed; append
     ``url_fingerprint_store(result)`` after accepting the batch.
+
+    ``html_col`` (r17): HTML→text extraction BEFORE every text
+    stage — the published order (RefinedWeb §3.2 runs trafilatura
+    extraction between the URL rules and the line rules). When set,
+    ``text_col`` is REPLACED by the extracted page text
+    (htmlextract.extract_main_text — jusText-lite line-density
+    boilerplate removal; ``html_boilerplate=False`` keeps every
+    extracted line via the plain tag-strip chain). The raw HTML
+    column stays on the frame as provenance; ``html_kwargs`` passes
+    min_words / max_link_frac through to the line classifier.
 
     ``clf_model`` / ``clf_model_dir`` (r16): model-based selection
     with the trained quality classifier (qualityclf.py — the
@@ -199,6 +212,28 @@ def curate_documents(
                     canonicalize=not url_canonicalize,
                 )
             out = _record("url_dedup", deduped)
+    if html_col is not None:
+        from cybersecurity_miw_spark.operators import htmlextract
+
+        if html_boilerplate:
+            extracted = htmlextract.extract_main_text(
+                out,
+                html_col=html_col,
+                id_col=id_col,
+                out_col="_xt",
+                **(html_kwargs or {}),
+            ).select(id_col, "_xt")
+        else:
+            extracted = out.select(
+                id_col,
+                htmlextract.extract_text(F.col(html_col)).alias("_xt"),
+            )
+        out = _record(
+            "html_extract",
+            out.drop(text_col)
+            .join(extracted, id_col)
+            .withColumnRenamed("_xt", text_col),
+        )
     if c4_rules:
         cleaned = corpus_filters.c4_page_filters(
             out, text_col=text_col, id_col=id_col, **(c4_kwargs or {})

@@ -9945,6 +9945,173 @@ def q_quality_clf_train_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r17: classifier calibration (qualityclf.clf_report /
+# clf_separation — VERDICT r16 #6). Both oracles score with the
+# SAME frozen literal model as quality_clf_score, so the decile walk
+# and the grade-level Mann-Whitney rank-sum are pinned end to end.
+# ---------------------------------------------------------------------------
+
+_CLF_REPORT_SQL = f"""
+WITH scored AS ({_CLF_SCORE_SQL}),
+bounds AS (
+  SELECT min(clf_score_micro) AS lo,
+         greatest(max(clf_score_micro) - min(clf_score_micro), 1) AS span,
+         count(*) AS n
+  FROM scored),
+graded AS (
+  SELECT clf_score_micro AS s,
+         CAST(floor((clf_score_micro - (SELECT lo FROM bounds)) * 10000.0
+                    / (SELECT span FROM bounds)) AS INT) AS g
+  FROM scored),
+pg AS (
+  SELECT g, count(*) AS n,
+         sum(CASE WHEN s >= {_CLF_BIAS} THEN 1 ELSE 0 END) AS nk,
+         min(s) AS smin, max(s) AS smax, sum(s) AS ssum
+  FROM graded GROUP BY g),
+cum AS (
+  SELECT *, coalesce(sum(n) OVER (ORDER BY g
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM pg),
+dec AS (
+  SELECT CAST(floor(c * 10 / (SELECT n FROM bounds)::DOUBLE) AS INT)
+           AS decile, *
+  FROM cum)
+SELECT decile,
+       sum(n)::BIGINT AS n_docs,
+       sum(nk)::BIGINT AS n_kept,
+       min(smin) AS min_score_micro,
+       max(smax) AS max_score_micro,
+       floor(sum(nk)::DOUBLE / sum(n) * 1000000.0 + 0.5) / 1000000.0
+         AS keep_frac,
+       CAST(floor(sum(ssum)::DOUBLE / sum(n)) AS BIGINT)
+         AS mean_score_micro
+FROM dec GROUP BY decile
+"""
+
+
+@register("quality_clf_report_deciles", _CLF_REPORT_SQL)
+def q_quality_clf_report_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-decile calibration card (qualityclf.clf_report): what a
+    threshold at the frozen model's bias actually keeps, per
+    equal-count decile (grade-granular — the bounded-grid
+    discipline, never a corpus-wide NTILE sort)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = {
+        "dim": _CLF_DIM,
+        "w_micro": _clf_frozen_weights(),
+        "bias_micro": _CLF_BIAS,
+    }
+    scored = qualityclf.score_quality(docs, model)
+    rep = qualityclf.clf_report(scored, threshold_micro=_CLF_BIAS)
+    return rep.select(
+        "decile", "n_docs", "n_kept", "min_score_micro",
+        "max_score_micro", "keep_frac", "mean_score_micro",
+    )
+
+
+def _clf_margin_sql(prefix: str, docs_cte: str) -> str:
+    """The frozen-model scoring chain as prefixed CTEs over
+    ``docs_cte(doc_id, text)``, ending in ``{prefix}sc(doc_id, s)``
+    — needed twice (corpus + target) by the separation twin."""
+    return f"""
+{prefix}words AS (
+  SELECT doc_id,
+         unnest(str_split_regex(lower(trim(coalesce(text, ''))), '\\s+'))
+           AS w
+  FROM {docs_cte}),
+{prefix}fw AS (SELECT doc_id, w FROM {prefix}words WHERE len(w) > 0),
+{prefix}hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {_CLF_DIM} AS INT) AS b,
+    CASE WHEN (('0x' || substr(md5(w), 1, 8))::BIGINT // {_CLF_DIM}) % 2 = 0
+         THEN 1 ELSE -1 END AS s
+  FROM {prefix}fw),
+{prefix}counted AS (
+  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS cnt
+  FROM {prefix}hashed GROUP BY 1, 2),
+{prefix}nw AS (SELECT doc_id, count(*) AS n FROM {prefix}fw GROUP BY 1),
+{prefix}mg AS (
+  SELECT c.doc_id,
+         CAST(floor(sum(c.cnt * wtab.w) / max(n.n)) + {_CLF_BIAS}
+              AS BIGINT) AS s
+  FROM {prefix}counted c
+  JOIN wtab ON wtab.bucket = c.b
+  JOIN {prefix}nw n ON n.doc_id = c.doc_id
+  GROUP BY c.doc_id),
+{prefix}sc AS (
+  SELECT d.doc_id, coalesce(m.s, {_CLF_BIAS}) AS s
+  FROM {docs_cte} d LEFT JOIN {prefix}mg m ON m.doc_id = d.doc_id)"""
+
+
+_CLF_SEP_SQL = f"""
+WITH wtab AS (
+  SELECT i AS bucket,
+    (('0x' || substr(md5('clfw:' || i::VARCHAR), 1, 8))::BIGINT % 2001)
+      - 1000 AS w
+  FROM (SELECT unnest(generate_series(0, {_CLF_DIM - 1})) AS i)
+),
+rdocs AS (SELECT doc_id, text FROM documents),
+tdocs AS (
+  SELECT doc_id, text || ' alpha beta gamma research' AS text
+  FROM documents WHERE doc_id % 5 = 0),
+{_clf_margin_sql("r_", "rdocs")},
+{_clf_margin_sql("t_", "tdocs")},
+bounds AS (
+  SELECT min(s) AS lo, greatest(max(s) - min(s), 1) AS span
+  FROM (SELECT s FROM r_sc UNION ALL SELECT s FROM t_sc)),
+allg AS (
+  SELECT CAST(floor((s - (SELECT lo FROM bounds)) * 10000.0
+                    / (SELECT span FROM bounds)) AS INT) AS g, t, s
+  FROM (SELECT s, 0 AS t FROM r_sc UNION ALL SELECT s, 1 AS t FROM t_sc)),
+pg AS (
+  SELECT g,
+         sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS r,
+         sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS tc,
+         sum(CASE WHEN t = 0 THEN s END) AS rsum,
+         sum(CASE WHEN t = 1 THEN s END) AS tsum
+  FROM allg GROUP BY g),
+cum AS (
+  SELECT *, coalesce(sum(r) OVER (ORDER BY g
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cr
+  FROM pg),
+tot AS (
+  SELECT sum(r)::BIGINT AS n_corpus, sum(tc)::BIGINT AS n_target,
+         sum(rsum) AS rs, sum(tsum) AS ts,
+         sum(tc * (2 * cr + r)) AS u2
+  FROM cum)
+SELECT n_corpus, n_target,
+  CAST(floor(rs::DOUBLE / n_corpus) AS BIGINT) AS mean_corpus_micro,
+  CAST(floor(ts::DOUBLE / n_target) AS BIGINT) AS mean_target_micro,
+  CAST(floor(ts::DOUBLE / n_target) - floor(rs::DOUBLE / n_corpus)
+       AS BIGINT) AS separation_micro,
+  CAST(floor(u2 * 1000000.0 / (2.0 * n_corpus * n_target)) AS BIGINT)
+    AS auc_micro
+FROM tot
+"""
+
+
+@register("quality_clf_separation", _CLF_SEP_SQL)
+def q_quality_clf_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row separation card (qualityclf.clf_separation): means and
+    the grade-level Mann-Whitney AUC between the corpus and a
+    planted target sample (every 5th doc with distinctive appended
+    tokens), both scored with the frozen literal model — the metric
+    that says whether a quality gate discriminates at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = {
+        "dim": _CLF_DIM,
+        "w_micro": _clf_frozen_weights(),
+        "bias_micro": _CLF_BIAS,
+    }
+    target = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" alpha beta gamma research"))
+    )
+    rs = qualityclf.score_quality(docs, model)
+    ts = qualityclf.score_quality(target, model)
+    return qualityclf.clf_separation(rs, ts)
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,

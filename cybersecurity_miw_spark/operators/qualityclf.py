@@ -335,6 +335,186 @@ def clf_select_to_budget(
     return graded.join(picked.select(id_col), id_col, "semi")
 
 
+def clf_report(
+    scored: DataFrame,
+    threshold_micro: int = 0,
+    score_col: str = "clf_score_micro",
+    tokens_col: str | None = None,
+    deciles: int = 10,
+    grades: int = 10_000,
+) -> DataFrame:
+    """Score-decile calibration card (VERDICT r16 #6) — the
+    ``mix_report`` analog for the quality gate: one row per score
+    decile with ``(n_docs, n_kept, keep_frac, min/max/mean score)``
+    (+ token sums when ``tokens_col`` is given), measured FROM the
+    scored data, so "what does threshold X actually keep" is
+    auditable before a run commits to it.
+
+    Scale shape: deciles are equal-COUNT up to grade granularity —
+    scores are graded onto the bounded ``grades`` integer grid (the
+    clf_select_to_budget / DSIR discipline; two scalars to the
+    driver), per-grade partials aggregate map-side, and the decile
+    boundary walk is one window over the ≤ ``grades``+1-row grade
+    table — never a global NTILE sort over the corpus. All rows of
+    one grade share a decile (the grade of a boundary row decides),
+    which is exactly the determinism the oracle twin needs.
+    ``mean_score_micro`` is floor(sum/count) in double division —
+    exact while per-decile score sums stay under 2^53 (micro scores
+    ~1e7 × up to ~1e45 rows before that bites a REPORT column)."""
+    from pyspark.sql.window import Window
+
+    if deciles < 1:
+        raise ValueError(f"deciles must be >= 1, got {deciles}")
+    if grades < 1:
+        raise ValueError(f"grades must be >= 1, got {grades}")
+    lo, hi, n_total = scored.agg(
+        F.min(score_col), F.max(score_col), F.count(F.lit(1))
+    ).first()
+    if n_total == 0 or lo is None:
+        raise ValueError("clf_report needs a non-empty scored frame")
+    span = max(int(hi) - int(lo), 1)
+    grade = F.floor(
+        (F.col(score_col) - F.lit(int(lo)))
+        * F.lit(float(grades))
+        / F.lit(float(span))
+    ).cast("int")
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(
+            (F.col(score_col) >= F.lit(int(threshold_micro))).cast("long")
+        ).alias("_nk"),
+        F.min(score_col).alias("_smin"),
+        F.max(score_col).alias("_smax"),
+        F.sum(score_col).alias("_ssum"),
+    ]
+    if tokens_col is not None:
+        aggs.append(F.sum(tokens_col).cast("long").alias("_tok"))
+    per_grade = scored.select(grade.alias("_g"), score_col, *(
+        [tokens_col] if tokens_col is not None else []
+    )).groupBy("_g").agg(*aggs)
+    # bounded-table window: <= grades+1 rows by construction
+    w = Window.orderBy("_g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_grade.withColumn(
+        "_c", F.coalesce(F.sum("_n").over(w), F.lit(0))
+    )
+    dec = cum.withColumn(
+        "decile",
+        F.floor(
+            F.col("_c") * F.lit(int(deciles)) / F.lit(float(n_total))
+        ).cast("int"),
+    )
+    out_aggs = [
+        F.sum("_n").cast("long").alias("n_docs"),
+        F.sum("_nk").cast("long").alias("n_kept"),
+        F.min("_smin").alias("min_score_micro"),
+        F.max("_smax").alias("max_score_micro"),
+        F.sum("_ssum").alias("_dsum"),
+    ]
+    if tokens_col is not None:
+        out_aggs.append(F.sum("_tok").cast("long").alias("n_tokens"))
+    rep = dec.groupBy("decile").agg(*out_aggs)
+    rep = rep.withColumn(
+        "keep_frac",
+        F.floor(
+            F.col("n_kept") / F.col("n_docs") * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1_000_000.0),
+    ).withColumn(
+        "mean_score_micro",
+        F.floor(F.col("_dsum") / F.col("n_docs")).cast("long"),
+    ).drop("_dsum")
+    return rep
+
+
+def clf_separation(
+    scored_corpus: DataFrame,
+    scored_target: DataFrame,
+    score_col: str = "clf_score_micro",
+    grades: int = 10_000,
+) -> DataFrame:
+    """One-row separation card: how well the scores separate a
+    HELD-OUT target sample from the corpus — the metric that says
+    whether the quality gate is actually discriminating before
+    anyone trusts a threshold. Columns: ``n_corpus, n_target,
+    mean_corpus_micro, mean_target_micro, separation_micro`` (mean
+    difference) and ``auc_micro`` = floor(1e6·AUC), the Mann-Whitney
+    probability that a random target doc outscores a random corpus
+    doc, computed at grade granularity (ties get the standard 1/2
+    credit): AUC = Σ_g t_g·(2·C_g + r_g) / (2·T·R) with C_g the
+    corpus count strictly below grade g.
+
+    Scale shape: both sides reduce to bounded per-grade count
+    tables (one shared min/max grid — two scalars to the driver);
+    the rank-sum is a window over ≤ ``grades``+1 rows. The target
+    side is a held-out SAMPLE by contract — bounded, like every
+    exemplar frame in this engine."""
+    from pyspark.sql.window import Window
+
+    both = scored_corpus.select(
+        F.col(score_col).alias("_s"), F.lit(0).alias("_t")
+    ).unionByName(
+        scored_target.select(
+            F.col(score_col).alias("_s"), F.lit(1).alias("_t")
+        )
+    )
+    lo, hi = both.agg(F.min("_s"), F.max("_s")).first()
+    if lo is None:
+        raise ValueError("clf_separation needs non-empty frames")
+    span = max(int(hi) - int(lo), 1)
+    grade = F.floor(
+        (F.col("_s") - F.lit(int(lo)))
+        * F.lit(float(grades))
+        / F.lit(float(span))
+    ).cast("int")
+    per_grade = both.select(grade.alias("_g"), "_t", "_s").groupBy(
+        "_g"
+    ).agg(
+        F.sum(F.when(F.col("_t") == 0, 1).otherwise(0)).alias("_r"),
+        F.sum(F.when(F.col("_t") == 1, 1).otherwise(0)).alias("_tc"),
+        F.sum(F.when(F.col("_t") == 0, F.col("_s"))).alias("_rsum"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_s"))).alias("_tsum"),
+    )
+    w = Window.orderBy("_g").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_grade.withColumn(
+        "_cr", F.coalesce(F.sum("_r").over(w), F.lit(0))
+    )
+    tot = cum.agg(
+        F.sum("_r").cast("long").alias("n_corpus"),
+        F.sum("_tc").cast("long").alias("n_target"),
+        F.sum("_rsum").alias("_rs"),
+        F.sum("_tsum").alias("_ts"),
+        F.sum(
+            F.col("_tc") * (F.lit(2) * F.col("_cr") + F.col("_r"))
+        ).alias("_u2"),
+    )
+    return tot.select(
+        "n_corpus",
+        "n_target",
+        F.floor(F.col("_rs") / F.col("n_corpus"))
+        .cast("long")
+        .alias("mean_corpus_micro"),
+        F.floor(F.col("_ts") / F.col("n_target"))
+        .cast("long")
+        .alias("mean_target_micro"),
+        (
+            F.floor(F.col("_ts") / F.col("n_target"))
+            - F.floor(F.col("_rs") / F.col("n_corpus"))
+        )
+        .cast("long")
+        .alias("separation_micro"),
+        F.floor(
+            F.col("_u2")
+            * F.lit(1_000_000.0)
+            / (F.lit(2.0) * F.col("n_corpus") * F.col("n_target"))
+        )
+        .cast("long")
+        .alias("auc_micro"),
+    )
+
+
 CLF_PARAMS_FILE = "_clf_params.json"
 
 

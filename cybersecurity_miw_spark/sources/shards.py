@@ -145,3 +145,166 @@ def verify_shards(
         if isinstance(v, bool)
     )
     return report
+
+
+# ---------------------------------------------------------------------------
+# r17: incremental shard publishing (VERDICT r16 missing #3) — the
+# consumer of docs/ASSEMBLY.md's growth contract. The contract proves
+# that under append-only growth with explicit weights, shard
+# membership churns only forward and only near insertion pressure —
+# so a re-run that rewrites every shard is wasted I/O. This layout
+# keys shards as shard_id=N partition DIRECTORIES (one file per
+# shard, rows sorted), fingerprints each shard's membership, and a
+# re-run dynamic-partition-overwrites ONLY the shards whose
+# fingerprint moved. Untouched shard files stay byte-identical on
+# disk (golden: tests/test_assembly_backfill.py).
+# ---------------------------------------------------------------------------
+
+
+def shard_membership_hashes(
+    df: DataFrame,
+    order_cols: tuple[str, ...],
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Per-shard membership fingerprint: ``(shard_id, n_rows, h)``
+    with ``h`` = Σ pmod(xxhash64(order key), 1e9+7) — an
+    order-insensitive row-set hash over the key columns (which
+    include the unique id, so membership IS identity under the
+    append-only contract: rows never mutate, they only move between
+    shards). One map-side-combined aggregation on the shard key."""
+    cols = [F.col(c) for c in order_cols]
+    return df.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.pmod(F.xxhash64(*cols), F.lit(1_000_000_007))).alias("h"),
+    )
+
+
+def write_shards_incremental(
+    df: DataFrame,
+    out_dir: str,
+    order_cols: tuple[str, ...] = ("mix_key", "doc_id"),
+    shard_col: str = "shard_id",
+    old_hashes: dict | None = None,
+) -> dict:
+    """Publish ``df`` as ``shard_id=N`` partition directories,
+    rewriting ONLY the shards whose membership fingerprint differs
+    from ``old_hashes`` (the previous run's manifest entry —
+    ``{shard_id: [n_rows, h]}``). First run (``old_hashes`` None)
+    writes everything. Returns the churn record for the manifest:
+
+        {"n_shards", "n_rewritten", "rewritten", "n_unchanged",
+         "removed", "shard_hashes"}
+
+    Mechanics: each shard's rows land in exactly one task (hash
+    repartition on the shard key) sorted by the order key, so every
+    shard directory holds ONE deterministic file; the write uses
+    dynamic partition-overwrite, which replaces exactly the
+    directories present in the written frame — unchanged shard
+    files are never opened, so they stay byte-identical (mtime and
+    content), the re-download-nothing property a shard-caching
+    trainer wants. Shards the new assembly no longer produces
+    (possible only under recipe drift, not append-only growth) are
+    deleted explicitly and reported under ``removed``."""
+    from cybersecurity_miw_spark import fsutil
+
+    spark = df.sparkSession
+    if shard_col not in df.columns:
+        raise ValueError(
+            f"write_shards_incremental needs {shard_col!r} on the frame "
+            "(assemble_dataset derives it from mix_key)"
+        )
+    hashes = {
+        str(r[shard_col]): [int(r["n_rows"]), int(r["h"])]
+        for r in shard_membership_hashes(df, order_cols, shard_col).collect()
+    }
+    if old_hashes is None:
+        changed = sorted(hashes, key=int)
+        removed: list[str] = []
+    else:
+        old = {str(k): list(map(int, v)) for k, v in old_hashes.items()}
+        changed = sorted(
+            (s for s in hashes if hashes[s] != old.get(s)), key=int
+        )
+        removed = sorted((s for s in old if s not in hashes), key=int)
+    if changed:
+        to_write = df
+        if old_hashes is not None:
+            ids = spark.createDataFrame(
+                [(int(s),) for s in changed], f"{shard_col} long"
+            )
+            to_write = df.join(
+                F.broadcast(ids.withColumnRenamed(shard_col, "_sid")),
+                df[shard_col] == F.col("_sid"),
+                "left_semi",
+            )
+        conf = spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                to_write.repartition(F.col(shard_col))
+                .sortWithinPartitions(shard_col, *order_cols)
+                .write.partitionBy(shard_col)
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for sid in removed:
+        fsutil.delete(spark, f"{out_dir}/{shard_col}={sid}")
+    return {
+        "n_shards": len(hashes),
+        "n_rewritten": len(changed),
+        "rewritten": changed,
+        "n_unchanged": len(hashes) - len(changed),
+        "removed": removed,
+        "shard_hashes": hashes,
+    }
+
+
+def verify_partitioned_shards(
+    spark: SparkSession,
+    out_dir: str,
+    order_cols: tuple[str, ...] = ("mix_key", "doc_id"),
+    shard_col: str = "shard_id",
+    n_rows: int | None = None,
+) -> dict:
+    """Read-back validation of the incremental (partition-directory)
+    layout: per-shard [min, max] order-key ranges must not overlap
+    across ascending shard ids (streaming directories in id order IS
+    the global mix order — shard_id = floor(mix_key/shard_rows) makes
+    ranges disjoint by construction, this verifies the published
+    files agree), plus row-count conservation. Shards-bounded
+    aggregate frame; no row collect."""
+    df = spark.read.parquet(out_dir)
+    key = F.struct(*[F.col(c) for c in order_cols])
+    per_shard = df.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(key).alias("lo"),
+        F.max(key).alias("hi"),
+    )
+    w = Window.partitionBy().orderBy(F.col(shard_col).cast("long"))
+    stats = (
+        per_shard.withColumn("_prev_hi", F.lag("hi").over(w))
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_shard_rows"),
+            F.sum(
+                (F.col("_prev_hi") >= F.col("lo")).cast("int")
+            ).alias("overlaps"),
+        )
+        .first()
+    )
+    report = {
+        "out_dir": out_dir if "://" in out_dir else os.path.abspath(out_dir),
+        "layout": "partitioned",
+        "n_shards": int(stats["n_shards"]),
+        "n_rows": int(stats["n_rows"]),
+        "max_shard_rows": int(stats["max_shard_rows"]),
+        "ranges_disjoint": int(stats["overlaps"] or 0) == 0,
+    }
+    if n_rows is not None:
+        report["rows_match"] = report["n_rows"] == n_rows
+    report["ok"] = all(v for v in report.values() if isinstance(v, bool))
+    return report

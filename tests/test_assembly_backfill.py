@@ -193,3 +193,122 @@ def test_assemble_rerun_contract_under_growth(spark):
         if r["doc_id"] in old_shard:
             delta = r["shard_id"] - old_shard[r["doc_id"]]
             assert 0 <= delta <= 30 // 7 + 1
+
+
+# ---- ASSEMBLY.md "skipping re-work on history" -> r17 incremental ----
+
+def _file_state(root):
+    """{relpath: (mtime_ns, size, bytes)} for every parquet data file."""
+    import os
+
+    state = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                with open(p, "rb") as fh:
+                    state[os.path.relpath(p, root)] = (
+                        st.st_mtime_ns, st.st_size, fh.read()
+                    )
+    return state
+
+
+def test_incremental_rerun_rewrites_only_churned_shards(spark, tmp_path):
+    """The r17 incremental mode consumes the growth contract: a
+    grown-corpus re-run leaves untouched shard files BYTE-IDENTICAL
+    (same mtime — never reopened) and the manifest names exactly the
+    rewritten shards."""
+    import json
+
+    out_dir = str(tmp_path / "ds")
+    kwargs = dict(
+        fractions={"train": 0.9, "val": 0.1},
+        weights={"a": 0.5, "b": 0.5},
+        shard_rows=7,
+        incremental=True,
+        out_dir=out_dir,
+    )
+    pipeline.assemble_dataset(_docs(spark, 60), **kwargs)
+    man1 = json.loads(open(f"{out_dir}/_manifest.json").read())
+    assert man1["train"]["ok"] and man1["params"]["incremental"]
+    assert man1["churn"]["n_rewritten"] == man1["churn"]["n_shards"]
+    state1 = _file_state(f"{out_dir}/train")
+    assert state1, "first run must write shard files"
+
+    pipeline.assemble_dataset(_docs(spark, 90), **kwargs)
+    man2 = json.loads(open(f"{out_dir}/_manifest.json").read())
+    state2 = _file_state(f"{out_dir}/train")
+    churn = man2["churn"]
+    assert churn["n_unchanged"] > 0, "growth must leave some shards alone"
+    assert churn["n_rewritten"] > 0, "growth must churn the tail"
+    rewritten = {f"shard_id={s}" for s in churn["rewritten"]}
+    for rel, (mtime, size, blob) in state1.items():
+        shard_dir = rel.split("/")[0]
+        if shard_dir in rewritten:
+            continue
+        # untouched shard: same file, same mtime, same bytes
+        assert rel in state2, rel
+        assert state2[rel][0] == mtime, f"{rel} was reopened"
+        assert state2[rel][2] == blob, f"{rel} content changed"
+    # every shard the new assembly holds is accounted for
+    assert churn["n_shards"] == churn["n_rewritten"] + churn["n_unchanged"]
+    assert man2["train"]["ok"] and man2["train"]["rows_match"] is not False
+    # read-back equals the returned frame: nothing lost in the
+    # partial rewrite
+    back = spark.read.parquet(f"{out_dir}/train")
+    new = pipeline.assemble_dataset(_docs(spark, 90),
+                                    fractions={"train": 0.9, "val": 0.1},
+                                    weights={"a": 0.5, "b": 0.5},
+                                    shard_rows=7)
+    assert back.count() == new.count()
+    assert sorted(
+        (r["doc_id"], r["shard_id"]) for r in back.select("doc_id", "shard_id").collect()
+    ) == sorted(
+        (r["doc_id"], r["shard_id"]) for r in new.select("doc_id", "shard_id").collect()
+    )
+
+
+def test_incremental_identical_rerun_rewrites_nothing(spark, tmp_path):
+    out_dir = str(tmp_path / "ds")
+    kwargs = dict(
+        fractions={"train": 0.9, "val": 0.1},
+        weights={"a": 0.5, "b": 0.5},
+        shard_rows=7,
+        incremental=True,
+        out_dir=out_dir,
+    )
+    pipeline.assemble_dataset(_docs(spark, 60), **kwargs)
+    state1 = _file_state(f"{out_dir}/train")
+    pipeline.assemble_dataset(_docs(spark, 60), **kwargs)
+    import json
+
+    man = json.loads(open(f"{out_dir}/_manifest.json").read())
+    assert man["churn"]["n_rewritten"] == 0
+    assert man["churn"]["removed"] == []
+    assert _file_state(f"{out_dir}/train") == state1
+
+
+def test_incremental_guards(spark, tmp_path):
+    """The stability-breaking parameters and recipe drift raise
+    loudly instead of silently rewriting the world."""
+    docs = _docs(spark, 40)
+    with pytest.raises(ValueError, match="weights must be explicit"):
+        pipeline.assemble_dataset(docs, incremental=True)
+    with pytest.raises(ValueError, match="budget_tokens must be None"):
+        pipeline.assemble_dataset(
+            docs, incremental=True, weights={"a": 0.5, "b": 0.5},
+            budget_tokens=100,
+        )
+    out_dir = str(tmp_path / "ds")
+    pipeline.assemble_dataset(
+        docs, out_dir=out_dir, incremental=True,
+        weights={"a": 0.5, "b": 0.5}, shard_rows=7,
+        fractions={"train": 0.9, "val": 0.1},
+    )
+    with pytest.raises(ValueError, match="DIFFERENT recipe"):
+        pipeline.assemble_dataset(
+            docs, out_dir=out_dir, incremental=True,
+            weights={"a": 0.7, "b": 0.3}, shard_rows=7,
+            fractions={"train": 0.9, "val": 0.1},
+        )

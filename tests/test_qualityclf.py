@@ -204,3 +204,74 @@ def test_clf_select_to_budget_contract(spark):
     assert {"clf_score_micro", "clf_grade"} <= set(empty.columns)
     with pytest.raises(ValueError, match="budget_tokens"):
         qc.clf_select_to_budget(pool, model, -1)
+
+
+def test_clf_report_deciles_contract(spark):
+    """Calibration card (r17): decile counts cover the corpus, kept
+    fraction is non-decreasing toward the high deciles, score ranges
+    nest inside [min, max], and the table is deterministic under
+    repartition."""
+    target, raw = _corpora(spark)
+    model = qc.train_quality_classifier(target, raw, dim=64, iters=10)
+    pool = target.unionByName(raw)
+    scored = qc.score_quality(pool, model)
+    rep = {r["decile"]: r for r in qc.clf_report(scored).collect()}
+    n_total = pool.count()
+    assert sum(r["n_docs"] for r in rep.values()) == n_total
+    assert sum(r["n_kept"] for r in rep.values()) == scored.filter(
+        F.col("clf_score_micro") >= 0
+    ).count()
+    deciles = sorted(rep)
+    assert deciles[0] >= 0 and deciles[-1] <= 9
+    # score ranges are ordered across deciles (equal-count up to
+    # grade granularity -> min of a later decile >= min of earlier)
+    mins = [rep[d]["min_score_micro"] for d in deciles]
+    assert mins == sorted(mins)
+    # keep fraction rises toward the top deciles for a separating
+    # model: the top decile keeps everything, the bottom nothing
+    assert rep[deciles[-1]]["keep_frac"] == 1.0
+    assert rep[deciles[0]]["keep_frac"] == 0.0
+    for d in deciles:
+        r = rep[d]
+        assert r["min_score_micro"] <= r["mean_score_micro"] <= r["max_score_micro"]
+    again = qc.clf_report(
+        qc.score_quality(pool.repartition(7), model)
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(
+        map(tuple, (rep[d] for d in deciles))
+    )
+
+
+def test_clf_report_tokens_and_validations(spark):
+    target, raw = _corpora(spark)
+    model = qc.train_quality_classifier(target, raw, dim=64, iters=5)
+    pool = target.unionByName(raw).withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+"))
+    )
+    scored = qc.score_quality(pool, model)
+    rep = qc.clf_report(scored, tokens_col="n_tokens").collect()
+    assert sum(r["n_tokens"] for r in rep) == pool.agg(
+        F.sum("n_tokens")
+    ).first()[0]
+    with pytest.raises(ValueError, match="non-empty"):
+        qc.clf_report(scored.limit(0))
+    with pytest.raises(ValueError, match="deciles"):
+        qc.clf_report(scored, deciles=0)
+
+
+def test_clf_separation_card(spark):
+    """The separation card discriminates a genuinely separable pair
+    (AUC near 1, positive mean separation) and reads ~0.5 AUC for an
+    identical pair."""
+    target, raw = _corpora(spark)
+    model = qc.train_quality_classifier(target, raw, dim=64, iters=10)
+    rs = qc.score_quality(raw, model)
+    ts = qc.score_quality(target, model)
+    row = qc.clf_separation(rs, ts).collect()[0]
+    assert row["n_corpus"] == raw.count()
+    assert row["n_target"] == target.count()
+    assert row["separation_micro"] > 0
+    assert row["auc_micro"] > 900_000
+    same = qc.clf_separation(rs, rs).collect()[0]
+    assert abs(same["auc_micro"] - 500_000) < 20_000
+    assert same["separation_micro"] == 0

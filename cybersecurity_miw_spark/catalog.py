@@ -10125,6 +10125,31 @@ def q_quality_clf_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # Round-17 rotation: IN = the five new r17 oracles
+    # (lang_id_assign — the char-trigram language-ID decision chain
+    # over the 30-way multilingual fixture; html_extract_text — the
+    # HTML→text strip/decode chain; html_line_density — the
+    # jusText-lite line classifier; quality_clf_report_deciles — the
+    # score-decile calibration card; quality_clf_separation — the
+    # grade-level Mann-Whitney separation card), first-round rows per
+    # the rotation invariant.
+    # OUT = five long-green veterans, each with in-window family
+    # siblings: hybrid_rrf_batch_docs (r12 — retrieval keeps
+    # hybrid_rrf_topk_docs), incremental_semantic_banded_vs_store
+    # (r12 — the incremental-semantic family keeps
+    # incremental_semantic_vs_store), semantic_dedup_clusters (r12)
+    # and semantic_dedup_survivors (r11) (the SemDeDup family keeps
+    # semantic_dedup_cells_survivors + semantic_dedup_cells_clusters
+    # in-window), phash_fingerprints (r13 — the media family keeps
+    # phash_band_candidates + incremental_phash_vs_store). All five
+    # stay full-hash green in tests/test_oracle_parity.py every
+    # round.
+    # r17 changed-plan anchors, both already in-window:
+    # text_profile (lang_guess now the trigram classifier; n_tokens
+    # gained the CJK char-class fallback) and url_canonical_dedup
+    # (TRACKING_PARAMS dropped ambiguous 'ref'/'ref_src'; malformed
+    # ports now pass through — ADVICE r16). doc_token_length_histogram
+    # (CJK twin) is outside the window but full-hash pytest-checked.
     # Round-16 rotation: IN = the six new r16 oracles
     # (url_canonical_dedup — the canonicalize+dedup chain;
     # registrable_domain_counts — PSL eTLD+1 extraction;
@@ -10234,10 +10259,12 @@ _DRIVER_WINDOW = [
     #  hybrid_rrf_topk_docs / bm25_topk_batch_docs /
     #  hybrid_rrf_batch_docs / retrieve_rerank_topk_docs in-window)
     "incremental_containment_vs_store",
-    "semantic_dedup_clusters",
+    # (semantic_dedup_clusters rotated out r17 for html_line_density
+    #  — SemDeDup keeps both cells rows in-window)
     # (bm25_topk_batch_docs rotated out r16 for quality_clf_score —
     #  see the r16 rotation note)
-    "hybrid_rrf_batch_docs",
+    # (hybrid_rrf_batch_docs rotated out r17 for lang_id_assign —
+    #  retrieval keeps hybrid_rrf_topk_docs in-window)
     # (contamination_report_eval rotated out r16 for
     #  url_quality_flags — the decontamination family keeps
     #  containment_cross_decontaminate +
@@ -10248,7 +10275,9 @@ _DRIVER_WINDOW = [
     # (embedding_near_dup_lsh_banded rotated out r14 for the new
     #  semantic_dedup_cells_clusters row — same family, twice green,
     #  stays pytest-parity checked)
-    "incremental_semantic_banded_vs_store",
+    # (incremental_semantic_banded_vs_store rotated out r17 for
+    #  html_extract_text — the family keeps
+    #  incremental_semantic_vs_store in-window)
     "kv_evtx_explode",
     "match_negative_exact",
     # --- last row round 6 ---
@@ -10309,11 +10338,13 @@ _DRIVER_WINDOW = [
     #     F-family keeps match_exact_or / match_negative_exact /
     #     match_substring_or in-window, multimodal keeps
     #     multimodal_media_stats) ---
-    "semantic_dedup_survivors",
+    # (semantic_dedup_survivors rotated out r17 for
+    #  quality_clf_report_deciles — SemDeDup keeps both cells rows)
     "hybrid_rrf_topk_docs",
     "incremental_semantic_vs_store",
     # --- new r13 oracles (first-round rows, one round overdue) ---
-    "phash_fingerprints",
+    # (phash_fingerprints rotated out r17 for quality_clf_separation
+    #  — media keeps phash_band_candidates + incremental_phash_vs_store)
     "phash_band_candidates",
     "incremental_phash_vs_store",
     # --- new r14 oracles (first-round rows; rollup_event_counts
@@ -10340,6 +10371,12 @@ _DRIVER_WINDOW = [
     "quality_clf_select_budget",
     "url_quality_flags",
     "chunk_sentence_budget",
+    # --- new r17 oracles (first-round rows) ---
+    "lang_id_assign",
+    "html_extract_text",
+    "html_line_density",
+    "quality_clf_report_deciles",
+    "quality_clf_separation",
 ]
 
 

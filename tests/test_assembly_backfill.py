@@ -218,7 +218,17 @@ def test_incremental_rerun_rewrites_only_churned_shards(spark, tmp_path):
     """The r17 incremental mode consumes the growth contract: a
     grown-corpus re-run leaves untouched shard files BYTE-IDENTICAL
     (same mtime — never reopened) and the manifest names exactly the
-    rewritten shards."""
+    rewritten shards.
+
+    Growth is planted at the TAIL of each source's md5 mix order
+    (new ids chosen so their rank hash sorts after every base id's)
+    — the contract's bounded-churn case: old ranks cannot slide, so
+    only the shards receiving the appended rows rewrite. Uniform
+    random growth instead slides every rank after the FIRST
+    insertion point (forward-only churn — the head stays, the tail
+    rewrites), which the contract also predicts but which leaves
+    nothing unchanged at this tiny fixture size."""
+    import hashlib
     import json
 
     out_dir = str(tmp_path / "ds")
@@ -236,7 +246,30 @@ def test_incremental_rerun_rewrites_only_churned_shards(spark, tmp_path):
     state1 = _file_state(f"{out_dir}/train")
     assert state1, "first run must write shard files"
 
-    pipeline.assemble_dataset(_docs(spark, 90), **kwargs)
+    def _rank(i):
+        return hashlib.md5(f"mix-v1:{i}".encode()).hexdigest()
+
+    max_rank = {
+        s: max(_rank(i) for i in range(60) if i % 2 == k)
+        for k, s in enumerate(("a", "b"))
+    }
+    tail_ids = []
+    i = 60
+    while len(tail_ids) < 4:
+        s = ("a", "b")[i % 2]
+        if _rank(i) > max_rank[s]:
+            tail_ids.append(i)
+        i += 1
+    rows = [
+        (i, ("a", "b")[i % 2],
+         " ".join(f"s{i % 2}w{i}t{j}" for j in range(12)))
+        for i in list(range(60)) + tail_ids
+    ]
+    grown = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).withColumn("n_tokens", F.size(F.split("text", r"\s+")))
+
+    pipeline.assemble_dataset(grown, **kwargs)
     man2 = json.loads(open(f"{out_dir}/_manifest.json").read())
     state2 = _file_state(f"{out_dir}/train")
     churn = man2["churn"]
@@ -253,11 +286,11 @@ def test_incremental_rerun_rewrites_only_churned_shards(spark, tmp_path):
         assert state2[rel][2] == blob, f"{rel} content changed"
     # every shard the new assembly holds is accounted for
     assert churn["n_shards"] == churn["n_rewritten"] + churn["n_unchanged"]
-    assert man2["train"]["ok"] and man2["train"]["rows_match"] is not False
+    assert man2["train"]["ok"] and man2["train"]["ranges_disjoint"]
     # read-back equals the returned frame: nothing lost in the
     # partial rewrite
     back = spark.read.parquet(f"{out_dir}/train")
-    new = pipeline.assemble_dataset(_docs(spark, 90),
+    new = pipeline.assemble_dataset(grown,
                                     fractions={"train": 0.9, "val": 0.1},
                                     weights={"a": 0.5, "b": 0.5},
                                     shard_rows=7)

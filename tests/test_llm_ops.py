@@ -1541,3 +1541,41 @@ def test_ngram_diversity_report_detects_collapse(spark):
 
     with pytest.raises(ValueError, match="ns must be"):
         textstats.ngram_diversity_report(df, ns=(0,))
+
+
+def test_token_count_cjk_char_class_fallback(spark):
+    """r17: whitespace-free scripts count per codepoint; non-CJK text
+    keeps the historical size(split()) semantics bit-exactly
+    (including the empty-string -> 1 quirk)."""
+    from cybersecurity_miw_spark.operators.textstats import (
+        token_count,
+        word_token_count,
+    )
+
+    rows = [
+        (1, "plain ascii words here"),          # 4 ws tokens
+        (2, "你好世界"),                          # 4 CJK chars
+        (3, "mixed 你好 words"),                  # 2 ws + 2 CJK
+        (4, "こんにちは世界"),                     # 5 kana + 2 han
+        (5, "สวัสดีโลก"),                         # 9 thai codepoints
+        (6, ""),                                # historical quirk: 1
+        (7, "한국어 단어 개수"),                   # hangul HAS spaces: 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n"], r["nw"])
+        for r in df.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            word_token_count(F.col("text")).alias("nw"),
+        ).collect()
+    }
+    assert got[1][0] == 4
+    assert got[2][0] == 4
+    assert got[3][0] == 4
+    assert got[4][0] == 7
+    assert got[5][0] == 9
+    assert got[6][0] == 1
+    assert got[7][0] == 3
+    # word_token_count is per-codepoint on CJK by construction
+    assert got[2][1] == 4 and got[4][1] == 7

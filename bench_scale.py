@@ -146,6 +146,28 @@ QUERY_NAMES = [
     # r16: sentence-boundary chunking — one doc-key exchange shared
     # by the prefix window and the chunk group-concat
     "chunk_sentence_budget",
+    # r17: language ID — script-gate row expressions + a ≤600-gram
+    # bounded explode + broadcast profile join + two uniform-key
+    # aggs; the 30-way fixture synthesizes per-row from doc_id, so
+    # 10x docs is exactly 10x classification work (rotation of the
+    # unused text column is irrelevant)
+    "lang_id_assign",
+    # r17: text_profile re-anchored (lang_guess now the trigram
+    # classifier + CJK token fallback) — the profile columns stay
+    # per-row; the added cost is the langid explode+join chain over
+    # the real (rotated) text, corpus-linear
+    "text_profile",
+    # r17: HTML extraction — pure per-row regexp/replace chains over
+    # pages synthesized from the rotated text; zero exchanges
+    # (extract) / one bounded line explode (line stats)
+    "html_extract_text",
+    "html_line_density",
+    # r17: classifier calibration — frozen scoring explode + the
+    # bounded 10k-grade table walk (report) and the two-sided
+    # grade rank-sum (separation); corpus-linear scan into
+    # grades-bounded aggregates
+    "quality_clf_report_deciles",
+    "quality_clf_separation",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

@@ -74,21 +74,23 @@ HEADLINE = CORE15 + EXTENDED
 # cross-round-comparable number. The mix mirrors the suite's hot
 # paths: hashing, string building, regex, and aggregation — all
 # whole-stage-codegen, 32 partitions like the suite.
-# r17 (VERDICT r16 watch #1): 4M → 16M rows. The 0.57 s control had
+# r17 (VERDICT r16 watch #1): 4M → 48M rows. The 0.57 s control had
 # a measured ±10-15% noise floor of its own, jitter-amplifying the
-# normalization of a ~12 s headline; at 16M rows the control runs
-# ~2.3 s, where the same absolute jitter is a ~3% relative error,
-# and the normalizer is now the MEDIAN OF FIVE samples spread across
-# the session (one after warm-up, one before each timed pass, one at
-# the end) instead of median-of-3.
-CONTROL_ROWS = 16_000_000
+# normalization of a ~12 s headline; at 48M rows the control runs
+# ~3 s, where the same absolute jitter is a ~2% relative error, and
+# the normalizer is now the MEDIAN OF FIVE samples spread across
+# the session (one after warm-up, one before each timed pass, one
+# at the end) instead of median-of-3.
+CONTROL_ROWS = 48_000_000
 # Pinned on the r17 clean re-pin run (SCALE.md "Bench control
-# re-pin, round 17"): the median-of-5 warm control at 16M rows on an
-# otherwise idle machine. Re-pinned BECAUSE CONTROL_ROWS changed —
-# the r16 constant 0.574 calibrated the 4M control. Do NOT re-pin
+# re-pin, round 17"): the median of 5 warm controls at 48M rows on
+# an otherwise idle machine — samples [1.891, 1.923, 1.929, 1.996,
+# 2.023], max-min spread 0.132 s (±3.4%, vs the ±10-15% the 0.57 s
+# r16 control showed). Re-pinned BECAUSE CONTROL_ROWS changed — the
+# r16 constant 0.574 calibrated the 4M control. Do NOT re-pin
 # casually — the constant is the fixed point that makes normalized
 # headlines comparable across rounds.
-CONTROL_REF_SEC = 2.211
+CONTROL_REF_SEC = 1.929
 
 
 def control_query(spark):

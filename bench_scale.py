@@ -168,6 +168,10 @@ QUERY_NAMES = [
     # grades-bounded aggregates
     "quality_clf_report_deciles",
     "quality_clf_separation",
+    # r17: exact dedup (fingerprint groupBy, no join-back) — added so
+    # the standing sweep carries the second flagship linear chain and
+    # the 100x (sf10) spot point can read both off one harness
+    "dedup_exact_groups",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

@@ -378,13 +378,18 @@ def detect_language(
         )
     grams_df, langs_df = profile_frames(spark, profiles)
 
+    # stage the lowered capped prefix ONCE: the gate + normalize
+    # reference it ~13 times, and CollapseProject keeps a
+    # multiply-referenced alias in its own projection (the
+    # with_shingles staging discipline)
     low = F.lower(
         F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, cap)
     )
-    base = df.select(
-        F.col(id_col),
-        script_gate_expr(low).alias("_gate"),
-        normalize_expr(low).alias("_p"),
+    staged = df.select(F.col(id_col), low.alias("_lo"))
+    base = staged.select(
+        id_col,
+        script_gate_expr(F.col("_lo")).alias("_gate"),
+        normalize_expr(F.col("_lo")).alias("_p"),
     )
     base = base.select(
         id_col,
@@ -393,37 +398,41 @@ def detect_language(
         (F.length("_p") - F.lit(2)).alias("_n"),
     )
 
-    null_l = F.lit(None).cast("long")
-    gated = base.filter(F.col("_gate").isNotNull()).select(
+    # Three plan-shape rules here, each a measured r17 bench catch at
+    # sf0.1 (15 s → 1.3 s on the gram side):
+    # 1. NEVER put the gate in a FILTER: predicate pushdown inlines
+    #    the whole CASE into a Filter condition where every script
+    #    regexp_count re-evaluates per CASE arm (~100 regex scans per
+    #    row — filters get no codegen subexpression elimination;
+    #    projections do, so the gate stays a PROJECT column and the
+    #    trigram array is gated IN-projection with a WHEN — gated
+    #    docs emit an empty array and explode drops them.
+    # 2. No substring(p, i, 3) trigrams: UTF8String substring
+    #    re-scans from the string start per call (O(cap²)/doc).
+    # 3. No index lambda _ch[i]||_ch[i+1]||_ch[i+2]: CollapseProject
+    #    inlines the split() chain into the lambda, re-evaluating it
+    #    once per ELEMENT. The slice+zip_with shape references the
+    #    char array a constant three times per ROW.
+    tri_cond = F.col("_gate").isNull() & (F.col("_n") >= min_grams)
+    chars = base.select(
         id_col,
-        F.col("_gate").alias("lang"),
-        null_l.alias("lang_score_micro"),
-        null_l.alias("lang_margin_micro"),
+        F.when(tri_cond, F.split(F.col("_p"), ""))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_ch"),
     )
-    short = base.filter(
-        F.col("_gate").isNull() & (F.col("_n") < min_grams)
-    ).select(
-        id_col,
-        F.lit(UND).alias("lang"),
-        null_l.alias("lang_score_micro"),
-        null_l.alias("lang_margin_micro"),
+    n_tri = F.greatest(F.size("_ch") - 2, F.lit(0))
+    tri_arr = F.zip_with(
+        F.zip_with(
+            F.slice("_ch", 1, n_tri),
+            F.slice("_ch", 2, n_tri),
+            lambda x, y: F.concat(x, y),
+        ),
+        F.slice("_ch", 3, n_tri),
+        lambda x, y: F.concat(x, y),
     )
-
-    qual = base.filter(
-        F.col("_gate").isNull() & (F.col("_n") >= min_grams)
-    ).select(id_col, "_p", "_n")
-    grams = qual.select(
-        id_col,
-        "_n",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("_n")),
-                lambda i: F.substring(F.col("_p"), i, 3),
-            )
-        ).alias("_g"),
-    )
+    grams = chars.select(id_col, F.explode(tri_arr).alias("_g"))
     matched = (
-        # bcast-bound: grams_df = the shipped profile file (≤ ~2k
+        # bcast-bound: grams_df = the shipped profile file (≤ ~4k
         # rows) — a data-file constant, never sf-scaled
         grams.join(F.broadcast(grams_df), grams["_g"] == grams_df["gram"])
         .groupBy(id_col, "lang")
@@ -432,47 +441,66 @@ def detect_language(
             F.count(F.lit(1)).alias("_nm"),
         )
     )
-    doc_lang = qual.select(id_col, "_n").crossJoin(F.broadcast(langs_df))
-    scored = (
-        doc_lang.join(matched, [id_col, "lang"], "left")
-        .select(
-            id_col,
-            "lang",
-            "_n",
-            (
-                F.coalesce("_mw", F.lit(0))
-                + (F.col("_n") - F.coalesce("_nm", F.lit(0)))
-                * F.col("oov_micro")
-            ).alias("_score"),
-            F.coalesce("_nm", F.lit(0)).alias("_nm"),
-        )
+    # fold each doc's matched rows (≤ n_langs) into ONE map column,
+    # then score every language in a single literal-array transform:
+    # no doc×lang row expansion, no (doc, lang)-keyed join — the
+    # original crossJoin + left-join tail re-evaluated the base
+    # projection under a 21× expansion and cost 13 s of the 20 s
+    # wall at sf0.1 (r17 bench catch); this shape is one doc-key
+    # join and one ≤21-entry map scan per language per doc
+    per_doc = matched.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("lang", F.struct("_mw", "_nm")))
+        ).alias("_m")
     )
-    # argmax with deterministic ties: ascending sort on
-    # (-score, lang) puts the best score first, smallest code on ties
-    ranked = scored.groupBy(id_col).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(
-                    (-F.col("_score")).alias("ns"),
-                    F.col("lang").alias("lang"),
-                    F.col("_nm").alias("nm"),
-                    F.col("_score").alias("score"),
-                )
+    langs_lit = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("lang"),
+                F.lit(int(profiles[lang]["oov_micro"]))
+                .cast("long")
+                .alias("oov"),
             )
-        ).alias("_a"),
-        F.first("_n").alias("_n"),
+            for lang in sorted(profiles)
+        ]
+    )
+
+    def _entry(s: Column) -> Column:
+        ent = F.element_at("_m", s["lang"])
+        mw = F.coalesce(ent["_mw"], F.lit(0).cast("long"))
+        nm = F.coalesce(ent["_nm"], F.lit(0).cast("long"))
+        score = mw + (F.col("_n") - nm) * s["oov"]
+        # ascending sort on (-score, lang): best score first,
+        # smallest code on ties — deterministic argmax
+        return F.struct(
+            (-score).alias("ns"),
+            s["lang"].alias("lang"),
+            nm.alias("nm"),
+            score.alias("score"),
+        )
+
+    joined = base.join(per_doc, id_col, "left")
+    ranked = joined.select(
+        id_col,
+        "_gate",
+        "_n",
+        F.array_sort(F.transform(langs_lit, _entry)).alias("_a"),
     )
     best = ranked.select(
         id_col,
+        "_gate",
+        "_n",
         F.col("_a")[0]["lang"].alias("_bl"),
         F.col("_a")[0]["score"].alias("_bs"),
         F.col("_a")[0]["nm"].alias("_bnm"),
         F.col("_a")[1]["score"].alias("_ss"),
-        "_n",
     )
-    tri = best.select(
-        id_col,
-        F.when(
+    null_l = F.lit(None).cast("long")
+    tri_path = F.col("_gate").isNull() & (F.col("_n") >= min_grams)
+    lang = (
+        F.when(F.col("_gate").isNotNull(), F.col("_gate"))
+        .when(F.col("_n") < min_grams, F.lit(UND))
+        .when(
             F.col("_bnm") * 1_000_000
             < F.col("_n") * F.lit(int(min_match_frac_micro)),
             F.lit(UND),
@@ -482,11 +510,15 @@ def detect_language(
             F.lit(UND),
         )
         .otherwise(F.col("_bl"))
-        .alias("lang"),
-        F.col("_bs").alias("lang_score_micro"),
-        (F.col("_bs") - F.col("_ss")).alias("lang_margin_micro"),
     )
-    return gated.unionByName(short).unionByName(tri)
+    return best.select(
+        id_col,
+        lang.alias("lang"),
+        F.when(tri_path, F.col("_bs")).otherwise(null_l)
+        .alias("lang_score_micro"),
+        F.when(tri_path, F.col("_bs") - F.col("_ss")).otherwise(null_l)
+        .alias("lang_margin_micro"),
+    )
 
 
 def with_language(

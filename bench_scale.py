@@ -493,12 +493,20 @@ def main() -> None:
     else:
         build_s = 0.0
 
-    if not os.path.exists(f"{SCALE_DIR}/lineitem.parquet/_SUCCESS"):
+    # SPARK_GRAFT_SCALE_CORE=1 skips the tpch/media variant builds —
+    # the 100x (sf10) spot-point runs only core-table queries and
+    # must not pay for 100 copies of lineitem
+    core_only = os.environ.get("SPARK_GRAFT_SCALE_CORE") == "1"
+    if not core_only and not os.path.exists(
+        f"{SCALE_DIR}/lineitem.parquet/_SUCCESS"
+    ):
         t0 = time.perf_counter()
         build_scaled_tpch(spark, BASE_DIR, SCALE_DIR, COPIES)
         build_s += round(time.perf_counter() - t0, 3)
 
-    if not os.path.exists(f"{SCALE_DIR}-media/documents.parquet/_SUCCESS"):
+    if not core_only and not os.path.exists(
+        f"{SCALE_DIR}-media/documents.parquet/_SUCCESS"
+    ):
         t0 = time.perf_counter()
         build_scaled_media(spark, BASE_DIR, SCALE_DIR, COPIES)
         build_s += round(time.perf_counter() - t0, 3)

@@ -290,7 +290,12 @@ def _rotated(i: int) -> str:
     return az[k:] + az[:k]
 
 
-def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
+def build_scaled(
+    spark, base_dir: str, out_dir: str, copies: int,
+    core_only: bool = False,
+) -> None:
+    """core_only skips the tshift/plaindoc/embeddings variants — the
+    100x (sf10) spot point needs only events + documents."""
     from pyspark.sql import functions as F
 
     from cybersecurity_miw_spark.sources.tables import load_events
@@ -313,20 +318,22 @@ def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
         f"{out_dir}/events.parquet"
     )
 
-    parts = []
-    for i in range(copies):
-        parts.append(
-            ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
-            .withColumn(
-                "ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS")
+    if not core_only:
+        parts = []
+        for i in range(copies):
+            parts.append(
+                ev.withColumn(
+                    "event_id", F.col("event_id") + F.lit(i * n_ev)
+                ).withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {31 * i} DAYS")
+                )
             )
+        shifted_ev = parts[0]
+        for p in parts[1:]:
+            shifted_ev = shifted_ev.unionByName(p)
+        shifted_ev.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}-tshift/events.parquet"
         )
-    shifted_ev = parts[0]
-    for p in parts[1:]:
-        shifted_ev = shifted_ev.unionByName(p)
-    shifted_ev.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}-tshift/events.parquet"
-    )
 
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     n_docs = docs.count()
@@ -344,16 +351,19 @@ def build_scaled(spark, base_dir: str, out_dir: str, copies: int) -> None:
         f"{out_dir}/documents.parquet"
     )
 
-    parts = [
-        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
-        for i in range(copies)
-    ]
-    plain_docs = parts[0]
-    for p in parts[1:]:
-        plain_docs = plain_docs.unionByName(p)
-    plain_docs.repartition(32).write.mode("overwrite").parquet(
-        f"{out_dir}-plaindoc/documents.parquet"
-    )
+    if not core_only:
+        parts = [
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * n_docs))
+            for i in range(copies)
+        ]
+        plain_docs = parts[0]
+        for p in parts[1:]:
+            plain_docs = plain_docs.unionByName(p)
+        plain_docs.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}-plaindoc/documents.parquet"
+        )
+    if core_only:
+        return
 
     # embeddings x10: per-copy DIMENSION ROTATION for the scaled dir
     # (norms preserved, cross-copy cosines ~0 — near-dup pairs stay
@@ -480,15 +490,20 @@ def main() -> None:
     spark = get_spark("miw-bench-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if not (
+    core_env = os.environ.get("SPARK_GRAFT_SCALE_CORE") == "1"
+    need_core = not (
         os.path.exists(f"{SCALE_DIR}/documents.parquet/_SUCCESS")
-        and os.path.exists(f"{SCALE_DIR}-tshift/events.parquet/_SUCCESS")
+        and os.path.exists(f"{SCALE_DIR}/events.parquet/_SUCCESS")
+    )
+    need_full = not core_env and not (
+        os.path.exists(f"{SCALE_DIR}-tshift/events.parquet/_SUCCESS")
         and os.path.exists(f"{SCALE_DIR}-plaindoc/documents.parquet/_SUCCESS")
         and os.path.exists(f"{SCALE_DIR}/embeddings.parquet/_SUCCESS")
         and os.path.exists(f"{SCALE_DIR}-plaindoc/embeddings.parquet/_SUCCESS")
-    ):
+    )
+    if need_core or need_full:
         t0 = time.perf_counter()
-        build_scaled(spark, BASE_DIR, SCALE_DIR, COPIES)
+        build_scaled(spark, BASE_DIR, SCALE_DIR, COPIES, core_only=core_env)
         build_s = round(time.perf_counter() - t0, 3)
     else:
         build_s = 0.0
@@ -496,7 +511,7 @@ def main() -> None:
     # SPARK_GRAFT_SCALE_CORE=1 skips the tpch/media variant builds —
     # the 100x (sf10) spot-point runs only core-table queries and
     # must not pay for 100 copies of lineitem
-    core_only = os.environ.get("SPARK_GRAFT_SCALE_CORE") == "1"
+    core_only = core_env
     if not core_only and not os.path.exists(
         f"{SCALE_DIR}/lineitem.parquet/_SUCCESS"
     ):

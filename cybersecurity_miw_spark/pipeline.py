@@ -38,6 +38,7 @@ def curate_documents(
     repetition_rules: bool = False,
     repetition_kwargs: dict | None = None,
     redact_pii: bool = True,
+    lang_allow: tuple | None = None,
     quality_floor: float | None = 0.3,
     clf_model: dict | None = None,
     clf_model_dir: str | None = None,
@@ -125,6 +126,14 @@ def curate_documents(
     extracted line via the plain tag-strip chain). The raw HTML
     column stays on the frame as provenance; ``html_kwargs`` passes
     min_words / max_link_frac through to the line classifier.
+
+    ``lang_allow`` (r17): the published language gate — keep only
+    docs whose detected language (the r17 char-trigram classifier's
+    ``lang_guess``) is in the tuple, e.g. ``("en",)`` for the C4
+    recipe (§2.2 keeps pages langdetect scores ≥ 0.99 English — the
+    classifier's ln(99) margin is the same bar, so non-confident
+    pages are ``'und'`` and drop). Runs right after profiling,
+    before the quality floor. Off (None) by default.
 
     ``clf_model`` / ``clf_model_dir`` (r16): model-based selection
     with the trained quality classifier (qualityclf.py — the
@@ -275,6 +284,16 @@ def curate_documents(
             .withColumnRenamed("_clean", text_col),
         )
     out = textstats.profile(out, text_col=text_col, id_col=id_col)
+    if lang_allow is not None:
+        if not lang_allow:
+            raise ValueError(
+                "lang_allow is empty — an empty allowlist drops the "
+                "whole corpus; pass None to skip the language gate"
+            )
+        out = _record(
+            "lang_gate",
+            out.filter(F.col("lang_guess").isin(*[str(x) for x in lang_allow])),
+        )
     if quality_floor is not None:
         out = _record(
             "quality_floor", out.filter(F.col("quality") >= quality_floor)

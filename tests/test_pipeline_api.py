@@ -593,3 +593,36 @@ def test_assemble_dataset_dsir_selection_stage(spark, tmp_path):
     # target_exemplar without a budget is a loud error
     with pytest.raises(ValueError, match="dsir_budget_tokens"):
         pipeline.assemble_dataset(df, target_exemplar=target)
+
+
+def test_curate_documents_lang_gate(spark):
+    """r17: lang_allow keeps only confidently-detected languages —
+    the C4 §2.2 gate; ambiguous/short docs are 'und' and drop."""
+    from cybersecurity_miw_spark import pipeline
+
+    rows = [
+        (1, "The weather was cold this morning and the children stayed at home with their mother near the river."),
+        (2, "Das Wetter war heute Morgen kalt und die Kinder blieben mit ihrer Mutter zu Hause, weil es geschneit hat."),
+        (3, "12345 67890 ++--"),  # letter-less -> und
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    metrics = []
+    out = pipeline.curate_documents(
+        df,
+        lang_allow=("en",),
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+        metrics=metrics,
+    )
+    got = [r["doc_id"] for r in out.collect()]
+    assert got == [1]
+    stages = [m["stage"] for m in metrics]
+    assert "lang_gate" in stages
+    gate = next(m for m in metrics if m["stage"] == "lang_gate")
+    assert gate["n_in"] == 3 and gate["n_out"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lang_allow is empty"):
+        pipeline.curate_documents(df, lang_allow=())

@@ -233,6 +233,10 @@ def write_shards_incremental(
                 [(int(s),) for s in changed], f"{shard_col} long"
             )
             to_write = df.join(
+                # bcast-bound: ids = the churned-shard id list — at
+                # most the dataset's shard count (corpus_rows /
+                # shard_rows; thousands at any practical scale),
+                # never row-scaled
                 F.broadcast(ids.withColumnRenamed(shard_col, "_sid")),
                 df[shard_col] == F.col("_sid"),
                 "left_semi",

@@ -296,6 +296,24 @@ MAX_EXCHANGES = {
     # one real doc-key exchange shared by the prefix window and the
     # (id, chunk) group concat
     "chunk_sentence_budget": 2,
+    # --- r17 additions ---
+    # gram (id,lang) agg + per-doc map agg + the doc-key join's two
+    # sides (4 textual, +2 headroom). Cartesian/BNLJ asserts also
+    # guard the scoring tail: the r17 rewrite replaced a
+    # crossJoin-shaped expansion with a map transform
+    "lang_id_assign": 6,
+    # pure row-expression strip chain — zero exchanges
+    "html_extract_text": 0,
+    # bounded line explode, still zero exchanges
+    "html_line_density": 1,
+    # frozen scoring chain (margin agg + join back) + per-grade agg
+    # + the bounded-table window + decile agg (8 textual, +2)
+    "quality_clf_report_deciles": 10,
+    # two scoring chains + union + per-grade agg + bounded window +
+    # one-row final agg (14 textual, +2)
+    "quality_clf_separation": 16,
+    # the langid chain + the profile-columns join (8 textual, +2)
+    "text_profile": 10,
 }
 
 

@@ -9575,6 +9575,42 @@ SELECT doc_id, lang, lang_score_micro, lang_margin_micro FROM lid_out
 """
 
 
+_LANG_REPORT_SQL = f"""
+WITH lid_docs AS (
+  SELECT doc_id,
+         ([{", ".join(_sql_quote(s) for s in _LANGID_FIXTURES)}])
+           [CAST(doc_id % {len(_LANGID_FIXTURES)} AS INT) + 1] AS text
+  FROM documents),
+{_langid_cte_sql()},
+tok AS (SELECT doc_id, {_N_TOKENS_SQL} AS n FROM lid_docs),
+j AS (SELECT l.lang, t.n FROM lid_out l JOIN tok t ON l.doc_id = t.doc_id),
+per AS (
+  SELECT lang, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens
+  FROM j GROUP BY lang)
+SELECT lang, n_docs, n_tokens,
+       floor(n_docs::DOUBLE / (sum(n_docs) OVER ()) * 1000000.0 + 0.5)
+         / 1000000.0 AS doc_share
+FROM per
+"""
+
+
+@register("lang_report_counts", _LANG_REPORT_SQL)
+def q_lang_report_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus audit (langid.lang_report — the CCNet
+    per-language size table) over the 30-way multilingual fixture:
+    one row per detected language with doc/token counts (CJK-robust
+    token_count, so the zh/ja/th rows report real volumes) and the
+    micro-rounded doc share. One language-keyed aggregation + a
+    window over the languages-bounded result."""
+    d = F.col("doc_id")
+    txt = F.element_at(
+        F.array(*[F.lit(s) for s in _LANGID_FIXTURES]),
+        (d % len(_LANGID_FIXTURES) + 1).cast("int"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return langid.lang_report(docs.withColumn("text", txt))
+
+
 @register("lang_id_assign", _LANGID_ASSIGN_SQL)
 def q_lang_id_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full language-ID decision chain (langid.detect_language)
@@ -10125,15 +10161,16 @@ def q_quality_clf_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-17 rotation: IN = the five new r17 oracles
+    # Round-17 rotation: IN = the six new r17 oracles
     # (lang_id_assign — the char-trigram language-ID decision chain
-    # over the 30-way multilingual fixture; html_extract_text — the
+    # over the 30-way multilingual fixture; lang_report_counts — the
+    # per-language corpus size audit over the same fixture; html_extract_text — the
     # HTML→text strip/decode chain; html_line_density — the
     # jusText-lite line classifier; quality_clf_report_deciles — the
     # score-decile calibration card; quality_clf_separation — the
     # grade-level Mann-Whitney separation card), first-round rows per
     # the rotation invariant.
-    # OUT = five long-green veterans, each with in-window family
+    # OUT = six long-green veterans, each with in-window family
     # siblings: hybrid_rrf_batch_docs (r12 — retrieval keeps
     # hybrid_rrf_topk_docs), incremental_semantic_banded_vs_store
     # (r12 — the incremental-semantic family keeps
@@ -10141,9 +10178,10 @@ _DRIVER_WINDOW = [
     # and semantic_dedup_survivors (r11) (the SemDeDup family keeps
     # semantic_dedup_cells_survivors + semantic_dedup_cells_clusters
     # in-window), phash_fingerprints (r13 — the media family keeps
-    # phash_band_candidates + incremental_phash_vs_store). All five
-    # stay full-hash green in tests/test_oracle_parity.py every
-    # round.
+    # phash_band_candidates + incremental_phash_vs_store),
+    # containment_cross_decontaminate (r12 — the containment family
+    # keeps incremental_containment_vs_store). All six stay
+    # full-hash green in tests/test_oracle_parity.py every round.
     # r17 changed-plan anchors, both already in-window:
     # text_profile (lang_guess now the trigram classifier; n_tokens
     # gained the CJK char-class fallback) and url_canonical_dedup
@@ -10329,7 +10367,9 @@ _DRIVER_WINDOW = [
     #  ngram_diversity_by_source row — the containment family keeps
     #  containment_cross_decontaminate +
     #  incremental_containment_vs_store in-window)
-    "containment_cross_decontaminate",
+    # (containment_cross_decontaminate rotated out r17 for
+    #  lang_report_counts — the containment family keeps
+    #  incremental_containment_vs_store in-window)
     # (multimodal_media_stats rotated out r16 for
     #  registrable_domain_counts — the media family keeps the three
     #  phash rows in-window)
@@ -10377,6 +10417,7 @@ _DRIVER_WINDOW = [
     "html_line_density",
     "quality_clf_report_deciles",
     "quality_clf_separation",
+    "lang_report_counts",
 ]
 
 

@@ -521,6 +521,52 @@ def detect_language(
     )
 
 
+def lang_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    profiles: dict[str, dict] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Per-language corpus audit — the size table every multilingual
+    recipe publishes (CCNet reports per-language corpus sizes;
+    C4/mC4 data cards likewise): one row per detected language with
+    ``(lang, n_docs, n_tokens, doc_share)``. Token counts use the
+    CJK-robust :func:`~cybersecurity_miw_spark.operators.textstats.
+    token_count`, so whitespace-free scripts report real volumes.
+
+    Plan: the detect_language chain + one id-keyed join + ONE count
+    aggregation on the language key; ``doc_share`` is a window over
+    the languages-bounded (≤ ~30 rows) aggregate — no driver-side
+    total, no corpus-wide window."""
+    from pyspark.sql.window import Window
+
+    from cybersecurity_miw_spark.operators.textstats import token_count
+
+    det = detect_language(
+        df, text_col=text_col, id_col=id_col, profiles=profiles, **kwargs
+    ).select(id_col, "lang")
+    toks = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("_t")
+    )
+    per = (
+        det.join(toks, id_col)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return per.withColumn(
+        "doc_share",
+        F.floor(
+            F.col("n_docs") / total * F.lit(1_000_000.0) + F.lit(0.5)
+        )
+        / F.lit(1_000_000.0),
+    )
+
+
 def with_language(
     df: DataFrame,
     text_col: str = "text",

@@ -209,3 +209,23 @@ def test_margin_gate_matches_c4_citation(profiles):
     assert langid.MARGIN_MICRO == math.floor(1e6 * math.log(99)) + 1 or (
         abs(langid.MARGIN_MICRO - 1e6 * math.log(99)) < 1000
     )
+
+
+def test_lang_report_counts(spark, profiles):
+    """The per-language size audit: counts conserve the corpus,
+    token counts are CJK-robust (the zh/ja/th rows report per-char
+    volumes, not 1 'word' per doc), shares sum to ~1."""
+    texts = list(HELD_OUT.values()) + list(SCRIPT_GATED.values())
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = {r["lang"]: r for r in langid.lang_report(
+        df, profiles=profiles
+    ).collect()}
+    assert sum(r["n_docs"] for r in rows.values()) == len(texts)
+    assert abs(sum(r["doc_share"] for r in rows.values()) - 1.0) < 1e-3
+    # CJK volumes: the zh fixture is ~40 Han chars — far more than
+    # the 2 whitespace "words" naive splitting would report
+    assert rows["zh"]["n_tokens"] > 20
+    assert rows["th"]["n_tokens"] > 10
+    assert rows["en"]["n_docs"] == 1

@@ -229,3 +229,44 @@ def test_lang_report_counts(spark, profiles):
     assert rows["zh"]["n_tokens"] > 20
     assert rows["th"]["n_tokens"] > 10
     assert rows["en"]["n_docs"] == 1
+
+
+def test_random_text_parity_spark_vs_python(spark, profiles):
+    """Batched random-text property: 60 deterministic pseudo-random
+    strings drawn from mixed alphabets (ascii, accents, cyrillic,
+    CJK, digits, punctuation, empty runs) classify IDENTICALLY
+    (lang, score, margin) through Spark and the pure-Python twin —
+    the fuzz net behind the curated fixtures."""
+    import random
+
+    rng = random.Random(0xBEEF)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz ",
+        "àáâãäåçèéêëìíîïñ öüß ",
+        "абвгдежзийклмнопрстуфхцч ",
+        "一二三四五六七八九十天气学校",
+        "ぁあいうえおかきくけこ",
+        "0123456789 .,!?-#@'\"()[]{}",
+        "   \t\n",
+        "αβγδεζηθικλμ ",
+        "שלוםהאבגדהוז ",
+    ]
+    texts = []
+    for _ in range(60):
+        n_seg = rng.randint(0, 8)
+        segs = []
+        for _ in range(n_seg):
+            pool = rng.choice(pools)
+            segs.append(
+                "".join(rng.choice(pool) for _ in range(rng.randint(1, 40)))
+            )
+        texts.append("".join(segs))
+    got = _spark_detect(spark, texts, profiles=profiles)
+    for i, t in enumerate(texts):
+        want = langid.py_detect(t, profiles)
+        row = got[i]
+        assert (
+            row["lang"],
+            row["lang_score_micro"],
+            row["lang_margin_micro"],
+        ) == want, (i, repr(t))

@@ -626,3 +626,65 @@ def test_curate_documents_lang_gate(spark):
 
     with _pytest.raises(ValueError, match="lang_allow is empty"):
         pipeline.curate_documents(df, lang_allow=())
+
+
+def test_curate_documents_full_crawl_chain(spark):
+    """r17 capstone: the complete crawl→dataset story through ONE
+    curate_documents call — URL canonicalize+dedup → HTML→text
+    extraction (boilerplate line filter) → language gate → exact
+    dedup — with the funnel naming every stage in the published
+    order."""
+    from cybersecurity_miw_spark import pipeline
+
+    body_en = ("The weather was cold this morning and the children "
+               "stayed at home with their mother near the river bank.")
+    body_de = ("Das Wetter war heute Morgen kalt und die Kinder blieben "
+               "mit ihrer Mutter zu Hause, weil es stark geschneit hat.")
+
+    def page(body):
+        return (
+            '<html><head><script>var x=1;</script></head><body>'
+            '<div><a href="/">Home page</a> <a href="/a">About page</a> '
+            '<a href="/c">Contact page</a></div>'
+            f"<p>{body}</p>"
+            "</body></html>"
+        )
+
+    rows = [
+        # 1+2: same page fetched twice (tracking param) -> URL dedup
+        (1, "https://Site.com/a?fbclid=x", page(body_en)),
+        (2, "https://site.com/a", page(body_en)),
+        # 3: German page -> language gate drops it
+        (3, "https://site.com/de", page(body_de)),
+        # 4: distinct URL, same EXTRACTED text as 1 -> exact dedup
+        (4, "https://site.com/b", page(body_en)),
+        # 5: nav-only page -> extracts to '' -> und -> language gate
+        (5, "https://site.com/nav",
+         '<html><body><div><a href="/">Home</a></div></body></html>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    metrics = []
+    out = pipeline.curate_documents(
+        df.withColumn("text", F.lit(None).cast("string")),
+        url_col="url",
+        html_col="html",
+        lang_allow=("en",),
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+        metrics=metrics,
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # 2 dropped by URL dedup (min-id 1 survives), 3 by the language
+    # gate, 5 extracts empty -> und, 4 by exact dedup vs 1
+    assert got == [1]
+    stages = [m["stage"] for m in metrics]
+    assert stages == ["url_dedup", "html_extract", "lang_gate", "exact_dedup"]
+    drops = {m["stage"]: m["n_dropped"] for m in metrics}
+    assert drops == {"url_dedup": 1, "html_extract": 0,
+                     "lang_gate": 2, "exact_dedup": 1}
+    row = out.collect()[0]
+    # extraction stripped the nav + script; text is the article body
+    assert row["text"] == body_en
+    assert row["lang_guess"] == "en"

@@ -1586,3 +1586,152 @@ def streaming_url_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_crawl_curate_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    corpus_dir: str,
+    url_store_dir: str,
+    fp_store_dir: str,
+    lang_allow: tuple | None = None,
+    min_words: int = 3,
+    max_link_frac: float = 0.5,
+    available_now: bool = True,
+    metrics: list | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """The full r17 crawl→dataset chain as ONE continuous ingest loop
+    — the streaming composition of the stages
+    ``curate_documents(url_col=..., html_col=..., lang_allow=...)``
+    runs in batch. Each micro-batch of ``doc_id<TAB>url<TAB>html``
+    lines:
+
+    1. **URL dedup** — canonical-URL min-id within the batch, plus an
+       anti-join against the persisted PROCESSED-URL store (see
+       below), so a page is curated at most once across the whole
+       crawl history;
+    2. **HTML→text extraction** — ``htmlextract.extract_main_text``
+       (tag strip + entity decode + jusText-lite boilerplate line
+       filter); pages that extract to nothing fall to the next gate;
+    3. **language gate** (``lang_allow``, optional) — keep only docs
+       the char-trigram classifier confidently assigns to an allowed
+       language (empty extractions are ``und`` and drop here);
+    4. **text-fingerprint dedup** — min-id within the batch on the
+       EXTRACTED text's fingerprint, plus an anti-join against the
+       persisted text store (same page body under a different URL,
+       the mirror-site case);
+    5. appends accepted ``(doc_id, url, text, lang)`` rows to
+       ``corpus_dir``, accepted text fingerprints to
+       ``fp_store_dir``, and — deliberately — the URL fingerprints
+       of every URL-stage SURVIVOR (not just finally-accepted docs)
+       to ``url_store_dir``: the URL store records *processed*
+       pages, so a page rejected by the text gates is not re-curated
+       on every future fetch. Rebuildable: the corpus anti-join
+       rebuild only restores ACCEPTED urls; a full rebuild needs the
+       crawl log, which is why the store is append-managed here.
+
+    Same crash-healing contract as the sibling loops: the three
+    appends are idempotent under checkpoint replay (replayed docs hit
+    their own stored fingerprints and drop), cache scope is
+    per-batch, and ``metrics`` records the per-stage funnel
+    ({'batch_id', 'n_batch', 'n_url_new', 'n_lang_kept',
+    'n_accepted'})."""
+    from cybersecurity_miw_spark.operators import (
+        htmlextract,
+        langid,
+        urlcurate,
+    )
+
+    lang_profiles = langid.load_lang_profiles() if lang_allow is not None else None
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_url_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cache_mark = release_mark()
+        try:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            n_batch = batch_df.count() if metrics is not None else None
+
+            # 1. URL stage (processed-URL store)
+            url_store = _read_store_if_present(sess, url_store_dir)
+            if url_store is not None:
+                url_new = urlcurate.url_dedup_against_store(
+                    batch_df, url_store
+                )
+            else:
+                url_new = urlcurate.url_exact_dedup(batch_df)
+            url_new = url_new.localCheckpoint(eager=True)
+
+            # 2. extraction (the landing 'text' column carries HTML)
+            pages = url_new.withColumnRenamed("text", "html")
+            extracted = htmlextract.extract_main_text(
+                pages,
+                html_col="html",
+                id_col="doc_id",
+                min_words=min_words,
+                max_link_frac=max_link_frac,
+            ).select("doc_id", "text")
+            curated = pages.select("doc_id", "url").join(
+                extracted, "doc_id"
+            )
+
+            # 3. language gate
+            langs = langid.detect_language(
+                curated, profiles=lang_profiles
+            ).select("doc_id", "lang") if lang_allow is not None else None
+            if langs is not None:
+                curated = curated.join(langs, "doc_id").filter(
+                    F.col("lang").isin(*[str(x) for x in lang_allow])
+                )
+            curated = curated.localCheckpoint(eager=True)
+
+            # 4. text-fingerprint stage
+            fp_store = _read_store_if_present(sess, fp_store_dir)
+            if fp_store is not None:
+                accepted = dedup_against_store(curated, fp_store)
+            else:
+                keep = (
+                    curated.select(
+                        "doc_id", fingerprint(F.col("text")).alias("_fp")
+                    )
+                    .groupBy("_fp")
+                    .agg(F.min("doc_id").alias("doc_id"))
+                )
+                accepted = curated.join(
+                    keep.select("doc_id"), "doc_id", "left_semi"
+                )
+            accepted = accepted.localCheckpoint(eager=True)
+
+            if metrics is not None:
+                metrics.append({
+                    "batch_id": batch_id,
+                    "n_batch": n_batch,
+                    "n_url_new": url_new.count(),
+                    "n_lang_kept": curated.count(),
+                    "n_accepted": accepted.count(),
+                })
+            accepted.write.mode("append").parquet(corpus_dir)
+            fingerprint_store(accepted).write.mode("append").parquet(
+                fp_store_dir
+            )
+            urlcurate.url_fingerprint_store(url_new).write.mode(
+                "append"
+            ).parquet(url_store_dir)
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

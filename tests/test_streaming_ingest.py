@@ -1446,3 +1446,77 @@ def test_streaming_clf_scores_frozen_model_and_drift_remediation(
     assert not any(r["stale"] for r in m2)
     got = spark.read.parquet(scores)
     assert got.filter(F.col("doc_id") >= 600).count() == 12
+
+
+def test_streaming_crawl_curate_ingest(spark, tmp_path):
+    """r17: the full crawl→dataset chain as a continuous loop — URL
+    dedup vs the processed-URL store, HTML extraction, language
+    gate, text-fingerprint dedup vs the text store — across two
+    separate runs sharing stores and checkpoint."""
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_crawl_curate_ingest,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ustore = str(tmp_path / "ustore")
+    fstore = str(tmp_path / "fstore")
+    ckpt = str(tmp_path / "ckpt")
+
+    body_en = ("The weather was cold this morning and the children "
+               "stayed at home with their mother near the river bank.")
+    body_de = ("Das Wetter war heute Morgen kalt und die Kinder blieben "
+               "mit ihrer Mutter zu Hause, weil es stark geschneit hat.")
+
+    def page(body):
+        return (
+            "<html><body><div><a href='/'>Home page</a> "
+            "<a href='/a'>About page</a> <a href='/c'>Contact us</a></div>"
+            f"<p>{body}</p></body></html>"
+        )
+
+    # batch 1: 10/11 same canonical URL; 12 German; 13 nav-only
+    (indir / "a.tsv").write_text(
+        f"10\thttps://Site.com/a?fbclid=x\t{page(body_en)}\n"
+        f"11\thttps://site.com/a\t{page(body_en)}\n"
+        f"12\thttps://site.com/de\t{page(body_de)}\n"
+        "13\thttps://site.com/nav\t"
+        "<html><body><div><a href='/'>Home</a></div></body></html>\n"
+    )
+    m: list = []
+    streaming_crawl_curate_ingest(
+        spark, str(indir), ckpt, corpus, ustore, fstore,
+        lang_allow=("en",), metrics=m,
+    ).awaitTermination(180)
+    assert m[-1]["n_batch"] == 4
+    assert m[-1]["n_url_new"] == 3      # 11 dropped (canonical dup)
+    assert m[-1]["n_lang_kept"] == 1    # de + nav-only dropped
+    assert m[-1]["n_accepted"] == 1     # doc 10
+
+    # batch 2: 20 = history URL dup; 21 = same BODY under a new URL
+    # (mirror site -> text store drops it); 22 = genuinely new
+    (indir / "b.tsv").write_text(
+        f"20\thttps://site.com/a?utm_x=1\t{page(body_en)}\n"
+        f"21\thttps://mirror.net/a\t{page(body_en)}\n"
+        "22\thttps://site.com/new\t"
+        "<html><body><p>The second article body has plenty of new "
+        "words about the old harbor and the winter market.</p>"
+        "</body></html>\n"
+    )
+    streaming_crawl_curate_ingest(
+        spark, str(indir), ckpt, corpus, ustore, fstore,
+        lang_allow=("en",), metrics=m,
+    ).awaitTermination(180)
+    assert m[-1]["n_url_new"] == 2      # 20 dropped vs url store
+    assert m[-1]["n_accepted"] == 1     # 21 dropped vs text store
+
+    rows = {r["doc_id"]: r for r in spark.read.parquet(corpus).collect()}
+    assert sorted(rows) == [10, 22]
+    assert rows[10]["text"] == body_en
+    assert rows[10]["lang"] == "en"
+    # the URL store records PROCESSED pages (incl. the text-rejected
+    # German/nav/mirror docs), so they are never re-curated
+    assert spark.read.parquet(ustore).count() == 5  # 10,12,13,21,22
+    # the text store records accepted fingerprints only
+    assert spark.read.parquet(fstore).count() == 2

@@ -168,6 +168,9 @@ QUERY_NAMES = [
     # grades-bounded aggregates
     "quality_clf_report_deciles",
     "quality_clf_separation",
+    # r17: per-language size audit — the lang_id chain + one
+    # language-keyed agg + a languages-bounded window
+    "lang_report_counts",
     # r17: exact dedup (fingerprint groupBy, no join-back) — added so
     # the standing sweep carries the second flagship linear chain and
     # the 100x (sf10) spot point can read both off one harness

@@ -530,3 +530,24 @@ def url_quality_flags(
         has_bad.alias("has_badword"),
         keep.alias("keep"),
     )
+
+
+def compact_url_fingerprint_store(
+    spark, store_dir: str, target_files: int = 1
+) -> dict:
+    """Compact a persisted :func:`url_fingerprint_store` directory:
+    collapse duplicate URL fingerprints (min representative wins —
+    the same tie-break ingest uses; duplicates accumulate from
+    checkpoint replays and the streaming loop's per-trigger appends)
+    and rewrite into ``target_files`` files — the same atomic
+    rewrite_table lifecycle every other store family here has."""
+    from pyspark.sql import DataFrame
+
+    from cybersecurity_miw_spark.sources.maintain import rewrite_table
+
+    def collapse(df: DataFrame) -> DataFrame:
+        return df.groupBy("url_fingerprint").agg(
+            F.min("representative").alias("representative")
+        )
+
+    return rewrite_table(spark, store_dir, collapse, target_files)

@@ -420,3 +420,24 @@ def test_canonical_url_idempotent_over_grid(spark):
         F.col("c1").contains("#") | F.lower(F.col("c1")).contains("utm_")
     ).collect()
     assert not leak, [r["c1"] for r in leak[:5]]
+
+
+def test_compact_url_fingerprint_store(spark, tmp_path):
+    """Replay-duplicated URL-store rows collapse to one (min
+    representative) per fingerprint through the atomic rewrite."""
+    store = str(tmp_path / "ustore")
+    df = spark.createDataFrame(
+        [(10, "https://a.com/x"), (11, "https://A.com/x?utm_s=1")],
+        "doc_id long, url string",
+    )
+    uc.url_fingerprint_store(df).write.mode("append").parquet(store)
+    # simulate a replayed append with a different representative
+    uc.url_fingerprint_store(
+        df.withColumn("doc_id", F.col("doc_id") + 5)
+    ).write.mode("append").parquet(store)
+    assert spark.read.parquet(store).count() == 2
+    rep = uc.compact_url_fingerprint_store(spark, store)
+    rows = spark.read.parquet(store).collect()
+    assert len(rows) == 1
+    assert rows[0]["representative"] == 10
+    assert rep["rows_before"] == 2 and rep["rows_after"] == 1

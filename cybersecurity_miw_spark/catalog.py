@@ -10186,8 +10186,11 @@ _DRIVER_WINDOW = [
     # text_profile (lang_guess now the trigram classifier; n_tokens
     # gained the CJK char-class fallback) and url_canonical_dedup
     # (TRACKING_PARAMS dropped ambiguous 'ref'/'ref_src'; malformed
-    # ports now pass through — ADVICE r16). doc_token_length_histogram
-    # (CJK twin) is outside the window but full-hash pytest-checked.
+    # ports now pass through — ADVICE r16), plus
+    # doc_token_length_histogram rotated IN as the third changed-plan
+    # anchor (its n_tokens twin carries the CJK fallback), displacing
+    # running_value_per_user (r6 events veteran; the family keeps
+    # beacon_interval_profile in-window).
     # Round-16 rotation: IN = the six new r16 oracles
     # (url_canonical_dedup — the canonicalize+dedup chain;
     # registrable_domain_counts — PSL eTLD+1 extraction;
@@ -10324,7 +10327,9 @@ _DRIVER_WINDOW = [
     #  rotation note at the top)
     "app_pca_covariance",
     "app_kmeans_step",
-    "running_value_per_user",
+    # (running_value_per_user rotated out r17 for the re-anchored
+    #  doc_token_length_histogram — the events family keeps
+    #  beacon_interval_profile in-window)
     # (distinct_users_per_type rotated out r15 for dsir_select_budget —
     #  the events family keeps running_value_per_user +
     #  beacon_interval_profile in-window)
@@ -10418,6 +10423,9 @@ _DRIVER_WINDOW = [
     "quality_clf_report_deciles",
     "quality_clf_separation",
     "lang_report_counts",
+    # --- r17 changed-plan re-anchor (token_count gained the CJK
+    #     char-class fallback; the twin changed with it) ---
+    "doc_token_length_histogram",
 ]
 
 

@@ -162,6 +162,8 @@ QUERY_NAMES = [
     # (extract) / one bounded line explode (line stats)
     "html_extract_text",
     "html_line_density",
+    # r17: outlink extraction — two regexp passes + zip explode
+    "html_outlinks_edges",
     # r17: classifier calibration — frozen scoring explode + the
     # bounded 10k-grade table walk (report) and the two-sided
     # grade rank-sum (separation); corpus-linear scan into

@@ -9790,6 +9790,71 @@ FROM f
 """
 
 
+def _entity_chain_sql(e: str) -> str:
+    for ent, ch in _hx.ENTITY_MAP:
+        e = f"replace({e}, {_sql_quote(ent)}, {_sql_quote(ch)})"
+    return e
+
+
+_HREF_CHAIN = _entity_chain_sql(
+    "regexp_replace(h, '^[\"'']|[\"'']$', '', 'g')"
+)
+_ATEXT_CHAIN = _entity_chain_sql(
+    "trim(regexp_replace(regexp_replace(t, '<[^>]*>', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+_HTML_OUTLINKS_SQL = f"""
+WITH pages AS ({_HTML_NAV_PAGE_SQL}),
+h AS (
+  SELECT doc_id,
+    regexp_extract_all(coalesce(html, ''),
+                       {_sql_quote(_hx._ANCHOR_HREF)}, 1) AS hs,
+    regexp_extract_all(coalesce(html, ''),
+                       {_sql_quote(_hx._ANCHOR_HREF)}, 2) AS ts
+  FROM pages),
+z AS (
+  SELECT doc_id, u.i AS link_no, u.h AS h, u.t AS t FROM (
+    SELECT doc_id,
+           unnest([{{'i': i, 'h': hs[i + 1], 't': ts[i + 1]}}
+                   FOR i IN generate_series(0, len(hs) - 1)]) AS u
+    FROM h))
+SELECT doc_id, link_no,
+  {_HREF_CHAIN} AS href,
+  {_ATEXT_CHAIN} AS anchor_text
+FROM z
+"""
+
+
+@register("html_outlinks_edges", _HTML_OUTLINKS_SQL)
+def q_html_outlinks_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (htmlextract.html_outlinks — the
+    link-graph / crawl-frontier primitive): one (doc, link_no, href,
+    anchor_text) row per anchor of the planted nav/content/footer
+    pages — quoted and conditional hrefs, entity decode, nested-tag
+    anchor text. Two aligned regexp_extract_all passes + one zip
+    explode; zero exchanges."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+
+    def _opt(cond, lit_s: str) -> F.Column:
+        return F.when(cond, F.lit(lit_s)).otherwise(F.lit(""))
+
+    page = F.concat(
+        F.lit('<html><body><div><a href="/a">Home page</a> '
+              '<a href="/b">About us</a> '
+              '<a href="/c">Contact form</a></div><p>'),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 150),
+        F.lit("</p>"),
+        _opt(d % 4 == 0,
+             '<div>Copyright 2024 Corp <a href="/t">Terms</a></div>'),
+        _opt(d % 6 == 0, "<p>Tiny.</p>"),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select("doc_id", page.alias("html"))
+    return htmlextract.html_outlinks(pages)
+
+
 @register("html_line_density", _HTML_LINES_SQL)
 def q_html_line_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     """jusText-lite line classification (htmlextract.html_line_stats)
@@ -10161,7 +10226,7 @@ def q_quality_clf_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-17 rotation: IN = the six new r17 oracles
+    # Round-17 rotation: IN = the seven new r17 oracles
     # (lang_id_assign — the char-trigram language-ID decision chain
     # over the 30-way multilingual fixture; lang_report_counts — the
     # per-language corpus size audit over the same fixture; html_extract_text — the
@@ -10170,7 +10235,7 @@ _DRIVER_WINDOW = [
     # score-decile calibration card; quality_clf_separation — the
     # grade-level Mann-Whitney separation card), first-round rows per
     # the rotation invariant.
-    # OUT = six long-green veterans, each with in-window family
+    # OUT = eight long-green veterans, each with in-window family
     # siblings: hybrid_rrf_batch_docs (r12 — retrieval keeps
     # hybrid_rrf_topk_docs), incremental_semantic_banded_vs_store
     # (r12 — the incremental-semantic family keeps
@@ -10180,8 +10245,11 @@ _DRIVER_WINDOW = [
     # in-window), phash_fingerprints (r13 — the media family keeps
     # phash_band_candidates + incremental_phash_vs_store),
     # containment_cross_decontaminate (r12 — the containment family
-    # keeps incremental_containment_vs_store). All six stay
-    # full-hash green in tests/test_oracle_parity.py every round.
+    # keeps incremental_containment_vs_store), phash_band_candidates
+    # (r13 — media keeps incremental_phash_vs_store), and
+    # running_value_per_user (r6 — events keeps
+    # beacon_interval_profile). All eight stay full-hash green in
+    # tests/test_oracle_parity.py every round.
     # r17 changed-plan anchors, both already in-window:
     # text_profile (lang_guess now the trigram classifier; n_tokens
     # gained the CJK char-class fallback) and url_canonical_dedup
@@ -10203,7 +10271,7 @@ _DRIVER_WINDOW = [
     # SQL twin BY DESIGN (the BPE precedent) and stays outside the
     # oracled window; its correctness is the bit-determinism +
     # separation goldens.
-    # OUT = six long-green veterans, each with in-window family
+    # OUT = eight long-green veterans, each with in-window family
     # siblings: pairwise_topk_lsh (r7 cohort — the embedding family
     # keeps ann_ivf_topk_batch / ann_pq_adc_topk / knn_graph_edges /
     # hard_negatives_topk + the semantic rows), multimodal_media_stats
@@ -10390,7 +10458,8 @@ _DRIVER_WINDOW = [
     # --- new r13 oracles (first-round rows, one round overdue) ---
     # (phash_fingerprints rotated out r17 for quality_clf_separation
     #  — media keeps phash_band_candidates + incremental_phash_vs_store)
-    "phash_band_candidates",
+    # (phash_band_candidates rotated out r17 for
+    #  html_outlinks_edges — media keeps incremental_phash_vs_store)
     "incremental_phash_vs_store",
     # --- new r14 oracles (first-round rows; rollup_event_counts
     #     rotated out for temperature_mix_prefix — the events family
@@ -10423,6 +10492,7 @@ _DRIVER_WINDOW = [
     "quality_clf_report_deciles",
     "quality_clf_separation",
     "lang_report_counts",
+    "html_outlinks_edges",
     # --- r17 changed-plan re-anchor (token_count gained the CJK
     #     char-class fallback; the twin changed with it) ---
     "doc_token_length_histogram",

@@ -275,3 +275,65 @@ def extract_main_text(
             "n_lines_dropped", F.coalesce("n_lines_dropped", F.lit(0))
         )
     )
+
+
+# href attribute value: quoted (either quote) or bare-token — group 1;
+# anchor inner markup — group 2. RE2-safe (no backrefs/lookaheads).
+_ANCHOR_HREF = (
+    r"(?is)<a\b[^>]*\bhref\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]+)[^>]*>"
+    r"(.*?)</a\s*>"
+)
+
+
+def html_outlinks(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Outlink extraction — the link-graph / crawl-frontier primitive
+    (domain-level link counts feed URL scoring; frontier expansion
+    feeds the crawler): one row per ``<a href=...>`` anchor with
+    ``(id_col, link_no, href, anchor_text)``.
+
+    * ``href`` — the attribute value with quotes stripped and the
+      bounded entity set decoded (URLs in HTML legally carry
+      ``&amp;`` between query params);
+    * ``anchor_text`` — the anchor's inner markup with nested tags
+      stripped, entities decoded, whitespace collapsed;
+    * ``link_no`` — 0-based document order.
+
+    Anchors without an ``href`` attribute are skipped (they are
+    targets, not links). Pure regexp/array expressions: two aligned
+    ``regexp_extract_all`` passes over the same pattern (one per
+    capture group — both engines guarantee positional alignment
+    because the matches are identical), zipped and pos-exploded.
+    Zero exchanges; corpus-linear."""
+    hrefs = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")), F.lit(_ANCHOR_HREF), 1
+    )
+    texts = F.regexp_extract_all(
+        F.coalesce(F.col(html_col), F.lit("")), F.lit(_ANCHOR_HREF), 2
+    )
+    pairs = df.select(
+        F.col(id_col),
+        F.posexplode(F.arrays_zip(hrefs.alias("h"), texts.alias("t"))).alias(
+            "link_no", "_p"
+        ),
+    )
+    href = F.regexp_replace(F.col("_p.h"), "^[\"']|[\"']$", "")
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_p.t"), _ANY_TAG, " "),
+            r"\s+",
+            " ",
+        )
+    )
+    for ent, ch in ENTITY_MAP:
+        href = F.replace(href, F.lit(ent), F.lit(ch))
+        text = F.replace(text, F.lit(ent), F.lit(ch))
+    return pairs.select(
+        id_col,
+        "link_no",
+        href.alias("href"),
+        text.alias("anchor_text"),
+    )

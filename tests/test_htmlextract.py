@@ -169,3 +169,31 @@ def test_row_count_and_determinism(spark, sf_dir):
         htmlextract.extract_main_text(pages.repartition(5)).collect()
     )
     assert a == b
+
+
+def test_html_outlinks(spark):
+    """Outlink extraction: quoted/unquoted hrefs, nested markup in
+    anchor text, entity decode in both, href-less anchors skipped,
+    document order preserved."""
+    html = (
+        '<html><body>'
+        '<a href="/a?x=1&amp;y=2">First <b>bold</b> link</a>'
+        "<a class='c' href='/b'>Second&nbsp;link</a>"
+        "<a href=/bare>Bare href</a>"
+        '<a name="target">not a link</a>'
+        '<p><a href="https://e.com/z">Last</a></p>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(7, html)], "doc_id long, html string")
+    rows = htmlextract.html_outlinks(df).orderBy("link_no").collect()
+    assert [(r["link_no"], r["href"], r["anchor_text"]) for r in rows] == [
+        (0, "/a?x=1&y=2", "First bold link"),
+        (1, "/b", "Second link"),
+        (2, "/bare", "Bare href"),
+        (3, "https://e.com/z", "Last"),
+    ]
+    # null/linkless docs produce no rows
+    empty = spark.createDataFrame(
+        [(1, None), (2, "<p>no links</p>")], "doc_id long, html string"
+    )
+    assert htmlextract.html_outlinks(empty).count() == 0

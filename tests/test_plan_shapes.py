@@ -304,6 +304,8 @@ MAX_EXCHANGES = {
     "lang_id_assign": 6,
     # pure row-expression strip chain — zero exchanges
     "html_extract_text": 0,
+    # two aligned regexp passes + one zip explode — zero exchanges
+    "html_outlinks_edges": 0,
     # bounded line explode, still zero exchanges
     "html_line_density": 1,
     # frozen scoring chain (margin agg + join back) + per-grade agg

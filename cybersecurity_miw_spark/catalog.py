@@ -10213,6 +10213,221 @@ def q_quality_clf_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r17: CCNet-style n-gram LM perplexity filter (operators/ngramlm.py
+# — Wenzek et al. 2020 §4.3). The twins rebuild the WHOLE chain in
+# SQL: stupid-backoff bigram training on the dsir target split
+# (src0 ∧ doc_id%7=0 — the established exemplar convention), integer
+# micro-nat log-probs from in-engine ln over integer-count ratios
+# (the dsir llr convention), two-level backoff scoring of every
+# document, and the CCNet head/middle/tail bucket report. The ln(α)
+# constant is computed ONCE in Python and inlined as a literal into
+# BOTH engines (train_ngram_lm stores the same value in its params),
+# so no cross-engine ln-of-α agreement is assumed; every other log
+# is ln of a ratio of in-engine integer counts, the proven class.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+from cybersecurity_miw_spark.operators import ngramlm as _nglm
+
+# == train_ngram_lm's alpha_ln_micro for the default α = 0.4
+_LM_ALPHA_LN = int(_math.floor(_math.log(0.4) * 1_000_000 + 0.5))
+
+_LM_MODEL_CTES = f"""tgt AS (
+  SELECT doc_id, text FROM documents
+  WHERE source = 'src0' AND doc_id % 7 = 0
+),
+tw AS (
+  SELECT list_filter(str_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+'), x -> len(x) > 0) AS w
+  FROM tgt
+),
+twne AS (SELECT w FROM tw WHERE len(w) > 0),
+c1t AS (
+  SELECT wd, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(w) AS wd FROM twne) GROUP BY 1
+),
+lmtot AS (
+  SELECT (SELECT coalesce(sum(len(w)), 0) FROM twne)
+         + (SELECT count(*) FROM c1t) AS nv
+),
+lmoov AS (
+  SELECT {int(_LM_ALPHA_LN)}
+         + CAST(floor(ln(1.0 / CAST((SELECT nv FROM lmtot) AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS oov
+),
+unim AS (
+  SELECT wd AS w2,
+         {int(_LM_ALPHA_LN)}
+         + CAST(floor(ln(CAST(c1 + 1 AS DOUBLE)
+                         / CAST((SELECT nv FROM lmtot) AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS lp1,
+         c1
+  FROM c1t
+),
+c2t AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c2
+  FROM (
+    SELECT unnest([w[i] || ' ' || w[i+1]
+                   FOR i IN generate_series(1, len(w) - 1)]) AS bg
+    FROM twne WHERE len(w) >= 2
+  ) GROUP BY 1
+),
+bim AS (
+  SELECT c2t.bg,
+         CAST(floor(ln(CAST(c2 AS DOUBLE) / CAST(u.c1 AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp2,
+         c2
+  FROM c2t JOIN c1t u ON u.wd = split_part(c2t.bg, ' ', 1)
+)"""
+
+_LM_TRAIN_SQL = f"""
+WITH {_LM_MODEL_CTES}
+SELECT CAST(NULL AS VARCHAR) AS w1, w2, lp1 AS lp_micro, c1 AS c
+FROM unim
+UNION ALL
+SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+       lp2 AS lp_micro, c2 AS c
+FROM bim
+"""
+
+
+@register("ngram_lm_train", _LM_TRAIN_SQL)
+def q_ngram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained stupid-backoff bigram model itself
+    (ngramlm.train_ngram_lm over the dsir target split): every
+    unigram/backoff row (w1 NULL) and bigram-conditional row with its
+    integer micro-nat log-prob and raw count — full-hash evidence
+    that TRAINING, not just scoring, is cross-engine exact. Plan:
+    one staged token explode, two uniform-word-key count aggs, one
+    c1 join; two scalars (N, V) to the driver."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    target = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 7 == 0)
+    )
+    model, _ = _nglm.train_ngram_lm(target)
+    return model
+
+
+_LM_SCORE_CORE = f"""{_LM_MODEL_CTES},
+dw AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+'), x -> len(x) > 0) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, CAST(NULL AS VARCHAR) AS bg, w[1] AS w2
+  FROM dw WHERE len(w) >= 1
+  UNION ALL
+  SELECT doc_id, bg, split_part(bg, ' ', 2) AS w2
+  FROM (
+    SELECT doc_id,
+           unnest([w[i] || ' ' || w[i+1]
+                   FOR i IN generate_series(1, len(w) - 1)]) AS bg
+    FROM dw WHERE len(w) >= 2
+  )
+),
+tokscore AS (
+  SELECT p.doc_id,
+         coalesce(b.lp2, u.lp1, (SELECT oov FROM lmoov)) AS lp
+  FROM pairs p
+  LEFT JOIN bim b ON b.bg = p.bg
+  LEFT JOIN unim u ON u.w2 = p.w2
+),
+persum AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lm_tokens,
+         CAST(sum(lp) AS BIGINT) AS lp_micro_sum
+  FROM tokscore GROUP BY 1
+),
+lmscored AS (
+  SELECT d.doc_id,
+         coalesce(s.n_lm_tokens, 0) AS n_lm_tokens,
+         coalesce(s.lp_micro_sum, 0) AS lp_micro_sum,
+         coalesce((-s.lp_micro_sum) // s.n_lm_tokens,
+                  -(SELECT oov FROM lmoov)) AS nlp_micro_tok
+  FROM documents d LEFT JOIN persum s ON s.doc_id = d.doc_id
+)"""
+
+_LM_SCORE_SQL = f"""
+WITH {_LM_SCORE_CORE}
+SELECT doc_id, n_lm_tokens, lp_micro_sum, nlp_micro_tok FROM lmscored
+"""
+
+
+@register("ngram_lm_score", _LM_SCORE_SQL)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score — the CCNet production pass (ngramlm.lm_score
+    under the model of q_ngram_lm_train): per document the LM token
+    count, the exact long micro-nat log-likelihood sum (bigram hit →
+    backoff unigram → OOV floor per token) and the per-token NLL the
+    perplexity buckets order by. Tokenless docs score the OOV floor.
+    Plan: one pair explode, two left joins against the vocab-bounded
+    model (AQE broadcasts), one long-sum per doc, one join back."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    target = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 7 == 0)
+    )
+    model, params = _nglm.train_ngram_lm(target)
+    return _nglm.lm_score(
+        docs.select("doc_id", "text"), model, params["lp_oov_micro"]
+    ).select("doc_id", "n_lm_tokens", "lp_micro_sum", "nlp_micro_tok")
+
+
+# cuts chosen to split the sf0.01 corpus across all three buckets;
+# they are micro-nat per-token NLL bounds (ppl = e^nlp), pinned as
+# literals in BOTH engines — the production procedure fits them with
+# lm_bucket_cuts instead.
+_LM_CUT_HEAD = 3_800_000
+_LM_CUT_TAIL = 3_950_000
+
+_LM_BUCKETS_SQL = f"""
+WITH {_LM_SCORE_CORE},
+bucketed AS (
+  SELECT *,
+         CASE WHEN nlp_micro_tok <= {_LM_CUT_HEAD} THEN 'head'
+              WHEN nlp_micro_tok <= {_LM_CUT_TAIL} THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM lmscored
+)
+SELECT ppl_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_lm_tokens) AS BIGINT) AS lm_tokens,
+       CAST(sum(nlp_micro_tok) AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS mean_nlp_micro
+FROM bucketed
+GROUP BY 1
+"""
+
+
+@register("ngram_lm_ppl_buckets", _LM_BUCKETS_SQL)
+def q_ngram_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet §4.3 head/middle/tail corpus card
+    (ngramlm.lm_ppl_buckets + lm_bucket_report over the
+    q_ngram_lm_score chain, pinned literal cuts): per bucket the doc
+    count, LM-token sum and exact integer mean per-token NLL — the
+    table the published keep-head+middle recipes read. One uniform
+    3-key aggregation on top of the scoring plan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    target = docs.filter(
+        (F.col("source") == "src0") & (F.col("doc_id") % 7 == 0)
+    )
+    model, params = _nglm.train_ngram_lm(target)
+    scored = _nglm.lm_score(
+        docs.select("doc_id", "text"), model, params["lp_oov_micro"]
+    )
+    return _nglm.lm_bucket_report(
+        _nglm.lm_ppl_buckets(scored, _LM_CUT_HEAD, _LM_CUT_TAIL)
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,

@@ -43,6 +43,10 @@ def curate_documents(
     clf_model: dict | None = None,
     clf_model_dir: str | None = None,
     clf_threshold_micro: int = 0,
+    lm_model: DataFrame | None = None,
+    lm_params: dict | None = None,
+    lm_model_dir: str | None = None,
+    lm_max_nlp_micro: int | None = None,
     near_dup_threshold: float | None = 0.8,
     gopher_kwargs: dict | None = None,
     fingerprint_store: DataFrame | None = None,
@@ -146,6 +150,18 @@ def curate_documents(
     the heuristic quality floor and before dedup, the published
     order (classify → dedup keeps the classifier's view independent
     of duplication counts).
+
+    ``lm_model`` / ``lm_model_dir`` + ``lm_max_nlp_micro`` (r17):
+    the CCNet §4.3 perplexity gate (operators/ngramlm.py) — score
+    every surviving doc under the frozen target-trained bigram LM
+    and keep rows with ``nlp_micro_tok <= lm_max_nlp_micro``
+    (micro-nat per-token NLL; fit the cut with
+    ngramlm.lm_bucket_cuts — CCNet/LLaMA keep head+middle, i.e. pass
+    the fit's ``cut_tail_micro``). Pass the in-memory
+    ``(lm_model, lm_params)`` pair from train_ngram_lm or a
+    persisted ``lm_model_dir``. Runs after the classifier gate,
+    before dedup; ``nlp_micro_tok`` stays on the output as
+    provenance.
 
     ``fingerprint_store``: when curating an INCREMENTAL batch against
     an already-curated corpus, pass the persisted exact-dedup index
@@ -316,6 +332,48 @@ def curate_documents(
             "clf_select",
             scored.filter(
                 F.col("clf_score_micro") >= int(clf_threshold_micro)
+            ),
+        )
+    if (
+        lm_model is not None
+        or lm_model_dir is not None
+        or lm_max_nlp_micro is not None
+    ):
+        from cybersecurity_miw_spark.operators import ngramlm
+
+        if lm_model is not None and lm_model_dir is not None:
+            raise ValueError("pass lm_model OR lm_model_dir, not both")
+        if lm_model is None and lm_model_dir is None:
+            raise ValueError(
+                "lm_max_nlp_micro was passed without a model — pass "
+                "lm_model (+ lm_params) or lm_model_dir"
+            )
+        if lm_max_nlp_micro is None:
+            raise ValueError(
+                "an LM model was passed without lm_max_nlp_micro — "
+                "the gate has no cut; fit one with "
+                "ngramlm.lm_bucket_cuts (CCNet keeps head+middle: "
+                "pass that fit's cut_tail_micro)"
+            )
+        if lm_model is not None:
+            if lm_params is None or "lp_oov_micro" not in lm_params:
+                raise ValueError(
+                    "lm_model requires lm_params (the train_ngram_lm "
+                    "params dict — lp_oov_micro is the OOV floor the "
+                    "scorer needs)"
+                )
+            scored_lm = ngramlm.lm_score(
+                out, lm_model, int(lm_params["lp_oov_micro"]),
+                text_col=text_col, id_col=id_col,
+            )
+        else:
+            scored_lm = ngramlm.score_with_lm_model(
+                out, lm_model_dir, text_col=text_col, id_col=id_col
+            )
+        out = _record(
+            "lm_ppl_gate",
+            scored_lm.filter(
+                F.col("nlp_micro_tok") <= int(lm_max_nlp_micro)
             ),
         )
     if fingerprint_store is not None:

@@ -10428,6 +10428,241 @@ def q_ngram_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r17: link-graph analytics (operators/linkgraph.py — the crawl-
+# frontier layer over html_outlinks). The edge fixture is a
+# deterministic synthetic URL graph derived from doc_ids: variable
+# out-degree (1-3 links/page), two host families (www.sN.co.uk pages
+# — distinct co.uk registrable domains — and img.cdnN.example.com
+# CDN targets that all COLLAPSE to example.com, the subdomain-merge
+# case the domain graph exists for), and periodically-empty anchor
+# texts. The twins rebuild in-degree/top-k anchors, TWO UNROLLED
+# PageRank iterations (integer fixed-point — the iterative op's
+# full-hash evidence, the kmeans-step precedent), the PSL domain
+# aggregation, and the frontier anti-join in SQL.
+# ---------------------------------------------------------------------------
+
+from cybersecurity_miw_spark.operators import linkgraph
+
+
+def _lg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    k = F.col("k")
+    m = (d * (k + 1) + 3 * k) % 97
+    src = F.concat(
+        F.lit("http://www.s"), (d % 7).cast("string"),
+        F.lit(".co.uk/p/"), d.cast("string"),
+    )
+    dst = F.when(
+        (d + k) % 4 == 0,
+        F.concat(
+            F.lit("http://www.s"), (m % 7).cast("string"),
+            F.lit(".co.uk/p/"), m.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://img.cdn"), (m % 5).cast("string"),
+            F.lit(".example.com/i/"), m.cast("string"),
+        )
+    )
+    anchor = F.when((m % 6) == 0, F.lit("")).otherwise(
+        F.concat(F.lit("anchor "), (m % 6).cast("string"))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), (d % 3 + 1).cast("int"))).alias("k"),
+    ).select(
+        src.alias("src_url"), dst.alias("dst_url"), anchor.alias("anchor_text")
+    )
+
+
+_LG_EDGES_SQL = """eraw AS (
+  SELECT
+    'http://www.s' || (doc_id % 7)::VARCHAR || '.co.uk/p/'
+      || doc_id::VARCHAR AS src_url,
+    CASE WHEN (doc_id + k) % 4 = 0
+      THEN 'http://www.s' || (((doc_id*(k+1) + 3*k) % 97) % 7)::VARCHAR
+           || '.co.uk/p/' || ((doc_id*(k+1) + 3*k) % 97)::VARCHAR
+      ELSE 'http://img.cdn' || (((doc_id*(k+1) + 3*k) % 97) % 5)::VARCHAR
+           || '.example.com/i/' || ((doc_id*(k+1) + 3*k) % 97)::VARCHAR
+    END AS dst_url,
+    CASE WHEN ((doc_id*(k+1) + 3*k) % 97) % 6 = 0 THEN ''
+         ELSE 'anchor ' || (((doc_id*(k+1) + 3*k) % 97) % 6)::VARCHAR
+    END AS anchor_text
+  FROM documents, (SELECT unnest(generate_series(1, 3)) AS k)
+  WHERE k <= doc_id % 3 + 1
+),
+lgdeg AS (
+  SELECT dst_url, CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
+  FROM eraw GROUP BY 1
+)"""
+
+_LG_ANCHOR_SQL = f"""
+WITH {_LG_EDGES_SQL},
+ac AS (
+  SELECT dst_url, anchor_text, count(*) AS n
+  FROM eraw WHERE anchor_text <> '' GROUP BY 1, 2
+),
+rk AS (
+  SELECT dst_url, anchor_text,
+         row_number() OVER (PARTITION BY dst_url
+                            ORDER BY n DESC, anchor_text ASC) AS r
+  FROM ac
+),
+tk AS (
+  SELECT dst_url, list(anchor_text ORDER BY r) AS top_anchors
+  FROM rk WHERE r <= 2 GROUP BY 1
+)
+SELECT d.dst_url, d.n_links, d.n_src_pages,
+       coalesce(t.top_anchors, CAST([] AS VARCHAR[])) AS top_anchors
+FROM lgdeg d LEFT JOIN tk t USING (dst_url)
+"""
+
+
+@register("link_anchor_index", _LG_ANCHOR_SQL)
+def q_link_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text index (linkgraph.anchor_text_index, k=2): per
+    target URL its in-degree, distinct linking pages, and the top-2
+    anchor texts (count desc, text asc — the Brin & Page target-
+    description signal; empty anchors excluded from the top-k but
+    counted in the degree). One count agg + one dst-partitioned
+    window + one k-bounded re-agg."""
+    return linkgraph.anchor_text_index(_lg_edges(spark, sf_dir), k=2)
+
+
+def _lg_pagerank_sql(iters: int) -> str:
+    ctes = [
+        """lge AS (
+  SELECT DISTINCT src_url, dst_url FROM eraw WHERE src_url <> dst_url
+),
+lgdg AS (SELECT src_url, CAST(count(*) AS BIGINT) AS dg FROM lge GROUP BY 1),
+lgnodes AS (SELECT src_url AS url FROM lge UNION SELECT dst_url FROM lge),
+s0 AS (SELECT url, CAST(1000000 AS BIGINT) AS pr FROM lgnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""i{i} AS (
+  SELECT e.dst_url, CAST(sum(s.pr // d.dg) AS BIGINT) AS m
+  FROM lge e JOIN lgdg d ON d.src_url = e.src_url
+  JOIN s{i - 1} s ON s.url = e.src_url
+  GROUP BY 1
+),
+s{i} AS (
+  SELECT n.url,
+         CAST(150000 + (850000 * coalesce(i{i}.m, 0)) // 1000000
+              AS BIGINT) AS pr
+  FROM lgnodes n LEFT JOIN i{i} ON i{i}.dst_url = n.url
+)""")
+    return (
+        f"WITH {_LG_EDGES_SQL},\n" + ",\n".join(ctes)
+        + f"\nSELECT url, pr AS pr_micro FROM s{iters}"
+    )
+
+
+_LG_PR_ITERS = 2
+
+
+@register("link_pagerank", _lg_pagerank_sql(_LG_PR_ITERS))
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point PageRank (linkgraph.pagerank), TWO
+    synchronous iterations unrolled in the twin — full-hash evidence
+    for the iterative op (the kmeans-step precedent): distinct
+    simple-graph edges, uniform 1e6 start, ``(1e6-d) + d·Σ(pr div
+    out_deg) div 1e6`` in LONGs, dangling mass dropped. Two
+    URL-key shuffles per iteration; zero driver rows."""
+    return linkgraph.pagerank(
+        _lg_edges(spark, sf_dir), iters=_LG_PR_ITERS, checkpoint=False
+    )
+
+
+_LG_DOMGRAPH_SQL = f"""
+WITH {_LG_EDGES_SQL},
+hp AS (
+  SELECT lower(regexp_extract(src_url, '://([^:/@]+)', 1)) AS sh,
+         lower(regexp_extract(dst_url, '://([^:/@]+)', 1)) AS dh,
+         src_url
+  FROM eraw
+  WHERE lower(regexp_extract(src_url, '://([^:/@]+)', 1)) <> ''
+    AND lower(regexp_extract(dst_url, '://([^:/@]+)', 1)) <> ''
+),
+hagg AS (
+  SELECT sh, dh, CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
+  FROM hp GROUP BY 1, 2
+),
+hosts AS (SELECT sh AS host FROM hp UNION SELECT dh FROM hp),
+labels AS (SELECT host, string_split(host, '.') AS ls FROM hosts),
+series AS (SELECT 1 AS k UNION ALL SELECT 2),
+cands AS (
+  SELECT host, k,
+    array_to_string(ls[len(ls)-k+1 : len(ls)], '.') AS key_e,
+    CASE WHEN k >= 2
+      THEN '*.' || array_to_string(ls[len(ls)-k+2 : len(ls)], '.') END AS key_w
+  FROM labels, series WHERE k <= len(ls)),
+matched AS (
+  SELECT host,
+    CASE WHEN bool_or(exc) THEN max(CASE WHEN exc THEN k - 1 END)
+         ELSE max(k) END AS ps
+  FROM (SELECT c.host, c.k, r.exc
+        FROM cands c JOIN {_psl_values_sql()}
+          ON r.rule = c.key_e OR r.rule = c.key_w) m
+  GROUP BY host),
+doms AS (
+  SELECT l.host,
+    CASE WHEN len(l.ls) > coalesce(m.ps, 1)
+      THEN array_to_string(
+        l.ls[len(l.ls) - coalesce(m.ps, 1) : len(l.ls)], '.')
+    END AS dom
+  FROM labels l LEFT JOIN matched m USING (host))
+SELECT sd.dom AS src_domain, dd.dom AS dst_domain,
+       CAST(sum(hagg.n_links) AS BIGINT) AS n_links,
+       CAST(sum(hagg.n_src_pages) AS BIGINT) AS n_src_pages
+FROM hagg
+JOIN doms sd ON sd.host = hagg.sh
+JOIN doms dd ON dd.host = hagg.dh
+WHERE sd.dom IS NOT NULL AND dd.dom IS NOT NULL AND sd.dom <> dd.dom
+GROUP BY 1, 2
+"""
+
+
+@register("domain_link_graph_counts", _LG_DOMGRAPH_SQL)
+def q_domain_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link graph (linkgraph.domain_link_graph): edges
+    aggregated to PSL registrable-domain endpoints, internal
+    (same-domain) edges dropped — the img.cdnN.example.com targets
+    all collapse into one example.com node while the co.uk pages
+    stay distinct, the exact subdomain-merge this granularity is
+    for. The twin resolves the PSL inline per edge; the operator
+    runs the distinct-host-vocabulary decomposition — a green row
+    proves the decomposition. NOTE: the operator aggregates
+    n_src_pages per HOST pair then sums over domain pairs, so the
+    count is per-(host-pair) distinct pages — the twin mirrors that
+    exactly via the host-pair grouping."""
+    return linkgraph.domain_link_graph(_lg_edges(spark, sf_dir))
+
+
+_LG_FRONTIER_SQL = f"""
+WITH {_LG_EDGES_SQL},
+seen AS (SELECT DISTINCT src_url AS u FROM eraw)
+SELECT dst_url, n_links, n_src_pages,
+       CAST(n_links * n_src_pages AS BIGINT) AS frontier_score
+FROM lgdeg
+WHERE dst_url NOT IN (SELECT u FROM seen)
+"""
+
+
+@register("crawl_frontier_rank", _LG_FRONTIER_SQL)
+def q_crawl_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier expansion (linkgraph.crawl_frontier): target URLs
+    not yet crawled (anti-join vs the page set), each with in-degree
+    evidence and the breadth-weighted ``frontier_score`` — the OPIC-
+    style fetch-priority ordering. One dst-key agg + one anti-join."""
+    edges = _lg_edges(spark, sf_dir)
+    seen = edges.select(F.col("src_url").alias("url")).distinct()
+    return linkgraph.crawl_frontier(edges, seen)
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,

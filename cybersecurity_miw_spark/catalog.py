@@ -10663,6 +10663,185 @@ def q_crawl_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r17: robots.txt gate (operators/robots.py — RFC 9309). The twin
+# rebuilds the WHOLE chain in SQL: line explode, comment strip,
+# gaps-and-islands group assignment (a group starts at each
+# User-agent line whose predecessor is not one), rule×agent join,
+# the pattern→regex translation (shared _REGEX_SPECIALS chain —
+# contract data), agent-group selection (specific-else-star),
+# regex prefix match on path+query, and the longest-match winner
+# with Allow breaking ties. Hosts rotate through three robots
+# shapes: specific-agent + star groups, star-only with a $-anchored
+# wildcard, and an empty-Disallow (allow-all) file.
+# ---------------------------------------------------------------------------
+
+from cybersecurity_miw_spark.operators import robots as _rbt
+
+
+def _robots_fixture(spark: SparkSession, sf_dir: str):
+    d = F.col("doc_id")
+    hid = (d % 11).cast("string")
+    url = F.concat(
+        F.lit("http://h"), hid, F.lit(".org"),
+        F.when(d % 7 == 0, F.concat(F.lit("/private/p"), d.cast("string")))
+        .when(d % 7 == 1, F.concat(F.lit("/private/ok"), d.cast("string")))
+        .when(d % 7 == 2, F.concat(F.lit("/tmp/f"), d.cast("string"), F.lit(".pdf")))
+        .when(d % 7 == 3, F.concat(F.lit("/tmp/f"), d.cast("string"), F.lit(".pdfx")))
+        .when(d % 7 == 4, F.concat(F.lit("/public/q"), d.cast("string")))
+        .when(d % 7 == 5, F.lit("/"))
+        .otherwise(F.concat(F.lit("/page?q="), d.cast("string"))),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(url.alias("url"))
+    h = F.col("hid")
+    txt = (
+        F.when(
+            h % 3 == 0,
+            F.lit(
+                "User-agent: mybot\nDisallow: /private/\n"
+                "Allow: /private/ok*\n\nUser-agent: *\nDisallow: /"
+            ),
+        )
+        .when(
+            h % 3 == 1,
+            F.lit(
+                "# fixture robots\nUser-agent: *\n"
+                "Disallow: /tmp/*.pdf$\nDisallow: /private/\n"
+                "Allow: /public"
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:"))
+    )
+    hosts = docs.select((F.col("doc_id") % 11).alias("hid")).distinct()
+    robots_df = hosts.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".org")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return urls, robots_df
+
+
+def _rbt_regex_chain_sql(expr: str) -> str:
+    for ch in _rbt._REGEX_SPECIALS:
+        expr = f"replace({expr}, '{ch}', '\\{ch}')"
+    return f"replace({expr}, '*', '.*')"
+
+
+_RBT_SQL = f"""
+WITH urls AS (
+  SELECT 'http://h' || (doc_id % 11)::VARCHAR || '.org' ||
+    CASE doc_id % 7
+      WHEN 0 THEN '/private/p' || doc_id::VARCHAR
+      WHEN 1 THEN '/private/ok' || doc_id::VARCHAR
+      WHEN 2 THEN '/tmp/f' || doc_id::VARCHAR || '.pdf'
+      WHEN 3 THEN '/tmp/f' || doc_id::VARCHAR || '.pdfx'
+      WHEN 4 THEN '/public/q' || doc_id::VARCHAR
+      WHEN 5 THEN '/'
+      ELSE '/page?q=' || doc_id::VARCHAR
+    END AS url
+  FROM documents
+),
+rbt AS (
+  SELECT 'h' || hid::VARCHAR || '.org' AS host,
+    CASE hid % 3
+      WHEN 0 THEN 'User-agent: mybot' || chr(10) || 'Disallow: /private/'
+        || chr(10) || 'Allow: /private/ok*' || chr(10) || chr(10)
+        || 'User-agent: *' || chr(10) || 'Disallow: /'
+      WHEN 1 THEN '# fixture robots' || chr(10) || 'User-agent: *'
+        || chr(10) || 'Disallow: /tmp/*.pdf$' || chr(10)
+        || 'Disallow: /private/' || chr(10) || 'Allow: /public'
+      ELSE 'User-agent: *' || chr(10) || 'Disallow:'
+    END AS robots_txt
+  FROM (SELECT DISTINCT doc_id % 11 AS hid FROM documents)
+),
+rlines AS (
+  SELECT host, u.i AS line_no,
+         trim(regexp_replace(u.v, '#.*$', '')) AS clean
+  FROM (
+    SELECT host,
+           unnest([{{'i': i, 'v': ls[i + 1]}}
+                   FOR i IN generate_series(0, len(ls) - 1)]) AS u
+    FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls FROM rbt)
+  )
+),
+kv AS (
+  SELECT host, line_no,
+         lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS f,
+         trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS v
+  FROM rlines
+  WHERE lower(trim(regexp_extract(clean, '^([^:]+):', 1)))
+        IN ('user-agent', 'allow', 'disallow')
+),
+kvp AS (
+  SELECT *, coalesce(lag(f) OVER (PARTITION BY host ORDER BY line_no),
+                     '') AS prevf
+  FROM kv
+),
+grp AS (
+  SELECT *, sum(CASE WHEN f = 'user-agent' AND prevf <> 'user-agent'
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY host ORDER BY line_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM kvp
+),
+agents AS (
+  SELECT DISTINCT host, g, lower(v) AS agent FROM grp
+  WHERE f = 'user-agent'
+),
+rrules AS (
+  SELECT DISTINCT a.host, a.agent, r.f AS rule_type, r.v AS pattern,
+    '^' || {_rbt_regex_chain_sql(
+        "(CASE WHEN r.v LIKE '%$' THEN substr(r.v, 1, length(r.v) - 1) "
+        "ELSE r.v END)")}
+    || CASE WHEN r.v LIKE '%$' THEN '$' ELSE '' END AS pattern_regex
+  FROM grp r JOIN agents a ON a.host = r.host AND a.g = r.g
+  WHERE r.f IN ('allow', 'disallow') AND r.g >= 1 AND r.v <> ''
+),
+hasspec AS (SELECT DISTINCT host FROM rrules WHERE agent = 'mybot'),
+eff AS (
+  SELECT r.* FROM rrules r LEFT JOIN hasspec s ON s.host = r.host
+  WHERE CASE WHEN s.host IS NOT NULL THEN r.agent = 'mybot'
+        ELSE r.agent = '*' END
+),
+uu AS (
+  SELECT url, lower(regexp_extract(url, '://([^:/@]+)', 1)) AS h,
+    CASE WHEN regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) = ''
+      THEN '/' ELSE regexp_extract(url,
+           '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) END AS pq
+  FROM urls
+),
+m AS (
+  SELECT url, pattern, rule_type,
+         row_number() OVER (PARTITION BY url
+           ORDER BY length(pattern) DESC,
+                    (rule_type = 'allow') DESC,
+                    pattern DESC, rule_type DESC) AS rn
+  FROM uu JOIN eff ON eff.host = uu.h
+  WHERE regexp_matches(pq, pattern_regex)
+)
+SELECT u.url,
+       coalesce(m.rule_type = 'allow', TRUE) AS allowed,
+       m.pattern AS matched_rule,
+       m.rule_type AS matched_type
+FROM uu u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (url)
+"""
+
+
+@register("robots_allow_gate", _RBT_SQL)
+def q_robots_allow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFC 9309 crawl-permission gate (robots.parse_robots →
+    robots.robots_allowed, agent='mybot') over hosts rotating
+    through specific-agent groups, $-anchored wildcard rules and
+    allow-all files: per URL the allow verdict and the winning
+    longest-match rule. One line explode + one host window for the
+    parse; one broadcast-able host join + regex filter +
+    max-of-struct for the gate."""
+    urls, robots_df = _robots_fixture(spark, sf_dir)
+    rules = _rbt.parse_robots(robots_df)
+    return _rbt.robots_allowed(urls, rules, agent="mybot")
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,

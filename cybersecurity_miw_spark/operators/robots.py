@@ -1,0 +1,219 @@
+"""robots.txt parsing and the crawl-permission gate (RFC 9309) — the
+politeness check between frontier expansion (operators/linkgraph.py)
+and the fetcher: parse each host's robots.txt into a rules table,
+then gate candidate URLs by the longest-match allow/disallow
+decision. Both halves are pure relational compositions (line
+explode + window group assignment; broadcast-able rules join +
+max-of-struct winner), so the gate runs against a billion-URL
+frontier without any driver-side state.
+
+Semantics implemented (RFC 9309 + the de-facto Googlebot rules the
+RFC codified):
+
+* groups: one or more consecutive ``User-agent:`` lines followed by
+  ``Allow:`` / ``Disallow:`` lines; rules before any user-agent line
+  are ignored; unknown directives are ignored; ``#`` starts a
+  comment; field names are case-insensitive.
+* group selection: the group(s) whose agent token equals the
+  caller's (case-insensitive, exact product-token match), when any
+  exist for the host; otherwise the ``*`` group(s). No group → the
+  URL is allowed.
+* rule matching: patterns match the URL's path+query as a prefix;
+  ``*`` matches any span; a TRAILING ``$`` anchors the end of the
+  URL (mid-pattern ``$`` is literal — the Googlebot convention);
+  empty patterns match nothing. The most specific match wins —
+  longest raw pattern; at equal length ``Allow`` wins (RFC 9309
+  §2.2.2 "least restrictive"). No matching rule → allowed.
+
+Out of scope (documented, per the RFC's own allowances): percent-
+encoding normalization of rule/URL octets, crawl-delay (non-standard)
+and sitemap directives (surfaced as ``other`` lines, not rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# regex metacharacters escaped when translating a robots pattern to
+# an RE2/Java regex — backslash FIRST (it escapes the escapes)
+_REGEX_SPECIALS = ["\\", ".", "^", "$", "+", "?", "(", ")", "[", "]",
+                   "{", "}", "|"]
+
+
+def pattern_regex(pattern: Column) -> Column:
+    """Translate a robots path pattern into the anchored regex both
+    engines evaluate identically: trailing ``$`` → end anchor, ``*``
+    → ``.*``, every other regex metachar escaped, ``^`` prepended
+    (patterns are prefix matches)."""
+    anchored = pattern.endswith("$")
+    body = F.when(
+        anchored, F.substring(pattern, F.lit(1), F.length(pattern) - 1)
+    ).otherwise(pattern)
+    for ch in _REGEX_SPECIALS:
+        body = F.replace(body, F.lit(ch), F.lit("\\" + ch))
+    body = F.replace(body, F.lit("*"), F.lit(".*"))
+    return F.concat(
+        F.lit("^"), body, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+def parse_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Parse robots.txt bodies into the rules table the gate joins:
+    one row per (host, agent, rule_type, pattern, pattern_regex)
+    with ``rule_type`` ∈ {'allow', 'disallow'}. Group structure per
+    RFC 9309: a rule attaches to every agent of the maximal run of
+    ``User-agent:`` lines immediately preceding it; rules before any
+    group and empty patterns are dropped (they match nothing).
+
+    Plan: one line posexplode; one host-keyed window pass assigning
+    group ids (a group starts at each ua-line whose predecessor is
+    not a ua-line — gaps-and-islands); one self-join of rule lines
+    to agent lines on (host, group). Robots bodies are KB-bounded by
+    convention (RFC 9309 §2.5 requires parsers to handle ≥ 500 KiB),
+    so per-host line counts are bounded and the window never skews."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+        ).alias("line_no", "_raw"),
+    )
+    # strip comments + whitespace; classify
+    clean = F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", ""))
+    kv = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1))).alias(
+            "_field"
+        ),
+        F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1)).alias("_value"),
+    ).filter(F.col("_field").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("_field") == "user-agent"
+    starts = F.when(
+        is_ua & (F.lag("_field").over(w) != "user-agent"), 1
+    ).when(is_ua & F.lag("_field").over(w).isNull(), 1).otherwise(0)
+    grouped = kv.withColumn(
+        "_grp", F.sum(starts).over(w)
+    )
+    agents = grouped.filter(is_ua).select(
+        "host",
+        F.col("_grp").alias("_g"),
+        F.lower(F.col("_value")).alias("agent"),
+    ).distinct()
+    rules = grouped.filter(~is_ua & (F.col("_grp") >= 1)).select(
+        "host",
+        F.col("_grp").alias("_g"),
+        F.col("_field").alias("rule_type"),
+        F.col("_value").alias("pattern"),
+        "line_no",
+    ).filter(F.col("pattern") != "")
+    return (
+        rules.join(agents, ["host", "_g"])
+        .select(
+            "host",
+            "agent",
+            "rule_type",
+            "pattern",
+            pattern_regex(F.col("pattern")).alias("pattern_regex"),
+        )
+        .distinct()
+    )
+
+
+def _path_query(url: Column) -> Column:
+    """path+query of an absolute URL — the robots match subject.
+    A URL with no path matches as '/'."""
+    pq = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    return F.when(pq == "", F.lit("/")).otherwise(pq)
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """The gate: every input row plus ``allowed`` (boolean),
+    ``matched_rule`` (the winning pattern, NULL when no rule
+    matched) and ``matched_type``. Host-keyed join against the
+    parsed rules (group selection: the caller's agent when the host
+    has such a group, else ``*``), regex prefix match on path+query,
+    longest-pattern winner with Allow breaking ties; hosts with no
+    robots rules — and URLs matching no rule — are allowed (RFC
+    9309 §2.3.1).
+
+    Plan: one host-key join (rules side is hosts×rules-bounded —
+    broadcast-able for any real crawl), one regex filter, one
+    max-of-struct per URL, one left join back. The per-row regex is
+    a column (not a literal), evaluated by the same RE2-class engine
+    on both sides of the oracle."""
+    agent_l = str(agent).lower()
+    has_specific = (
+        rules.filter(F.col("agent") == agent_l)
+        .select("host")
+        .distinct()
+        .withColumn("_has", F.lit(True))
+    )
+    eff = (
+        rules.join(has_specific, "host", "left")
+        .filter(
+            F.when(F.col("_has").isNotNull(), F.col("agent") == agent_l)
+            .otherwise(F.col("agent") == "*")
+        )
+        .select("host", "rule_type", "pattern", "pattern_regex")
+    )
+    from cybersecurity_miw_spark.operators import urlcurate
+
+    u = urls.withColumn("_host", urlcurate.url_host(F.col(url_col)))
+    matched = (
+        u.select(url_col, "_host", _path_query(F.col(url_col)).alias("_pq"))
+        .join(eff, u["_host"] == eff["host"])
+        .filter(F.expr("_pq rlike pattern_regex"))
+        .groupBy(url_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("pattern").alias("_len"),
+                    # allow sorts above disallow at equal length
+                    (F.col("rule_type") == "allow").alias("_a"),
+                    F.col("pattern").alias("p"),
+                    F.col("rule_type").alias("t"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            url_col,
+            (F.col("_w._a")).alias("_allowed"),
+            F.col("_w.p").alias("matched_rule"),
+            F.col("_w.t").alias("matched_type"),
+        )
+    )
+    return u.drop("_host").join(matched, url_col, "left").select(
+        *urls.columns,
+        F.coalesce("_allowed", F.lit(True)).alias("allowed"),
+        "matched_rule",
+        "matched_type",
+    )
+
+
+def crawl_allowed_urls(
+    urls: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """One-call politeness gate: parse the fetched robots bodies and
+    keep only the allowed URLs — the frontier post-filter
+    (linkgraph.crawl_frontier → this → the fetcher)."""
+    rules = parse_robots(robots, host_col, text_col)
+    gated = robots_allowed(urls, rules, agent, url_col)
+    return gated.filter(F.col("allowed")).drop(
+        "allowed", "matched_rule", "matched_type"
+    )

@@ -1,0 +1,174 @@
+"""Goldens for the robots.txt gate (operators/robots.py — RFC 9309):
+group parsing (multi-agent groups, comments, rules outside groups,
+empty patterns, unknown directives), pattern→regex translation
+(wildcards, $ anchor, metachar escaping), agent-group selection,
+longest-match + Allow-wins-ties resolution, and the one-call
+frontier post-filter."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cybersecurity_miw_spark.operators import robots as rb
+
+
+def _rules(spark, txt, host="a.com"):
+    df = spark.createDataFrame(
+        [(host, txt)], "host string, robots_txt string"
+    )
+    return rb.parse_robots(df)
+
+
+def test_parse_groups_and_edge_cases(spark):
+    txt = (
+        "Disallow: /ignored-no-group\n"      # before any group: dropped
+        "# top comment\n"
+        "User-agent: alpha\n"
+        "User-agent: beta\n"                  # multi-agent group
+        "Disallow: /a   # trailing comment\n"
+        "Crawl-delay: 10\n"                   # unknown directive: ignored
+        "Allow: /a/ok\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow:\n"                         # empty pattern: dropped
+        "DISALLOW: /b\n"                      # case-insensitive field
+    )
+    rows = {
+        (r["agent"], r["rule_type"], r["pattern"])
+        for r in _rules(spark, txt).collect()
+    }
+    assert rows == {
+        ("alpha", "disallow", "/a"),
+        ("alpha", "allow", "/a/ok"),
+        ("beta", "disallow", "/a"),
+        ("beta", "allow", "/a/ok"),
+        ("*", "disallow", "/b"),
+    }
+
+
+def test_pattern_regex_translation(spark):
+    df = spark.createDataFrame(
+        [("/a*b.php$",), ("/plain",), ("/q?x=(1)",)], "pattern string"
+    )
+    out = [
+        r["rx"]
+        for r in df.select(
+            rb.pattern_regex(F.col("pattern")).alias("rx")
+        ).collect()
+    ]
+    assert out[0] == r"^/a.*b\.php$"
+    assert out[1] == "^/plain"
+    assert out[2] == r"^/q\?x=\(1\)"
+
+
+def _gate(spark, rules, urls, agent="*"):
+    u = spark.createDataFrame([(x,) for x in urls], "url string")
+    return {
+        r["url"]: (r["allowed"], r["matched_rule"])
+        for r in rb.robots_allowed(u, rules, agent=agent).collect()
+    }
+
+
+def test_longest_match_and_allow_ties(spark):
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /p\n"
+        "Allow: /p/deep\n"       # longer → wins over /p
+        "Disallow: /q/x\n"
+        "Allow: /q/y\n"
+        "Allow: /same\n"
+        "Disallow: /same\n"      # equal length → Allow wins
+    )
+    rules = _rules(spark, txt)
+    got = _gate(
+        spark,
+        rules,
+        [
+            "http://a.com/p/shallow",
+            "http://a.com/p/deep/file",
+            "http://a.com/same",
+            "http://a.com/other",
+        ],
+    )
+    assert got["http://a.com/p/shallow"] == (False, "/p")
+    assert got["http://a.com/p/deep/file"] == (True, "/p/deep")
+    assert got["http://a.com/same"] == (True, "/same")
+    assert got["http://a.com/other"] == (True, None)
+
+
+def test_dollar_anchor_and_query_matching(spark):
+    txt = "User-agent: *\nDisallow: /f/*.pdf$\nDisallow: /s?id=9\n"
+    rules = _rules(spark, txt)
+    got = _gate(
+        spark,
+        rules,
+        [
+            "http://a.com/f/x.pdf",
+            "http://a.com/f/x.pdf?dl=1",  # $ anchors the FULL path+query
+            "http://a.com/s?id=9",        # query participates in match
+            "http://a.com/s?id=10",
+        ],
+    )
+    assert got["http://a.com/f/x.pdf"][0] is False
+    assert got["http://a.com/f/x.pdf?dl=1"][0] is True
+    assert got["http://a.com/s?id=9"][0] is False
+    # '/s?id=9' is a PREFIX of '/s?id=10'? no — 9 ≠ 1, so allowed
+    assert got["http://a.com/s?id=10"][0] is True
+
+
+def test_agent_group_selection(spark):
+    txt = (
+        "User-agent: mybot\nDisallow: /only-mybot\n\n"
+        "User-agent: *\nDisallow: /\n"
+    )
+    rules = _rules(spark, txt)
+    # specific group exists → star group does NOT apply to mybot
+    got = _gate(spark, rules, ["http://a.com/x"], agent="MyBot")
+    assert got["http://a.com/x"][0] is True
+    got = _gate(spark, rules, ["http://a.com/only-mybot/z"], agent="mybot")
+    assert got["http://a.com/only-mybot/z"][0] is False
+    # unknown agent falls back to star
+    got = _gate(spark, rules, ["http://a.com/x"], agent="otherbot")
+    assert got["http://a.com/x"][0] is False
+    # host with no rules at all → allowed
+    got = _gate(spark, rules, ["http://norules.net/x"], agent="mybot")
+    assert got["http://norules.net/x"][0] is True
+
+
+def test_crawl_allowed_urls_one_call(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private/"),
+            ("b.com", "User-agent: *\nDisallow:"),
+        ],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [
+            ("http://a.com/private/x", 1),
+            ("http://a.com/ok", 2),
+            ("http://b.com/anything", 3),
+        ],
+        "url string, n long",
+    )
+    out = rb.crawl_allowed_urls(urls, robots)
+    rows = {r["url"]: r["n"] for r in out.collect()}
+    # gate filters, payload columns survive, verdict columns dropped
+    assert set(rows) == {"http://a.com/ok", "http://b.com/anything"}
+    assert out.columns == ["url", "n"]
+
+
+def test_gate_deterministic_under_repartition(spark):
+    txt = (
+        "User-agent: *\nDisallow: /p\nAllow: /p/a*\nDisallow: /p/a$\n"
+    )
+    rules = _rules(spark, txt)
+    urls = [
+        (f"http://a.com/p/a{i % 5}" if i % 3 else f"http://a.com/p/a",)
+        for i in range(40)
+    ]
+    u1 = spark.createDataFrame(urls, "url string")
+    u2 = spark.createDataFrame(urls, "url string").repartition(7)
+    r1 = sorted(map(tuple, rb.robots_allowed(u1, rules).collect()))
+    r2 = sorted(map(tuple, rb.robots_allowed(u2, rules).collect()))
+    assert r1 == r2

@@ -516,8 +516,31 @@ def lm_drift_report(
         F.coalesce("rc", F.lit(0)).alias("rc"),
         F.coalesce("bc", F.lit(0)).alias("bc"),
     )
-    p = (F.col("bc") + 1) / F.lit(float(tot_b + _DRIFT_BUCKETS))
-    q = (F.col("rc") + 1) / F.lit(float(tot_r + _DRIFT_BUCKETS))
+    # SIZE-PROPORTIONAL smoothing (not the flat +1 of the clf/dsir
+    # monitors): a micro-batch is typically orders of magnitude
+    # smaller than the stored reference, and flat pseudo-counts then
+    # read the SCALE mismatch as divergence (measured: a 160-token
+    # in-distribution batch vs a 1.9k-token reference scores ~89k
+    # micro-nats of phantom JS under +1 — right at the 100k default,
+    # and ~50k under integer-α proportional smoothing, which floors
+    # at 1 for small batches). Exact fractional pseudo-mass — each
+    # side adds λ·tot of smoothing spread over the buckets — makes
+    # the smoothed distribution EXACTLY scale-invariant: a
+    # same-shaped batch of any size scores 0 (measured).
+    if tot_b == 0:
+        return {
+            "js_micro_nats": 0,
+            "n_batch_tokens": 0,
+            "threshold_micro_nats": int(threshold_micro_nats),
+            "stale": False,
+        }
+    lam = 0.5
+    p = (F.col("bc") + F.lit(tot_b * lam / _DRIFT_BUCKETS)) / F.lit(
+        float(tot_b) * (1 + lam)
+    )
+    q = (F.col("rc") + F.lit(tot_r * lam / _DRIFT_BUCKETS)) / F.lit(
+        float(tot_r) * (1 + lam)
+    )
     m = (p + q) / 2
     term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
     term_u = F.floor(term * F.lit(float(MICRO)) + F.lit(0.5)).cast("long")

@@ -1496,6 +1496,91 @@ def streaming_clf_scores(
     return writer.start()
 
 
+def streaming_lm_scores(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    scores_dir: str,
+    model_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    metrics: list | None = None,
+    threshold_micro_nats: int | None = None,
+    on_stale: str = "report",
+) -> StreamingQuery:
+    """Continuous perplexity scoring (operators/ngramlm.py — the
+    CCNet §4.3 LM gate) against a FROZEN persisted model: each
+    micro-batch of ``doc_id<TAB>text`` lines gains ``n_lm_tokens`` /
+    ``lp_micro_sum`` / ``nlp_micro_tok`` (exact long micro-nats from
+    the vocab-bounded model join) and is appended to ``scores_dir``
+    — bucket cuts and keep-thresholds downstream are monotone in
+    ``nlp_micro_tok``, so selection over any window of the feed is
+    reproducible after the fact.
+
+    The clf-scoring loop's contract verbatim: a missing or
+    order-mismatched ``_lm_params.json`` fails BEFORE the stream
+    starts; per trigger the drift monitor
+    (:func:`~cybersecurity_miw_spark.operators.ngramlm.
+    lm_drift_report` — JS divergence of the batch's unigram
+    distribution vs the model's stored counts) appends to
+    ``metrics``; ``on_stale="raise"`` fails the trigger before its
+    scores are appended and before the checkpoint commits, so
+    offline :func:`~cybersecurity_miw_spark.operators.ngramlm.
+    rebuild_lm_model` then a restart replays the tripped batch
+    against the fresh model (docs/MONITORING.md). Replay caveat as
+    the other loops: at-least-once appends can duplicate score rows
+    after a crash, never lose them."""
+    from cybersecurity_miw_spark.operators import ngramlm
+
+    metrics = _stale_gate(metrics, on_stale)
+    # fail fast: model + sidecar must exist and parse before start
+    ngramlm.load_lm_model(spark, model_dir)
+    thresh = (
+        threshold_micro_nats
+        if threshold_micro_nats is not None
+        else ngramlm.LM_DRIFT_DEFAULT_MICRO_NATS
+    )
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cache_mark = release_mark()
+        try:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            if batch_df.rdd.isEmpty():
+                return
+            if metrics is not None:
+                report = ngramlm.lm_drift_report(
+                    batch_df, model_dir,
+                    threshold_micro_nats=thresh,
+                )
+                metrics.append(report)
+                # a drifted batch must not reach the scores feed:
+                # raise BEFORE the append, so the restart replays it
+                # against the rebuilt model
+                _raise_if_stale(
+                    report, on_stale, "streaming_lm_scores"
+                )
+            ngramlm.score_with_lm_model(batch_df, model_dir).select(
+                "doc_id", "n_lm_tokens", "lp_micro_sum", "nlp_micro_tok"
+            ).write.mode("append").parquet(scores_dir)
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 URL_LINE_SCHEMA = "doc_id LONG, url STRING, text STRING"
 
 

@@ -1520,3 +1520,115 @@ def test_streaming_crawl_curate_ingest(spark, tmp_path):
     assert spark.read.parquet(ustore).count() == 5  # 10,12,13,21,22
     # the text store records accepted fingerprints only
     assert spark.read.parquet(fstore).count() == 2
+
+
+def test_streaming_lm_scores_frozen_model_and_drift_remediation(
+    spark, tmp_path
+):
+    """streaming_lm_scores (r17): perplexity scores streamed across
+    two runs equal the batch score_with_lm_model over the pooled
+    docs (frozen model — no target rescan); a vocabulary-drifted
+    batch under on_stale='raise' fails BEFORE its scores are
+    appended; after the one-call rebuild a restart replays the
+    tripped batch clean; a missing model fails before the stream
+    starts; small in-distribution batches do NOT false-trip (the
+    scale-invariant smoothing contract)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import ngramlm as lm
+    from cybersecurity_miw_spark.streaming.ingest import (
+        streaming_lm_scores,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    target = spark.createDataFrame(
+        [(i, fluent) for i in range(100)], "doc_id long, text string"
+    )
+    model_dir = str(tmp_path / "lm")
+    lm.write_lm_model(target, model_dir)
+
+    indir = tmp_path / "in"
+    scores = str(tmp_path / "scores")
+    ckpt = str(tmp_path / "ckpt")
+    indir.mkdir()
+
+    with pytest.raises(ValueError, match="no LM sidecar"):
+        streaming_lm_scores(
+            spark, str(indir), ckpt, scores, str(tmp_path / "nope")
+        )
+    with pytest.raises(ValueError, match="on_stale"):
+        streaming_lm_scores(
+            spark, str(indir), ckpt, scores, model_dir, on_stale="rebuild"
+        )
+
+    # two runs of small in-distribution batches (one OOV-ish doc
+    # rides along for the ordering assert)
+    (indir / "a.tsv").write_text(
+        "".join(f"{500 + i}\t{fluent}\n" for i in range(8))
+        + "509\tthe cat zz qq ww\n"
+    )
+    m: list = []
+    streaming_lm_scores(
+        spark, str(indir), ckpt, scores, model_dir, metrics=m
+    ).awaitTermination(120)
+    (indir / "b.tsv").write_text(
+        "".join(f"{520 + i}\t{fluent}\n" for i in range(5))
+    )
+    streaming_lm_scores(
+        spark, str(indir), ckpt, scores, model_dir, metrics=m
+    ).awaitTermination(120)
+
+    streamed = {
+        r["doc_id"]: (r["n_lm_tokens"], r["lp_micro_sum"], r["nlp_micro_tok"])
+        for r in spark.read.parquet(scores).collect()
+    }
+    pooled_docs = spark.createDataFrame(
+        [(500 + i, fluent) for i in range(8)]
+        + [(509, "the cat zz qq ww")]
+        + [(520 + i, fluent) for i in range(5)],
+        "doc_id long, text string",
+    )
+    pooled = {
+        r["doc_id"]: (r["n_lm_tokens"], r["lp_micro_sum"], r["nlp_micro_tok"])
+        for r in lm.score_with_lm_model(pooled_docs, model_dir).collect()
+    }
+    assert streamed == pooled
+    # OOV-heavy doc is less fluent than the target-like docs
+    assert streamed[509][2] > streamed[500][2]
+    assert len(m) == 2 and not any(r["stale"] for r in m)
+
+    # drifted batch: raise mode fails the trigger, scores NOT appended
+    (indir / "c.tsv").write_text(
+        "".join(
+            f"{600 + i}\tzork quux fnord blarg wibble snarf gromp blix\n"
+            for i in range(12)
+        )
+    )
+    n_before = spark.read.parquet(scores).count()
+    q = streaming_lm_scores(
+        spark, str(indir), ckpt, scores, model_dir, on_stale="raise"
+    )
+    with pytest.raises(Exception) as exc:
+        q.awaitTermination(120)
+    assert "StaleStoreError" in str(exc.value) or "stale" in str(exc.value)
+    assert spark.read.parquet(scores).count() == n_before
+
+    # offline remediation: the feed's domain moved WHOLESALE — the
+    # new target exemplar is the new domain (rebuilding on a mix
+    # would leave a pure-new-domain batch still reading as drifted,
+    # correctly), restart replays batch c clean
+    drifted = spark.createDataFrame(
+        [(600 + i, "zork quux fnord blarg wibble snarf gromp blix")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    lm.rebuild_lm_model(drifted, model_dir)
+    m2: list = []
+    streaming_lm_scores(
+        spark, str(indir), ckpt, scores, model_dir,
+        metrics=m2, on_stale="raise",
+    ).awaitTermination(120)
+    assert not any(r["stale"] for r in m2)
+    got = spark.read.parquet(scores)
+    assert got.filter(F.col("doc_id") >= 600).count() == 12

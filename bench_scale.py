@@ -177,6 +177,27 @@ QUERY_NAMES = [
     # the standing sweep carries the second flagship linear chain and
     # the 100x (sf10) spot point can read both off one harness
     "dedup_exact_groups",
+    # r17 second rotation: n-gram LM — the alphabet rotation makes
+    # per-copy vocabularies DISJOINT, so the 10x target split trains
+    # a ~10x-vocab model (the real bigger-exemplar shape: token
+    # explode and count aggs grow 10x, the model stays vocab-bounded
+    # relative to the corpus) and scoring joins 10x docs against it
+    "ngram_lm_train",
+    "ngram_lm_score",
+    "ngram_lm_ppl_buckets",
+    # r17 second rotation: link graph — edges are doc_id-modular
+    # (src URLs grow 10x with doc_id, dst roster is %97-bounded), so
+    # in-degree DEEPENS while the target set stays constant — the
+    # re-crawl shape (same sites, more fetched pages), the same
+    # rationale as url_canonical_dedup / registrable_domain_counts
+    "link_anchor_index",
+    "link_pagerank",
+    "domain_link_graph_counts",
+    "crawl_frontier_rank",
+    # r17 second rotation: robots gate — URLs grow 10x, the host
+    # roster (and with it the parsed rules table) is %11-bounded, so
+    # the measured cost is the gate join + regex filter, corpus-linear
+    "robots_allow_gate",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

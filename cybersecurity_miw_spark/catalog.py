@@ -10855,6 +10855,32 @@ def q_robots_allow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # Round-17 second rotation (same round, continued session): IN =
+    # the eight new r17 crawl-stack oracles (ngram_lm_train — the
+    # stupid-backoff bigram model table, full-hash TRAINING evidence;
+    # ngram_lm_score — the CCNet §4.3 perplexity scoring chain;
+    # ngram_lm_ppl_buckets — the head/middle/tail corpus card;
+    # link_anchor_index — in-degree + top-k anchor texts;
+    # link_pagerank — TWO unrolled integer fixed-point PageRank
+    # iterations; domain_link_graph_counts — PSL domain-level graph
+    # with subdomain collapse; crawl_frontier_rank — unseen-URL
+    # frontier ordering; robots_allow_gate — the RFC 9309 parse +
+    # longest-match gate), first-round rows per the rotation
+    # invariant.
+    # OUT = eight long-green veterans, each with in-window family
+    # siblings: chunk_fixed_windows (packing keeps
+    # chunk_sentence_budget), semantic_dedup_cells_survivors
+    # (SemDeDup keeps semantic_dedup_cells_clusters +
+    # incremental_semantic_vs_store), temperature_mix_prefix
+    # (sampling keeps mix_to_budget_epochs + mix_report_by_source),
+    # gopher_quality_flags (corpus_filters keeps
+    # gopher_repetition_battery + c4_page_rules), dsir_select_topk
+    # (dsir keeps dsir_select_budget), quality_clf_select_budget
+    # (qualityclf keeps quality_clf_score + report_deciles +
+    # separation), app_pca_covariance (apps keeps app_kmeans_step),
+    # knn_graph_edges (similarity keeps ann_ivf_topk_batch +
+    # hard_negatives_topk). All eight stay full-hash green in
+    # tests/test_oracle_parity.py every round.
     # Round-17 rotation: IN = the seven new r17 oracles
     # (lang_id_assign — the char-trigram language-ID decision chain
     # over the 30-way multilingual fixture; lang_report_counts — the
@@ -11022,7 +11048,6 @@ _DRIVER_WINDOW = [
     # (date_buckets + match_substring_or + app_word_reverse_index
     #  rotated out r15 for the three new r15 oracles — see the r15
     #  rotation note at the top)
-    "app_pca_covariance",
     "app_kmeans_step",
     # (running_value_per_user rotated out r17 for the re-anchored
     #  doc_token_length_histogram — the events family keeps
@@ -11031,12 +11056,10 @@ _DRIVER_WINDOW = [
     #  the events family keeps running_value_per_user +
     #  beacon_interval_profile in-window)
     "beacon_interval_profile",
-    "gopher_quality_flags",
     # (remove_repeated_lines rotated out r15 for the new
     #  gopher_repetition_battery — the corpus-filter family keeps
     #  gopher_quality_flags + pii_redact_counts in-window)
     "pii_redact_counts",
-    "chunk_fixed_windows",
     "asof_join_latest_snapshot",
     # (quality_weighted_sample rotated out r15 for c4_page_rules — the
     #  sampling family keeps temperature_mix_prefix,
@@ -11056,7 +11079,6 @@ _DRIVER_WINDOW = [
     # (cosine_brute_topk rotated out for the cells-variant SemDeDup
     #  row; its exact-cosine logic also rides inside the
     #  hybrid_rrf_topk_docs oracle's dense branch)
-    "semantic_dedup_cells_survivors",
     # (pairwise_topk_lsh rotated out r16 for url_canonical_dedup —
     #  see the r16 rotation note)
     # (ann_lsh_topk rotated out for the new batch-IVF row; the ANN
@@ -11094,15 +11116,12 @@ _DRIVER_WINDOW = [
     #     rotated out for temperature_mix_prefix — the events family
     #     keeps running_value_per_user / distinct_users_per_type /
     #     beacon_interval_profile in-window) ---
-    "knn_graph_edges",
-    "temperature_mix_prefix",
     "semantic_dedup_cells_clusters",
     "hard_negatives_topk",
     # --- new r15 oracles (first-round rows) ---
     "mix_to_budget_epochs",
     "assemble_manifest",
     "mix_report_by_source",
-    "dsir_select_topk",
     "dsir_select_budget",
     "gopher_repetition_battery",
     "c4_page_rules",
@@ -11111,7 +11130,6 @@ _DRIVER_WINDOW = [
     "url_canonical_dedup",
     "registrable_domain_counts",
     "quality_clf_score",
-    "quality_clf_select_budget",
     "url_quality_flags",
     "chunk_sentence_budget",
     # --- new r17 oracles (first-round rows) ---
@@ -11125,6 +11143,14 @@ _DRIVER_WINDOW = [
     # --- r17 changed-plan re-anchor (token_count gained the CJK
     #     char-class fallback; the twin changed with it) ---
     "doc_token_length_histogram",
+    "ngram_lm_train",
+    "ngram_lm_score",
+    "ngram_lm_ppl_buckets",
+    "link_anchor_index",
+    "link_pagerank",
+    "domain_link_graph_counts",
+    "crawl_frontier_rank",
+    "robots_allow_gate",
 ]
 
 

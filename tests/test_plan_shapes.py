@@ -316,6 +316,34 @@ MAX_EXCHANGES = {
     "quality_clf_separation": 16,
     # the langid chain + the profile-columns join (8 textual, +2)
     "text_profile": 10,
+    # --- r17 second-rotation additions (crawl stack) ---
+    # one staged token explode feeding two word-key count aggs + the
+    # two vocab joins of the bigram conditionals (9 textual, +2)
+    "ngram_lm_train": 11,
+    # the train plan + pair explode + two model left joins + one
+    # per-doc long-sum + the join back (13 textual, +2)
+    "ngram_lm_score": 15,
+    # the scoring plan + one uniform 3-key bucket agg (14, +2)
+    "ngram_lm_ppl_buckets": 16,
+    # (dst,text) count agg + dst window + k-bounded re-agg + degree
+    # join (5 textual, +1)
+    "link_anchor_index": 6,
+    # TWO unrolled synchronous iterations over the staged edge list:
+    # per iteration one src-key join + one dst-key sum + the node
+    # left join; the textual plan re-prints the shared prefix per
+    # iteration (23 textual, +2). Production runs localCheckpoint
+    # per iteration, which truncates this lineage.
+    "link_pagerank": 25,
+    # host-pair agg + PSL resolution over the DISTINCT host
+    # vocabulary (candidate explode + broadcast rule join + per-host
+    # max + join back, textually re-printed for the two host-side
+    # joins) + the final domain-pair agg (19 textual, +2)
+    "domain_link_graph_counts": 21,
+    # one dst-key degree agg + one anti-join (4 textual, +1)
+    "crawl_frontier_rank": 5,
+    # robots parse (line explode + host window + rule×agent join) +
+    # the gate (host join + per-url max + join back) (13, +2)
+    "robots_allow_gate": 15,
 }
 
 

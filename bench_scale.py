@@ -198,6 +198,9 @@ QUERY_NAMES = [
     # roster (and with it the parsed rules table) is %11-bounded, so
     # the measured cost is the gate join + regex filter, corpus-linear
     "robots_allow_gate",
+    # r17 second rotation: unicode cleanup — shuffle-free per-row
+    # translate/replace/regexp chain over the rotated text
+    "clean_text_normalization",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

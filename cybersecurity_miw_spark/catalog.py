@@ -10842,6 +10842,65 @@ def q_robots_allow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r17: surface-preserving unicode cleanup (textstats.clean_text —
+# the Dolma "fix text" stage). Pages are synthesized with every
+# planted pathology (zero-width joiners inside words, NBSP and
+# ideographic spaces, typographic quotes/dashes/ellipsis, C0
+# controls, space runs, line-edge spaces); the twin replays the
+# identical translate/replace/regexp chain (the shared constants are
+# contract data, the TRACKING_PARAMS precedent).
+# ---------------------------------------------------------------------------
+
+_CLEAN_FIX = (
+    "“Smart” quotes… and NBSP runs  here​"
+    "—dash ‘single’\x07bell﻿\n  indented　line \n"
+    "tail space "
+)
+
+
+def _clean_sql_chain(e: str) -> str:
+    e = f"translate({e}, {_sql_quote(textstats.CLEAN_DROP)}, '')"
+    spaces = textstats.CLEAN_SPACES
+    e = f"translate({e}, {_sql_quote(spaces)}, {_sql_quote(' ' * len(spaces))})"
+    for src, dst in textstats.CLEAN_MAP:
+        e = f"replace({e}, {_sql_quote(src)}, {_sql_quote(dst)})"
+    e = f"regexp_replace({e}, '{textstats._CTRL_CLASS}', '', 'g')"
+    e = f"regexp_replace({e}, '  +', ' ', 'g')"
+    e = f"regexp_replace({e}, ' ?\n ?', chr(10), 'g')"
+    return f"regexp_replace({e}, '^ +| +$', '', 'g')"
+
+
+_CLEAN_TEXT_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         {_sql_quote(_CLEAN_FIX)} || coalesce(text, '') AS raw
+  FROM documents
+)
+SELECT doc_id, {_clean_sql_chain("raw")} AS text,
+       CAST(length(raw) - length({_clean_sql_chain("raw")}) AS BIGINT)
+         AS n_removed
+FROM pages
+"""
+
+
+@register("clean_text_normalization", _CLEAN_TEXT_SQL)
+def q_clean_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-preserving unicode cleanup (textstats.clean_text, the
+    curate_documents(clean_unicode=True) stage) over pages carrying
+    every planted pathology: per doc the cleaned text and the byte
+    delta. Pure codegen translate/replace/regexp chain — zero
+    exchanges."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.concat(F.lit(_CLEAN_FIX), F.coalesce("text", F.lit("")))
+    cleaned = textstats.clean_text(raw)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("text"),
+        (F.length(raw) - F.length(cleaned)).cast("long").alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,
@@ -10879,7 +10938,10 @@ _DRIVER_WINDOW = [
     # (qualityclf keeps quality_clf_score + report_deciles +
     # separation), app_pca_covariance (apps keeps app_kmeans_step),
     # knn_graph_edges (similarity keeps ann_ivf_topk_batch +
-    # hard_negatives_topk). All eight stay full-hash green in
+    # hard_negatives_topk). Plus clean_text_normalization IN (the
+    # Dolma fix-text stage, pure codegen chain) displacing
+    # mix_report_by_source (sampling keeps mix_to_budget_epochs
+    # in-window). All nine stay full-hash green in
     # tests/test_oracle_parity.py every round.
     # Round-17 rotation: IN = the seven new r17 oracles
     # (lang_id_assign — the char-trigram language-ID decision chain
@@ -11121,7 +11183,6 @@ _DRIVER_WINDOW = [
     # --- new r15 oracles (first-round rows) ---
     "mix_to_budget_epochs",
     "assemble_manifest",
-    "mix_report_by_source",
     "dsir_select_budget",
     "gopher_repetition_battery",
     "c4_page_rules",
@@ -11151,6 +11212,7 @@ _DRIVER_WINDOW = [
     "domain_link_graph_counts",
     "crawl_frontier_rank",
     "robots_allow_gate",
+    "clean_text_normalization",
 ]
 
 

@@ -320,6 +320,47 @@ def pagerank(
     return score
 
 
+def domain_quality_scores(
+    docs: DataFrame,
+    url_col: str = "url",
+    score_col: str = "clf_score_micro",
+) -> DataFrame:
+    """Aggregate a per-document model score to the registrable-domain
+    level: ``(domain, score_micro, n_docs)`` with ``score_micro`` the
+    exact integer mean (LONG-sum div count) — the domain prior
+    :func:`crawl_frontier` consumes, closing the loop between the
+    quality classifier (operators/qualityclf.py) and fetch
+    prioritization (the RefinedWeb/Dolma domain-weighting shape:
+    judge domains by the pages already curated, steer the crawler
+    toward the good ones).
+
+    Plan: host row expression → one domain-key LONG-sum agg, with
+    the PSL resolution over the DISTINCT host vocabulary (the
+    domain_link_graph decomposition)."""
+    from cybersecurity_miw_spark.operators import urlcurate
+
+    hp = docs.select(
+        urlcurate.url_host(F.col(url_col)).alias("_h"),
+        F.col(score_col).cast("long").alias("_s"),
+    ).filter(F.col("_h") != "")
+    agg = hp.groupBy("_h").agg(
+        F.sum("_s").alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    hosts = agg.select(F.col("_h").alias("host")).distinct()
+    doms = urlcurate.registrable_domain(
+        hosts, host_col="host", id_col="host", out_col="_dom"
+    ).select(F.col("host").alias("_h"), "_dom")
+    return (
+        agg.join(doms, "_h")
+        .filter(F.col("_dom").isNotNull())
+        .groupBy(F.col("_dom").alias("domain"))
+        .agg(
+            F.expr("div(sum(_sum), sum(_n))").alias("score_micro"),
+            F.sum("_n").alias("n_docs"),
+        )
+    )
+
+
 def crawl_frontier(
     edges: DataFrame,
     seen_urls: DataFrame,

@@ -129,6 +129,55 @@ ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ"
 ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyy"
 
 
+# surface-preserving unicode cleanup (the Dolma/OLMo "fix text"
+# stage, ftfy-lite): characters DROPPED outright (zero-width resp.
+# format controls that break tokenizers and fingerprints), characters
+# mapped to ASCII lookalikes (typographic quotes/dashes the crawl
+# injects inconsistently across mirrors of the same page), and the
+# unicode space class folded to plain space. All literal codepoints —
+# the CJK_CLASS convention: both engines treat them as literals, so
+# the twin is the same pattern text.
+CLEAN_DROP = "\ufeff\u00ad\u200b\u200c\u200d\u2060"
+CLEAN_SPACES = (
+    "\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006"
+    "\u2007\u2008\u2009\u200a\u202f\u205f\u3000"
+)
+CLEAN_MAP = [
+    ("\u2018", "'"), ("\u2019", "'"), ("\u201a", "'"), ("\u201b", "'"),
+    ("\u201c", '"'), ("\u201d", '"'), ("\u201e", '"'), ("\u201f", '"'),
+    ("\u2012", "-"), ("\u2013", "-"), ("\u2014", "-"), ("\u2015", "-"),
+    ("\u2026", "..."),
+]
+# C0 controls except \t \n \r, plus DEL -- hex-escaped so both regex
+# engines (Java, RE2) read the identical class
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def clean_text(text: Column) -> Column:
+    """Surface-preserving text cleanup — the pre-everything
+    normalization published pipelines run before any rule or
+    fingerprint sees the text (Dolma's unicode fixing; C4 implicitly
+    via its extractor): drop zero-width/format controls and the C0
+    control class (tabs/newlines kept — line structure is a signal
+    the line rules consume), fold the unicode space class to plain
+    space, map typographic quotes/dashes/ellipsis to their ASCII
+    forms, collapse runs of spaces (NOT newlines), and trim each
+    line's trailing space. Case, wording, and line structure are
+    untouched — unlike :func:`normalize_aggressive`, this output IS
+    the document text downstream. Pure codegen expression chain."""
+    t = F.coalesce(text, F.lit(""))
+    t = F.translate(t, CLEAN_DROP, "")
+    t = F.translate(t, CLEAN_SPACES, " " * len(CLEAN_SPACES))
+    for src, dst in CLEAN_MAP:
+        t = F.replace(t, F.lit(src), F.lit(dst))
+    t = F.regexp_replace(t, _CTRL_CLASS, "")
+    t = F.regexp_replace(t, "  +", " ")
+    # lookahead-free (RE2 has none — the htmlextract idiom): runs are
+    # single spaces by now, so one pass per edge suffices
+    t = F.regexp_replace(t, " ?\n ?", "\n")
+    return F.regexp_replace(t, "^ +| +$", "")
+
+
 def normalize_aggressive(text: Column) -> Column:
     """Aggressive dedup normalization: lowercase → fold Latin-1
     accents (explicit translate map, ACCENT_SRC→ACCENT_DST) → strip

@@ -32,6 +32,7 @@ def curate_documents(
     html_col: str | None = None,
     html_boilerplate: bool = True,
     html_kwargs: dict | None = None,
+    clean_unicode: bool = False,
     c4_rules: bool = False,
     c4_kwargs: dict | None = None,
     apply_gopher: bool = True,
@@ -130,6 +131,13 @@ def curate_documents(
     extracted line via the plain tag-strip chain). The raw HTML
     column stays on the frame as provenance; ``html_kwargs`` passes
     min_words / max_link_frac through to the line classifier.
+
+    ``clean_unicode`` (r17): surface-preserving unicode cleanup
+    (textstats.clean_text — zero-width/control drop, unicode-space
+    fold, typographic-punctuation mapping) applied to ``text_col``
+    right after extraction, before every rule and fingerprint — the
+    Dolma "fix text" order. Off by default (prior chains stay
+    byte-identical).
 
     ``lang_allow`` (r17): the published language gate — keep only
     docs whose detected language (the r17 char-trigram classifier's
@@ -258,6 +266,14 @@ def curate_documents(
             out.drop(text_col)
             .join(extracted, id_col)
             .withColumnRenamed("_xt", text_col),
+        )
+    if clean_unicode:
+        # surface-preserving unicode cleanup (textstats.clean_text —
+        # the Dolma "fix text" stage) right after extraction, before
+        # any rule/fingerprint sees the text — the published order.
+        # Row expression: no _record stage (it drops nothing).
+        out = out.withColumn(
+            text_col, textstats.clean_text(F.col(text_col))
         )
     if c4_rules:
         cleaned = corpus_filters.c4_page_filters(

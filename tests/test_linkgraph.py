@@ -260,3 +260,38 @@ def test_capstone_pages_to_frontier(spark):
     # page1 is linked from page 2 but already crawled
     assert "http://a.com/x/page1.html" not in urls
     assert "http://a.com/about" in urls and "http://c.com/q?id=3" in urls
+
+def test_domain_quality_scores_prior(spark):
+    """domain_quality_scores: per-registrable-domain exact integer
+    mean of a per-doc model score, subdomains collapsed — and the
+    prior actually steers crawl_frontier."""
+    docs = spark.createDataFrame(
+        [
+            ("http://a.good.com/1", 2_000_000),
+            ("http://b.good.com/2", 4_000_000),
+            ("http://bad.com/1", -1_000_000),
+            ("nohost", 5),  # no authority → excluded
+        ],
+        "url string, clf_score_micro long",
+    )
+    out = {
+        r["domain"]: (r["score_micro"], r["n_docs"])
+        for r in lg.domain_quality_scores(docs).collect()
+    }
+    assert out == {"good.com": (3_000_000, 2), "bad.com": (-1_000_000, 1)}
+    # the prior reweights the frontier
+    edges = _edges(
+        spark,
+        [
+            ("http://src.com/", "http://x.good.com/p", ""),
+            ("http://src.com/", "http://bad.com/p", ""),
+        ],
+    )
+    seen = spark.createDataFrame([("http://src.com/",)], "url string")
+    prior = lg.domain_quality_scores(docs).select("domain", "score_micro")
+    ranked = {
+        r["dst_url"]: r["frontier_score"]
+        for r in lg.crawl_frontier(edges, seen, domain_scores=prior).collect()
+    }
+    assert ranked["http://x.good.com/p"] == 3  # 1·1·3e6 div 1e6
+    assert ranked["http://bad.com/p"] == -1

@@ -1579,3 +1579,51 @@ def test_token_count_cjk_char_class_fallback(spark):
     assert got[7][0] == 3
     # word_token_count is per-codepoint on CJK by construction
     assert got[2][1] == 4 and got[4][1] == 7
+
+
+def test_clean_text_surface_preserving(spark):
+    """textstats.clean_text (the Dolma fix-text stage): zero-width
+    and control drops, unicode-space folding, typographic
+    punctuation mapping, space-run collapse — case, wording, and
+    line structure untouched."""
+    from cybersecurity_miw_spark.operators import textstats as ts
+
+    raw = (
+        "Zero​width And NBSP  runs\x07bell﻿\n"
+        "  “Smart” ‘quotes’ —dash …end \n"
+        "Tabs\tand\nlines kept"
+    )
+    df = spark.createDataFrame([(raw,), (None,)], "t string")
+    out = [
+        r["c"]
+        for r in df.select(ts.clean_text(F.col("t")).alias("c")).collect()
+    ]
+    assert out[0] == (
+        'Zerowidth And NBSP runsbell\n"Smart" \'quotes\' -dash ...end\n'
+        "Tabs\tand\nlines kept"
+    )
+    assert out[1] == ""
+    # idempotent: cleaning cleaned text is a no-op
+    out2 = df.select(
+        ts.clean_text(ts.clean_text(F.col("t"))).alias("c")
+    ).collect()
+    assert out2[0]["c"] == out[0]
+
+
+def test_curate_documents_clean_unicode_stage(spark):
+    """clean_unicode=True normalizes text_col before every rule;
+    default False leaves the chain byte-identical."""
+    from cybersecurity_miw_spark.pipeline import curate_documents
+
+    docs = spark.createDataFrame(
+        [(1, "plain words here for the pipeline “quoted” run")],
+        "doc_id long, text string",
+    )
+    kw = dict(
+        apply_gopher=False, redact_pii=False,
+        quality_floor=None, near_dup_threshold=None,
+    )
+    on = curate_documents(docs, clean_unicode=True, **kw).first()["text"]
+    off = curate_documents(docs, **kw).first()["text"]
+    assert '"quoted"' in on and "“" not in on
+    assert "“" in off

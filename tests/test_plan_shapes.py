@@ -344,6 +344,8 @@ MAX_EXCHANGES = {
     # robots parse (line explode + host window + rule×agent join) +
     # the gate (host join + per-url max + join back) (13, +2)
     "robots_allow_gate": 15,
+    # pure codegen translate/replace/regexp chain — zero exchanges
+    "clean_text_normalization": 0,
 }
 
 

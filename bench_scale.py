@@ -201,6 +201,11 @@ QUERY_NAMES = [
     # r17 second rotation: unicode cleanup — shuffle-free per-row
     # translate/replace/regexp chain over the rotated text
     "clean_text_normalization",
+    # r17 second rotation: topic argmax — one feature explode over
+    # 10x (rotated) docs + the broadcast K·dim weight join; the
+    # rotated vocabulary re-hashes per copy but bucket volume is
+    # corpus-linear (the quality_clf_score rationale, K-way)
+    "topic_classify_argmax",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

@@ -10901,6 +10901,104 @@ def q_clean_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r17: multiclass topic classification (operators/topics.py — the
+# Dolma/DCLM mixture-bucketing shape). The frozen model is THREE
+# md5-derived literal weight tables + distinct literal biases both
+# engines rebuild identically (the quality_clf_score precedent,
+# one table per topic); the twin replays the single-join margin
+# machinery grouped by (doc, topic) and the (margin, topic)
+# lexicographic argmax, wordless docs coalescing to the bias argmax.
+# ---------------------------------------------------------------------------
+
+from cybersecurity_miw_spark.operators import topics as _tpx
+
+_TPX_TOPICS = ["t_code", "t_cook", "t_law"]
+_TPX_BIAS = {"t_code": -2222, "t_cook": 1111, "t_law": 3333}
+
+
+def _tpx_frozen_models() -> dict[str, dict]:
+    import hashlib
+
+    out = {}
+    for t in _TPX_TOPICS:
+        w = [
+            int(hashlib.md5(f"topicw:{t}:{b}".encode()).hexdigest()[:8], 16)
+            % 2001 - 1000
+            for b in range(_CLF_DIM)
+        ]
+        out[t] = {"dim": _CLF_DIM, "w_micro": w,
+                  "bias_micro": _TPX_BIAS[t]}
+    return out
+
+
+# the wordless-doc verdict: argmax over the literal biases
+_TPX_EMPTY_TOPIC, _TPX_EMPTY_M = max(
+    ((t, b) for t, b in _TPX_BIAS.items()), key=lambda x: (x[1], x[0])
+)
+
+_TPX_SQL = f"""
+WITH tw AS (
+  SELECT t.topic, g.i AS bucket,
+    (('0x' || substr(md5('topicw:' || t.topic || ':' || g.i::VARCHAR),
+                     1, 8))::BIGINT % 2001) - 1000 AS w,
+    CASE t.topic {" ".join(
+        f"WHEN '{t}' THEN {b}" for t, b in sorted(_TPX_BIAS.items())
+    )} END AS bias
+  FROM (VALUES {", ".join(f"('{t}')" for t in _TPX_TOPICS)}) t(topic),
+       (SELECT unnest(generate_series(0, {_CLF_DIM - 1})) AS i) g
+),
+twords AS (
+  SELECT doc_id,
+         unnest(str_split_regex(lower(trim(coalesce(text, ''))), '\\s+'))
+           AS w
+  FROM documents),
+tfw AS (SELECT doc_id, w FROM twords WHERE len(w) > 0),
+thashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(w), 1, 8))::BIGINT % {_CLF_DIM} AS INT) AS b,
+    CASE WHEN (('0x' || substr(md5(w), 1, 8))::BIGINT // {_CLF_DIM}) % 2 = 0
+         THEN 1 ELSE -1 END AS s
+  FROM tfw),
+tcounted AS (
+  SELECT doc_id, b, CAST(sum(s) AS BIGINT) AS cnt
+  FROM thashed GROUP BY 1, 2),
+tnw AS (SELECT doc_id, count(*) AS n FROM tfw GROUP BY 1),
+tmg AS (
+  SELECT c.doc_id, tw.topic,
+         CAST(floor(sum(c.cnt * tw.w) / max(n.n)) + max(tw.bias)
+              AS BIGINT) AS m
+  FROM tcounted c
+  JOIN tw ON tw.bucket = c.b
+  JOIN tnw n ON n.doc_id = c.doc_id
+  GROUP BY c.doc_id, tw.topic),
+twin AS (
+  SELECT doc_id, topic, m,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY m DESC, topic DESC) AS rn
+  FROM tmg)
+SELECT d.doc_id,
+       coalesce(w.topic, '{_TPX_EMPTY_TOPIC}') AS topic,
+       coalesce(w.m, {int(_TPX_EMPTY_M)}) AS topic_margin_micro
+FROM documents d
+LEFT JOIN (SELECT * FROM twin WHERE rn = 1) w USING (doc_id)
+"""
+
+
+@register("topic_classify_argmax", _TPX_SQL)
+def q_topic_classify_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass topic assignment (topics.classify_topics) under
+    three frozen literal one-vs-rest models: per doc the argmax
+    topic and its exact long micro-logit — the Dolma-shape bucketing
+    a mixing recipe consumes. ONE feature explode + ONE broadcast
+    (K·dim)-row weight join + one (doc, topic) sum + one argmax;
+    wordless docs take the bias argmax."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _tpx.classify_topics(docs, _tpx_frozen_models()).select(
+        "doc_id", "topic", "topic_margin_micro"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,
@@ -10941,8 +11039,12 @@ _DRIVER_WINDOW = [
     # hard_negatives_topk). Plus clean_text_normalization IN (the
     # Dolma fix-text stage, pure codegen chain) displacing
     # mix_report_by_source (sampling keeps mix_to_budget_epochs
-    # in-window). All nine stay full-hash green in
-    # tests/test_oracle_parity.py every round.
+    # in-window), and topic_classify_argmax IN (the Dolma/DCLM
+    # mixture bucketing — frozen three-model argmax) displacing
+    # simhash_band_candidates (the banding family keeps
+    # dedup_exact_groups + incremental_phash_vs_store +
+    # incremental_semantic_vs_store in-window). All ten stay
+    # full-hash green in tests/test_oracle_parity.py every round.
     # Round-17 rotation: IN = the seven new r17 oracles
     # (lang_id_assign — the char-trigram language-ID decision chain
     # over the 30-way multilingual fixture; lang_report_counts — the
@@ -11136,7 +11238,6 @@ _DRIVER_WINDOW = [
     #  in-window; A9 stays full-hash green in pytest parity)
     "order_topk_groups",
     "dedup_exact_groups",
-    "simhash_band_candidates",
     "text_profile",
     # (cosine_brute_topk rotated out for the cells-variant SemDeDup
     #  row; its exact-cosine logic also rides inside the
@@ -11213,6 +11314,7 @@ _DRIVER_WINDOW = [
     "crawl_frontier_rank",
     "robots_allow_gate",
     "clean_text_normalization",
+    "topic_classify_argmax",
 ]
 
 

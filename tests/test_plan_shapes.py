@@ -346,6 +346,9 @@ MAX_EXCHANGES = {
     "robots_allow_gate": 15,
     # pure codegen translate/replace/regexp chain — zero exchanges
     "clean_text_normalization": 0,
+    # ONE feature explode + broadcast (K·dim) weight join + one
+    # (doc, topic) sum + argmax + join back (8 textual, +2)
+    "topic_classify_argmax": 10,
 }
 
 

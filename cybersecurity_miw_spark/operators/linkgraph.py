@@ -80,8 +80,16 @@ def resolve_href(base: Column, href: Column) -> Column:
     )
     path_rel = F.concat(scheme, F.lit("://"), auth, dirp, h)
 
+    # a non-absolute BASE (no scheme://authority) cannot anchor a
+    # relative reference — resolving against it would fabricate
+    # '://'-malformed URLs that then flow into dedup/frontier keys;
+    # absolute hrefs still resolve, everything else drops to NULL
+    base_ok = auth != ""
     out = F.when(is_skip | (h == ""), F.lit(None).cast("string")).otherwise(
-        F.coalesce(abs_url, proto_rel, root_rel, path_rel)
+        F.coalesce(
+            abs_url,
+            F.when(base_ok, F.coalesce(proto_rel, root_rel, path_rel)),
+        )
     )
     # bounded dot-segment removal on the PATH (never the authority):
     # "/./" collapses, then "/seg/../" collapses, a fixed number of
@@ -301,6 +309,14 @@ def pagerank(
             .groupBy("dst_url")
             .agg(F.sum("_c").alias("_in"))
         )
+        # overflow-safe exact multiply: d·inc div 1e6 computed as
+        # d·(inc div 1e6) + (d·(inc mod 1e6)) div 1e6 — algebraically
+        # identical (q·M·d is divisible by M), but the intermediate
+        # never exceeds d·(total_mass div 1e6) ≈ d·n, so a supernode
+        # absorbing the whole graph's mass stays inside a long at
+        # billions of nodes (the naive product d·inc overflows near
+        # n ≈ 10^7 in that worst case)
+        d = int(damping_micro)
         score = nodes.join(
             inc, nodes["url"] == inc["dst_url"], "left"
         ).select(
@@ -308,8 +324,8 @@ def pagerank(
             (
                 F.lit(base)
                 + F.expr(
-                    f"div({int(damping_micro)} * coalesce(_in, 0), "
-                    f"{MICRO})"
+                    f"{d} * div(coalesce(_in, 0), {MICRO}) "
+                    f"+ div((coalesce(_in, 0) % {MICRO}) * {d}, {MICRO})"
                 )
             ).cast("long").alias("pr_micro"),
         )

@@ -45,54 +45,69 @@ _MAX_HEADER_BYTES = 64 * 1024  # RFC-ish sanity bound for a header block
 
 
 def _parse_warc_stream(name: str, raw: bytes) -> Iterator[dict]:
-    """Yield one dict per WARC record in ``raw`` (decompressing gzip
-    transparently). On framing damage, emit a final ``error`` record
-    and stop — never raise for data problems."""
+    """Yield one dict per WARC record in ``raw``, decompressing gzip
+    INCREMENTALLY: records are parsed off the decompression stream
+    one at a time, so peak memory is the compressed file (which the
+    binaryFile source already materialized) plus ONE record — never
+    the whole decompressed file (a ~1 GB CommonCrawl member set
+    expands ~4-5×; holding both would dominate executor memory at
+    exactly the file sizes this source exists for). On framing
+    damage, emit a final ``error`` record and stop — never raise for
+    data problems."""
     if raw[:2] == b"\x1f\x8b":
-        try:
-            raw = gzip.GzipFile(fileobj=io.BytesIO(raw)).read()
-        except OSError as exc:
-            yield {"_err": f"gzip: {exc}", "_no": 0}
-            return
-    pos, no = 0, 0
-    n = len(raw)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and raw[pos : pos + 2] == b"\r\n":
-            pos += 2
-        if pos >= n:
-            return
-        if not raw.startswith(b"WARC/", pos):
-            yield {"_err": f"bad magic at byte {pos}", "_no": no}
-            return
-        hdr_end = raw.find(b"\r\n\r\n", pos, pos + _MAX_HEADER_BYTES)
-        if hdr_end < 0:
-            yield {"_err": f"unterminated header at byte {pos}", "_no": no}
-            return
-        headers: dict[str, str] = {}
-        for line in raw[pos:hdr_end].split(b"\r\n")[1:]:
-            k, _, v = line.partition(b":")
-            if _:
-                headers[k.strip().lower().decode("latin-1")] = (
-                    v.strip().decode("latin-1")
-                )
-        try:
-            clen = int(headers.get("content-length", ""))
-        except ValueError:
-            yield {"_err": f"missing content-length at byte {pos}",
-                   "_no": no}
-            return
-        body_start = hdr_end + 4
-        if body_start + clen > n:
-            yield {"_err": f"truncated payload at byte {pos}", "_no": no}
-            return
-        yield {
-            "_no": no,
-            "headers": headers,
-            "payload": raw[body_start : body_start + clen],
-        }
-        no += 1
-        pos = body_start + clen
+        stream: io.BufferedIOBase = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    else:
+        stream = io.BytesIO(raw)
+    no = 0
+    try:
+        while True:
+            # skip inter-record blank lines
+            line = stream.readline()
+            while line in (b"\r\n", b"\n"):
+                line = stream.readline()
+            if not line:
+                return
+            if not line.startswith(b"WARC/"):
+                yield {"_err": f"bad magic in record {no}", "_no": no}
+                return
+            headers: dict[str, str] = {}
+            hbytes = 0
+            while True:
+                hl = stream.readline()
+                hbytes += len(hl)
+                if hl in (b"\r\n", b"\n", b""):
+                    break
+                if hbytes > _MAX_HEADER_BYTES:
+                    yield {
+                        "_err": f"unterminated header in record {no}",
+                        "_no": no,
+                    }
+                    return
+                k, sep, v = hl.partition(b":")
+                if sep:
+                    headers[k.strip().lower().decode("latin-1")] = (
+                        v.strip().decode("latin-1")
+                    )
+            if hl == b"":  # EOF inside the header block
+                yield {"_err": f"unterminated header in record {no}",
+                       "_no": no}
+                return
+            try:
+                clen = int(headers.get("content-length", ""))
+            except ValueError:
+                yield {"_err": f"missing content-length in record {no}",
+                       "_no": no}
+                return
+            payload = stream.read(clen)
+            if payload is None or len(payload) < clen:
+                yield {"_err": f"truncated payload in record {no}",
+                       "_no": no}
+                return
+            yield {"_no": no, "headers": headers, "payload": payload}
+            no += 1
+    except (OSError, EOFError) as exc:
+        # gzip damage anywhere in the stream (BadGzipFile ⊂ OSError)
+        yield {"_err": f"gzip: {exc}", "_no": no}
 
 
 def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:

@@ -295,3 +295,17 @@ def test_domain_quality_scores_prior(spark):
     }
     assert ranked["http://x.good.com/p"] == 3  # 1·1·3e6 div 1e6
     assert ranked["http://bad.com/p"] == -1
+
+
+def test_resolve_href_requires_absolute_base(spark):
+    """A non-absolute base cannot anchor relative references —
+    resolving against it used to fabricate '://'-malformed URLs
+    that then flowed into dedup/frontier keys. Absolute hrefs still
+    resolve."""
+    assert _resolve(spark, "not-a-url", "/about") is None
+    assert _resolve(spark, "", "b.html") is None
+    assert _resolve(spark, "page.html", "//b.com/p") is None
+    assert (
+        _resolve(spark, "not-a-url", "http://x.com/p")
+        == "http://x.com/p"
+    )

@@ -202,3 +202,17 @@ def test_capstone_warc_to_curated_dataset(spark, tmp_path):
     for r in rows:
         assert "quick brown" in r["text"]
         assert "Home" not in r["text"]
+
+def test_truncated_gzip_member_yields_marker(spark, tmp_path):
+    """Damage INSIDE a gzip member (not just plain truncation)
+    surfaces as a marker row via the incremental decompression
+    path; prior records still parse."""
+    good = W.build_warc_bytes(_records(), per_record_gzip=True)
+    # cut inside the LAST member's compressed bytes
+    (tmp_path / "t.warc.gz").write_bytes(good[:-20])
+    rows = sorted(
+        W.read_warc(spark, str(tmp_path / "t.warc.gz")).collect(),
+        key=lambda r: r["record_no"],
+    )
+    assert rows[-1]["warc_type"] == "error"
+    assert len(rows) >= 2  # earlier members parsed fine

@@ -125,6 +125,8 @@ def classify_topics(
     # + floor convention, bit-for-bit
     prof = hashed_count_features(batch, dim, text_col, id_col)
     margins = (
+        # bcast-bound: w_df = K·dim rows (topics × feature buckets —
+        # model-sized, never sf-scaled)
         prof.join(F.broadcast(w_df), "bucket")
         .groupBy(id_col, "topic")
         .agg(
@@ -133,6 +135,7 @@ def classify_topics(
                 / F.first("n_words")
             ).alias("_dot")
         )
+        # bcast-bound: bias_df = K rows (one per topic)
         .join(F.broadcast(bias_df), "topic")
         .select(
             id_col,

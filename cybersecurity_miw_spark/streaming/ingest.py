@@ -1820,3 +1820,183 @@ def streaming_crawl_curate_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_frontier_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    frontier_dir: str,
+    url_store_dir: str,
+    robots_dir: str | None = None,
+    agent: str = "*",
+    available_now: bool = True,
+    metrics: list | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """The DISCOVERY half of the crawl loop — the frontier twin of
+    :func:`streaming_crawl_curate_ingest` (which handles content;
+    the two loops share the processed-URL store). Each micro-batch
+    of fetched ``doc_id<TAB>url<TAB>html`` pages:
+
+    1. **outlink extraction** — ``linkgraph.outlink_edges`` (href
+       resolution against the page URL + canonicalization);
+    2. **unseen filter** — anti-join the canonical targets against
+       the persisted PROCESSED-URL store at ``url_store_dir`` (the
+       same store the curation loop appends to), so already-crawled
+       pages never re-enter the frontier;
+    3. **robots gate** (optional) — when ``robots_dir`` holds a
+       ``(host, robots_txt)`` parquet table of fetched robots
+       bodies, disallowed targets drop (robots.robots_allowed,
+       RFC 9309);
+    4. appends one ``(batch_id, url_fingerprint, url, n_links,
+       n_src_pages)`` row per surviving target to ``frontier_dir``.
+
+    The frontier is a COUNT store, so idempotency under checkpoint
+    replay works differently from the fingerprint stores: a replayed
+    trigger re-appends the same ``(batch_id, url_fingerprint)`` rows,
+    and :func:`read_frontier` / :func:`compact_frontier_store`
+    collapse exact replays with a per-(batch, target) max BEFORE
+    summing across batches — counts never double under at-least-once
+    delivery. ``metrics`` records the per-stage funnel
+    ({'batch_id', 'n_pages', 'n_edges', 'n_unseen', 'n_emitted'})."""
+    from cybersecurity_miw_spark.operators import linkgraph, robots
+
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.load(input_dir)
+    docs = parse_url_doc_lines(lines).where(F.col("doc_id").isNotNull())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cache_mark = release_mark()
+        try:
+            batch_df = batch_df.localCheckpoint(eager=True)
+            n_pages = batch_df.count() if metrics is not None else None
+            pages = batch_df.withColumnRenamed("text", "html")
+            edges = linkgraph.outlink_edges(pages).localCheckpoint(
+                eager=True
+            )
+            n_edges = edges.count() if metrics is not None else None
+
+            deg = linkgraph.url_in_degree(edges)
+            store = _read_store_if_present(sess, url_store_dir)
+            if store is not None:
+                fresh = deg.join(
+                    store.select("url_fingerprint"),
+                    F.md5(deg["dst_url"]) == F.col("url_fingerprint"),
+                    "left_anti",
+                )
+            else:
+                fresh = deg
+            fresh = fresh.localCheckpoint(eager=True)
+            n_unseen = fresh.count() if metrics is not None else None
+
+            if robots_dir is not None:
+                robots_docs = _read_store_if_present(sess, robots_dir)
+                if robots_docs is not None:
+                    rules = robots.parse_robots(robots_docs)
+                    fresh = robots.robots_allowed(
+                        fresh, rules, agent=agent, url_col="dst_url"
+                    ).filter(F.col("allowed")).drop(
+                        "allowed", "matched_rule", "matched_type"
+                    )
+
+            out = fresh.select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                F.md5("dst_url").alias("url_fingerprint"),
+                F.col("dst_url").alias("url"),
+                F.col("n_links").cast("long"),
+                F.col("n_src_pages").cast("long"),
+            ).localCheckpoint(eager=True)
+            n_emitted = out.count() if metrics is not None else None
+            out.write.mode("append").parquet(frontier_dir)
+            if metrics is not None:
+                metrics.append({
+                    "batch_id": int(batch_id),
+                    "n_pages": n_pages,
+                    "n_edges": n_edges,
+                    "n_unseen": n_unseen,
+                    "n_emitted": n_emitted,
+                })
+        finally:
+            release_since(cache_mark)
+
+    writer = (
+        docs.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(write_batch)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_frontier(
+    spark: SparkSession,
+    frontier_dir: str,
+    url_store_dir: str | None = None,
+) -> DataFrame:
+    """Aggregate the frontier count store into the fetch-priority
+    view: per target URL the cross-batch evidence sums and the
+    breadth-weighted ``frontier_score``. Exact checkpoint replays
+    collapse first (max per (batch_id, url_fingerprint) — the
+    documented at-least-once contract), then batches sum. Pass
+    ``url_store_dir`` to also drop targets crawled SINCE their
+    frontier rows were written."""
+    df = spark.read.parquet(frontier_dir)
+    per_batch = df.groupBy("batch_id", "url_fingerprint").agg(
+        F.max("url").alias("url"),
+        F.max("n_links").alias("n_links"),
+        F.max("n_src_pages").alias("n_src_pages"),
+    )
+    agg = per_batch.groupBy("url_fingerprint").agg(
+        F.max("url").alias("url"),
+        F.sum("n_links").alias("n_links"),
+        F.sum("n_src_pages").alias("n_src_pages"),
+    )
+    if url_store_dir is not None:
+        store = _read_store_if_present(spark, url_store_dir)
+        if store is not None:
+            agg = agg.join(
+                store.select("url_fingerprint"), "url_fingerprint",
+                "left_anti",
+            )
+    return agg.select(
+        "url",
+        "n_links",
+        "n_src_pages",
+        (F.col("n_links") * F.col("n_src_pages")).cast("long").alias(
+            "frontier_score"
+        ),
+    )
+
+
+def compact_frontier_store(
+    spark: SparkSession, frontier_dir: str, target_files: int = 1
+) -> dict:
+    """Compact the frontier count store: collapse exact replay
+    duplicates and merge each target's batches into ONE row
+    (batch_id = the max contributing batch — later appends still
+    merge correctly because read_frontier's per-batch max only has
+    to defend WITHIN a batch id), rewritten atomically — the
+    rewrite_table lifecycle every store family here has."""
+    from cybersecurity_miw_spark.sources.maintain import rewrite_table
+
+    def collapse(df: DataFrame) -> DataFrame:
+        per_batch = df.groupBy("batch_id", "url_fingerprint").agg(
+            F.max("url").alias("url"),
+            F.max("n_links").alias("n_links"),
+            F.max("n_src_pages").alias("n_src_pages"),
+        )
+        return per_batch.groupBy("url_fingerprint").agg(
+            F.max("batch_id").alias("batch_id"),
+            F.max("url").alias("url"),
+            F.sum("n_links").alias("n_links"),
+            F.sum("n_src_pages").alias("n_src_pages"),
+        ).select(
+            "batch_id", "url_fingerprint", "url", "n_links", "n_src_pages"
+        )
+
+    return rewrite_table(spark, frontier_dir, collapse, target_files)

@@ -1632,3 +1632,102 @@ def test_streaming_lm_scores_frozen_model_and_drift_remediation(
     assert not any(r["stale"] for r in m2)
     got = spark.read.parquet(scores)
     assert got.filter(F.col("doc_id") >= 600).count() == 12
+
+
+def test_streaming_frontier_ingest_discovery_loop(spark, tmp_path):
+    """r17: the discovery half of the crawl loop — outlinks from
+    fetched pages, unseen filter vs the shared processed-URL store,
+    robots gate, count-store appends; read_frontier collapses exact
+    replays; compaction preserves the read view."""
+    from cybersecurity_miw_spark.operators import urlcurate
+    from cybersecurity_miw_spark.streaming.ingest import (
+        compact_frontier_store,
+        read_frontier,
+        streaming_frontier_ingest,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    frontier = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+    url_store = str(tmp_path / "urls")
+    robots_dir = str(tmp_path / "robots")
+
+    # the processed-URL store: page /p0 of site a has been crawled
+    urlcurate.url_fingerprint_store(
+        spark.createDataFrame(
+            [(1, "http://a.com/p0")], "doc_id long, url string"
+        )
+    ).write.parquet(url_store)
+    # robots: site b disallows /private/
+    spark.createDataFrame(
+        [("b.com", "User-agent: *\nDisallow: /private/")],
+        "host string, robots_txt string",
+    ).write.parquet(robots_dir)
+
+    html1 = (
+        '<a href="http://a.com/p0">seen</a>'
+        '<a href="http://a.com/p1">new</a>'
+        '<a href="http://b.com/private/x">blocked</a>'
+        '<a href="http://b.com/ok">fine</a>'
+    )
+    (indir / "a.tsv").write_text(f"10\thttp://a.com/src\t{html1}\n")
+    m: list = []
+    streaming_frontier_ingest(
+        spark, str(indir), ckpt, frontier, url_store,
+        robots_dir=robots_dir, metrics=m,
+    ).awaitTermination(120)
+    # second run: another page endorses /p1 again
+    (indir / "b.tsv").write_text(
+        '11\thttp://c.com/src\t<a href="http://a.com/p1">again</a>\n'
+    )
+    streaming_frontier_ingest(
+        spark, str(indir), ckpt, frontier, url_store,
+        robots_dir=robots_dir, metrics=m,
+    ).awaitTermination(120)
+
+    view = {
+        r["url"]: (r["n_links"], r["n_src_pages"], r["frontier_score"])
+        for r in read_frontier(spark, frontier).collect()
+    }
+    # /p0 was already crawled (store); /private/x robots-blocked
+    assert set(view) == {"http://a.com/p1", "http://b.com/ok"}
+    # cross-batch evidence summed: 1 link from each batch
+    assert view["http://a.com/p1"] == (2, 2, 4)
+    assert view["http://b.com/ok"] == (1, 1, 1)
+    assert m[0]["n_pages"] == 1 and m[0]["n_edges"] == 4
+    assert m[0]["n_unseen"] == 3 and m[0]["n_emitted"] == 2
+
+    # an exact checkpoint REPLAY (same batch_id rows re-appended)
+    # must not double the counts
+    from pyspark.sql import functions as F
+
+    replay = spark.read.parquet(frontier).filter(F.col("batch_id") == 0)
+    replay.write.mode("append").parquet(frontier)
+    after = {
+        r["url"]: r["n_links"]
+        for r in read_frontier(spark, frontier).collect()
+    }
+    assert after["http://a.com/p1"] == 2
+
+    # compaction: the read view is unchanged, the store shrinks to
+    # one row per target
+    before_view = sorted(
+        map(tuple, read_frontier(spark, frontier).collect())
+    )
+    compact_frontier_store(spark, frontier)
+    assert sorted(
+        map(tuple, read_frontier(spark, frontier).collect())
+    ) == before_view
+    assert spark.read.parquet(frontier).count() == 2
+    # url_store_dir post-filter: /p1 crawled since → drops from view
+    urlcurate.url_fingerprint_store(
+        spark.createDataFrame(
+            [(2, "http://a.com/p1")], "doc_id long, url string"
+        )
+    ).write.mode("append").parquet(url_store)
+    final = {
+        r["url"]
+        for r in read_frontier(spark, frontier, url_store).collect()
+    }
+    assert final == {"http://b.com/ok"}

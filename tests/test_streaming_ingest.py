@@ -1731,3 +1731,70 @@ def test_streaming_frontier_ingest_discovery_loop(spark, tmp_path):
         for r in read_frontier(spark, frontier, url_store).collect()
     }
     assert final == {"http://b.com/ok"}
+
+
+def test_crawl_loops_share_the_processed_url_store(spark, tmp_path):
+    """r17 integration: the CONTENT loop (streaming_crawl_curate_
+    ingest) and the DISCOVERY loop (streaming_frontier_ingest) run
+    against ONE processed-URL store — pages the curation loop has
+    processed never re-enter the frontier, and frontier targets
+    crawled later drop from the read view."""
+    from cybersecurity_miw_spark.streaming.ingest import (
+        read_frontier,
+        streaming_crawl_curate_ingest,
+        streaming_frontier_ingest,
+    )
+
+    curate_in = tmp_path / "curate_in"
+    disc_in = tmp_path / "disc_in"
+    curate_in.mkdir()
+    disc_in.mkdir()
+    corpus = str(tmp_path / "corpus")
+    ustore = str(tmp_path / "ustore")
+    fstore = str(tmp_path / "fstore")
+    frontier = str(tmp_path / "frontier")
+
+    body = ("The weather was cold this morning and the children "
+            "stayed at home with their mother near the river bank.")
+    linked_page = (
+        "<html><body>"
+        "<a href='https://site.com/a'>seen article</a> "
+        "<a href='https://site.com/next'>next article</a>"
+        f"<p>{body}</p></body></html>"
+    )
+
+    # 1. the content loop curates https://site.com/a → URL store
+    (curate_in / "a.tsv").write_text(
+        f"10\thttps://site.com/a\t<html><body><p>{body}</p></body></html>\n"
+    )
+    streaming_crawl_curate_ingest(
+        spark, str(curate_in), str(tmp_path / "ck1"), corpus, ustore,
+        fstore,
+    ).awaitTermination(180)
+
+    # 2. the discovery loop reads the SAME store: /a (already
+    #    curated) is filtered, /next enters the frontier
+    (disc_in / "b.tsv").write_text(
+        f"20\thttps://other.com/src\t{linked_page}\n"
+    )
+    streaming_frontier_ingest(
+        spark, str(disc_in), str(tmp_path / "ck2"), frontier, ustore,
+    ).awaitTermination(120)
+    view = {r["url"] for r in read_frontier(spark, frontier).collect()}
+    assert view == {"https://site.com/next"}
+
+    # 3. the crawler fetches /next; the content loop processes it;
+    #    the frontier read view (post-filtered by the store) empties
+    (curate_in / "c.tsv").write_text(
+        "30\thttps://site.com/next\t<html><body><p>The second "
+        "article body has plenty of new words about the old harbor "
+        "and the winter market this year.</p></body></html>\n"
+    )
+    streaming_crawl_curate_ingest(
+        spark, str(curate_in), str(tmp_path / "ck1"), corpus, ustore,
+        fstore,
+    ).awaitTermination(180)
+    remaining = {
+        r["url"] for r in read_frontier(spark, frontier, ustore).collect()
+    }
+    assert remaining == set()

@@ -38,8 +38,36 @@ WARC_SCHEMA = (
     "file string, record_no long, warc_type string, target_uri string, "
     "warc_date string, record_id string, content_type string, "
     "content_length long, http_status int, http_content_type string, "
-    "body binary"
+    "http_location string, body binary, body_text string"
 )
+
+_CHARSET_RE = None  # compiled lazily inside the executor
+
+
+def _decode_body(body: bytes, content_type: str | None) -> str:
+    """Charset-sniffed text decode with REPLACEMENT on damage — done
+    here in the Python framing pass (where the bytes already are)
+    because Spark's ``decode`` expression THROWS on malformed input
+    under ANSI semantics: one mojibake page must not fail a
+    100k-file crawl job. Charset comes from the Content-Type
+    ``charset=`` parameter; unknown/missing charsets fall back to
+    UTF-8 (the web default)."""
+    import codecs
+    import re
+
+    global _CHARSET_RE
+    if _CHARSET_RE is None:
+        _CHARSET_RE = re.compile(r"charset=[\"']?([\w.-]+)", re.I)
+    enc = "utf-8"
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            try:
+                codecs.lookup(m.group(1))
+                enc = m.group(1)
+            except LookupError:
+                pass
+    return body.decode(enc, errors="replace")
 
 _MAX_HEADER_BYTES = 64 * 1024  # RFC-ish sanity bound for a header block
 
@@ -110,27 +138,32 @@ def _parse_warc_stream(name: str, raw: bytes) -> Iterator[dict]:
         yield {"_err": f"gzip: {exc}", "_no": no}
 
 
-def _split_http(payload: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content-type, body) of an HTTP response payload; a
-    payload that does not start with an HTTP status line passes
-    through whole (status None)."""
+def _split_http(
+    payload: bytes,
+) -> tuple[int | None, str | None, str | None, bytes]:
+    """(status, content-type, location, body) of an HTTP response
+    payload; a payload that does not start with an HTTP status line
+    passes through whole (status None). Location rides along for the
+    3xx redirect-edge extraction (warc_redirect_edges)."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, payload
+        return None, None, None, payload
     end = payload.find(b"\r\n\r\n")
     if end < 0:
-        return None, None, payload
+        return None, None, None, payload
     head = payload[:end].split(b"\r\n")
     try:
         status = int(head[0].split(b" ", 2)[1])
     except (IndexError, ValueError):
-        return None, None, payload
-    ctype = None
+        return None, None, None, payload
+    ctype = location = None
     for line in head[1:]:
         k, _, v = line.partition(b":")
-        if k.strip().lower() == b"content-type":
+        kl = k.strip().lower()
+        if kl == b"content-type" and ctype is None:
             ctype = v.strip().decode("latin-1")
-            break
-    return status, ctype, payload[end + 4 :]
+        elif kl == b"location" and location is None:
+            location = v.strip().decode("latin-1")
+    return status, ctype, location, payload[end + 4 :]
 
 
 def read_warc(
@@ -179,6 +212,8 @@ def read_warc(
                             "http_status": None,
                             "http_content_type": None,
                             "body": b"",
+                            "body_text": None,
+                            "http_location": None,
                         }
                         if want is None or "error" in want:
                             buf.append(row)
@@ -187,10 +222,20 @@ def read_warc(
                     wtype = h.get("warc-type", "").lower()
                     if want is not None and wtype not in want:
                         continue
-                    status, http_ct, body = (
+                    status, http_ct, location, body = (
                         _split_http(rec["payload"])
                         if wtype == "response"
-                        else (None, None, rec["payload"])
+                        else (None, None, None, rec["payload"])
+                    )
+                    # text kinds get the charset-sniffed replacement
+                    # decode here (see _decode_body); binary kinds
+                    # carry body_text NULL
+                    body_text = (
+                        _decode_body(
+                            body, http_ct or h.get("content-type")
+                        )
+                        if wtype in ("response", "conversion")
+                        else None
                     )
                     buf.append({
                         "file": str(fname),
@@ -203,7 +248,9 @@ def read_warc(
                         "content_length": len(rec["payload"]),
                         "http_status": status,
                         "http_content_type": http_ct,
+                        "http_location": location,
                         "body": body,
+                        "body_text": body_text,
                     })
                     if len(buf) >= batch_rows:
                         yield flush()
@@ -225,7 +272,7 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
     return recs.select(
         F.col("target_uri").alias("url"),
         "warc_date",
-        F.decode(F.col("body"), "UTF-8").alias("text"),
+        F.col("body_text").alias("text"),
     )
 
 
@@ -254,7 +301,9 @@ def warc_to_pages(
         )
     return out.select(
         F.col("target_uri").alias("url"),
-        F.decode(F.col("body"), "UTF-8").alias("html"),
+        # the parser's charset-sniffed replacement decode — Spark's
+        # own decode expression throws on mojibake under ANSI
+        F.col("body_text").alias("html"),
     )
 
 
@@ -298,3 +347,31 @@ def http_response_payload(
         f"HTTP/1.1 {status} OK\r\nContent-Type: {content_type}\r\n"
         f"Content-Length: {len(body)}\r\n\r\n"
     ).encode() + body
+
+
+def warc_redirect_edges(recs: DataFrame) -> DataFrame:
+    """Redirect edges from 3xx ``response`` records: one
+    ``(src_url, dst_url, http_status)`` row per redirect, the
+    Location resolved against the source URL (relative Locations are
+    legal and common — RFC 7231 §7.1.2) through the same RFC 3986
+    resolver the outlink extractor uses. Feeds URL canonicalization
+    (a redirect is the server saying "these two URLs are one page")
+    and the crawl frontier (the target may be unseen). Pure row
+    expressions over the record frame."""
+    from pyspark.sql import functions as F
+
+    from cybersecurity_miw_spark.operators import linkgraph
+
+    r = recs.filter(
+        (F.col("warc_type") == "response")
+        & F.col("http_status").between(300, 399)
+        & F.col("http_location").isNotNull()
+        & F.col("target_uri").isNotNull()
+    )
+    return r.select(
+        F.col("target_uri").alias("src_url"),
+        linkgraph.resolve_href(
+            F.col("target_uri"), F.col("http_location")
+        ).alias("dst_url"),
+        "http_status",
+    ).filter(F.col("dst_url").isNotNull())

@@ -216,3 +216,90 @@ def test_truncated_gzip_member_yields_marker(spark, tmp_path):
     )
     assert rows[-1]["warc_type"] == "error"
     assert len(rows) >= 2  # earlier members parsed fine
+
+
+def test_charset_sniffed_replacement_decode(spark, tmp_path):
+    """Latin-1 pages decode via the Content-Type charset parameter;
+    malformed UTF-8 yields replacement chars instead of failing the
+    job (Spark's decode expression would THROW under ANSI)."""
+    latin = "café résumé".encode("iso-8859-1")
+    bad_utf8 = b"ok \xe9 broken"
+    recs = [
+        dict(
+            warc_type="response",
+            target_uri="http://a.com/latin",
+            payload=(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=ISO-8859-1\r\n\r\n" + latin
+            ),
+        ),
+        dict(
+            warc_type="response",
+            target_uri="http://a.com/bad",
+            payload=W.http_response_payload(bad_utf8),
+        ),
+        dict(
+            warc_type="response",
+            target_uri="http://a.com/unknowncs",
+            payload=(
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=not-a-charset\r\n\r\nplain"
+            ),
+        ),
+    ]
+    p = tmp_path / "cs.warc"
+    p.write_bytes(W.build_warc_bytes(recs))
+    rows = {
+        r["target_uri"]: r["body_text"]
+        for r in W.read_warc(spark, str(p)).collect()
+    }
+    assert rows["http://a.com/latin"] == "café résumé"
+    assert "�" in rows["http://a.com/bad"]
+    assert rows["http://a.com/bad"].startswith("ok ")
+    assert rows["http://a.com/unknowncs"] == "plain"
+    # pages projection reads the replacement-decoded text
+    pages = W.warc_to_pages(W.read_warc(spark, str(p)))
+    assert {r["url"] for r in pages.collect()} == {
+        "http://a.com/latin", "http://a.com/bad",
+        "http://a.com/unknowncs",
+    }
+
+
+def test_redirect_edges(spark, tmp_path):
+    """3xx Location headers become resolved redirect edges; relative
+    Locations resolve against the source URL; non-3xx and
+    Location-less records are ignored."""
+    recs = [
+        dict(
+            warc_type="response",
+            target_uri="http://a.com/old",
+            payload=(
+                b"HTTP/1.1 301 Moved\r\n"
+                b"Location: http://b.com/new\r\n\r\n"
+            ),
+        ),
+        dict(
+            warc_type="response",
+            target_uri="http://a.com/x/rel",
+            payload=(
+                b"HTTP/1.1 302 Found\r\nLocation: /root\r\n\r\n"
+            ),
+        ),
+        dict(
+            warc_type="response",
+            target_uri="http://a.com/ok",
+            payload=W.http_response_payload(b"fine"),
+        ),
+    ]
+    p = tmp_path / "r.warc"
+    p.write_bytes(W.build_warc_bytes(recs))
+    edges = {
+        (r["src_url"], r["dst_url"], r["http_status"])
+        for r in W.warc_redirect_edges(
+            W.read_warc(spark, str(p))
+        ).collect()
+    }
+    assert edges == {
+        ("http://a.com/old", "http://b.com/new", 301),
+        ("http://a.com/x/rel", "http://a.com/root", 302),
+    }

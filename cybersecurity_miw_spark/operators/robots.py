@@ -25,9 +25,12 @@ RFC codified):
   longest raw pattern; at equal length ``Allow`` wins (RFC 9309
   §2.2.2 "least restrictive"). No matching rule → allowed.
 
-Out of scope (documented, per the RFC's own allowances): percent-
-encoding normalization of rule/URL octets, crawl-delay (non-standard)
-and sitemap directives (surfaced as ``other`` lines, not rules).
+Discovery companions: :func:`robots_sitemaps` extracts ``Sitemap:``
+declarations (legal anywhere in the file, outside groups) and
+:func:`parse_sitemaps` parses fetched sitemap/sitemapindex XML into
+frontier seeds. Out of scope (documented, per the RFC's own
+allowances): percent-encoding normalization of rule/URL octets and
+crawl-delay (non-standard).
 """
 
 from __future__ import annotations
@@ -216,4 +219,72 @@ def crawl_allowed_urls(
     gated = robots_allowed(urls, rules, agent, url_col)
     return gated.filter(F.col("allowed")).drop(
         "allowed", "matched_rule", "matched_type"
+    )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """``Sitemap:`` declarations from robots.txt bodies (RFC 9309
+    §2.6 / sitemaps.org: the line is legal anywhere in the file,
+    outside any group): one ``(host, sitemap_url)`` row per
+    declaration — the crawl-discovery seeds the frontier fetches
+    first. One line explode, no exchange beyond the dedup."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+        ).alias("_raw"),
+    )
+    clean = F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", ""))
+    return (
+        lines.select(
+            "host",
+            F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1))).alias(
+                "_f"
+            ),
+            F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1)).alias(
+                "sitemap_url"
+            ),
+        )
+        .filter((F.col("_f") == "sitemap") & (F.col("sitemap_url") != ""))
+        .select("host", "sitemap_url")
+        .distinct()
+    )
+
+
+def parse_sitemaps(
+    sitemaps: DataFrame,
+    url_col: str = "url",
+    body_col: str = "body",
+) -> DataFrame:
+    """Parse fetched sitemap XML bodies (sitemaps.org protocol): one
+    row per ``<loc>`` with ``(sitemap_url, loc, kind)`` — ``kind`` is
+    ``'sitemap'`` for ``<sitemapindex>`` children (fetch those next,
+    recursively) and ``'url'`` for ``<urlset>`` page entries (seed
+    the frontier). XML entities in locs decode through the bounded
+    named set (``&amp;`` in query strings is mandatory XML escaping);
+    surrounding whitespace/CDATA trims. One regexp extract + one
+    explode — corpus-linear, no exchange."""
+    from cybersecurity_miw_spark.operators.htmlextract import ENTITY_MAP
+
+    body = F.coalesce(F.col(body_col), F.lit(""))
+    kind = F.when(
+        body.rlike(r"(?is)<\s*sitemapindex"), F.lit("sitemap")
+    ).otherwise(F.lit("url"))
+    locs = F.regexp_extract_all(
+        body, F.lit(r"(?is)<loc[^>]*>\s*(?:<!\[CDATA\[)?([^<\]]+)"), 1
+    )
+    out = sitemaps.select(
+        F.col(url_col).alias("sitemap_url"),
+        kind.alias("kind"),
+        F.explode(locs).alias("loc"),
+    )
+    loc = F.trim(F.col("loc"))
+    for ent, ch in ENTITY_MAP:
+        loc = F.replace(loc, F.lit(ent), F.lit(ch))
+    return out.select("sitemap_url", loc.alias("loc"), "kind").filter(
+        F.col("loc") != ""
     )

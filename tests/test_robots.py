@@ -172,3 +172,53 @@ def test_gate_deterministic_under_repartition(spark):
     r1 = sorted(map(tuple, rb.robots_allowed(u1, rules).collect()))
     r2 = sorted(map(tuple, rb.robots_allowed(u2, rules).collect()))
     assert r1 == r2
+
+def test_robots_sitemap_declarations(spark):
+    txt = (
+        "Sitemap: https://a.com/sitemap.xml\n"
+        "User-agent: *\nDisallow: /x\n"
+        "SITEMAP: https://a.com/sitemap2.xml  # case-insensitive\n"
+        "Sitemap:\n"  # empty: dropped
+    )
+    rows = {
+        (r["host"], r["sitemap_url"])
+        for r in rb.robots_sitemaps(
+            spark.createDataFrame(
+                [("a.com", txt)], "host string, robots_txt string"
+            )
+        ).collect()
+    }
+    assert rows == {
+        ("a.com", "https://a.com/sitemap.xml"),
+        ("a.com", "https://a.com/sitemap2.xml"),
+    }
+
+
+def test_parse_sitemaps(spark):
+    urlset = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.com/p1 </loc><lastmod>2026-01-01</lastmod>"
+        "</url><url><loc>https://a.com/p2?a=1&amp;b=2</loc></url>"
+        "<url><loc><![CDATA[https://a.com/p3]]></loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://a.com/s1.xml</loc>"
+        "</sitemap><sitemap><loc>https://a.com/s2.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [("https://a.com/sitemap.xml", urlset),
+         ("https://a.com/index.xml", index)],
+        "url string, body string",
+    )
+    rows = {
+        (r["sitemap_url"], r["loc"], r["kind"])
+        for r in rb.parse_sitemaps(df).collect()
+    }
+    assert rows == {
+        ("https://a.com/sitemap.xml", "https://a.com/p1", "url"),
+        ("https://a.com/sitemap.xml", "https://a.com/p2?a=1&b=2", "url"),
+        ("https://a.com/sitemap.xml", "https://a.com/p3", "url"),
+        ("https://a.com/index.xml", "https://a.com/s1.xml", "sitemap"),
+        ("https://a.com/index.xml", "https://a.com/s2.xml", "sitemap"),
+    }

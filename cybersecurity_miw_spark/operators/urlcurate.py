@@ -116,6 +116,17 @@ def canonical_url(
     (reference miw/log_format.cc:481-484). C4/RefinedWeb cite URL
     normalization before URL dedup; these rules are the portable
     core every recipe agrees on (case, fragment, tracking params).
+
+    Out of scope, documented: RFC 3986 §6.2.2 percent-encoding
+    normalization (uppercasing ``%xx`` triplets, decoding
+    unreserved-character escapes like ``%41``→``A``). A selective
+    decode is not expressible loop-free in codegen expressions
+    (no transform-callback; a full ``url_decode`` would also decode
+    RESERVED octets like ``%2F`` and merge genuinely distinct
+    paths), and an exhaustive replace chain costs ~260 string passes
+    per URL for a variant that is rare in href-extracted links —
+    ``%7Eusr`` vs ``~usr`` duplicates dedup misses are accepted and
+    the near-dup text stages catch the page bodies anyway.
     """
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))

@@ -206,6 +206,12 @@ QUERY_NAMES = [
     # rotated vocabulary re-hashes per copy but bucket volume is
     # corpus-linear (the quality_clf_score rationale, K-way)
     "topic_classify_argmax",
+    # r17 second rotation: keep-first paragraph dedup — the rotated
+    # copies keep the PLANTED header/footer paragraphs byte-identical
+    # (literals, not rotated text), so the shared-paragraph groups
+    # DEEPEN 10x while per-copy bodies stay unique — the real
+    # boilerplate shape; the md5 min agg reduces map-side
+    "paragraph_dedup_first",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

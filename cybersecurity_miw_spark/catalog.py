@@ -10999,6 +10999,95 @@ def q_topic_classify_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r17: Dolma-policy paragraph dedup (corpus_filters.dedup_paragraphs
+# — keep-FIRST, unlike remove_boilerplate_lines' drop-all-frequent).
+# Pages synthesize shared header/footer paragraphs + unique bodies +
+# trailing-blank structure from documents; the twin replays the
+# explode → canonical-first min-struct → keep filter → ordered
+# re-assembly chain wholesale in SQL.
+# ---------------------------------------------------------------------------
+
+_PDEDUP_SEP = "\n\n"
+
+_PDEDUP_PAGES_SQL = """
+  SELECT doc_id,
+    'Shared header paragraph.' || chr(10) || chr(10)
+    || substr(coalesce(text, ''), 1, 80)
+    || CASE WHEN doc_id % 3 = 0
+         THEN chr(10) || chr(10) || 'Common footer paragraph.'
+         ELSE chr(10) || chr(10) || 'tail ' || doc_id::VARCHAR END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || chr(10) ELSE '' END
+    AS text
+  FROM documents
+"""
+
+_PDEDUP_SQL = f"""
+WITH pdocs AS ({_PDEDUP_PAGES_SQL}),
+pex AS (
+  SELECT doc_id, u.i AS pos, u.p AS p, trim(u.p) = '' AS blank
+  FROM (
+    SELECT doc_id,
+           unnest([{{'i': i, 'p': ps[i + 1]}}
+                   FOR i IN generate_series(0, len(ps) - 1)]) AS u
+    FROM (SELECT doc_id,
+                 str_split(coalesce(text, ''), chr(10) || chr(10)) AS ps
+          FROM pdocs)
+  )
+),
+firsts AS (
+  SELECT md5(p) AS h,
+         min({{'id': doc_id, 'pos': pos}}) AS f
+  FROM pex WHERE NOT blank GROUP BY 1
+),
+pkept AS (
+  SELECT e.* FROM pex e LEFT JOIN firsts ON firsts.h = md5(e.p)
+  WHERE e.blank OR (firsts.f.id = e.doc_id AND firsts.f.pos = e.pos)
+),
+prebuilt AS (
+  SELECT doc_id,
+         string_agg(p, chr(10) || chr(10) ORDER BY pos) AS newtext,
+         CAST(sum(CASE WHEN blank THEN 0 ELSE 1 END) AS BIGINT) AS nkept
+  FROM pkept GROUP BY 1
+),
+ptot AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN blank THEN 0 ELSE 1 END) AS BIGINT) AS ntot
+  FROM pex GROUP BY 1
+)
+SELECT d.doc_id, coalesce(r.newtext, '') AS text,
+       coalesce(t.ntot, 0) - coalesce(r.nkept, 0) AS removed_paragraphs
+FROM pdocs d
+LEFT JOIN prebuilt r ON r.doc_id = d.doc_id
+LEFT JOIN ptot t ON t.doc_id = d.doc_id
+"""
+
+
+@register("paragraph_dedup_first", _PDEDUP_SQL)
+def q_paragraph_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-policy paragraph dedup (corpus_filters.dedup_paragraphs):
+    every exact paragraph survives ONCE at its smallest (doc, pos)
+    occurrence; blank segments pass through as structure; documents
+    reassemble in order with the excised count. One staged
+    posexplode + one uniform md5-key min agg + one hash join back +
+    one per-doc ordered re-assembly."""
+    from cybersecurity_miw_spark.operators import corpus_filters
+
+    d = F.col("doc_id")
+    txt = F.concat(
+        F.lit("Shared header paragraph.\n\n"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80),
+        F.when(
+            d % 3 == 0, F.lit("\n\nCommon footer paragraph.")
+        ).otherwise(F.concat(F.lit("\n\ntail "), d.cast("string"))),
+        F.when(d % 5 == 0, F.lit("\n\n")).otherwise(F.lit("")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", txt.alias("text")
+    )
+    return corpus_filters.dedup_paragraphs(docs)
+
+
+# ---------------------------------------------------------------------------
 # driver window curation. The round driver oracle-checks the FIRST 50
 # entries of queries(); registration order above is file order, which
 # marooned late-registered families (tpch, pca, kmeans, sessions, topn,
@@ -11043,8 +11132,12 @@ _DRIVER_WINDOW = [
     # mixture bucketing — frozen three-model argmax) displacing
     # simhash_band_candidates (the banding family keeps
     # dedup_exact_groups + incremental_phash_vs_store +
-    # incremental_semantic_vs_store in-window). All ten stay
-    # full-hash green in tests/test_oracle_parity.py every round.
+    # incremental_semantic_vs_store in-window), and
+    # paragraph_dedup_first IN (the Dolma keep-first paragraph
+    # policy) displacing ngram_diversity_by_source (textstats keeps
+    # text_profile + doc_token_length_histogram in-window). All
+    # eleven stay full-hash green in tests/test_oracle_parity.py
+    # every round.
     # Round-17 rotation: IN = the seven new r17 oracles
     # (lang_id_assign — the char-trigram language-ID decision chain
     # over the 30-way multilingual fixture; lang_report_counts — the
@@ -11287,7 +11380,6 @@ _DRIVER_WINDOW = [
     "dsir_select_budget",
     "gopher_repetition_battery",
     "c4_page_rules",
-    "ngram_diversity_by_source",
     # --- new r16 oracles (first-round rows) ---
     "url_canonical_dedup",
     "registrable_domain_counts",
@@ -11315,6 +11407,7 @@ _DRIVER_WINDOW = [
     "robots_allow_gate",
     "clean_text_normalization",
     "topic_classify_argmax",
+    "paragraph_dedup_first",
 ]
 
 

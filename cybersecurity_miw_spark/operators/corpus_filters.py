@@ -735,3 +735,84 @@ def c4_page_filters(
         has_bad.alias("has_badword"),
         keep.alias("keep"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document paragraph dedup, KEEP-FIRST policy (the Dolma
+    paragraph-level dedup: every paragraph survives exactly once in
+    the corpus, at its first occurrence — unlike
+    :func:`remove_boilerplate_lines`, which drops ALL copies of
+    over-frequent lines including the first): a paragraph occurrence
+    is kept iff it is the canonical first (smallest ``(id, position)``
+    over its exact text) — later copies excise and the document
+    reassembles in original order. Empty/whitespace-only segments
+    pass through untouched (they are structure, not content).
+    Returns ``df`` with ``text_col`` replaced and a
+    ``removed_paragraphs`` count.
+
+    Plan: ONE posexplode (staged — it feeds the canonical-first agg
+    and the reassembly; re-scanning a 100 TB text column twice would
+    dwarf the agg), one uniform md5-key min aggregation, one
+    shuffle join back on the hash (skew-safe: the hot boilerplate
+    paragraph's group reduces map-side to one row; the join fans it
+    back out but never windows over it), one per-doc order-preserving
+    re-assembly. The exact-substring analog of the Lee et al. span
+    machinery one level up."""
+    from cybersecurity_miw_spark.operators.dedup import staged
+
+    paras = staged(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            ).alias("_pos", "_p"),
+        ).withColumn("_blank", F.trim(F.col("_p")) == "")
+    )
+    first = (
+        paras.filter(~F.col("_blank"))
+        .groupBy(F.md5("_p").alias("_h"))
+        .agg(
+            F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_first")
+        )
+    )
+    kept = paras.join(
+        first, F.md5(paras["_p"]) == first["_h"], "left"
+    ).filter(
+        F.col("_blank")
+        | (
+            (F.col("_first._id") == F.col("_id"))
+            & (F.col("_first._pos") == F.col("_pos"))
+        )
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pos", F.col("_p")))
+                ),
+                lambda s: s["_p"],
+            ),
+            sep,
+        ).alias("_new"),
+        F.sum(F.when(F.col("_blank"), 0).otherwise(1)).alias("_nkept"),
+    ).select(F.col("_id").alias("_rid"), "_new", "_nkept")
+    totals = paras.groupBy("_id").agg(
+        F.sum(F.when(F.col("_blank"), 0).otherwise(1)).alias("_ntot")
+    ).select(F.col("_id").alias("_tid"), "_ntot")
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_rid"], "left")
+        .join(totals, df[id_col] == totals["_tid"], "left")
+        .select(
+            *[c for c in df.columns if c != text_col],
+            F.coalesce("_new", F.lit("")).alias(text_col),
+            (
+                F.coalesce("_ntot", F.lit(0))
+                - F.coalesce("_nkept", F.lit(0))
+            ).cast("long").alias("removed_paragraphs"),
+        )
+    )

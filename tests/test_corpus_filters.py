@@ -459,3 +459,62 @@ def test_null_text_behaves_as_empty(spark):
     toks = {r["doc_id"]: r["tokens"] for r in bpe.tokenize(df, merges).collect()}
     assert toks[1] == []  # null text -> empty token array
     assert "".join(toks[2]) == "realwordshere"
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """dedup_paragraphs (the Dolma paragraph-dedup policy): every
+    exact paragraph survives ONCE, at its smallest (doc, position)
+    occurrence — unlike remove_boilerplate_lines, which drops all
+    copies of over-frequent lines including the first. Blank
+    segments are structure and pass through; order is preserved;
+    within-doc repeats dedup too."""
+    from cybersecurity_miw_spark.operators.corpus_filters import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\n\nshared footer\n\nunique two"),
+            (2, "another doc\n\nshared footer\n\n\n\nmore body"),
+            (3, "shared footer"),
+            (4, ""),
+            (5, "repeat me\n\nrepeat me"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["removed_paragraphs"])
+        for r in dedup_paragraphs(docs).collect()
+    }
+    # first occurrence (doc 1) keeps the shared paragraph
+    assert out[1] == ("unique one\n\nshared footer\n\nunique two", 0)
+    # later copies excise; blank structure survives
+    assert out[2] == ("another doc\n\n\n\nmore body", 1)
+    assert out[3] == ("", 1)
+    assert out[4] == ("", 0)
+    # within-doc repeat dedups at position order
+    assert out[5] == ("repeat me", 1)
+    # payload columns survive
+    docs2 = docs.withColumn("src", F.lit("s"))
+    assert "src" in dedup_paragraphs(docs2).columns
+
+
+def test_dedup_paragraphs_deterministic_under_repartition(spark):
+    from cybersecurity_miw_spark.operators.corpus_filters import (
+        dedup_paragraphs,
+    )
+
+    rows = [
+        (i, f"common intro\n\nbody {i % 7}\n\nshared tail")
+        for i in range(40)
+    ]
+    d1 = spark.createDataFrame(rows, "doc_id long, text string")
+    d2 = spark.createDataFrame(rows, "doc_id long, text string").repartition(9)
+    r1 = sorted(map(tuple, dedup_paragraphs(d1).collect()))
+    r2 = sorted(map(tuple, dedup_paragraphs(d2).collect()))
+    assert r1 == r2
+    # exactly one survivor of each shared paragraph, at doc 0
+    full = {r[0]: r for r in r1}
+    assert "common intro" in full[0][1] and "shared tail" in full[0][1]
+    n_with_intro = sum(1 for r in r1 if "common intro" in r[1])
+    assert n_with_intro == 1

@@ -349,6 +349,9 @@ MAX_EXCHANGES = {
     # ONE feature explode + broadcast (K·dim) weight join + one
     # (doc, topic) sum + argmax + join back (8 textual, +2)
     "topic_classify_argmax": 10,
+    # staged posexplode + md5-key min agg + hash join back + per-doc
+    # re-assembly + the two doc-key joins back (6 textual, +2)
+    "paragraph_dedup_first": 8,
 }
 
 

@@ -336,6 +336,45 @@ def pagerank(
     return score
 
 
+def fetch_schedule(
+    frontier: DataFrame,
+    url_col: str = "dst_url",
+    score_col: str = "frontier_score",
+    per_host_k: int | None = None,
+) -> DataFrame:
+    """Politeness-aware fetch ordering: the frontier interleaved BY
+    HOST so consecutive fetches never hammer one server — each URL
+    gets its within-host rank (score desc, url asc) and the global
+    ``fetch_order`` sorts by ``(host_rank, -score)``: every host's
+    best URL first, then every host's second, … (the standard
+    breadth-polite schedule; Cho et al.'s politeness constraint as
+    an ordering rather than a rate limiter — the actual delay is the
+    fetcher's job). ``per_host_k`` caps how many URLs per host enter
+    the schedule at all (the per-site crawl budget).
+
+    Plan: one host-partitioned window (frontiers are host-diverse by
+    construction — the hot-host case is exactly what the cap
+    bounds), no joins. Output adds ``host`` and ``host_rank``; the
+    fetch order IS ``orderBy(host_rank, score desc, url)`` — stated
+    as a contract instead of a baked-in sort so callers compose it
+    with their own limit/shard steps."""
+    from pyspark.sql import Window
+
+    from cybersecurity_miw_spark.operators import urlcurate
+
+    if per_host_k is not None and per_host_k < 1:
+        raise ValueError(f"per_host_k must be >= 1, got {per_host_k}")
+    w = Window.partitionBy("host").orderBy(
+        F.col(score_col).desc(), F.col(url_col).asc()
+    )
+    out = frontier.withColumn(
+        "host", urlcurate.url_host(F.col(url_col))
+    ).withColumn("host_rank", F.row_number().over(w))
+    if per_host_k is not None:
+        out = out.filter(F.col("host_rank") <= per_host_k)
+    return out
+
+
 def domain_quality_scores(
     docs: DataFrame,
     url_col: str = "url",

@@ -53,6 +53,7 @@ def curate_documents(
     fingerprint_store: DataFrame | None = None,
     max_bucket_width: int | None = None,
     remove_span_k: int | None = None,
+    paragraph_dedup: bool = False,
     semantic_threshold: float | None = None,
     semantic_planes: int | None = None,
     embedding_dim: int = 64,
@@ -73,6 +74,13 @@ def curate_documents(
     ``text_col`` is replaced by the span-removed normalized
     reassembly and a ``removed_tokens`` column is added. Runs after
     profiling, so the profile columns describe the pre-removal text.
+
+    ``paragraph_dedup`` (r17): after every doc-level dedup stage,
+    run the Dolma keep-first paragraph policy
+    (corpus_filters.dedup_paragraphs) — each exact paragraph
+    survives once corpus-wide, at its first (doc, position)
+    occurrence; ``text_col`` is replaced and ``removed_paragraphs``
+    added. Off by default.
 
     ``semantic_threshold``: when set, run SemDeDup-style embedding
     dedup after the token-level near-dedup — hashed-embedding each
@@ -438,6 +446,17 @@ def curate_documents(
         removed = vecs.select(id_col).join(keep, id_col, "anti")
         out = _record(
             "semantic_dedup", out.join(removed, id_col, "anti")
+        )
+    if paragraph_dedup:
+        # the Dolma keep-first paragraph policy, AFTER doc-level
+        # dedup (survivors only — the Lee et al. ordering the span
+        # stage also follows); profile columns describe the
+        # pre-removal text, like remove_span_k
+        out = _record(
+            "paragraph_dedup",
+            corpus_filters.dedup_paragraphs(
+                out, text_col=text_col, id_col=id_col
+            ),
         )
     if remove_span_k is not None:
         spans = dedup.duplicated_ngram_spans(

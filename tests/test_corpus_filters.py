@@ -518,3 +518,27 @@ def test_dedup_paragraphs_deterministic_under_repartition(spark):
     assert "common intro" in full[0][1] and "shared tail" in full[0][1]
     n_with_intro = sum(1 for r in r1 if "common intro" in r[1])
     assert n_with_intro == 1
+
+
+def test_curate_documents_paragraph_dedup_stage(spark):
+    from cybersecurity_miw_spark.pipeline import curate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique body one here\n\nshared legal footer text"),
+            (2, "unique body two there\n\nshared legal footer text"),
+        ],
+        "doc_id long, text string",
+    )
+    metrics = []
+    out = curate_documents(
+        docs,
+        apply_gopher=False, redact_pii=False,
+        quality_floor=None, near_dup_threshold=None,
+        paragraph_dedup=True, metrics=metrics,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert "shared legal footer" in rows[1]["text"]
+    assert "shared legal footer" not in rows[2]["text"]
+    assert rows[2]["removed_paragraphs"] == 1
+    assert any(m["stage"] == "paragraph_dedup" for m in metrics)

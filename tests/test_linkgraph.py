@@ -309,3 +309,40 @@ def test_resolve_href_requires_absolute_base(spark):
         _resolve(spark, "not-a-url", "http://x.com/p")
         == "http://x.com/p"
     )
+
+
+def test_fetch_schedule_politeness(spark):
+    """fetch_schedule: per-host ranks (score desc, url asc), the
+    per-host crawl budget cap, and the breadth-polite order —
+    consecutive fetch_order positions rotate hosts."""
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.com/1", 9), ("http://a.com/2", 8),
+            ("http://a.com/3", 7),
+            ("http://b.com/1", 5),
+            ("http://c.com/1", 6), ("http://c.com/2", 1),
+        ],
+        "dst_url string, frontier_score long",
+    )
+    out = lg.fetch_schedule(frontier, per_host_k=2)
+    rows = {r["dst_url"]: (r["host"], r["host_rank"]) for r in out.collect()}
+    # a.com/3 capped out by per_host_k=2
+    assert "http://a.com/3" not in rows
+    assert rows["http://a.com/1"] == ("a.com", 1)
+    assert rows["http://a.com/2"] == ("a.com", 2)
+    assert rows["http://b.com/1"] == ("b.com", 1)
+    # the contract order: every host's best first, then seconds
+    ordered = [
+        r["dst_url"]
+        for r in out.orderBy(
+            "host_rank", F.desc("frontier_score"), "dst_url"
+        ).collect()
+    ]
+    assert ordered == [
+        "http://a.com/1", "http://c.com/1", "http://b.com/1",
+        "http://a.com/2", "http://c.com/2",
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="per_host_k"):
+        lg.fetch_schedule(frontier, per_host_k=0)

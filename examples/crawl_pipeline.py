@@ -164,10 +164,14 @@ def main() -> None:
         ],
         "host string, robots_txt string",
     )
-    fetch_list = robots.crawl_allowed_urls(
+    allowed = robots.crawl_allowed_urls(
         frontier, robots_docs, agent="miwbot", url_col="dst_url"
-    ).orderBy(F.desc("frontier_score"), "dst_url")
-    print("next fetch list (robots-allowed, priority-ordered):")
+    )
+    # politeness-aware ordering: every host's best URL first
+    fetch_list = linkgraph.fetch_schedule(allowed, per_host_k=3).orderBy(
+        "host_rank", F.desc("frontier_score"), "dst_url"
+    )
+    print("next fetch list (robots-allowed, breadth-polite order):")
     fetch_list.show(truncate=60)
 
     print("top pages by PageRank:")

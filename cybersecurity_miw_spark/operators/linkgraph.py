@@ -99,6 +99,12 @@ def resolve_href(base: Column, href: Column) -> Column:
         out = F.regexp_replace(
             out, r"(://[^/?#]*[^?#]*?)/[^/?#]+/\.\./", r"$1/"
         )
+    # RFC 3986 remove_dot_segments drops '..' with an empty output
+    # stack: a run of '../' left at the AUTHORITY ROOT after the
+    # passes (the reference tried to climb above '/') collapses to
+    # the root rather than surviving literally — caught by the
+    # urljoin reference-model property suite
+    out = F.regexp_replace(out, r"(://[^/?#]*)/(\.\./)+", r"$1/")
     return out
 
 

@@ -346,3 +346,51 @@ def test_fetch_schedule_politeness(spark):
 
     with _pt.raises(ValueError, match="per_host_k"):
         lg.fetch_schedule(frontier, per_host_k=0)
+
+
+def test_resolve_href_agrees_with_stdlib_urljoin(spark):
+    """Seeded-random agreement with urllib.parse.urljoin — an
+    independent RFC 3986 implementation — on cases inside the
+    documented contract (absolute http(s) bases, dot-segment depth
+    within MAX_DOTSEG_PASSES, no exotic schemes); fragments are
+    stripped from the expectation because crawl identity drops them
+    by design."""
+    import random
+    from urllib.parse import urldefrag, urljoin
+
+    rng = random.Random(38616)
+    bases = [
+        "http://h.example/",
+        "http://h.example/a/",
+        "http://h.example/a/b.html",
+        "https://x.example/p/q/r.html",
+        "http://h.example/a/b/c/d.html",
+    ]
+    rels = [
+        "e.html", "./e.html", "../up.html", "../../top.html",
+        "/root.html", "//other.example/p", "sub/dir/f.html",
+        "e.html?q=1", "/p?a=1&b=2", "f.html#sec", "#only",
+        "https://abs.example/z", "../x/../y.html",
+    ]
+    rows, expected = [], []
+    for i in range(120):
+        b, r = rng.choice(bases), rng.choice(rels)
+        rows.append((b, r))
+        if r == "#only":
+            want = None  # fragment-only: non-navigational by contract
+        else:
+            want = urldefrag(urljoin(b, r)).url
+        expected.append(want)
+    df = spark.createDataFrame(rows, "b string, h string")
+    got = [
+        r["r"]
+        for r in df.select(
+            lg.resolve_href(F.col("b"), F.col("h")).alias("r")
+        ).collect()
+    ]
+    diffs = [
+        (rows[i], got[i], expected[i])
+        for i in range(len(rows))
+        if got[i] != expected[i]
+    ]
+    assert not diffs, f"{len(diffs)} diffs, first: {diffs[:3]}"

@@ -10252,16 +10252,21 @@ lmtot AS (
          + (SELECT count(*) FROM c1t) AS nv
 ),
 lmoov AS (
-  SELECT {int(_LM_ALPHA_LN)}
+  -- oovraw: the α-free OOV floor (first tokens); oov: backoff-path
+  -- floor with the ln α penalty (tokens i ≥ 2)
+  SELECT CAST(floor(ln(1.0 / CAST((SELECT nv FROM lmtot) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS oovraw,
+         {int(_LM_ALPHA_LN)}
          + CAST(floor(ln(1.0 / CAST((SELECT nv FROM lmtot) AS DOUBLE))
                       * 1000000.0 + 0.5) AS BIGINT) AS oov
 ),
 unim AS (
+  -- RAW unigram log-prob (no α): stupid backoff applies ln α at
+  -- scoring time, on the bigram→unigram backoff path only
   SELECT wd AS w2,
-         {int(_LM_ALPHA_LN)}
-         + CAST(floor(ln(CAST(c1 + 1 AS DOUBLE)
-                         / CAST((SELECT nv FROM lmtot) AS DOUBLE))
-                      * 1000000.0 + 0.5) AS BIGINT) AS lp1,
+         CAST(floor(ln(CAST(c1 + 1 AS DOUBLE)
+                       / CAST((SELECT nv FROM lmtot) AS DOUBLE))
+                    * 1000000.0 + 0.5) AS BIGINT) AS lp1,
          c1
   FROM c1t
 ),
@@ -10331,8 +10336,14 @@ pairs AS (
   )
 ),
 tokscore AS (
+  -- first token (bg NULL): raw unigram, α-free OOV; i ≥ 2: bigram,
+  -- else unigram + ln α, else backoff-path OOV
   SELECT p.doc_id,
-         coalesce(b.lp2, u.lp1, (SELECT oov FROM lmoov)) AS lp
+         CASE WHEN p.bg IS NULL
+           THEN coalesce(u.lp1, (SELECT oovraw FROM lmoov))
+           ELSE coalesce(b.lp2, u.lp1 + {int(_LM_ALPHA_LN)},
+                         (SELECT oov FROM lmoov))
+         END AS lp
   FROM pairs p
   LEFT JOIN bim b ON b.bg = p.bg
   LEFT JOIN unim u ON u.w2 = p.w2
@@ -10374,7 +10385,8 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model, params = _nglm.train_ngram_lm(target)
     return _nglm.lm_score(
-        docs.select("doc_id", "text"), model, params["lp_oov_micro"]
+        docs.select("doc_id", "text"), model, params["lp_oov_micro"],
+        alpha_ln_micro=params["alpha_ln_micro"],
     ).select("doc_id", "n_lm_tokens", "lp_micro_sum", "nlp_micro_tok")
 
 
@@ -10420,7 +10432,8 @@ def q_ngram_lm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model, params = _nglm.train_ngram_lm(target)
     scored = _nglm.lm_score(
-        docs.select("doc_id", "text"), model, params["lp_oov_micro"]
+        docs.select("doc_id", "text"), model, params["lp_oov_micro"],
+        alpha_ln_micro=params["alpha_ln_micro"],
     )
     return _nglm.lm_bucket_report(
         _nglm.lm_ppl_buckets(scored, _LM_CUT_HEAD, _LM_CUT_TAIL)
@@ -10515,7 +10528,10 @@ tk AS (
   FROM rk WHERE r <= 2 GROUP BY 1
 )
 SELECT d.dst_url, d.n_links, d.n_src_pages,
-       coalesce(t.top_anchors, CAST([] AS VARCHAR[])) AS top_anchors
+       -- array_to_string(NULL) is NULL; Spark array_join on the
+       -- coalesced empty array gives '' — coalesce so no-anchor
+       -- targets agree (the catalog's standing empty-list note).
+       coalesce(array_to_string(t.top_anchors, '|'), '') AS top_anchors
 FROM lgdeg d LEFT JOIN tk t USING (dst_url)
 """
 
@@ -10527,8 +10543,19 @@ def q_link_anchor_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor texts (count desc, text asc — the Brin & Page target-
     description signal; empty anchors excluded from the top-k but
     counted in the degree). One count agg + one dst-partitioned
-    window + one k-bounded re-agg."""
-    return linkgraph.anchor_text_index(_lg_edges(spark, sf_dir), k=2)
+    window + one k-bounded re-agg.
+
+    The registered surface serializes ``top_anchors`` with
+    ``array_join(..., '|')`` (the app_word_reverse_index postings
+    precedent): driver-window queries must expose scalar columns
+    only — the driver's pandas canonicalizer cannot hash list cells
+    (the r17 red row)."""
+    return linkgraph.anchor_text_index(_lg_edges(spark, sf_dir), k=2).select(
+        "dst_url",
+        "n_links",
+        "n_src_pages",
+        F.array_join("top_anchors", "|").alias("top_anchors"),
+    )
 
 
 def _lg_pagerank_sql(iters: int) -> str:
@@ -10696,18 +10723,29 @@ def _robots_fixture(spark: SparkSession, sf_dir: str):
     h = F.col("hid")
     txt = (
         F.when(
-            h % 3 == 0,
+            h % 4 == 0,
             F.lit(
                 "User-agent: mybot\nDisallow: /private/\n"
                 "Allow: /private/ok*\n\nUser-agent: *\nDisallow: /"
             ),
         )
         .when(
-            h % 3 == 1,
+            h % 4 == 1,
             F.lit(
                 "# fixture robots\nUser-agent: *\n"
                 "Disallow: /tmp/*.pdf$\nDisallow: /private/\n"
                 "Allow: /public"
+            ),
+        )
+        .when(
+            # rule-less specific group: mybot's group EXISTS (so the
+            # '*' Disallow:/ must NOT gate mybot) but carries no
+            # rules — the RFC 9309 §2.2.1 group-existence case the
+            # r17 gate got wrong (ADVICE high)
+            h % 4 == 2,
+            F.lit(
+                "User-agent: mybot\nDisallow:\n\n"
+                "User-agent: *\nDisallow: /"
             ),
         )
         .otherwise(F.lit("User-agent: *\nDisallow:"))
@@ -10742,13 +10780,16 @@ WITH urls AS (
 ),
 rbt AS (
   SELECT 'h' || hid::VARCHAR || '.org' AS host,
-    CASE hid % 3
+    CASE hid % 4
       WHEN 0 THEN 'User-agent: mybot' || chr(10) || 'Disallow: /private/'
         || chr(10) || 'Allow: /private/ok*' || chr(10) || chr(10)
         || 'User-agent: *' || chr(10) || 'Disallow: /'
       WHEN 1 THEN '# fixture robots' || chr(10) || 'User-agent: *'
         || chr(10) || 'Disallow: /tmp/*.pdf$' || chr(10)
         || 'Disallow: /private/' || chr(10) || 'Allow: /public'
+      WHEN 2 THEN 'User-agent: mybot' || chr(10) || 'Disallow:'
+        || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+        || 'Disallow: /'
       ELSE 'User-agent: *' || chr(10) || 'Disallow:'
     END AS robots_txt
   FROM (SELECT DISTINCT doc_id % 11 AS hid FROM documents)
@@ -10796,7 +10837,9 @@ rrules AS (
   FROM grp r JOIN agents a ON a.host = r.host AND a.g = r.g
   WHERE r.f IN ('allow', 'disallow') AND r.g >= 1 AND r.v <> ''
 ),
-hasspec AS (SELECT DISTINCT host FROM rrules WHERE agent = 'mybot'),
+-- group EXISTENCE (RFC 9309 §2.2.1) drives selection, not surviving
+-- rule rows: a rule-less 'mybot' group still shields mybot from '*'
+hasspec AS (SELECT DISTINCT host FROM agents WHERE agent = 'mybot'),
 eff AS (
   SELECT r.* FROM rrules r LEFT JOIN hasspec s ON s.host = r.host
   WHERE CASE WHEN s.host IS NOT NULL THEN r.agent = 'mybot'

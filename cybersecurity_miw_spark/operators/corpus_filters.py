@@ -763,13 +763,23 @@ def dedup_paragraphs(
     back out but never windows over it), one per-doc order-preserving
     re-assembly. The exact-substring analog of the Lee et al. span
     machinery one level up."""
+    import re as _re
+
     from cybersecurity_miw_spark.operators.dedup import staged
 
+    # sep is a LITERAL separator on both sides: F.split takes a regex
+    # but array_join reassembles verbatim, so regex metachars in a
+    # caller-supplied sep (e.g. '||') must be escaped for the split
+    # (re.escape emits only backslash-punct escapes, which Java regex
+    # reads as the same literals)
     paras = staged(
         df.select(
             F.col(id_col).alias("_id"),
             F.posexplode(
-                F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+                F.split(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    _re.escape(sep),
+                )
             ).alias("_pos", "_p"),
         ).withColumn("_blank", F.trim(F.col("_p")) == "")
     )

@@ -43,17 +43,19 @@ MAX_DOTSEG_PASSES = 4
 _SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
 
 
-def _base_parts(base: Column) -> tuple[Column, Column, Column]:
-    """(scheme, authority, directory-path) of an absolute base URL.
-    The directory path is everything through the LAST '/' of the path
-    segment (query/fragment stripped), '/' when the path is bare."""
+def _base_parts(base: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, authority, directory-path, full-path) of an absolute
+    base URL. The directory path is everything through the LAST '/'
+    of the path segment (query/fragment stripped), '/' when the path
+    is bare; the full path is the path segment verbatim (query-only
+    references keep it whole, RFC 3986 §5.3)."""
     scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     authority = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     dirp = F.when(
         path.rlike("/"), F.regexp_replace(path, r"/[^/]*$", "/")
     ).otherwise(F.lit("/"))
-    return scheme, authority, dirp
+    return scheme, authority, dirp, path
 
 
 def resolve_href(base: Column, href: Column) -> Column:
@@ -66,7 +68,7 @@ def resolve_href(base: Column, href: Column) -> Column:
     h = F.trim(F.coalesce(href, F.lit("")))
     # strip the fragment from the reference itself
     h = F.regexp_replace(h, r"#.*$", "")
-    scheme, auth, dirp = _base_parts(base)
+    scheme, auth, dirp, fullp = _base_parts(base)
     lower = F.lower(h)
     is_skip = F.lit(False)
     for s in _SKIP_SCHEMES:
@@ -78,6 +80,13 @@ def resolve_href(base: Column, href: Column) -> Column:
         h.startswith("/"),
         F.concat(scheme, F.lit("://"), auth, h),
     )
+    # query-only reference ('?page=2'): the base keeps its FULL path
+    # (RFC 3986 §5.3 — not the directory merge), only the query is
+    # replaced; the common pagination-href shape
+    query_rel = F.when(
+        h.startswith("?"),
+        F.concat(scheme, F.lit("://"), auth, fullp, h),
+    )
     path_rel = F.concat(scheme, F.lit("://"), auth, dirp, h)
 
     # a non-absolute BASE (no scheme://authority) cannot anchor a
@@ -88,7 +97,10 @@ def resolve_href(base: Column, href: Column) -> Column:
     out = F.when(is_skip | (h == ""), F.lit(None).cast("string")).otherwise(
         F.coalesce(
             abs_url,
-            F.when(base_ok, F.coalesce(proto_rel, root_rel, path_rel)),
+            F.when(
+                base_ok,
+                F.coalesce(proto_rel, root_rel, query_rel, path_rel),
+            ),
         )
     )
     # bounded dot-segment removal on the PATH (never the authority):

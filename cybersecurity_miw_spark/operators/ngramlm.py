@@ -30,15 +30,21 @@ Model shape (stupid backoff, α = 0.4 per Brants et al. §4):
 * bigram rows ``(w1, w2)``: ``lp_micro = ⌊1e6·ln(c2/c1)⌋`` — the
   MLE conditional, kept where ``c2 ≥ min_count`` and both words are
   in-vocab;
-* unigram rows ``(NULL, w)``: ``lp_micro = ⌊1e6·(ln α + ln((c1+1)/
-  (N+V)))⌋`` — the backoff path, add-one smoothed, kept where
-  ``c1 ≥ min_count``;
+* unigram rows ``(NULL, w)``: ``lp_micro = ⌊1e6·ln((c1+1)/(N+V))⌋``
+  — the RAW add-one-smoothed unigram, kept where ``c1 ≥ min_count``.
+  The backoff penalty ``ln α`` is NOT baked in: stupid backoff
+  (Brants et al. §4) applies α only when backing off FROM a bigram,
+  so the scorer adds ``alpha_ln_micro`` on that path alone — a
+  document's FIRST token (no left context) scores its raw unigram
+  unpenalized;
 * OOV scalar (params sidecar): ``lp_oov_micro = ⌊1e6·(ln α +
-  ln(1/(N+V)))⌋`` — the floor every out-of-vocabulary token scores.
+  ln(1/(N+V)))⌋`` — the floor an out-of-vocabulary token scores on
+  the backoff path (first-token OOV scores it WITHOUT the α term:
+  ``lp_oov_micro − alpha_ln_micro``).
 
 Scoring is two left joins of the document's token-pair explode
-against the model projections (bigram hit, else unigram backoff,
-else the OOV literal) and one LONG sum per document — the model side
+against the model projections (bigram hit, else unigram backoff
++ ln α, else the OOV literal) and one LONG sum per document — the model side
 is target-vocab-bounded, small relative to a 100 TB raw corpus, and
 AQE broadcast-joins it when it fits. ``nlp_micro_tok`` (per-token
 negative log-likelihood, micro-nats) is the CCNet "perplexity"
@@ -149,12 +155,13 @@ def train_ngram_lm(
     )
 
     nv = F.lit(n_tokens + vocab)
+    # RAW unigram log-prob — ln(α) is applied at SCORING time on the
+    # backoff path only (Brants et al. §4; first tokens and the
+    # unigram distribution itself are unpenalized)
     unigrams = uni.select(
         F.lit(None).cast("string").alias("w1"),
         F.col("w").alias("w2"),
-        (F.lit(alpha_ln_micro) + _ln_micro(F.col("c1") + 1, nv)).alias(
-            "lp_micro"
-        ),
+        _ln_micro(F.col("c1") + 1, nv).alias("lp_micro"),
         F.col("c1").cast("long").alias("c"),
     )
 
@@ -198,6 +205,10 @@ def train_ngram_lm(
         "vocab": int(vocab),
         "alpha_ln_micro": alpha_ln_micro,
         "lp_oov_micro": int(lp_oov_micro),
+        # format marker: unigram rows carry RAW log-probs (α applied
+        # at scoring time on the backoff path only) — loaders reject
+        # pre-r18 stores whose unigrams baked the α in
+        "unigram_lp": "raw",
     }
     return unigrams.unionByName(bigrams), params
 
@@ -208,6 +219,8 @@ def lm_score(
     lp_oov_micro: int,
     text_col: str = "text",
     id_col: str = "doc_id",
+    *,
+    alpha_ln_micro: int | None = None,
 ) -> DataFrame:
     """Score each document under the frozen model: one row per input
     row with ``n_lm_tokens`` (long), ``lp_micro_sum`` (long — Σ token
@@ -216,17 +229,31 @@ def lm_score(
     smaller = more fluent under the target domain).
 
     Token i ≥ 2 scores the bigram conditional when the model has it,
-    else backoff unigram, else the OOV floor; token 1 has no left
-    context and scores its unigram (else OOV). Tokenless documents
-    score the OOV floor per convention (``n_lm_tokens = 0``,
-    ``nlp_micro_tok = -lp_oov_micro``) so they sort into the tail
-    instead of silently vanishing.
+    else backoff unigram + ``alpha_ln_micro`` (stupid backoff applies
+    α exactly when backing off FROM a bigram — Brants et al. §4),
+    else the OOV floor; token 1 has no left context and scores its
+    RAW unigram unpenalized (else the α-free OOV floor,
+    ``lp_oov_micro − alpha_ln_micro``). ``alpha_ln_micro`` is
+    REQUIRED — pass ``params["alpha_ln_micro"]`` from the train/load
+    sidecar; the model stores raw unigram log-probs, so omitting it
+    cannot be defaulted safely. Tokenless documents score the OOV
+    floor per convention (``n_lm_tokens = 0``, ``nlp_micro_tok =
+    -lp_oov_micro``) so they sort into the tail instead of silently
+    vanishing.
 
     Plan: one pair explode over the batch; two left joins against the
     target-vocab-bounded model projections (AQE broadcasts them when
     they fit); one LONG-sum per document; one join back to the input
     rows. Nothing collects.
     """
+    if alpha_ln_micro is None:
+        raise ValueError(
+            "lm_score requires alpha_ln_micro (the train_ngram_lm "
+            "params['alpha_ln_micro'] backoff penalty) — the model "
+            "stores RAW unigram log-probs and α applies only on the "
+            "bigram→unigram backoff path"
+        )
+    alpha_ln_micro = int(alpha_ln_micro)
     pairs = (
         batch.select(id_col, _words(F.col(text_col)).alias("_w"))
         # tokenless docs produce no pairs (ANSI element_at would
@@ -262,7 +289,22 @@ def lm_score(
         .join(un, pairs["w2"] == un["_uw"], "left")
         .select(
             id_col,
-            F.coalesce("_lp2", "_lp1", F.lit(int(lp_oov_micro)))
+            # first token (w1 NULL): raw unigram, α-free OOV floor;
+            # later tokens: bigram, else unigram + ln α, else OOV
+            F.when(
+                F.col("w1").isNull(),
+                F.coalesce(
+                    "_lp1",
+                    F.lit(int(lp_oov_micro) - alpha_ln_micro),
+                ),
+            )
+            .otherwise(
+                F.coalesce(
+                    "_lp2",
+                    F.col("_lp1") + F.lit(alpha_ln_micro),
+                    F.lit(int(lp_oov_micro)),
+                )
+            )
             .cast("long")
             .alias("_lp"),
         )
@@ -450,6 +492,13 @@ def load_lm_model(
             f"caller expects order={order} — mixed families mis-score "
             "silently. Rebuild or pass the stored order."
         )
+    if params.get("unigram_lp") != "raw":
+        raise ValueError(
+            f"LM at {model_dir} predates the raw-unigram format "
+            "(its unigram rows bake the ln α backoff penalty in, "
+            "over-penalizing first tokens) — rebuild it with "
+            "rebuild_lm_model / write_lm_model"
+        )
     return spark.read.parquet(model_dir), params
 
 
@@ -464,7 +513,8 @@ def score_with_lm_model(
     never rescan the target corpus."""
     model, params = load_lm_model(batch.sparkSession, model_dir)
     return lm_score(
-        batch, model, int(params["lp_oov_micro"]), text_col, id_col
+        batch, model, int(params["lp_oov_micro"]), text_col, id_col,
+        alpha_ln_micro=int(params["alpha_ln_micro"]),
     )
 
 

@@ -68,10 +68,16 @@ def parse_robots(
 ) -> DataFrame:
     """Parse robots.txt bodies into the rules table the gate joins:
     one row per (host, agent, rule_type, pattern, pattern_regex)
-    with ``rule_type`` ∈ {'allow', 'disallow'}. Group structure per
-    RFC 9309: a rule attaches to every agent of the maximal run of
-    ``User-agent:`` lines immediately preceding it; rules before any
-    group and empty patterns are dropped (they match nothing).
+    with ``rule_type`` ∈ {'allow', 'disallow'}, PLUS one
+    ``rule_type='member'`` marker row (NULL pattern) per (host,
+    agent) group — group MEMBERSHIP must survive even when every
+    rule in the group is dropped, because RFC 9309 §2.2.1 selects
+    the most specific matching group before evaluating rules: a
+    rule-less ``User-agent: mybot`` group means mybot is allowed
+    everywhere, NOT that mybot falls back to ``*``. Group structure
+    per RFC 9309: a rule attaches to every agent of the maximal run
+    of ``User-agent:`` lines immediately preceding it; rules before
+    any group and empty patterns are dropped (they match nothing).
 
     Plan: one line posexplode; one host-keyed window pass assigning
     group ids (a group starts at each ua-line whose predecessor is
@@ -115,7 +121,7 @@ def parse_robots(
         F.col("_value").alias("pattern"),
         "line_no",
     ).filter(F.col("pattern") != "")
-    return (
+    rule_rows = (
         rules.join(agents, ["host", "_g"])
         .select(
             "host",
@@ -126,6 +132,14 @@ def parse_robots(
         )
         .distinct()
     )
+    members = agents.select(
+        "host",
+        "agent",
+        F.lit("member").alias("rule_type"),
+        F.lit(None).cast("string").alias("pattern"),
+        F.lit(None).cast("string").alias("pattern_regex"),
+    ).distinct()
+    return rule_rows.unionByName(members)
 
 
 def _path_query(url: Column) -> Column:
@@ -156,6 +170,9 @@ def robots_allowed(
     a column (not a literal), evaluated by the same RE2-class engine
     on both sides of the oracle."""
     agent_l = str(agent).lower()
+    # Group EXISTENCE (any row — including the rule-less 'member'
+    # markers parse_robots emits) decides selection, per RFC 9309
+    # §2.2.1: a rule-less specific group still wins over '*'.
     has_specific = (
         rules.filter(F.col("agent") == agent_l)
         .select("host")
@@ -168,6 +185,7 @@ def robots_allowed(
             F.when(F.col("_has").isNotNull(), F.col("agent") == agent_l)
             .otherwise(F.col("agent") == "*")
         )
+        .filter(F.col("rule_type").isin("allow", "disallow"))
         .select("host", "rule_type", "pattern", "pattern_regex")
     )
     from cybersecurity_miw_spark.operators import urlcurate

@@ -380,15 +380,18 @@ def curate_documents(
                 "pass that fit's cut_tail_micro)"
             )
         if lm_model is not None:
-            if lm_params is None or "lp_oov_micro" not in lm_params:
+            if lm_params is None or "lp_oov_micro" not in lm_params \
+                    or "alpha_ln_micro" not in lm_params:
                 raise ValueError(
                     "lm_model requires lm_params (the train_ngram_lm "
-                    "params dict — lp_oov_micro is the OOV floor the "
-                    "scorer needs)"
+                    "params dict — lp_oov_micro is the OOV floor and "
+                    "alpha_ln_micro the backoff penalty the scorer "
+                    "needs)"
                 )
             scored_lm = ngramlm.lm_score(
                 out, lm_model, int(lm_params["lp_oov_micro"]),
                 text_col=text_col, id_col=id_col,
+                alpha_ln_micro=int(lm_params["alpha_ln_micro"]),
             )
         else:
             scored_lm = ngramlm.score_with_lm_model(

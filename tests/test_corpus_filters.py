@@ -499,6 +499,27 @@ def test_dedup_paragraphs_keep_first(spark):
     assert "src" in dedup_paragraphs(docs2).columns
 
 
+def test_dedup_paragraphs_regex_metachar_sep(spark):
+    """sep is a LITERAL separator (r18 ADVICE fix): a caller sep of
+    '||' — both regex metachars — must split on the literal pipes
+    (not 'empty-or-empty', which splits between every char) and
+    reassemble with the same literal."""
+    from cybersecurity_miw_spark.operators.corpus_filters import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha||shared||beta"), (2, "gamma||shared")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["removed_paragraphs"])
+        for r in dedup_paragraphs(docs, sep="||").collect()
+    }
+    assert out[1] == ("alpha||shared||beta", 0)
+    assert out[2] == ("gamma", 1)
+
+
 def test_dedup_paragraphs_deterministic_under_repartition(spark):
     from cybersecurity_miw_spark.operators.corpus_filters import (
         dedup_paragraphs,

@@ -33,6 +33,10 @@ def test_resolve_href_branches(spark):
         "b.html": "http://a.com/x/b.html",
         "./c.html": "http://a.com/x/c.html",
         "../up.html": "http://a.com/up.html",
+        # query-only keeps the base's FULL path (RFC 3986 §5.3 —
+        # the pagination-href shape, r18 ADVICE-medium regression)
+        "?page=2": "http://a.com/x/page1.html?page=2",
+        "?a=1&b=2#s": "http://a.com/x/page1.html?a=1&b=2",
         # fragment is crawl-irrelevant and dropped
         "/p#sec2": "http://a.com/p",
         # non-navigational schemes and fragment-only → NULL
@@ -371,6 +375,7 @@ def test_resolve_href_agrees_with_stdlib_urljoin(spark):
         "/root.html", "//other.example/p", "sub/dir/f.html",
         "e.html?q=1", "/p?a=1&b=2", "f.html#sec", "#only",
         "https://abs.example/z", "../x/../y.html",
+        "?q=1", "?page=2&x=3",  # query-only: base keeps its FULL path
     ]
     rows, expected = [], []
     for i in range(120):

@@ -59,12 +59,15 @@ def test_model_values_hand_computed(spark):
     assert rows[("on", "the")] == (0, 2)
     # MLE conditional: c("the cat")=2, c1("the")=6 → ln(2/6)
     assert rows[("the", "cat")] == (_ln_micro(2 / 6), 2)
-    # backoff unigram: ln(0.4) + ln((c1+1)/(N+V)), two separate floors
+    # RAW add-one unigram: ln((c1+1)/(N+V)) — ln(0.4) is applied at
+    # scoring time on the backoff path only (Brants et al. §4; the
+    # r18 ADVICE fix — first tokens are not penalized)
     aln = _ln_micro(0.4)
     assert params["alpha_ln_micro"] == aln
-    assert rows[(None, "the")] == (aln + _ln_micro(7 / nv), 6)
-    assert rows[(None, "mat")] == (aln + _ln_micro(2 / nv), 1)
-    # OOV floor
+    assert params["unigram_lp"] == "raw"
+    assert rows[(None, "the")] == (_ln_micro(7 / nv), 6)
+    assert rows[(None, "mat")] == (_ln_micro(2 / nv), 1)
+    # OOV floor (backoff path: includes the alpha term)
     assert params["lp_oov_micro"] == aln + _ln_micro(1 / nv)
     # every log-prob is non-positive
     assert all(v[0] <= 0 for v in rows.values())
@@ -82,9 +85,12 @@ def test_scoring_paths(spark):
         ],
         "doc_id long, text string",
     )
+    aln = params["alpha_ln_micro"]
     out = {
         r["doc_id"]: r
-        for r in lm.lm_score(batch, model, oov).collect()
+        for r in lm.lm_score(
+            batch, model, oov, alpha_ln_micro=aln
+        ).collect()
     }
     uni = {
         r["w2"]: r["lp_micro"]
@@ -96,9 +102,13 @@ def test_scoring_paths(spark):
     }
     assert out[10]["lp_micro_sum"] == uni["the"] + bi[("the", "cat")]
     assert out[10]["n_lm_tokens"] == 2
-    assert out[11]["lp_micro_sum"] == oov + uni["the"]
-    assert out[13]["lp_micro_sum"] == 2 * oov
-    assert out[13]["nlp_micro_tok"] == -oov
+    # doc 11: first-token OOV is alpha-FREE (oov - aln); token 2 "the"
+    # has no ("zz","the") bigram -> raw unigram + aln backoff penalty;
+    # the two alpha terms cancel
+    assert out[11]["lp_micro_sum"] == (oov - aln) + (uni["the"] + aln)
+    # doc 13: first OOV alpha-free, second OOV on the backoff path
+    assert out[13]["lp_micro_sum"] == 2 * oov - aln
+    assert out[13]["nlp_micro_tok"] == -(2 * oov - aln) // 2
     # tokenless doc: zero tokens, OOV-floor NLL → sorts into tail
     assert out[12]["n_lm_tokens"] == 0
     assert out[12]["lp_micro_sum"] == 0
@@ -107,6 +117,15 @@ def test_scoring_paths(spark):
     assert out[10]["nlp_micro_tok"] == (
         -(uni["the"] + bi[("the", "cat")])
     ) // 2
+    # first token scores the RAW unigram -- no backoff penalty
+    single = lm.lm_score(
+        spark.createDataFrame([(14, "the")], "doc_id long, text string"),
+        model, oov, alpha_ln_micro=aln,
+    ).first()
+    assert single["lp_micro_sum"] == uni["the"]
+    # alpha_ln_micro is required: the model stores raw unigrams
+    with pytest.raises(ValueError, match="alpha_ln_micro"):
+        lm.lm_score(batch, model, oov)
 
 
 def test_min_count_prunes_to_oov(spark):
@@ -128,8 +147,14 @@ def test_min_count_prunes_to_oov(spark):
     batch = spark.createDataFrame(
         [(20, "mat")], "doc_id long, text string"
     )
-    row = lm.lm_score(batch, model, params["lp_oov_micro"]).first()
-    assert row["lp_micro_sum"] == params["lp_oov_micro"]
+    row = lm.lm_score(
+        batch, model, params["lp_oov_micro"],
+        alpha_ln_micro=params["alpha_ln_micro"],
+    ).first()
+    # single first token: the alpha-free OOV floor
+    assert row["lp_micro_sum"] == (
+        params["lp_oov_micro"] - params["alpha_ln_micro"]
+    )
 
 
 def test_train_and_score_deterministic_under_repartition(spark):
@@ -139,8 +164,10 @@ def test_train_and_score_deterministic_under_repartition(spark):
     assert p1 == p2
     assert _rows(m1) == _rows(m2)
     batch = _target(spark).repartition(5)
-    s1 = lm.lm_score(_target(spark), m1, p1["lp_oov_micro"])
-    s2 = lm.lm_score(batch, m2, p2["lp_oov_micro"])
+    s1 = lm.lm_score(_target(spark), m1, p1["lp_oov_micro"],
+                     alpha_ln_micro=p1["alpha_ln_micro"])
+    s2 = lm.lm_score(batch, m2, p2["lp_oov_micro"],
+                     alpha_ln_micro=p2["alpha_ln_micro"])
     assert _rows(s1) == _rows(s2)
 
 
@@ -162,7 +189,8 @@ def test_bucket_cuts_and_report(spark):
         + [(20 + i, "zz qq ww unknown gibberish") for i in range(6)],
         "doc_id long, text string",
     )
-    scored = lm.lm_score(batch, model, params["lp_oov_micro"])
+    scored = lm.lm_score(batch, model, params["lp_oov_micro"],
+                         alpha_ln_micro=params["alpha_ln_micro"])
     cuts = lm.lm_bucket_cuts(scored)
     assert cuts["cut_head_micro"] <= cuts["cut_tail_micro"]
     assert cuts["n_docs"] == 18
@@ -195,13 +223,27 @@ def test_store_roundtrip_and_family_guard(spark, tmp_path):
         [(30, "the cat sat"), (31, "zz")], "doc_id long, text string"
     )
     frozen = lm.score_with_lm_model(batch, d)
-    direct = lm.lm_score(batch, in_mem, params["lp_oov_micro"])
+    direct = lm.lm_score(batch, in_mem, params["lp_oov_micro"],
+                         alpha_ln_micro=params["alpha_ln_micro"])
     assert _rows(frozen) == _rows(direct)
     # guards: missing sidecar, family mismatch
     with pytest.raises(ValueError, match="no LM sidecar"):
         lm.load_lm_model(spark, str(tmp_path / "nope"))
     with pytest.raises(ValueError, match="order"):
         lm.load_lm_model(spark, d, order=3)
+    # pre-r18 store (unigrams with the alpha baked in) is rejected
+    import json as _json
+    import pathlib as _pl
+
+    sc = _pl.Path(d) / "_lm_params.json"
+    legacy = {k: v for k, v in params.items() if k != "unigram_lp"}
+    sc.write_text(_json.dumps(legacy))
+    # drop Hadoop's local-FS checksum sidecar so the edit is readable
+    crc = _pl.Path(d) / "._lm_params.json.crc"
+    if crc.exists():
+        crc.unlink()
+    with pytest.raises(ValueError, match="raw-unigram"):
+        lm.load_lm_model(spark, d)
 
 
 def test_drift_monitor_and_rebuild(spark, tmp_path):
@@ -252,7 +294,8 @@ def test_curate_documents_lm_gate(spark, tmp_path):
         + [(10 + i, f"{noise} extra{i}") for i in range(4)],
         "doc_id long, text string",
     )
-    scored = lm.lm_score(docs, model, params["lp_oov_micro"])
+    scored = lm.lm_score(docs, model, params["lp_oov_micro"],
+                         alpha_ln_micro=params["alpha_ln_micro"])
     cut = scored.filter(F.col("doc_id") < 10).agg(
         F.max("nlp_micro_tok")
     ).first()[0]

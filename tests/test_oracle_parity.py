@@ -112,8 +112,43 @@ def test_oracle_parity(spark, name):
     # must land in the same coarse dtype class per column, else the
     # driver's pandas-hash goes red even with identical values (the
     # HUGEINT class that cost rows in r3 and r5).
-    s_kinds = dtype_classes(qdf.toPandas())
-    o_kinds = dtype_classes(con.execute(ORACLES[name]).df())
+    s_pdf = qdf.toPandas()
+    o_pdf = con.execute(ORACLES[name]).df()
+
+    # Driver-faithful canonicalization check, window queries only: the
+    # driver canonicalizes via pandas sort/factorize, which raises
+    # "unhashable type" on list/dict cells (the r17 link_anchor_index
+    # red row — exact vs DuckDB here, red in CORRECTNESS_r17). The
+    # repr-based normalize() above tolerates lists; this does not.
+    # In-window queries must expose scalar columns only — serialize
+    # arrays with array_join (the app_word_reverse_index precedent).
+    from cybersecurity_miw_spark.catalog import _DRIVER_WINDOW
+
+    if name in _DRIVER_WINDOW:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        bad = [
+            f.name for f in qdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not bad, (
+            f"{name}: in-window query exposes non-scalar columns {bad} "
+            "— the driver's pandas canonicalizer cannot hash them; "
+            "serialize with array_join before registering"
+        )
+        for pdf, side in ((s_pdf, "spark"), (o_pdf, "oracle")):
+            try:
+                pdf.sort_values(by=sorted(pdf.columns)).apply(
+                    lambda s: s.factorize()[0] if s.dtype.kind == "O" else s
+                )
+            except TypeError as exc:  # pragma: no cover - guard path
+                raise AssertionError(
+                    f"{name}: driver pandas canonicalization fails on "
+                    f"the {side} side: {exc}"
+                ) from None
+
+    s_kinds = dtype_classes(s_pdf)
+    o_kinds = dtype_classes(o_pdf)
     diffs = {
         c: (s_kinds[c], o_kinds[c])
         for c in s_kinds

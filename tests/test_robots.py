@@ -33,9 +33,11 @@ def test_parse_groups_and_edge_cases(spark):
         "Disallow:\n"                         # empty pattern: dropped
         "DISALLOW: /b\n"                      # case-insensitive field
     )
+    parsed = _rules(spark, txt).collect()
     rows = {
         (r["agent"], r["rule_type"], r["pattern"])
-        for r in _rules(spark, txt).collect()
+        for r in parsed
+        if r["rule_type"] != "member"
     }
     assert rows == {
         ("alpha", "disallow", "/a"),
@@ -44,6 +46,29 @@ def test_parse_groups_and_edge_cases(spark):
         ("beta", "allow", "/a/ok"),
         ("*", "disallow", "/b"),
     }
+    # one NULL-pattern membership marker per (host, agent) group —
+    # group existence must survive even when all its rules drop
+    members = {
+        (r["agent"], r["pattern"], r["pattern_regex"])
+        for r in parsed
+        if r["rule_type"] == "member"
+    }
+    assert members == {
+        ("alpha", None, None), ("beta", None, None), ("*", None, None)
+    }
+
+
+def test_ruleless_specific_group_shields_from_star(spark):
+    """RFC 9309 §2.2.1 (the r18 ADVICE-high regression): 'User-agent:
+    mybot / Disallow:' followed by 'User-agent: * / Disallow: /' —
+    mybot's group EXISTS (empty-pattern rule drops, membership does
+    not), so mybot is allowed everywhere while others are blocked."""
+    txt = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    rules = _rules(spark, txt)
+    got = _gate(spark, rules, ["http://a.com/a"], agent="mybot")
+    assert got["http://a.com/a"] == (True, None)
+    got = _gate(spark, rules, ["http://a.com/a"], agent="otherbot")
+    assert got["http://a.com/a"] == (False, "/")
 
 
 def test_pattern_regex_translation(spark):

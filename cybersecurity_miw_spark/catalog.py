@@ -10586,7 +10586,67 @@ s{i} AS (
     )
 
 
+def _lg_pagerank_dangling_sql(iters: int) -> str:
+    """Unrolled twin of pagerank(redistribute_dangling=True): same
+    integer pipeline plus, per iteration, the 1-row dangling-mass
+    total and its uniform ``dm // N`` share added to every node's
+    in-mass BEFORE damping (Page et al. 1999)."""
+    ctes = [
+        """lge AS (
+  SELECT DISTINCT src_url, dst_url FROM eraw WHERE src_url <> dst_url
+),
+lgdg AS (SELECT src_url, CAST(count(*) AS BIGINT) AS dg FROM lge GROUP BY 1),
+lgnodes AS (SELECT src_url AS url FROM lge UNION SELECT dst_url FROM lge),
+lgn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lgnodes),
+lgdang AS (SELECT url FROM lgnodes EXCEPT SELECT src_url FROM lge),
+s0 AS (SELECT url, CAST(1000000 AS BIGINT) AS pr FROM lgnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""dm{i} AS (
+  SELECT CAST(coalesce(sum(s.pr), 0) AS BIGINT) AS dm
+  FROM lgdang g JOIN s{i - 1} s ON s.url = g.url
+),
+i{i} AS (
+  SELECT e.dst_url, CAST(sum(s.pr // d.dg) AS BIGINT) AS m
+  FROM lge e JOIN lgdg d ON d.src_url = e.src_url
+  JOIN s{i - 1} s ON s.url = e.src_url
+  GROUP BY 1
+),
+s{i} AS (
+  SELECT n.url,
+         CAST(150000 + (850000 * (coalesce(i{i}.m, 0)
+              + (SELECT dm FROM dm{i}) // (SELECT n FROM lgn)))
+              // 1000000 AS BIGINT) AS pr
+  FROM lgnodes n LEFT JOIN i{i} ON i{i}.dst_url = n.url
+)""")
+    return (
+        f"WITH {_LG_EDGES_SQL},\n" + ",\n".join(ctes)
+        + f"\nSELECT url, pr AS pr_micro FROM s{iters}"
+    )
+
+
 _LG_PR_ITERS = 2
+
+
+@register(
+    "link_pagerank_dangling", _lg_pagerank_dangling_sql(_LG_PR_ITERS)
+)
+def q_link_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank with dangling-mass redistribution
+    (linkgraph.pagerank(redistribute_dangling=True), TWO unrolled
+    iterations in the twin — the link_pagerank precedent): the
+    published Page et al. variant where nodes without out-links
+    return their mass uniformly each iteration, so total mass is
+    conserved up to integer dust. The fixture's img.cdn*.example.com
+    targets are all dangling, making the two variants diverge on
+    every node. One extra 1-row aggregate per iteration, broadcast-
+    crossed; zero driver rows beyond the one node-count scalar."""
+    return linkgraph.pagerank(
+        _lg_edges(spark, sf_dir),
+        iters=_LG_PR_ITERS,
+        checkpoint=False,
+        redistribute_dangling=True,
+    )
 
 
 @register("link_pagerank", _lg_pagerank_sql(_LG_PR_ITERS))
@@ -10809,8 +10869,11 @@ kv AS (
          lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS f,
          trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS v
   FROM rlines
+  -- crawl-delay is retained for GROUPING parity with _grouped_kv
+  -- (a delay line terminates a ua run) even though the gate never
+  -- reads it
   WHERE lower(trim(regexp_extract(clean, '^([^:]+):', 1)))
-        IN ('user-agent', 'allow', 'disallow')
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
 ),
 kvp AS (
   SELECT *, coalesce(lag(f) OVER (PARTITION BY host ORDER BY line_no),
@@ -10882,6 +10945,175 @@ def q_robots_allow_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     urls, robots_df = _robots_fixture(spark, sf_dir)
     rules = _rbt.parse_robots(robots_df)
     return _rbt.robots_allowed(urls, rules, agent="mybot")
+
+
+# ---------------------------------------------------------------------------
+# r18: time-aware politeness (robots.robots_crawl_delays →
+# linkgraph.fetch_schedule timed mode). The fixture's hosts rotate
+# through the four delay shapes the parser distinguishes: a
+# specific-agent declaration beating '*', a fractional declaration
+# BELOW the global floor (raised to it), a rule-ful mybot group with
+# no delay (group existence → no declaration → default; the gate's
+# §2.2.1 selection re-used), and no declaration at all. The twin
+# rebuilds the whole chain: line explode, 4-field gaps-and-islands
+# grouping, group-existence selection, min-agg, window rank and the
+# (rank−1)·delay slot arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _fetch_slots_fixture(spark: SparkSession, sf_dir: str):
+    d = F.col("doc_id")
+    hid = (d % 11).cast("string")
+    frontier = load_table(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("http://h"), hid, F.lit(".org/p"), d.cast("string")
+        ).alias("url"),
+        (d % 37).cast("long").alias("score"),
+    )
+    h = F.col("hid")
+    txt = (
+        F.when(
+            h % 4 == 0,
+            F.lit(
+                "User-agent: mybot\nCrawl-delay: 2\n\n"
+                "User-agent: *\nCrawl-delay: 10"
+            ),
+        )
+        .when(h % 4 == 1, F.lit("User-agent: *\nCrawl-delay: 0.5"))
+        .when(
+            h % 4 == 2,
+            F.lit(
+                "User-agent: mybot\nDisallow: /x\n\n"
+                "User-agent: *\nCrawl-delay: 7"
+            ),
+        )
+        .otherwise(F.lit("User-agent: *\nDisallow:"))
+    )
+    hosts = (
+        load_table(spark, sf_dir, "documents")
+        .select((F.col("doc_id") % 11).alias("hid"))
+        .distinct()
+    )
+    robots_df = hosts.select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".org")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return frontier, robots_df
+
+
+_SLOT_DEFAULT_MS = 1000
+_SLOT_PER_HOST_K = 8
+
+_SLOTS_SQL = f"""
+WITH rbt AS (
+  SELECT 'h' || hid::VARCHAR || '.org' AS host,
+    CASE hid % 4
+      WHEN 0 THEN 'User-agent: mybot' || chr(10) || 'Crawl-delay: 2'
+        || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+        || 'Crawl-delay: 10'
+      WHEN 1 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 0.5'
+      WHEN 2 THEN 'User-agent: mybot' || chr(10) || 'Disallow: /x'
+        || chr(10) || chr(10) || 'User-agent: *' || chr(10)
+        || 'Crawl-delay: 7'
+      ELSE 'User-agent: *' || chr(10) || 'Disallow:'
+    END AS robots_txt
+  FROM (SELECT DISTINCT doc_id % 11 AS hid FROM documents)
+),
+rlines AS (
+  SELECT host, u.i AS line_no,
+         trim(regexp_replace(u.v, '#.*$', '')) AS clean
+  FROM (
+    SELECT host,
+           unnest([{{'i': i, 'v': ls[i + 1]}}
+                   FOR i IN generate_series(0, len(ls) - 1)]) AS u
+    FROM (SELECT host, string_split(robots_txt, chr(10)) AS ls FROM rbt)
+  )
+),
+kv AS (
+  SELECT host, line_no,
+         lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS f,
+         trim(regexp_extract(clean, '^[^:]+:(.*)$', 1)) AS v
+  FROM rlines
+  WHERE lower(trim(regexp_extract(clean, '^([^:]+):', 1)))
+        IN ('user-agent', 'allow', 'disallow', 'crawl-delay')
+),
+kvp AS (
+  SELECT *, coalesce(lag(f) OVER (PARTITION BY host ORDER BY line_no),
+                     '') AS prevf
+  FROM kv
+),
+grp AS (
+  SELECT *, sum(CASE WHEN f = 'user-agent' AND prevf <> 'user-agent'
+                THEN 1 ELSE 0 END)
+            OVER (PARTITION BY host ORDER BY line_no
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM kvp
+),
+agents AS (
+  SELECT DISTINCT host, g, lower(v) AS agent FROM grp
+  WHERE f = 'user-agent'
+),
+dvals AS (
+  SELECT host, g,
+         CAST(floor(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS ms
+  FROM grp
+  WHERE f = 'crawl-delay' AND g >= 1
+    AND regexp_matches(v, '^[0-9]+(\\.[0-9]+)?$')
+),
+hasspec AS (SELECT DISTINCT host FROM agents WHERE agent = 'mybot'),
+cd AS (
+  SELECT d.host, CAST(min(d.ms) AS BIGINT) AS crawl_delay_ms
+  FROM dvals d
+  JOIN agents a ON a.host = d.host AND a.g = d.g
+  LEFT JOIN hasspec s ON s.host = d.host
+  WHERE CASE WHEN s.host IS NOT NULL THEN a.agent = 'mybot'
+        ELSE a.agent = '*' END
+  GROUP BY 1
+),
+frontier AS (
+  SELECT 'http://h' || (doc_id % 11)::VARCHAR || '.org/p'
+           || doc_id::VARCHAR AS url,
+         CAST(doc_id % 37 AS BIGINT) AS score,
+         'h' || (doc_id % 11)::VARCHAR || '.org' AS host
+  FROM documents
+),
+ranked AS (
+  SELECT url, score, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY score DESC, url ASC) AS host_rank
+  FROM frontier
+)
+SELECT r.url, r.score, r.host,
+       CAST(r.host_rank AS INTEGER) AS host_rank,
+       CAST((r.host_rank - 1)
+            * greatest(coalesce(c.crawl_delay_ms, {_SLOT_DEFAULT_MS}),
+                       {_SLOT_DEFAULT_MS}) AS BIGINT) AS fetch_slot_ms
+FROM ranked r LEFT JOIN cd c ON c.host = r.host
+WHERE r.host_rank <= {_SLOT_PER_HOST_K}
+"""
+
+
+@register("crawl_fetch_slots", _SLOTS_SQL)
+def q_crawl_fetch_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-aware politeness schedule (robots.robots_crawl_delays,
+    agent='mybot' → linkgraph.fetch_schedule timed mode): per
+    frontier URL its host, within-host rank, and ``fetch_slot_ms =
+    (host_rank−1)·delay`` where delay is the host's declared
+    Crawl-delay (group-existence selection, min-over-groups, ms
+    rounding) raised to the 1 s global floor, default for
+    undeclared hosts; per-host budget capped at 8. One host window +
+    one host-roster-bounded left join — the whole rate-limiter as
+    integer rank arithmetic."""
+    frontier, robots_df = _fetch_slots_fixture(spark, sf_dir)
+    delays = _rbt.robots_crawl_delays(robots_df, agent="mybot")
+    return linkgraph.fetch_schedule(
+        frontier,
+        url_col="url",
+        score_col="score",
+        per_host_k=_SLOT_PER_HOST_K,
+        host_delays=delays,
+        default_delay_ms=_SLOT_DEFAULT_MS,
+    ).select("url", "score", "host", "host_rank", "fetch_slot_ms")
 
 
 # ---------------------------------------------------------------------------

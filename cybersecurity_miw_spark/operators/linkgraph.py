@@ -16,10 +16,13 @@ iterative op; it follows the engine's integer driver-loop discipline
 micro-units, every per-iteration aggregate is a LONG sum of integer
 divisions — partition order cannot change a single bit — and the
 driver sees only scalars, never rows. The damping split is the
-standard PageRank ``(1-d) + d·Σ in-mass`` with the documented
-"dangling mass is dropped" variant (the common graph-library choice:
-nodes without out-links do not redistribute; totals shrink, order —
-the only thing a frontier consumes — is unaffected).
+standard PageRank ``(1-d) + d·Σ in-mass``; by default dangling mass
+is dropped (the common graph-library choice: nodes without
+out-links do not redistribute; totals shrink, order — the only
+thing a frontier consumes — is unaffected), and
+``redistribute_dangling=True`` opts into the published Page et al.
+uniform redistribution (one extra 1-row aggregate per iteration;
+mass conserved up to integer dust).
 
 href resolution (RFC 3986, bounded): absolute and protocol-relative
 and root-relative references resolve exactly; path-relative
@@ -277,6 +280,7 @@ def pagerank(
     iters: int = 5,
     damping_micro: int = DEFAULT_DAMPING_MICRO,
     checkpoint: bool = True,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Integer fixed-point PageRank over the SIMPLE graph of distinct
     ``(src_url, dst_url)`` edges (parallel anchors collapse — one
@@ -284,16 +288,31 @@ def pagerank(
     synchronous iterations from a uniform start of 1e6 micro-units
     per node, ``pr' = (1e6 - d) + (d · Σ_in (pr_src div out_deg_src))
     div 1e6`` with all arithmetic in LONGs — bit-identical under any
-    partitioning, the apps.kmeans_train_int discipline. Dangling
-    mass is dropped (module docstring). Self-loops are removed (a
-    page cannot endorse itself).
+    partitioning, the apps.kmeans_train_int discipline. Self-loops
+    are removed (a page cannot endorse itself).
+
+    ``redistribute_dangling=False`` (default) drops dangling mass —
+    nodes without out-links do not redistribute (the common
+    graph-library variant; totals shrink, order is unaffected).
+    ``redistribute_dangling=True`` implements the published
+    algorithm (Page et al. 1999: dangling mass returns uniformly):
+    each iteration one extra 1-row LONG-sum computes the dangling
+    nodes' total mass, and every node's in-mass gains ``dm div N``
+    before damping — mass is conserved up to integer-division dust.
+    On real web graphs a large fraction of nodes is dangling, so the
+    default deflates scores NON-uniformly (nodes fed by dangling-
+    heavy neighborhoods lose more); turn this on when absolute score
+    magnitudes matter (cross-crawl comparisons, score thresholds).
 
     Plan per iteration: one join of the edge list against the
     current scores on the uniform src key, one dst-key LONG-sum, one
     left join back onto the node set — two shuffles, both on
     URL keys; the out-degree is joined ONCE before the loop and the
-    staged edge frame is reused by every iteration. Driver traffic:
-    zero rows (fixed iteration count, the oracle-able variant; pass
+    staged edge frame is reused by every iteration. The dangling
+    term adds one 1-row aggregate broadcast-crossed onto the node
+    set (never a per-node join). Driver traffic: zero rows (the node
+    count N is ONE bounded scalar, collected once before the loop;
+    fixed iteration count, the oracle-able variant; pass
     ``checkpoint=False`` only for short unrolled-oracle runs)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
@@ -315,6 +334,11 @@ def pagerank(
         .union(e.select(F.col("dst_url").alias("url")))
         .distinct()
     )
+    if redistribute_dangling:
+        n_nodes = nodes.count() or 1  # one bounded scalar, once
+        dang = staged(
+            nodes.join(deg, nodes["url"] == deg["src_url"], "left_anti")
+        )
     base = MICRO - int(damping_micro)
     score = nodes.select("url", F.lit(MICRO).cast("long").alias("pr_micro"))
     for _ in range(iters):
@@ -327,6 +351,19 @@ def pagerank(
             .groupBy("dst_url")
             .agg(F.sum("_c").alias("_in"))
         )
+        joined = nodes.join(inc, nodes["url"] == inc["dst_url"], "left")
+        if redistribute_dangling:
+            dm = dang.join(score, "url").agg(
+                F.coalesce(F.sum("pr_micro"), F.lit(0))
+                .cast("long")
+                .alias("_dm")
+            )
+            # bcast-bound: _dm = ONE row (this iteration's total
+            # dangling mass); the uniform share is a row expression
+            joined = joined.crossJoin(F.broadcast(dm))
+            in_expr = f"(coalesce(_in, 0) + div(_dm, {n_nodes}))"
+        else:
+            in_expr = "coalesce(_in, 0)"
         # overflow-safe exact multiply: d·inc div 1e6 computed as
         # d·(inc div 1e6) + (d·(inc mod 1e6)) div 1e6 — algebraically
         # identical (q·M·d is divisible by M), but the intermediate
@@ -335,15 +372,13 @@ def pagerank(
         # billions of nodes (the naive product d·inc overflows near
         # n ≈ 10^7 in that worst case)
         d = int(damping_micro)
-        score = nodes.join(
-            inc, nodes["url"] == inc["dst_url"], "left"
-        ).select(
+        score = joined.select(
             "url",
             (
                 F.lit(base)
                 + F.expr(
-                    f"{d} * div(coalesce(_in, 0), {MICRO}) "
-                    f"+ div((coalesce(_in, 0) % {MICRO}) * {d}, {MICRO})"
+                    f"{d} * div({in_expr}, {MICRO}) "
+                    f"+ div(({in_expr} % {MICRO}) * {d}, {MICRO})"
                 )
             ).cast("long").alias("pr_micro"),
         )
@@ -359,6 +394,8 @@ def fetch_schedule(
     url_col: str = "dst_url",
     score_col: str = "frontier_score",
     per_host_k: int | None = None,
+    host_delays: DataFrame | None = None,
+    default_delay_ms: int | None = None,
 ) -> DataFrame:
     """Politeness-aware fetch ordering: the frontier interleaved BY
     HOST so consecutive fetches never hammer one server — each URL
@@ -370,18 +407,37 @@ def fetch_schedule(
     fetcher's job). ``per_host_k`` caps how many URLs per host enter
     the schedule at all (the per-site crawl budget).
 
+    TIME dimension (opt-in): pass ``host_delays`` — a ``(host,
+    crawl_delay_ms)`` table, e.g. :func:`~cybersecurity_miw_spark.
+    operators.robots.robots_crawl_delays` — and/or
+    ``default_delay_ms`` (a GLOBAL politeness floor: hosts with no
+    declaration use it, and a declaration below it is raised to it),
+    and each URL additionally gets ``fetch_slot_ms = (host_rank−1) ·
+    delay``: the earliest fetch time relative to the host's first
+    fetch that honors the per-host minimum interval. A fetcher
+    draining in ``fetch_slot_ms`` order (ties by score desc, url)
+    never violates any host's declared delay while still running
+    hosts fully in parallel. Pure integer rank arithmetic — the
+    SQL-twinnable form of a rate limiter.
+
     Plan: one host-partitioned window (frontiers are host-diverse by
     construction — the hot-host case is exactly what the cap
-    bounds), no joins. Output adds ``host`` and ``host_rank``; the
-    fetch order IS ``orderBy(host_rank, score desc, url)`` — stated
-    as a contract instead of a baked-in sort so callers compose it
-    with their own limit/shard steps."""
+    bounds), plus one host-key left join ONLY when ``host_delays``
+    is given (host-roster-bounded, broadcast-able). Output adds
+    ``host`` and ``host_rank`` (and ``fetch_slot_ms`` in timed
+    mode); the fetch order IS ``orderBy(host_rank, score desc,
+    url)`` — stated as a contract instead of a baked-in sort so
+    callers compose it with their own limit/shard steps."""
     from pyspark.sql import Window
 
     from cybersecurity_miw_spark.operators import urlcurate
 
     if per_host_k is not None and per_host_k < 1:
         raise ValueError(f"per_host_k must be >= 1, got {per_host_k}")
+    if default_delay_ms is not None and default_delay_ms < 0:
+        raise ValueError(
+            f"default_delay_ms must be >= 0, got {default_delay_ms}"
+        )
     w = Window.partitionBy("host").orderBy(
         F.col(score_col).desc(), F.col(url_col).asc()
     )
@@ -390,6 +446,28 @@ def fetch_schedule(
     ).withColumn("host_rank", F.row_number().over(w))
     if per_host_k is not None:
         out = out.filter(F.col("host_rank") <= per_host_k)
+    if host_delays is not None or default_delay_ms is not None:
+        default = F.lit(int(default_delay_ms or 0)).cast("long")
+        if host_delays is not None:
+            out = out.join(
+                host_delays.select(
+                    "host",
+                    F.col("crawl_delay_ms").cast("long").alias("_cdms"),
+                ),
+                "host",
+                "left",
+            )
+            delay = F.greatest(F.coalesce("_cdms", default), default)
+        else:
+            delay = default
+        out = out.withColumn(
+            "fetch_slot_ms",
+            ((F.col("host_rank") - 1).cast("long") * delay).alias(
+                "fetch_slot_ms"
+            ),
+        )
+        if host_delays is not None:
+            out = out.drop("_cdms")
     return out
 
 

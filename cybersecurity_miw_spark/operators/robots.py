@@ -29,8 +29,12 @@ Discovery companions: :func:`robots_sitemaps` extracts ``Sitemap:``
 declarations (legal anywhere in the file, outside groups) and
 :func:`parse_sitemaps` parses fetched sitemap/sitemapindex XML into
 frontier seeds. Out of scope (documented, per the RFC's own
-allowances): percent-encoding normalization of rule/URL octets and
-crawl-delay (non-standard).
+allowances): percent-encoding normalization of rule/URL octets.
+``Crawl-delay`` (non-standard but ubiquitous) is parsed ADVISORY by
+:func:`robots_crawl_delays` — it never gates a URL; it feeds the
+fetch scheduler's per-host time slots
+(:func:`~cybersecurity_miw_spark.operators.linkgraph.
+fetch_schedule`).
 """
 
 from __future__ import annotations
@@ -85,36 +89,14 @@ def parse_robots(
     to agent lines on (host, group). Robots bodies are KB-bounded by
     convention (RFC 9309 §2.5 requires parsers to handle ≥ 500 KiB),
     so per-host line counts are bounded and the window never skews."""
-    lines = robots.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
-        ).alias("line_no", "_raw"),
-    )
-    # strip comments + whitespace; classify
-    clean = F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", ""))
-    kv = lines.select(
-        "host",
-        "line_no",
-        F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1))).alias(
-            "_field"
-        ),
-        F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1)).alias("_value"),
-    ).filter(F.col("_field").isin("user-agent", "allow", "disallow"))
-    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = _grouped_kv(robots, host_col, text_col)
+    agents = _group_agents(grouped)
     is_ua = F.col("_field") == "user-agent"
-    starts = F.when(
-        is_ua & (F.lag("_field").over(w) != "user-agent"), 1
-    ).when(is_ua & F.lag("_field").over(w).isNull(), 1).otherwise(0)
-    grouped = kv.withColumn(
-        "_grp", F.sum(starts).over(w)
-    )
-    agents = grouped.filter(is_ua).select(
-        "host",
-        F.col("_grp").alias("_g"),
-        F.lower(F.col("_value")).alias("agent"),
-    ).distinct()
-    rules = grouped.filter(~is_ua & (F.col("_grp") >= 1)).select(
+    rules = grouped.filter(
+        ~is_ua
+        & (F.col("_field") != "crawl-delay")
+        & (F.col("_grp") >= 1)
+    ).select(
         "host",
         F.col("_grp").alias("_g"),
         F.col("_field").alias("rule_type"),
@@ -140,6 +122,115 @@ def parse_robots(
         F.lit(None).cast("string").alias("pattern_regex"),
     ).distinct()
     return rule_rows.unionByName(members)
+
+
+def _grouped_kv(
+    robots: DataFrame, host_col: str, text_col: str
+) -> DataFrame:
+    """Shared parse core: ``(host, line_no, _field, _value, _grp)``
+    for the group-scoped robots fields (``user-agent`` / ``allow`` /
+    ``disallow`` / ``crawl-delay``), group ids assigned by the
+    RFC 9309 gaps-and-islands rule — a group starts at each ua line
+    whose retained predecessor is not a ua line. Including
+    ``crawl-delay`` in the retained set means a delay line between
+    two ua runs TERMINATES the first run (the python robotparser
+    behavior): the delay belongs to the preceding agents, and the
+    next ua line opens a fresh group."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+        ).alias("line_no", "_raw"),
+    )
+    # strip comments + whitespace; classify
+    clean = F.trim(F.regexp_replace(F.col("_raw"), r"#.*$", ""))
+    kv = lines.select(
+        "host",
+        "line_no",
+        F.lower(F.trim(F.regexp_extract(clean, r"^([^:]+):", 1))).alias(
+            "_field"
+        ),
+        F.trim(F.regexp_extract(clean, r"^[^:]+:(.*)$", 1)).alias("_value"),
+    ).filter(
+        F.col("_field").isin(
+            "user-agent", "allow", "disallow", "crawl-delay"
+        )
+    )
+    w = Window.partitionBy("host").orderBy("line_no")
+    is_ua = F.col("_field") == "user-agent"
+    starts = F.when(
+        is_ua & (F.lag("_field").over(w) != "user-agent"), 1
+    ).when(is_ua & F.lag("_field").over(w).isNull(), 1).otherwise(0)
+    return kv.withColumn("_grp", F.sum(starts).over(w))
+
+
+def _group_agents(grouped: DataFrame) -> DataFrame:
+    """Distinct ``(host, _g, agent)`` membership rows of a
+    :func:`_grouped_kv` frame."""
+    return (
+        grouped.filter(F.col("_field") == "user-agent")
+        .select(
+            "host",
+            F.col("_grp").alias("_g"),
+            F.lower(F.col("_value")).alias("agent"),
+        )
+        .distinct()
+    )
+
+
+def robots_crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Advisory ``Crawl-delay`` extraction (non-standard — RFC 9309
+    deliberately omits it — but declared by a large share of real
+    robots files and honored by most non-Google crawlers): per host
+    the effective delay for ``agent`` in integer milliseconds,
+    ``(host, crawl_delay_ms)``. Group selection is the gate's
+    group-EXISTENCE rule (the caller's agent when any of the host's
+    groups names it, else the ``*`` groups); within the selected
+    groups the MINIMUM declared delay wins (most conservative —
+    a file declaring both 5 and 10 for overlapping agents is obeyed
+    at 5). Values must be non-negative numbers (``10``, ``2.5``);
+    unparseable declarations drop. Hosts with no applicable
+    declaration are ABSENT — the scheduler supplies its own default
+    (:func:`~cybersecurity_miw_spark.operators.linkgraph.
+    fetch_schedule` ``default_delay_ms``).
+
+    Plan: the shared line-explode + host-window group pass, one
+    (host, group) join to agents, one host-key min agg — host-roster
+    bounded throughout, broadcast-able like the rules table."""
+    agent_l = str(agent).lower()
+    grouped = _grouped_kv(robots, host_col, text_col)
+    agents = _group_agents(grouped)
+    vals = grouped.filter(
+        (F.col("_field") == "crawl-delay")
+        & (F.col("_grp") >= 1)
+        & F.col("_value").rlike(r"^[0-9]+(\.[0-9]+)?$")
+    ).select(
+        "host",
+        F.col("_grp").alias("_g"),
+        (F.col("_value").cast("double") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("_ms"),
+    )
+    has_specific = (
+        agents.filter(F.col("agent") == agent_l)
+        .select("host")
+        .distinct()
+        .withColumn("_has", F.lit(True))
+    )
+    eff = (
+        vals.join(agents, ["host", "_g"])
+        .join(has_specific, "host", "left")
+        .filter(
+            F.when(F.col("_has").isNotNull(), F.col("agent") == agent_l)
+            .otherwise(F.col("agent") == "*")
+        )
+    )
+    return eff.groupBy("host").agg(F.min("_ms").alias("crawl_delay_ms"))
 
 
 def _path_query(url: Column) -> Column:

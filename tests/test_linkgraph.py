@@ -197,6 +197,59 @@ def test_pagerank_simple_graph_semantics(spark):
         lg.pagerank(edges, damping_micro=1_000_000)
 
 
+def test_pagerank_dangling_redistribution_hand_computed(spark):
+    """redistribute_dangling=True (Page et al. 1999): dangling nodes
+    return their mass uniformly. Graph a→b, a→c: b and c are
+    dangling (mass 2e6 at iter 1 start... here start is uniform 1e6
+    each, dangling total = 2e6, N = 3, share = 2e6//3 = 666666)."""
+    edges = _edges(spark, [("a", "b", ""), ("a", "c", "")])
+    pr = {
+        r["url"]: r["pr_micro"]
+        for r in lg.pagerank(
+            edges, iters=1, redistribute_dangling=True
+        ).collect()
+    }
+    share = (2 * 1_000_000) // 3
+    # in(a)=0+share; in(b)=in(c)=1e6//2+share
+    assert pr["a"] == 150_000 + (850_000 * share) // 1_000_000
+    assert pr["b"] == 150_000 + (850_000 * (500_000 + share)) // 1_000_000
+    assert pr["c"] == pr["b"]
+    # the default variant drops that mass: a gets base only
+    base = {
+        r["url"]: r["pr_micro"]
+        for r in lg.pagerank(edges, iters=1).collect()
+    }
+    assert base["a"] == 150_000
+    assert pr["a"] > base["a"]
+
+
+def test_pagerank_dangling_conserves_mass(spark):
+    """With redistribution, total mass stays ≈ N·1e6 (integer-
+    division dust only: one //deg per edge, one //N share, one //1e6
+    damping round per node per iteration); the default variant
+    visibly leaks the dangling mass on the same graph."""
+    rows = [
+        (f"http://s{i % 5}.com/p{i}",
+         f"http://dangling{i % 17}.com/x{i}", "")
+        for i in range(40)
+    ] + [(f"http://s{i % 5}.com/p{i}", f"http://s{(i + 1) % 5}.com/p{i + 1}", "")
+         for i in range(0, 40, 3)]
+    edges = _edges(spark, rows)
+    iters = 3
+    cons = lg.pagerank(edges, iters=iters, redistribute_dangling=True)
+    n = cons.count()
+    total = cons.agg(F.sum("pr_micro")).first()[0]
+    ideal = n * 1_000_000
+    # dust bound: per iteration each node can lose < 1 micro-unit at
+    # each of ~3 integer divisions, plus the dm//N floor
+    slack = iters * (4 * n + 1_000_000)
+    assert ideal - slack <= total <= ideal
+    leaky_total = (
+        lg.pagerank(edges, iters=iters).agg(F.sum("pr_micro")).first()[0]
+    )
+    assert leaky_total < total - 1_000_000  # the leak is material
+
+
 def test_pagerank_deterministic_under_repartition(spark):
     rows = [
         (f"http://s{i % 7}.com/p{i}", f"http://s{(i * 3 + 1) % 7}.com/p{(i * 5) % 23}", "")
@@ -350,6 +403,67 @@ def test_fetch_schedule_politeness(spark):
 
     with _pt.raises(ValueError, match="per_host_k"):
         lg.fetch_schedule(frontier, per_host_k=0)
+
+
+def test_fetch_schedule_time_slots(spark):
+    """Timed mode: fetch_slot_ms = (host_rank-1)·delay — declared
+    Crawl-delay per host, default as a GLOBAL floor (undeclared
+    hosts use it; smaller declarations are raised to it), per_host_k
+    composes (capped URLs never get slots)."""
+    import pytest as _pt
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.com/1", 9), ("http://a.com/2", 8),
+            ("http://a.com/3", 7),
+            ("http://b.com/1", 5), ("http://b.com/2", 4),
+            ("http://c.com/1", 6), ("http://c.com/2", 1),
+        ],
+        "dst_url string, frontier_score long",
+    )
+    delays = spark.createDataFrame(
+        [("a.com", 2000), ("c.com", 100)],
+        "host string, crawl_delay_ms long",
+    )
+    out = lg.fetch_schedule(
+        frontier, per_host_k=2, host_delays=delays, default_delay_ms=500
+    )
+    rows = {
+        r["dst_url"]: (r["host_rank"], r["fetch_slot_ms"])
+        for r in out.collect()
+    }
+    # declared 2000ms spacing on a.com
+    assert rows["http://a.com/1"] == (1, 0)
+    assert rows["http://a.com/2"] == (2, 2000)
+    assert "http://a.com/3" not in rows  # capped
+    # undeclared host uses the default
+    assert rows["http://b.com/2"] == (2, 500)
+    # declared 100ms is BELOW the floor -> raised to 500
+    assert rows["http://c.com/2"] == (2, 500)
+    # per-host spacing invariant: within each host, consecutive
+    # slots differ by >= the effective delay
+    import collections
+
+    by_host = collections.defaultdict(list)
+    for r in out.collect():
+        by_host[r["host"]].append((r["host_rank"], r["fetch_slot_ms"]))
+    for host, lst in by_host.items():
+        lst.sort()
+        for (_, s1), (_, s2) in zip(lst, lst[1:]):
+            assert s2 - s1 >= 500
+    # delays-only (no default): undeclared hosts fetch immediately
+    out2 = lg.fetch_schedule(frontier, host_delays=delays)
+    r2 = {r["dst_url"]: r["fetch_slot_ms"] for r in out2.collect()}
+    assert r2["http://b.com/2"] == 0
+    assert r2["http://c.com/2"] == 100
+    # default-only: no join, uniform spacing
+    out3 = lg.fetch_schedule(frontier, default_delay_ms=300)
+    r3 = {r["dst_url"]: r["fetch_slot_ms"] for r in out3.collect()}
+    assert r3["http://a.com/3"] == 600
+    # untimed mode: no fetch_slot_ms column at all
+    assert "fetch_slot_ms" not in lg.fetch_schedule(frontier).columns
+    with _pt.raises(ValueError, match="default_delay_ms"):
+        lg.fetch_schedule(frontier, default_delay_ms=-1)
 
 
 def test_resolve_href_agrees_with_stdlib_urljoin(spark):

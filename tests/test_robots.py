@@ -160,6 +160,56 @@ def test_agent_group_selection(spark):
     assert got["http://norules.net/x"][0] is True
 
 
+def test_robots_crawl_delays(spark):
+    """robots_crawl_delays (advisory, non-standard): group-existence
+    selection like the gate, MIN over selected groups, ms rounding
+    of fractional seconds, unparseable values dropped, a delay line
+    between two ua runs terminates the first run."""
+    robots = spark.createDataFrame(
+        [
+            # specific group for mybot (2.5s) + star group (10s)
+            ("a.com", "User-agent: mybot\nCrawl-delay: 2.5\n\n"
+                      "User-agent: *\nCrawl-delay: 10\nDisallow: /x"),
+            # two star groups: min wins (5 over 8)
+            ("b.com", "User-agent: *\nCrawl-delay: 8\n\n"
+                      "User-agent: *\nCrawl-delay: 5"),
+            # mybot group EXISTS but declares no delay -> absent for
+            # mybot even though * declares one (group selection)
+            ("c.com", "User-agent: mybot\nDisallow: /p\n\n"
+                      "User-agent: *\nCrawl-delay: 7"),
+            # unparseable + negative-shaped values drop
+            ("d.com", "User-agent: *\nCrawl-delay: fast\n"
+                      "Crawl-delay: -3"),
+            # delay line TERMINATES the ua run: the delay belongs to
+            # alpha; beta opens a fresh (delay-less) group
+            ("e.com", "User-agent: alpha\nCrawl-delay: 4\n"
+                      "User-agent: beta\nDisallow: /q"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in rb.robots_crawl_delays(robots, agent="mybot").collect()
+    }
+    assert got == {"a.com": 2500, "b.com": 5000}
+    star = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in rb.robots_crawl_delays(robots).collect()
+    }
+    assert star["a.com"] == 10000 and star["c.com"] == 7000
+    assert "d.com" not in star and "e.com" not in star
+    alpha = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in rb.robots_crawl_delays(robots, agent="alpha").collect()
+    }
+    assert alpha.get("e.com") == 4000
+    beta = {
+        r["host"]: r["crawl_delay_ms"]
+        for r in rb.robots_crawl_delays(robots, agent="beta").collect()
+    }
+    assert "e.com" not in beta
+
+
 def test_crawl_allowed_urls_one_call(spark):
     robots = spark.createDataFrame(
         [

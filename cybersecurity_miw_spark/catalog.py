@@ -11117,6 +11117,217 @@ def q_crawl_fetch_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r18: CDX index source (sources/cdx.py — the cc-index targeted-
+# acquisition chain). The fixture synthesizes CDXJ capture lines
+# from doc_ids — rotating status (200/301/404), mime (html vs
+# image), www-prefixed hosts, 1-2 captures per URL (exercising the
+# latest-capture max-struct), and a periodic garbled line (the
+# damage-row convention) — and a 20-block cluster.idx with prefix
+# probes that hit a single block, a 10-block prefix range, the
+# block-boundary predecessor case, and a miss. The twins rebuild the
+# identical line strings in SQL and parse them with
+# regexp_extract + json_extract_string + the same window/max logic.
+# ---------------------------------------------------------------------------
+
+from cybersecurity_miw_spark.sources import cdx as _cdx
+
+
+def _cdx_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = F.col("doc_id")
+    k = F.col("k")
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("s"), (d % 7).cast("string"), F.lit(".co.uk"),
+    )
+    url = F.concat(F.lit("http://"), host, F.lit("/p/"), d.cast("string"))
+    surt = F.concat(
+        F.lit("uk,co,s"), (d % 7).cast("string"), F.lit(")/p/"),
+        d.cast("string"),
+    )
+    status = (
+        F.when(d % 5 == 0, F.lit("404"))
+        .when(d % 5 == 1, F.lit("301"))
+        .otherwise(F.lit("200"))
+    )
+    mime = F.when(d % 4 == 0, F.lit("image/jpeg")).otherwise(
+        F.lit("text/html; charset=utf-8")
+    )
+    js = F.concat(
+        F.lit('{"url": "'), url,
+        F.lit('", "mime": "'), mime,
+        F.lit('", "status": "'), status,
+        F.lit('", "digest": "sha1:D'), d.cast("string"),
+        F.lit('", "length": "'), (500 + d % 100).cast("string"),
+        F.lit('", "offset": "'), (d * 1000 + k).cast("string"),
+        F.lit('", "filename": "crawl-data/seg-'), (d % 4).cast("string"),
+        F.lit("/file-"), (d % 10).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    line = F.when(
+        d % 50 == 0, F.concat(F.lit("garbled "), d.cast("string"))
+    ).otherwise(
+        F.concat(
+            surt, F.lit(" 2024010"), k.cast("string"), F.lit("000000 "),
+            js,
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), (d % 2 + 1).cast("int"))).alias("k"),
+    ).select(line.alias("value"))
+
+
+_CDX_LINE_SQL = """cdxl AS (
+  SELECT CASE WHEN doc_id % 50 = 0 THEN 'garbled ' || doc_id::VARCHAR
+    ELSE
+      'uk,co,s' || (doc_id % 7)::VARCHAR || ')/p/' || doc_id::VARCHAR
+      || ' 2024010' || k::VARCHAR || '000000 '
+      || '{"url": "http://'
+      || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END
+      || 's' || (doc_id % 7)::VARCHAR || '.co.uk/p/' || doc_id::VARCHAR
+      || '", "mime": "'
+      || CASE WHEN doc_id % 4 = 0 THEN 'image/jpeg'
+              ELSE 'text/html; charset=utf-8' END
+      || '", "status": "'
+      || CASE WHEN doc_id % 5 = 0 THEN '404'
+              WHEN doc_id % 5 = 1 THEN '301' ELSE '200' END
+      || '", "digest": "sha1:D' || doc_id::VARCHAR
+      || '", "length": "' || (500 + doc_id % 100)::VARCHAR
+      || '", "offset": "' || (doc_id * 1000 + k)::VARCHAR
+      || '", "filename": "crawl-data/seg-' || (doc_id % 4)::VARCHAR
+      || '/file-' || (doc_id % 10)::VARCHAR || '.warc.gz"}'
+    END AS value
+  FROM documents, (SELECT unnest(generate_series(1, 2)) AS k)
+  WHERE k <= doc_id % 2 + 1
+),
+cdxp AS (
+  SELECT regexp_extract(value, '^(\\S+) (\\d{14}) (\\{.*\\})\\s*$', 1)
+           AS surt_key,
+         regexp_extract(value, '^(\\S+) (\\d{14}) (\\{.*\\})\\s*$', 2)
+           AS ts,
+         regexp_extract(value, '^(\\S+) (\\d{14}) (\\{.*\\})\\s*$', 3)
+           AS js
+  FROM cdxl
+),
+cdxr AS (
+  SELECT surt_key, ts,
+         json_extract_string(js, '$.url') AS url,
+         json_extract_string(js, '$.mime') AS mime,
+         CAST(json_extract_string(js, '$.status') AS INTEGER) AS status,
+         json_extract_string(js, '$.digest') AS digest,
+         CAST(json_extract_string(js, '$.offset') AS BIGINT) AS "offset",
+         CAST(json_extract_string(js, '$.length') AS BIGINT) AS length,
+         json_extract_string(js, '$.filename') AS filename
+  FROM cdxp
+  WHERE surt_key <> '' AND ts <> ''
+)"""
+
+_CDX_FETCHLIST_SQL = f"""
+WITH {_CDX_LINE_SQL},
+kept AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY surt_key
+           ORDER BY ts DESC, filename DESC, "offset" DESC,
+                    length DESC, url DESC, digest DESC) AS rn
+  FROM cdxr
+  WHERE url IS NOT NULL AND filename IS NOT NULL
+    AND "offset" IS NOT NULL AND length IS NOT NULL
+    AND status = 200 AND mime LIKE 'text/html%'
+)
+SELECT url, surt_key, ts, filename, "offset" AS offset, length, digest
+FROM kept WHERE rn = 1
+"""
+
+
+@register("cdx_select_fetchlist", _CDX_FETCHLIST_SQL)
+def q_cdx_select_fetchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The targeted-acquisition fetch list (sources/cdx.py:
+    cdx_records → cdx_select_records): CDXJ capture lines parsed
+    (damage rows dropped by the is_valid gate), gated to status 200
+    + text/html, one LATEST capture per SURT key (max
+    (ts, filename, offset, …) struct), yielding the
+    ``(url, filename, offset, length)`` byte-range fetch table the
+    WARC source consumes. One regexp frame + from_json row pass, one
+    uniform surt-key max-struct agg."""
+    recs = _cdx.cdx_records(_cdx_lines(spark, sf_dir))
+    return _cdx.cdx_select_records(recs)
+
+
+_CDX_CLUSTER_SQL = """
+WITH clines AS (
+  SELECT printf('com,site%02d)/p', i) || ' 20240101000000' || chr(9)
+         || 'cdx-0000' || (i % 3)::VARCHAR || '.gz' || chr(9)
+         || (i * 100000)::VARCHAR || chr(9) || '99999' || chr(9)
+         || i::VARCHAR AS value
+  FROM (SELECT unnest(generate_series(0, 19)) AS i)
+),
+cblocks AS (
+  SELECT str_split(value, chr(9))[1] AS keypart,
+         str_split(value, chr(9))[2] AS cdx_file,
+         CAST(str_split(value, chr(9))[3] AS BIGINT) AS "offset",
+         CAST(str_split(value, chr(9))[4] AS BIGINT) AS length
+  FROM clines
+),
+ckeys AS (
+  SELECT regexp_extract(keypart, '^(\\S+) ', 1) AS key_surt,
+         regexp_extract(keypart, ' (\\d{14})$', 1) AS key_ts,
+         cdx_file, "offset", length
+  FROM cblocks
+),
+cnext AS (
+  SELECT *,
+         lead(key_surt || ' ' || key_ts)
+           OVER (ORDER BY key_surt, key_ts, cdx_file, "offset") AS nxt
+  FROM ckeys
+),
+pfx AS (
+  SELECT unnest(['com,site03', 'com,site1', 'org,none']) AS surt_prefix
+)
+SELECT p.surt_prefix, c.cdx_file, c."offset" AS offset, c.length,
+       c.key_surt, c.key_ts
+FROM cnext c JOIN pfx p
+  ON (c.nxt IS NULL OR c.nxt > p.surt_prefix)
+ AND c.key_surt <= p.surt_prefix || chr(65535)
+"""
+
+
+@register("cdx_shard_lookup", _CDX_CLUSTER_SQL)
+def q_cdx_shard_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cluster.idx block selection (sources/cdx.py:
+    cluster_idx_records → select_index_shards): for each SURT prefix
+    the index blocks whose [first-key, successor-first-key) range
+    can contain it — a one-block point probe ('com,site03', which
+    also selects its boundary predecessor), a ten-block range probe
+    ('com,site1' covering site10-19 plus the predecessor), and a
+    miss ('org,none'). One global lead() window over the tiny
+    cluster table + one broadcast non-equi join."""
+    i = (F.col("doc_id") % 20).cast("int")
+    lines = (
+        load_table(spark, sf_dir, "documents")
+        .select(i.alias("i"))
+        .distinct()
+        .select(
+            F.concat(
+                F.format_string("com,site%02d)/p", F.col("i")),
+                F.lit(" 20240101000000\tcdx-0000"),
+                (F.col("i") % 3).cast("string"),
+                F.lit(".gz\t"),
+                (F.col("i") * 100000).cast("string"),
+                F.lit("\t99999\t"),
+                F.col("i").cast("string"),
+            ).alias("value")
+        )
+    )
+    cluster = _cdx.cluster_idx_records(lines)
+    prefixes = spark.createDataFrame(
+        [("com,site03",), ("com,site1",), ("org,none",)],
+        "surt_prefix string",
+    )
+    return _cdx.select_index_shards(cluster, prefixes)
+
+
+# ---------------------------------------------------------------------------
 # r17: surface-preserving unicode cleanup (textstats.clean_text —
 # the Dolma "fix text" stage). Pages are synthesized with every
 # planted pathology (zero-width joiners inside words, NBSP and

@@ -11328,6 +11328,166 @@ def q_cdx_shard_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r18: exact tokenization under the SHIPPED frozen BPE vocabulary
+# (operators/tokenizer.py + data/bpe_merges.tsv / bpe_vocab.tsv —
+# the quality_clf frozen-literal-model precedent: the model is
+# CONTRACT DATA, inlined into both engines). The Spark side applies
+# rank-greedy BPE in ONE Arrow pass over the distinct words; the
+# DuckDB twin replays the identical greedy loop as a recursive CTE
+# (lowest-rank adjacent pair, leftmost on ties, re-evaluated each
+# step) against the same inlined merge table — full-hash evidence
+# that the one Python stage in this chain is cross-engine exact.
+# ---------------------------------------------------------------------------
+
+from cybersecurity_miw_spark.operators import tokenizer as _tok
+
+_BPE_MERGES, _BPE_VOCAB = _tok.load_bpe_model()
+
+
+def _bpe_sq(s: str) -> str:
+    return s.replace("'", "''")
+
+
+_BPE_MRG_VALUES = ",".join(
+    f"({i},'{_bpe_sq(x)}','{_bpe_sq(y)}')"
+    for i, (x, y) in enumerate(_BPE_MERGES)
+)
+_BPE_VOCAB_SORTED = sorted(_BPE_VOCAB.items(), key=lambda kv: kv[1])
+_BPE_VOCAB_KEYS = ",".join(f"'{_bpe_sq(t)}'" for t, _ in _BPE_VOCAB_SORTED)
+_BPE_VOCAB_IDS = ",".join(str(i) for _, i in _BPE_VOCAB_SORTED)
+
+# the shared segmentation CTEs: distinct corpus words → greedy-BPE
+# token lists (bpetoks) under the inlined frozen merges
+_BPE_SEG_SQL = f"""mrg AS (
+  SELECT * FROM (VALUES {_BPE_MRG_VALUES}) m(rank, x, y)
+),
+rmap AS (
+  SELECT map(list(x || chr(9) || y ORDER BY rank),
+             list(rank ORDER BY rank)) AS m
+  FROM mrg
+),
+bdw AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(trim(coalesce(text, ''))),
+                                     '\\s+'), x -> len(x) > 0) AS ws
+  FROM documents
+),
+bwc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT doc_id, unnest(ws) AS w FROM bdw)
+  GROUP BY 1, 2
+),
+bdwords AS (SELECT DISTINCT w FROM bwc),
+bseg AS (
+  SELECT w, string_split(w, '') AS toks, 0 AS it FROM bdwords
+  UNION ALL
+  SELECT w,
+    toks[1:bi-1] || [toks[bi] || toks[bi+1]] || toks[bi+2:] AS toks,
+    it + 1 AS it
+  FROM (
+    SELECT w, toks, it,
+           list_position(rl, list_min(rl)) AS bi,
+           list_min(rl) AS mr
+    FROM (
+      SELECT w, toks, it,
+             [coalesce(list_extract(map_extract(rmap.m,
+                  toks[i] || chr(9) || toks[i+1]), 1), 1000000)
+              FOR i IN generate_series(1, len(toks)-1)] AS rl
+      FROM bseg, rmap
+      WHERE len(toks) >= 2
+    )
+  )
+  WHERE mr < 1000000
+),
+bpetoks AS (
+  SELECT w, toks FROM (
+    SELECT *, row_number() OVER (PARTITION BY w ORDER BY it DESC) AS rn
+    FROM bseg
+  ) WHERE rn = 1
+)"""
+
+_BPE_COUNTS_SQL = f"""
+WITH RECURSIVE {_BPE_SEG_SQL}
+SELECT d.doc_id,
+       coalesce(s.tot, 0) AS n_tokens_exact
+FROM documents d
+LEFT JOIN (
+  SELECT bwc.doc_id, CAST(sum(bwc.n * len(t.toks)) AS BIGINT) AS tot
+  FROM bwc JOIN bpetoks t ON t.w = bwc.w
+  GROUP BY 1
+) s ON s.doc_id = d.doc_id
+"""
+
+
+@register("bpe_token_counts", _BPE_COUNTS_SQL)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token counts under the shipped frozen BPE vocabulary
+    (tokenizer.token_counts_exact): per document the real
+    segmentation length — the number every budget operator should
+    bind to. One word explode + uniform (doc, word) count agg, ONE
+    Arrow greedy-BPE pass over the DISTINCT words, one word join +
+    one LONG weighted sum. The twin replays the greedy loop as a
+    recursive CTE over the same inlined merge table."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _tok.token_counts_exact(
+        docs, _BPE_MERGES, _BPE_VOCAB
+    ).select("doc_id", "n_tokens_exact")
+
+
+_BPE_IDS_SQL = f"""
+WITH RECURSIVE {_BPE_SEG_SQL},
+vmap AS (
+  SELECT map([{_BPE_VOCAB_KEYS}], [{_BPE_VOCAB_IDS}]) AS vm
+),
+docpos AS (
+  SELECT doc_id,
+         u.i AS pos, u.v AS w
+  FROM (
+    SELECT doc_id,
+           unnest([{{'i': i, 'v': ws[i]}}
+                   FOR i IN generate_series(1, len(ws))]) AS u
+    FROM bdw
+  )
+),
+wordids AS (
+  SELECT t.w,
+         [coalesce(list_extract(map_extract(vmap.vm, tk), 1), 0)
+          FOR tk IN t.toks] AS ids
+  FROM bpetoks t, vmap
+),
+perdoc AS (
+  SELECT p.doc_id,
+         flatten(list(i.ids ORDER BY p.pos)) AS all_ids
+  FROM docpos p JOIN wordids i ON i.w = p.w
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(array_to_string(
+         [x::VARCHAR FOR x IN perdoc.all_ids], ','), '') AS token_ids_csv
+FROM documents d LEFT JOIN perdoc ON perdoc.doc_id = d.doc_id
+"""
+
+
+@register("bpe_token_ids", _BPE_IDS_SQL)
+def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact token-ID SEQUENCE per document under the frozen
+    vocabulary (tokenizer.tokenize_ids_exact), serialized to a CSV
+    string (the driver window's scalar-columns rule — the
+    link_anchor_index precedent): full-sequence evidence that the
+    Arrow segmentation, the vocabulary mapping AND the order-struct
+    re-assembly are cross-engine exact, not just the counts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ids = _tok.tokenize_ids_exact(docs, _BPE_MERGES, _BPE_VOCAB)
+    return ids.select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")),
+            ",",
+        ).alias("token_ids_csv"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # r17: surface-preserving unicode cleanup (textstats.clean_text —
 # the Dolma "fix text" stage). Pages are synthesized with every
 # planted pathology (zero-width joiners inside words, NBSP and

@@ -39,7 +39,10 @@ def pack_sequences(
 
     Output: input columns + ``packer`` (partition id), ``bin_id``
     (within-packer, 0-based), ``overflow`` (row alone in its bin with
-    weight > budget). Global bin identity is (packer, bin_id).
+    weight > budget). Global bin identity is (packer, bin_id). For
+    bins sized in REAL model tokens, pass
+    ``weight_col="n_tokens_exact"`` from
+    tokenizer.token_counts_exact (the shipped frozen BPE vocab).
     Deterministic: hash-assigned packer, FFD order (weight desc, md5
     tiebreak) inside each packer."""
     if budget <= 0:

@@ -331,7 +331,10 @@ def budget_select(
     (score DESC, md5(salt:id), id) order and keep every document
     whose INCLUSIVE running token sum stays <= ``budget_tokens`` —
     the "best docs until the budget is spent" primitive of LLM
-    data curation (quality-weighted corpus capping).
+    data curation (quality-weighted corpus capping). For budgets in
+    REAL model tokens, pass ``tokens_col="n_tokens_exact"`` from
+    tokenizer.token_counts_exact (the shipped frozen BPE vocabulary)
+    instead of the default whitespace+CJK approximation.
 
     The logical spec is a single global ordered cumsum — which would
     be a one-partition window at corpus scale. Instead it runs
@@ -503,7 +506,9 @@ def mix_to_budget(
     per source). All float arithmetic is evaluated in sorted-source
     order so the targets are bit-deterministic across runs AND
     engines (the :func:`temperature_weights` discipline — the DuckDB
-    oracle unrolls the identical rounds).
+    oracle unrolls the identical rounds). For budgets in REAL model
+    tokens, pass ``tokens_col="n_tokens_exact"`` from
+    tokenizer.token_counts_exact (the shipped frozen BPE vocab).
 
     Within a source the emission order is the md5(salt:id) rank used
     by every mixer here: full epochs repeat the whole source; the

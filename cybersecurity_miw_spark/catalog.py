@@ -11747,6 +11747,35 @@ def q_paragraph_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
+    # Round-18 rotation: IN = the six new r18 oracles, first-round
+    # rows per the rotation invariant (link_pagerank_dangling — the
+    # Page et al. dangling-mass redistribution variant, TWO unrolled
+    # iterations with the per-iteration 1-row mass term;
+    # crawl_fetch_slots — the Crawl-delay time-slot schedule, full
+    # parse→selection→(rank−1)·delay chain; cdx_select_fetchlist —
+    # CDXJ parse + status/mime/latest-capture selection into the
+    # byte-range fetch table; cdx_shard_lookup — cluster.idx
+    # SURT-prefix block-range lookup; bpe_token_counts — exact
+    # token counts under the shipped frozen BPE vocab, the
+    # recursive-CTE greedy twin; bpe_token_ids — the full id
+    # SEQUENCE per doc, CSV-serialized per the scalar-columns rule).
+    # OUT = six long-green veterans, each with in-window family
+    # siblings: ann_pq_adc_topk + hard_negatives_topk +
+    # incremental_semantic_vs_store (similarity keeps
+    # ann_ivf_topk_batch + semantic_dedup_cells_clusters +
+    # incremental_phash_vs_store), c4_page_rules (corpus_filters
+    # keeps gopher_repetition_battery + paragraph_dedup_first),
+    # quality_clf_score (qualityclf keeps report_deciles +
+    # separation), cohort_retention_matrix (the SQL-analytics
+    # showcase family keeps tpch_q18_large_volume_customer +
+    # miw_events_summary). All six stay full-hash green in
+    # tests/test_oracle_parity.py every round. Re-anchored
+    # changed-plan queries this round (already in-window):
+    # robots_allow_gate (group-existence selection + the rule-less
+    # specific-group fixture case), ngram_lm_train/score/ppl_buckets
+    # (raw unigram storage, alpha on the backoff path only),
+    # link_anchor_index (array_join serialization — the r17 red
+    # row).
     # Round-17 second rotation (same round, continued session): IN =
     # the eight new r17 crawl-stack oracles (ngram_lm_train — the
     # stupid-backoff bigram model table, full-hash TRAINING evidence;
@@ -11916,8 +11945,6 @@ _DRIVER_WINDOW = [
     "miw_events_summary",
     # --- changed-code anchors (r10-r12) ---
     "tpch_q18_large_volume_customer",
-    "cohort_retention_matrix",
-    "ann_pq_adc_topk",
     # --- oldest-rowed veterans (r5 cohort) ---
     "tokenize_typed_projection",
     # --- new r12 oracles (first-round rows) ---
@@ -12007,7 +12034,6 @@ _DRIVER_WINDOW = [
     # (semantic_dedup_survivors rotated out r17 for
     #  quality_clf_report_deciles — SemDeDup keeps both cells rows)
     "hybrid_rrf_topk_docs",
-    "incremental_semantic_vs_store",
     # --- new r13 oracles (first-round rows, one round overdue) ---
     # (phash_fingerprints rotated out r17 for quality_clf_separation
     #  — media keeps phash_band_candidates + incremental_phash_vs_store)
@@ -12019,17 +12045,14 @@ _DRIVER_WINDOW = [
     #     keeps running_value_per_user / distinct_users_per_type /
     #     beacon_interval_profile in-window) ---
     "semantic_dedup_cells_clusters",
-    "hard_negatives_topk",
     # --- new r15 oracles (first-round rows) ---
     "mix_to_budget_epochs",
     "assemble_manifest",
     "dsir_select_budget",
     "gopher_repetition_battery",
-    "c4_page_rules",
     # --- new r16 oracles (first-round rows) ---
     "url_canonical_dedup",
     "registrable_domain_counts",
-    "quality_clf_score",
     "url_quality_flags",
     "chunk_sentence_budget",
     # --- new r17 oracles (first-round rows) ---
@@ -12054,6 +12077,12 @@ _DRIVER_WINDOW = [
     "clean_text_normalization",
     "topic_classify_argmax",
     "paragraph_dedup_first",
+    "link_pagerank_dangling",
+    "crawl_fetch_slots",
+    "cdx_select_fetchlist",
+    "cdx_shard_lookup",
+    "bpe_token_counts",
+    "bpe_token_ids",
 ]
 
 

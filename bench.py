@@ -59,6 +59,12 @@ EXTENDED = [
     "range_join_event_windows",
     "time_rollup_multires",
     "ann_pq_adc_topk",
+    # r18: the exact-tokenizer Arrow pass (the one Python stage in
+    # the chain — a regression here means the distinct-word
+    # decomposition broke) and the dangling-redistribution PageRank
+    # (iterative + a per-iteration 1-row broadcast cross)
+    "bpe_token_counts",
+    "link_pagerank_dangling",
 ]
 
 HEADLINE = CORE15 + EXTENDED

@@ -212,6 +212,31 @@ QUERY_NAMES = [
     # DEEPEN 10x while per-copy bodies stay unique — the real
     # boilerplate shape; the md5 min agg reduces map-side
     "paragraph_dedup_first",
+    # r18: dangling-mass PageRank — link_pagerank's rationale plus
+    # one 1-row dangling-mass agg per iteration (scale-free driver
+    # traffic; the broadcast cross is row-expression cost)
+    "link_pagerank_dangling",
+    # r18: Crawl-delay time slots — frontier URLs grow 10x, the host
+    # roster (and the parsed delay table) is %11-bounded; measured
+    # cost = the host window + one host-key broadcast-able join
+    "crawl_fetch_slots",
+    # r18: CDX parse+select — index lines grow 10x with doc_id and
+    # capture keys are doc_id-distinct, so the latest-capture
+    # max-struct agg grows linearly (the real bigger-index shape)
+    "cdx_select_fetchlist",
+    # r18: cluster.idx lookup — the secondary index is CRAWL-bounded
+    # (20 blocks here), not corpus-scaled: the sweep point documents
+    # scale-invariance of the pre-filter
+    "cdx_shard_lookup",
+    # r18: exact BPE tokenization — the alphabet rotation makes
+    # per-copy word vocabularies DISJOINT, so the distinct-word
+    # Arrow pass grows ~10x (mostly-OOV rotated words = the
+    # worst-case long segmentations) while the count join stays
+    # corpus-linear — exactly the |vocab| ≪ |corpus| claim the
+    # module's scale story rests on; the ids variant adds the
+    # order-struct sequence re-assembly cost
+    "bpe_token_counts",
+    "bpe_token_ids",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

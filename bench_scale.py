@@ -237,6 +237,11 @@ QUERY_NAMES = [
     # order-struct sequence re-assembly cost
     "bpe_token_counts",
     "bpe_token_ids",
+    # r18 continued: pct-normalize + canonicalize + dedup — the
+    # url_canonical_dedup rationale (doc_id-modular canonical space,
+    # duplicate groups deepen 10x) with the split-on-'%' transform
+    # fused into the same row-expression projection
+    "url_pct_normalize_dedup",
 ]
 
 # r15: the phash media family runs against a BYTE-PERMUTED media

@@ -9211,9 +9211,14 @@ _URLC_SYNTH_SQL = """
   FROM documents
 """
 
-_URLC_SQL = f"""
-WITH urls AS ({_URLC_SYNTH_SQL}),
-parts AS (SELECT doc_id, trim(url) AS u FROM urls),
+def _canon_dedup_sql(parts_ctes: str) -> str:
+    """DuckDB twin of the canonical_url chain + min-id URL dedup,
+    parameterized over the CTEs that produce ``parts(doc_id, u)`` —
+    shared by the r16 ``url_canonical_dedup`` twin and the r18
+    ``url_pct_normalize_dedup`` twin (which prepends the
+    percent-normalization pass)."""
+    return f"""
+WITH {parts_ctes},
 comp AS (
   SELECT doc_id, u,
     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
@@ -9229,10 +9234,14 @@ comp3 AS (
   SELECT *,
     regexp_replace(lower(regexp_extract(hostport, '^([^:]*)', 1)), '\\.+$', '') AS host,
     regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-    array_to_string(list_filter(string_split(query, '&'),
+    -- coalesce: array_to_string([]) is NULL in DuckDB (the
+    -- catalog's documented empty-list edge) and a query-less URL
+    -- splits to the empty list
+    coalesce(array_to_string(list_filter(string_split(query, '&'),
       p -> p <> '' AND NOT (
         starts_with(lower(regexp_extract(p, '^([^=]*)', 1)), 'utm_')
-        OR lower(regexp_extract(p, '^([^=]*)', 1)) IN ({_TRACKING_IN}))), '&') AS q2
+        OR lower(regexp_extract(p, '^([^=]*)', 1)) IN ({_TRACKING_IN}))), '&'),
+      '') AS q2
   FROM comp2),
 canon AS (
   SELECT doc_id,
@@ -9253,6 +9262,12 @@ canon AS (
 SELECT doc_id, canonical_url FROM canon
 QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canonical_url)
 """
+
+
+_URLC_SQL = _canon_dedup_sql(
+    f"urls AS ({_URLC_SYNTH_SQL}),\n"
+    "parts AS (SELECT doc_id, trim(url) AS u FROM urls)"
+)
 
 
 @register("url_canonical_dedup", _URLC_SQL)
@@ -11488,6 +11503,96 @@ def q_bpe_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# r18: RFC 3986 §6.2.2 percent-encoding normalization
+# (urlcurate.pct_normalize_url) chained into the stage-one URL dedup.
+# Synthesized URLs plant the same page under three encodings of '~'
+# (literal, '%7E', '%7e'), a reserved '%2f' whose hex case varies,
+# an unreserved '%41' vs its literal 'A', and invalid escapes
+# ('%zz', trailing '%') that must pass through verbatim — so the
+# dedup only converges if BOTH engines decode unreserved triplets,
+# uppercase reserved ones, and leave non-triplets alone. The DuckDB
+# twin re-implements the split-on-'%' transform with
+# strpos-arithmetic hex decoding (no shared code) and reuses the
+# shared _canon_dedup_sql canonical chain.
+# ---------------------------------------------------------------------------
+
+_PCT_SYNTH_SQL = """
+  SELECT doc_id,
+         'HTTPS://Site' || (doc_id % 5)::VARCHAR || '.Example.COM/'
+         || CASE doc_id % 3 WHEN 0 THEN '~u' WHEN 1 THEN '%7Eu'
+                 ELSE '%7eu' END
+         || (doc_id % 11)::VARCHAR
+         || CASE WHEN doc_id % 4 = 0 THEN '/%41%2fx' ELSE '/A%2Fx' END
+         || CASE WHEN doc_id % 13 = 0 THEN '?q=%zz%' ELSE '' END
+         AS url
+  FROM documents
+"""
+
+# hex value of piece p's first two (uppercased) chars, by strpos
+# arithmetic — DuckDB has no conv(); decode(from_hex()) would THROW
+# on lone continuation bytes like '%C3'
+_PCT_CODE = (
+    "((strpos('0123456789ABCDEF', upper(p[1:1])) - 1) * 16"
+    " + strpos('0123456789ABCDEF', upper(p[2:2])) - 1)"
+)
+_PCT_UNRESERVED = (
+    f"({_PCT_CODE} BETWEEN 65 AND 90 OR {_PCT_CODE} BETWEEN 97 AND 122"
+    f" OR {_PCT_CODE} BETWEEN 48 AND 57 OR {_PCT_CODE} IN (45, 46, 95, 126))"
+)
+_PCT_PIECE = (
+    "CASE WHEN regexp_matches(p, '^[0-9A-Fa-f]{2}')"
+    f" THEN (CASE WHEN {_PCT_UNRESERVED} THEN chr({_PCT_CODE}::INTEGER)"
+    "       ELSE '%' || upper(p[1:2]) END) || p[3:]"
+    " ELSE '%' || p END"
+)
+
+_URL_PCT_SQL = _canon_dedup_sql(
+    f"""urls AS ({_PCT_SYNTH_SQL}),
+psplit AS (SELECT doc_id, trim(url) AS u0,
+                  string_split(trim(url), '%') AS l
+           FROM urls),
+parts AS (
+  SELECT doc_id,
+         CASE WHEN NOT contains(u0, '%') THEN u0
+              ELSE l[1] || array_to_string(
+                     list_transform(l[2:], p -> {_PCT_PIECE}), '')
+         END AS u
+  FROM psplit)"""
+)
+
+
+@register("url_pct_normalize_dedup", _URL_PCT_SQL)
+def q_url_pct_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-one URL dedup with RFC 3986 §6.2.2 percent-encoding
+    normalization prepended (urlcurate.pct_normalize_url →
+    canonical_url → min-id dedup): '/%7Euser', '/%7euser' and
+    '/~user' converge to one page while reserved octets stay encoded
+    (hex-uppercased) and invalid escapes pass through. Plan: the
+    split-on-'%' transform and the canonicalization are one fused
+    row-expression projection — the only exchanges are the
+    md5-fingerprint groupBy + semi-join of url_exact_dedup."""
+    d = F.col("doc_id")
+    enc = (
+        F.when(d % 3 == 0, F.lit("~u"))
+        .when(d % 3 == 1, F.lit("%7Eu"))
+        .otherwise(F.lit("%7eu"))
+    )
+    url = F.concat(
+        F.lit("HTTPS://Site"), (d % 5).cast("string"),
+        F.lit(".Example.COM/"), enc, (d % 11).cast("string"),
+        F.when(d % 4 == 0, F.lit("/%41%2fx")).otherwise(F.lit("/A%2Fx")),
+        F.when(d % 13 == 0, F.lit("?q=%zz%")).otherwise(F.lit("")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    with_url = docs.withColumn("url", urlcurate.pct_normalize_url(url))
+    surv = urlcurate.url_exact_dedup(with_url)
+    return surv.select(
+        "doc_id",
+        urlcurate.canonical_url(F.col("url")).alias("canonical_url"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # r17: surface-preserving unicode cleanup (textstats.clean_text —
 # the Dolma "fix text" stage). Pages are synthesized with every
 # planted pathology (zero-width joiners inside words, NBSP and
@@ -11989,7 +12094,10 @@ _DRIVER_WINDOW = [
     # (remove_repeated_lines rotated out r15 for the new
     #  gopher_repetition_battery — the corpus-filter family keeps
     #  gopher_quality_flags + pii_redact_counts in-window)
-    "pii_redact_counts",
+    # (pii_redact_counts rotated out r18-continued for
+    #  url_pct_normalize_dedup — the corpus-filter family keeps
+    #  gopher_repetition_battery + paragraph_dedup_first in-window;
+    #  pii stays full-hash green in tests/test_oracle_parity.py)
     "asof_join_latest_snapshot",
     # (quality_weighted_sample rotated out r15 for c4_page_rules — the
     #  sampling family keeps temperature_mix_prefix,
@@ -12083,6 +12191,10 @@ _DRIVER_WINDOW = [
     "cdx_shard_lookup",
     "bpe_token_counts",
     "bpe_token_ids",
+    # --- r18 continued-session addition (first-round row): the RFC
+    #     3986 §6.2.2 percent-normalization + canonicalize + dedup
+    #     chain; displaces pii_redact_counts (see note above) ---
+    "url_pct_normalize_dedup",
 ]
 
 

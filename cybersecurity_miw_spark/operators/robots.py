@@ -28,8 +28,11 @@ RFC codified):
 Discovery companions: :func:`robots_sitemaps` extracts ``Sitemap:``
 declarations (legal anywhere in the file, outside groups) and
 :func:`parse_sitemaps` parses fetched sitemap/sitemapindex XML into
-frontier seeds. Out of scope (documented, per the RFC's own
-allowances): percent-encoding normalization of rule/URL octets.
+frontier seeds. Percent-encoding normalization of rule/URL octets
+(RFC 9309 §2.2.2's allowance) is available as
+``robots_allowed(pct_normalize=True)`` (r18 — rides
+urlcurate.pct_normalize_url); the default matches raw octets, the
+python-robotparser behavior the reference-model suite pins.
 ``Crawl-delay`` (non-standard but ubiquitous) is parsed ADVISORY by
 :func:`robots_crawl_delays` — it never gates a URL; it feeds the
 fetch scheduler's per-host time slots
@@ -245,6 +248,7 @@ def robots_allowed(
     rules: DataFrame,
     agent: str = "*",
     url_col: str = "url",
+    pct_normalize: bool = False,
 ) -> DataFrame:
     """The gate: every input row plus ``allowed`` (boolean),
     ``matched_rule`` (the winning pattern, NULL when no rule
@@ -259,7 +263,20 @@ def robots_allowed(
     broadcast-able for any real crawl), one regex filter, one
     max-of-struct per URL, one left join back. The per-row regex is
     a column (not a literal), evaluated by the same RE2-class engine
-    on both sides of the oracle."""
+    on both sides of the oracle.
+
+    ``pct_normalize`` (r18): apply RFC 3986 §6.2.2 percent
+    normalization (urlcurate.pct_normalize_url) to BOTH the rule
+    patterns and the URL's path+query before matching — the
+    normalization RFC 9309 §2.2.2 allows, so ``Disallow: /%7Eadmin``
+    gates ``/~admin`` and vice versa. Safe for the pattern language:
+    the metachars ``*`` and ``$`` are reserved octets, which the
+    normalizer never decodes INTO (``%2A``/``%24`` stay encoded), so
+    normalization cannot create a wildcard or anchor. The longest-
+    match length and ``matched_rule`` then use the NORMALIZED
+    pattern (documented — both sides of a tie normalize alike). Off
+    by default: the default gate matches raw octets, the
+    python-robotparser behavior the reference-model suite pins."""
     agent_l = str(agent).lower()
     # Group EXISTENCE (any row — including the rule-less 'member'
     # markers parse_robots emits) decides selection, per RFC 9309
@@ -281,9 +298,17 @@ def robots_allowed(
     )
     from cybersecurity_miw_spark.operators import urlcurate
 
+    if pct_normalize:
+        eff = eff.withColumn(
+            "pattern", urlcurate.pct_normalize_url(F.col("pattern"))
+        ).withColumn("pattern_regex", pattern_regex(F.col("pattern")))
+
     u = urls.withColumn("_host", urlcurate.url_host(F.col(url_col)))
+    pq = _path_query(F.col(url_col))
+    if pct_normalize:
+        pq = urlcurate.pct_normalize_url(pq)
     matched = (
-        u.select(url_col, "_host", _path_query(F.col(url_col)).alias("_pq"))
+        u.select(url_col, "_host", pq.alias("_pq"))
         .join(eff, u["_host"] == eff["host"])
         .filter(F.expr("_pq rlike pattern_regex"))
         .groupBy(url_col)

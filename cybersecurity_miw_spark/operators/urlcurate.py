@@ -117,16 +117,12 @@ def canonical_url(
     normalization before URL dedup; these rules are the portable
     core every recipe agrees on (case, fragment, tracking params).
 
-    Out of scope, documented: RFC 3986 §6.2.2 percent-encoding
-    normalization (uppercasing ``%xx`` triplets, decoding
-    unreserved-character escapes like ``%41``→``A``). A selective
-    decode is not expressible loop-free in codegen expressions
-    (no transform-callback; a full ``url_decode`` would also decode
-    RESERVED octets like ``%2F`` and merge genuinely distinct
-    paths), and an exhaustive replace chain costs ~260 string passes
-    per URL for a variant that is rare in href-extracted links —
-    ``%7Eusr`` vs ``~usr`` duplicates dedup misses are accepted and
-    the near-dup text stages catch the page bodies anyway.
+    RFC 3986 §6.2.2 percent-encoding normalization (``%7e``→``~``,
+    ``%3a``→``%3A``) is a SEPARATE composable step —
+    :func:`pct_normalize_url` — not folded in here, so the
+    canonical form of stored URL fingerprints is stable for callers
+    who opted out; recipes chain
+    ``canonical_url(pct_normalize_url(col))``.
     """
     u = F.trim(url)
     scheme = F.lower(F.regexp_extract(u, _SCHEME, 1))
@@ -177,6 +173,76 @@ def canonical_url(
         | bad_port
     )
     return F.when(skip, u).otherwise(composed)
+
+
+def pct_normalize_url(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as a pure
+    expression (no UDF): decode triplets that encode UNRESERVED
+    characters (``%41``→``A``, ``%7E``→``~`` — ALPHA / DIGIT /
+    ``-._~``, §2.3) and uppercase the hex digits of every other
+    triplet (``%2f``→``%2F``); reserved octets stay ENCODED, so
+    ``%2F`` never becomes a path ``/`` and genuinely distinct paths
+    never merge (the trap a blanket url-decode walks into). A ``%``
+    not followed by two hex digits is not a triplet and passes
+    through verbatim, the lenient what-browsers-do reading.
+
+    Shape: one ``split('%')`` → per-piece branch inside ``transform``
+    (strpos-arithmetic hex decode, no lookup table) → ``array_join``.
+    Piece count = occurrences of ``%`` per URL, so the cost is
+    proportional to the encodings actually present — the ~260-pass
+    replace chain the r16 docstring rejected is avoided. Both
+    normalizations are safe ANYWHERE in a URL (unreserved characters
+    never act as delimiters), so one whole-string pass needs no
+    component parse. Single-pass, like a browser: a literal ``%``
+    followed by text that only becomes a triplet after decoding
+    (``%%34%31`` → ``%41``) is NOT re-decoded — the same contract as
+    the ``re.sub`` reference model in the property suite, and
+    idempotent on any URL whose every ``%`` starts a well-formed
+    triplet. Compose with :func:`canonical_url`:
+    ``canonical_url(pct_normalize_url(col))`` merges the
+    ``/%7Euser``-vs-``/~user`` duplicates href-extracted corpora
+    carry (RFC 3986 §6.2.2.2; cc_net/RefinedWeb normalize before
+    URL dedup).
+    """
+    pieces = F.split(url, "%", -1)
+
+    def _norm(p: Column) -> Column:
+        hx = F.upper(F.substring(p, 1, 2))
+        rest = F.substring(p, 3, _MAX_LEN)
+        code = (
+            F.instr(F.lit("0123456789ABCDEF"), F.substring(hx, 1, 1)) - 1
+        ) * 16 + (
+            F.instr(F.lit("0123456789ABCDEF"), F.substring(hx, 2, 1)) - 1
+        )
+        unreserved = (
+            ((code >= 65) & (code <= 90))        # A-Z
+            | ((code >= 97) & (code <= 122))     # a-z
+            | ((code >= 48) & (code <= 57))      # 0-9
+            | code.isin(45, 46, 95, 126)         # - . _ ~
+        )
+        dec = F.when(unreserved, F.char(code)).otherwise(
+            F.concat(F.lit("%"), hx)
+        )
+        return F.when(
+            p.rlike("^[0-9A-Fa-f]{2}"), F.concat(dec, rest)
+        ).otherwise(F.concat(F.lit("%"), p))
+
+    normed = F.concat(
+        F.element_at(pieces, 1),
+        F.array_join(
+            F.transform(F.slice(pieces, 2, _PIECE_CAP), _norm), ""
+        ),
+    )
+    # a URL with no '%' must round-trip byte-identically without
+    # paying the transform at all — the overwhelmingly common row
+    return F.when(url.contains("%"), normed).otherwise(url)
+
+
+# substring() needs an explicit length; URLs are bounded far below
+# this. _PIECE_CAP bounds slice() the same way (slice length must be
+# positive) — 2^20 '%'s in one URL is beyond any real input.
+_MAX_LEN = 1 << 30
+_PIECE_CAP = 1 << 20
 
 
 def url_host(url: Column) -> Column:

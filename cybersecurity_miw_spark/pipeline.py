@@ -25,6 +25,7 @@ def curate_documents(
     id_col: str = "doc_id",
     url_col: str | None = None,
     url_canonicalize: bool = True,
+    url_pct_normalize: bool = False,
     domain_blocklist: tuple = (),
     domain_allowlist: tuple = (),
     url_dedup: bool = True,
@@ -124,6 +125,11 @@ def curate_documents(
     ``url_dedup`` keeps one doc (min id) per canonical URL
     (urlcurate.url_exact_dedup) BEFORE text dedup, so boilerplate
     variants of one page never reach the quadratic-side stages.
+    ``url_pct_normalize`` (r18) prepends RFC 3986 §6.2.2
+    percent-encoding normalization (urlcurate.pct_normalize_url) to
+    the canonicalization, merging ``%7E``-vs-``~`` page variants;
+    OFF by default because it changes canonical fingerprints against
+    an existing url_store.
     ``url_store`` (the urlcurate.url_fingerprint_store schema): when
     curating an INCREMENTAL batch, the URL-dedup stage also drops
     batch docs whose canonical URL exists in history — the
@@ -220,6 +226,15 @@ def curate_documents(
     if url_col is not None:
         from cybersecurity_miw_spark.operators import urlcurate
 
+        if url_pct_normalize:
+            # RFC 3986 §6.2.2 percent normalization BEFORE
+            # canonicalization, so '/%7Euser' and '/~user' share one
+            # canonical fingerprint; off by default — turning it on
+            # changes stored URL-store fingerprints, the
+            # url_canonicalize opt-out rationale
+            out = out.withColumn(
+                url_col, urlcurate.pct_normalize_url(F.col(url_col))
+            )
         if url_canonicalize:
             out = out.withColumn(
                 url_col, urlcurate.canonical_url(F.col(url_col))

@@ -540,6 +540,41 @@ def test_curate_url_stage_runs_first(spark):
     assert rows[0]["url"] == "https://good.org/a"
 
 
+def test_curate_url_pct_normalize_merges_encoded_variants(spark):
+    """url_pct_normalize=True (r18): '%7Euser' and '~user' URLs are
+    one page — the percent pass runs BEFORE canonicalization and the
+    stored url reflects both normalizations. Off by default: without
+    it the two URLs survive as distinct pages."""
+    df = spark.createDataFrame(
+        [
+            (0, "first page words here", "https://Ex.org/%7Euser"),
+            (1, "second page other words", "https://ex.org/~user"),
+        ],
+        "doc_id long, text string, url string",
+    )
+    out = pipeline.curate_documents(
+        df,
+        url_col="url",
+        url_pct_normalize=True,
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {0}
+    assert rows[0]["url"] == "https://ex.org/~user"
+    base = pipeline.curate_documents(
+        df,
+        url_col="url",
+        apply_gopher=False,
+        redact_pii=False,
+        quality_floor=None,
+        near_dup_threshold=None,
+    )
+    assert {r["doc_id"] for r in base.collect()} == {0, 1}
+
+
 def test_assemble_dataset_dsir_selection_stage(spark, tmp_path):
     """The DSIR selection stage (VERDICT r15 #6): with a
     target_exemplar, assemble_dataset runs dsir_select_to_budget

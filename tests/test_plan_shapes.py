@@ -352,6 +352,11 @@ MAX_EXCHANGES = {
     # staged posexplode + md5-key min agg + hash join back + per-doc
     # re-assembly + the two doc-key joins back (6 textual, +2)
     "paragraph_dedup_first": 8,
+    # --- r18 additions ---
+    # pct-normalize + canonicalize fused into one row-expression
+    # projection; exchanges = url_exact_dedup's md5 groupBy +
+    # semi-join, same as url_canonical_dedup
+    "url_pct_normalize_dedup": 3,
 }
 
 

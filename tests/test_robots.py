@@ -141,6 +141,42 @@ def test_dollar_anchor_and_query_matching(spark):
     assert got["http://a.com/s?id=10"][0] is True
 
 
+def test_pct_normalize_gate(spark):
+    """robots_allowed(pct_normalize=True) — RFC 9309 §2.2.2's
+    allowed normalization: '%7E' rules gate '~' URLs (and the
+    reverse), reserved octets stay distinct from their literals
+    ('%2F' never gates '/'), and the default raw-octet gate is
+    unchanged."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /%7eadmin\n"    # lowercase-hex encoded '~'
+        "Disallow: /a%2Fb\n"       # encoded reserved '/': stays encoded
+    )
+    rules = _rules(spark, txt)
+    urls = [
+        "http://a.com/~admin/x",   # literal ~ — gated only normalized
+        "http://a.com/%7Eadmin/y",  # uppercase-hex — gated only normalized
+        "http://a.com/a/b",        # literal path ≠ encoded %2F rule
+        "http://a.com/a%2fb",      # encoded — gated either way (case-fold
+                                   # only matters normalized)
+    ]
+    u = spark.createDataFrame([(x,) for x in urls], "url string")
+    norm = {
+        r["url"]: (r["allowed"], r["matched_rule"])
+        for r in rb.robots_allowed(u, rules, pct_normalize=True).collect()
+    }
+    assert norm["http://a.com/~admin/x"] == (False, "/~admin")
+    assert norm["http://a.com/%7Eadmin/y"] == (False, "/~admin")
+    assert norm["http://a.com/a/b"] == (True, None)
+    assert norm["http://a.com/a%2fb"] == (False, "/a%2Fb")
+    raw = _gate(spark, rules, urls)
+    assert raw["http://a.com/~admin/x"] == (True, None)
+    assert raw["http://a.com/%7Eadmin/y"] == (True, None)
+    assert raw["http://a.com/a/b"] == (True, None)
+    # raw octets: '%2f' ≠ '%2F'
+    assert raw["http://a.com/a%2fb"] == (True, None)
+
+
 def test_agent_group_selection(spark):
     txt = (
         "User-agent: mybot\nDisallow: /only-mybot\n\n"

@@ -422,6 +422,116 @@ def test_canonical_url_idempotent_over_grid(spark):
     assert not leak, [r["c1"] for r in leak[:5]]
 
 
+# ---- pct_normalize_url (RFC 3986 §6.2.2), rule by rule ----
+
+def _pct(spark, urls: list[str]) -> list[str]:
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    rows = (
+        df.select("i", uc.pct_normalize_url(F.col("url")).alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    return [r["n"] for r in rows]
+
+
+@pytest.mark.parametrize(
+    "raw,expect",
+    [
+        # unreserved escapes decode: ALPHA / DIGIT / -._~  (§2.3)
+        ("https://ex.com/%7Euser", "https://ex.com/~user"),
+        ("https://ex.com/%7euser", "https://ex.com/~user"),
+        ("https://ex.com/%41%62%39", "https://ex.com/Ab9"),
+        ("https://ex.com/%2D%2E%5F%7E", "https://ex.com/-._~"),
+        # reserved octets stay ENCODED, hex uppercased — %2F must
+        # never become a path '/'
+        ("https://ex.com/a%2fb", "https://ex.com/a%2Fb"),
+        ("https://ex.com/?q=%20a%3d1", "https://ex.com/?q=%20a%3D1"),
+        # multi-byte UTF-8 sequences stay encoded (each octet is
+        # non-unreserved), hex uppercased
+        ("https://ex.com/%c3%a9", "https://ex.com/%C3%A9"),
+        # a '%' not followed by two hex digits is not a triplet
+        ("https://ex.com/%zz", "https://ex.com/%zz"),
+        ("https://ex.com/x%", "https://ex.com/x%"),
+        ("https://ex.com/%4", "https://ex.com/%4"),
+        ("%", "%"),
+        # lone '%' then a real triplet: decode the triplet only
+        ("https://ex.com/%%41", "https://ex.com/%A"),
+        # no '%' anywhere → byte-identical passthrough
+        ("https://ex.com/plain?q=1#f", "https://ex.com/plain?q=1#f"),
+        ("", ""),
+    ],
+)
+def test_pct_normalize_rules(spark, raw, expect):
+    assert _pct(spark, [raw]) == [expect]
+
+
+def _pct_ref(u: str) -> str:
+    """Independent reference model: single-pass re.sub, decode
+    unreserved triplets, uppercase the rest — the contract the
+    docstring names."""
+    import re
+
+    def repl(m):
+        hx = m.group(1).upper()
+        ch = chr(int(hx, 16))
+        if re.fullmatch(r"[A-Za-z0-9._~-]", ch):
+            return ch
+        return "%" + hx
+
+    return re.sub(r"%([0-9A-Fa-f]{2})", repl, u)
+
+
+def test_pct_normalize_matches_reference_model(spark):
+    """Seeded-random URLs dense in '%' pathologies (valid triplets
+    across the whole byte range, half-triplets, bare and doubled
+    '%', mixed hex case) agree with the re.sub reference model —
+    the urljoin-suite pattern for expression-vs-Python parity."""
+    import random
+
+    rng = random.Random(18)
+    hexd = "0123456789abcdefABCDEF"
+    frags = ["a", "xy", "/", "?", "=", "&", ".", "~", "%", "%%", ""]
+    urls = []
+    for _ in range(400):
+        parts = ["https://ex.com/"]
+        for _ in range(rng.randint(0, 8)):
+            r = rng.random()
+            if r < 0.45:
+                parts.append("%" + rng.choice(hexd) + rng.choice(hexd))
+            elif r < 0.6:
+                parts.append("%" + rng.choice(hexd))
+            else:
+                parts.append(rng.choice(frags))
+        urls.append("".join(parts))
+    got = _pct(spark, urls)
+    want = [_pct_ref(u) for u in urls]
+    assert got == want
+
+
+def test_pct_then_canonical_merges_encoded_duplicates(spark):
+    """The composition the recipes run: '%7Euser' and '~user' URLs
+    dedup to ONE page once pct_normalize_url is prepended, and stay
+    stable under a second pass (idempotent on well-formed URLs)."""
+    urls = [
+        (1, "https://Ex.com/%7Euser"),
+        (2, "https://ex.com/%7euser"),
+        (3, "https://ex.com/~user"),
+        (4, "https://ex.com/other"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    normed = df.withColumn("url", uc.pct_normalize_url(F.col("url")))
+    surv = uc.url_exact_dedup(normed)
+    assert sorted(r["doc_id"] for r in surv.collect()) == [1, 4]
+    c1 = uc.canonical_url(uc.pct_normalize_url(F.col("url")))
+    out = df.select(c1.alias("c1")).select(
+        "c1",
+        uc.canonical_url(uc.pct_normalize_url(F.col("c1"))).alias("c2"),
+    )
+    assert not out.filter(F.col("c1") != F.col("c2")).collect()
+
+
 def test_compact_url_fingerprint_store(spark, tmp_path):
     """Replay-duplicated URL-store rows collapse to one (min
     representative) per fingerprint through the atomic rewrite."""

@@ -103,7 +103,6 @@ def main(sf_dir: str) -> None:
     top = similarity.brute_force_topk(text_vecs, tq, k=5)
     print("text-query top-5 via hashed embeddings (doc 0 as query):")
     top.show(5, truncate=False)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -177,8 +177,6 @@ def main() -> None:
     print("top pages by PageRank:")
     pr.orderBy(F.desc("pr_micro"), "url").show(5, truncate=60)
 
-    spark.stop()
-
 
 if __name__ == "__main__":
     main()

@@ -105,7 +105,6 @@ def main(sf_dir: str) -> None:
     QUERIES["activity_gap_detection"](spark, sf_dir).orderBy(
         F.desc("gap_s")
     ).show(5)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -60,7 +60,13 @@ def register(name: str, sql: str | None = None):
 
 
 def events_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # widen=True: every consumer runs the format-compiler parse chain
+    # (tokenize → typed projection → match) above these lines — per-row
+    # work expensive enough that a single-row-group scan serializing it
+    # on one core dominates the query (r18 same-session A/B, control-
+    # normalized: flagship 1.39 → 1.02, date_buckets 1.33 → 0.71; a
+    # no-op on any real multi-split input, see ensure_parallelism)
+    ev = load_table(spark, sf_dir, "events", widen=True)
     line = F.concat_ws(
         ",",
         F.col("event_id").cast("string"),
@@ -903,7 +909,12 @@ JOIN shingled sb ON sb.doc_id = cands.id_b
 
 @register("near_dup_jaccard_confirm", _JACCARD_SQL)
 def q_jaccard_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # widen=True: the 112-hash MinHash fold + shingle sets above this
+    # scan are the suite's most expensive narrow stage — on a 1-split
+    # input both persisted projections materialized single-threaded
+    # (r18 profile: two back-to-back 1-task stages of several seconds
+    # each); the same flag q_lsh already carries
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     cand = dedup.minhash_lsh_candidates(docs, num_hashes=_NH, bands=_NB, shingle_k=3)
     return dedup.jaccard_pairs(docs, cand, shingle_k=3)
 
@@ -1210,6 +1221,10 @@ def q_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_fingerprints")
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT widened: same-session A/B (r18) measured the
+    # widening exchange costing more than the parallelism buys here —
+    # the token-hash vote fold is ~4x cheaper per row than the MinHash
+    # family that does widen (normalized 0.67 unwidened vs 0.90 widened)
     docs = load_table(spark, sf_dir, "documents")
     return dedup.with_simhash(docs, out_col="simhash64")
 
@@ -8888,7 +8903,10 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph — the step that turns pairwise hits into components so
     dedup keeps exactly one doc per cluster. O(diameter) rounds, one
     uniform-key shuffle per round, one scalar to the driver per round."""
-    docs = load_table(spark, sf_dir, "documents")
+    # widen=True: same rationale as q_jaccard_confirm — the MinHash/
+    # shingle projections feeding the candidate+confirm chain must not
+    # materialize on a single scan split
+    docs = load_table(spark, sf_dir, "documents", widen=True)
     cand = dedup.minhash_lsh_candidates(
         docs, num_hashes=_NH, bands=_NB, shingle_k=3
     )

@@ -112,9 +112,20 @@ def fuzzy_join(
     rs = right.where(
         F.col(right_col).isNotNull() & (F.length(right_col) < short_len)
     )
-    for side, df in (("left", ls), ("right", rs)):
-        n = df.limit(MAX_SHORT + 1).count()
-        if n > MAX_SHORT:
+    # one guard job for both sides (was two limit().count() actions —
+    # each materialized its staged frame in its own Spark job)
+    guard_counts = dict(
+        ls.limit(MAX_SHORT + 1)
+        .select(F.lit("left").alias("_side"))
+        .unionByName(
+            rs.limit(MAX_SHORT + 1).select(F.lit("right").alias("_side"))
+        )
+        .groupBy("_side")
+        .count()
+        .collect()
+    )
+    for side in ("left", "right"):
+        if guard_counts.get(side, 0) > MAX_SHORT:
             raise ValueError(
                 f"{side} side has >{MAX_SHORT} strings shorter than "
                 f"{short_len} chars — the short-string cross join would "

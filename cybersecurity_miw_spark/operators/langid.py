@@ -339,11 +339,20 @@ def profile_frames(spark, profiles: dict[str, dict]):
     lang_rows = [
         (lang, profiles[lang]["oov_micro"]) for lang in sorted(profiles)
     ]
+    # pandas input: with Arrow enabled the local rows ship to the JVM
+    # as Arrow batches, so materializing these ≤4k-row reference
+    # tables never launches Python workers on the executors (the
+    # plain-list path pickles one slice per core and pays a worker
+    # round-trip per task every time the broadcast side is built)
+    import pandas as pd
+
     grams_df = spark.createDataFrame(
-        gram_rows, "lang string, gram string, w_micro long"
+        pd.DataFrame(gram_rows, columns=["lang", "gram", "w_micro"]),
+        "lang string, gram string, w_micro long",
     )
     langs_df = spark.createDataFrame(
-        lang_rows, "lang string, oov_micro long"
+        pd.DataFrame(lang_rows, columns=["lang", "oov_micro"]),
+        "lang string, oov_micro long",
     )
     return grams_df, langs_df
 
@@ -397,6 +406,14 @@ def detect_language(
         "_p",
         (F.length("_p") - F.lit(2)).alias("_n"),
     )
+    # persist: base feeds BOTH the trigram explode and the final
+    # scoring join; without it each side re-runs the ~11-script-class
+    # regex gate over every doc (two full scans, gate computed twice —
+    # r18 plan audit). tracked_persist so release_intermediates() frees
+    # it once results are materialized.
+    from cybersecurity_miw_spark.operators.dedup import staged as _persist
+
+    base = _persist(base)
 
     # Three plan-shape rules here, each a measured r17 bench catch at
     # sf0.1 (15 s → 1.3 s on the gram side):

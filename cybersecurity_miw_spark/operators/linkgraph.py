@@ -322,7 +322,11 @@ def pagerank(
         )
     from cybersecurity_miw_spark.operators.dedup import staged
 
-    e = (
+    # stage the simple graph itself: deg, ed, nodes and dang all
+    # derive from e, and without the persist each derived frame's
+    # first materialization re-runs the caller's edge-extraction
+    # subtree plus the distinct (r18 plan audit: three recomputations)
+    e = staged(
         edges.select("src_url", "dst_url")
         .filter(F.col("src_url") != F.col("dst_url"))
         .distinct()

@@ -42,6 +42,19 @@ def get_spark(
         # turns codegen'd regex loops interpreted (measured: a 1.4 s
         # query intermittently ran 10-80 s in a 15-query session)
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=512m")
+        # let AQE re-optimize (coalesce/skew-split) INSIDE cached
+        # plans: off by default, which pins every tracked_persist
+        # intermediate at the raw shuffle partition count — all
+        # downstream stages of a staged() frame then launch one task
+        # per pinned partition regardless of data size. Data-adaptive
+        # at any scale (AQE sizes partitions by bytes, not cores);
+        # r18 same-session A/B: time_rollup_multires 1.58 → 0.55,
+        # near_dup_jaccard_confirm → 1.54, link_pagerank_dangling
+        # 1.71 → 1.31 control-normalized at sf0.1.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
     )
     return builder.getOrCreate()
 
@@ -86,4 +99,8 @@ def cluster_profile(
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
+        # cached intermediates get AQE coalescing/skew handling too
+        # (see get_spark): without it a persisted frame pins the raw
+        # shuffle partition count for every consumer
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     }

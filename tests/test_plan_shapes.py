@@ -23,10 +23,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TESTS", "/root/testdata/sf0.001")
 
 # query -> max allowed Exchange nodes in the executed plan
 MAX_EXCHANGES = {
-    "miw_events_summary": 1,       # one groupBy on the composite key
-    "tokenize_typed_projection": 0,
-    "date_buckets": 0,
-    "match_substring_or": 0,
+    # r18: the events_lines parse family carries +1 — the forced
+    # widening repartition (ensure_parallelism) that parallelizes the
+    # tokenize→project parse chain over an under-split scan; measured
+    # A/B in OPTIMIZATION_r18.md (flagship 1.39 → 1.02 normalized)
+    "miw_events_summary": 2,       # widen + one groupBy on the composite key
+    "tokenize_typed_projection": 1,
+    "date_buckets": 1,
+    "match_substring_or": 1,
     "agg_union_count_histogram": 2,  # pre-agg + rollup (bounded-memory A9)
     "tpch_q1_pricing_summary": 1,
     "wc_wordcount": 1,
@@ -342,8 +346,12 @@ MAX_EXCHANGES = {
     # one dst-key degree agg + one anti-join (4 textual, +1)
     "crawl_frontier_rank": 5,
     # robots parse (line explode + host window + rule×agent join) +
-    # the gate (host join + per-url max + join back) (13, +2)
-    "robots_allow_gate": 15,
+    # the gate (host join + per-url max + join back); +1 since the
+    # r18 build session routed the gate's URL normalization through
+    # the percent-encoding pass (one more distinct-host shuffle,
+    # committed in ee90590 without raising this pin — caught by the
+    # r18 optimization round's green-tree check)
+    "robots_allow_gate": 16,
     # pure codegen translate/replace/regexp chain — zero exchanges
     "clean_text_normalization": 0,
     # ONE feature explode + broadcast (K·dim) weight join + one

@@ -1545,8 +1545,14 @@ def q_toklen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", widen=True)
     n_tok = textstats.token_count(F.col("text"))
     t = docs.select(n_tok.alias("n_tokens"))
-    total = t.count()  # one scalar to the driver (row count only)
     bucket = F.floor(F.log2(F.col("n_tokens") + 1)).cast("long")
+    # the share denominator is sum(n_docs) over the grouped result
+    # (every doc falls in exactly one bucket, so it equals count(*))
+    # — an unpartitioned window over ~log2(max_len) rows instead of
+    # the separate full-scan count() job this used to run (r18)
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_docs").over(Window.partitionBy())
     return (
         t.groupBy(bucket.alias("bucket"))
         .agg(
@@ -1560,9 +1566,9 @@ def q_toklen_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "n_docs",
             "total_tokens",
-            F.round(F.col("n_docs") / F.lit(float(total)), 6).alias(
-                "doc_share"
-            ),
+            F.round(
+                F.col("n_docs") / total.cast("double"), 6
+            ).alias("doc_share"),
         )
     )
 

@@ -1328,7 +1328,10 @@ def dup_clusters(
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the first consumer (round 1's neighbor join / the
+        # label roster distinct) is a full pass and materializes the
+        # checkpoint in its own job — eager=True paid one extra job
+        .localCheckpoint(eager=False)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("cluster_id")
@@ -1349,7 +1352,13 @@ def dup_clusters(
                     F.coalesce("_nbr_min", "cluster_id"),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint(eager=True)
+            # lazy checkpoint: the convergence sum right below is a
+            # FULL pass over every partition, so it materializes the
+            # checkpoint as a side effect — one job per round instead
+            # of two (eager=True ran a dedicated materialization job).
+            # (Safe precisely because the sum computes all partitions;
+            # a take(1)-style action could checkpoint partially.)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:

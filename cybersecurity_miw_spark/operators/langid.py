@@ -41,10 +41,11 @@ Decision procedure per document (first ``cap`` chars, lowercased):
 
 100 TB plan shape: the gate is ~10 bounded ``regexp_count`` row
 expressions; the trigram path explodes ≤ ``cap`` grams per doc
-(bounded — language ID needs a prefix, not the document), joins a
-profile table of ~2k rows (broadcast by construction), and reduces
-with two partial-aggregated exchanges on the (doc, lang) /
-doc keys. Nothing pairwise, nothing driver-side, no Python UDF.
+(bounded — language ID needs a prefix, not the document), LEFT-joins
+a profile table of ~2k rows (broadcast by construction), and reduces
+with ONE doc-keyed aggregation whose per-language conditional
+partials collapse the gram rows to one row per doc before the
+exchange. Nothing pairwise, nothing driver-side, no Python UDF.
 """
 
 from __future__ import annotations
@@ -372,11 +373,18 @@ def detect_language(
     ``'und'``; the score/margin columns are NULL on the script-gate
     path (the gate is categorical, not likelihood-scored).
 
-    Plan: one bounded row-expression projection (gate + normalize),
-    then the trigram path only for gate-NULL docs — explode ≤ cap
-    grams, broadcast-join the profile table, two partial-aggregated
-    exchanges keyed on (doc, lang) then doc — unioned with the gated
-    and too-short docs. See the module docstring for the decision
+    Plan (r18 single-pipeline rewrite): ONE projection computes the
+    gate + normalized trigram array; ``explode_outer`` keeps every
+    doc alive (gated/short docs ride a NULL sentinel gram); the
+    profile table broadcast-LEFT-joins onto the gram rows; and ONE
+    ``groupBy(doc)`` with per-language conditional partial aggregates
+    reduces straight to one row per doc. The r17 shape persisted the
+    gate projection and joined it back to a two-level (doc, lang) /
+    doc aggregation — one cache materialization, a sort-merge join,
+    and an extra exchange that the conditional-aggregate shape makes
+    unnecessary (r18 A/B: 2.6 → 1.2 s force at sf0.1, bit-identical;
+    the partial aggregate means the exploded gram rows never cross an
+    exchange at any scale). See the module docstring for the decision
     rules and their published citations."""
     spark = df.sparkSession
     profiles = profiles if profiles is not None else load_lang_profiles()
@@ -385,7 +393,14 @@ def detect_language(
             "detect_language needs >= 2 profiled languages (the "
             "margin gate compares best vs second-best)"
         )
-    grams_df, langs_df = profile_frames(spark, profiles)
+    grams_df, _ = profile_frames(spark, profiles)
+    langs = sorted(profiles)
+    # language codes are interpolated into generated SQL fragments
+    # below (one parsed expr string instead of ~400 py4j Column calls
+    # — construction is part of every query's wall); keep that safe
+    for lang in langs:
+        if not re.fullmatch(r"[A-Za-z0-9_-]+", lang):
+            raise ValueError(f"unsupported language code {lang!r}")
 
     # stage the lowered capped prefix ONCE: the gate + normalize
     # reference it ~13 times, and CollapseProject keeps a
@@ -406,14 +421,6 @@ def detect_language(
         "_p",
         (F.length("_p") - F.lit(2)).alias("_n"),
     )
-    # persist: base feeds BOTH the trigram explode and the final
-    # scoring join; without it each side re-runs the ~11-script-class
-    # regex gate over every doc (two full scans, gate computed twice —
-    # r18 plan audit). tracked_persist so release_intermediates() frees
-    # it once results are materialized.
-    from cybersecurity_miw_spark.operators.dedup import staged as _persist
-
-    base = _persist(base)
 
     # Three plan-shape rules here, each a measured r17 bench catch at
     # sf0.1 (15 s → 1.3 s on the gram side):
@@ -423,7 +430,8 @@ def detect_language(
     #    row — filters get no codegen subexpression elimination;
     #    projections do, so the gate stays a PROJECT column and the
     #    trigram array is gated IN-projection with a WHEN — gated
-    #    docs emit an empty array and explode drops them.
+    #    docs emit an empty array (a NULL sentinel row under
+    #    explode_outer).
     # 2. No substring(p, i, 3) trigrams: UTF8String substring
     #    re-scans from the string start per call (O(cap²)/doc).
     # 3. No index lambda _ch[i]||_ch[i+1]||_ch[i+2]: CollapseProject
@@ -433,6 +441,8 @@ def detect_language(
     tri_cond = F.col("_gate").isNull() & (F.col("_n") >= min_grams)
     chars = base.select(
         id_col,
+        "_gate",
+        "_n",
         F.when(tri_cond, F.split(F.col("_p"), ""))
         .otherwise(F.array().cast("array<string>"))
         .alias("_ch"),
@@ -447,61 +457,57 @@ def detect_language(
         F.slice("_ch", 3, n_tri),
         lambda x, y: F.concat(x, y),
     )
-    grams = chars.select(id_col, F.explode(tri_arr).alias("_g"))
-    matched = (
-        # bcast-bound: grams_df = the shipped profile file (≤ ~4k
-        # rows) — a data-file constant, never sf-scaled
-        grams.join(F.broadcast(grams_df), grams["_g"] == grams_df["gram"])
-        .groupBy(id_col, "lang")
-        .agg(
-            F.sum("w_micro").alias("_mw"),
-            F.count(F.lit(1)).alias("_nm"),
+    # explode_outer: tri-path docs emit their ≤ cap grams, gated and
+    # too-short docs emit ONE NULL-gram sentinel row — every doc
+    # survives the generate, so no join back to the base is needed
+    grams = chars.select(
+        id_col, "_gate", "_n", F.explode_outer(tri_arr).alias("_g")
+    )
+    # bcast-bound: grams_df = the shipped profile file (≤ ~4k rows) —
+    # a data-file constant, never sf-scaled. LEFT join: unmatched and
+    # sentinel grams keep their row with a NULL lang and fall through
+    # every conditional aggregate below.
+    joined = grams.join(
+        F.broadcast(grams_df), grams["_g"] == grams_df["gram"], "left"
+    )
+    # ONE aggregation straight to a row per doc: per-language matched
+    # weight + matched count as conditional partial aggregates (the
+    # groupBy keys _gate/_n are constant within a doc). Rows reduce
+    # to one per doc BEFORE the exchange — at any corpus size the
+    # shuffle carries n_docs rows of 2·n_langs longs, never the
+    # exploded grams.
+    agg_exprs = []
+    for i, lang in enumerate(langs):
+        agg_exprs.append(
+            F.expr(
+                f"sum(CASE WHEN lang = '{lang}' THEN w_micro END)"
+            ).alias(f"_mw_{i}")
         )
-    )
-    # fold each doc's matched rows (≤ n_langs) into ONE map column,
-    # then score every language in a single literal-array transform:
-    # no doc×lang row expansion, no (doc, lang)-keyed join — the
-    # original crossJoin + left-join tail re-evaluated the base
-    # projection under a 21× expansion and cost 13 s of the 20 s
-    # wall at sf0.1 (r17 bench catch); this shape is one doc-key
-    # join and one ≤21-entry map scan per language per doc
-    per_doc = matched.groupBy(id_col).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("lang", F.struct("_mw", "_nm")))
-        ).alias("_m")
-    )
-    langs_lit = F.array(
-        *[
-            F.struct(
-                F.lit(lang).alias("lang"),
-                F.lit(int(profiles[lang]["oov_micro"]))
-                .cast("long")
-                .alias("oov"),
-            )
-            for lang in sorted(profiles)
-        ]
-    )
-
-    def _entry(s: Column) -> Column:
-        ent = F.element_at("_m", s["lang"])
-        mw = F.coalesce(ent["_mw"], F.lit(0).cast("long"))
-        nm = F.coalesce(ent["_nm"], F.lit(0).cast("long"))
-        score = mw + (F.col("_n") - nm) * s["oov"]
-        # ascending sort on (-score, lang): best score first,
-        # smallest code on ties — deterministic argmax
-        return F.struct(
-            (-score).alias("ns"),
-            s["lang"].alias("lang"),
-            nm.alias("nm"),
-            score.alias("score"),
+        agg_exprs.append(
+            F.expr(
+                f"count(CASE WHEN lang = '{lang}' THEN 1 END)"
+            ).alias(f"_nm_{i}")
         )
+    per_doc = joined.groupBy(id_col, "_gate", "_n").agg(*agg_exprs)
 
-    joined = base.join(per_doc, id_col, "left")
-    ranked = joined.select(
+    # score all languages in one parsed expression: ascending sort on
+    # (-score, lang) = best score first, smallest code on ties —
+    # deterministic argmax, same integer arithmetic as py_detect
+    ent_strs = []
+    for i, lang in enumerate(langs):
+        oov = int(profiles[lang]["oov_micro"])
+        sc = f"(coalesce(_mw_{i}, 0L) + (_n - _nm_{i}) * {oov}L)"
+        ent_strs.append(
+            f"struct(-{sc} AS ns, '{lang}' AS lang, _nm_{i} AS nm, "
+            f"{sc} AS score)"
+        )
+    ranked = per_doc.select(
         id_col,
         "_gate",
         "_n",
-        F.array_sort(F.transform(langs_lit, _entry)).alias("_a"),
+        F.expr(
+            "array_sort(array(" + ", ".join(ent_strs) + "))"
+        ).alias("_a"),
     )
     best = ranked.select(
         id_col,

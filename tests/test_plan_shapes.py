@@ -177,7 +177,11 @@ MAX_EXCHANGES = {
     # two day-sliced distincts -> left-anti; +2 for shuffle-join form
     "churned_purchasers_day_over_day": 5,
     "frame_feature_ann_topk": 0,     # decode + cosine + TakeOrdered
-    "doc_token_length_histogram": 2,  # token count + tiny bucket agg
+    # token count + tiny bucket agg + the r18 doc_share denominator
+    # window (an unpartitioned WindowExec over the ~log2(max_len)-row
+    # grouped result — bounded rows, replaced a full-scan count()
+    # action; see OPTIMIZATION_r18.md)
+    "doc_token_length_histogram": 3,
     "alert_dedup_first_per_hour": 1,  # one composite-key WindowExec
     # user count agg + global rank over the tiny aggregate
     "top_users_by_events_with_ties": 3,

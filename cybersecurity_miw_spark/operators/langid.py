@@ -463,10 +463,10 @@ def detect_language(
     grams = chars.select(
         id_col, "_gate", "_n", F.explode_outer(tri_arr).alias("_g")
     )
+    # LEFT join: unmatched and sentinel grams keep their row with a
+    # NULL lang and fall through every conditional aggregate below.
     # bcast-bound: grams_df = the shipped profile file (≤ ~4k rows) —
-    # a data-file constant, never sf-scaled. LEFT join: unmatched and
-    # sentinel grams keep their row with a NULL lang and fall through
-    # every conditional aggregate below.
+    # a data-file constant, never sf-scaled.
     joined = grams.join(
         F.broadcast(grams_df), grams["_g"] == grams_df["gram"], "left"
     )

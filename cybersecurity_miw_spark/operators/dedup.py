@@ -284,9 +284,29 @@ def with_signature(
     )
 
 
-def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+def lsh_bands(sig: Column | str, bands: int, rows_per_band: int) -> Column:
     """Band the signature: array of (band_id, band_hash) structs —
-    band_hash = md5 of the concatenated row hashes."""
+    band_hash = md5 of the concatenated row hashes.
+
+    Pass the signature COLUMN NAME where possible: the name form
+    assembles the identical expression tree as ONE SQL string (~0 ms
+    to build), while the Column form goes through
+    ~bands×rows_per_band py4j round-trips (measured 0.4-0.6 s of
+    driver time per call at the 16×7 default — the same
+    construction-cost lesson as with_signature's expr string). Same
+    plan, same results either way (r18 A/B: 0 differing rows)."""
+    if isinstance(sig, str):
+        parts = []
+        for b in range(bands):
+            slots = ", ".join(
+                f"CAST({sig}[{b * rows_per_band + r}] AS STRING)"
+                for r in range(rows_per_band)
+            )
+            parts.append(
+                f"struct({b} as band, "
+                f"md5(concat_ws('|', {slots})) as band_hash)"
+            )
+        return F.expr("array(" + ", ".join(parts) + ")")
     return F.array(
         *[
             F.struct(
@@ -342,7 +362,7 @@ def _banded_projection(
     return staged(
         with_sig.select(
             F.col(id_col),
-            F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
+            F.explode(lsh_bands("_sig", bands, rows_per_band)).alias("b"),
         ).select(
             id_col,
             F.col("b.band").alias("band"),
@@ -807,7 +827,7 @@ def cross_lsh_candidates(
         return sig.select(
             F.col(id_col).alias(out_id),
             F.explode(
-                lsh_bands(F.col("_sig"), bands, rows_per_band)
+                lsh_bands("_sig", bands, rows_per_band)
             ).alias("b"),
         ).select(
             out_id,
@@ -969,7 +989,7 @@ def lsh_band_store(
     sig = with_signature(df, text_col, id_col, num_hashes, shingle_k)
     return sig.select(
         F.col(id_col),
-        F.explode(lsh_bands(F.col("_sig"), bands, rows_per_band)).alias("b"),
+        F.explode(lsh_bands("_sig", bands, rows_per_band)).alias("b"),
     ).select(
         id_col,
         F.col("b.band").alias("band"),

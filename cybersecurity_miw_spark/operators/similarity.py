@@ -185,7 +185,7 @@ def cosine_near_dup_lsh(
     buckets = F.array(
         *[
             hyperplane_bucket(
-                F.col(vec_col), dim, n_planes, plane_offset=b * n_planes
+                vec_col, dim, n_planes, plane_offset=b * n_planes
             )
             for b in range(n_bands)
         ]
@@ -527,7 +527,7 @@ def embedding_bucket_store(
     table (0.899^planes), not the banded one."""
     return df.select(
         id_col,
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        hyperplane_bucket(vec_col, dim, n_planes).alias("bucket"),
         F.col(vec_col).alias(vec_col),
     )
 
@@ -688,14 +688,38 @@ def _plane_component(plane: int, dim: int) -> Column:
 
 
 def hyperplane_bucket(
-    vec: Column, dim: int, n_planes: int = 12, plane_offset: int = 0
+    vec: Column | str, dim: int, n_planes: int = 12, plane_offset: int = 0
 ) -> Column:
     """LSH bucket id: n_planes sign bits of <vec, plane_p>.
     ``plane_offset`` selects an INDEPENDENT plane family from the
     same md5 keyspace (band b uses planes [b·n, (b+1)·n)) — the
     banded variant's per-band bucket; offset 0 is byte-identical to
     the historical single-family bucket, so existing oracles and
-    stores are unaffected."""
+    stores are unaffected.
+
+    Pass the vector COLUMN NAME where possible: the name form builds
+    the identical expression tree as ONE SQL string (repr-round-trip
+    double literals, same dot-product order), while the Column form
+    pays ~n_planes×dim py4j literal round-trips (measured 0.5-0.8 s
+    of driver time per call at dim 16-64 — the lsh_bands lesson).
+    Same plan, same results (r18 A/B: 0 differing bucket values)."""
+    if isinstance(vec, str):
+        cast_vec = f"CAST(`{vec}` AS ARRAY<DOUBLE>)"
+        terms = ["CAST(0 AS BIGINT)"]
+        for p in range(plane_offset, plane_offset + n_planes):
+            comps = ", ".join(
+                f"{plane_component_value(p, d)!r}D" for d in range(dim)
+            )
+            proj = (
+                f"aggregate(zip_with({cast_vec}, array({comps}), "
+                f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(
+                f"(CASE WHEN ({proj}) > 0 THEN "
+                f"shiftleft(CAST(1 AS BIGINT), {p - plane_offset}) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(terms))
     bucket = F.lit(0).cast("long")
     for p in range(plane_offset, plane_offset + n_planes):
         proj = F.lit(0.0)
@@ -733,7 +757,7 @@ def lsh_ann_topk(
     probes = probes[: max(1, n_probes)]
 
     bucketed = df.withColumn(
-        "_bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes)
+        "_bucket", hyperplane_bucket(vec_col, dim, n_planes)
     ).filter(F.col("_bucket").isin(probes))
     return brute_force_topk(bucketed, q, k, vec_col, id_col)
 
@@ -1404,13 +1428,13 @@ def pairwise_topk_lsh(
         df.select(
             F.col(id_col),
             F.col(vec_col).cast("array<double>").alias("_v"),
-            hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+            hyperplane_bucket(vec_col, dim, n_planes).alias("_bucket"),
         ).select(id_col, "_v", "_bucket", norm(F.col("_v")).alias("_n"))
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes).alias("_bucket"),
+        hyperplane_bucket(vec_col, dim, n_planes).alias("_bucket"),
     ).select(
         "query_id", "_qv", "_bucket", norm(F.col("_qv")).alias("_qn")
     )
@@ -1606,13 +1630,20 @@ def pq_adc_topk_codes(
 
 
 def _adc_dist_expr(lut: list[list[int]], code_col: str) -> Column:
-    """Σ_s LUT[s][code_s] as codegen'd lookups over literal arrays."""
-    dist = F.lit(0).cast("long")
+    """Σ_s LUT[s][code_s] as codegen'd lookups over literal arrays.
+    The literal arrays are assembled as ONE SQL string: integer
+    literals through py4j cost ~2 round-trips each (a 4×256 LUT
+    measured 3 s of pure driver construction per call — the
+    lsh_bands lesson); the string form parses JVM-side in ~ms with
+    the identical constant-folded tree."""
+    terms = ["CAST(0 AS BIGINT)"]
     for s in range(len(lut)):
-        lut_arr = F.array(*[F.lit(int(v)).cast("long") for v in lut[s]])
-        dist = dist + F.element_at(
-            lut_arr, F.col(code_col)[s].cast("int") + 1
+        arr = ", ".join(f"{int(v)}L" for v in lut[s])
+        terms.append(
+            f"element_at(array({arr}), "
+            f"CAST(`{code_col}`[{s}] AS INT) + 1)"
         )
+    dist = F.expr(" + ".join(terms))
     # explicit null-codes guard: element_at over a LITERAL array with a
     # null index returns the LAST element on Spark 4.1 (observed; null
     # does not propagate), so without this a null-coded row — or a row
@@ -2472,7 +2503,7 @@ def embedding_band_index(
     buckets = F.array(
         *[
             hyperplane_bucket(
-                F.col(vec_col), dim, n_planes, plane_offset=b * n_planes
+                vec_col, dim, n_planes, plane_offset=b * n_planes
             )
             for b in range(n_bands)
         ]

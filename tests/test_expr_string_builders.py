@@ -1,0 +1,75 @@
+"""The r18 construction-cost fix gave lsh_bands and hyperplane_bucket
+a column-NAME fast path that assembles the expression as one SQL
+string instead of per-element py4j calls. The contract is that both
+forms produce the IDENTICAL tree — these tests pin the observable
+half of that contract (bit-identical results) so a future edit to
+one path cannot silently diverge from the other."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cybersecurity_miw_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_lsh_bands_name_form_matches_column_form(docs):
+    sig = dedup.with_signature(docs)
+    old = sig.select(
+        "doc_id", F.explode(dedup.lsh_bands(F.col("_sig"), 16, 7)).alias("b")
+    )
+    new = sig.select(
+        "doc_id", F.explode(dedup.lsh_bands("_sig", 16, 7)).alias("b")
+    )
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+@pytest.mark.parametrize("offset", [0, 3])
+def test_hyperplane_bucket_name_form_matches_column_form(emb, offset):
+    dim = len(emb.select("embedding").first()[0])
+    old = emb.select(
+        "vec_id",
+        similarity.hyperplane_bucket(
+            F.col("embedding"), dim, 12, plane_offset=offset
+        ).alias("b"),
+    )
+    new = emb.select(
+        "vec_id",
+        similarity.hyperplane_bucket(
+            "embedding", dim, 12, plane_offset=offset
+        ).alias("b"),
+    )
+    diff = (
+        old.alias("o")
+        .join(new.alias("n"), "vec_id")
+        .filter(F.col("o.b") != F.col("n.b"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_adc_dist_expr_matches_python_sum(spark):
+    # 2 subspaces x 4 codes; every code combination present
+    lut = [[7, 1, 9, 3], [2, 8, 5, 11]]
+    rows = [(i, [i % 4, (i * 3) % 4]) for i in range(16)]
+    df = spark.createDataFrame(rows, "id INT, codes ARRAY<INT>")
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", similarity._adc_dist_expr(lut, "codes").alias("d")
+        ).collect()
+    }
+    for i, codes in rows:
+        assert got[i] == lut[0][codes[0]] + lut[1][codes[1]]

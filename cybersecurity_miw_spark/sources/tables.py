@@ -46,6 +46,25 @@ _WIDEN_AUTO_MIN_BYTES = int(
 # same table must not re-pay metadata reads
 _PARQUET_STATS: dict[str, tuple[int, int]] = {}
 
+# memoized parquet READER plans, keyed by (applicationId, path): a
+# session-level table registry (what spark.table() gives catalog
+# tables). spark.read.parquet re-runs driver-side footer/schema
+# inference on every call (~0.1 s per table locally; listing-bound on
+# object stores) even though the benchmark tables are immutable for
+# the life of a session. The memo stores the LAZY DataFrame plan only
+# — no rows are cached or persisted; every action still scans the
+# parquet files in full (same PushedFilters/ReadSchema, same plan).
+_READER_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    df = _READER_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _READER_MEMO[key] = df
+    return df
+
 
 def _parquet_stats(path: str) -> tuple[int, int] | None:
     """(total row groups, total bytes) for the parquet file/directory
@@ -125,7 +144,7 @@ def load_table(
     if name == "events":
         df = load_events(spark, sf_dir)
     else:
-        df = spark.read.parquet(path)
+        df = _read_parquet_memo(spark, path)
     if widen is True:
         df = ensure_parallelism(df, path)
     elif widen is None:
@@ -137,9 +156,14 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a real TimestampType column."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, f"{sf_dir}/events.parquet#ts")
+    memo = _READER_MEMO.get(key)
+    if memo is not None:
+        return memo
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _READER_MEMO[key] = df
     return df
 
 

@@ -1335,12 +1335,25 @@ def dup_clusters(
     each round every node takes the min of its own label and its
     neighbors' labels. Converges in O(diameter) rounds; dedup graphs
     are near-cliques (every member shares most shingles), so 2-3
-    rounds in practice, ``max_iter`` as a guard. Per round: one
-    shuffle join on node id (uniform key) + an algebraic min agg.
-    Driver traffic is ONE scalar per round (the label sum used as the
-    convergence test — monotone non-increasing, fixpoint exactly at
-    convergence); lineage is truncated each round with an eager
-    localCheckpoint so the plan stays O(1) deep at any scale.
+    rounds in practice, ``max_iter`` as a guard. Driver traffic is
+    ONE scalar per round (the label sum used as the convergence test
+    — labels only decrease, so the sum is strictly decreasing until
+    the fixpoint and equality detects it exactly); lineage is
+    truncated each round with a localCheckpoint so the plan stays
+    O(1) deep at any scale.
+
+    Round shape (r18 optimization pass): round 1 is FUSED into
+    initialization — with identity labels, one propagation round is
+    exactly ``min(id, min(neighbor id))``, ONE aggregation over the
+    symmetric edge list (the previous shape paid a roster distinct
+    plus a join+agg+join first round). Rounds 2+ use the UNION form:
+    neighbor-propagated labels unioned with each node's own label,
+    then ONE ``groupBy(node).min`` — three exchanges per round where
+    the join + left-join-back shape paid five (the self-label union
+    replaces the left join; every roster node appears as ``src`` in
+    the symmetric edge list, so the roster is preserved). Identical
+    label sequence, identical round count, identical output — pinned
+    by the union-find property test and the dup_clusters_cc oracle.
     """
     edges = pairs.select(
         F.col(col_a).alias("src"), F.col(col_b).alias("dst")
@@ -1348,38 +1361,42 @@ def dup_clusters(
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        # lazy: the first consumer (round 1's neighbor join / the
-        # label roster distinct) is a full pass and materializes the
-        # checkpoint in its own job — eager=True paid one extra job
+        # lazy: the first consumer (the fused round-1 aggregation) is
+        # a full pass and materializes the checkpoint in its own job —
+        # eager=True paid one extra job
         .localCheckpoint(eager=False)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("cluster_id")
-    )
+    labels = None
     prev_sum = None
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("cluster_id").alias("_nbr_min"))
-        )
-        labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("_nbr_min", "cluster_id"),
-                ).alias("cluster_id"),
+        if labels is None:
+            # round 1 ≡ initialization: label(id) = min(id, min nbrs)
+            labels = (
+                edges.groupBy("src")
+                .agg(F.min("dst").alias("_m"))
+                .select(
+                    F.col("src").alias("id"),
+                    F.least(F.col("src"), F.col("_m")).alias("cluster_id"),
+                )
             )
-            # lazy checkpoint: the convergence sum right below is a
-            # FULL pass over every partition, so it materializes the
-            # checkpoint as a side effect — one job per round instead
-            # of two (eager=True ran a dedicated materialization job).
-            # (Safe precisely because the sum computes all partitions;
-            # a take(1)-style action could checkpoint partially.)
-            .localCheckpoint(eager=False)
-        )
+        else:
+            labels = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .select("src", "cluster_id")
+                .unionByName(
+                    labels.select(F.col("id").alias("src"), "cluster_id")
+                )
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .select(F.col("src").alias("id"), "cluster_id")
+            )
+        # lazy checkpoint: the convergence sum right below is a FULL
+        # pass over every partition, so it materializes the checkpoint
+        # as a side effect — one job per round instead of two
+        # (eager=True ran a dedicated materialization job). (Safe
+        # precisely because the sum computes all partitions; a
+        # take(1)-style action could checkpoint partially.)
+        labels = labels.localCheckpoint(eager=False)
         cur_sum = labels.agg(F.sum("cluster_id")).first()[0]
         if cur_sum == prev_sum:
             break

@@ -164,6 +164,18 @@ def test_dup_clusters_matches_union_find_on_random_graph(spark):
     assert got == want
 
 
+def test_dup_clusters_star_converges_on_fused_first_round(spark):
+    # a star centered at the min id converges in round 1 — the round
+    # the r18 rework fuses into initialization; the break must fire on
+    # the first no-op union round, and labels must all be the center
+    edges = [(1, x) for x in (5, 9, 13, 21)]
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.dup_clusters(_pairs(spark, edges)).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 13: 1, 21: 1}
+
+
 def test_dup_clusters_raises_when_iteration_guard_hit(spark):
     # a 6-node path needs ~5 rounds; cap at 1 must trip the guard
     edges = [(i, i + 1) for i in range(1, 6)]

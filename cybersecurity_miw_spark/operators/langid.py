@@ -329,6 +329,46 @@ def normalize_expr(low: Column) -> Column:
     return F.concat(F.lit("_"), collapsed, F.lit("_"))
 
 
+# ---- SQL-string twins of the two builders above ----
+#
+# detect_language assembles its projections from these instead of the
+# Column forms: the gate alone is ~11 regexp_counts referenced through
+# ~40 binary ops, and building it Column-by-Column costs ~0.12 s of
+# py4j round-trips per call (the lsh_bands/with_signature construction
+# lesson — OPTIMIZATION_r18 finding 6). One parsed string is ~1 ms and
+# yields the same expression tree. The character classes are LITERAL
+# unicode endpoints (no backslashes, no quotes — see _cls), so
+# embedding them in a single-quoted SQL literal is escape-free.
+# tests/test_expr_string_builders.py pins string form ≡ Column form.
+
+
+def _script_gate_sql(low: str) -> str:
+    """:func:`script_gate_expr` over a column NAME, as one SQL string."""
+    cnt = {k: f"regexp_count({low}, '{v}')" for k, v in SCRIPT_CLASSES.items()}
+    total = "(0 + " + " + ".join(cnt[k] for k in SCRIPT_CLASSES) + ")"
+    kana = f"({cnt['hiragana']} + {cnt['katakana']})"
+    arms = [f"WHEN {total} = 0 THEN '{UND}'"]
+    arms.append(
+        f"WHEN {kana} * 1000000 >= {total} * {KANA_MICRO} AND "
+        f"({cnt['han']} + {kana}) * 1000000 >= {total} * {DOMINANT_MICRO} "
+        f"THEN 'ja'"
+    )
+    arms.append(
+        f"WHEN {cnt['han']} * 1000000 >= {total} * {DOMINANT_MICRO} THEN 'zh'"
+    )
+    for script, lang in SCRIPT_LANG.items():
+        arms.append(
+            f"WHEN {cnt[script]} * 1000000 >= {total} * {DOMINANT_MICRO} "
+            f"THEN '{lang}'"
+        )
+    return "CASE " + " ".join(arms) + " END"
+
+
+def _normalize_sql(low: str) -> str:
+    """:func:`normalize_expr` over a column NAME, as one SQL string."""
+    return f"concat('_', regexp_replace({low}, '{NON_LETTER_RUN}', '_'), '_')"
+
+
 def profile_frames(spark, profiles: dict[str, dict]):
     """(gram table, language table) Spark frames for a profile dict —
     both broadcast-sized by construction."""
@@ -405,22 +445,22 @@ def detect_language(
     # stage the lowered capped prefix ONCE: the gate + normalize
     # reference it ~13 times, and CollapseProject keeps a
     # multiply-referenced alias in its own projection (the
-    # with_shingles staging discipline)
-    low = F.lower(
-        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, cap)
+    # with_shingles staging discipline). Every projection below is
+    # assembled as SQL strings (the _script_gate_sql twins): the
+    # Column-built chain cost ~0.5 s of py4j round-trips per call
+    # (finding 6) for the identical trees.
+    idq = f"`{id_col}`"
+    staged = df.selectExpr(
+        idq,
+        f"lower(substring(coalesce(`{text_col}`, ''), 1, {int(cap)})) "
+        "AS _lo",
     )
-    staged = df.select(F.col(id_col), low.alias("_lo"))
-    base = staged.select(
-        id_col,
-        script_gate_expr(F.col("_lo")).alias("_gate"),
-        normalize_expr(F.col("_lo")).alias("_p"),
+    base = staged.selectExpr(
+        idq,
+        _script_gate_sql("_lo") + " AS _gate",
+        _normalize_sql("_lo") + " AS _p",
     )
-    base = base.select(
-        id_col,
-        "_gate",
-        "_p",
-        (F.length("_p") - F.lit(2)).alias("_n"),
-    )
+    base = base.selectExpr(idq, "_gate", "_p", "length(_p) - 2 AS _n")
 
     # Three plan-shape rules here, each a measured r17 bench catch at
     # sf0.1 (15 s → 1.3 s on the gram side):
@@ -438,30 +478,25 @@ def detect_language(
     #    inlines the split() chain into the lambda, re-evaluating it
     #    once per ELEMENT. The slice+zip_with shape references the
     #    char array a constant three times per ROW.
-    tri_cond = F.col("_gate").isNull() & (F.col("_n") >= min_grams)
-    chars = base.select(
-        id_col,
+    chars = base.selectExpr(
+        idq,
         "_gate",
         "_n",
-        F.when(tri_cond, F.split(F.col("_p"), ""))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("_ch"),
+        f"CASE WHEN _gate IS NULL AND _n >= {int(min_grams)} "
+        "THEN split(_p, '') "
+        "ELSE CAST(array() AS ARRAY<STRING>) END AS _ch",
     )
-    n_tri = F.greatest(F.size("_ch") - 2, F.lit(0))
-    tri_arr = F.zip_with(
-        F.zip_with(
-            F.slice("_ch", 1, n_tri),
-            F.slice("_ch", 2, n_tri),
-            lambda x, y: F.concat(x, y),
-        ),
-        F.slice("_ch", 3, n_tri),
-        lambda x, y: F.concat(x, y),
+    gn = "greatest(size(_ch) - 2, 0)"
+    tri_arr = (
+        f"zip_with(zip_with(slice(_ch, 1, {gn}), slice(_ch, 2, {gn}), "
+        f"(x, y) -> concat(x, y)), slice(_ch, 3, {gn}), "
+        f"(x, y) -> concat(x, y))"
     )
     # explode_outer: tri-path docs emit their ≤ cap grams, gated and
     # too-short docs emit ONE NULL-gram sentinel row — every doc
     # survives the generate, so no join back to the base is needed
-    grams = chars.select(
-        id_col, "_gate", "_n", F.explode_outer(tri_arr).alias("_g")
+    grams = chars.selectExpr(
+        idq, "_gate", "_n", f"explode_outer({tri_arr}) AS _g"
     )
     # LEFT join: unmatched and sentinel grams keep their row with a
     # NULL lang and fall through every conditional aggregate below.
@@ -501,46 +536,37 @@ def detect_language(
             f"struct(-{sc} AS ns, '{lang}' AS lang, _nm_{i} AS nm, "
             f"{sc} AS score)"
         )
-    ranked = per_doc.select(
-        id_col,
+    ranked = per_doc.selectExpr(
+        idq,
         "_gate",
         "_n",
-        F.expr(
-            "array_sort(array(" + ", ".join(ent_strs) + "))"
-        ).alias("_a"),
+        "array_sort(array(" + ", ".join(ent_strs) + ")) AS _a",
     )
-    best = ranked.select(
-        id_col,
+    best = ranked.selectExpr(
+        idq,
         "_gate",
         "_n",
-        F.col("_a")[0]["lang"].alias("_bl"),
-        F.col("_a")[0]["score"].alias("_bs"),
-        F.col("_a")[0]["nm"].alias("_bnm"),
-        F.col("_a")[1]["score"].alias("_ss"),
+        "_a[0].lang AS _bl",
+        "_a[0].score AS _bs",
+        "_a[0].nm AS _bnm",
+        "_a[1].score AS _ss",
     )
-    null_l = F.lit(None).cast("long")
-    tri_path = F.col("_gate").isNull() & (F.col("_n") >= min_grams)
-    lang = (
-        F.when(F.col("_gate").isNotNull(), F.col("_gate"))
-        .when(F.col("_n") < min_grams, F.lit(UND))
-        .when(
-            F.col("_bnm") * 1_000_000
-            < F.col("_n") * F.lit(int(min_match_frac_micro)),
-            F.lit(UND),
-        )
-        .when(
-            F.col("_bs") - F.col("_ss") < F.lit(int(margin_micro)),
-            F.lit(UND),
-        )
-        .otherwise(F.col("_bl"))
+    tri_path = f"(_gate IS NULL AND _n >= {int(min_grams)})"
+    lang_sql = (
+        "CASE WHEN _gate IS NOT NULL THEN _gate "
+        f"WHEN _n < {int(min_grams)} THEN '{UND}' "
+        f"WHEN _bnm * 1000000 < _n * {int(min_match_frac_micro)} "
+        f"THEN '{UND}' "
+        f"WHEN _bs - _ss < {int(margin_micro)} THEN '{UND}' "
+        "ELSE _bl END"
     )
-    return best.select(
-        id_col,
-        lang.alias("lang"),
-        F.when(tri_path, F.col("_bs")).otherwise(null_l)
-        .alias("lang_score_micro"),
-        F.when(tri_path, F.col("_bs") - F.col("_ss")).otherwise(null_l)
-        .alias("lang_margin_micro"),
+    return best.selectExpr(
+        idq,
+        lang_sql + " AS lang",
+        f"CASE WHEN {tri_path} THEN _bs ELSE CAST(NULL AS BIGINT) END "
+        "AS lang_score_micro",
+        f"CASE WHEN {tri_path} THEN _bs - _ss "
+        "ELSE CAST(NULL AS BIGINT) END AS lang_margin_micro",
     )
 
 

@@ -234,12 +234,27 @@ def with_shingles(
     array materialized in its own projection so the text is split
     exactly once (CollapseProject keeps the two stages apart because
     the alias is referenced more than once — measured 3.9 s → 0.7 s at
-    sf0.1)."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    staged = df.select(*keep, words.alias("_w"))
-    return staged.select(
-        *keep, shingles_from_words(F.col("_w"), k).alias(out_col)
+    sf0.1).
+
+    Both projections are assembled as SQL strings: the Column-built
+    shingle expression (sequence + transform lambda + the CASE) cost
+    ~0.1 s of py4j round-trips per call on the hot dedup paths that
+    build this twice per query (OPTIMIZATION_r18 finding 6); the
+    string parses JVM-side in ~1 ms to the identical tree —
+    tests/test_expr_string_builders.py pins string ≡ Column form."""
+    k = int(k)
+    keep_q = [f"`{c}`" for c in keep]
+    # '\\\\s+' in SQL-literal escaping reaches the regex engine as \s+
+    staged = df.selectExpr(
+        *keep_q, f"split(lower(trim(`{text_col}`)), '\\\\s+') AS _w"
     )
+    sh = (
+        f"array_distinct(CASE WHEN size(_w) >= {k} THEN "
+        f"transform(sequence(0, greatest(size(_w) - {k}, 0)), "
+        f"i -> concat_ws(' ', slice(_w, i + 1, {k}))) "
+        f"ELSE array(concat_ws(' ', _w)) END)"
+    )
+    return staged.selectExpr(*keep_q, f"{sh} AS `{out_col}`")
 
 
 def profile(

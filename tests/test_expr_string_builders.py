@@ -60,6 +60,42 @@ def test_hyperplane_bucket_name_form_matches_column_form(emb, offset):
     assert diff == 0
 
 
+def test_with_shingles_string_form_matches_column_form(docs):
+    from cybersecurity_miw_spark.operators import textstats
+
+    new = textstats.with_shingles(docs, "text", 3, "_sh", keep=("doc_id",))
+    # the pre-r18 Column-built chain, verbatim
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    staged = docs.select("doc_id", words.alias("_w"))
+    old = staged.select(
+        "doc_id",
+        textstats.shingles_from_words(F.col("_w"), 3).alias("_sh"),
+    )
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_langid_gate_and_normalize_sql_match_column_form(docs):
+    from cybersecurity_miw_spark.operators import langid
+
+    low = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 600))
+    staged = docs.select("doc_id", low.alias("_lo"))
+    old = staged.select(
+        "doc_id",
+        langid.script_gate_expr(F.col("_lo")).alias("g"),
+        langid.normalize_expr(F.col("_lo")).alias("p"),
+    )
+    new = staged.selectExpr(
+        "doc_id",
+        langid._script_gate_sql("_lo") + " AS g",
+        langid._normalize_sql("_lo") + " AS p",
+    )
+    assert old.schema == new.schema
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_adc_dist_expr_matches_python_sum(spark):
     # 2 subspaces x 4 codes; every code combination present
     lut = [[7, 1, 9, 3], [2, 8, 5, 11]]

@@ -10679,7 +10679,9 @@ def q_link_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
     conserved up to integer dust. The fixture's img.cdn*.example.com
     targets are all dangling, making the two variants diverge on
     every node. One extra 1-row aggregate per iteration, broadcast-
-    crossed; zero driver rows beyond the one node-count scalar."""
+    crossed; the node count rides the same 1-row-broadcast pattern
+    (r18: it was a driver-collected scalar, whose count() job ran at
+    query-construction time) — zero driver rows."""
     return linkgraph.pagerank(
         _lg_edges(spark, sf_dir),
         iters=_LG_PR_ITERS,

@@ -310,10 +310,11 @@ def pagerank(
     URL keys; the out-degree is joined ONCE before the loop and the
     staged edge frame is reused by every iteration. The dangling
     term adds one 1-row aggregate broadcast-crossed onto the node
-    set (never a per-node join). Driver traffic: zero rows (the node
-    count N is ONE bounded scalar, collected once before the loop;
-    fixed iteration count, the oracle-able variant; pass
-    ``checkpoint=False`` only for short unrolled-oracle runs)."""
+    set (never a per-node join), and the node count N rides the same
+    pattern — a 1-row aggregate broadcast, never a driver collect.
+    Driver traffic: ZERO rows (fixed iteration count, the oracle-able
+    variant; pass ``checkpoint=False`` only for short unrolled-oracle
+    runs)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if not (0 < damping_micro < MICRO):
@@ -339,10 +340,17 @@ def pagerank(
         .distinct()
     )
     if redistribute_dangling:
-        n_nodes = nodes.count() or 1  # one bounded scalar, once
         dang = staged(
             nodes.join(deg, nodes["url"] == deg["src_url"], "left_anti")
         )
+        # N as a ONE-row aggregate folded into the plan instead of a
+        # driver-collected scalar: the old nodes.count() ran a whole
+        # job (materializing the staged edge subtree) at query
+        # CONSTRUCTION time — ~0.3-0.5 s before the first real job at
+        # sf0.1, and at scale a full extra pass unless the persist
+        # held. greatest(_nn, 1) keeps the empty-graph div guard the
+        # scalar form spelled as `count() or 1`.
+        n_df = nodes.agg(F.count(F.lit(1)).cast("long").alias("_nn"))
     base = MICRO - int(damping_micro)
     score = nodes.select("url", F.lit(MICRO).cast("long").alias("pr_micro"))
     for _ in range(iters):
@@ -363,9 +371,12 @@ def pagerank(
                 .alias("_dm")
             )
             # bcast-bound: _dm = ONE row (this iteration's total
-            # dangling mass); the uniform share is a row expression
-            joined = joined.crossJoin(F.broadcast(dm))
-            in_expr = f"(coalesce(_in, 0) + div(_dm, {n_nodes}))"
+            # dangling mass); _nn = ONE row (the node count); the
+            # uniform share is a row expression
+            joined = joined.crossJoin(F.broadcast(dm)).crossJoin(
+                F.broadcast(n_df)
+            )
+            in_expr = "(coalesce(_in, 0) + div(_dm, greatest(_nn, 1L)))"
         else:
             in_expr = "coalesce(_in, 0)"
         # overflow-safe exact multiply: d·inc div 1e6 computed as

@@ -882,10 +882,11 @@ SELECT id_a, id_b FROM cands
 
 @register("minhash_lsh_guarded", _LSH_GUARDED_SQL)
 def q_lsh_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """minhash_lsh_candidates with max_bucket_width=2: one extra
-    count agg on the same uniform (band, band_hash) key, then the
-    self-join runs only over admitted buckets — pair output bounded
-    by W^2/2 per bucket regardless of skew.
+    """minhash_lsh_candidates with max_bucket_width=2: a size filter
+    on the grouped bucket rosters (zero extra exchanges — r18: the
+    self-join form paid a count agg plus a semi-join), so pairs are
+    expanded only from admitted buckets — pair output bounded by
+    W^2/2 per bucket regardless of skew.
     :func:`dedup.oversized_band_buckets` surfaces what was fenced."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
     return dedup.minhash_lsh_candidates(

@@ -382,54 +382,77 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing at least
     one LSH band bucket. Plan: narrow signature computation → explode
-    bands (xN) → self-join on (band, band_hash) — the join key is a
-    uniform hash so the shuffle is skew-free; same-bucket pair count
-    bounds the output.
+    bands (xN) → ONE groupBy on (band, band_hash) collecting each
+    bucket's sorted roster → in-bucket pair expansion (see
+    :func:`pairs_from_bands`) — the group key is a uniform hash so
+    the shuffle is skew-free; same-bucket pair count bounds the
+    output.
 
     ``max_bucket_width`` guards the one blowup banding cannot avoid:
     a NEAR-dup mega-cluster (a boilerplate template with thousands of
     variants — exact dedup upstream already collapses byte-identical
-    copies) puts W docs in one bucket and the self-join emits W²/2
-    pairs from it. With the guard set, buckets wider than the cap are
-    EXCLUDED from the pair join (one extra count agg on the same
-    uniform key) — list them with :func:`oversized_band_buckets` and
-    handle the members as a cluster directly (they are mutually
-    near-dup by construction at that width) instead of materializing
-    the quadratic pair list. The pair output is then bounded by
-    W_max²/2 per bucket regardless of data skew."""
+    copies) puts W docs in one bucket and the pair expansion emits
+    W²/2 pairs from it. With the guard set, buckets wider than the
+    cap are EXCLUDED from pair expansion (a size filter on the
+    already-grouped bucket roster — zero extra exchanges) — list them
+    with :func:`oversized_band_buckets` and handle the members as a
+    cluster directly (they are mutually near-dup by construction at
+    that width) instead of materializing the quadratic pair list. The
+    pair output is then bounded by W_max²/2 per bucket regardless of
+    data skew."""
     banded = _banded_projection(
         df, text_col, id_col, num_hashes, bands, shingle_k
     )
+    return pairs_from_bands(banded, id_col, max_bucket_width)
+
+
+def pairs_from_bands(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_width: int | None = None,
+) -> DataFrame:
+    """(id, band, band_hash) rows → candidate pairs (id_a < id_b) —
+    the shared back half of every banding consumer; callers that
+    already hold a (checkpointed) banded projection feed it here
+    instead of recomputing signatures.
+
+    Shape (r18 optimization pass): ONE groupBy over the uniform
+    (band, band_hash) key collects each bucket's sorted id roster and
+    a row expression expands the in-bucket pairs — the previous
+    self-join shuffled the banded rows TWICE (once per join side) and
+    sort-merge-joined them for the identical pair set (A/B: 0
+    differing rows at sf0.01/sf0.1; minus one full exchange of the
+    widest intermediate plus the join itself). Per-bucket work is the
+    same W²/2 pair expansion either way, and rows of one bucket land
+    in one task under both shapes (hash-partitioned by the bucket
+    key), so the rewrite changes bytes moved, not skew exposure. The
+    sorted roster makes ``x`` precede ``y`` in every emitted struct,
+    and ids are unique within a bucket (one row per (id, band)), so
+    id_a < id_b holds strictly; the final distinct collapses pairs
+    that share buckets in several bands.
+
+    ``max_bucket_width`` (the mega-bucket skew fence) is a size
+    filter on the grouped roster — zero extra exchanges, where the
+    self-join form paid a count aggregation plus a semi-join."""
+    ids = F.sort_array(F.collect_list(F.col(id_col)))
+    grouped = (
+        banded.groupBy("band", "band_hash")
+        .agg(ids.alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
     if max_bucket_width is not None:
-        ok = (
-            banded.groupBy("band", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_w"))
-            .filter(F.col("_w") <= max_bucket_width)
-            .select("band", "band_hash")
-        )
-        banded = banded.join(ok, on=["band", "band_hash"], how="left_semi")
-    return pairs_from_bands(banded, id_col)
-
-
-def pairs_from_bands(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Self-join (id, band, band_hash) rows into candidate pairs
-    (id_a < id_b) — the shared back half of every banding consumer;
-    callers that already hold a (checkpointed) banded projection feed
-    it here instead of recomputing signatures."""
-    a = banded.alias("a")
-    b = banded.alias("b")
+        grouped = grouped.filter(F.size("_ids") <= max_bucket_width)
     return (
-        a.join(
-            b,
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(_ids, (x, i) -> "
+                    "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
+                    "y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -85,6 +85,52 @@ def test_lsh_candidates_find_planted_pair(docs):
     assert not any(3 in p for p in pairs)
 
 
+def test_pairs_from_bands_matches_self_join_model(spark):
+    """The grouped-roster pair expansion (r18 rewrite) emits exactly
+    the self-join's pair set — including a pair sharing buckets in
+    TWO bands (distinct collapses it), a width-3 bucket (3 pairs),
+    and the max_bucket_width fence (wide bucket excluded with zero
+    extra exchanges)."""
+    rows = [
+        # band 0 bucket "x": docs 1,2,3 -> pairs (1,2),(1,3),(2,3)
+        (1, 0, "x"), (2, 0, "x"), (3, 0, "x"),
+        # band 1 bucket "y": docs 1,2 -> duplicate pair (1,2)
+        (1, 1, "y"), (2, 1, "y"),
+        # band 2 singleton bucket: no pairs
+        (9, 2, "z"),
+    ]
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band int, band_hash string"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    model = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.pairs_from_bands(banded).collect()
+    }
+    assert got == model == {(1, 2), (1, 3), (2, 3)}
+    fenced = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.pairs_from_bands(banded, max_bucket_width=2).collect()
+    }
+    assert fenced == {(1, 2)}  # width-3 bucket excluded, band-1 pair kept
+
+
 def test_jaccard_pairs_values(spark, docs):
     pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs, pairs).collect()}

@@ -37,13 +37,12 @@ MAX_EXCHANGES = {
     "text_profile": 1,             # forced widening repartition
     "dedup_exact_groups": 1,
     "minhash_signatures": 1,       # forced widening repartition
-    # the two LSH self-joins persist their build-side projection; the
-    # join planner picks broadcast (4 exchanges) from file-size stats
-    # on a fresh session but a shuffle join (6) once cache statistics
-    # exist from an earlier materialization in the same session — both
-    # forms are skew-free on the uniform band/bucket hash, so the
-    # ceiling admits the shuffle form
-    "minhash_lsh_candidates": 6,   # widen + band explode agg + self-join sides
+    # r18: the band self-join became ONE groupBy over the uniform
+    # (band, band_hash) key collecting each bucket's roster + in-bucket
+    # pair expansion (dedup.pairs_from_bands) — widen + roster agg +
+    # final distinct; the old self-join form paid 4-6 depending on the
+    # join strategy the planner picked
+    "minhash_lsh_candidates": 3,   # widen + bucket-roster agg + distinct
     "simhash_fingerprints": 1,
     "cosine_brute_topk": 0,        # TakeOrdered, no global sort
     "ann_lsh_topk": 0,             # bucket filter + TakeOrdered

@@ -65,11 +65,34 @@ def id_column(ldef: LogDef) -> Column:
     return F.concat_ws("_", *parts)
 
 
+# Memoized aggregate-expression lists per (application, logdef,
+# skip_union) — the derive._DERIVE_MEMO discipline: the Columns are
+# immutable aliased expressions, rebuilt identically on every compile
+# otherwise (~0.1 s of py4j round-trips per call on aggregate-heavy
+# formats). resolved_pos never enters these expressions (they
+# reference fields by NAME), so the LogDef repr alone is a complete
+# key. The cached list is copied on return — callers extend it.
+_AGG_EXPRS_MEMO: dict[tuple, list[Column]] = {}
+
+
 def simple_agg_exprs(ldef: LogDef, skip_union: bool = False) -> list[Column]:
     """All single-pass aggregate expressions (everything except
     union_count, which needs its own plan, and ratio, which is a
     post-projection). ``skip_union`` leaves A8 union fields to the
     bounded two-phase path (:func:`union_limited_values`)."""
+    from cybersecurity_miw_spark.operators.derive import _app_id
+
+    key = (_app_id(), repr(ldef), skip_union)
+    cached = _AGG_EXPRS_MEMO.get(key)
+    if cached is None:
+        cached = _build_simple_agg_exprs(ldef, skip_union)
+        _AGG_EXPRS_MEMO[key] = cached
+    return list(cached)
+
+
+def _build_simple_agg_exprs(
+    ldef: LogDef, skip_union: bool = False
+) -> list[Column]:
     exprs: list[Column] = [F.count(F.lit(1)).alias(LOGS_COL)]
     for f in ldef.fields:
         if f.key:

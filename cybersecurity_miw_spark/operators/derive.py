@@ -14,7 +14,7 @@ per logdef field (preprocessing fields yield a MapType column named
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cybersecurity_miw_spark.functions.cols import qcol
@@ -60,8 +60,39 @@ def raw_token(f: Field) -> Column:
     return F.trim(strip_quotes(F.get(F.col(TOKENS_COL), f.resolved_pos)))
 
 
+# Memoized per-field derived-column EXPRESSIONS — the _READER_MEMO
+# discipline (sources/tables.py) applied to expression trees: a Column
+# wraps an immutable unresolved JVM expression (attributes bind by
+# name at analysis), so ONE build serves every query that projects an
+# identical field. Building a date field's tree costs ~50-100 ms of
+# py4j round-trips (finding 6, OPTIMIZATION_r18.md) and the format
+# compiler rebuilds every field on every compile. Keyed by the live
+# application (a JVM restart invalidates py4j handles), the field's
+# dataclass repr, AND resolved_pos (repr=False on the dataclass, so
+# two fields differing only in resolved position must be keyed
+# explicitly). Entry count is bounded by the configured format
+# surface, like the reader memo.
+_DERIVE_MEMO: dict[tuple, Column] = {}
+
+
+def _app_id() -> str | None:
+    spark = SparkSession.getActiveSession()
+    return spark.sparkContext.applicationId if spark is not None else None
+
+
 def derive_column(f: Field) -> Column:
-    """The typed/derived output column for one field."""
+    """The typed/derived output column for one field (memoized — see
+    ``_DERIVE_MEMO``; the returned Column is immutable and aliased by
+    callers, never mutated)."""
+    key = (_app_id(), repr(f), f.resolved_pos)
+    col = _DERIVE_MEMO.get(key)
+    if col is None:
+        col = _build_derive_column(f)
+        _DERIVE_MEMO[key] = col
+    return col
+
+
+def _build_derive_column(f: Field) -> Column:
     tok = raw_token(f)
 
     if f.preprocessing == "evtxcsv":

@@ -109,3 +109,59 @@ def test_adc_dist_expr_matches_python_sum(spark):
     }
     for i, codes in rows:
         assert got[i] == lut[0][codes[0]] + lut[1][codes[1]]
+
+
+# ---- r18 expression memoization (derive/aggregate) ----
+
+
+def test_derive_column_memo_identity_and_resolved_pos_key(spark):
+    """derive_column memoizes per (app, field repr, resolved_pos):
+    repeated calls return the cached Column, while two fields whose
+    dataclass reprs match but whose RESOLVED positions differ (pos is
+    auto-increment-resolved, excluded from repr) must not collide —
+    they read different tokens."""
+    from cybersecurity_miw_spark.operators import derive
+    from cybersecurity_miw_spark.plans.logdef import LogDef
+
+    ldef = LogDef.from_json(
+        {
+            "format_name": "memo_probe",
+            "delims": ",",
+            "fields": [
+                {"name": "a", "type": "string"},
+                {"name": "b", "type": "string"},
+            ],
+        }
+    )
+    fa, fb = ldef.fields
+    assert fa.resolved_pos != fb.resolved_pos
+    assert derive.derive_column(fa) is derive.derive_column(fa)  # cached
+    # same repr shape, different resolved_pos -> different expressions
+    df = spark.createDataFrame([(["x", "y"],)], "`_tokens` array<string>")
+    row = df.select(
+        derive.derive_column(fa).alias("a"), derive.derive_column(fb).alias("b")
+    ).first()
+    assert (row["a"], row["b"]) == ("x", "y")
+
+
+def test_simple_agg_exprs_returns_fresh_list(spark):
+    """Callers extend the returned list (aggregate() does `aggs +=`);
+    the memo must hand out a copy or the cache would grow per call."""
+    from cybersecurity_miw_spark.operators.aggregate import simple_agg_exprs
+    from cybersecurity_miw_spark.plans.logdef import LogDef
+
+    ldef = LogDef.from_json(
+        {
+            "format_name": "memo_probe2",
+            "delims": ",",
+            "fields": [
+                {"name": "k", "type": "string", "key": True},
+                {"name": "v", "type": "float", "aggregated": True,
+                 "aggregation": "sum"},
+            ],
+        }
+    )
+    first = simple_agg_exprs(ldef)
+    n = len(first)
+    first.append(F.lit(1))
+    assert len(simple_agg_exprs(ldef)) == n

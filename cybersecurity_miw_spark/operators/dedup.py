@@ -350,25 +350,30 @@ def _banded_projection(
     num_hashes: int,
     bands: int,
     shingle_k: int,
+    persist: bool = True,
 ) -> DataFrame:
-    """(id, band, band_hash) rows, persisted: the shared front half of
-    every banding consumer (self-join candidates, the guarded variant,
-    the band store)."""
+    """(id, band, band_hash) rows — the shared front half of every
+    banding consumer. ``persist=True`` stages it for callers that
+    reference it more than once (the incremental fence path reads it
+    three times); single-pass consumers pass ``persist=False`` — with
+    the r18 bucket-roster pair expansion the candidate path reads the
+    banded rows exactly ONCE, so caching them is pure overhead (a
+    serialized cache write of the widest narrow intermediate that
+    nothing reads back; at scale it's memory pressure for nothing)."""
     rows_per_band = num_hashes // bands
     # stage words → shingles → signature as separate projections so
     # the text split and the signature fold each evaluate exactly once
     # (see textstats.with_shingles)
     with_sig = with_signature(df, text_col, id_col, num_hashes, shingle_k)
-    return staged(
-        with_sig.select(
-            F.col(id_col),
-            F.explode(lsh_bands("_sig", bands, rows_per_band)).alias("b"),
-        ).select(
-            id_col,
-            F.col("b.band").alias("band"),
-            F.col("b.band_hash").alias("band_hash"),
-        )
+    out = with_sig.select(
+        F.col(id_col),
+        F.explode(lsh_bands("_sig", bands, rows_per_band)).alias("b"),
+    ).select(
+        id_col,
+        F.col("b.band").alias("band"),
+        F.col("b.band_hash").alias("band_hash"),
     )
+    return staged(out) if persist else out
 
 
 def minhash_lsh_candidates(
@@ -401,7 +406,8 @@ def minhash_lsh_candidates(
     pair output is then bounded by W_max²/2 per bucket regardless of
     data skew."""
     banded = _banded_projection(
-        df, text_col, id_col, num_hashes, bands, shingle_k
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        persist=False,  # single-pass consumer (bucket-roster groupBy)
     )
     return pairs_from_bands(banded, id_col, max_bucket_width)
 
@@ -473,7 +479,8 @@ def oversized_band_buckets(
     the sorted id array (bounded per row by the cluster size; treat
     the bucket as one duplicate group, e.g. keep min id)."""
     banded = _banded_projection(
-        df, text_col, id_col, num_hashes, bands, shingle_k
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        persist=False,  # single-pass consumer (one width aggregation)
     )
     return (
         banded.groupBy("band", "band_hash")

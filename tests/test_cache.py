@@ -29,10 +29,16 @@ def test_release_unpersists_tracked_frames(spark):
 
 
 def test_operator_intermediates_are_tracked_and_releasable(spark):
-    """funnel_stages / time_rollup / minhash LSH persist internal
-    frames; after materializing results, release_intermediates() must
-    find and drop every one of them."""
-    from cybersecurity_miw_spark.operators.dedup import minhash_lsh_candidates
+    """funnel_stages / time_rollup / the jaccard confirm persist
+    internal frames; after materializing results,
+    release_intermediates() must find and drop every one of them.
+    (minhash_lsh_candidates no longer pins anything — the r18
+    bucket-roster rewrite made its banded projection single-pass, so
+    the confirm path's pairs persist is the dedup-family coverage.)"""
+    from cybersecurity_miw_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_candidates,
+    )
     from cybersecurity_miw_spark.operators.patterns import funnel_stages
     from cybersecurity_miw_spark.operators.timeseries import time_rollup
 
@@ -52,7 +58,7 @@ def test_operator_intermediates_are_tracked_and_releasable(spark):
 
     funnel_stages(ev, stages=("signup", "click", "purchase")).collect()
     time_rollup(ev, levels=("minute", "hour")).collect()
-    minhash_lsh_candidates(docs).collect()
+    jaccard_pairs(docs, minhash_lsh_candidates(docs)).collect()
     assert release_intermediates() >= 3
 
     # every tracked cache is actually gone from the session

@@ -174,6 +174,15 @@ def main() -> None:
     # per-query spread (max-min over the three warm runs) is reported
     # so deltas can be read against measured same-session variance.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    # r19 (VERDICT r18 #6): construct/force split. Query CONSTRUCTION
+    # (catalog fn + analysis py4j round-trips) happens inside the
+    # timed region and the r18 per-app expression/reader memos zero
+    # most of it out on warm passes — reporting the construction
+    # share separately keeps execution-side wins distinguishable from
+    # driver-cost amortization in round-over-round diffs. The timed
+    # value is UNCHANGED (still construct+force, same region); this
+    # only splits out where inside that region the time went.
+    construct_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
     control_runs: list[float] = []
 
     def _sample_control() -> None:
@@ -190,13 +199,19 @@ def main() -> None:
         _sample_control()
         for name in HEADLINE:
             t0 = time.perf_counter()
-            force(QUERIES[name](spark, SF_DIR))
+            df = QUERIES[name](spark, SF_DIR)
+            t_built = time.perf_counter()
+            force(df)
             runs[name].append(time.perf_counter() - t0)
+            construct_runs[name].append(t_built - t0)
             release()
     _sample_control()
 
     control_warm = round(sorted(control_runs)[2], 3)
     timings = {n: round(sorted(ts)[1], 3) for n, ts in runs.items()}
+    construct = {
+        n: round(sorted(ts)[1], 3) for n, ts in construct_runs.items()
+    }
     spread = {n: round(max(ts) - min(ts), 3) for n, ts in runs.items()}
     # min-of-warm-runs, informational: the pre-round-7 records used
     # min-of-2, so this is the continuity number for cross-round diffs
@@ -217,6 +232,9 @@ def main() -> None:
                 "timing": "median_of_3_warm",
                 "core15": CORE15,
                 "value_extended": round(sum(timings.values()), 3),
+                # median warm CONSTRUCTION seconds per query (the
+                # construct share of the timed construct+force wall)
+                "queries_construct": construct,
                 "queries_spread_warm": spread,
                 "value_min3": round(sum(min_warm[n] for n in CORE15), 3),
                 "queries_min_warm": min_warm,

@@ -73,6 +73,7 @@ def id_column(ldef: LogDef) -> Column:
 # reference fields by NAME), so the LogDef repr alone is a complete
 # key. The cached list is copied on return — callers extend it.
 _AGG_EXPRS_MEMO: dict[tuple, list[Column]] = {}
+_AGG_EXPRS_MEMO_APP: str | None = None  # single-app dict, see derive.memo_for_app
 
 
 def simple_agg_exprs(ldef: LogDef, skip_union: bool = False) -> list[Column]:
@@ -80,9 +81,16 @@ def simple_agg_exprs(ldef: LogDef, skip_union: bool = False) -> list[Column]:
     union_count, which needs its own plan, and ratio, which is a
     post-projection). ``skip_union`` leaves A8 union fields to the
     bounded two-phase path (:func:`union_limited_values`)."""
-    from cybersecurity_miw_spark.operators.derive import _app_id
+    global _AGG_EXPRS_MEMO_APP
+    from cybersecurity_miw_spark.operators.derive import _app_id, memo_for_app
 
-    key = (_app_id(), repr(ldef), skip_union)
+    app = _app_id()
+    if app is None:
+        return _build_simple_agg_exprs(ldef, skip_union)
+    _AGG_EXPRS_MEMO_APP = memo_for_app(
+        _AGG_EXPRS_MEMO, _AGG_EXPRS_MEMO_APP, app
+    )
+    key = (repr(ldef), skip_union)
     cached = _AGG_EXPRS_MEMO.get(key)
     if cached is None:
         cached = _build_simple_agg_exprs(ldef, skip_union)

@@ -73,6 +73,10 @@ def raw_token(f: Field) -> Column:
 # explicitly). Entry count is bounded by the configured format
 # surface, like the reader memo.
 _DERIVE_MEMO: dict[tuple, Column] = {}
+# the application the memo belongs to — a SINGLE-app dict cleared on
+# app change (ADVICE r18: keying entries by app id never evicted dead
+# applications' py4j handles in a driver that restarts sessions)
+_DERIVE_MEMO_APP: str | None = None
 
 
 def _app_id() -> str | None:
@@ -80,11 +84,29 @@ def _app_id() -> str | None:
     return spark.sparkContext.applicationId if spark is not None else None
 
 
+def memo_for_app(memo: dict, owner_app: str | None, app: str | None):
+    """Single-application memo discipline (shared by the derive/agg
+    expression memos): on app-id change the whole dict is cleared —
+    stale Column handles point into a dead JVM and can never be
+    served again — and the new owner is returned for the caller to
+    store. ``app is None`` (no active session on this thread) means
+    DO NOT cache: a None-keyed entry could serve dead handles across
+    restarts (ADVICE r18)."""
+    if app != owner_app:
+        memo.clear()
+    return app
+
+
 def derive_column(f: Field) -> Column:
     """The typed/derived output column for one field (memoized — see
     ``_DERIVE_MEMO``; the returned Column is immutable and aliased by
     callers, never mutated)."""
-    key = (_app_id(), repr(f), f.resolved_pos)
+    global _DERIVE_MEMO_APP
+    app = _app_id()
+    if app is None:
+        return _build_derive_column(f)
+    _DERIVE_MEMO_APP = memo_for_app(_DERIVE_MEMO, _DERIVE_MEMO_APP, app)
+    key = (repr(f), f.resolved_pos)
     col = _DERIVE_MEMO.get(key)
     if col is None:
         col = _build_derive_column(f)

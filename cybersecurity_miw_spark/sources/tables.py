@@ -54,15 +54,23 @@ _PARQUET_STATS: dict[str, tuple[int, int]] = {}
 # the life of a session. The memo stores the LAZY DataFrame plan only
 # — no rows are cached or persisted; every action still scans the
 # parquet files in full (same PushedFilters/ReadSchema, same plan).
-_READER_MEMO: dict[tuple[str, str], DataFrame] = {}
+_READER_MEMO: dict[str, DataFrame] = {}
+# single-app dict cleared on app change (the derive.memo_for_app
+# discipline, ADVICE r18): per-app keys never evicted dead
+# applications' plans in a driver that restarts sessions
+_READER_MEMO_APP: str | None = None
 
 
 def _read_parquet_memo(spark: SparkSession, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, path)
-    df = _READER_MEMO.get(key)
+    global _READER_MEMO_APP
+    from cybersecurity_miw_spark.operators.derive import memo_for_app
+
+    app = spark.sparkContext.applicationId
+    _READER_MEMO_APP = memo_for_app(_READER_MEMO, _READER_MEMO_APP, app)
+    df = _READER_MEMO.get(path)
     if df is None:
         df = spark.read.parquet(path)
-        _READER_MEMO[key] = df
+        _READER_MEMO[path] = df
     return df
 
 

@@ -341,10 +341,12 @@ def streaming_near_dup_flags(
         try:
             _near_dup_batch(sess, batch_df)
         finally:
-            # minhash_lsh_candidates tracked_persist()s its banded
-            # projection: release per trigger so a continuous (non-
-            # availableNow) query holds no unbounded cache — scoped
-            # to THIS trigger's pins (ADVICE r8)
+            # release per trigger so a continuous (non-availableNow)
+            # query holds no unbounded cache — scoped to THIS
+            # trigger's pins (ADVICE r8). Since r18 the within-batch
+            # candidate path (pairs_from_bands) pins nothing; what
+            # this covers is jaccard confirm's staged() pairs frame
+            # (and any future pin made on this foreachBatch thread).
             release_since(cache_mark)
 
     def _near_dup_batch(sess, batch_df: DataFrame) -> None:

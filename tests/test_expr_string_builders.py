@@ -165,3 +165,33 @@ def test_simple_agg_exprs_returns_fresh_list(spark):
     n = len(first)
     first.append(F.lit(1))
     assert len(simple_agg_exprs(ldef)) == n
+
+
+def test_derive_memo_single_app_eviction(spark, monkeypatch):
+    """r19 (ADVICE r18): the derive memo is a SINGLE-application dict
+    — an app-id change clears it (stale Column handles point into a
+    dead JVM), and with no active session nothing is cached (a
+    None-keyed entry could serve dead handles across restarts)."""
+    from cybersecurity_miw_spark.operators import derive
+    from cybersecurity_miw_spark.plans.logdef import LogDef
+
+    ldef = LogDef.from_json(
+        {
+            "format_name": "memo_evict_probe",
+            "delims": ",",
+            "fields": [{"name": "a", "type": "string"}],
+        }
+    )
+    fa = ldef.fields[0]
+    derive.derive_column(fa)
+    assert len(derive._DERIVE_MEMO) >= 1
+    # app change -> memo cleared, repopulated under the new owner only
+    monkeypatch.setattr(derive, "_app_id", lambda: "app-after-restart")
+    derive.derive_column(fa)
+    assert derive._DERIVE_MEMO_APP == "app-after-restart"
+    assert len(derive._DERIVE_MEMO) == 1
+    # no active session -> build without caching
+    monkeypatch.setattr(derive, "_app_id", lambda: None)
+    before = len(derive._DERIVE_MEMO)
+    derive.derive_column(fa)
+    assert len(derive._DERIVE_MEMO) == before

@@ -1504,19 +1504,22 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-window for both plan changes (rotation invariant)."""
     docs = load_table(spark, sf_dir, "documents", widen=True)
     t = F.col("text")
-    base = docs.select(
-        "doc_id",
-        textstats.token_count(t).alias("n_tokens"),
-        textstats.word_token_count(t).alias("n_subtokens"),
-        textstats.quality_score(t).alias("quality"),
-        textstats.fingerprint(t).alias("fingerprint"),
-    )
-    langs = langid.detect_language(docs).select(
-        "doc_id", F.col("lang").alias("lang_guess")
-    )
-    return base.join(langs, "doc_id").select(
-        "doc_id", "lang_guess", "n_tokens", "n_subtokens", "quality",
-        "fingerprint",
+    # r19 (§2.4): the profile stats ride the langid pipeline as carry
+    # columns instead of a separate scan + doc_id join-back — one
+    # corpus pass, one exchange, no doc-keyed join (A/B: 0 differing
+    # rows; jobs 5 -> 4 and −0.55 s wall at sf0.1; at scale the
+    # removed join is two n_docs-row exchanges + sorts)
+    return langid.detect_language(
+        docs,
+        carry={
+            "n_tokens": textstats.token_count(t),
+            "n_subtokens": textstats.word_token_count(t),
+            "quality": textstats.quality_score(t),
+            "fingerprint": textstats.fingerprint(t),
+        },
+    ).select(
+        "doc_id", F.col("lang").alias("lang_guess"), "n_tokens",
+        "n_subtokens", "quality", "fingerprint",
     )
 
 

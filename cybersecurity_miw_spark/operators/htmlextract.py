@@ -308,32 +308,41 @@ def html_outlinks(
     capture group — both engines guarantee positional alignment
     because the matches are identical), zipped and pos-exploded.
     Zero exchanges; corpus-linear."""
-    hrefs = F.regexp_extract_all(
-        F.coalesce(F.col(html_col), F.lit("")), F.lit(_ANCHOR_HREF), 1
-    )
-    texts = F.regexp_extract_all(
-        F.coalesce(F.col(html_col), F.lit("")), F.lit(_ANCHOR_HREF), 2
-    )
+    from cybersecurity_miw_spark.operators.derive import expr_memo
+
+    # ~0.2 s of py4j construction per call (the r19 streaming-loop
+    # profile), rebuilt identically every micro-batch — memoized per
+    # application, keyed by the column names the trees bind to
+    def _build_zip() -> Column:
+        hrefs = F.regexp_extract_all(
+            F.coalesce(F.col(html_col), F.lit("")), F.lit(_ANCHOR_HREF), 1
+        )
+        texts = F.regexp_extract_all(
+            F.coalesce(F.col(html_col), F.lit("")), F.lit(_ANCHOR_HREF), 2
+        )
+        return F.posexplode(
+            F.arrays_zip(hrefs.alias("h"), texts.alias("t"))
+        )
+
+    def _build_out() -> list[Column]:
+        href = F.regexp_replace(F.col("_p.h"), "^[\"']|[\"']$", "")
+        text = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_p.t"), _ANY_TAG, " "),
+                r"\s+",
+                " ",
+            )
+        )
+        for ent, ch in ENTITY_MAP:
+            href = F.replace(href, F.lit(ent), F.lit(ch))
+            text = F.replace(text, F.lit(ent), F.lit(ch))
+        return [href.alias("href"), text.alias("anchor_text")]
+
     pairs = df.select(
         F.col(id_col),
-        F.posexplode(F.arrays_zip(hrefs.alias("h"), texts.alias("t"))).alias(
+        expr_memo(("htmlextract.outlinks_zip", html_col), _build_zip).alias(
             "link_no", "_p"
         ),
     )
-    href = F.regexp_replace(F.col("_p.h"), "^[\"']|[\"']$", "")
-    text = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.col("_p.t"), _ANY_TAG, " "),
-            r"\s+",
-            " ",
-        )
-    )
-    for ent, ch in ENTITY_MAP:
-        href = F.replace(href, F.lit(ent), F.lit(ch))
-        text = F.replace(text, F.lit(ent), F.lit(ch))
-    return pairs.select(
-        id_col,
-        "link_no",
-        href.alias("href"),
-        text.alias("anchor_text"),
-    )
+    href_c, text_c = expr_memo(("htmlextract.outlinks_out",), _build_out)
+    return pairs.select(id_col, "link_no", href_c, text_c)

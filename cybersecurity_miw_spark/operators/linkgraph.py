@@ -138,23 +138,34 @@ def outlink_edges(
     row-expression chain on top of the outlink explode — zero
     exchanges; corpus-linear."""
     from cybersecurity_miw_spark.operators import htmlextract, urlcurate
+    from cybersecurity_miw_spark.operators.derive import expr_memo
 
     links = htmlextract.html_outlinks(
         pages.select(id_col, url_col, html_col), html_col, id_col
     )
+    # the canonicalization / href-resolution trees cost ~0.1 s EACH of
+    # py4j construction per call (r19 streaming profile: outlink_edges
+    # construction was 0.69 s of every micro-batch trigger) — memoized
+    # per application, keyed by the column names they bind to
     src = pages.select(
         id_col,
-        (
-            urlcurate.canonical_url(F.col(url_col))
-            if canonicalize
-            else F.col(url_col)
+        expr_memo(
+            ("linkgraph.src_url", url_col, canonicalize),
+            lambda: (
+                urlcurate.canonical_url(F.col(url_col))
+                if canonicalize
+                else F.col(url_col)
+            ),
         ).alias("src_url"),
         F.col(url_col).alias("_base"),
     )
     joined = links.join(src, id_col)
-    dst = resolve_href(F.col("_base"), F.col("href"))
-    if canonicalize:
-        dst = urlcurate.canonical_url(dst)
+
+    def _build_dst() -> Column:
+        d = resolve_href(F.col("_base"), F.col("href"))
+        return urlcurate.canonical_url(d) if canonicalize else d
+
+    dst = expr_memo(("linkgraph.dst_url", canonicalize), _build_dst)
     return (
         joined.select(
             id_col,
